@@ -1,0 +1,246 @@
+"""Aggregator library — ``hl.agg.*`` parity as Spark Column builders.
+
+Parity target: hail/python/hail/expr/aggregators/aggregators.py (2108 LoC)
+and the staged Scala implementations in hail/hail/src/is/hail/expr/ir/agg/.
+Every aggregator here is a plain Spark aggregate Column, so it executes as
+a hash aggregate with map-side partial combine — the same partial/serialize/
+tree-combine/finalize shape Hail stages by hand (Extract.scala:484).
+
+Missingness: Hail aggregators skip missing values (strict seqOp); Spark
+builtin aggregates also skip NULLs, so semantics match without wrappers.
+NaN: Hail min/max propagate NaN; Spark's min/max order NaN largest — use
+``min_nan``/``max_nan`` where NaN-propagation parity matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "count", "count_where", "sum", "sum_exact", "product", "min", "max",
+    "min_nan", "max_nan", "mean", "stats", "collect", "collect_as_set",
+    "take", "take_by", "counter", "any", "all", "fraction", "array_sum",
+    "approx_quantiles", "approx_median", "approx_cdf", "hist", "corr",
+    "call_stats", "linreg_xtx_xty",
+]
+
+
+def _c(x) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+def count() -> Column:
+    return F.count(F.lit(1)).cast("bigint")
+
+
+def count_where(pred) -> Column:
+    return F.count(F.when(_c(pred), 1)).cast("bigint")
+
+
+def sum(expr) -> Column:
+    return F.sum(_c(expr))
+
+
+def sum_exact(expr, scale: int = 6) -> Column:
+    """Order-independent float sum: accumulate in DECIMAL(38,scale) then
+    cast back to double. At 100 TB a double sum's value depends on the
+    reduction tree; decimal accumulation is exact and deterministic."""
+    return F.sum(_c(expr).cast(f"decimal(38,{scale})")).cast("double")
+
+
+def product(expr) -> Column:
+    """Product of non-missing values (ref aggregators.py:1059). No Spark
+    builtin: exp(sum(ln|x|)) with sign/zero bookkeeping."""
+    x = _c(expr)
+    n_zero = F.count(F.when(x == 0, 1))
+    n_neg = F.count(F.when(x < 0, 1))
+    log_sum = F.sum(F.when(x != 0, F.log(F.abs(x))))
+    mag = F.exp(log_sum)
+    signed = F.when(n_neg % 2 == 1, -mag).otherwise(mag)
+    return F.when(n_zero > 0, F.lit(0.0)).otherwise(signed)
+
+
+def min(expr) -> Column:
+    return F.min(_c(expr))
+
+
+def max(expr) -> Column:
+    return F.max(_c(expr))
+
+
+def min_nan(expr) -> Column:
+    """Hail min: ignores missing, PROPAGATES NaN (ref §2.4 nanmin note)."""
+    x = _c(expr)
+    return F.when(F.max(F.isnan(x)), F.lit(float("nan"))).otherwise(F.min(x))
+
+
+def max_nan(expr) -> Column:
+    x = _c(expr)
+    return F.when(F.max(F.isnan(x)), F.lit(float("nan"))).otherwise(F.max(x))
+
+
+def mean(expr) -> Column:
+    return F.avg(_c(expr))
+
+
+def stats(expr) -> Column:
+    """struct{mean, stdev, min, max, n, sum} (ref aggregators.py:999)."""
+    x = _c(expr)
+    return F.struct(
+        F.avg(x).alias("mean"),
+        F.stddev_pop(x).alias("stdev"),
+        F.min(x).alias("min"),
+        F.max(x).alias("max"),
+        F.count(x).cast("bigint").alias("n"),
+        F.sum(x).alias("sum"),
+    )
+
+
+def collect(expr) -> Column:
+    return F.collect_list(_c(expr))
+
+
+def collect_as_set(expr) -> Column:
+    """Set = sorted distinct array (deterministic; ref §1.2 tset repr)."""
+    return F.sort_array(F.collect_set(_c(expr)))
+
+
+def take(expr, n: int) -> Column:
+    return F.slice(F.collect_list(_c(expr)), 1, n)
+
+
+def take_by(expr, key, n: int, ascending: bool = True) -> Column:
+    """Top-n by key (ref TakeByAggregator.scala). Sorted collect + slice;
+    fine for small n (Hail's contract), groups stay distributed."""
+    pair = F.struct(_c(key).alias("k"), _c(expr).alias("v"))
+    arr = F.sort_array(F.collect_list(pair), asc=ascending)
+    return F.slice(arr, 1, n).getField("v")
+
+
+def counter(expr) -> Column:
+    """value → count map (ref aggregators.py:709). Built as HOFs over the
+    collected values; for large cardinality prefer a group_by rewrite
+    (``Table.group_by(x).aggregate(n=agg.count())``)."""
+    x = _c(expr)
+    arr = F.collect_list(x)
+    keys = F.array_sort(F.array_distinct(arr))
+    return F.map_from_arrays(
+        keys,
+        F.transform(
+            keys,
+            lambda v: F.size(F.filter(arr, lambda e: e.eqNullSafe(v))).cast("bigint"),
+        ),
+    )
+
+
+def any(pred) -> Column:
+    return F.coalesce(F.bool_or(_c(pred)), F.lit(False))
+
+
+def all(pred) -> Column:
+    return F.coalesce(F.bool_and(_c(pred)), F.lit(True))
+
+
+def fraction(pred) -> Column:
+    """Fraction of (non-missing-pred) rows where pred holds
+    (ref aggregators.py:1098)."""
+    p = _c(pred)
+    return F.avg(F.when(p, 1.0).when(~p, 0.0))
+
+
+def array_sum(expr) -> Column:
+    """Elementwise sum of array-typed column (ref aggregators.py:934).
+    zip_with fold keeps it one pass, JVM-side."""
+    x = _c(expr)
+    return F.aggregate(
+        F.collect_list(x),
+        F.expr("cast(array() as array<double>)"),
+        lambda acc, a: F.when(F.size(acc) == 0, a.cast("array<double>")).otherwise(
+            F.zip_with(acc, a, lambda l, r: l + r)
+        ),
+    )
+
+
+def approx_quantiles(expr, qs, accuracy: int = 10000) -> Column:
+    """KLL-sketch analogue via Spark's GK percentile_approx
+    (ref ApproxCDFAggregator.scala; matches within error bounds)."""
+    return F.percentile_approx(_c(expr), qs, accuracy)
+
+
+def approx_median(expr, accuracy: int = 10000) -> Column:
+    return F.percentile_approx(_c(expr), 0.5, accuracy)
+
+
+def approx_cdf(expr, accuracy: int = 10000) -> Column:
+    qs = [i / 100.0 for i in range(101)]
+    return F.percentile_approx(_c(expr), qs, accuracy)
+
+
+def hist(expr, start: float, end: float, bins: int) -> Column:
+    """Histogram (ref aggregators.py:1424): struct{bin_edges, bin_freq,
+    n_smaller, n_larger}."""
+    x = _c(expr).cast("double")
+    w = (end - start) / bins
+    idx = F.floor((x - F.lit(start)) / F.lit(w)).cast("int")
+    idx = F.when(x == end, bins - 1).otherwise(idx)
+    in_range = (x >= start) & (x <= end)
+    freq_map = F.map_from_entries(
+        F.collect_list(F.when(in_range, F.struct(idx.alias("k"), F.lit(1).alias("v"))))
+    )
+    # build dense counts via sequence + element_at on an aggregated map
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(bins - 1)),
+        lambda i: F.coalesce(
+            F.aggregate(
+                F.collect_list(F.when(in_range, idx)),
+                F.lit(0).cast("bigint"),
+                lambda acc, e: acc + F.when(e == i, 1).otherwise(0),
+            ),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    return F.struct(
+        F.transform(F.sequence(F.lit(0), F.lit(bins)),
+                    lambda i: F.lit(start) + i * F.lit(w)).alias("bin_edges"),
+        counts.alias("bin_freq"),
+        F.count(F.when(x < start, 1)).alias("n_smaller"),
+        F.count(F.when(x > end, 1)).alias("n_larger"),
+    )
+
+
+def corr(x, y) -> Column:
+    return F.corr(_c(x), _c(y))
+
+
+def call_stats(gt, n_alleles: int = 2) -> Column:
+    """Genotype call stats over int-encoded biallelic calls
+    (0=ref/ref, 1=ref/alt, 2=alt/alt; ref CallStatsAggregator.scala,
+    aggregators.py:1356): struct{AC, AF, AN, homozygote_count}."""
+    g = _c(gt)
+    an = (F.count(g) * 2).cast("int")
+    ac1 = F.sum(g).cast("int")  # alt allele count for biallelic encoding
+    ac0 = (an - ac1).cast("int")
+    hom0 = F.count(F.when(g == 0, 1)).cast("int")
+    hom1 = F.count(F.when(g == 2, 1)).cast("int")
+    return F.struct(
+        F.array(ac0, ac1).alias("AC"),
+        F.array(ac0 / an, ac1 / an).alias("AF"),
+        an.alias("AN"),
+        F.array(hom0, hom1).alias("homozygote_count"),
+    )
+
+
+def linreg_xtx_xty(y, xs) -> Column:
+    """Accumulate X'X and X'y for a linear fit (ref
+    LinearRegressionAggregator.scala); finalize driver-side with numpy."""
+    yv = _c(y)
+    xv = [_c(x) for x in xs]
+    fields = []
+    for i, xi in enumerate(xv):
+        for j, xj in enumerate(xv):
+            if j >= i:
+                fields.append(F.sum(xi * xj).alias(f"xtx_{i}_{j}"))
+        fields.append(F.sum(xi * yv).alias(f"xty_{i}"))
+    fields.append(F.count(F.when(yv.isNotNull(), 1)).alias("n"))
+    return F.struct(*fields)

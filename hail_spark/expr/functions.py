@@ -1,0 +1,722 @@
+"""Scalar/collection function library — ``hl.*`` expression parity.
+
+Parity target: hail/python/hail/expr/functions.py (7360 LoC, ~200 public
+functions) + typed-expression methods (typed_expressions.py). Everything
+here returns a Spark ``Column`` built from JVM-side builtins/HOFs so it
+stays inside whole-stage codegen; only the statistical distributions drop
+to vectorized pandas UDFs (see functions/stats.py).
+
+Hail missingness is strict (NA in ⇒ NA out), which is also Spark's
+default for these builtins, so no wrappers are needed except where noted
+(floor-division, filter, ordering).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(x) -> Column:
+    if isinstance(x, Column):
+        return x
+    return F.lit(x)
+
+
+def col(name: str) -> Column:
+    return F.col(name)
+
+
+# ---------------------------------------------------------------------- #
+# control / missingness (ref functions.py:473-2235)
+# ---------------------------------------------------------------------- #
+def if_else(cond, consequent, alternate) -> Column:
+    return F.when(_c(cond), _c(consequent)).otherwise(_c(alternate))
+
+
+cond = if_else
+
+
+def coalesce(*exprs) -> Column:
+    return F.coalesce(*[_c(e) for e in exprs])
+
+
+def or_else(expr, alternate) -> Column:
+    return F.coalesce(_c(expr), _c(alternate))
+
+
+def or_missing(pred, value) -> Column:
+    return F.when(_c(pred), _c(value))
+
+
+def is_defined(expr) -> Column:
+    return _c(expr).isNotNull()
+
+
+def is_missing(expr) -> Column:
+    return _c(expr).isNull()
+
+
+def missing(dtype: str) -> Column:
+    return F.lit(None).cast(dtype)
+
+
+def is_nan(expr) -> Column:
+    return F.isnan(_c(expr))
+
+
+def is_finite(expr) -> Column:
+    x = _c(expr)
+    return ~F.isnan(x) & (F.abs(x) != float("inf")) & x.isNotNull()
+
+
+def is_infinite(expr) -> Column:
+    return F.abs(_c(expr)) == float("inf")
+
+
+class case:
+    """hl.case() builder (ref functions.py:585)."""
+
+    def __init__(self, missing_false: bool = False):
+        self._whens: list[tuple[Column, Column]] = []
+        self._missing_false = missing_false
+
+    def when(self, cond, value) -> "case":
+        self._whens.append((_c(cond), _c(value)))
+        return self
+
+    def default(self, value) -> Column:
+        out = None
+        for c, v in self._whens:
+            out = F.when(c, v) if out is None else out.when(c, v)
+        return out.otherwise(_c(value)) if out is not None else _c(value)
+
+    def or_missing(self) -> Column:
+        out = None
+        for c, v in self._whens:
+            out = F.when(c, v) if out is None else out.when(c, v)
+        return out
+
+
+def switch(expr) -> "_Switch":
+    return _Switch(_c(expr))
+
+
+class _Switch:
+    """hl.switch builder (ref functions.py:619)."""
+
+    def __init__(self, base: Column):
+        self._base = base
+        self._whens: list[tuple[Column, Column]] = []
+        self._when_missing: Column | None = None
+
+    def when(self, value, then) -> "_Switch":
+        self._whens.append((self._base == _c(value), _c(then)))
+        return self
+
+    def when_missing(self, then) -> "_Switch":
+        self._when_missing = _c(then)
+        return self
+
+    def default(self, value) -> Column:
+        out = None
+        if self._when_missing is not None:
+            out = F.when(self._base.isNull(), self._when_missing)
+        for c, v in self._whens:
+            out = F.when(c, v) if out is None else out.when(c, v)
+        return out.otherwise(_c(value)) if out is not None else _c(value)
+
+    def or_missing(self) -> Column:
+        out = None
+        if self._when_missing is not None:
+            out = F.when(self._base.isNull(), self._when_missing)
+        for c, v in self._whens:
+            out = F.when(c, v) if out is None else out.when(c, v)
+        return out
+
+
+def bind(f: Callable, *exprs) -> Column:
+    """Let-binding (ref functions.py:656). Catalyst CSE makes plain
+    re-use safe, so bind is just application."""
+    return f(*[_c(e) for e in exprs])
+
+
+rbind = bind
+
+
+# ---------------------------------------------------------------------- #
+# arithmetic / math (ref functions.py:1117-5027, MathFunctions.scala)
+# ---------------------------------------------------------------------- #
+exp = F.exp
+log10 = F.log10
+sqrt = F.sqrt
+
+
+def log(x, base=None) -> Column:
+    return F.log(_c(x)) if base is None else F.log(base, _c(x))
+
+
+def abs(x) -> Column:  # noqa: A001
+    return F.abs(_c(x))
+
+
+def sign(x) -> Column:
+    return F.signum(_c(x))
+
+
+def floor(x) -> Column:
+    return F.floor(_c(x))
+
+
+def ceil(x) -> Column:
+    return F.ceil(_c(x))
+
+
+def floordiv(a, b) -> Column:
+    """Hail // is floor division (ref RoundToNegInfDivide,
+    Simplify.scala:232) — Spark int `/` truncates toward 0; use floor."""
+    return F.floor(_c(a) / _c(b)).cast("bigint")
+
+
+def mod(a, b) -> Column:
+    """Hail % follows the sign of the divisor (floor-mod) → pmod."""
+    return F.pmod(_c(a), _c(b))
+
+
+def pow(a, b) -> Column:  # noqa: A001
+    return F.pow(_c(a), _c(b))
+
+
+def triangle(n) -> Column:
+    return (_c(n) * (_c(n) + 1) / 2).cast("bigint")
+
+
+def approx_equal(x, y, tolerance: float = 1e-6, absolute: bool = False) -> Column:
+    xx, yy = _c(x), _c(y)
+    if absolute:
+        return F.abs(xx - yy) <= tolerance
+    return F.abs(xx - yy) <= tolerance * F.greatest(F.abs(xx), F.abs(yy))
+
+
+# ---------------------------------------------------------------------- #
+# strings (ref typed_expressions.py:2779-3343, StringFunctions.scala)
+# ---------------------------------------------------------------------- #
+def str_replace(s, pattern: str, replacement: str) -> Column:
+    return F.regexp_replace(_c(s), pattern, replacement)
+
+
+def str_split(s, pattern: str, n: int = -1) -> Column:
+    return F.split(_c(s), pattern, n)
+
+
+lower = F.lower
+upper = F.upper
+
+
+def strip(s) -> Column:
+    return F.trim(_c(s))
+
+
+def str_contains(s, sub: str) -> Column:
+    return _c(s).contains(sub)
+
+
+def startswith(s, prefix: str) -> Column:
+    return _c(s).startswith(prefix)
+
+
+def endswith(s, suffix: str) -> Column:
+    return _c(s).endswith(suffix)
+
+
+def matches(s, regex: str) -> Column:
+    """Hail .matches = regex found anywhere (java find semantics)."""
+    return _c(s).rlike(regex)
+
+
+def first_match_in(s, regex: str) -> Column:
+    """Groups of first regex match, or missing (ref typed_expressions
+    first_match_in)."""
+    x = _c(s)
+    m = F.regexp_extract_all(x, F.lit(regex))
+    return F.when(F.size(m) > 0, F.element_at(m, 1))
+
+
+def translate(s, matching: str, replace: str) -> Column:
+    return F.translate(_c(s), matching, replace)
+
+
+def reverse(s) -> Column:
+    return F.reverse(_c(s))
+
+
+def str_join(sep: str, arr) -> Column:
+    return F.array_join(_c(arr), sep)
+
+
+def str_len(s) -> Column:
+    return F.length(_c(s)).cast("int")
+
+
+def substring(s, start, length=None) -> Column:
+    x = _c(s)
+    if length is None:
+        return x.substr(F.lit(start + 1), F.length(x))
+    return x.substr(F.lit(start + 1), F.lit(length))
+
+
+def format(fmt: str, *args) -> Column:
+    """hl.format (ref functions.py:6783) — C-style format."""
+    return F.format_string(fmt, *[_c(a) for a in args])
+
+
+def json(expr) -> Column:
+    return F.to_json(_c(expr))
+
+
+def parse_json(s, dtype: str) -> Column:
+    return F.from_json(_c(s), dtype)
+
+
+def entropy(s) -> Column:
+    """Shannon entropy of character distribution (ref functions.py:3972).
+    Pure HOF implementation — stays JVM-side."""
+    chars = F.split(_c(s), "")
+    chars = F.filter(chars, lambda ch: ch != "")
+    n = F.size(chars)
+    distinct = F.array_distinct(chars)
+    return F.aggregate(
+        distinct,
+        F.lit(0.0),
+        lambda acc, ch: acc
+        - (F.size(F.filter(chars, lambda e: e == ch)) / n)
+        * F.log2(F.size(F.filter(chars, lambda e: e == ch)) / n),
+    )
+
+
+def hamming(s1, s2) -> Column:
+    """Hamming distance of equal-length strings (ref functions.py:3941)."""
+    a, b = F.split(_c(s1), ""), F.split(_c(s2), "")
+    return F.when(
+        F.length(_c(s1)) == F.length(_c(s2)),
+        F.size(F.filter(F.zip_with(a, b, lambda x, y: x != y), lambda d: d)),
+    ).cast("int")
+
+
+def strftime(fmt: str, epoch_seconds, tz: str = "UTC") -> Column:
+    return F.date_format(F.from_unixtime(_c(epoch_seconds)), _c_fmt(fmt))
+
+
+def strptime(s, fmt: str, tz: str = "UTC") -> Column:
+    return F.unix_timestamp(_c(s), _c_fmt(fmt)).cast("bigint")
+
+
+def _c_fmt(c_format: str) -> str:
+    """Map the common C strftime codes to JVM datetime patterns."""
+    table = {
+        "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+        "%S": "ss", "%j": "DDD", "%e": "d", "%b": "MMM", "%B": "MMMM",
+        "%y": "yy", "%p": "a", "%A": "EEEE", "%a": "EEE",
+    }
+    out = c_format
+    for k, v in table.items():
+        out = out.replace(k, v)
+    return out
+
+
+# ---------------------------------------------------------------------- #
+# collections (ref functions.py:4118-5762, typed_expressions.py:64-786)
+# ---------------------------------------------------------------------- #
+def map_(f, arr) -> Column:
+    return F.transform(_c(arr), f)
+
+
+def filter_(f, arr) -> Column:
+    return F.filter(_c(arr), f)
+
+
+def flatmap(f, arr) -> Column:
+    return F.flatten(F.transform(_c(arr), f))
+
+
+def fold(f, zero, arr) -> Column:
+    return F.aggregate(_c(arr), _c(zero), f)
+
+
+def array_scan(f, zero, arr) -> Column:
+    """Inclusive scan over an array (ref functions.py array_scan).
+    aggregate with array accumulator."""
+    z = _c(zero)
+    return F.aggregate(
+        _c(arr),
+        F.array(z),
+        lambda acc, x: F.concat(acc, F.array(f(F.element_at(acc, -1), x))),
+    )
+
+
+def any_(f, arr) -> Column:
+    return F.exists(_c(arr), f)
+
+
+def all_(f, arr) -> Column:
+    return F.forall(_c(arr), f)
+
+
+def find(f, arr) -> Column:
+    matches_ = F.filter(_c(arr), f)
+    return F.when(F.size(matches_) > 0, F.element_at(matches_, 1))
+
+
+def sorted_(arr, reverse: bool = False) -> Column:
+    a = F.array_sort(_c(arr))
+    return F.reverse(a) if reverse else a
+
+
+def zip_(*arrs) -> Column:
+    return F.arrays_zip(*[_c(a) for a in arrs])
+
+
+def enumerate_(arr, index_first: bool = False) -> Column:
+    a = _c(arr)
+    idx = F.sequence(F.lit(0), F.size(a) - 1)
+    if index_first:
+        return F.zip_with(idx, a, lambda i, x: F.struct(i.alias("_0"), x.alias("_1")))
+    return F.zip_with(a, idx, lambda x, i: F.struct(x.alias("_0"), i.alias("_1")))
+
+
+def argmin(arr) -> Column:
+    a = _c(arr)
+    return F.when(F.size(a) > 0, F.array_position(a, F.array_min(a)).cast("int") - 1)
+
+
+def argmax(arr) -> Column:
+    a = _c(arr)
+    return F.when(F.size(a) > 0, F.array_position(a, F.array_max(a)).cast("int") - 1)
+
+
+def mean_(arr) -> Column:
+    a = F.filter(_c(arr), lambda x: x.isNotNull())
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x) / F.size(a)
+
+
+def median_(arr) -> Column:
+    a = F.array_sort(F.filter(_c(arr), lambda x: x.isNotNull()))
+    n = F.size(a)
+    mid = (n / 2).cast("int")
+    return F.when(
+        n % 2 == 1, F.element_at(a, mid + 1).cast("double")
+    ).otherwise((F.element_at(a, mid) + F.element_at(a, mid + 1)) / 2.0)
+
+
+def product_(arr) -> Column:
+    return F.aggregate(
+        F.filter(_c(arr), lambda x: x.isNotNull()),
+        F.lit(1.0),
+        lambda acc, x: acc * x,
+    )
+
+
+def sum_(arr) -> Column:
+    return F.aggregate(
+        F.filter(_c(arr), lambda x: x.isNotNull()), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cumulative_sum(arr) -> Column:
+    a = _c(arr)
+    return F.aggregate(
+        a,
+        F.expr("cast(array() as array<double>)"),
+        lambda acc, x: F.concat(
+            acc, F.array(F.coalesce(F.element_at(acc, -1), F.lit(0.0)) + x)
+        ),
+    )
+
+
+flatten = F.flatten
+
+
+def len_(x) -> Column:
+    return F.size(_c(x))
+
+
+def reversed_(arr) -> Column:
+    return F.reverse(_c(arr))
+
+
+def index_of(arr, value) -> Column:
+    return F.array_position(_c(arr), _c(value)).cast("int") - 1
+
+
+def contains(arr, value) -> Column:
+    return F.array_contains(_c(arr), _c(value))
+
+
+def append(arr, value) -> Column:
+    return F.concat(_c(arr), F.array(_c(value)))
+
+
+def extend(a1, a2) -> Column:
+    return F.concat(_c(a1), _c(a2))
+
+
+def head_(arr) -> Column:
+    a = _c(arr)
+    return F.when(F.size(a) > 0, F.element_at(a, 1))
+
+
+first_ = head_
+
+
+def last_(arr) -> Column:
+    a = _c(arr)
+    return F.when(F.size(a) > 0, F.element_at(a, -1))
+
+
+def grouped(arr, size: int) -> Column:
+    a = _c(arr)
+    n_groups = F.ceil(F.size(a) / F.lit(size)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_groups - 1),
+        lambda i: F.slice(a, i * size + 1, size),
+    )
+
+
+def range_(start, stop=None, step: int = 1) -> Column:
+    if stop is None:
+        start, stop = F.lit(0), _c(start)
+    else:
+        start, stop = _c(start), _c(stop)
+    # hl.range is end-exclusive; F.sequence is end-inclusive
+    return F.when(
+        stop > start if step > 0 else stop < start,
+        F.sequence(start, stop - (1 if step > 0 else -1), F.lit(step)),
+    ).otherwise(F.expr("cast(array() as array<int>)"))
+
+
+def group_by_(f, arr) -> Column:
+    """collection.group_by → map<key, array<value>>."""
+    a = _c(arr)
+    keys = F.array_distinct(F.transform(a, f))
+    return F.map_from_arrays(
+        keys, F.transform(keys, lambda k: F.filter(a, lambda x: f(x).eqNullSafe(k)))
+    )
+
+
+# ---------------------------------------------------------------------- #
+# set ops on sorted-distinct arrays (ref SetFunctions.scala; tset repr)
+# ---------------------------------------------------------------------- #
+def set_(arr) -> Column:
+    return F.array_sort(F.array_distinct(_c(arr)))
+
+
+def set_union(a, b) -> Column:
+    return F.array_sort(F.array_union(_c(a), _c(b)))
+
+
+def set_intersection(a, b) -> Column:
+    return F.array_sort(F.array_intersect(_c(a), _c(b)))
+
+
+def set_difference(a, b) -> Column:
+    return F.array_sort(F.array_except(_c(a), _c(b)))
+
+
+def is_subset(a, b) -> Column:
+    return F.size(F.array_except(_c(a), _c(b))) == 0
+
+
+# ---------------------------------------------------------------------- #
+# dict ops (ref DictFunctions.scala; tdict → MapType)
+# ---------------------------------------------------------------------- #
+def dict_get(m, key, default=None) -> Column:
+    got = F.element_at(_c(m), _c(key) if isinstance(key, Column) else key)
+    return F.coalesce(got, _c(default)) if default is not None else got
+
+
+def dict_contains(m, key) -> Column:
+    return F.map_contains_key(_c(m), key)
+
+
+def dict_keys(m) -> Column:
+    return F.array_sort(F.map_keys(_c(m)))
+
+
+def dict_values(m) -> Column:
+    return F.map_values(_c(m))
+
+
+def dict_items(m) -> Column:
+    return F.map_entries(_c(m))
+
+
+def dict_from_entries(arr) -> Column:
+    return F.map_from_entries(_c(arr))
+
+
+# ---------------------------------------------------------------------- #
+# conversions / parsing (ref functions.py:5852-6254)
+# ---------------------------------------------------------------------- #
+def int32(x) -> Column:
+    return _c(x).cast("int")
+
+
+def int64(x) -> Column:
+    return _c(x).cast("bigint")
+
+
+def float32(x) -> Column:
+    return _c(x).cast("float")
+
+
+def float64(x) -> Column:
+    return _c(x).cast("double")
+
+
+def bool_(x) -> Column:
+    return _c(x).cast("boolean")
+
+
+def str_(x) -> Column:
+    return _c(x).cast("string")
+
+
+def parse_int32(s) -> Column:
+    """Missing on parse failure (ref parse_int) — try_cast semantics."""
+    return _c(s).try_cast("int")
+
+
+def parse_int64(s) -> Column:
+    return _c(s).try_cast("bigint")
+
+
+def parse_float64(s) -> Column:
+    return _c(s).try_cast("double")
+
+
+# ---------------------------------------------------------------------- #
+# bit ops (ref functions.py:6890-7085)
+# ---------------------------------------------------------------------- #
+def bit_and(a, b) -> Column:
+    return _c(a).bitwiseAND(_c(b))
+
+
+def bit_or(a, b) -> Column:
+    return _c(a).bitwiseOR(_c(b))
+
+
+def bit_xor(a, b) -> Column:
+    return _c(a).bitwiseXOR(_c(b))
+
+
+def bit_lshift(a, n) -> Column:
+    return F.shiftleft(_c(a), n)
+
+
+def bit_rshift(a, n) -> Column:
+    return F.shiftright(_c(a), n)
+
+
+def bit_not(a) -> Column:
+    return F.bitwise_not(_c(a))
+
+
+def bit_count(a) -> Column:
+    return F.bit_count(_c(a))
+
+
+# ---------------------------------------------------------------------- #
+# intervals & loci (genomics structs; ref §2.9 intervals/loci)
+# ---------------------------------------------------------------------- #
+def interval(start, end, includes_start=True, includes_end=False) -> Column:
+    """tinterval repr: struct{start,end,includes_start,includes_end}
+    (ref functions.py:1560, types.py:1921)."""
+    return F.struct(
+        _c(start).alias("start"),
+        _c(end).alias("end"),
+        _c(includes_start).alias("includes_start"),
+        _c(includes_end).alias("includes_end"),
+    )
+
+
+def interval_contains(iv, point) -> Column:
+    """Containment with inclusivity flags (ref IntervalFunctions.scala)."""
+    i, p = _c(iv), _c(point)
+    lo = F.when(i.includes_start, p >= i.start).otherwise(p > i.start)
+    hi = F.when(i.includes_end, p <= i.end).otherwise(p < i.end)
+    return lo & hi
+
+
+def interval_overlaps(i1, i2) -> Column:
+    a, b = _c(i1), _c(i2)
+    a_before = F.when(a.includes_end & b.includes_start, a.end < b.start).otherwise(
+        a.end <= b.start
+    )
+    b_before = F.when(b.includes_end & a.includes_start, b.end < a.start).otherwise(
+        b.end <= a.start
+    )
+    return ~(a_before | b_before)
+
+
+def locus(contig, position) -> Column:
+    """tlocus repr: struct{contig,position} (ref types.py:1826)."""
+    return F.struct(_c(contig).alias("contig"), _c(position).cast("int").alias("position"))
+
+
+def parse_locus(s) -> Column:
+    parts = F.split(_c(s), ":")
+    return locus(F.element_at(parts, 1), F.element_at(parts, 2).cast("int"))
+
+
+# ---------------------------------------------------------------------- #
+# calls (int-packed genotypes; ref types.py:1645-1698, CallFunctions.scala)
+# Diploid unphased encoding: call = triangle-number index of (j,k) alleles.
+# For biallelic: 0 = 0/0, 1 = 0/1, 2 = 1/1.
+# ---------------------------------------------------------------------- #
+def call_n_alt_alleles(gt) -> Column:
+    return _c(gt)
+
+
+def call_is_hom_ref(gt) -> Column:
+    return _c(gt) == 0
+
+
+def call_is_het(gt) -> Column:
+    return _c(gt) == 1
+
+
+def call_is_hom_var(gt) -> Column:
+    return _c(gt) == 2
+
+
+def call_is_non_ref(gt) -> Column:
+    return _c(gt) > 0
+
+
+# ---------------------------------------------------------------------- #
+# randomness — seeded, deterministic per row (ref Random.scala threefry;
+# we derive uniforms from xxhash64 of row uid + seed: stable across
+# retries and repartitioning, unlike F.rand)
+# ---------------------------------------------------------------------- #
+def rand_unif(uid, lo=0.0, hi=1.0, seed: int = 0) -> Column:
+    h = F.xxhash64(_c(uid), F.lit(seed))
+    u = (h.cast("double") / F.lit(2.0**63)) / 2.0 + 0.5
+    return F.lit(lo) + u * (F.lit(hi) - F.lit(lo))
+
+
+def rand_bool(uid, p: float, seed: int = 0) -> Column:
+    return rand_unif(uid, seed=seed) < p
+
+
+def rand_int32(uid, n, seed: int = 0) -> Column:
+    return F.pmod(F.xxhash64(_c(uid), F.lit(seed)), F.lit(n)).cast("int")
+
+
+def rand_norm(uid, mean=0.0, sd=1.0, seed: int = 0) -> Column:
+    """Box-Muller over two derived uniforms."""
+    u1 = rand_unif(uid, seed=seed * 2 + 1)
+    u2 = rand_unif(uid, seed=seed * 2 + 2)
+    z = F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * 3.141592653589793 * u2)
+    return F.lit(mean) + z * F.lit(sd)

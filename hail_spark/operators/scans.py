@@ -1,0 +1,140 @@
+"""Distributed ordered scans (exclusive prefix aggregations).
+
+Parity target: ``hl.scan.*`` (ref hail/python/hail/expr/aggregators/
+aggregators.py:2049-2081; distributed two-pass lowering at
+hail/hail/src/is/hail/expr/ir/lowering/LowerTableIR.scala:1284-1560 —
+"table_scan_up_pass" / "table_scan_down_pass").
+
+A naive Spark ``Window.orderBy(key)`` with no ``partitionBy`` collapses
+to ONE partition — unusable at 100 TB. This module implements the same
+two-pass shape Hail uses, entirely with DataFrame ops:
+
+  pass 1 (up):   per-partition partial aggregate (tiny: one row per
+                 partition, collected to the driver);
+  driver:        exclusive prefix-combine over partition ids (cheap —
+                 thousands of rows at most);
+  pass 2 (down): broadcast-join the per-partition offsets back and run
+                 the scan as a *within-partition* window — each window
+                 covers one range-partition, so parallelism is preserved.
+
+Requires the table to be key-sorted (range-partitioned + locally sorted),
+which ``Table.key_by`` guarantees; ``spark_partition_id()`` then increases
+with the key, exactly like Hail's RVDPartitioner partition index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..table import Table
+
+_PID = "__scan_pid"
+_OFF = "__scan_off"
+
+
+def _partition_offsets(df: DataFrame, partial: Column, out_type: str) -> DataFrame:
+    """Return df + `_PID` column, and a small DataFrame (pid, exclusive
+    prefix offset) ready to broadcast-join back."""
+    spark = df.sparkSession
+    partials = (
+        df.groupBy(_PID).agg(partial.alias("p")).collect()
+    )
+    partials.sort(key=lambda r: r[_PID])
+    rows, acc = [], None
+    for r in partials:
+        rows.append((r[_PID], acc))
+        p = r["p"]
+        if p is not None:
+            acc = p if acc is None else acc + p
+    return spark.createDataFrame(rows, schema=f"{_PID} int, {_OFF} {out_type}")
+
+
+def scan_sum(t: Table, expr: Column, name: str) -> Table:
+    """Exclusive running sum in key order (hl.scan.sum parity)."""
+    tt = t if t._key_sorted else t.key_by(*t.key)
+    df = tt.df.withColumn(_PID, F.spark_partition_id())
+    dtype = df.select(expr.alias("x")).schema["x"].dataType.simpleString()
+    out_type = "bigint" if dtype in ("int", "bigint", "smallint", "tinyint") else "double"
+    off = _partition_offsets(df, F.sum(expr.cast(out_type)), out_type)
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*[F.col(k).asc_nulls_last() for k in tt.key])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = F.sum(expr.cast(out_type)).over(w)
+    df = (
+        df.join(F.broadcast(off), on=_PID, how="left")
+        .withColumn(
+            name,
+            F.coalesce(
+                F.coalesce(local, F.lit(0).cast(out_type))
+                + F.coalesce(F.col(_OFF), F.lit(0).cast(out_type)),
+                F.lit(0).cast(out_type),
+            ),
+        )
+        .drop(_PID, _OFF)
+    )
+    return Table(df, tt.key, tt.globals, _sorted=True)
+
+
+def scan_count(t: Table, name: str) -> Table:
+    """Exclusive running count == dense row index (hl.scan.count)."""
+    tt = t if t._key_sorted else t.key_by(*t.key)
+    df = tt.df.withColumn(_PID, F.spark_partition_id())
+    off = _partition_offsets(df, F.count(F.lit(1)), "bigint")
+    w = Window.partitionBy(_PID).orderBy(
+        *[F.col(k).asc_nulls_last() for k in tt.key]
+    )
+    df = (
+        df.join(F.broadcast(off), on=_PID, how="left")
+        .withColumn(
+            name,
+            (F.row_number().over(w) - 1).cast("bigint")
+            + F.coalesce(F.col(_OFF), F.lit(0)),
+        )
+        .drop(_PID, _OFF)
+    )
+    return Table(df, tt.key, tt.globals, _sorted=True)
+
+
+def add_index(t: Table, name: str = "idx") -> Table:
+    """Dense 0-based int64 index in key order (Table.add_index parity,
+    ref table.py:2870). NOT monotonically_increasing_id (sparse)."""
+    return scan_count(t, name)
+
+
+def prev_nonnull(t: Table, expr: Column, name: str) -> Table:
+    """Last non-missing value of `expr` at or before each row, in key
+    order (hl.agg.prev_nonnull scan context; ref aggregators.py:1984,
+    agg/PrevNonNullAggregator.scala).
+
+    Two-pass: per-partition last non-null (small collect), exclusive
+    prefix "last defined wins" on the driver, then a within-partition
+    `last(ignorenulls)` window seeded with the broadcast offset.
+    """
+    tt = t if t._key_sorted else t.key_by(*t.key)
+    df = tt.df.withColumn(_PID, F.spark_partition_id())
+    spark = df.sparkSession
+    field_t = df.select(expr.alias("x")).schema["x"].dataType.simpleString()
+    partials = (
+        df.groupBy(_PID).agg(F.last(expr, ignorenulls=True).alias("p")).collect()
+    )
+    partials.sort(key=lambda r: r[_PID])
+    rows, carry = [], None
+    for r in partials:
+        rows.append((r[_PID], carry))
+        if r["p"] is not None:
+            carry = r["p"]
+    off = spark.createDataFrame(rows, schema=f"{_PID} int, {_OFF} {field_t}")
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*[F.col(k).asc_nulls_last() for k in tt.key])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    df = (
+        df.join(F.broadcast(off), on=_PID, how="left")
+        .withColumn(name, F.coalesce(F.last(expr, ignorenulls=True).over(w), F.col(_OFF)))
+        .drop(_PID, _OFF)
+    )
+    return Table(df, tt.key, tt.globals, _sorted=True)

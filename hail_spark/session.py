@@ -1,0 +1,38 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` (single JVM); the configs below are
+chosen so the same code scales to a real cluster: AQE for runtime
+re-planning (skew joins, partition coalescing), Arrow for the pandas-UDF
+slow path, and shuffle partitions sized to the local core count instead
+of Spark's default 200.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    "spark.sql.parquet.compression.codec": "zstd",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+}
+
+
+def get_spark(app_name: str = "hail_spark", **extra: str) -> SparkSession:
+    """Return (creating if needed) the engine's SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    for k, v in {**_DEFAULTS, **extra}.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

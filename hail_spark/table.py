@@ -1,0 +1,428 @@
+"""Keyed distributed Table — the engine's core relational abstraction.
+
+Parity target: Hail's ``Table`` (reference: hail/python/hail/table.py:327,
+TableType at hail/hail/src/is/hail/types/virtual/TableType.scala:32) — a
+distributed collection of rows with a typed ``globals`` struct and an
+ordered key. Here the row data is a Spark ``DataFrame``; the key is
+metadata ``(key_fields, is_sorted)`` and laziness/optimization come from
+Catalyst instead of Hail's IR pipeline.
+
+Semantics deliberately matched to the reference:
+
+* ``filter``: a missing (NULL) predicate drops the row
+  (ref TableIR.scala TableFilter; we wrap in ``coalesce(pred, false)``).
+* ordering: missing sorts LAST ascending / FIRST descending (Hail treats
+  missing as largest; ref hail/hail/src/is/hail/expr/ir/orderings/) —
+  every sort here uses ``asc_nulls_last`` / ``desc_nulls_first``.
+* joins are key-equi joins; NULL keys never match
+  (ref hail/python/hail/table.py:3414) — Spark's equi-join already does
+  this.
+* ``key_by`` with a new key re-range-partitions and sorts within
+  partitions (the analogue of Hail's eager distributed sort in
+  LowerAndExecuteShuffles.scala:15-34), so downstream merge joins and
+  scans see aligned, ordered partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Iterable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["Table", "GroupedTable", "asc", "desc"]
+
+
+def _as_col(x: Any) -> Column:
+    return x if isinstance(x, Column) else F.col(x)
+
+
+class _SortField:
+    def __init__(self, col: str | Column, ascending: bool):
+        self.col = col
+        self.ascending = ascending
+
+    def spark(self) -> Column:
+        c = _as_col(self.col)
+        # Hail: missing is largest → last when ascending, first when descending.
+        return c.asc_nulls_last() if self.ascending else c.desc_nulls_first()
+
+
+def asc(col: str | Column) -> _SortField:
+    return _SortField(col, True)
+
+
+def desc(col: str | Column) -> _SortField:
+    return _SortField(col, False)
+
+
+def _sort_cols(fields: Iterable[str | Column | _SortField]) -> list[Column]:
+    out = []
+    for f in fields:
+        if isinstance(f, _SortField):
+            out.append(f.spark())
+        else:
+            out.append(_as_col(f).asc_nulls_last())
+    return out
+
+
+class Table:
+    """DataFrame + ordered key + globals.
+
+    All transformations are lazy (they build a new DataFrame plan);
+    actions (`count`, `collect`, `aggregate`, `write`) trigger Spark jobs.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        key: Sequence[str] = (),
+        globals: Mapping[str, Any] | None = None,
+        _sorted: bool = False,
+    ):
+        self._df = df
+        self._key = tuple(key)
+        self._globals = dict(globals or {})
+        # True when df is range-partitioned+sorted by self._key (the
+        # analogue of Hail's RVDPartitioner invariant).
+        self._key_sorted = _sorted and bool(key)
+
+    # ------------------------------------------------------------------ #
+    # basics
+    # ------------------------------------------------------------------ #
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    @property
+    def key(self) -> tuple[str, ...]:
+        return self._key
+
+    @property
+    def globals(self) -> dict[str, Any]:
+        return dict(self._globals)
+
+    @property
+    def row(self) -> tuple[str, ...]:
+        return tuple(self._df.columns)
+
+    def _with_df(self, df: DataFrame, *, sorted_: bool | None = None) -> "Table":
+        return Table(
+            df,
+            self._key,
+            self._globals,
+            _sorted=self._key_sorted if sorted_ is None else sorted_,
+        )
+
+    @classmethod
+    def from_spark(cls, df: DataFrame, key: Sequence[str] = ()) -> "Table":
+        return cls(df, key)
+
+    def to_spark(self) -> DataFrame:
+        return self._df
+
+    @classmethod
+    def parallelize(
+        cls,
+        spark: SparkSession,
+        rows: list[dict],
+        schema=None,
+        key: Sequence[str] = (),
+    ) -> "Table":
+        """Local rows → Table (ref TableParallelize, table_ir.py:624)."""
+        df = spark.createDataFrame(rows, schema=schema)
+        t = cls(df)
+        return t.key_by(*key) if key else t
+
+    @classmethod
+    def range(cls, spark: SparkSession, n: int, n_partitions: int | None = None) -> "Table":
+        """Ordered int table (ref TableRange, table_ir.py:175)."""
+        df = spark.range(0, n, numPartitions=n_partitions).withColumnRenamed("id", "idx")
+        return cls(df, key=("idx",), _sorted=True)
+
+    # ------------------------------------------------------------------ #
+    # keying / sorting
+    # ------------------------------------------------------------------ #
+    def key_by(self, *keys: str, sorted: bool = False) -> "Table":
+        """Change the key. Shuffles (range partition + local sort) unless
+        the caller asserts sortedness (ref TableKeyBy, table_ir.py:270).
+        """
+        keys = tuple(keys)
+        if not keys:
+            return Table(self._df, (), self._globals)
+        if sorted or keys == self._key[: len(keys)] and self._key_sorted:
+            return Table(self._df, keys, self._globals, _sorted=True)
+        cols = [F.col(k).asc_nulls_last() for k in keys]
+        df = self._df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        return Table(df, keys, self._globals, _sorted=True)
+
+    def order_by(self, *fields: str | Column | _SortField) -> "Table":
+        """Total sort; drops the key (ref TableOrderBy, table_ir.py:710).
+        Spark's orderBy is the same distributed sample-range sort Hail
+        lowers to (LowerDistributedSort.scala:25)."""
+        return Table(self._df.orderBy(*_sort_cols(fields)), (), self._globals)
+
+    def repartition(self, n: int, shuffle: bool = False) -> "Table":
+        if shuffle:
+            if self._key:
+                cols = [F.col(k).asc_nulls_last() for k in self._key]
+                df = self._df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+                return self._with_df(df, sorted_=True)
+            return self._with_df(self._df.repartition(n))
+        return self._with_df(self._df.coalesce(n))
+
+    @property
+    def n_partitions(self) -> int:
+        return self._df.rdd.getNumPartitions()
+
+    # ------------------------------------------------------------------ #
+    # row transforms
+    # ------------------------------------------------------------------ #
+    def filter(self, expr: Column, keep: bool = True) -> "Table":
+        """Missing predicate ⇒ drop (ref TableFilter, table_ir.py:477)."""
+        pred = expr if keep else ~expr
+        return self._with_df(self._df.filter(F.coalesce(pred, F.lit(False))))
+
+    def annotate(self, **exprs: Column) -> "Table":
+        return self._with_df(self._df.withColumns({k: _as_col(v) for k, v in exprs.items()}))
+
+    def select(self, *fields: str, **exprs: Column) -> "Table":
+        """Keep key fields + the named/computed fields (ref Table.select,
+        table.py:1570)."""
+        cols = [F.col(k) for k in self._key if k not in fields and k not in exprs]
+        cols += [F.col(f) for f in fields]
+        cols += [_as_col(c).alias(n) for n, c in exprs.items()]
+        return self._with_df(self._df.select(*cols))
+
+    def drop(self, *fields: str) -> "Table":
+        dropped_key = [k for k in self._key if k in fields]
+        df = self._df.drop(*fields)
+        if dropped_key:
+            return Table(df, (), self._globals)
+        return self._with_df(df)
+
+    def rename(self, mapping: Mapping[str, str]) -> "Table":
+        df = self._df
+        for old, new in mapping.items():
+            df = df.withColumnRenamed(old, new)
+        key = tuple(mapping.get(k, k) for k in self._key)
+        return Table(df, key, self._globals, _sorted=self._key_sorted)
+
+    def transmute(self, **exprs: Column) -> "Table":
+        """annotate + drop the referenced input fields is Hail's contract;
+        here (over Columns, where provenance isn't tracked) we keep it
+        simple: new fields replace same-named old ones."""
+        return self.annotate(**exprs)
+
+    def explode(self, field: str, name: str | None = None) -> "Table":
+        """One row per array element; empty/missing arrays drop the row
+        (ref TableExplode, table_ir.py:221 — inner explode semantics)."""
+        name = name or field
+        others = [c for c in self._df.columns if c != field]
+        df = self._df.select(*others, F.explode(field).alias(name))
+        if name != field and field in self._df.columns and field != name:
+            pass
+        return self._with_df(df, sorted_=False)
+
+    def add_index(self, name: str = "idx") -> "Table":
+        """Dense 0-based int64 index in key order (ref Table.add_index,
+        table.py:2870 = hl.scan.count). Uses the distributed two-pass scan
+        primitive — NOT monotonically_increasing_id (not dense)."""
+        from .operators.scans import add_index as _add_index
+
+        return _add_index(self, name)
+
+    # ------------------------------------------------------------------ #
+    # globals
+    # ------------------------------------------------------------------ #
+    def annotate_globals(self, **vals: Any) -> "Table":
+        g = dict(self._globals)
+        g.update(vals)
+        return Table(self._df, self._key, g, _sorted=self._key_sorted)
+
+    def select_globals(self, *names: str) -> "Table":
+        g = {n: self._globals[n] for n in names}
+        return Table(self._df, self._key, g, _sorted=self._key_sorted)
+
+    # ------------------------------------------------------------------ #
+    # joins
+    # ------------------------------------------------------------------ #
+    def join(self, other: "Table", how: str = "inner") -> "Table":
+        """Key-equi join on the shared key prefix (ref TableJoin,
+        table_ir.py:37; merge join in KeyedRVD.scala:44-97). Catalyst
+        picks broadcast vs sort-merge; NULL keys never match."""
+        n = min(len(self._key), len(other._key))
+        if n == 0:
+            raise ValueError("join requires keyed tables")
+        on = list(self._key[:n])
+        right = other._df
+        ren = {}
+        for k_l, k_r in zip(self._key[:n], other._key[:n]):
+            if k_l != k_r:
+                right = right.withColumnRenamed(k_r, k_l)
+                ren[k_r] = k_l
+        # disambiguate non-key collisions like Hail (appends suffix)
+        for c in right.columns:
+            if c not in on and c in self._df.columns:
+                right = right.withColumnRenamed(c, c + "_1")
+        df = self._df.join(right, on=on, how=how)
+        g = {**other._globals, **self._globals}
+        return Table(df, self._key[:n], g)
+
+    def semi_join(self, other: "Table") -> "Table":
+        n = min(len(self._key), len(other._key))
+        right = other._df.select(
+            *[F.col(rk).alias(lk) for lk, rk in zip(self._key[:n], other._key[:n])]
+        )
+        return self._with_df(self._df.join(right, on=list(self._key[:n]), how="left_semi"))
+
+    def anti_join(self, other: "Table") -> "Table":
+        n = min(len(self._key), len(other._key))
+        right = other._df.select(
+            *[F.col(rk).alias(lk) for lk, rk in zip(self._key[:n], other._key[:n])]
+        )
+        return self._with_df(self._df.join(right, on=list(self._key[:n]), how="left_anti"))
+
+    def left_join_right_distinct(self, other: "Table") -> "Table":
+        """Annotation join: left join against right deduped by key
+        (ref TableLeftJoinRightDistinct, table_ir.py:83)."""
+        return self.join(Table(other._df.dropDuplicates(list(other._key)),
+                               other._key, other._globals), how="left")
+
+    # ------------------------------------------------------------------ #
+    # set ops
+    # ------------------------------------------------------------------ #
+    def union(self, *others: "Table") -> "Table":
+        """Same-schema union; key order restored lazily on demand
+        (ref TableUnion, table_ir.py:142 — merge-sorted there; here the
+        downstream op re-sorts only if it needs order)."""
+        df = self._df
+        for o in others:
+            df = df.unionByName(o._df)
+        return Table(df, self._key, self._globals, _sorted=False)
+
+    def distinct(self) -> "Table":
+        """One row per key (ref Table.distinct, table.py:4516)."""
+        if not self._key:
+            return self._with_df(self._df.dropDuplicates())
+        return self._with_df(self._df.dropDuplicates(list(self._key)))
+
+    # ------------------------------------------------------------------ #
+    # grouping / aggregation
+    # ------------------------------------------------------------------ #
+    def group_by(self, *fields: str, **exprs: Column) -> "GroupedTable":
+        return GroupedTable(self, list(fields), {k: _as_col(v) for k, v in exprs.items()})
+
+    def aggregate(self, **aggs: Column) -> dict[str, Any]:
+        """Whole-table aggregation → driver-side dict
+        (ref Table.aggregate, table.py:1879)."""
+        row = self._df.agg(*[a.alias(n) for n, a in aggs.items()]).collect()[0]
+        return row.asDict(recursive=True)
+
+    def collect_by_key(self, name: str = "values") -> "Table":
+        """Values per key → array<struct> (ref Table.collect_by_key,
+        table.py:4458)."""
+        vals = [c for c in self._df.columns if c not in self._key]
+        df = self._df.groupBy(*self._key).agg(
+            F.collect_list(F.struct(*vals)).alias(name)
+        )
+        return Table(df, self._key, self._globals)
+
+    # ------------------------------------------------------------------ #
+    # slicing / actions
+    # ------------------------------------------------------------------ #
+    def head(self, n: int) -> "Table":
+        return self._with_df(self._df.limit(n))
+
+    def tail(self, n: int) -> "Table":
+        spark = self._df.sparkSession
+        total = self._df.count()
+        rows = self._df.tail(n)
+        return Table(
+            spark.createDataFrame(rows, schema=self._df.schema),
+            self._key,
+            self._globals,
+            _sorted=self._key_sorted,
+        ) if total else self._with_df(self._df)
+
+    def count(self) -> int:
+        return self._df.count()
+
+    def collect(self) -> list:
+        return self._df.collect()
+
+    def take(self, n: int) -> list:
+        return self._df.take(n)
+
+    def show(self, n: int = 20) -> None:
+        self._df.show(n, truncate=False)
+
+    def checkpoint(self, path: str) -> "Table":
+        self.write(path, overwrite=True)
+        return Table.read(self._df.sparkSession, path)
+
+    def persist(self, level: str = "MEMORY_AND_DISK") -> "Table":
+        from pyspark import StorageLevel
+
+        self._df.persist(getattr(StorageLevel, level))
+        return self
+
+    def unpersist(self) -> "Table":
+        self._df.unpersist()
+        return self
+
+    # ------------------------------------------------------------------ #
+    # native format: key-sorted parquet + metadata sidecar
+    # (replaces Hail's spec-JSON + indexed binary parts,
+    #  ref AbstractRVDSpec.scala:224 — parquet row-group min/max stats
+    #  provide the interval-pruning the reference gets from its key index)
+    # ------------------------------------------------------------------ #
+    def write(self, path: str, overwrite: bool = False) -> None:
+        t = self if self._key_sorted or not self._key else self.key_by(*self._key)
+        mode = "overwrite" if overwrite else "error"
+        t._df.write.mode(mode).parquet(os.path.join(path, "rows"))
+        meta = {
+            "name": "hail_spark.Table",
+            "key": list(self._key),
+            "globals": self._globals,
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "_hail_spark_metadata.json"), "w") as f:
+            json.dump(meta, f, default=str)
+
+    @classmethod
+    def read(cls, spark: SparkSession, path: str) -> "Table":
+        with open(os.path.join(path, "_hail_spark_metadata.json")) as f:
+            meta = json.load(f)
+        df = spark.read.parquet(os.path.join(path, "rows"))
+        return cls(df, key=meta["key"], globals=meta["globals"], _sorted=True)
+
+    def export(self, path: str, delimiter: str = "\t", header: bool = True) -> None:
+        """TSV/CSV export (ref Table.export, table.py:1732)."""
+        self._df.write.mode("overwrite").option("sep", delimiter).option(
+            "header", header
+        ).csv(path)
+
+
+class GroupedTable:
+    """Result of Table.group_by — call .aggregate(**aggs)
+    (ref GroupedTable, hail/python/hail/table.py:181-300)."""
+
+    def __init__(self, table: Table, fields: list[str], exprs: dict[str, Column]):
+        self._table = table
+        self._fields = fields
+        self._exprs = exprs
+
+    def aggregate(self, **aggs: Column) -> Table:
+        """ref TableKeyByAndAggregate (table_ir.py:510) /
+        TableAggregateByKey (table_ir.py:568) — Spark's hash aggregate
+        with partial (map-side) combine replaces Hail's staged
+        init/seq/comb pipeline (Extract.scala:484)."""
+        df = self._table._df
+        keys = [F.col(f) for f in self._fields]
+        keys += [c.alias(n) for n, c in self._exprs.items()]
+        out = df.groupBy(*keys).agg(*[a.alias(n) for n, a in aggs.items()])
+        new_key = tuple(self._fields) + tuple(self._exprs)
+        return Table(out, new_key, self._table._globals)
