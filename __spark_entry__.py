@@ -1,38 +1,546 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (TPC-H-Q1-style pricing summary
+via the hail_spark engine). ``queries()`` exposes one callable per
+implemented operator family (SURVEY.md §2); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for the correctness gate.
+
+Float determinism: every floating SUM/AVG is accumulated in
+DECIMAL(38,6) on BOTH sides (Spark and DuckDB) and cast back to double —
+double reductions are order-dependent, decimal ones are exact, so the
+value-hash compare is stable regardless of partitioning.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hail_spark import Table, agg, desc, hf  # noqa: E402
+from hail_spark.operators import scans  # noqa: E402
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str, key: tuple[str, ...] = ()) -> Table:
+    # events.parquet uses TIMESTAMP(NANOS); read as int64 nanos (same order)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return Table(df, key=key)
+
+
+def _dsum(col, alias):
+    """Order-independent float sum → double."""
+    return F.sum(col.cast("decimal(38,6)")).cast("double").alias(alias)
+
+
+# ===================================================================== #
+# flagship
+# ===================================================================== #
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter + groupBy + rich aggregate + order
+    (TableFilter + TableKeyByAndAggregate + TableOrderBy)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-09-02 00:00:00").cast("timestamp")
+    out = (
+        li.filter(F.col("l_shipdate") <= cutoff)
+        .group_by("l_returnflag", "l_linestatus")
+        .aggregate(
+            sum_qty=F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"),
+            sum_base_price=F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double"),
+            sum_disc_price=F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+            ).cast("double"),
+            sum_charge=F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ).cast("decimal(38,6)")
+            ).cast("double"),
+            count_order=agg.count(),
+        )
+        .annotate(
+            avg_qty=F.col("sum_qty") / F.col("count_order"),
+            avg_price=F.col("sum_base_price") / F.col("count_order"),
+        )
+        .order_by("l_returnflag", "l_linestatus")
+    )
+    return out.df
+
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q1_pricing_summary(spark, SF_DEFAULT)
 
 
+# ===================================================================== #
+# relational core
+# ===================================================================== #
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way key join + group + top-k (TableJoin + TableKeyByAndAggregate
+    + TableOrderBy + TableHead)."""
+    cust = _t(spark, sf_dir, "customer", ("c_custkey",)).filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders", ("o_custkey",))
+    li = _t(spark, sf_dir, "lineitem", ("l_orderkey",))
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    j = cust.join(orders.rename({"o_custkey": "c_custkey"}).key_by("c_custkey"), "inner")
+    j = j.filter(F.col("o_orderdate") < cutoff).key_by("o_orderkey")
+    j2 = j.join(li.rename({"l_orderkey": "o_orderkey"}).key_by("o_orderkey"), "inner")
+    j2 = j2.filter(F.col("l_shipdate") > cutoff)
+    out = (
+        j2.group_by("o_orderkey", "o_orderdate", "o_orderpriority")
+        .aggregate(
+            revenue=F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+            ).cast("double")
+        )
+        .order_by(desc("revenue"), "o_orderkey")
+        .head(10)
+    )
+    return out.df
+
+
+_Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way join through the dimension chain (broadcast-able dims)."""
+    region = _t(spark, sf_dir, "region", ("r_regionkey",))
+    nation = _t(spark, sf_dir, "nation", ("n_regionkey",))
+    cust = _t(spark, sf_dir, "customer", ("c_nationkey",))
+    orders = _t(spark, sf_dir, "orders", ("o_custkey",))
+    li = _t(spark, sf_dir, "lineitem", ("l_orderkey",))
+    n = nation.join(region.rename({"r_regionkey": "n_regionkey"}).key_by("n_regionkey"))
+    c = cust.join(
+        n.rename({"n_nationkey": "c_nationkey"}).key_by("c_nationkey").drop("n_regionkey")
+    )
+    o = orders.rename({"o_custkey": "c_custkey"}).key_by("c_custkey").join(
+        c.key_by("c_custkey")
+    )
+    l = li.rename({"l_orderkey": "o_orderkey"}).key_by("o_orderkey").join(
+        o.key_by("o_orderkey")
+    )
+    out = (
+        l.group_by("r_name", "n_name")
+        .aggregate(
+            revenue=F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+            ).cast("double"),
+            n_items=agg.count(),
+        )
+        .order_by("r_name", "n_name")
+    )
+    return out.df
+
+
+_Q5_SQL = """
+SELECT r_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM region, nation, customer, orders, lineitem
+WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure filter + whole-table aggregate (TableFilter + TableAggregate)."""
+    li = _t(spark, sf_dir, "lineitem")
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    out = (
+        li.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .group_by()
+        .aggregate(
+            revenue=F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,6)")
+            ).cast("double"),
+            n=agg.count(),
+        )
+    )
+    return out.df
+
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def group_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.agg.counter as distributed group-by (aggregators.py:709)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.group_by("o_orderpriority", "o_orderstatus")
+        .aggregate(n=agg.count())
+        .order_by("o_orderpriority", "o_orderstatus")
+        .df
+    )
+
+
+_COUNTER_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def order_by_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total sort + head (TableOrderBy + TableHead → TakeOrdered)."""
+    o = _t(spark, sf_dir, "orders")
+    out = o.order_by(desc("o_totalprice"), "o_orderkey").head(100)
+    return out.df.select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+_TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+"""
+
+
+def distinct_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table.distinct (first row per key; ref table.py:4516) — projected
+    to the key so the result is deterministic."""
+    o = _t(spark, sf_dir, "orders", ("o_custkey",))
+    return o.select().distinct().df
+
+
+_DISTINCT_SQL = "SELECT DISTINCT o_custkey FROM orders"
+
+
+def semi_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table.semi_join (table.py:3260)."""
+    c = _t(spark, sf_dir, "customer", ("c_custkey",))
+    o = _t(spark, sf_dir, "orders", ("o_custkey",)).filter(
+        F.col("o_totalprice") > 200000
+    )
+    return c.semi_join(o).select("c_name", "c_acctbal").df
+
+
+_SEMI_SQL = """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+"""
+
+
+def anti_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table.anti_join (table.py:3346)."""
+    c = _t(spark, sf_dir, "customer", ("c_custkey",))
+    o = _t(spark, sf_dir, "orders", ("o_custkey",))
+    return c.anti_join(o).select("c_name").df
+
+
+_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+"""
+
+
+def left_join_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableLeftJoinRightDistinct — the `ht[expr]` annotation join."""
+    c = _t(spark, sf_dir, "customer", ("c_nationkey",))
+    n = _t(spark, sf_dir, "nation", ("n_nationkey",)).rename(
+        {"n_nationkey": "c_nationkey"}
+    ).key_by("c_nationkey")
+    out = c.left_join_right_distinct(n).select("c_custkey", "c_name", "n_name")
+    return out.df.select("c_custkey", "c_name", "n_name")
+
+
+_LJRD_SQL = """
+SELECT c_custkey, c_name, n_name
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableExplode (table_ir.py:221): documents → words → counts."""
+    d = _t(spark, sf_dir, "documents", ("doc_id",))
+    words = d.annotate(word=F.split(F.trim(F.col("text")), " +")).explode("word")
+    out = (
+        words.filter(F.col("word") != "")
+        .group_by("word")
+        .aggregate(n=agg.count())
+        .order_by(desc("n"), "word")
+        .head(50)
+    )
+    return out.df
+
+
+_EXPLODE_SQL = """
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(trim(text), ' +')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word ORDER BY n DESC, word LIMIT 50
+"""
+
+
+def scan_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exclusive prefix sum (hl.scan.sum parity) over events
+    in (ts, event_id) order. Decimal accumulation → exact match."""
+    e = _t(spark, sf_dir, "events", ("ts", "event_id"))
+    out = scans.scan_sum(e, F.col("value").cast("decimal(38,6)"), "run")
+    df = out.df.select(
+        "event_id", F.col("run").cast("double").alias("run")
+    )
+    return df
+
+
+_SCAN_SQL = """
+SELECT event_id,
+       CAST(COALESCE(SUM(CAST(value AS DECIMAL(38,6)))
+         OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         0) AS DOUBLE) AS run
+FROM events
+"""
+
+
+def add_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense add_index via distributed scan_count (table.py:2870)."""
+    o = _t(spark, sf_dir, "orders", ("o_orderkey",))
+    return o.add_index("rank").df.select("o_orderkey", "rank")
+
+
+_ADD_INDEX_SQL = """
+SELECT o_orderkey, ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rank
+FROM orders
+"""
+
+
+def interval_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableIntervalJoin shape (table_ir.py:111): point (o_totalprice)
+    vs interval table (price bands) containment join, broadcast side."""
+    o = _t(spark, sf_dir, "orders")
+    bands = Table.range(spark, 60).annotate(
+        lo=F.col("idx").cast("double") * 10000.0,
+        hi=(F.col("idx") + 1).cast("double") * 10000.0,
+    ).rename({"idx": "band"})
+    from hail_spark.operators.interval_join import interval_join_point
+
+    out = interval_join_point(
+        o, bands, point=F.col("o_totalprice"), start="lo", end="hi"
+    )
+    return (
+        out.group_by("band")
+        .aggregate(n=agg.count(), total=_c_dsum(F.col("o_totalprice")))
+        .order_by("band")
+        .df
+    )
+
+
+def _c_dsum(col):
+    return F.sum(col.cast("decimal(38,6)")).cast("double")
+
+
+_INTERVAL_SQL = """
+SELECT g.band, COUNT(*) AS n,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders o
+JOIN (SELECT i AS band, i*10000.0 AS lo, (i+1)*10000.0 AS hi
+      FROM generate_series(0, 59) t(i)) g
+  ON o.o_totalprice >= g.lo AND o.o_totalprice < g.hi
+GROUP BY g.band ORDER BY g.band
+"""
+
+
+def collect_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect/collect_by_key: sorted array agg per key (table.py:4458)."""
+    o = _t(spark, sf_dir, "orders", ("o_custkey",))
+    out = o.group_by("o_custkey").aggregate(
+        prices=F.sort_array(F.collect_list("o_totalprice")),
+        n=agg.count(),
+    )
+    return out.order_by("o_custkey").df
+
+
+_COLLECT_SQL = """
+SELECT o_custkey, list(o_totalprice ORDER BY o_totalprice) AS prices, COUNT(*) AS n
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def take_by_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.agg.take(..., ordering=...) / TakeBy (aggregators.py:770)."""
+    li = _t(spark, sf_dir, "lineitem", ("l_orderkey",))
+    out = li.group_by("l_suppkey").aggregate(
+        top3=agg.take_by(
+            F.col("l_extendedprice"),
+            F.struct(
+                (-F.col("l_extendedprice")).alias("k1"),
+                F.col("l_orderkey").alias("k2"),
+                F.col("l_linenumber").alias("k3"),
+            ),
+            3,
+        )
+    )
+    return out.order_by("l_suppkey").df
+
+
+_TAKEBY_SQL = """
+SELECT l_suppkey,
+       (list(l_extendedprice ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))[1:3] AS top3
+FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
+"""
+
+
+def string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery (§2.9 strings): length/upper/split/regex."""
+    d = _t(spark, sf_dir, "documents", ("doc_id",))
+    out = d.select(
+        n_chars2=hf.str_len(F.col("text")),
+        upper_lang=hf.upper(F.col("lang")),
+        n_words=F.size(F.split(F.trim(F.col("text")), " +")),
+        has_data=hf.matches(F.col("text"), "data"),
+        head20=hf.substring(F.col("text"), 0, 20),
+        joined=hf.format("%s|%s", F.col("lang"), F.col("source")),
+    )
+    return out.df
+
+
+_STRING_SQL = """
+SELECT doc_id,
+       LENGTH(text)::INT AS n_chars2,
+       UPPER(lang) AS upper_lang,
+       len(regexp_split_to_array(trim(text), ' +')) AS n_words,
+       regexp_matches(text, 'data') AS has_data,
+       substr(text, 1, 20) AS head20,
+       printf('%s|%s', lang, source) AS joined
+FROM documents
+"""
+
+
+def union_all_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableUnion (table_ir.py:142)."""
+    o = _t(spark, sf_dir, "orders", ("o_orderkey",))
+    hi = o.filter(F.col("o_totalprice") > 150000)
+    lo = o.filter(F.col("o_totalprice") <= 150000)
+    out = hi.union(lo).group_by("o_orderstatus").aggregate(
+        n=agg.count(), total=_c_dsum(F.col("o_totalprice"))
+    )
+    return out.order_by("o_orderstatus").df
+
+
+_UNION_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM (SELECT * FROM orders WHERE o_totalprice > 150000
+      UNION ALL
+      SELECT * FROM orders WHERE o_totalprice <= 150000)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def prev_nonnull_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.scan.prev_nonnull analogue over events ordered by (ts,event_id):
+    carry the last 'purchase' event's value forward."""
+    e = _t(spark, sf_dir, "events", ("ts", "event_id"))
+    e = e.annotate(
+        purchase_value=F.when(F.col("event_type") == "purchase", F.col("value"))
+    )
+    out = scans.prev_nonnull(e, F.col("purchase_value"), "last_purchase")
+    return out.df.select("event_id", "last_purchase")
+
+
+_PREV_SQL = """
+SELECT event_id,
+       LAST_VALUE(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+         OVER (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS last_purchase
+FROM events
+"""
+
+
+# ===================================================================== #
+# registry
+# ===================================================================== #
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q5_region_revenue": q5_region_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "group_counter": group_counter,
+        "order_by_topk": order_by_topk,
+        "distinct_by_key": distinct_by_key,
+        "semi_join": semi_join_q,
+        "anti_join": anti_join_q,
+        "left_join_right_distinct": left_join_distinct,
+        "explode_words": explode_words,
+        "scan_cumulative_sum": scan_cumulative,
+        "add_index": add_index_q,
+        "interval_join": interval_band_join,
+        "collect_per_key": collect_per_key,
+        "take_by_per_key": take_by_per_key,
+        "string_features": string_features,
+        "union_all": union_all_q,
+        "prev_nonnull": prev_nonnull_q,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": _Q1_SQL,
+        "q3_shipping_priority": _Q3_SQL,
+        "q5_region_revenue": _Q5_SQL,
+        "q6_forecast_revenue": _Q6_SQL,
+        "group_counter": _COUNTER_SQL,
+        "order_by_topk": _TOPK_SQL,
+        "distinct_by_key": _DISTINCT_SQL,
+        "semi_join": _SEMI_SQL,
+        "anti_join": _ANTI_SQL,
+        "left_join_right_distinct": _LJRD_SQL,
+        "explode_words": _EXPLODE_SQL,
+        "scan_cumulative_sum": _SCAN_SQL,
+        "add_index": _ADD_INDEX_SQL,
+        "interval_join": _INTERVAL_SQL,
+        "collect_per_key": _COLLECT_SQL,
+        "take_by_per_key": _TAKEBY_SQL,
+        "string_features": _STRING_SQL,
+        "union_all": _UNION_SQL,
+        "prev_nonnull": _PREV_SQL,
+    }

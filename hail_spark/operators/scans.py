@@ -52,10 +52,15 @@ def _partition_offsets(df: DataFrame, partial: Column, out_type: str) -> DataFra
 
 def scan_sum(t: Table, expr: Column, name: str) -> Table:
     """Exclusive running sum in key order (hl.scan.sum parity)."""
-    tt = t if t._key_sorted else t.key_by(*t.key)
+    tt = t._ensure_key_sorted()
     df = tt.df.withColumn(_PID, F.spark_partition_id())
     dtype = df.select(expr.alias("x")).schema["x"].dataType.simpleString()
-    out_type = "bigint" if dtype in ("int", "bigint", "smallint", "tinyint") else "double"
+    if dtype in ("int", "bigint", "smallint", "tinyint"):
+        out_type = "bigint"
+    elif dtype.startswith("decimal"):
+        out_type = dtype  # keep exact decimal accumulation
+    else:
+        out_type = "double"
     off = _partition_offsets(df, F.sum(expr.cast(out_type)), out_type)
     w = (
         Window.partitionBy(_PID)
@@ -80,7 +85,7 @@ def scan_sum(t: Table, expr: Column, name: str) -> Table:
 
 def scan_count(t: Table, name: str) -> Table:
     """Exclusive running count == dense row index (hl.scan.count)."""
-    tt = t if t._key_sorted else t.key_by(*t.key)
+    tt = t._ensure_key_sorted()
     df = tt.df.withColumn(_PID, F.spark_partition_id())
     off = _partition_offsets(df, F.count(F.lit(1)), "bigint")
     w = Window.partitionBy(_PID).orderBy(
@@ -113,13 +118,16 @@ def prev_nonnull(t: Table, expr: Column, name: str) -> Table:
     prefix "last defined wins" on the driver, then a within-partition
     `last(ignorenulls)` window seeded with the broadcast offset.
     """
-    tt = t if t._key_sorted else t.key_by(*t.key)
+    tt = t._ensure_key_sorted()
     df = tt.df.withColumn(_PID, F.spark_partition_id())
     spark = df.sparkSession
     field_t = df.select(expr.alias("x")).schema["x"].dataType.simpleString()
-    partials = (
-        df.groupBy(_PID).agg(F.last(expr, ignorenulls=True).alias("p")).collect()
+    # last non-null *in key order*: max_by over the key struct, restricted
+    # to rows where expr is defined (groupBy last() has no order guarantee)
+    order_key = F.when(
+        expr.isNotNull(), F.struct(*[F.col(k) for k in tt.key])
     )
+    partials = df.groupBy(_PID).agg(F.max_by(expr, order_key).alias("p")).collect()
     partials.sort(key=lambda r: r[_PID])
     rows, carry = [], None
     for r in partials:

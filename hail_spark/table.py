@@ -145,18 +145,34 @@ class Table:
     # ------------------------------------------------------------------ #
     # keying / sorting
     # ------------------------------------------------------------------ #
-    def key_by(self, *keys: str, sorted: bool = False) -> "Table":
-        """Change the key. Shuffles (range partition + local sort) unless
-        the caller asserts sortedness (ref TableKeyBy, table_ir.py:270).
+    def key_by(self, *keys: str, sorted: bool = False, eager_sort: bool = False) -> "Table":
+        """Change the key (ref TableKeyBy, table_ir.py:270).
+
+        Unlike Hail (which eagerly executes a distributed sort,
+        LowerAndExecuteShuffles.scala:15-24), the key here is *lazy
+        metadata*: joins/group-bys don't need pre-sorted input (Catalyst
+        plans its own exchanges), so shuffling here would just add a
+        wasted stage. Operators that genuinely need key order (scans,
+        add_index, native write, ordered collect) call
+        ``_ensure_key_sorted()`` themselves. Pass ``eager_sort=True`` to
+        force the Hail behavior.
         """
         keys = tuple(keys)
         if not keys:
             return Table(self._df, (), self._globals)
-        if sorted or keys == self._key[: len(keys)] and self._key_sorted:
-            return Table(self._df, keys, self._globals, _sorted=True)
-        cols = [F.col(k).asc_nulls_last() for k in keys]
+        already = self._key_sorted and keys == self._key[: len(keys)]
+        t = Table(self._df, keys, self._globals, _sorted=sorted or already)
+        return t._ensure_key_sorted() if eager_sort and not t._key_sorted else t
+
+    def _ensure_key_sorted(self) -> "Table":
+        """Range-partition + locally sort by key (missing last) — the
+        analogue of Hail's RVDPartitioner invariant. No-op if already
+        sorted."""
+        if not self._key or self._key_sorted:
+            return self
+        cols = [F.col(k).asc_nulls_last() for k in self._key]
         df = self._df.repartitionByRange(*cols).sortWithinPartitions(*cols)
-        return Table(df, keys, self._globals, _sorted=True)
+        return Table(df, self._key, self._globals, _sorted=True)
 
     def order_by(self, *fields: str | Column | _SortField) -> "Table":
         """Total sort; drops the key (ref TableOrderBy, table_ir.py:710).
@@ -333,31 +349,39 @@ class Table:
     # ------------------------------------------------------------------ #
     # slicing / actions
     # ------------------------------------------------------------------ #
+    def _ordered_df(self) -> DataFrame:
+        """Rows in key order for user-visible results (Hail contract:
+        keyed tables collect/show in key order)."""
+        if self._key and not self._key_sorted:
+            return self._df.orderBy(*[F.col(k).asc_nulls_last() for k in self._key])
+        return self._df
+
     def head(self, n: int) -> "Table":
-        return self._with_df(self._df.limit(n))
+        """First n rows in key order (ref TableHead, table_ir.py:670).
+        orderBy+limit compiles to TakeOrderedAndProject — no full sort."""
+        return self._with_df(self._ordered_df().limit(n))
 
     def tail(self, n: int) -> "Table":
         spark = self._df.sparkSession
-        total = self._df.count()
-        rows = self._df.tail(n)
+        rows = self._ordered_df().tail(n)
         return Table(
             spark.createDataFrame(rows, schema=self._df.schema),
             self._key,
             self._globals,
-            _sorted=self._key_sorted,
-        ) if total else self._with_df(self._df)
+            _sorted=False,
+        )
 
     def count(self) -> int:
         return self._df.count()
 
     def collect(self) -> list:
-        return self._df.collect()
+        return self._ordered_df().collect()
 
     def take(self, n: int) -> list:
-        return self._df.take(n)
+        return self._ordered_df().take(n)
 
     def show(self, n: int = 20) -> None:
-        self._df.show(n, truncate=False)
+        self._ordered_df().show(n, truncate=False)
 
     def checkpoint(self, path: str) -> "Table":
         self.write(path, overwrite=True)
@@ -380,7 +404,7 @@ class Table:
     #  provide the interval-pruning the reference gets from its key index)
     # ------------------------------------------------------------------ #
     def write(self, path: str, overwrite: bool = False) -> None:
-        t = self if self._key_sorted or not self._key else self.key_by(*self._key)
+        t = self._ensure_key_sorted()
         mode = "overwrite" if overwrite else "error"
         t._df.write.mode(mode).parquet(os.path.join(path, "rows"))
         meta = {

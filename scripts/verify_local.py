@@ -1,0 +1,112 @@
+"""Local stand-in for the driver's correctness gate: run every
+queries() entry and its oracle_sql() side-by-side at sf0.01 and compare
+row counts + order-insensitive canonicalized values (floats rounded to
+1e-9, like the driver per FIXTURES.md)."""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from hail_spark import get_spark  # noqa: E402
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if hasattr(v, "item"):
+        return canon(v.item())
+    return v
+
+
+def rows_to_canonical(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(canon(r[i]) for i in order))
+    out.sort(key=lambda t: json.dumps(t, default=str))
+    return out
+
+
+def main():
+    spark = get_spark("verify_local")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            results[name] = f"SPARK FAIL: {type(e).__name__}: {str(e)[:200]}"
+            continue
+        if name not in oracles:
+            results[name] = f"rows-only ({len(srows)} rows, no oracle)"
+            continue
+        try:
+            ddf = con.sql(oracles[name])
+            dcols = [c.lower() for c in ddf.columns]
+            drows = ddf.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE FAIL: {type(e).__name__}: {str(e)[:200]}"
+            continue
+        dt = time.time() - t0
+        if sorted(c.lower() for c in scols) != sorted(dcols):
+            results[name] = f"COLS MISMATCH spark={sorted(scols)} duck={sorted(dcols)}"
+            continue
+        if len(srows) != len(drows):
+            results[name] = f"ROWCOUNT MISMATCH spark={len(srows)} duck={len(drows)}"
+            continue
+        a = rows_to_canonical([c.lower() for c in scols], srows)
+        b = rows_to_canonical(dcols, drows)
+        if a == b:
+            results[name] = f"OK ({len(srows)} rows, {dt:.1f}s)"
+        else:
+            bad = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
+            results[name] = (
+                f"VALUES MISMATCH ({len(srows)} rows) first diff row {bad}:\n"
+                f"    spark: {a[bad]}\n    duck : {b[bad]}"
+            )
+    width = max(len(n) for n in results)
+    fails = 0
+    for name, res in results.items():
+        ok = res.startswith("OK") or res.startswith("rows-only")
+        if not ok:
+            fails += 1
+        print(f"{'PASS' if ok else 'FAIL'}  {name:<{width}}  {res}")
+    print(f"\n{len(results) - fails}/{len(results)} passed")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
