@@ -495,6 +495,227 @@ FROM events
 """
 
 
+
+
+# ===================================================================== #
+# LLM-data pipeline operators (dedup / similarity / text analysis)
+# ===================================================================== #
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content hash, keep smallest id."""
+    from hail_spark.llmdata import dedup
+
+    d = _t(spark, sf_dir, "documents").df
+    return dedup.exact_dedup(d).orderBy("content_hash")
+
+
+_DEDUP_EXACT_SQL = """
+SELECT ('0x'||substr(md5(text),1,15))::BIGINT AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+_SHINGLE_CTE = """
+toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') ws FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+        CASE WHEN len(ws) >= 3 THEN array_to_string(ws[j+1:j+3], ' ')
+             ELSE array_to_string(ws, ' ') END AS s
+       FROM (SELECT doc_id, ws, unnest(range(0, greatest(len(ws)-2, 1))) j FROM toks))
+"""
+
+
+def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=64) + LSH(16 bands × 4) candidate pairs with estimated
+    Jaccard — md5-seeded hashes, so the oracle replicates them exactly."""
+    from hail_spark.llmdata import dedup
+
+    d = _t(spark, sf_dir, "documents").df
+    pairs = dedup.minhash_lsh_pairs(d, k=64, bands=16)
+    est = dedup.minhash_jaccard_estimate(d, pairs, k=64)
+    return est.orderBy("id_a", "id_b")
+
+
+_MINHASH_SQL = (
+    "WITH " + _SHINGLE_CTE + """,
+mh AS (SELECT doc_id, i, min(('0x'||substr(md5(s||'#'||i),1,15))::BIGINT) AS h
+       FROM sh, (SELECT unnest(range(0, 64)) i) g GROUP BY doc_id, i),
+band AS (SELECT doc_id, i // 4 AS band,
+               ('0x'||substr(md5(string_agg(h::VARCHAR, ',' ORDER BY i)),1,15))::BIGINT AS band_hash
+        FROM mh GROUP BY doc_id, i // 4),
+pairs AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+          FROM band a JOIN band b
+            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id)
+SELECT p.id_a, p.id_b,
+       sum(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+FROM pairs p
+JOIN mh x ON x.doc_id = p.id_a
+JOIN mh y ON y.doc_id = p.id_b AND y.i = x.i
+GROUP BY p.id_a, p.id_b ORDER BY p.id_a, p.id_b
+"""
+)
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via posting-list join."""
+    from hail_spark.llmdata import dedup
+
+    d = _t(spark, sf_dir, "documents").df
+    return dedup.ngram_jaccard_pairs(d, threshold=0.3).orderBy("id_a", "id_b")
+
+
+_NGRAM_SQL = (
+    "WITH " + _SHINGLE_CTE + """,
+shh AS (SELECT DISTINCT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT AS sh FROM sh),
+sz AS (SELECT doc_id, count(*) sz FROM shh GROUP BY 1),
+inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+          FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, i / (x.sz + y.sz - i) AS jaccard
+FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+WHERE i / (x.sz + y.sz - i) >= 0.3
+ORDER BY id_a, id_b
+"""
+)
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """48-bit SimHash per document (per-row HOF compute, no shuffle)."""
+    from hail_spark.llmdata import dedup
+
+    d = _t(spark, sf_dir, "documents").df
+    return dedup.simhash(d, bits=48).orderBy("doc_id")
+
+
+_SIMHASH_SQL = """
+WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) w FROM documents),
+th AS (SELECT doc_id, ('0x'||substr(md5(w),1,15))::BIGINT h FROM toks WHERE w <> ''),
+bitsum AS (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) s
+           FROM th, (SELECT unnest(range(0, 48)) j) g GROUP BY doc_id, j)
+SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM bitsum GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute strategy; LSH variant in
+    hail_spark.llmdata.dedup.embedding_dup_pairs(lsh_bits=...))."""
+    from hail_spark.llmdata import dedup
+
+    e = _t(spark, sf_dir, "embeddings").df
+    out = dedup.embedding_dup_pairs(e, threshold=0.4)
+    return out.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+_EMB_DUP_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id id_a, b.vec_id id_b,
+         list_aggregate(list_transform(range(1, 65),
+             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+         / (sqrt(list_aggregate(list_transform(range(1, 65),
+             i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), 'sum'))
+          * sqrt(list_aggregate(list_transform(range(1, 65),
+             i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum'))) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs
+WHERE cos >= 0.4 ORDER BY id_a, id_b
+"""
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (query set broadcast, one corpus scan)."""
+    from hail_spark.llmdata import similarity
+
+    e = _t(spark, sf_dir, "embeddings").df
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = similarity.brute_force_topk(e, q, k=10)
+    return out.select(
+        "q_id", "rank", "vec_id", F.round(F.col("cosine"), 6).alias("cosine")
+    ).orderBy("q_id", "rank")
+
+
+_ANN_SQL = """
+WITH q AS (SELECT vec_id q_id, embedding q_vec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_aggregate(list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * q.q_vec[i]::DOUBLE), 'sum')
+         / (sqrt(list_aggregate(list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))
+          * sqrt(list_aggregate(list_transform(range(1, 65),
+             i -> q.q_vec[i]::DOUBLE * q.q_vec[i]::DOUBLE), 'sum'))) AS cos
+  FROM embeddings e, q),
+ranked AS (SELECT q_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) rank
+           FROM scored)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN (scale path): nlist=16 cells, probe 4.
+    Non-SQL-expressible pipeline → rows-only check."""
+    from hail_spark.llmdata import similarity
+
+    e = _t(spark, sf_dir, "embeddings").df
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    assigned, cents = similarity.ivf_build(e, nlist=16)
+    out = similarity.ivf_topk(assigned, cents, q, k=10, nprobe=4)
+    return out.select(
+        "q_id", "rank", "vec_id", F.round(F.col("cosine"), 6).alias("cosine")
+    ).orderBy("q_id", "rank")
+
+
+def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full text-analysis battery: token counts, punct ratio, stopword
+    fraction, quality score, language-ID, fingerprint."""
+    from hail_spark.llmdata import textstats
+
+    d = _t(spark, sf_dir, "documents").df
+    return textstats.text_profile(d).orderBy("doc_id")
+
+
+_TEXT_PROFILE_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\\s+') ws,
+         regexp_split_to_array(trim(lower(text)), '\\s+') lws
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+    len(ws) AS n_tokens,
+    len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+    CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum') AS DOUBLE) / len(ws) AS mean_word_len,
+    CAST(len(list_filter(lws, w -> list_contains(['the','and','of','to','a','in','is','it','that','for'], w))) AS DOUBLE) / len(lws) AS stopword_frac,
+    len(list_filter(lws, w -> list_contains(['the','and','of','to','a','in','is','it','that','for'], w))) AS en_hits,
+    len(list_filter(lws, w -> list_contains(['el','la','de','que','y','en','un','es','se','no'], w))) AS es_hits,
+    len(list_filter(lws, w -> list_contains(['le','la','de','et','un','en','est','que','pour','dans'], w))) AS fr_hits,
+    len(list_filter(lws, w -> list_contains(['der','die','das','und','in','den','von','zu','mit','ist'], w))) AS de_hits,
+    ('0x'||substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')),1,15))::BIGINT AS fingerprint
+  FROM base)
+SELECT doc_id,
+  CAST(n_tokens AS INT) AS n_tokens,
+  CAST(n_bpe_tokens AS INT) AS n_bpe_tokens,
+  punct_ratio, mean_word_len, stopword_frac,
+  CAST(CASE WHEN n_tokens BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END AS DOUBLE) * 0.4
+   + CAST(CASE WHEN punct_ratio < 0.3 THEN 1.0 ELSE 0.5 END AS DOUBLE) * 0.3
+   + CAST(CASE WHEN stopword_frac > 0.01 THEN 1.0 ELSE 0.6 END AS DOUBLE) * 0.3 AS quality,
+  CASE WHEN greatest(en_hits, es_hits, fr_hits, de_hits) > 0 AND en_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'en'
+       WHEN greatest(en_hits, es_hits, fr_hits, de_hits) > 0 AND es_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'es'
+       WHEN greatest(en_hits, es_hits, fr_hits, de_hits) > 0 AND fr_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'fr'
+       WHEN greatest(en_hits, es_hits, fr_hits, de_hits) > 0 AND de_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'de'
+       ELSE 'und' END AS lang_pred,
+  fingerprint
+FROM feat ORDER BY doc_id
+"""
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -519,6 +740,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_features": string_features,
         "union_all": union_all_q,
         "prev_nonnull": prev_nonnull_q,
+        "dedup_exact": dedup_exact,
+        "minhash_lsh_dedup": minhash_lsh,
+        "ngram_jaccard_dedup": ngram_jaccard,
+        "simhash_fingerprints": simhash_fingerprints,
+        "embedding_near_dup": embedding_near_dup,
+        "ann_brute_topk": ann_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        "text_profile": text_profile_q,
     }
 
 
@@ -543,4 +772,12 @@ def oracle_sql() -> dict[str, str]:
         "string_features": _STRING_SQL,
         "union_all": _UNION_SQL,
         "prev_nonnull": _PREV_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "minhash_lsh_dedup": _MINHASH_SQL,
+        "ngram_jaccard_dedup": _NGRAM_SQL,
+        "simhash_fingerprints": _SIMHASH_SQL,
+        "embedding_near_dup": _EMB_DUP_SQL,
+        "ann_brute_topk": _ANN_SQL,
+        # ann_ivf_topk: non-SQL-expressible (iterative IVF) → rows-only
+        "text_profile": _TEXT_PROFILE_SQL,
     }

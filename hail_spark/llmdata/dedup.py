@@ -1,0 +1,387 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not part of the Hail reference surface — these are the LLM-data
+extensions (SURVEY.md §7.2 M4). All hashing is md5-based (first 15 hex
+chars → 60-bit int) so results are engine-independent and reproducible
+in any SQL dialect; at 100 TB every operator below is shuffle-bounded
+(explode → hash equi-join / groupBy), never O(n²).
+
+Pipeline shapes:
+* exact_dedup          — hash-groupBy, keep first id per content hash
+* minhash_signatures   — k-perm MinHash entirely via array HOFs
+                         (no explode: per-row compute, JVM codegen)
+* minhash_lsh_pairs    — band → bucket equi-self-join → candidate pairs
+* ngram_jaccard_pairs  — exact Jaccard via shingle posting-list join
+* simhash              — 48-bit sign-of-weighted-sum fingerprint
+* embedding_dup_pairs  — cosine near-dup; brute (broadcast) or
+                         LSH-bucketed (random-hyperplane) at scale
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------------ #
+# hashing primitives (md5 → 60-bit int; deterministic, SQL-portable)
+# ------------------------------------------------------------------ #
+def md5_int(c: Column) -> Column:
+    """First 15 hex chars of md5 as a non-negative 60-bit bigint."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def _seeded(c: Column, i: Column | int) -> Column:
+    ii = i if isinstance(i, Column) else F.lit(i)
+    return md5_int(F.concat(c, F.lit("#"), ii.cast("string")))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles (space-joined)."""
+    ws = tokens(text)
+    return F.array_distinct(
+        F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - n),
+                lambda j: F.array_join(F.slice(ws, j + 1, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(ws, " ")))
+    )
+
+
+# ------------------------------------------------------------------ #
+# exact dedup
+# ------------------------------------------------------------------ #
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per exact content hash. One shuffle
+    (hash-groupBy); the min() means no row needs the full text shipped."""
+    h = md5_int(F.col(text_col))
+    return (
+        df.select(F.col(id_col), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ------------------------------------------------------------------ #
+# MinHash + LSH
+# ------------------------------------------------------------------ #
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    Entirely per-row (array HOFs inside whole-stage codegen): no explode,
+    no shuffle — each doc computes min over its shingle set for k seeded
+    hash functions. Scales linearly with corpus size."""
+    sh = shingles(F.col(text_col), shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: _seeded(s, i))),
+    )
+    return df.select(F.col(id_col), sig.alias("minhash"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: split the k-long signature into `bands`
+    bands of k/bands rows; docs sharing any band hash are candidates.
+
+    Scale shape: explode to (doc, band, band_hash) — k/bands-fold row
+    growth only — then self-equi-join on (band, band_hash). Catalyst
+    hash-partitions by band hash; AQE handles hot buckets."""
+    r = k // bands
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: md5_int(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("minhash"), b * r + 1, r),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col(f"a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Estimated Jaccard (matching signature fraction) for candidate
+    pairs — two broadcast-able joins against the signature table."""
+    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    out = (
+        pairs.join(sigs.withColumnRenamed(id_col, "id_a").withColumnRenamed("minhash", "sig_a"), "id_a")
+        .join(sigs.withColumnRenamed(id_col, "id_b").withColumnRenamed("minhash", "sig_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+                        lambda e: e,
+                    )
+                )
+                / F.lit(float(k))
+            ).alias("est_jaccard"),
+        )
+    )
+    return out
+
+
+# ------------------------------------------------------------------ #
+# exact n-gram Jaccard via posting lists
+# ------------------------------------------------------------------ #
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact Jaccard similarity for every doc pair sharing ≥1 shingle.
+
+    Posting-list pattern: explode to (shingle_hash, doc), self-join on
+    shingle_hash to count intersections, join per-doc set sizes, filter
+    on threshold. All shuffles are hash equi-joins on shingle/doc ids —
+    the standard scalable exact-dedup shape."""
+    sh = (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s"))
+        .select(id_col, md5_int(F.col("s")).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ------------------------------------------------------------------ #
+# SimHash
+# ------------------------------------------------------------------ #
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+) -> DataFrame:
+    """SimHash fingerprint: per bit j, sign of Σ_tokens (±1 weighted by
+    token count); bit j of each token from its md5 hash. Per-row HOF
+    compute, no shuffle. 48 bits keeps the packed value well inside
+    int64 for SQL portability."""
+    ws = tokens(F.col(text_col))
+    th = F.transform(ws, md5_int)  # one 60-bit hash per token
+    # bit index j is a Python int (shiftright needs a literal), so the
+    # per-bit sums unroll into `bits` fold expressions — still one pass
+    # over the token array per row, fully inside codegen
+    def bit_sum(j: int):
+        return F.aggregate(
+            th,
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    packed = None
+    for j in range(bits):
+        term = F.when(bit_sum(j) > 0, F.lit(1 << j).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        packed = term if packed is None else packed + term
+    return df.select(F.col(id_col), packed.alias("simhash"))
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 48,
+    max_hamming: int = 3,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: split the fingerprint into n_blocks block keys
+    (> max_hamming ⇒ any close pair shares ≥1 exact block) and equi-join
+    on (block_idx, block_value) — never an all-pairs scan."""
+    width = bits // n_blocks
+    sh = simhash(df, text_col, id_col, bits)
+    mask = (1 << width) - 1
+    blocked = sh.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_blocks - 1)),
+                lambda i: F.shiftright(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)),
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    hamming = _popcount64(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.block_idx") == F.col("b.block_idx"),
+                F.col("a.block_val") == F.col("b.block_val"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def _popcount64(c: Column) -> Column:
+    return F.bit_count(c)
+
+
+# ------------------------------------------------------------------ #
+# embedding near-dup
+# ------------------------------------------------------------------ #
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays (JVM-side fold)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    lsh_bits: int = 0,
+) -> DataFrame:
+    """Pairs with cosine ≥ threshold.
+
+    lsh_bits=0: brute pairwise (only for small/broadcastable inputs).
+    lsh_bits>0: random-hyperplane LSH — bucket by the sign-bit vector of
+    `lsh_bits` deterministic pseudo-random hyperplanes, join within
+    buckets only. High-cosine pairs collide with probability
+    (1 - θ/π)^bits; at scale run a few rotations and union."""
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if lsh_bits:
+        sig = _hyperplane_sig(F.col(vec_col), lsh_bits)
+        base = base.withColumn("__bucket", sig)
+        a, b = base.alias("a"), base.alias("b")
+        joined = a.join(
+            b,
+            on=[
+                F.col("a.__bucket") == F.col("b.__bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        joined = a.join(b, on=F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+    return joined.select(
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cos.alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
+def _hyperplane_sig(vec: Column, bits: int) -> Column:
+    """Sign-bit signature under `bits` deterministic hyperplanes whose
+    components are md5-derived uniforms in [-1, 1)."""
+    dim = F.size(vec)
+    def plane_dot(j):
+        return F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), dim - 1),
+                lambda v, i: v.cast("double")
+                * (
+                    (
+                        _seeded(F.concat(F.lit("hp"), i.cast("string")), j).cast("double")
+                        / F.lit(float(1 << 60))
+                    )
+                    * 2.0
+                    - 1.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    return F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda j: F.when(plane_dot(j) > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
