@@ -716,6 +716,129 @@ FROM feat ORDER BY doc_id
 """
 
 
+
+# ===================================================================== #
+# MatrixTable queries (2-D rows x cols x entries; SURVEY.md §1.1/§2.2)
+# ===================================================================== #
+def _events_mt(spark: SparkSession, sf_dir: str):
+    """users × event_types matrix: entries = (v=sum value, n=count)."""
+    from hail_spark.matrixtable import MatrixTable
+
+    e = _t(spark, sf_dir, "events").df
+    long = e.groupBy("user_id", "event_type").agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="event_type", entry_fields=["v", "n"]
+    )
+
+
+_MT_LONG_CTE = """
+long AS (SELECT user_id, event_type, SUM(CAST(value AS DECIMAL(38,6))) v, COUNT(*) n
+         FROM events GROUP BY 1, 2)
+"""
+
+
+def mt_row_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise entry aggregation via array HOFs (one pass, no explode —
+    the annotate_rows(hl.agg...) path, AggArrayPerElement V:2559)."""
+    mt = _events_mt(spark, sf_dir)
+
+    def stats(entries):
+        defined = F.filter(entries, lambda x: x.isNotNull())
+        return {
+            "row_total": F.aggregate(
+                defined,
+                F.lit(0).cast("decimal(38,6)"),
+                lambda acc, x: acc + x["v"],
+            ).cast("double"),
+            "n_types": F.size(defined).cast("int"),
+            "n_events": F.aggregate(
+                defined, F.lit(0).cast("bigint"), lambda acc, x: acc + x["n"]
+            ),
+        }
+
+    out = mt.annotate_rows_agg_entries(stats)
+    return out.rows().df.select("user_id", "row_total", "n_types", "n_events").orderBy("user_id")
+
+
+_MT_ROW_AGG_SQL = (
+    "WITH " + _MT_LONG_CTE + """
+SELECT user_id, CAST(SUM(v) AS DOUBLE) AS row_total,
+       CAST(COUNT(*) AS INT) AS n_types, CAST(SUM(n) AS BIGINT) AS n_events
+FROM long GROUP BY user_id ORDER BY user_id
+"""
+)
+
+
+def mt_col_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column aggregation across all rows (sample_qc shape:
+    posexplode + groupBy col index)."""
+    mt = _events_mt(spark, sf_dir)
+    out = mt.aggregate_cols_elementwise(
+        {
+            "n_users": lambda e: F.count(e["v"]),
+            "total": lambda e: F.sum(e["v"]).cast("double"),
+        }
+    )
+    return out.select("event_type", "n_users", "total").orderBy("event_type")
+
+
+_MT_COL_AGG_SQL = (
+    "WITH " + _MT_LONG_CTE + """
+SELECT event_type, COUNT(*) AS n_users, CAST(SUM(v) AS DOUBLE) AS total
+FROM long GROUP BY event_type ORDER BY event_type
+"""
+)
+
+
+def mt_group_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatrixAggregateRowsByKey (M:21): re-key rows by bucket, aggregate
+    entries per (group, column)."""
+    mt = _events_mt(spark, sf_dir)
+    g = mt.group_rows_by((F.col("user_id") % 10).alias("bucket")).aggregate(
+        total_n=lambda e: F.sum(e["n"]),
+        total_v=lambda e: F.sum(e["v"]).cast("double"),
+    )
+    out = g.entries().df.select("bucket", "event_type", "total_n", "total_v")
+    return out.filter(F.col("total_n").isNotNull()).orderBy("bucket", "event_type")
+
+
+_MT_GROUP_ROWS_SQL = (
+    "WITH " + _MT_LONG_CTE + """
+SELECT user_id % 10 AS bucket, event_type,
+       CAST(SUM(n) AS BIGINT) AS total_n, CAST(SUM(v) AS DOUBLE) AS total_v
+FROM long GROUP BY 1, 2 ORDER BY 1, 2
+"""
+)
+
+
+def mt_filter_entries_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatrixFilterEntries (M:451): filtered entries become missing,
+    then entries() long-form count per column."""
+    mt = _events_mt(spark, sf_dir)
+    f = mt.filter_entries(lambda e: e["n"] >= 3)
+    long = f.entries().df
+    return (
+        long.filter(F.col("n").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n").alias("sum_n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_MT_FILTER_ENTRIES_SQL = (
+    "WITH " + _MT_LONG_CTE + """
+SELECT event_type, COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS sum_n
+FROM long WHERE n >= 3 GROUP BY event_type ORDER BY event_type
+"""
+)
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -748,6 +871,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "text_profile": text_profile_q,
+        "mt_row_agg": mt_row_agg,
+        "mt_col_agg": mt_col_agg,
+        "mt_group_rows_by": mt_group_rows,
+        "mt_filter_entries": mt_filter_entries_q,
     }
 
 
@@ -780,4 +907,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": _ANN_SQL,
         # ann_ivf_topk: non-SQL-expressible (iterative IVF) → rows-only
         "text_profile": _TEXT_PROFILE_SQL,
+        "mt_row_agg": _MT_ROW_AGG_SQL,
+        "mt_col_agg": _MT_COL_AGG_SQL,
+        "mt_group_rows_by": _MT_GROUP_ROWS_SQL,
+        "mt_filter_entries": _MT_FILTER_ENTRIES_SQL,
     }

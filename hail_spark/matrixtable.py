@@ -1,0 +1,381 @@
+"""MatrixTable — 2-D (rows × cols × entries) abstraction.
+
+Parity target: Hail's ``MatrixTable`` (ref hail/python/hail/
+matrixtable.py; MatrixType at hail/hail/src/is/hail/types/virtual/
+MatrixType.scala:71-78). Hail itself lowers every matrix op onto a Table
+whose rows carry ``entries: array<struct>`` and whose globals carry
+``__cols: array<struct>`` (LowerMatrixIR.scala:17-19); we use the same
+representation natively:
+
+* rows = DataFrame with one ``__entries`` array column (length n_cols,
+  element i belongs to column i);
+* cols = small driver-side list of dicts (broadcast into the plan via a
+  1-row cross join when an expression needs per-column values — the
+  exact analogue of Hail's ``__cols`` global).
+
+Entry missingness = NULL array element (matches Hail: filtered entries
+become missing, MatrixFilterEntries M:451).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .table import Table
+
+ENTRIES = "__entries"
+COLS = "__cols"
+
+
+class MatrixTable:
+    def __init__(
+        self,
+        rows_df: DataFrame,
+        row_key: Sequence[str],
+        cols: list[dict],
+        col_key: Sequence[str],
+        globals: Mapping[str, Any] | None = None,
+    ):
+        self._df = rows_df  # includes ENTRIES column
+        self._row_key = tuple(row_key)
+        self._cols = list(cols)
+        self._col_key = tuple(col_key)
+        self._globals = dict(globals or {})
+
+    # ------------------------------------------------------------------ #
+    # construction
+    # ------------------------------------------------------------------ #
+    @classmethod
+    def from_long(
+        cls,
+        df: DataFrame,
+        row_key: Sequence[str],
+        col_key: str,
+        entry_fields: Sequence[str],
+        col_fields: Sequence[str] = (),
+    ) -> "MatrixTable":
+        """Build from a long-format table (one row per (row, col) pair) —
+        the `to_matrix_table` path (ref table.py to_matrix_table).
+
+        Cols = sorted distinct col keys (collected: col dimension is
+        small by Hail's own design). Rows groupBy row key; entries
+        gathered into a dense array via an idx→entry map, missing pairs
+        become NULL entries."""
+        col_rows = (
+            df.select(col_key, *col_fields).distinct().orderBy(col_key).collect()
+        )
+        cols = [r.asDict() for r in col_rows]
+        n = len(cols)
+        spark = df.sparkSession
+        idx_map = {r[col_key]: i for i, r in enumerate(cols)}
+        mapping = F.create_map(
+            *[x for kv in idx_map.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+        )
+        entry = F.struct(*[F.col(f) for f in entry_fields])
+        pairs = df.select(
+            *row_key, mapping[F.col(col_key)].alias("__idx"), entry.alias("__e")
+        )
+        gathered = pairs.groupBy(*row_key).agg(
+            F.map_from_entries(F.collect_list(F.struct("__idx", "__e"))).alias("__m")
+        )
+        dense = gathered.select(
+            *row_key,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)), lambda i: F.col("__m")[i]
+            ).alias(ENTRIES),
+        )
+        return cls(dense, row_key, cols, (col_key,))
+
+    # ------------------------------------------------------------------ #
+    # shape / access
+    # ------------------------------------------------------------------ #
+    def count_rows(self) -> int:
+        return self._df.count()
+
+    def count_cols(self) -> int:
+        return len(self._cols)
+
+    def count(self) -> tuple[int, int]:
+        return self.count_rows(), self.count_cols()
+
+    @property
+    def row_key(self) -> tuple[str, ...]:
+        return self._row_key
+
+    @property
+    def col_key(self) -> tuple[str, ...]:
+        return self._col_key
+
+    def rows(self) -> Table:
+        """Row-fields table (drops entries) (ref MatrixTable.rows())."""
+        return Table(self._df.drop(ENTRIES), self._row_key, self._globals)
+
+    def cols(self) -> Table:
+        """Col-fields table (ref MatrixTable.cols())."""
+        spark = self._df.sparkSession
+        df = spark.createDataFrame(self._cols)
+        return Table(df, self._col_key, self._globals)
+
+    def entries(self) -> Table:
+        """Long-format entries table: one row per defined (row, col)
+        (ref MatrixTable.entries(), localize path matrixtable.py).
+        posexplode + broadcast join of the small col table."""
+        spark = self._df.sparkSession
+        col_df = spark.createDataFrame(
+            [{"__idx": i, **c} for i, c in enumerate(self._cols)]
+        )
+        long = self._df.select(
+            *[c for c in self._df.columns if c != ENTRIES],
+            F.posexplode_outer(ENTRIES).alias("__idx", "__e"),
+        )
+        long = long.join(F.broadcast(col_df), on="__idx", how="left")
+        entry_fields = self._entry_fields()
+        out = long.select(
+            *[c for c in long.columns if c not in ("__e", "__idx")],
+            *[F.col("__e")[f].alias(f) for f in entry_fields],
+        )
+        return Table(out, self._row_key + self._col_key, self._globals)
+
+    def _entry_fields(self) -> list[str]:
+        et = self._df.schema[ENTRIES].dataType.elementType
+        return [f.name for f in et.fields]
+
+    def _with_df(self, df: DataFrame) -> "MatrixTable":
+        return MatrixTable(df, self._row_key, self._cols, self._col_key, self._globals)
+
+    def _attach_cols(self, df: DataFrame) -> DataFrame:
+        spark = self._df.sparkSession
+        one = spark.createDataFrame([{"__one": 1}]).withColumn(
+            COLS,
+            F.array(
+                *[
+                    F.struct(*[F.lit(v).alias(k) for k, v in c.items()])
+                    for c in self._cols
+                ]
+            ),
+        ).drop("__one")
+        return df.crossJoin(F.broadcast(one))
+
+    # ------------------------------------------------------------------ #
+    # filters (ref MatrixFilterRows M:201 / Cols M:624 / Entries M:451)
+    # ------------------------------------------------------------------ #
+    def filter_rows(self, expr: Column, keep: bool = True) -> "MatrixTable":
+        pred = expr if keep else ~expr
+        return self._with_df(self._df.filter(F.coalesce(pred, F.lit(False))))
+
+    def filter_cols(self, pred: Callable[[dict], bool]) -> "MatrixTable":
+        """Driver-side predicate over col fields (cols are small);
+        entries gathered by the kept indices (MatrixChooseCols M:234)."""
+        keep = [i for i, c in enumerate(self._cols) if pred(c)]
+        return self.choose_cols(keep)
+
+    def choose_cols(self, indices: list[int]) -> "MatrixTable":
+        new_cols = [self._cols[i] for i in indices]
+        idx_arr = F.array(*[F.lit(i) for i in indices])
+        df = self._df.withColumn(
+            ENTRIES,
+            F.transform(idx_arr, lambda i: F.element_at(F.col(ENTRIES), i + 1)),
+        )
+        return MatrixTable(df, self._row_key, new_cols, self._col_key, self._globals)
+
+    def filter_entries(self, f: Callable[[Column], Column], keep: bool = True) -> "MatrixTable":
+        """Entry filter ⇒ entry becomes missing (NULL), shape unchanged."""
+        def body(e):
+            p = f(e) if keep else ~f(e)
+            return F.when(F.coalesce(p, F.lit(False)), e)
+
+        return self._with_df(
+            self._df.withColumn(ENTRIES, F.transform(F.col(ENTRIES), body))
+        )
+
+    def unfilter_entries(self, fill: dict[str, Any]) -> "MatrixTable":
+        """Replace missing entries by `fill` struct (ref unfilter_entries)."""
+        entry_fields = self._entry_fields()
+        filled = F.struct(
+            *[F.lit(fill.get(f)).alias(f) for f in entry_fields]
+        )
+        return self._with_df(
+            self._df.withColumn(
+                ENTRIES,
+                F.transform(F.col(ENTRIES), lambda e: F.coalesce(e, filled)),
+            )
+        )
+
+    # ------------------------------------------------------------------ #
+    # annotations (ref MatrixMapRows M:526 / Cols M:255 / Entries M:396)
+    # ------------------------------------------------------------------ #
+    def annotate_rows(self, **exprs: Column) -> "MatrixTable":
+        return self._with_df(self._df.withColumns(dict(exprs)))
+
+    def annotate_cols(self, f: Callable[[dict], dict]) -> "MatrixTable":
+        """Driver-side col annotation (cols are small)."""
+        return MatrixTable(
+            self._df, self._row_key, [{**c, **f(c)} for c in self._cols],
+            self._col_key, self._globals,
+        )
+
+    def annotate_entries(self, f: Callable[[Column], Mapping[str, Column]]) -> "MatrixTable":
+        """f(entry) → dict of new/updated entry fields. Missing entries
+        stay missing (strict semantics)."""
+        fields = self._entry_fields()
+
+        def body(e):
+            new = f(e)
+            kept = [e[fl].alias(fl) for fl in fields if fl not in new]
+            added = [c.alias(n) for n, c in new.items()]
+            return F.when(e.isNotNull(), F.struct(*kept, *added))
+
+        return self._with_df(
+            self._df.withColumn(ENTRIES, F.transform(F.col(ENTRIES), body))
+        )
+
+    def annotate_entries_with_cols(
+        self, f: Callable[[Column, Column], Mapping[str, Column]]
+    ) -> "MatrixTable":
+        """f(entry, col_struct) — per-entry expression that also reads
+        col fields (zip entries with the broadcast __cols array)."""
+        fields = self._entry_fields()
+        df = self._attach_cols(self._df)
+
+        def body(e, c):
+            new = f(e, c)
+            kept = [e[fl].alias(fl) for fl in fields if fl not in new]
+            added = [col.alias(n) for n, col in new.items()]
+            return F.when(e.isNotNull(), F.struct(*kept, *added))
+
+        df = df.withColumn(
+            ENTRIES, F.zip_with(F.col(ENTRIES), F.col(COLS), body)
+        ).drop(COLS)
+        return self._with_df(df)
+
+    def key_rows_by(self, *keys: str) -> "MatrixTable":
+        return MatrixTable(self._df, keys, self._cols, self._col_key, self._globals)
+
+    # ------------------------------------------------------------------ #
+    # aggregation (ref MatrixAggregate*, AggArrayPerElement V:2559)
+    # ------------------------------------------------------------------ #
+    def aggregate_entries(self, **aggs: Column) -> dict[str, Any]:
+        """Whole-matrix entry aggregation: explode (defined entries) then
+        aggregate (ref aggregate_entries)."""
+        long = self._df.select(F.explode(ENTRIES).alias("__e")).select("__e.*")
+        row = long.agg(*[a.alias(n) for n, a in aggs.items()]).collect()[0]
+        return row.asDict(recursive=True)
+
+    def annotate_rows_agg_entries(
+        self, f: Callable[[Column], Mapping[str, Column]]
+    ) -> "MatrixTable":
+        """Row-wise entry aggregation via array HOFs — one pass, no
+        explode (the `hl.agg.*` inside annotate_rows path). f receives
+        the entries array and returns row-field Columns."""
+        new = f(F.col(ENTRIES))
+        return self._with_df(self._df.withColumns(dict(new)))
+
+    def aggregate_cols_elementwise(self, sums: Mapping[str, Callable[[Column], Column]]) -> DataFrame:
+        """Per-column (sample-wise) aggregation across all rows:
+        posexplode + groupBy col index — the scalable path for wide
+        aggregations (SURVEY.md §7.3 entry-aggregation note). Returns a
+        DataFrame keyed by the col key fields."""
+        spark = self._df.sparkSession
+        long = self._df.select(F.posexplode(ENTRIES).alias("__idx", "__e"))
+        aggs = [fn(F.col("__e")).alias(name) for name, fn in sums.items()]
+        per_idx = long.groupBy("__idx").agg(*aggs)
+        col_df = spark.createDataFrame(
+            [{"__idx": i, **c} for i, c in enumerate(self._cols)]
+        )
+        return (
+            per_idx.join(F.broadcast(col_df), on="__idx", how="right")
+            .drop("__idx")
+        )
+
+    def group_rows_by(self, *exprs: Column | str) -> "GroupedMatrixRows":
+        return GroupedMatrixRows(self, list(exprs))
+
+    # ------------------------------------------------------------------ #
+    # set ops (ref MatrixUnionRows M:862 / MatrixUnionCols M:328)
+    # ------------------------------------------------------------------ #
+    def union_rows(self, other: "MatrixTable") -> "MatrixTable":
+        if [c for c in self._cols] != [c for c in other._cols]:
+            raise ValueError("union_rows requires identical cols")
+        return self._with_df(self._df.unionByName(other._df))
+
+    def union_cols(self, other: "MatrixTable") -> "MatrixTable":
+        """Inner join on row key, concatenate entries arrays."""
+        right = other._df.withColumnRenamed(ENTRIES, "__entries_r")
+        for lk, rk in zip(self._row_key, other._row_key):
+            if lk != rk:
+                right = right.withColumnRenamed(rk, lk)
+        right = right.select(*self._row_key, "__entries_r")
+        df = self._df.join(right, on=list(self._row_key), how="inner")
+        df = df.withColumn(ENTRIES, F.concat(F.col(ENTRIES), F.col("__entries_r"))).drop(
+            "__entries_r"
+        )
+        return MatrixTable(
+            df, self._row_key, self._cols + other._cols, self._col_key, self._globals
+        )
+
+    # ------------------------------------------------------------------ #
+    # io
+    # ------------------------------------------------------------------ #
+    def write(self, path: str, overwrite: bool = False) -> None:
+        import json as _json
+        import os as _os
+
+        t = Table(self._df, self._row_key, self._globals)
+        t.write(path, overwrite=overwrite)
+        meta = {
+            "name": "hail_spark.MatrixTable",
+            "row_key": list(self._row_key),
+            "col_key": list(self._col_key),
+            "cols": self._cols,
+        }
+        with open(_os.path.join(path, "_matrix_metadata.json"), "w") as fh:
+            _json.dump(meta, fh, default=str)
+
+    @classmethod
+    def read(cls, spark: SparkSession, path: str) -> "MatrixTable":
+        import json as _json
+        import os as _os
+
+        t = Table.read(spark, path)
+        with open(_os.path.join(path, "_matrix_metadata.json")) as fh:
+            meta = _json.load(fh)
+        return cls(t.df, meta["row_key"], meta["cols"], meta["col_key"], t.globals)
+
+
+class GroupedMatrixRows:
+    """mt.group_rows_by(...).aggregate(...) — per-group, per-column entry
+    aggregation (ref MatrixAggregateRowsByKey M:21)."""
+
+    def __init__(self, mt: MatrixTable, keys: list):
+        self._mt = mt
+        self._keys = [F.col(k) if isinstance(k, str) else k for k in keys]
+        # resolve output names from the projection itself (honors .alias)
+        self._names = mt._df.select(*self._keys).columns
+
+    def aggregate(self, **entry_aggs: Callable[[Column], Column]) -> MatrixTable:
+        """entry_aggs: name → (entry column → aggregate Column). Explodes
+        to (group, col_idx) and re-gathers — per-column-index aggregation
+        exactly like Hail's AggArrayPerElement lowering."""
+        mt = self._mt
+        n = len(mt._cols)
+        long = mt._df.select(
+            *self._keys, F.posexplode(ENTRIES).alias("__idx", "__e")
+        )
+        aggs = [fn(F.col("__e")).alias(name) for name, fn in entry_aggs.items()]
+        grouped = long.groupBy(*self._names, "__idx").agg(*aggs)
+        entry = F.struct(*[F.col(n_) for n_ in entry_aggs])
+        gathered = grouped.groupBy(*self._names).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__idx"), entry))
+            ).alias("__m")
+        )
+        dense = gathered.select(
+            *self._names,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)), lambda i: F.col("__m")[i]
+            ).alias(ENTRIES),
+        )
+        return MatrixTable(dense, tuple(self._names), mt._cols, mt._col_key, mt._globals)
