@@ -839,6 +839,125 @@ FROM long WHERE n >= 3 GROUP BY event_type ORDER BY event_type
 )
 
 
+
+# ===================================================================== #
+# function-library batteries + multiway zip (SURVEY.md §2.9 / §2.3)
+# ===================================================================== #
+def scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function battery: math, floor-div/mod, case builder,
+    strings/regex, bit ops, try-parse (§2.9 tables)."""
+    p = _t(spark, sf_dir, "part", ("p_partkey",))
+    out = p.select(
+        pk_mod5=hf.mod(F.col("p_partkey"), 5),
+        pk_fdiv7=hf.floordiv(F.col("p_partkey"), 7),
+        size_bucket=hf.case()
+        .when(F.col("p_size") < 10, F.lit("S"))
+        .when(F.col("p_size") < 25, F.lit("M"))
+        .default(F.lit("L")),
+        logp=F.round(hf.log(F.col("p_retailprice")), 6),
+        sqrtp=F.round(hf.sqrt(F.col("p_retailprice")), 6),
+        powp=F.round(hf.pow(F.col("p_size"), 2.0), 6),
+        n_words=hf.len_(hf.str_split(F.col("p_name"), " ")),
+        first_word=hf.head_(hf.str_split(F.col("p_name"), " ")),
+        brand_low=hf.lower(F.col("p_brand")),
+        type_rev=hf.reverse(F.col("p_type")),
+        bits_and=hf.bit_and(F.col("p_partkey"), 255),
+        bits_xor=hf.bit_xor(F.col("p_partkey"), 21),
+        parse_fail=hf.parse_int32(F.col("p_brand")),
+        sgn=hf.sign(F.col("p_size") - 25).cast("int"),
+        absdiff=hf.abs(F.col("p_size") - 25),
+    )
+    return out.df
+
+
+_SCALAR_SQL = """
+SELECT p_partkey,
+  p_partkey % 5 AS pk_mod5,
+  CAST(floor(p_partkey / 7.0) AS BIGINT) AS pk_fdiv7,
+  CASE WHEN p_size < 10 THEN 'S' WHEN p_size < 25 THEN 'M' ELSE 'L' END AS size_bucket,
+  round(ln(p_retailprice), 6) AS logp,
+  round(sqrt(p_retailprice), 6) AS sqrtp,
+  round(pow(p_size, 2.0), 6) AS powp,
+  len(string_split(p_name, ' ')) AS n_words,
+  string_split(p_name, ' ')[1] AS first_word,
+  lower(p_brand) AS brand_low,
+  reverse(p_type) AS type_rev,
+  p_partkey & 255 AS bits_and,
+  xor(p_partkey, 21) AS bits_xor,
+  TRY_CAST(p_brand AS INT) AS parse_fail,
+  CAST(CASE WHEN p_size - 25 > 0 THEN 1 WHEN p_size - 25 < 0 THEN -1 ELSE 0 END AS INT) AS sgn,
+  abs(p_size - 25) AS absdiff
+FROM part ORDER BY p_partkey
+"""
+
+
+def collection_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection HOF battery over per-key arrays: sort/slice/element/
+    filter/exists/distinct (§2.9 collections)."""
+    o = _t(spark, sf_dir, "orders", ("o_custkey",))
+    arrs = o.group_by("o_custkey").aggregate(
+        prices=F.sort_array(F.collect_list("o_totalprice"))
+    )
+    out = arrs.annotate(
+        n=F.size("prices"),
+        lo=hf.head_(F.col("prices")),
+        hi=hf.last_(F.col("prices")),
+        top3=F.reverse(F.slice(F.reverse("prices"), 1, 3)),
+        n_over=F.size(F.filter(F.col("prices"), lambda x: x > 150000.0)),
+        any_over=F.exists(F.col("prices"), lambda x: x > 300000.0),
+        n_distinct=F.size(F.array_distinct("prices")),
+    ).order_by("o_custkey")
+    return out.df
+
+
+_COLLECTION_SQL = """
+WITH arrs AS (
+  SELECT o_custkey, list(o_totalprice ORDER BY o_totalprice) AS prices
+  FROM orders GROUP BY o_custkey)
+SELECT o_custkey, prices,
+  len(prices) AS n,
+  prices[1] AS lo,
+  prices[-1] AS hi,
+  prices[-3:] AS top3,
+  len(list_filter(prices, x -> x > 150000.0)) AS n_over,
+  len(list_filter(prices, x -> x > 300000.0)) > 0 AS any_over,
+  len(list_distinct(prices)) AS n_distinct
+FROM arrs ORDER BY o_custkey
+"""
+
+
+def multiway_zip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableMultiWayZipJoin (table_ir.py:824): 3 same-schema keyed
+    tables zipped by key into an aligned array; one shuffle total."""
+    from hail_spark.operators.multiway import multi_way_zip_join
+
+    o = _t(spark, sf_dir, "orders", ("o_orderkey",))
+    t1 = o.filter(F.col("o_totalprice") > 200000).select(price=F.col("o_totalprice"))
+    t2 = o.filter(
+        (F.col("o_totalprice") > 100000) & (F.col("o_totalprice") <= 200000)
+    ).select(price=F.col("o_totalprice"))
+    t3 = o.filter(F.col("o_totalprice") <= 100000).select(price=F.col("o_totalprice"))
+    z = multi_way_zip_join([t1, t2, t3], "data")
+    out = z.annotate(
+        hi=F.col("data")[0]["price"],
+        mid=F.col("data")[1]["price"],
+        lo=F.col("data")[2]["price"],
+    ).drop("data")
+    return out.order_by("o_orderkey").df
+
+
+_MULTIWAY_SQL = """
+WITH t1 AS (SELECT o_orderkey, o_totalprice p FROM orders WHERE o_totalprice > 200000),
+     t2 AS (SELECT o_orderkey, o_totalprice p FROM orders WHERE o_totalprice > 100000 AND o_totalprice <= 200000),
+     t3 AS (SELECT o_orderkey, o_totalprice p FROM orders WHERE o_totalprice <= 100000)
+SELECT COALESCE(t1.o_orderkey, t2.o_orderkey, t3.o_orderkey) AS o_orderkey,
+       t1.p AS hi, t2.p AS mid, t3.p AS lo
+FROM t1 FULL OUTER JOIN t2 ON t1.o_orderkey = t2.o_orderkey
+        FULL OUTER JOIN t3 ON COALESCE(t1.o_orderkey, t2.o_orderkey) = t3.o_orderkey
+ORDER BY o_orderkey
+"""
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -875,6 +994,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mt_col_agg": mt_col_agg,
         "mt_group_rows_by": mt_group_rows,
         "mt_filter_entries": mt_filter_entries_q,
+        "scalar_battery": scalar_battery,
+        "collection_battery": collection_battery,
+        "multiway_zip_join": multiway_zip_q,
     }
 
 
@@ -911,4 +1033,7 @@ def oracle_sql() -> dict[str, str]:
         "mt_col_agg": _MT_COL_AGG_SQL,
         "mt_group_rows_by": _MT_GROUP_ROWS_SQL,
         "mt_filter_entries": _MT_FILTER_ENTRIES_SQL,
+        "scalar_battery": _SCALAR_SQL,
+        "collection_battery": _COLLECTION_SQL,
+        "multiway_zip_join": _MULTIWAY_SQL,
     }
