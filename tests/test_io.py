@@ -1,0 +1,151 @@
+"""IO tests: import_table (+impute), import_lines/grep, BED/FAM, VCF
+round-trip. Mirrors the reference's impex tests
+(hail/python/test/hail/methods/test_impex.py) on synthetic fixtures."""
+
+import textwrap
+
+import pytest
+from pyspark.sql import functions as F
+
+from hail_spark.io import (
+    export_vcf,
+    grep,
+    import_bed,
+    import_fam,
+    import_lines,
+    import_table,
+    import_vcf,
+)
+
+VCF = textwrap.dedent(
+    """\
+    ##fileformat=VCFv4.2
+    ##INFO=<ID=AC,Number=A,Type=Integer,Description="alt allele count">
+    ##INFO=<ID=AF,Number=A,Type=Float,Description="alt allele freq">
+    ##INFO=<ID=DB,Number=0,Type=Flag,Description="in dbSNP">
+    ##FORMAT=<ID=GT,Number=1,Type=String,Description="genotype">
+    ##FORMAT=<ID=DP,Number=1,Type=Integer,Description="depth">
+    ##FORMAT=<ID=AD,Number=R,Type=Integer,Description="allele depths">
+    #CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tNA1\tNA2\tNA3
+    1\t100\trs1\tA\tT\t50.0\tPASS\tAC=3;AF=0.5;DB\tGT:DP:AD\t0/1:10:6,4\t1|1:12:0,12\t0/0:8:8,0
+    1\t200\t.\tG\tC,T\t.\tq10\tAC=2,1;AF=0.33,0.17\tGT:DP\t1/2:9\t0/1:.\t./.
+    2\t300\trs3\tTTT\tT\t99.0\t.\tAC=1;AF=0.17\tGT\t0/0\t0/1\t0|0
+    """
+)
+
+TSV = textwrap.dedent(
+    """\
+    id\tscore\tflag\tname\tbig
+    1\t1.5\ttrue\talice\t3000000000
+    2\tNA\tfalse\tbob\t4
+    3\t2.25\ttrue\tNA\t5
+    """
+)
+
+
+@pytest.fixture(scope="module")
+def vcf_path(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("io") / "test.vcf"
+    p.write_text(VCF)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def tsv_path(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("io") / "test.tsv"
+    p.write_text(TSV)
+    return str(p)
+
+
+def test_import_table_impute(spark, tsv_path):
+    t = import_table(spark, tsv_path, impute=True, key=("id",))
+    sch = dict(zip(t.df.columns, [f.dataType.simpleString() for f in t.df.schema.fields]))
+    assert sch == {
+        "id": "int",
+        "score": "double",
+        "flag": "boolean",
+        "name": "string",
+        "big": "bigint",
+    }
+    rows = {r["id"]: r for r in t.df.collect()}
+    assert rows[2]["score"] is None  # NA -> missing
+    assert rows[3]["name"] is None
+    assert rows[1]["big"] == 3000000000
+
+
+def test_import_table_explicit_types(spark, tsv_path):
+    t = import_table(spark, tsv_path, types={"id": "bigint"})
+    assert dict(zip(t.df.columns, [f.dataType.simpleString() for f in t.df.schema.fields]))[
+        "id"
+    ] == "bigint"
+    assert t.df.schema["score"].dataType.simpleString() == "string"
+
+
+def test_import_lines_grep(spark, tsv_path):
+    t = import_lines(spark, tsv_path)
+    assert t.df.columns == ["text"]
+    assert t.df.count() == 4
+    assert grep(spark, r"ali", tsv_path) == ["1\t1.5\ttrue\talice\t3000000000"]
+
+
+def test_import_bed(spark, tmp_path):
+    p = tmp_path / "t.bed"
+    p.write_text("1\t99\t200\tfoo\n2\t5\t10\tbar\n")
+    t = import_bed(spark, str(p))
+    r = sorted(t.df.collect(), key=lambda r: r["interval"]["start"]["contig"])
+    assert r[0]["interval"]["start"]["position"] == 100  # 0-based -> 1-based
+    assert r[0]["interval"]["end"]["position"] == 201
+    assert r[0]["interval"]["includes_end"] is False
+    assert r[0]["target"] == "foo"
+
+
+def test_import_fam(spark, tmp_path):
+    p = tmp_path / "t.fam"
+    p.write_text("f1 kid dad mom 2 2\nf1 dad 0 0 1 1\nf1 mom 0 0 2 -9\n")
+    t = import_fam(spark, str(p))
+    rows = {r["id"]: r for r in t.df.collect()}
+    assert rows["kid"]["pat_id"] == "dad" and rows["kid"]["is_female"] is True
+    assert rows["dad"]["pat_id"] is None and rows["dad"]["is_case"] is False
+    assert rows["mom"]["is_case"] is None
+
+
+def test_import_vcf_schema_and_rows(spark, vcf_path):
+    mt = import_vcf(spark, vcf_path)
+    assert mt.count() == (3, 3)
+    assert [c["s"] for c in mt._cols] == ["NA1", "NA2", "NA3"]
+    rows = {r["locus"]["position"]: r for r in mt._df.collect()}
+    r100 = rows[100]
+    assert r100["alleles"] == ["A", "T"]
+    assert r100["rsid"] == "rs1" and r100["qual"] == 50.0
+    assert r100["filters"] == []  # PASS
+    assert r100["info"]["AC"] == [3] and r100["info"]["DB"] is True
+    assert abs(r100["info"]["AF"][0] - 0.5) < 1e-9
+    e = r100["__entries"]
+    assert [x["GT"] for x in e] == [1, 2, 0]
+    assert e[0]["AD"] == [6, 4] and e[0]["DP"] == 10
+    assert e[1]["phased"] is True
+    # multiallelic + missing handling
+    r200 = rows[200]
+    assert r200["alleles"] == ["G", "C", "T"]
+    assert r200["qual"] is None and r200["filters"] == ["q10"]
+    e2 = r200["__entries"]
+    assert e2[0]["GT"] == 2 and e2[0]["GTA"] == [1, 2]
+    assert e2[1]["DP"] is None  # '.' field
+    assert e2[2]["GT"] is None and e2[2]["GTA"] is None  # ./. call
+    assert rows[300]["info"]["DB"] is False
+
+
+def test_vcf_roundtrip(spark, vcf_path, tmp_path):
+    mt = import_vcf(spark, vcf_path)
+    out = str(tmp_path / "out.vcf")
+    export_vcf(mt, out)
+    mt2 = import_vcf(spark, out)
+    assert mt2.count() == (3, 3)
+    a = mt._df.select(
+        "locus", "alleles", F.col("__entries").getField("GT").alias("gts")
+    ).collect()
+    b = mt2._df.select(
+        "locus", "alleles", F.col("__entries").getField("GT").alias("gts")
+    ).collect()
+    key = lambda r: (r["locus"]["contig"], r["locus"]["position"])  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
