@@ -1,0 +1,133 @@
+"""Differential tests for statgen methods: engine results vs direct
+numpy reference computation on the same random matrix (the reference's
+own strategy — golden numeric expectations, SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hail_spark.matrixtable import ENTRIES, MatrixTable
+from hail_spark.methods.statgen import (
+    hwe_normalized_pca,
+    linear_regression_rows,
+    logistic_regression_rows,
+)
+
+N_SAMPLES, N_VARIANTS = 30, 40
+
+
+@pytest.fixture(scope="module")
+def sim(spark):
+    rng = np.random.default_rng(42)
+    G = rng.integers(0, 3, size=(N_VARIANTS, N_SAMPLES)).astype(float)
+    G[rng.random(G.shape) < 0.05] = np.nan  # 5% missing entries
+    cov = rng.normal(size=N_SAMPLES)
+    y_lin = rng.normal(size=N_SAMPLES) + 0.3 * cov
+    y_bin = (rng.random(N_SAMPLES) < 0.5).astype(float)
+    rows = []
+    for i in range(N_VARIANTS):
+        ents = [
+            {"GT": None if np.isnan(G[i, j]) else int(G[i, j])} for j in range(N_SAMPLES)
+        ]
+        rows.append({"vid": i, ENTRIES: ents})
+    df = spark.createDataFrame(rows, f"vid int, {ENTRIES} array<struct<GT: int>>").repartition(4)
+    cols = [{"s": f"S{j}", "cov": float(cov[j]), "y": float(y_lin[j]), "yb": float(y_bin[j])}
+            for j in range(N_SAMPLES)]
+    mt = MatrixTable(df, ("vid",), cols, ("s",))
+    return mt, G, cov, y_lin, y_bin
+
+
+def _impute(G):
+    X = G.copy()
+    mu = np.nanmean(X, axis=1)
+    idx = np.where(np.isnan(X))
+    X[idx] = np.take(mu, idx[0])
+    return X
+
+
+def test_linear_regression_rows(sim):
+    mt, G, cov, y, _ = sim
+    res = {r["vid"]: r for r in linear_regression_rows(mt, "y", ["cov"]).collect()}
+    X = _impute(G)
+    C = np.column_stack([np.ones(N_SAMPLES), cov])
+    for i in [0, 7, 23, N_VARIANTS - 1]:
+        M = np.column_stack([C, X[i]])
+        beta_full, res_ss, *_ = np.linalg.lstsq(M, y, rcond=None)
+        beta = beta_full[-1]
+        dof = N_SAMPLES - M.shape[1]
+        resid = y - M @ beta_full
+        sigma2 = resid @ resid / dof
+        se = np.sqrt(sigma2 * np.linalg.inv(M.T @ M)[-1, -1])
+        assert res[i]["beta"] == pytest.approx(beta, rel=1e-8)
+        assert res[i]["standard_error"] == pytest.approx(se, rel=1e-8)
+        assert res[i]["t_stat"] == pytest.approx(beta / se, rel=1e-8)
+        assert 0.0 <= res[i]["p_value"] <= 1.0
+        assert res[i]["n"] == N_SAMPLES
+    assert len(res) == N_VARIANTS
+
+
+def test_logistic_regression_rows_wald_vs_lrt(sim):
+    mt, G, cov, _, yb = sim
+    wald = {r["vid"]: r for r in logistic_regression_rows(mt, "wald", "yb", ["cov"]).collect()}
+    lrt = {r["vid"]: r for r in logistic_regression_rows(mt, "lrt", "yb", ["cov"]).collect()}
+    # reference Newton fit in-test
+    def fit(M, y):
+        b = np.zeros(M.shape[1])
+        for _ in range(50):
+            mu = 1 / (1 + np.exp(-(M @ b)))
+            W = mu * (1 - mu)
+            delta = np.linalg.solve((M * W[:, None]).T @ M, M.T @ (y - mu))
+            b = b + delta
+            if np.max(np.abs(delta)) < 1e-12:
+                break
+        eta = M @ b
+        ll = float(np.sum(y * eta - np.log1p(np.exp(eta))))
+        finv = np.linalg.inv((M * (1 / (1 + np.exp(-eta)) * (1 - 1 / (1 + np.exp(-eta))))[:, None]).T @ M)
+        return b, ll, finv
+
+    X = _impute(G)
+    C = np.column_stack([np.ones(N_SAMPLES), cov])
+    _, ll0, _ = fit(C, yb)
+    for i in [3, 17]:
+        M = np.column_stack([C, X[i]])
+        b, ll, finv = fit(M, yb)
+        assert wald[i]["beta"] == pytest.approx(b[-1], rel=1e-6)
+        assert wald[i]["chi_sq_stat"] == pytest.approx(b[-1] ** 2 / finv[-1, -1], rel=1e-6)
+        assert lrt[i]["chi_sq_stat"] == pytest.approx(2 * (ll - ll0), rel=1e-6, abs=1e-9)
+        assert wald[i]["fit_converged"] is True
+
+
+def test_hwe_normalized_pca(sim, spark):
+    mt, G, *_ = sim
+    evals, scores_df, loadings_df = hwe_normalized_pca(mt, k=5, compute_loadings=True)
+    # numpy reference
+    X = G.copy()
+    mean = np.nanmean(X, axis=1)
+    p = mean / 2.0
+    keep = (p > 0) & (p < 1)
+    X, mean, p = X[keep], mean[keep], p[keep]
+    idx = np.where(np.isnan(X))
+    X[idx] = np.take(mean, idx[0])
+    Xn = (X - mean[:, None]) / np.sqrt(2 * p * (1 - p) * N_VARIANTS)[:, None]
+    ref_evals = np.sort(np.linalg.eigvalsh(Xn.T @ Xn))[::-1][:5]
+    assert np.allclose(evals, ref_evals, rtol=1e-8)
+    scores = np.array(
+        [r["scores"] for r in scores_df.orderBy("s").collect()]
+    )
+    assert scores.shape == (N_SAMPLES, 5)
+    # scores columns are eigvec*sqrt(eval): their gram is diag(evals)
+    got = scores.T @ scores
+    assert np.allclose(np.diag(got), ref_evals, rtol=1e-6)
+    assert np.allclose(got - np.diag(np.diag(got)), 0.0, atol=1e-6)
+    # loadings: Xn ≈ loadings @ diag(sqrt(evals)) @ V' — check shapes + norm
+    L = np.array([r["loadings"] for r in loadings_df.orderBy("vid").collect()])
+    assert L.shape == (N_VARIANTS, 5)
+    assert np.isfinite(L[np.array(keep)]).all()
+
+
+def test_logreg_rejects_bad_input(sim):
+    mt, *_ = sim
+    with pytest.raises(ValueError):
+        logistic_regression_rows(mt, "score", "yb", ["cov"])
+    with pytest.raises(ValueError):
+        logistic_regression_rows(mt, "wald", "cov", [])  # non-binary y
