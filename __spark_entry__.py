@@ -958,6 +958,246 @@ ORDER BY o_orderkey
 """
 
 
+def outer_join_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableJoin how='outer' (table_ir.py:37, KeyedRVD.scala:44):
+    per-nation customer vs supplier counts, key coalesced."""
+    c = (
+        _t(spark, sf_dir, "customer", ("c_nationkey",))
+        .group_by("c_nationkey")
+        .aggregate(n_cust=F.count(F.lit(1)))
+        .rename({"c_nationkey": "nk"})
+        .key_by("nk")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier", ("s_nationkey",))
+        .group_by("s_nationkey")
+        .aggregate(n_supp=F.count(F.lit(1)))
+        .rename({"s_nationkey": "nk"})
+        .key_by("nk")
+    )
+    return c.join(s, how="outer").order_by("nk").df
+
+
+_OUTER_JOIN_SQL = """
+WITH c AS (SELECT c_nationkey nk, count(*) n_cust FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey nk, count(*) n_supp FROM supplier GROUP BY 1)
+SELECT COALESCE(c.nk, s.nk) AS nk, c.n_cust, s.n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nk
+"""
+
+
+def corr_regr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.agg.corr (aggregators.py:1877) + linreg-style slope/intercept
+    aggregates per group; rounded for float-order independence."""
+    t = _t(spark, sf_dir, "lineitem")
+    out = t.group_by("l_returnflag").aggregate(
+        corr_qp=F.round(F.corr("l_quantity", "l_extendedprice"), 6),
+        slope=F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4),
+        intercept=F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4),
+        n=F.count(F.lit(1)),
+    )
+    return out.order_by("l_returnflag").df
+
+
+_CORR_SQL = """
+SELECT l_returnflag,
+  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+  count(*) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def product_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.agg.product (aggregators.py:1059) = exp(sum(ln)) for positive
+    inputs (§2.4 mapping); per-flag product of (1+discount) growth."""
+    t = _t(spark, sf_dir, "lineitem")
+    out = t.group_by("l_returnflag").aggregate(
+        log_product=F.round(F.sum(F.log(F.col("l_discount") + 1.0)), 6),
+        product_head=F.round(
+            F.exp(F.sum(F.when(F.col("l_orderkey") % 1000 == 0, F.log(F.col("l_discount") + 1.0)))),
+            6,
+        ),
+    )
+    return out.order_by("l_returnflag").df
+
+
+_PRODUCT_SQL = """
+SELECT l_returnflag,
+  round(sum(ln(l_discount + 1.0)), 6) AS log_product,
+  round(product(CASE WHEN l_orderkey % 1000 = 0 THEN l_discount + 1.0 END), 6) AS product_head
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def bit_ops_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit functions (functions.py:6890-7085 → &,|,^,shifts,bit_count)."""
+    from hail_spark.expr import functions as hf
+
+    t = _t(spark, sf_dir, "lineitem", ("l_orderkey", "l_linenumber"))
+    a, b = F.col("l_orderkey"), F.col("l_partkey")
+    out = t.select(
+        "l_partkey",
+        band=hf.bit_and(a, b),
+        bor=hf.bit_or(a, b),
+        bxor=hf.bit_xor(a, b),
+        lsh=hf.bit_lshift(F.col("l_linenumber").cast("bigint"), 3),
+        rsh=hf.bit_rshift(a, 2),
+        bnot=hf.bit_not(b),
+        bcount=hf.bit_count(a),
+    )
+    return out.order_by("l_orderkey", "l_linenumber").df
+
+
+_BIT_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey,
+  l_orderkey & l_partkey AS band,
+  l_orderkey | l_partkey AS bor,
+  xor(l_orderkey, l_partkey) AS bxor,
+  CAST(l_linenumber AS BIGINT) << 3 AS lsh,
+  l_orderkey >> 2 AS rsh,
+  ~l_partkey AS bnot,
+  bit_count(l_orderkey) AS bcount
+FROM lineitem ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def parse_cast_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.parse_int/float (missing on failure, functions.py:5852-6254 →
+    try_cast) + str conversions, over documents."""
+    t = _t(spark, sf_dir, "documents", ("doc_id",))
+    out = t.select(
+        p_int=F.col("lang").try_cast("int"),  # fails → NULL
+        p_chars=F.col("n_chars").cast("string").try_cast("bigint"),
+        p_float=F.concat(F.col("n_chars").cast("string"), F.lit(".5")).try_cast("double"),
+        p_bool=F.when(F.col("n_chars") % 2 == 0, F.lit("true")).otherwise(F.lit("x")).try_cast("boolean"),
+        first_word_len=F.length(F.split(F.col("text"), " ")[0]),
+    )
+    return out.order_by("doc_id").df
+
+
+_PARSE_SQL = """
+SELECT doc_id,
+  TRY_CAST(lang AS INT) AS p_int,
+  TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS p_chars,
+  TRY_CAST(CAST(n_chars AS VARCHAR) || '.5' AS DOUBLE) AS p_float,
+  TRY_CAST(CASE WHEN n_chars % 2 = 0 THEN 'true' ELSE 'x' END AS BOOLEAN) AS p_bool,
+  length(str_split(text, ' ')[1]) AS first_word_len
+FROM documents ORDER BY doc_id
+"""
+
+
+def set_ops_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set union/intersection/difference (typed_expressions.py:1263/1204/
+    1173 → array_* on sorted-distinct arrays): supplier sets per part
+    across year halves."""
+    t = _t(spark, sf_dir, "lineitem")
+    h1 = (
+        t.filter(F.month("l_shipdate") <= 6)
+        .group_by("l_partkey")
+        .aggregate(s1=F.array_sort(F.collect_set("l_suppkey")))
+    )
+    h2 = (
+        t.filter(F.month("l_shipdate") > 6)
+        .group_by("l_partkey")
+        .aggregate(s2=F.array_sort(F.collect_set("l_suppkey")))
+    )
+    j = h1.key_by("l_partkey").join(h2.key_by("l_partkey"), how="inner")
+    out = j.select(
+        n_union=F.size(F.array_union("s1", "s2")),
+        n_inter=F.size(F.array_intersect("s1", "s2")),
+        n_only_h1=F.size(F.array_except("s1", "s2")),
+        subset=F.size(F.array_except("s1", "s2")) == 0,
+    )
+    return out.order_by("l_partkey").df
+
+
+_SET_OPS_SQL = """
+WITH h1 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE month(l_shipdate) <= 6),
+     h2 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem WHERE month(l_shipdate) > 6),
+     keys AS (SELECT DISTINCT a.l_partkey FROM h1 a JOIN h2 b ON a.l_partkey = b.l_partkey)
+SELECT k.l_partkey,
+  (SELECT count(DISTINCT s) FROM (SELECT l_suppkey s FROM h1 WHERE l_partkey = k.l_partkey
+                                  UNION SELECT l_suppkey FROM h2 WHERE l_partkey = k.l_partkey)) AS n_union,
+  (SELECT count(*) FROM h1 a JOIN h2 b ON a.l_suppkey = b.l_suppkey AND b.l_partkey = k.l_partkey
+   WHERE a.l_partkey = k.l_partkey) AS n_inter,
+  (SELECT count(*) FROM h1 a WHERE a.l_partkey = k.l_partkey AND a.l_suppkey NOT IN
+     (SELECT l_suppkey FROM h2 WHERE l_partkey = k.l_partkey)) AS n_only_h1,
+  (SELECT count(*) FROM h1 a WHERE a.l_partkey = k.l_partkey AND a.l_suppkey NOT IN
+     (SELECT l_suppkey FROM h2 WHERE l_partkey = k.l_partkey)) = 0 AS subset
+FROM keys k ORDER BY l_partkey
+"""
+
+
+def bm_matmul_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlockMatrix.dot (BlockMatrix.scala:950): C = A @ B on aggregated
+    lineitem projections; long-form nonzeros, exact integer sums."""
+    from hail_spark.linalg import BlockMatrix
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a_long = (
+        li.groupBy((F.col("l_suppkey") % 30).alias("i"), (F.col("l_partkey") % 20).alias("j"))
+        .agg(F.sum("l_quantity").alias("v"))
+    )
+    b_long = (
+        li.groupBy((F.col("l_partkey") % 20).alias("i"), (F.col("l_suppkey") % 25).alias("j"))
+        .agg(F.sum(F.col("l_linenumber").cast("double")).alias("v"))
+    )
+    A = BlockMatrix.from_long(a_long, 30, 20, block_size=8)
+    B = BlockMatrix.from_long(b_long, 20, 25, block_size=8)
+    C = A.matmul(B)
+    return (
+        C.to_long()
+        .filter(F.col("v") != 0.0)
+        .select("i", "j", F.round("v", 3).alias("v"))
+        .orderBy("i", "j")
+    )
+
+
+_BM_MATMUL_SQL = """
+WITH a AS (SELECT l_suppkey % 30 AS i, l_partkey % 20 AS k, sum(l_quantity) AS v
+           FROM lineitem GROUP BY 1, 2),
+     b AS (SELECT l_partkey % 20 AS k, l_suppkey % 25 AS j, sum(CAST(l_linenumber AS DOUBLE)) AS v
+           FROM lineitem GROUP BY 1, 2)
+SELECT a.i, b.j, round(sum(a.v * b.v), 3) AS v
+FROM a JOIN b ON a.k = b.k
+GROUP BY a.i, b.j HAVING sum(a.v * b.v) <> 0 ORDER BY i, j
+"""
+
+
+def hwe_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.agg.hardy_weinberg_test (aggregators.py:1128): genotype counts
+    aggregated distributively, exact Wigginton p-value as finalizer.
+    Non-SQL-expressible finalizer → rows-only check."""
+    from hail_spark.expr.stats import hardy_weinberg_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    counts = (
+        ev.select("event_type", (F.col("event_id") % 3).alias("gt"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("gt") == 0, 1).otherwise(0)).alias("n_hom_ref"),
+            F.sum(F.when(F.col("gt") == 1, 1).otherwise(0)).alias("n_het"),
+            F.sum(F.when(F.col("gt") == 2, 1).otherwise(0)).alias("n_hom_var"),
+        )
+        .orderBy("event_type")
+        .collect()
+    )
+    rows = []
+    for r in counts:
+        res = hardy_weinberg_test(r["n_hom_ref"], r["n_het"], r["n_hom_var"])
+        rows.append(
+            {
+                "event_type": r["event_type"],
+                "n_het": r["n_het"],
+                "het_freq_hwe": round(res["het_freq_hwe"], 6),
+                "p_value": round(res["p_value"], 6),
+            }
+        )
+    return spark.createDataFrame(rows)
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -997,6 +1237,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_battery": scalar_battery,
         "collection_battery": collection_battery,
         "multiway_zip_join": multiway_zip_q,
+        "outer_join_coalesce": outer_join_coalesce,
+        "corr_regr_agg": corr_regr_agg,
+        "product_agg": product_agg,
+        "bit_ops_battery": bit_ops_battery,
+        "parse_cast_battery": parse_cast_battery,
+        "set_ops_per_key": set_ops_per_key,
+        "bm_matmul": bm_matmul_q,
+        "hwe_by_group": hwe_by_group,
     }
 
 
@@ -1036,4 +1284,12 @@ def oracle_sql() -> dict[str, str]:
         "scalar_battery": _SCALAR_SQL,
         "collection_battery": _COLLECTION_SQL,
         "multiway_zip_join": _MULTIWAY_SQL,
+        "outer_join_coalesce": _OUTER_JOIN_SQL,
+        "corr_regr_agg": _CORR_SQL,
+        "product_agg": _PRODUCT_SQL,
+        "bit_ops_battery": _BIT_SQL,
+        "parse_cast_battery": _PARSE_SQL,
+        "set_ops_per_key": _SET_OPS_SQL,
+        "bm_matmul": _BM_MATMUL_SQL,
+        # hwe_by_group: exact-test finalizer not SQL-expressible → rows-only
     }
