@@ -536,7 +536,9 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_SQL = (
     "WITH " + _SHINGLE_CTE + """,
-mh AS (SELECT doc_id, i, min(('0x'||substr(md5(s||'#'||i),1,15))::BIGINT) AS h
+mh AS (SELECT doc_id, i,
+       min((((i*2654435761) % 2147483646 + 1) * (('0x'||substr(md5(s),1,15))::BIGINT % 2147483647)
+            + (i*40503 + 17) % 2147483647) % 2147483647) AS h
        FROM sh, (SELECT unnest(range(0, 64)) i) g GROUP BY doc_id, i),
 band AS (SELECT doc_id, i // 4 AS band,
                ('0x'||substr(md5(string_agg(h::VARCHAR, ',' ORDER BY i)),1,15))::BIGINT AS band_hash

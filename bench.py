@@ -30,6 +30,8 @@ def main():
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
             timings[name] = round(time.time() - t0, 3)
+            if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"):
+                print(f"# {name}: {timings[name]}s", file=sys.stderr)
         except Exception as e:  # noqa: BLE001
             timings[name] = -1.0
             print(f"# {name} FAILED: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)

@@ -1,0 +1,98 @@
+"""query_table — point/range lookups into a written native table
+WITHOUT a Spark job.
+
+Parity target: ``hl.query_table`` / ``hl.query_matrix_table_rows``
+(ref functions.py:7245/7295), which read the reference's per-partition
+key b-tree index (hail/hail/src/is/hail/io/index/IndexReader.scala)
+driver-side. Our native format is key-sorted parquet (Table.write,
+table.py), so the equivalent index is parquet row-group min/max
+statistics: this module opens the parquet footer(s) with pyarrow,
+prunes row groups whose [min, max] key interval misses the probe, and
+scans only the surviving groups — O(row-group) driver-side I/O, no
+cluster round trip, exactly the latency class of the reference's
+indexed reads.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any
+
+import pyarrow.parquet as pq
+
+
+def _key_meta(path: str) -> list[str]:
+    with open(os.path.join(path, "_hail_spark_metadata.json")) as f:
+        return json.load(f)["key"]
+
+
+def _row_group_bounds(pf: pq.ParquetFile, col_idx: int):
+    """(min, max) per row group for one column, None if stats absent."""
+    out = []
+    for rg in range(pf.metadata.num_row_groups):
+        col = pf.metadata.row_group(rg).column(col_idx)
+        st = col.statistics
+        out.append((st.min, st.max) if st is not None and st.has_min_max else None)
+    return out
+
+
+def query_table(path: str, point=None, interval: tuple | None = None) -> list[dict]:
+    """Read rows whose first key field equals ``point`` (or falls in
+    ``interval=(lo, hi)`` inclusive) from a Table.write output dir.
+
+    Runs entirely on the driver with pyarrow; only row groups whose
+    min/max stats overlap the probe are deserialized."""
+    if (point is None) == (interval is None):
+        raise ValueError("exactly one of point / interval is required")
+    key = _key_meta(path)
+    if not key:
+        raise ValueError("query_table requires a keyed table")
+    k0 = key[0]
+    lo, hi = (point, point) if interval is None else interval
+
+    files = sorted(glob.glob(os.path.join(path, "rows", "*.parquet")))
+    rows: list[dict] = []
+    for fp in files:
+        pf = pq.ParquetFile(fp)
+        names = pf.schema_arrow.names
+        ci = names.index(k0)
+        groups = [
+            rg
+            for rg, b in enumerate(_row_group_bounds(pf, ci))
+            if b is None or (b[0] <= hi and b[1] >= lo)
+        ]
+        if not groups:
+            continue
+        tbl = pf.read_row_groups(groups)
+        col = tbl.column(k0).to_pylist()
+        keep = [i for i, v in enumerate(col) if v is not None and lo <= v <= hi]
+        if keep:
+            sub = tbl.take(keep).to_pylist()
+            rows.extend(sub)
+    return rows
+
+
+def table_stats(path: str) -> dict[str, Any]:
+    """Partition/row-group manifest of a native table — the analogue of
+    the reference's partition-bounds metadata (AbstractRVDSpec.scala:224)."""
+    key = _key_meta(path)
+    files = sorted(glob.glob(os.path.join(path, "rows", "*.parquet")))
+    n_rows, n_groups, bounds = 0, 0, []
+    for fp in files:
+        pf = pq.ParquetFile(fp)
+        n_rows += pf.metadata.num_rows
+        n_groups += pf.metadata.num_row_groups
+        if key:
+            ci = pf.schema_arrow.names.index(key[0])
+            for b in _row_group_bounds(pf, ci):
+                if b:
+                    bounds.append(b)
+    return {
+        "key": key,
+        "n_files": len(files),
+        "n_rows": n_rows,
+        "n_row_groups": n_groups,
+        "key_bounds": bounds,
+    }

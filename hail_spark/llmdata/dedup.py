@@ -30,9 +30,28 @@ def md5_int(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
 
 
-def _seeded(c: Column, i: Column | int) -> Column:
-    ii = i if isinstance(i, Column) else F.lit(i)
-    return md5_int(F.concat(c, F.lit("#"), ii.cast("string")))
+_MH_P = 2147483647  # 2^31 - 1 (Mersenne prime) — universal-hash modulus
+
+
+def _perm(i: Column, hb: Column) -> Column:
+    """i-th universal-hash permutation of a base hash: (a_i·h + b_i) mod p
+    with deterministic a_i, b_i derived from i — SQL-portable, and only
+    ONE md5 per shingle regardless of k (the textbook MinHash scheme)."""
+    a = (i * F.lit(2654435761)) % F.lit(_MH_P - 1) + 1
+    b = (i * F.lit(40503) + 17) % F.lit(_MH_P)
+    return (a * hb + b) % F.lit(_MH_P)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the
+    source arrived in fewer splits (e.g. one small parquet file) —
+    CPU-bound per-row hashing otherwise runs single-threaded. At real
+    scale maxPartitionBytes already yields enough splits and this is a
+    no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def tokens(text: Column) -> Column:
@@ -80,15 +99,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
-    Entirely per-row (array HOFs inside whole-stage codegen): no explode,
-    no shuffle — each doc computes min over its shingle set for k seeded
-    hash functions. Scales linearly with corpus size."""
-    sh = shingles(F.col(text_col), shingle_n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: _seeded(s, i))),
+    Two-stage: (1) ONE md5 per distinct shingle → base-hash array,
+    materialized through the `_spread` exchange so the expensive regex
+    tokenize + md5 runs exactly once per doc and in parallel; (2) k
+    affine permutations ((a_i·h+b_i) mod p) + array_min — pure integer
+    codegen, no shuffle. Cost k×cheaper than k independent md5 passes
+    and identical output in any SQL dialect."""
+    base = F.transform(
+        shingles(F.col(text_col), shingle_n), lambda s: md5_int(s) % F.lit(_MH_P)
     )
-    return df.select(F.col(id_col), sig.alias("minhash"))
+    hashed = _spread(df.select(F.col(id_col), base.alias("__hb")))
+    # one aggregate pass: per shingle update all k running minima —
+    # the base-hash array is an aggregate input, evaluated exactly once
+    # per row (HOF lambdas would re-evaluate it per index otherwise)
+    sig = F.aggregate(
+        F.col("__hb"),
+        F.array_repeat(F.lit(_MH_P).cast("bigint"), k),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.sequence(F.lit(0).cast("bigint"), F.lit(k - 1)),
+            lambda m, i: F.least(m, _perm(i, h)),
+        ),
+    )
+    return hashed.select(F.col(id_col), sig.alias("minhash"))
 
 
 def minhash_lsh_pairs(
@@ -191,7 +224,8 @@ def ngram_jaccard_pairs(
     on threshold. All shuffles are hash equi-joins on shingle/doc ids —
     the standard scalable exact-dedup shape."""
     sh = (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s"))
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s"))
         .select(id_col, md5_int(F.col("s")).alias("sh"))
         .distinct()
     )
@@ -228,26 +262,26 @@ def simhash(
     token count); bit j of each token from its md5 hash. Per-row HOF
     compute, no shuffle. 48 bits keeps the packed value well inside
     int64 for SQL portability."""
-    ws = tokens(F.col(text_col))
-    th = F.transform(ws, md5_int)  # one 60-bit hash per token
-    # bit index j is a Python int (shiftright needs a literal), so the
-    # per-bit sums unroll into `bits` fold expressions — still one pass
-    # over the token array per row, fully inside codegen
-    def bit_sum(j: int):
-        return F.aggregate(
-            th,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    packed = None
-    for j in range(bits):
-        term = F.when(bit_sum(j) > 0, F.lit(1 << j).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        packed = term if packed is None else packed + term
-    return df.select(F.col(id_col), packed.alias("simhash"))
+    th = F.transform(tokens(F.col(text_col)), md5_int)  # one md5 per token
+    hashed = _spread(df.select(F.col(id_col), th.alias("__th")))
+    masks = F.array(*[F.lit(1 << j).cast("bigint") for j in range(bits)])
+    # single aggregate pass: per token, bump all `bits` signed counts
+    # (+1 if bit set, −1 otherwise); token-hash array evaluated once
+    counts = F.aggregate(
+        F.col("__th"),
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(counts, masks, lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return hashed.select(F.col(id_col), packed.alias("simhash"))
 
 
 def simhash_dup_pairs(
@@ -327,7 +361,12 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold.
 
-    lsh_bits=0: brute pairwise (only for small/broadcastable inputs).
+    lsh_bits=0: exact blocked all-pairs — hash ids into `n_blocks`
+    buckets, cross-join the O(n_blocks²/2) bucket pairs, and compute
+    each bucket-pair's cosine matrix as ONE numpy gemm inside
+    mapInPandas. Same O(n²) arithmetic as naive pairwise but at BLAS
+    speed and distributed over bucket pairs (the standard blocked
+    similarity-join shape; row-level JVM folds were ~100× slower).
     lsh_bits>0: random-hyperplane LSH — bucket by the sign-bit vector of
     `lsh_bits` deterministic pseudo-random hyperplanes, join within
     buckets only. High-cosine pairs collide with probability
@@ -344,15 +383,66 @@ def embedding_dup_pairs(
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
-    else:
-        a, b = base.alias("a"), base.alias("b")
-        joined = a.join(b, on=F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-    cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
-    return joined.select(
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        cos.alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+        cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        return joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cosine"),
+        ).filter(F.col("cosine") >= threshold)
+    return _blocked_allpairs_cosine(base, vec_col, id_col, threshold)
+
+
+def _blocked_allpairs_cosine(
+    base: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    n_blocks: int = 16,
+) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    bucketed = base.groupBy(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("__b")
+    ).agg(
+        F.collect_list(F.col(id_col)).alias("__ids"),
+        F.collect_list(F.col(vec_col)).alias("__vecs"),
+    )
+    left = bucketed.select(
+        F.col("__b").alias("ba"), F.col("__ids").alias("ids_a"), F.col("__vecs").alias("vecs_a")
+    )
+    right = bucketed.select(
+        F.col("__b").alias("bb"), F.col("__ids").alias("ids_b"), F.col("__vecs").alias("vecs_b")
+    )
+    combos = left.join(right, on=F.col("ba") <= F.col("bb")).repartition(
+        n_blocks * (n_blocks + 1) // 2
+    )
+
+    def run(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                ids_a = np.asarray(row["ids_a"])
+                ids_b = np.asarray(row["ids_b"])
+                A = np.asarray([np.asarray(v, dtype=float) for v in row["vecs_a"]])
+                B = np.asarray([np.asarray(v, dtype=float) for v in row["vecs_b"]])
+                An = A / np.linalg.norm(A, axis=1, keepdims=True)
+                Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+                C = An @ Bn.T
+                ii, jj = np.where(C >= threshold)
+                la, lb, cs = ids_a[ii], ids_b[jj], C[ii, jj]
+                if row["ba"] == row["bb"]:
+                    # same bucket: each unordered pair appears twice in C
+                    keep = la < lb
+                    la, lb, cs = la[keep], lb[keep], cs[keep]
+                else:
+                    # cross bucket: pair appears once — normalize id order
+                    lo = np.minimum(la, lb)
+                    hi = np.maximum(la, lb)
+                    la, lb = lo, hi
+                if len(la):
+                    yield pd.DataFrame({"id_a": la, "id_b": lb, "cosine": cs})
+
+    return combos.mapInPandas(run, schema="id_a bigint, id_b bigint, cosine double")
 
 
 def _hyperplane_sig(vec: Column, bits: int) -> Column:

@@ -149,3 +149,71 @@ def test_vcf_roundtrip(spark, vcf_path, tmp_path):
     ).collect()
     key = lambda r: (r["locus"]["contig"], r["locus"]["position"])  # noqa: E731
     assert sorted(a, key=key) == sorted(b, key=key)
+
+
+def test_query_table_point_and_range(spark, tmp_path):
+    from hail_spark.io.query_table import query_table, table_stats
+    from hail_spark.table import Table
+
+    t = Table.from_spark(
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet"), key=("o_orderkey",)
+    )
+    p = str(tmp_path / "orders_native")
+    t.write(p)
+    some = t.df.select("o_orderkey", "o_totalprice").take(5)
+    probe = some[3]["o_orderkey"]
+    rows = query_table(p, point=probe)
+    assert len(rows) == 1 and rows[0]["o_orderkey"] == probe
+    assert abs(rows[0]["o_totalprice"] - some[3]["o_totalprice"]) < 1e-9
+    # range probe vs spark filter
+    lo, hi = probe, probe + 50
+    got = sorted(r["o_orderkey"] for r in query_table(p, interval=(lo, hi)))
+    want = sorted(
+        r["o_orderkey"]
+        for r in t.df.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") <= hi)).collect()
+    )
+    assert got == want
+    # missing key -> empty
+    assert query_table(p, point=-99999) == []
+    st = table_stats(p)
+    assert st["key"] == ["o_orderkey"] and st["n_rows"] == t.df.count()
+    with pytest.raises(ValueError):
+        query_table(p)
+
+
+def test_plink_roundtrip(spark, tmp_path):
+    import numpy as np
+    from hail_spark.io.plink import export_plink, import_plink
+    from hail_spark.io import import_vcf
+
+    rng = np.random.default_rng(5)
+    nv, ns = 33, 10  # ns not divisible by 4 → ragged last byte
+    G = rng.integers(-1, 3, size=(nv, ns))  # -1 → missing
+    gmap = {-1: "./.", 0: "0/0", 1: "0/1", 2: "1/1"}
+    vcf = tmp_path / "p.vcf"
+    with open(vcf, "w") as f:
+        f.write("##fileformat=VCFv4.2\n#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                + "\t".join(f"S{j}" for j in range(ns)) + "\n")
+        for i in range(nv):
+            f.write(f"{1+i%2}\t{100+i}\t.\tA\tC\t.\t.\t.\tGT\t"
+                    + "\t".join(gmap[int(g)] for g in G[i]) + "\n")
+    mt = import_vcf(spark, str(vcf))
+    base = str(tmp_path / "pl")
+    export_plink(mt, base)
+    mt2 = import_plink(spark, base + ".bed", n_partitions=3)
+    assert mt2.count() == (nv, ns)
+    assert [c["s"] for c in mt2._cols] == [f"S{j}" for j in range(ns)]
+    got = {
+        (r["locus"]["contig"], r["locus"]["position"]): [e["GT"] if e else None for e in r["__entries"]]
+        for r in mt2._df.collect()
+    }
+    for i in range(nv):
+        want = [None if G[i, j] < 0 else int(G[i, j]) for j in range(ns)]
+        assert got[(str(1 + i % 2), 100 + i)] == want, i
+    # corrupted magic
+    bad = tmp_path / "bad.bed"
+    bad.write_bytes(b"xxx" + b"\x00" * 10)
+    (tmp_path / "bad.bim").write_text("1 v 0 1 A C\n")
+    (tmp_path / "bad.fam").write_text("0 s 0 0 0 -9\n")
+    with pytest.raises(ValueError, match="SNP-major"):
+        import_plink(spark, str(bad))
