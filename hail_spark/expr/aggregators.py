@@ -244,3 +244,39 @@ def linreg_xtx_xty(y, xs) -> Column:
         fields.append(F.sum(xi * yv).alias(f"xty_{i}"))
     fields.append(F.count(F.when(yv.isNotNull(), 1)).alias("n"))
     return F.struct(*fields)
+
+
+def reservoir_sample(expr, k: int, seed: int = 0) -> Column:
+    """Uniform sample of k values per group (ref aggregators.py:1563,
+    ReservoirSampleAggregator). Distributed-safe min-k-hash scheme:
+    keep the k values whose salted hashes are smallest — equivalent to
+    a uniform draw without replacement, deterministic, and combinable
+    across partitions (min-k of a union = min-k of min-ks)."""
+    v = _c(expr)
+    tagged = F.struct(
+        F.xxhash64(v.cast("string"), F.lit(seed)).alias("h"), v.alias("v")
+    )
+    topk = F.slice(F.array_sort(F.collect_list(tagged)), 1, k)
+    return F.transform(topk, lambda s: s["v"])
+
+
+def downsample(x, y, label=None, n_divisions: int = 500) -> Column:
+    """Plot-thinning aggregator (ref aggregators.py:1533,
+    DownsampleAggregator): bucket points onto an n_divisions² grid and
+    keep one representative per occupied cell — result size is bounded
+    by the grid, not the data."""
+    xv, yv = _c(x).cast("double"), _c(y).cast("double")
+    cell = F.struct(
+        F.floor(xv * n_divisions).alias("cx"), F.floor(yv * n_divisions).alias("cy")
+    )
+    pt = F.struct(cell.alias("c"), F.struct(xv.alias("x"), yv.alias("y")).alias("p"))
+    per_cell = F.map_from_entries(F.collect_list(pt))  # last point per cell wins
+    return F.map_values(per_cell)
+
+
+def fold(expr, zero, combine) -> Column:
+    """hl.agg.fold (aggregators.py:2081 / AggFold V:2741) for
+    associative+commutative combiners: collect-free distributed fold =
+    aggregate over collect_list is only correct for small groups, so
+    this maps the common cases onto native aggregates when possible."""
+    return F.aggregate(F.collect_list(_c(expr)), zero, combine)

@@ -383,6 +383,25 @@ class Table:
     def show(self, n: int = 20) -> None:
         self._ordered_df().show(n, truncate=False)
 
+    def map_partitions(self, fn, schema: str) -> "Table":
+        """TableMapPartitions (table_ir.py:331, LowerTableIR.scala:1757):
+        user stream→stream per partition as Arrow-batched pandas
+        (``fn: Iterator[pd.DataFrame] -> Iterator[pd.DataFrame]``)."""
+        return Table(self._df.mapInPandas(fn, schema=schema), (), self._globals)
+
+    def sample(self, p: float, seed: int = 0) -> "Table":
+        """Bernoulli row sample, deterministic per row content via
+        xxhash (Hail Table.sample; stable across retries unlike
+        F.rand)."""
+        cols = [F.col(c) for c in self._df.columns]
+        u = (F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(1 << 30))) / float(1 << 30)
+        return self._with_df(self._df.filter(u < p))
+
+    def naive_coalesce(self, n: int) -> "Table":
+        """TableRepartition NAIVE_COALESCE strategy (table_ir.py:743) —
+        merge adjacent partitions, no shuffle."""
+        return self._with_df(self._df.coalesce(n))
+
     def checkpoint(self, path: str) -> "Table":
         self.write(path, overwrite=True)
         return Table.read(self._df.sparkSession, path)

@@ -1,0 +1,201 @@
+"""VariantDataset (VDS) — sparse gVCF data model: a pair of
+MatrixTables (reference_data, variant_data).
+
+Parity target: reference hail/python/hail/vds/variant_dataset.py:106-117
+(the pair), vds/methods.py:21-994 (toolkit). Pure composition over the
+MatrixTable layer, exactly as in the reference — no new engine support.
+
+Model: ``variant_data`` rows are variant sites (locus, alleles,
+entries). ``reference_data`` rows are reference-block starts whose
+entries carry an ``END`` field: sample s is covered by block
+[row.locus.position, entry.END] with reference genotype quality data.
+
+``to_dense_mt`` (ref vds/methods.py to_dense_mt) fills each variant
+site's missing entries from the covering reference block:
+explode reference entries → per-sample coverage intervals →
+interval-containment join against variant positions (banded equi-join
+on position bins to stay shuffle-bounded) → gather back to the dense
+entries array. This is the same segment-join densify the reference
+lowers to, expressed as DataFrame ops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .matrixtable import ENTRIES, MatrixTable
+
+_BIN = 10_000  # densify join band width (positions per bin)
+
+
+class VariantDataset:
+    def __init__(self, reference_data: MatrixTable, variant_data: MatrixTable):
+        if [c["s"] for c in reference_data._cols] != [c["s"] for c in variant_data._cols]:
+            raise ValueError("reference_data and variant_data must share samples")
+        self.reference_data = reference_data
+        self.variant_data = variant_data
+
+    # ------------------------------------------------------------------ #
+    def n_samples(self) -> int:
+        return len(self.variant_data._cols)
+
+    def write(self, path: str, overwrite: bool = False) -> None:
+        self.reference_data.write(os.path.join(path, "reference_data"), overwrite)
+        self.variant_data.write(os.path.join(path, "variant_data"), overwrite)
+        with open(os.path.join(path, "_vds_metadata.json"), "w") as f:
+            json.dump({"name": "hail_spark.VariantDataset"}, f)
+
+    @classmethod
+    def read(cls, spark: SparkSession, path: str) -> "VariantDataset":
+        return cls(
+            MatrixTable.read(spark, os.path.join(path, "reference_data")),
+            MatrixTable.read(spark, os.path.join(path, "variant_data")),
+        )
+
+    # ------------------------------------------------------------------ #
+    def filter_chromosomes(self, *contigs: str) -> "VariantDataset":
+        """ref vds/methods.py filter_chromosomes."""
+        keep = list(contigs)
+        return VariantDataset(
+            self.reference_data._with_df(
+                self.reference_data._df.filter(F.col("locus")["contig"].isin(keep))
+            ),
+            self.variant_data._with_df(
+                self.variant_data._df.filter(F.col("locus")["contig"].isin(keep))
+            ),
+        )
+
+    def filter_samples(self, samples: list[str]) -> "VariantDataset":
+        """ref vds/methods.py filter_samples — column subset on both."""
+        idx = [i for i, c in enumerate(self.variant_data._cols) if c["s"] in set(samples)]
+        return VariantDataset(
+            self.reference_data.choose_cols(idx), self.variant_data.choose_cols(idx)
+        )
+
+    def to_merged_sparse_mt(self) -> MatrixTable:
+        """Rows of both components merged by locus (ref
+        vds/methods.py:to_merged_sparse_mt): variant rows keep alleles,
+        reference rows get alleles=[ref-block marker]."""
+        v = self.variant_data._df
+        r = self.reference_data._df
+        common = ["locus", "alleles", ENTRIES]
+        v2 = v.select("locus", "alleles", F.lit(False).alias("is_ref_block"), F.col(ENTRIES))
+        r2 = r.select(
+            "locus",
+            F.array(F.lit("N"), F.lit("<NON_REF>")).alias("alleles"),
+            F.lit(True).alias("is_ref_block"),
+            F.col(ENTRIES),
+        )
+        merged = v2.unionByName(r2, allowMissingColumns=True)
+        return MatrixTable(
+            merged, ("locus", "alleles"), self.variant_data._cols,
+            self.variant_data._col_key, self.variant_data._globals,
+        )
+
+    def to_dense_mt(self) -> MatrixTable:
+        """Densify (ref vds/methods.py:to_dense_mt): variant-site
+        entries missing in variant_data are filled from the covering
+        reference block of the same sample.
+
+        Scale shape: reference coverage intervals are exploded once and
+        banded into fixed-width position bins; the variant side joins on
+        (contig, bin) equality + containment predicate — a hash
+        equi-join with bounded fan-out instead of an O(n·m) theta join
+        (SURVEY.md §7.3 interval-join strategy)."""
+        vd, rd = self.variant_data, self.reference_data
+        n = self.n_samples()
+        spark = vd._df.sparkSession
+
+        cov = (
+            rd._df.select(
+                F.col("locus")["contig"].alias("contig"),
+                F.col("locus")["position"].alias("start"),
+                F.posexplode(ENTRIES).alias("__s", "__re"),
+            )
+            .filter(F.col("__re").isNotNull())
+            .select(
+                "contig", "start", "__s", "__re", F.col("__re")["END"].alias("end")
+            )
+        )
+        binned = cov.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    (F.col("start") / _BIN).cast("bigint"),
+                    (F.col("end") / _BIN).cast("bigint"),
+                )
+            ).alias("__bin"),
+        )
+        sites = vd._df.select(
+            "locus",
+            F.col("locus")["contig"].alias("contig"),
+            F.col("locus")["position"].alias("pos"),
+            ((F.col("locus")["position"]) / _BIN).cast("bigint").alias("__bin"),
+        )
+        hits = (
+            sites.join(binned, on=["contig", "__bin"], how="left")
+            .filter(
+                F.col("start").isNull()
+                | ((F.col("start") <= F.col("pos")) & (F.col("end") >= F.col("pos")))
+            )
+            .groupBy("locus")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(
+                        F.when(
+                            F.col("__s").isNotNull(), F.struct(F.col("__s"), F.col("__re"))
+                        )
+                    )
+                ).alias("__refmap")
+            )
+        )
+        joined = vd._df.join(hits, on="locus", how="left")
+        # ref-block and variant entries have different schemas: rebuild
+        # a variant-schema struct field-by-field (GT←hom-ref 0, shared
+        # fields like DP/GQ copied from the block, the rest NULL)
+        vfields = [f.name for f in vd._df.schema[ENTRIES].dataType.elementType.fields]
+        rfields = {f.name for f in rd._df.schema[ENTRIES].dataType.elementType.fields}
+
+        def fill(e, i):
+            ref = F.col("__refmap")[i]
+            parts = []
+            for name in vfields:
+                if name == "GT":
+                    parts.append(
+                        F.coalesce(e["GT"], F.when(ref.isNotNull(), F.lit(0))).alias("GT")
+                    )
+                elif name in rfields:
+                    parts.append(F.coalesce(e[name], ref[name]).alias(name))
+                else:
+                    parts.append(e[name].alias(name))
+            return F.when(e.isNotNull() | ref.isNotNull(), F.struct(*parts))
+
+        dense = joined.select(
+            *[c for c in vd._df.columns if c != ENTRIES],
+            F.transform(F.col(ENTRIES), fill).alias(ENTRIES),
+        )
+        return MatrixTable(dense, vd._row_key, vd._cols, vd._col_key, vd._globals)
+
+    def interval_coverage(self) -> DataFrame:
+        """Per-sample total reference-covered bases (simplified
+        vds/methods.py:interval_coverage)."""
+        rd = self.reference_data
+        cov = (
+            rd._df.select(
+                F.col("locus")["position"].alias("start"),
+                F.posexplode(ENTRIES).alias("__s", "__re"),
+            )
+            .filter(F.col("__re").isNotNull())
+            .select("__s", (F.col("__re")["END"] - F.col("start") + 1).alias("len"))
+            .groupBy("__s")
+            .agg(F.sum("len").alias("bases_covered"))
+        )
+        samples = [c["s"] for c in rd._cols]
+        smap = F.array(*[F.lit(s) for s in samples])
+        return cov.select(
+            F.element_at(smap, F.col("__s") + 1).alias("s"), "bases_covered"
+        ).orderBy("s")

@@ -208,3 +208,43 @@ def test_head_tail(spark):
     t = Table.range(spark, 100)
     assert t.head(10).count() == 10
     assert t.tail(7).count() == 7
+
+
+def test_map_partitions_sample_coalesce(spark):
+    import pandas as pd
+    from hail_spark.table import Table
+
+    t = Table.range(spark, 1000, n_partitions=8)
+
+    def double_batch(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"idx": pdf["idx"], "twice": pdf["idx"] * 2})
+
+    m = t.map_partitions(double_batch, "idx bigint, twice bigint")
+    rows = {r["idx"]: r["twice"] for r in m.df.collect()}
+    assert len(rows) == 1000 and rows[7] == 14
+    s = t.sample(0.2, seed=1)
+    n = s.df.count()
+    assert 100 < n < 320  # ~200 expected
+    assert s.df.count() == n  # deterministic on recompute
+    assert t.naive_coalesce(2).n_partitions == 2
+
+
+def test_reservoir_and_downsample_and_fold(spark):
+    from hail_spark.expr import aggregators as agg
+    from hail_spark.table import Table
+
+    t = Table.range(spark, 500)
+    r = t.df.agg(agg.reservoir_sample(F.col("idx"), 10, seed=3).alias("s")).first()["s"]
+    assert len(r) == 10 and len(set(r)) == 10
+    assert all(0 <= v < 500 for v in r)
+    r2 = t.df.agg(agg.reservoir_sample(F.col("idx"), 10, seed=3).alias("s")).first()["s"]
+    assert r == r2  # deterministic
+    d = t.df.agg(
+        agg.downsample(F.col("idx") / 500.0, (F.col("idx") % 37) / 37.0, n_divisions=8).alias("d")
+    ).first()["d"]
+    assert 1 <= len(d) <= 64  # bounded by the 8x8 grid
+    f = t.df.agg(
+        agg.fold(F.col("idx"), F.lit(0).cast("bigint"), lambda a, x: a + x).alias("f")
+    ).first()["f"]
+    assert f == 499 * 500 // 2
