@@ -1200,6 +1200,83 @@ def hwe_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows)
 
 
+def query_table_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.query_table (functions.py:7245): indexed point+range reads
+    from the native format WITHOUT a Spark job — pyarrow row-group
+    min/max pruning plays the role of the reference's key b-tree
+    (io/index/IndexReader.scala)."""
+    import hashlib
+
+    from hail_spark.io.query_table import query_table
+    from hail_spark.table import Table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cache = f"/tmp/hail_spark_qt_{tag}"
+    import os
+
+    if not os.path.exists(os.path.join(cache, "_hail_spark_metadata.json")):
+        Table.from_spark(
+            spark.read.parquet(f"{sf_dir}/orders.parquet"), key=("o_orderkey",)
+        ).write(cache, overwrite=True)
+    rows = query_table(cache, interval=(100, 160))
+    out = spark.createDataFrame(
+        [
+            {
+                "o_orderkey": r["o_orderkey"],
+                "o_custkey": r["o_custkey"],
+                "o_totalprice": round(r["o_totalprice"], 2),
+            }
+            for r in rows
+        ],
+        "o_orderkey bigint, o_custkey bigint, o_totalprice double",
+    )
+    return out.orderBy("o_orderkey")
+
+
+_QUERY_TABLE_SQL = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders WHERE o_orderkey BETWEEN 100 AND 160 ORDER BY o_orderkey
+"""
+
+
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pipeline: documents → binary assets →
+    stub-decoded image metadata + embedding + audio features, joined on
+    asset_id. Decode is a deterministic stub (no codec libs in this
+    container) → rows-only check; the Spark plumbing (binary columns,
+    Arrow batches, map-only extraction) is the real surface."""
+    from hail_spark.llmdata import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200).collect()
+    assets = mm.make_asset_table(
+        spark,
+        [
+            {"asset_id": d["doc_id"], "content": d["text"].encode(), "source": d["source"]}
+            for d in docs
+        ],
+        "image",
+    )
+    meta = mm.image_metadata(assets)
+    emb = mm.image_embed(assets, dim=8)
+    au = mm.audio_features(assets)
+    out = (
+        meta.join(emb, "asset_id")
+        .join(au, "asset_id")
+        .select(
+            "asset_id",
+            "width",
+            "height",
+            "channels",
+            F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x), 6).alias(
+                "emb_sum"
+            ),
+            "n_samples",
+            F.round("rms", 6).alias("rms"),
+        )
+    )
+    return out.orderBy("asset_id")
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -1247,6 +1324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_per_key": set_ops_per_key,
         "bm_matmul": bm_matmul_q,
         "hwe_by_group": hwe_by_group,
+        "query_table_point": query_table_point,
+        "multimodal_pipeline": multimodal_pipeline,
     }
 
 
@@ -1294,4 +1373,6 @@ def oracle_sql() -> dict[str, str]:
         "set_ops_per_key": _SET_OPS_SQL,
         "bm_matmul": _BM_MATMUL_SQL,
         # hwe_by_group: exact-test finalizer not SQL-expressible → rows-only
+        "query_table_point": _QUERY_TABLE_SQL,
+        # multimodal_pipeline: stubbed codecs → rows-only
     }
