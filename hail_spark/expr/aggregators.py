@@ -225,7 +225,8 @@ def call_stats(gt, n_alleles: int = 2) -> Column:
     hom1 = F.count(F.when(g == 2, 1)).cast("int")
     return F.struct(
         F.array(ac0, ac1).alias("AC"),
-        F.array(ac0 / an, ac1 / an).alias("AF"),
+        # AN=0 (no calls) → missing AF, not an ANSI divide-by-zero
+        F.array(ac0 / F.nullif(an, F.lit(0)), ac1 / F.nullif(an, F.lit(0))).alias("AF"),
         an.alias("AN"),
         F.array(hom0, hom1).alias("homozygote_count"),
     )

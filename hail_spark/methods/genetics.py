@@ -178,3 +178,207 @@ def concordance(mt1: MatrixTable, mt2: MatrixTable) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("left_gt", "right_gt")
     )
+
+
+def balding_nichols_model(
+    spark,
+    n_populations: int,
+    n_samples: int,
+    n_variants: int,
+    fst: float = 0.1,
+    seed: int = 0,
+    n_partitions: int | None = None,
+) -> MatrixTable:
+    """Simulated cohort (ref statgen.py:3984): ancestral allele
+    frequency per variant, per-population Balding-Nichols Beta draw,
+    binomial genotypes. Generation is distributed over variant ranges
+    (spark.range → mapInPandas, numpy RNG seeded per variant — one
+    deterministic stream regardless of partitioning)."""
+    import numpy as np
+    import pandas as pd
+
+    pops = np.random.default_rng(seed).integers(0, n_populations, n_samples)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for vid in pdf["id"]:
+                rng = np.random.default_rng((seed, int(vid)))
+                p0 = rng.uniform(0.1, 0.9)
+                a = p0 * (1 - fst) / fst
+                b = (1 - p0) * (1 - fst) / fst
+                pk = rng.beta(a, b, size=n_populations)
+                gts = rng.binomial(2, pk[pops])
+                rows.append(
+                    {
+                        "locus": {"contig": "1", "position": int(vid) + 1},
+                        "alleles": ["A", "C"],
+                        ENTRIES: [{"GT": int(g)} for g in gts],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    nparts = n_partitions or spark.sparkContext.defaultParallelism
+    df = spark.range(n_variants, numPartitions=nparts).mapInPandas(
+        gen,
+        schema=(
+            "locus struct<contig:string, position:int>, alleles array<string>, "
+            f"{ENTRIES} array<struct<GT:int>>"
+        ),
+    )
+    cols = [{"s": f"sample_{i}", "pop": int(pops[i])} for i in range(n_samples)]
+    return MatrixTable(df, ("locus", "alleles"), cols, ("s",))
+
+
+def impute_sex(mt: MatrixTable, x_contigs: tuple[str, ...] = ("X", "chrX"),
+               female_threshold: float = 0.2, male_threshold: float = 0.8) -> DataFrame:
+    """Per-sample X-chromosome inbreeding coefficient
+    F = (obs_hom − exp_hom) / (n − exp_hom) and sex call
+    (ref statgen.py:73). One map-only accumulation pass."""
+    import numpy as np
+    import pandas as pd
+
+    from .statgen import _entry_matrix
+
+    n = len(mt._cols)
+    xdf = mt._df.filter(F.col("locus")["contig"].isin(list(x_contigs)))
+
+    def acc(batches):
+        obs_hom = np.zeros(n)
+        exp_hom = np.zeros(n)
+        n_called = np.zeros(n)
+        for pdf in batches:
+            X = _entry_matrix(pdf[ENTRIES], "GT", n)
+            p = np.nanmean(X, axis=1) / 2.0
+            ok = (p > 0) & (p < 1) & ~np.isnan(p)
+            X, p = X[ok], p[ok]
+            called = ~np.isnan(X)
+            hom = called & ((X == 0) | (X == 2))
+            obs_hom += hom.sum(axis=0)
+            exp_hom += ((1.0 - 2.0 * p * (1.0 - p))[:, None] * called).sum(axis=0)
+            n_called += called.sum(axis=0)
+        yield pd.DataFrame(
+            {"i": range(n), "obs": obs_hom, "exp": exp_hom, "n": n_called}
+        )
+
+    parts = xdf.select(ENTRIES).mapInPandas(
+        acc, schema="i int, obs double, exp double, n double"
+    ).groupBy("i").agg(
+        F.sum("obs").alias("obs"), F.sum("exp").alias("exp"), F.sum("n").alias("n")
+    ).collect()
+    spark = mt._df.sparkSession
+    rows = []
+    for r in sorted(parts, key=lambda r: r["i"]):
+        denom = r["n"] - r["exp"]
+        f_stat = (r["obs"] - r["exp"]) / denom if abs(denom) > 1e-12 else float("nan")
+        is_female = (
+            None
+            if f_stat != f_stat or (female_threshold < f_stat < male_threshold)
+            else bool(f_stat < female_threshold)
+        )
+        rows.append(
+            {
+                "s": mt._cols[r["i"]]["s"],
+                "is_female": is_female,
+                "f_stat": float(f_stat),
+                "n_called": int(r["n"]),
+            }
+        )
+    return spark.createDataFrame(
+        rows, "s string, is_female boolean, f_stat double, n_called bigint"
+    )
+
+
+# TDT transmission/untransmission counts per (dad, mom, kid) dosage
+# combo (classic biallelic table; ref family_methods.py:377)
+_TDT_COMBOS = {
+    (1, 1, 0): (0, 2), (1, 1, 1): (1, 1), (1, 1, 2): (2, 0),
+    (1, 0, 0): (0, 1), (1, 0, 1): (1, 0),
+    (0, 1, 0): (0, 1), (0, 1, 1): (1, 0),
+    (1, 2, 1): (0, 1), (1, 2, 2): (1, 0),
+    (2, 1, 1): (0, 1), (2, 1, 2): (1, 0),
+}
+
+
+def transmission_disequilibrium_test(mt: MatrixTable, fam: DataFrame) -> DataFrame:
+    """TDT (ref family_methods.py:377): per variant, count alt-allele
+    transmissions (t) vs untransmissions (u) from het parents across
+    trios; χ² = (t−u)²/(t+u), upper-tail p. Counting is a fold over the
+    trio entries array in codegen; the p-value is a pandas-UDF finalizer."""
+    from ..expr.stats import _UDF_KERNELS  # noqa: F401  (module init)
+    from ..expr import stats as st
+
+    tm = trio_matrix(mt, fam)
+
+    def combo_counts(t: Column) -> Column:
+        k = t["proband_entry"]["GT"]
+        d = t["father_entry"]["GT"]
+        m = t["mother_entry"]["GT"]
+        tt = F.lit(0)
+        uu = F.lit(0)
+        for (dd, mm, kk), (ti, ui) in _TDT_COMBOS.items():
+            hit = (d == dd) & (m == mm) & (k == kk)
+            if ti:
+                tt = tt + F.when(hit, ti).otherwise(0)
+            if ui:
+                uu = uu + F.when(hit, ui).otherwise(0)
+        return F.struct(tt.alias("t"), uu.alias("u"))
+
+    per_row = tm._df.select(
+        *tm._row_key,
+        F.aggregate(
+            F.transform(F.col(ENTRIES), combo_counts),
+            F.struct(F.lit(0).alias("t"), F.lit(0).alias("u")),
+            lambda acc, x: F.struct(
+                (acc["t"] + x["t"]).alias("t"), (acc["u"] + x["u"]).alias("u")
+            ),
+        ).alias("__tu"),
+    )
+    t_c = F.col("__tu")["t"].cast("double")
+    u_c = F.col("__tu")["u"].cast("double")
+    chi2 = (t_c - u_c) * (t_c - u_c) / F.nullif(t_c + u_c, F.lit(0.0))
+    return per_row.select(
+        *tm._row_key,
+        F.col("__tu")["t"].alias("t"),
+        F.col("__tu")["u"].alias("u"),
+        chi2.alias("chi_sq"),
+        st.pchisqtail_udf(F.coalesce(chi2, F.lit(0.0)), F.lit(1.0)).alias("p_value"),
+    )
+
+
+def de_novo_candidates(mt: MatrixTable, fam: DataFrame, min_kid_dp: int = 0) -> DataFrame:
+    """Candidate de novo mutations (simplified ref
+    family_methods.py:564 de_novo): kid het, both parents hom-ref,
+    optional kid depth filter. Returns (row key, kid id) rows."""
+    # Build a flat scalar-field trio array directly (NOT via trio_matrix's
+    # nested entry structs): nested-struct access through a Generate over
+    # a deep VCF-parse lineage sends Catalyst's nested-column aliasing
+    # into a blow-up; scalar struct fields keep the rewrite linear.
+    sample_idx = {c["s"]: i for i, c in enumerate(mt._cols)}
+    g = F.col(ENTRIES)
+    trio_structs = []
+    for r in fam.collect():
+        kid, dad, mom = r["id"], r["pat_id"], r["mat_id"]
+        if kid in sample_idx and dad in sample_idx and mom in sample_idx:
+            trio_structs.append(
+                F.struct(
+                    F.lit(kid).alias("id"),
+                    g[sample_idx[kid]]["GT"].alias("k"),
+                    g[sample_idx[dad]]["GT"].alias("d"),
+                    g[sample_idx[mom]]["GT"].alias("m"),
+                    g[sample_idx[kid]]["DP"].alias("dp"),
+                )
+            )
+    if not trio_structs:
+        return mt._df.select(*mt._row_key, F.lit(None).cast("string").alias("id")).limit(0)
+    t = F.col("__t")
+    exploded = mt._df.select(
+        *mt._row_key, F.explode(F.array(*trio_structs)).alias("__t")
+    )
+    hits = exploded.filter(
+        (t["k"] == 1)
+        & (t["d"] == 0)
+        & (t["m"] == 0)
+        & (F.coalesce(t["dp"], F.lit(min_kid_dp)) >= min_kid_dp)
+    )
+    return hits.select(*mt._row_key, t["id"].alias("id"))

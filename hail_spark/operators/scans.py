@@ -146,3 +146,65 @@ def prev_nonnull(t: Table, expr: Column, name: str) -> Table:
         .drop(_PID, _OFF)
     )
     return Table(df, tt.key, tt.globals, _sorted=True)
+
+
+def _scan_assoc(
+    t: Table, expr: Column, name: str, aggf, py_combine, spark_combine
+) -> Table:
+    """Shared two-pass scaffold for associative scans (min/max/...):
+    same up/down shape as scan_sum with pluggable combiners."""
+    tt = t._ensure_key_sorted()
+    df = tt.df.withColumn(_PID, F.spark_partition_id())
+    spark = df.sparkSession
+    out_type = df.select(expr.alias("x")).schema["x"].dataType.simpleString()
+    partials = df.groupBy(_PID).agg(aggf(expr).alias("p")).collect()
+    partials.sort(key=lambda r: r[_PID])
+    rows, acc = [], None
+    for r in partials:
+        rows.append((r[_PID], acc))
+        if r["p"] is not None:
+            acc = r["p"] if acc is None else py_combine(acc, r["p"])
+    off = spark.createDataFrame(rows, schema=f"{_PID} int, {_OFF} {out_type}")
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*[F.col(k).asc_nulls_last() for k in tt.key])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = aggf(expr).over(w)
+    df = (
+        df.join(F.broadcast(off), on=_PID, how="left")
+        .withColumn(name, spark_combine(local, F.col(_OFF)))
+        .drop(_PID, _OFF)
+    )
+    return Table(df, tt.key, tt.globals, _sorted=True)
+
+
+def scan_min(t: Table, expr: Column, name: str) -> Table:
+    """Exclusive running min in key order (hl.scan.min parity).
+    `least` skips NULLs, so the first row's scan is missing — matching
+    Hail's empty-prefix semantics."""
+    return _scan_assoc(t, expr, name, F.min, min, F.least)
+
+
+def scan_max(t: Table, expr: Column, name: str) -> Table:
+    """Exclusive running max (hl.scan.max parity)."""
+    return _scan_assoc(t, expr, name, F.max, max, F.greatest)
+
+
+def scan_mean(t: Table, expr: Column, name: str) -> Table:
+    """Exclusive running mean = running sum / running count over
+    *defined* values (hl.scan.mean parity)."""
+    tmp_s, tmp_n = f"__{name}_s", f"__{name}_n"
+    t2 = scan_sum(t, F.when(expr.isNotNull(), expr.cast("double")).otherwise(F.lit(None)), tmp_s)
+    t3 = _scan_assoc(
+        t2,
+        F.when(expr.isNotNull(), F.lit(1).cast("bigint")),
+        tmp_n,
+        F.sum,
+        lambda a, b: a + b,
+        lambda loc, off: F.coalesce(loc, F.lit(0)) + F.coalesce(off, F.lit(0)),
+    )
+    df = t3.df.withColumn(
+        name, F.col(tmp_s) / F.nullif(F.col(tmp_n), F.lit(0))
+    ).drop(tmp_s, tmp_n)
+    return Table(df, t3.key, t3.globals, _sorted=True)

@@ -84,3 +84,67 @@ def test_concordance_self_and_perturbed(spark, trio_vcf):
     total = sum(c.values())
     assert total == mt.count_rows() * mt.count_cols()
     assert c[(-1, -1)] == 1  # the single ./. call (kid at pos 500)
+
+
+def test_balding_nichols_and_impute_sex(spark):
+    from hail_spark.methods.genetics import balding_nichols_model, impute_sex
+
+    mt = balding_nichols_model(spark, 2, 20, 150, fst=0.2, seed=7, n_partitions=4)
+    assert mt.count() == (150, 20)
+    gts = mt._df.select(F.explode(F.col("__entries").getField("GT")).alias("g"))
+    stats = gts.agg(F.min("g"), F.max("g"), F.avg("g")).first()
+    assert stats[0] == 0 and stats[1] == 2 and 0.3 < stats[2] < 1.7
+    # determinism across partitionings
+    mt2 = balding_nichols_model(spark, 2, 20, 150, fst=0.2, seed=7, n_partitions=2)
+    a = sorted(map(tuple, mt._df.select("locus").collect()))
+    assert mt._df.select(F.hash(F.to_json(F.struct("*")))).agg(F.sum("*")).first()[0] == \
+           mt2._df.select(F.hash(F.to_json(F.struct("*")))).agg(F.sum("*")).first()[0]
+
+    # impute_sex: X-genotypes — males (hom only) vs females (HWE hets)
+    import numpy as np
+    rng = np.random.default_rng(2)
+    ns, nv = 10, 200
+    p = rng.uniform(0.2, 0.8, nv)
+    G = np.zeros((nv, ns))
+    for j in range(ns):
+        if j < 5:   # male: haploid → always hom
+            G[:, j] = 2 * rng.binomial(1, p)
+        else:       # female: diploid HWE
+            G[:, j] = rng.binomial(2, p)
+    from hail_spark.matrixtable import ENTRIES, MatrixTable
+    rows = [{"locus": {"contig": "X", "position": i + 1},
+             ENTRIES: [{"GT": int(g)} for g in G[i]]} for i in range(nv)]
+    df = spark.createDataFrame(rows, f"locus struct<contig:string,position:int>, {ENTRIES} array<struct<GT:int>>")
+    xmt = MatrixTable(df, ("locus",), [{"s": f"S{j}"} for j in range(ns)], ("s",))
+    sex = {r["s"]: r for r in impute_sex(xmt).collect()}
+    assert all(sex[f"S{j}"]["is_female"] is False for j in range(5)), sex
+    assert all(sex[f"S{j}"]["is_female"] is True for j in range(5, 10)), sex
+
+
+def test_tdt_and_de_novo(spark, trio_vcf):
+    from hail_spark.io import import_fam, import_vcf
+    from hail_spark.methods.genetics import de_novo_candidates, transmission_disequilibrium_test
+
+    vcf, fam_p = trio_vcf
+    mt = import_vcf(spark, vcf)
+    fam = import_fam(spark, fam_p).df
+    res = {r["locus"]["position"]: r for r in transmission_disequilibrium_test(mt, fam).collect()}
+    # pos 100: dad 0/0, mom 0/1, kid 0/1 → t=1, u=0
+    assert (res[100]["t"], res[100]["u"]) == (1, 0)
+    # pos 300: dad 0/0 mom 0/0 kid 1/1 → no het parent → t=u=0, chi2 null
+    assert (res[300]["t"], res[300]["u"]) == (0, 0) and res[300]["chi_sq"] is None
+    assert all(0.0 <= r["p_value"] <= 1.0 for r in res.values())
+
+    dn = de_novo_candidates(mt, fam).collect()
+    # no kid-het/parents-homref site in this VCF except... pos 100 kid het but mom het → not de novo
+    assert dn == []
+    # plant one: pos 300 variant has kid 1/1 (not de novo); craft kid het case
+    import textwrap
+    p2 = vcf + ".dn.vcf"
+    open(p2, "w").write(textwrap.dedent("""\
+        ##fileformat=VCFv4.2
+        #CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\tkid\tdad\tmom
+        1\t700\t.\tA\tT\t.\t.\t.\tGT\t0/1\t0/0\t0/0
+        """))
+    dn2 = de_novo_candidates(import_vcf(spark, p2), fam).collect()
+    assert len(dn2) == 1 and dn2[0]["id"] == "kid"

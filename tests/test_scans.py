@@ -43,3 +43,30 @@ def test_prev_nonnull(spark):
     for i in range(40):
         expect = f"v{(i // 4) * 4}"
         assert out[i] == expect
+
+
+def test_scan_min_max_mean(spark):
+    import math
+    from hail_spark.operators.scans import scan_max, scan_mean, scan_min
+    from hail_spark.table import Table
+
+    vals = [5.0, 3.0, None, 8.0, 1.0, None, 9.0, 2.0]
+    t = Table.parallelize(
+        spark,
+        [{"k": i, "v": v} for i, v in enumerate(vals)],
+        "k int, v double",
+        key=("k",),
+    ).repartition(3)
+    t = t.key_by("k")
+    out = scan_mean(scan_max(scan_min(t, F.col("v"), "mn"), F.col("v"), "mx"), F.col("v"), "avg")
+    rows = {r["k"]: r for r in out.df.collect()}
+    # exclusive-prefix oracle in python
+    def prefix(i, fn):
+        seen = [x for x in vals[:i] if x is not None]
+        return fn(seen) if seen else None
+    for i in range(len(vals)):
+        assert rows[i]["mn"] == prefix(i, min), i
+        assert rows[i]["mx"] == prefix(i, max), i
+        want = prefix(i, lambda s: sum(s) / len(s))
+        got = rows[i]["avg"]
+        assert (got is None and want is None) or math.isclose(got, want), i
