@@ -720,3 +720,68 @@ def rand_norm(uid, mean=0.0, sd=1.0, seed: int = 0) -> Column:
     u2 = rand_unif(uid, seed=seed * 2 + 2)
     z = F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * 3.141592653589793 * u2)
     return F.lit(mean) + z * F.lit(sd)
+
+
+# ---------------------------------------------------------------------- #
+# allele types (ref functions.py:3576-3941, GenotypeFunctions.scala)
+# ---------------------------------------------------------------------- #
+def is_snp(ref, alt) -> Column:
+    r, a = _c(ref), _c(alt)
+    return (F.length(r) == 1) & (F.length(a) == 1) & (r != a)
+
+
+def is_mnp(ref, alt) -> Column:
+    r, a = _c(ref), _c(alt)
+    return (F.length(r) > 1) & (F.length(r) == F.length(a)) & (r != a)
+
+
+def is_insertion(ref, alt) -> Column:
+    r, a = _c(ref), _c(alt)
+    return (F.length(r) < F.length(a)) & a.startswith(r)
+
+
+def is_deletion(ref, alt) -> Column:
+    r, a = _c(ref), _c(alt)
+    return (F.length(r) > F.length(a)) & r.startswith(a)
+
+
+def is_indel(ref, alt) -> Column:
+    return is_insertion(ref, alt) | is_deletion(ref, alt)
+
+
+def is_star(ref, alt) -> Column:
+    return _c(alt) == "*"
+
+
+def is_complex(ref, alt) -> Column:
+    r, a = _c(ref), _c(alt)
+    return (
+        (r != a)
+        & ~is_snp(ref, alt)
+        & ~is_mnp(ref, alt)
+        & ~is_indel(ref, alt)
+        & ~is_star(ref, alt)
+    )
+
+
+def is_transition(ref, alt) -> Column:
+    r, a = _c(ref), _c(alt)
+    pair = F.concat(r, a)
+    return is_snp(ref, alt) & pair.isin("AG", "GA", "CT", "TC")
+
+
+def is_transversion(ref, alt) -> Column:
+    return is_snp(ref, alt) & ~is_transition(ref, alt)
+
+
+def allele_type(ref, alt) -> Column:
+    """Categorical allele type (ref allele_type, functions.py:3772)."""
+    return (
+        F.when(is_snp(ref, alt), "SNP")
+        .when(is_mnp(ref, alt), "MNP")
+        .when(is_insertion(ref, alt), "Insertion")
+        .when(is_deletion(ref, alt), "Deletion")
+        .when(is_star(ref, alt), "Star")
+        .when(_c(ref) == _c(alt), "Unknown")
+        .otherwise("Complex")
+    )

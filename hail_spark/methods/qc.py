@@ -79,3 +79,35 @@ def sample_qc(mt: MatrixTable, gt_field: str = "GT"):
 def hwe_expected_het_freq(af: Column) -> Column:
     """2p(1-p) — expected het frequency under HWE."""
     return 2.0 * af * (1.0 - af)
+
+
+def summarize_variants(mt) -> dict:
+    """Per-allele-type counts + ti/tv ratio (ref qc.py:1725).
+    One pass: explode alt alleles, hash-agg on the derived category."""
+    from pyspark.sql import functions as F
+
+    from ..expr import functions as hf
+
+    alts = mt._df.select(
+        F.element_at("alleles", 1).alias("ref"),
+        F.explode(F.slice("alleles", 2, 1 << 20)).alias("alt"),
+    )
+    typed = alts.select(
+        hf.allele_type(F.col("ref"), F.col("alt")).alias("t"),
+        hf.is_transition(F.col("ref"), F.col("alt")).alias("ti"),
+        hf.is_transversion(F.col("ref"), F.col("alt")).alias("tv"),
+    )
+    row = typed.agg(
+        F.count(F.lit(1)).alias("n_alleles"),
+        F.sum(F.when(F.col("ti"), 1).otherwise(0)).alias("n_ti"),
+        F.sum(F.when(F.col("tv"), 1).otherwise(0)).alias("n_tv"),
+    ).first()
+    counts = {
+        r["t"]: r["n"] for r in typed.groupBy("t").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    return {
+        "n_variants": mt._df.count(),
+        "n_alleles": row["n_alleles"],
+        "allele_types": counts,
+        "r_ti_tv": (row["n_ti"] / row["n_tv"]) if row["n_tv"] else float("nan"),
+    }

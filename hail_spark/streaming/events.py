@@ -1,0 +1,135 @@
+"""Structured Streaming extensions over the events stream.
+
+The reference has NO streaming surface at all (SURVEY.md §2.10 — its
+"streams" are intra-partition iterators), so nothing here is parity
+work. These are the training-data-pipeline extensions a large-scale
+deployment needs: incremental ingestion of an append-only event log
+with event-time windowing, late-data handling, and stateful
+sessionization — expressed as standard Structured Streaming so the
+same code runs on a file source locally and Kafka/queue sources in
+production (swap ``readStream.format``).
+
+Scale notes: windowed counts use watermark + tumbling window (state
+bounded by the watermark horizon); sessionization uses
+``applyInPandasWithState`` with per-user state and processing-time
+timeouts — the canonical custom-stateful-operator shape.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Incremental file-source reader over an events directory (same
+    schema as testdata events.parquet)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window counts + value sums per event_type,
+    tolerating late data up to the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w")["start"].alias("window_start"),
+            F.col("w")["end"].alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+_SESSION_STATE = "n bigint, total double, first_ts timestamp, last_ts timestamp"
+_SESSION_OUT = (
+    "user_id bigint, n_events bigint, total_value double, "
+    "session_start timestamp, session_end timestamp, closed boolean"
+)
+
+
+def _session_fn(
+    key, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        n, total, first_ts, last_ts = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "n_events": n,
+                    "total_value": total,
+                    "session_start": first_ts,
+                    "session_end": last_ts,
+                    "closed": True,
+                }
+            ]
+        )
+        return
+    n, total, first_ts, last_ts = (state.get if state.exists else (0, 0.0, None, None))
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+        lo, hi = pdf["ts"].min(), pdf["ts"].max()
+        first_ts = lo if first_ts is None or lo < first_ts else first_ts
+        last_ts = hi if last_ts is None or hi > last_ts else last_ts
+    state.update((n, total, first_ts, last_ts))
+    state.setTimeoutDuration(30_000)  # close session after 30 s idle
+    yield pd.DataFrame(
+        [
+            {
+                "user_id": user_id,
+                "n_events": n,
+                "total_value": total,
+                "session_start": first_ts,
+                "session_end": last_ts,
+                "closed": False,
+            }
+        ]
+    )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Per-user running sessions via applyInPandasWithState (custom
+    stateful operator; processing-time timeout closes idle sessions)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
