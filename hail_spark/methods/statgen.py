@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..expr.stats import pchisqtail, pT
+from ..expr.stats import pchisqtail, pgenchisq, pT
 from ..matrixtable import ENTRIES, MatrixTable
 
 
@@ -306,3 +306,181 @@ def hwe_normalized_pca(
             load, schema=f"{key_fields}, loadings array<double>"
         )
     return evals_k.tolist(), scores_df, loadings_df
+
+
+def _poisreg_fit(X: np.ndarray, y: np.ndarray, max_iter=25, tol=1e-8):
+    """Newton-Raphson Poisson MLE (log link); returns
+    (beta, loglik, fisher_inv, converged). Log-lik drops the constant
+    -log(y!) term (cancels in LRT, unused by Wald)."""
+    b = np.zeros(X.shape[1])
+    ll = -np.inf
+    for _ in range(max_iter):
+        eta = np.clip(X @ b, -30.0, 30.0)
+        mu = np.exp(eta)
+        score = X.T @ (y - mu)
+        fisher = (X * mu[:, None]).T @ X
+        try:
+            delta = np.linalg.solve(fisher, score)
+        except np.linalg.LinAlgError:
+            return b, ll, None, False
+        b = b + delta
+        ll_new = float(np.sum(y * eta - mu))
+        if abs(ll_new - ll) < tol:
+            ll = ll_new
+            break
+        ll = ll_new
+    eta = np.clip(X @ b, -30.0, 30.0)
+    mu = np.exp(eta)
+    fisher = (X * mu[:, None]).T @ X
+    try:
+        finv = np.linalg.inv(fisher)
+    except np.linalg.LinAlgError:
+        finv = None
+    return b, ll, finv, finv is not None
+
+
+def poisson_regression_rows(
+    mt: MatrixTable,
+    test: str,
+    y,
+    covariates: Sequence = (),
+    x_field: str = "GT",
+    add_intercept: bool = True,
+) -> DataFrame:
+    """Per-variant Poisson regression (ref statgen.py:1650).
+    ``test``: 'wald' or 'lrt'.  Same Spark shape as
+    logistic_regression_rows: null fit driver-side once, per-variant
+    Newton solves batched in mapInPandas (Arrow batches, no shuffle)."""
+    if test not in ("wald", "lrt"):
+        raise ValueError("test must be 'wald' or 'lrt'")
+    yv = _col_vector(mt, y)
+    if np.any(yv < 0):
+        raise ValueError("y must be non-negative counts")
+    C = _design(mt, covariates, add_intercept)
+    n = C.shape[0]
+    _, null_ll, _, ok = _poisreg_fit(C, yv)
+    if not ok:
+        raise ValueError("null model failed to converge")
+    row_key = list(mt._row_key)
+    spark = mt._df.sparkSession
+    bC = spark.sparkContext.broadcast(C)
+    by = spark.sparkContext.broadcast(yv)
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in mt._df.schema.fields
+        if f.name in row_key
+    )
+    schema = (
+        f"{key_fields}, beta double, chi_sq_stat double, p_value double, "
+        "fit_converged boolean"
+    )
+
+    def run(batches):
+        C_, y_ = bC.value, by.value
+        for pdf in batches:
+            X = _mean_impute(_entry_matrix(pdf[ENTRIES], x_field, n))
+            betas, stats, converged = [], [], []
+            for i in range(X.shape[0]):
+                M = np.column_stack([C_, X[i]])
+                b, ll, finv, ok = _poisreg_fit(M, y_)
+                if not ok:
+                    betas.append(np.nan)
+                    stats.append(np.nan)
+                    converged.append(False)
+                    continue
+                if test == "wald":
+                    se = np.sqrt(finv[-1, -1])
+                    stat = (b[-1] / se) ** 2
+                else:
+                    stat = 2.0 * (ll - null_ll)
+                betas.append(b[-1])
+                stats.append(stat)
+                converged.append(True)
+            stats = np.asarray(stats)
+            out = pdf[row_key].copy()
+            out["beta"] = betas
+            out["chi_sq_stat"] = stats
+            out["p_value"] = pchisqtail(stats, 1.0)
+            out["fit_converged"] = converged
+            yield out
+
+    return mt._df.select(*row_key, ENTRIES).mapInPandas(run, schema=schema)
+
+
+def linear_skat(
+    mt: MatrixTable,
+    group_field: str,
+    y,
+    covariates: Sequence = (),
+    weight_field: str | None = None,
+    x_field: str = "GT",
+    add_intercept: bool = True,
+) -> DataFrame:
+    """Linear SKAT: variance-component score test per variant group (ref
+    statgen.py:1986 `_linear_skat`; hl.skat statgen.py:2870).
+
+        Q = r' G W G' r / (2 sigma^2),  r = (I-H) y  (null OLS residual)
+        null: Q ~ sum_i lambda_i chisq_1,
+              lambda = eig(W^1/2 G' (I-H) G W^1/2) / (2 sigma^2)
+
+    p-value via the Imhof/Davies inversion (expr.stats.pgenchisq — the
+    reference uses hl.pgenchisq, functions.py:6660).
+
+    Spark shape: groupBy(group_field) + applyInPandas — one shuffle on
+    the group key; each group's (n_samples × m_group) matrix is solved
+    with dense numpy per group, groups run in parallel across
+    partitions.  The null model (H, r, sigma^2) is fit once driver-side
+    and broadcast.  ``weight_field``: optional per-variant row field
+    (default weight 1.0 — the reference defaults to Beta(1,25) weights
+    on allele frequency, which callers can precompute into a row field).
+
+    Returns DataFrame (group, size, q_stat, p_value, fault).
+    """
+    yv = _col_vector(mt, y)
+    C = _design(mt, covariates, add_intercept)
+    n = C.shape[0]
+    # null OLS fit: hat matrix via QR basis Q0 (n×k): H = Q0 Q0'
+    Q0, _ = np.linalg.qr(C)
+    r = yv - Q0 @ (Q0.T @ yv)
+    dof = n - C.shape[1]
+    if dof <= 0:
+        raise ValueError("not enough samples for covariate model")
+    sigma2 = float(r @ r) / dof
+    spark = mt._df.sparkSession
+    bQ0 = spark.sparkContext.broadcast(Q0)
+    br = spark.sparkContext.broadcast(r)
+
+    wcol = (
+        F.col(weight_field).cast("double")
+        if weight_field
+        else F.lit(1.0)
+    ).alias("__w")
+    src = mt._df.select(F.col(group_field).alias("__grp"), wcol, ENTRIES)
+    grp_type = src.schema["__grp"].dataType.simpleString()
+    out_schema = (
+        f"group {grp_type}, size int, q_stat double, p_value double, "
+        "fault boolean"
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        Q0_, r_ = bQ0.value, br.value
+        G = _mean_impute(_entry_matrix(pdf[ENTRIES], x_field, n)).T  # n × m
+        w = pdf["__w"].to_numpy(dtype=float)
+        m = G.shape[1]
+        sw = np.sqrt(np.clip(w, 0.0, None))
+        Gw = G * sw[None, :]
+        q_stat = float(((Gw.T @ r_) ** 2).sum()) / (2.0 * sigma2)
+        # eigenvalues of Gw' (I-H) Gw  (same nonzero spectrum, m × m)
+        B = Gw.T @ Gw - (Gw.T @ Q0_) @ (Q0_.T @ Gw)
+        lam = np.linalg.eigvalsh(B) / (2.0 * sigma2)
+        lam = lam[lam > 1e-10 * max(lam.max(initial=0.0), 1.0)]
+        fault = lam.size == 0
+        p = 1.0 if fault else pgenchisq(q_stat, lam)
+        return pd.DataFrame(
+            [{
+                "group": pdf["__grp"].iloc[0], "size": int(m),
+                "q_stat": q_stat, "p_value": float(p), "fault": bool(fault),
+            }]
+        )
+
+    return src.groupBy("__grp").applyInPandas(per_group, schema=out_schema)

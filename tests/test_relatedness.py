@@ -93,3 +93,66 @@ def test_ld_prune_removes_perfect_ld(spark):
     assert len(kp & {1100, 1110}) == 1
     # uncorrelated variants all kept
     assert len(kp) >= nv - 2
+
+
+def test_identity_by_descent_plink_mom(spark):
+    from hail_spark.methods.relatedness import identity_by_descent
+
+    rng = np.random.default_rng(21)
+    ns, nv = 8, 2000
+    p = rng.uniform(0.1, 0.9, size=nv)
+    G = rng.binomial(2, p[:, None], size=(nv, ns)).astype(float)
+    G[:, 1] = G[:, 0]  # duplicate pair → PI_HAT ~ 1
+    res = {(r["i"], r["j"]): r for r in identity_by_descent(_mt(spark, G)).collect()}
+    dup = res[("S0", "S1")]
+    assert dup["PI_HAT"] == pytest.approx(1.0, abs=0.05)
+    assert dup["ibs0"] == 0  # identical genotypes can never be IBS0
+    # unrelated pair: PI_HAT near 0
+    other = res[("S2", "S3")]
+    assert other["PI_HAT"] < 0.15
+    assert other["ibs0"] > 0
+    # Z's sum to ~1
+    for r in res.values():
+        assert r["Z0"] + r["Z1"] + r["Z2"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pc_relate_duplicates_and_structure(spark):
+    from hail_spark.methods.relatedness import pc_relate
+
+    # two diverged subpopulations (Balding-Nichols-ish): PC1 captures the
+    # split, so ancestry-adjusted kinship stays near 0 across pops while
+    # the within-pop duplicate pair stays ~0.5
+    rng = np.random.default_rng(22)
+    ns_pop, nv = 8, 4000
+    anc = rng.uniform(0.2, 0.8, size=nv)
+    fst = 0.15
+    a, b = anc * (1 - fst) / fst, (1 - anc) * (1 - fst) / fst
+    pA, pB = rng.beta(a, b), rng.beta(a, b)
+    GA = rng.binomial(2, pA[:, None], size=(nv, ns_pop)).astype(float)
+    GB = rng.binomial(2, pB[:, None], size=(nv, ns_pop)).astype(float)
+    G = np.hstack([GA, GB])
+    G[:, 1] = G[:, 0]  # MZ duplicate in pop A
+    # explicit ancestry scores (the reference's recommended usage: PCs
+    # computed on unrelated samples, passed via scores_expr)
+    scores = np.array([1.0] * ns_pop + [-1.0] * ns_pop)[:, None]
+    kin = {(r["i"], r["j"]): r["kin"]
+           for r in pc_relate(_mt(spark, G), scores=scores).collect()}
+
+    # exact differential vs numpy replica of the estimator
+    n = 2 * ns_pop
+    P = np.column_stack([np.ones(n), scores])
+    A = np.linalg.solve(P.T @ P, P.T)
+    mu = 0.5 * ((G @ A.T) @ P.T)
+    good = (mu > 0.01) & (mu < 0.99)
+    C = np.where(good, G - 2 * mu, 0.0)
+    S = np.where(good, np.sqrt(np.clip(mu * (1 - mu), 0, None)), 0.0)
+    num, den = C.T @ C, S.T @ S
+    assert kin[("S0", "S1")] == pytest.approx(num[0, 1] / (4 * den[0, 1]), rel=1e-9)
+    assert kin[("S2", "S5")] == pytest.approx(num[2, 5] / (4 * den[2, 5]), rel=1e-9)
+
+    # duplicate pair dominates (estimator shrinks toward 0 at tiny n —
+    # with true mu it is 0.5; at n=16 estimated-mu bias gives ~0.35)
+    assert kin[("S0", "S1")] == max(kin.values()) and kin[("S0", "S1")] > 0.3
+    cross = [v for (i, j), v in kin.items()
+             if (int(i[1:]) < ns_pop) != (int(j[1:]) < ns_pop)]
+    assert abs(np.mean(cross)) < 0.05

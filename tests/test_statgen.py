@@ -131,3 +131,64 @@ def test_logreg_rejects_bad_input(sim):
         logistic_regression_rows(mt, "score", "yb", ["cov"])
     with pytest.raises(ValueError):
         logistic_regression_rows(mt, "wald", "cov", [])  # non-binary y
+
+
+def test_poisson_regression_rows_wald(spark, sim):
+    from hail_spark.methods.statgen import poisson_regression_rows
+
+    mt, G, cov, _, _ = sim
+    rng = np.random.default_rng(7)
+    y_cnt = rng.poisson(2.0, size=N_SAMPLES).astype(float)
+    cols = [{**c, "yc": float(y_cnt[j])} for j, c in enumerate(mt._cols)]
+    mt2 = MatrixTable(mt._df, mt._row_key, cols, mt._col_key)
+    res = {r["vid"]: r for r in poisson_regression_rows(
+        mt2, "wald", "yc", covariates=["cov"]).collect()}
+
+    # numpy IRLS reference for a few variants
+    Gi = _impute(G)
+    for vid in (0, 5, 17):
+        X = np.column_stack([np.ones(N_SAMPLES), cov, Gi[vid]])
+        b = np.zeros(3)
+        for _ in range(50):
+            mu = np.exp(np.clip(X @ b, -30, 30))
+            step = np.linalg.solve((X * mu[:, None]).T @ X, X.T @ (y_cnt - mu))
+            b = b + step
+            if np.abs(step).max() < 1e-12:
+                break
+        mu = np.exp(X @ b)
+        se = np.sqrt(np.linalg.inv((X * mu[:, None]).T @ X)[-1, -1])
+        r = res[vid]
+        assert r["beta"] == pytest.approx(b[-1], rel=1e-6, abs=1e-10)
+        assert r["chi_sq_stat"] == pytest.approx((b[-1] / se) ** 2, rel=1e-5, abs=1e-9)
+
+
+def test_linear_skat_null_uniform_and_signal(spark, sim):
+    from hail_spark.methods.statgen import linear_skat
+
+    mt, G, cov, y_lin, _ = sim
+    # group variants into 4 gene groups of 10
+    df = mt._df.withColumn("gene", (F.col("vid") / 10).cast("int"))
+    mt2 = MatrixTable(df, mt._row_key, mt._cols, mt._col_key)
+    res = {r["group"]: r for r in linear_skat(
+        mt2, "gene", "y", covariates=["cov"]).collect()}
+    assert set(res) == {0, 1, 2, 3}
+    for g, r in res.items():
+        assert r["size"] == 10
+        assert 0.0 <= r["p_value"] <= 1.0
+
+    # numpy reference for group 0: Q and Imhof p
+    Gi = _impute(G)[:10].T  # n × 10
+    C = np.column_stack([np.ones(N_SAMPLES), cov])
+    Q0, _ = np.linalg.qr(C)
+    resid = y_lin - Q0 @ (Q0.T @ y_lin)
+    s2 = resid @ resid / (N_SAMPLES - 2)
+    q_ref = ((Gi.T @ resid) ** 2).sum() / (2 * s2)
+    assert res[0]["q_stat"] == pytest.approx(q_ref, rel=1e-8)
+
+    # planted signal: y strongly driven by group-2 variants → small p
+    beta = np.zeros(40); beta[20:30] = 1.0
+    y_sig = _impute(G).T @ beta + np.random.default_rng(3).normal(0, 0.5, N_SAMPLES)
+    cols = [{**c, "ys": float(y_sig[j])} for j, c in enumerate(mt._cols)]
+    mt3 = MatrixTable(df, mt._row_key, cols, mt._col_key)
+    res3 = {r["group"]: r for r in linear_skat(mt3, "gene", "ys").collect()}
+    assert res3[2]["p_value"] < 1e-6
