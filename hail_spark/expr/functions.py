@@ -785,3 +785,37 @@ def allele_type(ref, alt) -> Column:
         .when(_c(ref) == _c(alt), "Unknown")
         .otherwise("Complex")
     )
+
+
+def info_score(entries, gp_field: str = "GP") -> Column:
+    """IMPUTE-style imputation info score over an entries array whose
+    structs carry a genotype-probability triple ``GP`` (ref
+    aggregators.py:1568 `hl.agg.info_score`; Scala
+    agg/InfoScoreAggregator):
+
+        e_i = GP[1] + 2 GP[2]            (expected dosage)
+        f_i = GP[1] + 4 GP[2]
+        theta = sum(e) / 2N
+        info  = 1 - sum(f - e^2) / (2 N theta (1 - theta))
+
+    info = 1 when theta is 0 or 1 (monomorphic); N counts non-missing
+    GP triples.  Returns struct(score double, n_included int) — a pure
+    array-HOF expression, stays in whole-stage codegen.
+    """
+    gps = F.filter(
+        F.transform(entries, lambda x: x[gp_field]),
+        lambda g: g.isNotNull() & (F.size(g) == 3),
+    )
+    n = F.size(gps)
+    e_of = lambda g: F.element_at(g, 2) + 2.0 * F.element_at(g, 3)  # noqa: E731
+    f_of = lambda g: F.element_at(g, 2) + 4.0 * F.element_at(g, 3)  # noqa: E731
+    sum_e = F.aggregate(gps, F.lit(0.0), lambda a, g: a + e_of(g))
+    sum_fe2 = F.aggregate(
+        gps, F.lit(0.0), lambda a, g: a + (f_of(g) - e_of(g) * e_of(g))
+    )
+    theta = sum_e / (2.0 * n)
+    score = F.when(
+        (n > 0) & (theta > 0.0) & (theta < 1.0),
+        1.0 - sum_fe2 / (2.0 * n * theta * (1.0 - theta)),
+    ).when((n > 0), F.lit(1.0))
+    return F.struct(score.alias("score"), n.alias("n_included"))

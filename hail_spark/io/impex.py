@@ -223,3 +223,90 @@ def import_fam(spark: SparkSession, path: str, quant_pheno: bool = False) -> Tab
         pheno,
     )
     return Table(df, ("id",))
+
+
+def import_gen(
+    spark: SparkSession,
+    path: str,
+    sample_file: str,
+    chromosome: str | None = None,
+    no_call_prob: float = 0.0,
+    min_partitions: int | None = None,
+):
+    """Oxford GEN import → MatrixTable (ref impex.py:1355; Scala
+    io/gen/LoadGen — reimplemented as a Catalyst text-split pipeline,
+    no per-row Python).
+
+    GEN line: ``chrom snpid rsid pos a1 a2  p_aa p_ab p_bb  ...`` (3
+    probabilities per sample).  The .sample file is two header lines
+    then ``ID_1 ID_2 missing ...`` — column identity comes from it.
+
+    Entries: GP = [p_aa, p_ab, p_bb]; GT = argmax dosage when the max
+    probability exceeds ``no_call_prob``, else missing.  The whole parse
+    is split + slice + transform over the token array — whole-stage
+    codegen, parallel over file splits (bgz/text splits arrive as
+    multiple partitions at scale).
+    """
+    from ..matrixtable import MatrixTable
+
+    with open(sample_file) as fh:
+        lines = [ln.split() for ln in fh.read().splitlines() if ln.strip()]
+    samples = [{"s": parts[0] if parts[0] != "0" else parts[1]} for parts in lines[2:]]
+    n = len(samples)
+
+    reader = spark.read
+    if min_partitions:
+        reader = reader.option("minPartitions", min_partitions)
+    raw = reader.text(path)
+    toks = F.split(F.trim(F.col("value")), r"\s+")
+    off = 6 if chromosome is None else 5
+    contig = F.lit(chromosome) if chromosome else F.element_at(toks, 1)
+    base = 0 if chromosome is None else -1
+
+    def entry(i: Column) -> Column:
+        # sample i (1-based): probabilities at tokens off + 3(i-1) + {1,2,3}
+        p0 = F.element_at(toks, off + (i - 1) * 3 + 1).cast("double")
+        p1 = F.element_at(toks, off + (i - 1) * 3 + 2).cast("double")
+        p2 = F.element_at(toks, off + (i - 1) * 3 + 3).cast("double")
+        gp = F.array(p0, p1, p2)
+        best = F.greatest(p0, p1, p2)
+        gt = (
+            F.when(best <= no_call_prob, F.lit(None).cast("int"))
+            .when(p2 >= F.greatest(p0, p1), 2)
+            .when(p1 >= p0, 1)
+            .otherwise(0)
+        )
+        return F.struct(gt.alias("GT"), gp.alias("GP"))
+
+    df = raw.select(
+        F.struct(
+            contig.alias("contig"),
+            F.element_at(toks, 4 + base).cast("int").alias("position"),
+        ).alias("locus"),
+        F.array(F.element_at(toks, 5 + base), F.element_at(toks, 6 + base)).alias("alleles"),
+        F.element_at(toks, 2 + base).alias("varid"),
+        F.element_at(toks, 3 + base).alias("rsid"),
+        F.transform(F.sequence(F.lit(1), F.lit(n)), entry).alias("__entries"),
+    )
+    return MatrixTable(df, ("locus", "alleles"), samples, ("s",))
+
+
+def import_avro(spark: SparkSession, path: str) -> Table:
+    """Avro table import (ref impex.py:3345; Scala
+    io/avro/AvroTableReader.scala) → `spark.read.format("avro")`.
+
+    The spark-avro module jar is not bundled in pip pyspark
+    distributions; when absent this raises a clear error naming the
+    required `--packages org.apache.spark:spark-avro_2.13` flag rather
+    than Spark's opaque ClassNotFound.
+    """
+    try:
+        return Table(spark.read.format("avro").load(path))
+    except Exception as exc:  # AnalysisException: failed to find data source
+        if "avro" in str(exc).lower() or "data source" in str(exc).lower():
+            raise RuntimeError(
+                "import_avro requires the spark-avro module on the classpath "
+                "(launch with --packages org.apache.spark:spark-avro_2.13:<spark version>); "
+                "it is not bundled in pip pyspark"
+            ) from exc
+        raise

@@ -382,3 +382,85 @@ def de_novo_candidates(mt: MatrixTable, fam: DataFrame, min_kid_dp: int = 0) -> 
         & (F.coalesce(t["dp"], F.lit(min_kid_dp)) >= min_kid_dp)
     )
     return hits.select(*mt._row_key, t["id"].alias("id"))
+
+
+def filter_alleles(mt: MatrixTable, pred) -> MatrixTable:
+    """Subset alternate alleles by predicate, downcoding removed alleles
+    to ref (ref statgen.py:4295 `filter_alleles` / :4405
+    `filter_alleles_hts` with behavior='downcode').
+
+    ``pred(ref: Column, alt: Column, a_index: Column) -> Column[bool]``
+    decides which alt alleles survive.  Rows whose alt set empties are
+    dropped.  Entry recode (GTA allele-index lists, the multiallelic
+    representation used by split_multi_hts, genetics.py above): each
+    called allele maps old-index → new-index via the computed remap
+    array; removed alleles downcode to 0 (ref).  GT (biallelic dosage)
+    is recomputed as count of non-ref after remap.  Pure array-HOF
+    expressions — no UDF, stays in codegen.
+    """
+    df = mt._df
+    ref = F.element_at("alleles", 1)
+    n_alts = F.size("alleles") - 1
+    # old alt index (1-based) → keep flag
+    keep_flags = F.transform(
+        F.sequence(F.lit(1), n_alts),
+        lambda i: pred(ref, F.element_at("alleles", i + 1), i),
+    )
+    # remap[old_index] = new index among kept (0 = downcoded to ref);
+    # remap[0] = 0 for ref itself
+    remap = F.concat(
+        F.array(F.lit(0)),
+        F.transform(
+            F.sequence(F.lit(1), n_alts),
+            lambda i: F.when(
+                F.element_at(keep_flags, i),
+                F.aggregate(
+                    F.slice(keep_flags, 1, i),
+                    F.lit(0),
+                    lambda a, k: a + F.when(k, 1).otherwise(0),
+                ),
+            ).otherwise(0),
+        ),
+    )
+    new_alleles = F.concat(
+        F.array(ref),
+        F.transform(
+            F.filter(
+                F.arrays_zip(F.slice("alleles", 2, 1 << 20).alias("a"), keep_flags.alias("k")),
+                lambda z: z["k"],
+            ),
+            lambda z: z["a"],
+        ),
+    )
+    ent_fields = [f.name for f in df.schema[ENTRIES].dataType.elementType.fields]
+
+    def recode(e: Column) -> Column:
+        fields = []
+        if "GTA" in ent_fields:
+            new_gta = F.transform(e["GTA"], lambda al: F.element_at(F.col("__remap"), al + 1))
+            fields.append(new_gta.alias("GTA"))
+            fields.append(
+                F.when(
+                    new_gta.isNotNull(),
+                    F.aggregate(
+                        new_gta, F.lit(0), lambda a, al: a + F.when(al > 0, 1).otherwise(0)
+                    ),
+                ).alias("GT")
+            )
+        elif "GT" in ent_fields:
+            # biallelic input: alt either survives (unchanged) or rows drop
+            fields.append(e["GT"].alias("GT"))
+        for name in ent_fields:
+            if name not in ("GTA", "GT"):
+                fields.append(e[name].alias(name))
+        return F.when(e.isNotNull(), F.struct(*fields))
+
+    out = (
+        df.withColumn("__remap", remap)
+        .withColumn("old_alleles", F.col("alleles"))
+        .withColumn("alleles", new_alleles)
+        .where(F.size("alleles") >= 2)
+        .withColumn(ENTRIES, F.transform(F.col(ENTRIES), recode))
+        .drop("__remap")
+    )
+    return MatrixTable(out, mt._row_key, mt._cols, mt._col_key, mt._globals)

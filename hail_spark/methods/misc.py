@@ -47,17 +47,13 @@ def maximal_independent_set(edges: list[tuple]) -> set:
     return nodes - removed
 
 
-def ld_prune(
-    mt: MatrixTable,
-    r2: float = 0.2,
-    bp_window_size: int = 1_000_000,
-    x_field: str = "GT",
-) -> DataFrame:
-    """Return the pruned-IN variant keys (ref statgen.py:4708).
-
-    Banded self-join on position bins (window ⇒ two adjacent bins max),
-    per-pair r² via a single zip_with+aggregate fold, greedy MIS on the
-    collected conflict edges."""
+def _ld_pairs(mt: MatrixTable, bp_window_size: int, x_field: str) -> DataFrame:
+    """Windowed variant-pair LD: banded self-join on position bins
+    (window ⇒ two adjacent bins max), per-pair Pearson r via a single
+    zip_with+aggregate fold over mean-imputed genotypes.  Returns
+    DataFrame (la, lb, r, r2) for position-ordered pairs within
+    ``bp_window_size`` on the same contig.  Shared engine of ld_prune
+    and ld_matrix (ref statgen.py:4708 / :3836)."""
     df = mt._df.select(
         F.col("locus"),
         F.col("locus")["contig"].alias("__c"),
@@ -124,10 +120,39 @@ def ld_prune(
     vb = (bm["ss"] + (N - bm["n"]) * mb * mb) / N - mb * mb
     # constant variants (zero variance) → NULL r², which fails the
     # threshold filter — they can never be in LD
-    r2c = (cov * cov) / F.nullif(va * vb, F.lit(0.0))
-    edges_df = pairs.select(
-        F.col("a.locus").alias("la"), F.col("b.locus").alias("lb"), r2c.alias("r2")
-    ).filter(F.col("r2") > r2)
+    rc = cov / F.sqrt(F.nullif(va * vb, F.lit(0.0)))
+    return pairs.select(
+        F.col("a.locus").alias("la"),
+        F.col("b.locus").alias("lb"),
+        rc.alias("r"),
+        (rc * rc).alias("r2"),
+    )
+
+
+def ld_matrix(
+    mt: MatrixTable,
+    bp_window_size: int = 1_000_000,
+    x_field: str = "GT",
+) -> DataFrame:
+    """Windowed LD matrix as a sparse entries DataFrame (la, lb, r) —
+    the scalable form of ref statgen.py:3836 `ld_matrix` (which
+    materializes a BlockMatrix; beyond the window radius entries are 0
+    by construction there too).  Null r (constant variant) pairs are
+    dropped."""
+    return _ld_pairs(mt, bp_window_size, x_field).select(
+        "la", "lb", "r"
+    ).where(F.col("r").isNotNull())
+
+
+def ld_prune(
+    mt: MatrixTable,
+    r2: float = 0.2,
+    bp_window_size: int = 1_000_000,
+    x_field: str = "GT",
+) -> DataFrame:
+    """Return the pruned-IN variant keys (ref statgen.py:4708): windowed
+    pairwise r² (_ld_pairs), greedy MIS on the conflict edges."""
+    edges_df = _ld_pairs(mt, bp_window_size, x_field).where(F.col("r2") > r2)
     edges = [
         ((e["la"]["contig"], e["la"]["position"]), (e["lb"]["contig"], e["lb"]["position"]))
         for e in edges_df.collect()

@@ -111,3 +111,75 @@ def summarize_variants(mt) -> dict:
         "allele_types": counts,
         "r_ti_tv": (row["n_ti"] / row["n_tv"]) if row["n_tv"] else float("nan"),
     }
+
+
+def compute_charr(
+    mt: MatrixTable,
+    min_af: float = 0.05,
+    max_af: float = 0.95,
+    min_dp: int = 10,
+    max_dp: int = 100,
+    min_gq: int = 20,
+    ref_af_field: str | None = None,
+    gt_field: str = "GT",
+    ad_field: str = "AD",
+) -> "DataFrame":
+    """CHARR DNA-contamination estimator (ref qc.py:1822-1937).
+
+    Per sample: mean over filtered hom-var entries of
+    ``(AD[0] / (AD[0]+AD[1])) / ref_AF`` — hom-var sites should carry no
+    ref reads, so the ref-read fraction scaled by the population ref
+    allele frequency estimates the contaminating fraction.
+
+    Row filter: biallelic with ref_AF in (min_af, max_af); entry filter:
+    hom-var, GQ >= min_gq, DP (or AD sum) in [min_dp, max_dp].  ref_AF
+    comes from ``ref_af_field`` if given (the reference requires an
+    external AF below 10k samples but we default to the in-sample
+    estimate: 1 - sum(GT)/2N over called entries).
+
+    One posexplode + groupBy(sample index) — the same single-shuffle
+    wide-aggregation shape as sample_qc.
+    """
+    from pyspark.sql import DataFrame  # noqa: F401
+
+    df = mt._df
+    ents = F.col(ENTRIES)
+    if ref_af_field:
+        ref_af = F.col(ref_af_field)
+    else:
+        gts = F.filter(F.transform(ents, lambda e: e[gt_field]), lambda g: g.isNotNull())
+        an = 2 * F.size(gts)
+        ref_af = F.when(
+            an > 0,
+            1.0 - F.aggregate(gts, F.lit(0), lambda a, g: a + g).cast("double") / an,
+        )
+    filtered = df.where(F.size("alleles") == 2) if "alleles" in df.columns else df
+    long = (
+        filtered.select(ref_af.alias("__raf"), ents.alias("__es"))
+        .where((F.col("__raf") > min_af) & (F.col("__raf") < max_af))
+        .select("__raf", F.posexplode("__es").alias("__idx", "__e"))
+    )
+    e = F.col("__e")
+    dp = F.coalesce(e["DP"] if "DP" in _entry_names(mt) else F.lit(None).cast("int"),
+                    F.element_at(e[ad_field], 1) + F.element_at(e[ad_field], 2))
+    kept = long.where(
+        (e[gt_field] == 2)
+        & (e["GQ"] >= min_gq)
+        & dp.between(min_dp, max_dp)
+        & e[ad_field].isNotNull()
+    )
+    ad0 = F.element_at(e[ad_field], 1).cast("double")
+    ad1 = F.element_at(e[ad_field], 2).cast("double")
+    per_idx = kept.groupBy("__idx").agg(
+        F.avg((ad0 / (ad0 + ad1)) / F.col("__raf")).alias("charr")
+    )
+    spark = df.sparkSession
+    col_df = spark.createDataFrame([{"__idx": i, **c} for i, c in enumerate(mt._cols)])
+    return (
+        per_idx.join(F.broadcast(col_df), on="__idx", how="right")
+        .select(*[k for k in mt._col_key], "charr")
+    )
+
+
+def _entry_names(mt: MatrixTable) -> list[str]:
+    return [f.name for f in mt._df.schema[ENTRIES].dataType.elementType.fields]

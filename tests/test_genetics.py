@@ -148,3 +148,108 @@ def test_tdt_and_de_novo(spark, trio_vcf):
         """))
     dn2 = de_novo_candidates(import_vcf(spark, p2), fam).collect()
     assert len(dn2) == 1 and dn2[0]["id"] == "kid"
+
+
+def test_filter_alleles_downcode(spark, trio_vcf):
+    from hail_spark.methods.genetics import filter_alleles
+
+    mt = import_vcf(spark, trio_vcf[0])
+    # drop the 'T' alt everywhere (triallelic G→C,T at pos 200 loses T)
+    fa = filter_alleles(mt, lambda ref, alt, i: alt != "T")
+    r = fa._df.filter(F.col("locus")["position"] == 200).first()
+    assert r["alleles"] == ["G", "C"]
+    assert r["old_alleles"] == ["G", "C", "T"]
+    # kid was 1/2 (C,T): T downcodes to ref → GT wrt C = 1
+    # dad 0/1 → 1; mom 0/2 (T) → T→ref → 0
+    gts = [e["GT"] for e in r["__entries"]]
+    assert gts == [1, 1, 0]
+    # rows whose only alt is removed disappear
+    before = mt._df.count()
+    removed = filter_alleles(mt, lambda ref, alt, i: F.lit(False))
+    assert removed._df.count() == 0
+    # pos 100's only alt IS 'T' → that row drops; all others keep >=1 alt
+    assert fa._df.count() == before - 1
+
+
+def test_import_gen(spark, tmp_path):
+    from hail_spark.io.impex import import_gen
+
+    gen = tmp_path / "x.gen"
+    gen.write_text(
+        "01 SNP1 rs1 1000 A G 1 0 0 0 1 0 0 0 1\n"
+        "01 SNP2 rs2 2000 T C 0.33 0.33 0.34 0 0.1 0.9 0.98 0.01 0.01\n"
+    )
+    smp = tmp_path / "x.sample"
+    smp.write_text(
+        "ID_1 ID_2 missing\n0 0 0\nS1 S1 0\nS2 S2 0\nS3 S3 0\n"
+    )
+    mt = import_gen(spark, str(gen), str(smp))
+    assert [c["s"] for c in mt._cols] == ["S1", "S2", "S3"]
+    rows = {r["varid"]: r for r in mt._df.collect()}
+    assert rows["SNP1"]["locus"]["position"] == 1000
+    assert rows["SNP1"]["alleles"] == ["A", "G"]
+    assert [e["GT"] for e in rows["SNP1"]["__entries"]] == [0, 1, 2]
+    e2 = rows["SNP2"]["__entries"]
+    assert [e["GT"] for e in e2] == [2, 2, 0]
+    assert e2[0]["GP"] == [0.33, 0.33, 0.34]
+    # no_call_prob thresholding drops ambiguous calls
+    mt2 = import_gen(spark, str(gen), str(smp), no_call_prob=0.5)
+    e = {r["varid"]: r for r in mt2._df.collect()}["SNP2"]["__entries"]
+    assert [x["GT"] for x in e] == [None, 2, 0]
+
+
+def test_info_score(spark):
+    from hail_spark.expr.functions import info_score
+    from hail_spark.matrixtable import ENTRIES
+
+    import numpy as np
+
+    gps = [[0.9, 0.1, 0.0], [0.2, 0.5, 0.3], [0.0, 0.1, 0.9], [0.7, 0.2, 0.1]]
+    df = spark.createDataFrame(
+        [{ENTRIES: [{"GP": gp} for gp in gps]}],
+        f"{ENTRIES} array<struct<GP: array<double>>>",
+    )
+    row = df.select(info_score(F.col(ENTRIES)).alias("i")).first()["i"]
+    e = np.array([gp[1] + 2 * gp[2] for gp in gps])
+    f = np.array([gp[1] + 4 * gp[2] for gp in gps])
+    n = len(gps)
+    theta = e.sum() / (2 * n)
+    expected = 1 - (f - e * e).sum() / (2 * n * theta * (1 - theta))
+    assert row["n_included"] == 4
+    assert row["score"] == pytest.approx(expected, rel=1e-12)
+    # monomorphic (all hom-ref certain) → score 1
+    mono = spark.createDataFrame(
+        [{ENTRIES: [{"GP": [1.0, 0.0, 0.0]}] * 3}],
+        f"{ENTRIES} array<struct<GP: array<double>>>",
+    )
+    assert mono.select(info_score(F.col(ENTRIES)).alias("i")).first()["i"]["score"] == 1.0
+
+
+def test_compute_charr(spark):
+    from hail_spark.matrixtable import ENTRIES, MatrixTable
+    from hail_spark.methods.qc import compute_charr
+
+    # 3 samples, 2 usable hom-var sites; S2 contaminated (ref reads at hom-var)
+    def ent(gt, ad0, ad1, dp, gq):
+        return {"GT": gt, "AD": [ad0, ad1], "DP": dp, "GQ": gq}
+
+    rows = [
+        # site 1: AF... GTs: 1,2,2 → ref_af = 1 - 5/6 ≈ 0.1667 → outside (0.05,0.95)? inside
+        {"locus": {"contig": "1", "position": 100}, "alleles": ["A", "G"],
+         ENTRIES: [ent(1, 10, 10, 20, 99), ent(2, 0, 20, 20, 99), ent(2, 4, 16, 20, 99)]},
+        {"locus": {"contig": "1", "position": 200}, "alleles": ["A", "C"],
+         ENTRIES: [ent(1, 10, 10, 20, 99), ent(2, 2, 18, 20, 99), ent(2, 6, 14, 20, 99)]},
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "locus struct<contig:string,position:int>, alleles array<string>, "
+        f"{ENTRIES} array<struct<GT:int, AD:array<int>, DP:int, GQ:int>>",
+    )
+    mt = MatrixTable(df, ("locus",), [{"s": "S0"}, {"s": "S1"}, {"s": "S2"}], ("s",))
+    res = {r["s"]: r["charr"] for r in compute_charr(mt, min_dp=5).collect()}
+    raf1, raf2 = 1 - 5 / 6, 1 - 5 / 6
+    exp_s2 = ((4 / 20) / raf1 + (6 / 20) / raf2) / 2
+    exp_s1 = ((0 / 20) / raf1 + (2 / 20) / raf2) / 2
+    assert res["S2"] == pytest.approx(exp_s2, rel=1e-12)
+    assert res["S1"] == pytest.approx(exp_s1, rel=1e-12)
+    assert res["S0"] is None  # het everywhere → no hom-var entries

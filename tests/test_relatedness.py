@@ -156,3 +156,22 @@ def test_pc_relate_duplicates_and_structure(spark):
     cross = [v for (i, j), v in kin.items()
              if (int(i[1:]) < ns_pop) != (int(j[1:]) < ns_pop)]
     assert abs(np.mean(cross)) < 0.05
+
+
+def test_ld_matrix_matches_row_correlation(spark):
+    from hail_spark.methods.misc import ld_matrix
+
+    rng = np.random.default_rng(33)
+    nv, ns = 25, 14
+    G = rng.integers(0, 3, size=(nv, ns)).astype(float)
+    positions = np.arange(1, nv + 1) * 10
+    mt = _mt(spark, G, positions=positions)
+    R = row_correlation(mt)
+    got = {
+        (r["la"]["position"], r["lb"]["position"]): r["r"]
+        for r in ld_matrix(mt, bp_window_size=10_000).collect()
+    }
+    assert len(got) == nv * (nv - 1) // 2  # all pairs within window
+    for (pa, pb), r in got.items():
+        i, j = pa // 10 - 1, pb // 10 - 1
+        assert r == pytest.approx(R[i, j], rel=1e-9, abs=1e-12)
