@@ -1277,6 +1277,54 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("asset_id")
 
 
+def info_score_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPUTE info-score aggregator (expr/functions.py info_score; ref
+    aggregators.py:1568) over deterministic pseudo-genotype-probability
+    triples derived from orders keys — the oracle recomputes the same
+    closed-form sums scalar-wise."""
+    from hail_spark.expr.functions import info_score
+
+    orders = _t(spark, sf_dir, "orders").df
+    g = orders.select(
+        (F.col("o_orderkey") % 7).cast("int").alias("b"),
+        ((F.col("o_orderkey") % 97) / 97.0).alias("u"),
+    )
+    ent = g.groupBy("b").agg(
+        F.collect_list(
+            F.struct(
+                F.array(
+                    F.col("u"), (1 - F.col("u")) * 0.6, (1 - F.col("u")) * 0.4
+                ).alias("GP")
+            )
+        ).alias("es")
+    )
+    res = ent.select("b", info_score(F.col("es")).alias("i"))
+    return res.select(
+        "b",
+        F.round(F.col("i")["score"], 6).alias("info"),
+        F.col("i")["n_included"].alias("n_included"),
+    ).orderBy("b")
+
+
+_INFO_SCORE_SQL = """
+WITH g AS (
+  SELECT CAST(o_orderkey % 7 AS INT) AS b, (o_orderkey % 97) / 97.0 AS u
+  FROM orders
+), s AS (
+  SELECT b, COUNT(*) AS n,
+         SUM(1.4 * (1 - u)) AS se,
+         SUM(2.2 * (1 - u) - (1.4 * (1 - u)) * (1.4 * (1 - u))) AS sfe
+  FROM g GROUP BY b
+)
+SELECT b,
+       ROUND(CASE WHEN n > 0 AND se / (2 * n) > 0 AND se / (2 * n) < 1
+                  THEN 1 - sfe / (2 * n * (se / (2 * n)) * (1 - se / (2 * n)))
+                  ELSE 1.0 END, 6) AS info,
+       CAST(n AS INT) AS n_included
+FROM s ORDER BY b
+"""
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -1325,6 +1373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm_matmul": bm_matmul_q,
         "hwe_by_group": hwe_by_group,
         "query_table_point": query_table_point,
+        "info_score_by_bucket": info_score_by_bucket,
         "multimodal_pipeline": multimodal_pipeline,
     }
 
@@ -1374,5 +1423,6 @@ def oracle_sql() -> dict[str, str]:
         "bm_matmul": _BM_MATMUL_SQL,
         # hwe_by_group: exact-test finalizer not SQL-expressible → rows-only
         "query_table_point": _QUERY_TABLE_SQL,
+        "info_score_by_bucket": _INFO_SCORE_SQL,
         # multimodal_pipeline: stubbed codecs → rows-only
     }

@@ -819,3 +819,76 @@ def info_score(entries, gp_field: str = "GP") -> Column:
         1.0 - sum_fe2 / (2.0 * n * theta * (1.0 - theta)),
     ).when((n > 0), F.lit(1.0))
     return F.struct(score.alias("score"), n.alias("n_included"))
+
+
+def lower_bound(arr, x) -> Column:
+    """Index (0-based) of the first element >= x in a sorted array —
+    ref functions.py:7107 `hl.binary_search` semantics (V:1556
+    LowerBoundOnOrderedCollection).  Count-of-smaller via a filter —
+    O(n) per row but stays in codegen; arrays here are per-row
+    collections, not data-scale."""
+    return F.size(F.filter(arr, lambda e: e < x))
+
+
+def binary_search(arr, x) -> Column:
+    """Alias of lower_bound (the reference exposes binary_search as the
+    public name, functions.py:7107)."""
+    return lower_bound(arr, x)
+
+
+def keyed_intersection(a, b, key: str) -> Column:
+    """Intersection of two arrays of keyed structs by key field (ref
+    functions.py:5582 `hl.keyed_intersection`): elements of ``a`` whose
+    key appears in ``b``, a-side values win, sorted by key."""
+    bkeys = F.transform(b, lambda e: e[key])
+    return F.array_sort(F.filter(a, lambda e: F.array_contains(bkeys, e[key])))
+
+
+def keyed_union(a, b, key: str) -> Column:
+    """Union by key (ref functions.py:5612): all of ``a`` plus elements
+    of ``b`` whose key is absent from ``a``, sorted by key."""
+    akeys = F.transform(a, lambda e: e[key])
+    only_b = F.filter(b, lambda e: ~F.array_contains(akeys, e[key]))
+    return F.array_sort(F.concat(a, only_b))
+
+
+def min_rep(pos, ref, alt) -> Column:
+    """Minimal representation of a variant (ref functions.py:6291
+    `hl.min_rep`; Scala variant/VariantMethods minRep): trim the longest
+    shared suffix (keeping >=1 base each), then the longest shared
+    prefix, shifting the position right by the prefix length.  Returns
+    struct(position, ref, alt).  Pure fold expressions over character
+    positions — no UDF."""
+    pos = pos if isinstance(pos, Column) else F.lit(pos)
+    ref = ref if isinstance(ref, Column) else F.lit(ref)
+    alt = alt if isinstance(alt, Column) else F.lit(alt)
+    lr, la = F.length(ref), F.length(alt)
+    max_suf = F.least(lr, la) - 1
+    # longest common suffix length (bounded so >=1 base remains)
+    suf = F.aggregate(
+        F.when(max_suf >= 1, F.sequence(F.lit(1), max_suf)).otherwise(F.array().cast("array<int>")),
+        F.struct(F.lit(False).alias("done"), F.lit(0).alias("k")),
+        lambda acc, i: F.when(
+            ~acc["done"] & (ref.substr(lr - i + 1, F.lit(1)) == alt.substr(la - i + 1, F.lit(1))),
+            F.struct(F.lit(False).alias("done"), i.alias("k")),
+        ).otherwise(F.struct(F.lit(True).alias("done"), acc["k"].alias("k"))),
+        lambda acc: acc["k"],
+    )
+    r1 = ref.substr(F.lit(1), lr - suf)
+    a1 = alt.substr(F.lit(1), la - suf)
+    l1r, l1a = F.length(r1), F.length(a1)
+    max_pre = F.least(l1r, l1a) - 1
+    pre = F.aggregate(
+        F.when(max_pre >= 1, F.sequence(F.lit(1), max_pre)).otherwise(F.array().cast("array<int>")),
+        F.struct(F.lit(False).alias("done"), F.lit(0).alias("k")),
+        lambda acc, i: F.when(
+            ~acc["done"] & (r1.substr(i, F.lit(1)) == a1.substr(i, F.lit(1))),
+            F.struct(F.lit(False).alias("done"), i.alias("k")),
+        ).otherwise(F.struct(F.lit(True).alias("done"), acc["k"].alias("k"))),
+        lambda acc: acc["k"],
+    )
+    return F.struct(
+        (pos + pre).alias("position"),
+        r1.substr(pre + 1, l1r - pre).alias("ref"),
+        a1.substr(pre + 1, l1a - pre).alias("alt"),
+    )

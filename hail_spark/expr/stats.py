@@ -528,3 +528,73 @@ def __getattr__(name: str):
             _udf_cache[name] = vec_udf(_UDF_KERNELS[name])
         return _udf_cache[name]
     raise AttributeError(name)
+
+
+def uniroot(f, a: float, b: float, tol: float = 1.22e-4, max_iter: int = 100):
+    """Root of a continuous scalar function on [a, b] with a sign change
+    (ref functions.py:2954 `hl.uniroot`; same contract as R's uniroot /
+    commons-math Brent).  Classic Brent's method, implemented from the
+    published algorithm.  Returns None when f(a), f(b) share a sign
+    (the reference returns missing)."""
+    fa, fb = f(a), f(b)
+    if fa == 0:
+        return a
+    if fb == 0:
+        return b
+    if fa * fb > 0:
+        return None
+    c, fc = a, fa
+    d = e = b - a
+    for _ in range(max_iter):
+        if abs(fc) < abs(fb):
+            a, b, c = b, c, b
+            fa, fb, fc = fb, fc, fb
+        m = 0.5 * (c - b)
+        tol1 = 2.0 * 2.220446049250313e-16 * abs(b) + 0.5 * tol
+        if abs(m) <= tol1 or fb == 0:
+            return b
+        if abs(e) < tol1 or abs(fa) <= abs(fb):
+            d = e = m
+        else:
+            s = fb / fa
+            if a == c:
+                p, q = 2.0 * m * s, 1.0 - s
+            else:
+                q0, r = fa / fc, fb / fc
+                p = s * (2.0 * m * q0 * (q0 - r) - (b - a) * (r - 1.0))
+                q0 = (q0 - 1.0) * (r - 1.0) * (s - 1.0)
+                q = q0
+            if p > 0:
+                q = -q
+            p = abs(p)
+            if 2.0 * p < min(3.0 * m * q - abs(tol1 * q), abs(e * q)):
+                e, d = d, p / q
+            else:
+                d = e = m
+        a, fa = b, fb
+        b += d if abs(d) > tol1 else (tol1 if m > 0 else -tol1)
+        fb = f(b)
+        if (fb > 0) == (fc > 0):
+            c, fc = a, fa
+            d = e = b - a
+    return b
+
+
+def cochran_mantel_haenszel_test(a, b, c, d):
+    """CMH test for 2x2xK stratified tables (ref functions.py:746
+    `hl.cochran_mantel_haenszel_test`; commons-math underneath): chi-sq
+    statistic with continuity correction and the common odds-ratio
+    estimate.  a,b,c,d: per-stratum cell-count sequences."""
+    a = np.asarray(a, dtype=float)
+    b = np.asarray(b, dtype=float)
+    c = np.asarray(c, dtype=float)
+    d = np.asarray(d, dtype=float)
+    n = a + b + c + d
+    r1, r2 = a + b, c + d
+    c1 = a + c
+    num = np.sum(a - r1 * c1 / n)
+    var = np.sum(r1 * r2 * c1 * (b + d) / (n * n * (n - 1)))
+    stat = (abs(num) - 0.5) ** 2 / var if var > 0 else float("nan")
+    p = float(pchisqtail(np.array([stat]), 1.0)[0]) if var > 0 else float("nan")
+    orr = np.sum(a * d / n) / np.sum(b * c / n) if np.sum(b * c / n) > 0 else float("inf")
+    return {"test_statistic": float(stat), "p_value": p, "odds_ratio": float(orr)}

@@ -111,3 +111,25 @@ def test_spark_udf_surface(spark):
     assert out[2]["p"] == pytest.approx(0.5, abs=1e-12)  # z=0
     assert out[0]["p"] == pytest.approx(st.pnorm(-2.0), abs=1e-12)
     assert all(0.0 <= r["q"] <= 1.0 for r in out)
+
+
+def test_uniroot_brent():
+    from hail_spark.expr.stats import uniroot
+
+    import math
+
+    assert uniroot(lambda x: x * x - 2, 0, 2) == pytest.approx(math.sqrt(2), abs=1e-4)
+    assert uniroot(lambda x: math.cos(x), 0, 3, tol=1e-10) == pytest.approx(math.pi / 2, abs=1e-8)
+    assert uniroot(lambda x: x + 5, 0, 1) is None  # no sign change → missing
+
+
+def test_cochran_mantel_haenszel():
+    from hail_spark.expr.stats import cochran_mantel_haenszel_test
+
+    # two strata, association in same direction
+    res = cochran_mantel_haenszel_test([10, 8], [2, 4], [3, 5], [9, 7])
+    assert res["p_value"] < 0.05  # continuity-corrected: ~0.0107
+    assert res["odds_ratio"] > 1
+    # null-ish: balanced tables
+    res0 = cochran_mantel_haenszel_test([5, 5], [5, 5], [5, 5], [5, 5])
+    assert res0["p_value"] > 0.5
