@@ -196,6 +196,177 @@ class BlockMatrix:
         out = joined.groupBy("bi", "bj").applyInPandas(gemm_sum, schema=_SCHEMA)
         return BlockMatrix(out, self.n_rows, other.n_cols, self.block_size)
 
+    def tree_matmul(self, other: "BlockMatrix", splits: int = 4) -> "BlockMatrix":
+        """C = A @ B with a two-level (tree) reduction over the inner
+        dimension (ref python blockmatrix.py:1545 tree_matmul).
+
+        The reference splits the inner dimension into ``splits`` groups
+        and materializes per-group partial products to bound per-task
+        memory; here the same shape is two aggregation levels — partial
+        blocks per (bi, bj, g = bk % splits) then the final sum per
+        (bi, bj). At 100 TB this turns one wide shuffle-reduce with
+        n_inner_blocks rows per group into two narrow ones (map-side
+        combine applies at both levels), which matters when the inner
+        dimension is much larger than the output grid."""
+        if self.n_cols != other.n_rows:
+            raise ValueError("dimension mismatch")
+        a = self.df.select(
+            F.col("bi"), F.col("bj").alias("bk"), F.col("r").alias("ar"),
+            F.col("c").alias("ac"), F.col("data").alias("da"),
+        )
+        b = other.df.select(
+            F.col("bi").alias("bk"), F.col("bj"), F.col("r").alias("br"),
+            F.col("c").alias("bc"), F.col("data").alias("db"),
+        )
+        joined = a.join(b, on="bk").withColumn("g", F.pmod(F.col("bk"), F.lit(splits)))
+
+        def gemm_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+            r, c = int(pdf["ar"].iloc[0]), int(pdf["bc"].iloc[0])
+            acc = np.zeros((r, c))
+            for da, db, ar, ac, br, bc in zip(
+                pdf["da"], pdf["db"], pdf["ar"], pdf["ac"], pdf["br"], pdf["bc"]
+            ):
+                acc += np.asarray(da).reshape(int(ar), int(ac)) @ np.asarray(
+                    db
+                ).reshape(int(br), int(bc))
+            return pd.DataFrame(
+                [{
+                    "bi": pdf["bi"].iloc[0], "bj": pdf["bj"].iloc[0],
+                    "r": r, "c": c, "data": acc.ravel().tolist(),
+                }]
+            )
+
+        partial = joined.groupBy("bi", "bj", "g").applyInPandas(
+            gemm_partial, schema=_SCHEMA
+        )
+        out = partial.groupBy("bi", "bj", "r", "c").agg(
+            F.aggregate(
+                F.collect_list("data"),
+                F.transform(
+                    F.sequence(F.lit(1), F.col("r") * F.col("c")),
+                    lambda _: F.lit(0.0),
+                ),
+                lambda acc, d: F.zip_with(acc, d, lambda x, y: x + y),
+            ).alias("data")
+        )
+        return BlockMatrix(out, self.n_rows, other.n_cols, self.block_size)
+
+    # ------------------------------------------------------------------ #
+    # sparsification (ref BlockMatrix.scala band :591, rectangles :726,
+    # rowIntervals :662) — drop blocks wholly outside the kept region
+    # (partition pruning: the filter is on block coords, evaluated before
+    # any data movement), zero out-of-region entries inside kept blocks.
+    # ------------------------------------------------------------------ #
+    def _global_ij(self, idx):
+        bs = self.block_size
+        gi = F.col("bi") * bs + F.floor(idx / F.col("c"))
+        gj = F.col("bj") * bs + idx % F.col("c")
+        return gi, gj
+
+    def _sparsify(self, block_keep, cell_keep) -> "BlockMatrix":
+        out = self.df.filter(block_keep).select(
+            "bi",
+            "bj",
+            "r",
+            "c",
+            F.transform(
+                F.sequence(F.lit(0), F.col("r") * F.col("c") - 1),
+                lambda idx: F.when(
+                    cell_keep(*self._global_ij(idx)),
+                    F.element_at("data", (idx + 1).cast("int")),
+                ).otherwise(F.lit(0.0)),
+            ).alias("data"),
+        )
+        return BlockMatrix(out, self.n_rows, self.n_cols, self.block_size)
+
+    def sparsify_band(self, lower: int, upper: int) -> "BlockMatrix":
+        """Keep entries with lower <= j - i <= upper; drop blocks whose
+        full diagonal range misses the band (ref band :591)."""
+        bs = self.block_size
+        # block (bi,bj) spans j-i in [bj*bs - (bi*bs + r - 1), bj*bs + c-1 - bi*bs]
+        lo = F.col("bj") * bs - (F.col("bi") * bs + F.col("r") - 1)
+        hi = F.col("bj") * bs + F.col("c") - 1 - F.col("bi") * bs
+        keep = (hi >= F.lit(lower)) & (lo <= F.lit(upper))
+        return self._sparsify(
+            keep,
+            lambda gi, gj: (gj - gi >= F.lit(lower)) & (gj - gi <= F.lit(upper)),
+        )
+
+    def sparsify_rectangles(self, rectangles: list) -> "BlockMatrix":
+        """Keep entries inside any [i0, i1) x [j0, j1) rectangle (ref
+        rectangles :726). The rectangle list is a driver-side constant
+        folded into the expression — at scale it is broadcast with the
+        plan, never shuffled."""
+        def block_pred():
+            bs = self.block_size
+            conds = []
+            for i0, i1, j0, j1 in rectangles:
+                conds.append(
+                    (F.col("bi") * bs < i1)
+                    & (F.col("bi") * bs + F.col("r") > i0)
+                    & (F.col("bj") * bs < j1)
+                    & (F.col("bj") * bs + F.col("c") > j0)
+                )
+            out = F.lit(False)
+            for c in conds:
+                out = out | c
+            return out
+
+        def cell_pred(gi, gj):
+            out = F.lit(False)
+            for i0, i1, j0, j1 in rectangles:
+                out = out | (
+                    (gi >= i0) & (gi < i1) & (gj >= j0) & (gj < j1)
+                )
+            return out
+
+        return self._sparsify(block_pred(), cell_pred)
+
+    def sparsify_row_intervals(self, starts: list, stops: list) -> "BlockMatrix":
+        """Keep entries with starts[i] <= j < stops[i] per row (ref
+        rowIntervals :662). starts/stops are driver-side arrays of
+        length n_rows, shipped as a map literal keyed by row — fine for
+        the reference's use (per-row LD windows over ~1e5-1e6 rows); a
+        data-scale variant would join a (i, start, stop) table instead."""
+        smap = F.create_map(
+            *[F.lit(x) for i, s in enumerate(starts) for x in (i, s)]
+        )
+        emap = F.create_map(
+            *[F.lit(x) for i, s in enumerate(stops) for x in (i, s)]
+        )
+        return self._sparsify(
+            F.lit(True),
+            lambda gi, gj: (gj >= F.element_at(smap, gi.cast("int")))
+            & (gj < F.element_at(emap, gi.cast("int"))),
+        )
+
+    # ------------------------------------------------------------------ #
+    # persistence (ref write :993 / read :214) — parquet blocks + JSON
+    # metadata sidecar, mirroring the native-table layout in io/impex.
+    # ------------------------------------------------------------------ #
+    def write(self, path: str) -> None:
+        import json
+        import os
+
+        self.df.write.mode("overwrite").parquet(os.path.join(path, "blocks"))
+        meta = {
+            "n_rows": self.n_rows,
+            "n_cols": self.n_cols,
+            "block_size": self.block_size,
+        }
+        with open(os.path.join(path, "_bm_metadata.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def read(cls, spark: SparkSession, path: str) -> "BlockMatrix":
+        import json
+        import os
+
+        with open(os.path.join(path, "_bm_metadata.json")) as f:
+            meta = json.load(f)
+        df = spark.read.parquet(os.path.join(path, "blocks"))
+        return cls(df, meta["n_rows"], meta["n_cols"], meta["block_size"])
+
     # ------------------------------------------------------------------ #
     # reductions / export
     # ------------------------------------------------------------------ #

@@ -69,3 +69,49 @@ def test_gram_matrix(mats):
     A, _, bA, _ = mats
     G = bA.transpose().matmul(bA)
     np.testing.assert_allclose(G.to_numpy(), A.T @ A)
+
+
+def test_tree_matmul(mats):
+    A, B, bA, bB = mats
+    np.testing.assert_allclose(bA.tree_matmul(bB, splits=2).to_numpy(), A @ B)
+    np.testing.assert_allclose(bA.tree_matmul(bB, splits=5).to_numpy(), A @ B)
+
+
+def test_sparsify_band(mats):
+    A, _, bA, _ = mats
+    lo, hi = -2, 3
+    expect = A.copy()
+    ii, jj = np.indices(A.shape)
+    expect[(jj - ii < lo) | (jj - ii > hi)] = 0.0
+    np.testing.assert_allclose(bA.sparsify_band(lo, hi).to_numpy(), expect)
+    # dropped blocks actually pruned, not just zeroed
+    assert bA.sparsify_band(0, 0).df.count() < bA.df.count()
+
+
+def test_sparsify_rectangles(mats):
+    A, _, bA, _ = mats
+    rects = [(0, 5, 0, 5), (10, 20, 3, 9)]
+    expect = np.zeros_like(A)
+    for i0, i1, j0, j1 in rects:
+        expect[i0:i1, j0:j1] = A[i0:i1, j0:j1]
+    np.testing.assert_allclose(bA.sparsify_rectangles(rects).to_numpy(), expect)
+
+
+def test_sparsify_row_intervals(mats):
+    A, _, bA, _ = mats
+    rng = np.random.RandomState(3)
+    starts = rng.randint(0, 8, size=A.shape[0]).tolist()
+    stops = [s + int(x) for s, x in zip(starts, rng.randint(0, 9, size=A.shape[0]))]
+    expect = np.zeros_like(A)
+    for i in range(A.shape[0]):
+        expect[i, starts[i] : stops[i]] = A[i, starts[i] : stops[i]]
+    np.testing.assert_allclose(
+        bA.sparsify_row_intervals(starts, stops).to_numpy(), expect
+    )
+
+
+def test_write_read(mats, tmp_path, spark):
+    A, _, bA, _ = mats
+    p = str(tmp_path / "bm")
+    bA.write(p)
+    np.testing.assert_allclose(BlockMatrix.read(spark, p).to_numpy(), A)
