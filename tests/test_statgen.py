@@ -192,3 +192,42 @@ def test_linear_skat_null_uniform_and_signal(spark, sim):
     mt3 = MatrixTable(df, mt._row_key, cols, mt._col_key)
     res3 = {r["group"]: r for r in linear_skat(mt3, "gene", "ys").collect()}
     assert res3[2]["p_value"] < 1e-6
+
+
+def test_logistic_skat(spark, sim):
+    from hail_spark.methods.statgen import _logreg_fit, logistic_skat
+    from hail_spark.expr.stats import pgenchisq
+
+    mt, G, cov, _, y_bin = sim
+    df = mt._df.withColumn("gene", (F.col("vid") / 10).cast("int"))
+    mt2 = MatrixTable(df, mt._row_key, mt._cols, mt._col_key)
+    res = {r["group"]: r for r in logistic_skat(
+        mt2, "gene", "yb", covariates=["cov"]).collect()}
+    assert set(res) == {0, 1, 2, 3}
+    for r in res.values():
+        assert r["size"] == 10 and 0.0 <= r["p_value"] <= 1.0
+
+    # numpy replica for group 1
+    Gi = _impute(G)[10:20].T
+    C = np.column_stack([np.ones(N_SAMPLES), cov])
+    beta, *_ = _logreg_fit(C, y_bin)
+    mu = 1 / (1 + np.exp(-(C @ beta)))
+    v = mu * (1 - mu)
+    r_ = y_bin - mu
+    q_ref = ((Gi.T @ r_) ** 2).sum() / 2
+    assert res[1]["q_stat"] == pytest.approx(q_ref, rel=1e-8)
+    Qv, _ = np.linalg.qr(C * np.sqrt(v)[:, None])
+    Gv = Gi * np.sqrt(v)[:, None]
+    B = Gv.T @ Gv - (Gv.T @ Qv) @ (Qv.T @ Gv)
+    lam = np.linalg.eigvalsh(B) / 2
+    lam = lam[lam > 1e-10 * lam.max()]
+    assert res[1]["p_value"] == pytest.approx(pgenchisq(q_ref, lam), abs=1e-8)
+
+    # planted signal: case status driven by group-3 burden → small p
+    burden = _impute(G)[30:40].sum(axis=0)
+    y_sig = (burden > np.median(burden)).astype(float)
+    cols = [{**c, "ysig": float(y_sig[j])} for j, c in enumerate(mt._cols)]
+    mt3 = MatrixTable(df, mt._row_key, cols, mt._col_key)
+    res3 = {r["group"]: r for r in logistic_skat(mt3, "gene", "ysig").collect()}
+    assert res3[3]["p_value"] < 0.05
+    assert res3[3]["p_value"] < min(res3[g]["p_value"] for g in (0, 1))
