@@ -448,6 +448,36 @@ class Table:
             "header", header
         ).csv(path)
 
+    def write_fanout(
+        self, root: str, fields: dict, overwrite: bool = False
+    ) -> None:
+        """Write this table once to multiple outputs, each keeping a
+        different field subset (ref TableNativeFanoutWriter,
+        hail/python/hail/ir/table_writer.py:77).
+
+        ``fields``: {output_name: [row fields to keep]}; key fields are
+        always included.  The source plan is computed once (cached),
+        then each output is a column-pruned projection written to
+        ``root/name`` in the native layout — at scale this reads the
+        input a single time instead of once per output, which is the
+        entire point of the fanout writer.
+        """
+        t = self._ensure_key_sorted()
+        t._df.persist()
+        try:
+            for name, keep in fields.items():
+                cols = list(self._key) + [
+                    f for f in keep if f not in self._key
+                ]
+                Table(
+                    t._df.select(*cols),
+                    key=self._key,
+                    globals=self._globals,
+                    _sorted=True,
+                ).write(os.path.join(root, name), overwrite=overwrite)
+        finally:
+            t._df.unpersist()
+
 
 class GroupedTable:
     """Result of Table.group_by — call .aggregate(**aggs)

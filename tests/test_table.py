@@ -248,3 +248,17 @@ def test_reservoir_and_downsample_and_fold(spark):
         agg.fold(F.col("idx"), F.lit(0).cast("bigint"), lambda a, x: a + x).alias("f")
     ).first()["f"]
     assert f == 499 * 500 // 2
+
+
+def test_write_fanout(spark, tmp_path):
+    root = str(tmp_path / "fan")
+    t = Table.range(spark, 20).annotate(
+        a=F.col("idx") * 2, b=F.col("idx") * 3, c=F.lit("x")
+    )
+    t.write_fanout(root, {"ab": ["a", "b"], "conly": ["c"]}, overwrite=True)
+    ab = Table.read(spark, root + "/ab")
+    conly = Table.read(spark, root + "/conly")
+    assert sorted(ab.df.columns) == ["a", "b", "idx"]
+    assert sorted(conly.df.columns) == ["c", "idx"]
+    assert ab.count() == 20 and conly.count() == 20
+    assert {r["a"] for r in ab.collect()} == {i * 2 for i in range(20)}
