@@ -1325,6 +1325,59 @@ FROM s ORDER BY b
 """
 
 
+_CHAIN_BLOCKS = [
+    # (src_contig, src_start, src_end, dst_contig, dst_pos, strand)
+    ("c1", 0, 4000, "d1", 10000, 1),
+    ("c1", 4500, 9000, "d1", 20000, 1),
+    ("c2", 0, 5000, "d2", 8000, -1),
+]
+
+
+def liftover_loci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-file liftover as a broadcast range join (expr/genome.py
+    liftover; ref functions.py:6498 hl.liftover) over pseudo-loci
+    derived from orders keys; the chain is a fixed literal block list so
+    the DuckDB oracle can replay it as a VALUES CTE."""
+    from hail_spark.expr.genome import chain_to_df, liftover
+
+    orders = _t(spark, sf_dir, "orders").df
+    loci = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.concat(F.lit("c"), (F.col("o_orderkey") % 3 + 1).cast("string")).alias(
+            "contig"
+        ),
+        (F.col("o_orderkey") % 9500 + 1).cast("int").alias("position"),
+    )
+    out = liftover(loci, chain_to_df(spark, _CHAIN_BLOCKS))
+    return out.select(
+        "k", "contig", "position", "target_contig", "target_position",
+        "target_strand",
+    ).orderBy("k")
+
+
+_LIFTOVER_SQL = """
+WITH chain(src_contig, src_start, src_end, dst_contig, dst_pos, strand) AS (
+  VALUES ('c1', 0, 4000, 'd1', 10000, 1),
+         ('c1', 4500, 9000, 'd1', 20000, 1),
+         ('c2', 0, 5000, 'd2', 8000, -1)
+), loci AS (
+  SELECT o_orderkey AS k,
+         'c' || CAST(o_orderkey % 3 + 1 AS VARCHAR) AS contig,
+         CAST(o_orderkey % 9500 + 1 AS INT) AS position
+  FROM orders
+)
+SELECT k, contig, position,
+       dst_contig AS target_contig,
+       CAST(CASE WHEN strand = 1 THEN dst_pos + (position - 1 - src_start)
+                 ELSE dst_pos + (src_end - 1 - (position - 1)) END + 1 AS INT)
+         AS target_position,
+       strand AS target_strand
+FROM loci LEFT JOIN chain
+  ON contig = src_contig AND position - 1 >= src_start AND position - 1 < src_end
+ORDER BY k
+"""
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -1374,6 +1427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hwe_by_group": hwe_by_group,
         "query_table_point": query_table_point,
         "info_score_by_bucket": info_score_by_bucket,
+        "liftover_loci": liftover_loci,
         "multimodal_pipeline": multimodal_pipeline,
     }
 
@@ -1424,5 +1478,6 @@ def oracle_sql() -> dict[str, str]:
         # hwe_by_group: exact-test finalizer not SQL-expressible → rows-only
         "query_table_point": _QUERY_TABLE_SQL,
         "info_score_by_bucket": _INFO_SCORE_SQL,
+        "liftover_loci": _LIFTOVER_SQL,
         # multimodal_pipeline: stubbed codecs → rows-only
     }
