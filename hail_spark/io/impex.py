@@ -291,6 +291,51 @@ def import_gen(
     return MatrixTable(df, ("locus", "alleles"), samples, ("s",))
 
 
+def export_gen(mt, path: str, precision: int = 4) -> None:
+    """Oxford GEN export (ref MatrixGENWriter, matrix_writer.py:106;
+    Scala io/gen/ExportGen) — the inverse of import_gen: one text line
+    per variant, ``contig varid rsid pos a1 a2`` then three GP values
+    per sample (missing entry → ``0 0 0``, the format's convention).
+
+    The line is assembled entirely with array HOFs + array_join inside
+    codegen and written as distributed text parts; also writes the
+    two-header ``.sample`` sidecar driver-side (it is O(n_samples))."""
+    import os
+
+    df = mt._df
+
+    def gp3(e: Column) -> Column:
+        return F.when(
+            e.isNull() | e["GP"].isNull(),
+            F.lit("0 0 0"),
+        ).otherwise(
+            F.array_join(
+                F.transform(
+                    e["GP"], lambda p: F.format_string(f"%.{precision}f", p)
+                ),
+                " ",
+            )
+        )
+
+    line = F.concat_ws(
+        " ",
+        F.col("locus")["contig"],
+        F.col("varid"),
+        F.col("rsid"),
+        F.col("locus")["position"].cast("string"),
+        F.element_at("alleles", 1),
+        F.element_at("alleles", 2),
+        F.array_join(F.transform(F.col("__entries"), gp3), " "),
+    )
+    df.select(line.alias("value")).write.mode("overwrite").text(
+        os.path.join(path, "gen")
+    )
+    with open(os.path.join(path, "samples.sample"), "w") as fh:
+        fh.write("ID_1 ID_2 missing\n0 0 0\n")
+        for c in mt._cols:
+            fh.write(f"{c['s']} {c['s']} 0\n")
+
+
 def import_avro(spark: SparkSession, path: str) -> Table:
     """Avro table import (ref impex.py:3345; Scala
     io/avro/AvroTableReader.scala) → `spark.read.format("avro")`.

@@ -253,3 +253,30 @@ def test_compute_charr(spark):
     assert res["S2"] == pytest.approx(exp_s2, rel=1e-12)
     assert res["S1"] == pytest.approx(exp_s1, rel=1e-12)
     assert res["S0"] is None  # het everywhere → no hom-var entries
+
+
+def test_export_gen_roundtrip(spark, tmp_path):
+    from hail_spark.io.impex import export_gen, import_gen
+
+    gen = tmp_path / "y.gen"
+    gen.write_text(
+        "01 SNP1 rs1 1000 A G 1 0 0 0 1 0 0 0 1\n"
+        "01 SNP2 rs2 2000 T C 0.25 0.5 0.25 0 0.1 0.9 0.98 0.01 0.01\n"
+    )
+    smp = tmp_path / "y.sample"
+    smp.write_text("ID_1 ID_2 missing\n0 0 0\nS1 S1 0\nS2 S2 0\nS3 S3 0\n")
+    mt = import_gen(spark, str(gen), str(smp))
+    out = tmp_path / "out"
+    export_gen(mt, str(out))
+    mt2 = import_gen(spark, str(out / "gen"), str(out / "samples.sample"))
+    assert [c["s"] for c in mt2._cols] == ["S1", "S2", "S3"]
+    orig = {r["varid"]: r for r in mt._df.collect()}
+    back = {r["varid"]: r for r in mt2._df.collect()}
+    assert set(orig) == set(back)
+    for v in orig:
+        assert back[v]["locus"] == orig[v]["locus"]
+        assert back[v]["alleles"] == orig[v]["alleles"]
+        for e1, e2 in zip(orig[v]["__entries"], back[v]["__entries"]):
+            assert e2["GT"] == e1["GT"]
+            for p1, p2 in zip(e1["GP"], e2["GP"]):
+                assert abs(p1 - p2) < 1e-4
