@@ -180,6 +180,61 @@ class VariantDataset:
         )
         return MatrixTable(dense, vd._row_key, vd._cols, vd._col_key, vd._globals)
 
+    def segment_reference_blocks(self, intervals: DataFrame) -> MatrixTable:
+        """Split reference blocks at interval boundaries so every output
+        block lies entirely within one interval (ref
+        vds/methods.py:segment_reference_blocks).
+
+        ``intervals``: DataFrame with ``contig string, start int,
+        end int`` rows (inclusive bounds).  Interval lists are small
+        (exome/capture regions, ≤ ~1e6 rows) so the join broadcasts —
+        each executor clips its own reference rows map-side, no shuffle
+        of the (large) reference data.  A block overlapping k intervals
+        emits k clipped rows; entries whose per-sample [position, END]
+        span misses the interval become null, and rows with no surviving
+        entries are dropped.
+        """
+        rd = self.reference_data
+        iv = intervals.select(
+            F.col("contig").alias("__ictg"),
+            F.col("start").cast("int").alias("__is"),
+            F.col("end").cast("int").alias("__ie"),
+        )
+        src = rd._df.withColumn(
+            "__row_end",
+            F.array_max(F.transform(ENTRIES, lambda e: e["END"])),
+        )
+        pos = F.col("locus")["position"]
+        joined = src.join(
+            F.broadcast(iv),
+            (F.col("locus")["contig"] == F.col("__ictg"))
+            & (pos <= F.col("__ie"))
+            & (F.col("__row_end") >= F.col("__is")),
+            "inner",
+        )
+        new_pos = F.greatest(pos, F.col("__is"))
+        clipped = joined.select(
+            F.struct(
+                F.col("locus")["contig"].alias("contig"),
+                new_pos.cast("int").alias("position"),
+            ).alias("locus"),
+            F.struct(
+                F.col("__ictg").alias("contig"),
+                F.col("__is").alias("start"),
+                F.col("__ie").alias("end"),
+            ).alias("interval"),
+            F.transform(
+                F.col(ENTRIES),
+                lambda e: F.when(
+                    e.isNotNull()
+                    & (e["END"] >= new_pos)
+                    & (pos <= F.col("__ie")),
+                    e.withField("END", F.least(e["END"], F.col("__ie")).cast("int")),
+                ),
+            ).alias(ENTRIES),
+        ).filter(F.exists(ENTRIES, lambda e: e.isNotNull()))
+        return MatrixTable(clipped, ("locus",), rd._cols, rd._col_key)
+
     def interval_coverage(self) -> DataFrame:
         """Per-sample total reference-covered bases (simplified
         vds/methods.py:interval_coverage)."""

@@ -89,3 +89,27 @@ def test_filters_and_roundtrip(vds, tmp_path, spark):
     assert back.reference_data.count_rows() == 2
     with pytest.raises(ValueError):
         VariantDataset(vds.reference_data, sub.variant_data)
+
+
+def test_segment_reference_blocks(spark, vds):
+    intervals = spark.createDataFrame(
+        [("1", 110, 160), ("1", 240, 320), ("2", 1, 10)],
+        "contig string, start int, end int",
+    )
+    seg = vds.segment_reference_blocks(intervals)
+    rows = [
+        (
+            r["locus"]["position"],
+            (r["interval"]["start"], r["interval"]["end"]),
+            [(e["END"], e["DP"]) if e else None for e in r[ENTRIES]],
+        )
+        for r in seg._df.orderBy("locus.position", "interval.start").collect()
+    ]
+    # block s0 [100,250] ∩ [110,160] → [110,160]; s1 [100,150] → [110,150]
+    assert rows[0] == (110, (110, 160), [(160, 20), (150, 9)])
+    # block s0 [100,250] ∩ [240,320] → [240,250]; s1 block misses → null
+    assert rows[1] == (240, (240, 320), [(250, 20), None])
+    # block s0 [300,400] ∩ [240,320] → [300,320]; s1 has null entry
+    assert rows[2] == (300, (240, 320), [(320, 30), None])
+    # nothing on contig 2; no block fully outside all intervals survives
+    assert len(rows) == 3
