@@ -40,6 +40,13 @@ def _dsum(col, alias):
     return F.sum(col.cast("decimal(38,6)")).cast("double").alias(alias)
 
 
+def _arr_str(col, scale: str = "decimal(18,2)"):
+    """Canonical string form of a numeric array (fixed-scale decimal elements,
+    comma-joined) — the harness canonicalizer can't hash list-typed cells, so
+    array outputs are compared as strings on both the Spark and DuckDB sides."""
+    return F.array_join(F.transform(col, lambda x: x.cast(scale).cast("string")), ",")
+
+
 # ===================================================================== #
 # flagship
 # ===================================================================== #
@@ -395,11 +402,18 @@ def collect_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         prices=F.sort_array(F.collect_list("o_totalprice")),
         n=agg.count(),
     )
+    # Array columns are serialized to canonical strings (fixed-scale decimal
+    # elements, comma-joined) so the harness canonicalizer can hash rows.
+    out = out.annotate(prices=_arr_str(F.col("prices")))
     return out.order_by("o_custkey").df
 
 
 _COLLECT_SQL = """
-SELECT o_custkey, list(o_totalprice ORDER BY o_totalprice) AS prices, COUNT(*) AS n
+SELECT o_custkey,
+       array_to_string(list_transform(list(o_totalprice ORDER BY o_totalprice),
+                                      x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)),
+                       ',') AS prices,
+       COUNT(*) AS n
 FROM orders GROUP BY o_custkey ORDER BY o_custkey
 """
 
@@ -418,12 +432,15 @@ def take_by_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         )
     )
+    out = out.annotate(top3=_arr_str(F.col("top3")))
     return out.order_by("l_suppkey").df
 
 
 _TAKEBY_SQL = """
 SELECT l_suppkey,
-       (list(l_extendedprice ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))[1:3] AS top3
+       array_to_string(list_transform(
+           (list(l_extendedprice ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber))[1:3],
+           x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS top3
 FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
 """
 
@@ -658,8 +675,9 @@ FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN (scale path): nlist=16 cells, probe 4.
-    Non-SQL-expressible pipeline → rows-only check."""
+    """IVF-bucketed ANN (scale path): nlist=16 cells, probe 4. Seeds are
+    md5-rank deterministic, assignment is a zero-shuffle argmax over the
+    inlined codebook — the whole pipeline replays as DuckDB SQL."""
     from hail_spark.llmdata import similarity
 
     e = _t(spark, sf_dir, "embeddings").df
@@ -671,6 +689,50 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "q_id", "rank", "vec_id", F.round(F.col("cosine"), 6).alias("cosine")
     ).orderBy("q_id", "rank")
+
+
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB cosine mirroring llmdata.dedup.cosine's fold order."""
+    def ss(v: str) -> str:
+        return (
+            f"list_aggregate(list_transform(range(1, {dim + 1}), "
+            f"i -> {v}[i]::DOUBLE * {v}[i]::DOUBLE), 'sum')"
+        )
+
+    dot = (
+        f"list_aggregate(list_transform(range(1, {dim + 1}), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum')"
+    )
+    return f"({dot} / (sqrt({ss(a)}) * sqrt({ss(b)})))"
+
+
+_IVF_SQL = f"""
+WITH cents AS (
+  SELECT (row_number() OVER (ORDER BY h)) - 1 AS cell, c_vec
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, embedding AS c_vec
+        FROM embeddings ORDER BY h LIMIT 16)),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.c_vec')} DESC, c.cell) AS rk
+    FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+probes AS (
+  SELECT q_id, q_vec, cell FROM (
+    SELECT q.q_id, q.q_vec, c.cell,
+           row_number() OVER (PARTITION BY q.q_id
+               ORDER BY {_cos_sql('q.q_vec', 'c.c_vec')} DESC, c.cell) AS rk
+    FROM q CROSS JOIN cents c) WHERE rk <= 4),
+scored AS (
+  SELECT p.q_id, a.vec_id, {_cos_sql('a.embedding', 'p.q_vec')} AS cos
+  FROM assigned a JOIN probes p USING (cell)),
+ranked AS (SELECT q_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+           FROM scored)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cosine
+FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
+"""
 
 
 def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -909,6 +971,9 @@ def collection_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         any_over=F.exists(F.col("prices"), lambda x: x > 300000.0),
         n_distinct=F.size(F.array_distinct("prices")),
     ).order_by("o_custkey")
+    out = out.annotate(
+        prices=_arr_str(F.col("prices")), top3=_arr_str(F.col("top3"))
+    )
     return out.df
 
 
@@ -916,11 +981,12 @@ _COLLECTION_SQL = """
 WITH arrs AS (
   SELECT o_custkey, list(o_totalprice ORDER BY o_totalprice) AS prices
   FROM orders GROUP BY o_custkey)
-SELECT o_custkey, prices,
+SELECT o_custkey,
+  array_to_string(list_transform(prices, x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS prices,
   len(prices) AS n,
   prices[1] AS lo,
   prices[-1] AS hi,
-  prices[-3:] AS top3,
+  array_to_string(list_transform(prices[-3:], x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ',') AS top3,
   len(list_filter(prices, x -> x > 150000.0)) AS n_over,
   len(list_filter(prices, x -> x > 300000.0)) > 0 AS any_over,
   len(list_distinct(prices)) AS n_distinct
@@ -1171,7 +1237,8 @@ GROUP BY a.i, b.j HAVING sum(a.v * b.v) <> 0 ORDER BY i, j
 def hwe_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hl.agg.hardy_weinberg_test (aggregators.py:1128): genotype counts
     aggregated distributively, exact Wigginton p-value as finalizer.
-    Non-SQL-expressible finalizer → rows-only check."""
+    The oracle replays the Levene–Haldane distribution in closed form
+    (lgamma) in DuckDB."""
     from hail_spark.expr.stats import hardy_weinberg_test
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1198,6 +1265,44 @@ def hwe_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
     return spark.createDataFrame(rows)
+
+
+# Wigginton exact HWE replayed in closed form: P(h het | n, rare) from the
+# Levene–Haldane distribution via lgamma, p-value = sum of mass points no
+# more likely than the observed one (1 + 1e-9 tolerance, as in stats.py).
+_HWE_SQL = """
+WITH counts AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS hr,
+         CAST(SUM(CASE WHEN event_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS het,
+         CAST(SUM(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS hv
+  FROM events GROUP BY event_type),
+base AS (
+  SELECT event_type, hr, het, hv, hr + het + hv AS n,
+         2 * least(hr, hv) + het AS rare
+  FROM counts),
+grid AS (
+  SELECT event_type, het, n, rare, unnest(range(0, rare + 1)) AS h
+  FROM base),
+probs AS (
+  SELECT event_type, het, n, rare, h,
+         exp(lgamma(n + 1.0) - lgamma((rare - h) / 2 + 1.0) - lgamma(h + 1.0)
+             - lgamma(n - h - (rare - h) / 2 + 1.0)
+             + lgamma(rare + 1.0) + lgamma(2.0 * n - rare + 1.0)
+             - lgamma(2.0 * n + 1.0) + h * ln(2.0)) AS p
+  FROM grid WHERE (h % 2) = (rare % 2)),
+obs AS (SELECT event_type, p AS p_obs FROM probs WHERE h = het),
+aggd AS (
+  SELECT p.event_type,
+         any_value(p.het) AS n_het,
+         SUM(p.h * p.p) / any_value(p.n) AS het_freq,
+         SUM(CASE WHEN p.p <= o.p_obs * (1 + 1e-9) THEN p.p ELSE 0 END) AS pv
+  FROM probs p JOIN obs o USING (event_type)
+  GROUP BY p.event_type)
+SELECT event_type, n_het, round(het_freq, 6) AS het_freq_hwe,
+       round(least(1.0, pv), 6) AS p_value
+FROM aggd ORDER BY event_type
+"""
 
 
 def query_table_point(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1243,11 +1348,17 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline: documents → binary assets →
     stub-decoded image metadata + embedding + audio features, joined on
     asset_id. Decode is a deterministic stub (no codec libs in this
-    container) → rows-only check; the Spark plumbing (binary columns,
-    Arrow batches, map-only extraction) is the real surface."""
+    container); the oracle recomputes the same stubs locally (pyarrow +
+    hashlib, no Spark) and compares via a VALUES literal — verifying the
+    distributed plumbing (binary columns, Arrow batches, map-only
+    extraction, 3-way join) against a direct local evaluation."""
     from hail_spark.llmdata import multimodal as mm
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200).collect()
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") < 200)
+        .collect()
+    )
     assets = mm.make_asset_table(
         spark,
         [
@@ -1275,6 +1386,45 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("asset_id")
+
+
+def _multimodal_oracle_sql() -> str:
+    """Local (non-Spark) replay of multimodal_pipeline: the same stub
+    codecs applied row-by-row over the same 200 documents with pyarrow +
+    hashlib, emitted as a VALUES literal for DuckDB. The gate runs at
+    sf0.01; set SPARK_GRAFT_ORACLE_SF_DIR to check other scales."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hail_spark.llmdata.multimodal import (
+        _decode_audio_stub,
+        _decode_image_stub,
+    )
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    tb = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in sorted(zip(tb["doc_id"].to_pylist(), tb["text"].to_pylist())):
+        if doc_id >= 200:
+            continue
+        content = text.encode()
+        arr = _decode_image_stub(content).astype(np.float32) / 255.0
+        vec = np.resize(arr.mean(axis=2).ravel(), 8).tolist()
+        acc = 0.0  # same left fold as F.aggregate(embedding, 0.0, +)
+        for v in vec:
+            acc += float(v)
+        w = _decode_audio_stub(content)
+        rms = float(np.sqrt(np.mean(w**2)))
+        rows.append(f"({doc_id}, 8, 8, 3, {acc!r}, {len(w)}, {rms!r})")
+    vals = ",\n".join(rows)
+    return f"""
+SELECT CAST(asset_id AS BIGINT) AS asset_id, CAST(width AS INT) AS width,
+       CAST(height AS INT) AS height, CAST(channels AS INT) AS channels,
+       round(CAST(emb_sum AS DOUBLE), 6) AS emb_sum, CAST(n_samples AS BIGINT) AS n_samples,
+       round(CAST(rms AS DOUBLE), 6) AS rms
+FROM (VALUES {vals}) AS t(asset_id, width, height, channels, emb_sum, n_samples, rms)
+ORDER BY asset_id
+"""
 
 
 def info_score_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1459,7 +1609,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_fingerprints": _SIMHASH_SQL,
         "embedding_near_dup": _EMB_DUP_SQL,
         "ann_brute_topk": _ANN_SQL,
-        # ann_ivf_topk: non-SQL-expressible (iterative IVF) → rows-only
+        "ann_ivf_topk": _IVF_SQL,
         "text_profile": _TEXT_PROFILE_SQL,
         "mt_row_agg": _MT_ROW_AGG_SQL,
         "mt_col_agg": _MT_COL_AGG_SQL,
@@ -1475,9 +1625,9 @@ def oracle_sql() -> dict[str, str]:
         "parse_cast_battery": _PARSE_SQL,
         "set_ops_per_key": _SET_OPS_SQL,
         "bm_matmul": _BM_MATMUL_SQL,
-        # hwe_by_group: exact-test finalizer not SQL-expressible → rows-only
+        "hwe_by_group": _HWE_SQL,
         "query_table_point": _QUERY_TABLE_SQL,
         "info_score_by_bucket": _INFO_SCORE_SQL,
         "liftover_loci": _LIFTOVER_SQL,
-        # multimodal_pipeline: stubbed codecs → rows-only
+        "multimodal_pipeline": _multimodal_oracle_sql(),
     }

@@ -228,6 +228,45 @@ def chain_to_df(spark, blocks) -> DataFrame:
     )
 
 
+def _disjoint_chain(rows) -> list:
+    """Sweep chain blocks into DISJOINT src segments (driver-side; the
+    chain is broadcast-small). A src region covered by more than one
+    chain block maps to null — htsjdk's LiftOver reports failure on
+    ambiguous overlapping chains rather than emitting multiple targets,
+    and the disjoint segments guarantee the range join below matches at
+    most one row per locus (no row duplication)."""
+    from collections import defaultdict
+
+    by_contig = defaultdict(list)
+    for b in rows:
+        by_contig[b["src_contig"]].append(b)
+    segs = []
+    for contig, bs in by_contig.items():
+        events = []
+        for i, b in enumerate(bs):
+            events.append((b["src_start"], 1, i))
+            events.append((b["src_end"], 0, i))
+        events.sort()  # ends (0) before starts (1): touching blocks don't overlap
+        active: set[int] = set()
+        prev = None
+        for pos, kind, i in events:
+            if prev is not None and pos > prev and active:
+                if len(active) == 1:
+                    b = bs[next(iter(active))]
+                    segs.append(
+                        (contig, prev, pos, b["src_start"], b["src_end"],
+                         b["dst_contig"], b["dst_pos"], b["strand"])
+                    )
+                else:  # ambiguous: covered by 2+ chains
+                    segs.append((contig, prev, pos, None, None, None, None, None))
+            prev = pos
+            if kind == 0:
+                active.discard(i)
+            else:
+                active.add(i)
+    return segs
+
+
 def liftover(
     df: DataFrame,
     chain: DataFrame,
@@ -239,18 +278,28 @@ def liftover(
     so every executor filters its loci against the broadcast block list
     map-side — no shuffle of the (possibly 100 TB) locus table.  Loci
     falling in a chain gap come back with null target fields, matching
-    the reference's missing-on-no-match contract.
+    the reference's missing-on-no-match contract; loci covered by
+    overlapping chains are ambiguous and also come back null (htsjdk
+    parity), never duplicated.
 
     Adds columns ``target_contig``, ``target_position``,
     ``target_strand`` (+1/-1).
     """
+    spark = df.sparkSession
+    segs = _disjoint_chain(chain.collect())
+    seg_df = spark.createDataFrame(
+        segs,
+        "src_contig string, seg_start bigint, seg_end bigint, "
+        "src_start bigint, src_end bigint, dst_contig string, "
+        "dst_pos bigint, strand int",
+    )
     pos0 = F.col(position).cast("bigint") - 1
     cond = (
         (F.col(contig) == F.col("src_contig"))
-        & (pos0 >= F.col("src_start"))
-        & (pos0 < F.col("src_end"))
+        & (pos0 >= F.col("seg_start"))
+        & (pos0 < F.col("seg_end"))
     )
-    joined = df.join(F.broadcast(chain), on=cond, how="left")
+    joined = df.join(F.broadcast(seg_df), on=cond, how="left")
     off = pos0 - F.col("src_start")
     tgt_pos0 = F.when(F.col("strand") == 1, F.col("dst_pos") + off).otherwise(
         F.col("dst_pos") + (F.col("src_end") - 1 - pos0)

@@ -160,9 +160,9 @@ ibeta = np.vectorize(_ibeta_scalar, otypes=[float])
 # ---------------------------------------------------------------------- #
 def pnorm(x, mu=0.0, sigma=1.0, lower_tail=True, log_p=False):
     z = (np.asarray(x, dtype=float) - mu) / sigma
-    p = 0.5 * _erfc(-z / math.sqrt(2.0))
-    if not lower_tail:
-        p = 1.0 - p
+    # each tail computed directly via erfc — 1 - lower would cancel to
+    # exactly 0 for z ≳ 8 (commons-math keeps extreme-tail accuracy)
+    p = 0.5 * _erfc(-z / math.sqrt(2.0)) if lower_tail else 0.5 * _erfc(z / math.sqrt(2.0))
     return np.log(p) if log_p else p
 
 
@@ -254,9 +254,9 @@ def qchisqtail(p, df, lower_tail=False):
 
 
 def pgamma(x, shape, scale=1.0, lower_tail=True):
+    # each tail via its own kernel — no 1-p cancellation in the far tail
     x = np.asarray(x, dtype=float)
-    v = gammp(shape, x / scale)
-    return v if lower_tail else 1.0 - v
+    return gammp(shape, x / scale) if lower_tail else gammq(shape, x / scale)
 
 
 def dgamma(x, shape, scale=1.0, log_p=False):
@@ -288,10 +288,11 @@ def dpois(k, lamb, log_p=False):
 
 
 def ppois(k, lamb, lower_tail=True):
-    """P(X ≤ k) = Q(k+1, λ) (regularized upper incomplete gamma)."""
+    """P(X ≤ k) = Q(k+1, λ); P(X > k) = P(k+1, λ) — direct per-tail
+    kernels avoid 1-p cancellation."""
     k = np.floor(np.asarray(k, dtype=float))
-    v = gammq(k + 1.0, np.asarray(lamb, dtype=float))
-    return v if lower_tail else 1.0 - v
+    lamb = np.asarray(lamb, dtype=float)
+    return gammq(k + 1.0, lamb) if lower_tail else gammp(k + 1.0, lamb)
 
 
 def qpois(p, lamb, lower_tail=True):
@@ -316,14 +317,18 @@ def pT(t, df, lower_tail=True):
     df = np.asarray(df, dtype=float)
     x = df / (df + t * t)
     tail = 0.5 * ibeta(df / 2.0, 0.5, x)  # P(T > |t|)
-    p = np.where(t > 0, 1.0 - tail, tail)
-    return p if lower_tail else 1.0 - p
+    # pick the small-tail expression directly (no 1-(1-tail) cancellation)
+    if lower_tail:
+        return np.where(t > 0, 1.0 - tail, tail)
+    return np.where(t > 0, tail, 1.0 - tail)
 
 
 def pF(x, df1, df2, lower_tail=True):
     x = np.asarray(x, dtype=float)
-    v = ibeta(df1 / 2.0, df2 / 2.0, df1 * x / (df1 * x + df2))
-    return v if lower_tail else 1.0 - v
+    if lower_tail:
+        return ibeta(df1 / 2.0, df2 / 2.0, df1 * x / (df1 * x + df2))
+    # complement identity I_x(a,b) = 1 - I_{1-x}(b,a): direct upper tail
+    return ibeta(df2 / 2.0, df1 / 2.0, df2 / (df1 * x + df2))
 
 
 def phyper(k, K, N, n, lower_tail=True):

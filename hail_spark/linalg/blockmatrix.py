@@ -104,22 +104,51 @@ class BlockMatrix:
     # ------------------------------------------------------------------ #
     # structural ops (pure Spark)
     # ------------------------------------------------------------------ #
-    def _zip_elementwise(self, other: "BlockMatrix", fn) -> "BlockMatrix":
+    def _zip_elementwise(
+        self, other: "BlockMatrix", fn, how: str = "inner"
+    ) -> "BlockMatrix":
+        """Blockwise zip. ``how='outer'`` treats a block present in only
+        one operand as zeros (sparse-union semantics after sparsify_*);
+        ``'inner'`` keeps the intersection (right for Hadamard, where a
+        missing/zero block annihilates the product)."""
         a = self.df.select("bi", "bj", "r", "c", F.col("data").alias("da"))
-        b = other.df.select("bi", "bj", F.col("data").alias("db"))
-        out = a.join(b, on=["bi", "bj"], how="inner").select(
-            "bi", "bj", "r", "c", F.zip_with("da", "db", fn).alias("data")
+        b = other.df.select(
+            "bi",
+            "bj",
+            F.col("r").alias("rb"),
+            F.col("c").alias("cb"),
+            F.col("data").alias("db"),
         )
+        if how == "inner":
+            out = a.join(b, on=["bi", "bj"], how="inner").select(
+                "bi", "bj", "r", "c", F.zip_with("da", "db", fn).alias("data")
+            )
+        else:
+            j = a.join(b, on=["bi", "bj"], how="full_outer")
+            r = F.coalesce("r", "rb")
+            c = F.coalesce("c", "cb")
+            zeros = F.array_repeat(F.lit(0.0), (r * c).cast("int"))
+            out = j.select(
+                "bi",
+                "bj",
+                r.cast("int").alias("r"),
+                c.cast("int").alias("c"),
+                F.zip_with(
+                    F.coalesce("da", zeros), F.coalesce("db", zeros), fn
+                ).alias("data"),
+            )
         return BlockMatrix(out, self.n_rows, self.n_cols, self.block_size)
 
     def add(self, other: "BlockMatrix") -> "BlockMatrix":
-        return self._zip_elementwise(other, lambda x, y: x + y)
+        return self._zip_elementwise(other, lambda x, y: x + y, how="outer")
 
     def sub(self, other: "BlockMatrix") -> "BlockMatrix":
-        return self._zip_elementwise(other, lambda x, y: x - y)
+        return self._zip_elementwise(other, lambda x, y: x - y, how="outer")
 
     def mul(self, other: "BlockMatrix") -> "BlockMatrix":
-        """Hadamard product (ref BlockMatrix.mul :816)."""
+        """Hadamard product (ref BlockMatrix.mul :816). Inner join: a
+        block absent on either side is zero, so the product block is
+        zero and stays absent (block-sparsity preserved)."""
         return self._zip_elementwise(other, lambda x, y: x * y)
 
     def map(self, fn) -> "BlockMatrix":

@@ -54,27 +54,42 @@ def ivf_build(
     id_col: str = "vec_id",
 ) -> tuple[DataFrame, DataFrame]:
     """IVF index: pick `nlist` deterministic seed centroids (the rows
-    whose id hashes smallest — cheap, reproducible), assign every vector
-    to its nearest centroid. Returns (assigned_corpus, centroids).
+    whose md5(id) ranks smallest — cheap, reproducible on any engine),
+    assign every vector to its nearest centroid. Returns
+    (assigned_corpus, centroids).
 
-    At 100 TB: centroids are tiny and broadcast; assignment is one scan;
-    the assigned corpus would be written bucketed by `cell` so probes
-    prune partitions."""
+    At 100 TB: the centroids are collected once (nlist rows — tiny) and
+    inlined as an array literal, so assignment is a ZERO-SHUFFLE per-row
+    argmax inside the corpus scan — no join row-blowup, no window
+    shuffle. Write the assigned corpus bucketed by `cell`
+    (``assigned.write.bucketBy(nlist, "cell")``) so probes prune
+    partitions."""
     cents = (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.xxhash64(F.col(id_col)))
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
         .limit(nlist)
-        .withColumn("cell", F.monotonically_increasing_id())
+        .withColumn("cell", F.row_number().over(Window.orderBy("__h")) - 1)
         .select("cell", F.col(vec_col).alias("c_vec"))
     )
-    j = corpus.join(F.broadcast(cents))
-    sim = cosine(F.col(vec_col), F.col("c_vec"))
-    w = Window.partitionBy(id_col).orderBy(F.col("__sim").desc(), F.col("cell"))
-    assigned = (
-        j.select(F.col(id_col), F.col(vec_col), F.col("cell"), sim.alias("__sim"))
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk", "__sim")
+    rows = cents.collect()  # nlist rows: the quantizer codebook
+    # argmax over the inlined codebook: max of (sim, -cell) structs picks
+    # the highest cosine, ties broken toward the smallest cell id
+    pairs = F.array(
+        *[
+            F.struct(
+                cosine(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in r["c_vec"]]),
+                ).alias("sim"),
+                F.lit(-r["cell"]).alias("negcell"),
+            )
+            for r in rows
+        ]
+    )
+    best = F.array_max(pairs)
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col), (-best["negcell"]).cast("int").alias("cell")
     )
     return assigned, cents
 

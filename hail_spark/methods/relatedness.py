@@ -71,30 +71,42 @@ def realized_relationship_matrix(mt: MatrixTable, x_field: str = "GT") -> np.nda
 
 
 def king(mt: MatrixTable, x_field: str = "GT"):
-    """KING-robust kinship (ref relatedness/king.py):
-    φ(i,j) = (N_het,het(i,j) − 2·N_opp_hom(i,j)) / (N_het(i) + N_het(j)).
+    """KING-robust between-family kinship (ref relatedness/king.py):
+
+        φ(i,j) = 0.5 + (2·N_hh − 4·N_opp − N_het_i − N_het_j)
+                       / (4 · min(N_het_i, N_het_j))
+
+    with het counts restricted to PAIRWISE-DEFINED sites (both samples
+    non-missing), matching the reference. The pairwise het counts are one
+    extra gemm: (H.T @ D)[i,j] = #sites het in i and defined in j.
     Returns a DataFrame (i, j, phi) for i<j over sample names."""
 
     def zero(n):
-        return [np.zeros((n, n)), np.zeros((n, n))]
+        return [np.zeros((n, n)), np.zeros((n, n)), np.zeros((n, n))]
 
     def kernel(X, acc):
         H = (X == 1).astype(float)   # het indicators (NaN-safe: NaN != 1)
         A = (X == 0).astype(float)
         B = (X == 2).astype(float)
+        D = (~np.isnan(X)).astype(float)
         acc[0] += H.T @ H            # pairwise het-het counts
         acc[1] += A.T @ B + B.T @ A  # opposite homozygotes
+        acc[2] += H.T @ D            # het_i over sites defined in j
 
-    hh, opp = _accumulate(mt, kernel, zero)
-    n_het = np.diag(hh)
+    hh, opp, hd = _accumulate(mt, kernel, zero)
     spark = mt._df.sparkSession
     names = [c["s"] for c in mt._cols]
     rows = []
     n = len(names)
     for i in range(n):
         for j in range(i + 1, n):
-            denom = n_het[i] + n_het[j]
-            phi = (hh[i, j] - 2.0 * opp[i, j]) / denom if denom > 0 else float("nan")
+            het_i, het_j = hd[i, j], hd[j, i]
+            denom = 4.0 * min(het_i, het_j)
+            phi = (
+                0.5 + (2.0 * hh[i, j] - 4.0 * opp[i, j] - het_i - het_j) / denom
+                if denom > 0
+                else float("nan")
+            )
             rows.append({"i": names[i], "j": names[j], "phi": float(phi)})
     return spark.createDataFrame(rows, "i string, j string, phi double")
 

@@ -137,6 +137,7 @@ def _logreg_fit(X: np.ndarray, y: np.ndarray, max_iter=25, tol=1e-8):
     """Newton-Raphson MLE; returns (beta, loglik, fisher_inv, converged)."""
     b = np.zeros(X.shape[1])
     ll = -np.inf
+    hit_tol = False  # exhausting max_iter without meeting tol => not converged
     for _ in range(max_iter):
         eta = X @ b
         mu = 1.0 / (1.0 + np.exp(-eta))
@@ -151,6 +152,7 @@ def _logreg_fit(X: np.ndarray, y: np.ndarray, max_iter=25, tol=1e-8):
         ll_new = float(np.sum(y * eta - np.log1p(np.exp(eta))))
         if abs(ll_new - ll) < tol:
             ll = ll_new
+            hit_tol = True
             break
         ll = ll_new
     eta = X @ b
@@ -161,7 +163,7 @@ def _logreg_fit(X: np.ndarray, y: np.ndarray, max_iter=25, tol=1e-8):
         finv = np.linalg.inv(fisher)
     except np.linalg.LinAlgError:
         finv = None
-    return b, ll, finv, finv is not None
+    return b, ll, finv, hit_tol and finv is not None
 
 
 def logistic_regression_rows(
@@ -314,6 +316,7 @@ def _poisreg_fit(X: np.ndarray, y: np.ndarray, max_iter=25, tol=1e-8):
     -log(y!) term (cancels in LRT, unused by Wald)."""
     b = np.zeros(X.shape[1])
     ll = -np.inf
+    hit_tol = False  # exhausting max_iter without meeting tol => not converged
     for _ in range(max_iter):
         eta = np.clip(X @ b, -30.0, 30.0)
         mu = np.exp(eta)
@@ -327,6 +330,7 @@ def _poisreg_fit(X: np.ndarray, y: np.ndarray, max_iter=25, tol=1e-8):
         ll_new = float(np.sum(y * eta - mu))
         if abs(ll_new - ll) < tol:
             ll = ll_new
+            hit_tol = True
             break
         ll = ll_new
     eta = np.clip(X @ b, -30.0, 30.0)
@@ -336,7 +340,7 @@ def _poisreg_fit(X: np.ndarray, y: np.ndarray, max_iter=25, tol=1e-8):
         finv = np.linalg.inv(fisher)
     except np.linalg.LinAlgError:
         finv = None
-    return b, ll, finv, finv is not None
+    return b, ll, finv, hit_tol and finv is not None
 
 
 def poisson_regression_rows(

@@ -227,10 +227,24 @@ class Table:
         return Table(df, key, self._globals, _sorted=self._key_sorted)
 
     def transmute(self, **exprs: Column) -> "Table":
-        """annotate + drop the referenced input fields is Hail's contract;
-        here (over Columns, where provenance isn't tracked) we keep it
-        simple: new fields replace same-named old ones."""
-        return self.annotate(**exprs)
+        """annotate + drop the REFERENCED input fields (Hail's contract,
+        ref Table.transmute table.py:1790). Field provenance is read off
+        the analyzed plan of a throwaway select — analysis only, no job.
+        Key fields are never dropped (as in Hail, where transmuting over
+        a key reference errors; here the key column simply survives)."""
+        probe = self._df.select(
+            *[_as_col(c).alias(f"__t{i}") for i, c in enumerate(exprs.values())]
+        )
+        it = probe._jdf.queryExecution().analyzed().references().iterator()
+        referenced = set()
+        while it.hasNext():
+            referenced.add(it.next().name())
+        drop = [
+            c
+            for c in self._df.columns
+            if c in referenced and c not in exprs and c not in self._key
+        ]
+        return self.annotate(**exprs).drop(*drop)
 
     def explode(self, field: str, name: str | None = None) -> "Table":
         """One row per array element; empty/missing arrays drop the row
@@ -238,8 +252,6 @@ class Table:
         name = name or field
         others = [c for c in self._df.columns if c != field]
         df = self._df.select(*others, F.explode(field).alias(name))
-        if name != field and field in self._df.columns and field != name:
-            pass
         return self._with_df(df, sorted_=False)
 
     def add_index(self, name: str = "idx") -> "Table":

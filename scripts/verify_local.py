@@ -57,6 +57,8 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     qs = entry_mod.queries()
+    import os
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
     oracles = entry_mod.oracle_sql()
     results = {}
     for name, fn in qs.items():
