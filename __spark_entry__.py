@@ -419,21 +419,21 @@ FROM orders GROUP BY o_custkey ORDER BY o_custkey
 
 
 def take_by_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hl.agg.take(..., ordering=...) / TakeBy (aggregators.py:770)."""
+    """hl.agg.take(..., ordering=...) / TakeBy (aggregators.py:770) via
+    the BOUNDED window-rank plan (operators/topk.py): per-group state is
+    ≤ n rows after the rank filter, hot-key safe at scale."""
+    from hail_spark.operators.topk import grouped_take_by
+
     li = _t(spark, sf_dir, "lineitem", ("l_orderkey",))
-    out = li.group_by("l_suppkey").aggregate(
-        top3=agg.take_by(
-            F.col("l_extendedprice"),
-            F.struct(
-                (-F.col("l_extendedprice")).alias("k1"),
-                F.col("l_orderkey").alias("k2"),
-                F.col("l_linenumber").alias("k3"),
-            ),
-            3,
-        )
+    out = grouped_take_by(
+        li.df,
+        ["l_suppkey"],
+        [F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")],
+        F.col("l_extendedprice"),
+        3,
+        out="top3",
     )
-    out = out.annotate(top3=_arr_str(F.col("top3")))
-    return out.order_by("l_suppkey").df
+    return out.withColumn("top3", _arr_str(F.col("top3"))).orderBy("l_suppkey")
 
 
 _TAKEBY_SQL = """

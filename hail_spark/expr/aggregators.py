@@ -111,8 +111,11 @@ def take(expr, n: int) -> Column:
 
 
 def take_by(expr, key, n: int, ascending: bool = True) -> Column:
-    """Top-n by key (ref TakeByAggregator.scala). Sorted collect + slice;
-    fine for small n (Hail's contract), groups stay distributed."""
+    """Top-n by key (ref TakeByAggregator.scala). Sorted collect + slice:
+    the collect buffers the whole group, so this Column form is for
+    modest group sizes; for hot keys at scale use the bounded
+    window-rank plan in ``operators.topk.grouped_take_by`` (per-group
+    state ≤ n after the rank filter)."""
     pair = F.struct(_c(key).alias("k"), _c(expr).alias("v"))
     arr = F.sort_array(F.collect_list(pair), asc=ascending)
     return F.slice(arr, 1, n).getField("v")
@@ -179,30 +182,26 @@ def approx_cdf(expr, accuracy: int = 10000) -> Column:
 
 def hist(expr, start: float, end: float, bins: int) -> Column:
     """Histogram (ref aggregators.py:1424): struct{bin_edges, bin_freq,
-    n_smaller, n_larger}."""
+    n_smaller, n_larger}. One conditional SUM per bin — bins+2 fixed
+    aggregation buffers with map-side partials, no per-group collect
+    (the previous collect_list variant held the whole group in one
+    buffer and re-scanned it per bin)."""
     x = _c(expr).cast("double")
     w = (end - start) / bins
     idx = F.floor((x - F.lit(start)) / F.lit(w)).cast("int")
-    idx = F.when(x == end, bins - 1).otherwise(idx)
+    idx = F.when(x == F.lit(float(end)), bins - 1).otherwise(idx)
     in_range = (x >= start) & (x <= end)
-    freq_map = F.map_from_entries(
-        F.collect_list(F.when(in_range, F.struct(idx.alias("k"), F.lit(1).alias("v"))))
+    counts = F.array(
+        *[
+            F.coalesce(
+                F.sum(F.when(in_range & (idx == i), 1)), F.lit(0)
+            ).cast("bigint")
+            for i in range(bins)
+        ]
     )
-    # build dense counts via sequence + element_at on an aggregated map
-    counts = F.transform(
-        F.sequence(F.lit(0), F.lit(bins - 1)),
-        lambda i: F.coalesce(
-            F.aggregate(
-                F.collect_list(F.when(in_range, idx)),
-                F.lit(0).cast("bigint"),
-                lambda acc, e: acc + F.when(e == i, 1).otherwise(0),
-            ),
-            F.lit(0).cast("bigint"),
-        ),
-    )
+    edges = F.array(*[F.lit(float(start + i * w)) for i in range(bins + 1)])
     return F.struct(
-        F.transform(F.sequence(F.lit(0), F.lit(bins)),
-                    lambda i: F.lit(start) + i * F.lit(w)).alias("bin_edges"),
+        edges.alias("bin_edges"),
         counts.alias("bin_freq"),
         F.count(F.when(x < start, 1)).alias("n_smaller"),
         F.count(F.when(x > end, 1)).alias("n_larger"),

@@ -351,23 +351,69 @@ class BlockMatrix:
 
         return self._sparsify(block_pred(), cell_pred)
 
-    def sparsify_row_intervals(self, starts: list, stops: list) -> "BlockMatrix":
+    def sparsify_row_intervals(self, starts, stops) -> "BlockMatrix":
         """Keep entries with starts[i] <= j < stops[i] per row (ref
-        rowIntervals :662). starts/stops are driver-side arrays of
-        length n_rows, shipped as a map literal keyed by row — fine for
-        the reference's use (per-row LD windows over ~1e5-1e6 rows); a
-        data-scale variant would join a (i, start, stop) table instead."""
-        smap = F.create_map(
-            *[F.lit(x) for i, s in enumerate(starts) for x in (i, s)]
+        rowIntervals :662). The intervals ride in as a TABLE joined on
+        the block-row index (not a plan literal whose size grows with
+        n_rows): per block-row they collapse to one array of
+        (local_row, start, stop), blocks fully outside their row span
+        are pruned, and the cell mask is an element_at lookup.
+        ``starts``/``stops`` may be Python lists or a DataFrame
+        (i, start, stop) for interval sets too large to ship from the
+        driver."""
+        bs = self.block_size
+        spark = self.df.sparkSession
+        if isinstance(starts, DataFrame):
+            iv = starts
+        else:
+            iv = spark.createDataFrame(
+                [(i, int(s), int(e)) for i, (s, e) in enumerate(zip(starts, stops))],
+                "i bigint, start bigint, stop bigint",
+            )
+        per_block = iv.groupBy(
+            F.floor(F.col("i") / bs).cast("bigint").alias("bi")
+        ).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.col("i") % bs).cast("int").alias("li"),
+                        F.col("start").cast("bigint").alias("start"),
+                        F.col("stop").cast("bigint").alias("stop"),
+                    )
+                )
+            ).alias("__iv"),
+            F.min("start").alias("__smin"),
+            F.max("stop").alias("__smax"),
         )
-        emap = F.create_map(
-            *[F.lit(x) for i, s in enumerate(stops) for x in (i, s)]
+        j = self.df.join(per_block, on="bi", how="inner").filter(
+            (F.col("bj") * bs < F.col("__smax"))
+            & (F.col("bj") * bs + F.col("c") > F.col("__smin"))
         )
-        return self._sparsify(
-            F.lit(True),
-            lambda gi, gj: (gj >= F.element_at(smap, gi.cast("int")))
-            & (gj < F.element_at(emap, gi.cast("int"))),
+        out = j.select(
+            "bi",
+            "bj",
+            "r",
+            "c",
+            F.transform(
+                F.sequence(F.lit(0), F.col("r") * F.col("c") - 1),
+                lambda idx: F.when(
+                    (
+                        F.col("bj") * bs + idx % F.col("c")
+                        >= F.element_at(
+                            "__iv", (F.floor(idx / F.col("c")) + 1).cast("int")
+                        )["start"]
+                    )
+                    & (
+                        F.col("bj") * bs + idx % F.col("c")
+                        < F.element_at(
+                            "__iv", (F.floor(idx / F.col("c")) + 1).cast("int")
+                        )["stop"]
+                    ),
+                    F.element_at("data", (idx + 1).cast("int")),
+                ).otherwise(F.lit(0.0)),
+            ).alias("data"),
         )
+        return BlockMatrix(out, self.n_rows, self.n_cols, self.block_size)
 
     # ------------------------------------------------------------------ #
     # persistence (ref write :993 / read :214) — parquet blocks + JSON

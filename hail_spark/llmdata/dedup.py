@@ -361,19 +361,21 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold.
 
-    lsh_bits=0: exact blocked all-pairs — hash ids into `n_blocks`
-    buckets, cross-join the O(n_blocks²/2) bucket pairs, and compute
-    each bucket-pair's cosine matrix as ONE numpy gemm inside
-    mapInPandas. Same O(n²) arithmetic as naive pairwise but at BLAS
-    speed and distributed over bucket pairs (the standard blocked
-    similarity-join shape; row-level JVM folds were ~100× slower).
+    lsh_bits=0: exact blocked all-pairs — hash ids into BOUNDED chunks
+    (~512 vectors each), cross-join the chunk pairs, and compute each
+    chunk-pair's cosine matrix as ONE numpy gemm inside mapInPandas.
+    Same O(n²) arithmetic as naive pairwise but at BLAS speed,
+    distributed over chunk pairs, with per-Row memory independent of
+    corpus size.
     lsh_bits>0: random-hyperplane LSH — bucket by the sign-bit vector of
-    `lsh_bits` deterministic pseudo-random hyperplanes, join within
-    buckets only. High-cosine pairs collide with probability
-    (1 - θ/π)^bits; at scale run a few rotations and union."""
+    `lsh_bits` deterministic hyperplanes (inlined literals, zero per-row
+    hashing), join within buckets only. High-cosine pairs collide with
+    probability (1 - θ/π)^bits; THIS is the subquadratic 100-TB path —
+    at scale run a few seeds/rotations and union the candidate sets."""
     base = df.select(F.col(id_col), F.col(vec_col))
     if lsh_bits:
-        sig = _hyperplane_sig(F.col(vec_col), lsh_bits)
+        dim = base.select(F.size(vec_col).alias("d")).first()["d"]
+        sig = _hyperplane_sig(F.col(vec_col), lsh_bits, dim)
         base = base.withColumn("__bucket", sig)
         a, b = base.alias("a"), base.alias("b")
         joined = a.join(
@@ -397,10 +399,20 @@ def _blocked_allpairs_cosine(
     vec_col: str,
     id_col: str,
     threshold: float,
-    n_blocks: int = 16,
+    chunk_rows: int = 512,
 ) -> DataFrame:
+    """Exact all-pairs cosine with BOUNDED chunks: ids hash into
+    ceil(n / chunk_rows) chunks, so one Row never holds more than
+    ~chunk_rows vectors no matter the corpus size (the fixed-16-bucket
+    variant put n/16 vectors in a single Row — impossible at scale).
+    Chunk-pair count grows as (n/chunk_rows)²/2, so parallelism scales
+    with the corpus. The arithmetic is inherently O(n²) — that's what
+    'exact' costs; the hyperplane-LSH path is the subquadratic option."""
     import numpy as np
     import pandas as pd
+
+    n = base.count()
+    n_blocks = max(1, -(-n // chunk_rows))
 
     bucketed = base.groupBy(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("__b")
@@ -415,7 +427,7 @@ def _blocked_allpairs_cosine(
         F.col("__b").alias("bb"), F.col("__ids").alias("ids_b"), F.col("__vecs").alias("vecs_b")
     )
     combos = left.join(right, on=F.col("ba") <= F.col("bb")).repartition(
-        n_blocks * (n_blocks + 1) // 2
+        max(32, min(4096, n_blocks * (n_blocks + 1) // 2))
     )
 
     def run(batches):
@@ -445,33 +457,41 @@ def _blocked_allpairs_cosine(
     return combos.mapInPandas(run, schema="id_a bigint, id_b bigint, cosine double")
 
 
-def _hyperplane_sig(vec: Column, bits: int) -> Column:
-    """Sign-bit signature under `bits` deterministic hyperplanes whose
-    components are md5-derived uniforms in [-1, 1)."""
-    dim = F.size(vec)
-    def plane_dot(j):
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), dim - 1),
-                lambda v, i: v.cast("double")
-                * (
-                    (
-                        _seeded(F.concat(F.lit("hp"), i.cast("string")), j).cast("double")
-                        / F.lit(float(1 << 60))
-                    )
-                    * 2.0
-                    - 1.0
-                ),
-            ),
+def _hyperplane_planes(dim: int, bits: int, seed: int = 0x5EED) -> list:
+    """Deterministic hyperplane components in [-1, 1) from an md5
+    counter stream — computed ONCE driver-side and inlined as literals
+    (the previous per-element md5 inside the fold re-hashed dim·bits
+    times per row)."""
+    import hashlib
+
+    out: list[float] = []
+    ctr = 0
+    while len(out) < dim * bits:
+        h = hashlib.md5(f"hp:{seed}:{ctr}".encode()).digest()
+        for k in range(0, 16, 8):
+            out.append(int.from_bytes(h[k : k + 8], "big") / float(1 << 64) * 2.0 - 1.0)
+        ctr += 1
+    return [out[j * dim : (j + 1) * dim] for j in range(bits)]
+
+
+def _hyperplane_sig(vec: Column, bits: int, dim: int, seed: int = 0x5EED) -> Column:
+    """Sign-bit signature under `bits` deterministic hyperplanes. The
+    planes are literal arrays (zero per-row hashing); each bit is one
+    JVM-side zip_with dot product."""
+    planes = _hyperplane_planes(dim, bits, seed)
+    terms = []
+    for j, p in enumerate(planes):
+        lit = F.array(*[F.lit(float(x)) for x in p])
+        d = F.aggregate(
+            F.zip_with(vec, lit, lambda v, w: v.cast("double") * w),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        terms.append(
+            F.when(d > 0, F.lit(1 << j).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
     return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda j: F.when(plane_dot(j) > 0, F.shiftleft(F.lit(1).cast("bigint"), j)).otherwise(F.lit(0).cast("bigint")),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: acc + v,
+        F.array(*terms), F.lit(0).cast("bigint"), lambda acc, v: acc + v
     )

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark.sql import functions as F
 
 from ..matrixtable import ENTRIES, MatrixTable
 from .statgen import _entry_matrix, hwe_normalized_pca
@@ -111,21 +112,69 @@ def king(mt: MatrixTable, x_field: str = "GT"):
     return spark.createDataFrame(rows, "i string, j string, phi double")
 
 
-def row_correlation(mt: MatrixTable, x_field: str = "GT") -> np.ndarray:
-    """Pearson correlation between variant rows (ref statgen.py:3730).
-    Driver-side result (m×m) in row-key order — only for bounded m; the
-    windowed ld_prune path (methods/misc.py) is the at-scale consumer."""
-    rows = mt._df.select(*mt._row_key, ENTRIES).orderBy(*mt._row_key).collect()
+def row_correlation_bm(mt: MatrixTable, x_field: str = "GT", block_size: int = 1024):
+    """Pearson correlation between variant rows as a BlockMatrix
+    (ref statgen.py:3730, which routes through BlockMatrix the same
+    way). Per-row standardization is array HOFs over the entries array
+    (no shuffle); the m×m gram is a distributed BlockMatrix matmul and
+    never materializes on the driver. Rows with zero variance come back
+    as all-zero (the reference errors on them; callers wanting NaN can
+    post-filter on the diagonal)."""
+    import math
+
+    from ..linalg.blockmatrix import BlockMatrix
+    from ..operators.scans import add_index
+    from ..table import Table
+
     n = len(mt._cols)
-    X = _entry_matrix(pd.Series([r[ENTRIES] for r in rows]), x_field, n)
-    mean = np.nanmean(X, axis=1)
-    idx = np.where(np.isnan(X))
-    X[idx] = np.take(mean, idx[0])
-    Z = X - X.mean(axis=1, keepdims=True)
-    sd = Z.std(axis=1)
-    sd[sd == 0] = np.nan
-    Zn = Z / sd[:, None]
-    return (Zn @ Zn.T) / X.shape[1]
+    t = add_index(Table(mt._df.select(*mt._row_key, ENTRIES), key=mt._row_key), "__i")
+    g = F.transform(F.col(ENTRIES), lambda e: e[x_field].cast("double"))
+    df = t.df.select(F.col("__i"), g.alias("__g"))
+    nn = F.filter(F.col("__g"), lambda v: v.isNotNull())
+    # mean/sd land in their own columns, referenced multiple times, so
+    # Catalyst keeps them evaluated once per row instead of inlining the
+    # array fold into the per-element lambda below
+    df = df.withColumn(
+        "__mean",
+        F.aggregate(nn, F.lit(0.0), lambda a, v: a + v)
+        / F.nullif(F.size(nn).cast("double"), F.lit(0.0)),
+    )
+    imputed = F.transform(F.col("__g"), lambda v: F.coalesce(v, F.col("__mean")))
+    df = df.withColumn(
+        "__sd",
+        F.sqrt(
+            F.aggregate(
+                imputed,
+                F.lit(0.0),
+                lambda a, v: a + (v - F.col("__mean")) * (v - F.col("__mean")),
+            )
+            / F.lit(float(n))
+        ),
+    )
+    # fold the 1/sqrt(n) into z so C = Z @ Zᵀ directly
+    z = F.transform(
+        imputed,
+        lambda v: (v - F.col("__mean"))
+        / F.nullif(F.col("__sd") * math.sqrt(n), F.lit(0.0)),
+    )
+    long = df.select("__i", F.posexplode(z).alias("__j", "__v")).where(
+        F.col("__v").isNotNull()
+    )
+    m = t.df.count()
+    A = BlockMatrix.from_long(long, m, n, block_size, i="__i", j="__j", v="__v")
+    return A.matmul(A.transpose())
+
+
+def row_correlation(mt: MatrixTable, x_field: str = "GT") -> np.ndarray:
+    """ndarray form of :func:`row_correlation_bm` (parity with the
+    reference API, which exposes the result as a BlockMatrix; collecting
+    to numpy is only sensible for bounded m). Zero-variance rows are
+    NaN, as before."""
+    C = row_correlation_bm(mt, x_field).to_numpy()
+    d = np.diag(C).copy()
+    C[d == 0.0, :] = np.nan
+    C[:, d == 0.0] = np.nan
+    return C
 
 
 def identity_by_descent(
