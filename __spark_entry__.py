@@ -445,6 +445,112 @@ FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
 """
 
 
+def scan_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full hl.scan.* generality (ref aggregators.py:2049-2081): sum,
+    min/max, fraction, any/all, collect, take, stats, counter, product
+    as exclusive prefix scans in key order, all via the distributed
+    two-pass primitive (operators/scans.py). Oracle: DuckDB window
+    functions over ROWS UNBOUNDED PRECEDING TO 1 PRECEDING."""
+    # small keyed slice: pin it to a few range partitions and persist so
+    # the 11 chained up-passes don't re-execute the scan chain each time
+    o = (
+        _t(spark, sf_dir, "orders", ("o_orderkey",))
+        .filter(F.col("o_orderkey") % 97 == 0)
+        .key_by("o_orderkey")
+        .repartition(4, shuffle=True)
+        .persist()
+    )
+    price = F.col("o_totalprice")
+    pred = price > 100000.0
+    t = scans.scan_multi(
+        o,
+        {
+            "run_sum": ("sum", price.cast("decimal(38,6)")),
+            "run_min": ("min", price),
+            "run_max": ("max", price),
+            "run_frac": ("fraction", pred),
+            "run_any": ("any", pred),
+            "run_all": ("all", pred),
+            "prefix_prices": ("collect", price),
+            "take3": ("take", price, 3),
+            "st": ("stats", price),
+            "cnt": ("counter", F.col("o_orderstatus")),
+            "run_prod": (
+                "product",
+                F.when(F.col("o_orderkey") % 1000 == 0, 2.0).otherwise(1.0),
+            ),
+        },
+    )
+    m = F.col("cnt")
+    out = t.df.select(
+        "o_orderkey",
+        F.col("run_sum").cast("double").alias("run_sum"),
+        "run_min",
+        "run_max",
+        "run_frac",
+        "run_any",
+        "run_all",
+        _arr_str(F.col("prefix_prices")).alias("prefix_prices"),
+        _arr_str(F.col("take3")).alias("take3"),
+        F.round(F.col("st")["mean"], 3).alias("st_mean"),
+        F.round(F.col("st")["stdev"], 3).alias("st_stdev"),
+        F.col("st")["n"].alias("st_n"),
+        F.array_join(
+            F.transform(
+                F.map_keys(m),
+                lambda k: F.concat(k, F.lit(":"), F.element_at(m, k).cast("string")),
+            ),
+            ",",
+        ).alias("cnt"),
+        "run_prod",
+    )
+    return out.orderBy("o_orderkey")
+
+
+_SCAN_BATTERY_SQL = """
+WITH src AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus,
+         o_totalprice > 100000.0 AS pred,
+         CASE WHEN o_orderkey % 1000 = 0 THEN 2.0 ELSE 1.0 END AS pf
+  FROM orders WHERE o_orderkey % 97 = 0),
+w AS (
+  SELECT o_orderkey,
+    COALESCE(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+        OVER wex AS VARCHAR) AS DOUBLE), 0.0) AS run_sum,
+    MIN(o_totalprice) OVER wex AS run_min,
+    MAX(o_totalprice) OVER wex AS run_max,
+    CAST(SUM(CASE WHEN pred THEN 1 ELSE 0 END) OVER wex AS DOUBLE)
+        / NULLIF(CAST(COUNT(*) OVER wex AS DOUBLE), 0.0) AS run_frac,
+    COALESCE(BOOL_OR(pred) OVER wex, false) AS run_any,
+    COALESCE(BOOL_AND(pred) OVER wex, true) AS run_all,
+    COALESCE(list(o_totalprice) OVER wex, []) AS pp,
+    COALESCE(list(o_orderstatus) OVER wex, []) AS ps,
+    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER wex AS VARCHAR)
+        AS DOUBLE) AS s,
+    CAST(CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6)))
+        OVER wex AS VARCHAR) AS DOUBLE) AS ss,
+    COUNT(o_totalprice) OVER wex AS n,
+    COALESCE(product(pf) OVER wex, 1.0) AS run_prod
+  FROM src
+  WINDOW wex AS (ORDER BY o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT o_orderkey, run_sum, run_min, run_max, run_frac, run_any, run_all,
+  COALESCE(array_to_string(list_transform(pp,
+      x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ','), '') AS prefix_prices,
+  COALESCE(array_to_string(list_transform(pp[1:3],
+      x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ','), '') AS take3,
+  CASE WHEN n > 0 THEN round(s / CAST(n AS DOUBLE), 3) END AS st_mean,
+  CASE WHEN n > 0 THEN round(sqrt(greatest(
+      ss / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)),
+      0.0)), 3) END AS st_stdev,
+  CASE WHEN n > 0 THEN n END AS st_n,
+  COALESCE(array_to_string(list_transform(list_sort(list_distinct(ps)),
+      k -> k || ':' || CAST(len(list_filter(ps, e -> e = k)) AS VARCHAR)), ','), '') AS cnt,
+  run_prod
+FROM w ORDER BY o_orderkey
+"""
+
+
 def string_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String function battery (§2.9 strings): length/upper/split/regex."""
     d = _t(spark, sf_dir, "documents", ("doc_id",))
@@ -1545,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "left_join_right_distinct": left_join_distinct,
         "explode_words": explode_words,
         "scan_cumulative_sum": scan_cumulative,
+        "scan_battery": scan_battery,
         "add_index": add_index_q,
         "interval_join": interval_band_join,
         "collect_per_key": collect_per_key,
@@ -1596,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
         "left_join_right_distinct": _LJRD_SQL,
         "explode_words": _EXPLODE_SQL,
         "scan_cumulative_sum": _SCAN_SQL,
+        "scan_battery": _SCAN_BATTERY_SQL,
         "add_index": _ADD_INDEX_SQL,
         "interval_join": _INTERVAL_SQL,
         "collect_per_key": _COLLECT_SQL,

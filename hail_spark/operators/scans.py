@@ -208,3 +208,491 @@ def scan_mean(t: Table, expr: Column, name: str) -> Table:
         name, F.col(tmp_s) / F.nullif(F.col(tmp_n), F.lit(0))
     ).drop(tmp_s, tmp_n)
     return Table(df, t3.key, t3.globals, _sorted=True)
+
+
+# --------------------------------------------------------------------- #
+# full hl.scan.* generality (ref aggregators.py:2049-2081: every
+# aggregator has a scan form). Struct-/array-typed states use the same
+# two-pass shape: bounded per-partition partials to the driver, python
+# exclusive prefix-combine, broadcast back, within-partition window.
+# --------------------------------------------------------------------- #
+def _key_struct(tt: Table) -> Column:
+    return F.struct(*[F.col(k) for k in tt.key])
+
+
+def _excl_window(tt: Table):
+    return (
+        Window.partitionBy(_PID)
+        .orderBy(*[F.col(k).asc_nulls_last() for k in tt.key])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+
+def _scan_state(t: Table, partial: Column, py_combine, state_schema: str):
+    """Common up-pass: returns (sorted table, df+_PID, offsets df).
+    `partial` must be a per-partition aggregate Column whose collected
+    value py_combine can fold left-to-right in partition order."""
+    tt = t._ensure_key_sorted()
+    df = tt.df.withColumn(_PID, F.spark_partition_id())
+    spark = df.sparkSession
+    partials = df.groupBy(_PID).agg(partial.alias("p")).collect()
+    partials.sort(key=lambda r: r[_PID])
+    rows, acc = [], None
+    for r in partials:
+        rows.append((r[_PID], acc))
+        p = r["p"]
+        if p is not None:
+            acc = p if acc is None else py_combine(acc, p)
+    off = spark.createDataFrame(rows, schema=f"{_PID} int, {_OFF} {state_schema}")
+    return tt, df, off
+
+
+def scan_collect(t: Table, expr: Column, name: str) -> Table:
+    """hl.scan.collect: array of the non-missing prefix values in key
+    order. Per-row state is O(prefix) by definition (same as Hail)."""
+    tt = t._ensure_key_sorted()
+    elem_t = tt.df.select(expr.alias("x")).schema["x"].dataType.simpleString()
+    ks = _key_struct(tt)
+    partial = F.filter(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(ks.alias("k"), expr.alias("v")))),
+            lambda s: s["v"],
+        ),
+        lambda v: v.isNotNull(),
+    )
+    tt, df, off = _scan_state(tt, partial, lambda a, b: a + b, f"array<{elem_t}>")
+    local = F.collect_list(expr).over(_excl_window(tt))
+    empty = F.expr(f"cast(array() as array<{elem_t}>)")
+    df = (
+        df.join(F.broadcast(off), on=_PID, how="left")
+        .withColumn(name, F.concat(F.coalesce(F.col(_OFF), empty), F.coalesce(local, empty)))
+        .drop(_PID, _OFF)
+    )
+    return Table(df, tt.key, tt.globals, _sorted=True)
+
+
+def scan_collect_as_set(t: Table, expr: Column, name: str) -> Table:
+    """hl.scan.collect_as_set: sorted distinct prefix values."""
+    t2 = scan_collect(t, expr, name)
+    df = t2.df.withColumn(name, F.array_sort(F.array_distinct(F.col(name))))
+    return Table(df, t2.key, t2.globals, _sorted=True)
+
+
+def scan_counter(t: Table, expr: Column, name: str) -> Table:
+    """hl.scan.counter: value→count map over the prefix. Built from the
+    collect prefix via HOFs (cost O(distinct·prefix) per row — counter
+    state is unbounded in Hail too)."""
+    t2 = scan_collect(t, expr, name)
+    arr = F.col(name)
+    keys = F.array_sort(F.array_distinct(arr))
+    counts = F.map_from_arrays(
+        keys,
+        F.transform(
+            keys, lambda k: F.size(F.filter(arr, lambda e: e.eqNullSafe(k))).cast("bigint")
+        ),
+    )
+    df = t2.df.withColumn(name, counts)
+    return Table(df, t2.key, t2.globals, _sorted=True)
+
+
+def scan_take(t: Table, expr: Column, name: str, n: int) -> Table:
+    """hl.scan.take(n): first n non-missing prefix values in key order.
+    BOUNDED: local window only collects rows whose in-partition rank is
+    ≤ n, partials are sliced to n, so every state holds ≤ n elements."""
+    tt = t._ensure_key_sorted()
+    elem_t = tt.df.select(expr.alias("x")).schema["x"].dataType.simpleString()
+    ks = _key_struct(tt)
+    partial = F.slice(
+        F.filter(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(ks.alias("k"), expr.alias("v")))),
+                lambda s: s["v"],
+            ),
+            lambda v: v.isNotNull(),
+        ),
+        1,
+        n,
+    )
+    tt, df, off = _scan_state(
+        tt, partial, lambda a, b: (a + b)[:n], f"array<{elem_t}>"
+    )
+    # rank only NON-NULL values: count(expr) over the inclusive frame is
+    # this row's 1-based non-null position (nulls never take a slot)
+    w_incl = (
+        Window.partitionBy(_PID)
+        .orderBy(*[F.col(k).asc_nulls_last() for k in tt.key])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    df = df.withColumn("__rn", F.count(expr).over(w_incl))
+    bounded = F.when(expr.isNotNull() & (F.col("__rn") <= n), expr)
+    local = F.collect_list(bounded).over(_excl_window(tt))
+    empty = F.expr(f"cast(array() as array<{elem_t}>)")
+    df = (
+        df.join(F.broadcast(off), on=_PID, how="left")
+        .withColumn(
+            name,
+            F.slice(
+                F.concat(F.coalesce(F.col(_OFF), empty), F.coalesce(local, empty)),
+                1,
+                n,
+            ),
+        )
+        .drop(_PID, _OFF, "__rn")
+    )
+    return Table(df, tt.key, tt.globals, _sorted=True)
+
+
+_STATS_SCHEMA = "struct<n:bigint,s:decimal(38,6),ss:decimal(38,6),mn:double,mx:double>"
+
+
+def scan_stats(t: Table, expr: Column, name: str) -> Table:
+    """hl.scan.stats: struct{mean, stdev, min, max, n, sum} over the
+    prefix. Sums accumulate in decimal(38,6) so the two-pass association
+    order can't perturb float results."""
+    x0 = expr.cast("double")
+    xd = x0.cast("decimal(38,6)")
+
+    def comps():
+        # raw aggregate calls only — .over(w) must wrap the aggregate
+        # itself (count already yields bigint)
+        return {
+            "n": F.count(x0),
+            "s": F.sum(xd),
+            "ss": F.sum((x0 * x0).cast("decimal(38,6)")),
+            "mn": F.min(x0),
+            "mx": F.max(x0),
+        }
+
+    partial = F.struct(*[c.alias(k) for k, c in comps().items()])
+
+    def py_combine(a, b):
+        return {
+            "n": a["n"] + b["n"],
+            "s": (a["s"] or 0) + (b["s"] or 0),
+            "ss": (a["ss"] or 0) + (b["ss"] or 0),
+            "mn": min((v for v in (a["mn"], b["mn"]) if v is not None), default=None),
+            "mx": max((v for v in (a["mx"], b["mx"]) if v is not None), default=None),
+        }
+
+    tt, df, off = _scan_state(t, partial, py_combine, _STATS_SCHEMA)
+    w = _excl_window(tt)
+    local = F.struct(*[c.over(w).alias(k) for k, c in comps().items()])
+    o = F.col(_OFF)
+    zero_d = F.lit(0).cast("decimal(38,6)")
+    n = F.coalesce(local["n"], F.lit(0)) + F.coalesce(o["n"], F.lit(0))
+    s = F.coalesce(local["s"], zero_d) + F.coalesce(o["s"], zero_d)
+    ss = F.coalesce(local["ss"], zero_d) + F.coalesce(o["ss"], zero_d)
+    mn = F.least(local["mn"], o["mn"])
+    mx = F.greatest(local["mx"], o["mx"])
+    mean = s.cast("double") / F.nullif(n.cast("double"), F.lit(0.0))
+    var = ss.cast("double") / F.nullif(n.cast("double"), F.lit(0.0)) - mean * mean
+    out = F.when(
+        n > 0,
+        F.struct(
+            mean.alias("mean"),
+            F.sqrt(F.greatest(var, F.lit(0.0))).alias("stdev"),
+            mn.alias("min"),
+            mx.alias("max"),
+            n.alias("n"),
+            s.cast("double").alias("sum"),
+        ),
+    )
+    df = (
+        df.join(F.broadcast(off), on=_PID, how="left")
+        .withColumn(name, out)
+        .drop(_PID, _OFF)
+    )
+    return Table(df, tt.key, tt.globals, _sorted=True)
+
+
+def scan_fraction(t: Table, pred: Column, name: str) -> Table:
+    """hl.scan.fraction: fraction of defined prefix rows where pred
+    holds."""
+    tmp_t, tmp_n = f"__{name}_t", f"__{name}_n"
+    t2 = scan_sum(t, F.when(pred, 1).when(~pred, 0).cast("bigint"), tmp_t)
+    t3 = scan_sum(t2, F.when(pred.isNotNull(), 1).cast("bigint"), tmp_n)
+    df = t3.df.withColumn(
+        name, F.col(tmp_t) / F.nullif(F.col(tmp_n).cast("double"), F.lit(0.0))
+    ).drop(tmp_t, tmp_n)
+    return Table(df, t3.key, t3.globals, _sorted=True)
+
+
+def scan_any(t: Table, pred: Column, name: str) -> Table:
+    """hl.scan.any: True once a prefix row satisfied pred (empty prefix
+    → False)."""
+    t2 = _scan_assoc(t, pred, name, F.max, max, F.greatest)
+    df = t2.df.withColumn(name, F.coalesce(F.col(name), F.lit(False)))
+    return Table(df, t2.key, t2.globals, _sorted=True)
+
+
+def scan_all(t: Table, pred: Column, name: str) -> Table:
+    """hl.scan.all: True while every prefix row satisfied pred (empty
+    prefix → True)."""
+    t2 = _scan_assoc(t, pred, name, F.min, min, F.least)
+    df = t2.df.withColumn(name, F.coalesce(F.col(name), F.lit(True)))
+    return Table(df, t2.key, t2.globals, _sorted=True)
+
+
+def scan_multi(t: Table, specs: dict) -> Table:
+    """EVERY requested scan in ONE up-pass + ONE down-pass — the shape
+    Hail's lowering uses (LowerTableIR.scala:1284: all scan states ride
+    one TableScanUpPass). Chaining k single scans costs k jobs that each
+    re-execute the chain; this costs 2 regardless of k.
+
+    specs: {out_name: (kind, expr[, n])} with kind in
+    {sum, count, min, max, mean, any, all, fraction, product, collect,
+    collect_as_set, take, stats, counter}.
+    """
+    tt = t._ensure_key_sorted()
+    df = tt.df.withColumn(_PID, F.spark_partition_id())
+    spark = df.sparkSession
+    ks = _key_struct(tt)
+
+    def dtype_of(expr):
+        return df.select(expr.alias("x")).schema["x"].dataType.simpleString()
+
+    def num_out(expr):
+        d = dtype_of(expr)
+        if d in ("int", "bigint", "smallint", "tinyint"):
+            return "bigint"
+        if d.startswith("decimal"):
+            return d
+        return "double"
+
+    # field registry: (field, partial_agg, fold_kind, schema_type, n)
+    fields: list = []
+    rank_specs: dict = {}  # field -> (expr, n) needing bounded local collect
+
+    def sorted_vals(expr):
+        return F.filter(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(ks.alias("k"), expr.alias("v")))),
+                lambda s: s["v"],
+            ),
+            lambda v: v.isNotNull(),
+        )
+
+    for name, spec in specs.items():
+        kind, expr = spec[0], spec[1]
+        f = f"__{name}"
+        def ones(e):
+            # count == sum of 1-indicators, so partial and window-local
+            # use the same sum aggregate
+            return F.when(e.isNotNull(), F.lit(1)).cast("bigint")
+
+        if kind == "sum":
+            ot = num_out(expr)
+            x = expr.cast(ot)
+            fields.append((f + "_s", F.sum(x), "add", ot, x))
+        elif kind == "count":
+            o1 = ones(expr)
+            fields.append((f + "_n", F.sum(o1), "add", "bigint", o1))
+        if kind == "min":
+            ot = dtype_of(expr)
+            fields.append((f + "_m", F.min(expr), "min", ot, expr))
+        elif kind == "max":
+            ot = dtype_of(expr)
+            fields.append((f + "_m", F.max(expr), "max", ot, expr))
+        elif kind == "mean":
+            x = expr.cast("double")
+            xd = x.cast("decimal(38,6)")
+            fields.append((f + "_s", F.sum(xd), "add", "decimal(38,6)", xd))
+            fields.append((f + "_n", F.sum(ones(x)), "add", "bigint", ones(x)))
+        elif kind == "any":
+            fields.append((f + "_b", F.max(expr), "max", "boolean", expr))
+        elif kind == "all":
+            fields.append((f + "_b", F.min(expr), "min", "boolean", expr))
+        elif kind == "fraction":
+            tcol = F.when(expr, 1).when(~expr, 0).cast("bigint")
+            dcol = F.when(expr.isNotNull(), 1).cast("bigint")
+            fields.append((f + "_t", F.sum(tcol), "add", "bigint", tcol))
+            fields.append((f + "_d", F.sum(dcol), "add", "bigint", dcol))
+        elif kind == "product":
+            x = expr.cast("double")
+            fields.append((f + "_p", F.product(x), "mul", "double", x))
+        elif kind in ("collect", "collect_as_set", "counter"):
+            et = dtype_of(expr)
+            fields.append((f + "_a", sorted_vals(expr), "concat", f"array<{et}>", expr))
+        elif kind == "take":
+            n = spec[2]
+            et = dtype_of(expr)
+            fields.append(
+                (f + "_a", F.slice(sorted_vals(expr), 1, n), ("concat_n", n), f"array<{et}>", expr)
+            )
+            rank_specs[f + "_a"] = (expr, n)
+        elif kind == "stats":
+            x = expr.cast("double")
+            xd = x.cast("decimal(38,6)")
+            qd = (x * x).cast("decimal(38,6)")
+            fields.append((f + "_n", F.sum(ones(x)), "add", "bigint", ones(x)))
+            fields.append((f + "_s", F.sum(xd), "add", "decimal(38,6)", xd))
+            fields.append((f + "_q", F.sum(qd), "add", "decimal(38,6)", qd))
+            fields.append((f + "_mn", F.min(x), "min", "double", x))
+            fields.append((f + "_mx", F.max(x), "max", "double", x))
+
+    # ---- up-pass: ONE job for every partial -------------------------- #
+    partials = df.groupBy(_PID).agg(
+        *[agg.alias(fname) for fname, agg, _, _, _ in fields]
+    ).collect()
+    partials.sort(key=lambda r: r[_PID])
+    acc: dict = {fname: None for fname, *_ in fields}
+    rows = []
+    for r in partials:
+        # positional tuple in field order (dict rows would be re-ordered
+        # by Row's alphabetical keys and misalign with the schema)
+        rows.append(tuple([r[_PID]] + [acc[fname] for fname, *_ in fields]))
+        for fname, _, fold, _, _ in fields:
+            p = r[fname]
+            if p is None:
+                continue
+            a = acc[fname]
+            if a is None:
+                acc[fname] = p if not (isinstance(fold, tuple)) else p[: fold[1]]
+            elif fold == "add":
+                acc[fname] = a + p
+            elif fold == "min":
+                acc[fname] = min(a, p)
+            elif fold == "max":
+                acc[fname] = max(a, p)
+            elif fold == "mul":
+                acc[fname] = a * p
+            elif fold == "concat":
+                acc[fname] = a + p
+            elif isinstance(fold, tuple):  # concat_n
+                acc[fname] = (a + p)[: fold[1]]
+    schema = f"{_PID} int, " + ", ".join(
+        f"{fname} {ftype}" for fname, _, _, ftype, _ in fields
+    )
+    off = spark.createDataFrame(rows, schema=schema)
+    off = off.select(
+        F.col(_PID), *[F.col(fname).alias(f"{fname}_off") for fname, *_ in fields]
+    )
+
+    # ---- down-pass: rank columns, one window stage, final combine ---- #
+    w_incl = (
+        Window.partitionBy(_PID)
+        .orderBy(*[F.col(k).asc_nulls_last() for k in tt.key])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for fname, (expr, n) in rank_specs.items():
+        df = df.withColumn(f"{fname}_rn", F.count(expr).over(w_incl))
+    w = _excl_window(tt)
+    loc_cols = []
+    for fname, _, fold, ftype, base in fields:
+        if fname in rank_specs:
+            expr, n = rank_specs[fname]
+            bounded = F.when(expr.isNotNull() & (F.col(f"{fname}_rn") <= n), expr)
+            loc_cols.append(F.collect_list(bounded).over(w).alias(f"{fname}_loc"))
+        elif fold == "concat":
+            # base here is the raw expr; window collect keeps row order
+            loc_cols.append(F.collect_list(base).over(w).alias(f"{fname}_loc"))
+        elif fold == "add":
+            loc_cols.append(F.sum(base).over(w).alias(f"{fname}_loc"))
+        elif fold == "min":
+            loc_cols.append(F.min(base).over(w).alias(f"{fname}_loc"))
+        elif fold == "max":
+            loc_cols.append(F.max(base).over(w).alias(f"{fname}_loc"))
+        elif fold == "mul":
+            loc_cols.append(F.product(base).over(w).alias(f"{fname}_loc"))
+    df = df.select("*", *loc_cols).join(F.broadcast(off), on=_PID, how="left")
+
+    def comb(fname, fold, ftype):
+        loc, o = F.col(f"{fname}_loc"), F.col(f"{fname}_off")
+        if fold == "add":
+            z = F.lit(0).cast(ftype)
+            return F.coalesce(loc, z) + F.coalesce(o, z)
+        if fold == "min":
+            return F.least(loc, o)
+        if fold == "max":
+            return F.greatest(loc, o)
+        if fold == "mul":
+            return F.coalesce(loc, F.lit(1.0)) * F.coalesce(o, F.lit(1.0))
+        empty = F.expr(f"cast(array() as {ftype})")
+        cat = F.concat(F.coalesce(o, empty), F.coalesce(loc, empty))
+        if isinstance(fold, tuple):
+            return F.slice(cat, 1, fold[1])
+        return cat
+
+    meta = {fname: (fold, ftype) for fname, _, fold, ftype, _ in fields}
+    out_cols = []
+    for name, spec in specs.items():
+        kind = spec[0]
+        f = f"__{name}"
+
+        def c(sub):
+            fold, ftype = meta[f + sub]
+            return comb(f + sub, fold, ftype)
+
+        if kind == "sum":
+            out = c("_s")
+        elif kind == "count":
+            out = c("_n")
+        elif kind in ("min", "max"):
+            out = c("_m")
+        elif kind == "mean":
+            out = c("_s").cast("double") / F.nullif(c("_n").cast("double"), F.lit(0.0))
+        elif kind == "any":
+            out = F.coalesce(c("_b"), F.lit(False))
+        elif kind == "all":
+            out = F.coalesce(c("_b"), F.lit(True))
+        elif kind == "fraction":
+            out = c("_t").cast("double") / F.nullif(c("_d").cast("double"), F.lit(0.0))
+        elif kind == "product":
+            out = c("_p")
+        elif kind == "collect":
+            out = c("_a")
+        elif kind == "collect_as_set":
+            out = F.array_sort(F.array_distinct(c("_a")))
+        elif kind == "take":
+            out = c("_a")
+        elif kind == "counter":
+            arr = c("_a")
+            keys = F.array_sort(F.array_distinct(arr))
+            out = F.map_from_arrays(
+                keys,
+                F.transform(
+                    keys,
+                    lambda k: F.size(F.filter(arr, lambda e: e.eqNullSafe(k))).cast("bigint"),
+                ),
+            )
+        elif kind == "stats":
+            n_ = c("_n")
+            s_ = c("_s").cast("double")
+            q_ = c("_q").cast("double")
+            mean = s_ / F.nullif(n_.cast("double"), F.lit(0.0))
+            var = q_ / F.nullif(n_.cast("double"), F.lit(0.0)) - mean * mean
+            out = F.when(
+                n_ > 0,
+                F.struct(
+                    mean.alias("mean"),
+                    F.sqrt(F.greatest(var, F.lit(0.0))).alias("stdev"),
+                    c("_mn").alias("min"),
+                    c("_mx").alias("max"),
+                    n_.alias("n"),
+                    s_.alias("sum"),
+                ),
+            )
+        out_cols.append(out.alias(name))
+    keep = [c for c in tt.df.columns]
+    df = df.select(*keep, *out_cols)
+    return Table(df, tt.key, tt.globals, _sorted=True)
+
+
+def scan_product(t: Table, expr: Column, name: str) -> Table:
+    """hl.scan.product (empty prefix → 1.0)."""
+    tt, df, off = _scan_state(
+        t,
+        F.product(expr.cast("double")),
+        lambda a, b: a * b,
+        "double",
+    )
+    local = F.product(expr.cast("double")).over(_excl_window(tt))
+    df = (
+        df.join(F.broadcast(off), on=_PID, how="left")
+        .withColumn(
+            name,
+            F.coalesce(local, F.lit(1.0)) * F.coalesce(F.col(_OFF), F.lit(1.0)),
+        )
+        .drop(_PID, _OFF)
+    )
+    return Table(df, tt.key, tt.globals, _sorted=True)

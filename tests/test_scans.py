@@ -70,3 +70,56 @@ def test_scan_min_max_mean(spark):
         want = prefix(i, lambda s: sum(s) / len(s))
         got = rows[i]["avg"]
         assert (got is None and want is None) or math.isclose(got, want), i
+
+
+def test_scan_full_generality(spark):
+    """hl.scan.* over the full aggregator set (ref aggregators.py:2049):
+    collect / collect_as_set / take / stats / fraction / any / all /
+    counter / product, checked row-by-row vs a python exclusive-prefix
+    oracle on multi-partition input."""
+    import math
+    from collections import Counter
+
+    from hail_spark.operators import scans
+    from hail_spark.table import Table
+
+    vals = [(i, float((i * 37) % 10) if i % 7 else None, i % 3 == 0) for i in range(50)]
+    df = spark.createDataFrame(vals, "k int, x double, p boolean").repartition(5)
+    t = Table(df, key=("k",))
+    t = scans.scan_collect(t, F.col("x"), "c")
+    t = scans.scan_collect_as_set(t, F.col("x"), "cs")
+    t = scans.scan_take(t, F.col("x"), "tk", 3)
+    t = scans.scan_stats(t, F.col("x"), "st")
+    t = scans.scan_fraction(t, F.col("p"), "fr")
+    t = scans.scan_any(t, F.col("p"), "an")
+    t = scans.scan_all(t, F.col("p"), "al")
+    t = scans.scan_counter(t, (F.col("k") % 3).cast("string"), "cnt")
+    t = scans.scan_product(t, F.when(F.col("k") % 10 == 0, 2.0).otherwise(1.0), "pr")
+    rows = t.order_by("k").df.collect()
+
+    xs, ps, ks = [], [], []
+    for i, (k, x, p) in enumerate(sorted(vals)):
+        r = rows[i]
+        pref = [v for v in xs if v is not None]
+        assert r["c"] == pref, ("c", k)
+        assert r["cs"] == sorted(set(pref)), ("cs", k)
+        assert r["tk"] == pref[:3], ("tk", k)
+        if pref:
+            n = len(pref)
+            m = sum(pref) / n
+            var = sum(v * v for v in pref) / n - m * m
+            assert abs(r["st"]["mean"] - m) < 1e-9
+            assert abs(r["st"]["stdev"] - math.sqrt(max(var, 0.0))) < 1e-9
+            assert r["st"]["n"] == n
+            assert r["st"]["min"] == min(pref) and r["st"]["max"] == max(pref)
+        else:
+            assert r["st"] is None
+        assert r["an"] == (True in ps), ("an", k)
+        assert r["al"] == (False not in ps), ("al", k)
+        if ps:
+            assert abs(r["fr"] - sum(ps) / len(ps)) < 1e-12, ("fr", k)
+        assert dict(r["cnt"] or {}) == dict(Counter(str(kk % 3) for kk in ks))
+        assert r["pr"] == 2.0 ** sum(1 for kk in ks if kk % 10 == 0), ("pr", k)
+        xs.append(x)
+        ps.append(p)
+        ks.append(k)
