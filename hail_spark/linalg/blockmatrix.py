@@ -101,6 +101,27 @@ class BlockMatrix:
         ).drop("cells")
         return cls(dense, n_rows, n_cols, bs)
 
+    @classmethod
+    def from_numpy(
+        cls, spark: SparkSession, M: np.ndarray, block_size: int = 1024
+    ) -> "BlockMatrix":
+        """Driver-side ndarray → BlockMatrix (for small projection /
+        codebook matrices that ride along distributed matmuls)."""
+        M = np.asarray(M, dtype=float)
+        nr, nc = M.shape
+        bs = block_size
+        rows = []
+        for bi in range(-(-nr // bs)):
+            for bj in range(-(-nc // bs)):
+                blk = M[bi * bs : (bi + 1) * bs, bj * bs : (bj + 1) * bs]
+                rows.append(
+                    (bi, bj, blk.shape[0], blk.shape[1], blk.ravel().tolist())
+                )
+        df = spark.createDataFrame(
+            rows, "bi bigint, bj bigint, r int, c int, data array<double>"
+        )
+        return cls(df, nr, nc, bs)
+
     # ------------------------------------------------------------------ #
     # structural ops (pure Spark)
     # ------------------------------------------------------------------ #

@@ -310,6 +310,145 @@ def hwe_normalized_pca(
     return evals_k.tolist(), scores_df, loadings_df
 
 
+def _hwe_normalized_bm(mt: MatrixTable, x_field: str = "GT", block_size: int = 1024):
+    """HWE-normalized entry matrix as a distributed BlockMatrix
+    (variants × samples): m_ij = (g - 2p)/sqrt(2p(1-p)·n_variants),
+    mean-imputed missing, monomorphic rows dropped (zero rows in the
+    grid). Standardization is array HOFs over the entries array — no
+    shuffle before the long-form regroup."""
+    from ..linalg.blockmatrix import BlockMatrix
+    from ..operators.scans import add_index
+    from ..table import Table
+
+    n = len(mt._cols)
+    n_variants = mt._df.count()
+    t = add_index(Table(mt._df.select(*mt._row_key, ENTRIES), key=mt._row_key), "__i")
+    g = F.transform(F.col(ENTRIES), lambda e: e[x_field].cast("double"))
+    df = t.df.select("__i", g.alias("__g"))
+    nn = F.filter(F.col("__g"), lambda v: v.isNotNull())
+    df = df.withColumn(
+        "__mean",
+        F.aggregate(nn, F.lit(0.0), lambda a, v: a + v)
+        / F.nullif(F.size(nn).cast("double"), F.lit(0.0)),
+    )
+    p = F.col("__mean") / 2.0
+    df = df.filter(p.isNotNull() & (p > 0.0) & (p < 1.0))
+    df = df.withColumn(
+        "__norm", F.sqrt(2.0 * p * (1.0 - p) * F.lit(float(n_variants)))
+    )
+    z = F.transform(
+        F.col("__g"),
+        lambda v: (F.coalesce(v, F.col("__mean")) - F.col("__mean")) / F.col("__norm"),
+    )
+    long = df.select("__i", F.posexplode(z).alias("__j", "__v")).where(
+        F.col("__v").isNotNull() & (F.col("__v") != 0.0)
+    )
+    A = BlockMatrix.from_long(
+        long, n_variants, n, block_size, i="__i", j="__j", v="__v"
+    )
+    return A, t, n_variants
+
+
+def _blanczos_pca(
+    mt: MatrixTable,
+    k: int = 10,
+    compute_loadings: bool = False,
+    q_iterations: int = 3,
+    oversampling: int = 2,
+    seed: int = 1,
+    x_field: str = "GT",
+    block_size: int = 1024,
+):
+    """Randomized block-Krylov PCA (ref pca.py:210 _blanczos_pca, after
+    Musco & Musco 2015) — the biobank-scale path: the n×n sample gram is
+    NEVER formed; all big products are distributed BlockMatrix matmuls
+    and only (b·q)×(b·q) Rayleigh–Ritz matrices reach the driver.
+
+    Krylov basis in sample space: K = [Ω, CΩ, …, C^qΩ] with C = AᵀA
+    applied as two distributed matmuls per power. Orthonormalization is
+    implicit (eigh of KᵀK with tiny-eigenvalue dropping), eigenpairs come
+    from T = QᵀCQ, and sample eigenvectors V = K·(small) are one more
+    distributed matmul. Returns (eigenvalues, scores_df, loadings_df) in
+    hwe_normalized_pca's format. Ω is driver-generated (n×b doubles —
+    at extreme n generate it per-block from a seeded hash instead)."""
+    from ..linalg.blockmatrix import BlockMatrix
+
+    spark = mt._df.sparkSession
+    n = len(mt._cols)
+    A, t_idx, m = _hwe_normalized_bm(mt, x_field, block_size)
+    A.df.persist()
+    b = min(n, k + oversampling)
+    rng = np.random.default_rng(seed)
+    Om = rng.standard_normal((n, b))
+
+    Ki = BlockMatrix.from_numpy(spark, Om, block_size)
+    At = A.transpose()
+    krylov = [Ki]
+    for _ in range(q_iterations):
+        Z = A.matmul(Ki)      # m × b
+        Ki = At.matmul(Z)     # n × b   (= C @ Ki)
+        Ki.df.persist()
+        krylov.append(Ki)
+    # hstack the Krylov blocks: n × L long-form union with shifted j
+    parts = [
+        bm.to_long().select(
+            F.col("i"), (F.col("j") + idx * b).alias("j"), F.col("v")
+        )
+        for idx, bm in enumerate(krylov)
+    ]
+    k_long = parts[0]
+    for p_ in parts[1:]:
+        k_long = k_long.unionByName(p_)
+    L = b * len(krylov)
+    K = BlockMatrix.from_long(k_long, n, L, block_size)
+    K.df.persist()
+
+    KtK = K.transpose().matmul(K).to_numpy()          # L × L (small)
+    Z = A.matmul(K)                                    # m × L
+    S = Z.transpose().matmul(Z).to_numpy()             # L × L = KᵀCK
+    e, U = np.linalg.eigh((KtK + KtK.T) / 2.0)
+    keep = e > max(e.max(), 0.0) * 1e-12
+    W = U[:, keep] / np.sqrt(e[keep])                  # implicit R⁻¹: K@W orthonormal
+    T = W.T @ S @ W
+    evals, Vt = np.linalg.eigh((T + T.T) / 2.0)
+    order = np.argsort(evals)[::-1][:k]
+    evals_k = np.maximum(evals[order], 0.0)
+    P = W @ Vt[:, order]                               # L × k
+    Vbm = K.matmul(BlockMatrix.from_numpy(spark, P, block_size))  # n × k
+    V = Vbm.to_numpy()
+    scores = V * np.sqrt(evals_k)
+    scores_df = spark.createDataFrame(
+        [
+            {**{kf: c[kf] for kf in mt._col_key}, "scores": scores[i].tolist()}
+            for i, c in enumerate(mt._cols)
+        ]
+    )
+    loadings_df = None
+    if compute_loadings:
+        Vs = V / np.sqrt(np.maximum(evals_k, 1e-300))
+        Lo = A.matmul(BlockMatrix.from_numpy(spark, Vs, block_size))  # m × k
+        lo = (
+            Lo.to_long()
+            .groupBy("i")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("j").alias("j"), F.col("v").alias("v")))
+                    ),
+                    lambda s: s["v"],
+                ).alias("loadings")
+            )
+        )
+        loadings_df = (
+            t_idx.df.select(*mt._row_key, F.col("__i").alias("i"))
+            .join(lo, on="i", how="inner")
+            .drop("i")
+        )
+    A.df.unpersist()
+    K.df.unpersist()
+    return evals_k.tolist(), scores_df, loadings_df
+
+
 def _poisreg_fit(X: np.ndarray, y: np.ndarray, max_iter=25, tol=1e-8):
     """Newton-Raphson Poisson MLE (log link); returns
     (beta, loglik, fisher_inv, converged). Log-lik drops the constant

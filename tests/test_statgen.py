@@ -231,3 +231,30 @@ def test_logistic_skat(spark, sim):
     res3 = {r["group"]: r for r in logistic_skat(mt3, "gene", "ysig").collect()}
     assert res3[3]["p_value"] < 0.05
     assert res3[3]["p_value"] < min(res3[g]["p_value"] for g in (0, 1))
+
+
+def test_blanczos_pca_matches_gram(sim, spark):
+    """_blanczos_pca (randomized block-Krylov over BlockMatrix matmuls)
+    must reproduce the gram-matrix PCA eigenvalues/scores when the
+    Krylov dimension covers the spectrum — no n×n gram on the driver."""
+    from hail_spark.methods.statgen import _blanczos_pca
+
+    mt, G, *_ = sim
+    evals_g, scores_g, _ = hwe_normalized_pca(mt, k=5)
+    # oversampling so the Krylov space spans the 30-sample spectrum:
+    # then blanczos is exact, not just approximate
+    evals_b, scores_b, loadings_b = _blanczos_pca(
+        mt, k=5, compute_loadings=True, oversampling=10
+    )
+    assert np.allclose(evals_b, evals_g, rtol=1e-6, atol=1e-9)
+    sg = {r["s"]: np.array(r["scores"]) for r in scores_g.collect()}
+    sb = {r["s"]: np.array(r["scores"]) for r in scores_b.collect()}
+    # eigenvectors match up to per-component sign
+    Mg = np.array([sg[f"S{j}"] for j in range(N_SAMPLES)])
+    Mb = np.array([sb[f"S{j}"] for j in range(N_SAMPLES)])
+    for c in range(5):
+        assert (
+            np.allclose(Mg[:, c], Mb[:, c], atol=1e-6)
+            or np.allclose(Mg[:, c], -Mb[:, c], atol=1e-6)
+        ), c
+    assert loadings_b.count() > 0
