@@ -166,6 +166,44 @@ def _logreg_fit(X: np.ndarray, y: np.ndarray, max_iter=25, tol=1e-8):
     return b, ll, finv, hit_tol and finv is not None
 
 
+def _firth_fit(X: np.ndarray, y: np.ndarray, b0=None, max_iter=100, tol=1e-8):
+    """Firth bias-reduced logistic fit (ref statgen.py:1136 firth path).
+
+    Newton on the penalized score U*(b) = X'(y - mu + h*(0.5 - mu)) with h the
+    hat-matrix diagonal; returns (beta, penalized_loglik, converged)."""
+    b = np.zeros(X.shape[1]) if b0 is None else b0.copy()
+    pll = -np.inf
+    for _ in range(max_iter):
+        eta = X @ b
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        W = mu * (1 - mu)
+        XW = X * W[:, None]
+        fisher = XW.T @ X
+        try:
+            finv = np.linalg.inv(fisher)
+            sign, logdet = np.linalg.slogdet(fisher)
+        except np.linalg.LinAlgError:
+            return b, pll, False
+        if sign <= 0:
+            return b, pll, False
+        h = np.einsum("ij,jk,ik->i", XW, finv, X)
+        score = X.T @ (y - mu + h * (0.5 - mu))
+        delta = finv @ score
+        b = b + delta
+        eta = X @ b
+        ll = float(np.sum(y * eta - np.log1p(np.exp(eta))))
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        W = mu * (1 - mu)
+        sign, logdet = np.linalg.slogdet((X * W[:, None]).T @ X)
+        if sign <= 0:
+            return b, pll, False
+        pll_new = ll + 0.5 * logdet
+        if abs(pll_new - pll) < tol:
+            return b, pll_new, True
+        pll = pll_new
+    return b, pll, False
+
+
 def logistic_regression_rows(
     mt: MatrixTable,
     test: str,
@@ -175,18 +213,24 @@ def logistic_regression_rows(
     add_intercept: bool = True,
 ) -> DataFrame:
     """Per-variant logistic regression (ref statgen.py:731).
-    ``test``: 'wald' or 'lrt'. Null model fit once driver-side; the
-    per-variant Newton solve runs batched in mapInPandas."""
-    if test not in ("wald", "lrt"):
-        raise ValueError("test must be 'wald' or 'lrt'")
+    ``test``: 'wald', 'lrt', 'score', or 'firth' (ref statgen.py:1136-1257).
+    Null model fit once driver-side; the per-variant solve runs batched in
+    mapInPandas. 'score' needs no per-variant iteration; 'firth' is a
+    penalized-likelihood-ratio test against a Firth-fit null."""
+    if test not in ("wald", "lrt", "score", "firth"):
+        raise ValueError("test must be 'wald', 'lrt', 'score', or 'firth'")
     yv = _col_vector(mt, y)
     if not set(np.unique(yv)) <= {0.0, 1.0}:
         raise ValueError("y must be 0/1")
     C = _design(mt, covariates, add_intercept)
     n = C.shape[0]
-    _, null_ll, _, ok = _logreg_fit(C, yv)
+    null_b, null_ll, _, ok = _logreg_fit(C, yv)
     if not ok:
         raise ValueError("null model failed to converge")
+    if test == "firth":
+        null_b, null_ll, ok = _firth_fit(C, yv)
+        if not ok:
+            raise ValueError("firth null model failed to converge")
     row_key = list(mt._row_key)
     spark = mt._df.sparkSession
     bC = spark.sparkContext.broadcast(C)
@@ -202,13 +246,45 @@ def logistic_regression_rows(
         "fit_converged boolean"
     )
 
+    bnull = spark.sparkContext.broadcast((null_b, null_ll))
+
     def run(batches):
         C_, y_ = bC.value, by.value
+        nb, nll = bnull.value
+        # score test: mu/W at the null fit are variant-independent
+        mu0 = 1.0 / (1.0 + np.exp(-(C_ @ nb)))
+        W0 = mu0 * (1 - mu0)
         for pdf in batches:
             X = _mean_impute(_entry_matrix(pdf[ENTRIES], x_field, n))
             betas, stats, converged = [], [], []
             for i in range(X.shape[0]):
                 M = np.column_stack([C_, X[i]])
+                if test == "score":
+                    # U'I^{-1}U at the null MLE; only the x entry of U is nonzero
+                    score = M.T @ (y_ - mu0)
+                    fisher = (M * W0[:, None]).T @ M
+                    try:
+                        stat = float(score @ np.linalg.solve(fisher, score))
+                    except np.linalg.LinAlgError:
+                        betas.append(np.nan)
+                        stats.append(np.nan)
+                        converged.append(False)
+                        continue
+                    betas.append(np.nan)
+                    stats.append(stat)
+                    converged.append(True)
+                    continue
+                if test == "firth":
+                    b, pll, ok = _firth_fit(M, y_, b0=np.append(nb, 0.0))
+                    if not ok:
+                        betas.append(np.nan)
+                        stats.append(np.nan)
+                        converged.append(False)
+                        continue
+                    betas.append(b[-1])
+                    stats.append(2.0 * (pll - nll))
+                    converged.append(True)
+                    continue
                 b, ll, finv, ok = _logreg_fit(M, y_)
                 if not ok:
                     betas.append(np.nan)

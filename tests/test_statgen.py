@@ -97,6 +97,78 @@ def test_logistic_regression_rows_wald_vs_lrt(sim):
         assert wald[i]["fit_converged"] is True
 
 
+def test_logistic_regression_rows_score(sim):
+    mt, G, cov, _, yb = sim
+    score = {r["vid"]: r for r in logistic_regression_rows(mt, "score", "yb", ["cov"]).collect()}
+
+    def fit(M, y):
+        b = np.zeros(M.shape[1])
+        for _ in range(50):
+            mu = 1 / (1 + np.exp(-(M @ b)))
+            W = mu * (1 - mu)
+            delta = np.linalg.solve((M * W[:, None]).T @ M, M.T @ (y - mu))
+            b = b + delta
+            if np.max(np.abs(delta)) < 1e-12:
+                break
+        return b
+
+    X = _impute(G)
+    C = np.column_stack([np.ones(N_SAMPLES), cov])
+    b0 = fit(C, yb)
+    mu0 = 1 / (1 + np.exp(-(C @ b0)))
+    W0 = mu0 * (1 - mu0)
+    for i in [3, 17, 29]:
+        M = np.column_stack([C, X[i]])
+        U = M.T @ (yb - mu0)
+        I = (M * W0[:, None]).T @ M
+        stat = U @ np.linalg.solve(I, U)
+        assert score[i]["chi_sq_stat"] == pytest.approx(stat, rel=1e-6)
+        assert score[i]["fit_converged"] is True
+
+
+def test_logistic_regression_rows_firth(sim):
+    mt, G, cov, _, yb = sim
+    firth = {r["vid"]: r for r in logistic_regression_rows(mt, "firth", "yb", ["cov"]).collect()}
+    wald = {r["vid"]: r for r in logistic_regression_rows(mt, "wald", "yb", ["cov"]).collect()}
+    X = _impute(G)
+    C = np.column_stack([np.ones(N_SAMPLES), cov])
+    for i in [3, 17]:
+        b_hat = firth[i]["beta"]
+        assert firth[i]["fit_converged"] is True
+        assert np.isfinite(firth[i]["p_value"])
+        # Firth shrinks toward zero but stays in the MLE's neighborhood here
+        assert abs(b_hat) <= abs(wald[i]["beta"]) + 0.05
+        assert b_hat == pytest.approx(wald[i]["beta"], abs=0.35)
+    # stationarity: the returned full fit must zero the Firth-penalized score
+    from hail_spark.methods.statgen import _firth_fit
+
+    M = np.column_stack([C, X[3]])
+    b, pll, ok = _firth_fit(M, yb, tol=1e-14)
+    assert ok
+    mu = 1 / (1 + np.exp(-(M @ b)))
+    W = mu * (1 - mu)
+    MW = M * W[:, None]
+    finv = np.linalg.inv(MW.T @ M)
+    h = np.einsum("ij,jk,ik->i", MW, finv, M)
+    Ustar = M.T @ (yb - mu + h * (0.5 - mu))
+    assert np.max(np.abs(Ustar)) < 1e-6
+
+
+def test_firth_handles_separation(spark):
+    # a perfectly separating variant: the MLE diverges, Firth stays finite
+    n = 20
+    x = np.array([0.0] * 10 + [2.0] * 10)
+    y = np.array([0.0] * 10 + [1.0] * 10)
+    rows = [{"vid": 0, ENTRIES: [{"GT": int(v)} for v in x]}]
+    df = spark.createDataFrame(rows, f"vid int, {ENTRIES} array<struct<GT: int>>")
+    cols = [{"s": f"S{j}", "yb": float(y[j])} for j in range(n)]
+    mt = MatrixTable(df, ("vid",), cols, ("s",))
+    res = logistic_regression_rows(mt, "firth", "yb", []).collect()[0]
+    assert res["fit_converged"] is True
+    assert np.isfinite(res["beta"]) and abs(res["beta"]) < 10
+    assert 0.0 <= res["p_value"] <= 1.0
+
+
 def test_hwe_normalized_pca(sim, spark):
     mt, G, *_ = sim
     evals, scores_df, loadings_df = hwe_normalized_pca(mt, k=5, compute_loadings=True)
@@ -128,7 +200,7 @@ def test_hwe_normalized_pca(sim, spark):
 def test_logreg_rejects_bad_input(sim):
     mt, *_ = sim
     with pytest.raises(ValueError):
-        logistic_regression_rows(mt, "score", "yb", ["cov"])
+        logistic_regression_rows(mt, "bogus_test", "yb", ["cov"])
     with pytest.raises(ValueError):
         logistic_regression_rows(mt, "wald", "cov", [])  # non-binary y
 
