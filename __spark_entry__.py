@@ -1009,6 +1009,115 @@ FROM long WHERE n >= 3 GROUP BY event_type ORDER BY event_type
 )
 
 
+def mt_group_cols_by_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatrixAggregateColsByKey (matrix_ir.py:688): group the event_type
+    columns by first letter, aggregate per (row, col-group). The col
+    groups resolve driver-side so the whole aggregate is one zero-shuffle
+    array projection."""
+    mt = _events_mt(spark, sf_dir)
+    mt = mt.annotate_cols(lambda c: {"grp": c["event_type"][0]})
+    g = mt.group_cols_by("grp").aggregate(
+        total_n=lambda es: F.aggregate(
+            F.filter(es, lambda e: e.isNotNull()),
+            F.lit(0).cast("bigint"),
+            lambda acc, e: acc + e["n"],
+        ),
+        total_v=lambda es: F.aggregate(
+            F.filter(es, lambda e: e.isNotNull()),
+            F.lit(0).cast("decimal(38,6)"),
+            lambda acc, e: acc + e["v"],
+        ).cast("double"),
+    )
+    long = g.entries().df
+    return (
+        long.filter(F.col("total_n") > 0)
+        .select("user_id", "grp", "total_n", "total_v")
+        .orderBy("user_id", "grp")
+    )
+
+
+_MT_GROUP_COLS_SQL = (
+    "WITH " + _MT_LONG_CTE + """
+SELECT user_id, substr(event_type, 1, 1) AS grp,
+       CAST(SUM(n) AS BIGINT) AS total_n, CAST(SUM(v) AS DOUBLE) AS total_v
+FROM long GROUP BY 1, 2 ORDER BY 1, 2
+"""
+)
+
+
+def mt_semi_join_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MT semi/anti row joins (matrixtable.py:1535): keep matrix rows
+    (users) that appear in a keyed table of heavy users, then row-agg."""
+    from hail_spark.table import Table as _Tbl
+
+    mt = _events_mt(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events").df
+    heavy = (
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 12)
+        .select("user_id")
+    )
+    kept = mt.semi_join_rows(_Tbl(heavy, ("user_id",)))
+    out = kept.annotate_rows_agg_entries(
+        lambda es: {
+            "n_events": F.aggregate(
+                F.filter(es, lambda e: e.isNotNull()),
+                F.lit(0).cast("bigint"),
+                lambda acc, e: acc + e["n"],
+            )
+        }
+    )
+    return out.rows().df.select("user_id", "n_events").orderBy("user_id")
+
+
+_MT_SEMI_ROWS_SQL = (
+    "WITH " + _MT_LONG_CTE + """
+, heavy AS (SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) >= 12)
+SELECT l.user_id, CAST(SUM(l.n) AS BIGINT) AS n_events
+FROM long l SEMI JOIN heavy h ON l.user_id = h.user_id
+GROUP BY l.user_id ORDER BY l.user_id
+"""
+)
+
+
+def inbreeding_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.agg.inbreeding (aggregators.py:1272) over synthetic biallelic
+    calls: gt = user_id % 3, prior AF from a hash of the event id —
+    one partial aggregate per event_type, no UDF."""
+    from hail_spark.expr import aggregators as agg
+
+    e = _t(spark, sf_dir, "events").df
+    gt = (F.col("user_id") % 3).cast("int")
+    af = F.col("event_id") % 1000 / 2000.0 + 0.25
+    ib = e.groupBy("event_type").agg(
+        agg.inbreeding(gt, af).alias("ib")
+    )
+    return ib.select(
+        "event_type",
+        F.round(F.col("ib.f_stat"), 9).alias("f_stat"),
+        F.col("ib.n_called").alias("n_called"),
+        F.round(F.col("ib.expected_homs"), 6).alias("expected_homs"),
+        F.col("ib.observed_homs").alias("observed_homs"),
+    ).orderBy("event_type")
+
+
+_INBREEDING_SQL = """
+WITH calls AS (
+  SELECT event_type,
+         CAST(user_id % 3 AS INT) AS gt,
+         (event_id % 1000) / 2000.0 + 0.25 AS af
+  FROM events
+)
+SELECT event_type,
+       ROUND((SUM(CASE WHEN gt IN (0,2) THEN 1 ELSE 0 END) - SUM(1 - 2*af*(1-af)))
+             / NULLIF(COUNT(*) - SUM(1 - 2*af*(1-af)), 0), 9) AS f_stat,
+       COUNT(*) AS n_called,
+       ROUND(SUM(1 - 2*af*(1-af)), 6) AS expected_homs,
+       CAST(SUM(CASE WHEN gt IN (0,2) THEN 1 ELSE 0 END) AS BIGINT) AS observed_homs
+FROM calls GROUP BY event_type ORDER BY event_type
+"""
+
+
 
 # ===================================================================== #
 # function-library batteries + multiway zip (SURVEY.md §2.9 / §2.3)
@@ -1671,6 +1780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mt_col_agg": mt_col_agg,
         "mt_group_rows_by": mt_group_rows,
         "mt_filter_entries": mt_filter_entries_q,
+        "mt_group_cols_by": mt_group_cols_by_q,
+        "mt_semi_join_rows": mt_semi_join_rows_q,
+        "inbreeding_by_type": inbreeding_by_type,
         "scalar_battery": scalar_battery,
         "collection_battery": collection_battery,
         "multiway_zip_join": multiway_zip_q,
@@ -1723,6 +1835,9 @@ def oracle_sql() -> dict[str, str]:
         "mt_col_agg": _MT_COL_AGG_SQL,
         "mt_group_rows_by": _MT_GROUP_ROWS_SQL,
         "mt_filter_entries": _MT_FILTER_ENTRIES_SQL,
+        "mt_group_cols_by": _MT_GROUP_COLS_SQL,
+        "mt_semi_join_rows": _MT_SEMI_ROWS_SQL,
+        "inbreeding_by_type": _INBREEDING_SQL,
         "scalar_battery": _SCALAR_SQL,
         "collection_battery": _COLLECTION_SQL,
         "multiway_zip_join": _MULTIWAY_SQL,

@@ -231,6 +231,31 @@ def call_stats(gt, n_alleles: int = 2) -> Column:
     )
 
 
+def inbreeding(gt, prior_af) -> Column:
+    """Inbreeding coefficient F over int-encoded biallelic calls
+    (ref hl.agg.inbreeding aggregators.py:1272,
+    InbreedingAggregator StagedInbreedingAggregator.scala):
+    struct{f_stat, n_called, expected_homs, observed_homs}.
+
+    E[hom] = Σ over called gts of 1 - 2p(1-p); F = (obs - exp)/(n - exp).
+    Pure Column expressions — one partial aggregate, no UDF."""
+    g = _c(gt)
+    p = _c(prior_af)
+    called = g.isNotNull() & p.isNotNull()
+    n_called = F.count(F.when(called, 1))
+    exp_hom = F.sum(F.when(called, 1.0 - 2.0 * p * (1.0 - p)))
+    obs_hom = F.count(F.when(called & ((g == 0) | (g == 2)), 1))
+    return F.struct(
+        (
+            (obs_hom - exp_hom)
+            / F.nullif(n_called.cast("double") - exp_hom, F.lit(0.0))
+        ).alias("f_stat"),
+        n_called.alias("n_called"),
+        exp_hom.alias("expected_homs"),
+        obs_hom.cast("bigint").alias("observed_homs"),
+    )
+
+
 def linreg_xtx_xty(y, xs) -> Column:
     """Accumulate X'X and X'y for a linear fit (ref
     LinearRegressionAggregator.scala); finalize driver-side with numpy."""

@@ -294,6 +294,173 @@ class MatrixTable:
         return GroupedMatrixRows(self, list(exprs))
 
     # ------------------------------------------------------------------ #
+    # joins (ref matrixtable.py:1535-1683 semi/anti; matrix_ir.py:1097
+    # MatrixAnnotateRowsTable)
+    # ------------------------------------------------------------------ #
+    def semi_join_rows(self, other: Table) -> "MatrixTable":
+        """Keep rows whose row key appears in `other` (ref
+        MatrixTable.semi_join_rows matrixtable.py:1535). left_semi join —
+        Catalyst broadcasts a small right side automatically."""
+        n = min(len(self._row_key), len(other.key))
+        right = other.df.select(
+            *[F.col(rk).alias(lk) for lk, rk in zip(self._row_key[:n], other.key[:n])]
+        )
+        return self._with_df(
+            self._df.join(right, on=list(self._row_key[:n]), how="left_semi")
+        )
+
+    def anti_join_rows(self, other: Table) -> "MatrixTable":
+        """Drop rows whose row key appears in `other` (ref :1564)."""
+        n = min(len(self._row_key), len(other.key))
+        right = other.df.select(
+            *[F.col(rk).alias(lk) for lk, rk in zip(self._row_key[:n], other.key[:n])]
+        )
+        return self._with_df(
+            self._df.join(right, on=list(self._row_key[:n]), how="left_anti")
+        )
+
+    def _col_key_membership(self, other: Table) -> list[int]:
+        """Indices of cols whose key appears in `other` — the col
+        dimension is driver-side by design, so membership is computed by
+        a semi join of the (tiny) col-key frame against the table; only
+        n_cols keys ever reach the driver."""
+        n = min(len(self._col_key), len(other.key))
+        spark = self._df.sparkSession
+        key_fields = list(self._col_key[:n])
+        col_df = spark.createDataFrame(
+            [{"__idx": i, **{k: c[k] for k in key_fields}} for i, c in enumerate(self._cols)]
+        )
+        right = other.df.select(
+            *[F.col(rk).alias(lk) for lk, rk in zip(key_fields, other.key[:n])]
+        )
+        kept = col_df.join(right, on=key_fields, how="left_semi").select("__idx").collect()
+        return sorted(r["__idx"] for r in kept)
+
+    def semi_join_cols(self, other: Table) -> "MatrixTable":
+        """Keep cols whose col key appears in `other` (ref :1611)."""
+        return self.choose_cols(self._col_key_membership(other))
+
+    def anti_join_cols(self, other: Table) -> "MatrixTable":
+        """Drop cols whose col key appears in `other` (ref :1647)."""
+        member = set(self._col_key_membership(other))
+        return self.choose_cols([i for i in range(len(self._cols)) if i not in member])
+
+    def annotate_rows_table(
+        self,
+        other: Table,
+        interval: tuple[str, str] | None = None,
+        point: Column | None = None,
+    ) -> "MatrixTable":
+        """Join a keyed table's fields onto rows (ref
+        MatrixAnnotateRowsTable matrix_ir.py:1097).
+
+        Default: left join against right-distinct on the shared row-key
+        prefix (Hail's annotation-join contract: at most one match).
+
+        Interval-aware variant (`interval=('start','end')`, `point` an
+        expression over row fields): broadcast containment join, then at
+        most one matching interval kept per row (lowest start — a
+        deterministic tie-break where Hail keeps the partitioner's first
+        match). The window dedup shuffles by row key; with the interval
+        side broadcast this is the only shuffle in the plan."""
+        if interval is None:
+            t = Table(self._df, self._row_key, self._globals)
+            joined = t.left_join_right_distinct(other)
+            return MatrixTable(
+                joined.df, self._row_key, self._cols, self._col_key, self._globals
+            )
+        from pyspark.sql import Window
+
+        start, end = interval
+        rdf = other.df
+        cond = (point >= rdf[start]) & (point < rdf[end])
+        joined = self._df.join(F.broadcast(rdf), on=cond, how="left")
+        w = (
+            Window.partitionBy(*[self._df[k] for k in self._row_key])
+            .orderBy(F.col(start).asc_nulls_last())
+        )
+        deduped = (
+            joined.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        return self._with_df(deduped)
+
+    def annotate_cols_table(self, other: Table) -> "MatrixTable":
+        """Join a keyed table's fields onto cols (ref
+        MatrixAnnotateColsTable matrix_ir.py:1153). Only the n_cols
+        matching rows of `other` are collected (semi join first)."""
+        n = min(len(self._col_key), len(other.key))
+        key_fields = list(self._col_key[:n])
+        spark = self._df.sparkSession
+        col_df = spark.createDataFrame(
+            [{k: c[k] for k in key_fields} for c in self._cols]
+        )
+        right = other.df
+        for lk, rk in zip(key_fields, other.key[:n]):
+            if lk != rk:
+                right = right.withColumnRenamed(rk, lk)
+        matched = right.join(F.broadcast(col_df.distinct()), on=key_fields, how="left_semi")
+        lookup = {
+            tuple(r[k] for k in key_fields): {
+                k: v for k, v in r.asDict().items() if k not in key_fields
+            }
+            for r in matched.dropDuplicates(key_fields).collect()
+        }
+        new_fields = set()
+        for v in lookup.values():
+            new_fields.update(v)
+        empty = {f: None for f in sorted(new_fields)}
+        new_cols = [
+            {**c, **empty, **lookup.get(tuple(c[k] for k in key_fields), {})}
+            for c in self._cols
+        ]
+        return MatrixTable(self._df, self._row_key, new_cols, self._col_key, self._globals)
+
+    def distinct_by_row(self) -> "MatrixTable":
+        """One row per row key (ref MatrixDistinctByRow matrix_ir.py:941)."""
+        return self._with_df(self._df.dropDuplicates(list(self._row_key)))
+
+    def group_cols_by(self, *fields: str) -> "GroupedMatrixCols":
+        """Group columns by col fields (ref MatrixTable.group_cols_by
+        matrixtable.py:704 → MatrixAggregateColsByKey matrix_ir.py:688)."""
+        return GroupedMatrixCols(self, list(fields))
+
+    def collect_cols_by_key(self) -> "MatrixTable":
+        """Collapse duplicate col keys: entry fields and non-key col
+        fields become arrays (ref MatrixCollectColsByKey
+        matrix_ir.py:1018). Entry regather is a zero-shuffle array
+        projection over the driver-computed index groups."""
+        groups: dict[tuple, list[int]] = {}
+        for i, c in enumerate(self._cols):
+            groups.setdefault(tuple(c[k] for k in self._col_key), []).append(i)
+        ordered = list(groups.items())
+        entry_fields = self._entry_fields()
+        new_entries = F.array(
+            *[
+                F.struct(
+                    *[
+                        F.array(
+                            *[F.element_at(F.col(ENTRIES), i + 1)[f] for i in idxs]
+                        ).alias(f)
+                        for f in entry_fields
+                    ]
+                )
+                for _, idxs in ordered
+            ]
+        )
+        df = self._df.withColumn(ENTRIES, new_entries)
+        other_fields = [k for k in self._cols[0] if k not in self._col_key] if self._cols else []
+        new_cols = [
+            {
+                **dict(zip(self._col_key, key)),
+                **{f: [self._cols[i][f] for i in idxs] for f in other_fields},
+            }
+            for key, idxs in ordered
+        ]
+        return MatrixTable(df, self._row_key, new_cols, self._col_key, self._globals)
+
+    # ------------------------------------------------------------------ #
     # set ops (ref MatrixUnionRows M:862 / MatrixUnionCols M:328)
     # ------------------------------------------------------------------ #
     def union_rows(self, other: "MatrixTable") -> "MatrixTable":
@@ -343,6 +510,50 @@ class MatrixTable:
         with open(_os.path.join(path, "_matrix_metadata.json")) as fh:
             meta = _json.load(fh)
         return cls(t.df, meta["row_key"], meta["cols"], meta["col_key"], t.globals)
+
+
+class GroupedMatrixCols:
+    """mt.group_cols_by(...).aggregate(...) — per-(row, col-group) entry
+    aggregation (ref MatrixAggregateColsByKey matrix_ir.py:688).
+
+    Column groups are resolved driver-side (the col dimension is small by
+    design), so the aggregate is a pure per-row array projection:
+    group g's new entry = agg fn over the sub-array of that row's entries
+    at the member indices. ZERO shuffle — where Hail's lowering explodes
+    and regroups, a literal index gather keeps the whole thing in one
+    narrow stage."""
+
+    def __init__(self, mt: MatrixTable, fields: list[str]):
+        self._mt = mt
+        self._fields = fields
+        groups: dict[tuple, list[int]] = {}
+        for i, c in enumerate(mt._cols):
+            groups.setdefault(tuple(c[f] for f in fields), []).append(i)
+        self._groups = list(groups.items())
+
+    def aggregate(self, **entry_aggs: Callable[[Column], Column]) -> MatrixTable:
+        """entry_aggs: name → (array-of-entries column → scalar Column).
+        Each fn receives the group's entries sub-array; use array HOFs
+        (F.aggregate / F.filter / F.size) to reduce it."""
+        mt = self._mt
+        new_entries = F.array(
+            *[
+                F.struct(
+                    *[
+                        fn(
+                            F.array(
+                                *[F.element_at(F.col(ENTRIES), i + 1) for i in idxs]
+                            )
+                        ).alias(name)
+                        for name, fn in entry_aggs.items()
+                    ]
+                )
+                for _, idxs in self._groups
+            ]
+        )
+        df = mt._df.withColumn(ENTRIES, new_entries)
+        new_cols = [dict(zip(self._fields, key)) for key, _ in self._groups]
+        return MatrixTable(df, mt._row_key, new_cols, tuple(self._fields), mt._globals)
 
 
 class GroupedMatrixRows:
