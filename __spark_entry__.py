@@ -1101,6 +1101,98 @@ def inbreeding_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def vds_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VDS to_dense_mt (ref vds/methods.py to_dense_mt): a sparse
+    gVCF-shaped dataset synthesized from events — variant sites at
+    user_ids with heavy activity, per-event-type reference blocks over
+    100-wide user buckets — densified via the banded containment join
+    and replayed in SQL by the oracle."""
+    from hail_spark.matrixtable import ENTRIES, MatrixTable
+    from hail_spark.vds import VariantDataset
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    types = sorted(r["event_type"] for r in long.select("event_type").distinct().collect())
+    tmap = {t: i for i, t in enumerate(types)}
+    n = len(types)
+    tidx = F.create_map(*[x for kv in tmap.items() for x in (F.lit(kv[0]), F.lit(kv[1]))])
+
+    # variant_data: site per user with any n>=3 entry; GT = n%3, DP = n
+    vlong = long.filter(F.col("n") >= 3).select(
+        "user_id",
+        tidx[F.col("event_type")].alias("__i"),
+        F.struct(
+            (F.col("n") % 3).cast("int").alias("GT"), F.col("n").cast("int").alias("DP")
+        ).alias("__e"),
+    )
+    vg = vlong.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("__i", "__e"))).alias("__m")
+    )
+    vrows = vg.select(
+        F.struct(F.lit("c").alias("contig"), F.col("user_id").cast("int").alias("position")).alias("locus"),
+        F.transform(F.sequence(F.lit(0), F.lit(n - 1)), lambda i: F.col("__m")[i]).alias(ENTRIES),
+    )
+    cols = [{"s": t} for t in types]
+    vd = MatrixTable(vrows, ("locus",), cols, ("s",))
+
+    # reference_data: per event_type, a block over each 100-wide user
+    # bucket it has ANY event in; END = bucket end, DP = bucket % 50 + 1
+    blocks = (
+        ev.select(tidx[F.col("event_type")].alias("__i"), (F.floor(F.col("user_id") / 100)).alias("b"))
+        .distinct()
+        .select(
+            "__i",
+            (F.col("b") * 100).cast("int").alias("start"),
+            F.struct(
+                (F.col("b") * 100 + 99).cast("int").alias("END"),
+                (F.col("b") % 50 + 1).cast("int").alias("DP"),
+            ).alias("__re"),
+        )
+    )
+    rg = blocks.groupBy("start").agg(
+        F.map_from_entries(F.collect_list(F.struct("__i", "__re"))).alias("__m")
+    )
+    rrows = rg.select(
+        F.struct(F.lit("c").alias("contig"), F.col("start").alias("position")).alias("locus"),
+        F.transform(F.sequence(F.lit(0), F.lit(n - 1)), lambda i: F.col("__m")[i]).alias(ENTRIES),
+    )
+    rd = MatrixTable(rrows, ("locus",), cols, ("s",))
+
+    dense = VariantDataset(rd, vd).to_dense_mt()
+    out = dense.entries().df
+    return (
+        out.filter(F.col("GT").isNotNull())
+        .select(
+            F.col("locus")["position"].alias("user_id"),
+            F.col("s").alias("event_type"),
+            "GT",
+            "DP",
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+_VDS_DENSIFY_SQL = """
+WITH long AS (SELECT user_id, event_type, COUNT(*) n FROM events GROUP BY 1, 2),
+vent AS (SELECT user_id, event_type, CAST(n % 3 AS INT) gt, CAST(n AS INT) dp
+         FROM long WHERE n >= 3),
+vsite AS (SELECT DISTINCT user_id FROM vent),
+types AS (SELECT DISTINCT event_type FROM events),
+blocks AS (SELECT DISTINCT event_type, CAST(FLOOR(user_id/100) AS BIGINT) b FROM events),
+grid AS (SELECT v.user_id, t.event_type FROM vsite v CROSS JOIN types t),
+dense AS (
+  SELECT g.user_id, g.event_type,
+         COALESCE(e.gt, CASE WHEN bl.b IS NOT NULL THEN 0 END) AS GT,
+         COALESCE(e.dp, CASE WHEN bl.b IS NOT NULL THEN CAST(bl.b % 50 + 1 AS INT) END) AS DP
+  FROM grid g
+  LEFT JOIN vent e ON g.user_id = e.user_id AND g.event_type = e.event_type
+  LEFT JOIN blocks bl ON g.event_type = bl.event_type AND CAST(FLOOR(g.user_id/100) AS BIGINT) = bl.b
+)
+SELECT CAST(user_id AS INT) AS user_id, event_type, GT, DP
+FROM dense WHERE GT IS NOT NULL ORDER BY user_id, event_type
+"""
+
+
 _INBREEDING_SQL = """
 WITH calls AS (
   SELECT event_type,
@@ -1783,6 +1875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mt_group_cols_by": mt_group_cols_by_q,
         "mt_semi_join_rows": mt_semi_join_rows_q,
         "inbreeding_by_type": inbreeding_by_type,
+        "vds_densify": vds_densify,
         "scalar_battery": scalar_battery,
         "collection_battery": collection_battery,
         "multiway_zip_join": multiway_zip_q,
@@ -1838,6 +1931,7 @@ def oracle_sql() -> dict[str, str]:
         "mt_group_cols_by": _MT_GROUP_COLS_SQL,
         "mt_semi_join_rows": _MT_SEMI_ROWS_SQL,
         "inbreeding_by_type": _INBREEDING_SQL,
+        "vds_densify": _VDS_DENSIFY_SQL,
         "scalar_battery": _SCALAR_SQL,
         "collection_battery": _COLLECTION_SQL,
         "multiway_zip_join": _MULTIWAY_SQL,

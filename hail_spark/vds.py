@@ -235,6 +235,179 @@ class VariantDataset:
         ).filter(F.exists(ENTRIES, lambda e: e.isNotNull()))
         return MatrixTable(clipped, ("locus",), rd._cols, rd._col_key)
 
+    def truncate_reference_blocks(self, max_ref_block_base_pairs: int) -> "VariantDataset":
+        """Split every reference block longer than ``max_ref_block_base_
+        pairs`` into segments of at most that length (ref
+        vds/methods.py:truncate_reference_blocks). Long-format explode →
+        per-segment rows → regather by new block start; shuffle is
+        bounded by output row count, segments per block ≤ len/max."""
+        rd = self.reference_data
+        n = len(rd._cols)
+        L = int(max_ref_block_base_pairs)
+        long = (
+            rd._df.select(
+                F.col("locus")["contig"].alias("contig"),
+                F.col("locus")["position"].alias("start"),
+                F.posexplode(ENTRIES).alias("__s", "__re"),
+            )
+            .filter(F.col("__re").isNotNull())
+        )
+        seg = long.select(
+            "contig",
+            "__s",
+            "__re",
+            F.explode(
+                F.sequence(F.col("start"), F.col("__re")["END"], F.lit(L))
+            ).alias("seg_start"),
+        ).select(
+            "contig",
+            "__s",
+            F.col("seg_start"),
+            F.col("__re").withField(
+                "END",
+                F.least(F.col("__re")["END"], F.col("seg_start") + F.lit(L - 1)).cast(
+                    "int"
+                ),
+            ).alias("__re"),
+        )
+        gathered = seg.groupBy("contig", "seg_start").agg(
+            F.map_from_entries(F.collect_list(F.struct("__s", "__re"))).alias("__m")
+        )
+        rows = gathered.select(
+            F.struct(
+                F.col("contig"), F.col("seg_start").cast("int").alias("position")
+            ).alias("locus"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)), lambda i: F.col("__m")[i]
+            ).alias(ENTRIES),
+        )
+        return VariantDataset(
+            MatrixTable(rows, ("locus",), rd._cols, rd._col_key, rd._globals),
+            self.variant_data,
+        )
+
+    def merge_reference_blocks(self, equivalence_fields: list[str] = ("GQ",)) -> "VariantDataset":
+        """Merge per-sample adjacent reference blocks whose
+        ``equivalence_fields`` agree (ref vds/methods.py:
+        merge_reference_blocks). Sessionization: window lag over each
+        (sample, contig)'s blocks ordered by start; a new session starts
+        when blocks are non-contiguous or any equivalence field changes.
+        One shuffle keyed by (sample, contig) — the window partitions."""
+        from pyspark.sql import Window
+
+        rd = self.reference_data
+        n = len(rd._cols)
+        eq = list(equivalence_fields)
+        long = (
+            rd._df.select(
+                F.col("locus")["contig"].alias("contig"),
+                F.col("locus")["position"].alias("start"),
+                F.posexplode(ENTRIES).alias("__s", "__re"),
+            )
+            .filter(F.col("__re").isNotNull())
+        )
+        w = Window.partitionBy("__s", "contig").orderBy("start")
+        breaks = F.lit(False)
+        prev_end = F.lag(F.col("__re")["END"]).over(w)
+        breaks = prev_end.isNull() | (prev_end + 1 != F.col("start"))
+        for f in eq:
+            prev_f = F.lag(F.col("__re")[f]).over(w)
+            breaks = breaks | ~(
+                (prev_f == F.col("__re")[f])
+                | (prev_f.isNull() & F.col("__re")[f].isNull())
+            )
+        sess = long.withColumn(
+            "__grp", F.sum(breaks.cast("int")).over(w)
+        )
+        re_fields = [
+            c.name
+            for c in rd._df.schema[ENTRIES].dataType.elementType.fields
+            if c.name != "END"
+        ]
+        merged = sess.groupBy("__s", "contig", "__grp").agg(
+            F.min("start").alias("start"),
+            F.max(F.col("__re")["END"]).alias("end"),
+            # eq fields are constant within a session by construction;
+            # non-eq fields summarize as max (the reference keeps min GQ /
+            # max DP style summaries — max is the conservative DP merge)
+            *[
+                (F.first if f in eq else F.max)(F.col("__re")[f]).alias(f)
+                for f in re_fields
+            ],
+        )
+        entry = F.struct(
+            F.col("end").cast("int").alias("END"),
+            *[F.col(f).alias(f) for f in re_fields],
+        )
+        gathered = merged.select(
+            "contig", "start", "__s", entry.alias("__re")
+        ).groupBy("contig", "start").agg(
+            F.map_from_entries(F.collect_list(F.struct("__s", "__re"))).alias("__m")
+        )
+        rows = gathered.select(
+            F.struct(F.col("contig"), F.col("start").cast("int").alias("position")).alias(
+                "locus"
+            ),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n - 1)), lambda i: F.col("__m")[i]
+            ).alias(ENTRIES),
+        )
+        return VariantDataset(
+            MatrixTable(rows, ("locus",), rd._cols, rd._col_key, rd._globals),
+            self.variant_data,
+        )
+
+    def impute_sex_chromosome_ploidy(
+        self,
+        normalization_contig: str,
+        x_contig: str = "X",
+        y_contig: str = "Y",
+    ) -> DataFrame:
+        """Per-sample X/Y ploidy from length-weighted reference-block DP
+        vs a normalization autosome (ref vds/methods.py:
+        impute_sex_chromosome_ploidy, coverage path). Returns
+        (s, autosomal_mean_dp, x_mean_dp, x_ploidy, y_mean_dp,
+        y_ploidy)."""
+        rd = self.reference_data
+        long = (
+            rd._df.select(
+                F.col("locus")["contig"].alias("contig"),
+                F.col("locus")["position"].alias("start"),
+                F.posexplode(ENTRIES).alias("__s", "__re"),
+            )
+            .filter(F.col("__re").isNotNull() & F.col("__re")["DP"].isNotNull())
+            .select(
+                "contig",
+                "__s",
+                (F.col("__re")["END"] - F.col("start") + 1).alias("len"),
+                (
+                    F.col("__re")["DP"]
+                    * (F.col("__re")["END"] - F.col("start") + 1)
+                ).alias("dp_bases"),
+            )
+            .filter(
+                F.col("contig").isin([normalization_contig, x_contig, y_contig])
+            )
+        )
+        per = long.groupBy("__s").pivot(
+            "contig", [normalization_contig, x_contig, y_contig]
+        ).agg(
+            (F.sum("dp_bases") / F.sum("len")).alias("mean_dp")
+        )
+        samples = [c["s"] for c in rd._cols]
+        smap = F.array(*[F.lit(s) for s in samples])
+        norm = F.col(f"`{normalization_contig}`")
+        xm = F.col(f"`{x_contig}`")
+        ym = F.col(f"`{y_contig}`")
+        return per.select(
+            F.element_at(smap, F.col("__s") + 1).alias("s"),
+            norm.alias("autosomal_mean_dp"),
+            xm.alias("x_mean_dp"),
+            (F.lit(2.0) * xm / F.nullif(norm, F.lit(0.0))).alias("x_ploidy"),
+            ym.alias("y_mean_dp"),
+            (F.lit(2.0) * ym / F.nullif(norm, F.lit(0.0))).alias("y_ploidy"),
+        ).orderBy("s")
+
     def interval_coverage(self) -> DataFrame:
         """Per-sample total reference-covered bases (simplified
         vds/methods.py:interval_coverage)."""
