@@ -20,10 +20,13 @@ Two phases, mirroring the reference's .idx2 design:
    read) is already the scalable one; nothing is broadcast and no task
    reads another task's bytes.
 
-Limitations: layout 2 only (the v1.2 default), zlib or uncompressed
-genotype blocks, diploid samples for GT hard calls (GP is emitted for
-any ploidy).  Samples must come from the file's sample block or a .sample
-file loaded separately.
+Decode coverage: layout 2 (the v1.2 default), zlib or uncompressed
+blocks, ANY bit depth 1-32 (non-byte-aligned depths via a vectorized
+little-endian bit-stream unpack), unphased and phased probabilities,
+uniform and mixed ploidy (uniform ploidy takes a whole-block reshape
+fast path; mixed ploidy falls back to per-sample slicing). Layout 1 /
+zstd remain out of scope (layout 1 is legacy v1.1; zstd lib not
+guaranteed in-container).
 """
 
 from __future__ import annotations
@@ -109,9 +112,35 @@ def _scan_offsets(path: str) -> dict:
     return out
 
 
+def _num_genotypes(k: int, ploidy: int) -> int:
+    """Unphased genotype count C(ploidy + k - 1, k - 1) (BGEN v1.2 spec)."""
+    from math import comb
+
+    return comb(ploidy + k - 1, k - 1)
+
+
+def _unpack_values(body: np.ndarray, total: int, bits: int) -> np.ndarray:
+    """Unpack `total` B-bit little-endian unsigned ints from a packed
+    bit stream (BGEN v1.2 probability data). Byte-aligned depths take
+    the reshape fast path; others go through np.unpackbits — both
+    vectorized, no per-value Python loop."""
+    if bits % 8 == 0:
+        nbytes = bits // 8
+        vals = body[: total * nbytes].reshape(total, nbytes).astype(np.float64)
+        return vals @ (256.0 ** np.arange(nbytes))
+    bit_arr = np.unpackbits(body, bitorder="little")[: total * bits]
+    return bit_arr.reshape(total, bits).astype(np.float64) @ (2.0 ** np.arange(bits))
+
+
 def _decode_block(raw: bytes, compression: int) -> tuple:
     """Inflate + unpack one layout-2 genotype block →
-    (GP ndarray n×n_genotypes or None, ploidy ndarray, missing ndarray)."""
+    (gp, ploidy ndarray, missing ndarray, phased bool).
+
+    ``gp``: for uniform ploidy, an (n, g) ndarray; for mixed ploidy a
+    list of per-sample 1-D arrays. Unphased: genotype probabilities
+    (last = 1 - Σ stored). Phased: per-haplotype allele probabilities,
+    flattened hap-major — sample j's array has ploidy_j·k values
+    (matches StagedBGENReader.scala's phased layout)."""
     if compression == 1:
         (_dlen,) = struct.unpack("<I", raw[:4])
         buf = zlib.decompress(raw[4:])
@@ -122,30 +151,56 @@ def _decode_block(raw: bytes, compression: int) -> tuple:
     pl_bytes = np.frombuffer(buf[8 : 8 + n], dtype=np.uint8)
     missing = (pl_bytes & 0x80) != 0
     ploidy = (pl_bytes & 0x3F).astype(np.int64)
-    phased = buf[8 + n]
+    phased = bool(buf[8 + n])
     bits = buf[9 + n]
-    if phased != 0:
-        raise NotImplementedError("phased BGEN probabilities not supported")
-    if bits % 8 != 0:
-        raise NotImplementedError("non-byte-aligned BGEN bit depths not supported")
-    nbytes = bits // 8
     body = np.frombuffer(buf[10 + n :], dtype=np.uint8)
     denom = float((1 << bits) - 1)
-    if min_pl == max_pl == 2:
-        # constant-ploidy fast path: vectorized reshape; g = #genotypes
-        g = (k * (k + 1)) // 2
+
+    if not phased and min_pl == max_pl:
+        # constant-ploidy fast path: one reshape for the whole block
+        g = _num_genotypes(k, int(min_pl))
         stored = g - 1
-        vals = body[: n * stored * nbytes].reshape(n, stored, nbytes)
-        acc = np.zeros((n, stored), dtype=np.float64)
-        for b in range(nbytes):
-            acc += vals[:, :, b].astype(np.float64) * (256.0**b)
-        probs = acc / denom
-        gp = np.concatenate(
-            [probs, (1.0 - probs.sum(axis=1, keepdims=True))], axis=1
-        )
+        probs = _unpack_values(body, n * stored, bits).reshape(n, stored) / denom
+        gp = np.concatenate([probs, 1.0 - probs.sum(axis=1, keepdims=True)], axis=1)
         gp[missing] = np.nan
-        return gp, ploidy, missing
-    raise NotImplementedError("mixed/non-diploid ploidy decode not supported")
+        return gp, ploidy, missing, phased
+
+    if phased and min_pl == max_pl:
+        # uniform-ploidy phased fast path: (n, ploidy, k-1) reshape
+        pl = int(min_pl)
+        hap = _unpack_values(body, n * pl * (k - 1), bits).reshape(
+            n, pl, k - 1
+        ) / denom
+        full = np.concatenate([hap, 1.0 - hap.sum(axis=2, keepdims=True)], axis=2)
+        gp = full.reshape(n, pl * k)
+        gp[missing] = np.nan
+        return gp, ploidy, missing, phased
+
+    if phased:
+        # stored values per sample: ploidy_j haplotypes × (k-1) alleles
+        stored = ploidy * (k - 1)
+    else:
+        stored = np.array(
+            [_num_genotypes(k, int(p)) - 1 for p in ploidy], dtype=np.int64
+        )
+    total = int(stored.sum())
+    vals = _unpack_values(body, total, bits) / denom
+    offsets = np.concatenate([[0], np.cumsum(stored)])
+    out = []
+    for j in range(n):
+        chunk = vals[offsets[j] : offsets[j + 1]]
+        if missing[j]:
+            width = ploidy[j] * k if phased else len(chunk) + 1
+            out.append(np.full(width, np.nan))
+        elif phased:
+            hap = chunk.reshape(int(ploidy[j]), k - 1)
+            full = np.concatenate(
+                [hap, 1.0 - hap.sum(axis=1, keepdims=True)], axis=1
+            )
+            out.append(full.ravel())
+        else:
+            out.append(np.concatenate([chunk, [1.0 - chunk.sum()]]))
+    return out, ploidy, missing, phased
 
 
 def import_bgen(
@@ -184,7 +239,8 @@ def import_bgen(
 
     out_schema = (
         "contig string, position int, rsid string, alleles array<string>, "
-        f"{ENTRIES} array<struct<GT: int, GP: array<double>>>"
+        f"{ENTRIES} array<struct<GT: int, GP: array<double>, "
+        "ploidy: int, phased: boolean>>"
     )
 
     def decode(batches):
@@ -194,16 +250,28 @@ def import_bgen(
             for _, r in pdf.iterrows():
                 fh.seek(int(r["offset"]))
                 raw = fh.read(int(r["size"]))
-                gp, _, missing = _decode_block(raw, compression)
-                gt = np.full(gp.shape[0], -1, dtype=np.int64)
-                ok = ~missing
-                if ok.any():
-                    gt[ok] = np.nanargmax(gp[ok], axis=1)
+                gp, ploidy, missing, phased = _decode_block(raw, compression)
+                k = len(r["alleles"])
+                n = len(ploidy)
+
+                def hard_call(j):
+                    arr = gp[j]
+                    if phased:
+                        # per-haplotype argmax; GT = non-ref hap count
+                        hap = np.asarray(arr).reshape(int(ploidy[j]), k)
+                        return int((hap.argmax(axis=1) != 0).sum())
+                    return int(np.argmax(arr))
+
                 ents = [
                     None
                     if missing[j]
-                    else {"GT": int(gt[j]), "GP": [float(x) for x in gp[j]]}
-                    for j in range(gp.shape[0])
+                    else {
+                        "GT": hard_call(j),
+                        "GP": [float(x) for x in gp[j]],
+                        "ploidy": int(ploidy[j]),
+                        "phased": phased,
+                    }
+                    for j in range(n)
                 ]
                 rows.append(
                     {
@@ -220,6 +288,83 @@ def import_bgen(
     return MatrixTable(df, ("contig", "position"), cols, ("s",))
 
 
+def _pack_values(vals: np.ndarray, bits: int) -> bytes:
+    """Pack unsigned ints into the BGEN little-endian bit stream —
+    the exact inverse of ``_unpack_values``."""
+    vals = np.asarray(vals, dtype=np.uint64)
+    if bits % 8 == 0:
+        nbytes = bits // 8
+        out = np.zeros((len(vals), nbytes), dtype=np.uint8)
+        for b in range(nbytes):
+            out[:, b] = (vals >> np.uint64(8 * b)) & np.uint64(0xFF)
+        return out.tobytes()
+    bit_mat = (
+        (vals[:, None] >> np.arange(bits, dtype=np.uint64)) & np.uint64(1)
+    ).astype(np.uint8)
+    return np.packbits(bit_mat.ravel(), bitorder="little").tobytes()
+
+
+def _encode_block(
+    gps: np.ndarray,
+    k: int,
+    bits: int,
+    compress: bool,
+    phased: bool = False,
+    ploidy: int = 2,
+) -> bytes:
+    """Encode one variant's layout-2 genotype block.
+
+    ``gps``: (n_samples, g) with g = C(ploidy+k-1, k-1) genotype
+    probabilities (unphased) or ploidy·k flattened per-haplotype allele
+    probabilities (phased). NaN first value ⇒ missing sample."""
+    n_samp = gps.shape[0]
+    denom = (1 << bits) - 1
+    missing = np.isnan(gps[:, 0])
+    body = struct.pack("<IH", n_samp, k)
+    body += bytes([ploidy, ploidy])
+    body += bytes((np.where(missing, 0x80 | ploidy, ploidy)).astype(np.uint8).tolist())
+    body += bytes([1 if phased else 0, bits])
+    if phased:
+        hap = gps.reshape(n_samp, ploidy, k)[:, :, : k - 1]
+        stored = hap.reshape(n_samp, ploidy * (k - 1))
+    else:
+        stored = gps[:, :-1]
+    q = np.where(np.isnan(stored), 0.0, stored)
+    body += _pack_values(np.round(q * denom).astype(np.uint64).ravel(), bits)
+    if compress:
+        comp = zlib.compress(body)
+        return struct.pack("<I", len(comp) + 4) + struct.pack("<I", len(body)) + comp
+    return struct.pack("<I", len(body)) + body
+
+
+def _variant_id_block(rsid: str, chrom: str, pos: int, alleles: list[str]) -> bytes:
+    rb, cb = rsid.encode(), chrom.encode()
+    out = struct.pack("<H", 0)  # empty variant id
+    out += struct.pack("<H", len(rb)) + rb
+    out += struct.pack("<H", len(cb)) + cb
+    out += struct.pack("<I", int(pos))
+    out += struct.pack("<H", len(alleles))
+    for a in alleles:
+        ab = a.encode()
+        out += struct.pack("<I", len(ab)) + ab
+    return out
+
+
+def _write_bgen_header(fh, n_variants: int, samples: list[str], compress: bool):
+    sample_block = struct.pack(
+        "<II", 8 + sum(2 + len(s) for s in samples), len(samples)
+    )
+    for s in samples:
+        sb = s.encode()
+        sample_block += struct.pack("<H", len(sb)) + sb
+    header = struct.pack("<III", 20, n_variants, len(samples)) + b"bgen"
+    flags = (1 if compress else 0) | (2 << 2) | (1 << 31)
+    header += struct.pack("<I", flags)
+    fh.write(struct.pack("<I", 20 + len(sample_block)))
+    fh.write(header)
+    fh.write(sample_block)
+
+
 def export_bgen_test_file(
     path: str,
     variants: list,
@@ -227,50 +372,66 @@ def export_bgen_test_file(
     samples: list,
     bits: int = 8,
     compress: bool = True,
+    phased: bool = False,
+    ploidy: int = 2,
 ) -> None:
-    """Write a minimal layout-2 BGEN (test fixture / MatrixBGENWriter
-    counterpart, ref matrix_writer.py:121).  ``gps``: (n_variants,
-    n_samples, 3) probabilities; NaN rows → missing samples."""
-    n_samp = len(samples)
-    denom = (1 << bits) - 1
+    """Write a layout-2 BGEN fixture (MatrixBGENWriter counterpart, ref
+    matrix_writer.py:121 / ExportBGEN.scala). ``gps``: (n_variants,
+    n_samples, g) probabilities (see ``_encode_block`` for g); NaN rows
+    → missing samples. Supports any bit depth 1-32 incl. non-byte-
+    aligned, phased and non-diploid blocks."""
     with open(path, "wb") as fh:
-        sample_block = struct.pack("<II", 8 + sum(2 + len(s) for s in samples), n_samp)
-        for s in samples:
-            sb = s.encode()
-            sample_block += struct.pack("<H", len(sb)) + sb
-        header = struct.pack("<III", 20, len(variants), n_samp) + b"bgen"
-        flags = (1 if compress else 0) | (2 << 2) | (1 << 31)
-        header += struct.pack("<I", flags)
-        fh.write(struct.pack("<I", 20 + len(sample_block)))
-        fh.write(header)
-        fh.write(sample_block)
+        _write_bgen_header(fh, len(variants), samples, compress)
         for vi, (rsid, chrom, pos, alleles) in enumerate(variants):
-            rb, cb = rsid.encode(), chrom.encode()
-            fh.write(struct.pack("<H", 0))  # empty variant id
-            fh.write(struct.pack("<H", len(rb)) + rb)
-            fh.write(struct.pack("<H", len(cb)) + cb)
-            fh.write(struct.pack("<I", pos))
-            fh.write(struct.pack("<H", len(alleles)))
-            for a in alleles:
-                ab = a.encode()
-                fh.write(struct.pack("<I", len(ab)) + ab)
-            body = struct.pack("<IH", n_samp, len(alleles)) + bytes([2, 2])
-            pl = bytearray()
-            for j in range(n_samp):
-                pl.append(0x82 if np.isnan(gps[vi, j, 0]) else 0x02)
-            body += bytes(pl) + bytes([0, bits])
-            probs = bytearray()
-            for j in range(n_samp):
-                for g in range(2):  # stored = n_genotypes - 1
-                    p = gps[vi, j, g]
-                    v = 0 if np.isnan(p) else int(round(p * denom))
-                    probs += int(v).to_bytes(bits // 8, "little")
-            body += bytes(probs)
-            if compress:
-                comp = zlib.compress(body)
-                fh.write(struct.pack("<I", len(comp) + 4))
-                fh.write(struct.pack("<I", len(body)))
-                fh.write(comp)
-            else:
-                fh.write(struct.pack("<I", len(body)))
-                fh.write(body)
+            fh.write(_variant_id_block(rsid, chrom, pos, alleles))
+            fh.write(
+                _encode_block(gps[vi], len(alleles), bits, compress, phased, ploidy)
+            )
+
+
+def export_bgen(
+    mt: MatrixTable,
+    path: str,
+    bits: int = 8,
+    compress: bool = True,
+) -> None:
+    """MatrixTable → single .bgen file (ref hl.export_bgen impex.py:139,
+    ExportBGEN.scala). Entries must carry ``GP`` (diploid unphased
+    genotype probabilities).
+
+    Scale shape: the expensive work — quantize + bit-pack + zlib per
+    variant — runs distributed in mapInPandas, emitting one encoded
+    binary blob per variant; the driver only streams the pre-encoded
+    blobs to disk in row-key order (a single .bgen is inherently one
+    sequential byte stream — same shard-then-concatenate shape as the
+    reference's writer)."""
+    samples = [c["s"] for c in mt._cols]
+    ordered = mt._df.orderBy(*[F.col(k) for k in mt._row_key])
+
+    def encode(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                ents = r[ENTRIES]
+                k = len(r["alleles"])
+                g = (k * (k + 1)) // 2
+                gp = np.full((len(ents), g), np.nan)
+                for j, e in enumerate(ents):
+                    if e is not None and e["GP"] is not None:
+                        gp[j] = np.asarray(e["GP"][:g], dtype=float)
+                blob = _variant_id_block(
+                    r["rsid"] if "rsid" in pdf.columns and r["rsid"] else ".",
+                    r["contig"],
+                    int(r["position"]),
+                    list(r["alleles"]),
+                ) + _encode_block(gp, k, bits, compress)
+                out.append({"contig": r["contig"], "position": int(r["position"]), "blob": blob})
+            yield pd.DataFrame(out)
+
+    enc = ordered.mapInPandas(encode, schema="contig string, position int, blob binary")
+    enc = enc.orderBy("contig", "position")
+    n_var = mt._df.count()
+    with open(path, "wb") as fh:
+        _write_bgen_header(fh, n_var, samples, compress)
+        for row in enc.toLocalIterator():
+            fh.write(row["blob"])

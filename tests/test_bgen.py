@@ -56,3 +56,89 @@ def test_offsets_cache(spark, bgen_path, tmp_path):
     # cached second import produces identical results
     mt2 = import_bgen(spark, path)
     assert mt2._df.count() == 3
+
+
+def test_nonbyte_aligned_bits(spark, tmp_path):
+    rng = np.random.default_rng(5)
+    gps = rng.dirichlet([1.0, 1.0, 1.0], size=(len(VARIANTS), len(SAMPLES)))
+    p = str(tmp_path / "bits10.bgen")
+    export_bgen_test_file(p, VARIANTS, gps, SAMPLES, bits=10)
+    mt = import_bgen(spark, p)
+    rows = {r["rsid"]: r for r in mt._df.collect()}
+    for vi, (rsid, *_r) in enumerate(VARIANTS):
+        for j in range(len(SAMPLES)):
+            got = np.array(rows[rsid]["__entries"][j]["GP"])
+            np.testing.assert_allclose(got, gps[vi, j], atol=2.5 / 1023)
+
+
+def test_phased_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    # per-haplotype allele probs: (n_var, n_samp, 2 haps * 2 alleles)
+    hap = rng.dirichlet([1.0, 1.0], size=(len(VARIANTS), len(SAMPLES), 2))
+    gps = hap.reshape(len(VARIANTS), len(SAMPLES), 4)
+    p = str(tmp_path / "phased.bgen")
+    export_bgen_test_file(p, VARIANTS, gps, SAMPLES, bits=16, phased=True)
+    mt = import_bgen(spark, p)
+    rows = {r["rsid"]: r for r in mt._df.collect()}
+    for vi, (rsid, *_r) in enumerate(VARIANTS):
+        for j in range(len(SAMPLES)):
+            e = rows[rsid]["__entries"][j]
+            assert e["phased"] is True and e["ploidy"] == 2
+            np.testing.assert_allclose(np.array(e["GP"]), gps[vi, j], atol=1e-4)
+            want_gt = int((hap[vi, j].argmax(axis=1) != 0).sum())
+            assert e["GT"] == want_gt
+
+
+def test_triploid_roundtrip(spark, tmp_path):
+    rng = np.random.default_rng(9)
+    # ploidy 3, biallelic: 4 genotypes
+    gps = rng.dirichlet([1.0] * 4, size=(len(VARIANTS), len(SAMPLES)))
+    p = str(tmp_path / "trip.bgen")
+    export_bgen_test_file(p, VARIANTS, gps, SAMPLES, bits=16, ploidy=3)
+    mt = import_bgen(spark, p)
+    rows = {r["rsid"]: r for r in mt._df.collect()}
+    for vi, (rsid, *_r) in enumerate(VARIANTS):
+        for j in range(len(SAMPLES)):
+            e = rows[rsid]["__entries"][j]
+            assert e["ploidy"] == 3 and e["phased"] is False
+            np.testing.assert_allclose(np.array(e["GP"]), gps[vi, j], atol=1e-4)
+
+
+def test_mixed_ploidy_decode():
+    """Hand-craft a mixed-ploidy unphased block (spec layout) and decode."""
+    import struct as st
+
+    from hail_spark.io.bgen import _decode_block, _pack_values
+
+    # 3 samples, k=2: ploidies 1, 2, 3 → stored values 1, 2, 3
+    bits = 16
+    denom = (1 << bits) - 1
+    body = st.pack("<IH", 3, 2) + bytes([1, 3]) + bytes([1, 2, 3]) + bytes([0, bits])
+    probs = [0.25, 0.1, 0.6, 0.2, 0.3, 0.4]  # stored (last genotype implied)
+    body += _pack_values(np.round(np.array(probs) * denom).astype(np.uint64), bits)
+    gp, ploidy, missing, phased = _decode_block(body, 0)
+    assert list(ploidy) == [1, 2, 3]
+    assert not phased and not missing.any()
+    np.testing.assert_allclose(gp[0], [0.25, 0.75], atol=1e-4)
+    np.testing.assert_allclose(gp[1], [0.1, 0.6, 0.3], atol=1e-4)
+    np.testing.assert_allclose(gp[2], [0.2, 0.3, 0.4, 0.1], atol=1e-4)
+
+
+def test_export_bgen_distributed_roundtrip(spark, tmp_path, bgen_path):
+    from hail_spark.io.bgen import export_bgen
+
+    path, gps = bgen_path
+    mt = import_bgen(spark, path)
+    out = str(tmp_path / "rt.bgen")
+    export_bgen(mt, out, bits=16)
+    mt2 = import_bgen(spark, out)
+    a = {r["rsid"]: r for r in mt._df.collect()}
+    b = {r["rsid"]: r for r in mt2._df.collect()}
+    assert set(a) == set(b)
+    for rsid in a:
+        for ea, eb in zip(a[rsid]["__entries"], b[rsid]["__entries"]):
+            if ea is None:
+                assert eb is None
+                continue
+            np.testing.assert_allclose(ea["GP"], eb["GP"], atol=2e-4)
+            assert ea["GT"] == eb["GT"]
