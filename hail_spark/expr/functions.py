@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any, Callable, Iterable
 
+import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -720,6 +721,199 @@ def rand_norm(uid, mean=0.0, sd=1.0, seed: int = 0) -> Column:
     u2 = rand_unif(uid, seed=seed * 2 + 2)
     z = F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * 3.141592653589793 * u2)
     return F.lit(mean) + z * F.lit(sd)
+
+
+# -- distribution samplers (ref functions.py:3029-3518 rand_pois/beta/
+#    gamma/cat/dirichlet/hyper). Scalar-parameter pois/cat run as pure
+#    Column expressions against a driver-computed literal CDF (JVM-side,
+#    codegen). beta/gamma/dirichlet/hyper use Arrow-batched pandas UDFs
+#    over a vectorized splitmix64 uniform stream keyed by (uid, seed) —
+#    deterministic across retries/repartitioning like rand_unif. -- #
+def _np_splitmix(x):
+    x = np.asarray(x, dtype=np.uint64)
+    z = x + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _np_unif(uid, seed: int, stream: int):
+    """Vectorized uniform in (0,1) from a counter-based hash — one
+    independent stream per (seed, stream) pair."""
+    mix = np.uint64(seed) * np.uint64(0xA24BAED4963EE407) + np.uint64(
+        stream
+    ) * np.uint64(0x9FB21C651E98DF25)
+    z = _np_splitmix(np.asarray(uid, dtype=np.uint64) ^ mix)
+    return (z >> np.uint64(11)).astype(np.float64) * 2.0**-53 + 2.0**-54
+
+
+def _np_norm(uid, seed: int, stream: int):
+    u1 = _np_unif(uid, seed, 2 * stream)
+    u2 = _np_unif(uid, seed, 2 * stream + 1)
+    return np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+
+
+def _np_gamma(uid, shape, seed: int, base_stream: int = 0):
+    """Marsaglia-Tsang squeeze (exact rejection, vectorized over rows;
+    independent proposal streams per round). shape<1 boosted via
+    Gamma(a+1)·U^{1/a}."""
+    uid = np.asarray(uid, dtype=np.uint64)
+    a = np.broadcast_to(np.asarray(shape, dtype=float), uid.shape).copy()
+    boost = a < 1.0
+    a_eff = np.where(boost, a + 1.0, a)
+    d = a_eff - 1.0 / 3.0
+    c = 1.0 / np.sqrt(9.0 * d)
+    out = np.empty(uid.shape)
+    accepted = np.zeros(uid.shape, dtype=bool)
+    for r in range(64):
+        z = _np_norm(uid, seed, base_stream + 3 * r)
+        u = _np_unif(uid, seed, base_stream + 3 * r + 2)
+        v = (1.0 + c * z) ** 3
+        with np.errstate(invalid="ignore", divide="ignore"):
+            ok = (
+                (v > 0)
+                & (np.log(u) < 0.5 * z * z + d - d * v + d * np.log(v))
+                & ~accepted
+            )
+        out[ok] = (d * v)[ok]
+        accepted |= ok
+        if accepted.all():
+            break
+    out[~accepted] = d[~accepted]  # P(reach) < 1e-100 per row
+    ub = _np_unif(uid, seed, base_stream + 997)
+    out = np.where(boost, out * ub ** (1.0 / np.maximum(a, 1e-12)), out)
+    return out
+
+
+def _rand_pandas_udf(kernel, ret: str = "double"):
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(ret)
+    def u(*cols):
+        import pandas as pd
+
+        arrs = [c.to_numpy() for c in cols]
+        return pd.Series(kernel(*arrs))
+
+    return u
+
+
+def rand_pois(uid, lamb, seed: int = 0) -> Column:
+    """Poisson draw (ref functions.py:3029 `hl.rand_pois`). Scalar
+    lamb → literal inverse-CDF (pure Column, JVM-side): value = #{cdf
+    entries < u}."""
+    if isinstance(lamb, (int, float)):
+        from .stats import dpois
+
+        k_max = int(lamb + 12.0 * lamb**0.5 + 24)
+        pmf = np.array([dpois(k, float(lamb)) for k in range(k_max)])
+        cdf = np.minimum(np.cumsum(pmf), 1.0)
+        u = rand_unif(uid, seed=seed)
+        arr = F.array(*[F.lit(float(x)) for x in cdf])
+        return F.size(F.filter(arr, lambda c: c < u)).cast("int")
+
+    def kernel(uids, lams):
+        u = _np_unif(uids, seed, 0)
+        lams = np.asarray(lams, dtype=float)
+        k_max = int(np.max(lams) + 12.0 * np.max(lams) ** 0.5 + 24)
+        cum = np.exp(-lams)
+        pmf = np.exp(-lams)
+        ks = np.zeros(len(uids))
+        done = cum >= u
+        for k in range(1, k_max + 1):
+            pmf = pmf * lams / k
+            cum = cum + pmf
+            newly = ~done & (cum >= u)
+            ks[newly] = k
+            done |= newly
+        return ks
+
+    return _rand_pandas_udf(kernel)(_c(uid), _c(lamb)).cast("int")
+
+
+def rand_gamma(uid, shape, scale=1.0, seed: int = 0) -> Column:
+    """Gamma(shape, scale) draw (ref functions.py:3440 `hl.rand_gamma`)."""
+
+    def kernel(uids, shapes, scales):
+        return _np_gamma(uids, shapes, seed) * np.asarray(scales, dtype=float)
+
+    return _rand_pandas_udf(kernel)(
+        _c(uid), _c(F.lit(shape) if isinstance(shape, (int, float)) else shape),
+        _c(F.lit(scale) if isinstance(scale, (int, float)) else scale),
+    )
+
+
+def rand_beta(uid, a, b, seed: int = 0) -> Column:
+    """Beta(a, b) = G1/(G1+G2) over independent gamma streams (ref
+    functions.py:3382 `hl.rand_beta`)."""
+
+    def kernel(uids, aa, bb):
+        g1 = _np_gamma(uids, aa, seed, base_stream=0)
+        g2 = _np_gamma(uids, bb, seed, base_stream=5000)
+        return g1 / (g1 + g2)
+
+    return _rand_pandas_udf(kernel)(
+        _c(uid), _c(F.lit(a) if isinstance(a, (int, float)) else a),
+        _c(F.lit(b) if isinstance(b, (int, float)) else b),
+    )
+
+
+def rand_cat(uid, probs: list[float], seed: int = 0) -> Column:
+    """Categorical index draw from literal weights (ref
+    functions.py:3333 `hl.rand_cat`) — pure Column CDF compare."""
+    total = float(sum(probs))
+    cdf = np.cumsum(np.asarray(probs, dtype=float) / total)[:-1]
+    u = rand_unif(uid, seed=seed)
+    arr = F.array(*[F.lit(float(x)) for x in cdf])
+    return F.size(F.filter(arr, lambda c: c <= u)).cast("int")
+
+
+def rand_dirichlet(uid, alphas: list[float], seed: int = 0) -> Column:
+    """Dirichlet(α) via normalized gammas (ref functions.py:3518)."""
+
+    def kernel(uids):
+        gs = np.stack(
+            [
+                _np_gamma(uids, float(a), seed, base_stream=7000 * (i + 1))
+                for i, a in enumerate(alphas)
+            ],
+            axis=1,
+        )
+        tot = gs.sum(axis=1, keepdims=True)
+        return list(gs / tot)
+
+    return _rand_pandas_udf(kernel, "array<double>")(_c(uid))
+
+
+def rand_hyper(uid, n_good, n_bad, n_draws, seed: int = 0) -> Column:
+    """Hypergeometric draw (ref functions.py:3487 `hl.rand_hyper`) via
+    bounded inverse-CDF scan (support ≤ n_draws)."""
+
+    def kernel(uids, ng, nb, k):
+        from math import comb
+
+        u = _np_unif(uids, seed, 0)
+        ng = np.asarray(ng, dtype=np.int64)
+        nb = np.asarray(nb, dtype=np.int64)
+        k = np.asarray(k, dtype=np.int64)
+        out = np.zeros(len(uids))
+        # row-wise pmf scan; support is small (≤ k) and params are
+        # usually constant per query, so the comb() memoizes well
+        for i in range(len(uids)):
+            denom = comb(int(ng[i] + nb[i]), int(k[i]))
+            cum = 0.0
+            x = max(0, int(k[i] - nb[i]))
+            for x in range(max(0, int(k[i] - nb[i])), min(int(ng[i]), int(k[i])) + 1):
+                cum += comb(int(ng[i]), x) * comb(int(nb[i]), int(k[i]) - x) / denom
+                if cum >= u[i]:
+                    break
+            out[i] = x
+        return out
+
+    lit = lambda v: _c(F.lit(v) if isinstance(v, (int, float)) else v)  # noqa: E731
+    return _rand_pandas_udf(kernel)(_c(uid), lit(n_good), lit(n_bad), lit(n_draws)).cast(
+        "int"
+    )
 
 
 # ---------------------------------------------------------------------- #
