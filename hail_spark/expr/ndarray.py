@@ -18,6 +18,7 @@ Strategy split:
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Callable
 
 import numpy as np
@@ -242,3 +243,132 @@ def eigh_vals(a: Column) -> Column:
         return np.linalg.eigvalsh(x)
 
     return _nd_kernel(f)(a)
+
+
+# ---------------------------------------------------------------------- #
+# stacking (pure Column ops — no UDF) + factorizations with vectors
+# ---------------------------------------------------------------------- #
+def vstack(nds: list[Column]) -> Column:
+    """Row-wise stack of 2-D ndarrays (hl.nd.vstack nd.py:109). Shapes
+    must share n_cols; data concatenation is exact row-major append."""
+    nds = [_nd(x) for x in nds]
+    rows = reduce(lambda a, b: a + b, [x["shape"][0] for x in nds])
+    return F.struct(
+        F.array(rows, nds[0]["shape"][1]).alias("shape"),
+        F.concat(*[x["data"] for x in nds]).alias("data"),
+    )
+
+
+def hstack(nds: list[Column]) -> Column:
+    """Column-wise stack of 2-D ndarrays (hl.nd.hstack nd.py:74):
+    for each row index, take that row's slice from every input."""
+    nds = [_nd(x) for x in nds]
+    r = nds[0]["shape"][0]
+    cols = [x["shape"][1] for x in nds]
+    total_c = reduce(lambda a, b: a + b, cols)
+    row_slices = F.transform(
+        F.sequence(F.lit(0), (r - 1).cast("int")),
+        lambda i: F.concat(
+            *[
+                F.slice(x["data"], (i * c + 1).cast("int"), c.cast("int"))
+                for x, c in zip(nds, cols)
+            ]
+        ),
+    )
+    return F.struct(
+        F.array(r, total_c).alias("shape"), F.flatten(row_slices).alias("data")
+    )
+
+
+def _nd_multi_kernel(fn, n_out: int):
+    """Kernel returning several ndarrays as struct{out0..out{n-1}}."""
+    t = ", ".join(f"out{i}: {ND_TYPE}" for i in range(n_out))
+
+    @pandas_udf(f"struct<{t}>")
+    def u(*cols: pd.DataFrame) -> pd.DataFrame:
+        ins = [list(zip(c["shape"], c["data"])) for c in cols]
+        outs: list[list] = [[] for _ in range(n_out)]
+        for rows in zip(*ins):
+            try:
+                args = [
+                    np.asarray(d, dtype=float).reshape([int(s) for s in sh])
+                    for sh, d in rows
+                ]
+                rs = fn(*args)
+                for i, r in enumerate(rs):
+                    outs[i].append(
+                        {"shape": [int(s) for s in r.shape], "data": r.ravel().tolist()}
+                    )
+            except np.linalg.LinAlgError:
+                for i in range(n_out):
+                    outs[i].append(None)
+        return pd.DataFrame({f"out{i}": outs[i] for i in range(n_out)})
+
+    return lambda *args: u(*[_nd(a) for a in args])
+
+
+def _sign_normalize_cols(m: np.ndarray) -> np.ndarray:
+    """Flip column signs so the largest-|.| component is positive —
+    removes the eigenvector/singular-vector sign ambiguity for
+    cross-library determinism."""
+    idx = np.abs(m).argmax(axis=0)
+    sign = np.sign(m[idx, np.arange(m.shape[1])])
+    sign[sign == 0] = 1.0
+    return m * sign[None, :]
+
+
+def svd(a: Column) -> Column:
+    """Full SVD (hl.nd.svd nd.py:545): struct{out0: U, out1: S (1-D),
+    out2: Vt}, sign-normalized."""
+
+    def f(x):
+        u_, s, vt = np.linalg.svd(x, full_matrices=False)
+        # joint sign flip (U col i and Vt row i together) keeps U·S·Vt = A
+        idx = np.abs(u_).argmax(axis=0)
+        sign = np.sign(u_[idx, np.arange(u_.shape[1])])
+        sign[sign == 0] = 1.0
+        return u_ * sign[None, :], s, vt * sign[:, None]
+
+    return _nd_multi_kernel(f, 3)(a)
+
+
+def eigh(a: Column) -> Column:
+    """Symmetric eigendecomposition with vectors (hl.nd.eigh
+    nd.py:580): struct{out0: eigenvalues asc (1-D), out1: eigenvectors
+    (columns), sign-normalized}."""
+
+    def f(x):
+        w, v = np.linalg.eigh(x)
+        return w, _sign_normalize_cols(v)
+
+    return _nd_multi_kernel(f, 2)(a)
+
+
+def qr(a: Column) -> Column:
+    """Full QR (hl.nd.qr nd.py:517): struct{out0: Q, out1: R},
+    positive-diagonal normalized."""
+
+    def f(x):
+        q, r = np.linalg.qr(x)
+        sign = np.sign(np.diag(r))
+        sign[sign == 0] = 1.0
+        return q * sign[None, :], r * sign[:, None]
+
+    return _nd_multi_kernel(f, 2)(a)
+
+
+def solve_triangular(a: Column, b: Column, lower: bool = False) -> Column:
+    """hl.nd.solve_triangular (nd.py:480) — scipy-free back/forward
+    substitution via numpy."""
+
+    def f(x, y):
+        n = x.shape[0]
+        y2 = y.reshape(n, -1).astype(float)
+        out = np.zeros_like(y2)
+        rng = range(n) if lower else range(n - 1, -1, -1)
+        for i in rng:
+            acc = y2[i] - x[i] @ out
+            out[i] = acc / x[i, i]
+        return out.reshape(y.shape)
+
+    return _nd_kernel(f)(a, b)

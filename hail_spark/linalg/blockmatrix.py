@@ -504,3 +504,37 @@ class BlockMatrix:
             i0, j0 = row["bi"] * self.block_size, row["bj"] * self.block_size
             out[i0 : i0 + r, j0 : j0 + c] = blk
         return out
+
+    def svd(self, compute_uv: bool = True):
+        """Tall-skinny SVD (ref linalg/blockmatrix.py:2365 `svd`):
+        the gramian path the reference uses when n_cols is modest —
+        Aᵀ A is computed by a DISTRIBUTED block matmul (one shuffle of
+        A's blocks), only the tiny n_cols × n_cols gram reaches the
+        driver for eigh, and U = A · V · diag(1/s) goes back through
+        distributed matmuls, so neither A nor U is ever collected.
+
+        Returns ``(U BlockMatrix, s ndarray, V ndarray)`` with singular
+        values descending, or just ``s`` when ``compute_uv=False``.
+        Driver memory is O(n_cols²) — for wide matrices transpose
+        first or use methods.statgen._blanczos_pca's randomized path.
+        """
+        gram = self.transpose().matmul(self).to_numpy()
+        w, v = np.linalg.eigh(gram)  # ascending
+        order = np.argsort(w)[::-1]
+        w, v = w[order], v[:, order]
+        s = np.sqrt(np.maximum(w, 0.0))
+        if not compute_uv:
+            return s
+        # sign-normalize V for determinism
+        idx = np.abs(v).argmax(axis=0)
+        sign = np.sign(v[idx, np.arange(v.shape[1])])
+        sign[sign == 0] = 1.0
+        v = v * sign[None, :]
+        pos = s > 1e-12 * (s[0] if s.size else 1.0)
+        inv_s = np.where(pos, 1.0 / np.where(pos, s, 1.0), 0.0)
+        proj = v * inv_s[None, :]
+        spark = self.df.sparkSession
+        u = self.matmul(
+            BlockMatrix.from_numpy(spark, proj, block_size=self.block_size)
+        )
+        return u, s, v

@@ -144,3 +144,79 @@ def test_roundtrip_storage(assets, tmp_path):
     plan = back.select("asset_id", "meta_source").queryExecution if False else None
     cnt = back.filter(F.col("meta_source") == "s0").count()
     assert cnt == 4
+
+
+def test_vstack_hstack(spark):
+    from hail_spark.expr import ndarray as nd
+
+    df = spark.range(1)
+    a = nd.make([2, 2], F.array(*[F.lit(float(x)) for x in [1, 2, 3, 4]]))
+    b = nd.make([1, 2], F.array(F.lit(5.0), F.lit(6.0)))
+    v = df.select(nd.vstack([a, b]).alias("v")).collect()[0]["v"]
+    assert v["shape"] == [3, 2] and v["data"] == [1, 2, 3, 4, 5, 6]
+    c = nd.make([2, 1], F.array(F.lit(9.0), F.lit(10.0)))
+    h = df.select(nd.hstack([a, c]).alias("h")).collect()[0]["h"]
+    assert h["shape"] == [2, 3] and h["data"] == [1, 2, 9, 3, 4, 10]
+
+
+def test_svd_eigh_qr_with_vectors(spark):
+    import numpy as np
+
+    from hail_spark.expr import ndarray as nd
+
+    rng = np.random.default_rng(3)
+    A = rng.normal(size=(5, 3))
+    df = spark.range(1)
+    a = nd.make([5, 3], F.array(*[F.lit(float(x)) for x in A.ravel()]))
+    res = df.select(nd.svd(a).alias("s")).collect()[0]["s"]
+    U = np.array(res["out0"]["data"]).reshape(5, 3)
+    S = np.array(res["out1"]["data"])
+    Vt = np.array(res["out2"]["data"]).reshape(3, 3)
+    np.testing.assert_allclose(U @ np.diag(S) @ Vt, A, atol=1e-10)
+    np.testing.assert_allclose(U.T @ U, np.eye(3), atol=1e-10)
+
+    M = A.T @ A
+    m = nd.make([3, 3], F.array(*[F.lit(float(x)) for x in M.ravel()]))
+    eres = df.select(nd.eigh(m).alias("e")).collect()[0]["e"]
+    w = np.array(eres["out0"]["data"])
+    V = np.array(eres["out1"]["data"]).reshape(3, 3)
+    np.testing.assert_allclose(V @ np.diag(w) @ V.T, M, atol=1e-10)
+    np.testing.assert_allclose(np.sort(w), np.sort(S**2), atol=1e-8)
+
+    qres = df.select(nd.qr(a).alias("q")).collect()[0]["q"]
+    Q = np.array(qres["out0"]["data"]).reshape(5, 3)
+    R = np.array(qres["out1"]["data"]).reshape(3, 3)
+    np.testing.assert_allclose(Q @ R, A, atol=1e-10)
+    assert np.all(np.diag(R) > 0)
+
+
+def test_solve_triangular(spark):
+    import numpy as np
+
+    from hail_spark.expr import ndarray as nd
+
+    A = np.array([[2.0, 1.0, 3.0], [0.0, 1.0, 4.0], [0.0, 0.0, 5.0]])
+    b = np.array([[10.0], [12.0], [15.0]])
+    df = spark.range(1)
+    a_c = nd.make([3, 3], F.array(*[F.lit(float(x)) for x in A.ravel()]))
+    b_c = nd.make([3, 1], F.array(*[F.lit(float(x)) for x in b.ravel()]))
+    res = df.select(nd.solve_triangular(a_c, b_c).alias("x")).collect()[0]["x"]
+    x = np.array(res["data"]).reshape(3, 1)
+    np.testing.assert_allclose(A @ x, b, atol=1e-10)
+
+
+def test_blockmatrix_svd(spark):
+    import numpy as np
+
+    from hail_spark.linalg.blockmatrix import BlockMatrix
+
+    rng = np.random.default_rng(4)
+    A = rng.normal(size=(40, 6))
+    bm = BlockMatrix.from_numpy(spark, A, block_size=16)
+    U, s, V = bm.svd()
+    np.testing.assert_allclose(s, np.linalg.svd(A, compute_uv=False), atol=1e-8)
+    Un = U.to_numpy()
+    np.testing.assert_allclose(Un @ np.diag(s) @ V.T, A, atol=1e-8)
+    np.testing.assert_allclose(Un.T @ Un, np.eye(6), atol=1e-8)
+    s_only = bm.svd(compute_uv=False)
+    np.testing.assert_allclose(s_only, s, atol=1e-12)
