@@ -71,6 +71,31 @@ def realized_relationship_matrix(mt: MatrixTable, x_field: str = "GT") -> np.nda
     return K / max(m[0, 0], 1.0)
 
 
+def genetic_relatedness_matrix(mt: MatrixTable, x_field: str = "GT") -> np.ndarray:
+    """GRM (ref statgen.py:3576 `genetic_relatedness_matrix`): unlike the
+    RRM's empirical-sd standardization, the GRM standardizes by the
+    binomial variance — Z_vk = (g_vk − 2p_v) / √(2 p_v (1−p_v)),
+    K = ZᵀZ / m. Same map-only gemm accumulation; no shuffle."""
+    n = len(mt._cols)
+
+    def zero(n):
+        return [np.zeros((n, n)), np.zeros((1, 1))]
+
+    def kernel(X, acc):
+        mean = np.nanmean(X, axis=1)
+        p = mean / 2.0
+        keep = (p > 0) & (p < 1)
+        X, mean, p = X[keep], mean[keep], p[keep]
+        idx = np.where(np.isnan(X))
+        X[idx] = np.take(mean, idx[0])
+        Z = (X - 2.0 * p[:, None]) / np.sqrt(2.0 * p * (1.0 - p))[:, None]
+        acc[0] += Z.T @ Z
+        acc[1] += np.array([[len(Z)]])
+
+    K, m = _accumulate(mt, kernel, zero)
+    return K / max(m[0, 0], 1.0)
+
+
 def king(mt: MatrixTable, x_field: str = "GT"):
     """KING-robust between-family kinship (ref relatedness/king.py):
 

@@ -120,6 +120,19 @@ class Table:
     def from_spark(cls, df: DataFrame, key: Sequence[str] = ()) -> "Table":
         return cls(df, key)
 
+    @classmethod
+    def from_pandas(
+        cls, spark: SparkSession, pdf, key: Sequence[str] = ()
+    ) -> "Table":
+        """pandas.DataFrame → Table (ref Table.from_pandas table.py:4326).
+        Arrow-backed createDataFrame; driver-side input by definition."""
+        return cls(spark.createDataFrame(pdf), key)
+
+    def to_pandas(self):
+        """Table → pandas.DataFrame in key order (ref Table.to_pandas
+        table.py:4280). Collects — driver memory bound, same as Hail."""
+        return self._ordered_df().toPandas()
+
     def to_spark(self) -> DataFrame:
         return self._df
 

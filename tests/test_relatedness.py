@@ -175,3 +175,42 @@ def test_ld_matrix_matches_row_correlation(spark):
     for (pa, pb), r in got.items():
         i, j = pa // 10 - 1, pb // 10 - 1
         assert r == pytest.approx(R[i, j], rel=1e-9, abs=1e-12)
+
+
+def test_genetic_relatedness_matrix(spark):
+    import numpy as np
+
+    from hail_spark.matrixtable import ENTRIES, MatrixTable
+    from hail_spark.methods.relatedness import genetic_relatedness_matrix
+
+    rng = np.random.default_rng(21)
+    m, n = 60, 8
+    p_true = rng.uniform(0.1, 0.9, size=m)
+    G = rng.binomial(2, p_true[:, None], size=(m, n)).astype(float)
+    rows = [
+        {"vid": i, ENTRIES: [{"GT": int(G[i, j])} for j in range(n)]}
+        for i in range(m)
+    ]
+    df = spark.createDataFrame(rows, f"vid int, {ENTRIES} array<struct<GT: int>>")
+    mt = MatrixTable(df, ("vid",), [{"s": f"S{j}"} for j in range(n)], ("s",))
+    K = genetic_relatedness_matrix(mt)
+
+    # numpy replay of the reference definition
+    mean = G.mean(axis=1)
+    p = mean / 2
+    keep = (p > 0) & (p < 1)
+    Z = (G[keep] - 2 * p[keep][:, None]) / np.sqrt(2 * p[keep] * (1 - p[keep]))[:, None]
+    want = Z.T @ Z / keep.sum()
+    np.testing.assert_allclose(K, want, atol=1e-10)
+
+
+def test_table_pandas_round_trip(spark):
+    import pandas as pd
+
+    from hail_spark.table import Table
+
+    pdf = pd.DataFrame({"k": [3, 1, 2], "v": ["c", "a", "b"]})
+    t = Table.from_pandas(spark, pdf, key=["k"])
+    back = t.to_pandas()
+    assert list(back["k"]) == [1, 2, 3]  # key order
+    assert list(back["v"]) == ["a", "b", "c"]
