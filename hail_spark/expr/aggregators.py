@@ -14,6 +14,7 @@ NaN: Hail min/max propagate NaN; Spark's min/max order NaN largest — use
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -269,6 +270,115 @@ def linreg_xtx_xty(y, xs) -> Column:
         fields.append(F.sum(xi * yv).alias(f"xty_{i}"))
     fields.append(F.count(F.when(yv.isNotNull(), 1)).alias("n"))
     return F.struct(*fields)
+
+
+def linreg(y, xs, nested_dim: int = 1) -> Column:
+    """Full `hl.agg.linreg` result struct (ref aggregators.py:2103,
+    LinearRegressionAggregator.scala): {beta, standard_error, t_stat,
+    p_value, multiple_r_squared, adjusted_r_squared, f_stat,
+    multiple_p_value, n}.
+
+    Two-stage plan: sufficient statistics (XᵀX upper triangle, Xᵀy,
+    yᵀy, Σy, n) accumulate as plain JVM sums with map-side combine;
+    the O(k³) finalize runs once per GROUP in an Arrow-batched pandas
+    UDF over the aggregated struct — k is the covariate count, so
+    per-group work is trivial and nothing scales with rows. Rows with
+    missing y or any missing x are excluded (Hail's contract)."""
+    from pyspark.sql.functions import pandas_udf
+
+    yv = _c(y)
+    xv = [_c(x) for x in xs]
+    k = len(xv)
+    valid = yv.isNotNull()
+    for xi in xv:
+        valid = valid & xi.isNotNull()
+    g = lambda e: F.sum(F.when(valid, e))  # noqa: E731
+    fields = []
+    for i in range(k):
+        for j in range(i, k):
+            fields.append(g(xv[i] * xv[j]).alias(f"xtx_{i}_{j}"))
+        fields.append(g(xv[i] * yv).alias(f"xty_{i}"))
+    fields.append(g(yv * yv).alias("yty"))
+    fields.append(g(yv).alias("sum_y"))
+    fields.append(F.count(F.when(valid, 1)).alias("n"))
+    sums = F.struct(*fields)
+
+    ret = (
+        "struct<beta: array<double>, standard_error: array<double>, "
+        "t_stat: array<double>, p_value: array<double>, "
+        "multiple_r_squared: double, adjusted_r_squared: double, "
+        "f_stat: double, multiple_p_value: double, n: bigint>"
+    )
+    nd = nested_dim
+
+    @pandas_udf(ret)
+    def finalize(pdf):
+        import pandas as pd
+
+        from .stats import pF, pT
+
+        null_row = {
+            "beta": None, "standard_error": None, "t_stat": None,
+            "p_value": None, "multiple_r_squared": None,
+            "adjusted_r_squared": None, "f_stat": None,
+            "multiple_p_value": None, "n": None,
+        }
+        out = []
+        for _, r in pdf.iterrows():
+            n = int(r["n"]) if r["n"] is not None else 0
+            if n <= k:
+                out.append(null_row)
+                continue
+            XtX = np.zeros((k, k))
+            Xty = np.zeros(k)
+            for i in range(k):
+                for j in range(i, k):
+                    XtX[i, j] = XtX[j, i] = r[f"xtx_{i}_{j}"]
+                Xty[i] = r[f"xty_{i}"]
+            try:
+                XtX_inv = np.linalg.inv(XtX)
+            except np.linalg.LinAlgError:
+                out.append(null_row)
+                continue
+            beta = XtX_inv @ Xty
+            sse = float(r["yty"]) - float(beta @ Xty)
+            d = n - k
+            sigma2 = sse / d
+            se = np.sqrt(np.maximum(np.diag(XtX_inv) * sigma2, 0.0))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = beta / se
+            p = [float(2.0 * pT(-abs(float(ti)), d)) if np.isfinite(ti) else None for ti in t]
+            ybar = float(r["sum_y"]) / n
+            sst = float(r["yty"]) - n * ybar * ybar
+            # R² vs the nested model spanned by the FIRST nested_dim
+            # covariates (Hail: nested_dim=1 with intercept first ⇒
+            # ordinary R² about the mean)
+            r2 = 1.0 - sse / sst if sst > 0 else None
+            k_extra = k - nd
+            adj = (
+                1.0 - (1.0 - r2) * (n - nd) / d if r2 is not None and d > 0 else None
+            )
+            if r2 is not None and k_extra > 0 and sse > 0:
+                fstat = float((sst - sse) / k_extra / sigma2)
+                fp = float(pF(fstat, k_extra, d, lower_tail=False))
+            else:
+                fstat, fp = None, None
+            out.append(
+                {
+                    "beta": beta.tolist(),
+                    "standard_error": se.tolist(),
+                    "t_stat": [float(x) for x in t],
+                    "p_value": p,
+                    "multiple_r_squared": float(r2) if r2 is not None else None,
+                    "adjusted_r_squared": float(adj) if adj is not None else None,
+                    "f_stat": fstat,
+                    "multiple_p_value": fp,
+                    "n": n,
+                }
+            )
+        return pd.DataFrame(out)
+
+    return finalize(sums)
 
 
 def reservoir_sample(expr, k: int, seed: int = 0) -> Column:
