@@ -1101,6 +1101,86 @@ def inbreeding_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def variant_qc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """variant_qc (ref qc.py:219) over an events-derived call matrix:
+    GT = n % 3 per (user, event_type); per-row QC is one array-HOF pass
+    inside whole-stage codegen."""
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.qc import variant_qc
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(
+        (F.count(F.lit(1)) % 3).cast("int").alias("GT")
+    )
+    mt = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="event_type", entry_fields=["GT"]
+    )
+    out = variant_qc(mt).rows().df
+    return out.select(
+        "user_id",
+        F.round(F.col("variant_qc.call_rate"), 9).alias("call_rate"),
+        F.col("variant_qc.n_called").alias("n_called"),
+        F.col("variant_qc.n_het").alias("n_het"),
+        F.col("variant_qc.n_hom_ref").alias("n_hom_ref"),
+        F.col("variant_qc.n_hom_var").alias("n_hom_var"),
+        F.col("variant_qc.AC")[1].alias("ac_alt"),
+        F.round(F.col("variant_qc.AF")[1], 9).alias("af_alt"),
+    ).orderBy("user_id")
+
+
+_VARIANT_QC_SQL = """
+WITH long AS (SELECT user_id, event_type, CAST(COUNT(*) % 3 AS INT) gt
+              FROM events GROUP BY 1, 2),
+ntypes AS (SELECT COUNT(DISTINCT event_type) nt FROM events)
+SELECT user_id,
+       ROUND(COUNT(*) / CAST((SELECT nt FROM ntypes) AS DOUBLE), 9) AS call_rate,
+       CAST(COUNT(*) AS INT) AS n_called,
+       CAST(SUM(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS INT) AS n_het,
+       CAST(SUM(CASE WHEN gt = 0 THEN 1 ELSE 0 END) AS INT) AS n_hom_ref,
+       CAST(SUM(CASE WHEN gt = 2 THEN 1 ELSE 0 END) AS INT) AS n_hom_var,
+       CAST(SUM(gt) AS INT) AS ac_alt,
+       ROUND(SUM(gt) / CAST(2 * COUNT(*) AS DOUBLE), 9) AS af_alt
+FROM long GROUP BY user_id ORDER BY user_id
+"""
+
+
+def sample_qc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample_qc (ref qc.py:59): per-column QC via posexplode + groupBy
+    col index — the wide-aggregation path that scales past driver-side
+    column counts."""
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.qc import sample_qc
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(
+        (F.count(F.lit(1)) % 3).cast("int").alias("GT")
+    )
+    mt = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="event_type", entry_fields=["GT"]
+    )
+    out = sample_qc(mt)
+    return out.select(
+        "event_type",
+        F.col("n_called").cast("bigint").alias("n_called"),
+        F.col("n_het").cast("bigint").alias("n_het"),
+        F.col("n_non_ref").cast("bigint").alias("n_non_ref"),
+        F.round("call_rate", 9).alias("call_rate"),
+    ).orderBy("event_type")
+
+
+_SAMPLE_QC_SQL = """
+WITH long AS (SELECT user_id, event_type, CAST(COUNT(*) % 3 AS INT) gt
+              FROM events GROUP BY 1, 2),
+nusers AS (SELECT COUNT(DISTINCT user_id) nu FROM events)
+SELECT event_type,
+       COUNT(*) AS n_called,
+       SUM(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS n_het,
+       SUM(CASE WHEN gt > 0 THEN 1 ELSE 0 END) AS n_non_ref,
+       ROUND(COUNT(*) / CAST((SELECT nu FROM nusers) AS DOUBLE), 9) AS call_rate
+FROM long GROUP BY event_type ORDER BY event_type
+"""
+
+
 def vds_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VDS to_dense_mt (ref vds/methods.py to_dense_mt): a sparse
     gVCF-shaped dataset synthesized from events — variant sites at
@@ -1876,6 +1956,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mt_semi_join_rows": mt_semi_join_rows_q,
         "inbreeding_by_type": inbreeding_by_type,
         "vds_densify": vds_densify,
+        "variant_qc_stats": variant_qc_q,
+        "sample_qc_stats": sample_qc_q,
         "scalar_battery": scalar_battery,
         "collection_battery": collection_battery,
         "multiway_zip_join": multiway_zip_q,
@@ -1932,6 +2014,8 @@ def oracle_sql() -> dict[str, str]:
         "mt_semi_join_rows": _MT_SEMI_ROWS_SQL,
         "inbreeding_by_type": _INBREEDING_SQL,
         "vds_densify": _VDS_DENSIFY_SQL,
+        "variant_qc_stats": _VARIANT_QC_SQL,
+        "sample_qc_stats": _SAMPLE_QC_SQL,
         "scalar_battery": _SCALAR_SQL,
         "collection_battery": _COLLECTION_SQL,
         "multiway_zip_join": _MULTIWAY_SQL,
