@@ -1,0 +1,131 @@
+"""Scale bench: the shuffle-heavy subset of the suite at ~sf1.
+
+The driver's gate runs bench.py at sf0.1; at that scale most shuffles
+fit in one or two partitions per core, so plans that would fall over at
+cluster scale still look fine. This harness synthesizes a ~10× dataset
+(union of /root/testdata/sf0.1 with shifted keys — same distributions,
+10× rows; cached under /tmp) and times the queries whose cost is
+dominated by wide exchanges, so a regression in partitioning/broadcast
+decisions shows up between rounds.
+
+Usage: python bench_scale.py  → one JSON line
+{"metric": "hail_spark_scale_suite", "value": <total sec>, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/sparkgraft_sf1")
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+
+# key columns shifted per copy so the scaled data keeps realistic key
+# cardinality instead of COPIES× duplicates of every key
+_SHIFT = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+# shuffle/exchange-dominated queries; the rest of the suite is scan- or
+# map-bound and already representative at sf0.1
+QUERIES = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "group_counter", "distinct_by_key", "scan_cumulative_sum",
+    # scan_battery is excluded: its prefix-collect component is O(n^2)
+    # in OUTPUT by definition, so its scale-up curve measures semantics,
+    # not the plan (scan_cumulative_sum/add_index cover the scan path)
+    "add_index", "minhash_lsh_dedup",
+    "ngram_jaccard_dedup", "embedding_near_dup", "dedup_exact",
+    "mt_row_agg", "mt_group_rows_by", "mt_group_cols_by",
+    "vds_densify", "take_by_per_key", "collect_per_key",
+]
+
+
+def materialize(spark: SparkSession) -> None:
+    os.makedirs(DST, exist_ok=True)
+    for t in _TABLES:
+        out = os.path.join(DST, f"{t}.parquet")
+        if os.path.exists(out):
+            continue
+        df = spark.read.parquet(os.path.join(SRC, f"{t}.parquet"))
+        if t in ("region", "nation"):
+            df.write.mode("overwrite").parquet(out)
+            continue
+        shift_cols = _SHIFT.get(t, [])
+        maxes = (
+            df.agg(*[F.max(c).alias(c) for c in shift_cols]).collect()[0].asDict()
+            if shift_cols
+            else {}
+        )
+        copies = df.withColumn(
+            "__copy", F.explode(F.array(*[F.lit(i) for i in range(COPIES)]))
+        )
+        for c in shift_cols:
+            copies = copies.withColumn(
+                c, F.col(c) + F.col("__copy") * F.lit(int(maxes[c]) + 1)
+            )
+        copies.drop("__copy").write.mode("overwrite").parquet(out)
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .appName("hail_spark_scale_bench")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    materialize(spark)
+    qs = entry.queries()
+    times = {}
+    total = 0.0
+    for name in QUERIES:
+        t0 = time.time()
+        qs[name](spark, DST).collect()
+        dt = round(time.time() - t0, 3)
+        times[name] = dt
+        total += dt
+        if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"):
+            print(f"  {name}: {dt}s", flush=True)
+    line = json.dumps(
+        {
+            "metric": "hail_spark_scale_suite",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": times,
+            "sf": 0.1 * COPIES,
+        }
+    )
+    print(line)
+    # append to the round-over-round log so regressions are diffable
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SCALE.jsonl"), "a") as fh:
+        fh.write(line + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
