@@ -1181,6 +1181,106 @@ FROM long GROUP BY event_type ORDER BY event_type
 """
 
 
+def king_kinship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KING-robust between-family kinship (ref relatedness/king.py) over
+    the events call matrix. Engine side: three s×s gemm accumulators in
+    one mapInPandas pass (no shuffle); oracle: pairwise self-join replay
+    of the same counts."""
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.relatedness import king
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(
+        (F.count(F.lit(1)) % 3).cast("int").alias("GT")
+    )
+    mt = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="event_type", entry_fields=["GT"]
+    )
+    out = king(mt)
+    return out.select("i", "j", F.round("phi", 9).alias("phi")).orderBy("i", "j")
+
+
+_KING_SQL = """
+WITH long AS (SELECT user_id, event_type, CAST(COUNT(*) % 3 AS INT) gt
+              FROM events GROUP BY 1, 2),
+pair AS (
+  SELECT a.event_type i, b.event_type j,
+         SUM(CASE WHEN a.gt = 1 AND b.gt = 1 THEN 1 ELSE 0 END) hh,
+         SUM(CASE WHEN (a.gt = 0 AND b.gt = 2) OR (a.gt = 2 AND b.gt = 0)
+                  THEN 1 ELSE 0 END) opp,
+         SUM(CASE WHEN a.gt = 1 THEN 1 ELSE 0 END) het_i,
+         SUM(CASE WHEN b.gt = 1 THEN 1 ELSE 0 END) het_j
+  FROM long a JOIN long b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2)
+SELECT i, j,
+       ROUND(0.5 + (2.0*hh - 4.0*opp - het_i - het_j)
+             / (4.0 * LEAST(het_i, het_j)), 9) AS phi
+FROM pair ORDER BY i, j
+"""
+
+
+def split_multi_sites(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split_multi_hts (ref statgen.py:3312): synthetic multiallelic
+    sites from events (half tri-allelic), downcoded per split allele.
+    The split is a posexplode over alt indices — narrow, no shuffle."""
+    from hail_spark.matrixtable import ENTRIES, MatrixTable
+    from hail_spark.methods.genetics import split_multi_hts
+
+    ev = _t(spark, sf_dir, "events").df
+    n_all = (F.col("user_id") % 2 + 2).cast("int")  # 2 or 3 alleles
+    long = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "user_id",
+        "event_type",
+        F.array(
+            F.pmod(F.col("n"), n_all).cast("int"),
+            F.pmod(F.col("n") + F.col("user_id"), n_all).cast("int"),
+        ).alias("GTA"),
+    )
+    types = sorted(r["event_type"] for r in long.select("event_type").distinct().collect())
+    tmap = F.create_map(*[x for i, t in enumerate(types) for x in (F.lit(t), F.lit(i))])
+    g = long.select(
+        "user_id", tmap[F.col("event_type")].alias("__i"), F.struct("GTA").alias("__e")
+    ).groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("__i", "__e"))).alias("__m")
+    )
+    alleles = F.when(
+        F.col("user_id") % 2 == 0, F.array(F.lit("A"), F.lit("T"))
+    ).otherwise(F.array(F.lit("A"), F.lit("T"), F.lit("G")))
+    rows = g.select(
+        "user_id",
+        alleles.alias("alleles"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(types) - 1)), lambda i: F.col("__m")[i]
+        ).alias(ENTRIES),
+    )
+    mt = MatrixTable(rows, ("user_id",), [{"s": t} for t in types], ("s",))
+    out = split_multi_hts(mt).entries().df
+    return (
+        out.filter(F.col("GT").isNotNull())
+        .select("user_id", "a_index", F.col("s").alias("event_type"), "GT")
+        .orderBy("user_id", "a_index", "event_type")
+    )
+
+
+_SPLIT_MULTI_SQL = """
+WITH long AS (SELECT user_id, event_type, COUNT(*) n FROM events GROUP BY 1, 2),
+calls AS (
+  SELECT user_id, event_type,
+         CAST(user_id % 2 + 2 AS INT) n_all,
+         CAST(n % (user_id % 2 + 2) AS INT) a1,
+         CAST((n + user_id) % (user_id % 2 + 2) AS INT) a2
+  FROM long),
+alts AS (SELECT DISTINCT user_id, UNNEST(range(1, n_all)) AS a_index FROM calls)
+SELECT c.user_id, CAST(a.a_index AS INT) AS a_index, c.event_type,
+       CAST((CASE WHEN c.a1 = a.a_index THEN 1 ELSE 0 END)
+          + (CASE WHEN c.a2 = a.a_index THEN 1 ELSE 0 END) AS INT) AS GT
+FROM calls c JOIN alts a ON c.user_id = a.user_id
+ORDER BY c.user_id, a_index, event_type
+"""
+
+
 def vds_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VDS to_dense_mt (ref vds/methods.py to_dense_mt): a sparse
     gVCF-shaped dataset synthesized from events — variant sites at
@@ -1958,6 +2058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vds_densify": vds_densify,
         "variant_qc_stats": variant_qc_q,
         "sample_qc_stats": sample_qc_q,
+        "king_kinship": king_kinship,
+        "split_multi_sites": split_multi_sites,
         "scalar_battery": scalar_battery,
         "collection_battery": collection_battery,
         "multiway_zip_join": multiway_zip_q,
@@ -2016,6 +2118,8 @@ def oracle_sql() -> dict[str, str]:
         "vds_densify": _VDS_DENSIFY_SQL,
         "variant_qc_stats": _VARIANT_QC_SQL,
         "sample_qc_stats": _SAMPLE_QC_SQL,
+        "king_kinship": _KING_SQL,
+        "split_multi_sites": _SPLIT_MULTI_SQL,
         "scalar_battery": _SCALAR_SQL,
         "collection_battery": _COLLECTION_SQL,
         "multiway_zip_join": _MULTIWAY_SQL,

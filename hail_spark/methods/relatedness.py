@@ -121,7 +121,8 @@ def king(mt: MatrixTable, x_field: str = "GT"):
 
     hh, opp, hd = _accumulate(mt, kernel, zero)
     spark = mt._df.sparkSession
-    names = [c["s"] for c in mt._cols]
+    key = mt._col_key[0]
+    names = [c[key] for c in mt._cols]
     rows = []
     n = len(names)
     for i in range(n):
