@@ -13,8 +13,9 @@ Parity targets (reference hail-is/hail):
 * ``hwe_normalized_pca`` / ``pca`` — hail/python/hail/methods/pca.py:35/100.
   Gram-matrix path: K = AᵀA accumulated distributively (one s×s
   partial per Arrow batch, summed on the driver), numpy ``eigh``
-  finalizer. Suits s (samples) up to ~10k; the reference's _blanczos
-  randomized path is the >10k alternative (not implemented).
+  finalizer. Suits s (samples) up to ~10k; ``method='blanczos'``
+  dispatches to the randomized block-Krylov path (pca.py:210) over
+  distributed BlockMatrix matmuls for larger sample dimensions.
 
 Spark shape: all per-variant computation runs as Arrow-batched
 ``mapInPandas`` over the rows DataFrame — numpy does a (batch ×
@@ -311,13 +312,31 @@ def logistic_regression_rows(
 
 
 def hwe_normalized_pca(
-    mt: MatrixTable, k: int = 10, compute_loadings: bool = False, x_field: str = "GT"
+    mt: MatrixTable,
+    k: int = 10,
+    compute_loadings: bool = False,
+    x_field: str = "GT",
+    method: str = "gram",
+    **blanczos_opts,
 ):
     """PCA of the HWE-normalized call matrix (ref pca.py:35):
     m_ij = (g_ij - 2 p_i) / sqrt(2 p_i (1 - p_i) * n_variants).
 
     Returns (eigenvalues: list, scores: DataFrame(s, scores),
-    loadings: DataFrame | None). Gram accumulation is map-only."""
+    loadings: DataFrame | None).
+
+    ``method='gram'`` (default): map-only s×s gram accumulation —
+    right up to ~10k samples. ``method='blanczos'``: the reference's
+    randomized block-Krylov path (pca.py:210) over distributed
+    BlockMatrix matmuls — never materializes the gram; use it when the
+    sample dimension makes O(s²) driver memory impossible."""
+    if method == "blanczos":
+        return _blanczos_pca(
+            mt, k=k, compute_loadings=compute_loadings, x_field=x_field,
+            **blanczos_opts,
+        )
+    if method != "gram":
+        raise ValueError("method must be 'gram' or 'blanczos'")
     n = len(mt._cols)
     spark = mt._df.sparkSession
     n_variants = mt._df.count()

@@ -330,3 +330,13 @@ def test_blanczos_pca_matches_gram(sim, spark):
             or np.allclose(Mg[:, c], -Mb[:, c], atol=1e-6)
         ), c
     assert loadings_b.count() > 0
+
+
+def test_hwe_pca_blanczos_dispatch(sim):
+    mt, *_ = sim
+    ev_g, _, _ = hwe_normalized_pca(mt, k=4)
+    ev_b, scores_b, _ = hwe_normalized_pca(
+        mt, k=4, method="blanczos", q_iterations=8, oversampling=10
+    )
+    np.testing.assert_allclose(ev_b, ev_g, rtol=1e-6)
+    assert scores_b.count() == N_SAMPLES
