@@ -76,6 +76,58 @@ class VariantDataset:
             self.reference_data.choose_cols(idx), self.variant_data.choose_cols(idx)
         )
 
+    def union_cols(self, other: "VariantDataset") -> "VariantDataset":
+        """Sample-wise union of two VDSes with disjoint samples — the
+        combiner's internal tree node (ref combiner/combine.py
+        combine_variant_datasets). Full OUTER join on the row key with
+        each side's missing entries null-filled, so sparse rows present
+        in only one input survive. One shuffle per component, keyed by
+        locus — the same merge the reference's combiner lowers to.
+
+        Variant rows join on (locus, alleles): if the two inputs carry
+        different allele sets at a locus they remain separate rows
+        (each row's LA/LGT stay valid against its own alleles). Run
+        ``combine_gvcfs`` over one batch when cross-batch allele
+        unification matters — its single-scan merge unifies alleles."""
+        a_s = {c["s"] for c in self.variant_data._cols}
+        b_s = {c["s"] for c in other.variant_data._cols}
+        if a_s & b_s:
+            raise ValueError(f"overlapping samples: {sorted(a_s & b_s)}")
+
+        def outer_concat(l: MatrixTable, r: MatrixTable, key: list[str]) -> MatrixTable:
+            nl, nr = len(l._cols), len(r._cols)
+            lt = l._df.withColumnRenamed(ENTRIES, "__el")
+            rt = r._df.withColumnRenamed(ENTRIES, "__er")
+            lnull = F.array_repeat(
+                F.lit(None).cast(l._df.schema[ENTRIES].dataType.elementType), nl
+            )
+            rnull = F.array_repeat(
+                F.lit(None).cast(r._df.schema[ENTRIES].dataType.elementType), nr
+            )
+            non_key_l = [c for c in lt.columns if c not in key and c != "__el"]
+            joined = lt.join(rt, on=key, how="full_outer")
+            # row fields present on only one side coalesce across sides
+            sel = [F.col(k) for k in key]
+            for c in non_key_l:
+                if c in rt.columns:
+                    sel.append(F.coalesce(lt[c], rt[c]).alias(c))
+                else:
+                    sel.append(F.col(c))
+            sel.append(
+                F.concat(
+                    F.coalesce(F.col("__el"), lnull), F.coalesce(F.col("__er"), rnull)
+                ).alias(ENTRIES)
+            )
+            df = joined.select(*sel)
+            return MatrixTable(df, l._row_key, l._cols + r._cols, l._col_key)
+
+        return VariantDataset(
+            outer_concat(self.reference_data, other.reference_data, ["locus"]),
+            outer_concat(
+                self.variant_data, other.variant_data, ["locus", "alleles"]
+            ),
+        )
+
     def to_merged_sparse_mt(self) -> MatrixTable:
         """Rows of both components merged by locus (ref
         vds/methods.py:to_merged_sparse_mt): variant rows keep alleles,

@@ -155,3 +155,39 @@ def test_impute_sex_chromosome_ploidy(vds):
     assert s2["x_mean_dp"] == pytest.approx(11.0)
     assert s2["x_ploidy"] == pytest.approx(2 * 11 / 21)
     assert s2["y_ploidy"] == pytest.approx(2 * 10 / 21)
+
+
+def test_vds_union_cols_matches_single_pass(spark, gvcf_paths):
+    # hierarchical combine: (s0+s1) ∪ (s2) must equal the one-pass combine
+    left = combine_gvcfs(spark, gvcf_paths[:2])
+    right = combine_gvcfs(spark, gvcf_paths[2:])
+    merged = left.union_cols(right)
+    onepass = combine_gvcfs(spark, gvcf_paths)
+
+    assert [c["s"] for c in merged.variant_data._cols] == ["S0", "S1", "S2"]
+    assert merged.reference_data.count_rows() == onepass.reference_data.count_rows()
+
+    def ref_long(v):
+        return {
+            (r["locus"]["contig"], r["locus"]["position"], i): (e["END"], e["DP"], e["GQ"])
+            for r in v.reference_data._df.collect()
+            for i, e in enumerate(r[ENTRIES])
+            if e is not None
+        }
+
+    assert ref_long(merged) == ref_long(onepass)
+    # the variant site: S0's alts ["T"] and S2's ["G"] were combined in
+    # different batches → two rows with per-row-valid local fields
+    rows = merged.variant_data._df.collect()
+    by_alleles = {tuple(r["alleles"]): r for r in rows}
+    assert set(by_alleles) == {("A", "T"), ("A", "G")}
+    t_row = by_alleles[("A", "T")]
+    assert t_row[ENTRIES][0]["LA"] == [0, 1] and t_row[ENTRIES][2] is None
+    g_row = by_alleles[("A", "G")]
+    assert g_row[ENTRIES][2]["GT"] == 2 and g_row[ENTRIES][0] is None
+
+
+def test_vds_union_cols_rejects_overlap(spark, gvcf_paths):
+    a = combine_gvcfs(spark, gvcf_paths[:2])
+    with pytest.raises(ValueError):
+        a.union_cols(a)
