@@ -1281,6 +1281,102 @@ ORDER BY c.user_id, a_index, event_type
 """
 
 
+def concordance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dosage concordance of two call matrices (ref qc.py:360): inner
+    row join + zip_with pair explode, one groupBy — no per-row UDF."""
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.genetics import concordance
+
+    ev = _t(spark, sf_dir, "events").df
+    base = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m1 = MatrixTable.from_long(
+        base.select("user_id", "event_type", (F.col("n") % 3).cast("int").alias("GT")),
+        row_key=["user_id"], col_key="event_type", entry_fields=["GT"],
+    )
+    m2 = MatrixTable.from_long(
+        base.filter(F.col("n") % 7 != 0).select(
+            "user_id", "event_type", ((F.col("n") + 1) % 3).cast("int").alias("GT")
+        ),
+        row_key=["user_id"], col_key="event_type", entry_fields=["GT"],
+    )
+    return concordance(m1, m2)
+
+
+_CONCORDANCE_SQL = """
+WITH base AS (SELECT user_id, event_type, COUNT(*) n FROM events GROUP BY 1, 2),
+types AS (SELECT DISTINCT event_type FROM events),
+u1 AS (SELECT DISTINCT user_id FROM base),
+u2 AS (SELECT DISTINCT user_id FROM base WHERE n % 7 != 0),
+grid AS (SELECT a.user_id, t.event_type FROM u1 a JOIN u2 b ON a.user_id = b.user_id
+         CROSS JOIN types t),
+g1 AS (SELECT g.user_id, g.event_type,
+              COALESCE(CAST(b.n % 3 AS INT), -1) gt FROM grid g
+       LEFT JOIN base b ON g.user_id = b.user_id AND g.event_type = b.event_type),
+g2 AS (SELECT g.user_id, g.event_type,
+              COALESCE(CAST((b.n + 1) % 3 AS INT), -1) gt FROM grid g
+       LEFT JOIN (SELECT * FROM base WHERE n % 7 != 0) b
+         ON g.user_id = b.user_id AND g.event_type = b.event_type)
+SELECT g1.gt AS left_gt, g2.gt AS right_gt, COUNT(*) AS n
+FROM g1 JOIN g2 ON g1.user_id = g2.user_id AND g1.event_type = g2.event_type
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def ld_matrix_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed LD matrix (ref statgen.py:3836) as sparse (pos_a,
+    pos_b, r): banded self-join on position bins, Pearson r over
+    mean-imputed calls — the BlockMatrix-free sparse form."""
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.misc import ld_matrix
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(
+        (F.count(F.lit(1)) % 3).cast("int").alias("GT")
+    )
+    mt0 = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="event_type", entry_fields=["GT"]
+    )
+    rows = mt0._df.select(
+        F.struct(
+            F.lit("c").alias("contig"), F.col("user_id").cast("int").alias("position")
+        ).alias("locus"),
+        F.col("__entries"),
+    )
+    mt = MatrixTable(rows, ("locus",), mt0._cols, mt0._col_key)
+    out = ld_matrix(mt, bp_window_size=25)
+    return (
+        out.select(
+            F.col("la")["position"].alias("pos_a"),
+            F.col("lb")["position"].alias("pos_b"),
+            F.round("r", 9).alias("r"),
+        )
+        .orderBy("pos_a", "pos_b")
+    )
+
+
+_LD_MATRIX_SQL = """
+WITH long AS (SELECT user_id, event_type, CAST(COUNT(*) % 3 AS INT) gt
+              FROM events GROUP BY 1, 2),
+types AS (SELECT DISTINCT event_type FROM events),
+users AS (SELECT DISTINCT user_id FROM long),
+imput AS (
+  SELECT u.user_id, t.event_type,
+         COALESCE(l.gt, AVG(l2.gt)) AS v
+  FROM users u CROSS JOIN types t
+  LEFT JOIN long l ON u.user_id = l.user_id AND t.event_type = l.event_type
+  LEFT JOIN long l2 ON u.user_id = l2.user_id
+  GROUP BY u.user_id, t.event_type, l.gt),
+pairs AS (
+  SELECT a.user_id pa, b.user_id pb, CORR(a.v, b.v) r
+  FROM imput a JOIN imput b
+    ON a.event_type = b.event_type
+   AND b.user_id > a.user_id AND b.user_id - a.user_id <= 25
+  GROUP BY 1, 2)
+SELECT CAST(pa AS INT) AS pos_a, CAST(pb AS INT) AS pos_b, ROUND(r, 9) AS r
+FROM pairs WHERE r IS NOT NULL ORDER BY pos_a, pos_b
+"""
+
+
 def vds_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VDS to_dense_mt (ref vds/methods.py to_dense_mt): a sparse
     gVCF-shaped dataset synthesized from events — variant sites at
@@ -2060,6 +2156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_qc_stats": sample_qc_q,
         "king_kinship": king_kinship,
         "split_multi_sites": split_multi_sites,
+        "concordance_counts": concordance_counts,
+        "ld_matrix_window": ld_matrix_window,
         "scalar_battery": scalar_battery,
         "collection_battery": collection_battery,
         "multiway_zip_join": multiway_zip_q,
@@ -2120,6 +2218,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_qc_stats": _SAMPLE_QC_SQL,
         "king_kinship": _KING_SQL,
         "split_multi_sites": _SPLIT_MULTI_SQL,
+        "concordance_counts": _CONCORDANCE_SQL,
+        "ld_matrix_window": _LD_MATRIX_SQL,
         "scalar_battery": _SCALAR_SQL,
         "collection_battery": _COLLECTION_SQL,
         "multiway_zip_join": _MULTIWAY_SQL,

@@ -151,9 +151,10 @@ def concordance(mt1: MatrixTable, mt2: MatrixTable) -> DataFrame:
     """Global dosage concordance (ref qc.py:360 simplified): inner-join
     rows on row key, shared samples matched by name; returns one row
     per (left_gt, right_gt) in {-1 missing, 0, 1, 2} with counts."""
-    shared = [s["s"] for s in mt1._cols if s["s"] in {c["s"] for c in mt2._cols}]
-    i1 = {c["s"]: i for i, c in enumerate(mt1._cols)}
-    i2 = {c["s"]: i for i, c in enumerate(mt2._cols)}
+    k1, k2 = mt1._col_key[0], mt2._col_key[0]
+    shared = [s[k1] for s in mt1._cols if s[k1] in {c[k2] for c in mt2._cols}]
+    i1 = {c[k1]: i for i, c in enumerate(mt1._cols)}
+    i2 = {c[k2]: i for i, c in enumerate(mt2._cols)}
     key = list(mt1._row_key)
     a = mt1._df.select(
         *key,
