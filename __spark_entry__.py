@@ -1377,6 +1377,93 @@ FROM pairs WHERE r IS NOT NULL ORDER BY pos_a, pos_b
 """
 
 
+def mendel_errors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autosomal Mendel errors per variant (ref family_methods.py:130):
+    trio gather is an index projection (no shuffle); the error predicate
+    is one Column expression over (kid, dad, mom) GTs."""
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.genetics import mendel_errors
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(
+        (F.count(F.lit(1)) % 3).cast("int").alias("GT")
+    ).withColumnRenamed("event_type", "s")
+    mt = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="s", entry_fields=["GT"]
+    )
+    fam = spark.createDataFrame(
+        [
+            {"fam_id": "f1", "id": "click", "pat_id": "view", "mat_id": "purchase", "is_female": False},
+            {"fam_id": "f2", "id": "error", "pat_id": "signup", "mat_id": "click", "is_female": True},
+        ]
+    )
+    out = mendel_errors(mt, fam)
+    return out.select("user_id", "n_errors").orderBy("user_id")
+
+
+_MENDEL_SQL = """
+WITH long AS (SELECT user_id, event_type, CAST(COUNT(*) % 3 AS INT) gt
+              FROM events GROUP BY 1, 2),
+trio AS (SELECT 'click' kid, 'view' dad, 'purchase' mom
+         UNION ALL SELECT 'error', 'signup', 'click'),
+users AS (SELECT DISTINCT user_id FROM long),
+j AS (
+  SELECT u.user_id, k.gt kgt, d.gt dgt, m.gt mgt
+  FROM users u CROSS JOIN trio t
+  LEFT JOIN long k ON k.user_id = u.user_id AND k.event_type = t.kid
+  LEFT JOIN long d ON d.user_id = u.user_id AND d.event_type = t.dad
+  LEFT JOIN long m ON m.user_id = u.user_id AND m.event_type = t.mom)
+SELECT user_id,
+  CAST(SUM(CASE WHEN kgt IS NOT NULL AND dgt IS NOT NULL AND mgt IS NOT NULL AND (
+       (dgt = 0 AND mgt = 0 AND kgt > 0) OR
+       (dgt = 2 AND mgt = 2 AND kgt < 2) OR
+       (dgt = 0 AND mgt = 2 AND kgt != 1) OR
+       (dgt = 2 AND mgt = 0 AND kgt != 1) OR
+       (dgt = 0 AND mgt = 1 AND kgt = 2) OR
+       (dgt = 1 AND mgt = 0 AND kgt = 2) OR
+       (dgt = 2 AND mgt = 1 AND kgt = 0) OR
+       (dgt = 1 AND mgt = 2 AND kgt = 0)) THEN 1 ELSE 0 END) AS INT) AS n_errors
+FROM j GROUP BY user_id ORDER BY user_id
+"""
+
+
+def hist_downsample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg.hist (ref aggregators.py:1424) per event_type over value:
+    fixed bin buffers with map-side partials — no per-group collect."""
+    from hail_spark.expr import aggregators as agg
+
+    ev = _t(spark, sf_dir, "events").df
+    h = ev.groupBy("event_type").agg(
+        agg.hist(F.col("value"), 0.0, 100.0, 10).alias("h")
+    )
+    return h.select(
+        "event_type",
+        _arr_str(F.col("h.bin_freq")).alias("bin_freq"),
+        F.col("h.n_smaller").alias("n_smaller"),
+        F.col("h.n_larger").alias("n_larger"),
+    ).orderBy("event_type")
+
+
+_HIST_SQL = """
+WITH b AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+types AS (SELECT DISTINCT event_type FROM b),
+bins AS (SELECT UNNEST(range(10)) AS bin),
+counts AS (
+  SELECT t.event_type, g.bin,
+         (SELECT COUNT(*) FROM b
+          WHERE b.event_type = t.event_type AND b.value >= 0 AND b.value <= 100
+            AND (CASE WHEN b.value = 100.0 THEN 9
+                      ELSE CAST(FLOOR(b.value / 10.0) AS INT) END) = g.bin) AS cnt
+  FROM types t CROSS JOIN bins g)
+SELECT t.event_type,
+  (SELECT string_agg(CAST(CAST(cnt AS DECIMAL(18,2)) AS VARCHAR), ',' ORDER BY bin)
+   FROM counts c WHERE c.event_type = t.event_type) AS bin_freq,
+  (SELECT COUNT(*) FROM b WHERE b.event_type = t.event_type AND value < 0) AS n_smaller,
+  (SELECT COUNT(*) FROM b WHERE b.event_type = t.event_type AND value > 100) AS n_larger
+FROM types t ORDER BY event_type
+"""
+
+
 def vds_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VDS to_dense_mt (ref vds/methods.py to_dense_mt): a sparse
     gVCF-shaped dataset synthesized from events — variant sites at
@@ -2158,6 +2245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_multi_sites": split_multi_sites,
         "concordance_counts": concordance_counts,
         "ld_matrix_window": ld_matrix_window,
+        "mendel_errors_by_variant": mendel_errors_q,
+        "hist_by_type": hist_downsample_q,
         "scalar_battery": scalar_battery,
         "collection_battery": collection_battery,
         "multiway_zip_join": multiway_zip_q,
@@ -2220,6 +2309,8 @@ def oracle_sql() -> dict[str, str]:
         "split_multi_sites": _SPLIT_MULTI_SQL,
         "concordance_counts": _CONCORDANCE_SQL,
         "ld_matrix_window": _LD_MATRIX_SQL,
+        "mendel_errors_by_variant": _MENDEL_SQL,
+        "hist_by_type": _HIST_SQL,
         "scalar_battery": _SCALAR_SQL,
         "collection_battery": _COLLECTION_SQL,
         "multiway_zip_join": _MULTIWAY_SQL,
