@@ -166,6 +166,23 @@ def array_sum(expr) -> Column:
     )
 
 
+def ndarray_sum(expr) -> Column:
+    """Elementwise sum of ndarray-struct values (ref aggregators.py:972
+    `hl.agg.ndarray_sum`): shapes must agree; result keeps the shape and
+    sums data arrays. Same zip_with fold shape as array_sum."""
+    x = _c(expr)
+    datas = F.collect_list(x["data"])
+    shape = F.first(x["shape"], ignorenulls=True)
+    summed = F.aggregate(
+        datas,
+        F.expr("cast(array() as array<double>)"),
+        lambda acc, a: F.when(F.size(acc) == 0, a.cast("array<double>")).otherwise(
+            F.zip_with(acc, a, lambda l, r: l + r)
+        ),
+    )
+    return F.struct(shape.alias("shape"), summed.alias("data"))
+
+
 def approx_quantiles(expr, qs, accuracy: int = 10000) -> Column:
     """KLL-sketch analogue via Spark's GK percentile_approx
     (ref ApproxCDFAggregator.scala; matches within error bounds)."""

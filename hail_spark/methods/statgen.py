@@ -311,6 +311,84 @@ def logistic_regression_rows(
     return mt._df.select(*row_key, ENTRIES).mapInPandas(run, schema=schema)
 
 
+def pca(
+    mt: MatrixTable,
+    x_field: str = "GT",
+    k: int = 10,
+    compute_loadings: bool = False,
+    center: bool = True,
+):
+    """General PCA over an arbitrary entry field (ref pca.py:100
+    `hl.pca`): missing entries mean-imputed per row, optional per-row
+    centering, NO variance standardization (that's hwe_normalized_pca's
+    job). Same one-pass s×s gram accumulation; returns (eigenvalues,
+    scores_df, loadings_df)."""
+    n = len(mt._cols)
+    spark = mt._df.sparkSession
+
+    def gram(batches):
+        G = np.zeros((n, n))
+        n_rows = 0
+        for pdf in batches:
+            X = _entry_matrix(pdf[ENTRIES], x_field, n)
+            n_rows += len(pdf)
+            mean = np.nanmean(X, axis=1)
+            idx = np.where(np.isnan(X))
+            X[idx] = np.take(mean, idx[0])
+            if center:
+                X = X - mean[:, None]
+            G += X.T @ X
+            G = np.nan_to_num(G, copy=False)
+        yield pd.DataFrame([{"g": G.ravel().tolist(), "nr": n_rows}])
+
+    parts = mt._df.select(ENTRIES).mapInPandas(
+        gram, schema="g array<double>, nr long"
+    ).collect()
+    G = np.zeros((n, n))
+    for r in parts:
+        G += np.asarray(r["g"]).reshape(n, n)
+    evals, evecs = np.linalg.eigh(G)
+    order = np.argsort(evals)[::-1][:k]
+    evals_k = evals[order]
+    V = evecs[:, order]
+    scores = V * np.sqrt(np.maximum(evals_k, 0.0))
+    scores_df = spark.createDataFrame(
+        [
+            {**{kf: c[kf] for kf in mt._col_key}, "scores": scores[i].tolist()}
+            for i, c in enumerate(mt._cols)
+        ]
+    )
+    loadings_df = None
+    if compute_loadings:
+        bV = spark.sparkContext.broadcast(
+            V / np.sqrt(np.maximum(evals_k, 1e-300))
+        )
+        row_key = list(mt._row_key)
+
+        def load(batches):
+            V_ = bV.value
+            for pdf in batches:
+                X = _entry_matrix(pdf[ENTRIES], x_field, n)
+                mean = np.nanmean(X, axis=1)
+                idx = np.where(np.isnan(X))
+                X[idx] = np.take(mean, idx[0])
+                if center:
+                    X = X - mean[:, None]
+                out = pdf[row_key].copy()
+                out["loadings"] = [r.tolist() for r in (X @ V_)]
+                yield out
+
+        key_fields = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in mt._df.schema.fields
+            if f.name in row_key
+        )
+        loadings_df = mt._df.select(*row_key, ENTRIES).mapInPandas(
+            load, schema=f"{key_fields}, loadings array<double>"
+        )
+    return [float(v) for v in evals_k], scores_df, loadings_df
+
+
 def hwe_normalized_pca(
     mt: MatrixTable,
     k: int = 10,

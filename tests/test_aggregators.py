@@ -58,3 +58,54 @@ def test_linreg_agg_skips_missing(spark):
     df = spark.createDataFrame(rows, "y double, x double")
     r = df.agg(agg.linreg(F.col("y"), [F.lit(1.0), F.col("x")]).alias("lr")).collect()[0]["lr"]
     assert r["n"] == 3
+
+
+def test_ndarray_sum_agg(spark):
+    import numpy as np
+
+    from hail_spark.expr import aggregators as agg
+    from hail_spark.expr import ndarray as nd
+
+    mats = [np.arange(6).reshape(2, 3) * (i + 1.0) for i in range(4)]
+    rows = [
+        {"g": i % 2, "shape": [2, 3], "data": m.ravel().tolist()}
+        for i, m in enumerate(mats)
+    ]
+    df = spark.createDataFrame(rows, "g int, shape array<bigint>, data array<double>")
+    df = df.select("g", F.struct("shape", "data").alias("nd"))
+    out = {
+        r["g"]: r["s"]
+        for r in df.groupBy("g").agg(agg.ndarray_sum(F.col("nd")).alias("s")).collect()
+    }
+    np.testing.assert_allclose(
+        np.array(out[0]["data"]).reshape(2, 3), mats[0] + mats[2]
+    )
+    np.testing.assert_allclose(
+        np.array(out[1]["data"]).reshape(2, 3), mats[1] + mats[3]
+    )
+    assert out[0]["shape"] == [2, 3]
+
+
+def test_general_pca(spark):
+    import numpy as np
+
+    from hail_spark.matrixtable import ENTRIES, MatrixTable
+    from hail_spark.methods.statgen import pca
+
+    rng = np.random.default_rng(8)
+    X = rng.normal(size=(50, 6))
+    rows = [
+        {"vid": i, ENTRIES: [{"x": float(X[i, j])} for j in range(6)]}
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, f"vid int, {ENTRIES} array<struct<x: double>>")
+    mt = MatrixTable(df, ("vid",), [{"s": f"S{j}"} for j in range(6)], ("s",))
+    evals, scores_df, loadings_df = pca(mt, "x", k=3, compute_loadings=True)
+    Xc = X - X.mean(axis=1, keepdims=True)
+    want = np.sort(np.linalg.eigvalsh(Xc.T @ Xc))[::-1][:3]
+    np.testing.assert_allclose(evals, want, rtol=1e-8)
+    S = np.array([r["scores"] for r in scores_df.orderBy("s").collect()])
+    np.testing.assert_allclose(np.diag(S.T @ S), want, rtol=1e-6)
+    L = np.array([r["loadings"] for r in loadings_df.orderBy("vid").collect()])
+    # loadings orthonormal: L^T L = I
+    np.testing.assert_allclose(L.T @ L, np.eye(3), atol=1e-8)
