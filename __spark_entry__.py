@@ -1464,6 +1464,63 @@ FROM types t ORDER BY event_type
 """
 
 
+def import_table_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """import_table round-trip through the gate (ref impex.py:1548):
+    export a deterministic slice of lineitem as TSV (with NA missing
+    sentinels), re-import with impute=True, aggregate the imputed-typed
+    columns. The oracle replays the same slice/agg off parquet —
+    matching results prove the text parse + type impute."""
+    import os
+    import tempfile
+
+    from hail_spark.io.impex import import_table
+
+    li = _t(spark, sf_dir, "lineitem").df
+    sl = li.filter(F.col("l_orderkey") % 100 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_linenumber") == 1, F.lit(None)).otherwise(
+            F.col("l_quantity").cast("double")
+        ).alias("qty"),
+        F.col("l_returnflag").alias("flag"),
+    )
+    d = os.path.join(tempfile.gettempdir(), "sparkgraft_import_table")
+    (
+        sl.coalesce(1)
+        .write.mode("overwrite")
+        .option("sep", "\t")
+        .option("header", "true")
+        .option("nullValue", "NA")
+        .csv(d)
+    )
+    t = import_table(spark, d + "/*.csv", delimiter="\t", impute=True)
+    dt = dict(t.df.dtypes)
+    assert dt["l_orderkey"] in ("int", "bigint") and dt["qty"] == "double", dt
+    return (
+        t.df.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("qty").alias("n_qty"),
+            F.round(F.sum("qty"), 2).alias("sum_qty"),
+            F.sum("l_orderkey").cast("bigint").alias("sum_key"),
+        )
+        .orderBy("flag")
+    )
+
+
+_IMPORT_TABLE_SQL = """
+WITH sl AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_linenumber = 1 THEN NULL
+              ELSE CAST(l_quantity AS DOUBLE) END AS qty,
+         l_returnflag AS flag
+  FROM lineitem WHERE l_orderkey % 100 = 0)
+SELECT flag, COUNT(*) AS n_rows, COUNT(qty) AS n_qty,
+       ROUND(SUM(qty), 2) AS sum_qty, CAST(SUM(l_orderkey) AS BIGINT) AS sum_key
+FROM sl GROUP BY flag ORDER BY flag
+"""
+
+
 def vds_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VDS to_dense_mt (ref vds/methods.py to_dense_mt): a sparse
     gVCF-shaped dataset synthesized from events — variant sites at
@@ -2247,6 +2304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ld_matrix_window": ld_matrix_window,
         "mendel_errors_by_variant": mendel_errors_q,
         "hist_by_type": hist_downsample_q,
+        "import_table_impute": import_table_impute,
         "scalar_battery": scalar_battery,
         "collection_battery": collection_battery,
         "multiway_zip_join": multiway_zip_q,
@@ -2311,6 +2369,7 @@ def oracle_sql() -> dict[str, str]:
         "ld_matrix_window": _LD_MATRIX_SQL,
         "mendel_errors_by_variant": _MENDEL_SQL,
         "hist_by_type": _HIST_SQL,
+        "import_table_impute": _IMPORT_TABLE_SQL,
         "scalar_battery": _SCALAR_SQL,
         "collection_battery": _COLLECTION_SQL,
         "multiway_zip_join": _MULTIWAY_SQL,
