@@ -1521,6 +1521,67 @@ FROM sl GROUP BY flag ORDER BY flag
 """
 
 
+def vcf_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """export_vcf → import_vcf round-trip through the gate (ref
+    LoadVCF.scala / ExportVCF.scala): an events-derived call matrix is
+    written as VCF text and re-parsed by the Catalyst line parser; the
+    oracle replays the per-sample aggregate straight off parquet."""
+    import os
+    import tempfile
+
+    from hail_spark.io.vcf import export_vcf, import_vcf
+    from hail_spark.matrixtable import ENTRIES, MatrixTable
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(
+        (F.count(F.lit(1)) % 3).cast("int").alias("gt")
+    )
+    types = sorted(r["event_type"] for r in long.select("event_type").distinct().collect())
+    tmap = F.create_map(*[x for i, t in enumerate(types) for x in (F.lit(t), F.lit(i))])
+    gta = F.array(
+        F.when(F.col("gt") >= 1, 1).otherwise(0),
+        F.when(F.col("gt") == 2, 1).otherwise(0),
+    )
+    entry = F.struct(
+        F.col("gt").alias("GT"), gta.alias("GTA"), F.lit(False).alias("phased")
+    )
+    g = long.select(
+        "user_id", tmap[F.col("event_type")].alias("__i"), entry.alias("__e")
+    ).groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("__i", "__e"))).alias("__m")
+    )
+    rows = g.select(
+        F.struct(F.lit("1").alias("contig"), F.col("user_id").cast("int").alias("position")).alias("locus"),
+        F.array(F.lit("A"), F.lit("T")).alias("alleles"),
+        F.lit(None).cast("string").alias("rsid"),
+        F.lit(None).cast("double").alias("qual"),
+        F.lit(None).cast("array<string>").alias("filters"),
+        F.transform(F.sequence(F.lit(0), F.lit(len(types) - 1)), lambda i: F.col("__m")[i]).alias(ENTRIES),
+    )
+    mt = MatrixTable(rows, ("locus", "alleles"), [{"s": t} for t in types], ("s",))
+    d = os.path.join(tempfile.gettempdir(), "sparkgraft_vcf_rt")
+    export_vcf(mt, d)
+    back = import_vcf(spark, d + "/part-*")
+    long2 = back.entries().df
+    return (
+        long2.filter(F.col("GT").isNotNull())
+        .groupBy(F.col("s").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_called"),
+            F.sum("GT").cast("bigint").alias("sum_gt"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_VCF_RT_SQL = """
+WITH long AS (SELECT user_id, event_type, CAST(COUNT(*) % 3 AS INT) gt
+              FROM events GROUP BY 1, 2)
+SELECT event_type, COUNT(*) AS n_called, CAST(SUM(gt) AS BIGINT) AS sum_gt
+FROM long GROUP BY event_type ORDER BY event_type
+"""
+
+
 def vds_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VDS to_dense_mt (ref vds/methods.py to_dense_mt): a sparse
     gVCF-shaped dataset synthesized from events — variant sites at
@@ -2305,6 +2366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mendel_errors_by_variant": mendel_errors_q,
         "hist_by_type": hist_downsample_q,
         "import_table_impute": import_table_impute,
+        "vcf_round_trip": vcf_round_trip,
         "scalar_battery": scalar_battery,
         "collection_battery": collection_battery,
         "multiway_zip_join": multiway_zip_q,
@@ -2370,6 +2432,7 @@ def oracle_sql() -> dict[str, str]:
         "mendel_errors_by_variant": _MENDEL_SQL,
         "hist_by_type": _HIST_SQL,
         "import_table_impute": _IMPORT_TABLE_SQL,
+        "vcf_round_trip": _VCF_RT_SQL,
         "scalar_battery": _SCALAR_SQL,
         "collection_battery": _COLLECTION_SQL,
         "multiway_zip_join": _MULTIWAY_SQL,
