@@ -1582,6 +1582,113 @@ FROM long GROUP BY event_type ORDER BY event_type
 """
 
 
+def impute_sex_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """impute_sex (ref statgen.py:73): per-sample X inbreeding F over an
+    events-derived X-chromosome call matrix; map-only accumulation."""
+    from hail_spark.matrixtable import ENTRIES, MatrixTable
+    from hail_spark.methods.genetics import impute_sex
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(
+        (F.count(F.lit(1)) % 3).cast("int").alias("GT")
+    ).withColumnRenamed("event_type", "s")
+    mt0 = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="s", entry_fields=["GT"]
+    )
+    rows = mt0._df.select(
+        F.struct(
+            F.lit("X").alias("contig"), F.col("user_id").cast("int").alias("position")
+        ).alias("locus"),
+        F.col(ENTRIES),
+    )
+    mt = MatrixTable(rows, ("locus",), mt0._cols, mt0._col_key)
+    out = impute_sex(mt)
+    return out.select(
+        F.col("s").alias("event_type"),
+        "is_female",
+        F.round("f_stat", 9).alias("f_stat"),
+        "n_called",
+    ).orderBy("event_type")
+
+
+_IMPUTE_SEX_SQL = """
+WITH long AS (SELECT user_id, event_type, CAST(COUNT(*) % 3 AS INT) gt
+              FROM events GROUP BY 1, 2),
+af AS (SELECT user_id, AVG(gt) / 2.0 p FROM long GROUP BY user_id),
+keep AS (SELECT user_id, p FROM af WHERE p > 0 AND p < 1),
+per AS (
+  SELECT l.event_type,
+         SUM(CASE WHEN l.gt IN (0, 2) THEN 1 ELSE 0 END) obs,
+         SUM(1.0 - 2.0 * k.p * (1.0 - k.p)) exp,
+         COUNT(*) n
+  FROM long l JOIN keep k ON l.user_id = k.user_id
+  GROUP BY 1)
+SELECT event_type,
+       CASE WHEN (obs - exp) / (n - exp) <= 0.2 THEN TRUE
+            WHEN (obs - exp) / (n - exp) >= 0.8 THEN FALSE
+            ELSE NULL END AS is_female,
+       ROUND((obs - exp) / (n - exp), 9) AS f_stat,
+       CAST(n AS BIGINT) AS n_called
+FROM per ORDER BY event_type
+"""
+
+
+def tdt_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TDT transmission counts (ref family_methods.py:377): fold over
+    trio entries in codegen; compares t/u/χ² (the p-value finalizer is
+    engine-only — DuckDB has no χ² CDF)."""
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.genetics import transmission_disequilibrium_test
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(
+        (F.count(F.lit(1)) % 3).cast("int").alias("GT")
+    ).withColumnRenamed("event_type", "s")
+    mt = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="s", entry_fields=["GT"]
+    )
+    fam = spark.createDataFrame(
+        [
+            {"fam_id": "f1", "id": "click", "pat_id": "view", "mat_id": "purchase", "is_female": False},
+            {"fam_id": "f2", "id": "error", "pat_id": "signup", "mat_id": "click", "is_female": True},
+        ]
+    )
+    out = transmission_disequilibrium_test(mt, fam)
+    return (
+        out.filter(F.col("t") + F.col("u") > 0)
+        .select("user_id", "t", "u", F.round("chi_sq", 9).alias("chi_sq"))
+        .orderBy("user_id")
+    )
+
+
+_TDT_SQL = """
+WITH long AS (SELECT user_id, event_type, CAST(COUNT(*) % 3 AS INT) gt
+              FROM events GROUP BY 1, 2),
+trio AS (SELECT 'click' kid, 'view' dad, 'purchase' mom
+         UNION ALL SELECT 'error', 'signup', 'click'),
+j AS (
+  SELECT u.user_id, k.gt kgt, d.gt dgt, m.gt mgt
+  FROM (SELECT DISTINCT user_id FROM long) u CROSS JOIN trio t
+  LEFT JOIN long k ON k.user_id = u.user_id AND k.event_type = t.kid
+  LEFT JOIN long d ON d.user_id = u.user_id AND d.event_type = t.dad
+  LEFT JOIN long m ON m.user_id = u.user_id AND m.event_type = t.mom),
+tu AS (
+  SELECT user_id,
+    CAST(SUM(CASE WHEN dgt=1 AND mgt=1 AND kgt=1 THEN 1 WHEN dgt=1 AND mgt=1 AND kgt=2 THEN 2
+             WHEN dgt=1 AND mgt=0 AND kgt=1 THEN 1 WHEN dgt=0 AND mgt=1 AND kgt=1 THEN 1
+             WHEN dgt=1 AND mgt=2 AND kgt=2 THEN 1 WHEN dgt=2 AND mgt=1 AND kgt=2 THEN 1
+             ELSE 0 END) AS INT) t,
+    CAST(SUM(CASE WHEN dgt=1 AND mgt=1 AND kgt=0 THEN 2 WHEN dgt=1 AND mgt=1 AND kgt=1 THEN 1
+             WHEN dgt=1 AND mgt=0 AND kgt=0 THEN 1 WHEN dgt=0 AND mgt=1 AND kgt=0 THEN 1
+             WHEN dgt=1 AND mgt=2 AND kgt=1 THEN 1 WHEN dgt=2 AND mgt=1 AND kgt=1 THEN 1
+             ELSE 0 END) AS INT) u
+  FROM j GROUP BY user_id)
+SELECT user_id, t, u,
+       ROUND(CAST(t - u AS DOUBLE) * (t - u) / (t + u), 9) AS chi_sq
+FROM tu WHERE t + u > 0 ORDER BY user_id
+"""
+
+
 def vds_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VDS to_dense_mt (ref vds/methods.py to_dense_mt): a sparse
     gVCF-shaped dataset synthesized from events — variant sites at
@@ -2367,6 +2474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_by_type": hist_downsample_q,
         "import_table_impute": import_table_impute,
         "vcf_round_trip": vcf_round_trip,
+        "impute_sex_stats": impute_sex_q,
+        "tdt_counts": tdt_counts,
         "scalar_battery": scalar_battery,
         "collection_battery": collection_battery,
         "multiway_zip_join": multiway_zip_q,
@@ -2433,6 +2542,8 @@ def oracle_sql() -> dict[str, str]:
         "hist_by_type": _HIST_SQL,
         "import_table_impute": _IMPORT_TABLE_SQL,
         "vcf_round_trip": _VCF_RT_SQL,
+        "impute_sex_stats": _IMPUTE_SEX_SQL,
+        "tdt_counts": _TDT_SQL,
         "scalar_battery": _SCALAR_SQL,
         "collection_battery": _COLLECTION_SQL,
         "multiway_zip_join": _MULTIWAY_SQL,
