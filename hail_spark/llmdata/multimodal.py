@@ -156,6 +156,42 @@ def image_embed(df: DataFrame, dim: int = 16) -> DataFrame:
     )
 
 
+def image_resize(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Decode → nearest-neighbor resize → re-encode (raw bytes) — the
+    resize-for-training plumbing. The decode is stubbed (8×8×3 fake)
+    but the resize math and the binary-out Arrow batch shape are real:
+    swap ``_decode_image_stub`` for PIL and the operator is production
+    code. Output: (asset_id, content binary, width, height)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                try:
+                    arr = _decode_image_stub(bytes(content))
+                except ValueError:
+                    out.append(
+                        {"asset_id": aid, "content": None, "width": None, "height": None}
+                    )
+                    continue
+                ys = (np.arange(height) * arr.shape[0] // height).clip(0, arr.shape[0] - 1)
+                xs = (np.arange(width) * arr.shape[1] // width).clip(0, arr.shape[1] - 1)
+                resized = arr[ys][:, xs]
+                out.append(
+                    {
+                        "asset_id": aid,
+                        "content": resized.tobytes(),
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("asset_id", "content").mapInPandas(
+        run, schema="asset_id bigint, content binary, width int, height int"
+    )
+
+
 def audio_features(df: DataFrame, frame: int = 512) -> DataFrame:
     """Waveform → per-asset RMS energy + zero-crossing rate (real DSP on
     the stub waveform; swap decode for librosa and nothing changes)."""

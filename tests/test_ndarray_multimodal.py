@@ -220,3 +220,24 @@ def test_blockmatrix_svd(spark):
     np.testing.assert_allclose(Un.T @ Un, np.eye(6), atol=1e-8)
     s_only = bm.svd(compute_uv=False)
     np.testing.assert_allclose(s_only, s, atol=1e-12)
+
+
+def test_image_resize(spark):
+    import numpy as np
+
+    from hail_spark.llmdata import multimodal as mm
+
+    rows = [
+        {"asset_id": i, "content": bytes([i] * 32), "meta": "{}"} for i in range(1, 4)
+    ]
+    df = mm.make_asset_table(spark, rows, "image")
+    out = {r["asset_id"]: r for r in mm.image_resize(df, 4, 6).collect()}
+    assert len(out) == 3
+    for aid, r in out.items():
+        assert r["width"] == 4 and r["height"] == 6
+        arr = np.frombuffer(bytes(r["content"]), dtype=np.uint8).reshape(6, 4, 3)
+        # resize of the deterministic stub: spot-check nearest-neighbor math
+        src = mm._decode_image_stub(bytes([aid] * 32))
+        ys = (np.arange(6) * 8 // 6).clip(0, 7)
+        xs = (np.arange(4) * 8 // 4).clip(0, 7)
+        np.testing.assert_array_equal(arr, src[ys][:, xs])
