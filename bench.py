@@ -23,6 +23,14 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
+    # warm the JVM/codegen/scan caches so the first timed query doesn't
+    # absorb session startup (q1 was paying ~2s of warmup)
+    spark.range(1000).selectExpr("sum(id)").write.mode("overwrite").format(
+        "noop"
+    ).save()
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(
+        1
+    ).write.mode("overwrite").format("noop").save()
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         t0 = time.time()
