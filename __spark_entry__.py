@@ -2423,6 +2423,299 @@ ORDER BY k
 """
 
 
+def linreg_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linear_regression_rows (ref statgen.py:235): per-variant OLS of a
+    per-sample phenotype on mean-imputed genotype, intercept-only
+    covariates. Engine side is the QR-projected Arrow-batched kernel;
+    the oracle replays the closed-form sufficient statistics (missing
+    entries mean-imputed ⇒ contribute zero to Sxx/Sxy)."""
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.statgen import linear_regression_rows
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(
+        (F.count(F.lit(1)) % 5).cast("int").alias("GT")
+    )
+    mt = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="event_type", entry_fields=["GT"]
+    )
+    y = [float(i) for i in range(len(mt._cols))]  # phenotype = col rank
+    out = linear_regression_rows(mt, y)
+    return (
+        out.filter(
+            ~F.isnan("t_stat")
+            & F.col("t_stat").isNotNull()
+            & (F.col("standard_error") > 0)  # drop perfect-fit rows (t = ±inf)
+        )
+        .select(
+            "user_id",
+            "n",
+            F.round("sum_x", 6).alias("sum_x"),
+            F.round("beta", 6).alias("beta"),
+            F.round("standard_error", 6).alias("standard_error"),
+            F.round("t_stat", 6).alias("t_stat"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_LINREG_SQL = """
+WITH long AS (SELECT user_id, event_type, CAST(COUNT(*) % 5 AS INT) gt
+              FROM events GROUP BY 1, 2),
+types AS (SELECT event_type, DENSE_RANK() OVER (ORDER BY event_type) - 1 AS y
+          FROM (SELECT DISTINCT event_type FROM long)),
+nn AS (SELECT COUNT(*) nt, (COUNT(*) - 1) / 2.0 ybar,
+              COUNT(*) * (COUNT(*) * COUNT(*) - 1) / 12.0 syy
+       FROM types),
+pres AS (SELECT l.user_id, CAST(l.gt AS DOUBLE) gt, CAST(t.y AS DOUBLE) y
+         FROM long l JOIN types t USING (event_type)),
+mu AS (SELECT user_id, AVG(gt) mu FROM pres GROUP BY user_id),
+s AS (SELECT p.user_id,
+             SUM((p.gt - m.mu) * (p.gt - m.mu)) sxx,
+             SUM((p.gt - m.mu) * (p.y - (SELECT ybar FROM nn))) sxy
+      FROM pres p JOIN mu m USING (user_id) GROUP BY p.user_id)
+SELECT s.user_id,
+       CAST((SELECT nt FROM nn) AS INT) AS n,
+       ROUND(m.mu * (SELECT nt FROM nn), 6) AS sum_x,
+       ROUND(sxy / sxx, 6) AS beta,
+       ROUND(SQRT(((SELECT syy FROM nn) - (sxy / sxx) * sxy)
+                  / ((SELECT nt FROM nn) - 2) / sxx), 6) AS standard_error,
+       ROUND((sxy / sxx) / SQRT(((SELECT syy FROM nn) - (sxy / sxx) * sxy)
+                  / ((SELECT nt FROM nn) - 2) / sxx), 6) AS t_stat
+FROM s JOIN mu m USING (user_id)
+WHERE sxx > 1e-6
+  AND (SELECT syy FROM nn) - (sxy / sxx) * sxy > 1e-9
+ORDER BY user_id
+"""
+
+
+def de_novo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """de_novo candidates (ref family_methods.py:564): kid het, parents
+    hom-ref, kid depth gate — trio gather is an index projection over
+    the entries array (no shuffle)."""
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.genetics import de_novo_candidates
+
+    ev = _t(spark, sf_dir, "events").df
+    long = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("s"),
+            (F.col("n") % 3).cast("int").alias("GT"),
+            (F.col("n") % 10 + 2).cast("int").alias("DP"),
+        )
+    )
+    mt = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="s", entry_fields=["GT", "DP"]
+    )
+    fam = spark.createDataFrame(
+        [
+            {"fam_id": "f1", "id": "click", "pat_id": "view", "mat_id": "purchase", "is_female": False},
+            {"fam_id": "f2", "id": "error", "pat_id": "signup", "mat_id": "click", "is_female": True},
+        ]
+    )
+    out = de_novo_candidates(mt, fam, min_kid_dp=6)
+    return out.orderBy("user_id", "id")
+
+
+_DE_NOVO_SQL = """
+WITH long AS (SELECT user_id, event_type, COUNT(*) n FROM events GROUP BY 1, 2),
+cells AS (SELECT user_id, event_type, CAST(n % 3 AS INT) gt,
+                 CAST(n % 10 + 2 AS INT) dp FROM long),
+trio AS (SELECT 'click' kid, 'view' dad, 'purchase' mom
+         UNION ALL SELECT 'error', 'signup', 'click')
+SELECT k.user_id, t.kid AS id
+FROM trio t
+JOIN cells k ON k.event_type = t.kid
+JOIN cells d ON d.user_id = k.user_id AND d.event_type = t.dad
+JOIN cells m ON m.user_id = k.user_id AND m.event_type = t.mom
+WHERE k.gt = 1 AND d.gt = 0 AND m.gt = 0 AND k.dp >= 6
+ORDER BY k.user_id, id
+"""
+
+
+def charr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """compute_charr contamination estimator (ref qc.py:1822): hom-var
+    ref-read fraction scaled by in-sample ref AF, filtered on GQ/DP —
+    one posexplode + groupBy(sample), same shape as sample_qc."""
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.qc import compute_charr
+
+    ev = _t(spark, sf_dir, "events").df
+    long = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            "event_type",
+            (F.col("n") % 3).cast("int").alias("GT"),
+            ((F.col("n") * 7) % 40 + 5).cast("int").alias("GQ"),
+            F.array(
+                ((F.col("n") * 3) % 12).cast("int"),
+                ((F.col("n") * 5) % 20 + 4).cast("int"),
+            ).alias("AD"),
+        )
+    )
+    mt = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="event_type",
+        entry_fields=["GT", "GQ", "AD"],
+    )
+    out = compute_charr(mt, min_dp=10, max_dp=100, min_gq=20)
+    return out.select(
+        "event_type", F.round("charr", 6).alias("charr")
+    ).orderBy("event_type")
+
+
+_CHARR_SQL = """
+WITH long AS (SELECT user_id, event_type, COUNT(*) n FROM events GROUP BY 1, 2),
+cells AS (SELECT user_id, event_type,
+                 CAST(n % 3 AS INT) gt,
+                 CAST((n * 7) % 40 + 5 AS INT) gq,
+                 CAST((n * 3) % 12 AS INT) ad0,
+                 CAST((n * 5) % 20 + 4 AS INT) ad1
+          FROM long),
+raf AS (SELECT user_id, 1.0 - SUM(gt) / CAST(2 * COUNT(*) AS DOUBLE) raf
+        FROM cells GROUP BY user_id),
+kept AS (
+  SELECT c.event_type,
+         (CAST(c.ad0 AS DOUBLE) / (c.ad0 + c.ad1)) / r.raf AS frac
+  FROM cells c JOIN raf r USING (user_id)
+  WHERE r.raf > 0.05 AND r.raf < 0.95
+    AND c.gt = 2 AND c.gq >= 20 AND c.ad0 + c.ad1 BETWEEN 10 AND 100),
+types AS (SELECT DISTINCT event_type FROM long)
+SELECT t.event_type, ROUND(AVG(k.frac), 6) AS charr
+FROM types t LEFT JOIN kept k USING (event_type)
+GROUP BY t.event_type ORDER BY t.event_type
+"""
+
+
+def summarize_alleles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """summarize_variants (ref qc.py:1725): allele-type census + ti/tv
+    over synthetic variants (one explode + hash-agg); the oracle replays
+    the expected classification arithmetically from the generator."""
+    from hail_spark.matrixtable import ENTRIES, MatrixTable
+    from hail_spark.methods.qc import summarize_variants
+
+    ev = _t(spark, sf_dir, "events").df
+    m = F.col("vid") % 6
+    alleles = (
+        F.when(m == 0, F.array(F.lit("A"), F.lit("G")))
+        .when(m == 1, F.array(F.lit("A"), F.lit("C")))
+        .when(m == 2, F.array(F.lit("A"), F.lit("AT")))
+        .when(m == 3, F.array(F.lit("AT"), F.lit("A")))
+        .when(m == 4, F.array(F.lit("AC"), F.lit("GT")))
+        .otherwise(F.array(F.lit("A"), F.lit("T"), F.lit("G")))
+    )
+    rows = ev.select(F.col("event_id").alias("vid")).distinct().select(
+        "vid",
+        alleles.alias("alleles"),
+        F.array().cast("array<struct<x:int>>").alias(ENTRIES),
+    )
+    mt = MatrixTable(rows, ("vid",), [], ())
+    s = summarize_variants(mt)
+    at = s["allele_types"]
+    return spark.createDataFrame(
+        [
+            {
+                "n_variants": s["n_variants"],
+                "n_alleles": s["n_alleles"],
+                "n_snp": at.get("SNP", 0),
+                "n_insertion": at.get("Insertion", 0),
+                "n_deletion": at.get("Deletion", 0),
+                "n_mnp": at.get("MNP", 0),
+                "r_ti_tv": round(s["r_ti_tv"], 6),
+            }
+        ],
+        "n_variants bigint, n_alleles bigint, n_snp bigint, n_insertion bigint, "
+        "n_deletion bigint, n_mnp bigint, r_ti_tv double",
+    )
+
+
+_SUMMARIZE_SQL = """
+WITH v AS (SELECT DISTINCT event_id, event_id % 6 AS m FROM events),
+c AS (SELECT
+        COUNT(*) AS n_variants,
+        SUM(CASE WHEN m = 5 THEN 2 ELSE 1 END) AS n_alleles,
+        SUM(CASE WHEN m IN (0, 1) THEN 1 WHEN m = 5 THEN 2 ELSE 0 END) AS n_snp,
+        SUM(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS n_insertion,
+        SUM(CASE WHEN m = 3 THEN 1 ELSE 0 END) AS n_deletion,
+        SUM(CASE WHEN m = 4 THEN 1 ELSE 0 END) AS n_mnp,
+        SUM(CASE WHEN m IN (0, 5) THEN 1 ELSE 0 END) AS n_ti,
+        SUM(CASE WHEN m IN (1, 5) THEN 1 ELSE 0 END) AS n_tv
+      FROM v)
+SELECT n_variants, n_alleles, n_snp, n_insertion, n_deletion, n_mnp,
+       ROUND(CAST(n_ti AS DOUBLE) / n_tv, 6) AS r_ti_tv
+FROM c
+"""
+
+
+def bm_band_matmul_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlockMatrix.sparsify_band then matmul (ref BlockMatrix.scala:591,
+    :950): band blocks outside the diagonal range are dropped before the
+    gemm, so the multiply only touches surviving blocks."""
+    from hail_spark.linalg import BlockMatrix
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a_long = li.groupBy(
+        (F.col("l_suppkey") % 24).alias("i"), (F.col("l_partkey") % 24).alias("j")
+    ).agg(F.sum("l_quantity").alias("v"))
+    A = BlockMatrix.from_long(a_long, 24, 24, block_size=8)
+    B = A.sparsify_band(-2, 3)
+    C = B.matmul(B)
+    return (
+        C.to_long()
+        .filter(F.abs(F.col("v")) > 1e-9)
+        .select("i", "j", F.round("v", 3).alias("v"))
+        .orderBy("i", "j")
+    )
+
+
+_BM_BAND_SQL = """
+WITH a AS (SELECT l_suppkey % 24 AS i, l_partkey % 24 AS j, sum(l_quantity) AS v
+           FROM lineitem GROUP BY 1, 2),
+b AS (SELECT i, j, v FROM a WHERE j - i BETWEEN -2 AND 3)
+SELECT x.i AS i, y.j AS j, round(sum(x.v * y.v), 3) AS v
+FROM b x JOIN b y ON x.j = y.i
+GROUP BY x.i, y.j HAVING abs(sum(x.v * y.v)) > 1e-9 ORDER BY 1, 2
+"""
+
+
+def approx_quantiles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.agg.approx_quantiles / approx_median (ref aggregators.py:1109,
+    ApproxCDFAggregator): GK sketch via percentile_approx. Run in the
+    exact regime (accuracy >> group size) so the DuckDB discrete
+    quantile replays it exactly."""
+    from hail_spark.expr import aggregators as agg
+
+    ev = _t(spark, sf_dir, "events").df
+    out = ev.groupBy("event_type").agg(
+        agg.approx_quantiles(F.col("value"), [0.1, 0.25, 0.75, 0.9], 1_000_000).alias("qs"),
+        agg.approx_median(F.col("value"), 1_000_000).alias("median"),
+        F.count("value").alias("n"),
+    )
+    return out.select(
+        "event_type",
+        F.col("qs")[0].alias("q10"),
+        F.col("qs")[1].alias("q25"),
+        F.col("qs")[3].alias("q90"),
+        "median",
+        "n",
+    ).orderBy("event_type")
+
+
+_APPROX_Q_SQL = """
+SELECT event_type,
+       quantile_disc(value, 0.1) AS q10,
+       quantile_disc(value, 0.25) AS q25,
+       quantile_disc(value, 0.9) AS q90,
+       quantile_disc(value, 0.5) AS median,
+       COUNT(value) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -2491,6 +2784,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "info_score_by_bucket": info_score_by_bucket,
         "liftover_loci": liftover_loci,
         "multimodal_pipeline": multimodal_pipeline,
+        "linreg_rows": linreg_rows_q,
+        "de_novo_calls": de_novo_q,
+        "charr_contamination": charr_q,
+        "summarize_alleles": summarize_alleles_q,
+        "bm_band_matmul": bm_band_matmul_q,
+        "approx_quantiles_by_type": approx_quantiles_q,
     }
 
 
@@ -2559,4 +2858,10 @@ def oracle_sql() -> dict[str, str]:
         "info_score_by_bucket": _INFO_SCORE_SQL,
         "liftover_loci": _LIFTOVER_SQL,
         "multimodal_pipeline": _multimodal_oracle_sql(),
+        "linreg_rows": _LINREG_SQL,
+        "de_novo_calls": _DE_NOVO_SQL,
+        "charr_contamination": _CHARR_SQL,
+        "summarize_alleles": _SUMMARIZE_SQL,
+        "bm_band_matmul": _BM_BAND_SQL,
+        "approx_quantiles_by_type": _APPROX_Q_SQL,
     }
