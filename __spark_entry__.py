@@ -2716,6 +2716,225 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def _tmp_base(prefix: str, sf_dir: str) -> str:
+    import hashlib
+
+    return f"/tmp/{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+
+
+def plink_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """export_plink → import_plink round trip (ref io/plink/
+    LoadPlink.scala, ExportPlink.scala): 2-bit SNP-major .bed encode and
+    ranged distributed decode. Matching the parquet replay proves both
+    directions of the binary codec."""
+    from hail_spark.io.plink import export_plink, import_plink
+    from hail_spark.matrixtable import ENTRIES, MatrixTable
+
+    ev = _t(spark, sf_dir, "events").df
+    long = (
+        ev.groupBy("user_id", "event_type")
+        .agg((F.count(F.lit(1)) % 3).cast("int").alias("GT"))
+        .filter(F.col("user_id") % 10 == 0)
+        .withColumnRenamed("event_type", "s")
+    )
+    mt0 = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="s", entry_fields=["GT"]
+    )
+    rows = mt0._df.select(
+        F.struct(
+            F.lit("1").alias("contig"), F.col("user_id").cast("int").alias("position")
+        ).alias("locus"),
+        F.array(F.lit("A"), F.lit("T")).alias("alleles"),
+        F.col(ENTRIES),
+    )
+    mt = MatrixTable(rows, ("locus", "alleles"), mt0._cols, ("s",))
+    base = _tmp_base("hail_spark_plink", sf_dir)
+    export_plink(mt, base)
+    mt2 = import_plink(spark, base + ".bed")
+    gts = F.col(ENTRIES).getField("GT")
+    return (
+        mt2._df.select(
+            F.col("locus")["position"].alias("position"),
+            F.aggregate(
+                F.filter(gts, lambda g: g.isNotNull()), F.lit(0), lambda a, g: a + g
+            ).alias("ac"),
+            F.size(F.filter(gts, lambda g: g.isNotNull())).alias("n_called"),
+        )
+        .orderBy("position")
+    )
+
+
+_PLINK_RT_SQL = """
+WITH long AS (SELECT user_id, event_type, CAST(COUNT(*) % 3 AS INT) gt
+              FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2)
+SELECT CAST(user_id AS INT) AS position, CAST(SUM(gt) AS INT) AS ac,
+       CAST(COUNT(*) AS INT) AS n_called
+FROM long GROUP BY user_id ORDER BY position
+"""
+
+
+def bgen_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """export_bgen → import_bgen round trip (ref ExportBGEN.scala,
+    LoadBgen.scala): layout-2 zlib probability blocks, one-hot GPs so
+    8-bit quantization is exact; missing samples exercise the ploidy/
+    missingness byte."""
+    from hail_spark.io.bgen import export_bgen, import_bgen
+    from hail_spark.matrixtable import ENTRIES, MatrixTable
+
+    ev = _t(spark, sf_dir, "events").df
+    n = F.count(F.lit(1))
+    long = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.when(
+                n % 11 == 0, F.lit(None).cast("array<double>")
+            )
+            .otherwise(
+                F.array(
+                    (n % 3 == 0).cast("double"),
+                    (n % 3 == 1).cast("double"),
+                    (n % 3 == 2).cast("double"),
+                )
+            )
+            .alias("GP")
+        )
+        .filter(F.col("user_id") % 10 == 0)
+        .withColumnRenamed("event_type", "s")
+    )
+    mt0 = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="s", entry_fields=["GP"]
+    )
+    rows = mt0._df.select(
+        F.lit("1").alias("contig"),
+        F.col("user_id").cast("int").alias("position"),
+        F.lit(None).cast("string").alias("rsid"),
+        F.array(F.lit("A"), F.lit("T")).alias("alleles"),
+        F.col(ENTRIES),
+    )
+    mt = MatrixTable(rows, ("contig", "position"), mt0._cols, ("s",))
+    path = _tmp_base("hail_spark_bgen", sf_dir) + ".bgen"
+    export_bgen(mt, path)
+    mt2 = import_bgen(spark, path)
+    ents = F.filter(F.col(ENTRIES), lambda e: e.isNotNull())
+    return (
+        mt2._df.select(
+            F.col("position"),
+            F.size(ents).alias("n_called"),
+            F.aggregate(ents, F.lit(0), lambda a, e: a + e["GT"]).alias("ac"),
+            F.aggregate(ents, F.lit(0.0), lambda a, e: a + e["GP"][0])
+            .cast("int")
+            .alias("gp0"),
+        )
+        .orderBy("position")
+    )
+
+
+_BGEN_RT_SQL = """
+WITH long AS (SELECT user_id, event_type, COUNT(*) n
+              FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+cells AS (SELECT user_id, CAST(n % 3 AS INT) gt, (n % 11 = 0) miss FROM long)
+SELECT CAST(user_id AS INT) AS position,
+       CAST(SUM(CASE WHEN NOT miss THEN 1 ELSE 0 END) AS INT) AS n_called,
+       CAST(SUM(CASE WHEN NOT miss THEN gt ELSE 0 END) AS INT) AS ac,
+       CAST(SUM(CASE WHEN NOT miss AND gt = 0 THEN 1 ELSE 0 END) AS INT) AS gp0
+FROM cells GROUP BY user_id ORDER BY position
+"""
+
+
+def table_native_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table.write → Table.read native round trip (ref TableWrite /
+    TableRead ir): keyed parquet + metadata sidecar; the aggregate after
+    re-read matching the direct replay proves the format preserves rows,
+    schema, and key metadata."""
+    from hail_spark.table import Table
+
+    path = _tmp_base("hail_spark_native_rt", sf_dir)
+    t = Table.from_spark(
+        spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+        ),
+        key=("o_orderkey",),
+    )
+    t.write(path, overwrite=True)
+    t2 = Table.read(spark, path)
+    assert tuple(t2.key) == ("o_orderkey",)
+    return (
+        t2.df.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("o_totalprice"), "total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_NATIVE_RT_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def bed_intervals_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """import_bed (ref impex.py:813) + broadcast interval containment
+    join (TableIntervalJoin): UCSC half-open BED rows lifted to 1-based
+    intervals, loci counted per interval with no shuffle."""
+    from hail_spark.io.impex import import_bed
+    from hail_spark.operators.interval_join import interval_join_point
+    from hail_spark.table import Table
+
+    bed_path = _tmp_base("hail_spark_bed", sf_dir) + ".bed"
+    with open(bed_path, "w") as f:
+        f.write("1\t0\t2000\tr1\n1\t3000\t6000\tr2\n2\t1000\t4000\tr3\n")
+    bt = import_bed(spark, bed_path)
+    # fold contig into a global coordinate so containment alone implies
+    # contig equality (intervals never span contigs)
+    gshift = 10_000_000
+    iv = bt.df.select(
+        (
+            F.col("interval")["start"]["contig"].cast("long") * gshift
+            + F.col("interval")["start"]["position"]
+        ).alias("istart"),
+        (
+            F.col("interval")["end"]["contig"].cast("long") * gshift
+            + F.col("interval")["end"]["position"]
+        ).alias("iend"),
+        F.col("target"),
+    )
+    orders = _t(spark, sf_dir, "orders").df
+    loci = orders.select(
+        (
+            (F.col("o_orderkey") % 2 + 1) * gshift + (F.col("o_orderkey") % 8000 + 1)
+        ).alias("gpos"),
+    )
+    joined = interval_join_point(
+        Table(loci),
+        Table(iv),
+        F.col("gpos"),
+        start="istart",
+        end="iend",
+        includes_start=True,
+        includes_end=False,
+    ).df
+    out = joined.groupBy("target").agg(F.count(F.lit(1)).alias("n"))
+    return out.orderBy("target")
+
+
+_BED_JOIN_SQL = """
+WITH iv(icontig, istart, iend, target) AS (
+  VALUES ('1', 1, 2001, 'r1'), ('1', 3001, 6001, 'r2'), ('2', 1001, 4001, 'r3')
+), loci AS (
+  SELECT CAST(o_orderkey % 2 + 1 AS VARCHAR) contig,
+         CAST(o_orderkey % 8000 + 1 AS INT) pos
+  FROM orders
+)
+SELECT iv.target, COUNT(*) AS n
+FROM loci JOIN iv ON loci.contig = iv.icontig
+  AND loci.pos >= iv.istart AND loci.pos < iv.iend
+GROUP BY iv.target ORDER BY iv.target
+"""
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -2790,6 +3009,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "summarize_alleles": summarize_alleles_q,
         "bm_band_matmul": bm_band_matmul_q,
         "approx_quantiles_by_type": approx_quantiles_q,
+        "plink_round_trip": plink_round_trip,
+        "bgen_round_trip": bgen_round_trip,
+        "table_native_round_trip": table_native_round_trip,
+        "bed_intervals_join": bed_intervals_join,
     }
 
 
@@ -2864,4 +3087,8 @@ def oracle_sql() -> dict[str, str]:
         "summarize_alleles": _SUMMARIZE_SQL,
         "bm_band_matmul": _BM_BAND_SQL,
         "approx_quantiles_by_type": _APPROX_Q_SQL,
+        "plink_round_trip": _PLINK_RT_SQL,
+        "bgen_round_trip": _BGEN_RT_SQL,
+        "table_native_round_trip": _NATIVE_RT_SQL,
+        "bed_intervals_join": _BED_JOIN_SQL,
     }
