@@ -399,39 +399,47 @@ def export_bgen(
     ExportBGEN.scala). Entries must carry ``GP`` (diploid unphased
     genotype probabilities).
 
-    Scale shape: the expensive work — quantize + bit-pack + zlib per
-    variant — runs distributed in mapInPandas, emitting one encoded
-    binary blob per variant; the driver only streams the pre-encoded
-    blobs to disk in row-key order (a single .bgen is inherently one
-    sequential byte stream — same shard-then-concatenate shape as the
-    reference's writer)."""
+    Scale shape (matches the reference's shard-then-concatenate writer):
+    rows are globally ordered by row key, each task quantizes +
+    bit-packs + zlib-compresses its partition and writes one shard file
+    (io/shard.py); the driver only stitches shards behind the header.
+    The shard pass also returns per-shard variant counts, so no separate
+    count() job is needed for the header."""
+    from .shard import concat_shards, write_shards
+
     samples = [c["s"] for c in mt._cols]
     ordered = mt._df.orderBy(*[F.col(k) for k in mt._row_key])
+    has_rsid = "rsid" in mt._df.columns
 
-    def encode(batches):
-        for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                ents = r[ENTRIES]
-                k = len(r["alleles"])
-                g = (k * (k + 1)) // 2
-                gp = np.full((len(ents), g), np.nan)
-                for j, e in enumerate(ents):
-                    if e is not None and e["GP"] is not None:
-                        gp[j] = np.asarray(e["GP"][:g], dtype=float)
-                blob = _variant_id_block(
-                    r["rsid"] if "rsid" in pdf.columns and r["rsid"] else ".",
+    def encode_partition(it):
+        chunks, count = [], 0
+        for r in it:
+            ents = r[ENTRIES]
+            k = len(r["alleles"])
+            g = (k * (k + 1)) // 2
+            gp = np.full((len(ents), g), np.nan)
+            for j, e in enumerate(ents):
+                if e is not None and e["GP"] is not None:
+                    gp[j] = np.asarray(e["GP"][:g], dtype=float)
+            chunks.append(
+                _variant_id_block(
+                    (r["rsid"] if has_rsid and r["rsid"] else "."),
                     r["contig"],
                     int(r["position"]),
                     list(r["alleles"]),
-                ) + _encode_block(gp, k, bits, compress)
-                out.append({"contig": r["contig"], "position": int(r["position"]), "blob": blob})
-            yield pd.DataFrame(out)
+                )
+                + _encode_block(gp, k, bits, compress)
+            )
+            count += 1
+        return chunks, count
 
-    enc = ordered.mapInPandas(encode, schema="contig string, position int, blob binary")
-    enc = enc.orderBy("contig", "position")
-    n_var = mt._df.count()
-    with open(path, "wb") as fh:
-        _write_bgen_header(fh, n_var, samples, compress)
-        for row in enc.toLocalIterator():
-            fh.write(row["blob"])
+    shards = write_shards(ordered, path + ".shards", encode_partition)
+    n_var = sum(n for _, n in shards)
+    import io as _io
+
+    hdr = _io.BytesIO()
+    _write_bgen_header(hdr, n_var, samples, compress)
+    concat_shards([p for p, _ in shards], path, header=hdr.getvalue())
+    import shutil as _shutil
+
+    _shutil.rmtree(path + ".shards", ignore_errors=True)

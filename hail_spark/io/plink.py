@@ -138,28 +138,62 @@ def import_plink(
 
 
 def export_plink(mt: MatrixTable, path: str) -> None:
-    """Write .bed/.bim/.fam (ref io/plink/ExportPlink.scala). Collects
-    genotypes through toLocalIterator — suitable for small/medium
-    matrices; the reference's per-partition binary writers are the
-    scale path (not implemented)."""
+    """Write .bed/.bim/.fam (ref io/plink/ExportPlink.scala).
+
+    Scale shape matches the reference's per-partition writers: rows are
+    globally ordered by locus, each task encodes its partition's 2-bit
+    records with vectorized numpy bit-packing and writes one .bed shard
+    and one .bim shard; the driver only concatenates shards in partition
+    order (see io/shard.py). Nothing row-at-a-time crosses the driver.
+    """
+    from .shard import concat_shards
+
     samples = [c["s"] for c in mt._cols]
     n = len(samples)
+    bpv = math.ceil(n / 4)
     with open(path + ".fam", "w") as f:
         for s in samples:
             f.write(f"0 {s} 0 0 0 -9\n")
-    rows = mt._df.select("locus", "alleles", F.col(ENTRIES).getField("GT").alias("gts"))
-    inv = {2: 0, -1: 1, 1: 2, 0: 3}
-    with open(path + ".bim", "w") as bimf, open(path + ".bed", "wb") as bedf:
-        bedf.write(_BED_MAGIC)
-        for r in rows.toLocalIterator():
+    rows = mt._df.select(
+        "locus", "alleles", F.col(ENTRIES).getField("GT").alias("gts")
+    ).orderBy(F.col("locus")["contig"], F.col("locus")["position"])
+    # gt 0/1/2 -> bed code 3/2/0; missing -> 1
+    code_lut = np.array([3, 2, 0], dtype=np.uint8)
+
+    shard_dir = path + ".shards"
+    os.makedirs(shard_dir, exist_ok=True)
+
+    def work(idx, it):
+        bed_chunks, bim_chunks = [], []
+        for r in it:
             loc, al = r["locus"], r["alleles"]
-            bimf.write(
+            bim_chunks.append(
                 f"{loc['contig']} {loc['contig']}:{loc['position']} 0 "
-                f"{loc['position']} {al[1] if len(al) > 1 else '0'} {al[0]}\n"
+                f"{loc['position']} {al[1] if len(al) > 1 else '0'} {al[0]}\n".encode()
             )
-            gts = r["gts"]
-            rec = bytearray(math.ceil(n / 4))
-            for i, g in enumerate(gts):
-                code = inv[-1 if g is None else g]
-                rec[i // 4] |= code << (2 * (i % 4))
-            bedf.write(bytes(rec))
+            g = np.fromiter(
+                (-1 if x is None else x for x in r["gts"]), dtype=np.int8, count=n
+            )
+            codes = np.where(g < 0, np.uint8(1), code_lut[np.clip(g, 0, 2)])
+            padded = np.zeros(bpv * 4, dtype=np.uint8)
+            padded[:n] = codes
+            q = padded.reshape(bpv, 4)
+            rec = q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6)
+            bed_chunks.append(rec.astype(np.uint8).tobytes())
+        for ext, chunks in (("bed", bed_chunks), ("bim", bim_chunks)):
+            tmp = os.path.join(shard_dir, f".part-{idx:05d}.{ext}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(b"".join(chunks))
+            os.replace(tmp, os.path.join(shard_dir, f"part-{idx:05d}.{ext}"))
+        yield idx
+
+    idxs = sorted(rows.rdd.mapPartitionsWithIndex(work).collect())
+    concat_shards(
+        [os.path.join(shard_dir, f"part-{i:05d}.bed") for i in idxs],
+        path + ".bed",
+        header=_BED_MAGIC,
+    )
+    concat_shards(
+        [os.path.join(shard_dir, f"part-{i:05d}.bim") for i in idxs], path + ".bim"
+    )
+    os.rmdir(shard_dir)
