@@ -2716,6 +2716,40 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def downsample_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.agg.downsample (ref aggregators.py:1533) via the bounded
+    two-level grid reduction (downsample_table): the occupied-cell set
+    is deterministic (representative choice is not), so the oracle
+    replays cell occupancy with DISTINCT floors."""
+    from hail_spark.expr.aggregators import downsample_table
+
+    ev = _t(spark, sf_dir, "events").df
+    out = downsample_table(
+        ev,
+        F.col("value") / 100.0,
+        (F.col("user_id") % 100) / 100.0,
+        group_cols=("event_type",),
+        n_divisions=20,
+    )
+    pts = out.select(
+        "event_type", F.explode("points").alias("p")
+    ).select(
+        "event_type",
+        F.floor(F.col("p")["x"] * 20).cast("int").alias("cx"),
+        F.floor(F.col("p")["y"] * 20).cast("int").alias("cy"),
+    )
+    return pts.orderBy("event_type", "cx", "cy")
+
+
+_DOWNSAMPLE_SQL = """
+SELECT DISTINCT event_type,
+       CAST(FLOOR(value / 100.0 * 20) AS INT) AS cx,
+       CAST(FLOOR((user_id % 100) / 100.0 * 20) AS INT) AS cy
+FROM events WHERE value IS NOT NULL
+ORDER BY event_type, cx, cy
+"""
+
+
 def _tmp_base(prefix: str, sf_dir: str) -> str:
     import hashlib
 
@@ -3013,6 +3047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgen_round_trip": bgen_round_trip,
         "table_native_round_trip": table_native_round_trip,
         "bed_intervals_join": bed_intervals_join,
+        "downsample_cells": downsample_cells_q,
     }
 
 
@@ -3091,4 +3126,5 @@ def oracle_sql() -> dict[str, str]:
         "bgen_round_trip": _BGEN_RT_SQL,
         "table_native_round_trip": _NATIVE_RT_SQL,
         "bed_intervals_join": _BED_JOIN_SQL,
+        "downsample_cells": _DOWNSAMPLE_SQL,
     }

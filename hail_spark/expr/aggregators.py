@@ -412,11 +412,49 @@ def reservoir_sample(expr, k: int, seed: int = 0) -> Column:
     return F.transform(topk, lambda s: s["v"])
 
 
+def downsample_table(
+    df,
+    x,
+    y,
+    label=None,
+    group_cols: tuple = (),
+    n_divisions: int = 500,
+):
+    """Scale path for plot thinning (ref aggregators.py:1533
+    DownsampleAggregator): two-level aggregation. Level 1 reduces to one
+    representative per (group, grid cell) — a hash aggregate whose
+    map-side combine keeps per-task state bounded by the n_divisions²
+    grid, unlike a collect_list buffer that is O(group size). Level 2
+    gathers the ≤ n_divisions² cell representatives per group into the
+    result array. Returns one row per group with a ``points`` array of
+    (x, y[, label]) structs."""
+    from pyspark.sql import functions as F
+
+    xv, yv = _c(x).cast("double"), _c(y).cast("double")
+    df = df.where(xv.isNotNull() & yv.isNotNull())  # missing points are skipped
+    gx = F.floor(xv * n_divisions).alias("__cx")
+    gy = F.floor(yv * n_divisions).alias("__cy")
+    firsts = [F.first(xv).alias("__x"), F.first(yv).alias("__y")]
+    pt_fields = [F.col("__x").alias("x"), F.col("__y").alias("y")]
+    if label is not None:
+        firsts.append(F.first(_c(label)).alias("__l"))
+        pt_fields.append(F.col("__l").alias("label"))
+    cells = df.groupBy(*group_cols, gx, gy).agg(*firsts)
+    return cells.groupBy(*group_cols).agg(
+        F.collect_list(F.struct(*pt_fields)).alias("points")
+    )
+
+
 def downsample(x, y, label=None, n_divisions: int = 500) -> Column:
     """Plot-thinning aggregator (ref aggregators.py:1533,
     DownsampleAggregator): bucket points onto an n_divisions² grid and
     keep one representative per occupied cell — result size is bounded
-    by the grid, not the data."""
+    by the grid, not the data.
+
+    NOTE: as a single aggregate expression this buffers the group's
+    points before cell-deduplication (collect_list semantics); for
+    grouped use at scale prefer ``downsample_table``, whose first-level
+    hash aggregate keeps state bounded by the grid."""
     xv, yv = _c(x).cast("double"), _c(y).cast("double")
     cell = F.struct(
         F.floor(xv * n_divisions).alias("cx"), F.floor(yv * n_divisions).alias("cy")
