@@ -2969,6 +2969,146 @@ GROUP BY iv.target ORDER BY iv.target
 """
 
 
+def ibd_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """identity_by_descent (ref IBD.scala:152-210): PLINK
+    method-of-moments Z0/Z1/Z2/PI_HAT from pairwise IBS gemms and
+    small-sample-corrected expectations; the oracle replays the full
+    closed form (expectation averages, Z cascade, bounding) in SQL."""
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.relatedness import identity_by_descent
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(
+        (F.count(F.lit(1)) % 3).cast("int").alias("GT")
+    )
+    mt = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="event_type", entry_fields=["GT"]
+    )
+    out = identity_by_descent(mt)
+    return out.select(
+        "i",
+        "j",
+        F.round("Z0", 6).alias("z0"),
+        F.round("Z1", 6).alias("z1"),
+        F.round("Z2", 6).alias("z2"),
+        F.round("PI_HAT", 6).alias("pi_hat"),
+        "ibs0",
+        "ibs1",
+        "ibs2",
+    ).orderBy("i", "j")
+
+
+_IBD_SQL = """
+WITH long AS (SELECT user_id, event_type, CAST(COUNT(*) % 3 AS INT) gt
+              FROM events GROUP BY 1, 2),
+v AS (SELECT user_id,
+             2.0 * COUNT(*) AS na,
+             CAST(SUM(2 - gt) AS DOUBLE) AS x,
+             2.0 * COUNT(*) - SUM(2 - gt) AS y
+      FROM long GROUP BY user_id),
+kept AS (SELECT user_id, na, x, y, x / na AS p, 1.0 - x / na AS q
+         FROM v WHERE na > 3 AND x > 0 AND y > 0),
+e AS (SELECT COUNT(*) m,
+        AVG(2*p*p*q*q * ((x-1)/x*(y-1)/y)
+            * (na/(na-1))*(na/(na-2))*(na/(na-3))) AS e00,
+        AVG((4*p*p*p*q * ((x-1)/x*(x-2)/x) + 4*p*q*q*q * ((y-1)/y*(y-2)/y))
+            * (na/(na-1))*(na/(na-2))*(na/(na-3))) AS e10,
+        AVG((q*q*q*q * ((y-1)/y*(y-2)/y*(y-3)/y)
+             + p*p*p*p * ((x-1)/x*(x-2)/x*(x-3)/x)
+             + 4*p*p*q*q * ((x-1)/x*(y-1)/y))
+            * (na/(na-1))*(na/(na-2))*(na/(na-3))) AS e20,
+        AVG((2*p*p*q * ((x-1)/x) + 2*p*q*q * ((y-1)/y))
+            * (na/(na-1))*(na/(na-2))) AS e11,
+        AVG((p*p*p * ((x-1)/x*(x-2)/x) + q*q*q * ((y-1)/y*(y-2)/y)
+             + p*p*q * ((x-1)/x) + p*q*q * ((y-1)/y))
+            * (na/(na-1))*(na/(na-2))) AS e21
+      FROM kept),
+pairs AS (
+  SELECT a.event_type i, b.event_type j,
+         CAST(SUM(CASE WHEN (a.gt = 0 AND b.gt = 2) OR (a.gt = 2 AND b.gt = 0)
+                  THEN 1 ELSE 0 END) AS DOUBLE) ibs0,
+         CAST(SUM(CASE WHEN a.gt = b.gt THEN 1 ELSE 0 END) AS DOUBLE) ibs2,
+         CAST(COUNT(*) AS DOUBLE) n
+  FROM long a
+  JOIN long b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  JOIN kept k ON k.user_id = a.user_id
+  GROUP BY 1, 2),
+z AS (
+  SELECT i, j, ibs0, n - ibs0 - ibs2 AS ibs1, ibs2, n,
+         ibs0 / (e.e00 * n) AS z0,
+         ((n - ibs0 - ibs2) - (ibs0 / (e.e00 * n)) * e.e10 * n) / (e.e11 * n) AS z1
+  FROM pairs, e),
+z2t AS (
+  SELECT i, j, ibs0, ibs1, ibs2, z0, z1,
+         (ibs2 - z0 * (SELECT e20 FROM e) * n - z1 * (SELECT e21 FROM e) * n) / n AS z2
+  FROM z),
+bounded AS (
+  SELECT i, j, ibs0, ibs1, ibs2,
+    CASE WHEN z0 > 1 THEN 1.0 WHEN z1 > 1 THEN 0.0 WHEN z2 > 1 THEN 0.0
+         WHEN z0 < 0 THEN 0.0
+         WHEN z1 < 0 THEN z0 / (z0 + z2)
+         WHEN z2 < 0 THEN z0 / (z0 + z1) ELSE z0 END bz0,
+    CASE WHEN z0 > 1 THEN 0.0 WHEN z1 > 1 THEN 1.0 WHEN z2 > 1 THEN 0.0
+         WHEN z0 < 0 THEN z1 / (z1 + z2)
+         WHEN z1 < 0 THEN 0.0
+         WHEN z2 < 0 THEN z1 / (z0 + z1) ELSE z1 END bz1,
+    CASE WHEN z0 > 1 THEN 0.0 WHEN z1 > 1 THEN 0.0 WHEN z2 > 1 THEN 1.0
+         WHEN z0 < 0 THEN z2 / (z1 + z2)
+         WHEN z1 < 0 THEN z2 / (z0 + z2)
+         WHEN z2 < 0 THEN 0.0 ELSE z2 END bz2
+  FROM z2t)
+SELECT i, j, ROUND(bz0, 6) z0, ROUND(bz1, 6) z1, ROUND(bz2, 6) z2,
+       ROUND(bz1 / 2.0 + bz2, 6) pi_hat,
+       CAST(ibs0 AS BIGINT) ibs0, CAST(ibs1 AS BIGINT) ibs1,
+       CAST(ibs2 AS BIGINT) ibs2
+FROM bounded ORDER BY i, j
+"""
+
+
+def rrm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """realized_relationship_matrix (ref statgen.py:3650): K = ZᵀZ/m over
+    per-variant standardized, mean-imputed genotypes — map-only gemm
+    accumulation, no shuffle; the oracle replays the standardization and
+    pairwise products in SQL."""
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.relatedness import realized_relationship_matrix
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(
+        (F.count(F.lit(1)) % 3).cast("int").alias("GT")
+    )
+    mt = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="event_type", entry_fields=["GT"]
+    )
+    K = realized_relationship_matrix(mt)
+    names = [c["event_type"] for c in mt._cols]
+    rows = [
+        {"i": names[i], "j": names[j], "k": round(float(K[i, j]), 6)}
+        for i in range(len(names))
+        for j in range(i, len(names))
+    ]
+    return spark.createDataFrame(rows, "i string, j string, k double").orderBy(
+        "i", "j"
+    )
+
+
+_RRM_SQL = """
+WITH long AS (SELECT user_id, event_type, CAST(COUNT(*) % 3 AS INT) gt
+              FROM events GROUP BY 1, 2),
+stats AS (SELECT user_id, AVG(gt) mu,
+                 SQRT(AVG(CAST(gt AS DOUBLE) * gt) - AVG(gt) * AVG(gt)) sd
+          FROM long GROUP BY user_id),
+kept AS (SELECT user_id, mu, sd FROM stats WHERE sd > 0),
+z AS (SELECT l.user_id, l.event_type, (l.gt - k.mu) / k.sd AS z
+      FROM long l JOIN kept k USING (user_id)),
+m AS (SELECT COUNT(*) m FROM kept)
+SELECT a.event_type i, b.event_type j,
+       ROUND(SUM(a.z * b.z) / (SELECT m FROM m), 6) AS k
+FROM z a JOIN z b ON a.user_id = b.user_id AND a.event_type <= b.event_type
+GROUP BY 1, 2 ORDER BY i, j
+"""
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -3048,6 +3188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_native_round_trip": table_native_round_trip,
         "bed_intervals_join": bed_intervals_join,
         "downsample_cells": downsample_cells_q,
+        "ibd_pairs": ibd_q,
+        "rrm_matrix": rrm_q,
     }
 
 
@@ -3127,4 +3269,6 @@ def oracle_sql() -> dict[str, str]:
         "table_native_round_trip": _NATIVE_RT_SQL,
         "bed_intervals_join": _BED_JOIN_SQL,
         "downsample_cells": _DOWNSAMPLE_SQL,
+        "ibd_pairs": _IBD_SQL,
+        "rrm_matrix": _RRM_SQL,
     }

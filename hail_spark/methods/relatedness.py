@@ -275,7 +275,8 @@ def identity_by_descent(
     if m == 0:
         raise ValueError("identity_by_descent: no usable variants")
     e00, e10, e20, e11, e21 = (esums[i, 0] / m for i in range(5))
-    names = [c["s"] for c in mt._cols]
+    ck = mt._col_key[0] if mt._col_key else "s"
+    names = [c[ck] for c in mt._cols]
     n = len(names)
     rows = []
     for i in range(n):
