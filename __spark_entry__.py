@@ -3109,6 +3109,184 @@ GROUP BY 1, 2 ORDER BY i, j
 """
 
 
+def mt_native_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatrixTable.write → MatrixTable.read native round trip (ref
+    MatrixNativeWriter / MatrixRead): entries-array parquet + metadata
+    sidecar preserving row key, col key, and col fields."""
+    mt = _events_mt(spark, sf_dir)
+    path = _tmp_base("hail_spark_mt_rt", sf_dir)
+    mt.write(path, overwrite=True)
+    from hail_spark.matrixtable import MatrixTable
+
+    mt2 = MatrixTable.read(spark, path)
+    assert [c["event_type"] for c in mt2._cols] == [
+        c["event_type"] for c in mt._cols
+    ]
+    out = mt2.annotate_rows_agg_entries(
+        lambda entries: {
+            "total_v": F.aggregate(
+                F.filter(entries, lambda x: x.isNotNull()),
+                F.lit(0).cast("decimal(38,6)"),
+                lambda acc, x: acc + x["v"],
+            ).cast("double"),
+            "n_events": F.aggregate(
+                F.filter(entries, lambda x: x.isNotNull()),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x["n"],
+            ),
+        }
+    )
+    return (
+        out.rows().df.select("user_id", "total_v", "n_events").orderBy("user_id")
+    )
+
+
+_MT_NATIVE_RT_SQL = (
+    "WITH " + _MT_LONG_CTE + """
+SELECT user_id, CAST(SUM(v) AS DOUBLE) AS total_v,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM long GROUP BY user_id ORDER BY user_id
+"""
+)
+
+
+def gen_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """export_gen → import_gen round trip (ref io/gen/ExportGen,
+    LoadGen): codegen-assembled GEN text lines re-parsed by the Catalyst
+    token-split pipeline; one-hot GPs survive %.4f formatting exactly,
+    missing entries exercise the '0 0 0' convention."""
+    from hail_spark.io.impex import export_gen, import_gen
+    from hail_spark.matrixtable import ENTRIES, MatrixTable
+
+    ev = _t(spark, sf_dir, "events").df
+    n = F.count(F.lit(1))
+    long = (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.when(n % 11 == 0, F.lit(None).cast("array<double>"))
+            .otherwise(
+                F.array(
+                    (n % 3 == 0).cast("double"),
+                    (n % 3 == 1).cast("double"),
+                    (n % 3 == 2).cast("double"),
+                )
+            )
+            .alias("GP")
+        )
+        .filter(F.col("user_id") % 10 == 0)
+        .withColumnRenamed("event_type", "s")
+    )
+    mt0 = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="s", entry_fields=["GP"]
+    )
+    rows = mt0._df.select(
+        F.struct(
+            F.lit("1").alias("contig"), F.col("user_id").cast("int").alias("position")
+        ).alias("locus"),
+        F.array(F.lit("A"), F.lit("T")).alias("alleles"),
+        F.concat(F.lit("v"), F.col("user_id")).alias("varid"),
+        F.concat(F.lit("rs"), F.col("user_id")).alias("rsid"),
+        F.col(ENTRIES),
+    )
+    mt = MatrixTable(rows, ("locus", "alleles"), mt0._cols, ("s",))
+    path = _tmp_base("hail_spark_gen_rt", sf_dir)
+    export_gen(mt, path)
+    mt2 = import_gen(spark, f"{path}/gen", f"{path}/samples.sample")
+    ents = F.filter(F.col(ENTRIES), lambda e: e["GT"].isNotNull())
+    return (
+        mt2._df.select(
+            F.col("locus")["position"].alias("position"),
+            F.size(ents).alias("n_called"),
+            F.aggregate(ents, F.lit(0), lambda a, e: a + e["GT"]).alias("ac"),
+        )
+        .orderBy("position")
+    )
+
+
+_GEN_RT_SQL = """
+WITH long AS (SELECT user_id, event_type, COUNT(*) n
+              FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+cells AS (SELECT user_id, CAST(n % 3 AS INT) gt, (n % 11 = 0) miss FROM long)
+SELECT CAST(user_id AS INT) AS position,
+       CAST(SUM(CASE WHEN NOT miss THEN 1 ELSE 0 END) AS INT) AS n_called,
+       CAST(SUM(CASE WHEN NOT miss THEN gt ELSE 0 END) AS INT) AS ac
+FROM cells GROUP BY user_id ORDER BY position
+"""
+
+
+def fanout_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table.write_fanout (ref TableNativeFanoutWriter,
+    table_writer.py:77): one cached read, two column-pruned native
+    outputs; re-reading one branch and aggregating proves the pruned
+    projection kept key + requested fields."""
+    from hail_spark.table import Table
+
+    root = _tmp_base("hail_spark_fanout", sf_dir)
+    t = Table.from_spark(
+        spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"
+        ),
+        key=("o_orderkey",),
+    )
+    t.write_fanout(
+        root,
+        {
+            "price": ["o_totalprice", "o_orderstatus"],
+            "priority": ["o_custkey", "o_orderpriority"],
+        },
+        overwrite=True,
+    )
+    price = Table.read(spark, f"{root}/price")
+    prio = Table.read(spark, f"{root}/priority")
+    assert sorted(price.df.columns) == ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    out1 = price.df.groupBy("o_orderstatus").agg(
+        _dsum(F.col("o_totalprice"), "total"), F.count(F.lit(1)).alias("n")
+    )
+    out2 = prio.df.groupBy(F.col("o_orderpriority").alias("o_orderstatus")).agg(
+        (F.count(F.lit(1)).cast("decimal(38,6)")).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return out1.unionByName(out2).orderBy("o_orderstatus")
+
+
+_FANOUT_SQL = """
+SELECT o_orderstatus, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT o_orderpriority AS o_orderstatus, CAST(COUNT(*) AS DOUBLE) AS total, COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+ORDER BY o_orderstatus
+"""
+
+
+def grep_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """import_lines + hl.grep shape (ref impex.py:1898/1016): documents
+    exported as text, re-read as a lines table, regex-filtered with
+    rlike — the whole filter runs JVM-side."""
+    from hail_spark.io.impex import import_lines
+
+    path = _tmp_base("hail_spark_lines", sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(path)
+    t = import_lines(spark, path)
+    hits = t.df.filter(F.col("text").rlike("window.*join|join.*window"))
+    return hits.select(
+        F.split(F.col("text"), "\t")[0].cast("bigint").alias("doc_id"),
+        F.length("text").alias("len"),
+    ).orderBy("doc_id")
+
+
+_GREP_SQL = """
+SELECT doc_id, CAST(LENGTH(doc_id || CHR(9) || text) AS INT) AS len
+FROM documents
+WHERE regexp_matches(doc_id || CHR(9) || text, 'window.*join|join.*window')
+ORDER BY doc_id
+"""
+
+
 # ===================================================================== #
 # registry
 # ===================================================================== #
@@ -3190,6 +3368,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_cells": downsample_cells_q,
         "ibd_pairs": ibd_q,
         "rrm_matrix": rrm_q,
+        "mt_native_round_trip": mt_native_round_trip,
+        "gen_round_trip": gen_round_trip,
+        "fanout_round_trip": fanout_round_trip,
+        "grep_lines": grep_lines_q,
     }
 
 
@@ -3271,4 +3453,8 @@ def oracle_sql() -> dict[str, str]:
         "downsample_cells": _DOWNSAMPLE_SQL,
         "ibd_pairs": _IBD_SQL,
         "rrm_matrix": _RRM_SQL,
+        "mt_native_round_trip": _MT_NATIVE_RT_SQL,
+        "gen_round_trip": _GEN_RT_SQL,
+        "fanout_round_trip": _FANOUT_SQL,
+        "grep_lines": _GREP_SQL,
     }
