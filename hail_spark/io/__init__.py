@@ -1,7 +1,11 @@
 from .impex import (
+    export_elasticsearch,
+    export_gen,
     grep,
+    import_avro,
     import_bed,
     import_fam,
+    import_gen,
     import_lines,
     import_locus_intervals,
     import_table,
@@ -15,6 +19,10 @@ __all__ = [
     "import_bed",
     "import_locus_intervals",
     "import_fam",
+    "import_gen",
+    "export_gen",
+    "import_avro",
+    "export_elasticsearch",
     "import_vcf",
     "export_vcf",
 ]

@@ -336,6 +336,54 @@ def export_gen(mt, path: str, precision: int = 4) -> None:
             fh.write(f"{c['s']} {c['s']} 0\n")
 
 
+def export_elasticsearch(
+    df: DataFrame,
+    host: str,
+    port: int,
+    index: str,
+    index_type: str = "",
+    block_size: int = 1000,
+    config: dict | None = None,
+    verbose: bool = True,
+) -> None:
+    """Elasticsearch sink (ref impex.py:3324; Scala
+    io/ElasticsearchConnector.scala) → the es-hadoop Spark connector's
+    ``org.elasticsearch.spark.sql`` DataFrame sink, the same transport
+    the reference uses.
+
+    The es-hadoop jar is not bundled in pip pyspark distributions; when
+    absent this raises a clear error naming the required ``--packages
+    org.elasticsearch:elasticsearch-spark-30_2.13`` flag rather than
+    Spark's opaque ClassNotFound. The write itself is fully distributed
+    (each task bulk-indexes its partition at ``block_size`` docs per
+    batch).
+    """
+    resource = f"{index}/{index_type}" if index_type else index
+    writer = (
+        df.write.format("org.elasticsearch.spark.sql")
+        .option("es.nodes", host)
+        .option("es.port", str(port))
+        .option("es.batch.size.entries", str(block_size))
+        .option("es.resource", resource)
+    )
+    for k, v in (config or {}).items():
+        writer = writer.option(k, v)
+    if verbose:
+        print(f"exporting to elasticsearch at {host}:{port}/{resource}")
+    try:
+        writer.mode("append").save()
+    except Exception as exc:
+        msg = str(exc).lower()
+        if "elasticsearch" in msg or "data source" in msg or "classnotfound" in msg:
+            raise RuntimeError(
+                "export_elasticsearch requires the es-hadoop connector on the "
+                "classpath (launch with --packages "
+                "org.elasticsearch:elasticsearch-spark-30_2.13:<version>); "
+                "it is not bundled in pip pyspark"
+            ) from exc
+        raise
+
+
 def import_avro(spark: SparkSession, path: str) -> Table:
     """Avro table import (ref impex.py:3345; Scala
     io/avro/AvroTableReader.scala) → `spark.read.format("avro")`.

@@ -217,3 +217,13 @@ def test_plink_roundtrip(spark, tmp_path):
     (tmp_path / "bad.fam").write_text("0 s 0 0 0 -9\n")
     with pytest.raises(ValueError, match="SNP-major"):
         import_plink(spark, str(bad))
+
+
+def test_export_elasticsearch_gate(spark):
+    """Without the es-hadoop jar the sink must fail with a clear
+    actionable error, not Spark's opaque ClassNotFound."""
+    from hail_spark.io import export_elasticsearch
+
+    df = spark.createDataFrame([{"a": 1}])
+    with pytest.raises(RuntimeError, match="es-hadoop"):
+        export_elasticsearch(df, "localhost", 9200, "idx", verbose=False)
