@@ -3109,6 +3109,77 @@ GROUP BY 1, 2 ORDER BY i, j
 """
 
 
+def pc_relate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pc_relate (ref PCRelate.scala): ancestry-adjusted kinship with
+    EXPLICIT literal PC scores, making the whole computation closed-form
+    — the oracle replays the 3×3 normal-equation solve (cofactor
+    inverse), per-variant mu prediction, maf masking, and the pairwise
+    numerator/denominator gemms entirely in SQL."""
+    import numpy as np
+
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.relatedness import pc_relate
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(
+        (F.count(F.lit(1)) % 3).cast("int").alias("GT")
+    )
+    mt = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="event_type", entry_fields=["GT"]
+    )
+    nt = len(mt._cols)
+    # literal scores: s1 = t - 2, s2 = (t-2)^2 - 2 over the col rank t
+    scores = np.array([[t - 2.0, (t - 2.0) ** 2 - 2.0] for t in range(nt)])
+    out = pc_relate(mt, scores=scores, min_individual_maf=0.01)
+    return out.select(
+        "i", "j", F.round("kin", 6).alias("kin")
+    ).orderBy("i", "j")
+
+
+_PC_RELATE_SQL = """
+WITH long AS (SELECT user_id, event_type, CAST(COUNT(*) % 3 AS INT) gt
+              FROM events GROUP BY 1, 2),
+sc AS (SELECT event_type,
+              1.0 AS one,
+              CAST(t - 2 AS DOUBLE) AS s1,
+              CAST((t - 2) * (t - 2) - 2 AS DOUBLE) AS s2
+       FROM (SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) - 1 t
+             FROM (SELECT DISTINCT event_type FROM long))),
+g AS (SELECT SUM(one*one) g00, SUM(one*s1) g01, SUM(one*s2) g02,
+             SUM(s1*s1) g11, SUM(s1*s2) g12, SUM(s2*s2) g22 FROM sc),
+ginv AS (SELECT
+  g11*g22 - g12*g12 AS c00, g02*g12 - g01*g22 AS c01, g01*g12 - g02*g11 AS c02,
+  g00*g22 - g02*g02 AS c11, g01*g02 - g00*g12 AS c12, g00*g11 - g01*g01 AS c22,
+  g00*(g11*g22 - g12*g12) - g01*(g01*g22 - g02*g12) + g02*(g01*g12 - g02*g11) AS det
+  FROM g),
+vm AS (SELECT user_id, AVG(CAST(gt AS DOUBLE)) mean FROM long GROUP BY user_id),
+grid AS (SELECT v.user_id, s.event_type, s.one, s.s1, s.s2,
+                COALESCE(CAST(l.gt AS DOUBLE), v.mean) gi,
+                l.gt IS NOT NULL AS present
+         FROM vm v CROSS JOIN sc s
+         LEFT JOIN long l ON l.user_id = v.user_id AND l.event_type = s.event_type),
+bt AS (SELECT user_id, SUM(gi) b0, SUM(s1*gi) b1, SUM(s2*gi) b2
+       FROM grid GROUP BY user_id),
+beta AS (SELECT user_id,
+    (c00*b0 + c01*b1 + c02*b2) / det AS beta0,
+    (c01*b0 + c11*b1 + c12*b2) / det AS beta1,
+    (c02*b0 + c12*b1 + c22*b2) / det AS beta2
+  FROM bt, ginv),
+mu AS (SELECT g.user_id, g.event_type, g.present, g.gi,
+              0.5 * (b.beta0*g.one + b.beta1*g.s1 + b.beta2*g.s2) AS mu
+       FROM grid g JOIN beta b USING (user_id)),
+gd AS (SELECT user_id, event_type,
+    CASE WHEN present AND mu > 0.01 AND mu < 0.99 THEN gi - 2*mu ELSE 0 END AS c,
+    CASE WHEN present AND mu > 0.01 AND mu < 0.99
+         THEN SQRT(GREATEST(mu * (1 - mu), 0)) ELSE 0 END AS sq
+  FROM mu)
+SELECT a.event_type i, b.event_type j,
+       ROUND(SUM(a.c * b.c) / (4.0 * SUM(a.sq * b.sq)), 6) AS kin
+FROM gd a JOIN gd b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2 ORDER BY i, j
+"""
+
+
 def mt_native_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MatrixTable.write → MatrixTable.read native round trip (ref
     MatrixNativeWriter / MatrixRead): entries-array parquet + metadata
@@ -3368,6 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_cells": downsample_cells_q,
         "ibd_pairs": ibd_q,
         "rrm_matrix": rrm_q,
+        "pc_relate_kinship": pc_relate_q,
         "mt_native_round_trip": mt_native_round_trip,
         "gen_round_trip": gen_round_trip,
         "fanout_round_trip": fanout_round_trip,
@@ -3453,6 +3525,7 @@ def oracle_sql() -> dict[str, str]:
         "downsample_cells": _DOWNSAMPLE_SQL,
         "ibd_pairs": _IBD_SQL,
         "rrm_matrix": _RRM_SQL,
+        "pc_relate_kinship": _PC_RELATE_SQL,
         "mt_native_round_trip": _MT_NATIVE_RT_SQL,
         "gen_round_trip": _GEN_RT_SQL,
         "fanout_round_trip": _FANOUT_SQL,

@@ -385,7 +385,8 @@ def pc_relate(
         acc[1] += Sq.T @ Sq
 
     num, den = _accumulate(mt, kernel, zero)
-    names = [c["s"] for c in mt._cols]
+    ck = mt._col_key[0] if mt._col_key else "s"
+    names = [c[ck] for c in mt._cols]
     rows = []
     for i in range(n):
         for j in range(i + 1, n):
