@@ -3109,6 +3109,71 @@ GROUP BY 1, 2 ORDER BY i, j
 """
 
 
+def table_gen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableRange + TableGen + TableMapPartitions (ref T:175/T:1124,
+    LowerTableIR.scala:961): a range table generates per-element rows
+    through an Arrow-batched stream→stream partition function, then a
+    deterministic per-row sample — the oracle replays the generator
+    arithmetic from DuckDB's range()."""
+    import pandas as pd
+
+    from hail_spark.table import Table
+
+    t = Table.range(spark, 10000, n_partitions=8)
+
+    def gen(batches):
+        for pdf in batches:
+            i = pdf["idx"]
+            yield pd.DataFrame(
+                {"idx": i, "sq": i * i, "bucket": i % 7}
+            )
+
+    g = t.map_partitions(gen, "idx bigint, sq bigint, bucket bigint")
+    out = g.df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sq").alias("sum_sq"),
+        F.min("idx").alias("min_idx"),
+        F.max("idx").alias("max_idx"),
+    )
+    return out.orderBy("bucket")
+
+
+_TABLE_GEN_SQL = """
+SELECT i % 7 AS bucket, COUNT(*) AS n, SUM(i * i) AS sum_sq,
+       MIN(i) AS min_idx, MAX(i) AS max_idx
+FROM (SELECT UNNEST(range(10000)) AS i)
+GROUP BY bucket ORDER BY bucket
+"""
+
+
+def checkpoint_chain_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table.checkpoint (ref table.py:1924): write native + read back
+    mid-pipeline; the downstream aggregate over the checkpointed table
+    must match the direct replay."""
+    from hail_spark.table import Table
+
+    t = Table.from_spark(
+        spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        ),
+        key=("o_orderkey",),
+    ).filter(F.col("o_totalprice") > 50000.0)
+    cp = t.checkpoint(_tmp_base("hail_spark_ckpt", sf_dir))
+    out = cp.df.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("o_totalprice"), "total"),
+    )
+    return out.orderBy("o_orderpriority")
+
+
+_CHECKPOINT_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders WHERE o_totalprice > 50000.0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def pc_relate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pc_relate (ref PCRelate.scala): ancestry-adjusted kinship with
     EXPLICIT literal PC scores, making the whole computation closed-form
@@ -3440,6 +3505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ibd_pairs": ibd_q,
         "rrm_matrix": rrm_q,
         "pc_relate_kinship": pc_relate_q,
+        "table_gen": table_gen_q,
+        "checkpoint_chain": checkpoint_chain_q,
         "mt_native_round_trip": mt_native_round_trip,
         "gen_round_trip": gen_round_trip,
         "fanout_round_trip": fanout_round_trip,
@@ -3526,6 +3593,8 @@ def oracle_sql() -> dict[str, str]:
         "ibd_pairs": _IBD_SQL,
         "rrm_matrix": _RRM_SQL,
         "pc_relate_kinship": _PC_RELATE_SQL,
+        "table_gen": _TABLE_GEN_SQL,
+        "checkpoint_chain": _CHECKPOINT_SQL,
         "mt_native_round_trip": _MT_NATIVE_RT_SQL,
         "gen_round_trip": _GEN_RT_SQL,
         "fanout_round_trip": _FANOUT_SQL,

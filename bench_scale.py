@@ -56,6 +56,10 @@ QUERIES = [
     "ngram_jaccard_dedup", "embedding_near_dup", "dedup_exact",
     "mt_row_agg", "mt_group_rows_by", "mt_group_cols_by",
     "vds_densify", "take_by_per_key", "collect_per_key",
+    # map-only gemm accumulators (linreg/IBD) and the window-rank
+    # downsample grid: shuffle-light by design, included to catch any
+    # regression that reintroduces a wide exchange
+    "linreg_rows", "ibd_pairs", "downsample_cells",
 ]
 
 
