@@ -680,7 +680,14 @@ GROUP BY p.id_a, p.id_b ORDER BY p.id_a, p.id_b
 
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram Jaccard near-dup pairs via posting-list join."""
+    """Exact 3-gram Jaccard near-dup pairs via PPJoin-style prefix
+    filtering: candidates join only on each doc's rarest shingles
+    (frequency-canonical prefix), exact verification via set-array
+    intersection. On this flat-vocabulary synthetic corpus every shingle
+    is hot, so candidates ~= true pairs and the prefix adds ~7 s at
+    sf0.1 over a naive posting-list join — the payoff is on Zipfian real
+    corpora, where the df² head term of the naive self-join (stopword
+    shingles shared by millions of docs) falls out of the prefixes."""
     from hail_spark.llmdata import dedup
 
     d = _t(spark, sf_dir, "documents").df

@@ -217,28 +217,58 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.3,
 ) -> DataFrame:
-    """Exact Jaccard similarity for every doc pair sharing ≥1 shingle.
+    """Exact Jaccard similarity for every doc pair with J >= threshold.
 
-    Posting-list pattern: explode to (shingle_hash, doc), self-join on
-    shingle_hash to count intersections, join per-doc set sizes, filter
-    on threshold. All shuffles are hash equi-joins on shingle/doc ids —
-    the standard scalable exact-dedup shape."""
+    AllPairs/PPJoin prefix filtering (exactness-preserving): shingles
+    get a global canonical order (document frequency asc, hash asc);
+    any pair with Jaccard >= t must share a shingle within each doc's
+    first ``|d| - ceil(t*|d|) + 1`` shingles in that order, so candidate
+    generation only joins on PREFIX tokens — the hot head of the
+    frequency distribution (the quadratic term in a naive posting-list
+    self-join) falls out of the prefixes. Verification computes the
+    exact intersection via array_intersect of the per-doc shingle-set
+    arrays (bounded by doc length), so results are identical to the
+    naive all-shingles join. All shuffles remain hash equi-joins."""
+    from pyspark.sql import Window
+
     sh = (
         _spread(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("s"))
         .select(id_col, md5_int(F.col("s")).alias("sh"))
         .distinct()
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy(id_col)
+    ranked = sh.join(freq, "sh").select(
+        id_col,
+        "sh",
+        F.row_number().over(w.orderBy(F.col("df"), F.col("sh"))).alias("rank"),
+        F.count(F.lit(1)).over(w).alias("sz"),  # same exchange as the rank
+    )
+    # per-doc set size + sorted shingle array for exact verification
+    docsets = sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("sz"),
+        F.sort_array(F.collect_list("sh")).alias("set"),
+    )
+    pref = ranked.filter(
+        F.col("rank") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cands = (
         a.join(b, on=[F.col("a.sh") == F.col("b.sh"), F.col(f"a.{id_col}") < F.col(f"b.{id_col}")])
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa = docsets.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), F.col("set").alias("set_a")
+    )
+    sb = docsets.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), F.col("set").alias("set_b")
     )
     out = (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
