@@ -3116,6 +3116,126 @@ GROUP BY 1, 2 ORDER BY i, j
 """
 
 
+def call_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.agg.call_stats (ref CallStatsAggregator.scala,
+    aggregators.py:1356): AC/AF/AN/homozygote_count per group over
+    int-encoded biallelic calls; arrays serialized for the hash gate."""
+    from hail_spark.expr import aggregators as agg
+
+    ev = _t(spark, sf_dir, "events").df
+    g = ev.groupBy("event_type").agg(
+        agg.call_stats((F.col("event_id") % 3).cast("int")).alias("cs")
+    )
+    return g.select(
+        "event_type",
+        _arr_str(F.col("cs.AC"), "decimal(18,0)").alias("ac"),
+        _arr_str(F.col("cs.AF"), "decimal(18,6)").alias("af"),
+        F.col("cs.AN").alias("an"),
+        _arr_str(F.col("cs.homozygote_count"), "decimal(18,0)").alias("homs"),
+    ).orderBy("event_type")
+
+
+_CALL_STATS_SQL = """
+WITH g AS (SELECT event_type, CAST(event_id % 3 AS INT) gt FROM events),
+c AS (SELECT event_type,
+             CAST(2 * COUNT(gt) AS BIGINT) an,
+             CAST(SUM(gt) AS BIGINT) ac1,
+             SUM(CASE WHEN gt = 0 THEN 1 ELSE 0 END) hom0,
+             SUM(CASE WHEN gt = 2 THEN 1 ELSE 0 END) hom2
+      FROM g GROUP BY event_type)
+SELECT event_type,
+       CAST(an - ac1 AS VARCHAR) || ',' || CAST(ac1 AS VARCHAR) AS ac,
+       CAST(CAST((an - ac1) / CAST(an AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR)
+         || ',' || CAST(CAST(ac1 / CAST(an AS DOUBLE) AS DECIMAL(18,6)) AS VARCHAR) AS af,
+       CAST(an AS INT) AS an,
+       CAST(hom0 AS VARCHAR) || ',' || CAST(hom2 AS VARCHAR) AS homs
+FROM c ORDER BY event_type
+"""
+
+
+def search_keyed_battery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lower_bound/binary_search (V:1556) + keyed_intersection/
+    keyed_union (ref functions.py:5582): per-row searches into a literal
+    sorted array and keyed-struct set algebra, replayed arithmetically."""
+    from hail_spark.expr.functions import (
+        keyed_intersection,
+        keyed_union,
+        lower_bound,
+    )
+
+    o = _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey", (F.col("o_orderkey") % 120).cast("double").alias("x")
+    )
+    cuts = F.array(*[F.lit(float(v)) for v in (10, 30, 50, 70, 90, 110)])
+    mk = lambda *idx: F.array(  # noqa: E731
+        *[
+            F.struct(
+                (F.col("o_orderkey") % i).cast("int").alias("k"),
+                F.lit(i).alias("v"),
+            )
+            for i in idx
+        ]
+    )
+    a = mk(3, 5)
+    b = mk(5, 7)
+    out = o.select(
+        "o_orderkey",
+        lower_bound(cuts, F.col("x")).alias("lb"),
+        F.size(keyed_intersection(a, b, "k")).alias("n_inter"),
+        F.size(keyed_union(a, b, "k")).alias("n_union"),
+    )
+    return out.orderBy("o_orderkey")
+
+
+_SEARCH_KEYED_SQL = """
+SELECT o_orderkey,
+       CAST((CASE WHEN o_orderkey % 120 > 10 THEN 1 ELSE 0 END)
+          + (CASE WHEN o_orderkey % 120 > 30 THEN 1 ELSE 0 END)
+          + (CASE WHEN o_orderkey % 120 > 50 THEN 1 ELSE 0 END)
+          + (CASE WHEN o_orderkey % 120 > 70 THEN 1 ELSE 0 END)
+          + (CASE WHEN o_orderkey % 120 > 90 THEN 1 ELSE 0 END)
+          + (CASE WHEN o_orderkey % 120 > 110 THEN 1 ELSE 0 END) AS INT) AS lb,
+       CAST(1 + CASE WHEN o_orderkey % 3 = o_orderkey % 5
+                       OR o_orderkey % 3 = o_orderkey % 7
+                     THEN 1 ELSE 0 END AS INT) AS n_inter,
+       CAST(2 + CASE WHEN o_orderkey % 7 != o_orderkey % 3
+                      AND o_orderkey % 7 != o_orderkey % 5
+                     THEN 1 ELSE 0 END AS INT) AS n_union
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def mt_union_battery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatrixUnionRows + MatrixChooseCols + MatrixKeyRowsBy (M:*): two
+    disjoint row slices unioned, columns subset+reordered, rows rekeyed
+    by a derived bucket, then aggregated."""
+    mt = _events_mt(spark, sf_dir)
+    lo = mt.filter_rows(F.col("user_id") % 2 == 0)
+    hi = mt.filter_rows(F.col("user_id") % 2 == 1)
+    u = lo.union_rows(hi)
+    chosen = u.choose_cols([2, 0, 1])
+    g = chosen.group_rows_by((F.col("user_id") % 10).alias("bucket")).aggregate(
+        total_n=lambda e: F.sum(e["n"])
+    )
+    first_col = chosen._cols[0]["event_type"]
+    out = (
+        g.entries()
+        .df.filter(F.col("event_type") == first_col)
+        .select("bucket", "event_type", "total_n")
+    )
+    return out.orderBy("bucket")
+
+
+_MT_UNION_SQL = """
+WITH long AS (SELECT user_id, event_type, COUNT(*) n FROM events GROUP BY 1, 2),
+third AS (SELECT event_type FROM (SELECT DISTINCT event_type FROM long)
+          ORDER BY event_type LIMIT 1 OFFSET 2)
+SELECT user_id % 10 AS bucket, event_type, CAST(SUM(n) AS BIGINT) AS total_n
+FROM long WHERE event_type = (SELECT event_type FROM third)
+GROUP BY 1, 2 ORDER BY bucket
+"""
+
+
 def table_gen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TableRange + TableGen + TableMapPartitions (ref T:175/T:1124,
     LowerTableIR.scala:961): a range table generates per-element rows
@@ -3514,6 +3634,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_relate_kinship": pc_relate_q,
         "table_gen": table_gen_q,
         "checkpoint_chain": checkpoint_chain_q,
+        "call_stats_by_type": call_stats_q,
+        "search_keyed_battery": search_keyed_battery_q,
+        "mt_union_battery": mt_union_battery_q,
         "mt_native_round_trip": mt_native_round_trip,
         "gen_round_trip": gen_round_trip,
         "fanout_round_trip": fanout_round_trip,
@@ -3602,6 +3725,9 @@ def oracle_sql() -> dict[str, str]:
         "pc_relate_kinship": _PC_RELATE_SQL,
         "table_gen": _TABLE_GEN_SQL,
         "checkpoint_chain": _CHECKPOINT_SQL,
+        "call_stats_by_type": _CALL_STATS_SQL,
+        "search_keyed_battery": _SEARCH_KEYED_SQL,
+        "mt_union_battery": _MT_UNION_SQL,
         "mt_native_round_trip": _MT_NATIVE_RT_SQL,
         "gen_round_trip": _GEN_RT_SQL,
         "fanout_round_trip": _FANOUT_SQL,
