@@ -3236,6 +3236,40 @@ GROUP BY 1, 2 ORDER BY bucket
 """
 
 
+def array_sum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.agg.array_sum over fixed-width embeddings (ref
+    aggregators.py:934) via the bounded array_sum_fixed path: one native
+    SUM buffer per element, decimal accumulation for order-independent
+    float sums."""
+    from hail_spark.expr.aggregators import array_sum_fixed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = emb.groupBy((F.col("vec_id") % 8).alias("bucket")).agg(
+        array_sum_fixed(F.col("embedding"), 8, cast="decimal(38,6)").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return out.select(
+        "bucket", _arr_str(F.col("s"), "decimal(18,4)").alias("s"), "n"
+    ).orderBy("bucket")
+
+
+_ARRAY_SUM_SQL = """
+WITH g AS (SELECT vec_id % 8 AS bucket, embedding AS vec FROM embeddings),
+s AS (SELECT bucket, COUNT(*) n,
+  {sums}
+  FROM g GROUP BY bucket)
+SELECT bucket, {cat} AS s, n FROM s ORDER BY bucket
+""".format(
+    sums=",\n  ".join(
+        f"CAST(SUM(CAST(vec[{i+1}] AS DECIMAL(38,6))) AS DOUBLE) e{i}"
+        for i in range(8)
+    ),
+    cat=" || ',' || ".join(
+        f"CAST(CAST(e{i} AS DECIMAL(18,4)) AS VARCHAR)" for i in range(8)
+    ),
+)
+
+
 def table_gen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TableRange + TableGen + TableMapPartitions (ref T:175/T:1124,
     LowerTableIR.scala:961): a range table generates per-element rows
@@ -3634,6 +3668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_relate_kinship": pc_relate_q,
         "table_gen": table_gen_q,
         "checkpoint_chain": checkpoint_chain_q,
+        "array_sum_embeddings": array_sum_q,
         "call_stats_by_type": call_stats_q,
         "search_keyed_battery": search_keyed_battery_q,
         "mt_union_battery": mt_union_battery_q,
@@ -3725,6 +3760,7 @@ def oracle_sql() -> dict[str, str]:
         "pc_relate_kinship": _PC_RELATE_SQL,
         "table_gen": _TABLE_GEN_SQL,
         "checkpoint_chain": _CHECKPOINT_SQL,
+        "array_sum_embeddings": _ARRAY_SUM_SQL,
         "call_stats_by_type": _CALL_STATS_SQL,
         "search_keyed_battery": _SEARCH_KEYED_SQL,
         "mt_union_battery": _MT_UNION_SQL,

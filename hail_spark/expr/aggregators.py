@@ -153,9 +153,33 @@ def fraction(pred) -> Column:
     return F.avg(F.when(p, 1.0).when(~p, 0.0))
 
 
+def array_sum_fixed(expr, length: int, cast: str | None = None) -> Column:
+    """Elementwise sum of an array column of KNOWN length (ref
+    aggregators.py:934 `hl.agg.array_sum`): compiles to ``length``
+    independent native SUM buffers — bounded per-group state with
+    map-side combine, unlike the collect_list fold in ``array_sum``
+    (which buffers the whole group). Prefer this whenever the element
+    count is known (embeddings, fixed-width signatures). ``cast``: an
+    exact accumulation type (e.g. ``decimal(38,6)``) for
+    order-independent float sums; result elements come back as double."""
+    x = _c(expr)
+    out = []
+    for i in range(length):
+        e = F.element_at(x, i + 1)
+        if cast:
+            s = F.sum(e.cast(cast)).cast("double")
+        else:
+            s = F.sum(e)
+        out.append(s)
+    return F.array(*out)
+
+
 def array_sum(expr) -> Column:
     """Elementwise sum of array-typed column (ref aggregators.py:934).
-    zip_with fold keeps it one pass, JVM-side."""
+    zip_with fold keeps it one pass, JVM-side.
+
+    NOTE: the collect_list buffer is O(group size); for known-length
+    arrays use ``array_sum_fixed`` (bounded state, map-side combine)."""
     x = _c(expr)
     return F.aggregate(
         F.collect_list(x),
