@@ -3236,6 +3236,99 @@ GROUP BY 1, 2 ORDER BY bucket
 """
 
 
+def gvcf_combine_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gVCF → VDS combiner → to_dense_mt end-to-end (ref
+    variant_dataset_combiner.py / combine.py, impex.py:3091): one gVCF
+    text file per sample is synthesized from events statistics (variant
+    sites at sparse user positions, non-overlapping reference blocks
+    between them), combined with the local-allele combiner, densified,
+    and the dense entries are replayed from the same generator in SQL —
+    ref-block fill gives (GT 0, block DP), variant sites give the
+    sample's own call."""
+    import os
+
+    from hail_spark.io.gvcf import combine_gvcfs
+
+    ev = _t(spark, sf_dir, "events").df
+    long = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("user_id") % 50 == 0) & (F.col("n") >= 3))
+        .collect()
+    )
+    types = sorted({r["event_type"] for r in ev.select("event_type").distinct().collect()})
+    by_type = {t: {} for t in types}
+    for r in long:
+        by_type[r["event_type"]][int(r["user_id"]) + 1] = int(r["n"])
+
+    d = _tmp_base("hail_spark_gvcf", sf_dir)
+    os.makedirs(d, exist_ok=True)
+    hdr = (
+        "##fileformat=VCFv4.2\n"
+        '##INFO=<ID=END,Number=1,Type=Integer,Description="End">\n'
+        '##FORMAT=<ID=GT,Number=1,Type=String,Description="GT">\n'
+        '##FORMAT=<ID=DP,Number=1,Type=Integer,Description="DP">\n'
+        '##FORMAT=<ID=GQ,Number=1,Type=Integer,Description="GQ">\n'
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t{s}\n"
+    )
+    paths = []
+    for idx, t in enumerate(types):
+        dp_block = idx + 10
+        lines = []
+        prev = 0  # last covered position
+        for pos in sorted(by_type[t]):
+            if pos - 1 > prev:
+                lines.append(
+                    f"1\t{prev + 1}\t.\tA\t<NON_REF>\t.\t.\tEND={pos - 1}\t"
+                    f"GT:DP:GQ\t0/0:{dp_block}:50"
+                )
+            n = by_type[t][pos]
+            gt = "0/1" if n % 2 == 1 else "1/1"
+            lines.append(
+                f"1\t{pos}\t.\tA\tT,<NON_REF>\t50\t.\t.\tGT:DP:GQ\t{gt}:{n}:99"
+            )
+            prev = pos
+        lines.append(
+            f"1\t{prev + 1}\t.\tA\t<NON_REF>\t.\t.\tEND=1000000\t"
+            f"GT:DP:GQ\t0/0:{dp_block}:50"
+        )
+        p = os.path.join(d, f"{t}.g.vcf")
+        with open(p, "w") as f:
+            f.write(hdr.format(s=t))
+            f.write("\n".join(lines) + "\n")
+        paths.append(p)
+
+    vds = combine_gvcfs(spark, paths)
+    dense = vds.to_dense_mt()
+    out = dense.entries().df
+    return (
+        out.filter(F.col("GT").isNotNull())
+        .select(
+            F.col("locus")["position"].alias("position"),
+            F.col("s").alias("event_type"),
+            F.col("GT").cast("int").alias("gt"),
+            F.col("DP").cast("int").alias("dp"),
+        )
+        .orderBy("position", "event_type")
+    )
+
+
+_GVCF_COMBINE_SQL = """
+WITH long AS (SELECT user_id, event_type, COUNT(*) n FROM events GROUP BY 1, 2),
+types AS (SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) - 1 idx
+          FROM (SELECT DISTINCT event_type FROM events)),
+vars AS (SELECT user_id, event_type, n FROM long
+         WHERE user_id % 50 = 0 AND n >= 3),
+sites AS (SELECT DISTINCT user_id FROM vars)
+SELECT CAST(s.user_id + 1 AS INT) AS position, t.event_type AS event_type,
+       CAST(COALESCE(2 - v.n % 2, 0) AS INT) AS gt,
+       CAST(COALESCE(v.n, t.idx + 10) AS INT) AS dp
+FROM sites s CROSS JOIN types t
+LEFT JOIN vars v ON v.user_id = s.user_id AND v.event_type = t.event_type
+ORDER BY position, t.event_type
+"""
+
+
 def array_sum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hl.agg.array_sum over fixed-width embeddings (ref
     aggregators.py:934) via the bounded array_sum_fixed path: one native
@@ -3668,6 +3761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_relate_kinship": pc_relate_q,
         "table_gen": table_gen_q,
         "checkpoint_chain": checkpoint_chain_q,
+        "gvcf_combine_densify": gvcf_combine_densify,
         "array_sum_embeddings": array_sum_q,
         "call_stats_by_type": call_stats_q,
         "search_keyed_battery": search_keyed_battery_q,
@@ -3760,6 +3854,7 @@ def oracle_sql() -> dict[str, str]:
         "pc_relate_kinship": _PC_RELATE_SQL,
         "table_gen": _TABLE_GEN_SQL,
         "checkpoint_chain": _CHECKPOINT_SQL,
+        "gvcf_combine_densify": _GVCF_COMBINE_SQL,
         "array_sum_embeddings": _ARRAY_SUM_SQL,
         "call_stats_by_type": _CALL_STATS_SQL,
         "search_keyed_battery": _SEARCH_KEYED_SQL,
