@@ -3236,6 +3236,105 @@ GROUP BY 1, 2 ORDER BY bucket
 """
 
 
+def mt_annotate_rows_interval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-aware MatrixAnnotateRowsTable (ref matrix_ir.py:1097):
+    broadcast containment join of an interval table onto MT rows with
+    at-most-one-match dedup (lowest start), then per-band entry
+    aggregation."""
+    from hail_spark.table import Table
+
+    mt = _events_mt(spark, sf_dir)
+    # overlapping bands: dedup must deterministically keep lowest start
+    iv = spark.createDataFrame(
+        [
+            {"istart": 0, "iend": 40, "band": "low"},
+            {"istart": 30, "iend": 80, "band": "mid"},
+            {"istart": 70, "iend": 120, "band": "high"},
+        ]
+    )
+    ann = mt.annotate_rows_table(
+        Table(iv), interval=("istart", "iend"), point=F.col("user_id") % 120
+    )
+    g = ann.annotate_rows_agg_entries(
+        lambda entries: {
+            "n_events": F.aggregate(
+                F.filter(entries, lambda x: x.isNotNull()),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x["n"],
+            )
+        }
+    )
+    out = g.rows().df.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+    return out.orderBy("band")
+
+
+_MT_ANNOT_IV_SQL = """
+WITH long AS (SELECT user_id, event_type, COUNT(*) n FROM events GROUP BY 1, 2),
+users AS (SELECT user_id, SUM(n) ne FROM long GROUP BY user_id),
+iv(istart, iend, band) AS (VALUES (0, 40, 'low'), (30, 80, 'mid'),
+                                  (70, 120, 'high')),
+m AS (SELECT u.user_id, u.ne,
+             (SELECT band FROM iv
+              WHERE u.user_id % 120 >= iv.istart AND u.user_id % 120 < iv.iend
+              ORDER BY iv.istart LIMIT 1) AS band
+      FROM users u)
+SELECT band, COUNT(*) AS n_users, CAST(SUM(ne) AS BIGINT) AS n_events
+FROM m GROUP BY band ORDER BY band
+"""
+
+
+def min_rep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.min_rep (ref functions.py:6291, variant/VariantMethods
+    minRep): suffix then prefix trimming with position shift, over
+    synthesized redundant variant representations; the oracle replays
+    the expected minimal form per generator case."""
+    from hail_spark.expr.functions import min_rep
+
+    ev = _t(spark, sf_dir, "events").df
+    m = F.col("event_id") % 5
+    ref = (
+        F.when(m == 0, F.lit("CAG")).when(m == 1, F.lit("TTA"))
+        .when(m == 2, F.lit("AATAA")).when(m == 3, F.lit("GCGC"))
+        .otherwise(F.lit("A"))
+    )
+    alt = (
+        F.when(m == 0, F.lit("CTG")).when(m == 1, F.lit("TA"))
+        .when(m == 2, F.lit("ATAA")).when(m == 3, F.lit("GCGC"))
+        .otherwise(F.lit("C"))
+    )
+    v = ev.select(F.col("event_id").alias("vid"), (F.col("event_id") % 1000 + 1).alias("pos"), ref.alias("r"), alt.alias("a")).distinct()
+    out = v.select(
+        "vid",
+        min_rep(F.col("pos"), F.col("r"), F.col("a")).alias("mr"),
+    )
+    return out.select(
+        "vid",
+        F.col("mr")["position"].cast("int").alias("position"),
+        F.col("mr")["ref"].alias("ref"),
+        F.col("mr")["alt"].alias("alt"),
+    ).orderBy("vid")
+
+
+_MIN_REP_SQL = """
+WITH v AS (SELECT DISTINCT event_id AS vid, event_id % 1000 + 1 AS pos,
+                  event_id % 5 AS m FROM events)
+SELECT vid,
+  CAST(CASE m WHEN 0 THEN pos + 1  -- CAG/CTG -> A/T at pos+1
+              WHEN 1 THEN pos      -- TTA/TA  -> TT/T (suffix A trimmed)
+              WHEN 2 THEN pos      -- AATAA/ATAA -> AA/A (suffix TAA)
+              WHEN 3 THEN pos      -- GCGC identical -> G/G
+              ELSE pos END AS INT) AS position,
+  CASE m WHEN 0 THEN 'A' WHEN 1 THEN 'TT' WHEN 2 THEN 'AA'
+         WHEN 3 THEN 'G' ELSE 'A' END AS ref,
+  CASE m WHEN 0 THEN 'T' WHEN 1 THEN 'T' WHEN 2 THEN 'A'
+         WHEN 3 THEN 'G' ELSE 'C' END AS alt
+FROM v ORDER BY vid
+"""
+
+
 def gvcf_combine_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gVCF → VDS combiner → to_dense_mt end-to-end (ref
     variant_dataset_combiner.py / combine.py, impex.py:3091): one gVCF
@@ -3762,6 +3861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_gen": table_gen_q,
         "checkpoint_chain": checkpoint_chain_q,
         "gvcf_combine_densify": gvcf_combine_densify,
+        "mt_annotate_rows_interval": mt_annotate_rows_interval_q,
+        "min_rep_battery": min_rep_q,
         "array_sum_embeddings": array_sum_q,
         "call_stats_by_type": call_stats_q,
         "search_keyed_battery": search_keyed_battery_q,
@@ -3855,6 +3956,8 @@ def oracle_sql() -> dict[str, str]:
         "table_gen": _TABLE_GEN_SQL,
         "checkpoint_chain": _CHECKPOINT_SQL,
         "gvcf_combine_densify": _GVCF_COMBINE_SQL,
+        "mt_annotate_rows_interval": _MT_ANNOT_IV_SQL,
+        "min_rep_battery": _MIN_REP_SQL,
         "array_sum_embeddings": _ARRAY_SUM_SQL,
         "call_stats_by_type": _CALL_STATS_SQL,
         "search_keyed_battery": _SEARCH_KEYED_SQL,
