@@ -709,6 +709,43 @@ ORDER BY id_a, id_b
 )
 
 
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end: MinHash-LSH pairs → large-star/
+    small-star connected components → (doc_id, component, cluster_size).
+    Components replayed in DuckDB with a recursive transitive-closure
+    CTE (fine at oracle scale; the Spark side is the O(log n)-round
+    star algorithm that holds at 100 TB)."""
+    from hail_spark.llmdata import dedup
+
+    d = _t(spark, sf_dir, "documents").df
+    return dedup.dedup_clusters(d, k=64, bands=16).orderBy("doc_id")
+
+
+_DEDUP_CLUSTERS_SQL = (
+    "WITH RECURSIVE " + _SHINGLE_CTE + """,
+mh AS (SELECT doc_id, i,
+       min((((i*2654435761) % 2147483646 + 1) * (('0x'||substr(md5(s),1,15))::BIGINT % 2147483647)
+            + (i*40503 + 17) % 2147483647) % 2147483647) AS h
+       FROM sh, (SELECT unnest(range(0, 64)) i) g GROUP BY doc_id, i),
+band AS (SELECT doc_id, i // 4 AS band,
+               ('0x'||substr(md5(string_agg(h::VARCHAR, ',' ORDER BY i)),1,15))::BIGINT AS band_hash
+        FROM mh GROUP BY doc_id, i // 4),
+pairs AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+          FROM band a JOIN band b
+            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+und AS (SELECT id_a u, id_b v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (SELECT u, v FROM und
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u)
+SELECT c.doc_id, c.component, s.cluster_size
+FROM comp c JOIN (SELECT component, count(*) cluster_size FROM comp GROUP BY 1) s
+  USING (component)
+ORDER BY c.doc_id
+"""
+)
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash per document (per-row HOF compute, no shuffle)."""
     from hail_spark.llmdata import dedup
@@ -3803,6 +3840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prev_nonnull": prev_nonnull_q,
         "dedup_exact": dedup_exact,
         "minhash_lsh_dedup": minhash_lsh,
+        "dedup_clusters": dedup_clusters_q,
         "ngram_jaccard_dedup": ngram_jaccard,
         "simhash_fingerprints": simhash_fingerprints,
         "embedding_near_dup": embedding_near_dup,
@@ -3898,6 +3936,7 @@ def oracle_sql() -> dict[str, str]:
         "prev_nonnull": _PREV_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "minhash_lsh_dedup": _MINHASH_SQL,
+        "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "ngram_jaccard_dedup": _NGRAM_SQL,
         "simhash_fingerprints": _SIMHASH_SQL,
         "embedding_near_dup": _EMB_DUP_SQL,

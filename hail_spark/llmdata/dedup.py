@@ -525,3 +525,92 @@ def _hyperplane_sig(vec: Column, bits: int, dim: int, seed: int = 0x5EED) -> Col
     return F.aggregate(
         F.array(*terms), F.lit(0).cast("bigint"), lambda acc, v: acc + v
     )
+
+
+# ------------------------------------------------------------------ #
+# Connected components (dedup cluster assignment)
+# ------------------------------------------------------------------ #
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected edge list, returned as
+    (node, component) with component = smallest node id in the
+    component. This is the step that turns near-dup PAIRS into dedup
+    CLUSTERS (keep one doc per component).
+
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", reference-free): converges in
+    O(log n) rounds, each round is two hash-shuffles keyed on node id
+    with per-group state bounded by node degree — no driver union-find,
+    no transitive-closure row blow-up, so the same plan holds on a
+    100 TB dup graph. Each round ends in localCheckpoint() to truncate
+    lineage (iterative plans otherwise grow exponentially in Catalyst).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        # large-star: every neighbor larger than u links to min(N(u) ∪ {u})
+        und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = und.groupBy("u").agg(F.min("v").alias("__mn"))
+        mins = mins.select("u", F.least("u", "__mn").alias("m"))
+        e = (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: orient child ≥ parent, link children + self to the min
+        o = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins = o.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            o.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # converged: e is a star graph child -> root; roots label themselves
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidate pairs →
+    connected components → (doc_id, component, cluster_size). The keep
+    policy is 'retain doc_id == component' (smallest id per cluster)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, k=k, bands=bands)
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias(id_col), "component", "cluster_size"
+    )

@@ -1,0 +1,70 @@
+"""Connected components (large-star/small-star) vs a plain union-find,
+and the end-to-end dedup_clusters pipeline.
+
+Reference parity: Hail has no CC operator; this is part of the LLM-data
+extension surface (near-dup pairs -> keep-one-per-cluster)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hail_spark.llmdata import dedup
+from tests.conftest import load
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # re-root to the component min
+    comp = {}
+    for n in list(parent):
+        r = find(n)
+        comp[n] = min(comp.get(r, r), r)
+    return {n: find(n) for n in parent}
+
+
+@pytest.mark.parametrize(
+    "edges",
+    [
+        # two chains + a triangle + an isolated pair
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (20, 21), (21, 22), (20, 22), (30, 31)],
+        # star with high-degree hub, reversed ids
+        [(100, i) for i in range(90, 100)] + [(5, 100)],
+        # long path (stresses the O(log n) rounds)
+        [(i, i + 1) for i in range(0, 40)],
+    ],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    got = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(df).collect()
+    }
+    want = set(_union_find(edges).items())
+    assert got == want
+
+
+def test_dedup_clusters_end_to_end(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    out = dedup.dedup_clusters(d).collect()
+    assert out, "expected at least one near-dup cluster in the fixture corpus"
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r["doc_id"])
+    for comp, members in by_comp.items():
+        assert comp == min(members)  # component label is the min member id
+        assert len(members) >= 2  # every clustered node came from a pair
+    # cluster_size agrees with membership
+    sizes = {r["component"]: r["cluster_size"] for r in out}
+    for comp, members in by_comp.items():
+        assert sizes[comp] == len(members)
