@@ -2533,6 +2533,102 @@ ORDER BY user_id
 """
 
 
+def _score_mt(spark: SparkSession, sf_dir: str):
+    """Shared events-derived call matrix for the score-test queries."""
+    from hail_spark.matrixtable import MatrixTable
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(
+        (F.count(F.lit(1)) % 5).cast("int").alias("GT")
+    )
+    mt = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="event_type", entry_fields=["GT"]
+    )
+    # gate constant-genotype rows on a quantity both engines can
+    # recompute exactly (mean-imputed Sxx = present-entry Sxx)
+    gate = long.groupBy("user_id").agg(
+        (
+            F.sum(F.col("GT").cast("double") * F.col("GT"))
+            - F.count(F.lit(1)) * F.pow(F.avg("GT"), 2)
+        ).alias("__sxx")
+    )
+    return mt, gate
+
+
+def logreg_score_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logistic_regression_rows(test='score') (ref statgen.py:1136):
+    with intercept-only covariates the null MLE is mu0 = ybar exactly,
+    so the per-variant Rao score statistic collapses to the closed form
+    Sxy² / (ybar(1-ybar)·Sxx) the oracle replays — no per-variant
+    iteration on either side."""
+    from hail_spark.methods.statgen import logistic_regression_rows
+
+    mt, gate = _score_mt(spark, sf_dir)
+    y = [float(i % 2) for i in range(len(mt._cols))]
+    out = logistic_regression_rows(mt, "score", y)
+    return (
+        out.join(gate, "user_id")
+        .filter(F.col("fit_converged") & (F.col("__sxx") > 1e-6))
+        .select("user_id", F.round("chi_sq_stat", 5).alias("chi_sq_stat"))
+        .orderBy("user_id")
+    )
+
+
+_SCORE_CTES = """
+long AS (SELECT user_id, event_type, CAST(COUNT(*) % 5 AS INT) gt
+         FROM events GROUP BY 1, 2),
+types AS (SELECT event_type, DENSE_RANK() OVER (ORDER BY event_type) - 1 AS r
+          FROM (SELECT DISTINCT event_type FROM long)),
+pres AS (SELECT l.user_id, CAST(l.gt AS DOUBLE) gt, t.r
+         FROM long l JOIN types t USING (event_type)),
+mu AS (SELECT user_id, AVG(gt) mu FROM pres GROUP BY user_id)
+"""
+
+_LOGREG_SCORE_SQL = (
+    "WITH " + _SCORE_CTES + """,
+nn AS (SELECT AVG(CAST(r % 2 AS DOUBLE)) ybar FROM types),
+s AS (SELECT p.user_id,
+             SUM((p.gt - m.mu) * (p.gt - m.mu)) sxx,
+             SUM((p.gt - m.mu) * (CAST(p.r % 2 AS DOUBLE) - (SELECT ybar FROM nn))) sxy
+      FROM pres p JOIN mu m USING (user_id) GROUP BY p.user_id)
+SELECT user_id,
+       ROUND(sxy * sxy / ((SELECT ybar * (1 - ybar) FROM nn) * sxx), 5) AS chi_sq_stat
+FROM s WHERE sxx > 1e-6 ORDER BY user_id
+"""
+)
+
+
+def poisreg_score_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """poisson_regression_rows(test='score') (ref statgen.py:1650):
+    intercept-only null MLE is mu0 = ybar, so the statistic is
+    Sxy² / (ybar·Sxx) — same closed-form replay shape as logistic."""
+    from hail_spark.methods.statgen import poisson_regression_rows
+
+    mt, gate = _score_mt(spark, sf_dir)
+    y = [float(i) for i in range(len(mt._cols))]
+    out = poisson_regression_rows(mt, "score", y)
+    return (
+        out.join(gate, "user_id")
+        .filter(F.col("fit_converged") & (F.col("__sxx") > 1e-6))
+        .select("user_id", F.round("chi_sq_stat", 5).alias("chi_sq_stat"))
+        .orderBy("user_id")
+    )
+
+
+_POISREG_SCORE_SQL = (
+    "WITH " + _SCORE_CTES + """,
+nn AS (SELECT AVG(CAST(r AS DOUBLE)) ybar FROM types),
+s AS (SELECT p.user_id,
+             SUM((p.gt - m.mu) * (p.gt - m.mu)) sxx,
+             SUM((p.gt - m.mu) * (CAST(p.r AS DOUBLE) - (SELECT ybar FROM nn))) sxy
+      FROM pres p JOIN mu m USING (user_id) GROUP BY p.user_id)
+SELECT user_id,
+       ROUND(sxy * sxy / ((SELECT ybar FROM nn) * sxx), 5) AS chi_sq_stat
+FROM s WHERE sxx > 1e-6 ORDER BY user_id
+"""
+)
+
+
 def de_novo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """de_novo candidates (ref family_methods.py:564): kid het, parents
     hom-ref, kid depth gate — trio gather is an index projection over
@@ -3883,6 +3979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "liftover_loci": liftover_loci,
         "multimodal_pipeline": multimodal_pipeline,
         "linreg_rows": linreg_rows_q,
+        "logreg_score_rows": logreg_score_rows_q,
+        "poisreg_score_rows": poisreg_score_rows_q,
         "de_novo_calls": de_novo_q,
         "charr_contamination": charr_q,
         "summarize_alleles": summarize_alleles_q,
@@ -3979,6 +4077,8 @@ def oracle_sql() -> dict[str, str]:
         "liftover_loci": _LIFTOVER_SQL,
         "multimodal_pipeline": _multimodal_oracle_sql(),
         "linreg_rows": _LINREG_SQL,
+        "logreg_score_rows": _LOGREG_SCORE_SQL,
+        "poisreg_score_rows": _POISREG_SCORE_SQL,
         "de_novo_calls": _DE_NOVO_SQL,
         "charr_contamination": _CHARR_SQL,
         "summarize_alleles": _SUMMARIZE_SQL,

@@ -225,7 +225,9 @@ def logistic_regression_rows(
         raise ValueError("y must be 0/1")
     C = _design(mt, covariates, add_intercept)
     n = C.shape[0]
-    null_b, null_ll, _, ok = _logreg_fit(C, yv)
+    # tight tol: the score test evaluates U/I at this fit, so residual
+    # gradient at the null leaks straight into every variant's statistic
+    null_b, null_ll, _, ok = _logreg_fit(C, yv, max_iter=100, tol=1e-12)
     if not ok:
         raise ValueError("null model failed to converge")
     if test == "firth":
@@ -674,17 +676,18 @@ def poisson_regression_rows(
     add_intercept: bool = True,
 ) -> DataFrame:
     """Per-variant Poisson regression (ref statgen.py:1650).
-    ``test``: 'wald' or 'lrt'.  Same Spark shape as
+    ``test``: 'wald', 'lrt', or 'score'.  Same Spark shape as
     logistic_regression_rows: null fit driver-side once, per-variant
-    Newton solves batched in mapInPandas (Arrow batches, no shuffle)."""
-    if test not in ("wald", "lrt"):
-        raise ValueError("test must be 'wald' or 'lrt'")
+    Newton solves batched in mapInPandas (Arrow batches, no shuffle);
+    'score' needs no per-variant iteration at all."""
+    if test not in ("wald", "lrt", "score"):
+        raise ValueError("test must be 'wald', 'lrt', or 'score'")
     yv = _col_vector(mt, y)
     if np.any(yv < 0):
         raise ValueError("y must be non-negative counts")
     C = _design(mt, covariates, add_intercept)
     n = C.shape[0]
-    _, null_ll, _, ok = _poisreg_fit(C, yv)
+    null_b, null_ll, _, ok = _poisreg_fit(C, yv, max_iter=100, tol=1e-12)
     if not ok:
         raise ValueError("null model failed to converge")
     row_key = list(mt._row_key)
@@ -701,13 +704,31 @@ def poisson_regression_rows(
         "fit_converged boolean"
     )
 
+    bnullb = spark.sparkContext.broadcast(null_b)
+
     def run(batches):
         C_, y_ = bC.value, by.value
+        # score test: mu at the null fit is variant-independent
+        mu0 = np.exp(np.clip(C_ @ bnullb.value, -30.0, 30.0))
         for pdf in batches:
             X = _mean_impute(_entry_matrix(pdf[ENTRIES], x_field, n))
             betas, stats, converged = [], [], []
             for i in range(X.shape[0]):
                 M = np.column_stack([C_, X[i]])
+                if test == "score":
+                    score = M.T @ (y_ - mu0)
+                    fisher = (M * mu0[:, None]).T @ M
+                    try:
+                        stat = float(score @ np.linalg.solve(fisher, score))
+                    except np.linalg.LinAlgError:
+                        betas.append(np.nan)
+                        stats.append(np.nan)
+                        converged.append(False)
+                        continue
+                    betas.append(np.nan)
+                    stats.append(stat)
+                    converged.append(True)
+                    continue
                 b, ll, finv, ok = _poisreg_fit(M, y_)
                 if not ok:
                     betas.append(np.nan)
