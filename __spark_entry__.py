@@ -1825,6 +1825,114 @@ FROM dense WHERE GT IS NOT NULL ORDER BY user_id, event_type
 """
 
 
+def vds_ref_block_battery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VDS reference-block toolkit battery (ref vds/methods.py:
+    truncate_reference_blocks / merge_reference_blocks /
+    impute_sex_chromosome_ploidy): synthesize 100-bp reference blocks on
+    three contigs (c1/X/Y by bucket), truncate to ≤40 bp (3 segments per
+    block), impute sex-chromosome ploidy from length-weighted DP — which
+    truncation must leave invariant — then merge the segments back
+    (contiguous + equal DP) and check the block count round-trips."""
+    from hail_spark.matrixtable import ENTRIES, MatrixTable
+    from hail_spark.vds import VariantDataset
+
+    ev = _t(spark, sf_dir, "events").df
+    types = sorted(
+        r["event_type"] for r in ev.select("event_type").distinct().collect()
+    )
+    tmap = {t: i for i, t in enumerate(types)}
+    n = len(types)
+    tidx = F.create_map(
+        *[x for kv in tmap.items() for x in (F.lit(kv[0]), F.lit(kv[1]))]
+    )
+    contig = F.element_at(
+        F.array(F.lit("c1"), F.lit("X"), F.lit("Y")), (F.col("b") % 3 + 1).cast("int")
+    )
+    blocks = (
+        ev.select(
+            tidx[F.col("event_type")].alias("__i"),
+            F.floor(F.col("user_id") / 100).alias("b"),
+        )
+        .distinct()
+        .select(
+            "__i",
+            contig.alias("contig"),
+            (F.col("b") * 100).cast("int").alias("start"),
+            F.struct(
+                (F.col("b") * 100 + 99).cast("int").alias("END"),
+                (F.col("b") % 50 + 1).cast("int").alias("DP"),
+            ).alias("__re"),
+        )
+    )
+    rg = blocks.groupBy("contig", "start").agg(
+        F.map_from_entries(F.collect_list(F.struct("__i", "__re"))).alias("__m")
+    )
+    rrows = rg.select(
+        F.struct(F.col("contig"), F.col("start").alias("position")).alias("locus"),
+        F.transform(F.sequence(F.lit(0), F.lit(n - 1)), lambda i: F.col("__m")[i]).alias(
+            ENTRIES
+        ),
+    )
+    cols = [{"s": t} for t in types]
+    rd = MatrixTable(rrows, ("locus",), cols, ("s",))
+    empty_vd = MatrixTable(rrows.limit(0), ("locus",), cols, ("s",))
+    vds = VariantDataset(rd, empty_vd)
+    vt = vds.truncate_reference_blocks(40)
+    ploidy = vt.impute_sex_chromosome_ploidy("c1", "X", "Y")
+    vm = vt.merge_reference_blocks(["DP"])
+    smap = F.array(*[F.lit(t) for t in types])
+
+    def _counts(mt, name):
+        return (
+            mt._df.select(F.posexplode(ENTRIES).alias("__s", "__re"))
+            .filter(F.col("__re").isNotNull())
+            .groupBy("__s")
+            .agg(F.count(F.lit(1)).alias(name))
+            .select(F.element_at(smap, F.col("__s") + 1).alias("s"), name)
+        )
+
+    out = (
+        ploidy.join(_counts(vt.reference_data, "n_blocks_trunc"), "s")
+        .join(_counts(vm.reference_data, "n_blocks_merged"), "s")
+        .select(
+            "s",
+            F.round("autosomal_mean_dp", 6).alias("autosomal_mean_dp"),
+            F.round("x_mean_dp", 6).alias("x_mean_dp"),
+            F.round("x_ploidy", 6).alias("x_ploidy"),
+            F.round("y_mean_dp", 6).alias("y_mean_dp"),
+            F.round("y_ploidy", 6).alias("y_ploidy"),
+            "n_blocks_trunc",
+            "n_blocks_merged",
+        )
+        .orderBy("s")
+    )
+    return out
+
+
+_VDS_REF_BLOCK_SQL = """
+WITH blocks AS (SELECT DISTINCT event_type, CAST(FLOOR(user_id/100) AS BIGINT) b
+                FROM events),
+agg AS (SELECT event_type,
+        COUNT(*) AS n_blocks,
+        SUM(CASE WHEN b % 3 = 0 THEN (b % 50 + 1) * 100 END)::DOUBLE
+          / SUM(CASE WHEN b % 3 = 0 THEN 100 END) AS auto_dp,
+        SUM(CASE WHEN b % 3 = 1 THEN (b % 50 + 1) * 100 END)::DOUBLE
+          / SUM(CASE WHEN b % 3 = 1 THEN 100 END) AS x_dp,
+        SUM(CASE WHEN b % 3 = 2 THEN (b % 50 + 1) * 100 END)::DOUBLE
+          / SUM(CASE WHEN b % 3 = 2 THEN 100 END) AS y_dp
+        FROM blocks GROUP BY 1)
+SELECT event_type AS s,
+       ROUND(auto_dp, 6) AS autosomal_mean_dp,
+       ROUND(x_dp, 6) AS x_mean_dp,
+       ROUND(2 * x_dp / auto_dp, 6) AS x_ploidy,
+       ROUND(y_dp, 6) AS y_mean_dp,
+       ROUND(2 * y_dp / auto_dp, 6) AS y_ploidy,
+       3 * n_blocks AS n_blocks_trunc,
+       n_blocks AS n_blocks_merged
+FROM agg ORDER BY s
+"""
+
+
 _INBREEDING_SQL = """
 WITH calls AS (
   SELECT event_type,
@@ -2818,6 +2926,48 @@ WITH a AS (SELECT l_suppkey % 24 AS i, l_partkey % 24 AS j, sum(l_quantity) AS v
 b AS (SELECT i, j, v FROM a WHERE j - i BETWEEN -2 AND 3)
 SELECT x.i AS i, y.j AS j, round(sum(x.v * y.v), 3) AS v
 FROM b x JOIN b y ON x.j = y.i
+GROUP BY x.i, y.j HAVING abs(sum(x.v * y.v)) > 1e-9 ORDER BY 1, 2
+"""
+
+
+def bm_sparse_battery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlockMatrix structural battery (ref BlockMatrix.scala:591 band,
+    :726 rectangles, :816 add, :961 transpose, :950 dot): a band
+    sparsify and a transposed far-corner rectangle have DISJOINT block
+    sets, so their add exercises the sparse-union full-outer zero-fill
+    path; the result is Hadamard-multiplied, scaled, then tree_matmul'd
+    back against the dense operand."""
+    from hail_spark.linalg import BlockMatrix
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a_long = li.groupBy(
+        (F.col("l_suppkey") % 24).alias("i"), (F.col("l_partkey") % 24).alias("j")
+    ).agg(F.sum("l_quantity").alias("v"))
+    A = BlockMatrix.from_long(a_long, 24, 24, block_size=8)
+    band = A.sparsify_band(-2, 2)
+    rect = A.sparsify_rectangles([(16, 24, 0, 8)])
+    C = band.add(rect.transpose()).mul(A).scalar_mul(0.5)
+    D = C.tree_matmul(A, splits=2)
+    return (
+        D.to_long()
+        .filter(F.abs(F.col("v")) > 1e-9)
+        .select("i", "j", F.round("v", 3).alias("v"))
+        .orderBy("i", "j")
+    )
+
+
+_BM_SPARSE_SQL = """
+WITH a AS (SELECT l_suppkey % 24 AS i, l_partkey % 24 AS j, sum(l_quantity) AS v
+           FROM lineitem GROUP BY 1, 2),
+band AS (SELECT i, j, v FROM a WHERE j - i BETWEEN -2 AND 2),
+rt AS (SELECT j AS i, i AS j, v FROM a WHERE i >= 16 AND i < 24 AND j >= 0 AND j < 8),
+s AS (SELECT COALESCE(b.i, r.i) AS i, COALESCE(b.j, r.j) AS j,
+             COALESCE(b.v, 0) + COALESCE(r.v, 0) AS v
+      FROM band b FULL OUTER JOIN rt r ON b.i = r.i AND b.j = r.j),
+c AS (SELECT s.i, s.j, 0.5 * s.v * a.v AS v
+      FROM s JOIN a ON s.i = a.i AND s.j = a.j)
+SELECT x.i AS i, y.j AS j, round(sum(x.v * y.v), 3) AS v
+FROM c x JOIN a y ON x.j = y.i
 GROUP BY x.i, y.j HAVING abs(sum(x.v * y.v)) > 1e-9 ORDER BY 1, 2
 """
 
@@ -3985,6 +4135,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "charr_contamination": charr_q,
         "summarize_alleles": summarize_alleles_q,
         "bm_band_matmul": bm_band_matmul_q,
+        "bm_sparse_battery": bm_sparse_battery_q,
+        "vds_ref_block_battery": vds_ref_block_battery_q,
         "approx_quantiles_by_type": approx_quantiles_q,
         "plink_round_trip": plink_round_trip,
         "bgen_round_trip": bgen_round_trip,
@@ -4083,6 +4235,8 @@ def oracle_sql() -> dict[str, str]:
         "charr_contamination": _CHARR_SQL,
         "summarize_alleles": _SUMMARIZE_SQL,
         "bm_band_matmul": _BM_BAND_SQL,
+        "bm_sparse_battery": _BM_SPARSE_SQL,
+        "vds_ref_block_battery": _VDS_REF_BLOCK_SQL,
         "approx_quantiles_by_type": _APPROX_Q_SQL,
         "plink_round_trip": _PLINK_RT_SQL,
         "bgen_round_trip": _BGEN_RT_SQL,
