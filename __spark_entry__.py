@@ -2737,6 +2737,57 @@ FROM s WHERE sxx > 1e-6 ORDER BY user_id
 )
 
 
+def pca_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hwe_normalized_pca (ref pca.py:35): the full eigenvalue spectrum
+    of the HWE-normalized gram is verified through its moment
+    identities — Σλ = tr(G), Σλ² = tr(G²), Σλ³ = tr(G³) — which the
+    oracle computes from the long-format normalized matrix with plain
+    joins. Three independent moment constraints over a k=n spectrum pin
+    the eigenvalues without needing an eigensolver in SQL."""
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.statgen import hwe_normalized_pca
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(
+        ((F.count(F.lit(1)) % 5) % 3).cast("int").alias("GT")
+    )
+    mt = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="event_type", entry_fields=["GT"]
+    )
+    n = len(mt._cols)
+    evals, scores, _ = hwe_normalized_pca(mt, k=n)
+    return spark.createDataFrame(
+        [
+            {
+                "n_evals": len(evals),
+                "m1": round(sum(evals), 6),
+                "m2": round(sum(v * v for v in evals), 6),
+                "m3": round(sum(v * v * v for v in evals), 6),
+            }
+        ]
+    ).select("n_evals", "m1", "m2", "m3")
+
+
+_PCA_MOMENTS_SQL = """
+WITH long AS (SELECT user_id, event_type, CAST(COUNT(*) % 5 AS INT) % 3 AS gt
+              FROM events GROUP BY user_id, event_type),
+m AS (SELECT COUNT(DISTINCT user_id) m FROM long),
+st AS (SELECT user_id, AVG(gt) mean, AVG(gt)/2.0 p FROM long GROUP BY user_id),
+keep AS (SELECT user_id, mean, 2*p*(1-p) nrm FROM st WHERE p > 0 AND p < 1),
+pres AS (SELECT l.user_id, l.event_type s, (l.gt - k.mean)/SQRT(k.nrm) xn
+         FROM long l JOIN keep k USING (user_id)),
+g AS (SELECT a.s sa, b.s sb, SUM(a.xn * b.xn) / (SELECT m FROM m) AS g
+      FROM pres a JOIN pres b ON a.user_id = b.user_id GROUP BY a.s, b.s),
+nt AS (SELECT COUNT(DISTINCT event_type) n FROM long)
+SELECT (SELECT n FROM nt) AS n_evals,
+       ROUND((SELECT SUM(g) FROM g WHERE sa = sb), 6) AS m1,
+       ROUND((SELECT SUM(g*g) FROM g), 6) AS m2,
+       ROUND((SELECT SUM(x.g * y.g * z.g)
+              FROM g x JOIN g y ON x.sb = y.sa
+                       JOIN g z ON y.sb = z.sa AND z.sb = x.sa), 6) AS m3
+"""
+
+
 def de_novo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """de_novo candidates (ref family_methods.py:564): kid het, parents
     hom-ref, kid depth gate — trio gather is an index projection over
@@ -4131,6 +4182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linreg_rows": linreg_rows_q,
         "logreg_score_rows": logreg_score_rows_q,
         "poisreg_score_rows": poisreg_score_rows_q,
+        "pca_moments": pca_moments_q,
         "de_novo_calls": de_novo_q,
         "charr_contamination": charr_q,
         "summarize_alleles": summarize_alleles_q,
@@ -4231,6 +4283,7 @@ def oracle_sql() -> dict[str, str]:
         "linreg_rows": _LINREG_SQL,
         "logreg_score_rows": _LOGREG_SCORE_SQL,
         "poisreg_score_rows": _POISREG_SCORE_SQL,
+        "pca_moments": _PCA_MOMENTS_SQL,
         "de_novo_calls": _DE_NOVO_SQL,
         "charr_contamination": _CHARR_SQL,
         "summarize_alleles": _SUMMARIZE_SQL,
