@@ -2737,6 +2737,38 @@ FROM s WHERE sxx > 1e-6 ORDER BY user_id
 )
 
 
+def skat_q_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linear_skat (ref statgen.py:1986): with intercept-only
+    covariates the null residual is y - ybar and the variance-component
+    statistic collapses to Q = Σ_j Sxy_j² / (2σ²) per variant group —
+    closed form the oracle replays (p-values need the Davies inversion,
+    so the oracle pins Q and the group size)."""
+    from hail_spark.methods.statgen import linear_skat
+
+    mt, gate = _score_mt(spark, sf_dir)
+    mt = mt.annotate_rows(grp=(F.col("user_id") % 20).cast("bigint"))
+    y = [float(i) for i in range(len(mt._cols))]
+    out = linear_skat(mt, "grp", y)
+    return out.select(
+        "group", "size", F.round("q_stat", 6).alias("q_stat")
+    ).orderBy("group")
+
+
+_SKAT_SQL = (
+    "WITH " + _SCORE_CTES + """,
+nn AS (SELECT COUNT(*) nt, (COUNT(*) - 1) / 2.0 ybar,
+              COUNT(*) * (COUNT(*) + 1) / 12.0 sigma2 FROM types),
+s AS (SELECT p.user_id,
+             SUM((p.gt - m.mu) * (CAST(p.r AS DOUBLE) - (SELECT ybar FROM nn))) sxy
+      FROM pres p JOIN mu m USING (user_id) GROUP BY p.user_id)
+SELECT user_id % 20 AS "group",
+       CAST(COUNT(*) AS INT) AS size,
+       ROUND(SUM(sxy * sxy) / (2 * (SELECT sigma2 FROM nn)), 6) AS q_stat
+FROM s GROUP BY 1 ORDER BY 1
+"""
+)
+
+
 def pca_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hwe_normalized_pca (ref pca.py:35): the full eigenvalue spectrum
     of the HWE-normalized gram is verified through its moment
@@ -4183,6 +4215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logreg_score_rows": logreg_score_rows_q,
         "poisreg_score_rows": poisreg_score_rows_q,
         "pca_moments": pca_moments_q,
+        "skat_q_stats": skat_q_stats_q,
         "de_novo_calls": de_novo_q,
         "charr_contamination": charr_q,
         "summarize_alleles": summarize_alleles_q,
@@ -4284,6 +4317,7 @@ def oracle_sql() -> dict[str, str]:
         "logreg_score_rows": _LOGREG_SCORE_SQL,
         "poisreg_score_rows": _POISREG_SCORE_SQL,
         "pca_moments": _PCA_MOMENTS_SQL,
+        "skat_q_stats": _SKAT_SQL,
         "de_novo_calls": _DE_NOVO_SQL,
         "charr_contamination": _CHARR_SQL,
         "summarize_alleles": _SUMMARIZE_SQL,
