@@ -2597,7 +2597,10 @@ def linreg_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.filter(
             ~F.isnan("t_stat")
             & F.col("t_stat").isNotNull()
-            & (F.col("standard_error") > 0)  # drop perfect-fit rows (t = ±inf)
+            # drop perfect-fit rows: a residual that is exactly 0 in the
+            # oracle can land at ~1e-15 here, so gate well above float
+            # noise (next-smallest se in the fixture is ~0.119)
+            & (F.col("standard_error") > 1e-4)
         )
         .select(
             "user_id",
@@ -3572,13 +3575,17 @@ FROM orders ORDER BY o_orderkey
 
 
 def mt_union_battery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MatrixUnionRows + MatrixChooseCols + MatrixKeyRowsBy (M:*): two
-    disjoint row slices unioned, columns subset+reordered, rows rekeyed
-    by a derived bucket, then aggregated."""
+    """MatrixUnionRows + MatrixDistinctByRow + MatrixChooseCols +
+    MatrixKeyRowsBy (M:*): two disjoint row slices plus an overlapping
+    duplicate slice unioned, exact-duplicate rows removed by
+    distinct_by_row (hash-agg struct-min, no window), columns
+    subset+reordered, rows rekeyed by a derived bucket, then
+    aggregated."""
     mt = _events_mt(spark, sf_dir)
     lo = mt.filter_rows(F.col("user_id") % 2 == 0)
     hi = mt.filter_rows(F.col("user_id") % 2 == 1)
-    u = lo.union_rows(hi)
+    dup = mt.filter_rows(F.col("user_id") % 4 == 0)  # re-adds half of `lo`
+    u = lo.union_rows(hi).union_rows(dup).distinct_by_row()
     chosen = u.choose_cols([2, 0, 1])
     g = chosen.group_rows_by((F.col("user_id") % 10).alias("bucket")).aggregate(
         total_n=lambda e: F.sum(e["n"])

@@ -297,6 +297,23 @@ class MatrixTable:
     # joins (ref matrixtable.py:1535-1683 semi/anti; matrix_ir.py:1097
     # MatrixAnnotateRowsTable)
     # ------------------------------------------------------------------ #
+    def distinct_by_row(self) -> "MatrixTable":
+        """Keep one row per row key (ref MatrixDistinctByRow
+        matrix_ir.py:941; MatrixTable.distinct_by_row matrixtable.py:4054).
+        Arbitrary-but-deterministic representative via a single
+        hash-aggregate on the row key — struct-min over the remaining
+        columns (lexicographic), no window/sort shuffle."""
+        others = [c for c in self._df.columns if c not in self._row_key]
+        picked = (
+            self._df.groupBy(*self._row_key)
+            .agg(F.min(F.struct(*[F.col(c) for c in others])).alias("__rest"))
+            .select(
+                *self._row_key,
+                *[F.col("__rest")[c].alias(c) for c in others],
+            )
+        )
+        return self._with_df(picked)
+
     def semi_join_rows(self, other: Table) -> "MatrixTable":
         """Keep rows whose row key appears in `other` (ref
         MatrixTable.semi_join_rows matrixtable.py:1535). left_semi join —
@@ -416,10 +433,6 @@ class MatrixTable:
             for c in self._cols
         ]
         return MatrixTable(self._df, self._row_key, new_cols, self._col_key, self._globals)
-
-    def distinct_by_row(self) -> "MatrixTable":
-        """One row per row key (ref MatrixDistinctByRow matrix_ir.py:941)."""
-        return self._with_df(self._df.dropDuplicates(list(self._row_key)))
 
     def group_cols_by(self, *fields: str) -> "GroupedMatrixCols":
         """Group columns by col fields (ref MatrixTable.group_cols_by
