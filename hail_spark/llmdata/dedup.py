@@ -549,11 +549,15 @@ def connected_components(
     100 TB dup graph. Each round ends in localCheckpoint() to truncate
     lineage (iterative plans otherwise grow exponentially in Catalyst).
     """
+    # checkpoint the input once: every round (and the final node list)
+    # would otherwise re-execute the upstream pair-generation lineage
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
+    e0 = e
     prev_sig = None
     for _ in range(max_iter):
         # large-star: every neighbor larger than u links to min(N(u) ∪ {u})
@@ -588,8 +592,8 @@ def connected_components(
         prev_sig = (sig["n"], sig["h"])
     # converged: e is a star graph child -> root; roots label themselves
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        e0.select(F.col("u").alias("node"))
+        .union(e0.select(F.col("v").alias("node")))
         .distinct()
     )
     labels = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
