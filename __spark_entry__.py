@@ -746,6 +746,71 @@ ORDER BY c.doc_id
 )
 
 
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing stratified sample (training-data pipeline op):
+    per-event-type Bernoulli rates from a plan-literal map, randomness
+    from md5(uid:seed) so the exact subset is engine-independent. Output
+    checks both membership (row set) and per-stratum realized counts."""
+    from hail_spark.llmdata import sampling
+
+    ev = _t(spark, sf_dir, "events").df
+    rates = {"click": 0.5, "view": 0.2, "purchase": 1.0, "signup": 0.9}
+    s = sampling.stratified_sample(ev, "event_type", rates, "event_id", seed=7)
+    return (
+        s.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("event_id").alias("id_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_STRATIFIED_SQL = """
+WITH u AS (SELECT event_id, event_type,
+                  ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':7'), 1, 15))::BIGINT
+                    % 1073741824 / 1073741824.0 AS u
+           FROM events),
+r(event_type, rate) AS (VALUES ('click', 0.5), ('view', 0.2),
+                               ('purchase', 1.0), ('signup', 0.9))
+SELECT u.event_type, COUNT(*) AS n_kept, SUM(event_id) AS id_sum
+FROM u JOIN r USING (event_type) WHERE u.u < r.rate
+GROUP BY u.event_type ORDER BY u.event_type
+"""
+
+
+def deterministic_shuffle_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global shuffle (training-data layout step): one
+    range-partitioned sort by the md5-derived uniform; the oracle
+    replays the exact permutation prefix with ROW_NUMBER."""
+    from hail_spark.llmdata import sampling
+
+    docs = _t(spark, sf_dir, "documents").df
+    out = sampling.deterministic_shuffle(docs, "doc_id", seed=3)
+    keyed = Table(
+        out.select(
+            "doc_id", sampling.uniform(F.col("doc_id"), 3).alias("__u")
+        ),
+        ("__u", "doc_id"),
+    )
+    idx = scans.add_index(keyed, "shuffle_pos")
+    return (
+        idx.df.filter(F.col("shuffle_pos") < 100)
+        .select("doc_id", "shuffle_pos")
+        .orderBy("shuffle_pos")
+    )
+
+
+_DET_SHUFFLE_SQL = """
+WITH u AS (SELECT doc_id,
+                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':3'), 1, 15))::BIGINT
+                    % 1073741824 / 1073741824.0 AS u
+           FROM documents),
+r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY u, doc_id) - 1 AS shuffle_pos FROM u)
+SELECT doc_id, shuffle_pos FROM r WHERE shuffle_pos < 100 ORDER BY shuffle_pos
+"""
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash per document (per-row HOF compute, no shuffle)."""
     from hail_spark.llmdata import dedup
@@ -4177,6 +4242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "minhash_lsh_dedup": minhash_lsh,
         "dedup_clusters": dedup_clusters_q,
+        "stratified_sample": stratified_sample_q,
+        "deterministic_shuffle": deterministic_shuffle_q,
         "ngram_jaccard_dedup": ngram_jaccard,
         "simhash_fingerprints": simhash_fingerprints,
         "embedding_near_dup": embedding_near_dup,
@@ -4279,6 +4346,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_SQL,
         "minhash_lsh_dedup": _MINHASH_SQL,
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
+        "stratified_sample": _STRATIFIED_SQL,
+        "deterministic_shuffle": _DET_SHUFFLE_SQL,
         "ngram_jaccard_dedup": _NGRAM_SQL,
         "simhash_fingerprints": _SIMHASH_SQL,
         "embedding_near_dup": _EMB_DUP_SQL,

@@ -1,0 +1,61 @@
+"""Deterministic sampling / ordering for training-data pipelines.
+
+Every primitive derives its randomness from md5 of a caller-chosen uid
+column, so results are stable across retries, repartitioning, and
+engines (any SQL dialect can replay them) — the property Hail's
+threefry-seeded rand family provides (ref Random.scala), delivered here
+with a portable hash. All three ops are single-pass Column expressions:
+no shuffle for the samples, one global sort for the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import md5_int
+
+_DENOM = 1 << 30
+
+
+def uniform(uid: Column, seed: int = 0) -> Column:
+    """Deterministic uniform in [0, 1) from md5(uid ':' seed)."""
+    h = md5_int(F.concat(uid.cast("string"), F.lit(f":{seed}")))
+    return F.pmod(h, F.lit(_DENOM)) / float(_DENOM)
+
+
+def bernoulli_sample(
+    df: DataFrame, p: float, uid_col: str, seed: int = 0
+) -> DataFrame:
+    """Keep each row independently with probability ``p`` (exact subset
+    determined by the uid, not the partitioning)."""
+    return df.filter(uniform(F.col(uid_col), seed) < p)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict,
+    uid_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum Bernoulli rates — the domain-mixing step of a
+    training-data pipeline (downsample boilerplate sources, keep rare
+    ones). ``rates``: stratum value → keep probability; strata absent
+    from the map are dropped. The rate map is a plan literal
+    (broadcast-free, no join)."""
+    rate = F.coalesce(
+        F.create_map(
+            *[x for kv in sorted(rates.items()) for x in (F.lit(kv[0]), F.lit(float(kv[1])))]
+        )[F.col(strata_col)],
+        F.lit(0.0),
+    )
+    return df.filter(uniform(F.col(uid_col), seed) < rate)
+
+
+def deterministic_shuffle(df: DataFrame, uid_col: str, seed: int = 0) -> DataFrame:
+    """Reproducible global shuffle: order by the uid's derived uniform
+    (uid itself breaks md5 ties). One range-partitioned sort — the
+    standard 'shuffle once, stream in order' layout step before
+    sharded training-data export."""
+    u = uniform(F.col(uid_col), seed)
+    return df.orderBy(u, F.col(uid_col))
