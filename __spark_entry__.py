@@ -811,6 +811,39 @@ SELECT doc_id, shuffle_pos FROM r WHERE shuffle_pos < 100 ORDER BY shuffle_pos
 """
 
 
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (training-data pipeline op):
+    documents laid end-to-end in deterministic-shuffle order, the token
+    stream cut every 512 tokens; each doc reports its exclusive global
+    token offset and bin. One sort + the two-pass distributed scan."""
+    from hail_spark.llmdata import sampling, textstats
+
+    docs = _t(spark, sf_dir, "documents").df
+    d = docs.select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+    out = sampling.pack_sequences(d, "n_tokens", 512, "doc_id", seed=3)
+    return out.orderBy("doc_id")
+
+
+_PACK_SQL = """
+WITH tc AS (SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   x -> x <> '')) AS n_tokens,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':3'), 1, 15))::BIGINT
+                     % 1073741824 / 1073741824.0 AS u
+            FROM documents),
+r AS (SELECT doc_id,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY u, doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pack_start
+      FROM tc)
+SELECT doc_id, CAST(pack_start AS BIGINT) AS pack_start,
+       CAST(FLOOR(pack_start / 512) AS BIGINT) AS bin
+FROM r ORDER BY doc_id
+"""
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash per document (per-row HOF compute, no shuffle)."""
     from hail_spark.llmdata import dedup
@@ -4244,6 +4277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": dedup_clusters_q,
         "stratified_sample": stratified_sample_q,
         "deterministic_shuffle": deterministic_shuffle_q,
+        "pack_sequences": pack_sequences_q,
         "ngram_jaccard_dedup": ngram_jaccard,
         "simhash_fingerprints": simhash_fingerprints,
         "embedding_near_dup": embedding_near_dup,
@@ -4348,6 +4382,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _DEDUP_CLUSTERS_SQL,
         "stratified_sample": _STRATIFIED_SQL,
         "deterministic_shuffle": _DET_SHUFFLE_SQL,
+        "pack_sequences": _PACK_SQL,
         "ngram_jaccard_dedup": _NGRAM_SQL,
         "simhash_fingerprints": _SIMHASH_SQL,
         "embedding_near_dup": _EMB_DUP_SQL,

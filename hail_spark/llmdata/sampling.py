@@ -52,6 +52,37 @@ def stratified_sample(
     return df.filter(uniform(F.col(uid_col), seed) < rate)
 
 
+def pack_sequences(
+    df: DataFrame,
+    count_col: str,
+    budget: int,
+    uid_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end in
+    deterministic-shuffle order and cut the token stream every
+    ``budget`` tokens — the standard packing step that turns a document
+    corpus into fixed-length training sequences.
+
+    Returns (uid, pack_start, bin): each doc's exclusive token offset in
+    the global stream and the bin index of its first token. Distributed
+    shape: one sort (the shuffle) + the two-pass exclusive scan from
+    operators.scans — per-partition partials, driver prefix-combine over
+    partition ids, broadcast back; no second global shuffle.
+    """
+    from ..table import Table
+    from ..operators import scans
+
+    u = uniform(F.col(uid_col), seed).alias("__u")
+    t = Table(df.select(F.col(uid_col), F.col(count_col), u), ("__u", uid_col))
+    s = scans.scan_sum(t, F.col(count_col).cast("bigint"), "pack_start")
+    return s.df.select(
+        F.col(uid_col),
+        F.col("pack_start"),
+        F.floor(F.col("pack_start") / budget).cast("bigint").alias("bin"),
+    )
+
+
 def deterministic_shuffle(df: DataFrame, uid_col: str, seed: int = 0) -> DataFrame:
     """Reproducible global shuffle: order by the uid's derived uniform
     (uid itself breaks md5 ties). One range-partitioned sort — the
