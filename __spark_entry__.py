@@ -652,8 +652,10 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hail_spark.llmdata import dedup
 
     d = _t(spark, sf_dir, "documents").df
-    pairs = dedup.minhash_lsh_pairs(d, k=64, bands=16)
-    est = dedup.minhash_jaccard_estimate(d, pairs, k=64)
+    # one shingle+md5 pass shared by banding and estimation
+    sigs = dedup.minhash_signatures(d, k=64).localCheckpoint()
+    pairs = dedup.minhash_lsh_pairs(d, k=64, bands=16, sigs=sigs)
+    est = dedup.minhash_jaccard_estimate(d, pairs, k=64, sigs=sigs)
     return est.orderBy("id_a", "id_b")
 
 

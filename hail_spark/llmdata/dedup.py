@@ -131,15 +131,22 @@ def minhash_lsh_pairs(
     k: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: split the k-long signature into `bands`
     bands of k/bands rows; docs sharing any band hash are candidates.
 
     Scale shape: explode to (doc, band, band_hash) — k/bands-fold row
     growth only — then self-equi-join on (band, band_hash). Catalyst
-    hash-partitions by band hash; AQE handles hot buckets."""
+    hash-partitions by band hash; AQE handles hot buckets.
+
+    ``sigs``: precomputed minhash_signatures output. Pass a
+    persisted/checkpointed frame when composing with
+    minhash_jaccard_estimate so the shingle+md5 pass runs once instead
+    of once per consumer."""
     r = k // bands
-    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -183,10 +190,13 @@ def minhash_jaccard_estimate(
     id_col: str = "doc_id",
     k: int = 64,
     shingle_n: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Estimated Jaccard (matching signature fraction) for candidate
-    pairs — two broadcast-able joins against the signature table."""
-    sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
+    pairs — two broadcast-able joins against the signature table.
+    ``sigs``: precomputed signatures (see minhash_lsh_pairs)."""
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
     out = (
         pairs.join(sigs.withColumnRenamed(id_col, "id_a").withColumnRenamed("minhash", "sig_a"), "id_a")
         .join(sigs.withColumnRenamed(id_col, "id_b").withColumnRenamed("minhash", "sig_b"), "id_b")
@@ -216,19 +226,27 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.3,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Exact Jaccard similarity for every doc pair with J >= threshold.
 
-    AllPairs/PPJoin prefix filtering (exactness-preserving): shingles
-    get a global canonical order (document frequency asc, hash asc);
-    any pair with Jaccard >= t must share a shingle within each doc's
-    first ``|d| - ceil(t*|d|) + 1`` shingles in that order, so candidate
-    generation only joins on PREFIX tokens — the hot head of the
-    frequency distribution (the quadratic term in a naive posting-list
-    self-join) falls out of the prefixes. Verification computes the
-    exact intersection via array_intersect of the per-doc shingle-set
-    arrays (bounded by doc length), so results are identical to the
-    naive all-shingles join. All shuffles remain hash equi-joins."""
+    Default path: posting-list self-join — intersections counted
+    directly by the pair-grouped equi-join (no per-candidate array
+    payloads), then one join against per-doc set sizes. This is the
+    faster plan whenever candidate pruning can't shrink the join much
+    (flat vocabularies, high dup rates — measured 4× faster at ~sf1 on
+    the synthetic corpus than the verify-by-array variant below).
+
+    ``prefix_filter=True``: AllPairs/PPJoin prefix filtering
+    (exactness-preserving): shingles get a global canonical order
+    (document frequency asc, hash asc); any pair with Jaccard >= t must
+    share a shingle within each doc's first ``|d| - ceil(t*|d|) + 1``
+    shingles in that order, so candidate generation only joins on
+    PREFIX tokens and the df² head of a Zipfian vocabulary (stopword
+    shingles shared by millions of docs) falls out of the candidate
+    join. Verification ships each candidate pair's shingle-set arrays —
+    worth it exactly when the prefix prunes most candidates; prefer it
+    on real web-scale Zipfian corpora."""
     from pyspark.sql import Window
 
     sh = (
@@ -237,6 +255,35 @@ def ngram_jaccard_pairs(
         .select(id_col, md5_int(F.col("s")).alias("sh"))
         .distinct()
     )
+    if not prefix_filter:
+        sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.sh") == F.col("b.sh"),
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                ],
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("inter"))
+        )
+        sa = sz.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+        sb = sz.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+        return (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy(id_col)
     ranked = sh.join(freq, "sh").select(
@@ -612,7 +659,8 @@ def dedup_clusters(
     """End-to-end near-dup clustering: MinHash-LSH candidate pairs →
     connected components → (doc_id, component, cluster_size). The keep
     policy is 'retain doc_id == component' (smallest id per cluster)."""
-    pairs = minhash_lsh_pairs(df, text_col, id_col, k=k, bands=bands)
+    sigs = minhash_signatures(df, text_col, id_col, k).localCheckpoint()
+    pairs = minhash_lsh_pairs(df, text_col, id_col, k=k, bands=bands, sigs=sigs)
     comp = connected_components(pairs, "id_a", "id_b")
     sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return comp.join(sizes, "component").select(
