@@ -2872,6 +2872,36 @@ FROM s GROUP BY 1 ORDER BY 1
 )
 
 
+def logistic_skat_q_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logistic_skat (ref statgen.py:2440): intercept-only null gives
+    mu0 = ybar, so Q = Σ_j Sxy_j² / 2 per group — closed form for the
+    oracle, same shape as the linear SKAT row but with the binomial
+    residual."""
+    from hail_spark.methods.statgen import logistic_skat
+
+    mt, _ = _score_mt(spark, sf_dir)
+    mt = mt.annotate_rows(grp=(F.col("user_id") % 20).cast("bigint"))
+    y = [float(i % 2) for i in range(len(mt._cols))]
+    out = logistic_skat(mt, "grp", y)
+    return out.select(
+        "group", "size", F.round("q_stat", 4).alias("q_stat")
+    ).orderBy("group")
+
+
+_LOGISTIC_SKAT_SQL = (
+    "WITH " + _SCORE_CTES + """,
+nn AS (SELECT AVG(CAST(r % 2 AS DOUBLE)) ybar FROM types),
+s AS (SELECT p.user_id,
+             SUM((p.gt - m.mu) * (CAST(p.r % 2 AS DOUBLE) - (SELECT ybar FROM nn))) sxy
+      FROM pres p JOIN mu m USING (user_id) GROUP BY p.user_id)
+SELECT user_id % 20 AS "group",
+       CAST(COUNT(*) AS INT) AS size,
+       ROUND(SUM(sxy * sxy) / 2, 4) AS q_stat
+FROM s GROUP BY 1 ORDER BY 1
+"""
+)
+
+
 def pca_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hwe_normalized_pca (ref pca.py:35): the full eigenvalue spectrum
     of the HWE-normalized gram is verified through its moment
@@ -4326,6 +4356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poisreg_score_rows": poisreg_score_rows_q,
         "pca_moments": pca_moments_q,
         "skat_q_stats": skat_q_stats_q,
+        "logistic_skat_q": logistic_skat_q_q,
         "de_novo_calls": de_novo_q,
         "charr_contamination": charr_q,
         "summarize_alleles": summarize_alleles_q,
@@ -4431,6 +4462,7 @@ def oracle_sql() -> dict[str, str]:
         "poisreg_score_rows": _POISREG_SCORE_SQL,
         "pca_moments": _PCA_MOMENTS_SQL,
         "skat_q_stats": _SKAT_SQL,
+        "logistic_skat_q": _LOGISTIC_SKAT_SQL,
         "de_novo_calls": _DE_NOVO_SQL,
         "charr_contamination": _CHARR_SQL,
         "summarize_alleles": _SUMMARIZE_SQL,

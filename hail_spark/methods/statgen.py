@@ -866,7 +866,9 @@ def logistic_skat(
         raise ValueError("logistic_skat requires binary y in {0, 1}")
     C = _design(mt, covariates, add_intercept)
     n = C.shape[0]
-    beta, _, _, conv = _logreg_fit(C, yv)
+    # tight tol: Q evaluates the score at this fit, so residual null
+    # gradient leaks into every group's statistic
+    beta, _, _, conv = _logreg_fit(C, yv, max_iter=100, tol=1e-12)
     if not conv:
         raise ValueError("null logistic model failed to converge")
     mu = 1.0 / (1.0 + np.exp(-(C @ beta)))
