@@ -54,6 +54,8 @@ QUERIES = [
     # not the plan (scan_cumulative_sum/add_index cover the scan path)
     "add_index", "minhash_lsh_dedup",
     "ngram_jaccard_dedup", "embedding_near_dup", "dedup_exact",
+    # iterative CC (per-round shuffles) and the global-sort packing path
+    "dedup_clusters", "pack_sequences", "deterministic_shuffle",
     "mt_row_agg", "mt_group_rows_by", "mt_group_cols_by",
     "vds_densify", "take_by_per_key", "collect_per_key",
     # map-only gemm accumulators (linreg/IBD) and the window-rank
