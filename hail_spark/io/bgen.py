@@ -24,9 +24,9 @@ Decode coverage: layout 2 (the v1.2 default), zlib or uncompressed
 blocks, ANY bit depth 1-32 (non-byte-aligned depths via a vectorized
 little-endian bit-stream unpack), unphased and phased probabilities,
 uniform and mixed ploidy (uniform ploidy takes a whole-block reshape
-fast path; mixed ploidy falls back to per-sample slicing). Layout 1 /
-zstd remain out of scope (layout 1 is legacy v1.1; zstd lib not
-guaranteed in-container).
+fast path; mixed ploidy falls back to per-sample slicing); plus legacy
+layout 1 (v1.1: 3×uint16/32768 per sample, all-zero = missing). zstd
+remains out of scope (lib not guaranteed in-container).
 """
 
 from __future__ import annotations
@@ -55,8 +55,8 @@ def _read_header(fh):
     compression = flags & 0x3
     layout = (flags >> 2) & 0xF
     has_samples = (flags >> 31) & 0x1
-    if layout != 2:
-        raise NotImplementedError(f"BGEN layout {layout}; only layout 2 supported")
+    if layout not in (1, 2):
+        raise NotImplementedError(f"BGEN layout {layout}; layouts 1 and 2 supported")
     if compression not in (0, 1):
         raise NotImplementedError("only zlib/uncompressed BGEN supported")
     samples = []
@@ -65,7 +65,7 @@ def _read_header(fh):
         for _ in range(n_samp):
             (slen,) = struct.unpack("<H", fh.read(2))
             samples.append(fh.read(slen).decode())
-    return offset + 4, n_var, n_samp, compression, samples
+    return offset + 4, n_var, n_samp, compression, layout, samples
 
 
 def _scan_offsets(path: str) -> dict:
@@ -77,11 +77,44 @@ def _scan_offsets(path: str) -> dict:
             return json.load(f)
     out = {"variants": []}
     with open(path, "rb") as fh:
-        data_start, n_var, n_samp, compression, samples = _read_header(fh)
+        data_start, n_var, n_samp, compression, layout, samples = _read_header(fh)
         out["n_samples"] = n_samp
         out["compression"] = compression
+        out["layout"] = layout
         out["samples"] = samples
         fh.seek(data_start)
+        if layout == 1:
+            for _ in range(n_var):
+                fh.read(4)  # per-variant N (duplicates the header)
+                (lid,) = struct.unpack("<H", fh.read(2))
+                fh.read(lid)
+                (lrs,) = struct.unpack("<H", fh.read(2))
+                rsid = fh.read(lrs).decode()
+                (lchr,) = struct.unpack("<H", fh.read(2))
+                chrom = fh.read(lchr).decode()
+                (pos,) = struct.unpack("<I", fh.read(4))
+                alleles = []
+                for _ in range(2):  # layout 1 is always biallelic
+                    (la,) = struct.unpack("<I", fh.read(4))
+                    alleles.append(fh.read(la).decode())
+                if compression == 1:
+                    (csize,) = struct.unpack("<I", fh.read(4))
+                else:
+                    csize = 6 * n_samp
+                gt_off = fh.tell()
+                out["variants"].append(
+                    {
+                        "rsid": rsid, "contig": chrom, "position": pos,
+                        "alleles": alleles, "offset": gt_off, "size": csize,
+                    }
+                )
+                fh.seek(gt_off + csize)
+            try:
+                with open(cache, "w") as f:
+                    json.dump(out, f)
+            except OSError:
+                pass
+            return out
         for _ in range(n_var):
             (lid,) = struct.unpack("<H", fh.read(2))
             fh.read(lid)
@@ -203,6 +236,20 @@ def _decode_block(raw: bytes, compression: int) -> tuple:
     return out, ploidy, missing, phased
 
 
+def _decode_block_l1(raw: bytes, compression: int, n: int) -> tuple:
+    """Layout-1 (BGEN v1.1) genotype block: 3 uint16 probabilities per
+    sample scaled by 32768 (all-zero triple = missing). Returns the same
+    (gp, ploidy, missing, phased) contract as the layout-2 decoder —
+    always diploid biallelic unphased."""
+    buf = zlib.decompress(raw) if compression == 1 else raw
+    probs = np.frombuffer(buf[: 6 * n], dtype="<u2").reshape(n, 3) / 32768.0
+    missing = probs.sum(axis=1) == 0.0
+    gp = probs.astype(np.float64)
+    gp[missing] = np.nan
+    ploidy = np.full(n, 2, dtype=np.int64)
+    return gp, ploidy, missing, False
+
+
 def import_bgen(
     spark: SparkSession,
     path: str,
@@ -219,6 +266,7 @@ def import_bgen(
     idx = _scan_offsets(path)
     n_samp = idx["n_samples"]
     compression = idx["compression"]
+    layout = idx.get("layout", 2)
     samples = sample_ids or idx["samples"] or [f"S{i}" for i in range(n_samp)]
     if len(samples) != n_samp:
         raise ValueError("sample id count does not match BGEN header")
@@ -250,7 +298,12 @@ def import_bgen(
             for _, r in pdf.iterrows():
                 fh.seek(int(r["offset"]))
                 raw = fh.read(int(r["size"]))
-                gp, ploidy, missing, phased = _decode_block(raw, compression)
+                if layout == 1:
+                    gp, ploidy, missing, phased = _decode_block_l1(
+                        raw, compression, n_samp
+                    )
+                else:
+                    gp, ploidy, missing, phased = _decode_block(raw, compression)
                 k = len(r["alleles"])
                 n = len(ploidy)
 

@@ -142,3 +142,53 @@ def test_export_bgen_distributed_roundtrip(spark, tmp_path, bgen_path):
                 continue
             np.testing.assert_allclose(ea["GP"], eb["GP"], atol=2e-4)
             assert ea["GT"] == eb["GT"]
+
+
+@pytest.mark.parametrize("compress", [True, False], ids=["zlib", "raw"])
+def test_layout1_import(spark, tmp_path, compress):
+    """Legacy BGEN v1.1 (layout 1): hand-write the file from the spec —
+    3 uint16/32768 probabilities per sample, all-zero triple = missing."""
+    import struct as st
+    import zlib as zl
+
+    probs = np.array(
+        [
+            [[0.9, 0.1, 0.0], [0.0, 0.0, 0.0], [0.2, 0.3, 0.5]],
+            [[0.0, 1.0, 0.0], [0.25, 0.5, 0.25], [0.1, 0.8, 0.1]],
+        ]
+    )
+    n_var, n_samp = probs.shape[:2]
+    variants = [("rs1", "1", 100, ["A", "G"]), ("rs2", "2", 200, ["C", "T"])]
+    flags = (1 if compress else 0) | (1 << 2)  # compression bits + layout 1
+    header = st.pack("<III", 20, n_var, n_samp) + b"bgen" + st.pack("<I", flags)
+    blob = st.pack("<I", 20) + header
+    for (rsid, chrom, pos, alleles), vp in zip(variants, probs):
+        blob += st.pack("<I", n_samp)
+        blob += st.pack("<H", 0)
+        blob += st.pack("<H", len(rsid)) + rsid.encode()
+        blob += st.pack("<H", len(chrom)) + chrom.encode()
+        blob += st.pack("<I", pos)
+        for a in alleles:
+            blob += st.pack("<I", len(a)) + a.encode()
+        gt = np.round(vp * 32768).astype("<u2").tobytes()
+        if compress:
+            comp = zl.compress(gt)
+            blob += st.pack("<I", len(comp)) + comp
+        else:
+            blob += gt
+    p = tmp_path / f"l1_{compress}.bgen"
+    p.write_bytes(blob)
+
+    mt = import_bgen(spark, str(p))
+    rows = {r["rsid"]: r for r in mt._df.collect()}
+    assert set(rows) == {"rs1", "rs2"}
+    assert rows["rs2"]["contig"] == "2" and rows["rs2"]["position"] == 200
+    for vi, (rsid, *_r) in enumerate(variants):
+        ents = rows[rsid]["__entries"]
+        for j in range(n_samp):
+            if probs[vi, j].sum() == 0:
+                assert ents[j] is None
+                continue
+            np.testing.assert_allclose(ents[j]["GP"], probs[vi, j], atol=1e-4)
+            assert ents[j]["GT"] == int(np.argmax(probs[vi, j]))
+            assert ents[j]["ploidy"] == 2 and ents[j]["phased"] is False
