@@ -57,8 +57,15 @@ def _read_header(fh):
     has_samples = (flags >> 31) & 0x1
     if layout not in (1, 2):
         raise NotImplementedError(f"BGEN layout {layout}; layouts 1 and 2 supported")
-    if compression not in (0, 1):
-        raise NotImplementedError("only zlib/uncompressed BGEN supported")
+    if compression == 2:
+        try:
+            import zstandard  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "zstd-compressed BGEN needs the 'zstandard' package"
+            ) from e
+    elif compression not in (0, 1):
+        raise NotImplementedError(f"unknown BGEN compression flag {compression}")
     samples = []
     if has_samples:
         struct.unpack("<II", fh.read(8))  # block length, N
@@ -177,6 +184,11 @@ def _decode_block(raw: bytes, compression: int) -> tuple:
     if compression == 1:
         (_dlen,) = struct.unpack("<I", raw[:4])
         buf = zlib.decompress(raw[4:])
+    elif compression == 2:
+        import zstandard
+
+        (_dlen,) = struct.unpack("<I", raw[:4])
+        buf = zstandard.ZstdDecompressor().decompress(raw[4:], max_output_size=_dlen)
     else:
         buf = raw
     n, k = struct.unpack("<IH", buf[:6])
