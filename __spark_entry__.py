@@ -2902,6 +2902,80 @@ FROM s GROUP BY 1 ORDER BY 1
 )
 
 
+def genotype_fn_battery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genotype-likelihood / allele scalar helpers (ref functions.py:
+    pl_to_gp :5764, gp_dosage :5792, pl_dosage :5827, gq_from_pl,
+    parse_call, reverse_complement :6184, is_strand_ambiguous :2672,
+    variant_str, unphased_diploid_gt_index_call :2467,
+    numeric_allele_type) — all pure Column expressions, replayed
+    arithmetically by the oracle."""
+    ev = _t(spark, sf_dir, "events").df.filter(F.col("event_id") < 5000)
+    pl = F.array(
+        (F.col("event_id") % 30).cast("int"),
+        (F.col("event_id") * 7 % 40).cast("int"),
+        (F.col("event_id") * 13 % 50).cast("int"),
+    )
+    bases = F.array(F.lit("A"), F.lit("C"), F.lit("G"), F.lit("T"))
+    ref = F.element_at(bases, (F.col("event_id") % 4 + 1).cast("int"))
+    alt = F.element_at(bases, ((F.col("event_id") + 1) % 4 + 1).cast("int"))
+    call_str = F.element_at(
+        F.array(F.lit("0/1"), F.lit("1|1"), F.lit("0/0"), F.lit("./."), F.lit("1/1")),
+        (F.col("event_id") % 5 + 1).cast("int"),
+    )
+    pc = hf.parse_call(call_str)
+    ud = hf.unphased_diploid_gt_index_call(F.col("event_id") % 6)
+    return ev.select(
+        "event_id",
+        hf.gq_from_pl(pl).alias("gq"),
+        F.round(hf.pl_dosage(pl), 6).alias("pl_dosage"),
+        F.round(hf.pl_to_gp(pl)[0], 6).alias("gp0"),
+        pc["GT"].alias("gt"),
+        pc["ploidy"].alias("ploidy"),
+        pc["phased"].alias("phased"),
+        hf.reverse_complement(F.concat(ref, alt, ref)).alias("revcomp"),
+        hf.is_strand_ambiguous(ref, alt).alias("ambig"),
+        hf.numeric_allele_type(ref, alt).alias("atype"),
+        ud["j"].alias("j"),
+        ud["k"].alias("k"),
+        hf.variant_str(F.lit("c1"), F.col("event_id") % 1000, F.array(ref, alt)).alias(
+            "vstr"
+        ),
+    ).orderBy("event_id")
+
+
+_GENO_FN_SQL = """
+WITH e AS (SELECT event_id,
+        [CAST(event_id % 30 AS INT), CAST(event_id * 7 % 40 AS INT),
+         CAST(event_id * 13 % 50 AS INT)] AS pl,
+        ['A','C','G','T'][CAST(event_id % 4 + 1 AS INT)] AS ref,
+        ['A','C','G','T'][CAST((event_id + 1) % 4 + 1 AS INT)] AS alt,
+        ['0/1','1|1','0/0','./.','1/1'][CAST(event_id % 5 + 1 AS INT)] AS cs,
+        CAST(event_id % 6 AS INT) AS gi
+    FROM events WHERE event_id < 5000),
+g AS (SELECT *,
+        pl[1] + pl[2] + pl[3] - least(pl[1], pl[2], pl[3])
+          - greatest(pl[1], pl[2], pl[3]) AS mid,
+        POWER(10, -pl[1]/10.0) AS l0, POWER(10, -pl[2]/10.0) AS l1,
+        POWER(10, -pl[3]/10.0) AS l2,
+        CAST(FLOOR((SQRT(8.0*gi + 1.0) - 1.0) / 2.0) AS INT) AS k
+      FROM e)
+SELECT event_id,
+    CAST(mid - least(pl[1], pl[2], pl[3]) AS INT) AS gq,
+    ROUND((l1 + 2*l2) / (l0 + l1 + l2), 6) AS pl_dosage,
+    ROUND(l0 / (l0 + l1 + l2), 6) AS gp0,
+    CASE cs WHEN '0/1' THEN 1 WHEN '1|1' THEN 2 WHEN '0/0' THEN 0
+            WHEN '1/1' THEN 2 END AS gt,
+    CASE WHEN cs = './.' THEN NULL ELSE 2 END AS ploidy,
+    CASE cs WHEN '1|1' THEN TRUE WHEN './.' THEN NULL ELSE FALSE END AS phased,
+    reverse(translate(ref || alt || ref, 'ACGT', 'TGCA')) AS revcomp,
+    (ref || '/' || alt) IN ('A/T','T/A','C/G','G/C') AS ambig,
+    CASE WHEN ref <> alt THEN 0 ELSE 7 END AS atype,
+    CAST(gi - k*(k+1)/2 AS INT) AS j, k,
+    'c1:' || CAST(event_id % 1000 AS VARCHAR) || ':' || ref || ',' || alt AS vstr
+FROM g ORDER BY event_id
+"""
+
+
 def pca_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hwe_normalized_pca (ref pca.py:35): the full eigenvalue spectrum
     of the HWE-normalized gram is verified through its moment
@@ -4357,6 +4431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_moments": pca_moments_q,
         "skat_q_stats": skat_q_stats_q,
         "logistic_skat_q": logistic_skat_q_q,
+        "genotype_fn_battery": genotype_fn_battery_q,
         "de_novo_calls": de_novo_q,
         "charr_contamination": charr_q,
         "summarize_alleles": summarize_alleles_q,
@@ -4463,6 +4538,7 @@ def oracle_sql() -> dict[str, str]:
         "pca_moments": _PCA_MOMENTS_SQL,
         "skat_q_stats": _SKAT_SQL,
         "logistic_skat_q": _LOGISTIC_SKAT_SQL,
+        "genotype_fn_battery": _GENO_FN_SQL,
         "de_novo_calls": _DE_NOVO_SQL,
         "charr_contamination": _CHARR_SQL,
         "summarize_alleles": _SUMMARIZE_SQL,

@@ -1086,3 +1086,105 @@ def min_rep(pos, ref, alt) -> Column:
         r1.substr(pre + 1, l1r - pre).alias("ref"),
         a1.substr(pre + 1, l1a - pre).alias("alt"),
     )
+
+
+# ---------------------------------------------------------------------- #
+# genotype-likelihood / allele string helpers (ref functions.py:
+# gp_dosage :5792, pl_dosage :5827, pl_to_gp :5764, gq_from_pl,
+# reverse_complement :6184, is_strand_ambiguous :2672, variant_str,
+# parse_call, unphased_diploid_gt_index_call :2467) — all pure Column
+# expressions (codegen, no UDF).
+# ---------------------------------------------------------------------- #
+def gp_dosage(gp) -> Column:
+    """Expected n_alt dosage from genotype probabilities: GP[1]+2·GP[2]
+    (biallelic diploid)."""
+    g = _c(gp)
+    return g[1] + 2.0 * g[2]
+
+
+def pl_to_gp(pl) -> Column:
+    """Phred-scaled likelihoods → normalized genotype probabilities:
+    10^(-PL/10) / Σ."""
+    p = F.transform(_c(pl), lambda x: F.pow(F.lit(10.0), -x.cast("double") / 10.0))
+    s = F.aggregate(p, F.lit(0.0), lambda acc, x: acc + x)
+    return F.transform(p, lambda x: x / s)
+
+
+def pl_dosage(pl) -> Column:
+    """Expected dosage from PLs (gp_dosage ∘ pl_to_gp)."""
+    return gp_dosage(pl_to_gp(pl))
+
+
+def gq_from_pl(pl) -> Column:
+    """GQ = difference of the two smallest PL values (capped like the
+    reference at 99 by callers; raw difference here)."""
+    s = F.array_sort(_c(pl))
+    return (s[1] - s[0]).cast("int")
+
+
+def reverse_complement(s, rna: bool = False) -> Column:
+    out = F.reverse(F.translate(_c(s), "ACGTacgt", "TGCAtgca"))
+    if rna:
+        out = F.translate(out, "Tt", "Uu")
+    return out
+
+
+def is_strand_ambiguous(ref, alt) -> Column:
+    """True for A/T, T/A, C/G, G/C pairs (same alleles on the reverse
+    strand)."""
+    pair = F.concat(_c(ref), F.lit("/"), _c(alt))
+    return pair.isin("A/T", "T/A", "C/G", "G/C")
+
+
+def variant_str(contig, position, alleles) -> Column:
+    """'contig:pos:ref:alt1,...' (hl.variant_str)."""
+    return F.concat_ws(
+        ":",
+        _c(contig).cast("string"),
+        _c(position).cast("string"),
+        F.array_join(_c(alleles), ","),
+    )
+
+
+def parse_call(s) -> Column:
+    """Parse a VCF-style call string ('0/1', '1|1', '0', '.') into
+    struct(GT: n_alt int, ploidy int, phased boolean); missing ('.' or
+    './.') → null struct."""
+    c = _c(s)
+    phased = c.contains("|")
+    parts = F.split(c, r"[/|]")
+    missing = F.exists(parts, lambda a: a == ".") | (F.length(c) == 0)
+    n_alt = F.aggregate(
+        parts, F.lit(0), lambda acc, a: acc + F.when(a != "0", 1).otherwise(0)
+    )
+    return F.when(
+        ~missing,
+        F.struct(
+            n_alt.alias("GT"),
+            F.size(parts).alias("ploidy"),
+            phased.alias("phased"),
+        ),
+    )
+
+
+def unphased_diploid_gt_index_call(idx) -> Column:
+    """Genotype-index → allele pair for unphased diploids (triangle
+    numbering: index = k(k+1)/2 + j with j <= k): struct(j, k)."""
+    i = _c(idx).cast("int")
+    k = F.floor((F.sqrt(8.0 * i + 1.0) - 1.0) / 2.0).cast("int")
+    j = (i - k * (k + 1) / 2).cast("int")
+    return F.struct(j.alias("j"), k.alias("k"))
+
+
+def numeric_allele_type(ref, alt) -> Column:
+    """Integer code of allele_type, matching the reference's
+    AlleleType enum order (SNP=0, MNP=1, Insertion=2, Deletion=3,
+    Complex=4, Star=5, Symbolic=6, Unknown=7)."""
+    t = allele_type(ref, alt)
+    m = F.create_map(
+        F.lit("SNP"), F.lit(0), F.lit("MNP"), F.lit(1),
+        F.lit("Insertion"), F.lit(2), F.lit("Deletion"), F.lit(3),
+        F.lit("Complex"), F.lit(4), F.lit("Star"), F.lit(5),
+        F.lit("Symbolic"), F.lit(6), F.lit("Unknown"), F.lit(7),
+    )
+    return F.coalesce(m[t], F.lit(7))

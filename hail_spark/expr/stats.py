@@ -253,6 +253,30 @@ def qchisqtail(p, df, lower_tail=False):
     return np.vectorize(solve, otypes=[float])(p, df)
 
 
+def qgamma(p, shape, scale=1.0, lower_tail=True):
+    """Inverse gamma CDF (ref functions.py qgamma) — bracketed bisection
+    on the per-tail regularized incomplete gamma kernels."""
+
+    def solve(pp, aa):
+        if math.isnan(pp) or pp <= 0 or pp >= 1:
+            return float("nan") if (pp != 0 and pp != 1) else (0.0 if (pp == 0) == lower_tail else float("inf"))
+        target = pp if lower_tail else 1.0 - pp
+        lo, hi = 0.0, max(10.0, aa * 4.0)
+        while _gammp_scalar(aa, hi) < target and hi < 1e12:
+            hi *= 2
+        for _ in range(200):
+            mid = (lo + hi) / 2
+            if _gammp_scalar(aa, mid) < target:
+                lo = mid
+            else:
+                hi = mid
+            if hi - lo < 1e-13 * max(1.0, hi):
+                break
+        return (lo + hi) / 2
+
+    return np.vectorize(solve, otypes=[float])(p, shape) * scale
+
+
 def pgamma(x, shape, scale=1.0, lower_tail=True):
     # each tail via its own kernel — no 1-p cancellation in the far tail
     x = np.asarray(x, dtype=float)
