@@ -819,8 +819,11 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream cut every 512 tokens; each doc reports its exclusive global
     token offset and bin. One sort + the two-pass distributed scan."""
     from hail_spark.llmdata import sampling, textstats
+    from hail_spark.llmdata.dedup import _spread
 
-    docs = _t(spark, sf_dir, "documents").df
+    # spread the raw text BEFORE the token count: a single-file source
+    # otherwise runs the whole regex tokenize stage on one task
+    docs = _spread(_t(spark, sf_dir, "documents").df)
     d = docs.select(
         "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
     )

@@ -89,7 +89,12 @@ def fingerprint(text: Column) -> Column:
 
 
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """One-pass text profile: all stats as a wide projection."""
+    """One-pass text profile: all stats as a wide projection (input
+    spread first — the regex stats are CPU-bound and a single-file
+    source arrives as one partition)."""
+    from .dedup import _spread
+
+    df = _spread(df.select(F.col(id_col), F.col(text_col)))
     t = F.col(text_col)
     return df.select(
         F.col(id_col),

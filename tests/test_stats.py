@@ -133,3 +133,13 @@ def test_cochran_mantel_haenszel():
     # null-ish: balanced tables
     res0 = cochran_mantel_haenszel_test([5, 5], [5, 5], [5, 5], [5, 5])
     assert res0["p_value"] > 0.5
+
+
+def test_qgamma_inverts_pgamma():
+    from hail_spark.expr.stats import pgamma, qgamma
+
+    for p, a, s in [(0.5, 2.0, 1.0), (0.95, 3.5, 2.0), (0.01, 0.7, 1.3)]:
+        x = float(qgamma(p, a, s))
+        assert abs(float(pgamma(x, a, s)) - p) < 1e-9
+    # R qgamma(0.5, 2, scale=1) = 1.678346990
+    assert abs(float(qgamma(0.5, 2.0, 1.0)) - 1.678346990) < 1e-8
