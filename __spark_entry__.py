@@ -849,6 +849,34 @@ FROM r ORDER BY doc_id
 """
 
 
+def unigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality scoring: mean log-prob of each doc's
+    tokens under the corpus unigram LM (add-k smoothed). Both passes
+    are token-hash-partitioned joins/aggregates — the standard cheap
+    quality filter ahead of model scoring."""
+    from hail_spark.llmdata import textstats
+
+    d = _t(spark, sf_dir, "documents").df
+    out = textstats.unigram_logprob(d, add_k=0.5)
+    return out.select(
+        "doc_id", "n_tokens", F.round("mean_logprob", 6).alias("mean_logprob")
+    ).orderBy("doc_id")
+
+
+_UNIGRAM_SQL = """
+WITH toks AS (SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> ''))
+                AS w FROM documents),
+counts AS (SELECT w, COUNT(*) c FROM toks GROUP BY w),
+tot AS (SELECT SUM(c) n, COUNT(*) v FROM counts)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(LN((c.c + 0.5) / ((SELECT n FROM tot) + 0.5 * (SELECT v FROM tot)))), 6)
+         AS mean_logprob
+FROM toks t JOIN counts c USING (w)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit SimHash per document (per-row HOF compute, no shuffle)."""
     from hail_spark.llmdata import dedup
@@ -4387,6 +4415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": stratified_sample_q,
         "deterministic_shuffle": deterministic_shuffle_q,
         "pack_sequences": pack_sequences_q,
+        "unigram_logprob": unigram_logprob_q,
         "ngram_jaccard_dedup": ngram_jaccard,
         "simhash_fingerprints": simhash_fingerprints,
         "embedding_near_dup": embedding_near_dup,
@@ -4494,6 +4523,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _STRATIFIED_SQL,
         "deterministic_shuffle": _DET_SHUFFLE_SQL,
         "pack_sequences": _PACK_SQL,
+        "unigram_logprob": _UNIGRAM_SQL,
         "ngram_jaccard_dedup": _NGRAM_SQL,
         "simhash_fingerprints": _SIMHASH_SQL,
         "embedding_near_dup": _EMB_DUP_SQL,

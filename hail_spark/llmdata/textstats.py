@@ -63,6 +63,48 @@ def quality_score(text: Column) -> Column:
     return (len_ok * 0.4 + punct_ok * 0.3 + sw_ok * 0.3).cast("double")
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the cheap perplexity-style quality filter that sits
+    before model-based scoring in a training-data pipeline.
+
+    Two passes, both distributed: (1) token explode + count → the
+    unigram table (vocab-sized, shuffled by token); (2) re-join tokens
+    against it and average log p(w) per doc, with add-k smoothing over
+    the observed vocab. No driver-side model: the LM IS the token-count
+    table, joined by token hash — at web scale both sides partition by
+    token, and the per-doc mean is one more hash-agg by id.
+
+    Returns (id, n_tokens, mean_logprob).
+    """
+    from .dedup import _spread
+
+    toks = (
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("__w"))
+    )
+    counts = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    totals = counts.agg(
+        F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
+    ).collect()[0]
+    n_total, vocab = float(totals["__n"]), float(totals["__v"])
+    denom = n_total + add_k * vocab
+    lp = F.log((F.col("__c") + F.lit(add_k)) / F.lit(denom))
+    return (
+        toks.join(counts, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(lp).alias("mean_logprob"),
+        )
+    )
+
+
 def langid(text: Column) -> Column:
     """Stopword-vote language ID: argmax over per-language stopword hit
     counts; 'und' when nothing matches."""
