@@ -485,7 +485,7 @@ def _blocked_allpairs_cosine(
     vec_col: str,
     id_col: str,
     threshold: float,
-    chunk_rows: int = 512,
+    chunk_rows: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine with BOUNDED chunks: ids hash into
     ceil(n / chunk_rows) chunks, so one Row never holds more than
@@ -493,11 +493,22 @@ def _blocked_allpairs_cosine(
     variant put n/16 vectors in a single Row — impossible at scale).
     Chunk-pair count grows as (n/chunk_rows)²/2, so parallelism scales
     with the corpus. The arithmetic is inherently O(n²) — that's what
-    'exact' costs; the hyperplane-LSH path is the subquadratic option."""
+    'exact' costs; the hyperplane-LSH path is the subquadratic option.
+
+    ``chunk_rows=None`` adapts: each vector ships once per chunk it
+    pairs with, so bigger chunks mean less shuffle — the default sizes
+    chunks to keep ~4 chunk-pairs per core while staying in
+    [512, 4096] rows (bounded memory at any corpus size)."""
+    import math
+
     import numpy as np
     import pandas as pd
 
     n = base.count()
+    if chunk_rows is None:
+        par = base.sparkSession.sparkContext.defaultParallelism
+        nb = max(1, math.ceil(math.sqrt(8.0 * par)))
+        chunk_rows = min(4096, max(512, -(-n // nb)))
     n_blocks = max(1, -(-n // chunk_rows))
 
     bucketed = base.groupBy(
