@@ -3007,6 +3007,96 @@ FROM g ORDER BY event_id
 """
 
 
+def assoc_tests_battery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 association tests (ref statgen chi_squared_test /
+    fisher_exact_test, commons-math parity): counts aggregate
+    distributively, the exact-test finalizer runs on the (tiny)
+    collected table like the reference's driver-side finalizers. The
+    oracle replays the chi² statistic in closed form and the Fisher
+    two-sided p as the lgamma-hypergeometric sum."""
+    from hail_spark.expr.stats import chi_squared_test, fisher_exact_test
+
+    ev = _t(spark, sf_dir, "events").df
+    cts = (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(((F.col("user_id") % 2 == 0) & (F.col("event_id") % 3 == 0)).cast("int")).alias("a"),
+            F.sum(((F.col("user_id") % 2 == 0) & (F.col("event_id") % 3 != 0)).cast("int")).alias("b"),
+            F.sum(((F.col("user_id") % 2 == 1) & (F.col("event_id") % 3 == 0)).cast("int")).alias("c"),
+            F.sum(((F.col("user_id") % 2 == 1) & (F.col("event_id") % 3 != 0)).cast("int")).alias("d"),
+        )
+        .orderBy("event_type")
+        .collect()
+    )
+    rows = []
+    for r in cts:
+        chi = chi_squared_test(r["a"], r["b"], r["c"], r["d"])
+        fis = fisher_exact_test(r["a"], r["b"], r["c"], r["d"])
+        rows.append(
+            {
+                "event_type": r["event_type"],
+                "chi_sq_stat": round(
+                    sum(
+                        (o - e) ** 2 / e
+                        for o, e in zip(
+                            (r["a"], r["b"], r["c"], r["d"]),
+                            (
+                                (r["a"] + r["b"]) * (r["a"] + r["c"]) / (r["a"] + r["b"] + r["c"] + r["d"]),
+                                (r["a"] + r["b"]) * (r["b"] + r["d"]) / (r["a"] + r["b"] + r["c"] + r["d"]),
+                                (r["c"] + r["d"]) * (r["a"] + r["c"]) / (r["a"] + r["b"] + r["c"] + r["d"]),
+                                (r["c"] + r["d"]) * (r["b"] + r["d"]) / (r["a"] + r["b"] + r["c"] + r["d"]),
+                            ),
+                        )
+                    ),
+                    6,
+                ),
+                "fisher_p": round(fis["p_value"], 6),
+                "odds_ratio": round(chi["odds_ratio"], 6),
+            }
+        )
+    return spark.createDataFrame(rows).select(
+        "event_type", "chi_sq_stat", "fisher_p", "odds_ratio"
+    )
+
+
+_ASSOC_SQL = """
+WITH cts AS (SELECT event_type,
+    SUM(CASE WHEN user_id % 2 = 0 AND event_id % 3 = 0 THEN 1 ELSE 0 END) a,
+    SUM(CASE WHEN user_id % 2 = 0 AND event_id % 3 <> 0 THEN 1 ELSE 0 END) b,
+    SUM(CASE WHEN user_id % 2 = 1 AND event_id % 3 = 0 THEN 1 ELSE 0 END) c,
+    SUM(CASE WHEN user_id % 2 = 1 AND event_id % 3 <> 0 THEN 1 ELSE 0 END) d
+  FROM events GROUP BY 1),
+base AS (SELECT *, a+b+c+d AS n, a+b AS row1, a+c AS col1,
+                GREATEST(0, (a+b)+(a+c)-(a+b+c+d)) AS klo,
+                LEAST(a+b, a+c) AS khi,
+                lgamma(a+b+1.0) + lgamma(c+d+1.0) + lgamma(a+c+1.0)
+                  + lgamma(b+d+1.0) - lgamma(a+b+c+d+1.0) AS lbase
+         FROM cts),
+pmf AS (SELECT event_type, a, lbase, x,
+               EXP(lbase - lgamma(x+1.0) - lgamma(row1-x+1.0)
+                   - lgamma(col1-x+1.0) - lgamma(n-row1-col1+x+1.0)) AS pk
+        FROM (SELECT *, unnest(range(CAST(klo AS BIGINT), CAST(khi+1 AS BIGINT))) AS x
+              FROM base)),
+obs AS (SELECT event_type,
+               EXP(lbase - lgamma(a+1.0) - lgamma(row1-a+1.0)
+                   - lgamma(col1-a+1.0) - lgamma(n-row1-col1+a+1.0))
+                 * (1 + 1e-7) AS pobs
+        FROM base),
+fish AS (SELECT p.event_type,
+                LEAST(1.0, SUM(CASE WHEN p.pk <= o.pobs THEN p.pk ELSE 0 END)) AS fp
+         FROM pmf p JOIN obs o USING (event_type) GROUP BY 1)
+SELECT b.event_type,
+       ROUND((a - (a+b)*(a+c)/CAST(n AS DOUBLE))^2 / ((a+b)*(a+c)/CAST(n AS DOUBLE))
+           + (b - (a+b)*(b+d)/CAST(n AS DOUBLE))^2 / ((a+b)*(b+d)/CAST(n AS DOUBLE))
+           + (c - (c+d)*(a+c)/CAST(n AS DOUBLE))^2 / ((c+d)*(a+c)/CAST(n AS DOUBLE))
+           + (d - (c+d)*(b+d)/CAST(n AS DOUBLE))^2 / ((c+d)*(b+d)/CAST(n AS DOUBLE)), 6)
+         AS chi_sq_stat,
+       ROUND(f.fp, 6) AS fisher_p,
+       ROUND(a * d / CAST(b * c AS DOUBLE), 6) AS odds_ratio
+FROM base b JOIN fish f USING (event_type) ORDER BY b.event_type
+"""
+
+
 def pca_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hwe_normalized_pca (ref pca.py:35): the full eigenvalue spectrum
     of the HWE-normalized gram is verified through its moment
@@ -4464,6 +4554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skat_q_stats": skat_q_stats_q,
         "logistic_skat_q": logistic_skat_q_q,
         "genotype_fn_battery": genotype_fn_battery_q,
+        "assoc_tests_battery": assoc_tests_battery_q,
         "de_novo_calls": de_novo_q,
         "charr_contamination": charr_q,
         "summarize_alleles": summarize_alleles_q,
@@ -4572,6 +4663,7 @@ def oracle_sql() -> dict[str, str]:
         "skat_q_stats": _SKAT_SQL,
         "logistic_skat_q": _LOGISTIC_SKAT_SQL,
         "genotype_fn_battery": _GENO_FN_SQL,
+        "assoc_tests_battery": _ASSOC_SQL,
         "de_novo_calls": _DE_NOVO_SQL,
         "charr_contamination": _CHARR_SQL,
         "summarize_alleles": _SUMMARIZE_SQL,
