@@ -3097,6 +3097,59 @@ FROM base b JOIN fish f USING (event_type) ORDER BY b.event_type
 """
 
 
+def cmh_test_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran–Mantel–Haenszel 2×2×K (ref functions.py:746): per-stratum
+    counts aggregate distributively (strata = event types), the
+    continuity-corrected statistic and common odds ratio replay in
+    closed form."""
+    from hail_spark.expr.stats import cochran_mantel_haenszel_test
+
+    ev = _t(spark, sf_dir, "events").df
+    cts = (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(((F.col("user_id") % 2 == 0) & (F.col("event_id") % 3 == 0)).cast("int")).alias("a"),
+            F.sum(((F.col("user_id") % 2 == 0) & (F.col("event_id") % 3 != 0)).cast("int")).alias("b"),
+            F.sum(((F.col("user_id") % 2 == 1) & (F.col("event_id") % 3 == 0)).cast("int")).alias("c"),
+            F.sum(((F.col("user_id") % 2 == 1) & (F.col("event_id") % 3 != 0)).cast("int")).alias("d"),
+        )
+        .orderBy("event_type")
+        .collect()
+    )
+    res = cochran_mantel_haenszel_test(
+        [r["a"] for r in cts], [r["b"] for r in cts],
+        [r["c"] for r in cts], [r["d"] for r in cts],
+    )
+    return spark.createDataFrame(
+        [
+            {
+                "test_statistic": round(res["test_statistic"], 6),
+                "odds_ratio": round(res["odds_ratio"], 6),
+            }
+        ]
+    ).select("test_statistic", "odds_ratio")
+
+
+_CMH_SQL = """
+WITH cts AS (SELECT event_type,
+    SUM(CASE WHEN user_id % 2 = 0 AND event_id % 3 = 0 THEN 1 ELSE 0 END) a,
+    SUM(CASE WHEN user_id % 2 = 0 AND event_id % 3 <> 0 THEN 1 ELSE 0 END) b,
+    SUM(CASE WHEN user_id % 2 = 1 AND event_id % 3 = 0 THEN 1 ELSE 0 END) c,
+    SUM(CASE WHEN user_id % 2 = 1 AND event_id % 3 <> 0 THEN 1 ELSE 0 END) d
+  FROM events GROUP BY 1),
+s AS (SELECT
+    SUM(a - (a+b)*(a+c)/CAST(a+b+c+d AS DOUBLE)) AS num,
+    SUM((a+b)*(c+d)*(a+c)*(b+d)
+        / (CAST(a+b+c+d AS DOUBLE)*CAST(a+b+c+d AS DOUBLE)*(a+b+c+d-1))) AS var,
+    SUM(a*d/CAST(a+b+c+d AS DOUBLE)) AS sad,
+    SUM(b*c/CAST(a+b+c+d AS DOUBLE)) AS sbc
+  FROM cts)
+SELECT ROUND((ABS(num) - 0.5)^2 / var, 6) AS test_statistic,
+       ROUND(sad / sbc, 6) AS odds_ratio
+FROM s
+"""
+
+
 def pca_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hwe_normalized_pca (ref pca.py:35): the full eigenvalue spectrum
     of the HWE-normalized gram is verified through its moment
@@ -4555,6 +4608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "logistic_skat_q": logistic_skat_q_q,
         "genotype_fn_battery": genotype_fn_battery_q,
         "assoc_tests_battery": assoc_tests_battery_q,
+        "cmh_test": cmh_test_q,
         "de_novo_calls": de_novo_q,
         "charr_contamination": charr_q,
         "summarize_alleles": summarize_alleles_q,
@@ -4664,6 +4718,7 @@ def oracle_sql() -> dict[str, str]:
         "logistic_skat_q": _LOGISTIC_SKAT_SQL,
         "genotype_fn_battery": _GENO_FN_SQL,
         "assoc_tests_battery": _ASSOC_SQL,
+        "cmh_test": _CMH_SQL,
         "de_novo_calls": _DE_NOVO_SQL,
         "charr_contamination": _CHARR_SQL,
         "summarize_alleles": _SUMMARIZE_SQL,
