@@ -3150,6 +3150,63 @@ FROM s
 """
 
 
+def binom_test_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.binom_test (ref functions.py, commons-math BinomialTest):
+    per-group success counts aggregate distributively; the exact
+    two-sided and one-sided p-values replay as lgamma-pmf sums."""
+    from hail_spark.expr.stats import binom_test
+
+    ev = _t(spark, sf_dir, "events").df
+    cts = (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum((F.col("event_id") % 3 == 0).cast("int")).alias("k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+        .collect()
+    )
+    rows = [
+        {
+            "event_type": r["event_type"],
+            "k": r["k"],
+            "n": r["n"],
+            "p_two_sided": round(binom_test(r["k"], r["n"], 1.0 / 3.0), 6),
+            "p_greater": round(
+                binom_test(r["k"], r["n"], 1.0 / 3.0, "greater"), 6
+            ),
+        }
+        for r in cts
+    ]
+    return spark.createDataFrame(rows).select(
+        "event_type", "k", "n", "p_two_sided", "p_greater"
+    )
+
+
+_BINOM_SQL = """
+WITH cts AS (SELECT event_type,
+                    SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) k,
+                    COUNT(*) n
+             FROM events GROUP BY 1),
+pmf AS (SELECT event_type, k, n, i,
+               EXP(lgamma(n+1.0) - lgamma(i+1.0) - lgamma(n-i+1.0)
+                   + i*LN(1.0/3.0) + (n-i)*LN(2.0/3.0)) AS pi
+        FROM (SELECT *, unnest(range(0, CAST(n+1 AS BIGINT))) AS i FROM cts)),
+obs AS (SELECT event_type,
+               EXP(lgamma(n+1.0) - lgamma(k+1.0) - lgamma(n-k+1.0)
+                   + k*LN(1.0/3.0) + (n-k)*LN(2.0/3.0)) * (1 + 1e-7) AS pk
+        FROM cts)
+SELECT c.event_type, c.k, c.n,
+       ROUND(LEAST(1.0, (SELECT SUM(CASE WHEN p.pi <= o.pk THEN p.pi ELSE 0 END)
+                         FROM pmf p JOIN obs o USING (event_type)
+                         WHERE p.event_type = c.event_type)), 6) AS p_two_sided,
+       ROUND(LEAST(1.0, (SELECT SUM(pi) FROM pmf p
+                         WHERE p.event_type = c.event_type AND p.i >= c.k)), 6)
+         AS p_greater
+FROM cts c ORDER BY c.event_type
+"""
+
+
 def pca_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hwe_normalized_pca (ref pca.py:35): the full eigenvalue spectrum
     of the HWE-normalized gram is verified through its moment
@@ -4609,6 +4666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "genotype_fn_battery": genotype_fn_battery_q,
         "assoc_tests_battery": assoc_tests_battery_q,
         "cmh_test": cmh_test_q,
+        "binom_test_by_type": binom_test_by_type_q,
         "de_novo_calls": de_novo_q,
         "charr_contamination": charr_q,
         "summarize_alleles": summarize_alleles_q,
@@ -4719,6 +4777,7 @@ def oracle_sql() -> dict[str, str]:
         "genotype_fn_battery": _GENO_FN_SQL,
         "assoc_tests_battery": _ASSOC_SQL,
         "cmh_test": _CMH_SQL,
+        "binom_test_by_type": _BINOM_SQL,
         "de_novo_calls": _DE_NOVO_SQL,
         "charr_contamination": _CHARR_SQL,
         "summarize_alleles": _SUMMARIZE_SQL,
