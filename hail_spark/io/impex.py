@@ -23,7 +23,7 @@ data, only the k-column boolean summary reaches the driver).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -403,3 +403,154 @@ def import_avro(spark: SparkSession, path: str) -> Table:
                 "it is not bundled in pip pyspark"
             ) from exc
         raise
+
+
+# ---------------------------------------------------------------------- #
+# VCF header metadata + text matrix import
+# ---------------------------------------------------------------------- #
+def _parse_vcf_header_lines(lines: list[str]) -> dict:
+    """Parse ##INFO/##FORMAT/##FILTER structured header lines into the
+    reference's get_vcf_metadata dict shape (ref impex.py:2740)."""
+    import re
+
+    out: dict = {"filter": {}, "format": {}, "info": {}}
+    sections = {"FILTER": "filter", "FORMAT": "format", "INFO": "info"}
+    for ln in lines:
+        m = re.match(r"##(FILTER|FORMAT|INFO)=<(.*)>\s*$", ln)
+        if not m:
+            continue
+        section = sections[m.group(1)]
+        body = m.group(2)
+        # split on commas outside quotes
+        fields: dict[str, str] = {}
+        for fm in re.finditer(r'(\w+)=("(?:[^"\\]|\\.)*"|[^,]*)', body):
+            k, v = fm.group(1), fm.group(2)
+            if v.startswith('"') and v.endswith('"'):
+                v = v[1:-1]
+            fields[k] = v
+        fid = fields.pop("ID", None)
+        if fid is None:
+            continue
+        if section == "filter":
+            out[section][fid] = {"Description": fields.get("Description", "")}
+        else:
+            out[section][fid] = {
+                "Description": fields.get("Description", ""),
+                "Number": fields.get("Number", ""),
+                "Type": fields.get("Type", ""),
+            }
+    return out
+
+
+def _read_header_lines(path: str) -> list[str]:
+    """Driver-side read of a VCF's ## header block — O(header bytes),
+    never scans the body (the reference reads the header via the
+    filesystem API the same way, impex.py:2740)."""
+    import gzip
+
+    opener = gzip.open if path.endswith((".gz", ".bgz")) else open
+    lines: list[str] = []
+    with opener(path, "rt") as f:
+        for ln in f:
+            if not ln.startswith("#"):
+                break
+            lines.append(ln.rstrip("\n"))
+    return lines
+
+
+def get_vcf_metadata(path: str) -> dict:
+    """Extract FILTER/FORMAT/INFO metadata from a VCF header (ref
+    impex.py:2740 `get_vcf_metadata`)."""
+    return _parse_vcf_header_lines(_read_header_lines(path))
+
+
+def get_vcf_header_info(path: str, filter: str | None = None, find: str | None = None, replace: str | None = None) -> dict:
+    """Header summary of a VCF (ref impex.py:3252 `get_vcf_header_info`):
+    sample ids plus the parsed metadata dict.  `filter`/`find`/`replace`
+    apply regex transforms to header text before parsing, as upstream."""
+    import re
+
+    lines = _read_header_lines(path)
+    if filter:
+        lines = [ln for ln in lines if not re.search(filter, ln)]
+    if find and replace is not None:
+        lines = [re.sub(find, replace, ln) for ln in lines]
+    samples: list[str] = []
+    for ln in lines:
+        if ln.startswith("#CHROM"):
+            parts = ln.split("\t")
+            samples = parts[9:] if len(parts) > 9 else []
+    meta = _parse_vcf_header_lines(lines)
+    return {"sampleIDs": samples, **meta}
+
+
+def import_matrix_table(
+    spark: SparkSession,
+    path: str,
+    row_fields: Mapping[str, str] | None = None,
+    row_key: Sequence[str] = (),
+    entry_type: str = "int",
+    missing: str = "NA",
+    no_header: bool = False,
+    delimiter: str = "\t",
+    comment: Sequence[str] = (),
+    min_partitions: int | None = None,
+):
+    """Import a delimited text matrix as a MatrixTable (ref impex.py:1974
+    `import_matrix_table`): leading columns are row fields, remaining
+    columns are entries of one scalar type; the first line names the
+    columns unless ``no_header``.
+
+    Spark shape: one distributed text scan; each line is split once and
+    sliced into row fields (typed casts) and an entries array via a
+    single `transform` over `slice` — all codegen, no Python.  The
+    header is read driver-side (O(1)); column ids become driver-resident
+    col metadata like every MatrixTable here."""
+    from ..matrixtable import ENTRIES, MatrixTable
+
+    row_fields = dict(row_fields or {})
+    reader = spark.read.text(path)
+    if min_partitions:
+        reader = reader.repartition(min_partitions)
+    df = reader
+    for c in comment:
+        df = df.where(~F.col("value").startswith(c))
+
+    # header (driver-side, first line of the first file)
+    import gzip
+
+    opener = gzip.open if path.endswith((".gz", ".bgz")) else open
+    with opener(path, "rt") as f:
+        for first in f:
+            first = first.rstrip("\n")
+            if not any(first.startswith(c) for c in comment):
+                break
+    n_row_fields = len(row_fields)
+    if no_header:
+        n_entries = len(first.split(delimiter)) - n_row_fields
+        col_ids = [f"col{i}" for i in range(n_entries)]
+    else:
+        hdr = first.split(delimiter)
+        col_ids = hdr[n_row_fields:]
+        n_entries = len(col_ids)
+        df = df.where(F.col("value") != first)
+
+    parts = F.split(F.col("value"), delimiter)
+    sel = []
+    for i, (fname, ftype) in enumerate(row_fields.items()):
+        raw = F.element_at(parts, i + 1)
+        v = F.when(raw != missing, raw)
+        sel.append((_TRYCAST(v, ftype) if ftype != "str" else v).alias(fname))
+    ent = F.transform(
+        F.slice(parts, n_row_fields + 1, n_entries),
+        lambda x: F.struct(
+            F.when(x != missing, x).cast(
+                {"int": "int", "int32": "int", "int64": "bigint", "float": "double",
+                 "float32": "float", "float64": "double", "str": "string"}[entry_type]
+            ).alias("x")
+        ),
+    )
+    out = df.select(*sel, ent.alias(ENTRIES))
+    cols = [{"col_id": c} for c in col_ids]
+    rk = tuple(row_key) if row_key else tuple(row_fields)[:1]
+    return MatrixTable(out, rk, cols, ("col_id",))

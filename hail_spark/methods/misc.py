@@ -182,3 +182,193 @@ def ld_prune(
         )
         .select("locus")
     )
+
+
+# ---------------------------------------------------------------------- #
+# lambda_gc / filter_intervals / rename_duplicates / segment_intervals
+# ---------------------------------------------------------------------- #
+def lambda_gc(df: DataFrame, p_col, approximate: bool = True) -> float:
+    """Genomic inflation factor λ_GC (ref statgen.py:3097 `lambda_gc`):
+    median of qchisqtail(p, 1) over non-NaN p-values divided by the
+    theoretical median qchisqtail(0.5, 1).
+
+    Spark shape: one distributed aggregate.  χ²₁ quantile of p is
+    qnorm(p/2)² (the z² identity), a pure-Column expression via the
+    Acklam-inverse pandas UDF — no per-row Python.  ``approximate``
+    uses GK percentile_approx (single pass, bounded memory, the
+    reference's approx_cdf analogue); exact uses Spark's exact
+    ``percentile`` (sort-based, like the reference's collect+median)."""
+    from ..expr import stats as hstats
+
+    p = _as_column(p_col)
+    chisq = hstats.qchisqtail_udf(p, F.lit(1.0))
+    good = F.when(~F.isnan(p) & p.isNotNull(), chisq)
+    med = (
+        F.percentile_approx(good, F.lit(0.5), F.lit(100000))
+        if approximate
+        else F.percentile(good, F.lit(0.5))
+    )
+    row = df.agg(med.alias("m")).collect()[0]
+    from ..expr.stats import qchisqtail
+
+    return float(row["m"]) / qchisqtail(0.5, 1)
+
+
+def _as_column(c):
+    return F.col(c) if isinstance(c, str) else c
+
+
+def filter_intervals(ds, intervals: list, keep: bool = True):
+    """Filter a keyed Table or MatrixTable to rows inside (or outside)
+    a list of intervals (ref methods/misc.py:330 `filter_intervals` /
+    IR TableFilterIntervals).
+
+    ``intervals`` is a list of dicts ``{"start": .., "end": ..,
+    "includes_start": bool, "includes_end": bool}`` whose point type is
+    the first key field — either a scalar or, for locus keys, a
+    ``{"contig": .., "position": ..}`` dict (interpreted with
+    (contig, position) tuple ordering).
+
+    Spark shape: the interval list is small and driver-resident (the
+    reference evaluates it too), so this compiles to a pure Column OR
+    predicate over the key — Catalyst pushes it to the parquet scan,
+    and row-group min/max stats prune non-overlapping file splits: the
+    same partition-pruning effect the reference gets from its interval
+    partitioner, with zero custom code."""
+    from ..table import Table
+
+    mt = None
+    if isinstance(ds, MatrixTable):
+        mt, t = ds, None
+        key0 = ds.row_key[0]
+        df = ds._df
+    else:
+        assert isinstance(ds, Table)
+        t = ds
+        if not t.key:
+            raise ValueError("filter_intervals: table must be keyed")
+        key0 = t.key[0]
+        df = t.df
+
+    kcol = F.col(key0)
+    ktype = df.schema[key0].dataType.simpleString()
+    is_locus = ktype.startswith("struct") and "contig" in ktype
+
+    pred = F.lit(False)
+    for iv in intervals:
+        # inside = (start < key or (incl_start and start == key)) and sym.
+        if is_locus:
+            kc, kp = kcol["contig"], kcol["position"]
+            sc, sp = iv["start"]["contig"], iv["start"]["position"]
+            ec, ep = iv["end"]["contig"], iv["end"]["position"]
+            gt_start = (kc > sc) | ((kc == sc) & (kp > sp))
+            eq_start = (kc == sc) & (kp == sp)
+            lt_end = (kc < ec) | ((kc == ec) & (kp < ep))
+            eq_end = (kc == ec) & (kp == ep)
+        else:
+            gt_start = kcol > F.lit(iv["start"])
+            eq_start = kcol == F.lit(iv["start"])
+            lt_end = kcol < F.lit(iv["end"])
+            eq_end = kcol == F.lit(iv["end"])
+        above = gt_start | (eq_start if iv.get("includes_start", True) else F.lit(False))
+        below = lt_end | (eq_end if iv.get("includes_end", False) else F.lit(False))
+        pred = pred | (above & below)
+
+    if mt is not None:
+        return mt.filter_rows(pred, keep=keep)
+    return t.filter(pred, keep=keep)
+
+
+def rename_duplicates(mt: MatrixTable, name: str = "unique_id") -> MatrixTable:
+    """Disambiguate duplicate string column keys by appending ``_N``
+    (ref methods/misc.py:280 `rename_duplicates`).  Column metadata is
+    driver-resident by design (Hail collects the ids too), so this is
+    pure driver logic over `mt._cols`."""
+    ck = mt.col_key[0]
+    seen: dict[str, int] = {}
+    taken = {c[ck] for c in mt._cols}
+    new_cols = []
+    for c in mt._cols:
+        s = c[ck]
+        if s not in seen:
+            seen[s] = 0
+            uid = s
+        else:
+            n = seen[s] + 1
+            while f"{s}_{n}" in taken:
+                n += 1
+            seen[s] = n
+            uid = f"{s}_{n}"
+            taken.add(uid)
+        new_cols.append({**c, name: uid})
+    return MatrixTable(mt._df, mt._row_key, new_cols, mt._col_key, mt._globals)
+
+
+def segment_intervals(ht, points: list):
+    """Segment an interval-keyed table at a sorted set of points (ref
+    methods/misc.py:425 `segment_intervals`): each interval key is cut
+    into sub-intervals at every interior point; rows multiply
+    accordingly (explode), other fields are duplicated.
+
+    Spark shape: the points become one sorted array literal (the
+    reference materializes them as a global too); per row, lower/upper
+    bounds into that array are codegen'd filters, sub-interval
+    construction is a `sequence`+`transform` HOF, and the multiplying
+    step is one `explode` — no shuffle at all."""
+    from ..expr import functions as hf
+    from ..table import Table
+
+    assert isinstance(ht, Table)
+    key0 = ht.key[0]
+    pts = sorted(points)
+    parr = F.array(*[F.lit(p) for p in pts])
+    npts = len(pts)
+    iv = F.col(key0)
+
+    lower = hf.lower_bound(parr, iv["start"])
+    higher = hf.lower_bound(parr, iv["end"])
+    # a point exactly equal to an interval endpoint does not cut there
+    lower = F.when(
+        (lower < npts) & (F.element_at(parr, lower + 1) == iv["start"]), lower + 1
+    ).otherwise(lower)
+    higher = F.when(
+        (higher < npts) & (F.element_at(parr, higher + 1) == iv["end"]), higher - 1
+    ).otherwise(higher)
+
+    def mk(start, end, inc_s, inc_e):
+        return F.struct(
+            start.alias("start"),
+            end.alias("end"),
+            inc_s.alias("includes_start"),
+            inc_e.alias("includes_end"),
+        )
+
+    segmented = F.when(lower >= higher, F.array(iv)).otherwise(
+        F.concat(
+            F.array(
+                mk(iv["start"], F.element_at(parr, lower + 1), iv["includes_start"], F.lit(False))
+            ),
+            F.transform(
+                F.when(higher - 1 > lower, F.sequence(lower, higher - F.lit(2))).otherwise(
+                    F.array().cast("array<int>")
+                ),
+                lambda x: mk(
+                    F.element_at(parr, x + 1),
+                    F.element_at(parr, x + 2),
+                    F.lit(True),
+                    F.lit(False),
+                ),
+            ),
+            F.array(
+                mk(F.element_at(parr, higher), iv["end"], F.lit(True), iv["includes_end"])
+            ),
+        )
+    )
+    df = (
+        ht.df.withColumn("lower", lower)
+        .withColumn("higher", higher)
+        .withColumn("__segs", segmented)
+        .withColumn(key0, F.explode("__segs"))
+        .drop("__segs")
+    )
+    return Table(df, ht.key, ht.globals)

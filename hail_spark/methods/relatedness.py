@@ -395,3 +395,92 @@ def pc_relate(
             rows.append({"i": names[i], "j": names[j], "kin": float(kin)})
     spark = mt._df.sparkSession
     return spark.createDataFrame(rows, "i string, j string, kin double")
+
+
+def simulate_random_mating(
+    mt: MatrixTable,
+    n_rounds: int = 1,
+    generation_size_multiplier: float = 1.0,
+    keep_founders: bool = True,
+    seed: int = 0,
+) -> MatrixTable:
+    """Simulate random diploid mating (ref
+    methods/relatedness/mating_simulation.py:7 `simulate_random_mating`):
+    each round draws floor(prev_size·multiplier) offspring, each with a
+    random mother and father from the previous generation; a child's GT
+    at a variant is one random allele from each parent.
+
+    Spark shape: the pedigree (who mates with whom) is column metadata —
+    tiny, built driver-side with a seeded RNG, exactly like the
+    reference's globals-level scan.  Per row, each generation extends
+    the entries array via a pure-Column transform over a literal
+    (mother_idx, father_idx) array; allele draws for het parents are
+    deterministic xxhash64 coin flips keyed on (row key, child, parent
+    side) — no Python in the row path, one map-only stage, no shuffle."""
+    import random as _random
+
+    if generation_size_multiplier <= 0:
+        raise ValueError("generation_size_multiplier must be > 0")
+    if n_rounds < 1:
+        raise ValueError("n_rounds must be positive")
+
+    ck = mt._col_key[0]
+    rng = _random.Random(seed)
+
+    founders = [
+        {"s": f"generation_0_idx_{i}", "original": str(c[ck]), "mother": None, "father": None}
+        for i, c in enumerate(mt._cols)
+    ]
+    generations = [founders]
+    prev_size = len(founders)
+    for g in range(n_rounds):
+        n_new = int(prev_size * generation_size_multiplier)
+        new_gen = [
+            {
+                "s": f"generation_{g + 1}_idx_{i}",
+                "original": None,
+                "mother": rng.randrange(prev_size),
+                "father": rng.randrange(prev_size),
+            }
+            for i in range(n_new)
+        ]
+        generations.append(new_gen)
+        prev_size = (prev_size + n_new) if keep_founders else n_new
+
+    key_cols = [F.col(k) for k in mt._row_key]
+
+    def coin(tag: str) -> F.Column:
+        # deterministic per-(row, child, parent-side) allele coin
+        return F.pmod(F.xxhash64(*key_cols, F.lit(tag), F.lit(seed)), F.lit(2)).cast("int")
+
+    def draw(parent_gt, tag: str) -> F.Column:
+        # one random allele (0 or 1) from an n_alt-coded diploid GT
+        return (
+            F.when(parent_gt == 0, F.lit(0))
+            .when(parent_gt == 2, F.lit(1))
+            .when(parent_gt == 1, coin(tag))
+        )
+
+    df = mt._df
+    prev_entries = F.col(ENTRIES)
+    for g, new_gen in enumerate(generations[1:], start=1):
+        kids = [
+            F.struct(
+                (
+                    draw(prev_entries[k["mother"]]["GT"], f"g{g}k{i}m")
+                    + draw(prev_entries[k["father"]]["GT"], f"g{g}k{i}f")
+                ).alias("GT")
+            )
+            for i, k in enumerate(new_gen)
+        ]
+        kid_arr = F.array(*kids) if kids else F.array().cast(df.schema[ENTRIES].dataType)
+        prev_entries = (
+            F.concat(prev_entries, kid_arr) if keep_founders else kid_arr
+        )
+
+    out_df = df.withColumn(ENTRIES, prev_entries)
+    if keep_founders:
+        new_cols = [c for gen in generations for c in gen]
+    else:
+        new_cols = list(generations[-1])
+    return MatrixTable(out_df, mt._row_key, new_cols, ("s",), mt._globals)

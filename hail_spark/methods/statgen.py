@@ -534,6 +534,185 @@ def _hwe_normalized_bm(mt: MatrixTable, x_field: str = "GT", block_size: int = 1
     return A, t, n_variants
 
 
+def _krylov_factor(spark, A, Om: np.ndarray, q: int, block_size: int):
+    """Shared block-Krylov core of _blanczos_pca / _spectral_moments
+    (ref pca.py:345 `_krylov_factorization`): build K = [Ω, CΩ, …, C^qΩ]
+    with C = AᵀA via distributed BlockMatrix matmuls, orthonormalize
+    implicitly (eigh of KᵀK with tiny-eigenvalue dropping), and solve
+    the Rayleigh–Ritz problem T = QᵀCQ.
+
+    Returns (K BlockMatrix persisted, KtK, W, evals, Vt) where columns
+    of K·W are orthonormal, evals are C's Ritz values ascending, and
+    V = K·(W @ Vt) are the Ritz vectors.  Only L×L matrices (L =
+    (q+1)·b) touch the driver."""
+    from ..linalg.blockmatrix import BlockMatrix
+
+    n, b = Om.shape
+    Ki = BlockMatrix.from_numpy(spark, Om, block_size)
+    At = A.transpose()
+    krylov = [Ki]
+    for _ in range(q):
+        Z = A.matmul(Ki)      # m × b
+        Ki = At.matmul(Z)     # n × b   (= C @ Ki)
+        Ki.df.persist()
+        krylov.append(Ki)
+    # hstack the Krylov blocks: n × L long-form union with shifted j
+    parts = [
+        bm.to_long().select(
+            F.col("i"), (F.col("j") + idx * b).alias("j"), F.col("v")
+        )
+        for idx, bm in enumerate(krylov)
+    ]
+    k_long = parts[0]
+    for p_ in parts[1:]:
+        k_long = k_long.unionByName(p_)
+    L = b * len(krylov)
+    K = BlockMatrix.from_long(k_long, n, L, block_size)
+    K.df.persist()
+
+    KtK = K.transpose().matmul(K).to_numpy()          # L × L (small)
+    Z = A.matmul(K)                                    # m × L
+    S = Z.transpose().matmul(Z).to_numpy()             # L × L = KᵀCK
+    e, U = np.linalg.eigh((KtK + KtK.T) / 2.0)
+    keep = e > max(e.max(), 0.0) * 1e-12
+    W = U[:, keep] / np.sqrt(e[keep])                  # implicit R⁻¹: K@W orthonormal
+    T = W.T @ S @ W
+    evals, Vt = np.linalg.eigh((T + T.T) / 2.0)
+    return K, KtK, W, evals, Vt
+
+
+def _moments_from_factor(KtK, W, evals, Vt, R1: np.ndarray, num_moments: int, b: int):
+    """Stochastic spectral-moment estimates from a Krylov factorization
+    (ref pca.py:336 `KrylovFactorization.spectral_moments`): with probes
+    G = Q1·R1 and Ritz pairs (λ_l, v_l), moment_i ≈ mean_j Σ_l
+    λ_l^i · (v_lᵀ g_j)², the Hutchinson trace estimator of tr(Cⁱ)
+    restricted to the Krylov subspace.  VᵀG = Pᵀ·Wᵀ·KᵀQ1·R1 where KᵀQ1
+    is the first block-column of KᵀK — all driver-side small-matrix
+    algebra."""
+    P = W @ Vt                                        # L × r (Ritz vectors in K-coords)
+    # VᵀG: Ritz-vector coordinates against the probe block
+    M = P.T @ (KtK[:, :b] @ R1)                       # r × s
+    lam = np.maximum(evals, 0.0)
+    s_probes = M.shape[1]
+    moments = np.stack(
+        [(lam[:, None] ** i * M**2).sum(axis=0) for i in range(1, num_moments + 1)]
+    )                                                 # num_moments × s
+    means = moments.mean(axis=1)
+    if s_probes > 1:
+        variances = ((moments - means[:, None]) ** 2).sum(axis=1) / (s_probes - 1)
+    else:
+        variances = np.zeros(num_moments)
+    return means, np.sqrt(variances)
+
+
+def _spectral_moments(
+    mt: MatrixTable,
+    num_moments: int,
+    p: int | None = None,
+    moment_samples: int = 500,
+    block_size: int = 1024,
+    x_field: str = "GT",
+    seed: int = 1,
+):
+    """Estimate the first `num_moments` spectral moments tr((AᵀA)ⁱ) of
+    the HWE-normalized genotype matrix (ref pca.py:426
+    `_spectral_moments`): Rademacher probes, block-Krylov subspace of
+    depth p, Hutchinson estimator.  Returns (moments, stdevs) numpy
+    arrays.  All big products are distributed BlockMatrix matmuls."""
+    spark = mt._df.sparkSession
+    n = len(mt._cols)
+    if p is None:
+        p = min(num_moments // 2, 10)
+    s = min(moment_samples, max(n - 1, 1))
+    A, _t_idx, _m = _hwe_normalized_bm(mt, x_field, block_size)
+    A.df.persist()
+    rng = np.random.default_rng(seed)
+    G = np.sign(rng.uniform(-1.0, 1.0, size=(n, s)))
+    Q1, R1 = np.linalg.qr(G)
+    K, KtK, W, evals, Vt = _krylov_factor(spark, A, Q1, p, block_size)
+    means, stdevs = _moments_from_factor(KtK, W, evals, Vt, R1, num_moments, s)
+    A.df.unpersist()
+    K.df.unpersist()
+    return means, stdevs
+
+
+def _pca_and_moments(
+    mt: MatrixTable,
+    k: int = 10,
+    num_moments: int = 5,
+    compute_loadings: bool = False,
+    q_iterations: int = 10,
+    oversampling_param: int | None = None,
+    block_size: int = 1024,
+    moment_samples: int = 100,
+    x_field: str = "GT",
+    seed: int = 1,
+):
+    """Blanczos PCA plus spectral-moment estimates in one pass over the
+    same normalized matrix (ref pca.py:458 `_pca_and_moments`): the
+    top-k subspace V is computed exactly (blanczos), probes for the
+    moment estimator are projected off V, and V's exact moment
+    contribution Σ λᵢ^j is added back.  Returns (eigenvalues, scores_df,
+    loadings_df, moments, stdevs)."""
+    spark = mt._df.sparkSession
+    n = len(mt._cols)
+    if oversampling_param is None:
+        oversampling_param = k
+    evals_k, scores_df, loadings_df = _blanczos_pca(
+        mt,
+        k=k,
+        compute_loadings=compute_loadings,
+        q_iterations=q_iterations,
+        oversampling=oversampling_param,
+        seed=seed,
+        x_field=x_field,
+        block_size=block_size,
+    )
+    # top-k sample eigenvectors back from scores (V = scores / sqrt(λ))
+    import pandas as _pd
+
+    sc = scores_df.toPandas().sort_values(list(mt._col_key)).reset_index(drop=True)
+    key_order = _pd.DataFrame(
+        [{kf: c[kf] for kf in mt._col_key} for c in mt._cols]
+    )
+    sc = key_order.merge(sc, on=list(mt._col_key), how="left")
+    V = np.array(sc["scores"].tolist()) / np.sqrt(
+        np.maximum(np.array(evals_k), 1e-300)
+    )
+
+    A, _t_idx, _m = _hwe_normalized_bm(mt, x_field, block_size)
+    A.df.persist()
+    p = min(num_moments // 2, 10)
+    s = min(moment_samples, max(n - 1, 1))
+    rng = np.random.default_rng(seed + 1)
+    G2 = np.sign(rng.uniform(-1.0, 1.0, size=(n, s)))
+    G2 = G2 - V @ (V.T @ G2)                          # project off the exact subspace
+    Q1, R1 = np.linalg.qr(G2)
+    K, KtK, W, evals, Vt = _krylov_factor(spark, A, Q1, p, block_size)
+    means, stdevs = _moments_from_factor(KtK, W, evals, Vt, R1, num_moments, s)
+    lam_k = np.array(evals_k)
+    exact = np.array([np.sum(lam_k**i) for i in range(1, num_moments + 1)])
+    moments = means + exact
+    A.df.unpersist()
+    K.df.unpersist()
+    return evals_k, scores_df, loadings_df, moments, stdevs
+
+
+def linear_mixed_model(*args, **kwargs):
+    """Parity stub: the reference itself raises — linear mixed models
+    were removed in the reference as of 0.2.94 (ref statgen.py:1944)."""
+    raise NotImplementedError(
+        "linear_mixed_model is no longer implemented/supported (reference parity: removed in 0.2.94)"
+    )
+
+
+def linear_mixed_regression_rows(*args, **kwargs):
+    """Parity stub (ref statgen.py:1963): removed upstream as of 0.2.94."""
+    raise NotImplementedError(
+        "linear_mixed_regression_rows is no longer implemented/supported (reference parity: removed in 0.2.94)"
+    )
+
+
 def _blanczos_pca(
     mt: MatrixTable,
     k: int = 10,
@@ -566,36 +745,7 @@ def _blanczos_pca(
     rng = np.random.default_rng(seed)
     Om = rng.standard_normal((n, b))
 
-    Ki = BlockMatrix.from_numpy(spark, Om, block_size)
-    At = A.transpose()
-    krylov = [Ki]
-    for _ in range(q_iterations):
-        Z = A.matmul(Ki)      # m × b
-        Ki = At.matmul(Z)     # n × b   (= C @ Ki)
-        Ki.df.persist()
-        krylov.append(Ki)
-    # hstack the Krylov blocks: n × L long-form union with shifted j
-    parts = [
-        bm.to_long().select(
-            F.col("i"), (F.col("j") + idx * b).alias("j"), F.col("v")
-        )
-        for idx, bm in enumerate(krylov)
-    ]
-    k_long = parts[0]
-    for p_ in parts[1:]:
-        k_long = k_long.unionByName(p_)
-    L = b * len(krylov)
-    K = BlockMatrix.from_long(k_long, n, L, block_size)
-    K.df.persist()
-
-    KtK = K.transpose().matmul(K).to_numpy()          # L × L (small)
-    Z = A.matmul(K)                                    # m × L
-    S = Z.transpose().matmul(Z).to_numpy()             # L × L = KᵀCK
-    e, U = np.linalg.eigh((KtK + KtK.T) / 2.0)
-    keep = e > max(e.max(), 0.0) * 1e-12
-    W = U[:, keep] / np.sqrt(e[keep])                  # implicit R⁻¹: K@W orthonormal
-    T = W.T @ S @ W
-    evals, Vt = np.linalg.eigh((T + T.T) / 2.0)
+    K, KtK, W, evals, Vt = _krylov_factor(spark, A, Om, q_iterations, block_size)
     order = np.argsort(evals)[::-1][:k]
     evals_k = np.maximum(evals[order], 0.0)
     P = W @ Vt[:, order]                               # L × k
