@@ -324,12 +324,28 @@ def qpois(p, lamb, lower_tail=True):
         if math.isnan(pp) or pp < 0 or pp > 1:
             return -1
         target = pp if lower_tail else 1.0 - pp
-        k, cdf = 0, math.exp(-ll)
-        pmf = math.exp(-ll)
-        while cdf < target - 1e-12 and k < 10**9:
+        if ll < 30.0:
+            # direct summation is exact and exp(-λ) doesn't underflow
+            k, cdf = 0, math.exp(-ll)
+            pmf = math.exp(-ll)
+            while cdf < target - 1e-12 and k < 10**9:
+                k += 1
+                pmf *= ll / k
+                cdf += pmf
+            return k
+        # large λ: exp(-λ) underflows, so seed with the Wilson–Hilferty /
+        # Cornish–Fisher normal approximation and refine against the
+        # stable regularized-gamma CDF P(X ≤ k) = Q(k+1, λ)
+        z = float(qnorm(min(max(target, 1e-300), 1 - 1e-16)))
+        k = max(0, int(math.floor(ll + z * math.sqrt(ll) + (z * z - 1.0) / 6.0)))
+
+        def cdf_at(kk: int) -> float:
+            return float(gammq(kk + 1.0, ll))
+
+        while k > 0 and cdf_at(k - 1) >= target - 1e-12:
+            k -= 1
+        while cdf_at(k) < target - 1e-12:
             k += 1
-            pmf *= ll / k
-            cdf += pmf
         return k
 
     return np.vectorize(solve, otypes=[int])(p, lamb)
