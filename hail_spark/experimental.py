@@ -655,3 +655,329 @@ def define_function(fn, *_arg_types, **_kw):
     registers a reusable IR function; here lambdas already build
     Column trees, so a plain Python function IS the reusable form."""
     return fn
+
+
+# ---------------------------------------------------------------------- #
+# ld_score_regression (ref experimental/ld_score_regression.py:17)
+# ---------------------------------------------------------------------- #
+def ld_score_regression(
+    ht: Table,
+    weight_col: str,
+    ld_score_col: str,
+    chi_sq_col: str,
+    n_col: str,
+    n_blocks: int = 200,
+    two_step_threshold: int = 30,
+    n_reference_panel_variants: int | None = None,
+) -> dict:
+    """LD score regression (Bulik-Sullivan et al. 2015; ref
+    experimental/ld_score_regression.py:17): intercept + SNP
+    heritability via the two-step estimator — step 1 fits
+    intercept+slope on variants with χ² < threshold, step 2 fixes the
+    intercept and re-fits the slope on all variants; standard errors
+    come from an n_blocks contiguous block jackknife; the final slope
+    SE combines both steps through the reference's c-correction.
+
+    Spark shape: each of the 3+3 IRLS iterations is ONE hash
+    aggregation producing per-block sufficient statistics
+    (Σw, Σwx, Σwx², Σwy, Σwxy — 5 doubles × n_blocks); the weighted
+    OLS solves and the jackknife are driver math over those
+    n_blocks×5 partials, so driver traffic is O(n_blocks), never
+    O(variants).  Block ids come from the distributed two-pass scan
+    (rank of each included variant in key order), matching the
+    reference's scan-based separator assignment."""
+    from .operators.scans import scan_multi
+
+    M_override = n_reference_panel_variants
+    df = ht.df.where(
+        F.col(weight_col).isNotNull() & F.col(ld_score_col).isNotNull()
+    )
+    base = Table(
+        df.select(
+            *[F.col(k) for k in ht.key],
+            F.col(ld_score_col).alias("__x"),
+            F.greatest(F.col(ld_score_col), F.lit(1.0)).alias("__x_floor"),
+            F.greatest(F.col(weight_col), F.lit(1.0)).alias("__w_floor"),
+            F.col(chi_sq_col).alias("__y"),
+            F.col(n_col).cast("double").alias("__n"),
+        ),
+        ht.key,
+    )
+    base = base.annotate(
+        __in1=(F.col("__y").isNotNull() & (F.col("__y") < float(two_step_threshold))),
+        __in2=F.col("__y").isNotNull(),
+    )
+    # distributed prefix ranks in key order -> contiguous jackknife blocks
+    base = scan_multi(
+        base,
+        {
+            "__r1": ("sum", F.col("__in1").cast("long")),
+            "__r2": ("sum", F.col("__in2").cast("long")),
+        },
+    )
+    tot = base.df.agg(
+        F.count(F.when(F.col("__in1"), 1)).alias("m1"),
+        F.count(F.when(F.col("__in2"), 1)).alias("m2"),
+        F.count(F.lit(1)).alias("m_all"),
+        F.avg(F.when(F.col("__in2"), F.col("__y"))).alias("mean_y"),
+        F.avg(F.when(F.col("__in2"), F.col("__x"))).alias("mean_x"),
+        F.avg(F.when(F.col("__in2"), F.col("__n"))).alias("mean_n"),
+    ).collect()[0]
+    m1, m2 = tot["m1"], tot["m2"]
+    M = M_override or tot["m_all"]
+    mean_n = tot["mean_n"]
+    if m1 < n_blocks or m2 < n_blocks:
+        raise ValueError("ld_score_regression: fewer included variants than blocks")
+
+    def blk(rank_col: str, m: int) -> Column:
+        b = F.floor(F.col(rank_col) * n_blocks / F.lit(float(m))).cast("int")
+        return F.least(b, F.lit(n_blocks - 1))
+
+    work = base.df.select(
+        "__x", "__x_floor", "__w_floor", "__y", "__n", "__in1", "__in2",
+        blk("__r1", m1).alias("__b1"),
+        blk("__r2", m2).alias("__b2"),
+    ).persist()
+    work.count()
+
+    initial = [1.0, (tot["mean_y"] - 1.0) / tot["mean_x"]]
+
+    def wexpr(betas: list[float], flag: str) -> Column:
+        pred = F.lit(betas[0]) + F.lit(betas[1]) * F.col("__x_floor")
+        return F.when(
+            F.col(flag), 1.0 / (F.col("__w_floor") * 2.0 * pred * pred)
+        ).otherwise(F.lit(0.0))
+
+    def block_sums(w: Column, y: Column, flag: str, block: str) -> np.ndarray:
+        rows = (
+            work.where(F.col(flag))
+            .groupBy(block)
+            .agg(
+                F.sum(w).alias("sw"),
+                F.sum(w * F.col("__x")).alias("swx"),
+                F.sum(w * F.col("__x") * F.col("__x")).alias("swxx"),
+                F.sum(w * y).alias("swy"),
+                F.sum(w * F.col("__x") * y).alias("swxy"),
+            )
+            .collect()
+        )
+        out = np.zeros((n_blocks, 5))
+        for r in rows:
+            out[r[block]] = [r["sw"], r["swx"], r["swxx"], r["swy"], r["swxy"]]
+        return out
+
+    def solve2(s: np.ndarray) -> list[float]:
+        # weighted OLS of y on [1, x] from [Σw, Σwx, Σwx², Σwy, Σwxy]
+        A = np.array([[s[0], s[1]], [s[1], s[2]]])
+        b = np.array([s[3], s[4]])
+        return np.linalg.solve(A, b).tolist()
+
+    # ---- step 1: intercept + slope on χ² < threshold
+    s1_betas = list(initial)
+    s1_blocks = None
+    for _ in range(3):
+        w = wexpr(s1_betas, "__in1")
+        s1_blocks = block_sums(w, F.col("__y"), "__in1", "__b1")
+        s1_betas = solve2(s1_blocks.sum(axis=0))
+        h2 = min(max(s1_betas[1] * M / mean_n, 0.0), 1.0)
+        s1_betas = [s1_betas[0], h2 * mean_n / M]
+
+    s1_block_betas = [
+        solve2(s1_blocks.sum(axis=0) - s1_blocks[i]) for i in range(n_blocks)
+    ]
+    s1_bc = np.array(
+        [
+            [n_blocks * s1_betas[k] - (n_blocks - 1) * bb[k] for k in range(2)]
+            for bb in s1_block_betas
+        ]
+    )
+    s1_jk_mean = s1_bc.mean(axis=0)
+    s1_jk_var = (
+        (s1_bc**2).sum(axis=0) - s1_bc.sum(axis=0) ** 2 / n_blocks
+    ) / (n_blocks - 1) / n_blocks
+
+    # ---- step 2: slope only, intercept fixed at step-1 intercept
+    s2_betas = list(initial)
+    s2_blocks = None
+    yprime = F.col("__y") - F.lit(s1_betas[0])
+    for _ in range(3):
+        w = wexpr(s2_betas, "__in2")
+        yprime = F.col("__y") - F.lit(s1_betas[0])
+        s2_blocks = block_sums(w, yprime, "__in2", "__b2")
+        tot2 = s2_blocks.sum(axis=0)
+        slope = tot2[4] / tot2[2]
+        h2 = min(max(slope * M / mean_n, 0.0), 1.0)
+        s2_betas = [s1_betas[0], h2 * mean_n / M]
+
+    s2_block_betas = np.array(
+        [
+            (s2_blocks.sum(axis=0) - s2_blocks[i])[4]
+            / (s2_blocks.sum(axis=0) - s2_blocks[i])[2]
+            for i in range(n_blocks)
+        ]
+    )
+    s2_bc = n_blocks * s2_betas[1] - (n_blocks - 1) * s2_block_betas
+
+    # ---- combine (reference's c-correction couples the two jackknives)
+    w0 = wexpr(initial, "__in2")
+    cagg = work.where(F.col("__in2")).agg(
+        F.sum(w0 * F.col("__x")).alias("a"),
+        F.sum(w0 * F.col("__x") * F.col("__x")).alias("b"),
+    ).collect()[0]
+    c = cagg["a"] / cagg["b"]
+    final_betas = [s1_betas[0], s2_betas[1]]
+    final_block = np.array(
+        [
+            s2_block_betas[i] - c * (s1_block_betas[i][0] - final_betas[0])
+            for i in range(n_blocks)
+        ]
+    )
+    final_bc = n_blocks * final_betas[1] - (n_blocks - 1) * final_block
+    final_var = (
+        (final_bc**2).sum() - final_bc.sum() ** 2 / n_blocks
+    ) / (n_blocks - 1) / n_blocks
+
+    mean_chi_sq = tot["mean_y"]
+    work.unpersist()
+    return {
+        "mean_chi_sq": float(mean_chi_sq),
+        "intercept": {
+            "estimate": float(final_betas[0]),
+            "standard_error": float(np.sqrt(s1_jk_var[0])),
+        },
+        "snp_heritability": {
+            "estimate": float((M / mean_n) * final_betas[1]),
+            "standard_error": float(np.sqrt((M / mean_n) ** 2 * final_var)),
+        },
+    }
+
+
+# ---------------------------------------------------------------------- #
+# sparse_split_multi (ref experimental/sparse_mt/sparse_split_multi.py:4)
+# ---------------------------------------------------------------------- #
+def sparse_split_multi(vmt: MatrixTable, filter_changed_loci: bool = False) -> MatrixTable:
+    """Split multiallelic variants on a local-allele (sparse) MatrixTable
+    — the combiner's variant_data with LGT/LA/LAD/LPL fields (ref
+    experimental/sparse_mt/sparse_split_multi.py:4).
+
+    Per alternate allele i the row splits into a biallelic min-repped
+    row (a_index=i, was_split for 3+-allele rows); entry fields are
+    re-derived from the local-allele representation: GT is the
+    downcoded dosage of global allele i, AD collapses LAD to
+    [other, allele-i], PL[g] is the min LPL over local genotype pairs
+    that downcode to dosage g, GQ is recomputed from the new PL.  A
+    sample whose LA set lacks allele i downcodes to hom-ref with
+    missing PL (the reference's contract).  Star alleles are NOT
+    filtered (unlike split_multi_hts).
+
+    Spark shape: splitting is a per-row transform+explode (map-only);
+    the entry rework is a pure-Column transform over the entries array
+    — no UDF, no shuffle.  ``filter_changed_loci``: min_rep here only
+    trims (position can only move right); rows whose min-repped
+    position differs are errors upstream, so they are dropped when the
+    flag is set and surfaced as nulls otherwise."""
+    from .expr import functions as hf
+
+    df = vmt._df
+    al = F.col("alleles")
+    pos = F.col("locus")["position"]
+    nalt = F.size(al) - 1
+
+    def split_struct(i: Column) -> Column:
+        mr = hf.min_rep(pos, al[0], al[i + 1])
+        st = F.struct(
+            F.array(mr["ref"], mr["alt"]).alias("alleles"),
+            (i + 1).alias("a_index"),
+            F.lit(True).alias("was_split"),
+            mr["position"].alias("new_pos"),
+        )
+        if filter_changed_loci:
+            return F.when(mr["position"] == pos, st)
+        return st
+
+    unsplit = F.array(
+        F.struct(
+            al.alias("alleles"),
+            F.lit(1).alias("a_index"),
+            F.lit(False).alias("was_split"),
+            pos.alias("new_pos"),
+        )
+    )
+    # sort split rows by their new allele pair, like the reference
+    splits = F.when(nalt < 2, unsplit).otherwise(
+        F.array_sort(
+            F.filter(
+                F.transform(F.sequence(F.lit(0), nalt - 1), split_struct),
+                lambda s: s.isNotNull(),
+            )
+        )
+    )
+    ex = df.withColumn("__split", F.explode(splits))
+
+    i_g = F.col("__split")["a_index"]
+    la = lambda e: e["LA"]
+
+    def new_entry(e: Column) -> Column:
+        # 1-based position of global allele i in LA -> 0-based local index
+        p1 = F.array_position(la(e), i_g)
+        local_a = F.when(p1 > 0, (p1 - 1).cast("int"))
+        gt = F.when(
+            e["LGT"].isNotNull(),
+            F.size(
+                F.filter(e["LGT"], lambda a: F.element_at(la(e), a + 1) == i_g)
+            ),
+        )
+        ad_i = F.coalesce(
+            F.when(local_a.isNotNull(), F.element_at(e["LAD"], local_a + 1)), F.lit(0)
+        )
+        ad = F.when(
+            e["LAD"].isNotNull(),
+            F.array(
+                F.aggregate(e["LAD"], F.lit(0), lambda acc, x: acc + x) - ad_i, ad_i
+            ),
+        )
+        nla = F.size(la(e))
+        tri = (nla * (nla + 1) / 2).cast("int")
+
+        def pl_for(g: Column) -> Column:
+            # min LPL over local diploid pairs whose downcode-count == g
+            def count_of(j: Column) -> Column:
+                pair = hf.unphased_diploid_gt_index_call(j)
+                return (
+                    F.when(pair["j"] == local_a, 1).otherwise(0)
+                    + F.when(pair["k"] == local_a, 1).otherwise(0)
+                )
+
+            cands = F.filter(
+                F.sequence(F.lit(0), tri - 1), lambda j: count_of(j) == g
+            )
+            return F.array_min(
+                F.transform(cands, lambda j: F.element_at(e["LPL"], j + 1))
+            )
+
+        pl = F.when(
+            e["LPL"].isNotNull() & local_a.isNotNull() & (F.size(e["LGT"]) == 2),
+            F.transform(F.sequence(F.lit(0), F.lit(2)), pl_for),
+        )
+        gq = F.coalesce(hf.gq_from_pl(pl), e["GQ"])
+        return F.struct(
+            gt.alias("GT"),
+            e["phased"].alias("phased"),
+            ad.alias("AD"),
+            e["DP"].alias("DP"),
+            gq.alias("GQ"),
+            pl.alias("PL"),
+        )
+
+    out = ex.select(
+        F.struct(
+            F.col("locus")["contig"].alias("contig"),
+            F.col("__split")["new_pos"].alias("position"),
+        ).alias("locus"),
+        F.col("__split")["alleles"].alias("alleles"),
+        F.col("__split")["a_index"].alias("a_index"),
+        F.col("__split")["was_split"].alias("was_split"),
+        *[c for c in df.columns if c not in ("locus", "alleles", ENTRIES)],
+        F.transform(F.col(ENTRIES), new_entry).alias(ENTRIES),
+    )
+    return MatrixTable(out, ("locus", "alleles"), vmt._cols, vmt._col_key, vmt._globals)

@@ -349,3 +349,131 @@ def test_export_entries_by_col(spark, tmp_path):
         assert len(rows) == 3
         gts = {int(r["locus.position"]): int(r["GT"]) for r in rows}
         assert gts == {p: (p * (s_idx + 1)) % 3 for p in (1, 2, 3)}
+
+
+# ---------------------------------------------------------------------- #
+# ld_score_regression
+# ---------------------------------------------------------------------- #
+def test_ld_score_regression_recovers_truth(spark):
+    # simulate the LDSC generative model in its realistic regime:
+    # E[chi2] = 1 + N*h2/M * l with chi2_1 multiplicative noise
+    rng = np.random.default_rng(13)
+    M, N, h2 = 8000, 1000, 0.4
+    l = rng.uniform(1.0, 20.0, M)
+    mean_chi = 1.0 + N * h2 / M * l
+    chi2 = mean_chi * rng.chisquare(1, M)
+    df = spark.createDataFrame(
+        [
+            {"idx": int(i), "l2": float(l[i]), "chi2": float(chi2[i]), "n": N, "w": float(l[i])}
+            for i in range(M)
+        ]
+    )
+    t = Table(df.orderBy("idx"), ("idx",))
+    res = hx.ld_score_regression(
+        t, weight_col="w", ld_score_col="l2", chi_sq_col="chi2", n_col="n",
+        n_blocks=20, two_step_threshold=30,
+    )
+    # jackknife SEs are ~0.04 here; allow ~2.5 SE around truth
+    assert abs(res["intercept"]["estimate"] - 1.0) < 0.12
+    assert abs(res["snp_heritability"]["estimate"] - h2) < 0.10
+    assert 0 < res["snp_heritability"]["standard_error"] < 0.1
+    assert 0 < res["intercept"]["standard_error"] < 0.1
+    assert abs(res["mean_chi_sq"] - float(np.mean(chi2))) < 1e-6
+
+
+# ---------------------------------------------------------------------- #
+# sparse_split_multi
+# ---------------------------------------------------------------------- #
+def test_sparse_split_multi(spark):
+    # one multiallelic row: alleles [A, C, G]; two samples with local alleles
+    schema = (
+        "locus struct<contig:string,position:int>, alleles array<string>, "
+        + ENTRIES
+        + " array<struct<GT:int,LGT:array<int>,LA:array<int>,phased:boolean,"
+        "LAD:array<int>,DP:int,GQ:int,LPL:array<int>>>"
+    )
+    rows = [
+        {
+            "locus": {"contig": "1", "position": 100},
+            "alleles": ["A", "C", "G"],
+            ENTRIES: [
+                # s0: saw both alts locally: LA=[0,1,2]; GT=C/G (local 1/2)
+                {
+                    "GT": 2, "LGT": [1, 2], "LA": [0, 1, 2], "phased": False,
+                    "LAD": [2, 5, 7], "DP": 14, "GQ": 30,
+                    "LPL": [50, 40, 60, 10, 0, 20],
+                },
+                # s1: only saw G (global 2) locally: LA=[0,2]; GT=0/1 local
+                {
+                    "GT": 1, "LGT": [0, 1], "LA": [0, 2], "phased": False,
+                    "LAD": [8, 3], "DP": 11, "GQ": 25,
+                    "LPL": [15, 0, 45],
+                },
+            ],
+        }
+    ]
+    df = spark.createDataFrame(rows, schema)
+    vmt = MatrixTable(df, ("locus", "alleles"), [{"s": "s0"}, {"s": "s1"}], ("s",))
+    out = hx.sparse_split_multi(vmt)
+    got = {tuple(r["alleles"]): r for r in out._df.collect()}
+    assert set(got) == {("A", "C"), ("A", "G")}
+    ac, ag = got[("A", "C")], got[("A", "G")]
+    assert ac["a_index"] == 1 and ac["was_split"]
+    assert ag["a_index"] == 2 and ag["was_split"]
+
+    # --- allele C (global 1) ---
+    s0, s1 = ac[ENTRIES]
+    # s0 LGT=[1,2] locals -> globals [1,2]: one C allele -> GT=1
+    assert s0["GT"] == 1
+    # AD: LAD=[2,5,7], C is local 1 -> ad_i=5, other=9
+    assert s0["AD"] == [9, 5]
+    # PL: local pairs downcode wrt local_a=1:
+    #  j=0:(0,0)->0; j=1:(0,1)->1; j=2:(1,1)->2; j=3:(0,2)->0; j=4:(1,2)->1; j=5:(2,2)->0
+    #  PL[0]=min(50,10,20)=10, PL[1]=min(40,0)=0, PL[2]=60
+    assert s0["PL"] == [10, 0, 60]
+    assert s0["GQ"] == 10
+    # s1 has no C in LA -> downcoded hom-ref, PL missing, GQ falls back
+    assert s1["GT"] == 0
+    assert s1["PL"] is None
+    assert s1["GQ"] == 25
+
+    # --- allele G (global 2) ---
+    s0g, s1g = ag[ENTRIES]
+    assert s0g["GT"] == 1
+    assert s0g["AD"] == [7, 7]
+    # wrt local_a=2: j=0->0, j=1->0, j=2->0, j=3->1, j=4->1, j=5->2
+    # PL[0]=min(50,40,60)=40, PL[1]=min(10,0)=0, PL[2]=20
+    assert s0g["PL"] == [40, 0, 20]
+    # s1: G is local 1: LGT=[0,1] -> GT=1; LAD=[8,3] -> AD=[8,3]
+    assert s1g["GT"] == 1
+    assert s1g["AD"] == [8, 3]
+    assert s1g["PL"] == [15, 0, 45]
+    assert s1g["GQ"] == 15
+
+
+def test_sparse_split_multi_biallelic_passthrough(spark):
+    schema = (
+        "locus struct<contig:string,position:int>, alleles array<string>, "
+        + ENTRIES
+        + " array<struct<GT:int,LGT:array<int>,LA:array<int>,phased:boolean,"
+        "LAD:array<int>,DP:int,GQ:int,LPL:array<int>>>"
+    )
+    rows = [
+        {
+            "locus": {"contig": "1", "position": 7},
+            "alleles": ["AT", "CT"],  # min_rep trims to A/C
+            ENTRIES: [
+                {"GT": 2, "LGT": [1, 1], "LA": [0, 1], "phased": False,
+                 "LAD": [0, 9], "DP": 9, "GQ": 40, "LPL": [99, 45, 0]},
+            ],
+        }
+    ]
+    df = spark.createDataFrame(rows, schema)
+    vmt = MatrixTable(df, ("locus", "alleles"), [{"s": "x"}], ("s",))
+    out = hx.sparse_split_multi(vmt)
+    r = out._df.collect()[0]
+    # biallelic: not split, alleles NOT min-repped (reference contract)
+    assert r["was_split"] is False and r["a_index"] == 1
+    assert r["alleles"] == ["AT", "CT"]
+    e = r[ENTRIES][0]
+    assert e["GT"] == 2 and e["AD"] == [0, 9] and e["PL"] == [99, 45, 0]
