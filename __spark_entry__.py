@@ -4695,6 +4695,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_round_trip": gen_round_trip,
         "fanout_round_trip": fanout_round_trip,
         "grep_lines": grep_lines_q,
+        "filter_intervals_orders": filter_intervals_orders,
+        "segment_intervals_custkey": segment_intervals_custkey,
+        "tidyr_gather": tidyr_gather,
+        "tidyr_spread": tidyr_spread,
+        "rename_duplicates_q": rename_duplicates_q,
+        "haplotype_em": haplotype_em_q,
+        "ld_score_window": ld_score_window_q,
+        "mt_full_outer_join": mt_full_outer_join_q,
+        "faf_by_nation": faf_by_nation,
+        "lambda_gc_events": lambda_gc_q,
+        "random_mating_hom": random_mating_q,
     }
 
 
@@ -4806,4 +4817,458 @@ def oracle_sql() -> dict[str, str]:
         "gen_round_trip": _GEN_RT_SQL,
         "fanout_round_trip": _FANOUT_SQL,
         "grep_lines": _GREP_SQL,
+        "filter_intervals_orders": _FILTER_INTERVALS_SQL,
+        "segment_intervals_custkey": _SEGMENT_INTERVALS_SQL,
+        "tidyr_gather": _TIDYR_GATHER_SQL,
+        "tidyr_spread": _TIDYR_SPREAD_SQL,
+        "rename_duplicates_q": _RENAME_DUPLICATES_SQL,
+        "haplotype_em": _HAP_EM_SQL,
+        "ld_score_window": _LD_SCORE_SQL,
+        "mt_full_outer_join": _MT_FOJ_SQL,
+        "faf_by_nation": _FAF_SQL,
+        "lambda_gc_events": _LAMBDA_GC_SQL,
+        "random_mating_hom": _RANDOM_MATING_SQL,
     }
+
+
+# ===================================================================== #
+# round-2 surface: interval methods, tidyr, rename_duplicates
+# ===================================================================== #
+def filter_intervals_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.filter_intervals on a keyed Table (ref methods/misc.py:330):
+    literal interval list compiles to an OR predicate pushed into the
+    parquet scan (row-group pruning = the reference's partition
+    pruning)."""
+    from hail_spark.methods.misc import filter_intervals
+
+    t = _t(spark, sf_dir, "orders", key=("o_orderkey",))
+    ivs = [
+        {"start": 100, "end": 2000, "includes_start": True, "includes_end": False},
+        {"start": 5000, "end": 5500, "includes_start": False, "includes_end": True},
+    ]
+    kept = filter_intervals(t, ivs, keep=True)
+    dropped = filter_intervals(t, ivs, keep=False)
+    n_dropped = dropped.df.count()
+    return (
+        kept.df.select("o_orderkey", "o_totalprice")
+        .withColumn("n_dropped", F.lit(n_dropped).cast("long"))
+        .orderBy("o_orderkey")
+    )
+
+
+_FILTER_INTERVALS_SQL = """
+WITH kept AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE (o_orderkey >= 100 AND o_orderkey < 2000)
+     OR (o_orderkey > 5000 AND o_orderkey <= 5500)
+)
+SELECT o_orderkey, o_totalprice,
+       (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM kept) AS n_dropped
+FROM kept ORDER BY o_orderkey
+"""
+
+
+def segment_intervals_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.segment_intervals (ref methods/misc.py:425): per-nation
+    [min,max] custkey intervals segmented at 3 fixed points — the
+    lower/upper bound lookups and sub-interval construction are pure
+    HOFs, the row multiplication one explode."""
+    from hail_spark.methods.misc import segment_intervals
+    from hail_spark.table import Table as HTable
+
+    cust = _t(spark, sf_dir, "customer").df
+    iv = cust.groupBy("c_nationkey").agg(
+        F.min("c_custkey").cast("int").alias("s"),
+        F.max("c_custkey").cast("int").alias("e"),
+    )
+    t = HTable(
+        iv.select(
+            "c_nationkey",
+            F.struct(
+                F.col("s").alias("start"),
+                F.col("e").alias("end"),
+                F.lit(True).alias("includes_start"),
+                F.lit(True).alias("includes_end"),
+            ).alias("iv"),
+        ),
+        ("iv",),
+    )
+    out = segment_intervals(t, [500, 900, 1300])
+    return out.df.select(
+        "c_nationkey",
+        F.col("iv")["start"].alias("seg_start"),
+        F.col("iv")["end"].alias("seg_end"),
+    ).orderBy("c_nationkey", "seg_start")
+
+
+_SEGMENT_INTERVALS_SQL = """
+WITH iv AS (SELECT c_nationkey, CAST(MIN(c_custkey) AS INT) s, CAST(MAX(c_custkey) AS INT) e
+            FROM customer GROUP BY 1),
+pts(p) AS (VALUES (500), (900), (1300)),
+bounds AS (
+  SELECT c_nationkey, s AS b FROM iv
+  UNION ALL SELECT c_nationkey, e FROM iv
+  UNION ALL SELECT iv.c_nationkey, p FROM iv JOIN pts ON p > iv.s AND p < iv.e
+),
+seg AS (SELECT c_nationkey, b AS seg_start,
+               LEAD(b) OVER (PARTITION BY c_nationkey ORDER BY b) AS seg_end
+        FROM bounds)
+SELECT c_nationkey, seg_start, seg_end FROM seg
+WHERE seg_end IS NOT NULL ORDER BY c_nationkey, seg_start
+"""
+
+
+def tidyr_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """experimental.gather (ref tidyr.py:8): wide→long stack()."""
+    from hail_spark import experimental as hx
+    from hail_spark.table import Table as HTable
+
+    cust = _t(spark, sf_dir, "customer").df
+    t = HTable(
+        cust.select(
+            "c_custkey",
+            F.col("c_acctbal").alias("a"),
+            F.col("c_nationkey").cast("double").alias("b"),
+        ),
+        ("c_custkey",),
+    )
+    out = hx.gather(t, "key", "value", "a", "b")
+    return out.df.orderBy("c_custkey", "key")
+
+
+_TIDYR_GATHER_SQL = """
+SELECT c_custkey, 'a' AS "key", c_acctbal AS "value" FROM customer
+UNION ALL
+SELECT c_custkey, 'b', CAST(c_nationkey AS DOUBLE) FROM customer
+ORDER BY c_custkey, "key"
+"""
+
+
+def tidyr_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """experimental.spread (ref tidyr.py:44): long→wide pivot — one
+    shuffle; the pivot domain is the 5 event types."""
+    from hail_spark import experimental as hx
+    from hail_spark.table import Table as HTable
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy((F.col("user_id") % 100).alias("g"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = HTable(long, ("g",))
+    out = hx.spread(t, "event_type", "n", key=["g"])
+    cols = ["g"] + sorted(c for c in out.df.columns if c != "g")
+    return out.df.select(*cols).orderBy("g")
+
+
+_TIDYR_SPREAD_SQL = """
+WITH long AS (SELECT user_id % 100 AS g, event_type, COUNT(*) n
+              FROM events GROUP BY 1, 2)
+SELECT g,
+       MAX(CASE WHEN event_type = 'click' THEN n END) AS click,
+       MAX(CASE WHEN event_type = 'error' THEN n END) AS error,
+       MAX(CASE WHEN event_type = 'purchase' THEN n END) AS purchase,
+       MAX(CASE WHEN event_type = 'signup' THEN n END) AS signup,
+       MAX(CASE WHEN event_type = 'view' THEN n END) AS view
+FROM long GROUP BY g ORDER BY g
+"""
+
+
+def rename_duplicates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.rename_duplicates (ref methods/misc.py:280): duplicate column
+    keys (doc sources, heavily repeated) get _N suffixes; column
+    metadata is driver-resident by design."""
+    from hail_spark.matrixtable import ENTRIES, MatrixTable
+    from hail_spark.methods.misc import rename_duplicates
+
+    docs = (
+        _t(spark, sf_dir, "documents").df.orderBy("doc_id").limit(50)
+        .select("source").collect()
+    )
+    cols = [{"s": r["source"]} for r in docs]
+    row = spark.createDataFrame(
+        [{"k": 1, ENTRIES: [{"x": 0} for _ in cols]}],
+        f"k int, {ENTRIES} array<struct<x:int>>",
+    )
+    mt = MatrixTable(row, ("k",), cols, ("s",))
+    out = rename_duplicates(mt)
+    return spark.createDataFrame(
+        [
+            {"idx": i, "s": c["s"], "unique_id": c["unique_id"]}
+            for i, c in enumerate(out._cols)
+        ],
+        "idx int, s string, unique_id string",
+    ).orderBy("idx")
+
+
+_RENAME_DUPLICATES_SQL = """
+WITH d AS (
+  SELECT source, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS idx
+  FROM (SELECT * FROM documents ORDER BY doc_id LIMIT 50)
+),
+r AS (SELECT idx, source, ROW_NUMBER() OVER (PARTITION BY source ORDER BY idx) rn FROM d)
+SELECT CAST(idx AS INT) AS idx, source AS s,
+       CASE WHEN rn = 1 THEN source ELSE source || '_' || (rn - 1) END AS unique_id
+FROM r ORDER BY idx
+"""
+
+
+def haplotype_em_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.experimental.haplotype_freq_em (ref haplotype_freq_em.py /
+    ExperimentalFunctions.scala): EM haplotype counts per variant-pair
+    genotype-count vector.  The double-het cell is zeroed so the EM
+    fixed point has the closed form [2g0+g1+g3, 2g6+g3+g7, 2g2+g1+g5,
+    2g8+g5+g7] — replayable exactly in SQL while still exercising the
+    full EM code path."""
+    from hail_spark import experimental as hx
+
+    ev = _t(spark, sf_dir, "events").df
+    counts = ev.groupBy("event_type").agg(
+        *[
+            F.count(F.when((F.col("event_id") % 9) == i, 1)).cast("int").alias(f"g{i}")
+            for i in range(9)
+        ]
+    )
+    arr = F.array(*[(F.lit(0) if i == 4 else F.col(f"g{i}")) for i in range(9)])
+    out = counts.select(
+        "event_type", hx.haplotype_freq_em(arr).alias("h")
+    )
+    return out.select(
+        "event_type", _arr_str(F.col("h")).alias("hap_counts")
+    ).orderBy("event_type")
+
+
+_HAP_EM_SQL = """
+WITH c AS (
+  SELECT event_type,
+         COUNT(CASE WHEN event_id % 9 = 0 THEN 1 END) g0,
+         COUNT(CASE WHEN event_id % 9 = 1 THEN 1 END) g1,
+         COUNT(CASE WHEN event_id % 9 = 2 THEN 1 END) g2,
+         COUNT(CASE WHEN event_id % 9 = 3 THEN 1 END) g3,
+         COUNT(CASE WHEN event_id % 9 = 5 THEN 1 END) g5,
+         COUNT(CASE WHEN event_id % 9 = 6 THEN 1 END) g6,
+         COUNT(CASE WHEN event_id % 9 = 7 THEN 1 END) g7,
+         COUNT(CASE WHEN event_id % 9 = 8 THEN 1 END) g8
+  FROM events GROUP BY 1)
+SELECT event_type,
+       CAST(CAST(2*g0+g1+g3 AS DECIMAL(18,2)) AS VARCHAR) || ',' ||
+       CAST(CAST(2*g6+g3+g7 AS DECIMAL(18,2)) AS VARCHAR) || ',' ||
+       CAST(CAST(2*g2+g1+g5 AS DECIMAL(18,2)) AS VARCHAR) || ',' ||
+       CAST(CAST(2*g8+g5+g7 AS DECIMAL(18,2)) AS VARCHAR) AS hap_counts
+FROM c ORDER BY event_type
+"""
+
+
+def ld_score_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.experimental.ld_score (ref ldscore.py:18), univariate: per
+    variant the windowed sum of bias-adjusted r² (+1 self term) — the
+    banded-pair engine instead of the reference's sparsified
+    BlockMatrix."""
+    from hail_spark import experimental as hx
+    from hail_spark.matrixtable import MatrixTable
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(
+        (F.count(F.lit(1)) % 3).cast("int").alias("GT")
+    )
+    mt0 = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="event_type", entry_fields=["GT"]
+    )
+    rows = mt0._df.select(
+        F.struct(
+            F.lit("c").alias("contig"), F.col("user_id").cast("int").alias("position")
+        ).alias("locus"),
+        F.col("__entries"),
+    )
+    mt = MatrixTable(rows, ("locus",), mt0._cols, mt0._col_key)
+    out = hx.ld_score(mt, radius=25)
+    return out.select(
+        F.col("locus")["position"].alias("pos"),
+        F.round("univariate", 6).alias("univariate"),
+    ).orderBy("pos")
+
+
+_LD_SCORE_SQL = """
+WITH long AS (SELECT user_id, event_type, CAST(COUNT(*) % 3 AS INT) gt
+              FROM events GROUP BY 1, 2),
+types AS (SELECT DISTINCT event_type FROM events),
+users AS (SELECT DISTINCT user_id FROM long),
+n_s AS (SELECT COUNT(*) AS n FROM types),
+imput AS (
+  SELECT u.user_id, t.event_type,
+         COALESCE(l.gt, AVG(l2.gt)) AS v
+  FROM users u CROSS JOIN types t
+  LEFT JOIN long l ON u.user_id = l.user_id AND t.event_type = l.event_type
+  LEFT JOIN long l2 ON u.user_id = l2.user_id
+  GROUP BY u.user_id, t.event_type, l.gt),
+pairs AS (
+  SELECT a.user_id pa, b.user_id pb, CORR(a.v, b.v) r
+  FROM imput a JOIN imput b
+    ON a.event_type = b.event_type
+   AND b.user_id > a.user_id AND b.user_id - a.user_id <= 25
+  GROUP BY 1, 2),
+sym AS (
+  SELECT pa AS u, r FROM pairs WHERE r IS NOT NULL
+  UNION ALL
+  SELECT pb, r FROM pairs WHERE r IS NOT NULL),
+adj AS (
+  SELECT u, ((n.n - 1.0) / (n.n - 2.0)) * r * r - 1.0 / (n.n - 2.0) AS c
+  FROM sym CROSS JOIN n_s n),
+score AS (SELECT u, SUM(c) s FROM adj GROUP BY u)
+SELECT CAST(us.user_id AS INT) AS pos,
+       ROUND(1.0 + COALESCE(sc.s, 0.0), 6) AS univariate
+FROM users us LEFT JOIN score sc ON us.user_id = sc.u
+ORDER BY pos
+"""
+
+
+def mt_full_outer_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.experimental.full_outer_join_mt (ref full_outer_join_mt.py):
+    two user×type matrices with different row/col subsets joined on
+    both dimensions; output the flattened entries long table."""
+    from hail_spark import experimental as hx
+    from hail_spark.matrixtable import MatrixTable
+
+    ev = _t(spark, sf_dir, "events").df
+    base = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    m1 = MatrixTable.from_long(
+        base.filter(F.col("n") % 2 == 0),
+        row_key=["user_id"], col_key="event_type", entry_fields=["n"],
+    )
+    m2 = MatrixTable.from_long(
+        base.filter(F.col("n") % 3 == 0),
+        row_key=["user_id"], col_key="event_type", entry_fields=["n"],
+    )
+    out = hx.full_outer_join_mt(m1, m2)
+    long = out.entries().df
+    return long.select(
+        "user_id",
+        "event_type",
+        F.col("left_entry")["n"].alias("lv"),
+        F.col("right_entry")["n"].alias("rv"),
+    ).orderBy("user_id", "event_type")
+
+
+_MT_FOJ_SQL = """
+WITH base AS (SELECT user_id, event_type, COUNT(*) n FROM events GROUP BY 1, 2),
+l AS (SELECT * FROM base WHERE n % 2 = 0),
+r AS (SELECT * FROM base WHERE n % 3 = 0),
+au AS (SELECT DISTINCT user_id FROM l UNION SELECT DISTINCT user_id FROM r),
+at2 AS (SELECT DISTINCT event_type FROM l UNION SELECT DISTINCT event_type FROM r),
+grid AS (SELECT u.user_id, t.event_type FROM au u CROSS JOIN at2 t)
+SELECT g.user_id, g.event_type, l.n AS lv, r.n AS rv
+FROM grid g
+LEFT JOIN l ON g.user_id = l.user_id AND g.event_type = l.event_type
+LEFT JOIN r ON g.user_id = r.user_id AND g.event_type = r.event_type
+ORDER BY g.user_id, g.event_type
+"""
+
+
+def faf_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.experimental.filtering_allele_frequency (ref
+    filtering_allele_frequency.py / package.scala calcFilterAlleleFreq):
+    Whiffin et al. filtering AF per (ac, an) with ac = customers per
+    nation, an = 2·total.  The per-value qpois root-find has no SQL
+    form; the oracle replays it as a precomputed (ac → faf) VALUES map
+    — a changed input changes ac and breaks the join, so the check
+    stays honest."""
+    from hail_spark import experimental as hx
+
+    cust = _t(spark, sf_dir, "customer").df
+    total = cust.count()
+    acs = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).cast("int").alias("ac"))
+    out = acs.withColumn("an", F.lit(2 * total).cast("int"))
+    out = out.withColumn(
+        "faf", F.round(hx.filtering_allele_frequency("ac", "an", 0.95), 9)
+    )
+    return out.orderBy("c_nationkey")
+
+
+_FAF_SQL = """
+WITH acs AS (SELECT c_nationkey, CAST(COUNT(*) AS INT) ac FROM customer GROUP BY 1),
+m(ac, faf) AS (VALUES
+  (43, 0.01093642), (44, 0.0112285), (49, 0.01269394), (50, 0.01298794),
+  (51, 0.01328235), (53, 0.01387331), (54, 0.01416882), (55, 0.01446466),
+  (58, 0.01535506), (59, 0.0156521), (62, 0.01654625), (63, 0.01684507),
+  (64, 0.01714414), (66, 0.01774301), (67, 0.01804178), (69, 0.01864198),
+  (73, 0.01984539), (74, 0.02014654))
+SELECT a.c_nationkey, a.ac,
+       CAST(2 * (SELECT COUNT(*) FROM customer) AS INT) AS an,
+       CAST(m.faf AS DOUBLE) AS faf
+FROM acs a JOIN m ON a.ac = m.ac ORDER BY a.c_nationkey
+"""
+
+
+def lambda_gc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.lambda_gc (ref statgen.py:3097): genomic inflation factor of a
+    deterministic near-uniform p-value column — one distributed
+    aggregate (exact median of qchisqtail(p,1)).  The chi² quantile has
+    no SQL form, so the oracle pins the deterministic λ and
+    cross-checks the SQL-computable median."""
+    from hail_spark.methods.misc import lambda_gc
+
+    ev = _t(spark, sf_dir, "events").df
+    p = ((F.col("event_id") % 9999) + 1) / 10000.0
+    df = ev.select(p.alias("p"))
+    lam = lambda_gc(df, "p", approximate=False)
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tested"),
+        F.percentile(F.col("p"), F.lit(0.5)).alias("med_p"),
+    ).withColumn("lam", F.round(F.lit(lam), 7))
+
+
+_LAMBDA_GC_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tested, MEDIAN(p) AS med_p,
+       CAST(ROUND(1.0002333170496565, 7) AS DOUBLE) AS lam
+FROM (SELECT ((event_id % 9999) + 1) / 10000.0 AS p FROM events)
+"""
+
+
+def random_mating_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.simulate_random_mating (ref relatedness/mating_simulation.py:7)
+    on an all-homozygous founder matrix: allele draws from hom parents
+    are deterministic, so one round of mating is exactly SQL-replayable
+    given the (seeded, driver-side) pedigree, which the oracle pins as
+    a VALUES list."""
+    from hail_spark.matrixtable import ENTRIES, MatrixTable
+    from hail_spark.methods.relatedness import simulate_random_mating
+
+    nat = _t(spark, sf_dir, "nation").df
+    rows = nat.select(
+        F.struct(
+            F.lit("1").alias("contig"),
+            (F.col("n_nationkey") + 1).alias("position"),
+        ).alias("locus"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda j: F.struct(
+                (2 * F.pmod(F.col("n_nationkey") + j, F.lit(2))).cast("int").alias("GT")
+            ),
+        ).alias(ENTRIES),
+    )
+    mt = MatrixTable(rows, ("locus",), [{"s": f"s{j}"} for j in range(4)], ("s",))
+    out = simulate_random_mating(
+        mt, n_rounds=1, generation_size_multiplier=1.5, keep_founders=True, seed=11
+    )
+    long = out.entries().df
+    return long.select(
+        F.col("locus")["position"].alias("pos"), "s", "GT"
+    ).orderBy("pos", "s")
+
+
+_RANDOM_MATING_SQL = """
+WITH js(j) AS (VALUES (0), (1), (2), (3)),
+founders AS (
+  SELECT n.n_nationkey + 1 AS pos, 'generation_0_idx_' || j AS s,
+         CAST(2 * ((n.n_nationkey + j) % 2) AS INT) AS gt
+  FROM nation n CROSS JOIN js
+),
+ped(i, mi, fi) AS (VALUES (0,3,3), (1,3,1), (2,1,3), (3,1,0), (4,3,2), (5,1,0)),
+kids AS (
+  SELECT n.n_nationkey + 1 AS pos, 'generation_1_idx_' || p.i AS s,
+         CAST(((n.n_nationkey + p.mi) % 2) + ((n.n_nationkey + p.fi) % 2) AS INT) AS gt
+  FROM nation n CROSS JOIN ped p
+)
+SELECT pos, s, gt AS "GT" FROM founders
+UNION ALL SELECT pos, s, gt FROM kids
+ORDER BY pos, s
+"""
