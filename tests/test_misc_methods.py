@@ -294,3 +294,68 @@ def test_get_vcf_metadata(tmp_path):
     assert md["format"]["DP"]["Type"] == "Integer"
     hi = impex.get_vcf_header_info(str(p))
     assert hi["sampleIDs"] == ["NA1", "NA2"]
+
+
+# ---------------------------------------------------------------------- #
+# vep / nirvana subprocess plumbing (stub annotator command)
+# ---------------------------------------------------------------------- #
+def test_vep_plumbing_with_stub_command(spark, tmp_path):
+    from hail_spark.methods import annotate
+
+    # stub annotator: echoes one JSON object per input line
+    stub = tmp_path / "fake_vep.py"
+    stub.write_text(
+        "import sys, json\n"
+        "for line in sys.stdin:\n"
+        "    f = line.rstrip('\\n').split('\\t')\n"
+        "    print(json.dumps({'input': f[0] + ':' + f[1], 'ref': f[3]}))\n"
+    )
+    df = spark.createDataFrame(
+        [
+            {"locus": {"contig": "1", "position": 100}, "alleles": ["A", "T"]},
+            {"locus": {"contig": "2", "position": 5}, "alleles": ["G", "C", "GC"]},
+        ],
+        "locus struct<contig:string,position:int>, alleles array<string>",
+    )
+    out = annotate.vep(df, command=["python", str(stub)], block_size=1)
+    rows = {r["locus"]["position"]: r for r in out.collect()}
+    import json as _json
+
+    v100 = _json.loads(rows[100]["vep"])
+    assert v100 == {"input": "1:100", "ref": "A"}
+    v5 = _json.loads(rows[5]["vep"])
+    assert v5["ref"] == "G"
+
+
+def test_vep_missing_binary_raises(spark):
+    from hail_spark.methods import annotate
+
+    df = spark.createDataFrame(
+        [{"locus": {"contig": "1", "position": 1}, "alleles": ["A", "T"]}],
+        "locus struct<contig:string,position:int>, alleles array<string>",
+    )
+    with pytest.raises(EnvironmentError):
+        annotate.vep(df)
+    with pytest.raises(EnvironmentError):
+        annotate.nirvana(df)
+
+
+def test_nirvana_plumbing_with_stub_command(spark, tmp_path):
+    from hail_spark.methods import annotate
+
+    stub = tmp_path / "fake_nirvana.py"
+    stub.write_text(
+        "import sys, json\n"
+        "for line in sys.stdin:\n"
+        "    f = line.rstrip('\\n').split('\\t')\n"
+        "    print(json.dumps({'chrom': f[0], 'alts': f[4]}))\n"
+    )
+    df = spark.createDataFrame(
+        [{"locus": {"contig": "7", "position": 9}, "alleles": ["AT", "A"]}],
+        "locus struct<contig:string,position:int>, alleles array<string>",
+    )
+    out = annotate.nirvana(df, command=["python", str(stub)])
+    import json as _json
+
+    got = _json.loads(out.collect()[0]["nirvana"])
+    assert got == {"chrom": "7", "alts": "A"}
