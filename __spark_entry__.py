@@ -4706,6 +4706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "faf_by_nation": faf_by_nation,
         "lambda_gc_events": lambda_gc_q,
         "random_mating_hom": random_mating_q,
+        "gopher_signals": gopher_signals_q,
     }
 
 
@@ -4828,6 +4829,7 @@ def oracle_sql() -> dict[str, str]:
         "faf_by_nation": _FAF_SQL,
         "lambda_gc_events": _LAMBDA_GC_SQL,
         "random_mating_hom": _RANDOM_MATING_SQL,
+        "gopher_signals": _GOPHER_SQL,
     }
 
 
@@ -5271,4 +5273,90 @@ kids AS (
 SELECT pos, s, gt AS "GT" FROM founders
 UNION ALL SELECT pos, s, gt FROM kids
 ORDER BY pos, s
+"""
+
+
+def gopher_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/quality signals over documents (Rae et
+    al. 2021 A1.1 rules; llmdata/textstats.py): duplicate-line
+    fraction, top-bigram char coverage, duplicate-trigram coverage,
+    symbol/word ratio, bullet/ellipsis line fractions, composite keep
+    flag.  All single-pass Column HOFs — one projection, no shuffle,
+    no Python in the row path."""
+    from hail_spark.llmdata import textstats as ts
+
+    d = _t(spark, sf_dir, "documents").df
+    t = F.col("text")
+    be = ts.bullet_ellipsis_fractions(t)
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")).alias("n_words"),
+        F.round(ts.duplicate_line_fraction(t), 9).alias("dup_line_frac"),
+        F.round(ts.top_ngram_char_fraction(t, 2), 9).alias("top2_frac"),
+        F.round(ts.duplicate_ngram_char_fraction(t, 3), 9).alias("dup3_frac"),
+        F.round(ts.symbol_word_ratio(t), 9).alias("sym_ratio"),
+        F.round(be["bullet_frac"], 9).alias("bullet_frac"),
+        F.round(be["ellipsis_frac"], 9).alias("ellipsis_frac"),
+        ts.gopher_quality_filter(t).alias("keep"),
+    ).orderBy("doc_id")
+
+
+_GOPHER_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w != '') ws,
+         list_filter(regexp_split_to_array(text, '\n'), l -> length(trim(l)) > 0) lines
+  FROM documents),
+grams AS (
+  SELECT doc_id, text, ws, lines,
+         CASE WHEN len(ws) >= 2 THEN
+           list_transform(range(1, len(ws)), i -> array_to_string(list_slice(ws, i, i+1), ' '))
+         ELSE [] END AS g2,
+         CASE WHEN len(ws) >= 3 THEN
+           list_transform(range(1, len(ws) - 1), i -> array_to_string(list_slice(ws, i, i+2), ' '))
+         ELSE [] END AS g3
+  FROM base),
+topg AS (
+  SELECT doc_id, g, COUNT(*) c FROM grams, UNNEST(g2) AS u(g) GROUP BY 1, 2),
+top1 AS (
+  SELECT doc_id, g, c FROM (
+    SELECT doc_id, g, c, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) rn
+    FROM topg) WHERE rn = 1),
+feat AS (
+  SELECT gr.doc_id,
+    CAST(len(ws) AS INT) AS n_words,
+    CASE WHEN len(lines) > 0
+         THEN CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN len(g2) > 0 AND length(gr.text) > 0
+         THEN LEAST(CAST(t.c AS DOUBLE) * length(t.g) / length(gr.text), 1.0)
+         ELSE 0.0 END AS top2_frac,
+    CASE WHEN len(g3) > 0 AND length(gr.text) > 0
+         THEN LEAST(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                    * (CAST(list_aggregate(list_transform(g3, x -> length(x)), 'sum') AS BIGINT)
+                       / CAST(len(g3) AS DOUBLE))
+                    / length(gr.text), 1.0)
+         ELSE 0.0 END AS dup3_frac,
+    CASE WHEN len(ws) > 0
+         THEN CAST(length(gr.text) - length(regexp_replace(gr.text, '[#`\*\|<>{}\[\]\\\\~^=_]|\.\.\.', '', 'g')) AS DOUBLE) / len(ws)
+         ELSE 0.0 END AS sym_ratio,
+    CASE WHEN len(lines) > 0
+         THEN CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '^([-\*•●▪]|\d+[\.\)])\s'))) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS bullet_frac,
+    CASE WHEN len(lines) > 0
+         THEN CAST(len(list_filter(lines, l -> regexp_matches(trim(l), '(\.\.\.|…)$'))) AS DOUBLE) / len(lines)
+         ELSE 0.0 END AS ellipsis_frac,
+    len(list_filter(ws, w -> list_contains(['the','be','to','of','and','that','have','with'], lower(w)))) AS sw_hits
+  FROM grams gr LEFT JOIN top1 t ON gr.doc_id = t.doc_id)
+SELECT doc_id, n_words,
+  ROUND(dup_line_frac, 9) AS dup_line_frac,
+  ROUND(top2_frac, 9) AS top2_frac,
+  ROUND(dup3_frac, 9) AS dup3_frac,
+  ROUND(sym_ratio, 9) AS sym_ratio,
+  ROUND(bullet_frac, 9) AS bullet_frac,
+  ROUND(ellipsis_frac, 9) AS ellipsis_frac,
+  (n_words >= 50 AND n_words <= 100000 AND sym_ratio <= 0.1
+   AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+   AND dup_line_frac <= 0.3 AND sw_hits >= 2) AS keep
+FROM feat ORDER BY doc_id
 """

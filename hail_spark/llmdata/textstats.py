@@ -149,3 +149,145 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
         langid(t).alias("lang_pred"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------- #
+# Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality rules;
+# standard training-data pre-filters beyond the reference's scope)
+# ---------------------------------------------------------------------- #
+def duplicate_line_fraction(text: Column) -> Column:
+    """Fraction of lines that are duplicates of an earlier line.
+    Pure HOF: split on newlines, count distinct vs total."""
+    lines = F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n = F.size(lines)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(lines))).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def duplicate_ngram_char_fraction(text: Column, n: int = 3) -> Column:
+    """Fraction of characters inside word n-grams that occur more than
+    once in the document (the Gopher dup-ngram rule, word-level).
+    Codegen shape: tokenize once, build the n-gram array with
+    transform+slice, diff distinct counts, weight by mean gram length."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams)
+    n_dup_grams = total - F.size(F.array_distinct(grams))
+    # char-weighted approximation: dup grams share the doc's mean gram length
+    mean_len = F.when(
+        total > 0,
+        F.aggregate(grams, F.lit(0).cast("bigint"), lambda a, g: a + F.length(g))
+        / total.cast("double"),
+    )
+    doc_chars = F.length(text).cast("double")
+    return F.when(
+        (total > 0) & (doc_chars > 0),
+        F.least(n_dup_grams.cast("double") * mean_len / doc_chars, F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_char_fraction(text: Column, n: int = 2) -> Column:
+    """Fraction of characters covered by the single most frequent word
+    n-gram (Gopher top-ngram rule)."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    sorted_g = F.array_sort(grams)
+    # most frequent gram via a single fold over the SORTED grams
+    best = F.aggregate(
+        sorted_g,
+        F.struct(
+            F.lit("").alias("cur"), F.lit(0).alias("run"),
+            F.lit("").alias("best"), F.lit(0).alias("best_n"),
+        ),
+        lambda acc, g: F.when(
+            g == acc["cur"],
+            F.struct(
+                acc["cur"].alias("cur"), (acc["run"] + 1).alias("run"),
+                F.when(acc["run"] + 1 > acc["best_n"], acc["cur"]).otherwise(acc["best"]).alias("best"),
+                F.greatest(acc["run"] + 1, acc["best_n"]).alias("best_n"),
+            ),
+        ).otherwise(
+            F.struct(
+                g.alias("cur"), F.lit(1).alias("run"),
+                F.when(acc["best_n"] >= 1, acc["best"]).otherwise(g).alias("best"),
+                F.greatest(acc["best_n"], F.lit(1)).alias("best_n"),
+            )
+        ),
+    )
+    doc_chars = F.length(text).cast("double")
+    return F.when(
+        (F.size(grams) > 0) & (doc_chars > 0),
+        F.least(
+            best["best_n"].cast("double") * F.length(best["best"]) / doc_chars,
+            F.lit(1.0),
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """#/… symbol count per word (Gopher symbol-to-word rule)."""
+    syms = (
+        F.length(text)
+        - F.length(F.regexp_replace(text, r"[#`\*\|<>{}\[\]\\~^=_]|\.\.\.", ""))
+    ).cast("double")
+    nw = F.size(tokens(text))
+    return F.when(nw > 0, syms / nw).otherwise(F.lit(0.0))
+
+
+def bullet_ellipsis_fractions(text: Column) -> Column:
+    """struct(bullet_frac, ellipsis_frac): fraction of lines starting
+    with a bullet / ending with an ellipsis (Gopher rules)."""
+    lines = F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    n = F.size(lines)
+    bullets = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^([-\*•●▪]|\d+[\.\)])\s"))
+    )
+    ell = F.size(F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")))
+    return F.struct(
+        F.when(n > 0, bullets.cast("double") / n).otherwise(0.0).alias("bullet_frac"),
+        F.when(n > 0, ell.cast("double") / n).otherwise(0.0).alias("ellipsis_frac"),
+    )
+
+
+def gopher_quality_filter(
+    text: Column,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    max_dup_line_frac: float = 0.3,
+    min_stopword_hits: int = 2,
+) -> Column:
+    """Composite Gopher rule set -> boolean keep flag.  All inputs are
+    single-pass Column expressions; the filter costs one projection."""
+    toks = tokens(text)
+    nw = F.size(toks)
+    be = bullet_ellipsis_fractions(text)
+    sw_hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin("the", "be", "to", "of", "and", "that", "have", "with"))
+    )
+    return (
+        (nw >= min_words)
+        & (nw <= max_words)
+        & (symbol_word_ratio(text) <= max_symbol_word_ratio)
+        & (be["bullet_frac"] <= max_bullet_frac)
+        & (be["ellipsis_frac"] <= max_ellipsis_frac)
+        & (duplicate_line_fraction(text) <= max_dup_line_frac)
+        & (sw_hits >= min_stopword_hits)
+    )
