@@ -201,7 +201,12 @@ def lambda_gc(df: DataFrame, p_col, approximate: bool = True) -> float:
     from ..expr import stats as hstats
 
     p = _as_column(p_col)
-    chisq = hstats.qchisqtail_udf(p, F.lit(1.0))
+    # χ²₁ upper quantile via the z² identity: qchisqtail(p,1) = qnorm(p/2)²
+    # — the Acklam inverse is fully vectorized numpy, vs the general
+    # qgamma Newton loop which iterates per element in Python (15 s vs
+    # 0.5 s over 100k rows at sf0.1)
+    z = hstats.qnorm_udf(p / 2.0)
+    chisq = z * z
     good = F.when(~F.isnan(p) & p.isNotNull(), chisq)
     med = (
         F.percentile_approx(good, F.lit(0.5), F.lit(100000))
