@@ -981,3 +981,163 @@ def sparse_split_multi(vmt: MatrixTable, filter_changed_loci: bool = False) -> M
         F.transform(F.col(ENTRIES), new_entry).alias(ENTRIES),
     )
     return MatrixTable(out, ("locus", "alleles"), vmt._cols, vmt._col_key, vmt._globals)
+
+
+# ---------------------------------------------------------------------- #
+# densify (ref experimental/sparse_mt/densify.py:4)
+# ---------------------------------------------------------------------- #
+def densify(sparse_mt: MatrixTable) -> MatrixTable:
+    """Expand reference blocks of a merged-sparse MatrixTable into dense
+    per-variant entries (ref experimental/sparse_mt/densify.py:4): rows
+    whose entries carry END are reference blocks; variant-site entries
+    missing for a sample are filled from the covering block, and END is
+    dropped.
+
+    Spark shape: instead of the reference's per-sample backward scan,
+    the block rows are split off and re-joined through the banded
+    interval join the VDS layer already uses (`to_dense_mt`) — a hash
+    equi-join on (contig, position-bin) with bounded fan-out, no
+    ordered scan state."""
+    from .vds import VariantDataset
+
+    df = sparse_mt._df
+    efields = [f.name for f in df.schema[ENTRIES].dataType.elementType.fields]
+    if "END" not in efields:
+        raise ValueError("densify requires an END entry field")
+    has_end = F.exists(F.col(ENTRIES), lambda e: e["END"].isNotNull())
+
+    ref_df = df.filter(has_end).select(
+        "locus",
+        F.transform(
+            F.col(ENTRIES),
+            lambda e: F.when(e["END"].isNotNull(), e),
+        ).alias(ENTRIES),
+    )
+    var_fields = [f for f in efields if f != "END"]
+    var_df = df.filter(~has_end).select(
+        *[c for c in df.columns if c not in (ENTRIES, "is_ref_block")],
+        F.transform(
+            F.col(ENTRIES),
+            lambda e: F.when(
+                e.isNotNull(), F.struct(*[e[f].alias(f) for f in var_fields])
+            ),
+        ).alias(ENTRIES),
+    )
+    vds = VariantDataset(
+        MatrixTable(ref_df, ("locus",), sparse_mt._cols, sparse_mt._col_key),
+        MatrixTable(
+            var_df,
+            sparse_mt._row_key,
+            sparse_mt._cols,
+            sparse_mt._col_key,
+            sparse_mt._globals,
+        ),
+    )
+    return vds.to_dense_mt()
+
+
+# ---------------------------------------------------------------------- #
+# BlockMatrix multi-write (ref experimental/write_multiple.py)
+# ---------------------------------------------------------------------- #
+def write_block_matrices(bms: Sequence, prefix: str, overwrite: bool = False) -> None:
+    """Write several BlockMatrices under numbered paths (ref
+    experimental/write_multiple.py `write_block_matrices`)."""
+    for i, bm in enumerate(bms):
+        bm.write(f"{prefix}{i}", overwrite=overwrite)
+
+
+def export_block_matrices(
+    bms: Sequence, prefix: str, delimiter: str = "\t"
+) -> None:
+    """Export BlockMatrices as delimited text (ref
+    experimental/write_multiple.py `export_block_matrices` /
+    `block_matrices_tofiles`): each matrix's entries stream out as one
+    distributed CSV write of its long form (i, j, value) — never
+    collected."""
+    for i, bm in enumerate(bms):
+        (
+            bm.to_long()
+            .orderBy("i", "j")
+            .write.mode("overwrite")
+            .option("sep", delimiter)
+            .option("header", True)
+            .csv(f"{prefix}{i}")
+        )
+
+
+block_matrices_tofiles = export_block_matrices
+
+
+# ---------------------------------------------------------------------- #
+# mt_to_table_of_ndarray (ref experimental/table_ndarray_utils.py)
+# ---------------------------------------------------------------------- #
+def mt_to_table_of_ndarray(
+    mt: MatrixTable, x_field: str = "GT", block_size: int = 64
+) -> DataFrame:
+    """Group rows into blocks of `block_size` and pack the entry matrix
+    of each block as an ndarray struct (ref
+    experimental/table_ndarray_utils.py `mt_to_table_of_ndarray` — the
+    blanczos input shape).  One pass: distributed add_index, integer
+    division for the block id, collect_list gather per block."""
+    from .operators import scans
+    from .table import Table as HTable
+
+    t = HTable(mt._df, mt._row_key)
+    t = scans.add_index(t, "__idx")
+    df = t.df.withColumn("__block", (F.col("__idx") / block_size).cast("bigint"))
+    packed = (
+        df.select(
+            "__block",
+            "__idx",
+            F.col(ENTRIES).getField(x_field).alias("__row"),
+        )
+        .groupBy("__block")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__idx"), F.col("__row")))
+            ).alias("__rows")
+        )
+        .select(
+            "__block",
+            F.struct(
+                F.array(
+                    F.size(F.col("__rows")).cast("bigint"),
+                    F.size(F.col("__rows")[0]["__row"]).cast("bigint"),
+                ).alias("shape"),
+                F.flatten(
+                    F.transform(F.col("__rows"), lambda r: r["__row"].cast("array<double>"))
+                ).alias("data"),
+            ).alias("ndarray"),
+        )
+    )
+    return packed.orderBy("__block")
+
+
+# ---------------------------------------------------------------------- #
+# loop (ref experimental/loop.py) — IR looping construct
+# ---------------------------------------------------------------------- #
+def loop(f, _typ=None, *init):
+    """Reference parity for hl.experimental.loop (ref
+    experimental/loop.py): upstream builds a tail-recursive IR node;
+    here expressions are plain Python driving Column construction, so
+    a bounded Python loop IS the construct.  `f` receives a `recur`
+    continuation and the loop state; iteration proceeds until `f`
+    returns without calling recur (bounded at 10k steps)."""
+    state = list(init)
+    result = None
+    for _ in range(10_000):
+        called = {"flag": False}
+
+        def recur(*new_state):
+            called["flag"] = True
+            return new_state
+
+        out = f(recur, *state)
+        if called["flag"] and isinstance(out, tuple):
+            state = list(out)
+            continue
+        result = out
+        break
+    else:
+        raise RuntimeError("loop: exceeded 10000 iterations")
+    return result

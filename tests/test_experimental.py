@@ -477,3 +477,73 @@ def test_sparse_split_multi_biallelic_passthrough(spark):
     assert r["alleles"] == ["AT", "CT"]
     e = r[ENTRIES][0]
     assert e["GT"] == 2 and e["AD"] == [0, 9] and e["PL"] == [99, 45, 0]
+
+
+# ---------------------------------------------------------------------- #
+# densify / block-matrix export / ndarray packing / loop
+# ---------------------------------------------------------------------- #
+def test_densify_merged_sparse(spark):
+    # ref blocks: s0 covers 1-10 (DP 7), s1 covers 5-8 (DP 9)
+    schema = (
+        "locus struct<contig:string,position:int>, alleles array<string>, "
+        + ENTRIES
+        + " array<struct<GT:int,DP:int,END:int>>"
+    )
+    rows = [
+        {"locus": {"contig": "1", "position": 1}, "alleles": ["N", "<NON_REF>"],
+         ENTRIES: [{"GT": None, "DP": 7, "END": 10}, None]},
+        {"locus": {"contig": "1", "position": 5}, "alleles": ["N", "<NON_REF>"],
+         ENTRIES: [None, {"GT": None, "DP": 9, "END": 8}]},
+        # variant at 6: s0 missing (covered by block), s1 has a call
+        {"locus": {"contig": "1", "position": 6}, "alleles": ["A", "T"],
+         ENTRIES: [None, {"GT": 2, "DP": 4, "END": None}]},
+        # variant at 9: s1's block ended at 8 -> stays missing
+        {"locus": {"contig": "1", "position": 9}, "alleles": ["C", "G"],
+         ENTRIES: [None, None]},
+    ]
+    df = spark.createDataFrame(rows, schema)
+    mt = MatrixTable(df, ("locus", "alleles"), [{"s": "s0"}, {"s": "s1"}], ("s",))
+    out = hx.densify(mt)
+    got = {r["locus"]["position"]: r[ENTRIES] for r in out._df.collect()}
+    assert set(got) == {6, 9}
+    e6 = got[6]
+    assert e6[0]["GT"] == 0 and e6[0]["DP"] == 7     # filled from s0's block
+    assert e6[1]["GT"] == 2 and e6[1]["DP"] == 4     # real call kept
+    assert "END" not in e6[0].asDict()
+    e9 = got[9]
+    assert e9[0]["GT"] == 0 and e9[0]["DP"] == 7     # s0 block covers 9
+    assert e9[1] is None                              # s1 uncovered
+
+
+def test_export_block_matrices(spark, tmp_path):
+    from hail_spark.linalg.blockmatrix import BlockMatrix
+
+    a = np.arange(6, dtype=float).reshape(2, 3)
+    bm = BlockMatrix.from_numpy(spark, a, 2)
+    hx.export_block_matrices([bm], str(tmp_path / "bm"), delimiter="\t")
+    import glob, csv
+
+    rows = []
+    for fp in glob.glob(str(tmp_path / "bm0" / "*.csv")):
+        with open(fp) as fh:
+            rows.extend(list(csv.DictReader(fh, delimiter="\t")))
+    got = {(int(r["i"]), int(r["j"])): float(r["v"]) for r in rows}
+    assert got == {(i, j): a[i, j] for i in range(2) for j in range(3)}
+
+
+def test_mt_to_table_of_ndarray(spark):
+    mt = _mk_mt(spark, list(range(1, 11)), ["a", "b", "c"], lambda p, s: (p + s) % 3)
+    out = hx.mt_to_table_of_ndarray(mt, block_size=4).collect()
+    assert [r["__block"] for r in out] == [0, 1, 2]
+    shapes = [tuple(r["ndarray"]["shape"]) for r in out]
+    assert shapes == [(4, 3), (4, 3), (2, 3)]
+    # data round-trips in row-major order
+    first = np.array(out[0]["ndarray"]["data"]).reshape(4, 3)
+    expect = np.array([[(p + s) % 3 for s in range(3)] for p in range(1, 5)])
+    np.testing.assert_array_equal(first, expect)
+
+
+def test_loop():
+    # factorial via the recur continuation
+    out = hx.loop(lambda recur, acc, i: recur(acc * i, i + 1) if i <= 5 else acc, None, 1, 1)
+    assert out == 120
