@@ -4707,6 +4707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lambda_gc_events": lambda_gc_q,
         "random_mating_hom": random_mating_q,
         "gopher_signals": gopher_signals_q,
+        "pc_project_scores": pc_project_q,
+        "sparse_split_battery": sparse_split_multi_q,
+        "densify_sparse": densify_sparse_q,
     }
 
 
@@ -4830,6 +4833,9 @@ def oracle_sql() -> dict[str, str]:
         "lambda_gc_events": _LAMBDA_GC_SQL,
         "random_mating_hom": _RANDOM_MATING_SQL,
         "gopher_signals": _GOPHER_SQL,
+        "pc_project_scores": _PC_PROJECT_SQL,
+        "sparse_split_battery": _SPARSE_SPLIT_SQL,
+        "densify_sparse": _DENSIFY_SQL,
     }
 
 
@@ -5359,4 +5365,274 @@ SELECT doc_id, n_words,
    AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
    AND dup_line_frac <= 0.3 AND sw_hits >= 2) AS keep
 FROM feat ORDER BY doc_id
+"""
+
+
+def pc_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.experimental.pc_project (ref experimental/pca.py:13): project
+    a call matrix onto per-variant loadings+af carried on a keyed
+    table.  One broadcast join + k elementwise array-sum aggregates
+    (map-side combine); SQL replay is three weighted sums."""
+    from hail_spark import experimental as hx
+    from hail_spark.matrixtable import MatrixTable
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(
+        (F.count(F.lit(1)) % 3).cast("int").alias("GT")
+    )
+    mt = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="event_type", entry_fields=["GT"]
+    )
+    users = mt._df.select("user_id")
+    loadings = users.select(
+        "user_id",
+        F.array(
+            ((F.col("user_id") * 7) % 11).cast("double") / 11.0,
+            ((F.col("user_id") * 13) % 17).cast("double") / 17.0,
+            ((F.col("user_id") * 3) % 5).cast("double") / 5.0,
+        ).alias("loadings"),
+        (0.25 + (F.col("user_id") % 5).cast("double") / 10.0).alias("af"),
+    )
+    out = hx.pc_project(mt, loadings)
+    return out.select(
+        F.col("event_type").alias("s"),
+        *[F.round(F.element_at("scores", i + 1), 9).alias(f"pc{i}") for i in range(3)],
+    ).orderBy("s")
+
+
+_PC_PROJECT_SQL = """
+WITH long AS (SELECT user_id, event_type, CAST(COUNT(*) % 3 AS INT) gt
+              FROM events GROUP BY 1, 2),
+users AS (SELECT DISTINCT user_id FROM long),
+m AS (SELECT COUNT(*) AS m FROM users),
+ld AS (
+  SELECT user_id,
+         CAST((user_id * 7) % 11 AS DOUBLE) / 11.0 AS l0,
+         CAST((user_id * 13) % 17 AS DOUBLE) / 17.0 AS l1,
+         CAST((user_id * 3) % 5 AS DOUBLE) / 5.0 AS l2,
+         0.25 + CAST(user_id % 5 AS DOUBLE) / 10.0 AS af
+  FROM users),
+norm AS (
+  SELECT l.event_type,
+         (l.gt - 2.0 * d.af) / SQRT(mm.m * 2.0 * d.af * (1.0 - d.af)) AS gn,
+         d.l0, d.l1, d.l2
+  FROM long l JOIN ld d ON l.user_id = d.user_id CROSS JOIN m mm
+  WHERE d.af > 0 AND d.af < 1)
+SELECT event_type AS s,
+       ROUND(SUM(l0 * gn), 9) AS pc0,
+       ROUND(SUM(l1 * gn), 9) AS pc1,
+       ROUND(SUM(l2 * gn), 9) AS pc2
+FROM norm GROUP BY event_type ORDER BY s
+"""
+
+
+def sparse_split_multi_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.experimental.sparse_split_multi (ref
+    sparse_mt/sparse_split_multi.py): a 3-allele local-allele matrix
+    (LGT/LA/LAD/LPL derived deterministically from event counts) splits
+    into biallelic rows; with 2 local alleles the PL downcode is the
+    identity map, so every entry field is exactly SQL-replayable,
+    including the not-in-LA hom-ref downcode and GQ-from-PL."""
+    from hail_spark import experimental as hx
+    from hail_spark.matrixtable import ENTRIES, MatrixTable
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    n = F.col("n")
+    entry = F.struct(
+        F.lit(None).cast("int").alias("GT"),
+        F.array(F.lit(0), (n % 2).cast("int")).alias("LGT"),
+        F.array(F.lit(0), (1 + n % 2).cast("int")).alias("LA"),
+        F.lit(False).alias("phased"),
+        F.array((n % 5).cast("int"), ((n / 2).cast("int") % 5)).alias("LAD"),
+        (n % 20).cast("int").alias("DP"),
+        (n % 50).cast("int").alias("GQ"),
+        F.array((n % 10).cast("int"), F.lit(0), (n % 7 + 1).cast("int")).alias("LPL"),
+    )
+    mt0 = MatrixTable.from_long(
+        long.select("user_id", "event_type", entry.alias("e")).select(
+            "user_id", "event_type", F.col("e.*")
+        ),
+        row_key=["user_id"],
+        col_key="event_type",
+        entry_fields=["GT", "LGT", "LA", "phased", "LAD", "DP", "GQ", "LPL"],
+    )
+    rows = mt0._df.select(
+        F.struct(
+            F.lit("1").alias("contig"), F.col("user_id").cast("int").alias("position")
+        ).alias("locus"),
+        F.array(F.lit("A"), F.lit("C"), F.lit("G")).alias("alleles"),
+        F.col(ENTRIES),
+    )
+    vmt = MatrixTable(rows, ("locus", "alleles"), mt0._cols, mt0._col_key)
+    out = hx.sparse_split_multi(vmt)
+    long_out = out.entries().df
+    return long_out.select(
+        F.col("locus")["position"].alias("pos"),
+        F.array_join("alleles", ",").alias("alleles"),
+        "a_index",
+        "was_split",
+        F.col("event_type").alias("s"),
+        "GT",
+        F.array_join(F.transform("AD", lambda x: x.cast("string")), ",").alias("ad"),
+        "DP",
+        "GQ",
+        F.array_join(F.transform("PL", lambda x: x.cast("string")), ",").alias("pl"),
+    ).orderBy("pos", "a_index", "s")
+
+
+_SPARSE_SPLIT_SQL = """
+WITH long AS (SELECT user_id, event_type, COUNT(*) n FROM events GROUP BY 1, 2),
+users AS (SELECT DISTINCT user_id FROM long),
+types AS (SELECT DISTINCT event_type FROM long),
+alts(a_index, alt) AS (VALUES (1, 'C'), (2, 'G')),
+grid AS (SELECT u.user_id, t.event_type, a.a_index, a.alt
+         FROM users u CROSS JOIN types t CROSS JOIN alts a),
+e AS (
+  SELECT g.user_id, g.event_type, g.a_index, g.alt,
+         l.n,
+         CASE WHEN l.n IS NULL THEN NULL ELSE 1 + l.n % 2 END AS la1,
+         CAST(l.n % 5 AS INT) AS lad0,
+         CAST((l.n // 2) % 5 AS INT) AS lad1,
+         CAST(l.n % 20 AS INT) AS dp,
+         CAST(l.n % 50 AS INT) AS gq0,
+         CAST(l.n % 10 AS INT) AS pl0,
+         0 AS pl1,
+         CAST(l.n % 7 + 1 AS INT) AS pl2,
+         CAST(l.n % 2 AS INT) AS lgt1
+  FROM grid g LEFT JOIN long l
+    ON g.user_id = l.user_id AND g.event_type = l.event_type),
+split AS (
+  SELECT user_id, event_type, a_index, alt, n,
+         CASE WHEN n IS NULL THEN NULL
+              WHEN la1 = a_index THEN CASE WHEN lgt1 = 1 THEN 1 ELSE 0 END
+              ELSE 0 END AS gt,
+         CASE WHEN n IS NULL THEN NULL
+              WHEN la1 = a_index THEN CAST(lad0 AS VARCHAR) || ',' || CAST(lad1 AS VARCHAR)
+              ELSE CAST(lad0 + lad1 AS VARCHAR) || ',0' END AS ad,
+         dp,
+         CASE WHEN n IS NULL THEN NULL
+              WHEN la1 = a_index THEN
+                (pl0 + pl1 + pl2 - LEAST(pl0, pl1, pl2) - GREATEST(pl0, pl1, pl2))
+                - LEAST(pl0, pl1, pl2)
+              ELSE gq0 END AS gq,
+         CASE WHEN n IS NULL THEN NULL
+              WHEN la1 = a_index THEN
+                CAST(pl0 AS VARCHAR) || ',' || CAST(pl1 AS VARCHAR) || ',' || CAST(pl2 AS VARCHAR)
+              ELSE NULL END AS pl
+  FROM e)
+SELECT CAST(user_id AS INT) AS pos,
+       'A,' || alt AS alleles,
+       a_index, TRUE AS was_split, event_type AS s,
+       gt AS "GT", ad, dp AS "DP", gq AS "GQ", pl
+FROM split
+ORDER BY pos, a_index, s
+"""
+
+
+def densify_sparse_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.experimental.densify (ref sparse_mt/densify.py:4): reference
+    blocks (END entries) fill missing variant-site entries for covered
+    samples; END is dropped.  The fill is the VDS banded interval join
+    — SQL-replayable as one coverage-predicate join."""
+    from hail_spark import experimental as hx
+    from hail_spark.matrixtable import ENTRIES, MatrixTable
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    n = F.col("n")
+    ref_e = F.when(
+        n % 2 == 0,
+        F.struct(
+            F.lit(None).cast("int").alias("GT"),
+            (n % 30).cast("int").alias("DP"),
+            (F.col("user_id") * 10 + n % 5).cast("int").alias("END"),
+        ),
+    )
+    var_e = F.when(
+        n % 3 == 0,
+        F.struct(
+            (n % 5 % 3).cast("int").alias("GT"),
+            (n % 7).cast("int").alias("DP"),
+            F.lit(None).cast("int").alias("END"),
+        ),
+    )
+    mt_ref = MatrixTable.from_long(
+        long.select("user_id", "event_type", ref_e.alias("e")).select(
+            "user_id", "event_type", F.col("e.*")
+        ),
+        row_key=["user_id"], col_key="event_type",
+        entry_fields=["GT", "DP", "END"],
+    )
+    mt_var = MatrixTable.from_long(
+        long.select("user_id", "event_type", var_e.alias("e")).select(
+            "user_id", "event_type", F.col("e.*")
+        ),
+        row_key=["user_id"], col_key="event_type",
+        entry_fields=["GT", "DP", "END"],
+    )
+    assert [c["event_type"] for c in mt_ref._cols] == [
+        c["event_type"] for c in mt_var._cols
+    ]
+    # from_long emits structs-of-nulls for absent pairs; densify fills
+    # only NULL entries, so nullify the empties first
+    nullify = F.transform(
+        F.col(ENTRIES),
+        lambda e: F.when(
+            e["GT"].isNotNull() | e["DP"].isNotNull() | e["END"].isNotNull(), e
+        ),
+    )
+    ref_rows = mt_ref._df.select(
+        F.struct(
+            F.lit("1").alias("contig"),
+            (F.col("user_id") * 10).cast("int").alias("position"),
+        ).alias("locus"),
+        F.array(F.lit("N"), F.lit("<NON_REF>")).alias("alleles"),
+        nullify.alias(ENTRIES),
+    )
+    var_rows = mt_var._df.select(
+        F.struct(
+            F.lit("1").alias("contig"),
+            (F.col("user_id") * 10 + 3).cast("int").alias("position"),
+        ).alias("locus"),
+        F.array(F.lit("A"), F.lit("T")).alias("alleles"),
+        nullify.alias(ENTRIES),
+    )
+    merged = ref_rows.unionByName(var_rows)
+    mt = MatrixTable(merged, ("locus", "alleles"), mt_ref._cols, ("event_type",))
+    out = hx.densify(mt)
+    long_out = out.entries().df
+    return long_out.select(
+        F.col("locus")["position"].alias("pos"),
+        F.array_join("alleles", ",").alias("alleles"),
+        F.col("event_type").alias("s"),
+        "GT",
+        "DP",
+    ).orderBy("pos", "s")
+
+
+_DENSIFY_SQL = """
+WITH long AS (SELECT user_id, event_type, COUNT(*) n FROM events GROUP BY 1, 2),
+users AS (SELECT DISTINCT user_id FROM long),
+types AS (SELECT DISTINCT event_type FROM long),
+grid AS (SELECT u.user_id, t.event_type FROM users u CROSS JOIN types t),
+e AS (
+  SELECT g.user_id, g.event_type, l.n FROM grid g
+  LEFT JOIN long l ON g.user_id = l.user_id AND g.event_type = l.event_type),
+refrows AS (
+  SELECT CAST(user_id * 10 AS INT) AS pos, 'N,<NON_REF>' AS alleles, event_type AS s,
+         CAST(NULL AS INT) AS gt,
+         CASE WHEN n IS NOT NULL AND n % 2 = 0 THEN CAST(n % 30 AS INT) END AS dp
+  FROM e),
+varrows AS (
+  SELECT CAST(user_id * 10 + 3 AS INT) AS pos, 'A,T' AS alleles, event_type AS s,
+    CASE WHEN n IS NOT NULL AND n % 3 = 0 THEN CAST(n % 5 % 3 AS INT)
+         ELSE NULL END AS gt,
+    CASE WHEN n IS NOT NULL AND n % 3 = 0 THEN CAST(n % 7 AS INT)
+         WHEN n IS NOT NULL AND n % 2 = 0 AND n % 5 >= 3 THEN CAST(n % 30 AS INT)
+         ELSE NULL END AS dp
+  FROM e)
+SELECT pos, alleles, s, gt AS "GT", dp AS "DP" FROM refrows
+UNION ALL SELECT pos, alleles, s, gt, dp FROM varrows
+ORDER BY pos, s
 """

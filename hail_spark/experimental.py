@@ -987,53 +987,87 @@ def sparse_split_multi(vmt: MatrixTable, filter_changed_loci: bool = False) -> M
 # densify (ref experimental/sparse_mt/densify.py:4)
 # ---------------------------------------------------------------------- #
 def densify(sparse_mt: MatrixTable) -> MatrixTable:
-    """Expand reference blocks of a merged-sparse MatrixTable into dense
-    per-variant entries (ref experimental/sparse_mt/densify.py:4): rows
-    whose entries carry END are reference blocks; variant-site entries
-    missing for a sample are filled from the covering block, and END is
-    dropped.
+    """Expand reference blocks of a sparse MatrixTable into dense
+    entries (ref experimental/sparse_mt/densify.py:4): for EVERY row
+    (reference-block rows included), a sample's missing entry is filled
+    with the most recent earlier entry whose END covers the position;
+    the END field is dropped.  Entries are copied verbatim (GT stays
+    missing on filled block entries — unlike VDS.to_dense_mt's
+    hom-ref fill).
 
-    Spark shape: instead of the reference's per-sample backward scan,
-    the block rows are split off and re-joined through the banded
-    interval join the VDS layer already uses (`to_dense_mt`) — a hash
-    equi-join on (contig, position-bin) with bounded fan-out, no
-    ordered scan state."""
-    from .vds import VariantDataset
+    Spark shape: the reference runs a per-sample backward scan; here
+    END-carrying entries become a coverage relation once (posexplode),
+    bucketed into fixed-width position bins, and every site picks its
+    latest covering block per sample through a banded hash equi-join +
+    max_by — no ordered scan state, AQE-splittable.  Like the
+    reference, duplicate loci are not handled (a block starting at the
+    same position as a later row does not fill it)."""
+    from .vds import _BIN
 
     df = sparse_mt._df
+    rk = list(sparse_mt._row_key)
     efields = [f.name for f in df.schema[ENTRIES].dataType.elementType.fields]
     if "END" not in efields:
         raise ValueError("densify requires an END entry field")
-    has_end = F.exists(F.col(ENTRIES), lambda e: e["END"].isNotNull())
+    keep_fields = [f for f in efields if f != "END"]
 
-    ref_df = df.filter(has_end).select(
-        "locus",
+    contig = F.col("locus")["contig"]
+    pos = F.col("locus")["position"]
+
+    blocks = (
+        df.select(
+            contig.alias("__c"),
+            pos.alias("__start"),
+            F.posexplode(ENTRIES).alias("__s", "__be"),
+        )
+        .filter(F.col("__be")["END"].isNotNull())
+        .select("__c", "__start", "__s", "__be", F.col("__be")["END"].alias("__end"))
+    )
+    binned = blocks.select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.col("__start") / _BIN).cast("bigint"),
+                (F.col("__end") / _BIN).cast("bigint"),
+            )
+        ).alias("__bin"),
+    )
+    sites = df.select(
+        *rk,
+        contig.alias("__c"),
+        pos.alias("__p"),
+        (pos / _BIN).cast("bigint").alias("__bin"),
+    )
+    hits = (
+        sites.join(binned, on=["__c", "__bin"], how="inner")
+        .filter((F.col("__start") < F.col("__p")) & (F.col("__end") >= F.col("__p")))
+        .groupBy(*rk, "__s")
+        .agg(F.max_by("__be", "__start").alias("__fill"))
+        .groupBy(*rk)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("__s", "__fill"))
+            ).alias("__refmap")
+        )
+    )
+    joined = df.join(hits, on=rk, how="left")
+
+    def out_entry(e, i):
+        src = F.coalesce(e, F.col("__refmap")[i])
+        return F.when(
+            src.isNotNull(), F.struct(*[src[f].alias(f) for f in keep_fields])
+        )
+
+    idxs = F.sequence(F.lit(0), F.lit(len(sparse_mt._cols) - 1))
+    dense = joined.select(
+        *[c for c in df.columns if c != ENTRIES],
         F.transform(
-            F.col(ENTRIES),
-            lambda e: F.when(e["END"].isNotNull(), e),
+            idxs, lambda i: out_entry(F.element_at(F.col(ENTRIES), i + 1), i)
         ).alias(ENTRIES),
     )
-    var_fields = [f for f in efields if f != "END"]
-    var_df = df.filter(~has_end).select(
-        *[c for c in df.columns if c not in (ENTRIES, "is_ref_block")],
-        F.transform(
-            F.col(ENTRIES),
-            lambda e: F.when(
-                e.isNotNull(), F.struct(*[e[f].alias(f) for f in var_fields])
-            ),
-        ).alias(ENTRIES),
+    return MatrixTable(
+        dense, sparse_mt._row_key, sparse_mt._cols, sparse_mt._col_key, sparse_mt._globals
     )
-    vds = VariantDataset(
-        MatrixTable(ref_df, ("locus",), sparse_mt._cols, sparse_mt._col_key),
-        MatrixTable(
-            var_df,
-            sparse_mt._row_key,
-            sparse_mt._cols,
-            sparse_mt._col_key,
-            sparse_mt._globals,
-        ),
-    )
-    return vds.to_dense_mt()
 
 
 # ---------------------------------------------------------------------- #

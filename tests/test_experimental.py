@@ -505,14 +505,19 @@ def test_densify_merged_sparse(spark):
     mt = MatrixTable(df, ("locus", "alleles"), [{"s": "s0"}, {"s": "s1"}], ("s",))
     out = hx.densify(mt)
     got = {r["locus"]["position"]: r[ENTRIES] for r in out._df.collect()}
-    assert set(got) == {6, 9}
+    # reference semantics: ALL rows kept (block rows too), END dropped,
+    # filled entries copied verbatim (GT stays missing)
+    assert set(got) == {1, 5, 6, 9}
     e6 = got[6]
-    assert e6[0]["GT"] == 0 and e6[0]["DP"] == 7     # filled from s0's block
+    assert e6[0]["GT"] is None and e6[0]["DP"] == 7  # filled from s0's block
     assert e6[1]["GT"] == 2 and e6[1]["DP"] == 4     # real call kept
     assert "END" not in e6[0].asDict()
     e9 = got[9]
-    assert e9[0]["GT"] == 0 and e9[0]["DP"] == 7     # s0 block covers 9
-    assert e9[1] is None                              # s1 uncovered
+    assert e9[0]["GT"] is None and e9[0]["DP"] == 7  # s0 block covers 9
+    assert e9[1] is None                              # s1's block ended at 8
+    # the second block row: s0's earlier block fills s0's missing entry
+    e5 = got[5]
+    assert e5[0]["DP"] == 7 and e5[1]["DP"] == 9
 
 
 def test_export_block_matrices(spark, tmp_path):
