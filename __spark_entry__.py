@@ -4710,6 +4710,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pc_project_scores": pc_project_q,
         "sparse_split_battery": sparse_split_multi_q,
         "densify_sparse": densify_sparse_q,
+        "import_matrix_table_rt": import_matrix_table_rt,
+        "export_entries_by_col_rt": export_entries_by_col_rt,
     }
 
 
@@ -4836,6 +4838,8 @@ def oracle_sql() -> dict[str, str]:
         "pc_project_scores": _PC_PROJECT_SQL,
         "sparse_split_battery": _SPARSE_SPLIT_SQL,
         "densify_sparse": _DENSIFY_SQL,
+        "import_matrix_table_rt": _IMT_SQL,
+        "export_entries_by_col_rt": _EEBC_SQL,
     }
 
 
@@ -5635,4 +5639,72 @@ varrows AS (
 SELECT pos, alleles, s, gt AS "GT", dp AS "DP" FROM refrows
 UNION ALL SELECT pos, alleles, s, gt, dp FROM varrows
 ORDER BY pos, s
+"""
+
+
+def import_matrix_table_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.import_matrix_table (ref impex.py:1974): text-matrix import
+    round trip — a TSV generated from the nation table (with NA
+    missing cells) imports as row-field + entries array; the oracle
+    recomputes the cells from nation directly."""
+    import os
+
+    from hail_spark.io.impex import import_matrix_table
+
+    nat_rows = _t(spark, sf_dir, "nation").df.orderBy("n_nationkey").collect()
+    path = f"/tmp/spark_graft_imt_{os.path.basename(os.path.normpath(sf_dir))}.tsv"
+    with open(path, "w") as f:
+        f.write("gene\tS0\tS1\tS2\n")
+        for r in nat_rows:
+            k = r["n_nationkey"]
+            cells = [
+                "NA" if (k + j) % 5 == 0 else str((k * 3 + j) % 7) for j in range(3)
+            ]
+            f.write(f"n{k:02d}\t" + "\t".join(cells) + "\n")
+    mt = import_matrix_table(
+        spark, path, row_fields={"gene": "str"}, row_key=["gene"], entry_type="int"
+    )
+    long = mt.entries().df
+    return long.select("gene", "col_id", "x").orderBy("gene", "col_id")
+
+
+_IMT_SQL = """
+WITH js(j) AS (VALUES (0), (1), (2))
+SELECT 'n' || CASE WHEN n_nationkey < 10 THEN '0' ELSE '' END || CAST(n_nationkey AS VARCHAR) AS gene,
+       'S' || CAST(j AS VARCHAR) AS col_id,
+       CASE WHEN (n_nationkey + j) % 5 = 0 THEN NULL
+            ELSE CAST((n_nationkey * 3 + j) % 7 AS INT) END AS x
+FROM nation CROSS JOIN js
+ORDER BY gene, col_id
+"""
+
+
+def export_entries_by_col_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.experimental.export_entries_by_col (ref
+    export_entries_by_col.py:9): one partitioned distributed write
+    fanning out per-column TSV directories, then read back — the
+    oracle recomputes the long table from events."""
+    import os
+
+    from hail_spark import experimental as hx
+
+    mt = _events_mt(spark, sf_dir)
+    out_dir = f"/tmp/spark_graft_eebc_{os.path.basename(os.path.normpath(sf_dir))}"
+    hx.export_entries_by_col(mt, out_dir)
+    back = (
+        spark.read.option("sep", "\t").option("header", True).csv(out_dir)
+    )
+    return back.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("event_type").cast("string").alias("event_type"),
+        F.col("v").cast("decimal(38,6)").cast("double").alias("v"),
+        F.col("n").cast("bigint").alias("n"),
+    ).where(F.col("v").isNotNull()).orderBy("user_id", "event_type")
+
+
+_EEBC_SQL = """
+SELECT user_id, event_type,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2 ORDER BY user_id, event_type
 """
