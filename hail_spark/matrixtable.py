@@ -603,3 +603,114 @@ class GroupedMatrixRows:
             ).alias(ENTRIES),
         )
         return MatrixTable(dense, tuple(self._names), mt._cols, mt._col_key, mt._globals)
+
+
+# ---------------------------------------------------------------------- #
+# convenience surface: indices / sampling / head / rename / entry
+# selection (ref matrixtable.py add_row_index :2893, add_col_index
+# :2867, sample_rows :4147, sample_cols :4186, head :3401, rename
+# :3501, select_entries :1942, drop :2012)
+# ---------------------------------------------------------------------- #
+def _mt_add_row_index(self, name: str = "row_idx") -> "MatrixTable":
+    """Dense 0-based row index in key order (ref add_row_index) — the
+    two-pass distributed scan, O(partitions) driver traffic."""
+    from .operators import scans
+    from .table import Table as _T
+
+    t = scans.add_index(_T(self._df, self._row_key), name)
+    return MatrixTable(t.df, self._row_key, self._cols, self._col_key, self._globals)
+
+
+def _mt_add_col_index(self, name: str = "col_idx") -> "MatrixTable":
+    """Column index (ref add_col_index): col metadata is driver-side."""
+    cols = [{**c, name: i} for i, c in enumerate(self._cols)]
+    return MatrixTable(self._df, self._row_key, cols, self._col_key, self._globals)
+
+
+def _mt_sample_rows(self, p: float, seed: int = 0) -> "MatrixTable":
+    """Deterministic Bernoulli row sample (ref sample_rows :4147):
+    hash-seeded on the row key, so resampling is reproducible across
+    partitionings."""
+    key_cols = [F.col(k) for k in self._row_key]
+    u = (
+        F.pmod(F.xxhash64(*key_cols, F.lit(seed)), F.lit(1_000_000)).cast("double")
+        / 1_000_000.0
+    )
+    return self._with_df(self._df.where(u < p))
+
+
+def _mt_sample_cols(self, p: float, seed: int = 0) -> "MatrixTable":
+    """Deterministic Bernoulli column sample (ref sample_cols :4186)."""
+    import hashlib
+
+    keep = [
+        i
+        for i, c in enumerate(self._cols)
+        if int.from_bytes(
+            hashlib.md5(
+                (str([c[k] for k in self._col_key]) + str(seed)).encode()
+            ).digest()[:8],
+            "big",
+        )
+        / 2**64
+        < p
+    ]
+    return self.choose_cols(keep)
+
+
+def _mt_head(self, n: int) -> "MatrixTable":
+    """First n rows in key order (ref head :3401)."""
+    ordered = self._df.orderBy(
+        *[F.col(k).asc_nulls_last() for k in self._row_key]
+    ).limit(n)
+    return self._with_df(ordered)
+
+
+def _mt_rename(self, mapping: dict) -> "MatrixTable":
+    """Rename row fields / col fields (ref rename :3501)."""
+    df = self._df
+    rk = list(self._row_key)
+    for old, new in mapping.items():
+        if old in df.columns:
+            df = df.withColumnRenamed(old, new)
+            rk = [new if k == old else k for k in rk]
+    cols = [
+        {mapping.get(k, k): v for k, v in c.items()} for c in self._cols
+    ]
+    ck = tuple(mapping.get(k, k) for k in self._col_key)
+    return MatrixTable(df, tuple(rk), cols, ck, self._globals)
+
+
+def _mt_select_entries(self, *fields: str) -> "MatrixTable":
+    """Keep only the named entry fields (ref select_entries :1942) —
+    one array transform, no shuffle."""
+    e = F.col(ENTRIES)
+    new = F.transform(
+        e,
+        lambda x: F.when(
+            x.isNotNull(), F.struct(*[x[f].alias(f) for f in fields])
+        ),
+    )
+    return self._with_df(self._df.withColumn(ENTRIES, new))
+
+
+def _mt_drop(self, *fields: str) -> "MatrixTable":
+    """Drop row fields or entry fields by name (ref drop :2012)."""
+    efields = [f for f in self._entry_fields() if f not in fields]
+    out = self
+    if len(efields) != len(self._entry_fields()):
+        out = _mt_select_entries(out, *efields)
+    row_drop = [f for f in fields if f in out._df.columns]
+    if row_drop:
+        out = out._with_df(out._df.drop(*row_drop))
+    return out
+
+
+MatrixTable.add_row_index = _mt_add_row_index
+MatrixTable.add_col_index = _mt_add_col_index
+MatrixTable.sample_rows = _mt_sample_rows
+MatrixTable.sample_cols = _mt_sample_cols
+MatrixTable.head = _mt_head
+MatrixTable.rename = _mt_rename
+MatrixTable.select_entries = _mt_select_entries
+MatrixTable.drop = _mt_drop
