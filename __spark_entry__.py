@@ -5292,22 +5292,22 @@ def gopher_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction, top-bigram char coverage, duplicate-trigram coverage,
     symbol/word ratio, bullet/ellipsis line fractions, composite keep
     flag.  All single-pass Column HOFs — one projection, no shuffle,
-    no Python in the row path."""
+    no Python in the row path; token/line/gram arrays computed once and
+    shared across features (ts.gopher_signals)."""
     from hail_spark.llmdata import textstats as ts
 
     d = _t(spark, sf_dir, "documents").df
-    t = F.col("text")
-    be = ts.bullet_ellipsis_fractions(t)
-    return d.select(
+    g = ts.gopher_signals(d)
+    return g.select(
         "doc_id",
-        F.size(F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")).alias("n_words"),
-        F.round(ts.duplicate_line_fraction(t), 9).alias("dup_line_frac"),
-        F.round(ts.top_ngram_char_fraction(t, 2), 9).alias("top2_frac"),
-        F.round(ts.duplicate_ngram_char_fraction(t, 3), 9).alias("dup3_frac"),
-        F.round(ts.symbol_word_ratio(t), 9).alias("sym_ratio"),
-        F.round(be["bullet_frac"], 9).alias("bullet_frac"),
-        F.round(be["ellipsis_frac"], 9).alias("ellipsis_frac"),
-        ts.gopher_quality_filter(t).alias("keep"),
+        "n_words",
+        F.round("dup_line_frac", 9).alias("dup_line_frac"),
+        F.round("top2_frac", 9).alias("top2_frac"),
+        F.round("dup3_frac", 9).alias("dup3_frac"),
+        F.round("sym_ratio", 9).alias("sym_ratio"),
+        F.round("bullet_frac", 9).alias("bullet_frac"),
+        F.round("ellipsis_frac", 9).alias("ellipsis_frac"),
+        "keep",
     ).orderBy("doc_id")
 
 

@@ -155,30 +155,42 @@ def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 # Gopher-style repetition signals (Rae et al. 2021 §A1.1 quality rules;
 # standard training-data pre-filters beyond the reference's scope)
 # ---------------------------------------------------------------------- #
-def duplicate_line_fraction(text: Column) -> Column:
-    """Fraction of lines that are duplicates of an earlier line.
-    Pure HOF: split on newlines, count distinct vs total."""
-    lines = F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
-    n = F.size(lines)
-    return F.when(
-        n > 0, (n - F.size(F.array_distinct(lines))).cast("double") / n
-    ).otherwise(F.lit(0.0))
+def _nonempty_lines(text: Column) -> Column:
+    return F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
 
 
-def duplicate_ngram_char_fraction(text: Column, n: int = 3) -> Column:
-    """Fraction of characters inside word n-grams that occur more than
-    once in the document (the Gopher dup-ngram rule, word-level).
-    Codegen shape: tokenize once, build the n-gram array with
-    transform+slice, diff distinct counts, weight by mean gram length."""
-    toks = tokens(text)
+def _gram_array(toks: Column, n: int) -> Column:
+    """Word n-gram array (space-joined) from a token array column."""
     k = F.size(toks) - (n - 1)
-    grams = F.when(
+    return F.when(
         k > 0,
         F.transform(
             F.sequence(F.lit(0), k - 1),
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_line_fraction(text: Column, lines: Column | None = None) -> Column:
+    """Fraction of lines that are duplicates of an earlier line.
+    Pure HOF: split on newlines, count distinct vs total."""
+    if lines is None:
+        lines = _nonempty_lines(text)
+    n = F.size(lines)
+    return F.when(
+        n > 0, (n - F.size(F.array_distinct(lines))).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def duplicate_ngram_char_fraction(
+    text: Column, n: int = 3, grams: Column | None = None
+) -> Column:
+    """Fraction of characters inside word n-grams that occur more than
+    once in the document (the Gopher dup-ngram rule, word-level).
+    Codegen shape: tokenize once, build the n-gram array with
+    transform+slice, diff distinct counts, weight by mean gram length."""
+    if grams is None:
+        grams = _gram_array(tokens(text), n)
     total = F.size(grams)
     n_dup_grams = total - F.size(F.array_distinct(grams))
     # char-weighted approximation: dup grams share the doc's mean gram length
@@ -194,18 +206,13 @@ def duplicate_ngram_char_fraction(text: Column, n: int = 3) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def top_ngram_char_fraction(text: Column, n: int = 2) -> Column:
+def top_ngram_char_fraction(
+    text: Column, n: int = 2, grams: Column | None = None
+) -> Column:
     """Fraction of characters covered by the single most frequent word
     n-gram (Gopher top-ngram rule)."""
-    toks = tokens(text)
-    k = F.size(toks) - (n - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    if grams is None:
+        grams = _gram_array(tokens(text), n)
     sorted_g = F.array_sort(grams)
     # most frequent gram via a single fold over the SORTED grams
     best = F.aggregate(
@@ -239,20 +246,21 @@ def top_ngram_char_fraction(text: Column, n: int = 2) -> Column:
     ).otherwise(F.lit(0.0))
 
 
-def symbol_word_ratio(text: Column) -> Column:
+def symbol_word_ratio(text: Column, toks: Column | None = None) -> Column:
     """#/… symbol count per word (Gopher symbol-to-word rule)."""
     syms = (
         F.length(text)
         - F.length(F.regexp_replace(text, r"[#`\*\|<>{}\[\]\\~^=_]|\.\.\.", ""))
     ).cast("double")
-    nw = F.size(tokens(text))
+    nw = F.size(tokens(text) if toks is None else toks)
     return F.when(nw > 0, syms / nw).otherwise(F.lit(0.0))
 
 
-def bullet_ellipsis_fractions(text: Column) -> Column:
+def bullet_ellipsis_fractions(text: Column, lines: Column | None = None) -> Column:
     """struct(bullet_frac, ellipsis_frac): fraction of lines starting
     with a bullet / ending with an ellipsis (Gopher rules)."""
-    lines = F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
+    if lines is None:
+        lines = _nonempty_lines(text)
     n = F.size(lines)
     bullets = F.size(
         F.filter(lines, lambda l: F.trim(l).rlike(r"^([-\*•●▪]|\d+[\.\)])\s"))
@@ -273,21 +281,60 @@ def gopher_quality_filter(
     max_ellipsis_frac: float = 0.3,
     max_dup_line_frac: float = 0.3,
     min_stopword_hits: int = 2,
+    toks: Column | None = None,
+    lines: Column | None = None,
 ) -> Column:
     """Composite Gopher rule set -> boolean keep flag.  All inputs are
     single-pass Column expressions; the filter costs one projection."""
-    toks = tokens(text)
+    if toks is None:
+        toks = tokens(text)
     nw = F.size(toks)
-    be = bullet_ellipsis_fractions(text)
+    be = bullet_ellipsis_fractions(text, lines=lines)
     sw_hits = F.size(
         F.filter(toks, lambda t: F.lower(t).isin("the", "be", "to", "of", "and", "that", "have", "with"))
     )
     return (
         (nw >= min_words)
         & (nw <= max_words)
-        & (symbol_word_ratio(text) <= max_symbol_word_ratio)
+        & (symbol_word_ratio(text, toks=toks) <= max_symbol_word_ratio)
         & (be["bullet_frac"] <= max_bullet_frac)
         & (be["ellipsis_frac"] <= max_ellipsis_frac)
-        & (duplicate_line_fraction(text) <= max_dup_line_frac)
+        & (duplicate_line_fraction(text, lines=lines) <= max_dup_line_frac)
         & (sw_hits >= min_stopword_hits)
+    )
+
+
+def gopher_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """All Gopher repetition/quality signals in ONE projection with the
+    token / line / n-gram arrays computed once and shared (they are
+    multi-referenced projection columns, so CollapseProject keeps them
+    materialized instead of re-evaluating the HOFs per feature).
+    `_spread` first: a single small parquet split otherwise serializes
+    the whole CPU-bound pass onto one task."""
+    from .dedup import _spread
+
+    t = F.col(text_col)
+    d = _spread(df.select(F.col(id_col), t))
+    d = d.withColumns(
+        {"__toks": tokens(t), "__lines": _nonempty_lines(t)}
+    ).withColumns(
+        {
+            "__g2": _gram_array(F.col("__toks"), 2),
+            "__g3": _gram_array(F.col("__toks"), 3),
+        }
+    )
+    toks, lines = F.col("__toks"), F.col("__lines")
+    be = bullet_ellipsis_fractions(t, lines=lines)
+    return d.select(
+        id_col,
+        F.size(toks).alias("n_words"),
+        duplicate_line_fraction(t, lines=lines).alias("dup_line_frac"),
+        top_ngram_char_fraction(t, 2, grams=F.col("__g2")).alias("top2_frac"),
+        duplicate_ngram_char_fraction(t, 3, grams=F.col("__g3")).alias("dup3_frac"),
+        symbol_word_ratio(t, toks=toks).alias("sym_ratio"),
+        be["bullet_frac"].alias("bullet_frac"),
+        be["ellipsis_frac"].alias("ellipsis_frac"),
+        gopher_quality_filter(t, toks=toks, lines=lines).alias("keep"),
     )
