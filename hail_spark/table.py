@@ -335,14 +335,51 @@ class Table:
     # ------------------------------------------------------------------ #
     # set ops
     # ------------------------------------------------------------------ #
-    def union(self, *others: "Table") -> "Table":
+    def union(self, *others: "Table", unify: bool = False) -> "Table":
         """Same-schema union; key order restored lazily on demand
         (ref TableUnion, table_ir.py:142 — merge-sorted there; here the
-        downstream op re-sorts only if it needs order)."""
-        df = self._df
-        for o in others:
-            df = df.unionByName(o._df)
-        return Table(df, self._key, self._globals, _sorted=False)
+        downstream op re-sorts only if it needs order).
+
+        ``unify=True`` (ref Table.union table.py:3771): fields missing
+        from a table are padded with nulls, field order is
+        first-occurrence across inputs, and numeric fields promote to
+        the widest observed type (int32+float64 → float64)."""
+        if not unify:
+            df = self._df
+            for o in others:
+                df = df.unionByName(o._df)
+            return Table(df, self._key, self._globals, _sorted=False)
+        rank = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3, "float": 4, "double": 5}
+        dfs = [self._df] + [o._df for o in others]
+        order: list[str] = []
+        types: dict[str, Any] = {}
+        for d in dfs:
+            for f in d.schema.fields:
+                if f.name not in order:
+                    order.append(f.name)
+                    types[f.name] = f.dataType
+                    continue
+                cur = types[f.name]
+                a, b = cur.simpleString(), f.dataType.simpleString()
+                if a == b:
+                    continue
+                if a in rank and b in rank:
+                    if rank[b] > rank[a]:
+                        types[f.name] = f.dataType
+                else:
+                    raise ValueError(
+                        f"union(unify=True): incompatible types for field '{f.name}': {a} vs {b}"
+                    )
+        out = None
+        for d in dfs:
+            sel = d.select(
+                *[
+                    (F.col(c).cast(types[c]) if c in d.columns else F.lit(None).cast(types[c])).alias(c)
+                    for c in order
+                ]
+            )
+            out = sel if out is None else out.unionByName(sel)
+        return Table(out, self._key, self._globals, _sorted=False)
 
     def distinct(self) -> "Table":
         """One row per key (ref Table.distinct, table.py:4516)."""
