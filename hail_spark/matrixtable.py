@@ -314,6 +314,59 @@ class MatrixTable:
         )
         return self._with_df(picked)
 
+    def distinct_by_col(self) -> "MatrixTable":
+        """One column per col key, keeping the first occurrence (ref
+        MatrixTable.distinct_by_col matrixtable.py:4088). Cols are
+        driver-side; entries re-gather by the kept indices."""
+        seen: set = set()
+        keep: list[int] = []
+        for i, c in enumerate(self._cols):
+            k = tuple(c[f] for f in self._col_key)
+            if k not in seen:
+                seen.add(k)
+                keep.append(i)
+        return self.choose_cols(keep)
+
+    def explode_rows(self, field: str) -> "MatrixTable":
+        """One matrix row per element of a row-field array; empty or
+        missing arrays drop the row (ref MatrixExplodeRows
+        matrix_ir.py:1220; MatrixTable.explode_rows matrixtable.py:4175).
+        Entries are copied unchanged — the column dimension is
+        untouched, so this is a pure Generate, no shuffle."""
+        if field in self._row_key:
+            raise ValueError(f"explode_rows: cannot explode row-key field '{field}'")
+        others = [c for c in self._df.columns if c != field]
+        df = self._df.select(*others, F.explode(field).alias(field))
+        return self._with_df(df)
+
+    def explode_cols(self, field: str) -> "MatrixTable":
+        """One column per element of a col-field array (ref
+        MatrixExplodeCols matrix_ir.py:1261). Cols are driver-side
+        metadata; each row's entry array re-gathers by the source index
+        of every exploded column — one array transform, no shuffle."""
+        if field in self._col_key:
+            raise ValueError(f"explode_cols: cannot explode col-key field '{field}'")
+        new_cols: list[dict] = []
+        src_idx: list[int] = []
+        for i, c in enumerate(self._cols):
+            vals = c.get(field)
+            if not vals:
+                continue  # empty/missing arrays drop the column
+            for v in vals:
+                nc = dict(c)
+                nc[field] = v
+                new_cols.append(nc)
+                src_idx.append(i)
+        if src_idx:
+            idx_arr = F.array(*[F.lit(i) for i in src_idx])
+            gathered = F.transform(
+                idx_arr, lambda i: F.element_at(F.col(ENTRIES), i + 1)
+            )
+        else:
+            gathered = F.slice(F.col(ENTRIES), 1, 0)
+        df = self._df.withColumn(ENTRIES, gathered)
+        return MatrixTable(df, self._row_key, new_cols, self._col_key, self._globals)
+
     def semi_join_rows(self, other: Table) -> "MatrixTable":
         """Keep rows whose row key appears in `other` (ref
         MatrixTable.semi_join_rows matrixtable.py:1535). left_semi join —
@@ -658,12 +711,46 @@ def _mt_sample_cols(self, p: float, seed: int = 0) -> "MatrixTable":
     return self.choose_cols(keep)
 
 
-def _mt_head(self, n: int) -> "MatrixTable":
-    """First n rows in key order (ref head :3401)."""
-    ordered = self._df.orderBy(
-        *[F.col(k).asc_nulls_last() for k in self._row_key]
-    ).limit(n)
-    return self._with_df(ordered)
+def _mt_head(self, n: int | None, n_cols: int | None = None) -> "MatrixTable":
+    """First n rows in key order, optionally also the first n_cols
+    columns (ref head :3401 — head(n, n_cols))."""
+    out = self
+    if n is not None:
+        ordered = out._df.orderBy(
+            *[F.col(k).asc_nulls_last() for k in out._row_key]
+        ).limit(n)
+        out = out._with_df(ordered)
+    if n_cols is not None:
+        out = out.choose_cols(list(range(min(n_cols, len(out._cols)))))
+    return out
+
+
+def _mt_tail(self, n: int | None, n_cols: int | None = None) -> "MatrixTable":
+    """Last n rows in key order (ref tail :3443)."""
+    out = self
+    if n is not None:
+        spark = out._df.sparkSession
+        rows = out._df.orderBy(
+            *[F.col(k).asc_nulls_last() for k in out._row_key]
+        ).tail(n)
+        out = out._with_df(spark.createDataFrame(rows, schema=out._df.schema))
+    if n_cols is not None:
+        nc = len(out._cols)
+        out = out.choose_cols(list(range(max(0, nc - n_cols), nc)))
+    return out
+
+
+def range_matrix_table(
+    spark: SparkSession, n_rows: int, n_cols: int, n_partitions: int | None = None
+) -> MatrixTable:
+    """MatrixTable keyed by row_idx/col_idx with empty entry structs
+    (ref hl.utils.range_matrix_table misc.py:310)."""
+    df = spark.range(0, n_rows, numPartitions=n_partitions or 8).select(
+        F.col("id").cast("int").alias("row_idx")
+    )
+    df = df.withColumn(ENTRIES, F.array_repeat(F.struct(), n_cols))
+    cols = [{"col_idx": j} for j in range(n_cols)]
+    return MatrixTable(df, ("row_idx",), cols, ("col_idx",))
 
 
 def _mt_rename(self, mapping: dict) -> "MatrixTable":
@@ -711,6 +798,7 @@ MatrixTable.add_col_index = _mt_add_col_index
 MatrixTable.sample_rows = _mt_sample_rows
 MatrixTable.sample_cols = _mt_sample_cols
 MatrixTable.head = _mt_head
+MatrixTable.tail = _mt_tail
 MatrixTable.rename = _mt_rename
 MatrixTable.select_entries = _mt_select_entries
 MatrixTable.drop = _mt_drop
