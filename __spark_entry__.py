@@ -598,6 +598,48 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def union_unify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table.union(unify=True) (ref Table.union table.py:3771): three
+    customer projections with different field sets / numeric widths —
+    missing fields pad to NULL, int32 score promotes to double."""
+    c = _t(spark, sf_dir, "customer", ("c_custkey",))
+    t1 = c.filter(F.col("c_custkey") % 3 == 0).select(
+        key=F.col("c_custkey"), score=F.col("c_nationkey").cast("int")
+    )
+    t2 = c.filter(F.col("c_custkey") % 3 == 1).select(
+        key=F.col("c_custkey"), seg=F.col("c_mktsegment")
+    )
+    t3 = c.filter(F.col("c_custkey") % 3 == 2).select(
+        key=F.col("c_custkey"), score=F.col("c_acctbal").cast("double"), seg=F.col("c_mktsegment")
+    )
+    u = t1.key_by("key").union(t2.key_by("key"), t3.key_by("key"), unify=True)
+    return (
+        u.df.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("score").alias("n_score"),
+            F.round(F.sum(F.col("score").cast("decimal(38,6)")).cast("double"), 6).alias("sum_score"),
+        )
+        .orderBy(F.col("seg").asc_nulls_first())
+    )
+
+
+_UNION_UNIFY_SQL = """
+WITH u AS (
+  SELECT CAST(c_nationkey AS DOUBLE) AS score, NULL AS seg
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT NULL AS score, c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 3 = 1
+  UNION ALL
+  SELECT CAST(c_acctbal AS DOUBLE) AS score, c_mktsegment AS seg
+  FROM customer WHERE c_custkey % 3 = 2)
+SELECT seg, COUNT(*) AS n, COUNT(score) AS n_score,
+       CAST(ROUND(SUM(CAST(score AS DECIMAL(38,6))), 6) AS DOUBLE) AS sum_score
+FROM u GROUP BY seg ORDER BY seg NULLS FIRST
+"""
+
+
 def prev_nonnull_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hl.scan.prev_nonnull analogue over events ordered by (ts,event_id):
     carry the last 'purchase' event's value forward."""
@@ -4608,6 +4650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "take_by_per_key": take_by_per_key,
         "string_features": string_features,
         "union_all": union_all_q,
+        "union_unify": union_unify_q,
         "prev_nonnull": prev_nonnull_q,
         "dedup_exact": dedup_exact,
         "minhash_lsh_dedup": minhash_lsh,
@@ -4736,6 +4779,7 @@ def oracle_sql() -> dict[str, str]:
         "take_by_per_key": _TAKEBY_SQL,
         "string_features": _STRING_SQL,
         "union_all": _UNION_SQL,
+        "union_unify": _UNION_UNIFY_SQL,
         "prev_nonnull": _PREV_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "minhash_lsh_dedup": _MINHASH_SQL,
