@@ -1262,6 +1262,47 @@ FROM long GROUP BY 1, 2 ORDER BY 1, 2
 )
 
 
+def mt_explode_battery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatrixExplodeRows / MatrixExplodeCols (matrix_ir.py:1220/1261):
+    rows duplicate per element of a row array (1 or 2 tags by user
+    parity), columns duplicate per element of a col array (foo in
+    {0,1}); entries ride along by source index — both explodes are
+    zero-shuffle array projections."""
+    mt = _events_mt(spark, sf_dir)
+    mt = mt.annotate_rows(
+        tags=F.sequence(F.lit(1).cast("bigint"), (F.lit(1) + F.col("user_id") % 2))
+    )
+    mt = mt.explode_rows("tags")
+    mt = mt.annotate_cols(lambda c: {"foo": [0, 1]})
+    mt = mt.explode_cols("foo")
+    mt = mt.annotate_entries_with_cols(
+        lambda e, c: {"val": e["n"] * (c["foo"] + 1).cast("bigint")}
+    )
+    long = mt.entries().df
+    return (
+        long.filter(F.col("val").isNotNull())
+        .groupBy(F.col("tags").alias("tag"), F.col("foo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.sum("val").cast("bigint").alias("total"),
+        )
+        .orderBy("tag", "foo")
+    )
+
+
+_MT_EXPLODE_SQL = (
+    "WITH " + _MT_LONG_CTE + """,
+tags AS (SELECT user_id, UNNEST(range(1, 2 + user_id % 2)) AS tag
+         FROM (SELECT DISTINCT user_id FROM events)),
+foos AS (SELECT UNNEST([0, 1]) AS foo)
+SELECT t.tag, f.foo, COUNT(*) AS n_entries,
+       CAST(SUM(l.n * (f.foo + 1)) AS BIGINT) AS total
+FROM long l JOIN tags t USING (user_id) CROSS JOIN foos f
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+)
+
+
 def mt_semi_join_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MT semi/anti row joins (matrixtable.py:1535): keep matrix rows
     (users) that appear in a keyed table of heavy users, then row-agg."""
@@ -4671,6 +4712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mt_filter_entries": mt_filter_entries_q,
         "mt_group_cols_by": mt_group_cols_by_q,
         "mt_semi_join_rows": mt_semi_join_rows_q,
+        "mt_explode_battery": mt_explode_battery_q,
         "inbreeding_by_type": inbreeding_by_type,
         "vds_densify": vds_densify,
         "variant_qc_stats": variant_qc_q,
@@ -4800,6 +4842,7 @@ def oracle_sql() -> dict[str, str]:
         "mt_filter_entries": _MT_FILTER_ENTRIES_SQL,
         "mt_group_cols_by": _MT_GROUP_COLS_SQL,
         "mt_semi_join_rows": _MT_SEMI_ROWS_SQL,
+        "mt_explode_battery": _MT_EXPLODE_SQL,
         "inbreeding_by_type": _INBREEDING_SQL,
         "vds_densify": _VDS_DENSIFY_SQL,
         "variant_qc_stats": _VARIANT_QC_SQL,
