@@ -447,6 +447,43 @@ def reversed_(arr) -> Column:
     return F.reverse(_c(arr))
 
 
+def array_slice(arr, start=None, stop=None, step: int = 1) -> Column:
+    """Python slice semantics over an array column — negative indices,
+    negative steps, out-of-range clamping — matching the reference's
+    ArraySlice (ref hail/hail/src/is/hail/expr/ir/defs ArraySlice;
+    expressions tested at test_expr.py:256). Pure Column expression:
+    a bounded index sequence gathered with element_at."""
+    if step == 0:
+        raise ValueError("step cannot be 0 for array slice")
+    a = _c(arr)
+    n = F.size(a)
+
+    def norm(i, default):
+        if i is None:
+            return default
+        c = F.lit(i) if isinstance(i, int) else _c(i)
+        return F.when(c < 0, c + n).otherwise(c)
+
+    def clamp(c, lo, hi):
+        return F.greatest(F.least(c, hi), lo)
+
+    if step > 0:
+        s = clamp(norm(start, F.lit(0)), F.lit(0), n)
+        e = clamp(norm(stop, n), F.lit(0), n)
+        idx = F.when(s < e, F.sequence(s, e - 1, F.lit(step))).otherwise(
+            F.array().cast("array<int>")
+        )
+    else:
+        s = clamp(norm(start, n - 1), F.lit(-1), n - 1)
+        e = clamp(norm(stop, F.lit(-1)), F.lit(-1), n - 1)
+        idx = F.when(s > e, F.sequence(s, e + 1, F.lit(step))).otherwise(
+            F.array().cast("array<int>")
+        )
+    return F.when(
+        a.isNotNull(), F.transform(idx, lambda i: F.element_at(a, i.cast("int") + 1))
+    )
+
+
 def index_of(arr, value) -> Column:
     return F.array_position(_c(arr), _c(value)).cast("int") - 1
 

@@ -53,3 +53,38 @@ def test_min_rep(spark):
            for r in out}
     for p, r, a, ep, er, ea in cases:
         assert got[(p, r, a)] == (ep, er, ea)
+
+
+def test_array_slice_python_semantics(spark):
+    # ref test_expr.py:256 — full Python slice semantics including
+    # negative indices/steps and out-of-range clamping
+    from hail_spark.expr.functions import array_slice
+
+    pa = list(range(100))
+    cases = [
+        (None, None, 1), (1, 2, 1), (-1, 4, 1), (None, 2, 1),
+        (-20, 20, -2), (20, -20, 2), (-20, 20, 2), (20, -20, -2),
+        (60, 1, -3), (None, None, 5), (None, None, -3), (None, -77, -3),
+        (44, None, -7), (2, 59, 7), (4, 40, 2), (-400, -300, 2),
+        (-300, -400, -2), (300, 400, 2), (400, 300, -2), (0, 0, 1),
+    ]
+    df = spark.createDataFrame([{"a": pa}], "a array<int>")
+    sel = df.select(
+        *[
+            array_slice(F.col("a"), s, e, st).alias(f"x{i}")
+            for i, (s, e, st) in enumerate(cases)
+        ]
+    ).collect()[0]
+    for i, (s, e, st) in enumerate(cases):
+        assert list(sel[f"x{i}"]) == pa[slice(s, e, st)], (s, e, st)
+    # missing array propagates; step 0 raises
+    null_row = (
+        spark.createDataFrame([{"a": None}], "a array<int>")
+        .select(array_slice(F.col("a"), 1, 3).alias("x"))
+        .collect()[0]
+    )
+    assert null_row["x"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="step"):
+        array_slice(F.col("a"), 0, 1, 0)
