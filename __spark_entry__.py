@@ -1058,6 +1058,47 @@ FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
 """
 
 
+def token_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed vocabulary build over the corpus: term frequency,
+    document frequency, and smoothed idf per token, top-50 by df
+    (training-data pipeline op; tokenize once, two-level hash-agg with
+    map-side partials — scan-bound at 100 TB)."""
+    from hail_spark.llmdata.dedup import _spread, tokens
+
+    d = _t(spark, sf_dir, "documents").df
+    n_docs = d.count()
+    tok = _spread(d.select("doc_id", "text")).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    stats = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return (
+        stats.withColumn(
+            "idf",
+            F.round(F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)), 9),
+        )
+        .orderBy(F.col("df").desc(), F.col("tf").desc(), F.col("tok"))
+        .limit(50)
+    )
+
+
+_TOKEN_VOCAB_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w != '')) AS tok
+  FROM documents),
+stats AS (SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+          FROM tok GROUP BY tok),
+nd AS (SELECT COUNT(*) AS n FROM documents)
+SELECT tok, tf, df,
+       CAST(ROUND(LN((n + 1.0) / (df + 1.0)), 9) AS DOUBLE) AS idf
+FROM stats, nd
+ORDER BY df DESC, tf DESC, tok LIMIT 50
+"""
+
+
 def text_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full text-analysis battery: token counts, punct ratio, stopword
     fraction, quality score, language-ID, fingerprint."""
@@ -4706,6 +4747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "text_profile": text_profile_q,
+        "token_vocab": token_vocab_q,
         "mt_row_agg": mt_row_agg,
         "mt_col_agg": mt_col_agg,
         "mt_group_rows_by": mt_group_rows,
@@ -4836,6 +4878,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": _ANN_SQL,
         "ann_ivf_topk": _IVF_SQL,
         "text_profile": _TEXT_PROFILE_SQL,
+        "token_vocab": _TOKEN_VOCAB_SQL,
         "mt_row_agg": _MT_ROW_AGG_SQL,
         "mt_col_agg": _MT_COL_AGG_SQL,
         "mt_group_rows_by": _MT_GROUP_ROWS_SQL,
