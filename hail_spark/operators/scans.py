@@ -696,3 +696,65 @@ def scan_product(t: Table, expr: Column, name: str) -> Table:
         .drop(_PID, _OFF)
     )
     return Table(df, tt.key, tt.globals, _sorted=True)
+
+
+def scan_filter(pred: Column, expr: Column) -> Column:
+    """hl.scan.filter(pred, <scan>(expr)) pre-transform (ref
+    aggregators.py filter combinator; test_expr.py:1118): rows failing
+    ``pred`` contribute missing, which every scan in this module
+    skips — compose as ``scan_X(t, scan_filter(pred, expr), name)``."""
+    return F.when(F.coalesce(pred, F.lit(False)), expr)
+
+
+def scan_collect_explode(t: Table, arr: Column, name: str) -> Table:
+    """hl.scan.explode(lambda e: hl.scan.collect(e), arr) (ref
+    test_expr.py:1141): exclusive prefix of the FLATTENED array
+    elements in key order; missing arrays and missing elements are
+    skipped. Same two-pass shape as scan_collect with flatten folded
+    into both passes."""
+    tt = t._ensure_key_sorted()
+    at = tt.df.select(arr.alias("x")).schema["x"].dataType.simpleString()
+    empty = F.expr(f"cast(array() as {at})")
+    clean = F.filter(F.coalesce(arr, empty), lambda v: v.isNotNull())
+    ks = _key_struct(tt)
+    partial = F.flatten(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(ks.alias("k"), clean.alias("v")))),
+            lambda s: s["v"],
+        )
+    )
+    tt, df, off = _scan_state(tt, partial, lambda a, b: a + b, at)
+    local = F.flatten(F.collect_list(clean).over(_excl_window(tt)))
+    df = (
+        df.join(F.broadcast(off), on=_PID, how="left")
+        .withColumn(
+            name, F.concat(F.coalesce(F.col(_OFF), empty), F.coalesce(local, empty))
+        )
+        .drop(_PID, _OFF)
+    )
+    return Table(df, tt.key, tt.globals, _sorted=True)
+
+
+def scan_group_by(t: Table, key: Column, value: Column, name: str) -> Table:
+    """hl.scan.group_by(key, hl.scan.collect(value)) (ref
+    test_expr.py:1178): exclusive-prefix map key → collected
+    non-missing values. Keys register in the map even when every value
+    for them was missing (matching the reference's filtered-inner-scan
+    behavior). Map state is O(prefix) per row — unbounded in the
+    reference too."""
+    pair_name = f"__{name}_pairs"
+    t2 = scan_collect(t, F.struct(key.alias("k"), value.alias("v")), pair_name)
+    arr = F.col(pair_name)
+    keys = F.array_distinct(F.transform(arr, lambda p: p["k"]))
+    m = F.map_from_arrays(
+        keys,
+        F.transform(
+            keys,
+            lambda k: F.transform(
+                F.filter(arr, lambda p: p["k"].eqNullSafe(k) & p["v"].isNotNull()),
+                lambda p: p["v"],
+            ),
+        ),
+    )
+    df = t2.df.withColumn(name, m).drop(pair_name)
+    return Table(df, t2.key, t2.globals, _sorted=True)

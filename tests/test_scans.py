@@ -123,3 +123,64 @@ def test_scan_full_generality(spark):
         xs.append(x)
         ps.append(p)
         ks.append(k)
+
+
+def test_scan_filter_combinator(spark):
+    # ref test_expr.py:1118 — filtered rows contribute nothing but every
+    # row still gets the (exclusive) prefix state
+    t = Table.range(spark, 5, n_partitions=3)
+    t2 = scans.scan_collect(
+        t, scans.scan_filter(F.col("idx") % 2 == 0, F.col("idx")), "pfx"
+    )
+    got = [sorted(r["pfx"]) for r in t2.df.orderBy("idx").collect()]
+    assert got == [[], [0], [0], [0, 2], [0, 2]]
+
+
+def test_scan_collect_explode(spark):
+    # ref test_expr.py:1141 — prefix of flattened [idx, idx+1] arrays
+    t = Table.range(spark, 5, n_partitions=3)
+    t2 = scans.scan_collect_explode(
+        t, F.array(F.col("idx"), F.col("idx") + 1), "pfx"
+    )
+    got = [list(r["pfx"]) for r in t2.df.orderBy("idx").collect()]
+    expect = []
+    acc = []
+    for i in range(5):
+        expect.append(list(acc))
+        acc += [i, i + 1]
+    assert got == expect
+
+
+def test_scan_group_by(spark):
+    # ref test_expr.py:1178 — exclusive-prefix map key -> collected vals
+    t = Table.range(spark, 5, n_partitions=3)
+    t2 = scans.scan_group_by(t, F.col("idx") % 3, F.col("idx"), "m")
+    got = [
+        {k: list(v) for k, v in r["m"].items()}
+        for r in t2.df.orderBy("idx").collect()
+    ]
+    assert got == [
+        {},
+        {0: [0]},
+        {0: [0], 1: [1]},
+        {0: [0], 1: [1], 2: [2]},
+        {0: [0, 3], 1: [1], 2: [2]},
+    ]
+    # filtered inner scan: keys register even with all values missing
+    t3 = scans.scan_group_by(
+        t,
+        F.col("idx") % 3,
+        scans.scan_filter(F.col("idx") % 2 == 0, F.col("idx")),
+        "m",
+    )
+    got3 = [
+        {k: list(v) for k, v in r["m"].items()}
+        for r in t3.df.orderBy("idx").collect()
+    ]
+    assert got3 == [
+        {},
+        {0: [0]},
+        {0: [0], 1: []},
+        {0: [0], 1: [], 2: [2]},
+        {0: [0], 1: [], 2: [2]},
+    ]
