@@ -445,6 +445,76 @@ FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey
 """
 
 
+def scan_combinators_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.scan combinators (ref test_expr.py:1118-1211): filter (masked
+    input), explode (flattened collect), group_by (prefix key→values
+    map), all exclusive scans in key order over the two-pass primitive.
+    Collections serialize to canonical strings for the hash compare."""
+    o = (
+        _t(spark, sf_dir, "orders", ("o_orderkey",))
+        .filter(F.col("o_orderkey") % 193 == 0)
+        .key_by("o_orderkey")
+        .repartition(4, shuffle=True)
+        .persist()
+    )
+    t = scans.scan_collect(
+        o, scans.scan_filter(F.col("o_orderstatus") == "F", F.col("o_totalprice")), "fp"
+    )
+    t = scans.scan_collect_explode(
+        t, F.array(F.col("o_custkey") % 10, F.col("o_custkey") % 7), "flat"
+    )
+    t = scans.scan_group_by(t, F.col("o_orderstatus"), F.col("o_orderkey"), "grp")
+    m = F.col("grp")
+    ks = F.array_sort(F.map_keys(m))
+    grp_str = F.array_join(
+        F.transform(
+            ks,
+            lambda k: F.concat(
+                k,
+                F.lit("=["),
+                F.array_join(F.transform(m[k], lambda v: v.cast("string")), ","),
+                F.lit("]"),
+            ),
+        ),
+        ";",
+    )
+    return t.df.select(
+        "o_orderkey",
+        _arr_str(F.col("fp")).alias("fp"),
+        F.array_join(F.transform(F.col("flat"), lambda x: x.cast("string")), ",").alias("flat"),
+        grp_str.alias("grp"),
+    ).orderBy("o_orderkey")
+
+
+_SCAN_COMBINATORS_SQL = """
+WITH o AS (SELECT o_orderkey, o_orderstatus, o_custkey, o_totalprice
+           FROM orders WHERE o_orderkey % 193 = 0),
+w AS (
+  SELECT o_orderkey,
+    COALESCE(list_filter(array_agg(CASE WHEN o_orderstatus = 'F'
+                                        THEN o_totalprice END)
+      OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      x -> x IS NOT NULL), []) AS fp,
+    COALESCE(flatten(array_agg([o_custkey % 10, o_custkey % 7])
+      OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), []) AS flat,
+    COALESCE(array_agg({'k': o_orderstatus, 'v': o_orderkey})
+      OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), []) AS pairs
+  FROM o)
+SELECT o_orderkey,
+  COALESCE(array_to_string(list_transform(fp, x -> CAST(CAST(x AS DECIMAL(18,2)) AS VARCHAR)), ','), '') AS fp,
+  COALESCE(array_to_string(list_transform(flat, x -> CAST(x AS VARCHAR)), ','), '') AS flat,
+  COALESCE(array_to_string(
+    list_transform(
+      list_sort(list_distinct(list_transform(pairs, p -> p.k))),
+      k -> k || '=[' ||
+           COALESCE(array_to_string(
+             list_transform(list_filter(pairs, p -> p.k = k), p -> CAST(p.v AS VARCHAR)),
+             ','), '') || ']'),
+    ';'), '') AS grp
+FROM w ORDER BY o_orderkey
+"""
+
+
 def scan_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full hl.scan.* generality (ref aggregators.py:2049-2081): sum,
     min/max, fraction, any/all, collect, take, stats, counter, product
@@ -4726,6 +4796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "explode_words": explode_words,
         "scan_cumulative_sum": scan_cumulative,
         "scan_battery": scan_battery,
+        "scan_combinators": scan_combinators_q,
         "add_index": add_index_q,
         "interval_join": interval_band_join,
         "collect_per_key": collect_per_key,
@@ -4857,6 +4928,7 @@ def oracle_sql() -> dict[str, str]:
         "explode_words": _EXPLODE_SQL,
         "scan_cumulative_sum": _SCAN_SQL,
         "scan_battery": _SCAN_BATTERY_SQL,
+        "scan_combinators": _SCAN_COMBINATORS_SQL,
         "add_index": _ADD_INDEX_SQL,
         "interval_join": _INTERVAL_SQL,
         "collect_per_key": _COLLECT_SQL,
