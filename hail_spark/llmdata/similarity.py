@@ -73,23 +73,31 @@ def ivf_build(
         .select("cell", F.col(vec_col).alias("c_vec"))
     )
     rows = cents.collect()  # nlist rows: the quantizer codebook
-    # argmax over the inlined codebook: max of (sim, -cell) structs picks
-    # the highest cosine, ties broken toward the smallest cell id
-    pairs = F.array(
-        *[
-            F.struct(
-                cosine(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in r["c_vec"]]),
-                ).alias("sim"),
-                F.lit(-r["cell"]).alias("negcell"),
-            )
-            for r in rows
-        ]
-    )
-    best = F.array_max(pairs)
+    # Arrow-vectorized argmax over the broadcast codebook: one numpy
+    # gemm per batch instead of nlist interpreted HOF cosine folds per
+    # row (~10x at local scale, and still the zero-shuffle map-only
+    # shape at 100 TB). np.argmax takes the FIRST max, so ties break
+    # toward the smallest cell id like the struct-max plan did.
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array([[float(x) for x in r["c_vec"]] for r in sorted(rows, key=lambda r: r["cell"])])
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+
+    def _assign_fn(vecs):
+        M = np.array(vecs.tolist(), dtype=np.float64)
+        norms = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        sims = (M / norms) @ Cn.T
+        return pd.Series(np.argmax(sims, axis=1).astype("int32"))
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't resolve — attach them as real objects instead
+    _assign_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    _assign = pandas_udf(_assign_fn, "int")
+
     assigned = corpus.select(
-        F.col(id_col), F.col(vec_col), (-best["negcell"]).cast("int").alias("cell")
+        F.col(id_col), F.col(vec_col), _assign(F.col(vec_col)).alias("cell")
     )
     return assigned, cents
 
