@@ -1175,3 +1175,42 @@ def loop(f, _typ=None, *init):
     else:
         raise RuntimeError("loop: exceeded 10000 iterations")
     return result
+
+
+# ---------------------------------------------------------------------- #
+# expression IO + multi-MT write (ref experimental/expressions.py:8-63,
+# write_multiple.py:11)
+# ---------------------------------------------------------------------- #
+def write_expression(value, path: str, overwrite: bool = False) -> None:
+    """Persist an evaluated (driver-side) value as JSON (ref
+    experimental/expressions.py:8 `write_expression` — upstream writes
+    a 1-row table; the value here is already a Python object)."""
+    import json
+    import os
+
+    if os.path.exists(path) and not overwrite:
+        raise FileExistsError(f"{path} exists; pass overwrite=True")
+    with open(path, "w") as fh:
+        json.dump(value, fh, default=str)
+
+
+def read_expression(path: str):
+    """Read back a value written by write_expression (ref
+    experimental/expressions.py:47)."""
+    import json
+
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def write_matrix_tables(
+    mts: Sequence[MatrixTable], prefix: str, overwrite: bool = False
+) -> list[str]:
+    """Write several MatrixTables under numbered paths, returning the
+    paths (ref experimental/write_multiple.py:11 `write_matrix_tables`)."""
+    paths = []
+    for i, mt in enumerate(mts):
+        p = f"{prefix}{i}.mt"
+        mt.write(p, overwrite=overwrite)
+        paths.append(p)
+    return paths
