@@ -1225,3 +1225,142 @@ def numeric_allele_type(ref, alt) -> Column:
         F.lit("Symbolic"), F.lit(6), F.lit("Unknown"), F.lit(7),
     )
     return F.coalesce(m[t], F.lit(7))
+
+
+# ---------------------------------------------------------------------- #
+# surface-closure batch (ref functions.py: expit :5839, logit :5862,
+# dchisq :2454, nanmin/nanmax :4900-4950, rand_int64 :3100,
+# rand_norm2d :3311, shuffle :3518, locus_interval :6643,
+# parse_locus_interval :6700, starmap/delimit/repeat — thin forms of
+# the same public contracts)
+# ---------------------------------------------------------------------- #
+def expit(x) -> Column:
+    """Logistic sigmoid 1/(1+e^-x) (ref functions.py:5839)."""
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-_c(x)))
+
+
+def logit(p) -> Column:
+    """log(p/(1-p)) (ref functions.py:5862)."""
+    p = _c(p)
+    return F.log(p / (F.lit(1.0) - p))
+
+
+def dchisq(x, df, log_p: bool = False) -> Column:
+    """Chi-squared density (ref functions.py:2454): the Gamma(df/2, 2)
+    pdf, via lgamma for stability."""
+    x = _c(x).cast("double")
+    k2 = _c(df).cast("double") / 2.0
+    logp = (k2 - 1.0) * F.log(x) - x / 2.0 - k2 * F.log(F.lit(2.0)) - _lgamma_col(k2)
+    return logp if log_p else F.exp(logp)
+
+
+def _lgamma_col(x) -> Column:
+    """log-gamma as a Column (Lanczos g=7, n=9 — textbook constants)."""
+    g = [
+        0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+        771.32342877765313, -176.61502916214059, 12.507343278686905,
+        -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7,
+    ]
+    x = _c(x).cast("double") - 1.0
+    a = F.lit(g[0])
+    for i in range(1, 9):
+        a = a + F.lit(g[i]) / (x + i)
+    t = x + 7.5
+    return (
+        F.lit(0.9189385332046727)  # 0.5*log(2*pi)
+        + (x + 0.5) * F.log(t)
+        - t
+        + F.log(a)
+    )
+
+
+def nanmin(a, b) -> Column:
+    """Two-arg min ignoring NaN (ref functions.py:4900)."""
+    a, b = _c(a), _c(b)
+    return F.when(F.isnan(a), b).when(F.isnan(b), a).otherwise(F.least(a, b))
+
+
+def nanmax(a, b) -> Column:
+    a, b = _c(a), _c(b)
+    return F.when(F.isnan(a), b).when(F.isnan(b), a).otherwise(F.greatest(a, b))
+
+
+def rand_int64(uid, n=None, seed: int = 0) -> Column:
+    """Uniform int64 (ref functions.py:3100)."""
+    h = F.xxhash64(_c(uid), F.lit(seed))
+    return h if n is None else F.pmod(h, F.lit(n).cast("bigint"))
+
+
+def rand_norm2d(uid, seed: int = 0) -> Column:
+    """2-D standard normal as array<double> (ref functions.py:3311):
+    both Box-Muller outputs from one uniform pair."""
+    u1 = rand_unif(uid, seed=seed * 2 + 1)
+    u2 = rand_unif(uid, seed=seed * 2 + 2)
+    r = F.sqrt(-2.0 * F.log(u1))
+    th = 2.0 * 3.141592653589793 * u2
+    return F.array(r * F.cos(th), r * F.sin(th))
+
+
+def shuffle(arr, uid=None, seed: int = 0) -> Column:
+    """Deterministic pseudo-random permutation of an array (ref
+    functions.py:3518 hl.shuffle): sort by a per-element hash keyed on
+    the element's position and an optional row uid."""
+    a = _c(arr)
+    key = _c(uid) if uid is not None else F.lit("")
+    idx = F.sequence(F.lit(0), F.size(a) - 1)
+    tagged = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.xxhash64(key, i.cast("string"), F.lit(seed)).alias("h"), i.alias("i")
+        ),
+    )
+    return F.transform(F.array_sort(tagged), lambda s: F.element_at(a, s["i"] + 1))
+
+
+def locus_interval(contig, start, end, includes_start=True, includes_end=False) -> Column:
+    """Interval of loci (ref functions.py:6643)."""
+    return F.struct(
+        locus(contig, start).alias("start"),
+        locus(contig, end).alias("end"),
+        F.lit(bool(includes_start)).alias("includes_start"),
+        F.lit(bool(includes_end)).alias("includes_end"),
+    )
+
+
+def parse_locus_interval(s) -> Column:
+    """Parse "contig:start-end" / "contig:start-contig:end" (ref
+    functions.py:6700; bracket forms reduce to the default
+    [start, end) here)."""
+    s = _c(s)
+    c1 = F.regexp_extract(s, r"^([^:]+):(\d+)-(?:([^:]+):)?(\d+)$", 1)
+    p1 = F.regexp_extract(s, r"^([^:]+):(\d+)-(?:([^:]+):)?(\d+)$", 2).cast("int")
+    c2r = F.regexp_extract(s, r"^([^:]+):(\d+)-(?:([^:]+):)?(\d+)$", 3)
+    p2 = F.regexp_extract(s, r"^([^:]+):(\d+)-(?:([^:]+):)?(\d+)$", 4).cast("int")
+    c2 = F.when(c2r == "", c1).otherwise(c2r)
+    return F.struct(
+        locus(c1, p1).alias("start"),
+        locus(c2, p2).alias("end"),
+        F.lit(True).alias("includes_start"),
+        F.lit(False).alias("includes_end"),
+    )
+
+
+def starmap(f, arr) -> Column:
+    """map over an array of tuples, splatting the ``_0.._n`` fields as
+    arguments (ref functions.py starmap) — the tuple arity is read off
+    f's signature."""
+    import inspect
+
+    n = len(inspect.signature(f).parameters)
+    a = _c(arr)
+    return F.transform(a, lambda s: f(*[s[f"_{i}"] for i in range(n)]))
+
+
+def delimit(arr, delimiter: str = ",") -> Column:
+    """array_join parity alias (ref functions.py delimit)."""
+    return F.array_join(F.transform(_c(arr), lambda x: x.cast("string")), delimiter)
+
+
+def repeat(x, n) -> Column:
+    """Array of x repeated n times (ref functions.py repeat)."""
+    return F.array_repeat(_c(x), _c(n) if not isinstance(n, int) else n)
