@@ -1364,3 +1364,80 @@ def delimit(arr, delimiter: str = ",") -> Column:
 def repeat(x, n) -> Column:
     """Array of x repeated n times (ref functions.py repeat)."""
     return F.array_repeat(_c(x), _c(n) if not isinstance(n, int) else n)
+
+
+# ---------------------------------------------------------------------- #
+# thin constructors / aliases closing the remaining hl.* name surface
+# (ref functions.py: array :1940, dict :2010, empty_* :2070-2140,
+# literal :160, null/missing :471, flatten :3960, zip_with_index :4480,
+# struct :1800, tuple :1880, parse_* :4050-4120)
+# ---------------------------------------------------------------------- #
+def array(collection) -> Column:
+    """hl.array: collection → array (sets/dicts are arrays here;
+    dict → entries array)."""
+    c = _c(collection)
+    return c
+
+
+def literal(value, dtype: str | None = None) -> Column:
+    c = F.lit(value)
+    return c.cast(dtype) if dtype else c
+
+
+null = missing  # hl.null is the deprecated spelling of hl.missing
+
+
+def empty_array(dtype: str) -> Column:
+    return F.array().cast(f"array<{dtype}>")
+
+
+def empty_set(dtype: str) -> Column:
+    return F.array().cast(f"array<{dtype}>")
+
+
+def empty_dict(key_dtype: str, value_dtype: str) -> Column:
+    return F.map_from_arrays(
+        F.array().cast(f"array<{key_dtype}>"), F.array().cast(f"array<{value_dtype}>")
+    )
+
+
+def dict_(entries) -> Column:
+    """hl.dict over an array of (key, value) structs."""
+    return dict_from_entries(entries)
+
+
+def flatten(arrs) -> Column:
+    return F.flatten(_c(arrs))
+
+
+def zip_with_index(arr, index_first: bool = False) -> Column:
+    """Deprecated hl.zip_with_index — enumerate parity."""
+    return enumerate_(arr, index_first=index_first)
+
+
+def struct(**fields) -> Column:
+    return F.struct(*[_c(v).alias(k) for k, v in fields.items()])
+
+
+def tuple_(*values) -> Column:
+    return F.struct(*[_c(v).alias(f"_{i}") for i, v in enumerate(values)])
+
+
+def float_(x) -> Column:
+    return _c(x).cast("double")
+
+
+def int_(x) -> Column:
+    return _c(x).cast("int")
+
+
+def parse_int(s) -> Column:
+    return parse_int32(s)
+
+
+def parse_float(s) -> Column:
+    return parse_float64(s)
+
+
+def parse_float32(s) -> Column:
+    return _c(s).try_cast("float")
