@@ -758,3 +758,49 @@ def scan_group_by(t: Table, key: Column, value: Column, name: str) -> Table:
     )
     df = t2.df.withColumn(name, m).drop(pair_name)
     return Table(df, t2.key, t2.globals, _sorted=True)
+
+
+def scan_array_sum(t: Table, arr: Column, name: str) -> Table:
+    """hl.scan.array_agg(lambda v: hl.agg.sum(v), arr) — elementwise
+    exclusive prefix sums of a same-length array column (ref
+    test_expr.py:1212; AggArrayPerElement in scan context). Missing
+    arrays contribute nothing; missing elements add 0; an empty prefix
+    is missing (as in the reference). The within-partition pass folds
+    the collected prefix arrays per row — O(prefix·k), the same cost
+    class as the collect scans."""
+    tt = t._ensure_key_sorted()
+    dtype = tt.df.select(arr.alias("x")).schema["x"].dataType
+    elem = dtype.elementType.simpleString()
+    out_elem = "bigint" if elem in ("int", "bigint", "smallint", "tinyint") else "double"
+    at = f"array<{out_elem}>"
+    a = F.when(
+        arr.isNotNull(),
+        F.transform(arr, lambda v: F.coalesce(v.cast(out_elem), F.lit(0).cast(out_elem))),
+    )
+    ew = lambda x, y: F.zip_with(x, y, lambda p, q: p + q)  # noqa: E731
+
+    def fold(arrs):
+        return F.aggregate(
+            F.filter(arrs, lambda x: x.isNotNull()),
+            F.lit(None).cast(at),
+            lambda acc, nxt: F.when(acc.isNull(), nxt).otherwise(ew(acc, nxt)),
+        )
+
+    partial = fold(F.collect_list(a))
+
+    def py_combine(x, y):
+        return [p + q for p, q in zip(x, y)]
+
+    tt, df, off = _scan_state(tt, partial, py_combine, at)
+    local = fold(F.collect_list(a).over(_excl_window(tt)))
+    combined = (
+        F.when(F.col(_OFF).isNull(), local)
+        .when(local.isNull(), F.col(_OFF))
+        .otherwise(ew(F.col(_OFF), local))
+    )
+    df = (
+        df.join(F.broadcast(off), on=_PID, how="left")
+        .withColumn(name, combined)
+        .drop(_PID, _OFF)
+    )
+    return Table(df, tt.key, tt.globals, _sorted=True)

@@ -184,3 +184,21 @@ def test_scan_group_by(spark):
         {0: [0], 1: [], 2: [2]},
         {0: [0], 1: [], 2: [2]},
     ]
+
+
+def test_scan_array_sum(spark):
+    # ref test_expr.py:1212 — a = [idx]*5; elementwise prefix sums; the
+    # array_agg(count) case is the all-ones instance of the same scan
+    t = Table.range(spark, 5, n_partitions=3)
+    t = t.annotate(a=F.array_repeat(F.col("idx"), 5))
+    t2 = scans.scan_array_sum(t, F.col("a"), "a2")
+    rows = {r["idx"]: r["a2"] for r in t2.df.collect()}
+    assert rows[0] is None
+    for i in range(1, 5):
+        assert list(rows[i]) == [sum(range(i))] * 5
+    # count form: arrays of ones -> prefix row count per element
+    t3 = t.annotate(ones=F.array_repeat(F.lit(1), 5))
+    t4 = scans.scan_array_sum(t3, F.col("ones"), "cnt")
+    rows4 = {r["idx"]: r["cnt"] for r in t4.df.collect()}
+    for i in range(1, 5):
+        assert list(rows4[i]) == [i] * 5
