@@ -4430,6 +4430,52 @@ ORDER BY position, t.event_type
 """
 
 
+def scan_array_sum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.scan.array_agg(sum) (operators/scans.py scan_array_sum;
+    ref test_expr.py:1212): exclusive elementwise prefix sums over an
+    8-wide integerized embedding slice, keyed by vec_id. floor(v*1000)
+    keeps the accumulation exact so the two-pass partial combine and
+    DuckDB's sequential window sum agree bit-for-bit."""
+    from hail_spark.table import Table as _Tbl
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % 50 == 0)
+        .select(
+            "vec_id",
+            F.transform(
+                F.slice(F.col("embedding"), 1, 8),
+                lambda v: F.floor(v.cast("double") * 1000).cast("bigint"),
+            ).alias("a"),
+        )
+    )
+    t = _Tbl(emb, ("vec_id",)).repartition(4, shuffle=True)
+    out = scans.scan_array_sum(t, F.col("a"), "ps")
+    return out.df.select(
+        "vec_id",
+        F.coalesce(
+            F.array_join(F.transform(F.col("ps"), lambda x: x.cast("string")), ","),
+            F.lit(""),
+        ).alias("ps"),
+    ).orderBy("vec_id")
+
+
+_SCAN_ARRAY_SUM_SQL = """
+WITH e AS (SELECT vec_id,
+                  list_transform(list_slice(embedding, 1, 8),
+                                 v -> CAST(FLOOR(v::DOUBLE * 1000) AS BIGINT)) AS a
+           FROM embeddings WHERE vec_id % 50 = 0),
+long AS (SELECT vec_id, i, a[i] AS v FROM e, UNNEST(range(1, 9)) AS u(i)),
+s AS (SELECT vec_id, i,
+             SUM(v) OVER (PARTITION BY i ORDER BY vec_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ps
+      FROM long)
+SELECT vec_id,
+       COALESCE(array_to_string(array_agg(CAST(ps AS VARCHAR) ORDER BY i), ','), '') AS ps
+FROM s GROUP BY vec_id ORDER BY vec_id
+"""
+
+
 def array_sum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hl.agg.array_sum over fixed-width embeddings (ref
     aggregators.py:934) via the bounded array_sum_fixed path: one native
@@ -4886,6 +4932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mt_annotate_rows_interval": mt_annotate_rows_interval_q,
         "min_rep_battery": min_rep_q,
         "array_sum_embeddings": array_sum_q,
+        "scan_array_sum": scan_array_sum_q,
         "call_stats_by_type": call_stats_q,
         "search_keyed_battery": search_keyed_battery_q,
         "mt_union_battery": mt_union_battery_q,
@@ -5018,6 +5065,7 @@ def oracle_sql() -> dict[str, str]:
         "mt_annotate_rows_interval": _MT_ANNOT_IV_SQL,
         "min_rep_battery": _MIN_REP_SQL,
         "array_sum_embeddings": _ARRAY_SUM_SQL,
+        "scan_array_sum": _SCAN_ARRAY_SUM_SQL,
         "call_stats_by_type": _CALL_STATS_SQL,
         "search_keyed_battery": _SEARCH_KEYED_SQL,
         "mt_union_battery": _MT_UNION_SQL,
