@@ -122,18 +122,39 @@ def take_by(expr, key, n: int, ascending: bool = True) -> Column:
     return F.slice(arr, 1, n).getField("v")
 
 
-def counter(expr) -> Column:
-    """value → count map (ref aggregators.py:709). Built as HOFs over the
-    collected values; for large cardinality prefer a group_by rewrite
-    (``Table.group_by(x).aggregate(n=agg.count())``)."""
+def counter(expr, weight=None) -> Column:
+    """value → count map (ref aggregators.py:709), optionally summing
+    ``weight`` instead of counting (ref counter weight param; weighted
+    counts come back as double regardless of the weight dtype). Built
+    as HOFs over the collected values; for large cardinality prefer a
+    group_by rewrite (``Table.group_by(x).aggregate(n=agg.count())``).
+    DEVIATION: Spark maps cannot hold a null key, so missing values are
+    dropped rather than counted under a None key as Hail does."""
     x = _c(expr)
-    arr = F.collect_list(x)
-    keys = F.array_sort(F.array_distinct(arr))
+    if weight is None:
+        arr = F.collect_list(x)
+        keys = F.array_sort(F.array_distinct(arr))
+        return F.map_from_arrays(
+            keys,
+            F.transform(
+                keys,
+                lambda v: F.size(F.filter(arr, lambda e: e.eqNullSafe(v))).cast("bigint"),
+            ),
+        )
+    w = _c(weight)
+    arr = F.collect_list(
+        F.when(x.isNotNull() & w.isNotNull(), F.struct(x.alias("v"), w.alias("w")))
+    )
+    keys = F.array_sort(F.array_distinct(F.transform(arr, lambda s: s["v"])))
     return F.map_from_arrays(
         keys,
         F.transform(
             keys,
-            lambda v: F.size(F.filter(arr, lambda e: e.eqNullSafe(v))).cast("bigint"),
+            lambda v: F.aggregate(
+                F.filter(arr, lambda s: s["v"].eqNullSafe(v)),
+                F.lit(0.0),
+                lambda acc, s: acc + s["w"].cast("double"),
+            ),
         ),
     )
 
@@ -232,7 +253,9 @@ def hist(expr, start: float, end: float, bins: int) -> Column:
     w = (end - start) / bins
     idx = F.floor((x - F.lit(start)) / F.lit(w)).cast("int")
     idx = F.when(x == F.lit(float(end)), bins - 1).otherwise(idx)
-    in_range = (x >= start) & (x <= end)
+    # Spark orders NaN above every value (NaN > end is TRUE) — Hail's
+    # hist drops NaN entirely, so exclude it from every bucket
+    in_range = (x >= start) & (x <= end) & ~F.isnan(x)
     counts = F.array(
         *[
             F.coalesce(
@@ -246,7 +269,7 @@ def hist(expr, start: float, end: float, bins: int) -> Column:
         edges.alias("bin_edges"),
         counts.alias("bin_freq"),
         F.count(F.when(x < start, 1)).alias("n_smaller"),
-        F.count(F.when(x > end, 1)).alias("n_larger"),
+        F.count(F.when((x > end) & ~F.isnan(x), 1)).alias("n_larger"),
     )
 
 

@@ -109,3 +109,63 @@ def test_general_pca(spark):
     L = np.array([r["loadings"] for r in loadings_df.orderBy("vid").collect()])
     # loadings orthonormal: L^T L = I
     np.testing.assert_allclose(L.T @ L, np.eye(3), atol=1e-8)
+
+
+def test_counter_ordering_and_weight(spark):
+    # ref test_expr.py:552/556 — counter keys; weighted counter sums
+    # weights (missing values dropped: Spark maps have no null keys)
+    from hail_spark.expr.aggregators import counter
+
+    df = spark.range(10).select((10 - F.col("id")).cast("int").alias("x"))
+    m = df.agg(counter(F.col("x")).alias("c")).collect()[0]["c"]
+    assert m[10] == 1 and m[1] == 1 and len(m) == 10
+
+    rows = [("rabbit", 0.0), ("rabbit", 0.0), (None, 3.0), ("cat", 2.0), ("dog", 3.0), (None, 0.0)]
+    d2 = spark.createDataFrame(rows, "a string, w double")
+    m2 = d2.agg(counter(F.col("a"), weight=F.col("w")).alias("c")).collect()[0]["c"]
+    assert m2 == {"rabbit": 0.0, "cat": 2.0, "dog": 3.0}
+
+
+def test_max_min_empty_and_hist_edges(spark):
+    # ref test_expr.py:1218/1263-1284 — max/min of all-missing is
+    # missing; hist bin edges, -0.0 lands in bin 0, NaN falls nowhere
+    from hail_spark.expr import aggregators as agg
+    hist, max_, min_ = agg.hist, agg.max, agg.min
+
+    t = spark.range(10).select(
+        (-1 * F.col("id") - 5).cast("int").alias("x"),
+        F.lit(None).cast("int").alias("y"),
+    )
+    r = t.agg(
+        max_(F.col("x")).alias("mx"), max_(F.col("y")).alias("mxe"),
+        min_(F.col("x")).alias("mn"), min_(F.col("y")).alias("mne"),
+    ).collect()[0]
+    assert (r["mx"], r["mxe"], r["mn"], r["mne"]) == (-5, None, -14, None)
+
+    h = (
+        spark.range(11)
+        .select((F.col("id") - 1).cast("double").alias("d"))
+        .agg(hist(F.col("d"), 0, 8, 4).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert list(h["bin_edges"]) == [0, 2, 4, 6, 8]
+    assert list(h["bin_freq"]) == [2, 2, 2, 3]
+    assert h["n_smaller"] == 1 and h["n_larger"] == 1
+
+    hn = (
+        spark.range(32)
+        .select(F.when(F.col("id") == 11, -0.0).otherwise(F.col("id") / 3).alias("d"))
+        .agg(hist(F.col("d"), 0, 10, 5).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert list(hn["bin_freq"]) == [7, 5, 6, 6, 7]
+    assert hn["n_smaller"] == 0 and hn["n_larger"] == 1
+
+    hnan = (
+        spark.range(3)
+        .select(F.lit(float("nan")).alias("x"))
+        .agg(hist(F.col("x"), 0, 10, 2).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert list(hnan["bin_freq"]) == [0, 0]
+    assert hnan["n_smaller"] == 0 and hnan["n_larger"] == 0
