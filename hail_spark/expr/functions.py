@@ -1441,3 +1441,21 @@ def parse_float(s) -> Column:
 
 def parse_float32(s) -> Column:
     return _c(s).try_cast("float")
+
+
+def divide(a, b) -> Column:
+    """Hail ``/`` — FLOAT division regardless of operand types (ref
+    arithmetic: x / y promotes to float64): 5/0 → inf, -5/0 → -inf,
+    0/0 → NaN. Spark 4's ANSI mode (this session's default) raises
+    DIVIDE_BY_ZERO even for doubles, so the zero-divisor cases are
+    spelled out (a -0.0 divisor maps to the +0.0 results — the one
+    deliberate edge deviation)."""
+    num = _c(a).cast("double")
+    den = _c(b).cast("double")
+    return (
+        F.when(den.isNull() | num.isNull(), F.lit(None).cast("double"))
+        .when(den != 0.0, num / F.when(den != 0.0, den))
+        .when(num > 0, F.lit(float("inf")))
+        .when(num < 0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan")))
+    )
