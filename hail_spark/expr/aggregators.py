@@ -517,3 +517,74 @@ def fold(expr, zero, combine) -> Column:
     aggregate over collect_list is only correct for small groups, so
     this maps the common cases onto native aggregates when possible."""
     return F.aggregate(F.collect_list(_c(expr)), zero, combine)
+
+
+def agg_filter(pred, expr) -> Column:
+    """hl.agg.filter pre-transform (ref aggregators.py agg.filter):
+    rows failing ``pred`` contribute missing, which every aggregator
+    here skips — compose as ``agg.sum(agg_filter(p, x))``."""
+    return F.when(F.coalesce(_c(pred), F.lit(False)), _c(expr))
+
+
+def explode_sum(arr) -> Column:
+    """hl.agg.explode(lambda e: hl.agg.sum(e), arr): sum of all array
+    elements across the group — per-row HOF partial + one SUM buffer."""
+    a = _c(arr)
+    per_row = F.aggregate(
+        F.filter(F.coalesce(a, F.array()), lambda v: v.isNotNull()),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double"),
+    )
+    return F.sum(per_row)
+
+
+def explode_count(arr) -> Column:
+    """hl.agg.explode(count): total non-missing elements in the group."""
+    a = _c(arr)
+    return F.coalesce(
+        F.sum(F.size(F.filter(F.coalesce(a, F.array()), lambda v: v.isNotNull()))),
+        F.lit(0),
+    ).cast("bigint")
+
+
+def explode_collect(arr) -> Column:
+    """hl.agg.explode(collect): flattened non-missing elements."""
+    a = _c(arr)
+    return F.flatten(
+        F.collect_list(F.filter(F.coalesce(a, F.array()), lambda v: v.isNotNull()))
+    )
+
+
+def group_by(key, value, agg: str = "collect") -> Column:
+    """hl.agg.group_by(key, <agg>(value)) (ref aggregators.py
+    agg.group_by): key → aggregated-values map with agg one of
+    'collect' | 'count' | 'sum' | 'mean'. Like counter, missing keys
+    are dropped (Spark maps cannot hold null keys); missing values are
+    skipped but still register their key."""
+    k, v = _c(key), _c(value)
+    arr = F.collect_list(
+        F.when(k.isNotNull(), F.struct(k.alias("k"), v.alias("v")))
+    )
+    keys = F.array_sort(F.array_distinct(F.transform(arr, lambda s: s["k"])))
+
+    def vals(kk):
+        return F.transform(
+            F.filter(arr, lambda s: (s["k"] == kk) & s["v"].isNotNull()),
+            lambda s: s["v"],
+        )
+
+    if agg == "collect":
+        body = vals
+    elif agg == "count":
+        body = lambda kk: F.size(vals(kk)).cast("bigint")  # noqa: E731
+    elif agg == "sum":
+        body = lambda kk: F.aggregate(  # noqa: E731
+            vals(kk), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        )
+    elif agg == "mean":
+        body = lambda kk: F.aggregate(  # noqa: E731
+            vals(kk), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ) / F.size(vals(kk))
+    else:
+        raise ValueError(f"group_by: unknown agg '{agg}'")
+    return F.map_from_arrays(keys, F.transform(keys, body))

@@ -169,3 +169,39 @@ def test_max_min_empty_and_hist_edges(spark):
     )
     assert list(hnan["bin_freq"]) == [0, 0]
     assert hnan["n_smaller"] == 0 and hnan["n_larger"] == 0
+
+
+def test_agg_combinators(spark):
+    # ref test_expr.py:648/839/902 — filter/explode/group_by aggregator
+    # combinators
+    from hail_spark.expr.aggregators import (
+        agg_filter,
+        explode_collect,
+        explode_count,
+        explode_sum,
+        group_by,
+        sum as agg_sum,
+    )
+
+    df = spark.range(6).select(
+        F.col("id").cast("int").alias("i"),
+        F.sequence(F.lit(0), F.col("id").cast("int")).alias("a"),
+    )
+    r = df.agg(
+        agg_sum(agg_filter(F.col("i") % 2 == 0, F.col("i"))).alias("fsum"),
+        explode_sum(F.col("a")).alias("esum"),
+        explode_count(F.col("a")).alias("ecnt"),
+        explode_collect(F.col("a")).alias("ecol"),
+        group_by(F.col("i") % 3, F.col("i"), "collect").alias("g"),
+        group_by(F.col("i") % 3, F.col("i"), "sum").alias("gs"),
+        group_by(F.col("i") % 3, F.col("i"), "count").alias("gc"),
+    ).collect()[0]
+    assert r["fsum"] == 0 + 2 + 4
+    flat = [x for i in range(6) for x in range(i + 1)]
+    assert r["esum"] == float(sum(flat))
+    assert r["ecnt"] == len(flat)
+    assert sorted(r["ecol"]) == sorted(flat)
+    g = {k: sorted(v) for k, v in r["g"].items()}
+    assert g == {0: [0, 3], 1: [1, 4], 2: [2, 5]}
+    assert r["gs"] == {0: 3.0, 1: 5.0, 2: 7.0}
+    assert r["gc"] == {0: 2, 1: 2, 2: 2}
