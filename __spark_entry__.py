@@ -887,7 +887,7 @@ WITH u AS (SELECT event_id, event_type,
            FROM events),
 r(event_type, rate) AS (VALUES ('click', 0.5), ('view', 0.2),
                                ('purchase', 1.0), ('signup', 0.9))
-SELECT u.event_type, COUNT(*) AS n_kept, SUM(event_id) AS id_sum
+SELECT u.event_type, COUNT(*) AS n_kept, CAST(SUM(event_id) AS BIGINT) AS id_sum
 FROM u JOIN r USING (event_type) WHERE u.u < r.rate
 GROUP BY u.event_type ORDER BY u.event_type
 """
@@ -1543,8 +1543,8 @@ WITH long AS (SELECT user_id, event_type, CAST(COUNT(*) % 3 AS INT) gt
 nusers AS (SELECT COUNT(DISTINCT user_id) nu FROM events)
 SELECT event_type,
        COUNT(*) AS n_called,
-       SUM(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS n_het,
-       SUM(CASE WHEN gt > 0 THEN 1 ELSE 0 END) AS n_non_ref,
+       CAST(SUM(CASE WHEN gt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_het,
+       CAST(SUM(CASE WHEN gt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_non_ref,
        ROUND(COUNT(*) / CAST((SELECT nu FROM nusers) AS DOUBLE), 9) AS call_rate
 FROM long GROUP BY event_type ORDER BY event_type
 """
@@ -4827,7 +4827,44 @@ ORDER BY doc_id
 # ===================================================================== #
 # registry
 # ===================================================================== #
+# Queries with a green driver CORRECTNESS row in rounds 1-2.  The driver
+# samples ~50 queries from the head of the queries() dict each round, so
+# never-driver-checked queries are rotated to the front until every
+# registered query has produced at least one green row.  The two r02
+# hash-red rows (stratified_sample, sample_qc_stats — HUGEINT-vs-BIGINT
+# oracle sums, fixed this round) are deliberately excluded so they get
+# re-sampled.
+_DRIVER_GREEN: frozenset = frozenset({
+    "add_index", "ann_brute_topk", "ann_ivf_topk", "anti_join",
+    "bit_ops_battery", "bm_matmul", "collect_per_key", "collection_battery",
+    "concordance_counts", "corr_regr_agg", "dedup_clusters", "dedup_exact",
+    "deterministic_shuffle", "distinct_by_key", "embedding_near_dup",
+    "explode_words", "group_counter", "hwe_by_group", "inbreeding_by_type",
+    "info_score_by_bucket", "interval_join", "king_kinship",
+    "left_join_right_distinct", "liftover_loci", "minhash_lsh_dedup",
+    "mt_col_agg", "mt_explode_battery", "mt_filter_entries",
+    "mt_group_cols_by", "mt_group_rows_by", "mt_row_agg", "mt_semi_join_rows",
+    "multimodal_pipeline", "multiway_zip_join", "ngram_jaccard_dedup",
+    "order_by_topk", "outer_join_coalesce", "pack_sequences",
+    "parse_cast_battery", "prev_nonnull", "product_agg", "q1_pricing_summary",
+    "q3_shipping_priority", "q5_region_revenue", "q6_forecast_revenue",
+    "query_table_point", "scalar_battery", "scan_battery",
+    "scan_combinators", "scan_cumulative_sum", "semi_join", "set_ops_per_key",
+    "simhash_fingerprints", "split_multi_sites",
+    "string_features", "take_by_per_key", "text_profile", "token_vocab",
+    "unigram_logprob", "union_all", "union_unify", "variant_qc_stats",
+    "vds_densify",
+})
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _queries_base()
+    head = {k: v for k, v in base.items() if k not in _DRIVER_GREEN}
+    tail = {k: v for k, v in base.items() if k in _DRIVER_GREEN}
+    return {**head, **tail}
+
+
+def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": q1_pricing_summary,
         "q3_shipping_priority": q3_shipping_priority,
@@ -5428,60 +5465,76 @@ ORDER BY g.user_id, g.event_type
 def faf_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hl.experimental.filtering_allele_frequency (ref
     filtering_allele_frequency.py / package.scala calcFilterAlleleFreq):
-    Whiffin et al. filtering AF per (ac, an) with ac = customers per
-    nation, an = 2·total.  The per-value qpois root-find has no SQL
-    form; the oracle replays it as a precomputed (ac → faf) VALUES map
-    — a changed input changes ac and breaks the join, so the check
-    stays honest."""
+    Whiffin et al. filtering AF per (ac, an).  The per-value qpois
+    root-find has no SQL form, so the oracle pins a (ac -> faf) VALUES
+    map.  To keep the pin valid at EVERY scale factor, (ac, an) are
+    derived from the nation table (25 rows at all SFs): ac =
+    3*(n_nationkey+1), an = 500 — the pinned constants never depend on
+    corpus size, and a wrong faf implementation still breaks the
+    value-hash."""
     from hail_spark import experimental as hx
 
-    cust = _t(spark, sf_dir, "customer").df
-    total = cust.count()
-    acs = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).cast("int").alias("ac"))
-    out = acs.withColumn("an", F.lit(2 * total).cast("int"))
+    nat = _t(spark, sf_dir, "nation").df
+    out = nat.select(
+        F.col("n_nationkey"),
+        (3 * (F.col("n_nationkey") + 1)).cast("int").alias("ac"),
+        F.lit(500).cast("int").alias("an"),
+    )
     out = out.withColumn(
         "faf", F.round(hx.filtering_allele_frequency("ac", "an", 0.95), 9)
     )
-    return out.orderBy("c_nationkey")
+    return out.orderBy("n_nationkey")
 
 
 _FAF_SQL = """
-WITH acs AS (SELECT c_nationkey, CAST(COUNT(*) AS INT) ac FROM customer GROUP BY 1),
-m(ac, faf) AS (VALUES
-  (43, 0.01093642), (44, 0.0112285), (49, 0.01269394), (50, 0.01298794),
-  (51, 0.01328235), (53, 0.01387331), (54, 0.01416882), (55, 0.01446466),
-  (58, 0.01535506), (59, 0.0156521), (62, 0.01654625), (63, 0.01684507),
-  (64, 0.01714414), (66, 0.01774301), (67, 0.01804178), (69, 0.01864198),
-  (73, 0.01984539), (74, 0.02014654))
-SELECT a.c_nationkey, a.ac,
-       CAST(2 * (SELECT COUNT(*) FROM customer) AS INT) AS an,
-       CAST(m.faf AS DOUBLE) AS faf
-FROM acs a JOIN m ON a.ac = m.ac ORDER BY a.c_nationkey
+WITH m(ac, faf) AS (VALUES
+  (3, 0.00163457), (6, 0.0052254), (9, 0.00939028), (12, 0.01384773),
+  (15, 0.01849168), (18, 0.0232677), (21, 0.02814399), (24, 0.03309784),
+  (27, 0.03811579), (30, 0.0431876), (33, 0.04830469), (36, 0.05346203),
+  (39, 0.05865344), (42, 0.0638753), (45, 0.0691253), (48, 0.07439956),
+  (51, 0.07969682), (54, 0.08501448), (57, 0.09035099), (60, 0.09570404),
+  (63, 0.10107367), (66, 0.1064586), (69, 0.11185665), (72, 0.11726779),
+  (75, 0.12269117))
+SELECT n.n_nationkey, CAST(3 * (n.n_nationkey + 1) AS INT) AS ac,
+       CAST(500 AS INT) AS an, CAST(m.faf AS DOUBLE) AS faf
+FROM nation n JOIN m ON 3 * (n.n_nationkey + 1) = m.ac
+ORDER BY n.n_nationkey
 """
 
 
 def lambda_gc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hl.lambda_gc (ref statgen.py:3097): genomic inflation factor of a
-    deterministic near-uniform p-value column — one distributed
-    aggregate (exact median of qchisqtail(p,1)).  The chi² quantile has
-    no SQL form, so the oracle pins the deterministic λ and
-    cross-checks the SQL-computable median."""
+    deterministic p-value column — one distributed aggregate (exact
+    median of qchisqtail(p,1)).  The chi² quantile has no SQL form, so
+    the p-set is built SYMMETRIC (p ∪ 1-p ∪ {0.5}, odd count): its
+    median is exactly 0.5 at every scale factor, hence λ = 1.0 by the
+    identity qchisqtail(med,1)/qchisqtail(0.5,1) — a corpus-independent
+    pin that still exercises the full distributed-median + quantile
+    path (a wrong median or quantile breaks it)."""
     from hail_spark.methods.misc import lambda_gc
 
     ev = _t(spark, sf_dir, "events").df
     p = ((F.col("event_id") % 9999) + 1) / 10000.0
-    df = ev.select(p.alias("p"))
+    df = (
+        ev.select(p.alias("p"))
+        .unionAll(ev.select((1.0 - p).alias("p")))
+        .unionAll(ev.sparkSession.range(1).select(F.lit(0.5).alias("p")))
+    )
     lam = lambda_gc(df, "p", approximate=False)
     return df.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tested"),
-        F.percentile(F.col("p"), F.lit(0.5)).alias("med_p"),
+        F.round(F.percentile(F.col("p"), F.lit(0.5)), 9).alias("med_p"),
     ).withColumn("lam", F.round(F.lit(lam), 7))
 
 
 _LAMBDA_GC_SQL = """
-SELECT CAST(COUNT(*) AS BIGINT) AS n_tested, MEDIAN(p) AS med_p,
-       CAST(ROUND(1.0002333170496565, 7) AS DOUBLE) AS lam
-FROM (SELECT ((event_id % 9999) + 1) / 10000.0 AS p FROM events)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tested,
+       CAST(ROUND(MEDIAN(p), 9) AS DOUBLE) AS med_p,
+       CAST(1.0 AS DOUBLE) AS lam
+FROM (SELECT ((event_id % 9999) + 1) / 10000.0 AS p FROM events
+      UNION ALL
+      SELECT 1.0 - ((event_id % 9999) + 1) / 10000.0 AS p FROM events
+      UNION ALL SELECT 0.5)
 """
 
 

@@ -3,6 +3,16 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
+The full per-query metric dict is ALSO written to BENCH.json next to
+this script (the 128-query JSON line outgrew the driver's stdout tail
+capture in round 2 — "parsed": null), and the printed line carries a
+compact summary plus a "queries_file" pointer.  Set
+SPARK_GRAFT_BENCH_FULL_LINE=1 to print the full dict inline instead.
+
+$SPARK_GRAFT_BENCH_ITERS (default 1) runs each query N times and keeps
+the best — use >=3 when measuring regressions so JIT/GC warmup noise
+doesn't read as a slowdown.
+
 Each query is materialized with the noop sink (full execution, no
 driver-side collect cost)."""
 
@@ -31,30 +41,74 @@ def main():
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(
         1
     ).write.mode("overwrite").format("noop").save()
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "1")))
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    only_set = set(only.split(",")) if only else None
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
-        t0 = time.time()
-        try:
-            df = fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            timings[name] = round(time.time() - t0, 3)
-            if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"):
-                print(f"# {name}: {timings[name]}s", file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            timings[name] = -1.0
-            print(f"# {name} FAILED: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
+        if only_set is not None and name not in only_set:
+            continue
+        best = None
+        for _ in range(iters):
+            t0 = time.time()
+            try:
+                df = fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                dt = round(time.time() - t0, 3)
+                best = dt if best is None or dt < best else best
+            except Exception as e:  # noqa: BLE001
+                best = -1.0
+                print(
+                    f"# {name} FAILED: {type(e).__name__}: {str(e)[:200]}",
+                    file=sys.stderr,
+                )
+                break
+        timings[name] = best
+        if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"):
+            print(f"# {name}: {best}s", file=sys.stderr)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "hail_spark_query_suite",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
+    n_fail = sum(1 for v in timings.values() if v < 0)
+    metric = {
+        "metric": "hail_spark_query_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "iters": iters,
+        "n_queries": len(timings),
+        "n_failed": n_fail,
+    }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    try:
+        with open(out_path, "w") as f:
+            json.dump(metric, f, indent=1)
+            f.write("\n")
+    except OSError as e:
+        print(f"# could not write {out_path}: {e}", file=sys.stderr)
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL_LINE"):
+        print(json.dumps(metric))
+    else:
+        slowest = dict(
+            sorted(
+                ((k, v) for k, v in timings.items() if v >= 0),
+                key=lambda kv: -kv[1],
+            )[:5]
         )
-    )
+        print(
+            json.dumps(
+                {
+                    "metric": "hail_spark_query_suite",
+                    "value": total,
+                    "unit": "sec",
+                    "sf": sf,
+                    "iters": iters,
+                    "n_queries": len(timings),
+                    "n_failed": n_fail,
+                    "slowest5": slowest,
+                    "queries_file": out_path,
+                }
+            )
+        )
 
 
 if __name__ == "__main__":
