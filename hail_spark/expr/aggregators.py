@@ -122,14 +122,19 @@ def take_by(expr, key, n: int, ascending: bool = True) -> Column:
     return F.slice(arr, 1, n).getField("v")
 
 
-def counter(expr, weight=None) -> Column:
+def counter(expr, weight=None, weight_dtype: str = "double") -> Column:
     """value → count map (ref aggregators.py:709), optionally summing
-    ``weight`` instead of counting (ref counter weight param; weighted
-    counts come back as double regardless of the weight dtype). Built
-    as HOFs over the collected values; for large cardinality prefer a
-    group_by rewrite (``Table.group_by(x).aggregate(n=agg.count())``).
-    DEVIATION: Spark maps cannot hold a null key, so missing values are
-    dropped rather than counted under a None key as Hail does."""
+    ``weight`` instead of counting (ref implements that as
+    group_by(expr, agg.sum(weight)), which PRESERVES integer weights
+    as int64 — its docstring example shows {'F': 130}). Built as HOFs
+    over the collected values; for large cardinality prefer a group_by
+    rewrite (``Table.group_by(x).aggregate(n=agg.count())``).
+    DEVIATIONS: (1) Spark maps cannot hold a null key, so missing
+    values are dropped rather than counted under a None key as Hail
+    does; (2) weighted sums default to double because the weight
+    column's dtype is not statically known at Column-construction time
+    — pass ``weight_dtype='bigint'`` for integer weights to get the
+    reference's int64 maps."""
     x = _c(expr)
     if weight is None:
         arr = F.collect_list(x)
@@ -146,14 +151,15 @@ def counter(expr, weight=None) -> Column:
         F.when(x.isNotNull() & w.isNotNull(), F.struct(x.alias("v"), w.alias("w")))
     )
     keys = F.array_sort(F.array_distinct(F.transform(arr, lambda s: s["v"])))
+    zero = F.lit(0).cast(weight_dtype) if weight_dtype != "double" else F.lit(0.0)
     return F.map_from_arrays(
         keys,
         F.transform(
             keys,
             lambda v: F.aggregate(
                 F.filter(arr, lambda s: s["v"].eqNullSafe(v)),
-                F.lit(0.0),
-                lambda acc, s: acc + s["w"].cast("double"),
+                zero,
+                lambda acc, s: acc + s["w"].cast(weight_dtype),
             ),
         ),
     )
@@ -582,9 +588,14 @@ def group_by(key, value, agg: str = "collect") -> Column:
             vals(kk), F.lit(0.0), lambda acc, x: acc + x.cast("double")
         )
     elif agg == "mean":
-        body = lambda kk: F.aggregate(  # noqa: E731
-            vals(kk), F.lit(0.0), lambda acc, x: acc + x.cast("double")
-        ) / F.size(vals(kk))
+        # a key can register with zero non-missing values (nulls keep the
+        # key but are skipped) — mean of an empty group is missing, and
+        # the bare division would raise ANSI DIVIDE_BY_ZERO
+        body = lambda kk: F.when(  # noqa: E731
+            F.size(vals(kk)) > 0,
+            F.aggregate(vals(kk), F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+            / F.size(vals(kk)),
+        )
     else:
         raise ValueError(f"group_by: unknown agg '{agg}'")
     return F.map_from_arrays(keys, F.transform(keys, body))

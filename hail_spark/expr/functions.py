@@ -1455,6 +1455,9 @@ def divide(a, b) -> Column:
     return (
         F.when(den.isNull() | num.isNull(), F.lit(None).cast("double"))
         .when(den != 0.0, num / F.when(den != 0.0, den))
+        # NaN/0 is NaN — must precede the sign branches because Spark
+        # orders NaN greater than every value, so `num > 0` matches NaN
+        .when(F.isnan(num), F.lit(float("nan")))
         .when(num > 0, F.lit(float("inf")))
         .when(num < 0, F.lit(float("-inf")))
         .otherwise(F.lit(float("nan")))

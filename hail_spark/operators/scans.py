@@ -745,7 +745,13 @@ def scan_group_by(t: Table, key: Column, value: Column, name: str) -> Table:
     pair_name = f"__{name}_pairs"
     t2 = scan_collect(t, F.struct(key.alias("k"), value.alias("v")), pair_name)
     arr = F.col(pair_name)
-    keys = F.array_distinct(F.transform(arr, lambda p: p["k"]))
+    # DEVIATION (same as agg.group_by): Spark maps cannot hold a null
+    # key, so rows with a missing key are dropped from the map instead
+    # of registering a None key — without this filter map_from_arrays
+    # raises NULL_MAP_KEY
+    keys = F.array_distinct(
+        F.transform(F.filter(arr, lambda p: p["k"].isNotNull()), lambda p: p["k"])
+    )
     m = F.map_from_arrays(
         keys,
         F.transform(

@@ -205,3 +205,29 @@ def test_agg_combinators(spark):
     assert g == {0: [0, 3], 1: [1, 4], 2: [2, 5]}
     assert r["gs"] == {0: 3.0, 1: 5.0, 2: 7.0}
     assert r["gc"] == {0: 2, 1: 2, 2: 2}
+
+
+def test_group_by_mean_all_missing_key(spark):
+    # ADVICE r2: a key whose every value is missing used to raise ANSI
+    # DIVIDE_BY_ZERO in group_by(..., 'mean'); must yield a null mean
+    from hail_spark.expr import aggregators as agg
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None)], ["k", "v"]
+    )
+    row = df.agg(agg.group_by(F.col("k"), F.col("v"), "mean").alias("m")).collect()[0]
+    assert row["m"]["a"] == 2.0
+    assert row["m"]["b"] is None
+
+
+def test_counter_weight_dtype(spark):
+    from hail_spark.expr import aggregators as agg
+
+    df = spark.createDataFrame([("F", 120), ("F", 10), ("M", 5)], ["k", "w"])
+    dbl = df.agg(agg.counter(F.col("k"), F.col("w")).alias("c")).collect()[0]["c"]
+    assert dbl == {"F": 130.0, "M": 5.0}
+    big = df.agg(
+        agg.counter(F.col("k"), F.col("w"), weight_dtype="bigint").alias("c")
+    ).collect()[0]["c"]
+    assert big == {"F": 130, "M": 5}
+    assert all(isinstance(v, int) for v in big.values())

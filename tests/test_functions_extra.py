@@ -88,3 +88,16 @@ def test_array_slice_python_semantics(spark):
 
     with _pytest.raises(ValueError, match="step"):
         array_slice(F.col("a"), 0, 1, 0)
+
+
+def test_divide_nan_numerator(spark):
+    # ADVICE r2: divide(NaN, 0) returned +inf because NaN > 0 under
+    # Spark's NaN-greatest ordering; must be NaN
+    import math
+
+    from hail_spark.expr import functions as hf
+
+    df = spark.createDataFrame([(float("nan"), 0.0), (1.0, 0.0), (-1.0, 0.0)], ["a", "b"])
+    out = [r["d"] for r in df.select(hf.divide(F.col("a"), F.col("b")).alias("d")).collect()]
+    assert math.isnan(out[0])
+    assert out[1] == float("inf") and out[2] == float("-inf")

@@ -202,3 +202,19 @@ def test_scan_array_sum(spark):
     rows4 = {r["idx"]: r["cnt"] for r in t4.df.collect()}
     for i in range(1, 5):
         assert list(rows4[i]) == [i] * 5
+
+
+def test_scan_group_by_null_keys(spark):
+    # ADVICE r2: null keys used to raise NULL_MAP_KEY; they are dropped
+    # from the map (same deviation as agg.group_by)
+    from hail_spark.operators import scans
+    from hail_spark.table import Table
+
+    df = spark.createDataFrame(
+        [(0, "a", 1), (1, None, 2), (2, "a", 3), (3, None, 4)], ["idx", "k", "v"]
+    )
+    t = Table(df, ("idx",), {})
+    t2 = scans.scan_group_by(t, F.col("k"), F.col("v"), "m")
+    rows = {r["idx"]: r["m"] for r in t2.df.collect()}
+    assert rows[0] == {}
+    assert rows[3] == {"a": [1, 3]}
