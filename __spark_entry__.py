@@ -1034,6 +1034,55 @@ WHERE cos >= 0.4 ORDER BY id_a, id_b
 """
 
 
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH near-dup path (dedup.embedding_dup_pairs
+    lsh_bits>0 — the subquadratic plan that is now the DEFAULT above
+    EMB_EXACT_CUTOFF rows): bucket by the 8-bit sign signature of the
+    deterministic hyperplanes, cosine-join within buckets only. The
+    oracle replays the exact same signature from the same inlined plane
+    literals in SQL, so both the bucketing and the within-bucket join
+    are value-checked."""
+    from hail_spark.llmdata import dedup
+
+    e = _t(spark, sf_dir, "embeddings").df
+    out = dedup.embedding_dup_pairs(e, threshold=0.4, lsh_bits=8)
+    return out.select(
+        "id_a", "id_b", F.round(F.col("cosine"), 6).alias("cosine")
+    ).orderBy("id_a", "id_b")
+
+
+def _emb_lsh_sql() -> str:
+    """DuckDB replay of the 8-bit hyperplane signature: the plane
+    literals come from the SAME deterministic generator the Spark side
+    inlines, so a bucketing bug on either side breaks the join."""
+    from hail_spark.llmdata.dedup import _hyperplane_planes
+
+    planes = _hyperplane_planes(64, 8)
+    bits = []
+    for j, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        dot = (
+            "list_aggregate(list_transform(range(1, 65), "
+            f"i -> embedding[i]::DOUBLE * ({lit})[i]), 'sum')"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    sig = "\n  + ".join(bits)
+    return f"""
+WITH sig AS (SELECT vec_id, embedding, {sig} AS bucket FROM embeddings),
+pairs AS (
+  SELECT a.vec_id id_a, b.vec_id id_b,
+         list_aggregate(list_transform(range(1, 65),
+             i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum')
+         / (sqrt(list_aggregate(list_transform(range(1, 65),
+             i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE), 'sum'))
+          * sqrt(list_aggregate(list_transform(range(1, 65),
+             i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE), 'sum'))) AS cos
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos, 6) AS cosine FROM pairs
+WHERE cos >= 0.4 ORDER BY id_a, id_b
+"""
+
+
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k (query set broadcast, one corpus scan)."""
     from hail_spark.llmdata import similarity
@@ -4898,6 +4947,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_dedup": ngram_jaccard,
         "simhash_fingerprints": simhash_fingerprints,
         "embedding_near_dup": embedding_near_dup,
+        "embedding_near_dup_lsh": embedding_near_dup_lsh,
         "ann_brute_topk": ann_topk,
         "ann_ivf_topk": ann_ivf_topk,
         "text_profile": text_profile_q,
@@ -5031,6 +5081,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dedup": _NGRAM_SQL,
         "simhash_fingerprints": _SIMHASH_SQL,
         "embedding_near_dup": _EMB_DUP_SQL,
+        "embedding_near_dup_lsh": _emb_lsh_sql(),
         "ann_brute_topk": _ANN_SQL,
         "ann_ivf_topk": _IVF_SQL,
         "text_profile": _TEXT_PROFILE_SQL,

@@ -22,6 +22,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Auto-plan cutoffs (see ngram_jaccard_pairs / embedding_dup_pairs).
+# PPJOIN_DF_CUTOFF: the posting-list self-join costs Σ df² rows; one
+# shingle shared by >256 docs already contributes 64k join rows, and a
+# Zipfian head makes that the dominant term — switch to PPJoin there.
+PPJOIN_DF_CUTOFF = 256
+# EMB_EXACT_CUTOFF: largest corpus for which the exact blocked-gemm
+# all-pairs plan is the default (≈1.7e10 dot products — minutes of BLAS
+# across a cluster); above it the default becomes hyperplane LSH, which
+# is subquadratic (approximate: recall (1-θ/π)^bits per pair).
+EMB_EXACT_CUTOFF = 1 << 17
+
 # ------------------------------------------------------------------ #
 # hashing primitives (md5 → 60-bit int; deterministic, SQL-portable)
 # ------------------------------------------------------------------ #
@@ -230,16 +241,26 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.3,
-    prefix_filter: bool = False,
+    prefix_filter: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity for every doc pair with J >= threshold.
 
-    Default path: posting-list self-join — intersections counted
-    directly by the pair-grouped equi-join (no per-candidate array
-    payloads), then one join against per-doc set sizes. This is the
-    faster plan whenever candidate pruning can't shrink the join much
-    (flat vocabularies, high dup rates — measured 4× faster at ~sf1 on
-    the synthetic corpus than the verify-by-array variant below).
+    ``prefix_filter=None`` (default) AUTO-selects the plan from the
+    shingle document-frequency profile: one cheap max(df) aggregate
+    over the (persisted) shingle table, and if any shingle is shared by
+    more than ``PPJOIN_DF_CUTOFF`` documents the PPJoin path is used —
+    the posting-list join's cost is Σ df², so a single stopword shingle
+    shared by millions of docs makes it quadratic on a Zipfian web
+    corpus (the 50 s → 399 s sf1 swing in BENCH_SCALE.jsonl was exactly
+    this head).
+
+    ``prefix_filter=False``: posting-list self-join — intersections
+    counted directly by the pair-grouped equi-join (no per-candidate
+    array payloads), then one join against per-doc set sizes. This is
+    the faster plan whenever candidate pruning can't shrink the join
+    much (flat vocabularies, high dup rates — measured 4× faster at
+    ~sf1 on the synthetic corpus than the verify-by-array variant
+    below).
 
     ``prefix_filter=True``: AllPairs/PPJoin prefix filtering
     (exactness-preserving): shingles get a global canonical order
@@ -249,8 +270,8 @@ def ngram_jaccard_pairs(
     PREFIX tokens and the df² head of a Zipfian vocabulary (stopword
     shingles shared by millions of docs) falls out of the candidate
     join. Verification ships each candidate pair's shingle-set arrays —
-    worth it exactly when the prefix prunes most candidates; prefer it
-    on real web-scale Zipfian corpora."""
+    worth it exactly when the prefix prunes most candidates. Both plans
+    return identical (exact) results; only the join strategy differs."""
     from pyspark.sql import Window
 
     sh = (
@@ -259,6 +280,15 @@ def ngram_jaccard_pairs(
         .select(id_col, md5_int(F.col("s")).alias("sh"))
         .distinct()
     )
+    if prefix_filter is None:
+        sh = sh.persist()
+        max_df = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .agg(F.max("df").alias("m"))
+            .first()["m"]
+        ) or 0
+        prefix_filter = max_df > PPJOIN_DF_CUTOFF
     if not prefix_filter:
         sz = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
         a, b = sh.alias("a"), sh.alias("b")
@@ -443,9 +473,15 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    lsh_bits: int = 0,
+    lsh_bits: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold.
+
+    lsh_bits=None (default) AUTO-selects: exact blocked all-pairs up to
+    ``EMB_EXACT_CUTOFF`` rows, hyperplane LSH above it with bits sized
+    so expected bucket occupancy stays ~8k rows — a naive caller on a
+    100-TB corpus never gets the quadratic plan by default; pass
+    lsh_bits=0 to force exact.
 
     lsh_bits=0: exact blocked all-pairs — hash ids into BOUNDED chunks
     (~512 vectors each), cross-join the chunk pairs, and compute each
@@ -458,7 +494,15 @@ def embedding_dup_pairs(
     hashing), join within buckets only. High-cosine pairs collide with
     probability (1 - θ/π)^bits; THIS is the subquadratic 100-TB path —
     at scale run a few seeds/rotations and union the candidate sets."""
+    import math
+
     base = df.select(F.col(id_col), F.col(vec_col))
+    if lsh_bits is None:
+        n = base.count()
+        if n <= EMB_EXACT_CUTOFF:
+            lsh_bits = 0
+        else:
+            lsh_bits = min(24, max(8, math.ceil(math.log2(n / 8192.0))))
     if lsh_bits:
         dim = base.select(F.size(vec_col).alias("d")).first()["d"]
         sig = _hyperplane_sig(F.col(vec_col), lsh_bits, dim)

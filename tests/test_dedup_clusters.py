@@ -68,3 +68,48 @@ def test_dedup_clusters_end_to_end(spark, sf_dir):
     sizes = {r["component"]: r["cluster_size"] for r in out}
     for comp, members in by_comp.items():
         assert sizes[comp] == len(members)
+
+
+def test_ngram_jaccard_plans_agree(spark, sf_dir):
+    # PPJoin prefix filtering is exactness-preserving: both join
+    # strategies must return identical pairs (the auto default picks
+    # between them on the df profile)
+    docs = load(spark, sf_dir, "documents").limit(200)
+    posting = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.3, prefix_filter=False
+        ).collect()
+    }
+    ppjoin = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.3, prefix_filter=True
+        ).collect()
+    }
+    assert posting == ppjoin and len(posting) > 0
+    auto = {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert auto == posting
+
+
+def test_embedding_auto_default_small_is_exact(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]) for r in
+        dedup.embedding_dup_pairs(emb, threshold=0.4, lsh_bits=0).collect()
+    }
+    auto = {
+        (r["id_a"], r["id_b"]) for r in
+        dedup.embedding_dup_pairs(emb, threshold=0.4).collect()
+    }
+    assert auto == exact and len(exact) > 0
+    # LSH path returns a SUBSET of the exact pairs (candidate pruning
+    # only drops pairs, never fabricates them)
+    lsh = {
+        (r["id_a"], r["id_b"]) for r in
+        dedup.embedding_dup_pairs(emb, threshold=0.4, lsh_bits=8).collect()
+    }
+    assert lsh <= exact
