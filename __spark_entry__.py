@@ -455,15 +455,25 @@ def scan_combinators_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey") % 193 == 0)
         .key_by("o_orderkey")
         .repartition(4, shuffle=True)
-        .persist()
     )
-    t = scans.scan_collect(
-        o, scans.scan_filter(F.col("o_orderstatus") == "F", F.col("o_totalprice")), "fp"
+    # all three combinator scans ride ONE up-pass + ONE down-pass (the
+    # chained form ran 3 jobs that each re-executed the chain)
+    t = scans.scan_multi(
+        o,
+        {
+            "fp": (
+                "collect",
+                scans.scan_filter(
+                    F.col("o_orderstatus") == "F", F.col("o_totalprice")
+                ),
+            ),
+            "flat": (
+                "collect_explode",
+                F.array(F.col("o_custkey") % 10, F.col("o_custkey") % 7),
+            ),
+            "grp": ("group_by", F.col("o_orderstatus"), F.col("o_orderkey")),
+        },
     )
-    t = scans.scan_collect_explode(
-        t, F.array(F.col("o_custkey") % 10, F.col("o_custkey") % 7), "flat"
-    )
-    t = scans.scan_group_by(t, F.col("o_orderstatus"), F.col("o_orderkey"), "grp")
     m = F.col("grp")
     ks = F.array_sort(F.map_keys(m))
     grp_str = F.array_join(

@@ -441,7 +441,15 @@ def scan_multi(t: Table, specs: dict) -> Table:
 
     specs: {out_name: (kind, expr[, n])} with kind in
     {sum, count, min, max, mean, any, all, fraction, product, collect,
-    collect_as_set, take, stats, counter}.
+    collect_as_set, take, stats, counter, collect_explode, group_by}.
+
+    Combinators compose INTO the single pass: hl.scan.filter is an
+    expression pre-transform (pass ``scan_filter(pred, expr)`` as the
+    spec's expr), ``("collect_explode", arr)`` is the
+    hl.scan.explode(collect) form, and ``("group_by", key, value)`` is
+    hl.scan.group_by(key, hl.scan.collect(value)) — so a k-scan
+    pipeline with combinators is still 1 up-pass + 1 down-pass (the
+    LowerTableIR.scala:1284 shape) instead of k chained jobs.
     """
     tt = t._ensure_key_sorted()
     df = tt.df.withColumn(_PID, F.spark_partition_id())
@@ -462,6 +470,7 @@ def scan_multi(t: Table, specs: dict) -> Table:
     # field registry: (field, partial_agg, fold_kind, schema_type, n)
     fields: list = []
     rank_specs: dict = {}  # field -> (expr, n) needing bounded local collect
+    flat_fields: set = set()  # fields whose window-local collect flattens
 
     def sorted_vals(expr):
         return F.filter(
@@ -529,6 +538,25 @@ def scan_multi(t: Table, specs: dict) -> Table:
             fields.append((f + "_q", F.sum(qd), "add", "decimal(38,6)", qd))
             fields.append((f + "_mn", F.min(x), "min", "double", x))
             fields.append((f + "_mx", F.max(x), "max", "double", x))
+        elif kind == "collect_explode":
+            at = dtype_of(expr)  # array<T>
+            empty_arr = F.expr(f"cast(array() as {at})")
+            clean = F.filter(F.coalesce(expr, empty_arr), lambda v: v.isNotNull())
+            partial = F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(ks.alias("k"), clean.alias("v")))
+                    ),
+                    lambda s: s["v"],
+                )
+            )
+            fields.append((f + "_a", partial, "concat", at, clean))
+            flat_fields.add(f + "_a")
+        elif kind == "group_by":
+            val = spec[2]
+            pair = F.struct(expr.alias("k"), val.alias("v"))
+            pt = dtype_of(pair)
+            fields.append((f + "_a", sorted_vals(pair), "concat", f"array<{pt}>", pair))
 
     # ---- up-pass: ONE job for every partial -------------------------- #
     partials = df.groupBy(_PID).agg(
@@ -585,7 +613,10 @@ def scan_multi(t: Table, specs: dict) -> Table:
             loc_cols.append(F.collect_list(bounded).over(w).alias(f"{fname}_loc"))
         elif fold == "concat":
             # base here is the raw expr; window collect keeps row order
-            loc_cols.append(F.collect_list(base).over(w).alias(f"{fname}_loc"))
+            loc = F.collect_list(base).over(w)
+            if fname in flat_fields:
+                loc = F.flatten(loc)
+            loc_cols.append(loc.alias(f"{fname}_loc"))
         elif fold == "add":
             loc_cols.append(F.sum(base).over(w).alias(f"{fname}_loc"))
         elif fold == "min":
@@ -639,8 +670,30 @@ def scan_multi(t: Table, specs: dict) -> Table:
             out = c("_t").cast("double") / F.nullif(c("_d").cast("double"), F.lit(0.0))
         elif kind == "product":
             out = c("_p")
-        elif kind == "collect":
+        elif kind in ("collect", "collect_explode"):
             out = c("_a")
+        elif kind == "group_by":
+            arr = c("_a")
+            # same null-key deviation as scan_group_by / agg.group_by:
+            # Spark maps cannot hold a null key
+            gkeys = F.array_distinct(
+                F.transform(
+                    F.filter(arr, lambda p: p["k"].isNotNull()), lambda p: p["k"]
+                )
+            )
+            out = F.map_from_arrays(
+                gkeys,
+                F.transform(
+                    gkeys,
+                    lambda k: F.transform(
+                        F.filter(
+                            arr,
+                            lambda p: p["k"].eqNullSafe(k) & p["v"].isNotNull(),
+                        ),
+                        lambda p: p["v"],
+                    ),
+                ),
+            )
         elif kind == "collect_as_set":
             out = F.array_sort(F.array_distinct(c("_a")))
         elif kind == "take":

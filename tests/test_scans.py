@@ -218,3 +218,38 @@ def test_scan_group_by_null_keys(spark):
     rows = {r["idx"]: r["m"] for r in t2.df.collect()}
     assert rows[0] == {}
     assert rows[3] == {"a": [1, 3]}
+
+
+def test_scan_multi_combinator_kinds(spark):
+    # collect_explode and group_by inside scan_multi must match the
+    # standalone chained combinators (same single up/down-pass state)
+    from hail_spark.operators import scans
+    from hail_spark.table import Table
+
+    df = spark.createDataFrame(
+        [
+            (0, "a", 1, [10, 20]),
+            (1, "b", 2, None),
+            (2, "a", None, [30]),
+            (3, None, 4, [40, None]),
+            (4, "b", 5, []),
+        ],
+        ["idx", "k", "v", "arr"],
+    ).repartition(3)
+    t = Table(df, ("idx",), {})
+    multi = scans.scan_multi(
+        t,
+        {
+            "flat": ("collect_explode", F.col("arr")),
+            "grp": ("group_by", F.col("k"), F.col("v")),
+            "s": ("sum", F.col("v")),
+        },
+    )
+    got = {r["idx"]: (r["flat"], r["grp"], r["s"]) for r in multi.df.collect()}
+
+    chained = scans.scan_collect_explode(t, F.col("arr"), "flat")
+    chained = scans.scan_group_by(chained, F.col("k"), F.col("v"), "grp")
+    chained = scans.scan_sum(chained, F.col("v"), "s")
+    want = {r["idx"]: (r["flat"], r["grp"], r["s"]) for r in chained.df.collect()}
+    assert got == want
+    assert got[4] == ([10, 20, 30, 40], {"a": [1], "b": [2]}, 7)
