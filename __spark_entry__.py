@@ -2775,6 +2775,51 @@ FROM orders WHERE o_orderkey BETWEEN 100 AND 160 ORDER BY o_orderkey
 """
 
 
+def query_mt_rows_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.query_matrix_table_rows (functions.py:7295): indexed interval
+    read into a written MatrixTable without a Spark job — row-group
+    pruned pyarrow read of the rows+entries layout, cols resolved from
+    the matrix metadata sidecar. The driver-side result is re-exploded
+    to long form so the oracle can replay it from the raw events."""
+    import hashlib
+    import os
+
+    from hail_spark.io.query_table import matrix_table_cols, query_matrix_table_rows
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    cache = f"/tmp/hail_spark_qmt_{tag}"
+    if not os.path.exists(os.path.join(cache, "_matrix_metadata.json")):
+        _events_mt(spark, sf_dir).write(cache, overwrite=True)
+    rows = query_matrix_table_rows(cache, interval=(10, 60), entries_name="ent")
+    cols = matrix_table_cols(cache)
+    long = []
+    for r in rows:
+        for c, e in zip(cols, r["ent"]):
+            if e is None or e["n"] is None:
+                continue
+            long.append(
+                {
+                    "user_id": r["user_id"],
+                    "event_type": c["event_type"],
+                    "v": round(float(e["v"]), 6),
+                    "n": e["n"],
+                }
+            )
+    out = spark.createDataFrame(
+        long, "user_id bigint, event_type string, v double, n bigint"
+    )
+    return out.orderBy("user_id", "event_type")
+
+
+_QUERY_MT_SQL = """
+SELECT user_id, event_type,
+       round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS v,
+       COUNT(*) AS n
+FROM events WHERE user_id BETWEEN 10 AND 60
+GROUP BY user_id, event_type ORDER BY user_id, event_type
+"""
+
+
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column pipeline: documents → binary assets →
     stub-decoded image metadata + embedding + audio features, joined on
@@ -4995,6 +5040,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm_matmul": bm_matmul_q,
         "hwe_by_group": hwe_by_group,
         "query_table_point": query_table_point,
+        "query_mt_rows_point": query_mt_rows_point,
         "info_score_by_bucket": info_score_by_bucket,
         "liftover_loci": liftover_loci,
         "multimodal_pipeline": multimodal_pipeline,
@@ -5129,6 +5175,7 @@ def oracle_sql() -> dict[str, str]:
         "bm_matmul": _BM_MATMUL_SQL,
         "hwe_by_group": _HWE_SQL,
         "query_table_point": _QUERY_TABLE_SQL,
+        "query_mt_rows_point": _QUERY_MT_SQL,
         "info_score_by_bucket": _INFO_SCORE_SQL,
         "liftover_loci": _LIFTOVER_SQL,
         "multimodal_pipeline": _multimodal_oracle_sql(),

@@ -74,6 +74,36 @@ def query_table(path: str, point=None, interval: tuple | None = None) -> list[di
     return rows
 
 
+def query_matrix_table_rows(
+    path: str,
+    point=None,
+    interval: tuple | None = None,
+    entries_name: str = "entries",
+) -> list[dict]:
+    """Point/interval reads into a written MatrixTable WITHOUT a Spark
+    job (ref ``hl.query_matrix_table_rows``, functions.py:7295): the
+    same row-group-pruned pyarrow read as :func:`query_table` over the
+    MT's rows dir (our MT layout is a keyed table whose rows carry the
+    entries array), with the entries field surfaced under
+    ``entries_name`` — the reference's parameter for the same rename."""
+    rows = query_table(path, point=point, interval=interval)
+    # on disk the entries array lives under the internal reserved name
+    # (matrixtable.ENTRIES == "__entries"); surface it as entries_name
+    for r in rows:
+        if "__entries" in r:
+            r[entries_name] = r.pop("__entries")
+    return rows
+
+
+def matrix_table_cols(path: str) -> list[dict]:
+    """Column table of a written MatrixTable, read driver-side from the
+    metadata sidecar (cols live in ``_matrix_metadata.json`` — no data
+    file I/O at all, matching the reference where cols are part of the
+    matrix spec, not a partitioned dataset)."""
+    with open(os.path.join(path, "_matrix_metadata.json")) as f:
+        return json.load(f)["cols"]
+
+
 def table_stats(path: str) -> dict[str, Any]:
     """Partition/row-group manifest of a native table — the analogue of
     the reference's partition-bounds metadata (AbstractRVDSpec.scala:224)."""

@@ -227,3 +227,38 @@ def test_export_elasticsearch_gate(spark):
     df = spark.createDataFrame([{"a": 1}])
     with pytest.raises(RuntimeError, match="es-hadoop"):
         export_elasticsearch(df, "localhost", 9200, "idx", verbose=False)
+
+
+def test_query_matrix_table_rows(spark, tmp_path):
+    from hail_spark.io.query_table import matrix_table_cols, query_matrix_table_rows
+    from hail_spark.matrixtable import MatrixTable
+
+    e = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    long = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    mt = MatrixTable.from_long(
+        long, row_key=["user_id"], col_key="event_type", entry_fields=["n"]
+    )
+    p = str(tmp_path / "events_mt")
+    mt.write(p)
+    cols = matrix_table_cols(p)
+    assert [c["event_type"] for c in cols] == sorted(c["event_type"] for c in cols)
+    rows = query_matrix_table_rows(p, interval=(5, 25), entries_name="ent")
+    assert rows and all(5 <= r["user_id"] <= 25 for r in rows)
+    # entries align with cols and match a spark-side replay
+    want = {
+        (r["user_id"], r["event_type"]): r["n"]
+        for r in long.filter(
+            (F.col("user_id") >= 5) & (F.col("user_id") <= 25)
+        ).collect()
+    }
+    got = {}
+    for r in rows:
+        assert len(r["ent"]) == len(cols)
+        for c, ent in zip(cols, r["ent"]):
+            if ent is not None and ent["n"] is not None:
+                got[(r["user_id"], c["event_type"])] = ent["n"]
+    assert got == want
+    # point probe + entries_name rename
+    uid = rows[0]["user_id"]
+    pt = query_matrix_table_rows(p, point=uid)
+    assert len(pt) == 1 and "entries" in pt[0]
