@@ -4791,6 +4791,66 @@ FROM long GROUP BY user_id ORDER BY user_id
 )
 
 
+def avro_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.import_avro (ref impex.py:3345 / AvroTableReader.scala) via
+    the pure-Python container-file codec (io/avro.py — the spark-avro
+    jar is absent here, so this exercises the mapInPandas fallback
+    reader end to end, including a deflate-coded file): events slice →
+    2 avro files → import_avro → aggregate; the oracle replays from the
+    raw events table."""
+    import hashlib
+    import os
+
+    from hail_spark.io.avro import write_avro_file
+    from hail_spark.io.impex import import_avro
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/hail_spark_avro_{tag}"
+    if not os.path.exists(os.path.join(d, "part-1.avro")):
+        os.makedirs(d, exist_ok=True)
+        ev = (
+            _t(spark, sf_dir, "events")
+            .df.filter(F.col("event_id") % 7 == 0)
+            .select("event_id", "user_id", "event_type", "value")
+            .orderBy("event_id")
+        )
+        rows = [r.asDict() for r in ev.collect()]
+        schema = {
+            "type": "record",
+            "name": "Event",
+            "fields": [
+                {"name": "event_id", "type": "long"},
+                {"name": "user_id", "type": "long"},
+                {"name": "event_type", "type": ["null", "string"]},
+                {"name": "value", "type": ["null", "double"]},
+            ],
+        }
+        half = len(rows) // 2
+        write_avro_file(os.path.join(d, "part-0.avro"), schema, rows[:half])
+        write_avro_file(
+            os.path.join(d, "part-1.avro"), schema, rows[half:], codec="deflate"
+        )
+    t = import_avro(spark, d)
+    return (
+        t.df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+            F.round(F.sum("value"), 6).alias("val_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_AVRO_RT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum,
+       round(SUM(value), 6) AS val_sum
+FROM events WHERE event_id % 7 = 0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def gen_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """export_gen → import_gen round trip (ref io/gen/ExportGen,
     LoadGen): codegen-assembled GEN text lines re-parsed by the Catalyst
@@ -5081,6 +5141,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mt_union_battery": mt_union_battery_q,
         "mt_native_round_trip": mt_native_round_trip,
         "gen_round_trip": gen_round_trip,
+        "avro_round_trip": avro_round_trip,
         "fanout_round_trip": fanout_round_trip,
         "grep_lines": grep_lines_q,
         "filter_intervals_orders": filter_intervals_orders,
@@ -5216,6 +5277,7 @@ def oracle_sql() -> dict[str, str]:
         "mt_union_battery": _MT_UNION_SQL,
         "mt_native_round_trip": _MT_NATIVE_RT_SQL,
         "gen_round_trip": _GEN_RT_SQL,
+        "avro_round_trip": _AVRO_RT_SQL,
         "fanout_round_trip": _FANOUT_SQL,
         "grep_lines": _GREP_SQL,
         "filter_intervals_orders": _FILTER_INTERVALS_SQL,

@@ -351,12 +351,14 @@ def export_elasticsearch(
     ``org.elasticsearch.spark.sql`` DataFrame sink, the same transport
     the reference uses.
 
-    The es-hadoop jar is not bundled in pip pyspark distributions; when
-    absent this raises a clear error naming the required ``--packages
-    org.elasticsearch:elasticsearch-spark-30_2.13`` flag rather than
-    Spark's opaque ClassNotFound. The write itself is fully distributed
-    (each task bulk-indexes its partition at ``block_size`` docs per
-    batch).
+    Preferred path: the es-hadoop jar's DataFrame sink (``--packages
+    org.elasticsearch:elasticsearch-spark-30_2.13:<version>``). When
+    the jar is absent (pip pyspark doesn't bundle it) this falls back
+    to a REST ``_bulk`` sink over ``foreachPartition`` — the SAME wire
+    protocol es-hadoop itself speaks: every task POSTs its partition as
+    ndjson bulk batches of ``block_size`` docs straight from the
+    executor, so the fallback is just as distributed (no driver
+    funnel), only without the jar's retry/backpressure niceties.
     """
     resource = f"{index}/{index_type}" if index_type else index
     writer = (
@@ -372,37 +374,102 @@ def export_elasticsearch(
         print(f"exporting to elasticsearch at {host}:{port}/{resource}")
     try:
         writer.mode("append").save()
+        return
     except Exception as exc:
         msg = str(exc).lower()
-        if "elasticsearch" in msg or "data source" in msg or "classnotfound" in msg:
-            raise RuntimeError(
-                "export_elasticsearch requires the es-hadoop connector on the "
-                "classpath (launch with --packages "
-                "org.elasticsearch:elasticsearch-spark-30_2.13:<version>); "
-                "it is not bundled in pip pyspark"
-            ) from exc
-        raise
+        if not ("elasticsearch" in msg or "data source" in msg or "classnotfound" in msg):
+            raise
+    if verbose:
+        print("es-hadoop jar absent; using the REST _bulk fallback sink")
+    _es_rest_bulk(df, host, port, index, block_size)
+
+
+def _es_rest_bulk(df: DataFrame, host: str, port: int, index: str, block_size: int) -> None:
+    """Executor-side ndjson ``POST /_bulk`` sink (public ES REST API).
+    Rows serialize via Row.asDict(recursive=True) → JSON docs."""
+    import json as _json
+    import urllib.request as _rq
+
+    url = f"http://{host}:{port}/_bulk"
+    action = _json.dumps({"index": {"_index": index}})
+
+    def send(rows) -> None:
+        buf: list[str] = []
+
+        def flush():
+            if not buf:
+                return
+            body = ("\n".join(buf) + "\n").encode("utf-8")
+            req = _rq.Request(
+                url, data=body, headers={"Content-Type": "application/x-ndjson"}
+            )
+            with _rq.urlopen(req) as resp:
+                if resp.status >= 300:
+                    raise RuntimeError(f"_bulk HTTP {resp.status}")
+                out = _json.loads(resp.read().decode("utf-8") or "{}")
+                if out.get("errors"):
+                    raise RuntimeError(f"_bulk reported item errors: {out}")
+            buf.clear()
+
+        for row in rows:
+            buf.append(action)
+            buf.append(_json.dumps(row.asDict(recursive=True), default=str))
+            if len(buf) >= 2 * block_size:
+                flush()
+        flush()
+
+    df.foreachPartition(send)
 
 
 def import_avro(spark: SparkSession, path: str) -> Table:
     """Avro table import (ref impex.py:3345; Scala
-    io/avro/AvroTableReader.scala) → `spark.read.format("avro")`.
+    io/avro/AvroTableReader.scala).
 
-    The spark-avro module jar is not bundled in pip pyspark
-    distributions; when absent this raises a clear error naming the
-    required `--packages org.apache.spark:spark-avro_2.13` flag rather
-    than Spark's opaque ClassNotFound.
-    """
+    Preferred path: `spark.read.format("avro")` (spark-avro jar —
+    columnar, codec-complete; launch with `--packages
+    org.apache.spark:spark-avro_2.13:<spark version>`). When the jar is
+    absent (pip pyspark doesn't bundle it) this falls back to the
+    pure-Python container-file decoder (io/avro.py): the file list is
+    parallelized one-task-per-file and each file is decoded on an
+    executor inside mapInPandas — the same per-file granularity as the
+    reference's AvroPartitionReader, no driver-side data collect."""
     try:
         return Table(spark.read.format("avro").load(path))
     except Exception as exc:  # AnalysisException: failed to find data source
-        if "avro" in str(exc).lower() or "data source" in str(exc).lower():
-            raise RuntimeError(
-                "import_avro requires the spark-avro module on the classpath "
-                "(launch with --packages org.apache.spark:spark-avro_2.13:<spark version>); "
-                "it is not bundled in pip pyspark"
-            ) from exc
-        raise
+        msg = str(exc).lower()
+        if not ("avro" in msg or "data source" in msg):
+            raise
+
+    import glob as _glob
+    import os as _os
+
+    from .avro import avro_to_spark_schema, read_avro_file, read_avro_header
+
+    if _os.path.isdir(path):
+        files = sorted(_glob.glob(_os.path.join(path, "*.avro")))
+    else:
+        files = sorted(_glob.glob(path)) or [path]
+    if not files:
+        raise FileNotFoundError(f"import_avro: no avro files at {path}")
+    with open(files[0], "rb") as fh:
+        schema, _, _ = read_avro_header(fh)
+    spark_schema = avro_to_spark_schema(schema)
+    names = [f.name for f in spark_schema.fields]
+    paths_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        len(files)
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                _, rows = read_avro_file(p)
+                yield pd.DataFrame(
+                    {n: [r.get(n) for r in rows] for n in names}, columns=names
+                )
+
+    return Table(paths_df.mapInPandas(decode, schema=spark_schema))
 
 
 # ---------------------------------------------------------------------- #
