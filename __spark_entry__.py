@@ -3825,6 +3825,38 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def approx_cdf_struct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.agg.approx_cdf result struct (ref ApproxCDFAggregator.scala):
+    {values, ranks, n} per group. Run in the exact regime (accuracy >>
+    group size) so every values[i] replays as DuckDB's discrete
+    quantile and ranks replay as round(i/k*n)."""
+    from hail_spark.expr import aggregators as agg
+
+    ev = _t(spark, sf_dir, "events").df
+    out = ev.groupBy("event_type").agg(
+        agg.approx_cdf(F.col("value"), accuracy=1_000_000, k=4).alias("cdf")
+    )
+    return out.select(
+        "event_type",
+        F.round(F.col("cdf")["values"][1], 9).alias("v25"),
+        F.round(F.col("cdf")["values"][2], 9).alias("v50"),
+        F.round(F.col("cdf")["values"][3], 9).alias("v75"),
+        F.col("cdf")["ranks"][2].alias("r50"),
+        F.col("cdf")["n"].alias("n"),
+    ).orderBy("event_type")
+
+
+_APPROX_CDF_SQL = """
+SELECT event_type,
+       round(quantile_disc(value, 0.25), 9) AS v25,
+       round(quantile_disc(value, 0.50), 9) AS v50,
+       round(quantile_disc(value, 0.75), 9) AS v75,
+       CAST(floor(COUNT(value) * 0.5 + 0.5) AS BIGINT) AS r50,
+       COUNT(value) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def downsample_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hl.agg.downsample (ref aggregators.py:1533) via the bounded
     two-level grid reduction (downsample_table): the occupied-cell set
@@ -5121,6 +5153,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm_sparse_battery": bm_sparse_battery_q,
         "vds_ref_block_battery": vds_ref_block_battery_q,
         "approx_quantiles_by_type": approx_quantiles_q,
+        "approx_cdf_struct": approx_cdf_struct_q,
         "plink_round_trip": plink_round_trip,
         "bgen_round_trip": bgen_round_trip,
         "table_native_round_trip": table_native_round_trip,
@@ -5257,6 +5290,7 @@ def oracle_sql() -> dict[str, str]:
         "bm_sparse_battery": _BM_SPARSE_SQL,
         "vds_ref_block_battery": _VDS_REF_BLOCK_SQL,
         "approx_quantiles_by_type": _APPROX_Q_SQL,
+        "approx_cdf_struct": _APPROX_CDF_SQL,
         "plink_round_trip": _PLINK_RT_SQL,
         "bgen_round_trip": _BGEN_RT_SQL,
         "table_native_round_trip": _NATIVE_RT_SQL,

@@ -244,9 +244,25 @@ def approx_median(expr, accuracy: int = 10000) -> Column:
     return F.percentile_approx(_c(expr), 0.5, accuracy)
 
 
-def approx_cdf(expr, accuracy: int = 10000) -> Column:
-    qs = [i / 100.0 for i in range(101)]
-    return F.percentile_approx(_c(expr), qs, accuracy)
+def approx_cdf(expr, accuracy: int = 10000, k: int = 100) -> Column:
+    """hl.agg.approx_cdf result-STRUCT surface (ref
+    ApproxCDFAggregator.scala / aggregators.py approx_cdf): the
+    reference's KLL sketch returns ``{values, ranks}`` arrays where
+    ``ranks[i]`` is the approximate number of elements < ``values[i]``
+    and ranks[-1] == n. This reconstructs the same contract from
+    Spark's GK percentile_approx at k+1 evenly spaced quantiles plus
+    one count — within GK's error bounds rather than KLL's, but the
+    same struct shape and the same CDF-monotonicity invariants, in one
+    aggregation pass (two buffers)."""
+    x = _c(expr)
+    qs = [i / k for i in range(k + 1)]
+    vals = F.percentile_approx(x, qs, accuracy)
+    n = F.count(x)
+    ranks = F.transform(
+        F.sequence(F.lit(0), F.lit(k)),
+        lambda i: F.round(i.cast("double") / k * n).cast("bigint"),
+    )
+    return F.struct(vals.alias("values"), ranks.alias("ranks"), n.alias("n"))
 
 
 def hist(expr, start: float, end: float, bins: int) -> Column:

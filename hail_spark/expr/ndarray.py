@@ -78,6 +78,54 @@ def ones(shape: list) -> Column:
     return full(shape, 1.0)
 
 
+def eye(n: int, m: int | None = None) -> Column:
+    """hl.nd.eye (ref nd/nd.py:550): 2-D with ones on the main
+    diagonal — pure array expression (data[i] = 1 where i//m == i%m)."""
+    m = n if m is None else m
+    data = F.transform(
+        F.sequence(F.lit(0), F.lit(n * m - 1)),
+        lambda i: F.when((i - (i % m)) / m == i % m, F.lit(1.0)).otherwise(F.lit(0.0)),
+    )
+    return make([n, m], data)
+
+
+def diagonal(nd: Column) -> Column:
+    """hl.nd.diagonal (ref nd/nd.py:219): 1-D diagonal of a 2-D
+    ndarray, length min(M, N) — row-major gather data[i*(N+1)]."""
+    nd = _nd(nd)
+    r = F.element_at(nd["shape"], 1)
+    c = F.element_at(nd["shape"], 2)
+    k = F.least(r, c)
+    data = F.transform(
+        F.sequence(F.lit(0).cast("bigint"), k - 1),
+        lambda i: F.element_at(nd["data"], (i * (c + 1) + 1).cast("int")),
+    )
+    return F.struct(F.array(k).alias("shape"), data.alias("data"))
+
+
+def maximum(a: Column, b: Column) -> Column:
+    """hl.nd.maximum (ref nd/nd.py:730): elementwise max; NaN at either
+    index propagates (Spark's greatest would also pick NaN since NaN
+    orders above everything, but the explicit branch documents it)."""
+    nan = F.lit(float("nan"))
+    return ndmap2(
+        a,
+        b,
+        lambda x, y: F.when(F.isnan(x) | F.isnan(y), nan).otherwise(F.greatest(x, y)),
+    )
+
+
+def minimum(a: Column, b: Column) -> Column:
+    """hl.nd.minimum (ref nd/nd.py:773): elementwise min; NaN at either
+    index propagates (unlike Spark's least, which would skip NaN)."""
+    nan = F.lit(float("nan"))
+    return ndmap2(
+        a,
+        b,
+        lambda x, y: F.when(F.isnan(x) | F.isnan(y), nan).otherwise(F.least(x, y)),
+    )
+
+
 def ndmap(nd: Column, f: Callable[[Column], Column]) -> Column:
     """NDArrayMap (V:905): elementwise, shape-preserving."""
     nd = _nd(nd)

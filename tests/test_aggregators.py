@@ -231,3 +231,24 @@ def test_counter_weight_dtype(spark):
     ).collect()[0]["c"]
     assert big == {"F": 130, "M": 5}
     assert all(isinstance(v, int) for v in big.values())
+
+
+def test_approx_cdf_struct(spark):
+    import numpy as np
+
+    from hail_spark.expr import aggregators as agg
+
+    vals = [float(v) for v in np.random.default_rng(7).normal(size=2000)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    row = df.agg(agg.approx_cdf(F.col("x"), k=20).alias("c")).collect()[0]["c"]
+    assert row["n"] == 2000
+    assert row["ranks"][0] == 0 and row["ranks"][-1] == 2000
+    assert row["ranks"] == sorted(row["ranks"])
+    assert row["values"] == sorted(row["values"])
+    assert row["values"][0] == min(vals) and row["values"][-1] == max(vals)
+    # values[i] approximates the ranks[i]-th order statistic
+    srt = sorted(vals)
+    for v, r in zip(row["values"], row["ranks"]):
+        lo = srt[max(0, int(r) - 60)]
+        hi = srt[min(1999, int(r) + 60)]
+        assert lo <= v <= hi

@@ -241,3 +241,29 @@ def test_image_resize(spark):
         ys = (np.arange(6) * 8 // 6).clip(0, 7)
         xs = (np.arange(4) * 8 // 4).clip(0, 7)
         np.testing.assert_array_equal(arr, src[ys][:, xs])
+
+
+def test_nd_tail_eye_diagonal_maximum_minimum(spark):
+    rng = np.random.default_rng(11)
+    A = rng.normal(size=(3, 5))
+    B = rng.normal(size=(3, 5))
+    B[1, 2] = float("nan")
+    df = spark.createDataFrame(
+        [(A.flatten().tolist(), B.flatten().tolist())], ["a", "b"]
+    )
+    nda = nd.make([3, 5], F.col("a"))
+    ndb = nd.make([3, 5], F.col("b"))
+    row = df.select(
+        nd.eye(3)["data"].alias("eye3"),
+        nd.eye(2, 4)["data"].alias("eye24"),
+        nd.diagonal(nda).alias("diag"),
+        nd.maximum(nda, ndb)["data"].alias("mx"),
+        nd.minimum(nda, ndb)["data"].alias("mn"),
+    ).collect()[0]
+    np.testing.assert_allclose(row["eye3"], np.eye(3).flatten())
+    np.testing.assert_allclose(row["eye24"], np.eye(2, 4).flatten())
+    assert row["diag"]["shape"] == [3]
+    np.testing.assert_allclose(row["diag"]["data"], np.diag(A))
+    # numpy maximum/minimum propagate NaN like the reference
+    np.testing.assert_allclose(row["mx"], np.maximum(A, B).flatten())
+    np.testing.assert_allclose(row["mn"], np.minimum(A, B).flatten())
