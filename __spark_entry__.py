@@ -5023,6 +5023,288 @@ ORDER BY doc_id
 # ===================================================================== #
 # registry
 # ===================================================================== #
+# ===================================================================== #
+# round-3 additions: oracle coverage for previously pytest-only surfaces
+# ===================================================================== #
+def map_globals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TableMapGlobals (ref table_ir.py TableMapGlobals / table.py
+    annotate_globals): globals are driver-side plan literals consumed
+    by row maps — the whole point is they never touch the shuffle."""
+    t = _t(spark, sf_dir, "nation", ("n_nationkey",))
+    t = t.annotate_globals(factor=3, label="g")
+    g = t.globals
+    t = t.annotate(
+        scaled=F.col("n_regionkey") * F.lit(g["factor"]),
+        label=F.lit(g["label"]),
+    )
+    return t.df.select("n_nationkey", "n_name", "scaled", "label").orderBy(
+        "n_nationkey"
+    )
+
+
+_MAP_GLOBALS_SQL = """
+SELECT n_nationkey, n_name, n_regionkey * 3 AS scaled, 'g' AS label
+FROM nation ORDER BY n_nationkey
+"""
+
+
+def reservoir_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg.reservoir_sample (ref agg/ReservoirSampleAggregator) as the
+    bounded min-k-hash plan (operators/topk.grouped_reservoir): keep
+    the k rows whose salted hashes rank smallest — per-group state ≤ k
+    at any corpus size. portable_hash=True uses md5 so the oracle
+    replays the EXACT sample."""
+    from hail_spark.operators.topk import grouped_reservoir
+
+    ev = _t(spark, sf_dir, "events").df
+    out = grouped_reservoir(
+        ev, ["event_type"], F.col("event_id"), k=5, seed=3, out="sample",
+        portable_hash=True,
+    )
+    return out.select(
+        "event_type",
+        F.array_join(
+            F.transform(F.array_sort("sample"), lambda x: x.cast("string")), ","
+        ).alias("sample"),
+    ).orderBy("event_type")
+
+
+_RESERVOIR_SQL = """
+WITH h AS (SELECT event_type, event_id,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':3'), 1, 15))::BIGINT AS hv
+           FROM events),
+r AS (SELECT event_type, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h)
+SELECT event_type,
+       COALESCE(array_to_string(list_sort(array_agg(event_id)), ','), '') AS sample
+FROM r WHERE rn <= 5 GROUP BY event_type ORDER BY event_type
+"""
+
+
+def fold_entropy_hamming_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.agg.fold (AggFold V:2741) + hl.entropy (functions.py:3972) +
+    hl.hamming (functions.py:3941) battery: per c_custkey%5 group, a
+    folded decimal sum, summed hamming distance to the reversed phone,
+    and a decimal-summed per-name character entropy — all pure Column
+    HOFs (DuckDB replays entropy with its log2 entropy aggregate)."""
+    cust = _t(spark, sf_dir, "customer").df.filter(F.col("c_custkey") <= 200)
+    ent = hf.entropy(F.col("c_name"))
+    ham = hf.hamming(F.col("c_mktsegment"), F.reverse(F.col("c_mktsegment")))
+    out = cust.groupBy((F.col("c_custkey") % 5).alias("g")).agg(
+        agg.fold(
+            F.col("c_acctbal").cast("decimal(38,6)"),
+            F.lit(0).cast("decimal(38,6)"),
+            lambda acc, x: acc + x,
+        )
+        .cast("double")
+        .alias("folded_bal"),
+        F.sum(ham).cast("bigint").alias("ham_sum"),
+        F.sum(ent.cast("decimal(38,6)")).cast("double").alias("ent_sum"),
+    )
+    return out.orderBy("g")
+
+
+_FOLD_ENT_HAM_SQL = """
+WITH c AS (SELECT * FROM customer WHERE c_custkey <= 200),
+ents AS (
+  SELECT c_custkey,
+         entropy(ch) AS ent
+  FROM (SELECT c_custkey,
+               unnest(list_transform(range(1, length(c_name) + 1),
+                                     i -> c_name[i:i])) AS ch
+        FROM c)
+  GROUP BY c_custkey),
+hams AS (
+  SELECT c_custkey,
+         (SELECT COUNT(*) FROM unnest(range(1, length(c_mktsegment) + 1)) AS t(i)
+          WHERE c_mktsegment[i:i] <> reverse(c_mktsegment)[i:i]) AS ham
+  FROM c)
+SELECT c.c_custkey % 5 AS g,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS folded_bal,
+       CAST(SUM(h.ham) AS BIGINT) AS ham_sum,
+       CAST(SUM(CAST(e.ent AS DECIMAL(38,6))) AS DOUBLE) AS ent_sum
+FROM c JOIN ents e USING (c_custkey) JOIN hams h USING (c_custkey)
+GROUP BY 1 ORDER BY g
+"""
+
+
+def ndarray_sum_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.agg.ndarray_sum (ref aggregators.py:972): elementwise sum of
+    2×2 ndarray structs per group. Elements are integer-valued doubles
+    so the fold is order-exact; the oracle sums each cell."""
+    from hail_spark.expr import ndarray as nd
+
+    ev = _t(spark, sf_dir, "events").df
+    mat = nd.make(
+        [2, 2],
+        F.array(
+            (F.col("event_id") % 7).cast("double"),
+            (F.col("user_id") % 5).cast("double"),
+            F.lit(1.0),
+            (F.col("event_id") % 3).cast("double"),
+        ),
+    )
+    out = ev.groupBy("event_type").agg(agg.ndarray_sum(mat).alias("nd"))
+    return out.select(
+        "event_type",
+        F.array_join(
+            F.transform(F.col("nd")["shape"], lambda x: x.cast("string")), ","
+        ).alias("shape"),
+        _arr_str(F.col("nd")["data"]).alias("data"),
+    ).orderBy("event_type")
+
+
+_NDARRAY_SUM_SQL = """
+SELECT event_type, '2,2' AS shape,
+       array_to_string([
+         CAST(CAST(SUM(event_id % 7) AS DECIMAL(18,2)) AS VARCHAR),
+         CAST(CAST(SUM(user_id % 5) AS DECIMAL(18,2)) AS VARCHAR),
+         CAST(CAST(COUNT(*) AS DECIMAL(18,2)) AS VARCHAR),
+         CAST(CAST(SUM(event_id % 3) AS DECIMAL(18,2)) AS VARCHAR)], ',') AS data
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def balding_nichols_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.balding_nichols_model (ref statgen.py:3984): seeded
+    deterministic cohort simulation (per-variant numpy streams inside
+    mapInPandas — partitioning-independent). No table input, so the
+    per-population genotype sums are corpus-independent and the oracle
+    pins them as VALUES."""
+    from hail_spark.matrixtable import ENTRIES
+    from hail_spark.methods.genetics import balding_nichols_model
+
+    mt = balding_nichols_model(
+        spark, n_populations=3, n_samples=12, n_variants=40, fst=0.2, seed=11
+    )
+    pops = [c["pop"] for c in mt._cols]
+    pop_lit = F.array(*[F.lit(int(p)) for p in pops])
+    gt = F.transform(F.col(ENTRIES), lambda e: e["GT"].cast("bigint"))
+    long = mt._df.select(F.posexplode(gt).alias("j", "g")).select(
+        F.element_at(pop_lit, F.col("j") + 1).alias("pop"), "g"
+    )
+    return (
+        long.groupBy("pop")
+        .agg(
+            (F.count(F.lit(1)) / 40).cast("bigint").alias("n_samples"),
+            F.sum("g").cast("bigint").alias("gt_sum"),
+        )
+        .orderBy("pop")
+    )
+
+
+_BALDING_NICHOLS_SQL = """
+SELECT * FROM (VALUES
+  (0, CAST(4 AS BIGINT), CAST(143 AS BIGINT)),
+  (1, CAST(5 AS BIGINT), CAST(172 AS BIGINT)),
+  (2, CAST(3 AS BIGINT), CAST(123 AS BIGINT))) AS t(pop, n_samples, gt_sum)
+ORDER BY pop
+"""
+
+
+def maximal_independent_set_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.maximal_independent_set (ref misc.py:16): greedy
+    highest-degree-removal MIS — driver-side over the collected edge
+    list, exactly like the reference (its implementation collects the
+    edges too). Edges are a fixed function of the 25 nation keys, so
+    the kept set is corpus-independent and pinned."""
+    from hail_spark.methods.misc import maximal_independent_set
+
+    nat = _t(spark, sf_dir, "nation").df
+    keys = sorted(r["n_nationkey"] for r in nat.select("n_nationkey").collect())
+    edges = [(i, (i * 7 + 3) % 25) for i in keys if i != (i * 7 + 3) % 25]
+    kept = sorted(maximal_independent_set(edges))
+    kept_df = spark.createDataFrame([(k,) for k in kept], "n_nationkey int")
+    return (
+        kept_df.join(nat.select(F.col("n_nationkey").cast("int"), "n_name"), "n_nationkey")
+        .orderBy("n_nationkey")
+    )
+
+
+_MIS_SQL = """
+SELECT k.n_nationkey, n.n_name
+FROM (VALUES (3),(6),(7),(9),(10),(11),(13),(14),(15),(17),(18),(21))
+     AS k(n_nationkey)
+JOIN nation n ON n.n_nationkey = k.n_nationkey
+ORDER BY k.n_nationkey
+"""
+
+
+def row_correlation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.row_correlation (ref statgen.py:3730): Pearson correlation
+    between MT rows, computed as a standardized BlockMatrix gram
+    (Z Zᵀ — distributed matmul, never a driver-side n² loop). Rows =
+    event types, cols = 8 user buckets (dense at every SF); the oracle
+    replays each pair with DuckDB's corr aggregate."""
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.relatedness import row_correlation
+
+    ev = _t(spark, sf_dir, "events").df
+    long = ev.groupBy(
+        F.col("event_type").alias("et"), (F.col("user_id") % 8).alias("b")
+    ).agg(F.count(F.lit(1)).cast("double").alias("n"))
+    mt = MatrixTable.from_long(
+        long, row_key=["et"], col_key="b", entry_fields=["n"]
+    )
+    C = row_correlation(mt, x_field="n")
+    ets = sorted(r["et"] for r in long.select("et").distinct().collect())
+    rows = []
+    for i in range(len(ets)):
+        for j in range(i + 1, len(ets)):
+            rows.append((ets[i], ets[j], round(float(C[i, j]), 6)))
+    return spark.createDataFrame(rows, "et_a string, et_b string, r double").orderBy(
+        "et_a", "et_b"
+    )
+
+
+_ROW_CORR_SQL = """
+WITH long AS (SELECT event_type AS et, user_id % 8 AS b, COUNT(*)::DOUBLE AS n
+              FROM events GROUP BY 1, 2)
+SELECT a.et AS et_a, b.et AS et_b, round(corr(a.n, b.n), 6) AS r
+FROM long a JOIN long b ON a.b = b.b AND a.et < b.et
+GROUP BY a.et, b.et ORDER BY et_a, et_b
+"""
+
+
+def bm_svd_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlockMatrix.svd (tall-skinny gramian path) checked through
+    moment identities (the pca_moments pattern): Σσ² equals the squared
+    Frobenius norm of A and Σσ⁴ the squared Frobenius norm of AᵀA —
+    both SQL-computable, and only correct if the distributed gramian +
+    eigendecomposition are."""
+    import numpy as np
+
+    from hail_spark.linalg.blockmatrix import BlockMatrix
+
+    nat = _t(spark, sf_dir, "nation").df
+    long = nat.select(
+        F.col("n_nationkey").cast("bigint").alias("i"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("j"),
+    ).select(
+        "i",
+        F.col("j").cast("bigint"),
+        ((F.col("i") * 4 + F.col("j")) % 7 - 3.0).cast("double").alias("v"),
+    )
+    A = BlockMatrix.from_long(long, 25, 4, block_size=8, i="i", j="j", v="v")
+    s = A.svd(compute_uv=False)
+    s = np.asarray(s, dtype=float)
+    return _t(spark, sf_dir, "nation").df.limit(1).select(
+        F.lit(round(float((s**2).sum()), 6)).alias("m2"),
+        F.lit(round(float((s**4).sum()), 6)).alias("m4"),
+    )
+
+
+_BM_SVD_SQL = """
+WITH a AS (SELECT n_nationkey AS i, j, ((n_nationkey * 4 + j) % 7 - 3.0)::DOUBLE AS v
+           FROM nation, unnest([0, 1, 2, 3]) AS t(j)),
+g AS (SELECT x.j AS j1, y.j AS j2, SUM(x.v * y.v) AS gv
+      FROM a x JOIN a y ON x.i = y.i GROUP BY x.j, y.j)
+SELECT round((SELECT SUM(v * v) FROM a), 6) AS m2,
+       round((SELECT SUM(gv * gv) FROM g), 6) AS m4
+"""
+
+
 # Queries with a green driver CORRECTNESS row in rounds 1-2.  The driver
 # samples ~50 queries from the head of the queries() dict each round, so
 # never-driver-checked queries are rotated to the front until every
@@ -5133,6 +5415,14 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hwe_by_group": hwe_by_group,
         "query_table_point": query_table_point,
         "query_mt_rows_point": query_mt_rows_point,
+        "map_globals": map_globals_q,
+        "reservoir_sample": reservoir_sample_q,
+        "fold_entropy_hamming": fold_entropy_hamming_q,
+        "ndarray_sum_groups": ndarray_sum_q,
+        "balding_nichols_stats": balding_nichols_q,
+        "maximal_independent_set": maximal_independent_set_q,
+        "row_correlation_pairs": row_correlation_q,
+        "bm_svd_moments": bm_svd_moments_q,
         "info_score_by_bucket": info_score_by_bucket,
         "liftover_loci": liftover_loci,
         "multimodal_pipeline": multimodal_pipeline,
@@ -5270,6 +5560,14 @@ def oracle_sql() -> dict[str, str]:
         "hwe_by_group": _HWE_SQL,
         "query_table_point": _QUERY_TABLE_SQL,
         "query_mt_rows_point": _QUERY_MT_SQL,
+        "map_globals": _MAP_GLOBALS_SQL,
+        "reservoir_sample": _RESERVOIR_SQL,
+        "fold_entropy_hamming": _FOLD_ENT_HAM_SQL,
+        "ndarray_sum_groups": _NDARRAY_SUM_SQL,
+        "balding_nichols_stats": _BALDING_NICHOLS_SQL,
+        "maximal_independent_set": _MIS_SQL,
+        "row_correlation_pairs": _ROW_CORR_SQL,
+        "bm_svd_moments": _BM_SVD_SQL,
         "info_score_by_bucket": _INFO_SCORE_SQL,
         "liftover_loci": _LIFTOVER_SQL,
         "multimodal_pipeline": _multimodal_oracle_sql(),

@@ -46,9 +46,22 @@ def grouped_reservoir(
     k: int,
     seed: int = 0,
     out: str = "sample",
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Bounded per-group uniform k-sample via the min-k-hash order (keep
     the k rows whose salted hashes rank smallest) — the hot-key-safe
-    form of ``agg.reservoir_sample``."""
-    h = F.xxhash64(value.cast("string"), F.lit(seed))
+    form of ``agg.reservoir_sample``.
+
+    ``portable_hash=True`` salts with md5 instead of xxhash64 so any
+    SQL dialect can replay the exact sample (the llmdata.sampling
+    determinism contract); xxhash64 stays the default — it's
+    codegen-cheap and sampling only needs engine-internal stability."""
+    if portable_hash:
+        h = F.conv(
+            F.substring(F.md5(F.concat(value.cast("string"), F.lit(f":{seed}"))), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+    else:
+        h = F.xxhash64(value.cast("string"), F.lit(seed))
     return grouped_take_by(df, group_cols, [h.asc()], value, k, out=out)
