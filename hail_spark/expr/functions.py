@@ -738,22 +738,51 @@ def call_is_non_ref(gt) -> Column:
 # we derive uniforms from xxhash64 of row uid + seed: stable across
 # retries and repartitioning, unlike F.rand)
 # ---------------------------------------------------------------------- #
-def rand_unif(uid, lo=0.0, hi=1.0, seed: int = 0) -> Column:
+
+# Global seed registry (ref hl.set_global_seed / reset_global_randomness,
+# hail/__init__.py): rand_* calls that omit ``seed`` salt their hashes
+# with this value instead of 0.  Unlike the reference's stateful RNG,
+# draws here are pure uid-keyed functions, so the global seed is the
+# only mutable randomness state there is.
+_GLOBAL_SEED = 0
+
+
+def set_global_seed(seed: int) -> None:
+    """Set the default seed consulted by every rand_* call that does
+    not pass one explicitly (ref hl.set_global_seed)."""
+    global _GLOBAL_SEED
+    _GLOBAL_SEED = int(seed)
+
+
+def reset_global_randomness() -> None:
+    """Restore the default seed of 0 (ref hl.reset_global_randomness)."""
+    global _GLOBAL_SEED
+    _GLOBAL_SEED = 0
+
+
+def _seed(s):
+    return _GLOBAL_SEED if s is None else s
+
+
+def rand_unif(uid, lo=0.0, hi=1.0, seed: int | None = None) -> Column:
+    seed = _seed(seed)
     h = F.xxhash64(_c(uid), F.lit(seed))
     u = (h.cast("double") / F.lit(2.0**63)) / 2.0 + 0.5
     return F.lit(lo) + u * (F.lit(hi) - F.lit(lo))
 
 
-def rand_bool(uid, p: float, seed: int = 0) -> Column:
+def rand_bool(uid, p: float, seed: int | None = None) -> Column:
     return rand_unif(uid, seed=seed) < p
 
 
-def rand_int32(uid, n, seed: int = 0) -> Column:
+def rand_int32(uid, n, seed: int | None = None) -> Column:
+    seed = _seed(seed)
     return F.pmod(F.xxhash64(_c(uid), F.lit(seed)), F.lit(n)).cast("int")
 
 
-def rand_norm(uid, mean=0.0, sd=1.0, seed: int = 0) -> Column:
+def rand_norm(uid, mean=0.0, sd=1.0, seed: int | None = None) -> Column:
     """Box-Muller over two derived uniforms."""
+    seed = _seed(seed)
     u1 = rand_unif(uid, seed=seed * 2 + 1)
     u2 = rand_unif(uid, seed=seed * 2 + 2)
     z = F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * 3.141592653589793 * u2)
@@ -835,10 +864,11 @@ def _rand_pandas_udf(kernel, ret: str = "double"):
     return u
 
 
-def rand_pois(uid, lamb, seed: int = 0) -> Column:
+def rand_pois(uid, lamb, seed: int | None = None) -> Column:
     """Poisson draw (ref functions.py:3029 `hl.rand_pois`). Scalar
     lamb → literal inverse-CDF (pure Column, JVM-side): value = #{cdf
     entries < u}."""
+    seed = _seed(seed)
     if isinstance(lamb, (int, float)):
         from .stats import dpois
 
@@ -868,8 +898,9 @@ def rand_pois(uid, lamb, seed: int = 0) -> Column:
     return _rand_pandas_udf(kernel)(_c(uid), _c(lamb)).cast("int")
 
 
-def rand_gamma(uid, shape, scale=1.0, seed: int = 0) -> Column:
+def rand_gamma(uid, shape, scale=1.0, seed: int | None = None) -> Column:
     """Gamma(shape, scale) draw (ref functions.py:3440 `hl.rand_gamma`)."""
+    seed = _seed(seed)
 
     def kernel(uids, shapes, scales):
         return _np_gamma(uids, shapes, seed) * np.asarray(scales, dtype=float)
@@ -880,9 +911,10 @@ def rand_gamma(uid, shape, scale=1.0, seed: int = 0) -> Column:
     )
 
 
-def rand_beta(uid, a, b, seed: int = 0) -> Column:
+def rand_beta(uid, a, b, seed: int | None = None) -> Column:
     """Beta(a, b) = G1/(G1+G2) over independent gamma streams (ref
     functions.py:3382 `hl.rand_beta`)."""
+    seed = _seed(seed)
 
     def kernel(uids, aa, bb):
         g1 = _np_gamma(uids, aa, seed, base_stream=0)
@@ -895,9 +927,10 @@ def rand_beta(uid, a, b, seed: int = 0) -> Column:
     )
 
 
-def rand_cat(uid, probs: list[float], seed: int = 0) -> Column:
+def rand_cat(uid, probs: list[float], seed: int | None = None) -> Column:
     """Categorical index draw from literal weights (ref
     functions.py:3333 `hl.rand_cat`) — pure Column CDF compare."""
+    seed = _seed(seed)
     total = float(sum(probs))
     cdf = np.cumsum(np.asarray(probs, dtype=float) / total)[:-1]
     u = rand_unif(uid, seed=seed)
@@ -905,8 +938,9 @@ def rand_cat(uid, probs: list[float], seed: int = 0) -> Column:
     return F.size(F.filter(arr, lambda c: c <= u)).cast("int")
 
 
-def rand_dirichlet(uid, alphas: list[float], seed: int = 0) -> Column:
+def rand_dirichlet(uid, alphas: list[float], seed: int | None = None) -> Column:
     """Dirichlet(α) via normalized gammas (ref functions.py:3518)."""
+    seed = _seed(seed)
 
     def kernel(uids):
         gs = np.stack(
@@ -922,9 +956,10 @@ def rand_dirichlet(uid, alphas: list[float], seed: int = 0) -> Column:
     return _rand_pandas_udf(kernel, "array<double>")(_c(uid))
 
 
-def rand_hyper(uid, n_good, n_bad, n_draws, seed: int = 0) -> Column:
+def rand_hyper(uid, n_good, n_bad, n_draws, seed: int | None = None) -> Column:
     """Hypergeometric draw (ref functions.py:3487 `hl.rand_hyper`) via
     bounded inverse-CDF scan (support ≤ n_draws)."""
+    seed = _seed(seed)
 
     def kernel(uids, ng, nb, k):
         from math import comb
@@ -1285,15 +1320,17 @@ def nanmax(a, b) -> Column:
     return F.when(F.isnan(a), b).when(F.isnan(b), a).otherwise(F.greatest(a, b))
 
 
-def rand_int64(uid, n=None, seed: int = 0) -> Column:
+def rand_int64(uid, n=None, seed: int | None = None) -> Column:
     """Uniform int64 (ref functions.py:3100)."""
+    seed = _seed(seed)
     h = F.xxhash64(_c(uid), F.lit(seed))
     return h if n is None else F.pmod(h, F.lit(n).cast("bigint"))
 
 
-def rand_norm2d(uid, seed: int = 0) -> Column:
+def rand_norm2d(uid, seed: int | None = None) -> Column:
     """2-D standard normal as array<double> (ref functions.py:3311):
     both Box-Muller outputs from one uniform pair."""
+    seed = _seed(seed)
     u1 = rand_unif(uid, seed=seed * 2 + 1)
     u2 = rand_unif(uid, seed=seed * 2 + 2)
     r = F.sqrt(-2.0 * F.log(u1))
@@ -1301,10 +1338,11 @@ def rand_norm2d(uid, seed: int = 0) -> Column:
     return F.array(r * F.cos(th), r * F.sin(th))
 
 
-def shuffle(arr, uid=None, seed: int = 0) -> Column:
+def shuffle(arr, uid=None, seed: int | None = None) -> Column:
     """Deterministic pseudo-random permutation of an array (ref
     functions.py:3518 hl.shuffle): sort by a per-element hash keyed on
     the element's position and an optional row uid."""
+    seed = _seed(seed)
     a = _c(arr)
     key = _c(uid) if uid is not None else F.lit("")
     idx = F.sequence(F.lit(0), F.size(a) - 1)

@@ -358,3 +358,39 @@ def get_sequence(spark, fasta: dict, contig, position, before=0, after=0) -> Col
 
     seq = pandas_udf(_seq, "string")
     return seq(_c(contig), _c(position))
+
+
+# ------------------------------------------------------------------ #
+# reference-genome registry (ref hl.get_reference / default_reference /
+# ReferenceGenome registry in hail/genetics/reference_genome.py)
+# ------------------------------------------------------------------ #
+_REGISTRY: dict[str, ReferenceGenome] = {"GRCh37": GRCH37, "GRCh38": GRCH38}
+_DEFAULT = "GRCh37"  # the reference's default
+
+
+def get_reference(name: str) -> ReferenceGenome:
+    """hl.get_reference: look up a registered genome by name."""
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown reference genome '{name}'; registered: {sorted(_REGISTRY)}"
+        ) from None
+
+
+def add_reference(rg: ReferenceGenome) -> ReferenceGenome:
+    """Register a custom genome (ref ReferenceGenome constructor side
+    effect)."""
+    _REGISTRY[rg.name] = rg
+    return rg
+
+
+def default_reference(new_default: "str | ReferenceGenome | None" = None) -> ReferenceGenome:
+    """hl.default_reference: get — or, with an argument, set — the
+    session default genome."""
+    global _DEFAULT
+    if new_default is not None:
+        name = new_default if isinstance(new_default, str) else new_default.name
+        get_reference(name) if isinstance(new_default, str) else add_reference(new_default)
+        _DEFAULT = name
+    return _REGISTRY[_DEFAULT]

@@ -39,3 +39,34 @@ def get_spark(app_name: str = "hail_spark", **extra: str) -> SparkSession:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def init(app_name: str = "hail_spark", **extra: str) -> SparkSession:
+    """Parity alias for ``hl.init`` / ``hl.init_spark`` (ref
+    hail/__init__.py, context.py init_spark): create-or-get the
+    session. The reference's log/tmp/branching-factor knobs are Spark
+    configs here — pass them via ``extra``."""
+    return get_spark(app_name, **extra)
+
+
+init_spark = init
+init_local = init
+
+
+def stop() -> None:
+    """Parity alias for ``hl.stop``: stop the active session."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+
+
+def spark_context():
+    """Parity alias for ``hl.spark_context`` (ref context.py)."""
+    return get_spark().sparkContext
+
+
+def tmp_dir() -> str:
+    """Parity alias for ``hl.tmp_dir``: the engine scratch directory."""
+    import tempfile
+
+    return tempfile.gettempdir()

@@ -1,12 +1,18 @@
 """Local stand-in for the driver's correctness gate: run every
 queries() entry and its oracle_sql() side-by-side at sf0.01 and compare
 row counts + order-insensitive canonicalized values (floats rounded to
-1e-9, like the driver per FIXTURES.md)."""
+1e-9, like the driver per FIXTURES.md).
+
+``run_gate(spark, sf_dir, only=None)`` is importable (the two-SF pytest
+guard in tests/test_oracle_two_sf.py uses it so SF-pinned oracle
+constants can never recur); the CLI wraps it.
+"""
 
 from __future__ import annotations
 
 import json
 import math
+import os
 import sys
 import time
 
@@ -15,10 +21,6 @@ import duckdb
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entry_mod  # noqa: E402
-from hail_spark import get_spark  # noqa: E402
-
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = sys.argv[2].split(",") if len(sys.argv) > 2 else None
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
@@ -50,26 +52,25 @@ def rows_to_canonical(cols, rows):
     return out
 
 
-def main():
-    spark = get_spark("verify_local")
+def run_gate(spark, sf_dir: str, only=None) -> dict[str, str]:
+    """Run the oracle gate; returns {query: status string} where status
+    starts with 'OK' or 'rows-only' on success."""
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
-
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs = entry_mod.queries()
-    import os
-    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     oracles = entry_mod.oracle_sql()
-    results = {}
+    results: dict[str, str] = {}
     for name, fn in qs.items():
-        if ONLY and name not in ONLY:
+        if only and name not in only:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, SF_DIR)
+            sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
-        except Exception as e:
+        except Exception as e:  # noqa: BLE001
             results[name] = f"SPARK FAIL: {type(e).__name__}: {str(e)[:200]}"
             continue
         if name not in oracles:
@@ -79,7 +80,7 @@ def main():
             ddf = con.sql(oracles[name])
             dcols = [c.lower() for c in ddf.columns]
             drows = ddf.fetchall()
-        except Exception as e:
+        except Exception as e:  # noqa: BLE001
             results[name] = f"ORACLE FAIL: {type(e).__name__}: {str(e)[:200]}"
             continue
         dt = time.time() - t0
@@ -99,6 +100,16 @@ def main():
                 f"VALUES MISMATCH ({len(srows)} rows) first diff row {bad}:\n"
                 f"    spark: {a[bad]}\n    duck : {b[bad]}"
             )
+    return results
+
+
+def main():
+    from hail_spark import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    spark = get_spark("verify_local")
+    results = run_gate(spark, sf_dir, only)
     width = max(len(n) for n in results)
     fails = 0
     for name, res in results.items():

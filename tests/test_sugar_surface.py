@@ -126,3 +126,52 @@ def test_mt_rename_select_drop(spark):
     assert sel._entry_fields() == ["DP"]
     dropped = mt2.drop("DP")
     assert dropped._entry_fields() == ["GT"]
+
+
+def test_top_level_parity_exports():
+    import hail_spark as hs
+
+    for n in hs.__all__:
+        assert getattr(hs, n) is not None
+    assert hs.version() == hs.__version__
+    assert "hail" in hs.citation()
+    assert hs.get_reference("GRCh37").contigs[0] == "1"
+    assert hs.default_reference().name == "GRCh37"
+
+
+def test_global_seed_registry(spark):
+    import hail_spark as hs
+    from pyspark.sql import functions as F
+    from hail_spark.expr import functions as hf
+
+    df = spark.range(5)
+    base = [r["u"] for r in df.select(hf.rand_unif(F.col("id")).alias("u")).collect()]
+    hs.set_global_seed(42)
+    try:
+        seeded = [r["u"] for r in df.select(hf.rand_unif(F.col("id")).alias("u")).collect()]
+        explicit = [
+            r["u"]
+            for r in df.select(hf.rand_unif(F.col("id"), seed=42).alias("u")).collect()
+        ]
+        assert seeded == explicit and seeded != base
+    finally:
+        hs.reset_global_randomness()
+    again = [r["u"] for r in df.select(hf.rand_unif(F.col("id")).alias("u")).collect()]
+    assert again == base
+
+
+def test_hadoop_utils_roundtrip(tmp_path):
+    import hail_spark as hs
+
+    p = str(tmp_path / "f.txt")
+    with hs.hadoop_open(p, "w") as f:
+        f.write("abc")
+    assert hs.hadoop_exists(p) and hs.hadoop_is_file(p)
+    assert hs.hadoop_stat(p)["size_bytes"] == 3
+    gz = str(tmp_path / "f.gz")
+    with hs.hadoop_open(gz, "w") as f:
+        f.write("zipped")
+    with hs.hadoop_open(gz) as f:
+        assert f.read() == "zipped"
+    with hs.TemporaryFilename(suffix=".tmp") as name:
+        assert not hs.hadoop_exists(name)
