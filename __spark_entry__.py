@@ -3857,6 +3857,42 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def kll_cdf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True KLL sketch path (operators/kll.py — ApproxCDFAggregator
+    parity): per-partition sketches + driver merge, run in the exact
+    regime (k >> n) so quantiles replay as DuckDB's discrete quantile.
+    The distributed plumbing (mapInPandas partials, level-tagged
+    serialization, merge) is what's under test; the approximate regime
+    is covered by the rank-error pytest."""
+    from hail_spark.operators.kll import kll_sketch
+
+    ev = _t(spark, sf_dir, "events").df.filter(F.col("event_id") % 17 == 0)
+    sk = kll_sketch(ev.repartition(8), "value", k=65536)
+    return ev.sparkSession.createDataFrame(
+        [
+            (
+                sk.n,
+                round(sk.min, 9),
+                round(sk.max, 9),
+                round(sk.quantile(0.25), 9),
+                round(sk.quantile(0.5), 9),
+                round(sk.quantile(0.75), 9),
+            )
+        ],
+        "n bigint, vmin double, vmax double, q25 double, q50 double, q75 double",
+    )
+
+
+_KLL_SQL = """
+SELECT COUNT(value) AS n,
+       round(MIN(value), 9) AS vmin, round(MAX(value), 9) AS vmax,
+       round(quantile_disc(value, 0.25), 9) AS q25,
+       round(quantile_disc(value, 0.50), 9) AS q50,
+       round(quantile_disc(value, 0.75), 9) AS q75
+FROM events WHERE event_id % 17 = 0
+"""
+
+
 def downsample_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hl.agg.downsample (ref aggregators.py:1533) via the bounded
     two-level grid reduction (downsample_table): the occupied-cell set
@@ -5444,6 +5480,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vds_ref_block_battery": vds_ref_block_battery_q,
         "approx_quantiles_by_type": approx_quantiles_q,
         "approx_cdf_struct": approx_cdf_struct_q,
+        "kll_cdf_exact_regime": kll_cdf_q,
         "plink_round_trip": plink_round_trip,
         "bgen_round_trip": bgen_round_trip,
         "table_native_round_trip": table_native_round_trip,
@@ -5589,6 +5626,7 @@ def oracle_sql() -> dict[str, str]:
         "vds_ref_block_battery": _VDS_REF_BLOCK_SQL,
         "approx_quantiles_by_type": _APPROX_Q_SQL,
         "approx_cdf_struct": _APPROX_CDF_SQL,
+        "kll_cdf_exact_regime": _KLL_SQL,
         "plink_round_trip": _PLINK_RT_SQL,
         "bgen_round_trip": _BGEN_RT_SQL,
         "table_native_round_trip": _NATIVE_RT_SQL,

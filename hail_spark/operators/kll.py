@@ -159,9 +159,9 @@ class KLLSketch:
         return sk
 
 
-def approx_cdf_kll(df: DataFrame, col: str, k: int = 200) -> dict:
-    """Distributed KLL approx_cdf over one column: sketch per partition
-    on the executors, merge on the driver (bytes moved =
+def kll_sketch(df: DataFrame, col: str, k: int = 200) -> KLLSketch:
+    """Distributed KLL sketch over one column: sketch per partition on
+    the executors, merge on the driver (bytes moved =
     #partitions × O(k·log n) floats — never the data)."""
     import pandas as pd
 
@@ -182,4 +182,9 @@ def approx_cdf_kll(df: DataFrame, col: str, k: int = 200) -> dict:
         if row["h"] == -1:
             merged.merge(KLLSketch.from_rows(cur, k))
             cur = []
-    return merged.cdf()
+    return merged
+
+
+def approx_cdf_kll(df: DataFrame, col: str, k: int = 200) -> dict:
+    """The reference's approx_cdf result struct from :func:`kll_sketch`."""
+    return kll_sketch(df, col, k).cdf()
