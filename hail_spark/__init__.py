@@ -75,7 +75,56 @@ _LAZY = {
     "hadoop_scheme_supported": ("hail_spark.utils", "hadoop_scheme_supported"),
     "TemporaryDirectory": ("hail_spark.utils", "TemporaryDirectory"),
     "TemporaryFilename": ("hail_spark.utils", "TemporaryFilename"),
+    # value types + misc top-level parity (ref hail/__init__.py __all__)
+    "Struct": ("hail_spark.utils", "Struct"),
+    "Interval": ("hail_spark.utils", "Interval"),
+    "ANY_REGION": ("hail_spark.utils", "ANY_REGION"),
+    "backend": ("hail_spark.session", "backend"),
+    "current_backend": ("hail_spark.session", "current_backend"),
+    "debug_info": ("hail_spark.session", "debug_info"),
+    "copy_log": ("hail_spark.session", "copy_log"),
+    "_set_flags": ("hail_spark.session", "_set_flags"),
+    "_get_flags": ("hail_spark.session", "_get_flags"),
+    "_with_flags": ("hail_spark.session", "_with_flags"),
 }
+
+# the whole hl.methods surface is also reachable at top level, as in the
+# reference (`from .methods import *` in hail/__init__.py)
+_METHODS_TOPLEVEL = (
+    "read_table read_matrix_table import_table import_csv import_lines import_avro "
+    "import_bed import_fam import_locus_intervals import_matrix_table import_gen "
+    "export_gen import_bgen index_bgen export_bgen import_plink export_plink "
+    "import_vcf export_vcf get_vcf_header_info get_vcf_metadata import_gvcf_interval "
+    "export_elasticsearch grep "
+    "split_multi split_multi_hts filter_alleles filter_alleles_hts trio_matrix "
+    "mendel_errors de_novo transmission_disequilibrium_test impute_sex concordance "
+    "balding_nichols_model sample_qc variant_qc summarize_variants compute_charr "
+    "vep nirvana vep_json_typ VEPConfig VEPConfigGRCh37Version85 VEPConfigGRCh38Version95 "
+    "pca hwe_normalized_pca _blanczos_pca _hwe_normalized_blanczos _spectral_moments "
+    "_pca_and_moments linear_regression_rows logistic_regression_rows "
+    "poisson_regression_rows linear_mixed_model linear_mixed_regression_rows "
+    "skat _linear_skat _logistic_skat _linear_regression_rows_nd "
+    "_logistic_regression_rows_nd "
+    "identity_by_descent king pc_relate genetic_relatedness_matrix "
+    "realized_relationship_matrix row_correlation simulate_random_mating "
+    "ld_matrix ld_prune maximal_independent_set filter_intervals segment_intervals "
+    "lambda_gc rename_duplicates"
+).split()
+for _n in _METHODS_TOPLEVEL:
+    _LAZY.setdefault(_n, ("hail_spark.methods", _n))
+del _n
+
+
+def cite_hail() -> str:
+    return citation(bibtex=False)
+
+
+def cite_hail_bibtex() -> str:
+    return citation(bibtex=True)
+
+
+__pip_version__ = __version__
+__revision__ = "unknown"
 
 
 def __getattr__(name: str):

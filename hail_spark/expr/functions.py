@@ -1229,7 +1229,7 @@ def parse_call(s) -> Column:
     n_alt = F.aggregate(
         parts, F.lit(0), lambda acc, a: acc + F.when(a != "0", 1).otherwise(0)
     )
-    return F.when(
+    out = F.when(
         ~missing,
         F.struct(
             n_alt.alias("GT"),
@@ -1237,6 +1237,8 @@ def parse_call(s) -> Column:
             phased.alias("phased"),
         ),
     )
+    out._hs_call_struct = True  # lets mendel_error_code take calls or dosages
+    return out
 
 
 def unphased_diploid_gt_index_call(idx) -> Column:
@@ -1500,3 +1502,262 @@ def divide(a, b) -> Column:
         .when(num < 0, F.lit(float("-inf")))
         .otherwise(F.lit(float("nan")))
     )
+
+
+# ---------------------------------------------------------------------- #
+# driver-side evaluation (ref hl.eval / eval_typed / eval_timed)
+# ---------------------------------------------------------------------- #
+def eval(expression) -> Any:  # noqa: A001 - reference name
+    """Evaluate a constant Column expression driver-side (ref
+    context.py hl.eval): one single-row local job, no table scan."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from ..session import get_spark
+
+        spark = get_spark()
+    return spark.range(1).select(_c(expression).alias("v")).first()["v"]
+
+
+def eval_typed(expression):
+    """(value, spark_type) pair (ref hl.eval_typed)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from ..session import get_spark
+
+        spark = get_spark()
+    df = spark.range(1).select(_c(expression).alias("v"))
+    return df.first()["v"], df.schema["v"].dataType
+
+
+def eval_timed(expression):
+    """(value, seconds) pair (ref hl.eval_timed)."""
+    import time as _time
+
+    t0 = _time.time()
+    v = eval(expression)
+    return v, _time.time() - t0
+
+
+# ---------------------------------------------------------------------- #
+# calls: construction + downcode + mendel codes
+# (ref functions.py:2243 `call`, :5237 `downcode`, :6415 `mendel_error_code`)
+# ---------------------------------------------------------------------- #
+def call(*alleles, phased: bool = False) -> Column:
+    """Construct a call from literal allele indices (ref hl.call):
+    struct(GT=n_alt, ploidy, phased) — the engine's parsed-call shape
+    (parse_call above)."""
+    n_alt = sum(1 for a in alleles if a != 0)
+    out = F.struct(
+        F.lit(n_alt).alias("GT"),
+        F.lit(len(alleles)).alias("ploidy"),
+        F.lit(bool(phased)).alias("phased"),
+    )
+    out._hs_call_struct = True
+    return out
+
+
+def downcode(gta, i) -> Column:
+    """Downcode a multiallelic call to biallelic dosage of allele ``i``
+    (ref hl.downcode): alleles equal to ``i`` count as alt, everything
+    else folds into ref.  Operates on the engine's allele-index-array
+    call representation (GTA, io/vcf.py) and returns the biallelic GT
+    dosage — the exact recode split_multi_hts applies."""
+    a = _c(gta)
+    ii = _c(i)
+    return F.when(
+        a.isNotNull(),
+        F.aggregate(a, F.lit(0), lambda acc, al: acc + F.when(al == ii, 1).otherwise(0)),
+    )
+
+
+def _gt_of(c) -> Column:
+    """Dosage from either a bare GT int column or a :func:`call` /
+    :func:`parse_call` struct (Columns are typeless until analysis, so
+    struct-ness rides on a builder-set marker attribute)."""
+    col_ = _c(c)
+    # NB: Column.__getattr__ turns unknown attrs into field accesses, so
+    # probe the instance dict, not getattr
+    if col_.__dict__.get("_hs_call_struct", False):
+        return col_["GT"]
+    return col_
+
+
+def mendel_error_code(locus, is_female, father, mother, child) -> Column:
+    """Mendel-violation code 1-12 (ref functions.py:6415, table in its
+    docstring); null when consistent or uncallable.  Copy state: Auto =
+    autosomal contig or female child on X; HemiX/HemiY = male child on
+    X/Y.  PAR intervals are not modeled (documented divergence: PAR
+    loci on X report as HemiX for male children)."""
+    d, m, k = _gt_of(father), _gt_of(mother), _gt_of(child)
+    fem = _c(is_female)
+    contig = _c(locus)["contig"]
+    on_x = contig.isin("X", "chrX")
+    on_y = contig.isin("Y", "chrY")
+    auto = (~on_x & ~on_y) | (on_x & fem)
+    hemi_x = on_x & ~fem
+    hemi_y = on_y & ~fem
+    hom_ref, het, hom_var = (lambda g: g == 0), (lambda g: g == 1), (lambda g: g == 2)
+    # the reference's `~State` complements within {HomRef,Het,HomVar,NoCall},
+    # so a no-call (null) parent IS in every complement set
+    nhom_ref = lambda g: g.isNull() | (g != 0)  # noqa: E731
+    nhom_var = lambda g: g.isNull() | (g != 2)  # noqa: E731
+    return (
+        F.when(auto & hom_var(d) & hom_var(m) & het(k), 1)
+        .when(auto & hom_ref(d) & hom_ref(m) & het(k), 2)
+        .when(auto & hom_ref(d) & nhom_ref(m) & hom_var(k), 3)
+        .when(auto & nhom_ref(d) & hom_ref(m) & hom_var(k), 4)
+        .when(auto & hom_ref(d) & hom_ref(m) & hom_var(k), 5)
+        .when(auto & hom_var(d) & nhom_var(m) & hom_ref(k), 6)
+        .when(auto & nhom_var(d) & hom_var(m) & hom_ref(k), 7)
+        .when(auto & hom_var(d) & hom_var(m) & hom_ref(k), 8)
+        .when(hemi_x & hom_var(m) & hom_ref(k), 9)
+        .when(hemi_x & hom_ref(m) & hom_var(k), 10)
+        .when(hemi_y & hom_var(d) & hom_ref(k), 11)
+        .when(hemi_y & hom_ref(d) & hom_var(k), 12)
+        .otherwise(F.lit(None).cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------- #
+# reference-genome helpers at function level (ref functions.py:6447+)
+# ---------------------------------------------------------------------- #
+def contig_length(contig, reference_genome: str = "default") -> Column:
+    from .genome import default_reference, get_reference
+
+    rg = default_reference() if reference_genome == "default" else get_reference(reference_genome)
+    return rg.contig_length(contig)
+
+
+def is_valid_contig(contig, reference_genome: str = "default") -> Column:
+    from .genome import default_reference, get_reference
+
+    rg = default_reference() if reference_genome == "default" else get_reference(reference_genome)
+    return _c(contig).isin(*rg.contigs)
+
+
+def is_valid_locus(contig, position, reference_genome: str = "default") -> Column:
+    from .genome import default_reference, get_reference
+
+    rg = default_reference() if reference_genome == "default" else get_reference(reference_genome)
+    return rg.is_valid_locus(contig, position)
+
+
+def locus_from_global_position(global_pos, reference_genome: str = "default") -> Column:
+    from .genome import default_reference, get_reference
+
+    rg = default_reference() if reference_genome == "default" else get_reference(reference_genome)
+    return rg.locus_from_global_position(global_pos)
+
+
+# ---------------------------------------------------------------------- #
+# comparator sort + multivariate hypergeometric draw
+# ---------------------------------------------------------------------- #
+def _sort_by(collection, less_than) -> Column:
+    """Sort by a custom comparator (ref functions.py:5687 `_sort_by`):
+    F.array_sort's (-1,0,1) comparator built from the reference's
+    less_than predicate."""
+    return F.array_sort(
+        _c(collection),
+        lambda l, r: F.when(less_than(l, r), -1).when(less_than(r, l), 1).otherwise(0),
+    )
+
+
+def rand_multi_hyper(uid, colors, nsample, seed: int | None = None) -> Column:
+    """Multivariate hypergeometric draw (ref functions.py:3486
+    ``hl.rand_multi_hyper``), decomposed into sequential marginal
+    hypergeometric draws — color i is hypergeometric over (successes =
+    colors[i], failures = sum(colors[i+1:]), draws = what's left) —
+    which is the exact conditional factorization of the joint law.
+    Takes the engine's per-row ``uid`` column first like the rest of
+    the seeded rand_* family."""
+    cols = list(colors)
+    draws = []
+    left = _c(nsample)
+    for j, cj in enumerate(cols):
+        if j == len(cols) - 1:
+            draws.append(left)
+            break
+        rest_sum = _c(0)
+        for r in cols[j + 1 :]:
+            rest_sum = rest_sum + _c(r)
+        d = rand_hyper(
+            uid, _c(cj), rest_sum, left, seed=None if seed is None else seed + j
+        )
+        d = F.least(F.greatest(d.cast("int"), F.lit(0)), left)
+        draws.append(d)
+        left = left - d
+    return F.array(*draws)
+
+
+# ---------------------------------------------------------------------- #
+# reference-name access layer
+# ---------------------------------------------------------------------- #
+# The reference exports builtin-shadowing names (hl.len, hl.map, hl.zip,
+# hl.range, ...). This module implements them with a trailing underscore
+# so the Python builtins stay usable inside function bodies; PEP 562
+# module __getattr__ serves the bare reference spelling on attribute
+# access (hf.len resolves here, a bare `len(...)` inside this module
+# still hits the builtin).
+_REFERENCE_NAME_ALIASES = {
+    "map": "map_",
+    "filter": "filter_",
+    "zip": "zip_",
+    "enumerate": "enumerate_",
+    "sorted": "sorted_",
+    "reversed": "reversed_",
+    "len": "len_",
+    "range": "range_",
+    "median": "median_",
+    "any": "any_",
+    "all": "all_",
+    "sum": "sum_",
+    "mean": "mean_",
+    "product": "product_",
+    "min": "nanmin",
+    "max": "nanmax",
+    "bool": "bool_",
+    "str": "str_",
+    "int": "int_",
+    "float": "float_",
+    "dict": "dict_",
+    "set": "set_",
+    "tuple": "tuple_",
+    "format": "format",
+}
+
+_LAZY_REEXPORTS = {
+    # point/interval reads without a Spark job (io/query_table.py)
+    "query_table": ("hail_spark.io.query_table", "query_table"),
+    "query_matrix_table_rows": ("hail_spark.io.query_table", "query_matrix_table_rows"),
+    # type-system surface (expr/types.py) reachable as hf.tint32 etc.,
+    # matching `from hail.expr.types import *` in the reference's expr
+    # __init__
+    "dtype": ("hail_spark.expr.types", "dtype"),
+    "HailType": ("hail_spark.expr.types", "HailType"),
+    "hail_type": ("hail_spark.expr.types", "hail_type"),
+    "impute_type": ("hail_spark.expr.types", "impute_type"),
+    "hts_entry_schema": ("hail_spark.expr.types", "hts_entry_schema"),
+    **{
+        n: ("hail_spark.expr.types", n)
+        for n in (
+            "tvoid tbool tint32 tint64 tfloat32 tfloat64 tstr tbinary tint tfloat "
+            "tcall tlocus tarray tstream tset tdict tstruct ttuple tinterval "
+            "tndarray is_numeric is_primitive is_container is_compound types_match"
+        ).split()
+    },
+}
+
+
+def __getattr__(name: str):
+    if name in _REFERENCE_NAME_ALIASES:
+        return globals()[_REFERENCE_NAME_ALIASES[name]]
+    if name in _LAZY_REEXPORTS:
+        import importlib
+
+        mod_name, attr = _LAZY_REEXPORTS[name]
+        return getattr(importlib.import_module(mod_name), attr)
+    raise AttributeError(f"module 'hail_spark.expr.functions' has no attribute '{name}'")

@@ -508,3 +508,42 @@ def export_bgen(
     import shutil as _shutil
 
     _shutil.rmtree(path + ".shards", ignore_errors=True)
+
+
+def index_bgen(
+    path,
+    index_file_map: dict | None = None,
+    reference_genome: str = "default",
+    contig_recoding: dict | None = None,
+    skip_invalid_loci: bool = False,
+) -> list[int]:
+    """Build the per-variant offset index import_bgen needs (ref
+    impex.py:3137 ``index_bgen`` / IndexBgen.scala).
+
+    One sequential header walk per file, persisted as
+    ``<path>.offsets.json`` (this engine's idx2 equivalent —
+    :func:`_scan_offsets` reads it back, so a subsequent import_bgen
+    skips the scan entirely).  ``index_file_map`` may redirect the
+    index next to unwritable sources.  ``contig_recoding`` is applied
+    at index time like the reference; genome/validity arguments are
+    accepted for parity (no reference-genome registry lookup is needed
+    to index).  Returns the variant count per file."""
+    import json as _json
+    import os as _os
+
+    paths = [path] if isinstance(path, str) else list(path)
+    counts = []
+    for p in paths:
+        idx = _scan_offsets(p)
+        if contig_recoding:
+            for v in idx["variants"]:
+                v["contig"] = contig_recoding.get(v["contig"], v["contig"])
+        target = (index_file_map or {}).get(p, p + ".offsets.json")
+        try:
+            with open(target, "w") as f:
+                _json.dump(idx, f)
+        except OSError:
+            if p + ".offsets.json" != target or not _os.path.exists(target):
+                raise
+        counts.append(len(idx["variants"]))
+    return counts

@@ -621,3 +621,31 @@ def import_matrix_table(
     cols = [{"col_id": c} for c in col_ids]
     rk = tuple(row_key) if row_key else tuple(row_fields)[:1]
     return MatrixTable(out, rk, cols, ("col_id",))
+
+
+def import_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    key: Sequence[str] = (),
+    impute: bool = False,
+    no_header: bool = False,
+    missing: str = "NA",
+    types: dict[str, str] | None = None,
+    comment: str | None = None,
+    quote: str | None = '"',
+) -> Table:
+    """CSV import (ref impex.py:3392 ``import_csv``): import_table with
+    a comma delimiter and RFC-4180 quoting on by default."""
+    return import_table(
+        spark,
+        path,
+        key=key,
+        delimiter=",",
+        missing=missing,
+        no_header=no_header,
+        impute=impute,
+        types=types,
+        comment=comment,
+        quote=quote,
+    )

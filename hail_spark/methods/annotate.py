@@ -163,3 +163,111 @@ def nirvana(
         return ln
 
     return _annotate_via_subprocess(df, command, name, block_size, line_of, parse_line)
+
+
+# ------------------------------------------------------------------ #
+# VEP JSON schema + config objects (ref methods/qc.py:546,690)
+# ------------------------------------------------------------------ #
+_CSQ_COMMON = (
+    "allele_num int, consequence_terms array<string>, impact string, "
+    "minimised int, variant_allele string"
+)
+_VEP_JSON_DDL = (
+    "assembly_name string, allele_string string, ancestral string, "
+    "colocated_variants array<struct<"
+    "aa_allele string, aa_maf double, afr_allele string, afr_maf double, "
+    "allele_string string, amr_allele string, amr_maf double, "
+    "clin_sig array<string>, end int, eas_allele string, eas_maf double, "
+    "ea_allele string, ea_maf double, eur_allele string, eur_maf double, "
+    "exac_adj_allele string, exac_adj_maf double, exac_allele string, "
+    "exac_afr_allele string, exac_afr_maf double, exac_amr_allele string, "
+    "exac_amr_maf double, exac_eas_allele string, exac_eas_maf double, "
+    "exac_fin_allele string, exac_fin_maf double, exac_maf double, "
+    "exac_nfe_allele string, exac_nfe_maf double, exac_oth_allele string, "
+    "exac_oth_maf double, exac_sas_allele string, exac_sas_maf double, "
+    "id string, minor_allele string, minor_allele_freq double, "
+    "phenotype_or_disease int, pubmed array<int>, sas_allele string, "
+    "sas_maf double, somatic int, start int, strand int>>, "
+    "context string, end int, id string, input string, "
+    f"intergenic_consequences array<struct<{_CSQ_COMMON}>>, "
+    "most_severe_consequence string, "
+    "motif_feature_consequences array<struct<"
+    "allele_num int, consequence_terms array<string>, high_inf_pos string, "
+    "impact string, minimised int, motif_feature_id string, "
+    "motif_name string, motif_pos int, motif_score_change double, "
+    "strand int, variant_allele string>>, "
+    "regulatory_feature_consequences array<struct<"
+    "allele_num int, biotype string, consequence_terms array<string>, "
+    "impact string, minimised int, regulatory_feature_id string, "
+    "variant_allele string>>, "
+    "seq_region_name string, start int, strand int, "
+    "transcript_consequences array<struct<"
+    "allele_num int, amino_acids string, biotype string, canonical int, "
+    "ccds string, cdna_start int, cdna_end int, cds_end int, cds_start int, "
+    "codons string, consequence_terms array<string>, distance int, "
+    "domains array<struct<db string, name string>>, exon string, "
+    "gene_id string, gene_pheno int, gene_symbol string, "
+    "gene_symbol_source string, hgnc_id string, hgvsc string, hgvsp string, "
+    "hgvs_offset int, impact string, intron string, lof string, "
+    "lof_flags string, lof_filter string, lof_info string, minimised int, "
+    "polyphen_prediction string, polyphen_score double, protein_end int, "
+    "protein_start int, protein_id string, sift_prediction string, "
+    "sift_score double, strand int, swissprot string, transcript_id string, "
+    "trembl string, uniparc string, variant_allele string>>, "
+    "variant_class string"
+)
+
+
+def _vep_json_typ():
+    """Spark StructType of VEP's --json output (ref qc.py:546
+    ``vep_json_typ`` field-for-field); use with
+    ``F.from_json(df[name], vep_json_typ())`` to lift the string
+    column :func:`vep` returns into typed structs."""
+    from pyspark.sql.types import StructType
+
+    return StructType.fromDDL(_VEP_JSON_DDL)
+
+
+vep_json_typ = _vep_json_typ
+
+
+class VEPConfig:
+    """Command/schema bundle for :func:`vep` (ref qc.py:690
+    ``VEPConfig``, minus the Batch-service deployment fields — this
+    engine runs VEP as a per-partition subprocess on the Spark
+    executors, so only the command line and JSON schema apply)."""
+
+    json_typ_ddl = _VEP_JSON_DDL
+
+    def __init__(self, command: list[str] | None = None, env: dict | None = None):
+        self._command = command
+        self.env = dict(env or {})
+
+    def command(self, consequence: bool, tolerate_parse_error: bool) -> list[str]:
+        if self._command is not None:
+            return list(self._command)
+        exe = shutil.which("vep")
+        if exe is None:
+            raise EnvironmentError(
+                "vep: no VEP installation found on PATH; pass command=[...]"
+            )
+        return [exe, "--vcf" if consequence else "--json"]
+
+
+class VEPConfigGRCh37Version85(VEPConfig):
+    """GRCh37 / VEP 85 preset (ref qc.py:785): same subprocess contract
+    with the assembly pinned on the command line."""
+
+    def command(self, consequence: bool, tolerate_parse_error: bool) -> list[str]:
+        return super().command(consequence, tolerate_parse_error) + [
+            "--assembly", "GRCh37",
+        ]
+
+
+class VEPConfigGRCh38Version95(VEPConfig):
+    """GRCh38 / VEP 95 preset (ref qc.py:848)."""
+
+    def command(self, consequence: bool, tolerate_parse_error: bool) -> list[str]:
+        return super().command(consequence, tolerate_parse_error) + [
+            "--assembly", "GRCh38",
+        ]

@@ -26,6 +26,45 @@ from pyspark.sql import functions as F
 from ..matrixtable import ENTRIES, MatrixTable
 
 
+def split_multi(ds, keep_star: bool = False, left_aligned: bool = False, *, permit_shuffle: bool = False):
+    """Split multiallelic variants on ROWS only (ref statgen.py:3132).
+
+    Unlike :func:`split_multi_hts` this does not touch the genotypes:
+    one output row per alternate allele with biallelic ``alleles``,
+    plus ``was_split``, ``a_index``, ``old_locus``, ``old_alleles``.
+    All other fields (including entries for a MatrixTable) pass through
+    unchanged — downcoding is the caller's job, exactly as the
+    reference documents.  ``*`` alleles are dropped unless
+    ``keep_star``.  ``left_aligned`` / ``permit_shuffle`` are accepted
+    for signature parity; the explode preserves the input ordering so
+    no re-sort shuffle is ever needed (a locus's split rows stay
+    adjacent and a_index ascends within it).
+    """
+    from ..table import Table
+
+    is_table = isinstance(ds, Table)
+    df = ds._df
+    n_alts = F.size("alleles") - 1
+    alt_ix = F.sequence(F.lit(1), n_alts)
+    if not keep_star:
+        alt_ix = F.filter(alt_ix, lambda i: F.element_at("alleles", i + 1) != "*")
+    exploded = df.select("*", F.explode(alt_ix).alias("a_index"))
+    out = exploded.select(
+        *[c for c in df.columns if c not in ("locus", "alleles")],
+        "locus",
+        F.array(
+            F.element_at("alleles", 1), F.element_at("alleles", F.col("a_index") + 1)
+        ).alias("alleles"),
+        (n_alts > 1).alias("was_split"),
+        "a_index",
+        F.col("locus").alias("old_locus"),
+        F.col("alleles").alias("old_alleles"),
+    )
+    if is_table:
+        return Table(out, ds._key)
+    return MatrixTable(out, ds._row_key, ds._cols, ds._col_key, ds._globals)
+
+
 def split_multi_hts(mt: MatrixTable) -> MatrixTable:
     """Explode multiallelic rows to biallelic (ref statgen.py:3312).
 
@@ -465,3 +504,31 @@ def filter_alleles(mt: MatrixTable, pred) -> MatrixTable:
         .drop("__remap")
     )
     return MatrixTable(out, mt._row_key, mt._cols, mt._col_key, mt._globals)
+
+
+def filter_alleles_hts(mt: MatrixTable, f, subset: bool = False) -> MatrixTable:
+    """HTS-schema allele filter (ref statgen.py:4405).
+
+    ``subset=False`` (downcode) is exactly :func:`filter_alleles` —
+    removed alleles fold into ref and GT is recomputed from the
+    remapped allele list.  ``subset=True`` (PL-based genotype
+    re-call from the subset likelihoods) needs per-genotype PL arrays,
+    which this engine drops on import (documented divergence in
+    split_multi_hts); it raises rather than silently downcoding.
+    """
+    if subset:
+        raise NotImplementedError(
+            "filter_alleles_hts(subset=True) requires PL likelihoods, "
+            "which this engine does not carry; use subset=False (downcode)"
+        )
+    return filter_alleles(mt, f)
+
+
+def de_novo(mt: MatrixTable, fam: DataFrame, min_kid_dp: int = 0) -> DataFrame:
+    """Parity alias for :func:`de_novo_candidates` (ref
+    family_methods.py:564 ``de_novo``).  The reference's full caller
+    also scores candidates against a population-frequency prior; this
+    engine returns the candidate set (kid het, parents hom-ref, depth
+    gate) — the prior-based confidence model is a documented
+    divergence."""
+    return de_novo_candidates(mt, fam, min_kid_dp=min_kid_dp)

@@ -1065,3 +1065,38 @@ def logistic_skat(
         )
 
     return src.groupBy("__grp").applyInPandas(per_group, schema=out_schema)
+
+
+def skat(
+    mt: MatrixTable,
+    group_field: str,
+    y,
+    covariates: Sequence = (),
+    weight_field: str | None = None,
+    x_field: str = "GT",
+    logistic: bool = False,
+    add_intercept: bool = True,
+):
+    """Variance-component SKAT dispatcher (ref statgen.py:2870 ``skat``):
+    ``logistic=False`` runs the linear sequence-kernel test,
+    ``logistic=True`` the logistic one.  Signature follows this
+    engine's keyed-MatrixTable convention (group/weight live in row
+    fields) rather than the reference's expression arguments."""
+    fn = logistic_skat if logistic else linear_skat
+    return fn(
+        mt,
+        group_field,
+        y,
+        covariates=covariates,
+        weight_field=weight_field,
+        x_field=x_field,
+        add_intercept=add_intercept,
+    )
+
+
+# reference-internal spellings (hail methods/__init__.py exports these)
+_linear_skat = linear_skat
+_logistic_skat = logistic_skat
+_linear_regression_rows_nd = linear_regression_rows
+_logistic_regression_rows_nd = logistic_regression_rows
+_hwe_normalized_blanczos = _blanczos_pca

@@ -70,3 +70,107 @@ def tmp_dir() -> str:
     import tempfile
 
     return tempfile.gettempdir()
+
+
+# ------------------------------------------------------------------ #
+# query-flags registry + backend handle (ref context.py:863-983)
+# ------------------------------------------------------------------ #
+_FLAGS: dict[str, str | None] = {}
+
+
+def _set_flags(**flags) -> None:
+    """Parity for hl._set_flags: flags whose names match Spark SQL conf
+    keys (dotted) are forwarded to the live session conf; others are
+    recorded in a process-local registry (the reference keeps them on
+    the backend object)."""
+    spark = SparkSession.getActiveSession()
+    for k, v in flags.items():
+        _FLAGS[k] = v
+        if spark is not None and "." in k:
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _get_flags(*flags) -> dict:
+    if not flags:
+        return dict(_FLAGS)
+    return {k: _FLAGS.get(k) for k in flags}
+
+
+class _WithFlags:
+    def __init__(self, flags):
+        self._flags = flags
+        self._before = {}
+
+    def __enter__(self):
+        self._before = _get_flags(*self._flags)
+        _set_flags(**self._flags)
+
+    def __exit__(self, *exc):
+        _set_flags(**self._before)
+        return False
+
+
+def _with_flags(**flags):
+    """Context manager: set flags, restore prior values on exit."""
+    return _WithFlags(flags)
+
+
+class SparkBackend:
+    """Backend handle parity (ref backend/spark_backend.py): this
+    engine has exactly one backend — the live SparkSession."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    @property
+    def sc(self):
+        return self.spark.sparkContext
+
+    def set_flags(self, **flags):
+        _set_flags(**flags)
+
+    def get_flags(self, *flags):
+        return _get_flags(*flags)
+
+    def stop(self):
+        self.spark.stop()
+
+
+def backend() -> SparkBackend:
+    """Parity for hl.backend()/hl.current_backend()."""
+    return SparkBackend(get_spark())
+
+
+current_backend = backend
+
+
+def debug_info() -> dict:
+    """Parity for hl.debug_info (ref context.py:965): version + the
+    full Spark conf instead of JVM jar/classpath details."""
+    from . import __version__
+
+    spark = SparkSession.getActiveSession()
+    return {
+        "version": __version__,
+        "spark_version": spark.version if spark else None,
+        "spark_conf": spark.sparkContext.getConf().getAll() if spark else None,
+        "flags": dict(_FLAGS),
+    }
+
+
+def copy_log(path: str) -> None:
+    """Parity for hl.copy_log: copy the driver log4j output (when one
+    exists) or write debug_info as a fallback record."""
+    import glob
+    import json
+    import shutil as _sh
+
+    candidates = sorted(glob.glob("derby.log") + glob.glob("*.log"))
+    if candidates:
+        _sh.copyfile(candidates[0], path)
+    else:
+        with open(path, "w") as f:
+            json.dump(debug_info(), f, default=str)

@@ -166,3 +166,75 @@ class TemporaryDirectory:
 
     def __exit__(self, *exc) -> None:
         shutil.rmtree(self.name, ignore_errors=True)
+
+
+# ------------------------------------------------------------------ #
+# value types (ref hail/utils/struct.py, hail/utils/interval.py)
+# ------------------------------------------------------------------ #
+class Struct(dict):
+    """Nested annotation structure (ref utils/struct.py:10): a mapping
+    whose fields read as attributes — ``Struct(foo=5).foo == 5``.
+    Spark rows convert losslessly: ``Struct(**row.asDict())``."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def __setattr__(self, name, value):
+        self[name] = value
+
+    def __repr__(self):
+        return "Struct(" + ", ".join(f"{k}={v!r}" for k, v in self.items()) + ")"
+
+    def annotate(self, **kwargs) -> "Struct":
+        out = Struct(self)
+        out.update(kwargs)
+        return out
+
+    def select(self, *fields, **kwargs) -> "Struct":
+        out = Struct({k: self[k] for k in fields})
+        out.update(kwargs)
+        return out
+
+    def drop(self, *fields) -> "Struct":
+        return Struct({k: v for k, v in self.items() if k not in fields})
+
+
+class Interval:
+    """Half-open-by-default interval value (ref utils/interval.py):
+    start/end with inclusivity flags; ``contains`` mirrors the engine's
+    interval-join predicate (expr/genome.py)."""
+
+    def __init__(self, start, end, includes_start: bool = True, includes_end: bool = False):
+        self.start = start
+        self.end = end
+        self.includes_start = includes_start
+        self.includes_end = includes_end
+
+    def contains(self, value) -> bool:
+        lo = value >= self.start if self.includes_start else value > self.start
+        hi = value <= self.end if self.includes_end else value < self.end
+        return lo and hi
+
+    def overlaps(self, other: "Interval") -> bool:
+        return self.contains(other.start) or other.contains(self.start)
+
+    def __eq__(self, other):
+        return isinstance(other, Interval) and (
+            self.start, self.end, self.includes_start, self.includes_end
+        ) == (other.start, other.end, other.includes_start, other.includes_end)
+
+    def __hash__(self):
+        return hash((self.start, self.end, self.includes_start, self.includes_end))
+
+    def __repr__(self):
+        lb = "[" if self.includes_start else "("
+        rb = "]" if self.includes_end else ")"
+        return f"Interval{lb}{self.start!r}, {self.end!r}{rb}"
+
+
+# Batch-region sentinel (ref utils/misc.py:674) — meaningless for a
+# Spark deployment but part of the public surface.
+ANY_REGION = ["any_region"]

@@ -220,13 +220,16 @@ def test_plink_roundtrip(spark, tmp_path):
 
 
 def test_export_elasticsearch_gate(spark):
-    """Without the es-hadoop jar the sink must fail with a clear
-    actionable error, not Spark's opaque ClassNotFound."""
+    """Without the es-hadoop jar the sink falls back to the REST _bulk
+    path (exercised against a live stub in
+    test_export_elasticsearch_rest_fallback); with no server listening
+    either, the failure is the fallback's connection error — not
+    Spark's opaque ClassNotFound."""
     from hail_spark.io import export_elasticsearch
 
     df = spark.createDataFrame([{"a": 1}])
-    with pytest.raises(RuntimeError, match="es-hadoop"):
-        export_elasticsearch(df, "localhost", 9200, "idx", verbose=False)
+    with pytest.raises(Exception, match="(?i)connection refused|urlopen"):
+        export_elasticsearch(df, "localhost", 9209, "idx", verbose=False)
 
 
 def test_query_matrix_table_rows(spark, tmp_path):
