@@ -208,10 +208,13 @@ def array_sum(expr) -> Column:
     NOTE: the collect_list buffer is O(group size); for known-length
     arrays use ``array_sum_fixed`` (bounded state, map-side combine)."""
     x = _c(expr)
+    # missing ELEMENTS are skipped like the reference's sum (a null
+    # contributes 0; a position that is null in every row sums to 0)
+    z = F.transform(x, lambda e: F.coalesce(e.cast("double"), F.lit(0.0)))
     return F.aggregate(
-        F.collect_list(x),
+        F.collect_list(z),
         F.expr("cast(array() as array<double>)"),
-        lambda acc, a: F.when(F.size(acc) == 0, a.cast("array<double>")).otherwise(
+        lambda acc, a: F.when(F.size(acc) == 0, a).otherwise(
             F.zip_with(acc, a, lambda l, r: l + r)
         ),
     )
@@ -615,3 +618,185 @@ def group_by(key, value, agg: str = "collect") -> Column:
     else:
         raise ValueError(f"group_by: unknown agg '{agg}'")
     return F.map_from_arrays(keys, F.transform(keys, body))
+
+
+# ------------------------------------------------------------------ #
+# namespace completion (ref aggregators/__init__.py __all__)
+# ------------------------------------------------------------------ #
+def explode_min(arr) -> Column:
+    """min over exploded arrays: per-row array_min partial, global min."""
+    return F.min(F.array_min(_c(arr)))
+
+
+def explode_max(arr) -> Column:
+    return F.max(F.array_max(_c(arr)))
+
+
+def explode_mean(arr) -> Column:
+    a = _c(arr)
+    total = F.sum(
+        F.aggregate(
+            F.filter(a, lambda x: x.isNotNull()),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        )
+    )
+    n = F.sum(F.size(F.filter(a, lambda x: x.isNotNull())))
+    return F.when(n > 0, total / n)
+
+
+def explode(f, arr, transform=None) -> Column:
+    """``hl.agg.explode`` (ref aggregators.py:390): aggregate over the
+    elements of ``arr`` across all rows.  ``f`` is one of this module's
+    aggregators (sum / count / collect / collect_as_set / min / max /
+    mean); an elementwise ``transform`` Column-function covers the
+    reference's ``lambda elt: agg.sum(g(elt))`` idiom as
+    ``explode(agg.sum, arr, transform=g)``.  Each form compiles to a
+    per-row array partial + a plain hash aggregate — one pass, map-side
+    combine, never a Generate."""
+    a = _c(arr)
+    if transform is not None:
+        a = F.transform(a, transform)
+    if f is sum:
+        return explode_sum(a)
+    if f is count:
+        return explode_count(a)
+    if f is collect:
+        return explode_collect(a)
+    if f is collect_as_set:
+        return F.array_sort(F.array_distinct(explode_collect(a)))
+    if f is min:
+        return explode_min(a)
+    if f is max:
+        return explode_max(a)
+    if f is mean:
+        return explode_mean(a)
+    raise NotImplementedError(
+        "agg.explode supports f in {sum, count, collect, collect_as_set, "
+        "min, max, mean}; compose other aggregators with an explicit "
+        "DataFrame-level explode"
+    )
+
+
+def array_agg(f, array) -> Column:
+    """Element-wise aggregation across rows (ref aggregators.py:1995
+    ``hl.agg.array_agg`` / AggArrayPerElement): position i of the result
+    aggregates element i of every row's array.
+
+    ``f`` in {sum, mean} stays a codegen hash-agg via the bounded
+    ``array_sum`` shape; {min, max, collect} fold over the collected
+    per-group arrays (bounded by group size — for matrix-scale data use
+    MatrixTable.group_rows_by/array_agg, the distributed path)."""
+    a = _c(array)
+    if f is sum:
+        return array_sum(a)
+    if f is mean:
+        s = array_sum(a)
+        n = array_sum(F.transform(a, lambda e: e.isNotNull().cast("double")))
+        return F.zip_with(s, n, lambda x, c: F.when(c > 0, x / c))
+    collected = F.collect_list(a)
+    if f is collect:
+        # transpose: result[i] = [row0[i], row1[i], ...]
+        first = F.element_at(collected, 1)
+        return F.transform(
+            F.sequence(F.lit(1), F.size(first)),
+            lambda i: F.transform(collected, lambda row: F.element_at(row, i)),
+        )
+    if f is min or f is max:
+        pick = F.least if f is min else F.greatest
+        return F.aggregate(
+            collected,
+            F.lit(None).cast("array<double>"),
+            lambda acc, row: F.when(acc.isNull(), row.cast("array<double>")).otherwise(
+                F.zip_with(acc, row.cast("array<double>"), lambda x, y: pick(x, y))
+            ),
+        )
+    raise NotImplementedError("array_agg supports f in {sum, mean, min, max, collect}")
+
+
+def _aggregate_local_array(array, f) -> Column:
+    """Row-LOCAL array aggregation (ref aggregators.py:305): apply an
+    aggregator to one row's array.  ``f`` in {sum, count, mean, min,
+    max, collect} — pure per-row HOF folds, no shuffle at all."""
+    a = _c(array)
+    nn = F.filter(a, lambda x: x.isNotNull())
+    if f is sum:
+        return F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+    if f is count:
+        return F.size(nn).cast("bigint")
+    if f is mean:
+        return F.when(
+            F.size(nn) > 0,
+            F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+            / F.size(nn),
+        )
+    if f is min:
+        return F.array_min(a)
+    if f is max:
+        return F.array_max(a)
+    if f is collect:
+        return nn
+    raise NotImplementedError(
+        "_aggregate_local_array supports f in {sum, count, mean, min, max, collect}"
+    )
+
+
+def _prev_nonnull(expr) -> Column:
+    """Last non-missing value in the aggregation (ref
+    aggregators.py:1984 agg._prev_nonnull): Spark's ignorenulls last."""
+    return F.last(_c(expr), ignorenulls=True)
+
+
+def _impute_type(expr) -> Column:
+    """Type-imputation summary of a string column (ref
+    aggregators.py `_impute_type` / ImputeTypeAggregator): the
+    all/any flags import_table's impute pass consumes."""
+    s = F.trim(_c(expr))
+    defined = s.isNotNull()
+    nonempty = defined & (s != "")
+    bool_like = s.rlike(r"(?i)^(true|false)$")
+    int32_like = s.rlike(r"^-?\d{1,9}$")
+    int64_like = s.rlike(r"^-?\d{1,18}$")
+    float_like = s.rlike(r"(?i)^[+-]?(\d+\.?\d*|\.\d+)([e][+-]?\d+)?$|^(nan|[+-]?inf(inity)?)$")
+
+    def all_of(pred):
+        return F.coalesce(F.min(F.when(defined, pred)), F.lit(True))
+
+    return F.struct(
+        F.max(defined).alias("anyNonMissing"),
+        F.min(defined).alias("allDefined"),
+        all_of(bool_like).alias("supportsBool"),
+        all_of(int32_like).alias("supportsInt32"),
+        all_of(int64_like).alias("supportsInt64"),
+        all_of(float_like).alias("supportsFloat64"),
+        all_of(nonempty).alias("allNonEmpty"),
+    )
+
+
+def _densify(length, expr) -> Column:
+    """Reference-internal scan used only by its sparse union_cols
+    lowering (aggregators.py:539).  This engine lowers union_cols /
+    VDS densify natively (matrixtable.py union_cols, vds.py densify) so
+    the scan form has no call site; kept as an explicit gate."""
+    raise NotImplementedError(
+        "_densify is the reference's internal union_cols scan; this engine "
+        "densifies natively — see MatrixTable.union_cols and vds.densify"
+    )
+
+
+# reference names resolved via module __getattr__ so in-module uses of
+# builtins (filter, ...) are unaffected
+def __getattr__(name: str):
+    if name == "filter":
+        return agg_filter
+    if name == "hardy_weinberg_test":
+        from .stats import hardy_weinberg_test as hwt
+
+        return hwt
+    if name == "info_score":
+        from .functions import info_score as isc
+
+        return isc
+    if name == "_reservoir_sample":
+        return reservoir_sample
+    raise AttributeError(f"module 'hail_spark.expr.aggregators' has no attribute '{name}'")

@@ -267,3 +267,52 @@ def test_skat_dispatcher_and_read_aliases(spark, tmp_path):
     Table(df, ("k",)).write(str(tmp_path / "t"))
     t2 = m.read_table(spark, str(tmp_path / "t"))
     assert t2.df.count() == 5
+
+
+def test_agg_namespace_completion(spark):
+    from hail_spark.expr import aggregators as agg
+
+    df = spark.createDataFrame(
+        [
+            {"g": "a", "arr": [1.0, 2.0, None]},
+            {"g": "a", "arr": [3.0, 4.0, 5.0]},
+            {"g": "b", "arr": [10.0, 20.0, 30.0]},
+        ]
+    )
+    r = (
+        df.groupBy("g")
+        .agg(
+            agg.explode(agg.sum, F.col("arr")).alias("esum"),
+            agg.explode(agg.count, F.col("arr")).alias("ecnt"),
+            agg.explode(agg.mean, F.col("arr")).alias("emean"),
+            agg.explode(agg.sum, F.col("arr"), transform=lambda e: e * 2).alias("e2"),
+            agg.array_agg(agg.sum, F.col("arr")).alias("asum"),
+            agg.array_agg(agg.mean, F.col("arr")).alias("amean"),
+            agg.array_agg(agg.min, F.col("arr")).alias("amin"),
+            agg._prev_nonnull(F.col("g")).alias("pn"),
+        )
+        .orderBy("g")
+        .collect()
+    )
+    a = r[0]
+    assert (a["esum"], a["ecnt"], a["emean"], a["e2"]) == (15.0, 5, 3.0, 30.0)
+    assert a["asum"] == [4.0, 6.0, 5.0]  # null elements skipped, like agg.sum
+    assert a["amean"] == [2.0, 3.0, 5.0]
+    assert a["amin"] == [1.0, 2.0, 5.0]
+    assert a["pn"] == "a"
+    loc = df.select(
+        agg._aggregate_local_array(F.col("arr"), agg.sum).alias("ls"),
+        agg._aggregate_local_array(F.col("arr"), agg.count).alias("lc"),
+    ).collect()
+    assert [(x["ls"], x["lc"]) for x in loc] == [(3.0, 2), (12.0, 3), (60.0, 3)]
+    t = (
+        spark.createDataFrame([{"v": "1"}, {"v": "2.5"}, {"v": None}])
+        .agg(agg._impute_type(F.col("v")).alias("t"))
+        .first()["t"]
+    )
+    assert t["anyNonMissing"] and not t["allDefined"]
+    assert t["supportsFloat64"] and not t["supportsInt32"]
+    assert agg.filter is agg.agg_filter
+    assert agg._reservoir_sample is agg.reservoir_sample
+    with pytest.raises(NotImplementedError):
+        agg._densify(3, F.col("arr"))
