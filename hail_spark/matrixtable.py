@@ -802,3 +802,454 @@ MatrixTable.tail = _mt_tail
 MatrixTable.rename = _mt_rename
 MatrixTable.select_entries = _mt_select_entries
 MatrixTable.drop = _mt_drop
+
+
+# ---------------------------------------------------------------------- #
+# class-surface completion (ref matrixtable.py: aggregate_rows :2377,
+# aggregate_cols :2323, globals ops :293-:1069, select/transmute
+# :1634-:2297, localize_entries :1197, make_table :4335, from_parts
+# :4546, from_rows_table :4492, compute_entry_filter_stats :4440,
+# index_* :3063-:3328, persistence :3598-:3693)
+# ---------------------------------------------------------------------- #
+def _mt_aggregate_rows(self, **aggs: Column) -> dict:
+    """Aggregate over row fields (ref aggregate_rows :2377)."""
+    row = self._df.drop(ENTRIES).agg(*[a.alias(n) for n, a in aggs.items()]).first()
+    return row.asDict(recursive=True)
+
+
+def _mt_aggregate_cols(self, **aggs: Column) -> dict:
+    """Aggregate over col fields (ref aggregate_cols :2323): cols are
+    driver-side, so this is a local DataFrame agg — no cluster job on
+    the row data."""
+    row = self.cols().df.agg(*[a.alias(n) for n, a in aggs.items()]).first()
+    return row.asDict(recursive=True)
+
+
+def _mt_annotate_globals(self, **vals) -> "MatrixTable":
+    g = dict(self._globals)
+    g.update(vals)
+    return MatrixTable(self._df, self._row_key, self._cols, self._col_key, g)
+
+
+def _mt_select_globals(self, *names: str) -> "MatrixTable":
+    g = {n: self._globals[n] for n in names}
+    return MatrixTable(self._df, self._row_key, self._cols, self._col_key, g)
+
+
+def _mt_transmute_globals(self, **vals) -> "MatrixTable":
+    # globals are plain Python values; transmute == replace-by-update
+    # with the source keys of renames dropped is indistinguishable from
+    # annotate for literal values, so share annotate's semantics
+    return _mt_annotate_globals(self, **vals)
+
+
+def _mt_index_globals(self) -> dict:
+    return dict(self._globals)
+
+
+def _mt_globals_table(self) -> "Table":
+    spark = self._df.sparkSession
+    return Table(spark.createDataFrame([self._globals or {"__dummy": 0}]), ())
+
+
+def _mt_globals(self):
+    from .utils import Struct
+
+    return Struct(**self._globals)
+
+
+def _mt_row(self):
+    """Row-field surface as a Struct of Columns (the engine's analog of
+    the reference's row StructExpression)."""
+    from .utils import Struct
+
+    return Struct(**{c: F.col(c) for c in self._df.columns if c != ENTRIES})
+
+
+def _mt_row_value(self):
+    from .utils import Struct
+
+    return Struct(
+        **{
+            c: F.col(c)
+            for c in self._df.columns
+            if c != ENTRIES and c not in self._row_key
+        }
+    )
+
+
+def _mt_col(self):
+    """Col-field surface: field name → per-column value list (cols are
+    driver-side metadata in this engine)."""
+    from .utils import Struct
+
+    if not self._cols:
+        return Struct()
+    return Struct(**{k: [c.get(k) for c in self._cols] for k in self._cols[0]})
+
+
+def _mt_col_value(self):
+    from .utils import Struct
+
+    full = _mt_col(self)
+    return Struct(**{k: v for k, v in full.items() if k not in self._col_key})
+
+
+def _mt_entry(self):
+    """Entry-field surface: names of the entry struct fields."""
+    from .utils import Struct
+
+    return Struct(**{f: f for f in self._entry_fields()})
+
+
+def _mt_select_rows(self, *fields: str, **exprs: Column) -> "MatrixTable":
+    """Keep row key + named/computed row fields (ref select_rows
+    :2063); entries ride along untouched."""
+    cols = [F.col(k) for k in self._row_key if k not in fields and k not in exprs]
+    cols += [F.col(f) for f in fields]
+    cols += [c.alias(n) for n, c in exprs.items()]
+    cols.append(F.col(ENTRIES))
+    return self._with_df(self._df.select(*cols))
+
+
+def _mt_select_cols(self, *fields: str) -> "MatrixTable":
+    """Keep col key + named col fields (ref select_cols :2143)."""
+    keep = set(fields) | set(self._col_key)
+    new_cols = [{k: v for k, v in c.items() if k in keep} for c in self._cols]
+    return MatrixTable(self._df, self._row_key, new_cols, self._col_key, self._globals)
+
+
+def _mt_transmute_rows(self, **exprs: Column) -> "MatrixTable":
+    """annotate_rows + drop the referenced input row fields (ref
+    transmute_rows :2217) — provenance read off the analyzed plan of a
+    throwaway select, same as Table.transmute."""
+    probe = self._df.select(
+        *[c.alias(f"__t{i}") for i, c in enumerate(exprs.values())]
+    )
+    it = probe._jdf.queryExecution().analyzed().references().iterator()
+    referenced = set()
+    while it.hasNext():
+        referenced.add(it.next().name())
+    referenced -= set(self._row_key) | {ENTRIES}
+    out = self.annotate_rows(**exprs)
+    drop = [c for c in referenced if c not in exprs]
+    return out._with_df(out._df.drop(*drop)) if drop else out
+
+
+def _mt_transmute_cols(self, f) -> "MatrixTable":
+    """annotate_cols + drop the col fields f actually read (ref
+    transmute_cols :2252): cols are plain dicts, so reads are recorded
+    directly."""
+
+    class _Recorder(dict):
+        def __init__(self, base):
+            super().__init__(base)
+            self.read: set = set()
+
+        def __getitem__(self, k):
+            self.read.add(k)
+            return super().__getitem__(k)
+
+        def get(self, k, default=None):
+            self.read.add(k)
+            return super().get(k, default)
+
+    new_cols = []
+    for c in self._cols:
+        rec = _Recorder(c)
+        new = f(rec)
+        kept = {
+            k: v
+            for k, v in c.items()
+            if k in self._col_key or (k not in rec.read and k not in new)
+        }
+        new_cols.append({**kept, **new})
+    return MatrixTable(self._df, self._row_key, new_cols, self._col_key, self._globals)
+
+
+def _mt_transmute_entries(self, f, drop: tuple = ()) -> "MatrixTable":
+    """annotate_entries + drop (ref transmute_entries :2297).  Struct
+    field provenance is invisible to Catalyst's attribute references,
+    so fields to remove are listed explicitly via ``drop`` (re-used
+    output names replace their inputs automatically, as in annotate)."""
+    out = self.annotate_entries(f)
+    keep = [fl for fl in out._entry_fields() if fl not in drop]
+    return _mt_select_entries(out, *keep) if len(keep) != len(out._entry_fields()) else out
+
+
+def _mt_key_cols_by(self, *keys: str) -> "MatrixTable":
+    return MatrixTable(self._df, self._row_key, self._cols, tuple(keys), self._globals)
+
+
+def _mt_localize_entries(
+    self, entries_array_field_name: str | None = None, columns_array_field_name: str | None = None
+) -> "Table":
+    """The reference's matrix→table lowering (ref localize_entries
+    :1197): rows with the entries ARRAY as a field, cols into globals —
+    which is exactly this engine's native representation, so it's a
+    rename plus a globals update (zero Spark jobs)."""
+    df = self._df
+    g = dict(self._globals)
+    if entries_array_field_name:
+        df = df.withColumnRenamed(ENTRIES, entries_array_field_name)
+    else:
+        df = df.drop(ENTRIES)
+    if columns_array_field_name:
+        g[columns_array_field_name] = list(self._cols)
+    return Table(df, self._row_key, g)
+
+
+def _mt_make_table(self, separator: str = ".") -> "Table":
+    """Wide table: one column per (sample, entry field), named
+    `{sample}{separator}{field}` (ref make_table :4335).  One projection
+    over the entries array — no explode, no shuffle."""
+    if len(self._col_key) != 1:
+        raise ValueError("make_table requires exactly one col key field")
+    key_f = self._col_key[0]
+    efields = self._entry_fields()
+    e = F.col(ENTRIES)
+    wide = [
+        e[i][fl].alias(f"{c[key_f]}{separator}{fl}" if len(efields) > 1 else f"{c[key_f]}")
+        for i, c in enumerate(self._cols)
+        for fl in efields
+    ]
+    df = self._df.select(
+        *[c for c in self._df.columns if c != ENTRIES], *wide
+    )
+    return Table(df, self._row_key, self._globals)
+
+
+def _mt_from_rows_table(cls, table: "Table") -> "MatrixTable":
+    """MatrixTable with no columns from a rows table (ref
+    from_rows_table :4492)."""
+    df = table.df.withColumn(ENTRIES, F.array().cast("array<struct<__void:int>>"))
+    return cls(df, table.key, [], (), dict(table.globals))
+
+
+def _mt_from_parts(
+    cls,
+    globals: dict | None = None,
+    rows: dict | None = None,
+    cols: dict | None = None,
+    entries: dict | None = None,
+) -> "MatrixTable":
+    """Literal-dict constructor for tests (ref from_parts :4546):
+    rows/cols/entries are dicts of field → list (lists of lists for
+    entries, indexed [row][col])."""
+    from pyspark.sql import Row
+
+    from .session import get_spark
+
+    spark = get_spark()
+    rows = rows or {}
+    cols = cols or {}
+    entries = entries or {}
+    n_rows = len(next(iter(rows.values()))) if rows else len(next(iter(entries.values())))
+    n_cols = len(next(iter(cols.values()))) if cols else (
+        len(next(iter(entries.values()))[0]) if entries else 0
+    )
+    col_dicts = [
+        {"col_idx": j, **{k: v[j] for k, v in cols.items()}} for j in range(n_cols)
+    ]
+    efields = list(entries)
+    data = []
+    for i in range(n_rows):
+        rec = {"row_idx": i, **{k: v[i] for k, v in rows.items()}}
+        # Row (not dict) so Spark infers a STRUCT entry type, not a map
+        rec[ENTRIES] = [
+            Row(**{k: entries[k][i][j] for k in efields}) for j in range(n_cols)
+        ]
+        data.append(rec)
+    df = spark.createDataFrame(data)
+    mt = cls(df, ("row_idx",), col_dicts, ("col_idx",), dict(globals or {}))
+    return mt
+
+
+def _mt_compute_entry_filter_stats(
+    self, row_field: str = "entry_stats_row", col_field: str = "entry_stats_col"
+) -> "MatrixTable":
+    """Fraction of filtered (missing) entries per row and per col (ref
+    compute_entry_filter_stats :4440).  Row side is one array HOF pass;
+    col side one posexplode + per-index hash agg."""
+    e = F.col(ENTRIES)
+    n = F.size(e)
+    n_filt = F.size(F.filter(e, lambda x: x.isNull()))
+    out = self.annotate_rows(
+        **{
+            row_field: F.struct(
+                n_filt.cast("bigint").alias("n_filtered"),
+                (n_filt.cast("double") / n).alias("fraction_filtered"),
+            )
+        }
+    )
+    per_idx = {
+        r["__idx"]: (r["nf"], r["nt"])
+        for r in self._df.select(F.posexplode(e).alias("__idx", "__e"))
+        .groupBy("__idx")
+        .agg(
+            F.count(F.when(F.col("__e").isNull(), 1)).alias("nf"),
+            F.count(F.lit(1)).alias("nt"),
+        )
+        .collect()
+    }
+    new_cols = [
+        {
+            **c,
+            col_field: {
+                "n_filtered": per_idx.get(i, (0, 0))[0],
+                "fraction_filtered": (
+                    per_idx.get(i, (0, 1))[0] / max(per_idx.get(i, (0, 1))[1], 1)
+                ),
+            },
+        }
+        for i, c in enumerate(self._cols)
+    ]
+    return MatrixTable(out._df, out._row_key, new_cols, out._col_key, out._globals)
+
+
+def _mt_index_rows(self, keys_df: DataFrame, how: str = "left") -> DataFrame:
+    """Row-field lookup by external keys (ref index_rows :3063 —
+    expression sugar for a key join; here it takes the keys as a
+    DataFrame and returns them annotated with the matching row
+    fields)."""
+    return keys_df.join(self._df.drop(ENTRIES), on=list(self._row_key), how=how)
+
+
+def _mt_index_cols(self, keys_df: DataFrame, how: str = "left") -> DataFrame:
+    """Col-field lookup by external keys (ref index_cols :3187)."""
+    return keys_df.join(
+        F.broadcast(self.cols().df), on=list(self._col_key), how=how
+    )
+
+
+def _mt_index_entries(self, keys_df: DataFrame, how: str = "left") -> DataFrame:
+    """Entry lookup by (row key, col key) pairs (ref index_entries
+    :3228): row join + driver-side col-index gather."""
+    col_map = {tuple(c[k] for k in self._col_key): i for i, c in enumerate(self._cols)}
+    mapping = F.create_map(
+        *[
+            x
+            for key, i in col_map.items()
+            for x in (F.lit("\x00".join(map(str, key))), F.lit(i))
+        ]
+    )
+    joined = keys_df.join(self._df, on=list(self._row_key), how=how)
+    ck = F.concat_ws("\x00", *[F.col(k).cast("string") for k in self._col_key])
+    return joined.withColumn(
+        "entry", F.element_at(F.col(ENTRIES), mapping[ck] + 1)
+    ).drop(ENTRIES)
+
+
+def _mt_n_partitions(self) -> int:
+    return self._df.rdd.getNumPartitions()
+
+
+def _mt_repartition(self, n: int, shuffle: bool = True) -> "MatrixTable":
+    return self._with_df(self._df.repartition(n) if shuffle else self._df.coalesce(n))
+
+
+def _mt_naive_coalesce(self, n: int) -> "MatrixTable":
+    return self._with_df(self._df.coalesce(n))
+
+
+def _mt_persist(self, level: str = "MEMORY_AND_DISK") -> "MatrixTable":
+    from pyspark import StorageLevel
+
+    self._df.persist(getattr(StorageLevel, level))
+    return self
+
+
+def _mt_cache(self) -> "MatrixTable":
+    return _mt_persist(self, "MEMORY_ONLY")
+
+
+def _mt_unpersist(self) -> "MatrixTable":
+    self._df.unpersist()
+    return self
+
+
+def _mt_checkpoint(self, path: str) -> "MatrixTable":
+    self.write(path, overwrite=True)
+    return MatrixTable.read(self._df.sparkSession, path)
+
+
+def _mt_describe(self) -> None:
+    """Print the schema layout (ref describe :3721)."""
+    print("Global fields:")
+    for k, v in self._globals.items():
+        print(f"    '{k}': {type(v).__name__}")
+    print("Column fields:")
+    for k in (self._cols[0] if self._cols else {}):
+        print(f"    '{k}'")
+    print("Row fields:")
+    for f in self._df.schema.fields:
+        if f.name != ENTRIES:
+            print(f"    '{f.name}': {f.dataType.simpleString()}")
+    print("Entry fields:")
+    et = self._df.schema[ENTRIES].dataType.elementType
+    for f in et.fields:
+        print(f"    '{f.name}': {f.dataType.simpleString()}")
+    print(f"Column key: {list(self._col_key)}")
+    print(f"Row key: {list(self._row_key)}")
+
+
+def _mt_show(self, n_rows: int = 10, n_cols: int | None = None) -> None:
+    """Print the first rows/cols as the wide per-sample layout (ref
+    show :2755)."""
+    _mt_make_table(_mt_head(self, n_rows, n_cols)).df.show(n_rows, truncate=False)
+
+
+def _mt_summarize(self) -> dict:
+    """Shape + missingness summary (ref summarize :4743)."""
+    e = F.col(ENTRIES)
+    row = self._df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.size(F.filter(e, lambda x: x.isNull()))).alias("n_missing"),
+        F.sum(F.size(e)).alias("n_entries"),
+    ).first()
+    return {
+        "n_rows": row["n_rows"],
+        "n_cols": len(self._cols),
+        "n_entries": row["n_entries"],
+        "n_missing_entries": row["n_missing"],
+        "entry_fields": self._entry_fields(),
+    }
+
+
+MatrixTable.aggregate_rows = _mt_aggregate_rows
+MatrixTable.aggregate_cols = _mt_aggregate_cols
+MatrixTable.annotate_globals = _mt_annotate_globals
+MatrixTable.select_globals = _mt_select_globals
+MatrixTable.transmute_globals = _mt_transmute_globals
+MatrixTable.index_globals = _mt_index_globals
+MatrixTable.globals_table = _mt_globals_table
+MatrixTable.globals = property(_mt_globals)
+MatrixTable.row = property(_mt_row)
+MatrixTable.row_value = property(_mt_row_value)
+MatrixTable.col = property(_mt_col)
+MatrixTable.col_value = property(_mt_col_value)
+MatrixTable.entry = property(_mt_entry)
+MatrixTable.select_rows = _mt_select_rows
+MatrixTable.select_cols = _mt_select_cols
+MatrixTable.transmute_rows = _mt_transmute_rows
+MatrixTable.transmute_cols = _mt_transmute_cols
+MatrixTable.transmute_entries = _mt_transmute_entries
+MatrixTable.key_cols_by = _mt_key_cols_by
+MatrixTable.localize_entries = _mt_localize_entries
+MatrixTable.make_table = _mt_make_table
+MatrixTable.from_rows_table = classmethod(_mt_from_rows_table)
+MatrixTable.from_parts = classmethod(_mt_from_parts)
+MatrixTable.compute_entry_filter_stats = _mt_compute_entry_filter_stats
+MatrixTable.index_rows = _mt_index_rows
+MatrixTable.index_cols = _mt_index_cols
+MatrixTable.index_entries = _mt_index_entries
+MatrixTable.n_partitions = _mt_n_partitions
+MatrixTable.repartition = _mt_repartition
+MatrixTable.naive_coalesce = _mt_naive_coalesce
+MatrixTable.persist = _mt_persist
+MatrixTable.cache = _mt_cache
+MatrixTable.unpersist = _mt_unpersist
+MatrixTable.checkpoint = _mt_checkpoint
+MatrixTable.describe = _mt_describe
+MatrixTable.show = _mt_show
+MatrixTable.summarize = _mt_summarize

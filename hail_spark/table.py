@@ -728,3 +728,50 @@ Table.to_matrix_table_row_major = _table_to_matrix_table_row_major
 Table.transmute_globals = _table_transmute_globals
 Table.all = _table_all
 Table.any = _table_any
+
+
+# ---------------------------------------------------------------------- #
+# class-surface completion (ref table.py: cache :2113, row_value :390,
+# index :1353, index_globals :1421, multi_way_zip_join :3702,
+# write_many :1438)
+# ---------------------------------------------------------------------- #
+def _t_cache(self) -> "Table":
+    return self.persist("MEMORY_ONLY")
+
+
+def _t_row_value(self) -> tuple:
+    return tuple(c for c in self._df.columns if c not in self._key)
+
+
+def _t_index_globals(self) -> dict:
+    return dict(self._globals)
+
+
+def _t_index(self, keys_df: DataFrame, how: str = "left") -> DataFrame:
+    """Key lookup (ref Table.index :1353 — expression sugar for a key
+    join; here the external keys arrive as a DataFrame and come back
+    annotated with this table's row fields)."""
+    return keys_df.join(self._df, on=list(self._key), how=how)
+
+
+def _t_multi_way_zip_join(tables, data_field_name: str = "data", global_field_name: str = "globals"):
+    """Static alias for operators.multiway.multi_way_zip_join (ref
+    Table.multi_way_zip_join :3702)."""
+    from .operators.multiway import multi_way_zip_join as mwzj
+
+    return mwzj(tables, data_field_name)
+
+
+def _t_write_many(self, path: str, fields, overwrite: bool = False) -> None:
+    """Write each named field to its own native table under
+    ``path/<field>`` (ref Table.write_many :1438) — the fanout writer
+    with one field per output."""
+    self.write_fanout(path, {f: [f] for f in fields}, overwrite=overwrite)
+
+
+Table.cache = _t_cache
+Table.row_value = property(_t_row_value)
+Table.index = _t_index
+Table.index_globals = _t_index_globals
+Table.multi_way_zip_join = staticmethod(_t_multi_way_zip_join)
+Table.write_many = _t_write_many

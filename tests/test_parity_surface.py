@@ -316,3 +316,81 @@ def test_agg_namespace_completion(spark):
     assert agg._reservoir_sample is agg.reservoir_sample
     with pytest.raises(NotImplementedError):
         agg._densify(3, F.col("arr"))
+
+
+def test_table_matrixtable_method_parity():
+    """Every public reference Table/MatrixTable method resolves."""
+    import ast
+
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.table import Table
+
+    def class_methods(path, cls):
+        tree = ast.parse(open(path).read())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ClassDef) and node.name == cls:
+                return [
+                    n.name
+                    for n in node.body
+                    if isinstance(n, ast.FunctionDef) and not n.name.startswith("_")
+                ]
+
+    assert [m for m in class_methods(f"{REF}/table.py", "Table") if m not in dir(Table)] == []
+    assert [
+        m
+        for m in class_methods(f"{REF}/matrixtable.py", "MatrixTable")
+        if m not in dir(MatrixTable)
+    ] == []
+
+
+def test_mt_surface_completion(spark):
+    from hail_spark.matrixtable import MatrixTable
+
+    mt = MatrixTable.from_parts(
+        globals={"g1": 7},
+        rows={"r": [10, 20, 30]},
+        cols={"s": ["a", "b"]},
+        entries={"x": [[1, 2], [3, None], [5, 6]]},
+    )
+    assert mt.count() == (3, 2)
+    assert mt.aggregate_rows(m=F.max("r")) == {"m": 30}
+    assert mt.aggregate_cols(n=F.count(F.lit(1))) == {"n": 2}
+    assert mt.annotate_globals(g2=1).index_globals() == {"g1": 7, "g2": 1}
+    assert mt.globals.g1 == 7 and sorted(mt.row_value.keys()) == ["r"]
+    assert mt.col_value == {"s": ["a", "b"]} and sorted(mt.entry.keys()) == ["x"]
+    assert mt.select_rows(r2=F.col("r") * 2)._df.columns == ["row_idx", "r2", "__entries"]
+    tr = mt.transmute_rows(r2=F.col("r") * 2)
+    assert "r" not in tr._df.columns and "r2" in tr._df.columns
+    tc = mt.transmute_cols(lambda c: {"S": str(c["s"]).upper()})
+    assert tc._cols[0] == {"col_idx": 0, "S": "A"}  # 's' dropped (read by f)
+    lt = mt.localize_entries("ent", "the_cols")
+    assert "ent" in lt.df.columns and len(lt.globals["the_cols"]) == 2
+    wide = mt.make_table().df.orderBy("row_idx").collect()
+    assert (wide[1]["0"], wide[1]["1"]) == (3, None)
+    s = mt.summarize()
+    assert (s["n_rows"], s["n_cols"], s["n_entries"]) == (3, 2, 6)
+    te = mt.transmute_entries(lambda e: {"y": e["x"] * 10}, drop=("x",))
+    assert te._entry_fields() == ["y"]
+    keys = spark.createDataFrame([{"row_idx": 0, "col_idx": 1}])
+    assert mt.index_entries(keys).first()["entry"]["x"] == 2
+    assert mt.repartition(2).n_partitions() == 2
+    assert MatrixTable.from_rows_table(mt.rows()).count() == (3, 0)
+    efs = mt.filter_entries(lambda e: e["x"] > 2).compute_entry_filter_stats()
+    assert efs._cols[0]["entry_stats_col"]["n_filtered"] >= 1
+
+
+def test_table_surface_completion(spark, tmp_path):
+    from hail_spark.table import Table
+
+    t = Table(
+        spark.createDataFrame([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]), ("k",)
+    )
+    assert t.row_value == ("v",)
+    assert t.index_globals() == {}
+    keys = spark.createDataFrame([{"k": 2}])
+    assert t.index(keys).first()["v"] == "b"
+    t.write_many(str(tmp_path / "many"), ["v"])
+    back = Table.read(spark, str(tmp_path / "many/v"))
+    assert sorted(r["v"] for r in back.df.collect()) == ["a", "b"]
+    assert t.cache() is t
+    t.unpersist()
