@@ -1214,3 +1214,100 @@ def write_matrix_tables(
         mt.write(p, overwrite=overwrite)
         paths.append(p)
     return paths
+
+
+# ---------------------------------------------------------------------- #
+# namespace completion (ref experimental/__init__.py __all__)
+# ---------------------------------------------------------------------- #
+def init(*args, **kwargs):
+    """Parity for hl.experimental.init (ref experimental/context.py:16)
+    — same engine init as hail_spark.init."""
+    from .session import init as _init
+
+    return _init(*args, **kwargs)
+
+
+def load_dataset(name: str, version: str, reference_genome: str = "GRCh38", region: str = "us", cloud: str = "gcp"):
+    """Annotation-dataset loader (ref experimental/datasets.py:20).
+    The reference streams from Hail's public cloud buckets; this
+    container has no network access, so the fetch is gated — the
+    call shape and error contract are preserved."""
+    raise EnvironmentError(
+        f"load_dataset({name!r}, {version!r}): no network access in this "
+        "environment; download the dataset and read it with read_table/"
+        "read_matrix_table instead"
+    )
+
+
+class DB:
+    """Annotation database (ref experimental/db.py:267): the reference
+    joins curated cloud-hosted datasets onto a table by key.  Gated
+    like load_dataset — constructing is allowed (config is local), any
+    fetch raises."""
+
+    def __init__(self, *, region: str = "us", cloud: str = "gcp", url: str | None = None, config=None):
+        self.region = region
+        self.cloud = cloud
+        self.url = url
+        self.config = config
+
+    def available_databases(self) -> list:
+        return []
+
+    def annotate_rows_db(self, rel, *names):
+        raise EnvironmentError(
+            "DB.annotate_rows_db: no network access in this environment"
+        )
+
+
+def plot_roc_curve(ht, scores, tp_label: str = "tp", fp_label: str = "fp", colors=None, title: str = "ROC Curve", hover_mode: str = "mouse"):
+    """ROC data (ref experimental/plots.py:17).  Plotting backends are
+    out of engine scope (SURVEY §2.12 viz) — this computes and returns
+    the (fpr, tpr, auc) arrays the reference hands to bokeh."""
+    from pyspark.sql import Window
+
+    df = ht.df if hasattr(ht, "df") else ht
+    if isinstance(scores, str):
+        scores = [scores]
+    out = {}
+    n = df.count()
+    for s in scores:
+        w = Window.orderBy(F.col(s).desc()).rowsBetween(Window.unboundedPreceding, 0)
+        cum = df.select(
+            F.sum(F.col(tp_label).cast("double")).over(w).alias("ctp"),
+            F.sum(F.col(fp_label).cast("double")).over(w).alias("cfp"),
+        )
+        tot = df.select(
+            F.sum(F.col(tp_label).cast("double")).alias("tp"),
+            F.sum(F.col(fp_label).cast("double")).alias("fp"),
+        ).first()
+        rows = cum.collect()
+        tpr = [r["ctp"] / tot["tp"] if tot["tp"] else 0.0 for r in rows]
+        fpr = [r["cfp"] / tot["fp"] if tot["fp"] else 0.0 for r in rows]
+        auc = 0.0
+        for i in range(1, len(rows)):
+            auc += (fpr[i] - fpr[i - 1]) * (tpr[i] + tpr[i - 1]) / 2.0
+        out[s] = {"fpr": fpr, "tpr": tpr, "auc": auc}
+    return out
+
+
+def hail_metadata(t_path: str):
+    """Native-table metadata summary (ref experimental/plots.py:97 —
+    there a partition-size plot; here the metadata dict itself)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(t_path, "_hail_spark_metadata.json")) as f:
+        return _json.load(f)
+
+
+def strftime(*args, **kwargs):
+    from .expr.functions import strftime as _f
+
+    return _f(*args, **kwargs)
+
+
+def strptime(*args, **kwargs):
+    from .expr.functions import strptime as _f
+
+    return _f(*args, **kwargs)

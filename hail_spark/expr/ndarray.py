@@ -420,3 +420,62 @@ def solve_triangular(a: Column, b: Column, lower: bool = False) -> Column:
         return out.reshape(y.shape)
 
     return _nd_kernel(f)(a, b)
+
+
+# ------------------------------------------------------------------ #
+# namespace completion (ref nd/nd.py: array :29, from_column_major :66,
+# identity, concatenate :491, solve_helper :322)
+# ------------------------------------------------------------------ #
+def array(input_array, dtype=None) -> Column:
+    """hl.nd.array (ref nd.py:29): a Column of arrays → 1-D ndarray;
+    a (possibly nested) Python list → literal ndarray with the inferred
+    rectangular shape."""
+    if isinstance(input_array, Column):
+        return from_array(input_array)
+    import numpy as np
+
+    M = np.asarray(input_array, dtype=float if dtype is None else dtype)
+    flat = [float(x) for x in M.ravel().tolist()]
+    return make(
+        [F.lit(int(s)) for s in M.shape] or [F.lit(len(flat))],
+        F.array(*[F.lit(v) for v in flat]) if flat else F.array().cast("array<double>"),
+    )
+
+
+def from_column_major(a, shape) -> Column:
+    """Column-major data + shape → ndarray (ref nd.py:66): reshape to
+    the reversed shape, then transpose."""
+    assert len(shape) == 2
+    nd = make([shape[1], shape[0]], _c(a))
+    return transpose2d(nd)
+
+
+def identity(n: int) -> Column:
+    """Alias of eye (ref nd.py identity)."""
+    return eye(n)
+
+
+def concatenate(nds: list, axis: int = 0) -> Column:
+    """Join ndarrays along an axis (ref nd.py:491).  axis 0 is the
+    row-major data concat; axis 1 routes through two metadata-free
+    transposes."""
+    if axis == 0:
+        return concat(list(nds))
+    if axis == 1:
+        return transpose2d(concat([transpose2d(x) for x in nds]))
+    raise ValueError("concatenate: axis must be 0 or 1 for 2-D ndarrays")
+
+
+def solve_helper(nd_coef: Column, nd_dep: Column, nd_dep_ndim_orig: int) -> Column:
+    """ref nd.py:322: 1-D dependents reshape to a column vector before
+    the solve, and back after."""
+    dep = nd_dep
+    if nd_dep_ndim_orig == 1:
+        dep = make(
+            [F.element_at(_nd(nd_dep)["shape"], 1), F.lit(1).cast("bigint")],
+            _nd(nd_dep)["data"],
+        )
+    out = solve(nd_coef, dep)
+    if nd_dep_ndim_orig == 1:
+        out = make([F.element_at(_nd(out)["shape"], 1)], _nd(out)["data"])
+    return out

@@ -24,7 +24,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .matrixtable import ENTRIES, MatrixTable
@@ -479,3 +479,358 @@ class VariantDataset:
         return cov.select(
             F.element_at(smap, F.col("__s") + 1).alias("s"), "bases_covered"
         ).orderBy("s")
+
+
+# ---------------------------------------------------------------------- #
+# module-level surface (ref vds/__init__.py __all__: functions.py
+# lgt_to_gt :8 / local_to_global :32, methods.py filter_variants :436 /
+# filter_intervals :597 / split_multi :628 / sample_qc sample_qc.py:327 /
+# write_variant_datasets :12 / impute_sex_chr_ploidy_from_interval_
+# coverage :260, variant_dataset.py read_vds :13 /
+# store_ref_block_max_length :71, impex.py read_dense_mt :43, combiner/)
+# ---------------------------------------------------------------------- #
+def lgt_to_gt(lgta, la):
+    """Local-allele-index call → global-allele-index call (ref
+    vds/functions.py:8): each local index looks up its global allele in
+    the LA array.  Operates on this engine's allele-index-array call
+    representation (GTA)."""
+    la_ = la if isinstance(la, Column) else F.col(la)
+    lg = lgta if isinstance(lgta, Column) else F.col(lgta)
+    return F.when(
+        lg.isNotNull(),
+        F.transform(lg, lambda li: F.element_at(la_, li.cast("int") + 1)),
+    )
+
+
+def local_to_global(array, local_alleles, n_alleles, fill_value, number: str):
+    """Reindex a locally-indexed VCF-number array to global indexing
+    (ref vds/functions.py:32): number 'A' (per alt), 'R' (per allele),
+    'G' (per diploid genotype).  Pure HOF expression — the inverse map
+    local_alleles[k] -> k is one map_from_entries lookup per output
+    slot."""
+    arr = array if isinstance(array, Column) else F.col(array)
+    la = local_alleles if isinstance(local_alleles, Column) else F.col(local_alleles)
+    n = F.lit(n_alleles) if isinstance(n_alleles, int) else n_alleles
+    fill = F.lit(fill_value)
+    # global allele -> local position (0-based)
+    inv = F.map_from_entries(
+        F.transform(
+            F.sequence(F.lit(0), F.size(la) - 1),
+            lambda k: F.struct(F.element_at(la, k.cast("int") + 1).alias("g"), k.alias("k")),
+        )
+    )
+    if number == "A":
+        return F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda g: F.coalesce(
+                F.element_at(arr, F.element_at(inv, g).cast("int")), fill
+            ),
+        )
+    if number == "R":
+        return F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda g: F.coalesce(
+                F.element_at(arr, F.element_at(inv, g).cast("int") + 1), fill
+            ),
+        )
+    if number == "G":
+        # diploid genotype (j,k), j<=k, index k(k+1)/2 + j; local index
+        # from the local positions of j and k (ordered)
+        def g_of(idx):
+            k = F.floor((F.sqrt(8.0 * idx + 1.0) - 1.0) / 2.0).cast("int")
+            j = (idx - k * (k + 1) / 2).cast("int")
+            lj = F.element_at(inv, j)
+            lk = F.element_at(inv, k)
+            lo = F.least(lj, lk)
+            hi = F.greatest(lj, lk)
+            lidx = (hi * (hi + 1) / 2 + lo).cast("int")
+            return F.when(
+                lj.isNotNull() & lk.isNotNull(),
+                F.coalesce(F.element_at(arr, lidx + 1), fill),
+            ).otherwise(fill)
+
+        return F.transform(F.sequence(F.lit(0), (n * (n + 1) / 2 - 1).cast("int")), g_of)
+    raise ValueError("number must be 'A', 'R' or 'G'")
+
+
+def read_vds(path: str, spark: SparkSession | None = None) -> VariantDataset:
+    """ref vds/variant_dataset.py:13."""
+    from .session import get_spark
+
+    return VariantDataset.read(spark or get_spark(), path)
+
+
+def read_dense_mt(path: str, spark: SparkSession | None = None) -> MatrixTable:
+    """Read a VDS and densify (ref vds/impex.py:43 — there a fused
+    native read; here read + the banded densify join)."""
+    return read_vds(path, spark).to_dense_mt()
+
+
+def write_variant_datasets(vdss, paths, *, overwrite: bool = False) -> None:
+    """ref vds/methods.py:12 — batched writes."""
+    for v, p in zip(vdss, paths):
+        v.write(p, overwrite=overwrite)
+
+
+def filter_variants(vds: VariantDataset, variants_table, *, keep: bool = True) -> VariantDataset:
+    """Semi/anti join variant_data on (locus, alleles) (ref
+    vds/methods.py:436); reference_data untouched, as in the
+    reference."""
+    vt = variants_table.df if hasattr(variants_table, "df") else variants_table
+    keys = [k for k in ("locus", "alleles") if k in vt.columns]
+    how = "left_semi" if keep else "left_anti"
+    vmt = vds.variant_data
+    out = vmt._df.join(vt.select(*keys), on=keys, how=how)
+    return VariantDataset(vds.reference_data, vmt._with_df(out))
+
+
+def filter_intervals(
+    vds: VariantDataset, intervals, *, keep: bool = True, split_reference_blocks: bool = False
+) -> VariantDataset:
+    """Locus-interval filter on both halves (ref vds/methods.py:597):
+    variant sites by containment; reference blocks by OVERLAP (END
+    reaches into the interval), optionally re-segmented to interval
+    boundaries via segment_reference_blocks."""
+    rows = intervals
+    if hasattr(rows, "df"):
+        rows = rows.df
+    if isinstance(rows, list):
+        from .session import get_spark
+
+        rows = get_spark().createDataFrame(
+            [
+                {"contig": c, "start": s, "end": e}
+                for (c, s, e) in rows
+            ]
+        )
+    ivals = [(r["contig"], r["start"], r["end"]) for r in rows.collect()]
+
+    def contains(locus):
+        conds = [
+            (locus["contig"] == c) & (locus["position"] >= s) & (locus["position"] <= e)
+            for c, s, e in ivals
+        ]
+        out = F.lit(False)
+        for cnd in conds:
+            out = out | cnd
+        return out
+
+    vmt = vds.variant_data
+    vkeep = contains(F.col("locus"))
+    vout = vmt._with_df(vmt._df.filter(vkeep if keep else ~vkeep))
+    rd = vds.reference_data
+    max_end = F.aggregate(
+        F.transform(
+            F.filter(F.col(ENTRIES), lambda x: x.isNotNull()),
+            lambda x: x["END"],
+        ),
+        F.lit(0),
+        F.greatest,
+    )
+
+    def overlaps(locus):
+        conds = [
+            (locus["contig"] == c) & (locus["position"] <= e) & (max_end >= s)
+            for c, s, e in ivals
+        ]
+        out = F.lit(False)
+        for cnd in conds:
+            out = out | cnd
+        return out
+
+    rkeep = overlaps(F.col("locus"))
+    rout = rd._with_df(rd._df.filter(rkeep if keep else ~rkeep))
+    out_vds = VariantDataset(rout, vout)
+    if split_reference_blocks and keep:
+        seg = rows if not isinstance(rows, list) else None
+        out_vds = VariantDataset(
+            MatrixTable(
+                out_vds.segment_reference_blocks(seg)._df
+                if hasattr(out_vds, "segment_reference_blocks")
+                else rout._df,
+                rout._row_key, rout._cols, rout._col_key, rout._globals,
+            ),
+            vout,
+        )
+    return out_vds
+
+
+def split_multi(vds: VariantDataset, *, filter_changed_loci: bool = False) -> VariantDataset:
+    """Split multiallelic variant sites with local-allele downcode (ref
+    vds/methods.py:628) — sparse_split_multi on variant_data;
+    reference blocks are biallelic by construction and pass through."""
+    from .experimental import sparse_split_multi
+
+    return VariantDataset(
+        vds.reference_data,
+        sparse_split_multi(vds.variant_data, filter_changed_loci=filter_changed_loci),
+    )
+
+
+def sample_qc(vds: VariantDataset, *, name: str = "sample_qc") -> DataFrame:
+    """Per-sample QC over the variant data (ref vds/sample_qc.py:327).
+    The reference computes on the sparse representation; here the QC
+    kernel runs on variant_data directly (reference blocks carry no
+    calls, so the call-rate denominators match the reference's
+    gq/dp-exclusive variant stats)."""
+    from .methods.qc import sample_qc as _mt_sample_qc
+
+    return _mt_sample_qc(vds.variant_data)
+
+
+def store_ref_block_max_length(vds_path: str) -> None:
+    """Compute max(END - position + 1) over the reference data and
+    store it in the VDS metadata (ref variant_dataset.py:71) — readers
+    use it to bound interval-query over-read."""
+    from .session import get_spark
+
+    spark = get_spark()
+    vds = VariantDataset.read(spark, vds_path)
+    rd = vds.reference_data._df
+    mx = rd.select(
+        F.max(
+            F.aggregate(
+                F.transform(
+                    F.filter(F.col(ENTRIES), lambda x: x.isNotNull()),
+                    lambda x: x["END"] - F.col("locus")["position"] + 1,
+                ),
+                F.lit(0),
+                F.greatest,
+            )
+        ).alias("m")
+    ).first()["m"]
+    meta_path = os.path.join(vds_path, "_vds_metadata.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    meta["ref_block_max_length"] = int(mx or 0)
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+
+def impute_sex_chr_ploidy_from_interval_coverage(
+    mt_or_df, normalization_contig: str, x_contig: str = "X", y_contig: str = "Y"
+) -> DataFrame:
+    """Ploidy estimates from an interval-coverage frame (ref
+    vds/methods.py:260): input rows (s, contig, bases_over_dp_sum,
+    interval_size); ploidy = 2 * contig mean DP / normalization mean
+    DP."""
+    df = mt_or_df.df if hasattr(mt_or_df, "df") else mt_or_df
+    per = (
+        df.filter(F.col("contig").isin([normalization_contig, x_contig, y_contig]))
+        .groupBy("s")
+        .pivot("contig", [normalization_contig, x_contig, y_contig])
+        .agg((F.sum("bases_over_dp_sum") / F.sum("interval_size")).alias("mean_dp"))
+    )
+    norm = F.col(f"`{normalization_contig}`")
+    xm, ym = F.col(f"`{x_contig}`"), F.col(f"`{y_contig}`")
+    return per.select(
+        "s",
+        norm.alias("autosomal_mean_dp"),
+        xm.alias("x_mean_dp"),
+        (F.lit(2.0) * xm / F.nullif(norm, F.lit(0.0))).alias("x_ploidy"),
+        ym.alias("y_mean_dp"),
+        (F.lit(2.0) * ym / F.nullif(norm, F.lit(0.0))).alias("y_ploidy"),
+    ).orderBy("s")
+
+
+# ---------------------------------------------------------------------- #
+# combiner API (ref vds/combiner/__init__.py new_combiner/load_combiner)
+# ---------------------------------------------------------------------- #
+class VariantDatasetCombiner:
+    """Plan-object wrapper around the gVCF combiner (io/gvcf.py
+    combine_gvcfs): holds the input list + output path, persists its
+    plan as JSON so an interrupted combine can resume (the reference's
+    save/load contract; its hierarchical multi-round merge collapses to
+    one round here because combine_gvcfs already unions N inputs in a
+    single plan)."""
+
+    def __init__(self, output_path: str, temp_path: str = "/tmp", gvcf_paths: list | None = None, vds_paths: list | None = None):
+        self.output_path = output_path
+        self.temp_path = temp_path
+        self.gvcf_paths = list(gvcf_paths or [])
+        self.vds_paths = list(vds_paths or [])
+        self.finished = False
+
+    def save(self, path: str | None = None) -> str:
+        plan = path or os.path.join(self.temp_path, "combiner_plan.json")
+        with open(plan, "w") as f:
+            json.dump(
+                {
+                    "name": "hail_spark.VariantDatasetCombiner",
+                    "output_path": self.output_path,
+                    "temp_path": self.temp_path,
+                    "gvcf_paths": self.gvcf_paths,
+                    "vds_paths": self.vds_paths,
+                    "finished": self.finished,
+                },
+                f,
+            )
+        return plan
+
+    def run(self, spark: SparkSession | None = None) -> VariantDataset:
+        from .io.gvcf import combine_gvcfs
+        from .session import get_spark
+
+        spark = spark or get_spark()
+        parts = []
+        if self.gvcf_paths:
+            parts.append(combine_gvcfs(spark, self.gvcf_paths))
+        for p in self.vds_paths:
+            parts.append(VariantDataset.read(spark, p))
+        if not parts:
+            raise ValueError("combiner has no inputs")
+        out = parts[0]
+        for nxt in parts[1:]:
+            out = out.union_cols(nxt)
+        out.write(self.output_path, overwrite=True)
+        self.finished = True
+        return out
+
+
+def new_combiner(*, output_path: str, temp_path: str = "/tmp", gvcf_paths=None, vds_paths=None, **_kw) -> VariantDatasetCombiner:
+    return VariantDatasetCombiner(output_path, temp_path, gvcf_paths, vds_paths)
+
+
+def load_combiner(path: str) -> VariantDatasetCombiner:
+    with open(path) as f:
+        plan = json.load(f)
+    c = VariantDatasetCombiner(
+        plan["output_path"], plan["temp_path"], plan["gvcf_paths"], plan["vds_paths"]
+    )
+    c.finished = plan.get("finished", False)
+    return c
+
+
+class _CombinerModule:
+    """vds.combiner submodule handle (ref hail.vds.combiner)."""
+
+    VariantDatasetCombiner = VariantDatasetCombiner
+    new_combiner = staticmethod(new_combiner)
+    load_combiner = staticmethod(load_combiner)
+
+
+combiner = _CombinerModule()
+
+
+def import_vcf(spark_or_path, path: str | None = None, **kwargs):
+    """VDS-level import_vcf (ref vds/impex.py:349): a dense VCF arrives
+    as a VDS whose reference_data is empty (every site is a variant
+    site)."""
+    from .io.vcf import import_vcf as _mt_import_vcf
+    from .session import get_spark
+
+    if isinstance(spark_or_path, str):
+        spark, p = get_spark(), spark_or_path
+    else:
+        spark, p = spark_or_path, path
+    vmt = _mt_import_vcf(spark, p, **kwargs)
+    empty_ref = vmt._with_df(vmt._df.limit(0))
+    return VariantDataset(empty_ref, vmt)
+
+
+def export_vcf(vds: VariantDataset, path: str, **kwargs) -> None:
+    """VDS-level export: densify then the MatrixTable VCF writer (ref
+    vds/impex.py:210)."""
+    from .io.vcf import export_vcf as _mt_export_vcf
+
+    _mt_export_vcf(vds.to_dense_mt(), path, **kwargs)
