@@ -3893,6 +3893,246 @@ FROM events WHERE event_id % 17 = 0
 """
 
 
+def mendel_code_battery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hl.mendel_error_code (ref functions.py:6415, 12-code table):
+    synthetic trios from the events table hit every (copy state, code)
+    cell; the oracle replays the CASE ladder arithmetically."""
+    ev = _t(spark, sf_dir, "events").df.filter(F.col("event_id") < 20000)
+    d = (F.col("event_id") % 3).cast("int")
+    m = (F.col("event_id") / 3 % 3).cast("int")
+    k = (F.col("event_id") / 9 % 3).cast("int")
+    contig = F.element_at(
+        F.array(F.lit("1"), F.lit("2"), F.lit("X"), F.lit("Y"), F.lit("3")),
+        (F.col("event_id") % 5 + 1).cast("int"),
+    )
+    fem = F.col("event_id") % 2 == 0
+    loc = F.struct(contig.alias("contig"), F.lit(1000).alias("position"))
+    return ev.select(
+        "event_id",
+        contig.alias("contig"),
+        fem.alias("is_female"),
+        d.alias("d"),
+        m.alias("m"),
+        k.alias("k"),
+        hf.mendel_error_code(loc, fem, d, m, k).alias("code"),
+    ).orderBy("event_id")
+
+
+_MENDEL_CODE_SQL = """
+WITH t AS (
+  SELECT event_id,
+         ['1','2','X','Y','3'][CAST(event_id % 5 AS INT) + 1] AS contig,
+         event_id % 2 = 0 AS is_female,
+         CAST(event_id % 3 AS INT) AS d,
+         CAST((event_id // 3) % 3 AS INT) AS m,
+         CAST((event_id // 9) % 3 AS INT) AS k
+  FROM events WHERE event_id < 20000
+), s AS (
+  SELECT *,
+         (contig NOT IN ('X','Y')) OR (contig = 'X' AND is_female) AS auto,
+         contig = 'X' AND NOT is_female AS hemi_x,
+         contig = 'Y' AND NOT is_female AS hemi_y
+  FROM t
+)
+SELECT event_id, contig, is_female, d, m, k,
+  CASE
+    WHEN auto AND d = 2 AND m = 2 AND k = 1 THEN 1
+    WHEN auto AND d = 0 AND m = 0 AND k = 1 THEN 2
+    WHEN auto AND d = 0 AND m <> 0 AND k = 2 THEN 3
+    WHEN auto AND d <> 0 AND m = 0 AND k = 2 THEN 4
+    WHEN auto AND d = 0 AND m = 0 AND k = 2 THEN 5
+    WHEN auto AND d = 2 AND m <> 2 AND k = 0 THEN 6
+    WHEN auto AND d <> 2 AND m = 2 AND k = 0 THEN 7
+    WHEN auto AND d = 2 AND m = 2 AND k = 0 THEN 8
+    WHEN hemi_x AND m = 2 AND k = 0 THEN 9
+    WHEN hemi_x AND m = 0 AND k = 2 THEN 10
+    WHEN hemi_y AND d = 2 AND k = 0 THEN 11
+    WHEN hemi_y AND d = 0 AND k = 2 THEN 12
+    ELSE NULL END AS code
+FROM s ORDER BY event_id
+"""
+
+
+def local_to_global_battery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vds.local_to_global A/R/G reindex (ref vds/functions.py:32) over
+    synthetic 2-local-allele calls: LA = [0,1] or [0,2], n_alleles=3 —
+    the oracle spells out the inverse permutation per LA shape."""
+    from hail_spark.vds import local_to_global
+
+    ev = _t(spark, sf_dir, "events").df.filter(F.col("event_id") < 20000)
+    e = F.col("event_id")
+    alt = (e % 2 + 1).cast("int")  # second local allele: 1 or 2
+    la = F.array(F.lit(0).cast("int"), alt)
+    a_arr = F.array((e % 7).cast("int"))
+    r_arr = F.array((e % 7).cast("int"), (e % 11).cast("int"))
+    g_arr = F.array((e % 5).cast("int"), (e % 13).cast("int"), (e % 17).cast("int"))
+    a = local_to_global(a_arr, la, 3, -1, "A")
+    r = local_to_global(r_arr, la, 3, -1, "R")
+    g = local_to_global(g_arr, la, 3, -9, "G")
+    return ev.select(
+        "event_id",
+        alt.alias("la2"),
+        a[0].alias("a0"), a[1].alias("a1"),
+        r[0].alias("r0"), r[1].alias("r1"), r[2].alias("r2"),
+        g[0].alias("g0"), g[1].alias("g1"), g[2].alias("g2"),
+        g[3].alias("g3"), g[4].alias("g4"), g[5].alias("g5"),
+    ).orderBy("event_id")
+
+
+_LOCAL_TO_GLOBAL_SQL = """
+WITH t AS (
+  SELECT event_id,
+         CAST(event_id % 2 + 1 AS INT) AS la2,
+         CAST(event_id % 7 AS INT) AS v0, CAST(event_id % 11 AS INT) AS v1,
+         CAST(event_id % 5 AS INT) AS p0, CAST(event_id % 13 AS INT) AS p1,
+         CAST(event_id % 17 AS INT) AS p2
+  FROM events WHERE event_id < 20000
+)
+SELECT event_id, la2,
+  CASE WHEN la2 = 1 THEN v0 ELSE -1 END AS a0,
+  CASE WHEN la2 = 2 THEN v0 ELSE -1 END AS a1,
+  v0 AS r0,
+  CASE WHEN la2 = 1 THEN v1 ELSE -1 END AS r1,
+  CASE WHEN la2 = 2 THEN v1 ELSE -1 END AS r2,
+  p0 AS g0,
+  CASE WHEN la2 = 1 THEN p1 ELSE -9 END AS g1,
+  CASE WHEN la2 = 1 THEN p2 ELSE -9 END AS g2,
+  CASE WHEN la2 = 2 THEN p1 ELSE -9 END AS g3,
+  CAST(-9 AS INT) AS g4,
+  CASE WHEN la2 = 2 THEN p2 ELSE -9 END AS g5
+FROM t ORDER BY event_id
+"""
+
+
+def split_multi_rows_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only hl.split_multi (ref statgen.py:3132) with star-allele
+    dropping: triallelic sites built from part, split to biallelic rows
+    carrying a_index/was_split/old_alleles."""
+    from hail_spark.methods.genetics import split_multi
+
+    p = _t(spark, sf_dir, "part").df.filter(F.col("p_partkey") < 5000)
+    df = p.select(
+        F.struct(
+            (F.col("p_partkey") % 3).cast("string").alias("contig"),
+            F.col("p_partkey").cast("int").alias("position"),
+        ).alias("locus"),
+        F.array(
+            F.lit("A"),
+            F.lit("T"),
+            F.when(F.col("p_partkey") % 4 == 0, F.lit("*")).otherwise(F.lit("C")),
+        ).alias("alleles"),
+        F.col("p_size").alias("x"),
+    )
+    out = split_multi(Table(df, ("locus", "alleles")))
+    return out._df.select(
+        F.col("locus")["position"].alias("pos"),
+        "a_index",
+        F.element_at("alleles", 2).alias("alt"),
+        "was_split",
+        F.size("old_alleles").alias("old_n"),
+        "x",
+    ).orderBy("pos", "a_index")
+
+
+_SPLIT_MULTI_ROWS_SQL = """
+WITH src AS (
+  SELECT CAST(p_partkey AS INT) AS pos, p_size AS x,
+         CASE WHEN p_partkey % 4 = 0 THEN '*' ELSE 'C' END AS a3
+  FROM part WHERE p_partkey < 5000
+)
+SELECT pos, 1 AS a_index, 'T' AS alt, TRUE AS was_split, 3 AS old_n, x FROM src
+UNION ALL
+SELECT pos, 2 AS a_index, a3 AS alt, TRUE AS was_split, 3 AS old_n, x
+FROM src WHERE a3 <> '*'
+ORDER BY pos, a_index
+"""
+
+
+def bm_row_major_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BlockMatrix.to_table_row_major (ref blockmatrix.py:1462): a
+    50x4 quantity grid from lineitem through the blocked layout and
+    back to dense rows, exploded to (i, j, v) so the oracle is a dense
+    cross-join replay."""
+    from hail_spark.linalg.blockmatrix import BlockMatrix
+
+    li = _t(spark, sf_dir, "lineitem").df
+    long = li.groupBy(
+        (F.col("l_orderkey") % 50).alias("i"),
+        ((F.col("l_linenumber") - 1) % 4).alias("j"),
+    ).agg(F.sum("l_quantity").cast("double").alias("v"))
+    bm = BlockMatrix.from_long(long, 50, 4, block_size=16)
+    t = bm.to_table_row_major()
+    return (
+        t.df.select(
+            F.col("row_idx").alias("i"), F.posexplode("entries").alias("j", "v")
+        )
+        .select("i", "j", F.round(F.col("v"), 6).alias("v"))
+        .orderBy("i", "j")
+    )
+
+
+_BM_ROW_MAJOR_SQL = """
+WITH agg AS (
+  SELECT l_orderkey % 50 AS i, (l_linenumber - 1) % 4 AS j,
+         CAST(SUM(l_quantity) AS DOUBLE) AS v
+  FROM lineitem GROUP BY 1, 2
+), grid AS (
+  SELECT gi.range AS i, gj.range AS j FROM range(50) gi, range(4) gj
+)
+SELECT grid.i AS i, CAST(grid.j AS INT) AS j,
+       round(COALESCE(agg.v, 0.0), 6) AS v
+FROM grid LEFT JOIN agg ON grid.i = agg.i AND grid.j = agg.j
+ORDER BY i, j
+"""
+
+
+def array_agg_explode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg.explode + agg.array_agg dispatchers (ref aggregators.py:390,
+    :1995) over embedding prefixes grouped by label: exploded sum/count/
+    mean and positionwise sum/mean in one hash-agg pass."""
+    em = _t(spark, sf_dir, "embeddings").df
+    pre = em.select(
+        "label",
+        F.transform(
+            F.slice("embedding", 1, 4), lambda x: F.round(x.cast("double"), 6)
+        ).alias("arr"),
+    )
+    asum = agg.array_agg(agg.sum, F.col("arr"))
+    amean = agg.array_agg(agg.mean, F.col("arr"))
+    return (
+        pre.groupBy("label")
+        .agg(
+            F.round(agg.explode(agg.sum, F.col("arr")), 6).alias("esum"),
+            agg.explode(agg.count, F.col("arr")).alias("ecnt"),
+            F.round(agg.explode(agg.mean, F.col("arr")), 6).alias("emean"),
+            F.round(asum[0], 6).alias("s0"),
+            F.round(asum[3], 6).alias("s3"),
+            F.round(amean[1], 6).alias("m1"),
+        )
+        .orderBy("label")
+    )
+
+
+_ARRAY_AGG_EXPLODE_SQL = """
+WITH pre AS (
+  SELECT label,
+         round(CAST(embedding[1] AS DOUBLE), 6) AS e0,
+         round(CAST(embedding[2] AS DOUBLE), 6) AS e1,
+         round(CAST(embedding[3] AS DOUBLE), 6) AS e2,
+         round(CAST(embedding[4] AS DOUBLE), 6) AS e3
+  FROM embeddings
+)
+SELECT label,
+       round(SUM(e0 + e1 + e2 + e3), 6) AS esum,
+       CAST(4 * COUNT(*) AS BIGINT) AS ecnt,
+       round(SUM(e0 + e1 + e2 + e3) / (4 * COUNT(*)), 6) AS emean,
+       round(SUM(e0), 6) AS s0,
+       round(SUM(e3), 6) AS s3,
+       round(SUM(e1) / COUNT(*), 6) AS m1
+FROM pre GROUP BY label ORDER BY label
+"""
+
+
 def downsample_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hl.agg.downsample (ref aggregators.py:1533) via the bounded
     two-level grid reduction (downsample_table): the occupied-cell set
@@ -5481,6 +5721,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_quantiles_by_type": approx_quantiles_q,
         "approx_cdf_struct": approx_cdf_struct_q,
         "kll_cdf_exact_regime": kll_cdf_q,
+        "mendel_code_battery": mendel_code_battery_q,
+        "local_to_global_battery": local_to_global_battery_q,
+        "split_multi_rows": split_multi_rows_q,
+        "bm_row_major": bm_row_major_q,
+        "array_agg_explode": array_agg_explode_q,
         "plink_round_trip": plink_round_trip,
         "bgen_round_trip": bgen_round_trip,
         "table_native_round_trip": table_native_round_trip,
@@ -5627,6 +5872,11 @@ def oracle_sql() -> dict[str, str]:
         "approx_quantiles_by_type": _APPROX_Q_SQL,
         "approx_cdf_struct": _APPROX_CDF_SQL,
         "kll_cdf_exact_regime": _KLL_SQL,
+        "mendel_code_battery": _MENDEL_CODE_SQL,
+        "local_to_global_battery": _LOCAL_TO_GLOBAL_SQL,
+        "split_multi_rows": _SPLIT_MULTI_ROWS_SQL,
+        "bm_row_major": _BM_ROW_MAJOR_SQL,
+        "array_agg_explode": _ARRAY_AGG_EXPLODE_SQL,
         "plink_round_trip": _PLINK_RT_SQL,
         "bgen_round_trip": _BGEN_RT_SQL,
         "table_native_round_trip": _NATIVE_RT_SQL,
