@@ -185,3 +185,27 @@ def test_experimental_gates_and_roc(spark):
     )
     roc = ex.plot_roc_curve(Table(df, ()), "score")
     assert roc["score"]["auc"] == pytest.approx(1.0)
+
+
+def test_utils_surface(spark):
+    import hail_spark as hs
+    import hail_spark.utils as u
+
+    names = _ref_all(f"{REF}/utils/__init__.py")
+    assert [n for n in names if not (hasattr(u, n) or hasattr(hs, n))] == []
+    assert u.deduplicate(["a", "a", "a"])[1] == ["a", "a_1", "a_2"]
+    assert u.deduplicate(["a", "a_1", "a"])[1] == ["a", "a_1", "a_2"]
+    assert list(u.chunk(2, [1, 2, 3])) == [[1, 2], [3]]
+    fd = u.frozendict(a=1)
+    assert hash(fd) is not None
+    with pytest.raises(TypeError):
+        fd["b"] = 2
+    assert list(u.LinkedList().push(1, 2, 3)) == [3, 2, 1]
+    assert u.range_table(5).df.count() == 5
+    g = u.genomic_range_table(3)
+    assert [r["locus"]["position"] for r in g.df.orderBy("locus.position").collect()] == [1, 2, 3]
+    assert u.range_matrix_table(2, 3).count() == (2, 3)
+    with pytest.raises(EnvironmentError):
+        u.get_1kg("/tmp/x")
+    with pytest.raises(NotImplementedError):
+        u.no_service_backend("thing")
