@@ -54,7 +54,7 @@ _LAZY = {
     "nd": ("hail_spark.expr.ndarray", None),
     "linalg": ("hail_spark.linalg.blockmatrix", None),
     "methods": ("hail_spark.methods", None),
-    "genetics": ("hail_spark.methods.genetics", None),
+    "genetics": ("hail_spark.genetics", None),  # value types (ref hl.genetics)
     "stats": ("hail_spark.expr.stats", None),
     "vds": ("hail_spark.vds", None),
     "utils": ("hail_spark.utils", None),

@@ -643,3 +643,15 @@ def cochran_mantel_haenszel_test(a, b, c, d):
     p = float(pchisqtail(np.array([stat]), 1.0)[0]) if var > 0 else float("nan")
     orr = np.sum(a * d / n) / np.sum(b * c / n) if np.sum(b * c / n) > 0 else float("inf")
     return {"test_statistic": float(stat), "p_value": p, "odds_ratio": float(orr)}
+
+
+class LinearMixedModel:
+    """Reference-parity stub (ref stats/linear_mixed_model.py:1): the
+    reference removed LMM support in 0.2.94 and its constructor raises
+    exactly like this one."""
+
+    def __init__(self, *args, **kwargs):
+        raise NotImplementedError(
+            "LinearMixedModel is no longer implemented/supported as of "
+            "Hail 0.2.94 (the reference raises the same error)"
+        )

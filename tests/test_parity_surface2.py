@@ -209,3 +209,30 @@ def test_utils_surface(spark):
         u.get_1kg("/tmp/x")
     with pytest.raises(NotImplementedError):
         u.no_service_backend("thing")
+
+
+def test_genetics_value_types(tmp_path):
+    import hail_spark as hs
+    from hail_spark.genetics import AlleleType, Call, Locus, Pedigree, Trio
+
+    names = _ref_all(f"{REF}/genetics/__init__.py")
+    assert [n for n in names if not hasattr(hs.genetics, n)] == []
+    c = Call([0, 1])
+    assert c.is_het() and not c.is_hom_ref() and str(c) == "0/1"
+    assert Call([1, 1]).is_hom_var() and Call([1, 1]).unphased_diploid_gt_index() == 2
+    assert Call([0, 2], phased=True).__str__() == "0|2"
+    loc = Locus.parse("X:1000")
+    assert (loc.contig, loc.position) == ("X", 1000)
+    ped = Pedigree(
+        [Trio("kid", fam_id="f1", pat_id="dad", mat_id="mom", is_female=True), Trio("solo")]
+    )
+    assert len(ped.complete_trios()) == 1
+    p = str(tmp_path / "out.fam")
+    ped.write(p)
+    assert Pedigree.read(p) == ped
+    assert ped.filter_to(["kid"]).trios[0].s == "kid"
+    assert AlleleType.SNP.name == "SNP"
+    import hail_spark.expr.stats as st
+
+    with pytest.raises(NotImplementedError):
+        st.LinearMixedModel(None, None, None)
