@@ -1253,3 +1253,23 @@ MatrixTable.checkpoint = _mt_checkpoint
 MatrixTable.describe = _mt_describe
 MatrixTable.show = _mt_show
 MatrixTable.summarize = _mt_summarize
+
+
+def _gm_partition_hint(self, n: int):
+    self._n_partitions = n
+    return self
+
+
+def _gm_describe(self) -> None:
+    print(f"grouped {type(self).__name__}: keys={getattr(self, '_fields', getattr(self, '_names', None))}")
+
+
+GroupedMatrixRows.partition_hint = _gm_partition_hint
+GroupedMatrixCols.partition_hint = _gm_partition_hint
+GroupedMatrixRows.describe = _gm_describe
+GroupedMatrixCols.describe = _gm_describe
+GroupedMatrixRows.aggregate_entries = GroupedMatrixRows.aggregate
+GroupedMatrixCols.aggregate_entries = GroupedMatrixCols.aggregate
+# result(): the reference's aggregate is sugar for aggregate_entries().result()
+GroupedMatrixRows.result = lambda self: self._mt
+GroupedMatrixCols.result = lambda self: self._mt

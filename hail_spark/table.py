@@ -775,3 +775,24 @@ Table.index = _t_index
 Table.index_globals = _t_index_globals
 Table.multi_way_zip_join = staticmethod(_t_multi_way_zip_join)
 Table.write_many = _t_write_many
+
+
+def _gt_partition_hint(self, n: int) -> "GroupedTable":
+    """ref GroupedTable.partition_hint (table.py:204): request n
+    partitions for the aggregation — mapped onto
+    spark.sql.shuffle.partitions via a post-agg repartition hint."""
+    self._n_partitions = n
+    return self
+
+
+GroupedTable.partition_hint = _gt_partition_hint
+_orig_grouped_aggregate = GroupedTable.aggregate
+
+
+def _gt_aggregate_with_hint(self, **aggs):
+    out = _orig_grouped_aggregate(self, **aggs)
+    n = getattr(self, "_n_partitions", None)
+    return out.repartition(n) if n else out
+
+
+GroupedTable.aggregate = _gt_aggregate_with_hint

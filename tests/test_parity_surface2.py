@@ -236,3 +236,17 @@ def test_genetics_value_types(tmp_path):
 
     with pytest.raises(NotImplementedError):
         st.LinearMixedModel(None, None, None)
+
+
+def test_grouped_surfaces(spark):
+    from hail_spark.matrixtable import GroupedMatrixCols, GroupedMatrixRows
+    from hail_spark.table import Table
+
+    t = Table(
+        spark.createDataFrame([{"k": 1, "v": 2}, {"k": 1, "v": 3}, {"k": 2, "v": 4}]),
+        ("k",),
+    )
+    out = t.group_by("k").partition_hint(2).aggregate(s=F.sum("v"))
+    assert sorted((r["k"], r["s"]) for r in out.df.collect()) == [(1, 5), (2, 4)]
+    for cls in (GroupedMatrixRows, GroupedMatrixCols):
+        assert hasattr(cls, "partition_hint") and hasattr(cls, "aggregate_entries")
