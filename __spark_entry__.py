@@ -4133,6 +4133,36 @@ FROM pre GROUP BY label ORDER BY label
 """
 
 
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003; the MOSS
+    rolling k-gram + window-min scheme, llmdata/textstats.py
+    winnowing_fingerprints) — the oracle replays the k-gram md5 hashes
+    and the sliding-window minima positionally."""
+    from hail_spark.llmdata.textstats import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").df.filter(F.col("doc_id") % 5 == 0)
+    return winnowing_fingerprints(docs, k=8, window=4).orderBy("doc_id", "fingerprint")
+
+
+_WINNOW_SQL = r"""
+WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+           FROM documents WHERE doc_id % 5 = 0),
+pos AS (SELECT doc_id, norm, unnest(range(1, CAST(length(norm) AS BIGINT) - 6)) AS i
+        FROM d WHERE length(norm) >= 8),
+kg AS (SELECT doc_id, i,
+         ('0x'||substr(md5(substr(norm, CAST(i AS INT), 8)),1,15))::BIGINT AS h
+       FROM pos),
+w AS (SELECT doc_id, i,
+        min(h) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        count(*) OVER (PARTITION BY doc_id) AS nk
+      FROM kg)
+SELECT DISTINCT doc_id, fp AS fingerprint
+FROM w WHERE i <= nk - 3
+ORDER BY doc_id, fingerprint
+"""
+
+
 def downsample_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hl.agg.downsample (ref aggregators.py:1533) via the bounded
     two-level grid reduction (downsample_table): the occupied-cell set
@@ -5726,6 +5756,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_multi_rows": split_multi_rows_q,
         "bm_row_major": bm_row_major_q,
         "array_agg_explode": array_agg_explode_q,
+        "winnow_fingerprints": winnow_fingerprints_q,
         "plink_round_trip": plink_round_trip,
         "bgen_round_trip": bgen_round_trip,
         "table_native_round_trip": table_native_round_trip,
@@ -5877,6 +5908,7 @@ def oracle_sql() -> dict[str, str]:
         "split_multi_rows": _SPLIT_MULTI_ROWS_SQL,
         "bm_row_major": _BM_ROW_MAJOR_SQL,
         "array_agg_explode": _ARRAY_AGG_EXPLODE_SQL,
+        "winnow_fingerprints": _WINNOW_SQL,
         "plink_round_trip": _PLINK_RT_SQL,
         "bgen_round_trip": _BGEN_RT_SQL,
         "table_native_round_trip": _NATIVE_RT_SQL,

@@ -338,3 +338,98 @@ def gopher_signals(
         be["ellipsis_frac"].alias("ellipsis_frac"),
         gopher_quality_filter(t, toks=toks, lines=lines).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------- #
+# winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+# MOSS local document fingerprinting scheme; rolling k-gram hashes +
+# per-window minima give partial-overlap detection that whole-document
+# hashes cannot)
+# ---------------------------------------------------------------------- #
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """(id, fingerprint) rows: k-gram hashes of the whitespace-normalized
+    lowercased text, winnowed to the minimum of each sliding window of
+    ``window`` consecutive hashes, distinct per document.
+
+    Guarantee (the winnowing theorem): any shared substring of length
+    >= k + window - 1 between two documents yields a shared
+    fingerprint, while only ~2/(window+1) of all k-gram hashes are
+    kept.  Everything is one narrow Column-HOF projection per row —
+    hashes are computed once per k-gram (never loop-invariant work
+    inside the lambda) and the output explodes to the distinct
+    fingerprint set; no shuffle until the caller aggregates."""
+    from .dedup import _spread, md5_int
+
+    t = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), t.alias("__norm")
+    )
+    n = F.length("__norm") - k + 1
+    hashes = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: md5_int(F.col("__norm").substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    # materialize the hash array in its own projection: the window pass
+    # references it m+1 times, and CollapseProject would otherwise
+    # inline (= recompute) the full O(n) md5 array per window, turning
+    # the scheme O(n^2 k)
+    hashed = base.select(F.col(id_col), hashes.alias("__h"))
+    h = F.col("__h")
+    m = F.size(h) - window + 1
+    wins = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.array_min(F.slice(h, j, window)),
+        ),
+    ).otherwise(
+        # shorter than a full window: keep the global min (standard
+        # winnowing edge case so short docs still fingerprint)
+        F.when(F.size(h) > 0, F.array(F.array_min(h))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    )
+    return (
+        hashed.select(F.col(id_col), F.explode(F.array_distinct(wins)).alias("fingerprint"))
+        .distinct()
+    )
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Document pairs sharing >= min_shared winnowed fingerprints
+    (partial-overlap candidates).  The fingerprint posting-list
+    self-join touches ~2/(window+1) of the k-gram mass, so the df² head
+    that makes raw shingle joins quadratic is winnowed away before the
+    join; AQE handles residual hot fingerprints."""
+    fp = winnowing_fingerprints(df, text_col, id_col, k, window)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.fingerprint") == F.col("b.fingerprint"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -512,25 +512,27 @@ def local_to_global(array, local_alleles, n_alleles, fill_value, number: str):
     la = local_alleles if isinstance(local_alleles, Column) else F.col(local_alleles)
     n = F.lit(n_alleles) if isinstance(n_alleles, int) else n_alleles
     fill = F.lit(fill_value)
-    # global allele -> local position (0-based)
-    inv = F.map_from_entries(
-        F.transform(
-            F.sequence(F.lit(0), F.size(la) - 1),
-            lambda k: F.struct(F.element_at(la, k.cast("int") + 1).alias("g"), k.alias("k")),
-        )
-    )
+
+    # global allele -> 1-based local position via the native
+    # array_position (0 = absent).  A constructed lookup map would be
+    # re-inlined by CollapseProject into every lambda reference and
+    # rebuilt O(slots) times per row; array_position is a single cheap
+    # builtin per probe.
+    def pos_(g):
+        return F.array_position(la, g.cast("int"))
+
     if number == "A":
         return F.transform(
             F.sequence(F.lit(1), n - 1),
-            lambda g: F.coalesce(
-                F.element_at(arr, F.element_at(inv, g).cast("int")), fill
-            ),
+            lambda g: F.when(pos_(g) > 1, F.element_at(arr, (pos_(g) - 1).cast("int")))
+            .otherwise(fill)
+            .alias("v"),
         )
     if number == "R":
         return F.transform(
             F.sequence(F.lit(0), n - 1),
-            lambda g: F.coalesce(
-                F.element_at(arr, F.element_at(inv, g).cast("int") + 1), fill
+            lambda g: F.when(pos_(g) > 0, F.element_at(arr, pos_(g).cast("int"))).otherwise(
+                fill
             ),
         )
     if number == "G":
@@ -539,13 +541,13 @@ def local_to_global(array, local_alleles, n_alleles, fill_value, number: str):
         def g_of(idx):
             k = F.floor((F.sqrt(8.0 * idx + 1.0) - 1.0) / 2.0).cast("int")
             j = (idx - k * (k + 1) / 2).cast("int")
-            lj = F.element_at(inv, j)
-            lk = F.element_at(inv, k)
+            lj = pos_(j) - 1  # 0-based, -1 = absent
+            lk = pos_(k) - 1
             lo = F.least(lj, lk)
             hi = F.greatest(lj, lk)
             lidx = (hi * (hi + 1) / 2 + lo).cast("int")
             return F.when(
-                lj.isNotNull() & lk.isNotNull(),
+                (lj >= 0) & (lk >= 0),
                 F.coalesce(F.element_at(arr, lidx + 1), fill),
             ).otherwise(fill)
 

@@ -250,3 +250,28 @@ def test_grouped_surfaces(spark):
     assert sorted((r["k"], r["s"]) for r in out.df.collect()) == [(1, 5), (2, 4)]
     for cls in (GroupedMatrixRows, GroupedMatrixCols):
         assert hasattr(cls, "partition_hint") and hasattr(cls, "aggregate_entries")
+
+
+def test_winnowing_fingerprints(spark):
+    from hail_spark.llmdata.textstats import (
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+            {"doc_id": 2, "text": "a quick brown fox jumps over a sleepy cat"},
+            {"doc_id": 3, "text": "completely different content here entirely"},
+            {"doc_id": 4, "text": "xy"},
+        ]
+    )
+    fp = winnowing_fingerprints(df)
+    per_doc = {r["doc_id"]: r["count"] for r in fp.groupBy("doc_id").count().collect()}
+    assert 4 not in per_doc and all(per_doc[d] > 5 for d in (1, 2, 3))
+    # winnowing guarantee: the shared >= k+w-1 substring yields shared prints
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"] for r in winnowing_overlap_pairs(df).collect()}
+    assert pairs.get((1, 2), 0) >= 2 and (1, 3) not in pairs
+    # density: ~2/(w+1) of kgram mass kept, never more than all
+    n_kgrams = len("the quick brown fox jumps over the lazy dog") - 8 + 1
+    assert per_doc[1] <= n_kgrams
