@@ -375,13 +375,22 @@ def sorted_(arr, reverse: bool = False) -> Column:
     return F.reverse(a) if reverse else a
 
 
-def zip_(*arrs) -> Column:
-    return F.arrays_zip(*[_c(a) for a in arrs])
+def zip_(*arrs, fill_missing: bool = False) -> Column:
+    """hl.zip (ref functions.py:4474): truncates to the SHORTEST array
+    by default; ``fill_missing=True`` extends to the longest with nulls
+    (Spark's arrays_zip native behavior)."""
+    cols = [_c(a) for a in arrs]
+    if fill_missing or len(cols) == 1:
+        return F.arrays_zip(*cols)
+    shortest = cols[0] if len(cols) == 1 else F.least(*[F.size(c) for c in cols])
+    return F.slice(F.arrays_zip(*cols), 1, shortest)
 
 
-def enumerate_(arr, index_first: bool = False) -> Column:
+def enumerate_(arr, start: int = 0, *, index_first: bool = True) -> Column:
+    """hl.enumerate (ref functions.py:4532): (index, element) tuples,
+    index FIRST by default like the reference."""
     a = _c(arr)
-    idx = F.sequence(F.lit(0), F.size(a) - 1)
+    idx = F.sequence(F.lit(start), F.size(a) - 1 + start)
     if index_first:
         return F.zip_with(idx, a, lambda i, x: F.struct(i.alias("_0"), x.alias("_1")))
     return F.zip_with(a, idx, lambda x, i: F.struct(x.alias("_0"), i.alias("_1")))
@@ -1450,8 +1459,9 @@ def flatten(arrs) -> Column:
     return F.flatten(_c(arrs))
 
 
-def zip_with_index(arr, index_first: bool = False) -> Column:
-    """Deprecated hl.zip_with_index — enumerate parity."""
+def zip_with_index(arr, index_first: bool = True) -> Column:
+    """Deprecated hl.zip_with_index (ref functions.py:4567) —
+    enumerate with the same index-first default."""
     return enumerate_(arr, index_first=index_first)
 
 

@@ -394,3 +394,22 @@ def test_table_surface_completion(spark, tmp_path):
     assert sorted(r["v"] for r in back.df.collect()) == ["a", "b"]
     assert t.cache() is t
     t.unpersist()
+
+
+def test_zip_enumerate_reference_semantics(spark):
+    # hl.zip truncates to shortest by default (ref functions.py:4485)
+    z = hf.eval(
+        hf.zip(
+            F.array(F.lit(1)),
+            F.array(F.lit(10), F.lit(20)),
+            F.array(F.lit(100), F.lit(200), F.lit(300)),
+        )
+    )
+    assert [tuple(r) for r in z] == [(1, 10, 100)]
+    zf = hf.eval(hf.zip(F.array(F.lit(1)), F.array(F.lit(10), F.lit(20)), fill_missing=True))
+    assert [tuple(r) for r in zf] == [(1, 10), (None, 20)]
+    # hl.enumerate: index first, start offset (ref :4538)
+    e = hf.eval(hf.enumerate(F.array(F.lit("A"), F.lit("B")), 3))
+    assert [tuple(r) for r in e] == [(3, "A"), (4, "B")]
+    e2 = hf.eval(hf.enumerate(F.array(F.lit("A"),), index_first=False))
+    assert [tuple(r) for r in e2] == [("A", 0)]
