@@ -370,9 +370,26 @@ def find(f, arr) -> Column:
     return F.when(F.size(matches_) > 0, F.element_at(matches_, 1))
 
 
-def sorted_(arr, reverse: bool = False) -> Column:
-    a = F.array_sort(_c(arr))
-    return F.reverse(a) if reverse else a
+def sorted_(arr, key=None, reverse: bool = False) -> Column:
+    """hl.sorted (ref functions.py:5706) incl. the ``key`` function —
+    a comparator-sort on key(x) with nulls last, like the reference."""
+    a = _c(arr)
+    if key is None:
+        out = F.array_sort(a)
+    else:
+        def cmp(l, r):
+            kl, kr = key(l), key(r)
+            return (
+                F.when(kl.isNull() & kr.isNull(), 0)
+                .when(kl.isNull(), 1)
+                .when(kr.isNull(), -1)
+                .when(kl < kr, -1)
+                .when(kl > kr, 1)
+                .otherwise(0)
+            )
+
+        out = F.array_sort(a, cmp)
+    return F.reverse(out) if reverse else out
 
 
 def zip_(*arrs, fill_missing: bool = False) -> Column:
@@ -412,12 +429,13 @@ def mean_(arr) -> Column:
 
 
 def median_(arr) -> Column:
+    """hl.median (ref functions.py:5095): the middle element of the
+    sorted non-missing values — even length takes the LOWER middle
+    (the reference doctest: median([1,3,5,6,7,9]) == 5), preserving
+    the element type (no float averaging)."""
     a = F.array_sort(F.filter(_c(arr), lambda x: x.isNotNull()))
     n = F.size(a)
-    mid = (n / 2).cast("int")
-    return F.when(
-        n % 2 == 1, F.element_at(a, mid + 1).cast("double")
-    ).otherwise((F.element_at(a, mid) + F.element_at(a, mid + 1)) / 2.0)
+    return F.when(n > 0, F.element_at(a, ((n + 1) / 2).cast("int")))
 
 
 def product_(arr) -> Column:

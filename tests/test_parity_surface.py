@@ -413,3 +413,13 @@ def test_zip_enumerate_reference_semantics(spark):
     assert [tuple(r) for r in e] == [(3, "A"), (4, "B")]
     e2 = hf.eval(hf.enumerate(F.array(F.lit("A"),), index_first=False))
     assert [tuple(r) for r in e2] == [("A", 0)]
+
+
+def test_sorted_median_reference_semantics(spark):
+    arr = F.array(F.lit("Charlie"), F.lit("Alice"), F.lit("Bob"))
+    assert hf.eval(hf.sorted(arr)) == ["Alice", "Bob", "Charlie"]
+    assert hf.eval(hf.sorted(arr, reverse=True)) == ["Charlie", "Bob", "Alice"]
+    assert hf.eval(hf.sorted(arr, key=lambda x: F.length(x))) == ["Bob", "Alice", "Charlie"]
+    # hl.median doctest: even length takes the lower middle, type kept
+    assert hf.eval(hf.median(F.array(*[F.lit(x) for x in [1, 3, 5, 6, 7, 9]]))) == 5
+    assert hf.eval(hf.median(F.array(*[F.lit(x) for x in [2, 4]]))) == 2
