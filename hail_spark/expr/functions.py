@@ -357,12 +357,32 @@ def array_scan(f, zero, arr) -> Column:
     )
 
 
-def any_(f, arr) -> Column:
-    return F.exists(_c(arr), f)
+def any_(*args) -> Column:
+    """hl.any (ref functions.py:4159), three forms: any(f, collection),
+    any(collection-of-bools), any(bool, bool, ...).  A single bare
+    boolean argument parses as the (trivial) collection form only if it
+    is an array; Columns are typeless here, so the one-argument form
+    assumes a collection — spell any(x, lit(False)) for a lone bool."""
+    if len(args) == 2 and callable(args[0]):
+        return F.exists(_c(args[1]), args[0])
+    if len(args) == 1:
+        return F.exists(_c(args[0]), lambda x: x)
+    out = _c(args[0])
+    for a in args[1:]:
+        out = out | _c(a)
+    return out
 
 
-def all_(f, arr) -> Column:
-    return F.forall(_c(arr), f)
+def all_(*args) -> Column:
+    """hl.all (ref functions.py:4228) — same three forms as any_."""
+    if len(args) == 2 and callable(args[0]):
+        return F.forall(_c(args[1]), args[0])
+    if len(args) == 1:
+        return F.forall(_c(args[0]), lambda x: x)
+    out = _c(args[0])
+    for a in args[1:]:
+        out = out & _c(a)
+    return out
 
 
 def find(f, arr) -> Column:

@@ -423,3 +423,12 @@ def test_sorted_median_reference_semantics(spark):
     # hl.median doctest: even length takes the lower middle, type kept
     assert hf.eval(hf.median(F.array(*[F.lit(x) for x in [1, 3, 5, 6, 7, 9]]))) == 5
     assert hf.eval(hf.median(F.array(*[F.lit(x) for x in [2, 4]]))) == 2
+
+
+def test_any_all_forms(spark):
+    b = F.array(F.lit(False), F.lit(True))
+    assert hf.eval(hf.any(b)) is True and hf.eval(hf.all(b)) is False
+    assert hf.eval(hf.any(lambda x: x > 2, F.array(F.lit(1), F.lit(3)))) is True
+    assert hf.eval(hf.all(lambda x: x > 0, F.array(F.lit(1), F.lit(3)))) is True
+    assert hf.eval(hf.any(F.lit(False), F.lit(True))) is True
+    assert hf.eval(hf.all(F.lit(True), F.lit(False))) is False
