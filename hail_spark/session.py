@@ -118,12 +118,53 @@ def _with_flags(**flags):
     return _WithFlags(flags)
 
 
+class _FS:
+    """Filesystem handle parity (ref backend fs attribute): routes to
+    the hadoop_* utils (fsspec-or-local)."""
+
+    def open(self, path, mode="r", buffer_size=8192):
+        from .utils import hadoop_open
+
+        return hadoop_open(path, mode, buffer_size)
+
+    def exists(self, path):
+        from .utils import hadoop_exists
+
+        return hadoop_exists(path)
+
+    def is_file(self, path):
+        from .utils import hadoop_is_file
+
+        return hadoop_is_file(path)
+
+    def is_dir(self, path):
+        from .utils import hadoop_is_dir
+
+        return hadoop_is_dir(path)
+
+    def ls(self, path):
+        from .utils import hadoop_ls
+
+        return hadoop_ls(path)
+
+    def stat(self, path):
+        from .utils import hadoop_stat
+
+        return hadoop_stat(path)
+
+    def copy(self, src, dest):
+        from .utils import hadoop_copy
+
+        return hadoop_copy(src, dest)
+
+
 class SparkBackend:
     """Backend handle parity (ref backend/spark_backend.py): this
     engine has exactly one backend — the live SparkSession."""
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        self.fs = _FS()
 
     @property
     def sc(self):
