@@ -1,0 +1,159 @@
+"""Property-based tests (hypothesis) for exact invariants the example
+tests can't sweep: the winnowing guarantee, local/global call-array
+reindexing round trips, IEEE division semantics, and the split/downcode
+dosage conservation law.  Each example batch evaluates in ONE Spark job
+(rows = examples) so the sweep stays fast."""
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hail_spark.expr import functions as hf
+
+SET = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@st.composite
+def _overlapping_texts(draw):
+    """Two texts sharing a substring of length >= k + w - 1 (k=8, w=4)."""
+    alpha = "abcdefgh "
+    shared = draw(st.text(alphabet=alpha, min_size=11, max_size=30))
+    pre_a = draw(st.text(alphabet=alpha, min_size=0, max_size=15))
+    post_a = draw(st.text(alphabet=alpha, min_size=0, max_size=15))
+    pre_b = draw(st.text(alphabet=alpha, min_size=0, max_size=15))
+    post_b = draw(st.text(alphabet=alpha, min_size=0, max_size=15))
+    return (pre_a + shared + post_a, pre_b + shared + post_b, shared)
+
+
+@SET
+@given(_overlapping_texts())
+def test_winnowing_guarantee(spark, texts):
+    """Winnowing theorem: a shared substring of length >= k + w - 1
+    forces at least one shared fingerprint."""
+    from hail_spark.llmdata.textstats import winnowing_fingerprints
+
+    a, b, shared = texts
+    # normalization collapses whitespace — the guarantee holds on the
+    # normalized forms, so require the normalized shared piece be long
+    # enough after collapsing
+    import re
+
+    norm_shared = re.sub(r"\s+", " ", shared.lower().strip())
+    if len(norm_shared) < 11:
+        return
+    df = spark.createDataFrame([{"doc_id": 1, "text": a}, {"doc_id": 2, "text": b}])
+    fp = winnowing_fingerprints(df, k=8, window=4)
+    rows = fp.collect()
+    s1 = {r["fingerprint"] for r in rows if r["doc_id"] == 1}
+    s2 = {r["fingerprint"] for r in rows if r["doc_id"] == 2}
+    assert s1 & s2, (a, b)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 3),  # the second local allele (first is ref 0)
+            st.lists(st.integers(0, 99), min_size=2, max_size=2),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_local_to_global_r_roundtrip(spark, cases):
+    """R-number reindex: global slot g carries the local value iff g is
+    a local allele; every local value appears exactly once."""
+    from hail_spark.vds import local_to_global
+
+    n_alleles = 4
+    rows = [
+        {"i": i, "alt": alt, "arr": vals} for i, (alt, vals) in enumerate(cases)
+    ]
+    df = spark.createDataFrame(rows)
+    la = F.array(F.lit(0), F.col("alt"))
+    out = df.select(
+        "i", "alt", "arr",
+        local_to_global(F.col("arr"), la, n_alleles, -1, "R").alias("g"),
+    ).collect()
+    for r in out:
+        g = r["g"]
+        assert len(g) == n_alleles
+        assert g[0] == r["arr"][0]
+        assert g[r["alt"]] == r["arr"][1]
+        fills = [v for j, v in enumerate(g) if j not in (0, r["alt"])]
+        assert all(v == -1 for v in fills)
+
+
+@SET
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(allow_nan=True, allow_infinity=True, width=32),
+            st.floats(allow_nan=True, allow_infinity=True, width=32),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_divide_matches_ieee(spark, pairs):
+    """hf.divide == IEEE float division for every (num, den) incl. 0,
+    inf, NaN (modulo the -0.0 divisor sign edge the docstring pins)."""
+    rows = [{"i": i, "a": a, "b": b} for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "i int, a double, b double")
+    out = {
+        r["i"]: r["v"]
+        for r in df.select("i", hf.divide(F.col("a"), F.col("b")).alias("v")).collect()
+    }
+    for i, (a, b) in enumerate(pairs):
+        if b == 0.0 and math.copysign(1.0, b) < 0:
+            continue  # documented -0.0 edge deviation
+        want = a / b if b != 0.0 else (
+            float("nan") if (a == 0.0 or math.isnan(a)) else math.copysign(float("inf"), a)
+        )
+        got = out[i]
+        if math.isnan(want):
+            assert math.isnan(got), (a, b, got)
+        else:
+            assert got == pytest.approx(want, rel=1e-12), (a, b, got)
+
+
+@SET
+@given(
+    st.lists(
+        st.lists(st.integers(0, 3), min_size=2, max_size=2),  # GTA pairs
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_split_multi_hts_dosage_conservation(spark, gtas):
+    """Downcode conservation: over the split biallelic rows of one
+    multiallelic site, the per-sample sum of split GT dosages equals
+    the sample's non-ref allele count in the original GTA."""
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.genetics import split_multi_hts
+
+    n_alts = 3
+    row = {
+        "locus": {"contig": "1", "position": 100},
+        "alleles": ["A", "C", "G", "T"],
+        "__entries": [{"GTA": g} for g in gtas],
+    }
+    df = spark.createDataFrame(
+        [row],
+        "locus struct<contig:string,position:int>, alleles array<string>, "
+        "__entries array<struct<GTA:array<int>>>",
+    )
+    mt = MatrixTable(df, ("locus", "alleles"), [{"s": f"s{i}"} for i in range(len(gtas))], ("s",))
+    out = split_multi_hts(mt)
+    rows = out._df.collect()
+    assert len(rows) == n_alts
+    for si, gta in enumerate(gtas):
+        total = sum(r["__entries"][si]["GT"] for r in rows)
+        assert total == sum(1 for a in gta if a != 0), (gta, total)
