@@ -275,3 +275,48 @@ def test_winnowing_fingerprints(spark):
     # density: ~2/(w+1) of kgram mass kept, never more than all
     n_kgrams = len("the quick brown fox jumps over the lazy dog") - 8 + 1
     assert per_doc[1] <= n_kgrams
+
+
+def test_vep_json_typ_parses_realistic_output(spark):
+    """vep_json_typ must lift a realistic VEP --json line (the shapes
+    VEP 95 emits) into fully-typed structs via from_json."""
+    import json as _json
+
+    from hail_spark.methods.annotate import vep_json_typ
+
+    line = _json.dumps(
+        {
+            "assembly_name": "GRCh38",
+            "allele_string": "A/T",
+            "start": 100, "end": 100, "strand": 1,
+            "seq_region_name": "1",
+            "id": "rs123",
+            "input": "1\t100\t.\tA\tT\t.\t.\t.",
+            "most_severe_consequence": "missense_variant",
+            "variant_class": "SNV",
+            "colocated_variants": [
+                {"allele_string": "A/T", "id": "rs123", "start": 100, "end": 100,
+                 "minor_allele": "T", "minor_allele_freq": 0.01,
+                 "clin_sig": ["benign"], "pubmed": [123456]}
+            ],
+            "transcript_consequences": [
+                {"allele_num": 1, "amino_acids": "K/N", "biotype": "protein_coding",
+                 "canonical": 1, "consequence_terms": ["missense_variant"],
+                 "gene_id": "ENSG0001", "gene_symbol": "GENE1",
+                 "hgvsc": "ENST1:c.1A>T", "impact": "MODERATE",
+                 "polyphen_score": 0.9, "polyphen_prediction": "probably_damaging",
+                 "sift_score": 0.02, "sift_prediction": "deleterious",
+                 "domains": [{"db": "Pfam", "name": "PF0001"}],
+                 "strand": 1, "transcript_id": "ENST1", "variant_allele": "T"}
+            ],
+            "intergenic_consequences": None,
+        }
+    )
+    df = spark.createDataFrame([{"vep": line}])
+    parsed = df.select(F.from_json("vep", vep_json_typ()).alias("v")).first()["v"]
+    assert parsed["most_severe_consequence"] == "missense_variant"
+    tc = parsed["transcript_consequences"][0]
+    assert tc["gene_symbol"] == "GENE1" and tc["polyphen_score"] == pytest.approx(0.9)
+    assert tc["domains"][0]["db"] == "Pfam"
+    cv = parsed["colocated_variants"][0]
+    assert cv["minor_allele_freq"] == pytest.approx(0.01) and cv["pubmed"] == [123456]
