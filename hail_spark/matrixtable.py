@@ -163,8 +163,10 @@ class MatrixTable:
     # filters (ref MatrixFilterRows M:201 / Cols M:624 / Entries M:451)
     # ------------------------------------------------------------------ #
     def filter_rows(self, expr: Column, keep: bool = True) -> "MatrixTable":
+        # bare predicate: NULL drops the row natively, and parquet
+        # pushdown can consume the comparison (see Table.filter)
         pred = expr if keep else ~expr
-        return self._with_df(self._df.filter(F.coalesce(pred, F.lit(False))))
+        return self._with_df(self._df.filter(pred))
 
     def filter_cols(self, pred: Callable[[dict], bool]) -> "MatrixTable":
         """Driver-side predicate over col fields (cols are small);

@@ -10,7 +10,7 @@ Catalyst instead of Hail's IR pipeline.
 Semantics deliberately matched to the reference:
 
 * ``filter``: a missing (NULL) predicate drops the row
-  (ref TableIR.scala TableFilter; we wrap in ``coalesce(pred, false)``).
+  (ref TableIR.scala TableFilter; NULL predicates drop rows natively).
 * ordering: missing sorts LAST ascending / FIRST descending (Hail treats
   missing as largest; ref hail/hail/src/is/hail/expr/ir/orderings/) —
   every sort here uses ``asc_nulls_last`` / ``desc_nulls_first``.
@@ -210,9 +210,16 @@ class Table:
     # row transforms
     # ------------------------------------------------------------------ #
     def filter(self, expr: Column, keep: bool = True) -> "Table":
-        """Missing predicate ⇒ drop (ref TableFilter, table_ir.py:477)."""
+        """Missing predicate ⇒ drop (ref TableFilter, table_ir.py:477).
+
+        No ``coalesce(pred, false)`` wrapper: Spark's Filter already
+        drops rows whose condition evaluates to NULL (for keep=False,
+        ``~NULL`` is NULL and drops too — exactly Hail's semantics),
+        and the bare comparison is what parquet predicate pushdown can
+        consume; the coalesce form was measured to block pushdown on
+        every scan-adjacent filter (q1's shipdate filter)."""
         pred = expr if keep else ~expr
-        return self._with_df(self._df.filter(F.coalesce(pred, F.lit(False))))
+        return self._with_df(self._df.filter(pred))
 
     def annotate(self, **exprs: Column) -> "Table":
         return self._with_df(self._df.withColumns({k: _as_col(v) for k, v in exprs.items()}))
