@@ -33,7 +33,8 @@ _DEFAULTS = {
 def get_spark(app_name: str = "hail_spark", **extra: str) -> SparkSession:
     """Return (creating if needed) the engine's SparkSession."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.master(master).appName(app_name)
     for k, v in {**_DEFAULTS, **extra}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
@@ -41,12 +42,48 @@ def get_spark(app_name: str = "hail_spark", **extra: str) -> SparkSession:
     return spark
 
 
-def init(app_name: str = "hail_spark", **extra: str) -> SparkSession:
-    """Parity alias for ``hl.init`` / ``hl.init_spark`` (ref
-    hail/__init__.py, context.py init_spark): create-or-get the
-    session. The reference's log/tmp/branching-factor knobs are Spark
-    configs here — pass them via ``extra``."""
-    return get_spark(app_name, **extra)
+def init(
+    sc=None,
+    app_name: str | None = None,
+    master: str | None = None,
+    local: str | None = None,
+    log: str | None = None,
+    quiet: bool = False,
+    show_progress: bool | None = None,
+    append: bool = False,
+    min_block_size: int | None = None,
+    branching_factor: int = 50,
+    tmp_dir: str | None = None,
+    default_reference: str | None = None,
+    idempotent: bool = False,
+    global_seed: int | None = None,
+    spark_conf: dict | None = None,
+    **extra: str,
+) -> SparkSession:
+    """Parity for ``hl.init`` (ref context.py:190): accepts the
+    reference's keyword surface.  ``master``/``local`` select the Spark
+    master, ``spark_conf``/``extra`` become session configs,
+    ``default_reference`` sets the genome registry default,
+    ``global_seed`` seeds the rand_* family, ``tmp_dir`` overrides the
+    scratch root; log/quiet/show_progress/append/min_block_size/
+    branching_factor are no-ops here (Spark's logging + AQE replace
+    them)."""
+    conf = {**(spark_conf or {}), **extra}
+    m = master or local
+    if m is not None:
+        os.environ["SPARK_GRAFT_MASTER"] = m
+    if tmp_dir is not None:
+        os.environ["SPARK_GRAFT_TMP_DIR"] = tmp_dir
+    spark = get_spark(app_name or "hail_spark", **conf)
+    if default_reference is not None:
+        from .expr.genome import default_reference as _set_default
+
+        _set_default(default_reference)
+    if global_seed is not None:
+        from .expr.functions import set_global_seed
+
+        set_global_seed(global_seed)
+    return spark
 
 
 init_spark = init
@@ -66,10 +103,11 @@ def spark_context():
 
 
 def tmp_dir() -> str:
-    """Parity alias for ``hl.tmp_dir``: the engine scratch directory."""
+    """Parity alias for ``hl.tmp_dir``: the engine scratch directory
+    (hl.init(tmp_dir=...) overrides)."""
     import tempfile
 
-    return tempfile.gettempdir()
+    return os.environ.get("SPARK_GRAFT_TMP_DIR", tempfile.gettempdir())
 
 
 # ------------------------------------------------------------------ #
