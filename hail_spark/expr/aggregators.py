@@ -786,13 +786,44 @@ def _densify(length, expr) -> Column:
 
 # reference names resolved via module __getattr__ so in-module uses of
 # builtins (filter, ...) are unaffected
+def hardy_weinberg_test(gt, one_sided: bool = False) -> Column:
+    """hl.agg.hardy_weinberg_test (ref aggregators.py:1128):
+    struct(het_freq_hwe, p_value) from the genotype dosage column.
+    Genotype counts aggregate natively (map-side combine); the exact
+    Wigginton test runs as an Arrow-batched finalizer OVER the three
+    aggregate counts — one value per group, fully distributed (no
+    driver collect)."""
+    if one_sided:
+        raise NotImplementedError(
+            "one_sided mid-p heterozygosity test not implemented; use the "
+            "two-sided default (matches the reference default)"
+        )
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    g = _c(gt)
+
+    def _fin(hr: pd.Series, het: pd.Series, hv: pd.Series) -> pd.DataFrame:
+        from .stats import hardy_weinberg_test as _exact
+
+        return pd.DataFrame(
+            [_exact(int(a), int(b), int(c)) for a, b, c in zip(hr, het, hv)]
+        )
+
+    _fin.__annotations__ = {
+        "hr": pd.Series, "het": pd.Series, "hv": pd.Series, "return": pd.DataFrame
+    }
+    udf = pandas_udf(_fin, "struct<het_freq_hwe:double,p_value:double>")
+    return udf(
+        F.sum(F.when(g == 0, 1).otherwise(0)),
+        F.sum(F.when(g == 1, 1).otherwise(0)),
+        F.sum(F.when(g == 2, 1).otherwise(0)),
+    )
+
+
 def __getattr__(name: str):
     if name == "filter":
         return agg_filter
-    if name == "hardy_weinberg_test":
-        from .stats import hardy_weinberg_test as hwt
-
-        return hwt
     if name == "info_score":
         from .functions import info_score as isc
 

@@ -432,3 +432,16 @@ def test_any_all_forms(spark):
     assert hf.eval(hf.all(lambda x: x > 0, F.array(F.lit(1), F.lit(3)))) is True
     assert hf.eval(hf.any(F.lit(False), F.lit(True))) is True
     assert hf.eval(hf.all(F.lit(True), F.lit(False))) is False
+
+
+def test_agg_hardy_weinberg_test(spark):
+    from hail_spark.expr import aggregators as agg
+    from hail_spark.expr.stats import hardy_weinberg_test as exact
+
+    df = spark.createDataFrame([{"g": "x", "gt": i % 3} for i in range(30)])
+    r = df.groupBy("g").agg(agg.hardy_weinberg_test(F.col("gt")).alias("h")).first()["h"]
+    want = exact(10, 10, 10)
+    assert r["het_freq_hwe"] == pytest.approx(want["het_freq_hwe"])
+    assert r["p_value"] == pytest.approx(want["p_value"])
+    with pytest.raises(NotImplementedError):
+        agg.hardy_weinberg_test(F.col("gt"), one_sided=True)
