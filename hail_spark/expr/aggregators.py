@@ -395,6 +395,7 @@ def linreg(y, xs, nested_dim: int = 1) -> Column:
     ret = (
         "struct<beta: array<double>, standard_error: array<double>, "
         "t_stat: array<double>, p_value: array<double>, "
+        "multiple_standard_error: double, "
         "multiple_r_squared: double, adjusted_r_squared: double, "
         "f_stat: double, multiple_p_value: double, n: bigint>"
     )
@@ -408,7 +409,8 @@ def linreg(y, xs, nested_dim: int = 1) -> Column:
 
         null_row = {
             "beta": None, "standard_error": None, "t_stat": None,
-            "p_value": None, "multiple_r_squared": None,
+            "p_value": None, "multiple_standard_error": None,
+            "multiple_r_squared": None,
             "adjusted_r_squared": None, "f_stat": None,
             "multiple_p_value": None, "n": None,
         }
@@ -458,6 +460,7 @@ def linreg(y, xs, nested_dim: int = 1) -> Column:
                     "standard_error": se.tolist(),
                     "t_stat": [float(x) for x in t],
                     "p_value": p,
+                    "multiple_standard_error": float(np.sqrt(sigma2)) if sigma2 >= 0 else None,
                     "multiple_r_squared": float(r2) if r2 is not None else None,
                     "adjusted_r_squared": float(adj) if adj is not None else None,
                     "f_stat": fstat,
