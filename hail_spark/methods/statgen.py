@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..expr.stats import pchisqtail, pgenchisq, pT
+from ..expr.stats import pchisqtail, pgenchisq, pnorm, pT
 from ..matrixtable import ENTRIES, MatrixTable
 
 
@@ -81,8 +81,9 @@ def linear_regression_rows(
 ) -> DataFrame:
     """Per-variant OLS of y on genotype + covariates (ref statgen.py:235).
 
-    Returns rows keyed by the matrix row key with ``n, sum_x, beta,
-    standard_error, t_stat, p_value`` (the reference's output fields).
+    Returns rows keyed by the matrix row key with ``n, sum_x,
+    y_transpose_x, beta, standard_error, t_stat, p_value`` (the
+    reference's output fields, statgen.py:270).
     """
     yv = _col_vector(mt, y)
     C = _design(mt, covariates, add_intercept)
@@ -104,15 +105,18 @@ def linear_regression_rows(
         if f.name in row_key
     )
     schema = (
-        f"{key_fields}, n int, sum_x double, beta double, "
+        f"{key_fields}, n int, sum_x double, y_transpose_x double, beta double, "
         "standard_error double, t_stat double, p_value double"
     )
+    byv = spark.sparkContext.broadcast(yv)
 
     def run(batches):
         Q_, yp_ = bQ.value, byp.value
+        y_ = byv.value
         for pdf in batches:
             X = _mean_impute(_entry_matrix(pdf[ENTRIES], x_field, n))
             sum_x = np.nansum(X, axis=1)
+            ytx = X @ y_
             Xp = X - (X @ Q_) @ Q_.T
             xpxp = np.einsum("ij,ij->i", Xp, Xp)
             xpyp = Xp @ yp_
@@ -125,6 +129,7 @@ def linear_regression_rows(
             out = pdf[row_key].copy()
             out["n"] = n
             out["sum_x"] = sum_x
+            out["y_transpose_x"] = ytx
             out["beta"] = beta
             out["standard_error"] = se
             out["t_stat"] = t
@@ -244,10 +249,17 @@ def logistic_regression_rows(
         for f in mt._df.schema.fields
         if f.name in row_key
     )
-    schema = (
-        f"{key_fields}, beta double, chi_sq_stat double, p_value double, "
-        "fit_converged boolean"
-    )
+    if test == "wald":
+        # reference wald output: standard_error + z_stat (statgen.py:830)
+        schema = (
+            f"{key_fields}, beta double, standard_error double, "
+            "z_stat double, p_value double, fit_converged boolean"
+        )
+    else:
+        schema = (
+            f"{key_fields}, beta double, chi_sq_stat double, p_value double, "
+            "fit_converged boolean"
+        )
 
     bnull = spark.sparkContext.broadcast((null_b, null_ll))
 
@@ -259,7 +271,7 @@ def logistic_regression_rows(
         W0 = mu0 * (1 - mu0)
         for pdf in batches:
             X = _mean_impute(_entry_matrix(pdf[ENTRIES], x_field, n))
-            betas, stats, converged = [], [], []
+            betas, stats, ses, converged = [], [], [], []
             for i in range(X.shape[0]):
                 M = np.column_stack([C_, X[i]])
                 if test == "score":
@@ -271,10 +283,12 @@ def logistic_regression_rows(
                     except np.linalg.LinAlgError:
                         betas.append(np.nan)
                         stats.append(np.nan)
+                        ses.append(np.nan)
                         converged.append(False)
                         continue
                     betas.append(np.nan)
                     stats.append(stat)
+                    ses.append(np.nan)
                     converged.append(True)
                     continue
                 if test == "firth":
@@ -282,31 +296,41 @@ def logistic_regression_rows(
                     if not ok:
                         betas.append(np.nan)
                         stats.append(np.nan)
+                        ses.append(np.nan)
                         converged.append(False)
                         continue
                     betas.append(b[-1])
                     stats.append(2.0 * (pll - nll))
+                    ses.append(np.nan)
                     converged.append(True)
                     continue
                 b, ll, finv, ok = _logreg_fit(M, y_)
                 if not ok:
                     betas.append(np.nan)
                     stats.append(np.nan)
+                    ses.append(np.nan)
                     converged.append(False)
                     continue
                 if test == "wald":
                     se = np.sqrt(finv[-1, -1])
-                    stat = (b[-1] / se) ** 2
+                    stat = b[-1] / se  # z statistic (reference wald shape)
                 else:  # lrt
+                    se = np.nan
                     stat = 2.0 * (ll - null_ll)
                 betas.append(b[-1])
                 stats.append(stat)
+                ses.append(se)
                 converged.append(True)
             stats = np.asarray(stats)
             out = pdf[row_key].copy()
             out["beta"] = betas
-            out["chi_sq_stat"] = stats
-            out["p_value"] = pchisqtail(stats, 1.0)
+            if test == "wald":
+                out["standard_error"] = ses
+                out["z_stat"] = stats
+                out["p_value"] = 2.0 * pnorm(-np.abs(stats))
+            else:
+                out["chi_sq_stat"] = stats
+                out["p_value"] = pchisqtail(stats, 1.0)
             out["fit_converged"] = converged
             yield out
 
@@ -862,7 +886,7 @@ def poisson_regression_rows(
         mu0 = np.exp(np.clip(C_ @ bnullb.value, -30.0, 30.0))
         for pdf in batches:
             X = _mean_impute(_entry_matrix(pdf[ENTRIES], x_field, n))
-            betas, stats, converged = [], [], []
+            betas, stats, ses, converged = [], [], [], []
             for i in range(X.shape[0]):
                 M = np.column_stack([C_, X[i]])
                 if test == "score":

@@ -92,7 +92,10 @@ def test_logistic_regression_rows_wald_vs_lrt(sim):
         M = np.column_stack([C, X[i]])
         b, ll, finv = fit(M, yb)
         assert wald[i]["beta"] == pytest.approx(b[-1], rel=1e-6)
-        assert wald[i]["chi_sq_stat"] == pytest.approx(b[-1] ** 2 / finv[-1, -1], rel=1e-6)
+        # reference wald shape: z = beta/se with its standard error
+        se = np.sqrt(finv[-1, -1])
+        assert wald[i]["standard_error"] == pytest.approx(se, rel=1e-6)
+        assert wald[i]["z_stat"] == pytest.approx(b[-1] / se, rel=1e-6)
         assert lrt[i]["chi_sq_stat"] == pytest.approx(2 * (ll - ll0), rel=1e-6, abs=1e-9)
         assert wald[i]["fit_converged"] is True
 
