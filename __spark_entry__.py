@@ -2727,7 +2727,11 @@ aggd AS (
   SELECT p.event_type,
          any_value(p.het) AS n_het,
          SUM(p.h * p.p) / any_value(p.n) AS het_freq,
-         SUM(CASE WHEN p.p <= o.p_obs * (1 + 1e-9) THEN p.p ELSE 0 END) AS pv
+         -- exact MID-p like the reference (LeveneHaldane.exactMidP):
+         -- strictly-smaller bins in full, observed-probability bins half
+         SUM(CASE WHEN p.p < o.p_obs * (1 - 1e-9) THEN p.p
+                  WHEN abs(p.p - o.p_obs) <= o.p_obs * 1e-9 THEN 0.5 * p.p
+                  ELSE 0 END) AS pv
   FROM probs p JOIN obs o USING (event_type)
   GROUP BY p.event_type)
 SELECT event_type, n_het, round(het_freq, 6) AS het_freq_hwe,

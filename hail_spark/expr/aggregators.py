@@ -796,11 +796,6 @@ def hardy_weinberg_test(gt, one_sided: bool = False) -> Column:
     Wigginton test runs as an Arrow-batched finalizer OVER the three
     aggregate counts — one value per group, fully distributed (no
     driver collect)."""
-    if one_sided:
-        raise NotImplementedError(
-            "one_sided mid-p heterozygosity test not implemented; use the "
-            "two-sided default (matches the reference default)"
-        )
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -810,7 +805,7 @@ def hardy_weinberg_test(gt, one_sided: bool = False) -> Column:
         from .stats import hardy_weinberg_test as _exact
 
         return pd.DataFrame(
-            [_exact(int(a), int(b), int(c)) for a, b, c in zip(hr, het, hv)]
+            [_exact(int(a), int(b), int(c), one_sided=one_sided) for a, b, c in zip(hr, het, hv)]
         )
 
     _fin.__annotations__ = {

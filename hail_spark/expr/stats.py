@@ -467,13 +467,20 @@ def contingency_table_test(a: int, b: int, c: int, d: int, min_cell_count: int =
     return chi_squared_test(a, b, c, d)
 
 
-def hardy_weinberg_test(n_hom_ref: int, n_het: int, n_hom_var: int) -> dict:
+def hardy_weinberg_test(
+    n_hom_ref: int, n_het: int, n_hom_var: int, one_sided: bool = False
+) -> dict:
     """Wigginton et al. 2005 exact HWE test (the algorithm the
-    reference's HWE aggregator implements; ref functions.py:1193)."""
+    reference's HWE aggregator implements; ref functions.py:1193).
+    ``one_sided=True`` returns the mid-p excess-heterozygosity test
+    (min(0.5, P(N_het > obs) + P(N_het = obs)/2)) as the p_value, like
+    the reference's ``one_sided`` flag; ``hardy_weinberg_full`` exposes
+    both at once for variant_qc."""
     n_rare = 2 * min(n_hom_ref, n_hom_var) + n_het
     n = n_hom_ref + n_het + n_hom_var
     if n == 0:
-        return {"het_freq_hwe": float("nan"), "p_value": float("nan")}
+        nan = float("nan")
+        return {"het_freq_hwe": nan, "p_value": nan}
     probs = np.zeros(n_rare + 1)
     mid = n_rare * (2 * n - n_rare) // (2 * n)
     if (mid % 2) != (n_rare % 2):
@@ -498,11 +505,33 @@ def hardy_weinberg_test(n_hom_ref: int, n_het: int, n_hom_var: int) -> dict:
         hom_r -= 1
         hom_c -= 1
     probs /= total
-    # n_rare = 2*min_hom + n_het ≥ n_het always, so n_het indexes probs
-    p = float(min(1.0, probs[probs <= probs[n_het] * (1 + 1e-9)].sum()))
+    # n_rare = 2*min_hom + n_het ≥ n_het always, so n_het indexes probs.
+    # Both tests are MID-p like the reference (LeveneHaldane.scala:62,68
+    # exactMidP/rightMidP): bins with the observed bin's probability
+    # count half.
+    p_obs = probs[n_het]
+    less = probs[probs < p_obs * (1 - 1e-9)].sum()
+    eq = probs[np.abs(probs - p_obs) <= p_obs * 1e-9].sum()
+    p = float(min(1.0, less + 0.5 * eq))
     # expected het frequency = mean of the Levene–Haldane distribution
     het_freq = float(np.dot(np.arange(n_rare + 1), probs) / n)
+    p_hi = float(probs[n_het + 1 :].sum() + 0.5 * p_obs)
+    if one_sided:
+        return {"het_freq_hwe": het_freq, "p_value": p_hi}
     return {"het_freq_hwe": het_freq, "p_value": p}
+
+
+def hardy_weinberg_full(n_hom_ref: int, n_het: int, n_hom_var: int) -> dict:
+    """het_freq_hwe + two-sided p + one-sided excess-het mid-p in one
+    distribution build (the variant_qc finalizer shape, ref qc.py:219
+    p_value_hwe / p_value_excess_het)."""
+    two = hardy_weinberg_test(n_hom_ref, n_het, n_hom_var)
+    one = hardy_weinberg_test(n_hom_ref, n_het, n_hom_var, one_sided=True)
+    return {
+        "het_freq_hwe": two["het_freq_hwe"],
+        "p_value_hwe": two["p_value"],
+        "p_value_excess_het": one["p_value"],
+    }
 
 
 def pgenchisq(q, w, max_u: float = 200.0, n_points: int = 20001):

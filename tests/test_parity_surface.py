@@ -443,5 +443,12 @@ def test_agg_hardy_weinberg_test(spark):
     want = exact(10, 10, 10)
     assert r["het_freq_hwe"] == pytest.approx(want["het_freq_hwe"])
     assert r["p_value"] == pytest.approx(want["p_value"])
-    with pytest.raises(NotImplementedError):
-        agg.hardy_weinberg_test(F.col("gt"), one_sided=True)
+    r1 = (
+        df.groupBy("g")
+        .agg(agg.hardy_weinberg_test(F.col("gt"), one_sided=True).alias("h"))
+        .first()["h"]
+    )
+    assert r1["p_value"] == pytest.approx(exact(10, 10, 10, one_sided=True)["p_value"])
+    # reference doctests (functions.py:1235) — exact mid-p
+    assert exact(250, 500, 250)["p_value"] == pytest.approx(0.9747844394217698, abs=1e-12)
+    assert exact(37, 200, 85)["p_value"] == pytest.approx(1.1337210383168987e-06, rel=1e-10)
