@@ -21,10 +21,14 @@ def _defined(arr: Column, f) -> Column:
     return F.filter(arr, lambda e: e.isNotNull() & f(e).isNotNull())
 
 
-def variant_qc(mt: MatrixTable, gt_field: str = "GT", name: str = "variant_qc") -> MatrixTable:
-    """Per-row (variant) QC: call_rate, n_called, n_het, n_hom_ref,
-    n_hom_var, AC/AF/AN (ref qc.py:219). One pass over the entries
-    array per row — stays in whole-stage codegen."""
+def variant_qc(mt: MatrixTable, gt_field: str = "GT", name: str = "variant_qc", hwe: bool = True) -> MatrixTable:
+    """Per-row (variant) QC (ref qc.py:219 field set): call_rate,
+    n_(not_)called, n_filtered, n_het/hom_ref/hom_var/non_ref,
+    AC/AF/AN, dp_stats/gq_stats when DP/GQ entries exist, and the
+    exact mid-p HWE trio (het_freq_hwe, p_value_hwe,
+    p_value_excess_het). Count pass is one entries-array HOF projection
+    (codegen, no shuffle); the HWE finalizer is an Arrow-batched UDF
+    over the three counts (map-only). ``hwe=False`` skips it."""
 
     def stats(entries: Column) -> dict[str, Column]:
         gts = F.transform(entries, lambda e: e[gt_field])
@@ -36,13 +40,17 @@ def variant_qc(mt: MatrixTable, gt_field: str = "GT", name: str = "variant_qc") 
         n_hom_var = F.size(F.filter(called, lambda g: g == 2))
         an = (n_called * 2).cast("int")
         ac1 = F.aggregate(called, F.lit(0), lambda a, g: a + g).cast("int")
-        qc = F.struct(
+        n_filtered = F.size(F.filter(entries, lambda e: e.isNull()))
+        n_non_ref = F.size(F.filter(called, lambda g: g > 0))
+        fields = [
             (n_called.cast("double") / n_total).alias("call_rate"),
             n_called.cast("int").alias("n_called"),
             (n_total - n_called).cast("int").alias("n_not_called"),
+            n_filtered.cast("bigint").alias("n_filtered"),
             n_het.cast("int").alias("n_het"),
             n_hom_ref.cast("int").alias("n_hom_ref"),
             n_hom_var.cast("int").alias("n_hom_var"),
+            n_non_ref.cast("int").alias("n_non_ref"),
             an.alias("AN"),
             F.array((an - ac1), ac1).alias("AC"),
             F.array(
@@ -50,30 +58,147 @@ def variant_qc(mt: MatrixTable, gt_field: str = "GT", name: str = "variant_qc") 
                 F.when(an > 0, ac1 / an),
             ).alias("AF"),
             F.when(n_called > 0, n_het / n_called).alias("het_freq"),
-        )
-        return {name: qc}
+        ]
+        entry_names = {f.name for f in mt._df.schema[ENTRIES].dataType.elementType.fields}
+        for fld, out_name in (("DP", "dp_stats"), ("GQ", "gq_stats")):
+            if fld in entry_names:
+                vals = F.filter(
+                    F.transform(entries, lambda e: e[fld].cast("double")),
+                    lambda v: v.isNotNull(),
+                )
+                nn = F.size(vals)
+                s1 = F.aggregate(vals, F.lit(0.0), lambda a, v: a + v)
+                s2 = F.aggregate(vals, F.lit(0.0), lambda a, v: a + v * v)
+                mean = F.when(nn > 0, s1 / nn)
+                # population variance via E[x^2] - mean^2 (one pass each,
+                # no mean-inside-lambda re-evaluation)
+                var = F.when(nn > 0, F.greatest(s2 / nn - (s1 / nn) * (s1 / nn), F.lit(0.0)))
+                fields.append(
+                    F.struct(
+                        mean.alias("mean"),
+                        F.sqrt(var).alias("stdev"),
+                        F.array_min(vals).alias("min"),
+                        F.array_max(vals).alias("max"),
+                    ).alias(out_name)
+                )
+        return {name: F.struct(*fields)}
 
-    return mt.annotate_rows_agg_entries(stats)
+    out = mt.annotate_rows_agg_entries(stats)
+    if hwe:
+        # exact mid-p HWE per variant: Arrow-batched finalizer over the
+        # three count fields (map-only, no shuffle)
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _fin(hr: pd.Series, het: pd.Series, hv: pd.Series) -> pd.DataFrame:
+            from ..expr.stats import hardy_weinberg_full
+
+            return pd.DataFrame(
+                [hardy_weinberg_full(int(a), int(b), int(c)) for a, b, c in zip(hr, het, hv)]
+            )
+
+        _fin.__annotations__ = {
+            "hr": pd.Series, "het": pd.Series, "hv": pd.Series, "return": pd.DataFrame
+        }
+        udf = pandas_udf(
+            _fin,
+            "struct<het_freq_hwe:double,p_value_hwe:double,p_value_excess_het:double>",
+        )
+        q = F.col(name)
+        hwe_struct = udf(q["n_hom_ref"], q["n_het"], q["n_hom_var"])
+        base_names = [f.name for f in out._df.schema[name].dataType.fields]
+        merged = F.struct(
+            *[q[f].alias(f) for f in base_names],
+            hwe_struct["het_freq_hwe"].alias("het_freq_hwe"),
+            hwe_struct["p_value_hwe"].alias("p_value_hwe"),
+            hwe_struct["p_value_excess_het"].alias("p_value_excess_het"),
+        )
+        out = out._with_df(out._df.withColumn(name, merged))
+    return out
 
 
 def sample_qc(mt: MatrixTable, gt_field: str = "GT"):
-    """Per-column (sample) QC DataFrame: n_called, call_rate, n_het,
-    n_hom_ref, n_hom_var, n_non_ref (ref qc.py:59). posexplode +
-    groupBy col index (the distributed wide-aggregation path)."""
-    n_rows_col = F.count(F.lit(1))
-    return mt.aggregate_cols_elementwise(
-        {
-            "n_total": lambda e: F.count(F.lit(1)),
-            "n_called": lambda e: F.count(e[gt_field]),
-            "n_het": lambda e: F.count(F.when(e[gt_field] == 1, 1)),
-            "n_hom_ref": lambda e: F.count(F.when(e[gt_field] == 0, 1)),
-            "n_hom_var": lambda e: F.count(F.when(e[gt_field] == 2, 1)),
-            "n_non_ref": lambda e: F.count(F.when(e[gt_field] > 0, 1)),
-            "call_rate": lambda e: (
-                F.count(e[gt_field]).cast("double") / F.count(F.lit(1))
-            ),
-        }
+    """Per-column (sample) QC DataFrame (ref qc.py:59 field set):
+    counts/call_rate, n_filtered, dp_stats/gq_stats when DP/GQ entries
+    exist, n_singleton (private AC==1 alleles — needs the per-row AC,
+    computed in the same HOF pass), r_het_hom_var, and when the matrix
+    carries ``alleles`` rows also n_snp/n_insertion/n_deletion/
+    n_transition/n_transversion/n_star with r_ti_tv and
+    r_insertion_deletion. One posexplode + per-column hash agg (the
+    distributed wide-aggregation path); the per-row AC and allele-type
+    category ride the exploded rows as derived columns — no second
+    pass."""
+    from ..expr import functions as hf
+
+    spark = mt._df.sparkSession
+    entry_names = {f.name for f in mt._df.schema[ENTRIES].dataType.elementType.fields}
+    has_alleles = "alleles" in mt._df.columns
+    e = F.col(ENTRIES)
+    gts = F.transform(e, lambda x: x[gt_field])
+    ac1 = F.aggregate(
+        F.filter(gts, lambda g: g.isNotNull()), F.lit(0), lambda a, g: a + g
     )
+    row_cols = [F.posexplode(e).alias("__s", "__e"), ac1.alias("__ac")]
+    if has_alleles:
+        ref = F.element_at("alleles", 1)
+        alt = F.element_at("alleles", 2)
+        row_cols += [
+            hf.allele_type(ref, alt).alias("__atype"),
+            hf.is_transition(ref, alt).alias("__ti"),
+            hf.is_transversion(ref, alt).alias("__tv"),
+        ]
+    long = mt._df.select(*row_cols)
+    g = F.col("__e")[gt_field]
+    aggs = [
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(g).alias("n_called"),
+        F.count(F.when(F.col("__e").isNull(), 1)).alias("n_filtered"),
+        F.count(F.when(g == 1, 1)).alias("n_het"),
+        F.count(F.when(g == 0, 1)).alias("n_hom_ref"),
+        F.count(F.when(g == 2, 1)).alias("n_hom_var"),
+        F.count(F.when(g > 0, 1)).alias("n_non_ref"),
+        (F.count(g).cast("double") / F.count(F.lit(1))).alias("call_rate"),
+        F.count(F.when((F.col("__ac") == 1) & (g == 1), 1)).alias("n_singleton"),
+    ]
+    for fld, out_name in (("DP", "dp_stats"), ("GQ", "gq_stats")):
+        if fld in entry_names:
+            v = F.col("__e")[fld].cast("double")
+            aggs.append(
+                F.struct(
+                    F.avg(v).alias("mean"),
+                    F.stddev_pop(v).alias("stdev"),
+                    F.min(v).alias("min"),
+                    F.max(v).alias("max"),
+                ).alias(out_name)
+            )
+    if has_alleles:
+        nonref = g > 0
+        aggs += [
+            F.count(F.when(nonref & (F.col("__atype") == "SNP"), 1)).alias("n_snp"),
+            F.count(F.when(nonref & (F.col("__atype") == "Insertion"), 1)).alias("n_insertion"),
+            F.count(F.when(nonref & (F.col("__atype") == "Deletion"), 1)).alias("n_deletion"),
+            F.count(F.when(nonref & F.col("__ti"), 1)).alias("n_transition"),
+            F.count(F.when(nonref & F.col("__tv"), 1)).alias("n_transversion"),
+            F.count(F.when(nonref & (F.col("__atype") == "Star"), 1)).alias("n_star"),
+        ]
+    per_idx = long.groupBy("__s").agg(*aggs)
+    ratios = [
+        F.when(F.col("n_hom_var") > 0, F.col("n_het") / F.col("n_hom_var")).alias(
+            "r_het_hom_var"
+        )
+    ]
+    if has_alleles:
+        ratios += [
+            F.when(F.col("n_transversion") > 0, F.col("n_transition") / F.col("n_transversion")).alias("r_ti_tv"),
+            F.when(F.col("n_deletion") > 0, F.col("n_insertion") / F.col("n_deletion")).alias("r_insertion_deletion"),
+        ]
+    per_idx = per_idx.select("*", *ratios).withColumn(
+        "n_not_called", F.col("n_total") - F.col("n_called")
+    )
+    col_df = spark.createDataFrame(
+        [{"__s": i, **c} for i, c in enumerate(mt._cols)]
+    )
+    return per_idx.join(F.broadcast(col_df), on="__s", how="right").drop("__s")
 
 
 def hwe_expected_het_freq(af: Column) -> Column:

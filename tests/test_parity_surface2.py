@@ -320,3 +320,52 @@ def test_vep_json_typ_parses_realistic_output(spark):
     assert tc["domains"][0]["db"] == "Pfam"
     cv = parsed["colocated_variants"][0]
     assert cv["minor_allele_freq"] == pytest.approx(0.01) and cv["pubmed"] == [123456]
+
+
+def test_qc_full_field_sets(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.qc import sample_qc, variant_qc
+
+    rng = np.random.default_rng(1)
+    alleles_list = [["A", "T"], ["A", "AT"], ["AT", "A"], ["C", "G"], ["A", "*"]]
+    rows = []
+    for i, al in enumerate(alleles_list):
+        ents = [
+            Row(
+                GT=int(rng.integers(0, 3)) if rng.random() > 0.1 else None,
+                DP=int(rng.integers(5, 40)),
+            )
+            for _ in range(6)
+        ]
+        rows.append(
+            {"locus": {"contig": "1", "position": 100 + i}, "alleles": al, "__entries": ents}
+        )
+    df = spark.createDataFrame(
+        rows,
+        "locus struct<contig:string,position:int>, alleles array<string>, "
+        "__entries array<struct<GT:int,DP:int>>",
+    )
+    mt = MatrixTable(df, ("locus", "alleles"), [{"s": f"s{j}"} for j in range(6)], ("s",))
+    sq = sample_qc(mt)
+    for f in (
+        "call_rate n_called n_not_called n_filtered n_het n_hom_ref n_hom_var "
+        "n_non_ref n_singleton n_snp n_insertion n_deletion n_transition "
+        "n_transversion n_star r_ti_tv r_het_hom_var r_insertion_deletion dp_stats"
+    ).split():
+        assert f in sq.columns, f
+    tot = sq.agg(
+        F.sum("n_snp").alias("snp"), F.sum("n_star").alias("star"), F.sum("n_called").alias("nc")
+    ).first()
+    assert tot["nc"] > 0 and tot["snp"] >= 0
+    vq = variant_qc(mt)._df.orderBy("locus.position").first()["variant_qc"]
+    for f in (
+        "call_rate n_called n_not_called n_filtered n_het n_hom_ref n_hom_var "
+        "n_non_ref AN AC AF het_freq_hwe p_value_hwe p_value_excess_het dp_stats"
+    ).split():
+        assert f in vq.asDict(), f
+    # two-sided + one-sided p's complement around the same distribution
+    assert 0.0 <= vq["p_value_hwe"] <= 1.0 and 0.0 <= vq["p_value_excess_het"] <= 1.0
+    assert vq["dp_stats"]["min"] <= vq["dp_stats"]["mean"] <= vq["dp_stats"]["max"]
