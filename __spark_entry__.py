@@ -1713,7 +1713,7 @@ def concordance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dosage concordance of two call matrices (ref qc.py:360): inner
     row join + zip_with pair explode, one groupBy — no per-row UDF."""
     from hail_spark.matrixtable import MatrixTable
-    from hail_spark.methods.genetics import concordance
+    from hail_spark.methods.genetics import concordance_pairs as concordance
 
     ev = _t(spark, sf_dir, "events").df
     base = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))

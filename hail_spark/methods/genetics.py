@@ -186,10 +186,11 @@ def mendel_errors(mt: MatrixTable, fam: DataFrame) -> DataFrame:
     )
 
 
-def concordance(mt1: MatrixTable, mt2: MatrixTable) -> DataFrame:
-    """Global dosage concordance (ref qc.py:360 simplified): inner-join
-    rows on row key, shared samples matched by name; returns one row
-    per (left_gt, right_gt) in {-1 missing, 0, 1, 2} with counts."""
+def concordance_pairs(mt1: MatrixTable, mt2: MatrixTable) -> DataFrame:
+    """Flat (left_gt, right_gt, n) dosage-concordance counts (the
+    engine's original simplified form; the reference-shaped triple is
+    :func:`concordance`): inner-join rows on row key, shared samples
+    matched by name; -1 encodes missing."""
     k1, k2 = mt1._col_key[0], mt2._col_key[0]
     shared = [s[k1] for s in mt1._cols if s[k1] in {c[k2] for c in mt2._cols}]
     i1 = {c[k1]: i for i, c in enumerate(mt1._cols)}
@@ -218,6 +219,121 @@ def concordance(mt1: MatrixTable, mt2: MatrixTable) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("left_gt", "right_gt")
     )
+
+
+def concordance(left: MatrixTable, right: MatrixTable, *, _localize_global_statistics: bool = True):
+    """Call concordance (ref qc.py:360): returns the reference's
+    ``(global 5x5, cols Table, rows Table)`` triple.  States: 0 = no
+    data (variant absent from that dataset), 1 = no call, 2 = hom ref,
+    3 = het, 4 = hom var; summary[i][j] counts left-state i vs
+    right-state j.
+
+    Plan: one OUTER row-key join of the two per-sample state arrays
+    (missing side = all state 0), then (a) rows: a 25-slot HOF count
+    per row (codegen, no extra shuffle), (b) cols + global: one
+    pair-explode + hash agg on (sample, l, r) — cols are assembled
+    driver-side like all col metadata (col dimension is small by the
+    engine's design)."""
+    from ..table import Table
+
+    k1, k2 = left._col_key[0], right._col_key[0]
+    shared = [s[k1] for s in left._cols if s[k1] in {c[k2] for c in right._cols}]
+    i1 = {c[k1]: i for i, c in enumerate(left._cols)}
+    i2 = {c[k2]: i for i, c in enumerate(right._cols)}
+    key = list(left._row_key)
+    n_s = len(shared)
+
+    def states(mt, idx):
+        e = F.col(ENTRIES)
+        # GT null -> 1 (no call); 0/1/2 -> 2/3/4
+        return F.array(
+            *[
+                F.coalesce(e[idx[s]]["GT"] + 2, F.lit(1)).cast("int")
+                for s in shared
+            ]
+        )
+
+    a = left._df.select(*key, states(left, i1).alias("__g1"))
+    b = right._df.select(*key, states(right, i2).alias("__g2"))
+    j = a.join(b, on=key, how="outer")
+    nodata = F.array_repeat(F.lit(0).cast("int"), n_s)
+    j = j.select(
+        *key,
+        F.coalesce(F.col("__g1"), nodata).alias("__g1"),
+        F.coalesce(F.col("__g2"), nodata).alias("__g2"),
+    )
+    pair_code = F.zip_with("__g1", "__g2", lambda l, r: l * 5 + r)
+
+    # rows table: 25-slot counts per row, reshaped 5x5; n_discordant =
+    # both-called disagreements
+    codes = pair_code.alias("__codes")
+    slot_counts = F.transform(
+        F.sequence(F.lit(0), F.lit(24)),
+        lambda k: F.size(F.filter(F.col("__codes"), lambda c: c == k)).cast("bigint"),
+    )
+    rows_df = (
+        j.select(*key, codes)
+        .withColumn("__slots", slot_counts)
+        .select(
+            *key,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(4)),
+                lambda i: F.slice(F.col("__slots"), i * 5 + 1, 5),
+            ).alias("concordance"),
+            F.aggregate(
+                F.filter(
+                    F.col("__codes"),
+                    lambda c: (c >= 10) & (c % 5 >= 2) & ((c / 5).cast("int") != c % 5),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, c: acc + 1,
+            ).alias("n_discordant"),
+        )
+    )
+    rows_t = Table(rows_df, tuple(key))
+
+    # cols + global from one pair-explode hash agg
+    per = (
+        j.select(F.posexplode(pair_code).alias("__s", "__c"))
+        .groupBy("__s", "__c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_sample = {}
+    for r in per:
+        by_sample.setdefault(r["__s"], {})[r["__c"]] = r["n"]
+    spark = left._df.sparkSession
+    col_rows = []
+    for si, samp in enumerate(shared):
+        m = by_sample.get(si, {})
+        mat = [[int(m.get(i * 5 + jx, 0)) for jx in range(5)] for i in range(5)]
+        nd = sum(
+            m.get(i * 5 + jx, 0)
+            for i in range(2, 5)
+            for jx in range(2, 5)
+            if i != jx
+        )
+        col_rows.append({k1: samp, "concordance": mat, "n_discordant": int(nd)})
+    cols_t = Table(
+        spark.createDataFrame(
+            col_rows,
+            f"{k1} string, concordance array<array<bigint>>, n_discordant bigint",
+        ),
+        (k1,),
+    )
+    glob = [
+        [
+            sum(by_sample.get(si, {}).get(i * 5 + jx, 0) for si in range(n_s))
+            for jx in range(5)
+        ]
+        for i in range(5)
+    ]
+    if not _localize_global_statistics:
+        glob_df = spark.createDataFrame(
+            [{"concordance": glob}], "concordance array<array<bigint>>"
+        )
+        return glob_df, cols_t, rows_t
+    return glob, cols_t, rows_t
 
 
 def balding_nichols_model(

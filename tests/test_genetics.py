@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from hail_spark.io import import_fam, import_vcf
 from hail_spark.methods.genetics import (
     concordance,
+    concordance_pairs,
     mendel_errors,
     split_multi_hts,
     trio_matrix,
@@ -78,7 +79,7 @@ def test_trio_matrix_and_mendel(spark, trio_vcf):
 
 def test_concordance_self_and_perturbed(spark, trio_vcf):
     mt = import_vcf(spark, trio_vcf[0])
-    c = {(r["left_gt"], r["right_gt"]): r["n"] for r in concordance(mt, mt).collect()}
+    c = {(r["left_gt"], r["right_gt"]): r["n"] for r in concordance_pairs(mt, mt).collect()}
     # self-concordance: everything on the diagonal
     assert all(l == r for (l, r) in c)
     total = sum(c.values())

@@ -369,3 +369,27 @@ def test_qc_full_field_sets(spark):
     # two-sided + one-sided p's complement around the same distribution
     assert 0.0 <= vq["p_value_hwe"] <= 1.0 and 0.0 <= vq["p_value_excess_het"] <= 1.0
     assert vq["dp_stats"]["min"] <= vq["dp_stats"]["mean"] <= vq["dp_stats"]["max"]
+
+
+def test_concordance_reference_triple(spark):
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.genetics import concordance
+
+    def mk(gts):
+        m = MatrixTable.from_parts(rows={"r": [1, 2, 3]}, cols={"s": ["a", "b"]}, entries={"GT": gts})
+        return MatrixTable(m._df, ("row_idx",), [{"s": "a"}, {"s": "b"}], ("s",))
+
+    m1 = mk([[0, 1], [2, None], [1, 1]])
+    m2 = mk([[0, 1], [1, None], [0, 0]])
+    g, cols_t, rows_t = concordance(m1, m2)
+    # states: 1=no-call 2=homref 3=het 4=homvar; hand-counted pairs
+    assert g[2][2] == 1 and g[3][3] == 1 and g[4][3] == 1 and g[1][1] == 1 and g[3][2] == 2
+    assert sum(map(sum, g)) == 6  # 3 rows x 2 samples
+    cols = {r["s"]: r for r in cols_t.df.collect()}
+    assert cols["a"]["n_discordant"] == 2 and cols["b"]["n_discordant"] == 1
+    rows = {r["row_idx"]: r["n_discordant"] for r in rows_t.df.collect()}
+    assert rows == {0: 0, 1: 1, 2: 2}
+    # self-concordance has zero discordance and a diagonal summary
+    gs, cs, rs = concordance(m1, m1)
+    assert all(gs[i][j] == 0 for i in range(2, 5) for j in range(2, 5) if i != j)
+    assert all(r["n_discordant"] == 0 for r in cs.df.collect())
