@@ -1810,7 +1810,7 @@ def mendel_errors_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     trio gather is an index projection (no shuffle); the error predicate
     is one Column expression over (kid, dad, mom) GTs."""
     from hail_spark.matrixtable import MatrixTable
-    from hail_spark.methods.genetics import mendel_errors
+    from hail_spark.methods.genetics import mendel_errors_by_variant as mendel_errors
 
     ev = _t(spark, sf_dir, "events").df
     long = ev.groupBy("user_id", "event_type").agg(

@@ -154,9 +154,10 @@ def trio_matrix(mt: MatrixTable, fam: DataFrame, complete_trios: bool = True) ->
     return MatrixTable(out, mt._row_key, cols, ("id",), mt._globals)
 
 
-def mendel_errors(mt: MatrixTable, fam: DataFrame) -> DataFrame:
-    """Autosomal Mendelian error count per variant (ref
-    family_methods.py:130, simplified code set):
+def mendel_errors_by_variant(mt: MatrixTable, fam: DataFrame) -> DataFrame:
+    """Autosomal Mendelian error count per variant (the engine's
+    original flat form; the reference-shaped 4-table tuple is
+    :func:`mendel_errors`):
       dad=0 & mom=0 & kid>0 ; dad=2 & mom=2 & kid<2 ;
       dad=0 & mom=2 (or sym.) & kid!=1 ; one parent hom & kid opposite hom.
     Returns rows keyed by the matrix row key with ``n_errors``."""
@@ -184,6 +185,91 @@ def mendel_errors(mt: MatrixTable, fam: DataFrame) -> DataFrame:
         *tm._row_key,
         F.aggregate(F.transform(e, err), F.lit(0), lambda a, x: a + x).alias("n_errors"),
     )
+
+
+def mendel_errors(mt: MatrixTable, fam: DataFrame):
+    """Full Mendel-violation analysis (ref family_methods.py:130
+    ``mendel_errors``): the 4-table tuple (all errors, per family, per
+    sample, per variant) with the 12-code table of
+    ``hl.mendel_error_code``.
+
+    Plan: trio_matrix gathers (kid, dad, mom) entry triples by literal
+    column index (no shuffle); per (variant, trio) codes come from one
+    entries-array HOF pass; table 1 is the exploded non-null codes,
+    tables 2-4 are hash aggs over it — at scale everything is one
+    narrow pass plus three aggregations."""
+    from ..expr.functions import mendel_error_code
+    from ..table import Table
+
+    tm = trio_matrix(mt, fam)
+    key = list(mt._row_key)
+    fem_of = {t["id"]: t.get("is_female") for t in tm._cols}
+    fam_of = {t["id"]: t.get("fam_id") for t in tm._cols}
+    pat_of = {t["id"]: t.get("pat_id") for t in tm._cols}
+    mat_of = {t["id"]: t.get("mat_id") for t in tm._cols}
+    # locus struct column for the copy-state (contig via the row key)
+    loc = F.col("locus") if "locus" in mt._df.columns else F.struct(
+        F.lit("1").alias("contig"), F.lit(1).alias("position")
+    )
+    codes = F.array(
+        *[
+            mendel_error_code(
+                loc,
+                F.lit(bool(fem_of[t["id"]])) if fem_of[t["id"]] is not None else F.lit(True),
+                F.col(ENTRIES)[i]["father_entry"]["GT"],
+                F.col(ENTRIES)[i]["mother_entry"]["GT"],
+                F.col(ENTRIES)[i]["proband_entry"]["GT"],
+            )
+            for i, t in enumerate(tm._cols)
+        ]
+    )
+    kid_ids = F.array(*[F.lit(t["id"]) for t in tm._cols])
+    long = (
+        tm._df.select(*key, F.posexplode(codes).alias("__t", "mendel_code"))
+        .filter(F.col("mendel_code").isNotNull())
+        .select(
+            *key,
+            F.element_at(kid_ids, F.col("__t") + 1).alias("s"),
+            "mendel_code",
+        )
+    )
+    spark = mt._df.sparkSession
+    errors_t = Table(long, tuple(key) + ("s",))
+    fam_map = F.create_map(
+        *[x for t in tm._cols for x in (F.lit(t["id"]), F.lit(fam_of[t["id"]] or ""))]
+    ) if tm._cols else None
+    # SNP-ness for per-fam/per-sample snp splits when alleles exist
+    per_variant = Table(
+        long.groupBy(*key).agg(F.count(F.lit(1)).alias("errors")), tuple(key)
+    )
+    per_sample = Table(
+        long.groupBy("s").agg(F.count(F.lit(1)).alias("errors")), ("s",)
+    )
+    if tm._cols:
+        per_fam_df = (
+            long.withColumn("fam_id", fam_map[F.col("s")])
+            .groupBy("fam_id")
+            .agg(F.count(F.lit(1)).alias("errors"))
+        )
+    else:
+        per_fam_df = spark.createDataFrame([], "fam_id string, errors bigint")
+    per_fam = Table(per_fam_df, ("fam_id",))
+    # annotate per-sample rows with pedigree ids like the reference
+    ped_df = spark.createDataFrame(
+        [
+            {"s": t["id"], "fam_id": fam_of[t["id"]], "pat_id": pat_of[t["id"]], "mat_id": mat_of[t["id"]]}
+            for t in tm._cols
+        ]
+        or [],
+        "s string, fam_id string, pat_id string, mat_id string",
+    )
+    per_sample = Table(
+        per_sample.df.join(F.broadcast(ped_df), on="s", how="right").na.fill(
+            {"errors": 0}
+        ),
+        ("s",),
+    )
+    return errors_t, per_fam, per_sample, per_variant
 
 
 def concordance_pairs(mt1: MatrixTable, mt2: MatrixTable) -> DataFrame:

@@ -12,6 +12,7 @@ from hail_spark.methods.genetics import (
     concordance,
     concordance_pairs,
     mendel_errors,
+    mendel_errors_by_variant,
     split_multi_hts,
     trio_matrix,
 )
@@ -69,7 +70,7 @@ def test_trio_matrix_and_mendel(spark, trio_vcf):
 
     errs = {
         (r["locus"]["position"], tuple(r["alleles"])): r["n_errors"]
-        for r in mendel_errors(mt, fam).collect()
+        for r in mendel_errors_by_variant(mt, fam).collect()
     }
     assert errs[(100, ("A", "T"))] == 0
     assert errs[(300, ("T", "A"))] == 1  # kid hom-var, both parents hom-ref

@@ -393,3 +393,37 @@ def test_concordance_reference_triple(spark):
     gs, cs, rs = concordance(m1, m1)
     assert all(gs[i][j] == 0 for i in range(2, 5) for j in range(2, 5) if i != j)
     assert all(r["n_discordant"] == 0 for r in cs.df.collect())
+
+
+def test_mendel_errors_four_tables(spark):
+    from pyspark.sql import Row
+
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.genetics import mendel_errors
+
+    ents = [
+        [Row(GT=1), Row(GT=0), Row(GT=0)],  # kid het, parents hom-ref -> code 2
+        [Row(GT=1), Row(GT=0), Row(GT=2)],  # consistent
+        [Row(GT=0), Row(GT=2), Row(GT=2)],  # both hom-var, kid hom-ref -> code 8
+    ]
+    rows = [
+        {"locus": {"contig": "1", "position": 100 + i}, "alleles": ["A", "T"], "__entries": e}
+        for i, e in enumerate(ents)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "locus struct<contig:string,position:int>, alleles array<string>, "
+        "__entries array<struct<GT:int>>",
+    )
+    mt = MatrixTable(df, ("locus", "alleles"), [{"s": "kid"}, {"s": "dad"}, {"s": "mom"}], ("s",))
+    fam = spark.createDataFrame(
+        [{"fam_id": "f1", "id": "kid", "pat_id": "dad", "mat_id": "mom", "is_female": True}]
+    )
+    errs, per_fam, per_sample, per_variant = mendel_errors(mt, fam)
+    codes = sorted(r["mendel_code"] for r in errs.df.collect())
+    assert codes == [2, 8]
+    assert per_fam.df.first()["errors"] == 2
+    ps = per_sample.df.first()
+    assert (ps["s"], ps["errors"], ps["fam_id"]) == ("kid", 2, "f1")
+    pv = {r["locus"]["position"]: r["errors"] for r in per_variant.df.collect()}
+    assert pv == {100: 1, 102: 1}
