@@ -152,22 +152,38 @@ def import_table(
 
 
 def import_locus_intervals(spark: SparkSession, path: str) -> Table:
-    """Three/five-column interval text (ref impex.py:647). Rows become
-    ``interval: struct<start: struct<contig,position>, end: ...,
-    includes_start, includes_end>`` keyed by interval."""
-    df = (
-        spark.read.option("sep", "\t").option("header", "false").csv(path)
-        .toDF("contig", "start", "end")
+    """Interval text in the reference's three accepted layouts (ref
+    impex.py:647): ``contig:start-end`` one-column, 3-column
+    ``contig start end``, or 5-column ``contig start end strand
+    target`` (GATK .interval_list; strand dropped, target kept).
+    ``@``-prefixed header lines are skipped. Rows become ``interval:
+    struct<start: struct<contig,position>, end: ..., includes_start,
+    includes_end>`` keyed by interval."""
+    raw = spark.read.text(path).filter(
+        (F.length(F.trim("value")) > 0) & ~F.col("value").startswith("@")
     )
-    df = df.select(
+    parts = F.split(F.trim("value"), r"\s+")
+    one_col = F.size(parts) == 1
+    contig = F.when(one_col, F.regexp_extract("value", r"^([^:]+):", 1)).otherwise(
+        F.element_at(parts, 1)
+    )
+    start = F.when(one_col, F.regexp_extract("value", r":(\d+)-", 1)).otherwise(
+        F.element_at(parts, 2)
+    )
+    end = F.when(one_col, F.regexp_extract("value", r"-(\d+)$", 1)).otherwise(
+        F.element_at(parts, 3)
+    )
+    target = F.when(F.size(parts) >= 5, F.element_at(parts, 5))
+    df = raw.select(
         F.struct(
-            F.struct(F.col("contig"), F.col("start").cast("int").alias("position")).alias(
+            F.struct(contig.alias("contig"), start.cast("int").alias("position")).alias(
                 "start"
             ),
-            F.struct(F.col("contig"), F.col("end").cast("int").alias("position")).alias("end"),
+            F.struct(contig.alias("contig"), end.cast("int").alias("position")).alias("end"),
             F.lit(True).alias("includes_start"),
             F.lit(True).alias("includes_end"),
-        ).alias("interval")
+        ).alias("interval"),
+        target.alias("target"),
     )
     return Table(df, ("interval",))
 
@@ -258,7 +274,12 @@ def import_gen(
     if min_partitions:
         reader = reader.option("minPartitions", min_partitions)
     raw = reader.text(path)
-    toks = F.split(F.trim(F.col("value")), r"\s+")
+    # materialize the token array in its own projection: the per-sample
+    # lambdas reference it 3n times, and CollapseProject would inline
+    # (= re-split the whole line) per reference — measured minutes vs
+    # seconds on the 500-sample reference fixture
+    raw = raw.select(F.split(F.trim(F.col("value")), r"\s+").alias("__toks"))
+    toks = F.col("__toks")
     off = 6 if chromosome is None else 5
     contig = F.lit(chromosome) if chromosome else F.element_at(toks, 1)
     base = 0 if chromosome is None else -1

@@ -108,9 +108,20 @@ def import_vcf(
     info_decls = [_INFO_RE.match(h).groups() for h in head if _INFO_RE.match(h)]
 
     body = text.filter(~F.col("value").startswith("#"))
-    c = F.split(F.col("value"), "\t")
+    # materialize the tab-split ONCE: the n_samples entry builders (and
+    # the info/fmt parses) each reference the token array, and
+    # CollapseProject would inline — i.e. re-split the whole line — per
+    # reference, making the parse O(n_samples^2) per row (measured 43 s
+    # -> ~4 s on the reference's 100-sample sample.vcf)
+    body = body.select(F.split(F.col("value"), "\t").alias("__c"))
+    # second barrier for the FORMAT key list: every entry field probes
+    # it with array_position, so inlining would re-split it per probe
+    body = body.select(
+        F.col("__c"), F.split(F.element_at(F.col("__c"), 9), ":").alias("__fmt")
+    )
+    c = F.col("__c")
     info_map = F.str_to_map(F.element_at(c, 8), F.lit(";"), F.lit("="))
-    fmt = F.split(F.element_at(c, 9), ":")
+    fmt = F.col("__fmt")
     row_cols = [
         F.struct(
             F.element_at(c, 1).alias("contig"),
