@@ -52,7 +52,10 @@ def _read_sample_name(spark: SparkSession, path: str, scan_lines: int = 5000) ->
 def _parse_gvcf_lines(body: DataFrame) -> DataFrame:
     """Shared line parse: body has columns (value, __sidx). Emits
     (contig, pos, ref, alts, is_ref_block, end, __sidx, entry)."""
-    c = F.split(F.col("value"), "\t")
+    # token-array barrier (see io/vcf.py): ~9 references to the split
+    # would otherwise re-split the line per reference
+    body = body.select(F.col("__sidx"), F.split(F.col("value"), "\t").alias("__c"))
+    c = F.col("__c")
     info_map = F.str_to_map(F.element_at(c, 8), F.lit(";"), F.lit("="))
     fmt = F.split(F.element_at(c, 9), ":")
     alts_all = F.when(
