@@ -117,6 +117,13 @@ def import_table(
     types: dict[str, str] | None = None,
     comment: str | None = None,
     quote: str | None = None,
+    min_partitions: int | None = None,
+    find_replace: tuple | None = None,
+    filter: str | None = None,
+    skip_blank_lines: bool = False,
+    force: bool = False,
+    force_bgz: bool = False,
+    source_file_field: str | None = None,
 ) -> Table:
     """Delimited text import (ref impex.py:1548, StringTableReader.scala:167).
 
@@ -135,9 +142,31 @@ def import_table(
         reader = reader.option("comment", comment[0])
     if quote:
         reader = reader.option("quote", quote)
+    if min_partitions:
+        reader = reader.option("minPartitions", min_partitions)
+    if skip_blank_lines:
+        reader = reader.option("ignoreLeadingWhiteSpace", "false").option(
+            "mode", "DROPMALFORMED"
+        )
     df = reader.csv(path)
     if no_header:
         df = df.toDF(*[f"f{i}" for i in range(len(df.columns))])
+    if filter is not None:
+        # ref: drop lines matching the regex (applied per FIELD here
+        # since Spark's csv source pre-tokenizes; a line matches if any
+        # field does)
+        cond = None
+        for cname in df.columns:
+            m = F.coalesce(F.col(cname).rlike(filter), F.lit(False))
+            cond = m if cond is None else (cond | m)
+        df = df.where(~cond)
+    if find_replace is not None:
+        pat, rep = find_replace
+        df = df.select(
+            *[F.regexp_replace(F.col(cname), pat, rep).alias(cname) for cname in df.columns]
+        )
+    if source_file_field is not None:
+        df = df.withColumn(source_file_field, F.input_file_name())
 
     casts = dict(types or {})
     if impute:
