@@ -4167,6 +4167,40 @@ ORDER BY doc_id, fingerprint
 """
 
 
+def winnow_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """winnowing_overlap_pairs (textstats.py): partial-overlap candidate
+    pairs sharing >= 2 winnowed fingerprints — the posting-list join
+    runs on the winnowed ~2/(w+1) mass, so the stopword-shingle df²
+    head never reaches the join."""
+    from hail_spark.llmdata.textstats import winnowing_overlap_pairs
+
+    docs = _t(spark, sf_dir, "documents").df.filter(F.col("doc_id") % 5 == 0)
+    return winnowing_overlap_pairs(docs, k=8, window=4, min_shared=2).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_WINNOW_PAIRS_SQL = r"""
+WITH d AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+           FROM documents WHERE doc_id % 5 = 0),
+pos AS (SELECT doc_id, norm, unnest(range(1, CAST(length(norm) AS BIGINT) - 6)) AS i
+        FROM d WHERE length(norm) >= 8),
+kg AS (SELECT doc_id, i,
+         ('0x'||substr(md5(substr(norm, CAST(i AS INT), 8)),1,15))::BIGINT AS h
+       FROM pos),
+w AS (SELECT doc_id, i,
+        min(h) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+        count(*) OVER (PARTITION BY doc_id) AS nk
+      FROM kg),
+fps AS (SELECT DISTINCT doc_id, fp FROM w WHERE i <= nk - 3)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+ORDER BY id_a, id_b
+"""
+
+
 def downsample_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hl.agg.downsample (ref aggregators.py:1533) via the bounded
     two-level grid reduction (downsample_table): the occupied-cell set
@@ -5761,6 +5795,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm_row_major": bm_row_major_q,
         "array_agg_explode": array_agg_explode_q,
         "winnow_fingerprints": winnow_fingerprints_q,
+        "winnow_overlap_pairs": winnow_overlap_pairs_q,
         "plink_round_trip": plink_round_trip,
         "bgen_round_trip": bgen_round_trip,
         "table_native_round_trip": table_native_round_trip,
@@ -5913,6 +5948,7 @@ def oracle_sql() -> dict[str, str]:
         "bm_row_major": _BM_ROW_MAJOR_SQL,
         "array_agg_explode": _ARRAY_AGG_EXPLODE_SQL,
         "winnow_fingerprints": _WINNOW_SQL,
+        "winnow_overlap_pairs": _WINNOW_PAIRS_SQL,
         "plink_round_trip": _PLINK_RT_SQL,
         "bgen_round_trip": _BGEN_RT_SQL,
         "table_native_round_trip": _NATIVE_RT_SQL,
