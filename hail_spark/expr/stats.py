@@ -424,8 +424,9 @@ def binom_test(k: int, n: int, p: float, alternative: str = "two.sided") -> floa
 
 
 def fisher_exact_test(a: int, b: int, c: int, d: int) -> dict:
-    """2×2 exact test; returns p_value + conditional MLE-free odds ratio
-    (sample OR, as the reference reports comparable fields)."""
+    """2×2 Fisher exact test (ref functions.py:1145 doctests): p_value
+    + CONDITIONAL-MLE odds ratio and exact 95% CI, R fisher.test's
+    convention (the reference's FisherExactTest.scala mirrors R)."""
     n = a + b + c + d
     row1, col1 = a + b, a + c
     lo = max(0, row1 + col1 - n)
@@ -444,8 +445,63 @@ def fisher_exact_test(a: int, b: int, c: int, d: int) -> dict:
 
     p_obs = math.exp(lpmf(a)) * (1 + 1e-7)
     p = sum(math.exp(lpmf(x)) for x in range(lo, hi + 1) if math.exp(lpmf(x)) <= p_obs)
-    odds = (a * d) / (b * c) if b * c > 0 else float("inf")
-    return {"p_value": float(min(1.0, p)), "odds_ratio": float(odds)}
+
+    # conditional MLE odds ratio + exact CI — R fisher.test's convention
+    # (the reference's FisherExactTest mirrors R): psi maximizing the
+    # noncentral hypergeometric likelihood / bounding its tails
+    support = np.arange(lo, hi + 1)
+    base = np.array([lpmf(int(x)) for x in support])
+
+    def nch(logpsi):
+        w = base + support * logpsi
+        w -= w.max()
+        w = np.exp(w)
+        return w / w.sum()
+
+    def mean_at(logpsi):
+        return float((nch(logpsi) * support).sum())
+
+    def solve(fn, target, lo_=-50.0, hi_=50.0, tol=1e-12):
+        # fn monotone increasing in logpsi
+        flo, fhi = fn(lo_), fn(hi_)
+        if target <= flo:
+            return lo_
+        if target >= fhi:
+            return hi_
+        for _ in range(200):
+            mid = 0.5 * (lo_ + hi_)
+            if fn(mid) < target:
+                lo_ = mid
+            else:
+                hi_ = mid
+            if hi_ - lo_ < tol:
+                break
+        return 0.5 * (lo_ + hi_)
+
+    if a == hi:
+        odds = float("inf") if a > lo else float("nan")
+    elif a == lo:
+        odds = 0.0
+    else:
+        odds = math.exp(solve(mean_at, float(a)))
+
+    def upper_tail(logpsi):  # P(X >= a), increasing in psi
+        w = nch(logpsi)
+        return float(w[support >= a].sum())
+
+    def lower_tail_neg(logpsi):  # -P(X <= a), increasing in psi
+        w = nch(logpsi)
+        return -float(w[support <= a].sum())
+
+    alpha = 0.025
+    ci_lo = 0.0 if a == lo else math.exp(solve(upper_tail, alpha))
+    ci_hi = float("inf") if a == hi else math.exp(solve(lower_tail_neg, -alpha))
+    return {
+        "p_value": float(min(1.0, p)),
+        "odds_ratio": float(odds),
+        "ci_95_lower": float(ci_lo),
+        "ci_95_upper": float(ci_hi),
+    }
 
 
 def chi_squared_test(a: int, b: int, c: int, d: int) -> dict:

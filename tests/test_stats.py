@@ -143,3 +143,27 @@ def test_qgamma_inverts_pgamma():
         assert abs(float(pgamma(x, a, s)) - p) < 1e-9
     # R qgamma(0.5, 2, scale=1) = 1.678346990
     assert abs(float(qgamma(0.5, 2.0, 1.0)) - 1.678346990) < 1e-8
+
+
+def test_fisher_conditional_mle_or_and_ci():
+    # reference doctests (functions.py:1145): R fisher.test convention —
+    # conditional-MLE odds ratio + exact 95% CI. R's own uniroot
+    # tolerance is ~1e-4, so match to 1e-3 relative.
+    r = st.fisher_exact_test(10, 10, 10, 10)
+    assert r["p_value"] == pytest.approx(1.0, abs=1e-9)
+    assert r["odds_ratio"] == pytest.approx(1.0, rel=1e-3)
+    assert r["ci_95_lower"] == pytest.approx(0.24385796914260355, rel=1e-3)
+    assert r["ci_95_upper"] == pytest.approx(4.100747675033819, rel=1e-3)
+    r2 = st.fisher_exact_test(51, 43, 22, 92)
+    assert r2["p_value"] == pytest.approx(2.1564999740157304e-07, rel=1e-9)
+    assert r2["odds_ratio"] == pytest.approx(4.918058171469967, rel=1e-3)
+    assert r2["ci_95_lower"] == pytest.approx(2.5659373368248444, rel=1e-3)
+    assert r2["ci_95_upper"] == pytest.approx(9.677929632035475, rel=1e-3)
+    # degenerate margins: zero/infinite OR with one-sided CIs
+    z = st.fisher_exact_test(0, 10, 10, 10)
+    assert z["odds_ratio"] == 0.0 and z["ci_95_lower"] == 0.0
+    i = st.fisher_exact_test(10, 0, 0, 10)
+    assert i["odds_ratio"] == float("inf") and i["ci_95_upper"] == float("inf")
+    # contingency_table_test inherits the fisher fields on the small-cell path
+    ct = st.contingency_table_test(51, 43, 22, 92, min_cell_count=23)
+    assert ct["odds_ratio"] == pytest.approx(4.918058171469967, rel=1e-3)
