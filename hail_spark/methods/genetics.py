@@ -524,10 +524,14 @@ def impute_sex(mt: MatrixTable, x_contigs: tuple[str, ...] = ("X", "chrX"),
                 "is_female": is_female,
                 "f_stat": float(f_stat),
                 "n_called": int(r["n"]),
+                "expected_homs": float(r["exp"]),
+                "observed_homs": float(r["obs"]),
             }
         )
     return spark.createDataFrame(
-        rows, "s string, is_female boolean, f_stat double, n_called bigint"
+        rows,
+        "s string, is_female boolean, f_stat double, n_called bigint, "
+        "expected_homs double, observed_homs double",
     )
 
 
