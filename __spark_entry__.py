@@ -1776,7 +1776,7 @@ def ld_matrix_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.select(
             F.col("la")["position"].alias("pos_a"),
             F.col("lb")["position"].alias("pos_b"),
-            F.round("r", 9).alias("r"),
+            (F.round("r", 9) + F.lit(0.0)).alias("r"),
         )
         .orderBy("pos_a", "pos_b")
     )
@@ -1800,7 +1800,7 @@ pairs AS (
     ON a.event_type = b.event_type
    AND b.user_id > a.user_id AND b.user_id - a.user_id <= 25
   GROUP BY 1, 2)
-SELECT CAST(pa AS INT) AS pos_a, CAST(pb AS INT) AS pos_b, ROUND(r, 9) AS r
+SELECT CAST(pa AS INT) AS pos_a, CAST(pb AS INT) AS pos_b, ROUND(r, 9) + 0.0 AS r
 FROM pairs WHERE r IS NOT NULL ORDER BY pos_a, pos_b
 """
 
@@ -3487,8 +3487,8 @@ def binom_test_by_type_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BINOM_SQL = """
 WITH cts AS (SELECT event_type,
-                    SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) k,
-                    COUNT(*) n
+                    CAST(SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) k,
+                    CAST(COUNT(*) AS BIGINT) n
              FROM events GROUP BY 1),
 pmf AS (SELECT event_type, k, n, i,
                EXP(lgamma(n+1.0) - lgamma(i+1.0) - lgamma(n-i+1.0)
@@ -3707,12 +3707,12 @@ def summarize_alleles_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUMMARIZE_SQL = """
 WITH v AS (SELECT DISTINCT event_id, event_id % 6 AS m FROM events),
 c AS (SELECT
-        COUNT(*) AS n_variants,
-        SUM(CASE WHEN m = 5 THEN 2 ELSE 1 END) AS n_alleles,
-        SUM(CASE WHEN m IN (0, 1) THEN 1 WHEN m = 5 THEN 2 ELSE 0 END) AS n_snp,
-        SUM(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS n_insertion,
-        SUM(CASE WHEN m = 3 THEN 1 ELSE 0 END) AS n_deletion,
-        SUM(CASE WHEN m = 4 THEN 1 ELSE 0 END) AS n_mnp,
+        CAST(COUNT(*) AS BIGINT) AS n_variants,
+        CAST(SUM(CASE WHEN m = 5 THEN 2 ELSE 1 END) AS BIGINT) AS n_alleles,
+        CAST(SUM(CASE WHEN m IN (0, 1) THEN 1 WHEN m = 5 THEN 2 ELSE 0 END) AS BIGINT) AS n_snp,
+        CAST(SUM(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_insertion,
+        CAST(SUM(CASE WHEN m = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_deletion,
+        CAST(SUM(CASE WHEN m = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_mnp,
         SUM(CASE WHEN m IN (0, 5) THEN 1 ELSE 0 END) AS n_ti,
         SUM(CASE WHEN m IN (1, 5) THEN 1 ELSE 0 END) AS n_tv
       FROM v)
@@ -5020,7 +5020,8 @@ def table_gen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TABLE_GEN_SQL = """
-SELECT i % 7 AS bucket, COUNT(*) AS n, SUM(i * i) AS sum_sq,
+SELECT i % 7 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(i * i) AS BIGINT) AS sum_sq,
        MIN(i) AS min_idx, MAX(i) AS max_idx
 FROM (SELECT UNNEST(range(10000)) AS i)
 GROUP BY bucket ORDER BY bucket

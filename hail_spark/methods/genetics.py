@@ -480,7 +480,7 @@ def impute_sex(mt: MatrixTable, x_contigs: tuple[str, ...] = ("X", "chrX"),
     import numpy as np
     import pandas as pd
 
-    from .statgen import _entry_matrix
+    from .statgen import _entry_matrix, _x_doubles
 
     n = len(mt._cols)
     xdf = mt._df.filter(F.col("locus")["contig"].isin(list(x_contigs)))
@@ -503,7 +503,7 @@ def impute_sex(mt: MatrixTable, x_contigs: tuple[str, ...] = ("X", "chrX"),
             {"i": range(n), "obs": obs_hom, "exp": exp_hom, "n": n_called}
         )
 
-    parts = xdf.select(ENTRIES).mapInPandas(
+    parts = xdf.select(_x_doubles("GT")).mapInPandas(
         acc, schema="i int, obs double, exp double, n double"
     ).groupBy("i").agg(
         F.sum("obs").alias("obs"), F.sum("exp").alias("exp"), F.sum("n").alias("n")

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from ..matrixtable import ENTRIES, MatrixTable
-from .statgen import _entry_matrix, hwe_normalized_pca
+from .statgen import _entry_matrix, _x_doubles, hwe_normalized_pca
 
 
 def _accumulate(mt: MatrixTable, kernel, zero):
@@ -38,7 +38,7 @@ def _accumulate(mt: MatrixTable, kernel, zero):
             kernel(X, acc)
         yield pd.DataFrame([{"parts": [a.ravel().tolist() for a in acc]}])
 
-    parts = mt._df.select(ENTRIES).mapInPandas(
+    parts = mt._df.select(_x_doubles("GT")).mapInPandas(
         run, schema="parts array<array<double>>"
     ).collect()
     accs = [z for z in zero(n)]

@@ -31,7 +31,10 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 9)
+        # JSON-style repr so +0.0 vs -0.0 (and any bit-level float
+        # divergence the driver's value-hash would catch) differ here
+        # too — Python == hides the sign of zero (r03 ld_matrix_window).
+        return json.dumps(round(v, 9))
     if isinstance(v, (list, tuple)):
         return tuple(canon(x) for x in v)
     if isinstance(v, dict):
@@ -79,9 +82,24 @@ def run_gate(spark, sf_dir: str, only=None) -> dict[str, str]:
         try:
             ddf = con.sql(oracles[name])
             dcols = [c.lower() for c in ddf.columns]
+            dtypes = [str(t) for t in ddf.types]
             drows = ddf.fetchall()
         except Exception as e:  # noqa: BLE001
             results[name] = f"ORACLE FAIL: {type(e).__name__}: {str(e)[:200]}"
+            continue
+        # Bare DuckDB integer aggregates come back as HUGEINT/DECIMAL —
+        # value-identical to Spark's BIGINT but hash-divergent under the
+        # driver's Arrow canonicalization (r03 binom/summarize reds).
+        wide = [
+            c
+            for c, t in zip(dcols, dtypes)
+            if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+        ]
+        if wide:
+            results[name] = (
+                f"ORACLE TYPE: column(s) {wide} are HUGEINT/DECIMAL — "
+                "add CAST(... AS BIGINT/DOUBLE) in the oracle SQL"
+            )
             continue
         dt = time.time() - t0
         if sorted(c.lower() for c in scols) != sorted(dcols):

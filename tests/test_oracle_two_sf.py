@@ -30,3 +30,13 @@ def test_pinned_oracles_both_sfs(spark, sf_dir):
     bad = {k: v for k, v in results.items() if not v.startswith(("OK", "rows-only"))}
     assert not bad, f"SF-pinned oracle regression at {sf_dir}: {bad}"
     assert len(results) == len(PINNED)
+
+
+def test_full_gate_sf0001(spark):
+    """Round-3 VERDICT item 3: EVERY oracle pair must pass the local
+    gate at a second scale factor (sf0.001; the driver runs sf0.01), so
+    no oracle can be corpus-pinned or DuckDB-type-divergent (HUGEINT/
+    DECIMAL — the r03 driver-red class) again. ~6 min on local[32]."""
+    results = run_gate(spark, "/root/testdata/sf0.001", only=None)
+    bad = {k: v for k, v in results.items() if not v.startswith(("OK", "rows-only"))}
+    assert not bad, f"full-suite oracle regression at sf0.001: {bad}"
