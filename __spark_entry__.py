@@ -5659,24 +5659,39 @@ SELECT round((SELECT SUM(v * v) FROM a), 6) AS m2,
 # re-sampled.
 _DRIVER_GREEN: frozenset = frozenset({
     "add_index", "ann_brute_topk", "ann_ivf_topk", "anti_join",
-    "bit_ops_battery", "bm_matmul", "collect_per_key", "collection_battery",
-    "concordance_counts", "corr_regr_agg", "dedup_clusters", "dedup_exact",
-    "deterministic_shuffle", "distinct_by_key", "embedding_near_dup",
-    "explode_words", "group_counter", "hwe_by_group", "inbreeding_by_type",
+    "approx_cdf_struct", "approx_quantiles_by_type", "array_agg_explode",
+    "assoc_tests_battery", "balding_nichols_stats", "bed_intervals_join",
+    "bgen_round_trip", "bit_ops_battery", "bm_band_matmul", "bm_matmul",
+    "bm_row_major", "bm_sparse_battery", "bm_svd_moments",
+    "charr_contamination", "cmh_test", "collect_per_key",
+    "concordance_counts", "corr_regr_agg", "de_novo_calls",
+    "dedup_clusters", "dedup_exact", "deterministic_shuffle",
+    "distinct_by_key", "downsample_cells", "embedding_near_dup",
+    "embedding_near_dup_lsh", "explode_words", "fold_entropy_hamming",
+    "genotype_fn_battery", "group_counter", "hist_by_type",
+    "import_table_impute", "impute_sex_stats", "inbreeding_by_type",
     "info_score_by_bucket", "interval_join", "king_kinship",
-    "left_join_right_distinct", "liftover_loci", "minhash_lsh_dedup",
+    "kll_cdf_exact_regime", "left_join_right_distinct", "liftover_loci",
+    "linreg_rows", "local_to_global_battery", "logistic_skat_q",
+    "logreg_score_rows", "map_globals", "maximal_independent_set",
+    "mendel_code_battery", "mendel_errors_by_variant", "minhash_lsh_dedup",
     "mt_col_agg", "mt_explode_battery", "mt_filter_entries",
-    "mt_group_cols_by", "mt_group_rows_by", "mt_row_agg", "mt_semi_join_rows",
-    "multimodal_pipeline", "multiway_zip_join", "ngram_jaccard_dedup",
-    "order_by_topk", "outer_join_coalesce", "pack_sequences",
-    "parse_cast_battery", "prev_nonnull", "product_agg", "q1_pricing_summary",
-    "q3_shipping_priority", "q5_region_revenue", "q6_forecast_revenue",
-    "query_table_point", "scalar_battery", "scan_battery",
-    "scan_combinators", "scan_cumulative_sum", "semi_join", "set_ops_per_key",
-    "simhash_fingerprints", "split_multi_sites",
-    "string_features", "take_by_per_key", "text_profile", "token_vocab",
-    "unigram_logprob", "union_all", "union_unify", "variant_qc_stats",
-    "vds_densify",
+    "mt_group_cols_by", "mt_group_rows_by", "mt_row_agg",
+    "mt_semi_join_rows", "multiway_zip_join", "ndarray_sum_groups",
+    "ngram_jaccard_dedup", "order_by_topk", "outer_join_coalesce",
+    "pack_sequences", "parse_cast_battery", "pca_moments",
+    "plink_round_trip", "poisreg_score_rows", "prev_nonnull", "product_agg",
+    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
+    "q6_forecast_revenue", "query_mt_rows_point", "query_table_point",
+    "reservoir_sample", "row_correlation_pairs", "sample_qc_stats",
+    "scalar_battery", "scan_battery", "scan_combinators",
+    "scan_cumulative_sum", "semi_join", "set_ops_per_key",
+    "simhash_fingerprints", "skat_q_stats", "split_multi_rows",
+    "split_multi_sites", "stratified_sample", "string_features",
+    "table_native_round_trip", "take_by_per_key", "tdt_counts",
+    "text_profile", "token_vocab", "unigram_logprob", "union_all",
+    "union_unify", "variant_qc_stats", "vcf_round_trip", "vds_densify",
+    "vds_ref_block_battery", "winnow_fingerprints", "winnow_overlap_pairs",
 })
 
 
