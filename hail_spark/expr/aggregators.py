@@ -247,18 +247,20 @@ def approx_median(expr, accuracy: int = 10000) -> Column:
     return F.percentile_approx(_c(expr), 0.5, accuracy)
 
 
-def approx_cdf(expr, accuracy: int = 10000, k: int = 100) -> Column:
+def approx_cdf(expr, k: int = 100, *, accuracy: int = 10000) -> Column:
     """hl.agg.approx_cdf result-STRUCT surface (ref
-    ApproxCDFAggregator.scala / aggregators.py approx_cdf): the
-    reference's KLL sketch returns ``{values, ranks}`` arrays where
-    ``ranks[i]`` is the approximate number of elements < ``values[i]``
-    and ranks[-1] == n. This reconstructs the same contract from
-    Spark's GK percentile_approx at k+1 evenly spaced quantiles plus
-    one count — within GK's error bounds rather than KLL's, but the
-    same struct shape and the same CDF-monotonicity invariants, in one
-    aggregation pass (two buffers)."""
+    ApproxCDFAggregator.scala / aggregators.py approx_cdf signature
+    ``approx_cdf(expr, k=100)``): the reference's KLL sketch returns
+    ``values`` (length m) with ``ranks`` one LONGER (length m+1) —
+    ``ranks[i]`` ≈ #elements < values[i], ``ranks[i+1]`` ≈ #elements
+    <= values[i], ranks[0] == 0 and ranks[-1] == n (same shape as
+    operators/kll.py ``cdf()``). This reconstructs that contract from
+    Spark's GK percentile_approx at k evenly spaced quantiles
+    (i/k, i = 0..k-1) plus one count — within GK's error bounds rather
+    than KLL's, but the same struct shape and CDF-monotonicity
+    invariants, in one aggregation pass (two buffers)."""
     x = _c(expr)
-    qs = [i / k for i in range(k + 1)]
+    qs = [i / k for i in range(k)]
     vals = F.percentile_approx(x, qs, accuracy)
     n = F.count(x)
     ranks = F.transform(

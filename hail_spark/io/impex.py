@@ -131,40 +131,71 @@ def import_table(
     casts. Missing sentinel and empty string → NULL (Hail: `missing`
     param, default 'NA').
     """
-    reader = (
-        spark.read.option("sep", delimiter)
-        .option("header", str(not no_header).lower())
-        .option("inferSchema", "false")
-        .option("nullValue", missing)
-        .option("emptyValue", None)
-    )
-    if comment:
-        reader = reader.option("comment", comment[0])
-    if quote:
-        reader = reader.option("quote", quote)
-    if min_partitions:
-        reader = reader.option("minPartitions", min_partitions)
-    if skip_blank_lines:
-        reader = reader.option("ignoreLeadingWhiteSpace", "false").option(
-            "mode", "DROPMALFORMED"
+    if filter is not None or find_replace is not None:
+        # reference semantics (impex.py:1548 / StringTableReader.scala):
+        # filter and find_replace apply to the raw LINE before
+        # tokenization, so a regex may span fields and a replacement may
+        # change how the line tokenizes. Read as text, transform the
+        # line, then parse with from_csv (all JVM-side — no Python
+        # round-trip).
+        import csv as _csv
+
+        lines = spark.read.text(path)
+        if comment:
+            lines = lines.filter(~F.col("value").startswith(comment))
+        if skip_blank_lines:
+            lines = lines.filter(F.length(F.trim("value")) > 0)
+        if filter is not None:
+            lines = lines.filter(
+                ~F.coalesce(F.col("value").rlike(filter), F.lit(False))
+            )
+        if find_replace is not None:
+            pat, rep = find_replace
+            lines = lines.withColumn("value", F.regexp_replace("value", pat, rep))
+        first = lines.first()
+        if first is None:
+            raise ValueError(f"import_table: no rows in {path}")
+        header_line = first["value"]
+        toks = next(
+            _csv.reader([header_line], delimiter=delimiter, quotechar=quote or '"')
         )
-    df = reader.csv(path)
-    if no_header:
-        df = df.toDF(*[f"f{i}" for i in range(len(df.columns))])
-    if filter is not None:
-        # ref: drop lines matching the regex (applied per FIELD here
-        # since Spark's csv source pre-tokenizes; a line matches if any
-        # field does)
-        cond = None
-        for cname in df.columns:
-            m = F.coalesce(F.col(cname).rlike(filter), F.lit(False))
-            cond = m if cond is None else (cond | m)
-        df = df.where(~cond)
-    if find_replace is not None:
-        pat, rep = find_replace
-        df = df.select(
-            *[F.regexp_replace(F.col(cname), pat, rep).alias(cname) for cname in df.columns]
+        if no_header:
+            names = [f"f{i}" for i in range(len(toks))]
+        else:
+            names = toks
+            # per-file headers: every line equal to the header is a header
+            lines = lines.filter(F.col("value") != header_line)
+        opts = {"sep": delimiter, "nullValue": missing}
+        if quote:
+            opts["quote"] = quote
+        schema_str = ", ".join(f"`{n}` string" for n in names)
+        df = lines.select(
+            F.from_csv("value", schema_str, opts).alias("__r")
+        ).select("__r.*")
+        df = df.withColumns(
+            {n: F.when(F.col(n) == "", None).otherwise(F.col(n)) for n in names}
         )
+    else:
+        reader = (
+            spark.read.option("sep", delimiter)
+            .option("header", str(not no_header).lower())
+            .option("inferSchema", "false")
+            .option("nullValue", missing)
+            .option("emptyValue", None)
+        )
+        if comment:
+            reader = reader.option("comment", comment[0])
+        if quote:
+            reader = reader.option("quote", quote)
+        if min_partitions:
+            reader = reader.option("minPartitions", min_partitions)
+        if skip_blank_lines:
+            reader = reader.option("ignoreLeadingWhiteSpace", "false").option(
+                "mode", "DROPMALFORMED"
+            )
+        df = reader.csv(path)
+        if no_header:
+            df = df.toDF(*[f"f{i}" for i in range(len(df.columns))])
     if source_file_field is not None:
         df = df.withColumn(source_file_field, F.input_file_name())
 

@@ -187,26 +187,39 @@ def mendel_errors_by_variant(mt: MatrixTable, fam: DataFrame) -> DataFrame:
     )
 
 
+# Implicated-individual weights per mendel code (ref
+# family_methods.py:309-327): index 0 = dad, 1 = mom, 2 = child.
+_MENDEL_IMPLICATED = [
+    [0, 0, 0],  # dummy (codes are 1-based)
+    [1, 1, 1], [1, 1, 1], [1, 0, 1], [0, 1, 1], [0, 0, 1], [1, 0, 1],
+    [0, 1, 1], [0, 0, 1], [0, 1, 1], [0, 1, 1], [1, 0, 1], [1, 0, 1],
+]
+
+
 def mendel_errors(mt: MatrixTable, fam: DataFrame):
     """Full Mendel-violation analysis (ref family_methods.py:130
-    ``mendel_errors``): the 4-table tuple (all errors, per family, per
-    sample, per variant) with the 12-code table of
-    ``hl.mendel_error_code``.
+    ``mendel_errors``): the 4-table tuple with the reference's exact
+    shapes — (1) all errors keyed by (row key, proband) with fam_id +
+    mendel_code; (2) per nuclear family keyed by (pat_id, mat_id) with
+    fam_id/children/errors/snp_errors; (3) per individual with each
+    error attributed to dad/mom/child per the Implicated table
+    (family_methods.py:309), with fam_id/errors/snp_errors and zero
+    rows for error-free individuals; (4) per variant over ALL rows.
 
     Plan: trio_matrix gathers (kid, dad, mom) entry triples by literal
     column index (no shuffle); per (variant, trio) codes come from one
-    entries-array HOF pass; table 1 is the exploded non-null codes,
-    tables 2-4 are hash aggs over it — at scale everything is one
-    narrow pass plus three aggregations."""
+    entries-array HOF pass; table 4 reads the codes array per row with
+    no explode; tables 1-3 are the exploded non-null codes plus hash
+    aggs — one narrow pass and three aggregations at any scale."""
+    from ..expr.functions import is_snp as _is_snp
     from ..expr.functions import mendel_error_code
     from ..table import Table
 
     tm = trio_matrix(mt, fam)
     key = list(mt._row_key)
-    fem_of = {t["id"]: t.get("is_female") for t in tm._cols}
-    fam_of = {t["id"]: t.get("fam_id") for t in tm._cols}
-    pat_of = {t["id"]: t.get("pat_id") for t in tm._cols}
-    mat_of = {t["id"]: t.get("mat_id") for t in tm._cols}
+    spark = mt._df.sparkSession
+    trios = tm._cols
+    fem_of = {t["id"]: t.get("is_female") for t in trios}
     # locus struct column for the copy-state (contig via the row key)
     loc = F.col("locus") if "locus" in mt._df.columns else F.struct(
         F.lit("1").alias("contig"), F.lit(1).alias("position")
@@ -220,53 +233,124 @@ def mendel_errors(mt: MatrixTable, fam: DataFrame):
                 F.col(ENTRIES)[i]["mother_entry"]["GT"],
                 F.col(ENTRIES)[i]["proband_entry"]["GT"],
             )
-            for i, t in enumerate(tm._cols)
+            for i, t in enumerate(trios)
         ]
+    ) if trios else F.array().cast("array<int>")
+    has_alleles = "alleles" in mt._df.columns
+    snp_col = (
+        _is_snp(F.element_at("alleles", 1), F.element_at("alleles", 2))
+        if has_alleles
+        else F.lit(False)
     )
-    kid_ids = F.array(*[F.lit(t["id"]) for t in tm._cols])
+    df_codes = tm._df.select(
+        *key, snp_col.alias("__snp"), codes.alias("__codes")
+    )
+    # table 4: per-variant over ALL rows — read the codes array in place,
+    # no explode, no join (zero-error variants keep their row)
+    per_variant = Table(
+        df_codes.select(
+            *key,
+            F.size(F.filter("__codes", lambda c: c.isNotNull()))
+            .cast("bigint")
+            .alias("errors"),
+        ),
+        tuple(key),
+    )
+    # broadcast per-trio attribute arrays (pedigree is driver data)
+    def _sarr(vals):
+        return (
+            F.array(*[F.lit(v).cast("string") for v in vals])
+            if vals
+            else F.array().cast("array<string>")
+        )
+
+    kid_arr = _sarr([t["id"] for t in trios])
+    pat_arr = _sarr([t.get("pat_id") for t in trios])
+    mat_arr = _sarr([t.get("mat_id") for t in trios])
+    fam_arr = _sarr([t.get("fam_id") for t in trios])
     long = (
-        tm._df.select(*key, F.posexplode(codes).alias("__t", "mendel_code"))
+        df_codes.select(
+            *key, "__snp", F.posexplode("__codes").alias("__t", "mendel_code")
+        )
         .filter(F.col("mendel_code").isNotNull())
         .select(
             *key,
-            F.element_at(kid_ids, F.col("__t") + 1).alias("s"),
+            "__snp",
             "mendel_code",
+            F.element_at(kid_arr, F.col("__t") + 1).alias("s"),
+            F.element_at(pat_arr, F.col("__t") + 1).alias("pat_id"),
+            F.element_at(mat_arr, F.col("__t") + 1).alias("mat_id"),
+            F.element_at(fam_arr, F.col("__t") + 1).alias("fam_id"),
         )
     )
-    spark = mt._df.sparkSession
-    errors_t = Table(long, tuple(key) + ("s",))
-    fam_map = F.create_map(
-        *[x for t in tm._cols for x in (F.lit(t["id"]), F.lit(fam_of[t["id"]] or ""))]
-    ) if tm._cols else None
-    # SNP-ness for per-fam/per-sample snp splits when alleles exist
-    per_variant = Table(
-        long.groupBy(*key).agg(F.count(F.lit(1)).alias("errors")), tuple(key)
+    # table 1: all errors, keyed by (row key, proband)
+    errors_t = Table(
+        long.select(*key, "s", "fam_id", "mendel_code"), tuple(key) + ("s",)
     )
-    per_sample = Table(
-        long.groupBy("s").agg(F.count(F.lit(1)).alias("errors")), ("s",)
+    # table 2: per nuclear family keyed by parents; every family appears
+    # (zero-filled), children = trio count for those parents
+    fam_rows = {}
+    for t in trios:
+        k2 = (t.get("pat_id"), t.get("mat_id"))
+        if k2 not in fam_rows:
+            fam_rows[k2] = {"pat_id": k2[0], "mat_id": k2[1],
+                            "fam_id": t.get("fam_id"), "children": 0}
+        fam_rows[k2]["children"] += 1
+    fam_df = spark.createDataFrame(
+        list(fam_rows.values()) or [],
+        "pat_id string, mat_id string, fam_id string, children int",
     )
-    if tm._cols:
-        per_fam_df = (
-            long.withColumn("fam_id", fam_map[F.col("s")])
-            .groupBy("fam_id")
-            .agg(F.count(F.lit(1)).alias("errors"))
-        )
-    else:
-        per_fam_df = spark.createDataFrame([], "fam_id string, errors bigint")
-    per_fam = Table(per_fam_df, ("fam_id",))
-    # annotate per-sample rows with pedigree ids like the reference
-    ped_df = spark.createDataFrame(
-        [
-            {"s": t["id"], "fam_id": fam_of[t["id"]], "pat_id": pat_of[t["id"]], "mat_id": mat_of[t["id"]]}
-            for t in tm._cols
+    fam_counts = long.groupBy("pat_id", "mat_id").agg(
+        F.count(F.lit(1)).alias("errors"),
+        F.sum(F.when(F.col("__snp"), 1).otherwise(0)).cast("bigint").alias("snp_errors"),
+    )
+    per_fam = Table(
+        fam_counts.join(F.broadcast(fam_df), on=["pat_id", "mat_id"], how="right")
+        .na.fill({"errors": 0, "snp_errors": 0})
+        .select("pat_id", "mat_id", "fam_id", "children", "errors", "snp_errors"),
+        ("pat_id", "mat_id"),
+    )
+    # table 3: per individual — explode each error to its implicated
+    # individuals (dad/mom/child weights per code), then zero-fill the
+    # full roster
+    impl = F.array(
+        *[
+            F.array(*[F.lit(w) for w in row])
+            for row in _MENDEL_IMPLICATED
         ]
-        or [],
-        "s string, fam_id string, pat_id string, mat_id string",
+    )
+    roles = long.select(
+        "__snp",
+        "fam_id",
+        F.explode(
+            F.filter(
+                F.array(
+                    F.struct(F.col("pat_id").alias("who"),
+                             F.element_at(impl, F.col("mendel_code") + 1)[0].alias("w")),
+                    F.struct(F.col("mat_id").alias("who"),
+                             F.element_at(impl, F.col("mendel_code") + 1)[1].alias("w")),
+                    F.struct(F.col("s").alias("who"),
+                             F.element_at(impl, F.col("mendel_code") + 1)[2].alias("w")),
+                ),
+                lambda x: x["w"] == 1,
+            )
+        ).alias("__r"),
+    )
+    indiv_counts = roles.groupBy(F.col("__r")["who"].alias("s"), "fam_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("errors"),
+        F.sum(F.when(F.col("__snp"), 1).otherwise(0)).cast("bigint").alias("snp_errors"),
+    )
+    roster = {}
+    for t in trios:
+        for who in (t.get("pat_id"), t.get("mat_id"), t["id"]):
+            roster.setdefault((who, t.get("fam_id")), {"s": who, "fam_id": t.get("fam_id")})
+    roster_df = spark.createDataFrame(
+        list(roster.values()) or [], "s string, fam_id string"
     )
     per_sample = Table(
-        per_sample.df.join(F.broadcast(ped_df), on="s", how="right").na.fill(
-            {"errors": 0}
-        ),
+        indiv_counts.join(F.broadcast(roster_df), on=["s", "fam_id"], how="right")
+        .na.fill({"errors": 0, "snp_errors": 0})
+        .select("s", "fam_id", "errors", "snp_errors"),
         ("s",),
     )
     return errors_t, per_fam, per_sample, per_variant

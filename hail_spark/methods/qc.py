@@ -51,6 +51,11 @@ def variant_qc(mt: MatrixTable, gt_field: str = "GT", name: str = "variant_qc", 
             n_hom_ref.cast("int").alias("n_hom_ref"),
             n_hom_var.cast("int").alias("n_hom_var"),
             n_non_ref.cast("int").alias("n_non_ref"),
+            # per-allele hom counts (ref qc.py:219 homozygote_count):
+            # index 0 = hom-ref, 1 = hom-var for the biallelic encoding
+            F.array(n_hom_ref.cast("int"), n_hom_var.cast("int")).alias(
+                "homozygote_count"
+            ),
             an.alias("AN"),
             F.array((an - ac1), ac1).alias("AC"),
             F.array(
@@ -172,14 +177,18 @@ def sample_qc(mt: MatrixTable, gt_field: str = "GT"):
                 ).alias(out_name)
             )
     if has_alleles:
+        # allele-level counts (ref qc.py:173-200): each call contributes
+        # its alt-allele DOSAGE (het → 1, hom-var → 2), not 1 per
+        # genotype — hom-var calls carry two copies of the alt allele
         nonref = g > 0
+        dose = F.when(nonref, g.cast("bigint")).otherwise(F.lit(0))
         aggs += [
-            F.count(F.when(nonref & (F.col("__atype") == "SNP"), 1)).alias("n_snp"),
-            F.count(F.when(nonref & (F.col("__atype") == "Insertion"), 1)).alias("n_insertion"),
-            F.count(F.when(nonref & (F.col("__atype") == "Deletion"), 1)).alias("n_deletion"),
-            F.count(F.when(nonref & F.col("__ti"), 1)).alias("n_transition"),
-            F.count(F.when(nonref & F.col("__tv"), 1)).alias("n_transversion"),
-            F.count(F.when(nonref & (F.col("__atype") == "Star"), 1)).alias("n_star"),
+            F.sum(F.when(F.col("__atype") == "SNP", dose).otherwise(0)).cast("bigint").alias("n_snp"),
+            F.sum(F.when(F.col("__atype") == "Insertion", dose).otherwise(0)).cast("bigint").alias("n_insertion"),
+            F.sum(F.when(F.col("__atype") == "Deletion", dose).otherwise(0)).cast("bigint").alias("n_deletion"),
+            F.sum(F.when(F.col("__ti"), dose).otherwise(0)).cast("bigint").alias("n_transition"),
+            F.sum(F.when(F.col("__tv"), dose).otherwise(0)).cast("bigint").alias("n_transversion"),
+            F.sum(F.when(F.col("__atype") == "Star", dose).otherwise(0)).cast("bigint").alias("n_star"),
         ]
     per_idx = long.groupBy("__s").agg(*aggs)
     ratios = [

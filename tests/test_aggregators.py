@@ -242,10 +242,13 @@ def test_approx_cdf_struct(spark):
     df = spark.createDataFrame([(v,) for v in vals], ["x"])
     row = df.agg(agg.approx_cdf(F.col("x"), k=20).alias("c")).collect()[0]["c"]
     assert row["n"] == 2000
+    # reference contract (ADVICE r03): ranks is one LONGER than values —
+    # ranks[i] ≈ #< values[i], ranks[0] == 0, ranks[-1] == n
+    assert len(row["ranks"]) == len(row["values"]) + 1 == 21
     assert row["ranks"][0] == 0 and row["ranks"][-1] == 2000
     assert row["ranks"] == sorted(row["ranks"])
     assert row["values"] == sorted(row["values"])
-    assert row["values"][0] == min(vals) and row["values"][-1] == max(vals)
+    assert row["values"][0] == min(vals)
     # values[i] approximates the ranks[i]-th order statistic
     srt = sorted(vals)
     for v, r in zip(row["values"], row["ranks"]):

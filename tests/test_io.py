@@ -350,3 +350,28 @@ def test_export_elasticsearch_rest_fallback(spark):
     docs = [json.loads(l) for l in lines[1::2]]
     assert all(a == {"index": {"_index": "docs"}} for a in actions)
     assert sorted(d["doc_id"] for d in docs) == [1, 2, 3]
+
+
+def test_import_table_line_level_filter_and_find_replace(spark, tmp_path):
+    """ADVICE r03: filter and find_replace apply to the raw LINE before
+    tokenization (ref impex.py:1548) — a regex can span fields and a
+    replacement can CHANGE tokenization (here: turning a semicolon into
+    the tab delimiter adds a field)."""
+    from hail_spark.io.impex import import_table
+
+    p = tmp_path / "t.tsv"
+    p.write_text(
+        "a\tb\tc\n"
+        "1\tx;y\tkeep\n"      # ; becomes a tab -> 4 tokens, c shifts
+        "2\tfoo\tdropme\n"    # filter spans the whole line
+        "3\tbar\tkeep\n"
+    )
+    # filter matches across the tab boundary (line-level regex)
+    t = import_table(
+        spark, str(p), filter="2\tfoo", find_replace=(";", "\t")
+    )
+    rows = sorted(t.df.collect(), key=lambda r: r["a"])
+    assert [r["a"] for r in rows] == ["1", "3"]
+    # row 1 re-tokenized: b='x', c='y' (the old c pushed off the schema)
+    assert rows[0]["b"] == "x" and rows[0]["c"] == "y"
+    assert rows[1]["b"] == "bar" and rows[1]["c"] == "keep"

@@ -422,8 +422,66 @@ def test_mendel_errors_four_tables(spark):
     errs, per_fam, per_sample, per_variant = mendel_errors(mt, fam)
     codes = sorted(r["mendel_code"] for r in errs.df.collect())
     assert codes == [2, 8]
-    assert per_fam.df.first()["errors"] == 2
-    ps = per_sample.df.first()
-    assert (ps["s"], ps["errors"], ps["fam_id"]) == ("kid", 2, "f1")
+    e0 = errs.df.first()
+    assert e0["fam_id"] == "f1" and e0["s"] == "kid"
+    # per-family: keyed by parents, with children + snp splits (ADVICE r03)
+    pf = per_fam.df.first()
+    assert (pf["pat_id"], pf["mat_id"], pf["fam_id"]) == ("dad", "mom", "f1")
+    assert pf["children"] == 1 and pf["errors"] == 2 and pf["snp_errors"] == 2
+    # per-individual: code 2 implicates dad+mom+kid, code 8 only kid
+    # (ref family_methods.py:309 Implicated column)
+    ps = {r["s"]: r for r in per_sample.df.collect()}
+    assert set(ps) == {"kid", "dad", "mom"}
+    assert ps["kid"]["errors"] == 2 and ps["kid"]["snp_errors"] == 2
+    assert ps["dad"]["errors"] == 1 and ps["mom"]["errors"] == 1
+    assert ps["dad"]["fam_id"] == "f1"
+    # per-variant covers ALL rows, zero-filled
     pv = {r["locus"]["position"]: r["errors"] for r in per_variant.df.collect()}
-    assert pv == {100: 1, 102: 1}
+    assert pv == {100: 1, 101: 0, 102: 1}
+
+
+def test_sample_qc_allele_dosage_and_homozygote_count(spark):
+    """ADVICE r03: sample_qc allele-type counts are per alternate ALLELE
+    (hom-var contributes 2, ref qc.py:173-200), and variant_qc carries
+    homozygote_count (ref qc.py:219)."""
+    from hail_spark.matrixtable import MatrixTable
+    from hail_spark.methods.qc import sample_qc, variant_qc
+
+    # 3 variants (SNP-ti, SNP-tv, Insertion) x 2 samples, fixed GTs:
+    # s0: [2, 1, 0]  s1: [1, 2, 2]
+    gts = [[2, 1], [1, 2], [0, 2]]
+    rows = []
+    alleles_list = [["A", "G"], ["A", "T"], ["A", "AT"]]
+    for i, (al, g) in enumerate(zip(alleles_list, gts)):
+        rows.append(
+            {
+                "locus": {"contig": "1", "position": 100 + i},
+                "alleles": al,
+                "__entries": [{"GT": g[0]}, {"GT": g[1]}],
+            }
+        )
+    df = spark.createDataFrame(
+        rows,
+        "locus struct<contig:string,position:int>, alleles array<string>, "
+        "__entries array<struct<GT:int>>",
+    )
+    mt = MatrixTable(
+        df, ("locus", "alleles"), [{"s": "s0"}, {"s": "s1"}], ("s",)
+    )
+    sq = {r["s"]: r for r in sample_qc(mt).collect()}
+    # s0: SNP-ti hom-var (2) + SNP-tv het (1) = n_snp 3, ti 2, tv 1, ins 0
+    assert sq["s0"]["n_snp"] == 3
+    assert sq["s0"]["n_transition"] == 2
+    assert sq["s0"]["n_transversion"] == 1
+    assert sq["s0"]["n_insertion"] == 0
+    # s1: SNP-ti het (1) + SNP-tv hom-var (2) = 3; ins hom-var (2)
+    assert sq["s1"]["n_snp"] == 3
+    assert sq["s1"]["n_transition"] == 1
+    assert sq["s1"]["n_transversion"] == 2
+    assert sq["s1"]["n_insertion"] == 2
+    vq = {
+        r["locus"]["position"]: r["variant_qc"]
+        for r in variant_qc(mt, hwe=False)._df.collect()
+    }
+    assert list(vq[100]["homozygote_count"]) == [0, 1]  # s0 hom-var
+    assert list(vq[102]["homozygote_count"]) == [1, 1]  # s0 hom-ref, s1 hom-var
