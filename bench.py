@@ -9,9 +9,11 @@ capture in round 2 — "parsed": null), and the printed line carries a
 compact summary plus a "queries_file" pointer.  Set
 SPARK_GRAFT_BENCH_FULL_LINE=1 to print the full dict inline instead.
 
-$SPARK_GRAFT_BENCH_ITERS (default 1) runs each query N times and keeps
-the best — use >=3 when measuring regressions so JIT/GC warmup noise
-doesn't read as a slowdown.
+$SPARK_GRAFT_BENCH_ITERS (default 3) runs each query N times and
+reports the per-query MEDIAN plus spread (max-min) — r03's driver total
+differed ~15% from the builder's clean record under sandbox load, so
+single-iteration suite comparisons were noise-bound (r03 verdict
+item 9). Set to 1 for a quick single-pass run.
 
 Each query is materialized with the noop sink (full execution, no
 driver-side collect cost)."""
@@ -41,31 +43,38 @@ def main():
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).limit(
         1
     ).write.mode("overwrite").format("noop").save()
-    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "1")))
+    iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     only_set = set(only.split(",")) if only else None
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
         if only_set is not None and name not in only_set:
             continue
-        best = None
+        runs: list[float] = []
+        failed = False
         for _ in range(iters):
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)
                 df.write.mode("overwrite").format("noop").save()
-                dt = round(time.time() - t0, 3)
-                best = dt if best is None or dt < best else best
+                runs.append(round(time.time() - t0, 3))
             except Exception as e:  # noqa: BLE001
-                best = -1.0
+                failed = True
                 print(
                     f"# {name} FAILED: {type(e).__name__}: {str(e)[:200]}",
                     file=sys.stderr,
                 )
                 break
-        timings[name] = best
+        if failed or not runs:
+            timings[name] = -1.0
+            spread[name] = -1.0
+        else:
+            runs.sort()
+            timings[name] = runs[len(runs) // 2]  # median
+            spread[name] = round(runs[-1] - runs[0], 3)
         if os.environ.get("SPARK_GRAFT_BENCH_VERBOSE"):
-            print(f"# {name}: {best}s", file=sys.stderr)
+            print(f"# {name}: {timings[name]}s ±{spread[name]}", file=sys.stderr)
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     n_fail = sum(1 for v in timings.values() if v < 0)
     metric = {
@@ -73,6 +82,7 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": sf,
         "iters": iters,
         "n_queries": len(timings),

@@ -1263,29 +1263,38 @@ class DB:
 def plot_roc_curve(ht, scores, tp_label: str = "tp", fp_label: str = "fp", colors=None, title: str = "ROC Curve", hover_mode: str = "mouse"):
     """ROC data (ref experimental/plots.py:17).  Plotting backends are
     out of engine scope (SURVEY §2.12 viz) — this computes and returns
-    the (fpr, tpr, auc) arrays the reference hands to bokeh."""
-    from pyspark.sql import Window
+    the (fpr, tpr, auc) arrays the reference hands to bokeh.
 
+    Scale shape (r03 verdict item 6): the table is first aggregated to
+    per-distinct-score (tp, fp) counts — a distributed hash agg — and
+    only the distinct-score curve points are collected and scanned
+    driver-side. No unpartitioned window, no full-table collect; driver
+    memory is O(distinct scores), not O(rows)."""
     df = ht.df if hasattr(ht, "df") else ht
     if isinstance(scores, str):
         scores = [scores]
     out = {}
-    n = df.count()
     for s in scores:
-        w = Window.orderBy(F.col(s).desc()).rowsBetween(Window.unboundedPreceding, 0)
-        cum = df.select(
-            F.sum(F.col(tp_label).cast("double")).over(w).alias("ctp"),
-            F.sum(F.col(fp_label).cast("double")).over(w).alias("cfp"),
+        pts = (
+            df.groupBy(F.col(s).alias("__score"))
+            .agg(
+                F.sum(F.col(tp_label).cast("double")).alias("tp"),
+                F.sum(F.col(fp_label).cast("double")).alias("fp"),
+            )
+            .orderBy(F.col("__score").desc())
+            .collect()
         )
-        tot = df.select(
-            F.sum(F.col(tp_label).cast("double")).alias("tp"),
-            F.sum(F.col(fp_label).cast("double")).alias("fp"),
-        ).first()
-        rows = cum.collect()
-        tpr = [r["ctp"] / tot["tp"] if tot["tp"] else 0.0 for r in rows]
-        fpr = [r["cfp"] / tot["fp"] if tot["fp"] else 0.0 for r in rows]
+        tot_tp = sum(r["tp"] or 0.0 for r in pts)
+        tot_fp = sum(r["fp"] or 0.0 for r in pts)
+        tpr, fpr = [], []
+        ctp = cfp = 0.0
+        for r in pts:
+            ctp += r["tp"] or 0.0
+            cfp += r["fp"] or 0.0
+            tpr.append(ctp / tot_tp if tot_tp else 0.0)
+            fpr.append(cfp / tot_fp if tot_fp else 0.0)
         auc = 0.0
-        for i in range(1, len(rows)):
+        for i in range(1, len(pts)):
             auc += (fpr[i] - fpr[i - 1]) * (tpr[i] + tpr[i - 1]) / 2.0
         out[s] = {"fpr": fpr, "tpr": tpr, "auc": auc}
     return out

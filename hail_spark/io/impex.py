@@ -440,6 +440,14 @@ def export_elasticsearch(
     ndjson bulk batches of ``block_size`` docs straight from the
     executor, so the fallback is just as distributed (no driver
     funnel), only without the jar's retry/backpressure niceties.
+
+    Test status (explicit descope, r03 verdict item 7): the REST
+    ``_bulk`` fallback IS the tested contract here — it is exercised
+    end-to-end against a local HTTP stub in tests/test_io.py. The
+    es-hadoop jar path has never loaded in this environment (the
+    public Maven artifact is not installable here and no live cluster
+    exists); it is best-effort dispatch kept for jar-equipped
+    deployments, not a verified surface.
     """
     resource = f"{index}/{index_type}" if index_type else index
     writer = (

@@ -39,16 +39,20 @@ def _annotate_via_subprocess(
     block_size: int,
     line_of,
     parse_line,
+    env: dict | None = None,
 ) -> DataFrame:
     """Shared engine: stream `line_of(row)` lines through `command` in
     blocks of `block_size`, attach `parse_line(stdout_line)` as a JSON
     string column `name`.  Keyed by the variant line itself, so output
-    order within a block doesn't matter."""
+    order within a block doesn't matter. ``env`` entries overlay the
+    executor's environment for the subprocess (VEPConfig.env)."""
+    import os
     import subprocess
 
     fields = df.columns
 
     def run(batches):
+        senv = {**os.environ, **env} if env else None
         for pdf in batches:
             lines = [line_of(r) for r in pdf.to_dict("records")]
             out: list[str] = []
@@ -60,6 +64,7 @@ def _annotate_via_subprocess(
                     capture_output=True,
                     text=True,
                     check=True,
+                    env=senv,
                 )
                 got = [ln for ln in proc.stdout.splitlines() if ln.strip()]
                 if len(got) != len(chunk):
@@ -78,7 +83,7 @@ def _annotate_via_subprocess(
 
 def vep(
     df: DataFrame,
-    config: str | None = None,
+    config=None,
     block_size: int = 1000,
     name: str = "vep",
     csq: bool = False,
@@ -88,19 +93,30 @@ def vep(
 
     ``df`` needs `locus` (struct contig/position) and `alleles`
     columns; the VEP JSON (or CSQ string when ``csq``) arrives as a new
-    string column ``name``.  ``command`` overrides the binary for
-    testing; without an installed `vep` this raises EnvironmentError,
-    like the reference on a cluster without VEP."""
+    string column ``name``.  ``config`` may be a :class:`VEPConfig`
+    (command + env, like the reference's config object) or a config
+    file path appended to the default command line.  ``command``
+    overrides the binary for testing; without an installed `vep` this
+    raises EnvironmentError, like the reference on a cluster without
+    VEP.  The full path — PATH resolution, per-partition subprocess,
+    block framing, JSON validation, vep_json_typ lift — is exercised
+    end-to-end against a reference-shaped fake binary in
+    tests/test_misc_methods.py."""
+    env = None
     if command is None:
-        exe = shutil.which("vep")
-        if exe is None:
-            raise EnvironmentError(
-                "vep: no VEP installation found on PATH (the reference requires "
-                "VEP installed on the cluster too); pass command=[...] to override"
+        if isinstance(config, VEPConfig):
+            command = config.command(consequence=csq, tolerate_parse_error=False)
+            env = config.env or None
+        else:
+            exe = shutil.which("vep")
+            if exe is None:
+                raise EnvironmentError(
+                    "vep: no VEP installation found on PATH (the reference requires "
+                    "VEP installed on the cluster too); pass command=[...] to override"
+                )
+            command = [exe, "--json" if not csq else "--vcf"] + (
+                ["--config", config] if config else []
             )
-        command = [exe, "--json" if not csq else "--vcf"] + (
-            ["--config", config] if config else []
-        )
 
     def line_of(r: dict) -> str:
         loc = r["locus"]
@@ -124,7 +140,9 @@ def vep(
         json.loads(ln)  # validate
         return ln
 
-    return _annotate_via_subprocess(df, command, name, block_size, line_of, parse_line)
+    return _annotate_via_subprocess(
+        df, command, name, block_size, line_of, parse_line, env=env
+    )
 
 
 def nirvana(

@@ -359,3 +359,54 @@ def test_nirvana_plumbing_with_stub_command(spark, tmp_path):
 
     got = _json.loads(out.collect()[0]["nirvana"])
     assert got == {"chrom": "7", "alts": "A"}
+
+
+def test_vep_full_path_against_fake_binary(spark, monkeypatch):
+    """r03 verdict item 8: the WHOLE vep() path — PATH resolution via
+    shutil.which, VEPConfig command/env, per-partition subprocess,
+    block framing, JSON validation, and the vep_json_typ lift — runs
+    end-to-end against the checked-in reference-shaped fake
+    (tests/fixtures/vep)."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hail_spark.methods import annotate
+
+    fixdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    monkeypatch.setenv("PATH", fixdir + os.pathsep + os.environ["PATH"])
+    df = spark.createDataFrame(
+        [
+            {"locus": {"contig": "1", "position": 100 + i},
+             "alleles": ["A", "T"] if i % 2 == 0 else ["AC", "A"]}
+            for i in range(10)
+        ],
+        "locus struct<contig:string,position:int>, alleles array<string>",
+    ).repartition(3)
+    # default path: binary found on PATH, --json mode
+    out = annotate.vep(df, block_size=4)
+    rows = {r["locus"]["position"]: r for r in out.collect()}
+    assert len(rows) == 10
+    v = _json.loads(rows[100]["vep"])
+    assert v["most_severe_consequence"] == "missense_variant"
+    assert v["transcript_consequences"][0]["biotype"] == "protein_coding"
+    v_indel = _json.loads(rows[101]["vep"])
+    assert v_indel["variant_class"] == "indel"
+    # typed lift through the reference's vep_json_typ schema
+    typed = out.select(
+        F.col("locus"),
+        F.from_json("vep", annotate.vep_json_typ()).alias("v"),
+    )
+    t = {r["locus"]["position"]: r["v"] for r in typed.collect()}
+    assert t[100]["seq_region_name"] == "1" and t[100]["start"] == 100
+    assert t[100]["transcript_consequences"][0]["impact"] == "MODERATE"
+    assert t[100]["transcript_consequences"][0]["gene_symbol"].startswith("GENE")
+    # VEPConfig: explicit command + env overlay reaches the subprocess
+    cfg = annotate.VEPConfig(
+        command=[os.path.join(fixdir, "vep"), "--json"],
+        env={"VEP_FAKE_TAG": "cfg-env"},
+    )
+    out2 = annotate.vep(df, config=cfg, block_size=1000)
+    v2 = _json.loads(out2.collect()[0]["vep"])
+    assert v2["id"] == "cfg-env"
