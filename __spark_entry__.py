@@ -5168,6 +5168,44 @@ FROM long GROUP BY user_id ORDER BY user_id
 )
 
 
+def hail_native_ht_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read a REFERENCE-WRITTEN native .ht (io/hail_native.py — the
+    migration on-ramp, r03 verdict item 5): the reference's own
+    backward-compat fixture (zstd-compressed blocks + TypedCodecSpec,
+    written by hail 0.2.115) decodes into our Table; the emitted scalar
+    projection replays as constants the reference's generator
+    (helpers.py create_all_values) pins: f32=3.14, i64=-9,
+    call(0,1)=12, locus chr22:33878978, nd=arange(10).reshape(2,5)."""
+    from hail_spark.io.hail_native import read_table
+
+    path = (
+        "/root/reference/hail/hail/test/resources/backward_compatability/"
+        "1.7.0/table/6.ht"
+    )
+    t = read_table(spark, path)
+    return (
+        t.df.select(
+            "idx",
+            F.round(F.col("f32").cast("double"), 6).alias("f32"),
+            "i64",
+            F.col("h38")["position"].alias("h38_pos"),
+            F.col("c").alias("call_int"),
+            F.col("i")["end"]["position"].alias("ival_end"),
+            F.element_at(F.col("nd")["data"], 10).alias("nd_last"),
+            F.size("aset").alias("n_aset"),
+        )
+        .orderBy("idx")
+    )
+
+
+_HAIL_NATIVE_HT_SQL = """
+SELECT CAST(i AS INT) AS idx, CAST(3.14 AS DOUBLE) AS f32, CAST(-9 AS BIGINT) AS i64,
+       33878978 AS h38_pos, 12 AS call_int, 1001 AS ival_end,
+       9 AS nd_last, 3 AS n_aset
+FROM (SELECT UNNEST(range(5)) AS i) ORDER BY idx
+"""
+
+
 def avro_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """hl.import_avro (ref impex.py:3345 / AvroTableReader.scala) via
     the pure-Python container-file codec (io/avro.py — the spark-avro
@@ -5833,6 +5871,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mt_native_round_trip": mt_native_round_trip,
         "gen_round_trip": gen_round_trip,
         "avro_round_trip": avro_round_trip,
+        "hail_native_ht": hail_native_ht_q,
         "fanout_round_trip": fanout_round_trip,
         "grep_lines": grep_lines_q,
         "filter_intervals_orders": filter_intervals_orders,
@@ -5986,6 +6025,7 @@ def oracle_sql() -> dict[str, str]:
         "mt_native_round_trip": _MT_NATIVE_RT_SQL,
         "gen_round_trip": _GEN_RT_SQL,
         "avro_round_trip": _AVRO_RT_SQL,
+        "hail_native_ht": _HAIL_NATIVE_HT_SQL,
         "fanout_round_trip": _FANOUT_SQL,
         "grep_lines": _GREP_SQL,
         "filter_intervals_orders": _FILTER_INTERVALS_SQL,

@@ -94,14 +94,30 @@ from ..io.vcf import export_vcf, import_vcf  # noqa: F401
 
 def read_table(spark, path):
     """Native-format table read (ref hl.read_table): the parquet +
-    key-metadata layout Table.write produces."""
+    key-metadata layout Table.write produces. A directory written by
+    the REFERENCE engine (.ht with metadata.json.gz TableSpec) is
+    auto-detected and decoded by io/hail_native.py — the migration
+    on-ramp for existing Hail tables."""
+    import os
+
     from ..table import Table
 
+    if os.path.exists(os.path.join(path, "metadata.json.gz")):
+        from ..io.hail_native import read_table as _ref_read
+
+        return _ref_read(spark, path)
     return Table.read(spark, path)
 
 
 def read_matrix_table(spark, path):
-    """Native-format matrix read (ref hl.read_matrix_table)."""
+    """Native-format matrix read (ref hl.read_matrix_table); reference-
+    written .mt directories auto-detected like read_table."""
+    import os
+
     from ..matrixtable import MatrixTable
 
+    if os.path.exists(os.path.join(path, "metadata.json.gz")):
+        from ..io.hail_native import read_matrix_table as _ref_read
+
+        return _ref_read(spark, path)
     return MatrixTable.read(spark, path)
