@@ -53,7 +53,13 @@ def main():
             continue
         runs: list[float] = []
         failed = False
-        for _ in range(iters):
+        for it in range(iters):
+            # adaptive: a query whose first run already took >5 s is not
+            # noise-bound (relative jitter shrinks with runtime) — skip
+            # its extra iterations so median-of-3 doesn't triple the
+            # suite wall-clock on the heavy tail
+            if it > 0 and runs and runs[0] > 5.0:
+                break
             t0 = time.time()
             try:
                 df = fn(spark, sf_dir)

@@ -429,6 +429,52 @@ def _zstd_decompress_blocks(blocks: list[bytes]) -> list[bytes]:
     return res
 
 
+def _lz4_block_decompress(src: bytes, decomp_len: int) -> bytes:
+    """Raw LZ4 block decompression (the net.jpountz/lz4-java block
+    format Hail's LZ4InputBlockBuffer consumes — token nibbles, 255-
+    extended lengths, 2-byte LE match offsets, overlap-safe copies).
+    Pure Python: no lz4 module ships in this environment."""
+    dst = bytearray(decomp_len)
+    si, di, n = 0, 0, len(src)
+    while si < n and di < decomp_len:
+        token = src[si]
+        si += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[si]
+                si += 1
+                lit += b
+                if b != 255:
+                    break
+        dst[di : di + lit] = src[si : si + lit]
+        di += lit
+        si += lit
+        if di >= decomp_len or si >= n:
+            break
+        offset = src[si] | (src[si + 1] << 8)
+        si += 2
+        mlen = (token & 0xF) + 4
+        if (token & 0xF) == 15:
+            while True:
+                b = src[si]
+                si += 1
+                mlen += b
+                if b != 255:
+                    break
+        if offset >= mlen:
+            start = di - offset
+            dst[di : di + mlen] = dst[start : start + mlen]
+            di += mlen
+        else:  # overlapping match: byte-at-a-time (RLE-style)
+            for _ in range(mlen):
+                dst[di] = dst[di - offset]
+                di += 1
+    if di != decomp_len:
+        raise IOError(f"lz4 block decoded {di} bytes, expected {decomp_len}")
+    return bytes(dst)
+
+
 def read_part_bytes(path: str, buffer_spec: dict) -> tuple[bytes, bool]:
     """Decode the buffer-spec tree for one part file; returns
     (flat value bytes, leb128) where leb128 means readInt/readLong are
@@ -457,11 +503,18 @@ def read_part_bytes(path: str, buffer_spec: dict) -> tuple[bytes, bool]:
     for layer in reversed(chain):
         if layer == "ZstdBlockBufferSpec":
             blocks = _zstd_decompress_blocks(blocks)
-        elif layer.startswith("LZ4"):
-            raise NotImplementedError(
-                "LZ4-compressed native files need an lz4 codec, which this "
-                "environment lacks; re-export with the default zstd spec"
-            )
+        elif layer in (
+            "LZ4BlockBufferSpec",
+            "LZ4HCBlockBufferSpec",
+            "LZ4FastBlockBufferSpec",
+        ):
+            # same [int32 LE decompLen][payload] framing as zstd
+            # (InputBuffers.scala:533); HC/Fast differ only on the
+            # COMPRESS side — one raw-block decoder serves both
+            blocks = [
+                _lz4_block_decompress(b[4:], struct.unpack("<i", b[:4])[0])
+                for b in blocks
+            ]
         else:
             raise NotImplementedError(f"block spec {layer}")
     return b"".join(blocks), leb
