@@ -131,3 +131,98 @@ def test_full_corpus_sweep(spark):
         assert mt._df.count() == 3 and len(mt._cols) == 2, hmt
         n_ok += 1
     assert n_ok >= 100, n_ok
+
+
+def test_write_reference_format_round_trip(spark, tmp_path):
+    """Off-ramp (io/hail_native_write.py): a corpus fixture read in,
+    written back out in the reference's format, and re-read through the
+    corpus-validated decoder is value-exact — rows AND globals."""
+    from hail_spark.io.hail_native import read_table
+    from hail_spark.io.hail_native_write import write_table
+
+    t = read_table(spark, os.path.join(BASE, "1.7.0/table/6.ht"))
+    out = str(tmp_path / "rt.ht")
+    write_table(t, out)
+    t2 = read_table(spark, out)
+    a = sorted(
+        (r.asDict(recursive=True) for r in t.df.collect()),
+        key=lambda r: r["idx"],
+    )
+    b = sorted(
+        (r.asDict(recursive=True) for r in t2.df.collect()),
+        key=lambda r: r["idx"],
+    )
+    assert a == b
+    assert t2._key == ("idx",)
+    assert t2._globals["global_i64"] == -9
+    assert t2._globals["global_d"] == t._globals["global_d"]
+
+
+def test_write_reference_format_metadata_shape(spark, tmp_path):
+    """The written metadata carries every key a reference-written
+    TableSpec + OrderedRVDSpec2 has (same shape the reference's reader
+    extracts, AbstractMatrixTableSpec.scala:57/95)."""
+    import gzip
+    import json
+
+    from hail_spark.io.hail_native import read_table
+    from hail_spark.io.hail_native_write import write_table
+
+    t = read_table(spark, os.path.join(BASE, "1.7.0/table/0.ht"))
+    out = str(tmp_path / "m.ht")
+    write_table(t, out)
+    with gzip.open(os.path.join(out, "metadata.json.gz"), "rt") as f:
+        meta = json.load(f)
+    assert meta["name"] == "TableSpec"
+    assert isinstance(meta["file_version"], int)
+    assert meta["table_type"].startswith("Table{global:")
+    assert set(meta["components"]) >= {"globals", "rows", "partition_counts"}
+    with gzip.open(os.path.join(out, "rows/metadata.json.gz"), "rt") as f:
+        rvd = json.load(f)
+    assert rvd["name"] == "OrderedRVDSpec2"
+    assert rvd["_codecSpec"]["name"] == "TypedCodecSpec"
+    for k in ("_key", "_partFiles", "_jRangeBounds", "_attrs"):
+        assert k in rvd, k
+    # range bounds must match the key order and actual extrema
+    assert rvd["_key"] == ["idx"]
+    assert rvd["_jRangeBounds"][0]["start"] == {"idx": 0}
+    assert rvd["_jRangeBounds"][-1]["end"] == {"idx": 4}
+    assert sum(meta["components"]["partition_counts"]["counts"]) == 5
+
+
+def test_write_matrix_table_round_trip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hail_spark.io.hail_native import read_matrix_table
+    from hail_spark.io.hail_native_write import write_matrix_table
+    from hail_spark.matrixtable import ENTRIES, MatrixTable
+
+    df = spark.range(10).select(
+        F.col("id").alias("vid"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(2)),
+            lambda j: F.when(
+                (F.col("id") + j) % 4 != 0,
+                F.struct(((F.col("id") + j) % 3).cast("int").alias("GT")),
+            ),
+        ).alias(ENTRIES),
+    )
+    mt = MatrixTable(
+        df, ("vid",), [{"s": "a"}, {"s": "b"}, {"s": "c"}], ("s",),
+        {"note": "hi", "k": 7},
+    )
+    out = str(tmp_path / "rt.mt")
+    write_matrix_table(mt, out)
+    mt2 = read_matrix_table(spark, out)
+    assert mt2._row_key == ("vid",) and mt2._col_key == ("s",)
+    assert [c["s"] for c in mt2._cols] == ["a", "b", "c"]
+    assert mt2._globals == {"note": "hi", "k": 7}
+    r1 = sorted(
+        (r.asDict(recursive=True) for r in mt._df.collect()),
+        key=lambda r: r["vid"],
+    )
+    r2 = sorted(
+        (r.asDict(recursive=True) for r in mt2._df.collect()),
+        key=lambda r: r["vid"],
+    )
+    assert r1 == r2
