@@ -5886,6 +5886,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lambda_gc_events": lambda_gc_q,
         "random_mating_hom": random_mating_q,
         "gopher_signals": gopher_signals_q,
+        "decontam_overlap": decontam_overlap_q,
         "pc_project_scores": pc_project_q,
         "sparse_split_battery": sparse_split_multi_q,
         "densify_sparse": densify_sparse_q,
@@ -6040,6 +6041,7 @@ def oracle_sql() -> dict[str, str]:
         "lambda_gc_events": _LAMBDA_GC_SQL,
         "random_mating_hom": _RANDOM_MATING_SQL,
         "gopher_signals": _GOPHER_SQL,
+        "decontam_overlap": _DECONTAM_SQL,
         "pc_project_scores": _PC_PROJECT_SQL,
         "sparse_split_battery": _SPARSE_SPLIT_SQL,
         "densify_sparse": _DENSIFY_SQL,
@@ -6504,6 +6506,47 @@ kids AS (
 SELECT pos, s, gt AS "GT" FROM founders
 UNION ALL SELECT pos, s, gt FROM kids
 ORDER BY pos, s
+"""
+
+
+def decontam_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C convention;
+    llmdata/decontam.py): the synthetic 'benchmark' is every 13th
+    document; training docs sharing any 8-token n-gram with it are
+    flagged. Engine: xxhash64 gram hashing JVM-side, broadcast
+    semi-join against distinct benchmark grams, map-side partial hit
+    counts — the document corpus is read once, never shuffled."""
+    from hail_spark.llmdata.decontam import decontaminate
+
+    d = _t(spark, sf_dir, "documents").df
+    bench = d.filter(F.col("doc_id") % 13 == 0)
+    out = decontaminate(d, bench, n=8, min_hits=1)
+    return out.select(
+        "doc_id", "n_grams", "n_hits", "contaminated"
+    ).orderBy("doc_id")
+
+
+_DECONTAM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+           w -> w != '') AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+  FROM tok, UNNEST(range(1, len(toks) - 8 + 2)) AS t(i)
+  WHERE len(toks) >= 8),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 13 = 0),
+hits AS (SELECT d.doc_id, COUNT(*) AS n_hits
+         FROM grams d JOIN bench USING (g) GROUP BY 1),
+base AS (SELECT doc_id,
+                CASE WHEN len(toks) >= 8 THEN len(toks) - 7 ELSE 0 END AS n_grams
+         FROM tok)
+SELECT b.doc_id, CAST(b.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) >= 1 AS contaminated
+FROM base b LEFT JOIN hits h USING (doc_id) ORDER BY b.doc_id
 """
 
 

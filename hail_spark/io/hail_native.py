@@ -806,7 +806,6 @@ def _table_type_parts(type_str: str) -> dict:
     i = 0
     depth = 0
     start = 0
-    keyname = None
     while i <= len(inner):
         if i == len(inner) or (inner[i] == "," and depth == 0):
             seg = inner[start:i]
@@ -818,7 +817,6 @@ def _table_type_parts(type_str: str) -> dict:
         elif inner[i] in "}])":
             depth -= 1
         i += 1
-        _ = keyname
     return out
 
 

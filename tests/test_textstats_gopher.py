@@ -81,3 +81,35 @@ def test_signals_on_documents_table(spark, sf_dir):
         assert 0.0 <= r["dlf"] <= 1.0
         assert 0.0 <= r["top2"] <= 1.0
         assert r["swr"] >= 0.0
+
+
+def test_decontaminate_known_overlap(spark):
+    """llmdata/decontam.py: docs sharing an n-gram with the benchmark
+    flag as contaminated; short docs have zero grams and stay clean."""
+    from pyspark.sql import functions as F
+
+    from hail_spark.llmdata.decontam import benchmark_grams, decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog tonight"},
+            {"doc_id": 2, "text": "completely different words appear in this training document here"},
+            {"doc_id": 3, "text": "short doc"},
+            # normalization: case/punctuation differences still match
+            {"doc_id": 4, "text": "The QUICK, brown fox JUMPS over the lazy dog again and again"},
+        ]
+    )
+    bench = spark.createDataFrame(
+        [{"text": "quick brown fox jumps over the lazy dog benchmark question"}]
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs, bench, n=5).collect()}
+    assert out[1]["contaminated"] and out[1]["n_hits"] >= 1
+    assert out[4]["contaminated"]  # normalization catches it
+    assert not out[2]["contaminated"] and out[2]["n_hits"] == 0
+    assert not out[3]["contaminated"] and out[3]["n_grams"] == 0
+    # gram accounting: doc 1 has 10 tokens -> 6 5-grams
+    assert out[1]["n_grams"] == 6
+    assert benchmark_grams(bench, n=5).count() == 6
+    # plan: the contaminating join must be a broadcast (no corpus shuffle)
+    plan = decontaminate(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
