@@ -37,9 +37,14 @@ def _norm_tokens(text: Column) -> Column:
     return F.filter(F.split(F.trim(cleaned), r"\s+"), lambda t: t != "")
 
 
-def _gram_hashes(text: Column, n: int) -> Column:
-    """array<bigint> of xxhash64 over each n-token window."""
-    toks = _norm_tokens(text)
+def _gram_hashes_of_tokens(toks: Column, n: int) -> Column:
+    """array<bigint> of xxhash64 over each n-token window.
+
+    ``toks`` MUST be a materialized column (its own projection), not an
+    inline tokenize expression: the transform lambda references it once
+    per POSITION on Spark's interpreted HOF path, so an inlined
+    regex+split would recompute per position — O(tokens²) per document
+    (the round-3 CollapseProject class; 29 s → 1.5 s at sf0.1)."""
     m = F.size(toks)
     return F.when(
         m >= n,
@@ -56,7 +61,8 @@ def benchmark_grams(
     """Distinct n-gram hashes of the benchmark corpus: DataFrame(gram
     bigint). Compute once, reuse across decontamination runs."""
     return (
-        bench.select(F.explode(_gram_hashes(F.col(text_col), n)).alias("gram"))
+        bench.select(_norm_tokens(F.col(text_col)).alias("__toks"))
+        .select(F.explode(_gram_hashes_of_tokens(F.col("__toks"), n)).alias("gram"))
         .distinct()
     )
 
@@ -78,10 +84,18 @@ def decontaminate(
     repeated occurrences), ``contaminated`` = n_hits >= min_hits.
     Documents shorter than n tokens have 0 grams and are clean.
     """
+    from .dedup import _spread
+
     grams = benchmark_grams(bench, bench_text_col, n)
-    doc_grams = docs.select(
-        F.col(id_col),
-        _gram_hashes(F.col(text_col), n).alias("__grams"),
+    # spread the RAW columns before the gram projection: a single-file
+    # source arrives as one partition and the windowed hashing is the
+    # CPU-heavy stage (same reason as dedup.py's minhash _spread)
+    doc_grams = (
+        _spread(docs.select(id_col, text_col))
+        .select(F.col(id_col), _norm_tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col), _gram_hashes_of_tokens(F.col("__toks"), n).alias("__grams")
+        )
     )
     exploded = doc_grams.select(
         id_col, F.size("__grams").alias("__n"), F.explode_outer("__grams").alias("gram")
