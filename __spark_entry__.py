@@ -5887,6 +5887,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "random_mating_hom": random_mating_q,
         "gopher_signals": gopher_signals_q,
         "decontam_overlap": decontam_overlap_q,
+        "pii_scrub": pii_scrub_q,
         "pc_project_scores": pc_project_q,
         "sparse_split_battery": sparse_split_multi_q,
         "densify_sparse": densify_sparse_q,
@@ -6042,6 +6043,7 @@ def oracle_sql() -> dict[str, str]:
         "random_mating_hom": _RANDOM_MATING_SQL,
         "gopher_signals": _GOPHER_SQL,
         "decontam_overlap": _DECONTAM_SQL,
+        "pii_scrub": _PII_SCRUB_SQL,
         "pc_project_scores": _PC_PROJECT_SQL,
         "sparse_split_battery": _SPARSE_SPLIT_SQL,
         "densify_sparse": _DENSIFY_SQL,
@@ -6547,6 +6549,58 @@ SELECT b.doc_id, CAST(b.n_grams AS BIGINT) AS n_grams,
        CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
        COALESCE(h.n_hits, 0) >= 1 AS contaminated
 FROM base b LEFT JOIN hits h USING (doc_id) ORDER BY b.doc_id
+"""
+
+
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + URL extraction (llmdata/scrub.py): deterministic
+    PII markers are appended to each document from its id, then the
+    codegen regex pipeline counts and redacts them. The oracle replays
+    the counts and the redacted length ARITHMETICALLY from the id
+    residues (the base corpus is letters-only, so every match is an
+    injected marker) — which pins both the match spans and the
+    replacement tokens exactly."""
+    from hail_spark.llmdata.scrub import extract_urls, pii_counts, redact_pii
+
+    d = _t(spark, sf_dir, "documents").df
+    i = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(i % 4 == 0,
+               F.concat(F.lit(" reach me at user"), i.cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(i % 5 == 0, F.lit(" call (555) 123-4567 now")).otherwise(F.lit("")),
+        F.when(i % 7 == 0, F.lit(" server at 192.168.1.10 ok")).otherwise(F.lit("")),
+        F.when(i % 11 == 0, F.lit(" ssn 123-45-6789 end")).otherwise(F.lit("")),
+        F.when(i % 3 == 0,
+               F.lit(" see https://sub.example.org/path now")).otherwise(F.lit("")),
+    )
+    c = pii_counts(aug)
+    return d.select(
+        "doc_id",
+        c["n_email"].alias("n_email"),
+        c["n_phone"].alias("n_phone"),
+        c["n_ip"].alias("n_ip"),
+        c["n_ssn"].alias("n_ssn"),
+        F.size(extract_urls(aug)).alias("n_urls"),
+        F.length(redact_pii(aug)).alias("redacted_len"),
+    ).orderBy("doc_id")
+
+
+_PII_SCRUB_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT) AS n_email,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT) AS n_phone,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INT) AS n_ip,
+       CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS INT) AS n_ssn,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_urls,
+       CAST(LENGTH(text)
+            + CASE WHEN doc_id % 4 = 0 THEN 20 ELSE 0 END
+            + CASE WHEN doc_id % 5 = 0 THEN 17 ELSE 0 END
+            + CASE WHEN doc_id % 7 = 0 THEN 18 ELSE 0 END
+            + CASE WHEN doc_id % 11 = 0 THEN 14 ELSE 0 END
+            + CASE WHEN doc_id % 3 = 0 THEN 37 ELSE 0 END AS INT) AS redacted_len
+FROM documents ORDER BY doc_id
 """
 
 

@@ -113,3 +113,62 @@ def test_decontaminate_known_overlap(spark):
     # plan: the contaminating join must be a broadcast (no corpus shuffle)
     plan = decontaminate(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pii_redaction_and_counts(spark):
+    from pyspark.sql import functions as F
+
+    from hail_spark.llmdata.scrub import pii_counts, redact_pii
+
+    df = spark.createDataFrame(
+        [
+            {"i": 1, "t": "mail bob.smith+x@corp.example.org or call (555) 123-4567 ok"},
+            {"i": 2, "t": "server 10.0.255.7 and ssn 123-45-6789 inside"},
+            {"i": 3, "t": "no pii here, just words and 12345 numbers"},
+            {"i": 4, "t": "version 1.2.3.4.5 is not an ip boundary test 999.1.1.1"},
+        ]
+    )
+    out = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            redact_pii(F.col("t")).alias("red"),
+            pii_counts(F.col("t")).alias("c"),
+        ).collect()
+    }
+    assert out[1]["red"] == "mail <EMAIL> or call <PHONE> ok"
+    assert out[1]["c"]["n_email"] == 1 and out[1]["c"]["n_phone"] == 1
+    assert out[2]["red"] == "server <IP> and ssn <SSN> inside"
+    assert out[2]["c"]["n_ip"] == 1 and out[2]["c"]["n_ssn"] == 1
+    assert out[3]["red"] == "no pii here, just words and 12345 numbers"
+    # 1.2.3.4.5 must NOT match (boundary guards); 999.x is not an octet
+    assert out[4]["c"]["n_ip"] == 0
+
+
+def test_domain_blocklist_filter(spark):
+    from hail_spark.llmdata.scrub import extract_urls, filter_by_domain_blocklist
+
+    docs = spark.createDataFrame(
+        [
+            {"doc_id": 1, "text": "link https://spam.example.com/x and more"},
+            {"doc_id": 2, "text": "see https://sub.deep.spam.example.com/y"},
+            {"doc_id": 3, "text": "fine https://ok.org/page stays"},
+            {"doc_id": 4, "text": "no links at all"},
+            {"doc_id": 5, "text": "http://EXAMPLE.com/CASE insensitive"},
+        ]
+    )
+    bl = spark.createDataFrame([{"domain": "example.com"}, {"domain": "bad.net"}])
+    kept = sorted(
+        r["doc_id"] for r in filter_by_domain_blocklist(docs, bl).collect()
+    )
+    # 1, 2, 5 blocked (subdomain + case); 3, 4 kept
+    assert kept == [3, 4]
+    flagged = sorted(
+        r["doc_id"]
+        for r in filter_by_domain_blocklist(docs, bl, keep_clean=False).collect()
+    )
+    assert flagged == [1, 2, 5]
+    urls = docs.filter("doc_id = 2").select(
+        extract_urls(docs["text"]).alias("u")
+    ).first()["u"]
+    assert urls == ["https://sub.deep.spam.example.com/y"]
