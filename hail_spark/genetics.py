@@ -109,6 +109,30 @@ class Call:
         parse_call)."""
         return {"GT": self.n_alt_alleles(), "ploidy": self.ploidy, "phased": self.phased}
 
+    @classmethod
+    def from_int32(cls, c: int) -> "Call":
+        """Decode the reference's packed int32 call (variant/Call.scala:78):
+        bit 0 = phased, bits 1-2 = ploidy, bits 3+ = allele repr (the
+        diploid genotype index k(k+1)/2+j; phased stores the index of
+        (j, j+delta)). Inverse of the encoding native files carry —
+        call(0,1) <-> 12, call(1,2, phased) <-> 61."""
+        phased = bool(c & 1)
+        ploidy = (c >> 1) & 3
+        ar = c >> 3
+        if ploidy == 0:
+            return cls([], phased)
+        if ploidy == 1:
+            return cls([ar], phased)
+        if ploidy != 2:
+            raise ValueError(f"unsupported ploidy {ploidy} in call int {c}")
+        import math
+
+        k = (math.isqrt(8 * ar + 1) - 1) // 2
+        j = ar - k * (k + 1) // 2
+        if phased:
+            return cls([j, k - j], True)
+        return cls([j, k], False)
+
     def __eq__(self, other):
         return (
             isinstance(other, Call)
