@@ -95,3 +95,86 @@ def test_determinism(uids):
     b = _draws(uids.limit(500), hf.rand_gamma(F.col("uid"), 2.0, 1.0, seed=10))
     np.testing.assert_array_equal(a1, a2)
     assert not np.array_equal(a1, b)
+
+
+# ------------------------------------------------------------------ #
+# Threefry bit-exact parity (expr/threefry.py vs Random.scala)
+# ------------------------------------------------------------------ #
+
+def test_threefry_skein_golden_kats():
+    """The exact Skein reference vectors the reference's own
+    RandomSuite.scala:16 asserts."""
+    from hail_spark.expr.threefry import encrypt, expand_key
+
+    cases = [
+        (
+            [0, 0, 0, 0], (0, 0), [0, 0, 0, 0],
+            [0x09218EBDE6C85537, 0x55941F5266D86105,
+             0x4BD25E16282434DC, 0xEE29EC846BD2E40B],
+        ),
+        (
+            [0x1716151413121110, 0x1F1E1D1C1B1A1918,
+             0x2726252423222120, 0x2F2E2D2C2B2A2928],
+            (0x0706050403020100, 0x0F0E0D0C0B0A0908),
+            [0xF8F9FAFBFCFDFEFF, 0xF0F1F2F3F4F5F6F7,
+             0xE8E9EAEBECEDEEEF, 0xE0E1E2E3E4E5E6E7],
+            [0x008CF75D18C19DA0, 0x1D7D14BE2266E7D8,
+             0x5D09E0E985FE673B, 0xB4A5480C6039B172],
+        ),
+    ]
+    for key, tweak, inp, exp in cases:
+        assert encrypt(expand_key(key), tweak, inp) == exp
+
+
+def test_threefry_batch_matches_scalar():
+    import numpy as np
+
+    from hail_spark.expr.threefry import DEFAULT_KEY, encrypt, encrypt_batch
+
+    st = [11, 22, 33, 44]
+    ctrs = np.arange(17, dtype=np.uint64)
+    b = encrypt_batch(DEFAULT_KEY, 5, st, ctrs)
+    for i in (0, 7, 16):
+        assert list(b[i].astype(object)) == encrypt(DEFAULT_KEY, (5, i), st)
+
+
+def test_threefry_engine_discipline_and_streams():
+    """Engine buffer discipline matches the reference: nextInt serves
+    the HIGH 32 bits of each word first; nextLong re-aligns to word
+    boundaries; same (nonce, staticID, message) -> identical stream,
+    any difference -> divergent stream; doubles in [0, 1)."""
+    from hail_spark.expr.threefry import ThreefryRandomEngine
+
+    e = ThreefryRandomEngine.from_pmac(3, 9, [])
+    e._fill()
+    buf = list(e.buffer)
+    e.used_ints = 0
+    assert e.next_int() == (buf[0] >> 32) & 0xFFFFFFFF
+    assert e.next_int() == buf[0] & 0xFFFFFFFF
+    assert e.next_long() == buf[1]  # aligns to the next word
+
+    a = ThreefryRandomEngine.from_pmac(0, 42, [1, 2, 3])
+    b = ThreefryRandomEngine.from_pmac(0, 42, [1, 2, 3])
+    da = [a.next_double() for _ in range(500)]
+    assert da == [b.next_double() for _ in range(500)]
+    assert all(0.0 <= d < 1.0 for d in da)
+    c = ThreefryRandomEngine.from_pmac(0, 42, [1, 2, 4])
+    assert [c.next_double() for _ in range(5)] != da[:5]
+
+
+def test_threefry_pmac_padding_boundary():
+    """Messages at the 4-word block boundary take the no-pad tweak;
+    off-boundary messages pad with a 1 word — distinct streams."""
+    from hail_spark.expr.threefry import (
+        FINAL_BLOCK_NO_PAD_TWEAK,
+        FINAL_BLOCK_PADDED_TWEAK,
+        pmac,
+        pmac_hash,
+    )
+
+    _, t4 = pmac_hash(0, 1, [1, 2, 3, 4])
+    _, t3 = pmac_hash(0, 1, [1, 2, 3])
+    assert t4 == FINAL_BLOCK_NO_PAD_TWEAK
+    assert t3 == FINAL_BLOCK_PADDED_TWEAK
+    # padded [1,2,3] must NOT collide with explicit [1,2,3,1]
+    assert pmac(0, 1, [1, 2, 3]) != pmac(0, 1, [1, 2, 3, 1])
