@@ -181,6 +181,7 @@ def parse_vtype(s: str) -> VType:
 
 _V_ATOMS = {
     "Int32", "Int64", "Float32", "Float64", "String", "Boolean", "Call",
+    "Binary",
 }
 
 
@@ -275,7 +276,7 @@ def legacy_etype(vt: VType) -> EType:
         return EType("EFloat32", req)
     if k == "Float64":
         return EType("EFloat64", req)
-    if k == "String":
+    if k in ("String", "Binary"):
         return EType("EBinary", req)
     if k == "Locus":
         return EType(
@@ -340,6 +341,8 @@ def vtype_to_spark_ddl(vt: VType) -> str:
         return "string"
     if k == "Boolean":
         return "boolean"
+    if k == "Binary":
+        return "binary"
     if k == "Call":
         return "int"
     if k == "Locus":

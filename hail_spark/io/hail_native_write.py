@@ -91,6 +91,8 @@ def spark_to_vtype_str(dt: T.DataType) -> str:
         return "Float64"
     if isinstance(dt, T.StringType):
         return "String"
+    if isinstance(dt, T.BinaryType):
+        return "Binary"
     if isinstance(dt, T.BooleanType):
         return "Boolean"
     if isinstance(dt, T.ArrayType):
@@ -120,7 +122,7 @@ def spark_to_etype_str(dt: T.DataType, required: bool = False) -> str:
         return r + "EFloat32"
     if isinstance(dt, T.DoubleType):
         return r + "EFloat64"
-    if isinstance(dt, T.StringType):
+    if isinstance(dt, (T.StringType, T.BinaryType)):
         return r + "EBinary"
     if isinstance(dt, T.BooleanType):
         return r + "EBoolean"
@@ -212,10 +214,10 @@ def _encode(buf: _EBuf, dt: T.DataType, v):
         buf.f64(float(v))
     elif isinstance(dt, T.BooleanType):
         buf.byte(1 if v else 0)
-    elif isinstance(dt, T.StringType):
-        raw = v.encode("utf-8")
+    elif isinstance(dt, (T.StringType, T.BinaryType)):
+        raw = v if isinstance(v, (bytes, bytearray)) else v.encode("utf-8")
         buf.int32(len(raw))
-        buf.write_raw(raw)
+        buf.write_raw(bytes(raw))
     elif isinstance(dt, T.ArrayType):
         _encode_array(buf, dt.elementType, list(v))
     elif isinstance(dt, T.MapType):
