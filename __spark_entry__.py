@@ -5888,6 +5888,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_signals": gopher_signals_q,
         "decontam_overlap": decontam_overlap_q,
         "pii_scrub": pii_scrub_q,
+        "semantic_dedup_kmeans": semantic_dedup_q,
         "pc_project_scores": pc_project_q,
         "sparse_split_battery": sparse_split_multi_q,
         "densify_sparse": densify_sparse_q,
@@ -6044,6 +6045,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_signals": _GOPHER_SQL,
         "decontam_overlap": _DECONTAM_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
+        "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "pc_project_scores": _PC_PROJECT_SQL,
         "sparse_split_battery": _SPARSE_SPLIT_SQL,
         "densify_sparse": _DENSIFY_SQL,
@@ -6601,6 +6603,80 @@ SELECT doc_id,
             + CASE WHEN doc_id % 11 = 0 THEN 14 ELSE 0 END
             + CASE WHEN doc_id % 3 = 0 THEN 37 ELSE 0 END AS INT) AS redacted_len
 FROM documents ORDER BY doc_id
+"""
+
+
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): deterministic broadcast-Lloyd
+    k-means over the embeddings table (seeds = smallest-md5 ids,
+    centroid coords rounded to 6dp per iteration, distances to 9dp —
+    engine-portable by construction), then intra-cluster cosine>=0.95
+    dup counting. Engine: per-row argmin against the inlined codebook
+    is a ZERO-SHUFFLE codegen projection; centroid recompute shuffles
+    O(partitions*k*dim); the quadratic term is confined to
+    within-cluster self-joins. Output is integer-only (cell, n_members,
+    n_dup_pairs, n_dropped) so it hashes identically on any engine."""
+    from hail_spark.llmdata.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # the synthetic corpus has no natural near-dups (max pairwise
+    # cosine ~0.51), so plant exact copies of every 101st vector under
+    # new ids — they land in the same cluster by construction and
+    # exercise the dup-count path on both engines identically
+    planted = emb.filter(F.col("vec_id") % 101 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    return semantic_dedup(emb.unionByName(planted), k=8, n_iter=2, threshold=0.95)
+
+
+_SEMANTIC_ASSIGN = """
+  SELECT vec_id, e, cell FROM (
+    SELECT b.vec_id, b.e, c.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY b.vec_id
+             ORDER BY round(list_sum(list_transform(range(1, len(b.e)+1),
+                        i -> (b.e[i]-c.c_vec[i])*(b.e[i]-c.c_vec[i]))), 9), c.cell) rn
+    FROM base b CROSS JOIN {C} c) WHERE rn = 1
+"""
+_SEMANTIC_MEANS = """
+  SELECT cell, list(m ORDER BY pos) c_vec FROM (
+    SELECT cell, pos, round(avg(val), 6) m FROM (
+      SELECT cell, unnest(e) val, unnest(range(1, len(e)+1)) pos FROM {A})
+    GROUP BY cell, pos) GROUP BY cell
+"""
+_SEMANTIC_DEDUP_SQL = f"""
+WITH aug AS (SELECT vec_id, embedding FROM embeddings
+             UNION ALL
+             SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 101 = 0),
+base AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+              FROM aug),
+c0 AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cell,
+              list_transform(e, x -> round(x, 6)) c_vec
+       FROM base ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8),
+a1 AS ({_SEMANTIC_ASSIGN.format(C='c0')}),
+m1 AS ({_SEMANTIC_MEANS.format(A='a1')}),
+c1 AS (SELECT c0.cell, COALESCE(m1.c_vec, c0.c_vec) c_vec FROM c0 LEFT JOIN m1 USING(cell)),
+a2 AS ({_SEMANTIC_ASSIGN.format(C='c1')}),
+m2 AS ({_SEMANTIC_MEANS.format(A='a2')}),
+c2 AS (SELECT c1.cell, COALESCE(m2.c_vec, c1.c_vec) c_vec FROM c1 LEFT JOIN m2 USING(cell)),
+a3 AS ({_SEMANTIC_ASSIGN.format(C='c2')}),
+pairs AS (
+  SELECT a.cell, b.vec_id id_b
+  FROM a3 a JOIN a3 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(
+      list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*b.e[i]))
+      / (sqrt(list_sum(list_transform(range(1, len(a.e)+1), i -> a.e[i]*a.e[i])))
+       * sqrt(list_sum(list_transform(range(1, len(b.e)+1), i -> b.e[i]*b.e[i])))), 9)
+      >= 0.95),
+dup AS (SELECT cell, CAST(COUNT(*) AS BIGINT) n_dup_pairs,
+               CAST(COUNT(DISTINCT id_b) AS BIGINT) n_dropped
+        FROM pairs GROUP BY cell)
+SELECT CAST(m.cell AS INT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COALESCE(ANY_VALUE(dup.n_dup_pairs), 0) AS BIGINT) AS n_dup_pairs,
+       CAST(COALESCE(ANY_VALUE(dup.n_dropped), 0) AS BIGINT) AS n_dropped
+FROM a3 m LEFT JOIN dup ON m.cell = dup.cell
+GROUP BY m.cell ORDER BY cell
 """
 
 

@@ -410,12 +410,24 @@ def _iter_stream_blocks(f, varint_len: bool):
 
 def _zstd_decompress_blocks(blocks: list[bytes]) -> list[bytes]:
     """Each block is [int32 LE decompLen][one complete zstd frame]
-    (InputBuffers.scala:614). Frames are self-delimiting, so ONE
-    ``zstd -d`` subprocess decompresses the concatenation; the output
-    splits back by the recorded lengths."""
+    (InputBuffers.scala:614). Preferred path: pyarrow's bundled zstd
+    codec (C-speed, in-process, needs the decompressed size — which the
+    block header records). Fallback: frames are self-delimiting, so ONE
+    ``zstd -d`` subprocess decompresses the concatenation and the
+    output splits back by the recorded lengths."""
     if not blocks:
         return []
     lens = [struct.unpack("<i", b[:4])[0] for b in blocks]
+    try:
+        import pyarrow as pa
+
+        codec = pa.Codec("zstd")
+        return [
+            codec.decompress(b[4:], decompressed_size=n, asbytes=True)
+            for b, n in zip(blocks, lens)
+        ]
+    except (ImportError, ValueError, NotImplementedError):
+        pass
     frames = b"".join(b[4:] for b in blocks)
     proc = subprocess.run(
         ["zstd", "-d", "-c"], input=frames, capture_output=True, check=True

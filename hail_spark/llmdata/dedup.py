@@ -730,3 +730,131 @@ def dedup_clusters(
     return comp.join(sizes, "component").select(
         F.col("node").alias(id_col), "component", "cluster_size"
     )
+
+
+# ------------------------------------------------------------------ #
+# semantic dedup (SemDeDup: k-means partition + intra-cluster cosine)
+# ------------------------------------------------------------------ #
+def _sqdist_to(vec: Column, cent: Column) -> Column:
+    """Squared L2 distance between a vector column and a centroid array,
+    folded left-to-right in index order (engine-portable bit pattern)."""
+    return F.aggregate(
+        F.zip_with(vec, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_embeddings(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic Lloyd's k-means over an embedding column.
+
+    Engine-portable by construction so any SQL dialect reproduces it:
+    seeds are the k rows with smallest md5(id) (same convention as
+    ivf_build), every centroid coordinate is rounded to 6 decimals after
+    each mean (kills summation-order ulp drift), and squared distances
+    are rounded to 9 decimals before the argmin (ties break toward the
+    smaller cell id).
+
+    Scale shape: each iteration is (a) a ZERO-SHUFFLE per-row argmin
+    against the inlined k x d codebook (pure codegen projection — no
+    join, no window), then (b) posexplode -> groupBy(cell, pos) avg with
+    map-side partials: shuffle traffic is O(partitions * k * d), never
+    O(rows). The codebook collected per iteration is k*d doubles. This
+    is the standard broadcast-Lloyd layout used at web scale; n_iter is
+    fixed (not convergence-tested) so runs are reproducible.
+    """
+    base = df.select(F.col(id_col), F.col(vec_col)).localCheckpoint()
+    seeds = (
+        base.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(k)
+        .select(vec_col)
+        .collect()
+    )
+    cents = [[round(float(x), 6) for x in r[vec_col]] for r in seeds]
+
+    def _assign(cents_now: list[list[float]]) -> DataFrame:
+        lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents_now])
+        dists = F.transform(lit, lambda c: F.round(_sqdist_to(F.col(vec_col), c), 9))
+        cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        return base.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+
+    for _ in range(n_iter):
+        assigned = _assign(cents)
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.col("pm.m").alias("c_vec"))
+            .collect()
+        )
+        by_cell = {r["cell"]: list(r["c_vec"]) for r in means}
+        # empty cells keep their previous centroid (deterministic)
+        cents = [by_cell.get(i, cents[i]) for i in range(k)]
+    return _assign(cents), cents
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): partition the
+    corpus with k-means, then inside each cluster drop every vector
+    that has a more-senior (smaller-id) cluster-mate with cosine >=
+    threshold. Returns one row per cluster:
+    (cell, n_members, n_dup_pairs, n_dropped) — integer-only output so
+    the result hashes identically on any engine.
+
+    Scale shape: the quadratic term is confined to within-cluster
+    self-joins — with k sized so clusters are ~10^4-10^5 vectors the
+    per-cluster cost is bounded and embarrassingly parallel (one
+    equi-join on cell, AQE splits hot cells). The k-means pass is the
+    zero-shuffle broadcast-Lloyd above. This is the subquadratic
+    complement to embedding_dup_pairs' hyperplane LSH: LSH recalls by
+    random projection, SemDeDup by learned partition.
+    """
+    assigned, _ = kmeans_embeddings(df, k, n_iter, vec_col, id_col)
+    assigned = assigned.localCheckpoint()
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.cell") == F.col("b.cell"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col("a.cell").alias("cell"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 9).alias("cos"),
+        )
+        .filter(F.col("cos") >= F.lit(threshold))
+    )
+    dup = pairs.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("id_b").alias("n_dropped"),
+    )
+    members = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        members.join(dup, "cell", "left")
+        .select(
+            F.col("cell"),
+            F.col("n_members"),
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+        .orderBy("cell")
+    )

@@ -113,3 +113,52 @@ def test_embedding_auto_default_small_is_exact(spark, sf_dir):
         dedup.embedding_dup_pairs(emb, threshold=0.4, lsh_bits=8).collect()
     }
     assert lsh <= exact
+
+
+# ------------------------------------------------------------------ #
+# SemDeDup: deterministic k-means + intra-cluster cosine prune
+# ------------------------------------------------------------------ #
+def test_kmeans_deterministic_and_partitioning(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    a1, c1 = dedup.kmeans_embeddings(emb, k=4, n_iter=2)
+    a2, c2 = dedup.kmeans_embeddings(emb, k=4, n_iter=2)
+    assert c1 == c2  # bit-identical centroids across runs
+    m1 = {r["vec_id"]: r["cell"] for r in a1.collect()}
+    m2 = {r["vec_id"]: r["cell"] for r in a2.collect()}
+    assert m1 == m2
+    assert set(m1.values()) <= set(range(4))
+    # every row assigned exactly once
+    assert len(m1) == emb.count()
+
+
+def test_kmeans_iterations_reduce_inertia(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    X = {r["vec_id"]: np.array(r["embedding"], dtype=float) for r in rows}
+
+    def inertia(assigned, cents):
+        C = np.array(cents)
+        return sum(
+            float(np.sum((X[r["vec_id"]] - C[r["cell"]]) ** 2))
+            for r in assigned.collect()
+        )
+
+    a0, c0 = dedup.kmeans_embeddings(emb, k=4, n_iter=0)
+    a3, c3 = dedup.kmeans_embeddings(emb, k=4, n_iter=3)
+    assert inertia(a3, c3) <= inertia(a0, c0) + 1e-9
+
+
+def test_semantic_dedup_finds_planted_copies(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    out = dedup.semantic_dedup(
+        emb.unionByName(planted), k=4, n_iter=1, threshold=0.999
+    ).collect()
+    n_planted = planted.count()
+    assert sum(r["n_dropped"] for r in out) == n_planted
+    assert sum(r["n_dup_pairs"] for r in out) == n_planted
+    assert sum(r["n_members"] for r in out) == emb.count() + n_planted
