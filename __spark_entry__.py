@@ -5889,6 +5889,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": decontam_overlap_q,
         "pii_scrub": pii_scrub_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
+        "duplicated_gram_stats": duplicated_gram_stats_q,
         "pc_project_scores": pc_project_q,
         "sparse_split_battery": sparse_split_multi_q,
         "densify_sparse": densify_sparse_q,
@@ -6046,6 +6047,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_overlap": _DECONTAM_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
+        "duplicated_gram_stats": _DUP_GRAM_SQL,
         "pc_project_scores": _PC_PROJECT_SQL,
         "sparse_split_battery": _SPARSE_SPLIT_SQL,
         "densify_sparse": _DENSIFY_SQL,
@@ -6677,6 +6679,43 @@ SELECT CAST(m.cell AS INT) AS cell,
        CAST(COALESCE(ANY_VALUE(dup.n_dropped), 0) AS BIGINT) AS n_dropped
 FROM a3 m LEFT JOIN dup ON m.cell = dup.cell
 GROUP BY m.cell ORDER BY cell
+"""
+
+
+def duplicated_gram_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-lite dedup signal (Lee et al. 2022, arXiv:2107.06499;
+    llmdata/dedup.py duplicated_gram_stats): per-document count of token
+    8-gram slots whose gram occurs in >= 2 distinct documents. Engine:
+    grams shuffle as 60-bit md5 ints through one hash-groupBy df table
+    and one posting-list join — the decontaminate() shape turned on the
+    corpus itself."""
+    from hail_spark.llmdata.dedup import duplicated_gram_stats
+
+    d = _t(spark, sf_dir, "documents").df
+    return duplicated_gram_stats(d, n=8)
+
+
+_DUP_GRAM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w != '') AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, ('0x'||substr(md5(array_to_string(list_slice(toks, i, i + 7), ' ')),1,15))::BIGINT AS gh
+  FROM tok, UNNEST(range(1, len(toks) - 8 + 2)) AS t(i)
+  WHERE len(toks) >= 8),
+dfreq AS (SELECT gh FROM grams GROUP BY gh HAVING COUNT(DISTINCT doc_id) >= 2),
+hits AS (SELECT g.doc_id,
+                CAST(COUNT(*) AS BIGINT) AS n_dup_occ,
+                CAST(COUNT(DISTINCT g.gh) AS BIGINT) AS n_dup_distinct
+         FROM grams g JOIN dfreq USING (gh) GROUP BY 1),
+base AS (SELECT doc_id,
+                CAST(CASE WHEN len(toks) >= 8 THEN len(toks) - 7 ELSE 0 END AS BIGINT) AS n_grams
+         FROM tok)
+SELECT b.doc_id, b.n_grams,
+       CAST(COALESCE(h.n_dup_occ, 0) AS BIGINT) AS n_dup_occ,
+       CAST(COALESCE(h.n_dup_distinct, 0) AS BIGINT) AS n_dup_distinct
+FROM base b LEFT JOIN hits h USING (doc_id) ORDER BY b.doc_id
 """
 
 

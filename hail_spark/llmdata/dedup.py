@@ -858,3 +858,75 @@ def semantic_dedup(
         )
         .orderBy("cell")
     )
+
+
+# ------------------------------------------------------------------ #
+# exact-substring dedup signal (duplicated n-gram coverage)
+# ------------------------------------------------------------------ #
+def duplicated_gram_stats(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-substring statistics — the ExactSubstr
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499) in its k-gram form: a
+    token n-gram occurring in >= 2 distinct documents marks duplicated
+    text. Returns (doc_id, n_grams, n_dup_occ, n_dup_distinct):
+    total n-gram slots, slots covered by a cross-document gram, and
+    distinct cross-document grams in the doc.
+
+    Scale shape: tokens/grams materialize in their OWN projections (one
+    regex split and one md5 per gram — never recomputed per lambda
+    slot), grams shuffle once as 60-bit md5 ints (not strings) to a
+    hash-groupBy document-frequency table, and the flag joins back on
+    the gram int — explode -> two hash shuffles bounded by corpus gram
+    count, the posting-list pattern shared with decontaminate()/
+    winnowing_overlap_pairs(). Suffix-array ExactSubstr finds arbitrary-
+    length repeats; the fixed-n gram form is the shuffle-friendly
+    approximation (any repeat >= n tokens is caught).
+    """
+    base = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    grams = base.select(
+        F.col(id_col),
+        F.size("__toks").alias("__nt"),
+        F.when(
+            F.size("__toks") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - n),
+                lambda j: F.array_join(F.slice("__toks", j + 1, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("__grams"),
+    )
+    occ = grams.select(
+        F.col(id_col),
+        F.explode("__grams").alias("__g"),
+    ).select(F.col(id_col), md5_int(F.col("__g")).alias("gh"))
+    dfreq = occ.groupBy("gh").agg(
+        F.countDistinct(id_col).alias("__ndocs")
+    )
+    hits = (
+        occ.join(dfreq.filter(F.col("__ndocs") >= 2), "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_occ"),
+            F.countDistinct("gh").alias("n_dup_distinct"),
+        )
+    )
+    totals = grams.select(
+        F.col(id_col),
+        F.greatest(F.col("__nt") - n + 1, F.lit(0)).cast("long").alias("n_grams"),
+    )
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            F.coalesce("n_dup_occ", F.lit(0)).alias("n_dup_occ"),
+            F.coalesce("n_dup_distinct", F.lit(0)).alias("n_dup_distinct"),
+        )
+        .orderBy(id_col)
+    )

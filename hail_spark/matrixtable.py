@@ -288,7 +288,7 @@ class MatrixTable:
             [{"__idx": i, **c} for i, c in enumerate(self._cols)]
         )
         return (
-            per_idx.join(F.broadcast(col_df), on="__idx", how="right")
+            F.broadcast(per_idx).join(col_df, on="__idx", how="right")
             .drop("__idx")
         )
 

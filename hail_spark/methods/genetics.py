@@ -49,11 +49,17 @@ def split_multi(ds, keep_star: bool = False, left_aligned: bool = False, *, perm
     if not keep_star:
         alt_ix = F.filter(alt_ix, lambda i: F.element_at("alleles", i + 1) != "*")
     exploded = df.select("*", F.explode(alt_ix).alias("a_index"))
+    # concat-of-slices rather than array(element_at, element_at):
+    # Spark 4.1's whole-stage codegen miscompiles nested element_at
+    # over an array containing a CaseWhen element ("isNull_x is not an
+    # rvalue" janino error -> silent interpreted fallback); the slice
+    # form generates clean code and is semantically identical here
+    # (a_index is always in bounds).
     out = exploded.select(
         *[c for c in df.columns if c not in ("locus", "alleles")],
         "locus",
-        F.array(
-            F.element_at("alleles", 1), F.element_at("alleles", F.col("a_index") + 1)
+        F.concat(
+            F.slice("alleles", 1, 1), F.slice("alleles", F.col("a_index") + 1, 1)
         ).alias("alleles"),
         (n_alts > 1).alias("was_split"),
         "a_index",
@@ -96,9 +102,10 @@ def split_multi_hts(mt: MatrixTable) -> MatrixTable:
 
     out = exploded.select(
         *[c for c in df.columns if c not in ("alleles", ENTRIES)],
-        F.array(F.element_at("alleles", 1), F.element_at("alleles", F.col("a_index") + 1)).alias(
-            "alleles"
-        ),
+        # concat-of-slices: same codegen workaround as split_multi above
+        F.concat(
+            F.slice("alleles", 1, 1), F.slice("alleles", F.col("a_index") + 1, 1)
+        ).alias("alleles"),
         (n_alts > 1).alias("was_split"),
         "a_index",
         F.transform(F.col(ENTRIES), recode).alias(ENTRIES),
@@ -305,7 +312,7 @@ def mendel_errors(mt: MatrixTable, fam: DataFrame):
         F.sum(F.when(F.col("__snp"), 1).otherwise(0)).cast("bigint").alias("snp_errors"),
     )
     per_fam = Table(
-        fam_counts.join(F.broadcast(fam_df), on=["pat_id", "mat_id"], how="right")
+        F.broadcast(fam_counts).join(fam_df, on=["pat_id", "mat_id"], how="right")
         .na.fill({"errors": 0, "snp_errors": 0})
         .select("pat_id", "mat_id", "fam_id", "children", "errors", "snp_errors"),
         ("pat_id", "mat_id"),
@@ -348,7 +355,7 @@ def mendel_errors(mt: MatrixTable, fam: DataFrame):
         list(roster.values()) or [], "s string, fam_id string"
     )
     per_sample = Table(
-        indiv_counts.join(F.broadcast(roster_df), on=["s", "fam_id"], how="right")
+        F.broadcast(indiv_counts).join(roster_df, on=["s", "fam_id"], how="right")
         .na.fill({"errors": 0, "snp_errors": 0})
         .select("s", "fam_id", "errors", "snp_errors"),
         ("s",),

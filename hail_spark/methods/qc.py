@@ -207,7 +207,7 @@ def sample_qc(mt: MatrixTable, gt_field: str = "GT"):
     col_df = spark.createDataFrame(
         [{"__s": i, **c} for i, c in enumerate(mt._cols)]
     )
-    return per_idx.join(F.broadcast(col_df), on="__s", how="right").drop("__s")
+    return F.broadcast(per_idx).join(col_df, on="__s", how="right").drop("__s")
 
 
 def hwe_expected_het_freq(af: Column) -> Column:
@@ -310,7 +310,7 @@ def compute_charr(
     spark = df.sparkSession
     col_df = spark.createDataFrame([{"__idx": i, **c} for i, c in enumerate(mt._cols)])
     return (
-        per_idx.join(F.broadcast(col_df), on="__idx", how="right")
+        F.broadcast(per_idx).join(col_df, on="__idx", how="right")
         .select(*[k for k in mt._col_key], "charr")
     )
 

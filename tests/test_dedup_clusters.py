@@ -162,3 +162,26 @@ def test_semantic_dedup_finds_planted_copies(spark, sf_dir):
     assert sum(r["n_dropped"] for r in out) == n_planted
     assert sum(r["n_dup_pairs"] for r in out) == n_planted
     assert sum(r["n_members"] for r in out) == emb.count() + n_planted
+
+
+def test_duplicated_gram_stats_exactsubstr_signal(spark):
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail a b c"),
+            (2, "prefix x y " + shared),
+            (3, "totally different words with no overlap at all here ok"),
+            (4, "short text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.duplicated_gram_stats(docs, n=8).collect()}
+    # doc 1: 12 tokens -> 5 gram slots; slot 0 is the shared gram
+    assert out[1]["n_grams"] == 5 and out[1]["n_dup_occ"] == 1
+    assert out[1]["n_dup_distinct"] == 1
+    # doc 2: 11 tokens -> 4 slots; the shared gram is the last slot
+    assert out[2]["n_grams"] == 4 and out[2]["n_dup_occ"] == 1
+    # doc 3: no cross-document gram
+    assert out[3]["n_dup_occ"] == 0 and out[3]["n_grams"] == 3
+    # doc 4: shorter than n -> zero slots
+    assert out[4]["n_grams"] == 0 and out[4]["n_dup_occ"] == 0
