@@ -133,3 +133,65 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+DOCS_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def read_documents_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Incremental file-source reader over a documents directory (same
+    schema as testdata documents.parquet); swap ``format`` for Kafka in
+    production — the downstream operators are source-agnostic."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def stream_exact_dedup(
+    docs: DataFrame,
+    ingest_ts_col: str = "__ingest_ts",
+    watermark: str = "1 hour",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming exact deduplication of a document feed: keep the first
+    arrival of each content hash, drop later copies that arrive within
+    the watermark horizon — ``dropDuplicatesWithinWatermark`` so the
+    dedup state is BOUNDED (evicted once the watermark passes), unlike
+    a plain dropDuplicates whose state grows without limit on an
+    unbounded stream. This is the streaming complement of
+    llmdata.dedup.exact_dedup: at 100 TB/day the batch job dedups the
+    historical corpus while this operator gates the live feed.
+
+    If the source has no event-time column, an ingest processing-time
+    timestamp is stamped on (``current_timestamp`` at micro-batch
+    planning) — exactly-once file sources make this deterministic per
+    file within a run.
+    """
+    if ingest_ts_col not in docs.columns:
+        docs = docs.withColumn(ingest_ts_col, F.current_timestamp())
+    hashed = docs.withColumn("__content_hash", F.md5(F.col(text_col)))
+    return (
+        hashed.withWatermark(ingest_ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["__content_hash"])
+        .drop("__content_hash", ingest_ts_col)
+    )
+
+
+def stream_quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stateless streaming quality gate: the batch textstats signals
+    (token count, mean word length, symbol ratio) are pure projections,
+    so they apply to a stream unchanged — the same Column expressions
+    power both paths (no separate streaming implementation to drift)."""
+    from ..llmdata.textstats import mean_word_length, quality_score, token_count
+
+    t = F.col(text_col)
+    return (
+        docs.withColumn("n_tokens", token_count(t))
+        .withColumn("mean_word_len", mean_word_length(t))
+        .withColumn("quality", quality_score(t))
+        .filter(F.col("quality") >= 0.5)
+    )

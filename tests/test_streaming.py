@@ -92,3 +92,79 @@ def test_sessionize_stream_runs(spark, events_dir):
         assert by_user[u]["n_events"] == want[u]["n"], u
         assert by_user[u]["session_start"] == want[u]["lo"], u
         assert by_user[u]["session_end"] == want[u]["hi"], u
+
+
+@pytest.fixture()
+def docs_dir(spark, sf_dir, tmp_path):
+    # stage documents as several files, duplicating some docs across
+    # batches so the streaming dedup has real cross-batch duplicates
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    out = tmp_path / "docs_stream"
+    out.mkdir()
+    n = max(1, t.num_rows // 4)
+    for i, lo in enumerate(range(0, t.num_rows, n)):
+        pq.write_table(t.slice(lo, n), str(out / f"part-{i}.parquet"))
+    # re-write the first slice under new ids: later-arriving exact copies
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    dup = t.slice(0, n)
+    dup = dup.set_column(
+        dup.schema.get_field_index("doc_id"),
+        "doc_id",
+        pc.add(dup.column("doc_id"), pa.scalar(10_000_000, type=pa.int64())),
+    )
+    pq.write_table(dup, str(out / "part-dup.parquet"))
+    return str(out), t.num_rows, n
+
+
+def test_stream_exact_dedup_drops_cross_batch_copies(spark, docs_dir):
+    from hail_spark.streaming import read_documents_stream, stream_exact_dedup
+
+    path, n_rows, n_dup = docs_dir
+    stream = read_documents_stream(spark, path, max_files_per_trigger=1)
+    deduped = stream_exact_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_docs").collect()
+    texts = [r["text"] for r in got]
+    # every surviving text unique; the planted duplicate batch fully dropped
+    assert len(texts) == len(set(texts))
+    n_distinct_texts = (
+        spark.read.parquet(path).select("text").distinct().count()
+    )
+    assert len(texts) == n_distinct_texts
+
+
+def test_stream_quality_filter_matches_batch(spark, docs_dir):
+    from hail_spark.streaming import read_documents_stream, stream_quality_filter
+
+    path, _, _ = docs_dir
+    stream = stream_quality_filter(read_documents_stream(spark, path))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("q_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["quality"] for r in spark.sql("SELECT * FROM q_docs").collect()}
+    from hail_spark.llmdata.textstats import quality_score
+
+    batch = {
+        r["doc_id"]: r["q"]
+        for r in spark.read.parquet(path)
+        .select("doc_id", quality_score(F.col("text")).alias("q"))
+        .filter(F.col("q") >= 0.5)
+        .collect()
+    }
+    assert got == batch and len(got) > 0
