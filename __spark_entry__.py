@@ -5890,6 +5890,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": pii_scrub_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
+        "training_pipeline_e2e": training_pipeline_q,
         "pc_project_scores": pc_project_q,
         "sparse_split_battery": sparse_split_multi_q,
         "densify_sparse": densify_sparse_q,
@@ -6048,6 +6049,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _PII_SCRUB_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
+        "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
         "pc_project_scores": _PC_PROJECT_SQL,
         "sparse_split_battery": _SPARSE_SPLIT_SQL,
         "densify_sparse": _DENSIFY_SQL,
@@ -6679,6 +6681,82 @@ SELECT CAST(m.cell AS INT) AS cell,
        CAST(COALESCE(ANY_VALUE(dup.n_dropped), 0) AS BIGINT) AS n_dropped
 FROM a3 m LEFT JOIN dup ON m.cell = dup.cell
 GROUP BY m.cell ORDER BY cell
+"""
+
+
+def training_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline COMPOSITION: length gate ->
+    exact dedup (planted copies of every 17th doc under new ids, so the
+    stage does real work) -> per-language mixture sampling -> sequence
+    packing at a 256-token budget, reported as per-bin (n_docs,
+    n_tokens). Every stage is one of the already-oracled operators
+    (textstats.token_count, dedup.exact_dedup, sampling.
+    stratified_sample, sampling.pack_sequences) chained as DataFrames —
+    the point is that the pipeline stays ONE lazy plan end-to-end: gate
+    and sample are stateless filters that fuse into the scan, dedup is
+    one hash-groupBy, packing is one sort + the two-pass scan. Output is
+    integer-only."""
+    from hail_spark.llmdata import sampling, textstats
+    from hail_spark.llmdata.dedup import _spread, exact_dedup, md5_int
+
+    d0 = _spread(_t(spark, sf_dir, "documents").df)
+    planted = d0.filter(F.col("doc_id") % 17 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    docs = d0.unionByName(planted).select(
+        "doc_id", "lang", "text", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+    gated = docs.filter(F.col("n_tokens") >= 20)
+    keep = exact_dedup(gated).select(F.col("keep_id").alias("doc_id"))
+    uniq = gated.join(keep, "doc_id", "left_semi")
+    rates = {"en": 1.0, "de": 0.7, "es": 0.5, "fr": 0.3, "zh": 0.2}
+    mixed = sampling.stratified_sample(uniq, "lang", rates, "doc_id", seed=11)
+    packed = sampling.pack_sequences(mixed, "n_tokens", 256, "doc_id", seed=5)
+    joined = packed.join(mixed.select("doc_id", "n_tokens"), "doc_id")
+    return (
+        joined.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("bin")
+    )
+
+
+_TRAINING_PIPELINE_SQL = r"""
+WITH aug AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang, text FROM documents WHERE doc_id % 17 = 0),
+tc AS (
+  SELECT doc_id, lang,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+           AS n_tokens,
+         md5(text) AS h
+  FROM aug),
+gated AS (SELECT * FROM tc WHERE n_tokens >= 20),
+uniq AS (SELECT * FROM gated
+         WHERE doc_id IN (SELECT MIN(doc_id) FROM gated GROUP BY h)),
+r(lang, rate) AS (VALUES ('en', CAST(1.0 AS DOUBLE)), ('de', CAST(0.7 AS DOUBLE)),
+                         ('es', CAST(0.5 AS DOUBLE)), ('fr', CAST(0.3 AS DOUBLE)),
+                         ('zh', CAST(0.2 AS DOUBLE))),
+mixed AS (
+  SELECT u.doc_id, u.n_tokens,
+         ('0x' || substr(md5(CAST(u.doc_id AS VARCHAR) || ':5'), 1, 15))::BIGINT
+           % 1073741824 / 1073741824.0 AS pu
+  FROM uniq u JOIN r USING (lang)
+  WHERE ('0x' || substr(md5(CAST(u.doc_id AS VARCHAR) || ':11'), 1, 15))::BIGINT
+          % 1073741824 / 1073741824.0 < r.rate),
+packed AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY pu, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS pack_start
+  FROM mixed)
+SELECT CAST(FLOOR(pack_start / 256) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM packed GROUP BY 1 ORDER BY bin
 """
 
 
