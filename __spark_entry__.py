@@ -5891,6 +5891,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
+        "bpe_train_merges": bpe_train_q,
         "pc_project_scores": pc_project_q,
         "sparse_split_battery": sparse_split_multi_q,
         "densify_sparse": densify_sparse_q,
@@ -6050,6 +6051,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
+        "bpe_train_merges": _BPE_TRAIN_SQL,
         "pc_project_scores": _PC_PROJECT_SQL,
         "sparse_split_battery": _SPARSE_SPLIT_SQL,
         "densify_sparse": _DENSIFY_SQL,
@@ -6682,6 +6684,55 @@ SELECT CAST(m.cell AS INT) AS cell,
 FROM a3 m LEFT JOIN dup ON m.cell = dup.cell
 GROUP BY m.cell ORDER BY cell
 """
+
+
+def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016;
+    llmdata/tokenizer.py): 6 merges learned over the documents corpus.
+    Per merge: one pair-count hash-aggregate over the VOCAB table (not
+    the corpus) + a vocab-sized portable string replace; ties break to
+    the lexicographically smaller pair, so the oracle replays training
+    exactly as 6 chained CTE rounds."""
+    from hail_spark.llmdata.tokenizer import bpe_train
+
+    d = _t(spark, sf_dir, "documents").df
+    return bpe_train(d, n_merges=6).orderBy("rank")
+
+
+def _bpe_oracle_sql(n_merges: int = 6) -> str:
+    parts = [
+        r"""WITH w0 AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                  x -> x <> '')) AS w FROM documents) GROUP BY w),
+v0 AS (SELECT w, freq, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym FROM w0)"""
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"""p{i} AS (
+  SELECT a[i] || ' ' || a[i+1] AS pair, SUM(freq) AS pair_freq
+  FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM v{i}),
+       UNNEST(range(1, len(a))) AS t(i)
+  GROUP BY 1 ORDER BY pair_freq DESC, pair ASC LIMIT 1)"""
+        )
+        if i < n_merges - 1:
+            parts.append(
+                f"""v{i + 1} AS (
+  SELECT w, freq,
+         replace(sym, ' ' || (SELECT pair FROM p{i}) || ' ',
+                 ' ' || replace((SELECT pair FROM p{i}), ' ', '') || ' ') AS sym
+  FROM v{i})"""
+            )
+    selects = [
+        f"""SELECT {i} AS rank, split_part(pair, ' ', 1) AS merge_left,
+       split_part(pair, ' ', 2) AS merge_right, CAST(pair_freq AS BIGINT) AS freq
+FROM p{i}"""
+        for i in range(n_merges)
+    ]
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY rank"
+
+
+_BPE_TRAIN_SQL = _bpe_oracle_sql(6)
 
 
 def training_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,1 +1,1 @@
-from . import decontam, dedup, multimodal, sampling, scrub, similarity, textstats  # noqa: F401
+from . import decontam, dedup, multimodal, sampling, scrub, similarity, textstats, tokenizer  # noqa: F401

@@ -1,0 +1,125 @@
+"""Tokenizer-training operators (BPE) for training-data pipelines.
+
+Not part of the Hail reference surface — LLM-data extension (SURVEY.md
+§7.2 M4 family). Byte-pair encoding (Sennrich et al. 2016,
+arXiv:1508.07909) learned over a distributed corpus: the corpus-scale
+work (word counting, per-merge pair counting) runs as Spark
+aggregations; only the argmax pair (one row) and the learned merge
+table (n_merges rows) ever reach the driver.
+
+Engine-portability: symbol sequences are space-joined strings padded
+with one leading/trailing space, and a merge is a plain leftmost
+non-overlapping string replace of ``" a b "`` with ``" ab "`` — Spark
+``replace``, DuckDB ``replace`` and Python ``str.replace`` were
+verified to agree bit-for-bit on this form (including the
+boundary-space overlap cases), so a SQL oracle can replay training
+exactly. Ties on pair frequency break toward the lexicographically
+smaller pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq, sym) — sym is the space-joined character sequence
+    with sentinel spaces, e.g. 'cat' -> ' c a t '."""
+    from .dedup import _spread, tokens
+
+    words = (
+        _spread(df.select(text_col))
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    sym = F.concat(F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1 "))
+    return words.select("w", "freq", sym.alias("sym"))
+
+
+def _top_pair(vocab: DataFrame):
+    """Most frequent adjacent symbol pair, weighted by word frequency.
+    Distributed: explode positions (not a HOF-built pair array — the
+    Generate re-evaluation trap), hash-aggregate by pair with map-side
+    partials, TakeOrdered(1) to the driver."""
+    arr = F.split(F.trim("sym"), " ")
+    pos = vocab.select(
+        F.col("freq"),
+        arr.alias("__a"),
+        F.explode(
+            F.when(
+                F.size(arr) >= 2, F.sequence(F.lit(1), F.size(arr) - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__i"),
+    )
+    pair = F.concat_ws(
+        " ", F.element_at("__a", F.col("__i")), F.element_at("__a", F.col("__i") + 1)
+    )
+    top = (
+        pos.select(pair.alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("pair_freq"))
+        .orderBy(F.col("pair_freq").desc(), F.col("pair").asc())
+        .limit(1)
+        .collect()
+    )
+    return (top[0]["pair"], int(top[0]["pair_freq"])) if top else None
+
+
+def bpe_train(
+    df: DataFrame, n_merges: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the corpus. Returns a
+    DataFrame (rank int, merge_left string, merge_right string, freq bigint) —
+    the merge table, in learned order.
+
+    Scale shape: per merge one pair-count hash-aggregate over the
+    VOCAB table (O(distinct words), not O(corpus)) plus a vocab-sized
+    string replace; the corpus itself is read once for the word count.
+    The vocab localCheckpoints per round to truncate the iterative
+    lineage (the connected-components lesson). Driver traffic is one
+    row per merge.
+    """
+    spark = df.sparkSession
+    vocab = _word_vocab(df, text_col).localCheckpoint()
+    merges = []
+    for rank in range(n_merges):
+        top = _top_pair(vocab)
+        if top is None:
+            break
+        pair, freq = top
+        left, right = pair.split(" ")
+        merges.append((rank, left, right, freq))
+        vocab = vocab.withColumn(
+            "sym",
+            F.replace(
+                F.col("sym"), F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, merge_left string, merge_right string, freq bigint"
+    )
+
+
+def bpe_encode_len(
+    df: DataFrame, merges: list, text_col: str = "text"
+) -> DataFrame:
+    """Token count per document under a learned merge list: apply the
+    merges in order to each word's symbol string and count remaining
+    symbols — the 'how many tokens is my corpus under this tokenizer'
+    question asked before every training run. Merge application is the
+    same portable string replace; one projection, no shuffle."""
+    from .dedup import tokens
+
+    words = F.transform(
+        tokens(F.lower(F.col(text_col))),
+        lambda w: F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 ")),
+    )
+    doc_sym = F.concat_ws("", words)  # word boundaries stay: ' c a t  d o g '
+    for left, right in merges:
+        doc_sym = F.replace(
+            doc_sym, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+        )
+    n = F.size(F.filter(F.split(doc_sym, " "), lambda s: s != ""))
+    return df.withColumn("n_bpe_tokens", n)
