@@ -5892,6 +5892,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
         "bpe_train_merges": bpe_train_q,
+        "training_shards_manifest": training_shards_q,
         "pc_project_scores": pc_project_q,
         "sparse_split_battery": sparse_split_multi_q,
         "densify_sparse": densify_sparse_q,
@@ -6052,6 +6053,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
         "bpe_train_merges": _BPE_TRAIN_SQL,
+        "training_shards_manifest": _TRAINING_SHARDS_SQL,
         "pc_project_scores": _PC_PROJECT_SQL,
         "sparse_split_battery": _SPARSE_SPLIT_SQL,
         "densify_sparse": _DENSIFY_SQL,
@@ -6683,6 +6685,45 @@ SELECT CAST(m.cell AS INT) AS cell,
        CAST(COALESCE(ANY_VALUE(dup.n_dropped), 0) AS BIGINT) AS n_dropped
 FROM a3 m LEFT JOIN dup ON m.cell = dup.cell
 GROUP BY m.cell ORDER BY cell
+"""
+
+
+def training_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded training export (llmdata/sampling.py
+    write_training_shards): documents cut into 64-doc shards in
+    deterministic-shuffle order, written as shard-partitioned parquet +
+    a manifest the trainer plans epochs from. One sort + two-pass scan
+    for assignment, parallel per-shard write, one hash-agg manifest —
+    the returned manifest is the checked result."""
+    import hashlib
+
+    from hail_spark.llmdata import sampling, textstats
+    from hail_spark.llmdata.dedup import _spread
+
+    d = _spread(_t(spark, sf_dir, "documents").df).select(
+        "doc_id", "text", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = sampling.write_training_shards(
+        d, f"/tmp/shards_{tag}", 64, "doc_id", count_col="n_tokens", seed=9
+    )
+    return out
+
+
+_TRAINING_SHARDS_SQL = r"""
+WITH tc AS (SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   x -> x <> '')) AS n_tokens,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':9'), 1, 15))::BIGINT
+                     % 1073741824 / 1073741824.0 AS u
+            FROM documents),
+r AS (SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY u, doc_id) - 1 AS pos
+      FROM tc)
+SELECT CAST(FLOOR(pos / 64) AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM r GROUP BY 1 ORDER BY shard
 """
 
 

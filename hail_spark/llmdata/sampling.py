@@ -90,3 +90,61 @@ def deterministic_shuffle(df: DataFrame, uid_col: str, seed: int = 0) -> DataFra
     sharded training-data export."""
     u = uniform(F.col(uid_col), seed)
     return df.orderBy(u, F.col(uid_col))
+
+
+def assign_shards(
+    df: DataFrame,
+    docs_per_shard: int,
+    uid_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic shard assignment for training export: lay rows in
+    deterministic-shuffle order and cut every ``docs_per_shard`` rows.
+    Returns the input plus (shard bigint, shard_pos bigint). One
+    range-partitioned sort + the two-pass scan (add_index) — no second
+    global shuffle; the shard id is a pure function of (uid, seed), so
+    re-runs and retries produce identical shards on any engine."""
+    from ..operators import scans
+    from ..table import Table
+
+    u = uniform(F.col(uid_col), seed).alias("__u")
+    t = Table(df.select("*", u), ("__u", uid_col))
+    idx = scans.add_index(t, "__pos")
+    return idx.df.select(
+        *[c for c in df.columns],
+        F.floor(F.col("__pos") / docs_per_shard).cast("bigint").alias("shard"),
+        (F.col("__pos") % docs_per_shard).cast("bigint").alias("shard_pos"),
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    docs_per_shard: int,
+    uid_col: str,
+    count_col: str | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Export a corpus as size-bounded training shards + a manifest.
+
+    Writes ``path/data/`` parquet partitioned by ``shard`` (each shard
+    is its own directory a data loader can stream independently) and
+    ``path/manifest.parquet`` with per-shard (shard, n_docs[, n_tokens])
+    — the index a trainer reads to plan epochs. Returns the manifest.
+
+    Scale shape: shard assignment is the one sort + two-pass scan of
+    assign_shards; the partitioned write is parallel per shard file;
+    the manifest is one hash-aggregate. No driver-side row handling.
+    """
+    import os
+
+    assigned = assign_shards(df, docs_per_shard, uid_col, seed)
+    assigned.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(path, "data")
+    )
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if count_col is not None:
+        aggs.append(F.sum(count_col).cast("bigint").alias("n_tokens"))
+    manifest = assigned.groupBy("shard").agg(*aggs).orderBy("shard")
+    manifest.write.mode("overwrite").parquet(os.path.join(path, "manifest.parquet"))
+    return manifest

@@ -53,3 +53,46 @@ def test_deterministic_shuffle_stable(spark, sf_dir):
     assert sorted(o1) != o1  # it actually permutes
     expect = sorted(o1, key=lambda d: (_py_uniform(d, 3), d))
     assert o1 == expect
+
+
+def test_assign_shards_deterministic_partition(spark, sf_dir):
+    from hail_spark.llmdata import sampling
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    a = sampling.assign_shards(d, 50, "doc_id", seed=4).collect()
+    b = sampling.assign_shards(d, 50, "doc_id", seed=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["shard_pos"])
+    n = len(a)
+    full, last = divmod(n, 50)
+    for s, poss in by_shard.items():
+        expected = 50 if s < full else last
+        assert len(poss) == expected
+        assert sorted(poss) == list(range(len(poss)))  # dense within shard
+
+
+def test_write_training_shards_round_trip(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hail_spark.llmdata import sampling, textstats
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+    manifest = sampling.write_training_shards(
+        d, str(tmp_path / "shards"), 64, "doc_id", count_col="n_tokens", seed=9
+    ).collect()
+    data = spark.read.parquet(str(tmp_path / "shards" / "data"))
+    assert data.count() == d.count()
+    got = {
+        (r["shard"], r["n"], r["t"])
+        for r in data.groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    want = {(r["shard"], r["n_docs"], r["n_tokens"]) for r in manifest}
+    assert got == want
+    m2 = spark.read.parquet(str(tmp_path / "shards" / "manifest.parquet"))
+    assert sorted(map(tuple, m2.collect())) == sorted(map(tuple, manifest))
