@@ -5888,6 +5888,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_signals": gopher_signals_q,
         "decontam_overlap": decontam_overlap_q,
         "pii_scrub": pii_scrub_q,
+        "line_dedup_docs": line_dedup_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
@@ -6049,6 +6050,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_signals": _GOPHER_SQL,
         "decontam_overlap": _DECONTAM_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
+        "line_dedup_docs": _LINE_DEDUP_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
@@ -7310,4 +7312,45 @@ SELECT user_id, event_type,
        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v,
        COUNT(*) AS n
 FROM events GROUP BY 1, 2 ORDER BY user_id, event_type
+"""
+
+
+def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (llmdata/dedup.py dedup_lines —
+    RefinedWeb-style paragraph dedup): every 8-word segment appearing
+    verbatim in >= 2 distinct documents is removed everywhere, and the
+    documents are reassembled. The oracle replays the segmentation,
+    distinct-doc counting, and ordered reassembly in SQL."""
+    from hail_spark.llmdata.dedup import dedup_lines
+
+    d = _t(spark, sf_dir, "documents").df
+    out = dedup_lines(d, words_per_line=8)
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_md5"),
+        "n_kept",
+        "n_removed",
+    ).orderBy("doc_id")
+
+
+_LINE_DEDUP_SQL = """
+WITH toks AS (SELECT doc_id, string_split(trim(coalesce(text,'')), ' ') ws
+              FROM documents),
+lines AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(ws, (i-1)*8+1, (i-1)*8+8), ' ') AS line
+  FROM toks,
+       LATERAL unnest(range(1, GREATEST(CAST(ceil(len(ws)/8.0) AS BIGINT),1)+1)) AS t(i)
+),
+hashed AS (SELECT doc_id, pos, line,
+                  ('0x'||substr(md5(line),1,15))::BIGINT AS h FROM lines),
+dup AS (SELECT h FROM (SELECT DISTINCT doc_id, h FROM hashed)
+        GROUP BY h HAVING COUNT(*) >= 2)
+SELECT doc_id,
+       md5(COALESCE(string_agg(CASE WHEN d.h IS NULL THEN line END,
+                               chr(10) ORDER BY pos), '')) AS clean_md5,
+       CAST(COUNT(*) FILTER (d.h IS NULL) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (d.h IS NOT NULL) AS BIGINT) AS n_removed
+FROM hashed l LEFT JOIN dup d USING (h)
+GROUP BY doc_id ORDER BY doc_id
 """

@@ -959,3 +959,95 @@ def duplicated_gram_stats(
         )
         .orderBy(id_col)
     )
+
+
+# ------------------------------------------------------------------ #
+# corpus-level line dedup (RefinedWeb / CCNet paragraph dedup)
+# ------------------------------------------------------------------ #
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_count: int = 2,
+    min_line_chars: int = 0,
+    words_per_line: int | None = None,
+) -> DataFrame:
+    """Remove every line that appears verbatim in >= ``min_count``
+    DISTINCT documents corpus-wide, then reassemble each document
+    (RefinedWeb-style paragraph dedup; CCNet does the same at the
+    paragraph level). Lines shorter than ``min_line_chars`` are exempt:
+    never counted, never removed (boilerplate guard for ''/whitespace).
+
+    ``words_per_line`` switches segmentation from ``split(text, sep)``
+    to fixed word windows of that width — for corpora whose documents
+    carry no newline structure.
+
+    Returns (id_col, text_clean, n_kept, n_removed) with every input
+    document present (possibly with text_clean = '').
+
+    Scale shape: explode -> distinct(doc, hash) -> hash-groupBy count
+    (the count side ships only 60-bit hashes), one equi left-join of
+    lines against the duplicate-hash set, one groupBy(doc) to
+    reassemble. Three shuffles, all hash-partitioned equi ops; no
+    per-row state beyond a line. At 100 TB the duplicate-hash table is
+    the corpus' boilerplate vocabulary — orders of magnitude smaller
+    than the corpus — and AQE can broadcast it when it fits.
+    """
+    import re as _re
+
+    txt = F.col("__t")
+    if words_per_line is not None:
+        w = int(words_per_line)
+        ws = tokens(txt)
+        n_lines = F.greatest(F.ceil(F.size(ws) / F.lit(w)), F.lit(1)).cast("int")
+        arr = F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda j: F.array_join(F.slice(ws, j * w + 1, w), " "),
+        )
+    else:
+        arr = F.split(txt, _re.escape(sep), -1)
+
+    base = _spread(
+        df.select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__t"))
+    )
+    # own projection so the token array isn't re-derived per lambda slot
+    lines = (
+        base.select(F.col(id_col), arr.alias("__arr"))
+        .select(F.col(id_col), F.posexplode("__arr").alias("pos", "line"))
+        .select(
+            F.col(id_col),
+            "pos",
+            "line",
+            md5_int(F.col("line")).alias("h"),
+            (F.length("line") < min_line_chars).alias("exempt"),
+        )
+    )
+    dup_h = (
+        lines.filter(~F.col("exempt"))
+        .select(id_col, "h")
+        .distinct()
+        .groupBy("h")
+        .count()
+        .filter(F.col("count") >= min_count)
+        .select("h", F.lit(True).alias("__dup"))
+    )
+    keep = F.col("exempt") | F.col("__dup").isNull()
+    return (
+        lines.join(dup_h, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(keep.cast("bigint")).alias("n_kept"),
+            F.sum((~keep).cast("bigint")).alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(keep, F.struct("pos", "line")))
+                    ),
+                    lambda s: s["line"],
+                ),
+                sep,
+            ).alias("text_clean"),
+        )
+        .select(id_col, "text_clean", "n_kept", "n_removed")
+    )

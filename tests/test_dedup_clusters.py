@@ -185,3 +185,57 @@ def test_duplicated_gram_stats_exactsubstr_signal(spark):
     assert out[3]["n_dup_occ"] == 0 and out[3]["n_grams"] == 3
     # doc 4: shorter than n -> zero slots
     assert out[4]["n_grams"] == 0 and out[4]["n_dup_occ"] == 0
+
+
+def test_dedup_lines_sep_mode(spark):
+    rows = [
+        (1, "keep me\nBOILERPLATE FOOTER\nunique one"),
+        (2, "BOILERPLATE FOOTER\nunique two"),
+        (3, "solo document\nnothing shared"),
+        (4, ""),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_lines(df, min_count=2).collect()
+    }
+    assert len(out) == 5  # every doc survives, even empty/None
+    assert out[1]["text_clean"] == "keep me\nunique one"
+    assert out[1]["n_removed"] == 1 and out[1]["n_kept"] == 2
+    assert out[2]["text_clean"] == "unique two"
+    assert out[3]["n_removed"] == 0
+    # docs 4 and 5 both reduce to the single line '' which appears in
+    # 2 distinct docs -> removed (min_line_chars=0 counts it)
+    assert out[4]["n_removed"] == 1 and out[4]["text_clean"] == ""
+    assert out[5]["n_removed"] == 1
+
+
+def test_dedup_lines_min_line_chars_exempts_short_lines(spark):
+    rows = [
+        (1, "x\nshared long line here\nalpha"),
+        (2, "x\nshared long line here\nbeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_lines(df, min_count=2, min_line_chars=3).collect()
+    }
+    # 'x' is duplicated but exempt (len < 3); the long line is removed
+    assert out[1]["text_clean"] == "x\nalpha"
+    assert out[2]["text_clean"] == "x\nbeta"
+    assert out[1]["n_removed"] == 1
+
+
+def test_dedup_lines_word_window_mode(spark):
+    # 8-word windows: doc 1 and 2 share their first window exactly
+    shared = "a b c d e f g h"
+    rows = [(1, shared + " tail one"), (2, shared + " tail two"), (3, "totally different words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_lines(df, words_per_line=8, min_count=2).collect()
+    }
+    assert out[1]["text_clean"] == "tail one"
+    assert out[2]["text_clean"] == "tail two"
+    assert out[3]["n_removed"] == 0 and out[3]["n_kept"] == 1
