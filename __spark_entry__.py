@@ -5889,6 +5889,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_overlap": decontam_overlap_q,
         "pii_scrub": pii_scrub_q,
         "line_dedup_docs": line_dedup_q,
+        "pq_ann_topk": pq_ann_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
@@ -6051,6 +6052,7 @@ def oracle_sql() -> dict[str, str]:
         "decontam_overlap": _DECONTAM_SQL,
         "pii_scrub": _PII_SCRUB_SQL,
         "line_dedup_docs": _LINE_DEDUP_SQL,
+        "pq_ann_topk": _PQ_ANN_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
@@ -7353,4 +7355,59 @@ SELECT doc_id,
        CAST(COUNT(*) FILTER (d.h IS NOT NULL) AS BIGINT) AS n_removed
 FROM hashed l LEFT JOIN dup d USING (h)
 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def pq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (llmdata/similarity.py pq_train /
+    pq_encode / pq_topk — Jegou et al. ADC): m=8 subspaces, 16 codes,
+    seed codebooks (n_iter=0 so the whole pipeline — codebook
+    selection, per-subspace argmin encoding, LUT-sum asymmetric
+    distances, ranking — replays exactly in SQL; Lloyd-trained
+    codebooks are covered by pytest differentials)."""
+    from hail_spark.llmdata import similarity as sim
+
+    e = _t(spark, sf_dir, "embeddings").df
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cbs = sim.pq_train(e, m=8, ncodes=16, n_iter=0)
+    out = sim.pq_topk(sim.pq_encode(e, cbs), cbs, q, k=10)
+    return out.select(
+        "q_id", "rank", "vec_id", F.round("adist", 6).alias("adist")
+    ).orderBy("q_id", "rank")
+
+
+_PQ_ANN_SQL = """
+WITH seeds AS (
+  SELECT (row_number() OVER (ORDER BY h)) - 1 AS code, c_vec
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) h, embedding c_vec
+        FROM embeddings ORDER BY h LIMIT 16)),
+subs AS (SELECT unnest(range(0, 8)) AS s),
+q AS (SELECT vec_id q_id, embedding q_vec FROM embeddings WHERE vec_id < 5),
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT e.vec_id, sub.s, sd.code,
+      row_number() OVER (PARTITION BY e.vec_id, sub.s ORDER BY round(
+        list_aggregate(list_transform(range(1, 9),
+          j -> (e.embedding[sub.s*8+j]::DOUBLE - round(sd.c_vec[sub.s*8+j]::DOUBLE, 6))
+             * (e.embedding[sub.s*8+j]::DOUBLE - round(sd.c_vec[sub.s*8+j]::DOUBLE, 6))),
+          'sum'), 9), sd.code) rk
+    FROM embeddings e CROSS JOIN subs sub CROSS JOIN seeds sd) WHERE rk = 1),
+lut AS (
+  SELECT q.q_id, sub.s, sd.code,
+    list_aggregate(list_transform(range(1, 9),
+      j -> (q.q_vec[sub.s*8+j]::DOUBLE - round(sd.c_vec[sub.s*8+j]::DOUBLE, 6))
+         * (q.q_vec[sub.s*8+j]::DOUBLE - round(sd.c_vec[sub.s*8+j]::DOUBLE, 6))),
+      'sum') AS d
+  FROM q CROSS JOIN subs sub CROSS JOIN seeds sd),
+scored AS (
+  SELECT l.q_id, c.vec_id, SUM(l.d) AS adist
+  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+  GROUP BY l.q_id, c.vec_id),
+ranked AS (SELECT q_id, vec_id, adist,
+  row_number() OVER (PARTITION BY q_id ORDER BY round(adist, 9), vec_id) AS rank
+  FROM scored)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(adist, 6) AS adist
+FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
 """

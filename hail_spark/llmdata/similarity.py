@@ -161,3 +161,204 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, "rank", id_col, "cosine")
     )
+
+
+# ------------------------------------------------------------------ #
+# Product quantization (PQ) — the memory-bounded ANN path at 100 TB:
+# a 64-dim float32 vector (256 B) compresses to m single-byte codes
+# (8 B at m=8), so a corpus whose raw embeddings need a 25-TB scan fits
+# the code table in cluster memory and queries scan only codes + a
+# per-query m x k lookup table (asymmetric distance computation, ADC —
+# Jegou et al., "Product Quantization for Nearest Neighbor Search").
+# ------------------------------------------------------------------ #
+def _pq_seed_codebooks(
+    corpus: DataFrame, m: int, ncodes: int, vec_col: str, id_col: str
+):
+    """Deterministic seed codebooks: the `ncodes` rows with smallest
+    md5(id) (same convention as ivf_build / kmeans_embeddings), each
+    split into m subvectors; coordinates rounded to 6 decimals so any
+    SQL engine replays them exactly."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(ncodes)
+        .select(vec_col)
+        .collect()
+    )
+    S = np.round(np.array([[float(x) for x in r[vec_col]] for r in rows]), 6)
+    d = S.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    return [S[:, s * ds : (s + 1) * ds].copy() for s in range(m)]
+
+
+def _pq_codes_udf(codebooks):
+    """pandas_udf: vector -> array<int> of m subspace codes (argmin of
+    squared L2 per subspace, distances rounded to 9 decimals before the
+    argmin so gemm summation order can't diverge from a SQL replay;
+    ties break toward the smaller code, np.argmin takes the first min)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = [np.asarray(C, dtype=np.float64) for C in codebooks]
+    ds = cbs[0].shape[1]
+
+    def _codes_fn(vecs):
+        M = np.array(vecs.tolist(), dtype=np.float64)
+        out = np.empty((M.shape[0], len(cbs)), dtype=np.int32)
+        for s, C in enumerate(cbs):
+            X = M[:, s * ds : (s + 1) * ds]
+            dist = (
+                (X * X).sum(axis=1, keepdims=True)
+                - 2.0 * (X @ C.T)
+                + (C * C).sum(axis=1)
+            )
+            out[:, s] = np.argmin(np.round(dist, 9), axis=1)
+        return pd.Series(list(out))
+
+    _codes_fn.__annotations__ = {"vecs": __import__("pandas").Series,
+                                 "return": __import__("pandas").Series}
+    return pandas_udf(_codes_fn, "array<int>")
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ncodes: int = 16,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Train per-subspace codebooks (list of m arrays, each ncodes x
+    d/m, plain Python floats rounded to 6 decimals).
+
+    n_iter=0 returns the deterministic seed codebooks (fully
+    SQL-replayable); n_iter>0 runs broadcast-Lloyd per subspace: each
+    iteration is one zero-shuffle Arrow-batched code assignment over
+    the corpus scan, then a posexplode -> groupBy(subspace, code,
+    coord) mean whose shuffle traffic is O(partitions * m * ncodes *
+    d/m) — never O(rows). Empty cells keep their previous centroid.
+    """
+    import numpy as np
+
+    base = corpus.select(F.col(id_col), F.col(vec_col))
+    if n_iter > 0:
+        base = base.localCheckpoint()
+    cbs = _pq_seed_codebooks(base, m, ncodes, vec_col, id_col)
+    ds = cbs[0].shape[1]
+    for _ in range(n_iter):
+        enc = base.select(
+            F.col(vec_col), _pq_codes_udf(cbs)(F.col(vec_col)).alias("__codes")
+        )
+        ex = (
+            enc.select(F.col(vec_col), F.posexplode("__codes").alias("s", "code"))
+            .select(
+                "s",
+                "code",
+                F.posexplode(
+                    F.slice(F.col(vec_col), F.col("s") * ds + 1, ds)
+                ).alias("p", "val"),
+            )
+        )
+        means = (
+            ex.groupBy("s", "code", "p")
+            .agg(F.avg(F.col("val").cast("double")).alias("mu"))
+            .collect()
+        )
+        nxt = [C.copy() for C in cbs]
+        for r in means:
+            nxt[r["s"]][r["code"], r["p"]] = round(float(r["mu"]), 6)
+        cbs = nxt
+    return [[[float(x) for x in row] for row in C] for C in cbs]
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Attach `codes` (array<int>, length m) — zero-shuffle, one
+    Arrow-batched pass inside the corpus scan. Drop `vec_col`
+    downstream and the table is m*4 bytes/row (m bytes once written
+    with a byte schema) — the PQ compression that makes a 100-TB
+    embedding corpus memory-resident."""
+    return corpus.select(
+        F.col(id_col), _pq_codes_udf(codebooks)(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_topk(
+    encoded: DataFrame,
+    codebooks,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Asymmetric-distance top-k: per query, a m x ncodes lookup table
+    of exact query-to-centroid subdistances is built driver-side (tiny)
+    and broadcast inside an Arrow-batched UDF; each corpus row costs m
+    table lookups — no decode, no gemm against raw vectors. One corpus
+    scan + one per-query top-k window (Q bounded, re-ranker shape,
+    same contract as brute_force_topk). Returns (q_id, rank, vec_id,
+    adist) with adist the squared-L2 ADC estimate."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cbs = [np.asarray(C, dtype=np.float64) for C in codebooks]
+    m, ds = len(cbs), cbs[0].shape[1]
+    qrows = queries.select(F.col(q_id_col), F.col(q_vec_col)).collect()
+    q_ids = [r[q_id_col] for r in qrows]
+    Q = np.array([[float(x) for x in r[q_vec_col]] for r in qrows])
+    # LUT[qi, s, c] = ||q_sub - c_sub||^2
+    lut = np.stack(
+        [
+            np.stack(
+                [
+                    ((Q[:, s * ds : (s + 1) * ds] - C[c]) ** 2).sum(axis=1)
+                    for c in range(C.shape[0])
+                ],
+                axis=1,
+            )
+            for s, C in enumerate(cbs)
+        ],
+        axis=1,
+    )  # (n_q, m, ncodes)
+
+    def _adist_fn(codes):
+        CC = np.array(codes.tolist(), dtype=np.int64)  # (n, m)
+        # sum_s LUT[:, s, code_s] -> (n_q, n)
+        d = np.zeros((lut.shape[0], CC.shape[0]))
+        for s in range(m):
+            d += lut[:, s, CC[:, s]]
+        return pd.Series(list(d.T))
+
+    _adist_fn.__annotations__ = {"codes": pd.Series, "return": pd.Series}
+    adist_udf = pandas_udf(_adist_fn, "array<double>")
+
+    qid_arr = F.array(*[F.lit(q) for q in q_ids])
+    scored = (
+        encoded.select(F.col(id_col), adist_udf(F.col("codes")).alias("__d"))
+        .select(F.col(id_col), F.posexplode("__d").alias("__qi", "adist"))
+        .select(
+            F.element_at(qid_arr, F.col("__qi") + 1).alias(q_id_col),
+            F.col(id_col),
+            F.col("adist"),
+        )
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.round(F.col("adist"), 9).asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", id_col, "adist")
+    )

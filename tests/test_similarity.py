@@ -83,3 +83,74 @@ def test_ivf_write_read_prunes(corpus, queries, tmp_path, spark):
     pruned = a2.filter(F.col("cell").isin([0, 1]))
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "cell" in plan
+
+
+def test_pq_train_deterministic_and_improves(spark, sf_dir):
+    import numpy as np
+
+    from hail_spark.llmdata import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cbs0 = sim.pq_train(e, m=8, ncodes=16, n_iter=0)
+    cbs2 = sim.pq_train(e, m=8, ncodes=16, n_iter=2)
+    assert cbs2 == sim.pq_train(e, m=8, ncodes=16, n_iter=2)  # reproducible
+
+    def recon_err(cbs):
+        C = [np.asarray(c) for c in cbs]
+        rows = sim.pq_encode(e, cbs).join(e, "vec_id").collect()
+        errs = [
+            (
+                (
+                    np.array([float(x) for x in r["embedding"]])
+                    - np.concatenate([C[s][r["codes"][s]] for s in range(8)])
+                )
+                ** 2
+            ).sum()
+            for r in rows
+        ]
+        return float(np.mean(errs))
+
+    assert recon_err(cbs2) < recon_err(cbs0)  # Lloyd reduces distortion
+
+
+def test_pq_topk_matches_numpy_adc_and_beats_chance(spark, sf_dir):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from hail_spark.llmdata import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cbs = sim.pq_train(e, m=8, ncodes=16, n_iter=1)
+    enc = sim.pq_encode(e, cbs)
+    got = {
+        (r["q_id"], r["vec_id"]): (r["rank"], r["adist"])
+        for r in sim.pq_topk(enc, cbs, q, k=5).collect()
+    }
+
+    # numpy replay of ADC over the same codes
+    C = [np.asarray(c) for c in cbs]
+    codes = {r["vec_id"]: r["codes"] for r in enc.collect()}
+    vecs = {r["vec_id"]: np.array([float(x) for x in r["embedding"]])
+            for r in e.collect()}
+    n_rows = len(vecs)
+    overlap = 0
+    for qid in (0, 1, 2):
+        qv = vecs[qid]
+        lut = [((qv[s * 8:(s + 1) * 8] - C[s]) ** 2).sum(axis=1) for s in range(8)]
+        ad = {
+            v: sum(lut[s][c[s]] for s in range(8)) for v, c in codes.items()
+        }
+        top5 = sorted(ad, key=lambda v: (round(ad[v], 9), v))[:5]
+        for rk, v in enumerate(top5, 1):
+            assert got[(qid, v)][0] == rk
+            assert abs(got[(qid, v)][1] - ad[v]) < 1e-6
+        exact5 = sorted(
+            vecs, key=lambda v: (((vecs[v] - qv) ** 2).sum(), v)
+        )[:5]
+        overlap += len(set(top5) & set(exact5))
+    # recall across 3 queries far above chance (5/n_rows per slot)
+    assert overlap >= 3, f"PQ recall too low: {overlap}/15 at n={n_rows}"
