@@ -5890,6 +5890,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": pii_scrub_q,
         "line_dedup_docs": line_dedup_q,
         "pq_ann_topk": pq_ann_q,
+        "weighted_mix_sources": weighted_mix_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
@@ -6053,6 +6054,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _PII_SCRUB_SQL,
         "line_dedup_docs": _LINE_DEDUP_SQL,
         "pq_ann_topk": _PQ_ANN_SQL,
+        "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
@@ -7410,4 +7412,48 @@ ranked AS (SELECT q_id, vec_id, adist,
   FROM scored)
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(adist, 6) AS adist
 FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+
+def weighted_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture resampling with replacement (llmdata/sampling.py
+    weighted_mix): per-source epoch weights 2.5 / 1.0 / 0.4 / drop; the
+    oracle replays the md5 uniform + floor/frac replication
+    arithmetically (sum(copy_idx) = n(n-1)/2 per doc pins the explode)."""
+    from hail_spark.llmdata.sampling import weighted_mix
+
+    d = _t(spark, sf_dir, "documents").df
+    w = {f"src{i}": 2.5 for i in range(5)}
+    w.update({f"src{i}": 1.0 for i in range(5, 10)})
+    w.update({f"src{i}": 0.4 for i in range(10, 15)})
+    out = weighted_mix(d, w, "source", "doc_id", seed=0)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("copy_idx").cast("bigint").alias("sum_copy_idx"),
+        )
+        .orderBy("source")
+    )
+
+
+_WEIGHTED_MIX_SQL = """
+WITH w AS (SELECT doc_id, source,
+  CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 2.5
+       WHEN source IN ('src5','src6','src7','src8','src9') THEN 1.0
+       WHEN source IN ('src10','src11','src12','src13','src14') THEN 0.4
+       ELSE 0.0 END AS wt,
+  (('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':0'),1,15))::BIGINT
+     % 1073741824) / 1073741824.0 AS u
+  FROM documents),
+n AS (SELECT doc_id, source,
+  CAST(floor(wt) AS INT)
+    + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS n
+  FROM w)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS sum_copy_idx
+FROM n WHERE n > 0 GROUP BY source ORDER BY source
 """

@@ -148,3 +148,46 @@ def write_training_shards(
     manifest = assigned.groupBy("shard").agg(*aggs).orderBy("shard")
     manifest.write.mode("overwrite").parquet(os.path.join(path, "manifest.parquet"))
     return manifest
+
+
+def weighted_mix(
+    df: DataFrame,
+    weights: dict,
+    strata_col: str,
+    uid_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Epoch-style mixture resampling WITH replacement: every row of
+    stratum ``s`` is emitted ``floor(w_s)`` times plus one more with
+    probability ``frac(w_s)`` (deterministic md5 uniform on the uid).
+    This is the standard corpus-mixing step when domain weights exceed
+    1 (books x2.5, web x0.3, ...) — e.g. the Pile / LLaMA-style
+    per-source epoch counts; strata absent from the map are dropped.
+
+    Output = input columns + ``copy_idx`` (0-based replica index), so
+    downstream shuffling (deterministic_shuffle keyed on
+    (uid, copy_idx)) spreads the replicas instead of co-locating them.
+
+    Scale shape: a plan-literal weight map, one per-row uniform, one
+    explode of a 0..n_i-1 sequence — map-only, no shuffle, no driver
+    state; expected blowup is exactly sum_s w_s * |s|.
+    """
+    w = F.coalesce(
+        F.create_map(
+            *[
+                x
+                for kv in sorted(weights.items())
+                for x in (F.lit(kv[0]), F.lit(float(kv[1])))
+            ]
+        )[F.col(strata_col)],
+        F.lit(0.0),
+    )
+    base = F.floor(w).cast("int")
+    extra = (uniform(F.col(uid_col), seed) < (w - F.floor(w))).cast("int")
+    n = (base + extra).alias("__n")
+    return (
+        df.withColumn("__n", n)
+        .filter(F.col("__n") > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
+        .drop("__n")
+    )

@@ -96,3 +96,39 @@ def test_write_training_shards_round_trip(spark, sf_dir, tmp_path):
     assert got == want
     m2 = spark.read.parquet(str(tmp_path / "shards" / "manifest.parquet"))
     assert sorted(map(tuple, m2.collect())) == sorted(map(tuple, manifest))
+
+
+def test_weighted_mix_replication_and_determinism(spark):
+    from hail_spark.llmdata.sampling import uniform, weighted_mix
+    from pyspark.sql import functions as F
+
+    rows = [(i, "a" if i < 20 else ("b" if i < 40 else "c")) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = weighted_mix(df, {"a": 2.0, "b": 0.5}, "source", "doc_id", seed=3)
+    got = out.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_set("copy_idx").alias("idx"),
+    ).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+        # copy_idx is exactly 0..n-1
+        assert sorted(r["idx"]) == list(range(r["n"]))
+    # integer weight: every 'a' doc exactly twice
+    assert len(by_src["a"]) == 20 and all(r["n"] == 2 for r in by_src["a"])
+    # zero/absent weight: 'c' dropped entirely
+    assert "c" not in by_src
+    # fractional weight matches the uniform predicate doc-by-doc
+    kept_b = {r["doc_id"] for r in by_src.get("b", [])}
+    expect_b = {
+        r["doc_id"]
+        for r in df.filter("source = 'b'")
+        .withColumn("u", uniform(F.col("doc_id"), 3))
+        .collect()
+        if r["u"] < 0.5
+    }
+    assert kept_b == expect_b
+    # deterministic across runs
+    assert out.count() == weighted_mix(
+        df, {"a": 2.0, "b": 0.5}, "source", "doc_id", seed=3
+    ).count()
