@@ -5735,9 +5735,18 @@ _DRIVER_GREEN: frozenset = frozenset({
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    head = {k: v for k, v in base.items() if k not in _DRIVER_GREEN}
+    # Sampling priority: queries added this round (never checked by any
+    # gate but ours) first, then older never-driver-green ones, then the
+    # green union — the driver samples from the head.
+    new_this_round = ("line_dedup_docs", "pq_ann_topk", "weighted_mix_sources")
+    first = {k: base[k] for k in new_this_round if k in base}
+    head = {
+        k: v
+        for k, v in base.items()
+        if k not in _DRIVER_GREEN and k not in first
+    }
     tail = {k: v for k, v in base.items() if k in _DRIVER_GREEN}
-    return {**head, **tail}
+    return {**first, **head, **tail}
 
 
 def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
