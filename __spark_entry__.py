@@ -5738,7 +5738,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Sampling priority: queries added this round (never checked by any
     # gate but ours) first, then older never-driver-green ones, then the
     # green union — the driver samples from the head.
-    new_this_round = ("line_dedup_docs", "pq_ann_topk", "weighted_mix_sources")
+    new_this_round = (
+        "line_dedup_docs",
+        "pq_ann_topk",
+        "weighted_mix_sources",
+        "ivfpq_ann_topk",
+    )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
         k: v
@@ -5900,6 +5905,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_docs": line_dedup_q,
         "pq_ann_topk": pq_ann_q,
         "weighted_mix_sources": weighted_mix_q,
+        "ivfpq_ann_topk": ivfpq_ann_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
@@ -6064,6 +6070,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup_docs": _LINE_DEDUP_SQL,
         "pq_ann_topk": _PQ_ANN_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
+        "ivfpq_ann_topk": _IVFPQ_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
@@ -7465,4 +7472,74 @@ SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS sum_copy_idx
 FROM n WHERE n > 0 GROUP BY source ORDER BY source
+"""
+
+
+def ivfpq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed index (llmdata/similarity.py ivfpq_build /
+    ivfpq_topk — FAISS IVFADC layout): nlist=16 coarse cells, m=8
+    residual subspaces, 16 codes, probe 4. Seed codebooks (n_iter=0)
+    keep the full pipeline — coarse assignment, residual computation,
+    PQ encoding, per-(query, cell) LUTs, ADC ranking — SQL-replayable."""
+    from hail_spark.llmdata import similarity as sim
+
+    e = _t(spark, sf_dir, "embeddings").df
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    codes_df, cents, cbs = sim.ivfpq_build(e, nlist=16, m=8, ncodes=16, n_iter=0)
+    out = sim.ivfpq_topk(codes_df, cents, cbs, q, k=10, nprobe=4)
+    return out.select(
+        "q_id", "rank", "vec_id", F.round("adist", 6).alias("adist")
+    ).orderBy("q_id", "rank")
+
+
+_IVFPQ_SQL = f"""
+WITH cents AS (
+  SELECT (row_number() OVER (ORDER BY h)) - 1 AS cell, c_vec
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, embedding AS c_vec
+        FROM embeddings ORDER BY h LIMIT 16)),
+q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+assigned AS (
+  SELECT vec_id, embedding, cell FROM (
+    SELECT e.vec_id, e.embedding, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.c_vec')} DESC, c.cell) rk
+    FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+res AS (
+  SELECT a.vec_id, a.cell,
+         list_transform(range(1, 65), i -> a.embedding[i]::DOUBLE - c.c_vec[i]::DOUBLE) AS r
+  FROM assigned a JOIN cents c USING (cell)),
+pqseeds AS (
+  SELECT (row_number() OVER (ORDER BY h)) - 1 AS code, r AS s_vec
+  FROM (SELECT md5(CAST(vec_id AS VARCHAR)) AS h, r FROM res ORDER BY h LIMIT 16)),
+subs AS (SELECT unnest(range(0, 8)) AS s),
+codes AS (
+  SELECT vec_id, cell, s, code FROM (
+    SELECT r.vec_id, r.cell, sub.s, sd.code,
+      row_number() OVER (PARTITION BY r.vec_id, sub.s ORDER BY round(
+        list_aggregate(list_transform(range(1, 9),
+          j -> (r.r[sub.s*8+j] - round(sd.s_vec[sub.s*8+j], 6))
+             * (r.r[sub.s*8+j] - round(sd.s_vec[sub.s*8+j], 6))), 'sum'), 9), sd.code) rk
+    FROM res r CROSS JOIN subs sub CROSS JOIN pqseeds sd) WHERE rk = 1),
+probes AS (
+  SELECT q_id, q_vec, cell FROM (
+    SELECT q.q_id, q.q_vec, c.cell,
+           row_number() OVER (PARTITION BY q.q_id
+               ORDER BY {_cos_sql('q.q_vec', 'c.c_vec')} DESC, c.cell) rk
+    FROM q CROSS JOIN cents c) WHERE rk <= 4),
+lut AS (
+  SELECT p.q_id, p.cell, sub.s, sd.code,
+    list_aggregate(list_transform(range(1, 9),
+      j -> ((p.q_vec[sub.s*8+j]::DOUBLE - c.c_vec[sub.s*8+j]::DOUBLE) - round(sd.s_vec[sub.s*8+j], 6))
+         * ((p.q_vec[sub.s*8+j]::DOUBLE - c.c_vec[sub.s*8+j]::DOUBLE) - round(sd.s_vec[sub.s*8+j], 6))), 'sum') AS d
+  FROM probes p JOIN cents c USING (cell) CROSS JOIN subs sub CROSS JOIN pqseeds sd),
+scored AS (
+  SELECT l.q_id, k.vec_id, SUM(l.d) AS adist
+  FROM codes k JOIN lut l ON l.cell = k.cell AND l.s = k.s AND l.code = k.code
+  GROUP BY l.q_id, k.vec_id),
+ranked AS (SELECT q_id, vec_id, adist,
+  row_number() OVER (PARTITION BY q_id ORDER BY round(adist, 9), vec_id) AS rank FROM scored)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(adist, 6) AS adist
+FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
 """

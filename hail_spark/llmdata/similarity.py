@@ -362,3 +362,152 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, "rank", id_col, "adist")
     )
+
+
+# ------------------------------------------------------------------ #
+# IVF + PQ composition (FAISS IVFADC layout): coarse quantizer prunes
+# the scan to ~nprobe/nlist, PQ codes of the RESIDUAL (v - centroid)
+# keep the scanned part memory-resident. ||q - (c + r̂)||² =
+# ||(q - c) - r̂||², so per (query, probed cell) one m x ncodes LUT of
+# residual subdistances prices every row in that cell at m lookups.
+# ------------------------------------------------------------------ #
+def ivfpq_build(
+    corpus: DataFrame,
+    nlist: int = 16,
+    m: int = 8,
+    ncodes: int = 16,
+    n_iter: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Returns (codes_df, cents, codebooks): codes_df is the compressed
+    index (id, cell, codes array<int>) — m ints per row instead of the
+    raw vector; cents the coarse centroids (list, ordered by cell);
+    codebooks the residual PQ codebooks (pq_train convention:
+    n_iter=0 -> deterministic seed codebooks, SQL-replayable).
+
+    Scale shape: ivf_build's zero-shuffle Arrow argmax assigns cells,
+    the residual is a codegen zip_with against the plan-literal
+    centroid table, pq encoding is one more Arrow-batched map — the
+    whole build is a single corpus scan with no shuffle. Persist with
+    codes_df.write.partitionBy("cell") (ivf_write convention) so probes
+    prune files."""
+    assigned, cents_df = ivf_build(corpus, nlist, vec_col, id_col)
+    crows = sorted(cents_df.collect(), key=lambda r: r["cell"])
+    cents = [[float(x) for x in r["c_vec"]] for r in crows]
+    cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
+    with_res = assigned.select(
+        F.col(id_col),
+        F.col("cell"),
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.element_at(cent_lit, F.col("cell") + 1),
+            lambda a, b: a - b,
+        ).alias("__res"),
+    )
+    if n_iter > 0:
+        with_res = with_res.localCheckpoint()
+    codebooks = pq_train(
+        with_res, m=m, ncodes=ncodes, n_iter=n_iter, vec_col="__res", id_col=id_col
+    )
+    codes_df = with_res.select(
+        F.col(id_col),
+        F.col("cell"),
+        _pq_codes_udf(codebooks)(F.col("__res")).alias("codes"),
+    )
+    return codes_df, cents, codebooks
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    cents,
+    codebooks,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """ADC top-k over the probed cells only. Probe selection follows
+    ivf_topk (cosine to the coarse centroid, ties toward the smaller
+    cell); ranking is squared-L2 ADC on the residual codes. One scan of
+    the code table (file-pruned to nprobe/nlist when written
+    partitioned by cell) + one bounded per-query top-k window."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)  # (nlist, d)
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m, ds = len(cbs), cbs[0].shape[1]
+    ncodes = cbs[0].shape[0]
+    qrows = queries.select(F.col(q_id_col), F.col(q_vec_col)).collect()
+    q_ids = [r[q_id_col] for r in qrows]
+    Q = np.array([[float(x) for x in r[q_vec_col]] for r in qrows])
+    nq, nlist = Q.shape[0], C.shape[0]
+
+    # probe selection: top-nprobe cells per query by cosine
+    qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
+    sims = qn @ cn.T  # (nq, nlist)
+    order = np.lexsort((np.arange(nlist)[None, :].repeat(nq, 0), -sims), axis=1)
+    probed = order[:, :nprobe]  # (nq, nprobe)
+    probing = np.zeros((nq, nlist), dtype=bool)
+    for qi in range(nq):
+        probing[qi, probed[qi]] = True
+
+    # LUT[qi, cell, s, c] = ||(q - cent_cell)_s - cb[s][c]||^2
+    lut = np.zeros((nq, nlist, m, ncodes))
+    for qi in range(nq):
+        R = Q[qi] - C  # (nlist, d) residual of q against every centroid
+        for s in range(m):
+            Rs = R[:, s * ds : (s + 1) * ds]  # (nlist, ds)
+            # (nlist, ncodes)
+            lut[qi, :, s, :] = (
+                (Rs[:, None, :] - cbs[s][None, :, :]) ** 2
+            ).sum(axis=2)
+
+    def _adist_fn(cells, codes):
+        cc = cells.to_numpy()
+        K = np.array(codes.tolist(), dtype=np.int64)  # (n, m)
+        out = np.full((cc.shape[0], nq), np.nan)
+        for cell in np.unique(cc):
+            mask = cc == cell
+            Kc = K[mask]
+            for qi in range(nq):
+                if probing[qi, cell]:
+                    d = np.zeros(Kc.shape[0])
+                    for s in range(m):
+                        d += lut[qi, cell, s, Kc[:, s]]
+                    out[mask, qi] = d
+        return pd.Series([
+            [None if np.isnan(x) else float(x) for x in row] for row in out
+        ])
+
+    _adist_fn.__annotations__ = {
+        "cells": pd.Series, "codes": pd.Series, "return": pd.Series,
+    }
+    adist_udf = pandas_udf(_adist_fn, "array<double>")
+
+    qid_arr = F.array(*[F.lit(q) for q in q_ids])
+    probe_cells = sorted({int(c) for qi in range(nq) for c in probed[qi]})
+    scored = (
+        codes_df.filter(F.col("cell").isin(probe_cells))
+        .select(F.col(id_col), adist_udf(F.col("cell"), F.col("codes")).alias("__d"))
+        .select(F.col(id_col), F.posexplode("__d").alias("__qi", "adist"))
+        .filter(F.col("adist").isNotNull())
+        .select(
+            F.element_at(qid_arr, F.col("__qi") + 1).alias(q_id_col),
+            F.col(id_col),
+            F.col("adist"),
+        )
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.round(F.col("adist"), 9).asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", id_col, "adist")
+    )

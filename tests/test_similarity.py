@@ -154,3 +154,46 @@ def test_pq_topk_matches_numpy_adc_and_beats_chance(spark, sf_dir):
         overlap += len(set(top5) & set(exact5))
     # recall across 3 queries far above chance (5/n_rows per slot)
     assert overlap >= 3, f"PQ recall too low: {overlap}/15 at n={n_rows}"
+
+
+def test_ivfpq_composition(spark, sf_dir):
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from hail_spark.llmdata import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    codes_df, cents, cbs = sim.ivfpq_build(e, nlist=8, m=8, ncodes=16, n_iter=1)
+    out = sim.ivfpq_topk(codes_df, cents, cbs, q, k=5, nprobe=8).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["q_id"], []).append((r["rank"], r["vec_id"], r["adist"]))
+
+    # with nprobe = nlist (no pruning), ADC ranks must match a full
+    # numpy replay over the same codes and codebooks
+    C = np.asarray(cents)
+    CB = [np.asarray(cb) for cb in cbs]
+    codes = {r["vec_id"]: (r["cell"], r["codes"]) for r in codes_df.collect()}
+    vecs = {r["vec_id"]: np.array([float(x) for x in r["embedding"]])
+            for r in e.collect()}
+    for qid in (0, 1, 2):
+        qv = vecs[qid]
+        ad = {}
+        for v, (cell, cd) in codes.items():
+            rq = qv - C[cell]
+            ad[v] = sum(
+                ((rq[s * 8:(s + 1) * 8] - CB[s][cd[s]]) ** 2).sum()
+                for s in range(8)
+            )
+        top5 = sorted(ad, key=lambda v: (round(ad[v], 9), v))[:5]
+        assert [x[1] for x in sorted(got[qid])] == top5
+        for rk, v, adist in got[qid]:
+            assert abs(adist - ad[v]) < 1e-6
+
+    # pruning really prunes: nprobe=2 scans a subset, still returns k
+    out2 = sim.ivfpq_topk(codes_df, cents, cbs, q, k=5, nprobe=2).collect()
+    assert len(out2) == 15
