@@ -11,11 +11,14 @@ surface (the reference has no multimodal layer). Design:
 * decode / resize / frame-sample run inside ``mapInPandas`` — one
   Arrow batch of binaries in, one batch of features out; the batch
   schema and partitioning are the real, tested contract;
-* the actual codec calls (PIL/librosa/ffmpeg) are NOT available in
-  this container and are STUBBED behind ``_decode_image_stub`` etc. —
-  deterministic fakes derived from the bytes, clearly marked. Swap the
-  stub body for the real library call in production; nothing else
-  changes.
+* uncompressed formats decode FOR REAL with pure stdlib + numpy:
+  24-bit BMP (``_decode_bmp``/``_encode_bmp``) and 16-bit PCM WAV
+  (``_decode_wav``/``_encode_wav``); compressed codecs (JPEG/PNG/MP3,
+  via PIL/librosa/ffmpeg) are NOT available in this container and fall
+  back to clearly-marked deterministic stubs. Swap the stub body for
+  the real library call in production; the dispatchers
+  (``_decode_image``/``_decode_audio``) and Arrow plumbing don't
+  change.
 
 Scale notes: content columns dominate bytes, so the module keeps them
 in their own parquet files (``write_assets``/``read_assets``) with
@@ -39,6 +42,110 @@ IMAGE_SCHEMA = (
     "asset_id bigint, width int, height int, channels int, format string"
 )
 AUDIO_SCHEMA = "asset_id bigint, sample_rate int, n_samples bigint, format string"
+
+
+# ---------------------------------------------------------------------- #
+# real codecs for uncompressed formats (pure stdlib + numpy): 24-bit BMP
+# and 16-bit PCM WAV decode/encode. Compressed formats (JPEG/PNG/MP3/...)
+# still fall back to the deterministic stubs below — swap the stub body
+# for PIL/librosa in production; the dispatchers and Arrow plumbing
+# don't change.
+# ---------------------------------------------------------------------- #
+def _decode_bmp(content: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP to an HxWx3 uint8 RGB array
+    (BITMAPINFOHEADER, bottom-up or top-down, 4-byte row padding)."""
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pixel_off = int.from_bytes(content[10:14], "little")
+    width = int.from_bytes(content[18:22], "little", signed=True)
+    height = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    compression = int.from_bytes(content[30:34], "little")
+    if bpp != 24 or compression != 0 or width <= 0 or height == 0:
+        raise ValueError("only 24-bit uncompressed BMP supported")
+    h, top_down = abs(height), height < 0
+    row_size = (width * 3 + 3) // 4 * 4
+    if pixel_off + row_size * h > len(content):
+        raise ValueError("truncated BMP pixel data")
+    data = np.frombuffer(
+        content, np.uint8, count=row_size * h, offset=pixel_off
+    ).reshape(h, row_size)
+    img = data[:, : width * 3].reshape(h, width, 3)[..., ::-1]  # BGR -> RGB
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def _encode_bmp(arr: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as a 24-bit uncompressed BMP."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[0], arr.shape[1]
+    row_size = (w * 3 + 3) // 4 * 4
+    buf = np.zeros((h, row_size), np.uint8)
+    buf[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # bottom-up BGR
+    px = buf.tobytes()
+    off = 14 + 40
+    fh = b"BM" + (off + len(px)).to_bytes(4, "little") + b"\0\0\0\0" + off.to_bytes(4, "little")
+    ih = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+    return fh + ih + px
+
+
+def _decode_wav(content: bytes) -> tuple[np.ndarray, int]:
+    """Decode 16-bit PCM RIFF/WAVE to (mono float32 in [-1, 1],
+    sample_rate); multi-channel input is mean-downmixed."""
+    if len(content) < 44 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        sz = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sr = _struct.unpack("<HHI", fmt[:8])
+    bits = _struct.unpack("<H", fmt[14:16])[0]
+    if audio_format != 1 or bits != 16 or channels < 1:
+        raise ValueError("only 16-bit PCM WAV supported")
+    x = np.frombuffer(data[: len(data) // (2 * channels) * 2 * channels], "<i2")
+    x = x.astype(np.float32) / 32768.0
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1)
+    return x, int(sr)
+
+
+def _encode_wav(wave: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Encode a mono float32 waveform as 16-bit PCM RIFF/WAVE."""
+    pcm = (np.clip(np.asarray(wave, np.float32), -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+    fmt = _struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(pcm).to_bytes(4, "little") + pcm
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def _decode_image(content: bytes) -> tuple[np.ndarray, str]:
+    """Dispatcher: real decode for formats we can parse in-container
+    (BMP), deterministic stub otherwise. Returns (HxWx3 uint8, format)."""
+    if not content:
+        raise ValueError("cannot decode empty image content")
+    if content[:2] == b"BM":
+        return _decode_bmp(content), "bmp"
+    return _decode_image_stub(content), "stub"
+
+
+def _decode_audio(content: bytes) -> tuple[np.ndarray, int, str]:
+    """Dispatcher: real 16-bit PCM WAV decode, stub otherwise.
+    Returns (mono float32 waveform, sample_rate, format)."""
+    if not content:
+        raise ValueError("cannot decode empty audio content")
+    if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+        w, sr = _decode_wav(content)
+        return w, sr, "wav"
+    return _decode_audio_stub(content), 16000, "stub"
 
 
 # ---------------------------------------------------------------------- #
@@ -111,14 +218,14 @@ def image_metadata(df: DataFrame) -> DataFrame:
             out = []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
                 try:
-                    arr = _decode_image_stub(bytes(content))
+                    arr, fmt = _decode_image(bytes(content))
                     out.append(
                         {
                             "asset_id": aid,
                             "width": arr.shape[1],
                             "height": arr.shape[0],
                             "channels": arr.shape[2],
-                            "format": "stub",
+                            "format": fmt,
                         }
                     )
                 except ValueError:
@@ -144,7 +251,7 @@ def image_embed(df: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in batches:
             ids, vecs = [], []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
-                arr = _decode_image_stub(bytes(content)).astype(np.float32) / 255.0
+                arr = _decode_image(bytes(content))[0].astype(np.float32) / 255.0
                 flat = arr.mean(axis=2).ravel()
                 vec = np.resize(flat, dim)
                 ids.append(aid)
@@ -157,18 +264,17 @@ def image_embed(df: DataFrame, dim: int = 16) -> DataFrame:
 
 
 def image_resize(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Decode → nearest-neighbor resize → re-encode (raw bytes) — the
-    resize-for-training plumbing. The decode is stubbed (8×8×3 fake)
-    but the resize math and the binary-out Arrow batch shape are real:
-    swap ``_decode_image_stub`` for PIL and the operator is production
-    code. Output: (asset_id, content binary, width, height)."""
+    """Decode → nearest-neighbor resize → re-encode as 24-bit BMP (a
+    real, decodable image; ``_decode_bmp`` round-trips it). BMP input
+    decodes for real; other formats use the deterministic stub. Output:
+    (asset_id, content binary, width, height)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
                 try:
-                    arr = _decode_image_stub(bytes(content))
+                    arr = _decode_image(bytes(content))[0]
                 except ValueError:
                     out.append(
                         {"asset_id": aid, "content": None, "width": None, "height": None}
@@ -180,7 +286,7 @@ def image_resize(df: DataFrame, width: int, height: int) -> DataFrame:
                 out.append(
                     {
                         "asset_id": aid,
-                        "content": resized.tobytes(),
+                        "content": _encode_bmp(resized),
                         "width": width,
                         "height": height,
                     }
@@ -200,12 +306,14 @@ def audio_features(df: DataFrame, frame: int = 512) -> DataFrame:
         for pdf in batches:
             out = []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
-                w = _decode_audio_stub(bytes(content))
+                w, sr, fmt = _decode_audio(bytes(content))
                 rms = float(np.sqrt(np.mean(w**2)))
                 zcr = float(np.mean(np.abs(np.diff(np.signbit(w).astype(np.int8)))))
                 out.append(
                     {
                         "asset_id": aid,
+                        "sample_rate": sr,
+                        "format": fmt,
                         "n_samples": len(w),
                         "rms": rms,
                         "zero_crossing_rate": zcr,
@@ -214,7 +322,9 @@ def audio_features(df: DataFrame, frame: int = 512) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("asset_id", "content").mapInPandas(
-        run, schema="asset_id bigint, n_samples bigint, rms double, zero_crossing_rate double"
+        run,
+        schema="asset_id bigint, sample_rate int, format string, "
+               "n_samples bigint, rms double, zero_crossing_rate double",
     )
 
 

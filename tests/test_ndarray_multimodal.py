@@ -235,7 +235,7 @@ def test_image_resize(spark):
     assert len(out) == 3
     for aid, r in out.items():
         assert r["width"] == 4 and r["height"] == 6
-        arr = np.frombuffer(bytes(r["content"]), dtype=np.uint8).reshape(6, 4, 3)
+        arr = mm._decode_bmp(bytes(r["content"]))  # output is a real BMP now
         # resize of the deterministic stub: spot-check nearest-neighbor math
         src = mm._decode_image_stub(bytes([aid] * 32))
         ys = (np.arange(6) * 8 // 6).clip(0, 7)
@@ -267,3 +267,60 @@ def test_nd_tail_eye_diagonal_maximum_minimum(spark):
     # numpy maximum/minimum propagate NaN like the reference
     np.testing.assert_allclose(row["mx"], np.maximum(A, B).flatten())
     np.testing.assert_allclose(row["mn"], np.minimum(A, B).flatten())
+
+
+def test_bmp_wav_real_codecs(spark):
+    import numpy as np
+
+    from hail_spark.llmdata import multimodal as mm
+
+    # BMP round trip, including non-multiple-of-4 row widths (padding)
+    rng = np.random.default_rng(7)
+    for w, h in [(5, 3), (8, 8), (1, 1), (6, 2)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(mm._decode_bmp(mm._encode_bmp(img)), img)
+
+    # WAV round trip (16-bit quantization grid)
+    wave = (rng.integers(-32768, 32768, size=777) / 32768.0).astype(np.float32)
+    dec, sr = mm._decode_wav(mm._encode_wav(wave, 22050))
+    assert sr == 22050 and len(dec) == 777
+    np.testing.assert_allclose(dec, wave, atol=1.0 / 32767)
+
+    # dispatchers: real formats route to real decoders, others to stubs
+    arr, fmt = mm._decode_image(mm._encode_bmp(np.zeros((2, 2, 3), np.uint8)))
+    assert fmt == "bmp" and arr.shape == (2, 2, 3)
+    assert mm._decode_image(b"\xff\xd8 not-actually-jpeg")[1] == "stub"
+    w2, sr2, fmt2 = mm._decode_audio(mm._encode_wav(wave))
+    assert fmt2 == "wav" and sr2 == 16000
+    assert mm._decode_audio(b"mp3-ish bytes")[2] == "stub"
+
+    # end-to-end through the Spark operators on REAL assets
+    imgs = [
+        {"asset_id": i, "content": mm._encode_bmp(
+            rng.integers(0, 256, size=(4 + i, 6, 3), dtype=np.uint8)
+        ), "source": "cam"}
+        for i in range(3)
+    ]
+    adf = mm.make_asset_table(spark, imgs, "image")
+    meta = {r["asset_id"]: r for r in mm.image_metadata(adf).collect()}
+    for i in range(3):
+        assert meta[i]["format"] == "bmp"
+        assert (meta[i]["width"], meta[i]["height"]) == (6, 4 + i)
+    resized = {r["asset_id"]: r for r in mm.image_resize(adf, 3, 2).collect()}
+    for i in range(3):
+        out = mm._decode_bmp(bytes(resized[i]["content"]))
+        assert out.shape == (2, 3, 3)
+
+    wavs = [
+        {"asset_id": 10 + i, "content": mm._encode_wav(
+            (rng.integers(-32768, 32768, size=300 + i) / 32768.0).astype(np.float32),
+            8000,
+        ), "source": "mic"}
+        for i in range(2)
+    ]
+    wdf = mm.make_asset_table(spark, wavs, "audio")
+    au = {r["asset_id"]: r for r in mm.audio_features(wdf).collect()}
+    for i in range(2):
+        r = au[10 + i]
+        assert r["format"] == "wav" and r["sample_rate"] == 8000
+        assert r["n_samples"] == 300 + i and r["rms"] > 0
