@@ -65,6 +65,9 @@ QUERIES = [
     # round-4 additions: broadcast-Lloyd kmeans + bounded intra-cluster
     # self-join, and the gram posting-list df join
     "semantic_dedup_kmeans", "duplicated_gram_stats",
+    # corpus line dedup (3 hash shuffles incl. document reassembly) and
+    # the PQ/IVFPQ ADC scans (map-only encode + bounded top-k window)
+    "line_dedup_docs", "pq_ann_topk", "ivfpq_ann_topk",
 ]
 
 

@@ -511,3 +511,41 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, "rank", id_col, "adist")
     )
+
+
+def pq_write(codes_df: DataFrame, codebooks, path: str, cents=None) -> None:
+    """Persist a PQ (or IVFPQ) index: codes byte-packed to
+    array<tinyint> (1 B/subspace — the whole point of PQ at 100 TB) and,
+    when cell-assigned, partitioned by cell so probes prune files
+    (ivf_write convention). Codebooks (+ optional coarse centroids) go
+    to a JSON sidecar — kilobytes."""
+    import json as _json
+    import os
+
+    packed = codes_df.withColumn(
+        "codes",
+        F.transform(F.col("codes"), lambda c: (c - 128).cast("tinyint")),
+    )
+    w = packed.write.mode("overwrite")
+    if "cell" in codes_df.columns:
+        w = w.partitionBy("cell")
+    w.parquet(os.path.join(path, "codes"))
+    meta = {"codebooks": [[list(map(float, r)) for r in cb] for cb in codebooks]}
+    if cents is not None:
+        meta["cents"] = [list(map(float, c)) for c in cents]
+    with open(os.path.join(path, "pq_meta.json"), "w") as fh:
+        _json.dump(meta, fh)
+
+
+def pq_read(spark, path: str):
+    """Read back (codes_df, codebooks, cents_or_None); codes unpacked to
+    int. Reading with a ``cell IN (probes)`` filter prunes partitions."""
+    import json as _json
+    import os
+
+    with open(os.path.join(path, "pq_meta.json")) as fh:
+        meta = _json.load(fh)
+    codes_df = spark.read.parquet(os.path.join(path, "codes")).withColumn(
+        "codes", F.transform(F.col("codes"), lambda c: c.cast("int") + 128)
+    )
+    return codes_df, meta["codebooks"], meta.get("cents")

@@ -197,3 +197,26 @@ def test_ivfpq_composition(spark, sf_dir):
     # pruning really prunes: nprobe=2 scans a subset, still returns k
     out2 = sim.ivfpq_topk(codes_df, cents, cbs, q, k=5, nprobe=2).collect()
     assert len(out2) == 15
+
+
+def test_pq_write_read_round_trip(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hail_spark.llmdata import similarity as sim
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    codes_df, cents, cbs = sim.ivfpq_build(e, nlist=8, m=8, ncodes=16)
+    before = sorted(map(tuple, sim.ivfpq_topk(codes_df, cents, cbs, q, k=5).collect()))
+
+    path = str(tmp_path / "pqidx")
+    sim.pq_write(codes_df, cbs, path, cents=cents)
+    codes2, cbs2, cents2 = sim.pq_read(spark, path)
+    # byte-packed storage: tinyint on disk, identical codes back
+    a = {r["vec_id"]: r["codes"] for r in codes_df.collect()}
+    b = {r["vec_id"]: r["codes"] for r in codes2.collect()}
+    assert a == b
+    after = sorted(map(tuple, sim.ivfpq_topk(codes2, cents2, cbs2, q, k=5).collect()))
+    assert before == after
