@@ -5743,6 +5743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_topk",
         "weighted_mix_sources",
         "ivfpq_ann_topk",
+        "chunk_documents_windows",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -5906,6 +5907,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_topk": pq_ann_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
+        "chunk_documents_windows": chunk_documents_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
@@ -6071,6 +6073,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann_topk": _PQ_ANN_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
+        "chunk_documents_windows": _CHUNK_DOCS_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
@@ -7542,4 +7545,41 @@ ranked AS (SELECT q_id, vec_id, adist,
   row_number() OVER (PARTITION BY q_id ORDER BY round(adist, 9), vec_id) AS rank FROM scored)
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(adist, 6) AS adist
 FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (llmdata/sampling.py
+    chunk_documents): 24-token windows, stride 16 — the split step
+    before sequence packing. The oracle replays tokenization, chunk
+    count, and every window slice."""
+    from hail_spark.llmdata.sampling import chunk_documents
+
+    d = _t(spark, sf_dir, "documents").df
+    out = chunk_documents(d, window=24, stride=16)
+    return out.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+_CHUNK_DOCS_SQL = r"""
+WITH toks AS (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(coalesce(text,'')), '\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents),
+c AS (SELECT doc_id, ws, len(ws) AS n,
+        CASE WHEN len(ws) <= 0 THEN 0 WHEN len(ws) <= 24 THEN 1
+             ELSE CAST(ceil((len(ws) - 24) / 16.0) AS INT) + 1 END AS n_chunks
+      FROM toks),
+ex AS (SELECT doc_id, ws, CAST(i AS INT) AS chunk_idx
+       FROM c, LATERAL unnest(range(0, n_chunks)) AS t(i)),
+ch AS (SELECT doc_id, chunk_idx,
+              list_slice(ws, chunk_idx*16 + 1, chunk_idx*16 + 24) AS cw
+       FROM ex)
+SELECT doc_id, chunk_idx, CAST(len(cw) AS INT) AS n_tokens,
+       md5(COALESCE(array_to_string(cw, ' '), '')) AS chunk_md5
+FROM ch ORDER BY doc_id, chunk_idx
 """

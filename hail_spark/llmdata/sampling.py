@@ -191,3 +191,55 @@ def weighted_mix(
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)))
         .drop("__n")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    window: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window chunking: cut each document into token windows of
+    ``window`` words advancing by ``stride`` (overlap = window - stride)
+    — the split-long-documents step that runs before pack_sequences in
+    a training pipeline. A document of n tokens yields
+    1 + ceil((n - window) / stride) chunks (1 if n <= window); the last
+    chunk may be short. Documents with zero tokens yield no rows.
+
+    Output: (id_col, chunk_idx, n_tokens, chunk_text). Map-only — one
+    tokenize, one sequence/explode; no shuffle, no state.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    from .dedup import _spread, tokens
+
+    base = _spread(df.select(F.col(id_col), F.col(text_col)))
+    # token array in its own projection (CollapseProject: referenced
+    # from the count and every chunk slice)
+    tok = base.select(F.col(id_col), tokens(F.col(text_col)).alias("__ws"))
+    n = F.size("__ws")
+    n_chunks = F.when(n <= 0, F.lit(0)).when(n <= window, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(window)) / F.lit(stride)).cast("int") + 1
+    )
+    chunked = tok.select(
+        F.col(id_col),
+        F.col("__ws"),
+        # sequence(1, 0) DESCENDS in Spark — empty docs need an
+        # explicit empty array so posexplode yields no rows
+        F.posexplode(
+            F.when(n_chunks >= 1, F.sequence(F.lit(1), n_chunks)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("chunk_idx", "__unused"),
+    ).select(
+        F.col(id_col),
+        "chunk_idx",
+        F.slice(F.col("__ws"), F.col("chunk_idx") * stride + 1, window).alias("__c"),
+    )
+    return chunked.select(
+        F.col(id_col),
+        "chunk_idx",
+        F.size("__c").alias("n_tokens"),
+        F.array_join("__c", " ").alias("chunk_text"),
+    )

@@ -132,3 +132,29 @@ def test_weighted_mix_replication_and_determinism(spark):
     assert out.count() == weighted_mix(
         df, {"a": 2.0, "b": 0.5}, "source", "doc_id", seed=3
     ).count()
+
+
+def test_chunk_documents(spark):
+    from hail_spark.llmdata.sampling import chunk_documents
+
+    words = lambda n: " ".join(f"w{i}" for i in range(n))
+    rows = [(1, words(10)), (2, words(4)), (3, ""), (4, None), (5, words(5))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, window=4, stride=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], {})[r["chunk_idx"]] = (r["n_tokens"], r["chunk_text"])
+    # 10 tokens, window 4, stride 3 -> 1 + ceil(6/3) = 3 chunks
+    assert len(got[1]) == 3
+    assert got[1][0] == (4, "w0 w1 w2 w3")
+    assert got[1][1] == (4, "w3 w4 w5 w6")
+    assert got[1][2] == (4, "w6 w7 w8 w9")
+    # n <= window -> single whole-doc chunk
+    assert got[2] == {0: (4, "w0 w1 w2 w3")}
+    # empty / null docs yield no rows
+    assert 3 not in got and 4 not in got
+    # last chunk short: 5 tokens -> chunks at 0 (4 toks) and 3 (2 toks)
+    assert got[5][1] == (2, "w3 w4")
+    # every token covered: union of chunk tokens == doc tokens
+    toks = {t for _, txt in got[1].values() for t in txt.split()}
+    assert toks == set(words(10).split())
