@@ -5744,6 +5744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_mix_sources",
         "ivfpq_ann_topk",
         "chunk_documents_windows",
+        "incremental_dedup_batch",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -5908,6 +5909,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
+        "incremental_dedup_batch": incremental_dedup_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
@@ -6074,6 +6076,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
+        "incremental_dedup_batch": _INCR_DEDUP_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
@@ -7583,3 +7586,52 @@ SELECT doc_id, chunk_idx, CAST(len(cw) AS INT) AS n_tokens,
        md5(COALESCE(array_to_string(cw, ' '), '')) AS chunk_md5
 FROM ch ORDER BY doc_id, chunk_idx
 """
+
+
+def incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup (llmdata/dedup.py dedup_against_index): docs
+    with id < 250 are the already-accepted corpus (its LSH band table +
+    content hashes are the persisted index); ids >= 250 are the new
+    crawl batch, screened with NO rescan of the corpus. The oracle
+    recomputes both band tables and both probes in SQL."""
+    from hail_spark.llmdata import dedup
+
+    d = _t(spark, sf_dir, "documents").df
+    history = d.filter(F.col("doc_id") < 250)
+    new = d.filter(F.col("doc_id") >= 250)
+    sigs = dedup.minhash_signatures(history, k=64)
+    ib = dedup.minhash_bands(sigs, k=64, bands=16)
+    ih = history.select(
+        "doc_id", dedup.md5_int(F.col("text")).alias("content_hash")
+    )
+    out = dedup.dedup_against_index(new, ib, ih, k=64, bands=16)
+    return out.orderBy("doc_id")
+
+
+_INCR_DEDUP_SQL = (
+    "WITH " + _SHINGLE_CTE + """,
+mh AS (SELECT doc_id, i,
+       min((((i*2654435761) % 2147483646 + 1) * (('0x'||substr(md5(s),1,15))::BIGINT % 2147483647)
+            + (i*40503 + 17) % 2147483647) % 2147483647) AS h
+       FROM sh, (SELECT unnest(range(0, 64)) i) g GROUP BY doc_id, i),
+band AS (SELECT doc_id, i // 4 AS band,
+               ('0x'||substr(md5(string_agg(h::VARCHAR, ',' ORDER BY i)),1,15))::BIGINT AS band_hash
+        FROM mh GROUP BY doc_id, i // 4),
+c0 AS (SELECT DISTINCT n.doc_id AS doc_id, h.doc_id AS idx_id
+       FROM (SELECT * FROM band WHERE doc_id >= 250) n
+       JOIN (SELECT * FROM band WHERE doc_id < 250) h
+         ON n.band = h.band AND n.band_hash = h.band_hash),
+cand AS (SELECT doc_id, COUNT(*) AS n_cand, MIN(idx_id) AS first_match
+         FROM c0 GROUP BY doc_id),
+hh AS (SELECT DISTINCT ('0x'||substr(md5(text),1,15))::BIGINT AS ch
+       FROM documents WHERE doc_id < 250)
+SELECT d.doc_id,
+       (hh.ch IS NOT NULL) AS is_exact_dup,
+       CAST(COALESCE(c.n_cand, 0) AS BIGINT) AS n_index_candidates,
+       c.first_match AS first_match_id
+FROM documents d
+LEFT JOIN hh ON hh.ch = ('0x'||substr(md5(d.text),1,15))::BIGINT
+LEFT JOIN cand c ON c.doc_id = d.doc_id
+WHERE d.doc_id >= 250 ORDER BY d.doc_id
+"""
+)

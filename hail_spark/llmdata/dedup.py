@@ -139,6 +139,35 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    sigs: DataFrame,
+    k: int = 64,
+    bands: int = 16,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, band, band_hash) rows from a minhash_signatures frame —
+    the LSH banding step, shared by the self-join pair finder and the
+    incremental index below."""
+    r = k // bands
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: md5_int(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("minhash"), b * r + 1, r),
+                            lambda x: x.cast("string"),
+                        ),
+                        ",",
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -159,26 +188,9 @@ def minhash_lsh_pairs(
     persisted/checkpointed frame when composing with
     minhash_jaccard_estimate so the shingle+md5 pass runs once instead
     of once per consumer."""
-    r = k // bands
     if sigs is None:
         sigs = minhash_signatures(df, text_col, id_col, k, shingle_n)
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: md5_int(
-                    F.array_join(
-                        F.transform(
-                            F.slice(F.col("minhash"), b * r + 1, r),
-                            lambda x: x.cast("string"),
-                        ),
-                        ",",
-                    )
-                ),
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = minhash_bands(sigs, k=k, bands=bands, id_col=id_col)
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -1050,4 +1062,106 @@ def dedup_lines(
             ).alias("text_clean"),
         )
         .select(id_col, "text_clean", "n_kept", "n_removed")
+    )
+
+
+# ------------------------------------------------------------------ #
+# incremental dedup: match a NEW batch against a persisted index of
+# everything already accepted — the batch-over-batch production shape
+# (crawl snapshot N+1 vs the deduped corpus so far). The index is the
+# band table + content hashes: tiny relative to the corpus, and both
+# joins are plain hash equi-joins partitioned by band_hash / hash.
+# ------------------------------------------------------------------ #
+def minhash_index_write(
+    corpus: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> None:
+    """Persist the dedup index for a corpus: LSH band table partitioned
+    by band (so incremental joins prune files) + exact content hashes."""
+    import os
+
+    sigs = minhash_signatures(corpus, text_col, id_col, k, shingle_n)
+    minhash_bands(sigs, k=k, bands=bands, id_col=id_col).write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(os.path.join(path, "bands"))
+    corpus.select(
+        F.col(id_col), md5_int(F.col(text_col)).alias("content_hash")
+    ).write.mode("overwrite").parquet(os.path.join(path, "hashes"))
+
+
+def minhash_index_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    import os
+
+    return (
+        spark.read.parquet(os.path.join(path, "bands")),
+        spark.read.parquet(os.path.join(path, "hashes")),
+    )
+
+
+def dedup_against_index(
+    new_df: DataFrame,
+    index_bands: DataFrame,
+    index_hashes: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Screen a new batch against the persisted index. Returns one row
+    per new document: (id, is_exact_dup, n_index_candidates,
+    first_match_id) — exact dup = content hash already indexed;
+    candidates = indexed docs sharing >= 1 LSH band (near-dup suspects
+    for the jaccard re-rank).
+
+    Scale shape: the new batch (small) computes signatures map-side;
+    both probes are hash equi-joins where the BIG side (the index) is
+    pre-partitioned on the join key — no corpus rescan, no self-join.
+    """
+    new_bands = minhash_bands(
+        minhash_signatures(new_df, text_col, id_col, k, shingle_n),
+        k=k,
+        bands=bands,
+        id_col=id_col,
+    )
+    ib = index_bands.select(
+        F.col("band"),
+        F.col("band_hash"),
+        F.col(id_col).alias("__index_id"),
+    )
+    cand = (
+        new_bands.join(ib, ["band", "band_hash"])
+        .select(id_col, "__index_id")
+        .distinct()
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_index_candidates"),
+            F.min("__index_id").alias("first_match_id"),
+        )
+    )
+    out = new_df.select(
+        F.col(id_col), md5_int(F.col(text_col)).alias("__ch")
+    )
+    if index_hashes is not None:
+        ih = index_hashes.select(
+            F.col("content_hash").alias("__ch"), F.lit(True).alias("__hit")
+        ).distinct()
+        out = out.join(ih, "__ch", "left").withColumn(
+            "is_exact_dup", F.coalesce("__hit", F.lit(False))
+        )
+    else:
+        out = out.withColumn("is_exact_dup", F.lit(False))
+    return (
+        out.join(cand, id_col, "left")
+        .select(
+            id_col,
+            "is_exact_dup",
+            F.coalesce("n_index_candidates", F.lit(0)).alias("n_index_candidates"),
+            "first_match_id",
+        )
     )

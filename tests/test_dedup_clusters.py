@@ -239,3 +239,34 @@ def test_dedup_lines_word_window_mode(spark):
     assert out[1]["text_clean"] == "tail one"
     assert out[2]["text_clean"] == "tail two"
     assert out[3]["n_removed"] == 0 and out[3]["n_kept"] == 1
+
+
+def test_dedup_against_index_round_trip(spark, tmp_path):
+    hist_rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely different historical content about spark plans"),
+        (3, "a third unrelated document with its own words entirely here"),
+    ]
+    new_rows = [
+        (10, hist_rows[0][1]),  # exact dup of doc 1
+        (11, "the quick brown fox jumps over the lazy dog again and AGAIN"),  # near-dup
+        (12, "fresh never-seen content nothing like the corpus at all ok"),
+    ]
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    path = str(tmp_path / "mhidx")
+    dedup.minhash_index_write(hist, path, k=64, bands=16)
+    ib, ih = dedup.minhash_index_read(spark, path)
+
+    out = {r["doc_id"]: r for r in
+           dedup.dedup_against_index(new, ib, ih, k=64, bands=16).collect()}
+    assert len(out) == 3
+    # exact dup: flagged, matches doc 1
+    assert out[10]["is_exact_dup"] and out[10]["first_match_id"] == 1
+    # near dup: not exact, but LSH candidates hit doc 1
+    assert not out[11]["is_exact_dup"]
+    assert out[11]["n_index_candidates"] >= 1 and out[11]["first_match_id"] == 1
+    # fresh: clean
+    assert not out[12]["is_exact_dup"] and out[12]["n_index_candidates"] == 0
+    assert out[12]["first_match_id"] is None
