@@ -5745,6 +5745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_ann_topk",
         "chunk_documents_windows",
         "incremental_dedup_batch",
+        "url_dedup_canonical",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -5910,6 +5911,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
         "incremental_dedup_batch": incremental_dedup_q,
+        "url_dedup_canonical": url_dedup_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
@@ -6077,6 +6079,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
         "incremental_dedup_batch": _INCR_DEDUP_SQL,
+        "url_dedup_canonical": _URL_DEDUP_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
@@ -7635,3 +7638,40 @@ LEFT JOIN cand c ON c.doc_id = d.doc_id
 WHERE d.doc_id >= 250 ORDER BY d.doc_id
 """
 )
+
+
+def url_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup (llmdata/scrub.py url_normalize/url_dedup):
+    four deterministic URL variants per document (www + utm tracking,
+    :443 default port, #fragment, clean) that all canonicalize to
+    https://example{id%50}.com/p/{id%100}. The oracle computes the
+    canonical form ARITHMETICALLY from the id residues, so any
+    normalization regex failure breaks the grouping."""
+    from hail_spark.llmdata.scrub import url_dedup
+
+    d = _t(spark, sf_dir, "documents").df
+    i = F.col("doc_id")
+    base = F.concat(
+        F.lit("example"), (i % 50).cast("string"),
+        F.lit(".com/p/"), (i % 100).cast("string"),
+    )
+    url = (
+        F.when(i % 4 == 0, F.concat(F.lit("https://www."), base, F.lit("?utm_source=x")))
+        .when(i % 4 == 1, F.concat(F.lit("https://"), F.regexp_replace(base, r"\.com/", ".com:443/")))
+        .when(i % 4 == 2, F.concat(F.lit("https://"), base, F.lit("#frag")))
+        .otherwise(F.concat(F.lit("https://"), base))
+    )
+    out = url_dedup(d.select("doc_id", url.alias("url")))
+    return out.orderBy("canonical_url")
+
+
+_URL_DEDUP_SQL = """
+WITH u AS (SELECT doc_id,
+                  'https://example' || CAST(doc_id % 50 AS VARCHAR)
+                    || '.com/p/' || CAST(doc_id % 100 AS VARCHAR) AS canonical_url
+           FROM documents)
+SELECT canonical_url,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM u GROUP BY canonical_url ORDER BY canonical_url
+"""

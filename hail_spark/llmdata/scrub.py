@@ -109,3 +109,51 @@ def filter_by_domain_blocklist(
     )
     how = "left_anti" if keep_clean else "left_semi"
     return docs.join(hit_ids, on=id_col, how=how)
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL form for URL-level dedup (the first dedup stage of
+    a crawl pipeline — cheaper than any content hash):
+
+    * scheme + host lowercased, ``www.`` prefix dropped
+    * default ports stripped (``:80`` http, ``:443`` https)
+    * fragment (``#...``) dropped
+    * tracking query params dropped (utm_*, gclid, fbclid, ref); the
+      query separator is dropped too when nothing survives
+    * single trailing ``/`` dropped
+
+    Pure codegen string/regex expressions — map-only at any scale, and
+    replayable in SQL (every step is a regexp_replace).
+    """
+    u = F.trim(url)
+    # lowercase scheme+host only: split at the end of the authority
+    head = F.lower(F.regexp_extract(u, r"^(https?://[^/?#]+)", 1))
+    rest = F.regexp_replace(u, r"^https?://[^/?#]+", "")
+    head = F.regexp_replace(head, r"^(https?://)www\.", r"$1")
+    head = F.regexp_replace(head, r"^(http://[^/:]+):80$", r"$1")
+    head = F.regexp_replace(head, r"^(https://[^/:]+):443$", r"$1")
+    full = F.concat(head, rest)
+    full = F.regexp_replace(full, r"#.*$", "")
+    # drop tracking params (leading or mid-query), then dangling ?/&
+    full = F.regexp_replace(full, r"([?&])(utm_[^=&#]*|gclid|fbclid|ref)=[^&#]*", r"$1")
+    full = F.regexp_replace(full, r"\?&+", "?")
+    full = F.regexp_replace(full, r"&&+", "&")
+    full = F.regexp_replace(full, r"[?&]+$", "")
+    full = F.regexp_replace(full, r"(.)/$", r"$1")
+    return full
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the smallest id per canonical URL. One hash-groupBy on the
+    normalized URL — the cheapest dedup pass, run before any content
+    hashing. Returns (canonical_url, keep_id, n_copies)."""
+    cu = url_normalize(F.col(url_col))
+    return (
+        df.select(F.col(id_col), cu.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )

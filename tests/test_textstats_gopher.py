@@ -172,3 +172,42 @@ def test_domain_blocklist_filter(spark):
         extract_urls(docs["text"]).alias("u")
     ).first()["u"]
     assert urls == ["https://sub.deep.spam.example.com/y"]
+
+
+def test_url_normalize_and_dedup(spark):
+    from pyspark.sql import functions as F
+
+    from hail_spark.llmdata.scrub import url_dedup, url_normalize
+
+    cases = [
+        ("https://www.Example.COM/Path/?utm_source=x", "https://example.com/Path"),
+        ("https://example.com:443/Path", "https://example.com/Path"),
+        ("http://example.com:80/a#frag", "http://example.com/a"),
+        ("https://example.com/a?x=1&utm_medium=m&y=2", "https://example.com/a?x=1&y=2"),
+        ("https://example.com/a?utm_a=1&utm_b=2", "https://example.com/a"),
+        ("https://example.com/a?ref=abc", "https://example.com/a"),
+        ("https://example.com/", "https://example.com"),
+        ("https://example.com/a/", "https://example.com/a"),
+        ("https://example.com/a?x=1", "https://example.com/a?x=1"),
+        ("https://sub.example.com:8080/a", "https://sub.example.com:8080/a"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", url_normalize(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"{cases[i][0]} -> {got[i]} != {want}"
+
+    # dedup: 4 variants of one page + 1 distinct page
+    rows = [
+        (1, "https://www.example.com/p/1?utm_source=a"),
+        (2, "https://example.com:443/p/1"),
+        (3, "https://example.com/p/1#frag"),
+        (4, "https://example.com/p/1"),
+        (5, "https://example.com/p/2"),
+    ]
+    out = {r["canonical_url"]: r for r in
+           url_dedup(spark.createDataFrame(rows, "doc_id long, url string")).collect()}
+    assert out["https://example.com/p/1"]["keep_id"] == 1
+    assert out["https://example.com/p/1"]["n_copies"] == 4
+    assert out["https://example.com/p/2"]["n_copies"] == 1
