@@ -5746,6 +5746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents_windows",
         "incremental_dedup_batch",
         "url_dedup_canonical",
+        "cluster_keep_best",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -5912,6 +5913,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents_windows": chunk_documents_q,
         "incremental_dedup_batch": incremental_dedup_q,
         "url_dedup_canonical": url_dedup_q,
+        "cluster_keep_best": cluster_reps_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
@@ -6080,6 +6082,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
         "incremental_dedup_batch": _INCR_DEDUP_SQL,
         "url_dedup_canonical": _URL_DEDUP_SQL,
+        "cluster_keep_best": _CLUSTER_REPS_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
@@ -7675,3 +7678,48 @@ SELECT canonical_url,
        CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM u GROUP BY canonical_url ORDER BY canonical_url
 """
+
+
+def cluster_reps_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup keep policy (llmdata/dedup.py
+    select_cluster_representatives): MinHash-LSH clusters, keep the
+    LONGEST member per cluster (n_chars as the quality score, ties to
+    the smaller id). The oracle replays clustering with the recursive
+    transitive-closure CTE and the argmax with a window."""
+    from hail_spark.llmdata import dedup
+
+    d = _t(spark, sf_dir, "documents").df
+    clusters = dedup.dedup_clusters(d, k=64, bands=16)
+    quality = d.select("doc_id", F.col("n_chars").cast("double").alias("quality"))
+    out = dedup.select_cluster_representatives(clusters, quality)
+    return out.orderBy("doc_id")
+
+
+_CLUSTER_REPS_SQL = (
+    "WITH RECURSIVE " + _SHINGLE_CTE + """,
+mh AS (SELECT doc_id, i,
+       min((((i*2654435761) % 2147483646 + 1) * (('0x'||substr(md5(s),1,15))::BIGINT % 2147483647)
+            + (i*40503 + 17) % 2147483647) % 2147483647) AS h
+       FROM sh, (SELECT unnest(range(0, 64)) i) g GROUP BY doc_id, i),
+band AS (SELECT doc_id, i // 4 AS band,
+               ('0x'||substr(md5(string_agg(h::VARCHAR, ',' ORDER BY i)),1,15))::BIGINT AS band_hash
+        FROM mh GROUP BY doc_id, i // 4),
+pairs AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+          FROM band a JOIN band b
+            ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+und AS (SELECT id_a u, id_b v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+reach(u, v) AS (SELECT u, v FROM und
+                UNION
+                SELECT r.u, e.v FROM reach r JOIN und e ON r.v = e.u WHERE e.v <> r.u),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u),
+sized AS (SELECT c.doc_id, c.component, s.cluster_size,
+                 CAST(d.n_chars AS DOUBLE) AS quality
+          FROM comp c
+          JOIN (SELECT component, count(*) cluster_size FROM comp GROUP BY 1) s USING (component)
+          JOIN documents d USING (doc_id)),
+ranked AS (SELECT *, row_number() OVER (PARTITION BY component
+                ORDER BY quality DESC, doc_id) AS rk FROM sized)
+SELECT doc_id, component, cluster_size, quality, (rk = 1) AS keep
+FROM ranked ORDER BY doc_id
+"""
+)

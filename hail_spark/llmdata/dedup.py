@@ -1165,3 +1165,48 @@ def dedup_against_index(
             "first_match_id",
         )
     )
+
+
+def select_cluster_representatives(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware keep policy over dedup_clusters output: per
+    near-dup component, keep the member with the HIGHEST quality score
+    (ties toward the smaller id) instead of the smallest id — the
+    policy real pipelines use so the cleanest copy of a near-dup group
+    survives.
+
+    ``clusters``: (id_col, component, cluster_size) from dedup_clusters;
+    ``quality``: (id_col, quality_col) — e.g. textstats.quality_score
+    or a model score.
+
+    Returns (id_col, component, cluster_size, quality, keep) with
+    exactly one keep=true per component. One equi-join on id + one
+    hash-agg max_by per component — no window over the corpus.
+    """
+    j = clusters.join(quality.select(id_col, quality_col), id_col, "left")
+    # max_by with an explicit (quality, -id) ordering struct: ties on
+    # quality break toward the smaller id deterministically
+    best = j.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.coalesce(F.col(quality_col), F.lit(float("-inf"))).alias("q"),
+                (-F.col(id_col)).alias("neg_id"),
+            )
+        ).alias("__b")
+    ).select(
+        "component", (-F.col("__b.neg_id")).alias("__keep_id")
+    )
+    return (
+        j.join(best, "component")
+        .select(
+            F.col(id_col),
+            "component",
+            "cluster_size",
+            F.col(quality_col),
+            (F.col(id_col) == F.col("__keep_id")).alias("keep"),
+        )
+    )

@@ -270,3 +270,25 @@ def test_dedup_against_index_round_trip(spark, tmp_path):
     # fresh: clean
     assert not out[12]["is_exact_dup"] and out[12]["n_index_candidates"] == 0
     assert out[12]["first_match_id"] is None
+
+
+def test_select_cluster_representatives(spark):
+    clusters = spark.createDataFrame(
+        [(1, 1, 3), (2, 1, 3), (3, 1, 3), (10, 10, 2), (11, 10, 2), (20, 20, 1)],
+        "doc_id long, component long, cluster_size long",
+    )
+    quality = spark.createDataFrame(
+        # cluster 1: doc 2 best; cluster 10: tie -> smaller id (10);
+        # cluster 20: singleton; doc 3 has no quality row (null -> -inf)
+        [(1, 0.5), (2, 0.9), (10, 0.7), (11, 0.7), (20, 0.1)],
+        "doc_id long, quality double",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.select_cluster_representatives(clusters, quality).collect()}
+    keeps = {d for d, r in out.items() if r["keep"]}
+    assert keeps == {2, 10, 20}
+    assert out[3]["quality"] is None and not out[3]["keep"]
+    # exactly one keep per component
+    from collections import Counter
+    per_comp = Counter(r["component"] for r in out.values() if r["keep"])
+    assert all(v == 1 for v in per_comp.values()) and len(per_comp) == 3
