@@ -5747,6 +5747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_batch",
         "url_dedup_canonical",
         "cluster_keep_best",
+        "bpe_encode_ids_docs",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -5914,6 +5915,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_batch": incremental_dedup_q,
         "url_dedup_canonical": url_dedup_q,
         "cluster_keep_best": cluster_reps_q,
+        "bpe_encode_ids_docs": bpe_encode_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
@@ -6083,6 +6085,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup_batch": _INCR_DEDUP_SQL,
         "url_dedup_canonical": _URL_DEDUP_SQL,
         "cluster_keep_best": _CLUSTER_REPS_SQL,
+        "bpe_encode_ids_docs": _BPE_ENCODE_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
@@ -7723,3 +7726,88 @@ SELECT doc_id, component, cluster_size, quality, (rk = 1) AS keep
 FROM ranked ORDER BY doc_id
 """
 )
+
+
+def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-id encoding under a corpus-trained BPE (llmdata/tokenizer
+    bpe_train -> bpe_vocab -> bpe_encode_ids): per document the id
+    sequence is hashed in order, so any drift in merges, vocab ids, or
+    merge application breaks the row. The oracle replays training,
+    vocab assignment (base chars sorted + merge products, first
+    occurrence wins), and the full document encode chain in SQL."""
+    from hail_spark.llmdata.dedup import _spread
+    from hail_spark.llmdata.tokenizer import bpe_encode_ids, bpe_train, bpe_vocab
+
+    d = _spread(_t(spark, sf_dir, "documents").df)
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_train(d, n_merges=6).orderBy("rank").collect()
+    ]
+    vocab = bpe_vocab(d, merges)
+    enc = bpe_encode_ids(d, merges, vocab)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_ids").alias("n_bpe_tokens"),
+        F.md5(
+            F.array_join(F.transform("bpe_ids", lambda i: i.cast("string")), ",")
+        ).alias("ids_md5"),
+    ).orderBy("doc_id")
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 6) -> str:
+    # training CTE chain (w0, v0, p0, v1, ..., p{n-1}) from the train oracle
+    train = _bpe_oracle_sql(n_merges)
+    ctes = train[: train.rindex("SELECT 0 AS rank")].rstrip().rstrip(",")
+    parts = [ctes]
+    parts.append(
+        r"""basechars AS (SELECT DISTINCT unnest(string_split(trim(sym), ' ')) AS s FROM v0),
+rawvocab AS (
+  SELECT s, (row_number() OVER (ORDER BY s)) - 1 AS rid FROM basechars"""
+        + "".join(
+            f"""
+  UNION ALL
+  SELECT replace(pair, ' ', ''), (SELECT COUNT(*) FROM basechars) + {i} FROM p{i}"""
+            for i in range(n_merges)
+        )
+        + """
+),
+vocab AS (SELECT s, MIN(rid) AS id FROM rawvocab GROUP BY s),
+docw AS (
+  SELECT doc_id, unnest(range(1, len(ws)+1)) AS pos,
+         ' ' || regexp_replace(unnest(ws), '(.)', '\\1 ', 'g') AS wsym
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS ws
+        FROM documents)),
+d0 AS (SELECT doc_id, string_agg(wsym, '' ORDER BY pos) AS sym
+       FROM docw GROUP BY doc_id)"""
+    )
+    for i in range(n_merges):
+        parts.append(
+            f"""d{i + 1} AS (
+  SELECT doc_id,
+         replace(sym, ' ' || (SELECT pair FROM p{i}) || ' ',
+                 ' ' || replace((SELECT pair FROM p{i}), ' ', '') || ' ') AS sym
+  FROM d{i})"""
+        )
+    parts.append(
+        f"""symrows AS (
+  SELECT doc_id, unnest(range(1, len(a)+1)) AS pos, unnest(a) AS s
+  FROM (SELECT doc_id, list_filter(string_split(trim(sym), ' '), x -> x <> '') AS a
+        FROM d{n_merges})),
+encoded AS (
+  SELECT r.doc_id, COUNT(*) AS n,
+         string_agg(CAST(v.id AS VARCHAR), ',' ORDER BY r.pos) AS ids_str
+  FROM symrows r JOIN vocab v ON v.s = r.s GROUP BY r.doc_id)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT d.doc_id, CAST(COALESCE(e.n, 0) AS INT) AS n_bpe_tokens,
+       md5(COALESCE(e.ids_str, '')) AS ids_md5
+FROM documents d LEFT JOIN encoded e USING (doc_id) ORDER BY d.doc_id
+"""
+    )
+
+
+_BPE_ENCODE_SQL = _bpe_encode_oracle_sql(6)

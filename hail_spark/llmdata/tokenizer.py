@@ -123,3 +123,59 @@ def bpe_encode_len(
         )
     n = F.size(F.filter(F.split(doc_sym, " "), lambda s: s != ""))
     return df.withColumn("n_bpe_tokens", n)
+
+
+def bpe_vocab(df: DataFrame, merges: list, text_col: str = "text") -> dict:
+    """symbol -> id map: raw vocab list = sorted distinct base
+    characters (of the lowercased whitespace-tokenized corpus) followed
+    by merge products in merge order; a symbol's id is the FIRST index
+    where it appears (so a merge product that collides with an earlier
+    entry keeps the earlier id — replayable as min(raw_id) in SQL).
+    One distinct-chars aggregation over the corpus; the map itself is
+    vocabulary-sized (driver literal)."""
+    from .dedup import _spread, tokens
+
+    rows = (
+        _spread(df.select(text_col))
+        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("__w"))
+        .select(F.explode(F.split(F.col("__w"), "")).alias("__c"))
+        .filter(F.col("__c") != "")
+        .distinct()
+        .collect()
+    )
+    raw = sorted(r["__c"] for r in rows) + [l + r for l, r in merges]
+    out: dict = {}
+    for i, s in enumerate(raw):
+        out.setdefault(s, i)
+    return out
+
+
+def bpe_encode_ids(
+    df: DataFrame, merges: list, vocab: dict, text_col: str = "text"
+) -> DataFrame:
+    """Token-id encoding per document: apply the merge list in order
+    (same portable string-replace as bpe_encode_len), split to symbols,
+    map each through the vocab literal (-1 for unseen symbols — cannot
+    happen when the vocab was built on the same corpus). Adds
+    ``bpe_ids array<int>``. One codegen projection, no shuffle — the
+    final tokenize step before write_training_shards."""
+    from .dedup import tokens
+
+    words = F.transform(
+        tokens(F.lower(F.col(text_col))),
+        lambda w: F.concat(F.lit(" "), F.regexp_replace(w, "(.)", "$1 ")),
+    )
+    doc_sym = F.concat_ws("", words)
+    for left, right in merges:
+        doc_sym = F.replace(
+            doc_sym, F.lit(f" {left} {right} "), F.lit(f" {left}{right} ")
+        )
+    syms = F.filter(F.split(doc_sym, " "), lambda s: s != "")
+    pairs = []
+    for s, i in sorted(vocab.items()):
+        pairs.extend([F.lit(s), F.lit(i)])
+    id_map = F.create_map(*pairs)
+    ids = F.transform(
+        syms, lambda s: F.coalesce(F.try_element_at(id_map, s), F.lit(-1))
+    )
+    return df.withColumn("bpe_ids", ids)

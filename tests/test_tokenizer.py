@@ -67,3 +67,36 @@ def test_bpe_encode_len_shrinks_with_merges(spark):
     # a+n merge) -> ban,a,n,a = 4; bandana -> ' b an d an a ' -> b+an
     # -> ban,d,an,a = 4 (matches Python str.replace exactly)
     assert merged == 8
+
+
+def test_bpe_encode_ids_round_trip(spark):
+    from hail_spark.llmdata.tokenizer import (
+        bpe_encode_ids,
+        bpe_encode_len,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    rows = [(i, "the cat sat on the mat " * 3 + "dog " * i) for i in range(1, 6)]
+    rows.append((9, ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_train(df, n_merges=4).orderBy("rank").collect()
+    ]
+    vocab = bpe_vocab(df, merges)
+    enc = {r["doc_id"]: r["bpe_ids"]
+           for r in bpe_encode_ids(df, merges, vocab).collect()}
+    lens = {r["doc_id"]: r["n_bpe_tokens"]
+            for r in bpe_encode_len(df, merges).collect()}
+    inv = {i: s for s, i in vocab.items()}
+    for did, ids in enc.items():
+        # id count matches the independent length operator
+        assert len(ids) == lens[did]
+        assert all(i >= 0 for i in ids)
+        # decode: concatenating symbols reproduces the lowercased
+        # whitespace-normalized text
+        decoded = "".join(inv[i] for i in ids)
+        want = "".join(df.filter(f"doc_id = {did}").first()["text"].lower().split())
+        assert decoded == want
+    assert enc[9] == []
