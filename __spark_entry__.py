@@ -5748,6 +5748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_canonical",
         "cluster_keep_best",
         "bpe_encode_ids_docs",
+        "jsonl_round_trip",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -5916,6 +5917,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_canonical": url_dedup_q,
         "cluster_keep_best": cluster_reps_q,
         "bpe_encode_ids_docs": bpe_encode_q,
+        "jsonl_round_trip": jsonl_round_trip_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
@@ -6086,6 +6088,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup_canonical": _URL_DEDUP_SQL,
         "cluster_keep_best": _CLUSTER_REPS_SQL,
         "bpe_encode_ids_docs": _BPE_ENCODE_SQL,
+        "jsonl_round_trip": _JSONL_RT_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
@@ -7811,3 +7814,43 @@ FROM documents d LEFT JOIN encoded e USING (doc_id) ORDER BY d.doc_id
 
 
 _BPE_ENCODE_SQL = _bpe_encode_oracle_sql(6)
+
+
+def jsonl_round_trip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL connector round trip (io/impex.py import_jsonl /
+    export_jsonl — the LLM-corpus interchange format): documents ->
+    newline-delimited JSON in /tmp -> schema'd re-import -> per-source
+    census. The oracle computes the census straight from the parquet,
+    so any serialization loss (nulls, unicode, longs) breaks the row."""
+    import os
+
+    from hail_spark.io.impex import export_jsonl, import_jsonl
+
+    d = _t(spark, sf_dir, "documents").df
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_jsonl_{tag}"
+    export_jsonl(d, path, n_files=4)
+    back = import_jsonl(
+        spark, path,
+        schema="doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).df
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+        )
+        .orderBy("source")
+    )
+
+
+_JSONL_RT_SQL = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+FROM documents GROUP BY source ORDER BY source
+"""

@@ -91,7 +91,7 @@ _LAZY = {
 # the whole hl.methods surface is also reachable at top level, as in the
 # reference (`from .methods import *` in hail/__init__.py)
 _METHODS_TOPLEVEL = (
-    "read_table read_matrix_table import_table import_csv import_lines import_avro "
+    "read_table read_matrix_table import_table import_csv import_lines import_avro import_jsonl export_jsonl "
     "import_bed import_fam import_locus_intervals import_matrix_table import_gen "
     "export_gen import_bgen index_bgen export_bgen import_plink export_plink "
     "import_vcf export_vcf get_vcf_header_info get_vcf_metadata import_gvcf_interval "

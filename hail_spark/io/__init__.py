@@ -3,6 +3,8 @@ from .impex import (
     export_gen,
     grep,
     import_avro,
+    import_jsonl,
+    export_jsonl,
     import_bed,
     import_fam,
     import_gen,
@@ -22,6 +24,8 @@ __all__ = [
     "import_gen",
     "export_gen",
     "import_avro",
+    "import_jsonl",
+    "export_jsonl",
     "export_elasticsearch",
     "import_vcf",
     "export_vcf",

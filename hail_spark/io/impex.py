@@ -738,3 +738,36 @@ def import_csv(
         comment=comment,
         quote=quote,
     )
+
+
+def import_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    min_partitions: int | None = None,
+) -> Table:
+    """Newline-delimited JSON reader — the lingua franca of LLM corpus
+    interchange (one document object per line). With ``schema`` (a DDL
+    string) the scan skips Spark's sampling inference pass and malformed
+    lines land in ``_corrupt_record``-free permissive nulls; without it
+    one inference pass runs first (fine for ad-hoc, pass the schema in
+    production). Splittable + parallel like any text source; column
+    pruning still reaches the parser (Jackson parses only requested
+    fields).
+    """
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    if min_partitions:
+        reader = reader.option("minPartitions", str(min_partitions))
+    return Table(reader.json(path), ())
+
+
+def export_jsonl(t: Table | "DataFrame", path: str, n_files: int | None = None) -> None:
+    """Write newline-delimited JSON (one object per row) — the standard
+    handoff format to tokenizer/training jobs. ``n_files`` coalesces
+    (fewer, larger files for downstream readers that glob)."""
+    df = t.df if hasattr(t, "df") else t
+    if n_files:
+        df = df.coalesce(n_files)
+    df.write.mode("overwrite").json(path)

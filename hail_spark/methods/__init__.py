@@ -78,11 +78,13 @@ from ..io.impex import (  # noqa: F401
     get_vcf_header_info,
     get_vcf_metadata,
     grep,
+    export_jsonl,
     import_avro,
     import_bed,
     import_csv,
     import_fam,
     import_gen,
+    import_jsonl,
     import_lines,
     import_locus_intervals,
     import_matrix_table,

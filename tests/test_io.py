@@ -375,3 +375,25 @@ def test_import_table_line_level_filter_and_find_replace(spark, tmp_path):
     # row 1 re-tokenized: b='x', c='y' (the old c pushed off the schema)
     assert rows[0]["b"] == "x" and rows[0]["c"] == "y"
     assert rows[1]["b"] == "bar" and rows[1]["c"] == "keep"
+
+
+def test_jsonl_round_trip_preserves_values(spark, tmp_path):
+    from hail_spark.io.impex import export_jsonl, import_jsonl
+
+    rows = [
+        (1, "plain ascii", "en"),
+        (2, 'quotes " and \\ backslash and\nnewline', "en"),
+        (3, "unicode: café 中文 \U0001f600", "zh"),
+        (4, None, None),
+        (5, "", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    path = str(tmp_path / "docs_jsonl")
+    export_jsonl(df, path, n_files=2)
+    back = import_jsonl(spark, path, schema="doc_id bigint, text string, lang string").df
+    got = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
+    for doc_id, text, lang in rows:
+        assert got[doc_id] == (text, lang)
+    # inference path (no schema) also resolves the columns
+    inferred = import_jsonl(spark, path).df
+    assert set(inferred.columns) == {"doc_id", "text", "lang"}
