@@ -5749,6 +5749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keep_best",
         "bpe_encode_ids_docs",
         "jsonl_round_trip",
+        "hashed_linear_score_docs",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -5918,6 +5919,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_keep_best": cluster_reps_q,
         "bpe_encode_ids_docs": bpe_encode_q,
         "jsonl_round_trip": jsonl_round_trip_q,
+        "hashed_linear_score_docs": linear_score_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
@@ -6089,6 +6091,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_keep_best": _CLUSTER_REPS_SQL,
         "bpe_encode_ids_docs": _BPE_ENCODE_SQL,
         "jsonl_round_trip": _JSONL_RT_SQL,
+        "hashed_linear_score_docs": _LINEAR_SCORE_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
@@ -7853,4 +7856,42 @@ SELECT source,
        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
        CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
 FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def linear_score_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring plumbing (llmdata/textstats.py
+    hashed_linear_score): a deterministic synthetic weight table
+    (bucket i -> ((i*2654435761) mod 1000)/1000 - 0.5 over 4096
+    buckets) stands in for trained fastText weights; the oracle
+    replays hashing, the weight formula, and the sigmoid."""
+    from hail_spark.llmdata.textstats import hashed_linear_score
+
+    d = _t(spark, sf_dir, "documents").df
+    weights = spark.range(4096).select(
+        F.col("id").cast("bigint").alias("bucket"),
+        (((F.col("id") * 2654435761) % 1000) / 1000.0 - 0.5).alias("weight"),
+    )
+    out = hashed_linear_score(d, weights, n_buckets=4096)
+    return out.select(
+        "doc_id", "n_tokens", F.round("score", 9).alias("score")
+    ).orderBy("doc_id")
+
+
+_LINEAR_SCORE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                x -> x <> '')) AS w
+  FROM documents),
+b AS (SELECT doc_id,
+             ('0x'||substr(md5(w),1,15))::BIGINT % 4096 AS bucket
+      FROM tok),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         AVG((bucket * 2654435761) % 1000 / 1000.0 - 0.5) AS mu
+  FROM b GROUP BY doc_id)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(1.0 / (1.0 + exp(-mu)), 9) AS score
+FROM scored ORDER BY doc_id
 """

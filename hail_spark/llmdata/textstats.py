@@ -433,3 +433,46 @@ def winnowing_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: DataFrame,
+    n_buckets: int = 1 << 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bias: float = 0.0,
+) -> DataFrame:
+    """fastText-style linear text classifier scoring: tokens hash into
+    ``n_buckets`` feature buckets, the model is a (bucket, weight)
+    table, and a document's score is sigmoid(bias + mean of its
+    buckets' weights) — the standard shape for model-based quality
+    filtering (train offline, score the corpus distributedly).
+
+    Plan: token explode -> md5-hash bucket -> equi-join the weight
+    table (broadcast when it fits, hash join keyed on bucket
+    otherwise — Spark decides via AQE) -> one mean per doc + the
+    sigmoid. Absent buckets contribute weight 0. Returns
+    (id_col, n_tokens, score).
+    """
+    from .dedup import _spread, md5_int, tokens
+
+    tok = _spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__w"),
+    )
+    bucketed = tok.select(
+        F.col(id_col), (md5_int(F.col("__w")) % F.lit(n_buckets)).alias("bucket")
+    )
+    w = weights.select(F.col("bucket"), F.col("weight"))
+    joined = bucketed.join(w, "bucket", "left")
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(F.coalesce("weight", F.lit(0.0))).alias("__mu"),
+    )
+    z = F.lit(float(bias)) + F.col("__mu")
+    return agg.select(
+        F.col(id_col),
+        "n_tokens",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
+    )

@@ -211,3 +211,34 @@ def test_url_normalize_and_dedup(spark):
     assert out["https://example.com/p/1"]["keep_id"] == 1
     assert out["https://example.com/p/1"]["n_copies"] == 4
     assert out["https://example.com/p/2"]["n_copies"] == 1
+
+
+def test_hashed_linear_score(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from hail_spark.llmdata.dedup import md5_int
+    from hail_spark.llmdata.textstats import hashed_linear_score
+
+    docs = spark.createDataFrame(
+        [(1, "good doc words here"), (2, "bad"), (3, "")],
+        "doc_id long, text string",
+    )
+    # weights: every bucket of doc 1's tokens gets +2, doc 2's gets -2
+    tok_buckets = {
+        r["w"]: r["b"]
+        for r in spark.createDataFrame(
+            [(w,) for w in "good doc words here bad".split()], "w string"
+        ).select("w", (md5_int(F.col("w")) % 4096).alias("b")).collect()
+    }
+    wrows = [(tok_buckets[w], 2.0) for w in "good doc words here".split()]
+    wrows += [(tok_buckets["bad"], -2.0)]
+    weights = spark.createDataFrame(wrows, "bucket long, weight double")
+    out = {r["doc_id"]: r for r in
+           hashed_linear_score(docs, weights, n_buckets=4096).collect()}
+    assert abs(out[1]["score"] - 1 / (1 + math.exp(-2.0))) < 1e-12
+    assert abs(out[2]["score"] - 1 / (1 + math.exp(2.0))) < 1e-12
+    assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 1
+    # empty doc has no tokens -> no row (nothing to score)
+    assert 3 not in out
