@@ -476,3 +476,51 @@ def hashed_linear_score(
         "n_tokens",
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-z))).alias("score"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document (compressed/raw bytes) — the
+    classic cheap redundancy detector (highly repetitive or templated
+    text compresses far below prose; near-random noise compresses
+    above it). Used as a quality gate band, e.g. keep 0.3 < ratio < 0.9.
+
+    No JVM builtin computes zlib, so this is an Arrow-batched pandas
+    UDF (one deflate per doc, C speed) — map-only, no shuffle, scales
+    linearly. Returns (id_col, n_bytes, ratio); empty/null docs get
+    ratio NULL. zlib is deterministic for a fixed level, so results
+    are stable across runs and machines (pytest-verified against
+    direct zlib; no SQL oracle — DuckDB has no deflate function).
+    """
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    def _ratio_fn(texts):
+        out = []
+        for t in texts:
+            if t is None or t == "":
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            out.append(len(zlib.compress(raw, lvl)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    _ratio_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    ratio_udf = pandas_udf(_ratio_fn, "double")
+
+    from .dedup import _spread
+
+    base = _spread(df.select(F.col(id_col), F.col(text_col)))
+    return base.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).cast("bigint").alias("n_bytes"),
+        ratio_udf(F.col(text_col)).alias("ratio"),
+    )

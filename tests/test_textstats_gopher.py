@@ -242,3 +242,24 @@ def test_hashed_linear_score(spark):
     assert out[1]["n_tokens"] == 4 and out[2]["n_tokens"] == 1
     # empty doc has no tokens -> no row (nothing to score)
     assert 3 not in out
+
+
+def test_compression_ratio(spark):
+    import zlib
+
+    from hail_spark.llmdata.textstats import compression_ratio
+
+    rows = [
+        (1, "aaaaaaaaaa" * 50),                     # highly repetitive
+        (2, "the quick brown fox jumps over it"),   # short prose
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio(df).collect()}
+    # repetitive text compresses hard
+    assert out[1]["ratio"] < 0.1
+    # matches direct zlib exactly
+    raw = rows[1][1].encode()
+    assert abs(out[2]["ratio"] - len(zlib.compress(raw, 6)) / len(raw)) < 1e-12
+    assert out[3]["ratio"] is None and out[4]["ratio"] is None
