@@ -5750,6 +5750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_ids_docs",
         "jsonl_round_trip",
         "hashed_linear_score_docs",
+        "split_assign_census",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -5920,6 +5921,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_ids_docs": bpe_encode_q,
         "jsonl_round_trip": jsonl_round_trip_q,
         "hashed_linear_score_docs": linear_score_q,
+        "split_assign_census": split_assign_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
@@ -6092,6 +6094,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode_ids_docs": _BPE_ENCODE_SQL,
         "jsonl_round_trip": _JSONL_RT_SQL,
         "hashed_linear_score_docs": _LINEAR_SCORE_SQL,
+        "split_assign_census": _SPLIT_ASSIGN_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
@@ -7894,4 +7897,44 @@ scored AS (
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
        round(1.0 / (1.0 + exp(-mu)), 9) AS score
 FROM scored ORDER BY doc_id
+"""
+
+
+def split_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (llmdata/sampling.py
+    split_assign): 80/10/5 bands over the md5 uniform (5% deliberately
+    unassigned and dropped). Oracle replays the uniform and the
+    cumulative bands; per-split census in one row each."""
+    from hail_spark.llmdata.sampling import split_assign
+
+    d = _t(spark, sf_dir, "documents").df
+    out = split_assign(
+        d, {"train": 0.80, "val": 0.10, "test": 0.05}, "doc_id", seed=7
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("split")
+    )
+
+
+_SPLIT_ASSIGN_SQL = """
+WITH u AS (SELECT doc_id, n_chars,
+  (('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':7'),1,15))::BIGINT
+     % 1073741824) / 1073741824.0 AS u
+  FROM documents),
+s AS (SELECT doc_id, n_chars,
+  CASE WHEN u < 0.05 THEN 'test'
+       WHEN u < 0.85 THEN 'train'
+       WHEN u < 0.95 THEN 'val' END AS split
+  FROM u)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id
+FROM s WHERE split IS NOT NULL GROUP BY split ORDER BY split
 """

@@ -243,3 +243,32 @@ def chunk_documents(
         F.size("__c").alias("n_tokens"),
         F.array_join("__c", " ").alias("chunk_text"),
     )
+
+
+def split_assign(
+    df: DataFrame,
+    fractions: dict,
+    uid_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test split: each row's md5-uniform maps
+    into cumulative fraction bands, so membership depends ONLY on the
+    uid (stable across reruns, repartitioning, engines — no leakage
+    when upstream filters change row order). ``fractions``: name ->
+    fraction, processed in sorted-name order; must sum to <= 1, rows
+    beyond the total are dropped (useful for subsampled splits).
+
+    Adds a ``split`` column; map-only, no shuffle.
+    """
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    u = uniform(F.col(uid_col), seed)
+    expr = None
+    acc = 0.0
+    for name in sorted(fractions):
+        acc += float(fractions[name])
+        cond = u < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    out = df.withColumn("split", expr)
+    return out.filter(F.col("split").isNotNull())

@@ -158,3 +158,29 @@ def test_chunk_documents(spark):
     # every token covered: union of chunk tokens == doc tokens
     toks = {t for _, txt in got[1].values() for t in txt.split()}
     assert toks == set(words(10).split())
+
+
+def test_split_assign_deterministic_and_disjoint(spark):
+    import pytest as _pytest
+
+    from hail_spark.llmdata.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = split_assign(df, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id", seed=1)
+    rows = out.collect()
+    assert len(rows) == 2000  # fractions sum to 1 -> nothing dropped
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    # roughly proportional
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    assert abs(counts["val"] / 2000 - 0.1) < 0.03
+    # determinism: same assignment on rerun
+    again = {r["doc_id"]: r["split"] for r in split_assign(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, "doc_id", seed=1).collect()}
+    assert all(again[r["doc_id"]] == r["split"] for r in rows)
+    # partial fractions drop the remainder
+    part = split_assign(df, {"train": 0.5}, "doc_id", seed=1)
+    assert 0.45 < part.count() / 2000 < 0.55
+    with _pytest.raises(ValueError):
+        split_assign(df, {"a": 0.9, "b": 0.2}, "doc_id")
