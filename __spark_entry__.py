@@ -5751,6 +5751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_round_trip",
         "hashed_linear_score_docs",
         "split_assign_census",
+        "perplexity_buckets",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -5922,6 +5923,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_round_trip": jsonl_round_trip_q,
         "hashed_linear_score_docs": linear_score_q,
         "split_assign_census": split_assign_q,
+        "perplexity_buckets": perplexity_buckets_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
@@ -6095,6 +6097,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_round_trip": _JSONL_RT_SQL,
         "hashed_linear_score_docs": _LINEAR_SCORE_SQL,
         "split_assign_census": _SPLIT_ASSIGN_SQL,
+        "perplexity_buckets": _PPL_BUCKETS_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
@@ -7937,4 +7940,54 @@ SELECT split,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        CAST(MIN(doc_id) AS BIGINT) AS min_id
 FROM s WHERE split IS NOT NULL GROUP BY split ORDER BY split
+"""
+
+
+def perplexity_buckets_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: per-doc mean unigram log-prob
+    (llmdata/textstats.py unigram_logprob) cut into head/middle/tail at
+    fixed thresholds, reported per (source, bucket) — the
+    head/middle/tail split CCNet uses to tier CommonCrawl by LM
+    perplexity. Oracle replays the LM, the thresholds, and the census."""
+    from hail_spark.llmdata import textstats
+
+    d = _t(spark, sf_dir, "documents").df
+    lp = textstats.unigram_logprob(d, add_k=0.5)
+    j = d.select("doc_id", "source").join(lp, "doc_id")
+    bucket = (
+        F.when(F.col("mean_logprob") >= -3.4, "head")
+        .when(F.col("mean_logprob") >= -3.45, "middle")
+        .otherwise("tail")
+    )
+    return (
+        j.select("source", bucket.alias("bucket"), "n_tokens")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
+_PPL_BUCKETS_SQL = r"""
+WITH toks AS (SELECT doc_id, unnest(list_filter(
+                  regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> ''))
+                AS w FROM documents),
+counts AS (SELECT w, COUNT(*) c FROM toks GROUP BY w),
+tot AS (SELECT SUM(c) n, COUNT(*) v FROM counts),
+lp AS (SELECT t.doc_id, COUNT(*) AS n_tokens,
+              AVG(LN((c.c + 0.5) / ((SELECT n FROM tot) + 0.5 * (SELECT v FROM tot))))
+                AS mean_logprob
+       FROM toks t JOIN counts c USING (w) GROUP BY t.doc_id),
+b AS (SELECT d.source,
+             CASE WHEN lp.mean_logprob >= -3.4 THEN 'head'
+                  WHEN lp.mean_logprob >= -3.45 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             lp.n_tokens
+      FROM documents d JOIN lp USING (doc_id))
+SELECT source, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM b GROUP BY source, bucket ORDER BY source, bucket
 """
