@@ -15,6 +15,13 @@ Pipeline shapes:
 * simhash              — 48-bit sign-of-weighted-sum fingerprint
 * embedding_dup_pairs  — cosine near-dup; brute (broadcast) or
                          LSH-bucketed (random-hyperplane) at scale
+* dedup_clusters / select_cluster_representatives — pairs → connected
+  components → keep min-id or highest-quality member per cluster
+* dedup_lines          — corpus-level line/paragraph dedup (RefinedWeb)
+* minhash_index_write/read + dedup_against_index — persisted band
+  index; screen new batches with no corpus rescan (incremental dedup)
+* semantic_dedup / kmeans_embeddings — SemDeDup over embeddings
+* duplicated_gram_stats — ExactSubstr-style repeated-span statistics
 """
 
 from __future__ import annotations

@@ -4,8 +4,14 @@ Every primitive derives its randomness from md5 of a caller-chosen uid
 column, so results are stable across retries, repartitioning, and
 engines (any SQL dialect can replay them) — the property Hail's
 threefry-seeded rand family provides (ref Random.scala), delivered here
-with a portable hash. All three ops are single-pass Column expressions:
-no shuffle for the samples, one global sort for the shuffle.
+with a portable hash. The sampling/split/mix ops are single-pass Column
+expressions (no shuffle); shuffle/pack/shard each cost exactly one
+range-partitioned sort plus the two-pass scan primitive.
+
+Ops: uniform / bernoulli_sample / stratified_sample / weighted_mix
+(epochs with replacement) / split_assign (train-val-test) /
+deterministic_shuffle / pack_sequences / chunk_documents (sliding token
+windows) / assign_shards / write_training_shards (+ manifest).
 """
 
 from __future__ import annotations
