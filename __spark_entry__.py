@@ -5752,6 +5752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_linear_score_docs",
         "split_assign_census",
         "perplexity_buckets",
+        "span_removal_exactsubstr",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -5924,6 +5925,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_linear_score_docs": linear_score_q,
         "split_assign_census": split_assign_q,
         "perplexity_buckets": perplexity_buckets_q,
+        "span_removal_exactsubstr": span_removal_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
@@ -6098,6 +6100,7 @@ def oracle_sql() -> dict[str, str]:
         "hashed_linear_score_docs": _LINEAR_SCORE_SQL,
         "split_assign_census": _SPLIT_ASSIGN_SQL,
         "perplexity_buckets": _PPL_BUCKETS_SQL,
+        "span_removal_exactsubstr": _SPAN_REMOVE_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
@@ -7990,4 +7993,49 @@ SELECT source, bucket,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
 FROM b GROUP BY source, bucket ORDER BY source, bucket
+"""
+
+
+def span_removal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style span removal (llmdata/dedup.py
+    remove_duplicated_spans): every token covered by an 8-token window
+    that appears in >= 2 distinct documents is cut, and documents are
+    reassembled. The oracle replays window hashing, coverage, the
+    anti-join, and ordered reassembly."""
+    from hail_spark.llmdata.dedup import remove_duplicated_spans
+
+    d = _t(spark, sf_dir, "documents").df
+    out = remove_duplicated_spans(d, n=8)
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_md5"),
+        "n_tokens",
+        "n_kept",
+        "n_removed",
+    ).orderBy("doc_id")
+
+
+_SPAN_REMOVE_SQL = r"""
+WITH toks AS (SELECT doc_id,
+       list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+       FROM documents),
+occ AS (SELECT doc_id, i,
+        ('0x'||substr(md5(array_to_string(list_slice(ws, i, i+7), ' ')),1,15))::BIGINT AS gh
+        FROM toks,
+             LATERAL unnest(range(1, GREATEST(len(ws)-7, 0)+1)) AS t(i)),
+dup AS (SELECT gh FROM occ GROUP BY gh HAVING MIN(doc_id) <> MAX(doc_id)),
+cov AS (SELECT DISTINCT o.doc_id, t.pos
+        FROM occ o JOIN dup USING (gh),
+             LATERAL unnest(range(o.i, o.i+8)) AS t(pos)),
+tk AS (SELECT doc_id, unnest(range(1, len(ws)+1)) AS pos, unnest(ws) AS w FROM toks),
+kept AS (SELECT tk.doc_id, tk.pos, tk.w FROM tk ANTI JOIN cov USING (doc_id, pos)),
+reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(w, ' ' ORDER BY pos) AS txt
+        FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       md5(COALESCE(r.txt, '')) AS clean_md5,
+       CAST(len(t.ws) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(t.ws) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id
 """

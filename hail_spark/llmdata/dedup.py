@@ -1217,3 +1217,95 @@ def select_cluster_representatives(
             (F.col(id_col) == F.col("__keep_id")).alias("keep"),
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scope: str = "cross_doc",
+) -> DataFrame:
+    """ExactSubstr-style span REMOVAL (Lee et al. 2022, k-gram form):
+    every token covered by a duplicated n-token window is cut from the
+    document, and the survivors are reassembled in order.
+    ``scope='cross_doc'`` marks a window duplicated when it appears in
+    >= 2 DISTINCT documents (boilerplate across the corpus);
+    ``scope='any'`` also catches within-document repetition (>= 2
+    occurrences anywhere). This removes ALL occurrences of a duplicated
+    span — the all-but-one policy of the paper needs a global
+    occurrence order and is deliberately not replicated here.
+
+    Returns (id_col, text_clean, n_tokens, n_kept, n_removed) with every
+    input document present. Documents shorter than ``n`` tokens have no
+    windows and pass through unchanged.
+
+    Scale shape: window hashes are one explode bounded by token count,
+    the duplicate set is one hash-groupBy carrying 60-bit hashes, the
+    coverage explode is n rows per duplicated window (linear, n fixed),
+    and the rebuild is one groupBy(doc). Everything is hash-partitioned
+    equi ops — the posting-list pattern of duplicated_gram_stats with a
+    coverage anti-join on top.
+    """
+    if scope not in ("cross_doc", "any"):
+        raise ValueError(f"unknown scope {scope!r}")
+    base = _spread(df.select(id_col, text_col)).select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    pos = base.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.explode(
+            F.when(
+                F.size("__toks") >= n,
+                F.sequence(F.lit(1), F.size("__toks") - n + 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__i"),
+    )
+    occ = pos.select(
+        F.col(id_col),
+        F.col("__i"),
+        md5_int(F.concat_ws(" ", F.slice("__toks", F.col("__i"), n))).alias("gh"),
+    )
+    g = occ.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(id_col).alias("__lo"),
+        F.max(id_col).alias("__hi"),
+    )
+    dup = (
+        g.filter(F.col("__lo") != F.col("__hi"))
+        if scope == "cross_doc"
+        else g.filter(F.col("__n") >= 2)
+    ).select("gh")
+    covered = (
+        occ.join(dup, "gh")
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("__i"), F.col("__i") + n - 1)).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        F.col(id_col), F.posexplode("__toks").alias("__p0", "w")
+    ).select(F.col(id_col), (F.col("__p0") + 1).alias("pos"), "w")
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    totals = base.select(
+        F.col(id_col), F.size("__toks").cast("long").alias("n_tokens")
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )

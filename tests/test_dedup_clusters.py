@@ -292,3 +292,38 @@ def test_select_cluster_representatives(spark):
     from collections import Counter
     per_comp = Counter(r["component"] for r in out.values() if r["keep"])
     assert all(v == 1 for v in per_comp.values()) and len(per_comp) == 3
+
+
+def test_remove_duplicated_spans(spark):
+    boiler = "one two three four five six seven eight"  # 8-token span
+    rows = [
+        (1, f"alpha {boiler} beta"),
+        (2, f"gamma delta {boiler}"),
+        (3, "totally unique words in this document here now"),
+        (4, "short doc"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.remove_duplicated_spans(df, n=8).collect()}
+    assert len(out) == 5
+    # the shared span is removed from BOTH docs; survivors keep order.
+    # doc 1: windows at offsets 1..3 all duplicated? only the exact
+    # 8-token window ['one'..'eight'] repeats in doc 2 (different
+    # context), so exactly those 8 tokens are covered.
+    assert out[1]["text_clean"] == "alpha beta"
+    assert out[1]["n_removed"] == 8 and out[1]["n_kept"] == 2
+    assert out[2]["text_clean"] == "gamma delta"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["text_clean"] == rows[2][1]
+    # shorter than n: no windows, passes through
+    assert out[4]["text_clean"] == "short doc" and out[4]["n_removed"] == 0
+    assert out[5]["text_clean"] == "" and out[5]["n_tokens"] == 0
+
+    # scope='any' also catches within-doc repetition
+    rep = spark.createDataFrame(
+        [(1, ("x y z w a b c d " * 2).strip() + " tail")],
+        "doc_id long, text string",
+    )
+    got = dedup.remove_duplicated_spans(rep, n=8, scope="any").first()
+    assert got["n_removed"] >= 8
