@@ -218,6 +218,10 @@ def chunk_documents(
     """
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        # stride > window would skip tokens AND the chunk-count formula
+        # would emit an empty trailing chunk (hypothesis-found edge)
+        raise ValueError("stride must be <= window (overlap chunking)")
     from .dedup import _spread, tokens
 
     base = _spread(df.select(F.col(id_col), F.col(text_col)))
