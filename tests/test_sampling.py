@@ -184,3 +184,66 @@ def test_split_assign_deterministic_and_disjoint(spark):
     assert 0.45 < part.count() / 2000 < 0.55
     with _pytest.raises(ValueError):
         split_assign(df, {"a": 0.9, "b": 0.2}, "doc_id")
+
+
+def test_modern_pipeline_composition(spark, sf_dir):
+    """Round-4 pipeline end-to-end on real testdata: line dedup -> span
+    removal -> quality gate (hashed linear score) -> split assignment ->
+    chunking -> shard assignment. Asserts conservation/sanity at each
+    stage; every stage stays a DataFrame (one lazy plan per action)."""
+    from pyspark.sql import functions as F
+
+    from hail_spark.llmdata.dedup import dedup_lines, remove_duplicated_spans
+    from hail_spark.llmdata.sampling import (
+        assign_shards,
+        chunk_documents,
+        split_assign,
+    )
+    from hail_spark.llmdata.textstats import hashed_linear_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. corpus line dedup (8-word windows as lines)
+    ld = dedup_lines(docs, words_per_line=8)
+    assert ld.count() == n0  # every doc survives
+    cleaned = ld.select("doc_id", F.col("text_clean").alias("text"))
+
+    # 2. span removal on the cleaned text
+    sr = remove_duplicated_spans(cleaned, n=8)
+    assert sr.count() == n0
+    cleaned2 = sr.filter(F.col("n_kept") > 0).select(
+        "doc_id", F.col("text_clean").alias("text")
+    )
+
+    # 3. quality gate: keep score >= 0.5 under a synthetic weight table
+    weights = spark.range(4096).select(
+        F.col("id").alias("bucket"),
+        (((F.col("id") * 97) % 200) / 100.0 - 1.0).alias("weight"),
+    )
+    scored = hashed_linear_score(cleaned2, weights, n_buckets=4096)
+    gated = cleaned2.join(
+        scored.filter(F.col("score") >= 0.5).select("doc_id"), "doc_id"
+    )
+    n_gated = gated.count()
+    assert 0 < n_gated <= n0
+
+    # 4. deterministic split, then chunk only the train split
+    split = split_assign(gated, {"train": 0.9, "val": 0.1}, "doc_id", seed=2)
+    train = split.filter("split = 'train'")
+    chunks = chunk_documents(train, window=24, stride=16)
+    # chunk token conservation: every train doc with tokens yields chunks
+    assert chunks.select("doc_id").distinct().count() == train.filter(
+        F.length(F.trim("text")) > 0
+    ).count()
+
+    # 5. shard the chunks deterministically; shards are dense 0..K-1
+    sharded = assign_shards(
+        chunks.withColumn("uid", F.concat_ws(":", "doc_id", "chunk_idx")),
+        docs_per_shard=64,
+        uid_col="uid",
+    )
+    shards = sorted(r["shard"] for r in sharded.select("shard").distinct().collect())
+    assert shards == list(range(len(shards)))
+    counts = {r["shard"]: r["count"] for r in sharded.groupBy("shard").count().collect()}
+    assert all(v == 64 for s, v in counts.items() if s < len(shards) - 1)
