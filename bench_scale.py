@@ -68,6 +68,10 @@ QUERIES = [
     # corpus line dedup (3 hash shuffles incl. document reassembly) and
     # the PQ/IVFPQ ADC scans (map-only encode + bounded top-k window)
     "line_dedup_docs", "pq_ann_topk", "ivfpq_ann_topk",
+    # span-removal rebuild (posting-list + coverage anti-join), the
+    # incremental band-index probe, and the chunk explode
+    "span_removal_exactsubstr", "incremental_dedup_batch",
+    "chunk_documents_windows",
 ]
 
 
