@@ -5753,6 +5753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign_census",
         "perplexity_buckets",
         "span_removal_exactsubstr",
+        "corpus_report_card",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -5926,6 +5927,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign_census": split_assign_q,
         "perplexity_buckets": perplexity_buckets_q,
         "span_removal_exactsubstr": span_removal_q,
+        "corpus_report_card": corpus_report_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
@@ -6101,6 +6103,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign_census": _SPLIT_ASSIGN_SQL,
         "perplexity_buckets": _PPL_BUCKETS_SQL,
         "span_removal_exactsubstr": _SPAN_REMOVE_SQL,
+        "corpus_report_card": _CORPUS_REPORT_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
@@ -8038,4 +8041,58 @@ SELECT t.doc_id,
        CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
        CAST(len(t.ws) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
 FROM toks t LEFT JOIN reb r USING (doc_id) ORDER BY t.doc_id
+"""
+
+
+def corpus_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card report (llmdata/textstats.py corpus_report): ONE
+    aggregation pass producing the corpus-level numbers a training
+    run's data section quotes — counts, exact token-length percentiles,
+    language count, exact-dup fraction, mean quality. Oracle replays
+    every per-row expression and the aggregates."""
+    from hail_spark.llmdata.textstats import corpus_report
+
+    d = _t(spark, sf_dir, "documents").df
+    return corpus_report(d)
+
+
+_CORPUS_REPORT_SQL = r"""
+WITH f AS (
+  SELECT doc_id, text,
+    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS nt,
+    CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+      / length(text) AS pr,
+    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS lws,
+    ('0x'||substr(md5(text),1,15))::BIGINT AS h
+  FROM documents),
+g AS (
+  SELECT doc_id, nt, h,
+    CAST(CASE WHEN nt BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.3 END AS DOUBLE) * 0.4
+    + CAST(CASE WHEN pr < 0.3 THEN 1.0 ELSE 0.5 END AS DOUBLE) * 0.3
+    + CAST(CASE WHEN CAST(len(list_filter(lws, w -> list_contains(
+          ['the','and','of','to','a','in','is','it','that','for'], w))) AS DOUBLE)
+          / len(lws) > 0.01 THEN 1.0 ELSE 0.6 END AS DOUBLE) * 0.3 AS q,
+    len(list_filter(lws, w -> list_contains(['the','and','of','to','a','in','is','it','that','for'], w))) AS en_hits,
+    len(list_filter(lws, w -> list_contains(['el','la','de','que','y','en','un','es','se','no'], w))) AS es_hits,
+    len(list_filter(lws, w -> list_contains(['le','la','de','et','un','en','est','que','pour','dans'], w))) AS fr_hits,
+    len(list_filter(lws, w -> list_contains(['der','die','das','und','in','den','von','zu','mit','ist'], w))) AS de_hits
+  FROM f),
+l AS (
+  SELECT *, CASE
+    WHEN greatest(en_hits, es_hits, fr_hits, de_hits) > 0 AND en_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'en'
+    WHEN greatest(en_hits, es_hits, fr_hits, de_hits) > 0 AND es_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'es'
+    WHEN greatest(en_hits, es_hits, fr_hits, de_hits) > 0 AND fr_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'fr'
+    WHEN greatest(en_hits, es_hits, fr_hits, de_hits) > 0 AND de_hits = greatest(en_hits, es_hits, fr_hits, de_hits) THEN 'de'
+    ELSE 'und' END AS lang
+  FROM g)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       ROUND(AVG(nt), 6) AS mean_doc_tokens,
+       ROUND(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+       ROUND(quantile_cont(nt, 0.9), 6) AS p90_tokens,
+       ROUND(quantile_cont(nt, 0.99), 6) AS p99_tokens,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       ROUND(1.0 - COUNT(DISTINCT h) * 1.0 / COUNT(*), 9) AS exact_dup_fraction,
+       ROUND(AVG(q), 9) AS mean_quality
+FROM l
 """

@@ -524,3 +524,40 @@ def compression_ratio(
         F.length(F.col(text_col)).cast("bigint").alias("n_bytes"),
         ratio_udf(F.col(text_col)).alias("ratio"),
     )
+
+
+def corpus_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row dataset card: the corpus-level numbers a training run's
+    data section reports — document/token counts, token-length exact
+    percentiles (p50/p90/p99), language count, exact-duplicate
+    fraction, mean heuristic quality. ONE aggregation pass over the
+    corpus (every input is a per-row expression feeding codegen
+    hash-agg buffers; the percentiles are Spark's exact percentile
+    aggregate), so the report costs a single scan + one 1-row reduce.
+    """
+    from .dedup import md5_int, tokens
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("__nt"),
+        md5_int(F.col(text_col)).alias("__h"),
+        quality_score(F.col(text_col)).alias("__q"),
+        langid(F.col(text_col)).alias("__lang"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("__nt"), 6).alias("mean_doc_tokens"),
+        F.round(F.expr("percentile(__nt, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(__nt, 0.9)"), 6).alias("p90_tokens"),
+        F.round(F.expr("percentile(__nt, 0.99)"), 6).alias("p99_tokens"),
+        F.countDistinct("__lang").alias("n_langs"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("__h") / F.count(F.lit(1)), 9
+        ).alias("exact_dup_fraction"),
+        F.round(F.avg("__q"), 9).alias("mean_quality"),
+    )
