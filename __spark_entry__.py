@@ -5754,6 +5754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets",
         "span_removal_exactsubstr",
         "corpus_report_card",
+        "bm25_topk_docs",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -5928,6 +5929,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": perplexity_buckets_q,
         "span_removal_exactsubstr": span_removal_q,
         "corpus_report_card": corpus_report_q,
+        "bm25_topk_docs": bm25_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
@@ -6104,6 +6106,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity_buckets": _PPL_BUCKETS_SQL,
         "span_removal_exactsubstr": _SPAN_REMOVE_SQL,
         "corpus_report_card": _CORPUS_REPORT_SQL,
+        "bm25_topk_docs": _BM25_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
@@ -8095,4 +8098,79 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        ROUND(1.0 - COUNT(DISTINCT h) * 1.0 / COUNT(*), 9) AS exact_dup_fraction,
        ROUND(AVG(q), 9) AS mean_quality
 FROM l
+"""
+
+
+def bm25_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 sparse retrieval (llmdata/similarity.py bm25_topk): query
+    term lists are the first 5 distinct tokens (document order) of docs
+    0-2, so the whole pipeline — postings, df, length norm, Robertson
+    idf, tf saturation, ranking — replays in SQL."""
+    from hail_spark.llmdata import similarity as sim
+    from hail_spark.llmdata.dedup import tokens
+
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents").df
+    probe = (
+        d.filter(F.col("doc_id") < 3)
+        .select(
+            "doc_id",
+            F.posexplode(tokens(F.lower(F.col("text")))).alias("pos", "term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.min("pos").alias("p"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("p", "term")
+    qdf = (
+        probe.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "term"))),
+                lambda s: s["term"],
+            ).alias("terms")
+        )
+        .select(F.col("doc_id").alias("q_id"), "terms")
+    )
+    out = sim.bm25_topk(d, qdf, k=10)
+    return out.select(
+        "q_id", "rank", "doc_id", F.round("score", 6).alias("score")
+    ).orderBy("q_id", "rank")
+
+
+_BM25_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(ws) AS term, unnest(range(1, len(ws)+1)) AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS ws
+        FROM documents)),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+st AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+qterms AS (
+  SELECT q_id, term FROM (
+    SELECT doc_id AS q_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY MIN(pos), term) AS rk
+    FROM tok WHERE doc_id < 3 GROUP BY doc_id, term) WHERE rk <= 5),
+scored AS (
+  SELECT q.q_id, t.doc_id,
+         SUM(LN(((SELECT n FROM st) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (t.tf * 2.2)
+             / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / (SELECT avgdl FROM st)))
+         ) AS score
+  FROM tf t
+  JOIN qterms q USING (term)
+  JOIN dfq d USING (term)
+  JOIN dl l ON l.doc_id = t.doc_id
+  GROUP BY q.q_id, t.doc_id),
+ranked AS (SELECT q_id, doc_id, score,
+                  row_number() OVER (PARTITION BY q_id
+                      ORDER BY round(score, 9) DESC, doc_id) AS rank
+           FROM scored)
+SELECT q_id, CAST(rank AS INT) AS rank, doc_id, round(score, 6) AS score
+FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
 """

@@ -549,3 +549,75 @@ def pq_read(spark, path: str):
         "codes", F.transform(F.col("codes"), lambda c: c.cast("int") + 128)
     )
     return codes_df, meta["codebooks"], meta.get("cents")
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    q_id_col: str = "q_id",
+    q_terms_col: str = "terms",
+) -> DataFrame:
+    """BM25 sparse retrieval — the lexical counterpart to the dense ANN
+    stack. ``queries``: (q_id, terms array<string>); scores use the
+    standard Robertson idf ln((N - df + 0.5)/(df + 0.5) + 1) and tf
+    saturation with length normalization (k1, b).
+
+    Plan: one tokenize pass builds the (doc, term, tf) postings and the
+    doc-length table; the df table is one hash-agg over postings; the
+    query terms (small) broadcast against the postings — an equi-join
+    keyed on the term, NOT a scan per query — then one groupBy(q, doc)
+    sum and a bounded top-k window. At 100 TB this is the standard
+    inverted-index shape: everything partitions by term, and only
+    postings of query terms flow past the join.
+    """
+    from .dedup import _spread, tokens
+
+    tok = _spread(corpus.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    )
+    postings = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = float(stats["n"]), float(stats["avgdl"])
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    qt = queries.select(
+        F.col(q_id_col), F.explode(F.col(q_terms_col)).alias("term")
+    ).distinct()
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    scored = (
+        postings.join(F.broadcast(qt), "term")
+        .join(dfreq, "term")
+        .join(dl, id_col)
+        .select(
+            F.col(q_id_col),
+            F.col(id_col),
+            (
+                idf
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))
+                )
+            ).alias("__s"),
+        )
+        .groupBy(q_id_col, id_col)
+        .agg(F.sum("__s").alias("score"))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.round(F.col("score"), 9).desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", id_col, "score")
+    )

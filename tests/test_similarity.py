@@ -220,3 +220,28 @@ def test_pq_write_read_round_trip(spark, sf_dir, tmp_path):
     assert a == b
     after = sorted(map(tuple, sim.ivfpq_topk(codes2, cents2, cbs2, q, k=5).collect()))
     assert before == after
+
+
+def test_bm25_ranks_relevant_docs_first(spark):
+    from pyspark.sql import functions as F
+
+    from hail_spark.llmdata import similarity as sim
+
+    docs = [
+        (1, "spark shuffle partitions tuning guide"),
+        (2, "spark shuffle deep dive shuffle shuffle internals"),
+        (3, "cooking pasta with tomato sauce recipe"),
+        (4, "gardening tips for spring flowers and soil"),
+    ]
+    q = spark.createDataFrame(
+        [(100, ["spark", "shuffle"])], "q_id long, terms array<string>"
+    )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = sim.bm25_topk(df, q, k=4).orderBy("rank").collect()
+    # docs mentioning the query terms outrank the rest; tf saturation
+    # favors doc 2's repeated 'shuffle'
+    ranked_ids = [r["doc_id"] for r in out]
+    assert set(ranked_ids[:2]) == {1, 2}
+    assert out[0]["score"] > out[-1]["score"]
+    # docs without any query term score 0 via no postings -> absent
+    assert 3 not in ranked_ids and 4 not in ranked_ids
