@@ -5755,6 +5755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_removal_exactsubstr",
         "corpus_report_card",
         "bm25_topk_docs",
+        "rrf_hybrid_topk",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -5930,6 +5931,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_removal_exactsubstr": span_removal_q,
         "corpus_report_card": corpus_report_q,
         "bm25_topk_docs": bm25_q,
+        "rrf_hybrid_topk": rrf_hybrid_q,
         "semantic_dedup_kmeans": semantic_dedup_q,
         "duplicated_gram_stats": duplicated_gram_stats_q,
         "training_pipeline_e2e": training_pipeline_q,
@@ -6107,6 +6109,7 @@ def oracle_sql() -> dict[str, str]:
         "span_removal_exactsubstr": _SPAN_REMOVE_SQL,
         "corpus_report_card": _CORPUS_REPORT_SQL,
         "bm25_topk_docs": _BM25_SQL,
+        "rrf_hybrid_topk": _RRF_SQL,
         "semantic_dedup_kmeans": _SEMANTIC_DEDUP_SQL,
         "duplicated_gram_stats": _DUP_GRAM_SQL,
         "training_pipeline_e2e": _TRAINING_PIPELINE_SQL,
@@ -8173,4 +8176,43 @@ ranked AS (SELECT q_id, doc_id, score,
            FROM scored)
 SELECT q_id, CAST(rank AS INT) AS rank, doc_id, round(score, 6) AS score
 FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+
+def rrf_hybrid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (llmdata/similarity
+    rrf_fuse): exact-cosine top-10 fused with PQ-ADC top-10 for the
+    same probes — the standard exact+compressed re-rank combiner. The
+    oracle wraps the two already-verified ranking oracles as CTEs and
+    replays the fusion."""
+    from hail_spark.llmdata import similarity as sim
+
+    e = _t(spark, sf_dir, "embeddings").df
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    dense = sim.brute_force_topk(e, q, k=10).select("q_id", "vec_id", "rank")
+    cbs = sim.pq_train(e, m=8, ncodes=16, n_iter=0)
+    pq = sim.pq_topk(sim.pq_encode(e, cbs), cbs, q, k=10).select(
+        "q_id", "vec_id", "rank"
+    )
+    fused = sim.rrf_fuse([dense, pq], k=10)
+    return fused.select(
+        "q_id", "rank", "vec_id", F.round("rrf_score", 9).alias("rrf_score")
+    ).orderBy("q_id", "rank")
+
+
+_RRF_SQL = f"""
+WITH a AS ({_ANN_SQL}),
+b AS ({_PQ_ANN_SQL}),
+u AS (SELECT q_id, vec_id, 1.0/(60.0+rank) AS s FROM a
+      UNION ALL
+      SELECT q_id, vec_id, 1.0/(60.0+rank) AS s FROM b),
+f AS (SELECT q_id, vec_id, SUM(s) AS rrf_score FROM u GROUP BY q_id, vec_id),
+r AS (SELECT q_id, vec_id, rrf_score,
+             row_number() OVER (PARTITION BY q_id
+                 ORDER BY round(rrf_score, 9) DESC, vec_id) AS rank
+      FROM f)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(rrf_score, 9) AS rrf_score
+FROM r WHERE rank <= 10 ORDER BY q_id, rank
 """

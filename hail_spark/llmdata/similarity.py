@@ -621,3 +621,40 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(q_id_col, "rank", id_col, "score")
     )
+
+
+def rrf_fuse(
+    rankings,
+    k: int = 10,
+    c: float = 60.0,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.) over any number of
+    (q_id, id, rank) frames — the standard hybrid-retrieval combiner
+    (dense + sparse, or exact + compressed as in the PQ re-rank).
+    score(q, d) = Σ_lists 1/(c + rank); absent entries contribute 0.
+
+    Plan: union the (small) per-query top-k lists, one groupBy(q, id)
+    sum, one bounded top-k window — all post-retrieval, so the cost is
+    O(Q·k·n_lists) regardless of corpus size."""
+    from functools import reduce
+
+    parts = [
+        r.select(
+            F.col(q_id_col),
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col("rank"))).alias("__s"),
+        )
+        for r in rankings
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    fused = u.groupBy(q_id_col, id_col).agg(F.sum("__s").alias("rrf_score"))
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.round(F.col("rrf_score"), 9).desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", id_col, "rrf_score")
+    )

@@ -245,3 +245,22 @@ def test_bm25_ranks_relevant_docs_first(spark):
     assert out[0]["score"] > out[-1]["score"]
     # docs without any query term score 0 via no postings -> absent
     assert 3 not in ranked_ids and 4 not in ranked_ids
+
+
+def test_rrf_fuse(spark):
+    from hail_spark.llmdata import similarity as sim
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)], "q_id long, vec_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)], "q_id long, vec_id long, rank int"
+    )
+    out = sim.rrf_fuse([a, b], k=4).orderBy("rank").collect()
+    # 11 appears at ranks 2+1, 10 at 1+3 -> 11 first (1/62+1/61 > 1/61+1/63)
+    # 13 (rank 2 in one list, 1/62) beats 12 (rank 3, 1/63)
+    assert [r["vec_id"] for r in out] == [11, 10, 13, 12]
+    assert abs(out[0]["rrf_score"] - (1/62 + 1/61)) < 1e-12
+    # docs in only one list still score
+    assert abs(out[2]["rrf_score"] - 1/62) < 1e-12
+    assert abs(out[3]["rrf_score"] - 1/63) < 1e-12
