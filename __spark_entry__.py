@@ -6801,6 +6801,19 @@ def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train(d, n_merges=6).orderBy("rank")
 
 
+def _nested_replace_sql(expr: str, old: str, new: str, k: int = 5) -> str:
+    """k passes of leftmost non-overlapping replace — reaches the
+    canonical-BPE fixpoint for chained occurrences up to ~2^k deep
+    (each pass at least halves the remaining overlap-blocked
+    occurrences of ' l r ' runs). k=5 covers runs of 32 repeated pair
+    occurrences, far beyond any word in the gate corpora; the pytest
+    two-SF gate compares against the exact fixpoint encoder, so an
+    insufficient k would fail loudly, not silently."""
+    for _ in range(k):
+        expr = f"replace({expr}, {old}, {new})"
+    return expr
+
+
 def _bpe_oracle_sql(n_merges: int = 6) -> str:
     parts = [
         r"""WITH w0 AS (
@@ -6810,20 +6823,26 @@ def _bpe_oracle_sql(n_merges: int = 6) -> str:
 v0 AS (SELECT w, freq, ' ' || regexp_replace(w, '(.)', '\1 ', 'g') AS sym FROM w0)"""
     ]
     for i in range(n_merges):
+        # MATERIALIZED: DuckDB CTEs re-evaluate per reference by default;
+        # the k-nested fixpoint replace references the pair k*2 times, so
+        # without materialization the expansion is exponential in merges.
         parts.append(
-            f"""p{i} AS (
-  SELECT a[i] || ' ' || a[i+1] AS pair, SUM(freq) AS pair_freq
+            f"""p{i} AS MATERIALIZED (
+  SELECT a[i] || ' ' || a[i+1] AS pair,
+         replace(a[i] || ' ' || a[i+1], ' ', '') AS merged,
+         SUM(freq) AS pair_freq
   FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM v{i}),
        UNNEST(range(1, len(a))) AS t(i)
-  GROUP BY 1 ORDER BY pair_freq DESC, pair ASC LIMIT 1)"""
+  GROUP BY 1, 2 ORDER BY pair_freq DESC, pair ASC LIMIT 1)"""
         )
         if i < n_merges - 1:
+            rep = _nested_replace_sql(
+                "sym", "' ' || pair || ' '", "' ' || merged || ' '"
+            )
             parts.append(
-                f"""v{i + 1} AS (
-  SELECT w, freq,
-         replace(sym, ' ' || (SELECT pair FROM p{i}) || ' ',
-                 ' ' || replace((SELECT pair FROM p{i}), ' ', '') || ' ') AS sym
-  FROM v{i})"""
+                f"""v{i + 1} AS MATERIALIZED (
+  SELECT w, freq, {rep} AS sym
+  FROM v{i}, p{i})"""
             )
     selects = [
         f"""SELECT {i} AS rank, split_part(pair, ' ', 1) AS merge_left,
@@ -7807,12 +7826,13 @@ d0 AS (SELECT doc_id, string_agg(wsym, '' ORDER BY pos) AS sym
        FROM docw GROUP BY doc_id)"""
     )
     for i in range(n_merges):
+        rep = _nested_replace_sql(
+            "sym", "' ' || pair || ' '", "' ' || merged || ' '"
+        )
         parts.append(
-            f"""d{i + 1} AS (
-  SELECT doc_id,
-         replace(sym, ' ' || (SELECT pair FROM p{i}) || ' ',
-                 ' ' || replace((SELECT pair FROM p{i}), ' ', '') || ' ') AS sym
-  FROM d{i})"""
+            f"""d{i + 1} AS MATERIALIZED (
+  SELECT doc_id, {rep} AS sym
+  FROM d{i}, p{i})"""
         )
     parts.append(
         f"""symrows AS (

@@ -20,7 +20,8 @@ Format (all reference file:line cites):
   ``ZstdBlockBufferSpec`` ([int32 LE decompLen][zstd frame] per block,
   InputBuffers.scala:614), ``LEB128BufferSpec`` (readInt/readLong
   become unsigned LEB128 varints, compatibility/LegacyBufferSpecs
-  .scala:42). LZ4 variants raise (no lz4 codec in this environment).
+  .scala:42). ``LZ4BlockBufferSpec`` variants decode via the pure-Python
+  LZ4 block decompressor below (``_lz4_decompress_block``).
 * row stream — per row a ``1`` byte then the encoded row; ``0``
   terminates (sparkextras RichContextRDDRegionValue.scala:51,62).
 * value encoding — types/encoded/*.scala: ``EBaseStruct`` leads with a

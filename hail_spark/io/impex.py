@@ -758,9 +758,13 @@ def import_jsonl(
     reader = spark.read
     if schema:
         reader = reader.schema(schema)
-    if min_partitions:
-        reader = reader.option("minPartitions", str(min_partitions))
-    return Table(reader.json(path), ())
+    df = reader.json(path)
+    # The JSON file source has no minPartitions option (that's the text
+    # source); honor the contract explicitly with a repartition only
+    # when the scan came back narrower than asked.
+    if min_partitions and df.rdd.getNumPartitions() < min_partitions:
+        df = df.repartition(min_partitions)
+    return Table(df, ())
 
 
 def export_jsonl(t: Table | "DataFrame", path: str, n_files: int | None = None) -> None:

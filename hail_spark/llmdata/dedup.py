@@ -1195,17 +1195,21 @@ def select_cluster_representatives(
     hash-agg max_by per component — no window over the corpus.
     """
     j = clusters.join(quality.select(id_col, quality_col), id_col, "left")
-    # max_by with an explicit (quality, -id) ordering struct: ties on
-    # quality break toward the smaller id deterministically
+    # min_by over the ordering struct (-quality, id): the smallest struct
+    # is the highest quality, ties broken toward the smaller id. Never
+    # negates the id itself, so string/UUID/URL doc ids work (unary minus
+    # on a string column would cast-to-double -> NULL and drop every
+    # representative).
     best = j.groupBy("component").agg(
-        F.max(
+        F.min_by(
+            F.col(id_col),
             F.struct(
-                F.coalesce(F.col(quality_col), F.lit(float("-inf"))).alias("q"),
-                (-F.col(id_col)).alias("neg_id"),
-            )
-        ).alias("__b")
-    ).select(
-        "component", (-F.col("__b.neg_id")).alias("__keep_id")
+                (-F.coalesce(F.col(quality_col), F.lit(float("-inf")))).alias(
+                    "negq"
+                ),
+                F.col(id_col).alias("i"),
+            ),
+        ).alias("__keep_id")
     )
     return (
         j.join(best, "component")

@@ -246,6 +246,12 @@ def pq_train(
     """
     import numpy as np
 
+    if ncodes > 256:
+        raise ValueError(
+            f"pq_train: ncodes={ncodes} > 256 — PQ codes are persisted as "
+            "1 byte/subspace (pq_write tinyint packing); use m > 1 "
+            "subspaces instead of a wider per-subspace codebook"
+        )
     base = corpus.select(F.col(id_col), F.col(vec_col))
     if n_iter > 0:
         base = base.localCheckpoint()
@@ -522,6 +528,12 @@ def pq_write(codes_df: DataFrame, codebooks, path: str, cents=None) -> None:
     import json as _json
     import os
 
+    for cb in codebooks:
+        if len(cb) > 256:
+            raise ValueError(
+                f"pq_write: codebook has {len(cb)} codes; the tinyint "
+                "byte-packing holds at most 256 — train with ncodes <= 256"
+            )
     packed = codes_df.withColumn(
         "codes",
         F.transform(F.col("codes"), lambda c: (c - 128).cast("tinyint")),

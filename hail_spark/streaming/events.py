@@ -171,14 +171,17 @@ def stream_exact_dedup(
     planning) — exactly-once file sources make this deterministic per
     file within a run.
     """
-    if ingest_ts_col not in docs.columns:
+    synthesized = ingest_ts_col not in docs.columns
+    if synthesized:
         docs = docs.withColumn(ingest_ts_col, F.current_timestamp())
     hashed = docs.withColumn("__content_hash", F.md5(F.col(text_col)))
-    return (
-        hashed.withWatermark(ingest_ts_col, watermark)
-        .dropDuplicatesWithinWatermark(["__content_hash"])
-        .drop("__content_hash", ingest_ts_col)
-    )
+    out = hashed.withWatermark(
+        ingest_ts_col, watermark
+    ).dropDuplicatesWithinWatermark(["__content_hash"])
+    # only drop the timestamp we stamped on ourselves — a caller-provided
+    # event-time column must survive for downstream windowed operators
+    drop_cols = ["__content_hash"] + ([ingest_ts_col] if synthesized else [])
+    return out.drop(*drop_cols)
 
 
 def stream_quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:

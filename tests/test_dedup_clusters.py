@@ -294,6 +294,36 @@ def test_select_cluster_representatives(spark):
     assert all(v == 1 for v in per_comp.values()) and len(per_comp) == 3
 
 
+def test_select_cluster_representatives_string_ids(spark):
+    # real corpus ids are strings (URLs, UUIDs) — the keep policy must
+    # not do arithmetic on the id column (round-4 ADVICE: unary minus
+    # on a string casts to double -> NULL -> every keep=false).
+    clusters = spark.createDataFrame(
+        [
+            ("https://a.example/x", "c1", 3),
+            ("https://b.example/y", "c1", 3),
+            ("https://c.example/z", "c1", 3),
+            ("uuid-9000", "c2", 2),
+            ("uuid-0001", "c2", 2),
+        ],
+        "doc_id string, component string, cluster_size long",
+    )
+    quality = spark.createDataFrame(
+        # c1: b best; c2: tie -> lexicographically smaller id
+        [
+            ("https://a.example/x", 0.2),
+            ("https://b.example/y", 0.8),
+            ("uuid-9000", 0.5),
+            ("uuid-0001", 0.5),
+        ],
+        "doc_id string, quality double",
+    )
+    out = {r["doc_id"]: r for r in
+           dedup.select_cluster_representatives(clusters, quality).collect()}
+    keeps = {d for d, r in out.items() if r["keep"]}
+    assert keeps == {"https://b.example/y", "uuid-0001"}
+
+
 def test_remove_duplicated_spans(spark):
     boiler = "one two three four five six seven eight"  # 8-token span
     rows = [

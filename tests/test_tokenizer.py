@@ -8,8 +8,11 @@ from tests.conftest import load
 
 
 def _py_bpe(word_freqs, n_merges):
-    """Reference BPE with the same conventions: space-joined symbols,
-    leftmost non-overlapping replace, ties to smaller pair."""
+    """Naive reference BPE (canonical Sennrich 2016): space-joined
+    symbols, per-round replace run to FIXPOINT (all chained adjacent
+    occurrences merge in the round), ties to the lexicographically
+    smaller 'l r' pair string. Recounts from scratch every round —
+    the independent check on the incremental trainer's bookkeeping."""
     vocab = {f" {' '.join(w)} ": f for w, f in word_freqs.items()}
     merges = []
     for _ in range(n_merges):
@@ -21,12 +24,20 @@ def _py_bpe(word_freqs, n_merges):
                 counts[p] = counts.get(p, 0) + f
         if not counts:
             break
-        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        best = min(counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))
         (l, r), f = best
         merges.append((l, r, f))
-        vocab = {
-            s.replace(f" {l} {r} ", f" {l}{r} "): fr for s, fr in vocab.items()
-        }
+        old, new = f" {l} {r} ", f" {l}{r} "
+
+        def fix(s):
+            while old in s:
+                s = s.replace(old, new)
+            return s
+
+        nv = {}
+        for s, fr in vocab.items():
+            nv[fix(s)] = nv.get(fix(s), 0) + fr
+        vocab = nv
     return merges
 
 
@@ -62,11 +73,10 @@ def test_bpe_encode_len_shrinks_with_merges(spark):
         df, [("a", "n"), ("b", "an")]
     ).first()["n_bpe_tokens"]
     assert merged < no_merge
-    # leftmost non-overlapping replace consumes the boundary space, so
-    # adjacent occurrences don't chain: banana -> ' b an a n a ' (one
-    # a+n merge) -> ban,a,n,a = 4; bandana -> ' b an d an a ' -> b+an
-    # -> ban,d,an,a = 4 (matches Python str.replace exactly)
-    assert merged == 8
+    # canonical BPE: every adjacent occurrence merges in a round, so
+    # banana -> b,an,an,a -> ban,an,a = 3; bandana -> b,an,d,an,a ->
+    # ban,d,an,a = 4 (the round-4 ADVICE 'banana' chaining case)
+    assert merged == 7
 
 
 def test_bpe_encode_ids_round_trip(spark):
@@ -100,3 +110,95 @@ def test_bpe_encode_ids_round_trip(spark):
         want = "".join(df.filter(f"doc_id = {did}").first()["text"].lower().split())
         assert decoded == want
     assert enc[9] == []
+
+
+def test_bpe_canonical_chaining_banana(spark):
+    # 'banana': pair (a,n) appears twice, chained — canonical BPE merges
+    # BOTH in the round the pair wins (the round-4 ADVICE finding: the
+    # old single-pass string replace consumed the shared boundary space
+    # and produced b,an,a,n,a).
+    df = spark.createDataFrame([("banana banana banana",)], "text string")
+    got = [
+        (r["merge_left"], r["merge_right"], r["freq"])
+        for r in tokenizer.bpe_train(df, n_merges=2).orderBy("rank").collect()
+    ]
+    # round 1: pairs of b,a,n,a,n,a -> (a,n) freq 2*3=6 wins over (n,a) 2*3?
+    # (b,a) 3, (a,n) 6, (n,a) 6 -> tie 'a n' < 'n a' -> (a,n).
+    assert got[0] == ("a", "n", 6)
+    # after canonical merge: b,an,an,a -> pairs (b,an) 3, (an,an) 3,
+    # (an,a) 3 -> tie toward smallest pair string: 'an a' < 'an an' < 'b an'
+    assert got[1] == ("an", "a", 3)
+
+
+def test_bpe_incremental_trainer_matches_naive_recount(spark, sf_dir):
+    from tests.conftest import load
+
+    d = load(spark, sf_dir, "documents").limit(120)
+    got = [
+        (r["merge_left"], r["merge_right"], r["freq"])
+        for r in tokenizer.bpe_train(d, n_merges=10).orderBy("rank").collect()
+    ]
+    freqs = {}
+    for r in d.select("text").collect():
+        for w in (r["text"] or "").lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    assert got == _py_bpe(freqs, 10)
+
+
+def test_bpe_train_sampled_path_is_deterministic(spark, sf_dir):
+    from tests.conftest import load
+
+    d = load(spark, sf_dir, "documents")
+    # force the sampling branch by dropping the cutoff temporarily
+    old = tokenizer.SMALL_VOCAB_CUTOFF
+    tokenizer.SMALL_VOCAB_CUTOFF = 1
+    try:
+        a = tokenizer.bpe_train(d, n_merges=3, sample_docs=50).collect()
+        b = tokenizer.bpe_train(d, n_merges=3, sample_docs=50).collect()
+    finally:
+        tokenizer.SMALL_VOCAB_CUTOFF = old
+    assert a == b and len(a) == 3
+
+
+def test_bpe_encode_scales_to_large_merge_table(spark):
+    # the round-4 verdict's vocabulary-axis fix: a 32k-entry merge table
+    # must not blow up the plan (old path chained 32k Column replaces).
+    # Build a synthetic but internally-consistent merge table (chains
+    # a+b, ab+c, abc+d ... like a real learned table) and encode.
+    import string
+
+    merges = []
+    for c0 in string.ascii_lowercase:
+        prod = c0
+        for c1 in string.ascii_lowercase:
+            merges.append((prod, c1))
+            prod += c1
+    merges = (merges * 48)[:32000]  # duplicates get rank-deduped
+    df = spark.createDataFrame(
+        [(i, "abcde edcba banana " * 5) for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = tokenizer.bpe_encode_len(df, merges)
+    # plan stays flat: one projection over the scan, no shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    rows = out.collect()
+    assert len(rows) == 50
+    # merges that apply ((b,a) -> ba, (n,a) -> na) shrink the text
+    n = rows[0]["n_bpe_tokens"]
+    assert all(r["n_bpe_tokens"] == n for r in rows)
+    assert n < 5 * 16  # fewer tokens than characters
+
+
+def test_bpe_encode_ids_matches_len_and_decodes(spark):
+    rows = [(1, "banana bandana"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [("a", "n"), ("b", "an"), ("an", "a")]
+    vocab = tokenizer.bpe_vocab(df, merges)
+    enc = {r["doc_id"]: list(r["bpe_ids"])
+           for r in tokenizer.bpe_encode_ids(df, merges, vocab).collect()}
+    lens = {r["doc_id"]: r["n_bpe_tokens"]
+            for r in tokenizer.bpe_encode_len(df, merges).collect()}
+    inv = {i: s for s, i in vocab.items()}
+    assert [inv[i] for i in enc[1]] == ["ban", "ana", "ban", "d", "ana"]
+    assert lens[1] == len(enc[1]) and enc[2] == [] and lens[2] == 0
