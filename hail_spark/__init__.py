@@ -16,7 +16,7 @@ __all__ = [
     "MatrixTable", "GroupedMatrixTable", "VariantDataset", "BlockMatrix",
     "experimental", "init", "init_spark", "init_local", "stop",
     "spark_context", "tmp_dir", "version", "citation",
-    "set_global_seed", "reset_global_randomness",
+    "set_global_seed", "reset_global_randomness", "set_rng_engine",
     "get_reference", "default_reference",
     "nd", "linalg", "methods", "genetics", "stats", "vds", "utils", "io",
     "hadoop_open", "hadoop_exists", "hadoop_is_file", "hadoop_is_dir",
@@ -62,6 +62,7 @@ _LAZY = {
     # randomness + genome registry (ref hl.set_global_seed etc.)
     "set_global_seed": ("hail_spark.expr.functions", "set_global_seed"),
     "reset_global_randomness": ("hail_spark.expr.functions", "reset_global_randomness"),
+    "set_rng_engine": ("hail_spark.expr.functions", "set_rng_engine"),
     "get_reference": ("hail_spark.expr.genome", "get_reference"),
     "default_reference": ("hail_spark.expr.genome", "default_reference"),
     # filesystem utils (ref hl.hadoop_*)

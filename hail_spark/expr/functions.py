@@ -811,15 +811,98 @@ def _seed(s):
     return _GLOBAL_SEED if s is None else s
 
 
-def rand_unif(uid, lo=0.0, hi=1.0, seed: int | None = None) -> Column:
+# RNG engine selection (round-5 verdict item 4): 'xxhash' is the
+# default JVM-side engine (codegen, zero Python, the 100-TB path);
+# 'threefry' is the OPT-IN reference-parity engine — bit-exact
+# Threefry-4x64 streams (expr/threefry.py, KAT-verified against the
+# reference's RandomSuite vectors) with stream identity
+# (nonce=0, staticID=seed, message=[row uid]). A user replaying a
+# reference pipeline that consumes hl.rand_* draws selects it per call
+# (engine='threefry') or globally (set_rng_engine).
+_RNG_ENGINE = "xxhash"
+_RNG_ENGINES = ("xxhash", "threefry")
+
+
+def set_rng_engine(engine: str) -> None:
+    """Select the engine used by ``rand_unif``/``rand_bool``/
+    ``rand_norm`` calls that don't pass ``engine=`` explicitly:
+    'xxhash' (default, JVM-side) or 'threefry' (reference bit-exact,
+    Arrow-batched)."""
+    if engine not in _RNG_ENGINES:
+        raise ValueError(f"unknown rng engine {engine!r}; one of {_RNG_ENGINES}")
+    global _RNG_ENGINE
+    _RNG_ENGINE = engine
+
+
+def _engine(e):
+    if e is not None and e not in _RNG_ENGINES:
+        raise ValueError(f"unknown rng engine {e!r}; one of {_RNG_ENGINES}")
+    return _RNG_ENGINE if e is None else e
+
+
+def _np_threefry_unif(uid, seed: int):
+    """Vectorized reference-exact uniform in [0,1): per-row pmac state
+    (message=[uid]), one batched 20-round encryption, then the
+    reference's infinite-precision-real double rounding
+    (Random.scala:553). Rows whose first 64 draw bits are zero
+    (P = 2^-64 each) fall back to the scalar engine for the exact
+    multi-word path."""
+    from . import threefry as tf
+
+    uid = np.asarray(uid, dtype=np.uint64)
+    states, tweak = tf.pmac_states_single_word(0, seed & ((1 << 64) - 1), uid)
+    buf = tf.encrypt_batch_states(tf.DEFAULT_KEY, tweak, states, counter=0)
+    bits = buf[:, 0]
+    with np.errstate(over="ignore"):
+        lowbit = bits & (~bits + np.uint64(1))
+    e = np.where(
+        bits == 0, 0, np.log2(np.maximum(lowbit, 1).astype(np.float64))
+    ).astype(np.int64)
+    exponent = (1022 - e).astype(np.uint64)
+    sig_src = np.where(e < 12, bits, buf[:, 1])
+    res = ((exponent & np.uint64(0x7FF)) << np.uint64(52)) | (
+        sig_src >> np.uint64(12)
+    )
+    out = res.view(np.float64).copy()
+    for i in np.nonzero(bits == 0)[0]:
+        eng = tf.ThreefryRandomEngine.from_pmac(0, seed, [int(uid[i])])
+        out[i] = eng.next_double()
+    return out
+
+
+def _np_threefry_norm(uid, seed: int):
+    """Reference-exact gaussian: the engine's polar method consumes a
+    data-dependent number of draws (rejection loop), so this runs the
+    scalar buffered engine per row — exactness over throughput; the
+    opt-in parity path, not the default."""
+    from . import threefry as tf
+
+    uid = np.asarray(uid, dtype=np.int64)
+    out = np.empty(uid.shape[0])
+    for i, u in enumerate(uid):
+        eng = tf.ThreefryRandomEngine.from_pmac(0, seed, [int(u)])
+        out[i] = eng.next_gaussian()
+    return out
+
+
+def rand_unif(
+    uid, lo=0.0, hi=1.0, seed: int | None = None, engine: str | None = None
+) -> Column:
     seed = _seed(seed)
+    if _engine(engine) == "threefry":
+        lo_f, hi_f = float(lo), float(hi)
+        return _rand_pandas_udf(
+            lambda u: lo_f + _np_threefry_unif(u, seed) * (hi_f - lo_f)
+        )(_c(uid).cast("long"))
     h = F.xxhash64(_c(uid), F.lit(seed))
     u = (h.cast("double") / F.lit(2.0**63)) / 2.0 + 0.5
     return F.lit(lo) + u * (F.lit(hi) - F.lit(lo))
 
 
-def rand_bool(uid, p: float, seed: int | None = None) -> Column:
-    return rand_unif(uid, seed=seed) < p
+def rand_bool(
+    uid, p: float, seed: int | None = None, engine: str | None = None
+) -> Column:
+    return rand_unif(uid, seed=seed, engine=engine) < p
 
 
 def rand_int32(uid, n, seed: int | None = None) -> Column:
@@ -827,9 +910,17 @@ def rand_int32(uid, n, seed: int | None = None) -> Column:
     return F.pmod(F.xxhash64(_c(uid), F.lit(seed)), F.lit(n)).cast("int")
 
 
-def rand_norm(uid, mean=0.0, sd=1.0, seed: int | None = None) -> Column:
-    """Box-Muller over two derived uniforms."""
+def rand_norm(
+    uid, mean=0.0, sd=1.0, seed: int | None = None, engine: str | None = None
+) -> Column:
+    """Box-Muller over two derived uniforms (xxhash engine) or the
+    reference's polar-method gaussian (threefry engine, bit-exact)."""
     seed = _seed(seed)
+    if _engine(engine) == "threefry":
+        mean_f, sd_f = float(mean), float(sd)
+        return _rand_pandas_udf(
+            lambda u: mean_f + _np_threefry_norm(u, seed) * sd_f
+        )(_c(uid).cast("long"))
     u1 = rand_unif(uid, seed=seed * 2 + 1)
     u2 = rand_unif(uid, seed=seed * 2 + 2)
     z = F.sqrt(-2.0 * F.log(u1)) * F.cos(2.0 * 3.141592653589793 * u2)

@@ -243,3 +243,62 @@ def encrypt_batch(key: list[int], tweak: int, state: list[int],
         x[2] = x[2] + k[(s + 2) % 5] + tw[(s + 1) % 3]
         x[3] = x[3] + k[(s + 3) % 5] + np.uint64(s)
     return np.stack(x, axis=1)
+
+
+def encrypt_batch_states(key: list[int], tweak: int, states: np.ndarray,
+                         counter: int = 0) -> np.ndarray:
+    """Vectorized Threefry with PER-ROW state words and one fixed
+    (tweak, counter): returns an (n, 4) uint64 matrix, row i ==
+    encrypt(key, (tweak, counter), states[i]). This is the
+    one-stream-per-row bulk path (each row's state came from its own
+    pmac hash), complementing ``encrypt_batch``'s
+    one-stream-many-counters shape."""
+    states = np.asarray(states, dtype=np.uint64)
+    n = states.shape[0]
+    k = [np.uint64(v) for v in key]
+    t0 = np.uint64(tweak & _M64)
+    t1 = np.uint64(counter & _M64)
+    tw = (t0, t1, t0 ^ t1)
+    x = [states[:, j].copy() for j in range(4)]
+
+    def rotl(a, r):
+        r_ = np.uint64(r)
+        return (a << r_) | (a >> np.uint64(64 - r))
+
+    with np.errstate(over="ignore"):
+        for d in range(DEFAULT_NUM_ROUNDS):
+            if d % 4 == 0:
+                s = d // 4
+                x[0] = x[0] + k[s % 5]
+                x[1] = x[1] + k[(s + 1) % 5] + tw[s % 3]
+                x[2] = x[2] + k[(s + 2) % 5] + tw[(s + 1) % 3]
+                x[3] = x[3] + k[(s + 3) % 5] + np.uint64(s)
+            r0, r1 = ROT_CONSTS[d % 8]
+            x[0] = x[0] + x[1]
+            x[1] = rotl(x[1], r0) ^ x[0]
+            x[2] = x[2] + x[3]
+            x[3] = rotl(x[3], r1) ^ x[2]
+            x[1], x[3] = x[3], x[1]
+        s = DEFAULT_NUM_ROUNDS // 4
+        x[0] = x[0] + k[s % 5]
+        x[1] = x[1] + k[(s + 1) % 5] + tw[s % 3]
+        x[2] = x[2] + k[(s + 2) % 5] + tw[(s + 1) % 3]
+        x[3] = x[3] + k[(s + 3) % 5] + np.uint64(s)
+    return np.stack(x, axis=1)
+
+
+def pmac_states_single_word(nonce: int, static_id: int,
+                            messages: np.ndarray) -> tuple[np.ndarray, int]:
+    """Vectorized pmac_hash for the common stream identity
+    message=[uid] (one word): returns the (n, 4) engine states and the
+    shared final tweak. Mirrors pmac_hash_from_state exactly for
+    length-1 messages: padded block is [uid, 1, 0, 0], so the state is
+    sum4 xor that block and the tweak is the padded-final marker."""
+    sum4 = encrypt(DEFAULT_KEY, (STATIC_TWEAK, 0), [nonce, static_id, 0, 0])
+    uids = np.asarray(messages, dtype=np.uint64)
+    states = np.empty((uids.shape[0], 4), dtype=np.uint64)
+    states[:, 0] = np.uint64(sum4[0]) ^ uids
+    states[:, 1] = np.uint64(sum4[1] ^ 1)
+    states[:, 2] = np.uint64(sum4[2])
+    states[:, 3] = np.uint64(sum4[3])
+    return states, FINAL_BLOCK_PADDED_TWEAK

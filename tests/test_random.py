@@ -178,3 +178,72 @@ def test_threefry_pmac_padding_boundary():
     assert t3 == FINAL_BLOCK_PADDED_TWEAK
     # padded [1,2,3] must NOT collide with explicit [1,2,3,1]
     assert pmac(0, 1, [1, 2, 3]) != pmac(0, 1, [1, 2, 3, 1])
+
+
+def test_threefry_batch_states_matches_scalar():
+    import numpy as np
+
+    from hail_spark.expr.threefry import (
+        DEFAULT_KEY,
+        encrypt,
+        encrypt_batch_states,
+    )
+
+    states = np.array(
+        [[1, 2, 3, 4], [5, 6, 7, 8], [2**64 - 1, 0, 17, 2**63]],
+        dtype=np.uint64,
+    )
+    b = encrypt_batch_states(DEFAULT_KEY, 9, states, counter=3)
+    for i in range(3):
+        assert list(b[i].astype(object)) == encrypt(
+            DEFAULT_KEY, (9, 3), [int(x) for x in states[i]]
+        )
+
+
+def test_rand_unif_threefry_bit_exact(uids):
+    """The opt-in parity engine: a seeded rand_unif column equals the
+    reference stream (nonce=0, staticID=seed, message=[uid]) computed
+    through the KAT-verified scalar engine — bit for bit."""
+    from hail_spark.expr.threefry import ThreefryRandomEngine
+
+    seed = 42
+    x = _draws(
+        uids.limit(500),
+        hf.rand_unif(F.col("uid"), 2.0, 5.0, seed=seed, engine="threefry"),
+    )
+    for uid, got in enumerate(x):
+        eng = ThreefryRandomEngine.from_pmac(0, seed, [uid])
+        want = 2.0 + eng.next_double() * (5.0 - 2.0)
+        assert got == want  # exact float equality, not isclose
+
+
+def test_rand_norm_threefry_bit_exact(uids):
+    from hail_spark.expr.threefry import ThreefryRandomEngine
+
+    seed = 7
+    x = _draws(
+        uids.limit(300),
+        hf.rand_norm(F.col("uid"), 1.5, 0.5, seed=seed, engine="threefry"),
+    )
+    for uid, got in enumerate(x):
+        eng = ThreefryRandomEngine.from_pmac(0, seed, [uid])
+        want = 1.5 + eng.next_gaussian() * 0.5
+        assert got == want
+
+
+def test_set_rng_engine_global_opt_in(uids):
+    import hail_spark as hs
+    from hail_spark.expr.threefry import ThreefryRandomEngine
+
+    hs.set_rng_engine("threefry")
+    try:
+        x = _draws(uids.limit(50), hf.rand_unif(F.col("uid"), seed=3))
+    finally:
+        hs.set_rng_engine("xxhash")
+    eng = ThreefryRandomEngine.from_pmac(0, 3, [0])
+    assert x[0] == eng.next_double()
+    # back on the default engine the draws differ (different stream)
+    y = _draws(uids.limit(50), hf.rand_unif(F.col("uid"), seed=3))
+    assert x[0] != y[0]
+    with pytest.raises(ValueError):
+        hs.set_rng_engine("mersenne")
