@@ -47,42 +47,16 @@ def brute_force_topk(
     )
 
 
-def ivf_build(
-    corpus: DataFrame,
-    nlist: int = 16,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> tuple[DataFrame, DataFrame]:
-    """IVF index: pick `nlist` deterministic seed centroids (the rows
-    whose md5(id) ranks smallest — cheap, reproducible on any engine),
-    assign every vector to its nearest centroid. Returns
-    (assigned_corpus, centroids).
-
-    At 100 TB: the centroids are collected once (nlist rows — tiny) and
-    inlined as an array literal, so assignment is a ZERO-SHUFFLE per-row
-    argmax inside the corpus scan — no join row-blowup, no window
-    shuffle. Write the assigned corpus bucketed by `cell`
-    (``assigned.write.bucketBy(nlist, "cell")``) so probes prune
-    partitions."""
-    cents = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
-        .orderBy("__h")
-        .limit(nlist)
-        .withColumn("cell", F.row_number().over(Window.orderBy("__h")) - 1)
-        .select("cell", F.col(vec_col).alias("c_vec"))
-    )
-    rows = cents.collect()  # nlist rows: the quantizer codebook
-    # Arrow-vectorized argmax over the broadcast codebook: one numpy
-    # gemm per batch instead of nlist interpreted HOF cosine folds per
-    # row (~10x at local scale, and still the zero-shuffle map-only
-    # shape at 100 TB). np.argmax takes the FIRST max, so ties break
-    # toward the smallest cell id like the struct-max plan did.
+def _make_cell_assign(C):
+    """Arrow-vectorized nearest-centroid argmax over a broadcast
+    codebook: one numpy gemm per batch instead of nlist interpreted HOF
+    cosine folds per row (~10x at local scale, and still the
+    zero-shuffle map-only shape at 100 TB). np.argmax takes the FIRST
+    max, so ties break toward the smallest cell id."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    C = np.array([[float(x) for x in r["c_vec"]] for r in sorted(rows, key=lambda r: r["cell"])])
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-300)
 
     def _assign_fn(vecs):
@@ -94,10 +68,78 @@ def ivf_build(
     # `from __future__ import annotations` stringifies hints, which
     # pandas_udf can't resolve — attach them as real objects instead
     _assign_fn.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
-    _assign = pandas_udf(_assign_fn, "int")
+    return pandas_udf(_assign_fn, "int")
 
-    assigned = corpus.select(
-        F.col(id_col), F.col(vec_col), _assign(F.col(vec_col)).alias("cell")
+
+def ivf_build(
+    corpus: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 0,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index: pick `nlist` deterministic seed centroids (the rows
+    whose md5(id) ranks smallest — cheap, reproducible on any engine),
+    optionally refine with ``n_iter`` rounds of broadcast-Lloyd, and
+    assign every vector to its nearest centroid. Returns
+    (assigned_corpus, centroids).
+
+    ``n_iter=0`` (default) keeps the raw seed points — fully
+    SQL-replayable, but cell sizes skew with the data distribution,
+    which erodes probe pruning (a probe that lands in one giant cell
+    rescans a big corpus fraction). ``n_iter>0`` runs Lloyd rounds like
+    pq_train's: each round is one zero-shuffle Arrow-batched assignment
+    over the corpus scan plus a posexplode -> groupBy(cell, coord) mean
+    whose shuffle traffic is O(partitions * nlist * d) — never O(rows).
+    Empty cells keep their previous centroid. FAISS trains its coarse
+    quantizer the same way (Jegou et al. 2011, §IVFADC).
+
+    At 100 TB: the centroids are collected once (nlist rows — tiny) and
+    inlined, so assignment is a ZERO-SHUFFLE per-row argmax inside the
+    corpus scan — no join row-blowup, no window shuffle. Write the
+    assigned corpus with ivf_write so probes prune files."""
+    import numpy as np
+
+    seed_cents = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h")
+        .limit(nlist)
+        .withColumn("cell", F.row_number().over(Window.orderBy("__h")) - 1)
+        .select("cell", F.col(vec_col).alias("c_vec"))
+    )
+    rows = seed_cents.collect()  # nlist rows: the quantizer codebook
+    C = np.array(
+        [[float(x) for x in r["c_vec"]] for r in sorted(rows, key=lambda r: r["cell"])]
+    )
+    base = corpus.select(F.col(id_col), F.col(vec_col))
+    if n_iter > 0:
+        base = base.localCheckpoint()
+    for _ in range(n_iter):
+        assign = _make_cell_assign(C)
+        means = (
+            base.select(
+                assign(F.col(vec_col)).alias("cell"),
+                F.posexplode(F.col(vec_col)).alias("i", "x"),
+            )
+            .groupBy("cell", "i")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )  # nlist * d rows — driver traffic is codebook-sized
+        newC = C.copy()
+        seen = set()
+        for r in means:
+            newC[r["cell"]][r["i"]] = r["m"]
+            seen.add(r["cell"])
+        C = newC  # cells absent from `means` keep their previous centroid
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in C[i]]) for i in range(C.shape[0])],
+        "cell int, c_vec array<double>",
+    )
+    assign = _make_cell_assign(C)
+    assigned = base.select(
+        F.col(id_col), F.col(vec_col), assign(F.col(vec_col)).alias("cell")
     )
     return assigned, cents
 
@@ -385,6 +427,7 @@ def ivfpq_build(
     n_iter: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    coarse_n_iter: int = 0,
 ):
     """Returns (codes_df, cents, codebooks): codes_df is the compressed
     index (id, cell, codes array<int>) — m ints per row instead of the
@@ -398,7 +441,9 @@ def ivfpq_build(
     whole build is a single corpus scan with no shuffle. Persist with
     codes_df.write.partitionBy("cell") (ivf_write convention) so probes
     prune files."""
-    assigned, cents_df = ivf_build(corpus, nlist, vec_col, id_col)
+    assigned, cents_df = ivf_build(
+        corpus, nlist, vec_col, id_col, n_iter=coarse_n_iter
+    )
     crows = sorted(cents_df.collect(), key=lambda r: r["cell"])
     cents = [[float(x) for x in r["c_vec"]] for r in crows]
     cent_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents])
