@@ -5688,7 +5688,7 @@ SELECT round((SELECT SUM(v * v) FROM a), 6) AS m2,
 """
 
 
-# Queries with a green driver CORRECTNESS row in rounds 1-2.  The driver
+# Queries with a green driver CORRECTNESS row in rounds 1-4.  The driver
 # samples ~50 queries from the head of the queries() dict each round, so
 # never-driver-checked queries are rotated to the front until every
 # registered query has produced at least one green row.  The two r02
@@ -5730,32 +5730,57 @@ _DRIVER_GREEN: frozenset = frozenset({
     "text_profile", "token_vocab", "unigram_logprob", "union_all",
     "union_unify", "variant_qc_stats", "vcf_round_trip", "vds_densify",
     "vds_ref_block_battery", "winnow_fingerprints", "winnow_overlap_pairs",
+    "array_sum_embeddings", "avro_round_trip", "binom_test_by_type",
+    "bm25_topk_docs", "bpe_encode_ids_docs", "call_stats_by_type",
+    "checkpoint_chain", "chunk_documents_windows", "cluster_keep_best",
+    "collection_battery", "corpus_report_card", "fanout_round_trip",
+    "filter_intervals_orders", "gen_round_trip", "grep_lines",
+    "gvcf_combine_densify", "hail_native_ht", "haplotype_em",
+    "hashed_linear_score_docs", "hwe_by_group", "ibd_pairs",
+    "incremental_dedup_batch", "ivfpq_ann_topk", "jsonl_round_trip",
+    "ld_matrix_window", "ld_score_window", "line_dedup_docs",
+    "min_rep_battery", "mt_annotate_rows_interval", "mt_full_outer_join",
+    "mt_native_round_trip", "mt_union_battery", "multimodal_pipeline",
+    "pc_relate_kinship", "perplexity_buckets", "pq_ann_topk",
+    "rename_duplicates_q", "rrf_hybrid_topk", "rrm_matrix", "scan_array_sum",
+    "search_keyed_battery", "segment_intervals_custkey",
+    "span_removal_exactsubstr", "split_assign_census", "summarize_alleles",
+    "table_gen", "tidyr_gather", "tidyr_spread", "url_dedup_canonical",
+    "weighted_mix_sources",
 })
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    # Sampling priority: queries added this round (never checked by any
-    # gate but ours) first, then older never-driver-green ones, then the
-    # green union — the driver samples from the head.
+    # Sampling priority (round 5): the 16 queries no driver round has
+    # ever sampled first (judge-green at sf0.01 but missing a driver
+    # row), then the queries whose implementation changed this round
+    # (canonical BPE, cluster keep policy, IVF Lloyd, pq guards,
+    # jsonl min_partitions), then older never-green ones, then the
+    # green union — the driver samples ~50 from the head.
     new_this_round = (
-        "line_dedup_docs",
-        "pq_ann_topk",
-        "weighted_mix_sources",
-        "ivfpq_ann_topk",
-        "chunk_documents_windows",
-        "incremental_dedup_batch",
-        "url_dedup_canonical",
-        "cluster_keep_best",
+        "faf_by_nation",
+        "lambda_gc_events",
+        "random_mating_hom",
+        "gopher_signals",
+        "decontam_overlap",
+        "pii_scrub",
+        "semantic_dedup_kmeans",
+        "duplicated_gram_stats",
+        "training_pipeline_e2e",
+        "bpe_train_merges",
+        "training_shards_manifest",
+        "pc_project_scores",
+        "sparse_split_battery",
+        "densify_sparse",
+        "import_matrix_table_rt",
+        "export_entries_by_col_rt",
         "bpe_encode_ids_docs",
+        "cluster_keep_best",
+        "ann_ivf_topk",
+        "ivfpq_ann_topk",
+        "pq_ann_topk",
         "jsonl_round_trip",
-        "hashed_linear_score_docs",
-        "split_assign_census",
-        "perplexity_buckets",
-        "span_removal_exactsubstr",
-        "corpus_report_card",
-        "bm25_topk_docs",
-        "rrf_hybrid_topk",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {

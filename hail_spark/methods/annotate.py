@@ -14,12 +14,24 @@ startup cost amortizes over ``block_size`` variants and the whole
 stage is map-only (no shuffle; at 1000 executors each runs its own
 annotator process, exactly like the reference's lowered pipeline).
 
-Neither tool ships in this environment, so the subprocess launch is
-gated: calling without an installed binary raises EnvironmentError at
-call time (the reference similarly fails if VEP isn't installed on the
-cluster).  The Spark-side plumbing — line formatting, batching,
-subprocess framing, JSON parse back into a column — is real and unit
-tested against a stub command (`cat`-style echo annotators).
+CONFORMANCE CONTRACT (round-5 decision, same policy as the
+export_elasticsearch REST fallback): no VEP binary or annotation cache
+is installable in this environment and no public slim cache fits the
+repo, so the **fake-binary end-to-end test IS the documented
+contract** — tests/test_misc_methods.py drives the full path (PATH
+resolution, partition batching, stdin/stdout framing, JSON schema
+lift) against a scripted annotator that emits reference-shaped JSON.
+A deployment with a real VEP install is expected to work iff its
+binary honors the same stdin/stdout protocol the fake asserts
+(`--json` line-per-variant, one JSON object per output line); that
+protocol is taken verbatim from the reference's subprocess invocation
+(methods/qc.py:1104). Bring-your-own-VEP: point ``VEPConfig.command``
+(or PATH) at the installed binary — no code path differs from the
+tested one except the executable itself.
+
+The subprocess launch is gated: calling without an installed binary
+raises EnvironmentError at call time (the reference similarly fails
+if VEP isn't installed on the cluster).
 """
 
 from __future__ import annotations
