@@ -5781,6 +5781,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_ann_topk",
         "pq_ann_topk",
         "jsonl_round_trip",
+        "ann_recall_eval",
+        "pq_rerank_topk",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -5942,6 +5944,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": pii_scrub_q,
         "line_dedup_docs": line_dedup_q,
         "pq_ann_topk": pq_ann_q,
+        "ann_recall_eval": ann_recall_q,
+        "pq_rerank_topk": pq_rerank_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6120,6 +6124,8 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _PII_SCRUB_SQL,
         "line_dedup_docs": _LINE_DEDUP_SQL,
         "pq_ann_topk": _PQ_ANN_SQL,
+        "ann_recall_eval": _ANN_RECALL_SQL,
+        "pq_rerank_topk": _PQ_RERANK_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -7511,6 +7517,94 @@ ranked AS (SELECT q_id, vec_id, adist,
   FROM scored)
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(adist, 6) AS adist
 FROM ranked WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+
+def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality EVAL as a gated query (round 5): recall@10 of
+    the PQ ADC path against brute-force cosine ground truth, per query
+    — the metric a 100-TB user tunes m/ncodes/nprobe by
+    (tests/test_ann_recall.py pins floors on synthetic planted
+    neighbors; this gates the same computation end-to-end on the
+    shared corpus). Deterministic: n_iter=0 seed codebooks, rounded
+    tie-breaks on both rankings — the oracle replays ground truth, PQ
+    encoding, ADC ranking AND the overlap join in SQL."""
+    from hail_spark.llmdata import similarity as sim
+
+    e = _t(spark, sf_dir, "embeddings").df
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    brute = sim.brute_force_topk(e, q, k=10).select("q_id", "vec_id")
+    cbs = sim.pq_train(e, m=8, ncodes=16, n_iter=0)
+    pq = (
+        sim.pq_topk(sim.pq_encode(e, cbs), cbs, q, k=10)
+        .select("q_id", "vec_id", F.lit(1).alias("__hit"))
+    )
+    return (
+        brute.join(pq, ["q_id", "vec_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            (F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.lit(10.0)).alias(
+                "recall_at_10"
+            )
+        )
+        .orderBy("q_id")
+    )
+
+
+_ANN_RECALL_SQL = f"""
+SELECT b.q_id,
+       CAST(SUM(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / 10.0 AS recall_at_10
+FROM ( {_ANN_SQL} ) b
+LEFT JOIN ( {_PQ_ANN_SQL} ) p
+  ON p.q_id = b.q_id AND p.vec_id = b.vec_id
+GROUP BY b.q_id ORDER BY b.q_id
+"""
+
+
+def pq_rerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval (llmdata/similarity.py pq_rerank_topk): ADC
+    shortlist (k'=25) over seed-codebook PQ codes, exact cosine re-rank
+    to top-10 on the shortlist's raw vectors only. The oracle replays
+    both stages: the PQ CTE chain with the wider rank cut, then the
+    exact cosine restricted to shortlist candidates."""
+    from hail_spark.llmdata import similarity as sim
+
+    e = _t(spark, sf_dir, "embeddings").df
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    cbs = sim.pq_train(e, m=8, ncodes=16, n_iter=0)
+    out = sim.pq_rerank_topk(
+        sim.pq_encode(e, cbs), cbs, e, q, k=10, shortlist=25
+    )
+    return out.select(
+        "q_id", "rank", "vec_id", F.round("cosine", 6).alias("cosine")
+    ).orderBy("q_id", "rank")
+
+
+_PQ_RERANK_SQL = f"""
+WITH short AS (
+  SELECT q_id, vec_id FROM ( {_PQ_ANN_SQL.replace("rank <= 10", "rank <= 25")} )),
+q2 AS (SELECT vec_id q_id, embedding q_vec FROM embeddings WHERE vec_id < 5),
+exact AS (
+  SELECT s.q_id, s.vec_id,
+         list_aggregate(list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * q2.q_vec[i]::DOUBLE), 'sum')
+         / (sqrt(list_aggregate(list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))
+          * sqrt(list_aggregate(list_transform(range(1, 65),
+             i -> q2.q_vec[i]::DOUBLE * q2.q_vec[i]::DOUBLE), 'sum'))) AS cos
+  FROM short s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  JOIN q2 ON q2.q_id = s.q_id),
+rr AS (SELECT q_id, vec_id, cos,
+  row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 9) DESC, vec_id) AS rank
+  FROM exact)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cosine
+FROM rr WHERE rank <= 10 ORDER BY q_id, rank
 """
 
 

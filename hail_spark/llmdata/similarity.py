@@ -412,6 +412,55 @@ def pq_topk(
     )
 
 
+def pq_rerank_topk(
+    encoded: DataFrame,
+    codebooks,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Two-stage retrieval — the standard production shape that lifts
+    the raw-PQ recall ceiling (SCALE.md round-5 table: m=8/ncodes=32
+    plateaus ~0.5 because near-ties collide onto the same codes): ADC
+    over the compressed code table produces a ``shortlist`` (k' >> k)
+    of candidates, then ONLY those Q*k' rows join back to their raw
+    vectors for an exact cosine re-rank to ``k``.
+
+    Scale shape: stage 1 is pq_topk's single code-table scan (the
+    memory-resident path); stage 2 broadcasts the Q*k'-row shortlist
+    into an equi-join against the corpus — the raw-vector scan touches
+    one pass but ships only shortlist rows into the window, so the
+    exact math never sees more than Q*k' rows. Returns
+    (q_id, rank, vec_id, cosine) like brute_force_topk."""
+    short = pq_topk(
+        encoded, codebooks, queries, k=shortlist,
+        id_col=id_col, q_id_col=q_id_col, q_vec_col=q_vec_col,
+    ).select(q_id_col, id_col)
+    cand = corpus.select(F.col(id_col), F.col(vec_col)).join(
+        F.broadcast(short), id_col
+    )
+    scored = cand.join(
+        F.broadcast(queries.select(q_id_col, q_vec_col)), q_id_col
+    ).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", id_col, "cosine")
+    )
+
+
 # ------------------------------------------------------------------ #
 # IVF + PQ composition (FAISS IVFADC layout): coarse quantizer prunes
 # the scan to ~nprobe/nlist, PQ codes of the RESIDUAL (v - centroid)
