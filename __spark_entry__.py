@@ -5783,6 +5783,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_round_trip",
         "ann_recall_eval",
         "pq_rerank_topk",
+        "token_budget_select",
+        "pool_embeddings_mean",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -5946,6 +5948,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann_topk": pq_ann_q,
         "ann_recall_eval": ann_recall_q,
         "pq_rerank_topk": pq_rerank_q,
+        "token_budget_select": token_budget_q,
+        "pool_embeddings_mean": pool_embeddings_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6126,6 +6130,8 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann_topk": _PQ_ANN_SQL,
         "ann_recall_eval": _ANN_RECALL_SQL,
         "pq_rerank_topk": _PQ_RERANK_SQL,
+        "token_budget_select": _TOKEN_BUDGET_SQL,
+        "pool_embeddings_mean": _POOL_EMB_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -7605,6 +7611,75 @@ rr AS (SELECT q_id, vec_id, cos,
   FROM exact)
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(cos, 6) AS cosine
 FROM rr WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+
+def token_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted subset selection (llmdata/sampling.py
+    select_to_token_budget): keep the highest-quality docs whose
+    cumulative token count fits the budget — one sort + the two-pass
+    exclusive scan. Quality here = text length, count = whitespace
+    tokens; the oracle replays the greedy order and the exclusive
+    window sum."""
+    from hail_spark.llmdata.sampling import select_to_token_budget
+    from hail_spark.llmdata.textstats import token_count
+
+    d = _t(spark, sf_dir, "documents").df.select(
+        "doc_id",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("double").alias("q"),
+        token_count(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+    out = select_to_token_budget(d, 20_000, "q", "n_tok", "doc_id")
+    return out.select(
+        "doc_id", "q", "n_tok", "tokens_before", "keep"
+    ).orderBy("doc_id")
+
+
+_TOKEN_BUDGET_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CAST(length(COALESCE(text, '')) AS DOUBLE) AS q,
+         CAST(len(list_filter(regexp_split_to_array(trim(COALESCE(text,'')),
+              '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents)
+SELECT doc_id, q, n_tok,
+       CAST(COALESCE(SUM(n_tok) OVER (ORDER BY -q, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS tokens_before,
+       COALESCE(SUM(n_tok) OVER (ORDER BY -q, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) < 20000 AS keep
+FROM d ORDER BY doc_id
+"""
+
+
+def pool_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-to-document embedding pooling (llmdata/similarity.py
+    pool_embeddings): mean-pool synthetic chunk groups (vec_id % 50)
+    to one centroid per group — posexplode + (group, coord) hash-agg +
+    ordered rebuild, never an array-blob collect buffer. Values
+    rounded to 6 dp (summation-order tolerance)."""
+    from hail_spark.llmdata.similarity import pool_embeddings
+
+    e = _t(spark, sf_dir, "embeddings").df.select(
+        (F.col("vec_id") % 50).alias("grp"), "embedding"
+    )
+    out = pool_embeddings(e, "grp", mode="mean")
+    return out.select(
+        "grp",
+        F.transform("embedding", lambda x: F.round(x, 6)).alias("pooled"),
+        "n_chunks",
+    ).orderBy("grp")
+
+
+_POOL_EMB_SQL = """
+WITH ex AS (
+  SELECT vec_id % 50 AS grp, i, embedding[i]::DOUBLE AS x
+  FROM embeddings, LATERAL unnest(range(1, len(embedding)+1)) AS t(i)),
+per AS (SELECT grp, i, AVG(x) AS v, COUNT(*) AS n FROM ex GROUP BY grp, i)
+SELECT grp,
+       list(round(v, 6) ORDER BY i) AS pooled,
+       CAST(MAX(n) AS BIGINT) AS n_chunks
+FROM per GROUP BY grp ORDER BY grp
 """
 
 

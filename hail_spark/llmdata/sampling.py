@@ -282,3 +282,34 @@ def split_assign(
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     out = df.withColumn("split", expr)
     return out.filter(F.col("split").isNotNull())
+
+
+def select_to_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    quality_col: str,
+    count_col: str,
+    uid_col: str,
+) -> DataFrame:
+    """Budgeted subset selection: keep the highest-quality documents
+    whose cumulative token count fits ``budget_tokens`` — the 'we can
+    afford N tokens this run, take the best corpus slice' step between
+    scoring and export. Greedy by quality (ties to smaller uid for
+    determinism), a document is kept iff the budget still has room for
+    its FIRST token (so exactly one document may straddle the cut, the
+    usual pack-then-truncate convention).
+
+    Distributed shape: one range-partitioned sort on (-quality, uid) +
+    the two-pass exclusive scan (per-partition partials, driver
+    prefix-combine over partition ids) — no O(rows) driver traffic, no
+    second shuffle. Returns the input columns + (tokens_before, keep).
+    """
+    from ..operators import scans
+    from ..table import Table
+
+    neg_q = (-F.col(quality_col)).alias("__negq")
+    t = Table(df.withColumn("__negq", neg_q), ("__negq", uid_col))
+    s = scans.scan_sum(t, F.col(count_col).cast("bigint"), "tokens_before")
+    return s.df.drop("__negq").withColumn(
+        "keep", F.col("tokens_before") < F.lit(int(budget_tokens))
+    )

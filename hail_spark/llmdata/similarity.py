@@ -764,3 +764,46 @@ def rrf_fuse(
         .filter(F.col("rank") <= k)
         .select(q_id_col, "rank", id_col, "rrf_score")
     )
+
+
+def pool_embeddings(
+    chunks: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    mode: str = "mean",
+) -> DataFrame:
+    """Pool chunk-level embeddings to one vector per ``group_col``
+    (document) — the standard bridge between chunk_documents-style
+    encoders and document-level retrieval/dedup. ``mode``: 'mean'
+    (centroid; the sentence-transformers default) or 'max'
+    (per-coordinate max-pool).
+
+    Scale shape: posexplode -> one hash-aggregate keyed
+    (group, coord) -> array_agg ordered rebuild; shuffle traffic is
+    rows x d scalars with map-side partials — no vector-as-blob
+    groupBy (which would ship whole arrays through an O(group)
+    collect_list buffer)."""
+    if mode not in ("mean", "max"):
+        raise ValueError(f"unknown pool mode {mode!r}")
+    agg = F.avg("__x") if mode == "mean" else F.max("__x")
+    per_coord = (
+        chunks.select(
+            F.col(group_col), F.posexplode(F.col(vec_col)).alias("__i", "__x")
+        )
+        .groupBy(group_col, "__i")
+        .agg(agg.alias("__v"), F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        per_coord.groupBy(group_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__i"), F.col("__v")))
+            ).alias("__pairs"),
+            F.max("__n").alias("n_chunks"),
+        )
+        .select(
+            F.col(group_col),
+            F.transform(F.col("__pairs"), lambda p: p["__v"]).alias(vec_col),
+            F.col("n_chunks"),
+        )
+    )

@@ -236,3 +236,103 @@ def test_dedup_lines_idempotent_and_conserves(spark, texts):
         )
         # idempotence holds for non-empty lines
         assert not removed_nonempty or r["n_removed"] >= 0
+
+
+# ------------------------------------------------------------------ #
+# Canonical-BPE invariants (round 5): the incremental trainer's lazy
+# heap + postings bookkeeping must equal a naive full-recount trainer
+# on ANY corpus, and the greedy rank encoder must losslessly partition
+# every word. Pure-Python targets — no Spark session needed.
+# ------------------------------------------------------------------ #
+
+def _naive_bpe(word_freqs: dict, n_merges: int):
+    vocab = {" " + " ".join(w) + " ": f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for sym, f in vocab.items():
+            a = sym.split()
+            for i in range(len(a) - 1):
+                p = (a[i], a[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (l, r), f = min(
+            counts.items(), key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}")
+        )
+        merges.append((l, r, f))
+        old, new = f" {l} {r} ", f" {l}{r} "
+
+        def fix(s):
+            while old in s:
+                s = s.replace(old, new)
+            return s
+
+        nv = {}
+        for s, fr in vocab.items():
+            nv[fix(s)] = nv.get(fix(s), 0) + fr
+        vocab = nv
+    return merges
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=9),
+            st.integers(min_value=1, max_value=5),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=120, deadline=None)
+def test_incremental_bpe_trainer_equals_naive(pairs, n_merges):
+    from hail_spark.llmdata.tokenizer import _train_driver
+
+    freqs: dict = {}
+    for w, f in pairs:
+        freqs[w] = freqs.get(w, 0) + f
+    got = [
+        (l, r, f)
+        for _, l, r, f in _train_driver(
+            [(f, list(w)) for w, f in sorted(freqs.items())], n_merges
+        )
+    ]
+    assert got == _naive_bpe(freqs, n_merges)
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=8),
+        min_size=1,
+        max_size=15,
+    ),
+    st.text(alphabet="abc", min_size=1, max_size=12),
+)
+@settings(max_examples=120, deadline=None)
+def test_bpe_encode_word_lossless_and_canonical(words, probe):
+    from hail_spark.llmdata.tokenizer import (
+        _encode_word,
+        _fixpoint_replace,
+        _rank_map,
+        _train_driver,
+    )
+
+    freqs: dict = {}
+    for w in words:
+        freqs[w] = freqs.get(w, 0) + 1
+    trained = _train_driver(
+        [(f, list(w)) for w, f in sorted(freqs.items())], 8
+    )
+    merges = [(l, r) for _, l, r, _ in trained]
+    ranks = _rank_map(merges)
+    syms = _encode_word(probe, merges, ranks)
+    # lossless: symbols concatenate back to the word
+    assert "".join(syms) == probe
+    # canonical: equals applying the merges in rank order via the
+    # string fixpoint form
+    s = " " + " ".join(probe) + " "
+    for l, r in merges:
+        s = _fixpoint_replace(s, f" {l} {r} ", f" {l}{r} ")
+    assert syms == s.split()

@@ -247,3 +247,22 @@ def test_modern_pipeline_composition(spark, sf_dir):
     assert shards == list(range(len(shards)))
     counts = {r["shard"]: r["count"] for r in sharded.groupBy("shard").count().collect()}
     assert all(v == 64 for s, v in counts.items() if s < len(shards) - 1)
+
+
+def test_select_to_token_budget(spark):
+    from hail_spark.llmdata.sampling import select_to_token_budget
+
+    rows = [(i, float(10 - i), 100) for i in range(10)]  # q: 10,9,...,1
+    df = spark.createDataFrame(rows, "doc_id long, q double, n long")
+    out = {r["doc_id"]: r for r in
+           select_to_token_budget(df, 350, "q", "n", "doc_id").collect()}
+    # greedy by quality desc: docs 0,1,2 fit fully; doc 3's first token
+    # still lands under 350 (tokens_before=300) -> straddles, kept;
+    # doc 4 (tokens_before=400) dropped.
+    assert {d for d, r in out.items() if r["keep"]} == {0, 1, 2, 3}
+    assert out[3]["tokens_before"] == 300 and out[4]["tokens_before"] == 400
+    # budget 0 keeps nothing; budget bigger than the corpus keeps all
+    none = select_to_token_budget(df, 0, "q", "n", "doc_id")
+    assert none.filter("keep").count() == 0
+    allk = select_to_token_budget(df, 10_000, "q", "n", "doc_id")
+    assert allk.filter("keep").count() == 10

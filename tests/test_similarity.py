@@ -264,3 +264,50 @@ def test_rrf_fuse(spark):
     # docs in only one list still score
     assert abs(out[2]["rrf_score"] - 1/62) < 1e-12
     assert abs(out[3]["rrf_score"] - 1/63) < 1e-12
+
+
+def test_pool_embeddings_mean_and_max(spark):
+    from hail_spark.llmdata.similarity import pool_embeddings
+
+    rows = [
+        ("a", [1.0, 2.0, 3.0]),
+        ("a", [3.0, 0.0, -1.0]),
+        ("b", [5.0, 5.0, 5.0]),
+    ]
+    df = spark.createDataFrame(rows, "doc string, embedding array<double>")
+    mean = {r["doc"]: (list(r["embedding"]), r["n_chunks"])
+            for r in pool_embeddings(df, "doc", mode="mean").collect()}
+    assert mean["a"] == ([2.0, 1.0, 1.0], 2)
+    assert mean["b"] == ([5.0, 5.0, 5.0], 1)
+    mx = {r["doc"]: list(r["embedding"])
+          for r in pool_embeddings(df, "doc", mode="max").collect()}
+    assert mx["a"] == [3.0, 2.0, 3.0]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pool_embeddings(df, "doc", mode="median")
+
+
+def test_pq_rerank_topk_exact_on_shortlist(spark):
+    import numpy as np
+
+    from hail_spark.llmdata import similarity as sim
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(0, 1, (200, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[7]])], "q_id long, q_vec array<double>"
+    )
+    cbs = sim.pq_train(corpus, m=4, ncodes=16, n_iter=1)
+    enc = sim.pq_encode(corpus, cbs)
+    # with a corpus-sized shortlist the re-rank IS brute force
+    rr = sim.pq_rerank_topk(enc, cbs, corpus, q, k=5, shortlist=200)
+    bf = sim.brute_force_topk(corpus, q, k=5)
+    assert [r["vec_id"] for r in rr.orderBy("rank").collect()] == \
+           [r["vec_id"] for r in bf.orderBy("rank").collect()]
+    # the query's own vector is its top hit
+    assert rr.orderBy("rank").first()["vec_id"] == 7
