@@ -833,6 +833,88 @@ ORDER BY id_a, id_b
 )
 
 
+def lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-tuning EVAL as a gated query (round 5, the near-dup analog
+    of ann_recall_eval): of the TRUE near-dup pairs (exact 3-gram
+    Jaccard >= 0.3), what fraction does MinHash(64)+LSH(16x4) banding
+    surface as candidates, and how far off is the signature estimate on
+    the caught pairs — THE metric a 100-TB user tunes bands/rows
+    against (candidate recall vs candidate volume). One deterministic
+    summary row; the oracle replays shingling, minhashing, banding,
+    the exact-Jaccard posting join AND the eval aggregate."""
+    from hail_spark.llmdata import dedup
+
+    d = _t(spark, sf_dir, "documents").df
+    sigs = dedup.minhash_signatures(d, k=64).localCheckpoint()
+    cand = dedup.minhash_lsh_pairs(d, k=64, bands=16, sigs=sigs)
+    est = dedup.minhash_jaccard_estimate(d, cand, k=64, sigs=sigs)
+    true = dedup.ngram_jaccard_pairs(d, threshold=0.3)
+    j = true.join(est, ["id_a", "id_b"], "left")
+    n_cand = est.count()
+    return (
+        j.agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(
+                F.when(F.col("est_jaccard").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_caught"),
+            F.round(
+                F.avg(
+                    F.when(
+                        F.col("est_jaccard").isNotNull(),
+                        F.abs(F.col("est_jaccard") - F.col("jaccard")),
+                    )
+                ),
+                6,
+            ).alias("mae_est"),
+        )
+        .select(
+            F.lit(int(n_cand)).cast("bigint").alias("n_candidates"),
+            "n_true",
+            "n_caught",
+            F.round(F.col("n_caught") / F.col("n_true"), 6).alias("recall"),
+            "mae_est",
+        )
+    )
+
+
+_LSH_RECALL_SQL = (
+    "WITH " + _SHINGLE_CTE + """,
+mh AS (SELECT doc_id, i,
+       min((((i*2654435761) % 2147483646 + 1) * (('0x'||substr(md5(s),1,15))::BIGINT % 2147483647)
+            + (i*40503 + 17) % 2147483647) % 2147483647) AS h
+       FROM sh, (SELECT unnest(range(0, 64)) i) g GROUP BY doc_id, i),
+band AS (SELECT doc_id, i // 4 AS band,
+               ('0x'||substr(md5(string_agg(h::VARCHAR, ',' ORDER BY i)),1,15))::BIGINT AS band_hash
+        FROM mh GROUP BY doc_id, i // 4),
+cand AS (SELECT DISTINCT a.doc_id id_a, b.doc_id id_b
+         FROM band a JOIN band b
+           ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+est AS (SELECT p.id_a, p.id_b,
+               sum(CASE WHEN x.h = y.h THEN 1 ELSE 0 END) / 64.0 AS est_jaccard
+        FROM cand p
+        JOIN mh x ON x.doc_id = p.id_a
+        JOIN mh y ON y.doc_id = p.id_b AND y.i = x.i
+        GROUP BY p.id_a, p.id_b),
+shh AS (SELECT DISTINCT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT AS sh FROM sh),
+sz AS (SELECT doc_id, count(*) sz FROM shh GROUP BY 1),
+inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+          FROM shh a JOIN shh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+tru AS (SELECT id_a, id_b, i / (x.sz + y.sz - i) AS jaccard
+        FROM inter JOIN sz x ON id_a = x.doc_id JOIN sz y ON id_b = y.doc_id
+        WHERE i / (x.sz + y.sz - i) >= 0.3)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM est) AS n_candidates,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(sum(CASE WHEN e.est_jaccard IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+       round(sum(CASE WHEN e.est_jaccard IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 6) AS recall,
+       round(avg(CASE WHEN e.est_jaccard IS NOT NULL
+                      THEN abs(e.est_jaccard - t.jaccard) END), 6) AS mae_est
+FROM tru t LEFT JOIN est e USING (id_a, id_b)
+"""
+)
+
+
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering end-to-end: MinHash-LSH pairs → large-star/
     small-star connected components → (doc_id, component, cluster_size).
@@ -5785,6 +5867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_rerank_topk",
         "token_budget_select",
         "pool_embeddings_mean",
+        "lsh_candidate_recall",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -5950,6 +6033,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_rerank_topk": pq_rerank_q,
         "token_budget_select": token_budget_q,
         "pool_embeddings_mean": pool_embeddings_q,
+        "lsh_candidate_recall": lsh_recall_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6132,6 +6216,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_rerank_topk": _PQ_RERANK_SQL,
         "token_budget_select": _TOKEN_BUDGET_SQL,
         "pool_embeddings_mean": _POOL_EMB_SQL,
+        "lsh_candidate_recall": _LSH_RECALL_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
