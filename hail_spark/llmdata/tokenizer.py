@@ -385,3 +385,28 @@ def bpe_encode_ids(
 
     enc = _encode_udf(df, merges, vocab)
     return df.withColumn("bpe_ids", enc(tokens(F.lower(F.col(text_col)))))
+
+
+def bpe_save(path: str, merges: list, vocab: dict | None = None) -> None:
+    """Persist a trained tokenizer (merge list + optional vocab) as
+    JSON — the artifact that ships from the training-data pipeline to
+    the model-training job. Kilobytes; no Spark involved."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {"merges": [[l, r] for l, r in merges]}
+    if vocab is not None:
+        payload["vocab"] = dict(vocab)
+    with open(path, "w") as fh:
+        json.dump(payload, fh)
+
+
+def bpe_load(path: str) -> tuple[list, dict | None]:
+    """Load (merges, vocab_or_None) saved by bpe_save."""
+    import json
+
+    with open(path) as fh:
+        payload = json.load(fh)
+    merges = [(l, r) for l, r in payload["merges"]]
+    return merges, payload.get("vocab")

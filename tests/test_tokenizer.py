@@ -202,3 +202,20 @@ def test_bpe_encode_ids_matches_len_and_decodes(spark):
     inv = {i: s for s, i in vocab.items()}
     assert [inv[i] for i in enc[1]] == ["ban", "ana", "ban", "d", "ana"]
     assert lens[1] == len(enc[1]) and enc[2] == [] and lens[2] == 0
+
+
+def test_bpe_save_load_round_trip(tmp_path, spark):
+    df = spark.createDataFrame([("banana bandana cabana",)], "text string")
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in tokenizer.bpe_train(df, n_merges=4).orderBy("rank").collect()
+    ]
+    vocab = tokenizer.bpe_vocab(df, merges)
+    p = str(tmp_path / "tok.json")
+    tokenizer.bpe_save(p, merges, vocab)
+    m2, v2 = tokenizer.bpe_load(p)
+    assert m2 == merges and v2 == vocab
+    # encoding with the loaded tokenizer is identical
+    a = tokenizer.bpe_encode_ids(df, merges, vocab).first()["bpe_ids"]
+    b = tokenizer.bpe_encode_ids(df, m2, v2).first()["bpe_ids"]
+    assert list(a) == list(b)
