@@ -5868,6 +5868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select",
         "pool_embeddings_mean",
         "lsh_candidate_recall",
+        "text_normalize_docs",
+        "cap_per_group_docs",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6034,6 +6036,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": token_budget_q,
         "pool_embeddings_mean": pool_embeddings_q,
         "lsh_candidate_recall": lsh_recall_q,
+        "text_normalize_docs": text_normalize_q,
+        "cap_per_group_docs": cap_per_group_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6217,6 +6221,8 @@ def oracle_sql() -> dict[str, str]:
         "token_budget_select": _TOKEN_BUDGET_SQL,
         "pool_embeddings_mean": _POOL_EMB_SQL,
         "lsh_candidate_recall": _LSH_RECALL_SQL,
+        "text_normalize_docs": _TEXT_NORMALIZE_SQL,
+        "cap_per_group_docs": _CAP_PER_GROUP_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -7765,6 +7771,74 @@ SELECT grp,
        list(round(v, 6) ORDER BY i) AS pooled,
        CAST(MAX(n) AS BIGINT) AS n_chunks
 FROM per GROUP BY grp ORDER BY grp
+"""
+
+
+def text_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-dedup text normalization (llmdata/scrub.py text_normalize):
+    control/zero-width strip, typographic fold, whitespace collapse —
+    every rule a plain regexp_replace the oracle replays with the 'g'
+    flag (DuckDB replaces first-match by default, Spark replaces all).
+    """
+    from hail_spark.llmdata.scrub import text_normalize
+
+    d = _t(spark, sf_dir, "documents").df
+    return d.select(
+        "doc_id",
+        F.md5(text_normalize(F.col("text"))).alias("norm_md5"),
+        F.length(text_normalize(F.col("text"))).alias("norm_len"),
+    ).orderBy("doc_id")
+
+
+_TEXT_NORMALIZE_SQL = r"""
+WITH n AS (
+  SELECT doc_id, trim(regexp_replace(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(
+    regexp_replace(COALESCE(text, ''),
+      '[\x{200b}\x{200c}\x{200d}\x{2060}\x{feff}\x{00ad}]', '', 'g'),
+      '[\x{0000}-\x{0008}\x{000b}\x{000c}\x{000e}-\x{001f}\x{007f}-\x{009f}]', '', 'g'),
+      '[\x{2018}\x{2019}\x{201a}\x{201b}]', chr(39), 'g'),
+      '[\x{201c}\x{201d}\x{201e}\x{201f}]', '"', 'g'),
+      '[\x{2010}-\x{2015}\x{2212}]', '-', 'g'),
+      '\x{2026}', '...', 'g'),
+      '[\x{00a0}\x{1680}\x{2000}-\x{200a}\x{202f}\x{205f}\x{3000}]', ' ', 'g'),
+      '\s+', ' ', 'g')) AS t
+  FROM documents)
+SELECT doc_id, md5(t) AS norm_md5, CAST(length(t) AS INT) AS norm_len
+FROM n ORDER BY doc_id
+"""
+
+
+def cap_per_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group contribution cap (llmdata/sampling.py cap_per_group):
+    at most 10 docs per synthetic domain (doc_id % 7), ranked by the
+    md5 uniform — deterministic reproducible random subset; the oracle
+    replays the uniform and the window rank."""
+    from hail_spark.llmdata.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents").df.withColumn(
+        "grp", F.col("doc_id") % 7
+    )
+    out = cap_per_group(d, "grp", 10, "doc_id", seed=0)
+    return out.select("doc_id", "grp", "group_rank").orderBy("doc_id")
+
+
+_CAP_PER_GROUP_SQL = """
+WITH u AS (
+  SELECT doc_id, doc_id % 7 AS grp,
+    (('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':0'),1,15))::BIGINT
+       % 1073741824) / 1073741824.0 AS un
+  FROM documents),
+r AS (SELECT doc_id, grp,
+        row_number() OVER (PARTITION BY grp ORDER BY un, doc_id) AS group_rank
+      FROM u)
+SELECT doc_id, grp, CAST(group_rank AS INT) AS group_rank
+FROM r WHERE group_rank <= 10 ORDER BY doc_id
 """
 
 

@@ -313,3 +313,30 @@ def select_to_token_budget(
     return s.df.drop("__negq").withColumn(
         "keep", F.col("tokens_before") < F.lit(int(budget_tokens))
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    uid_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Cap each group's contribution at ``n`` rows (e.g. at most N
+    documents per domain — the standard guard against one crawl host
+    dominating the mixture). Deterministic: rows are ranked inside the
+    group by their md5 uniform (ties to uid), so the kept subset is a
+    reproducible random sample, stable under retries/repartitioning.
+
+    One window over (group), shuffle keyed by group — the same shape
+    as any per-group top-k; AQE splits skewed hosts. Adds
+    ``group_rank``; rows with group_rank <= n survive the returned
+    filter."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        uniform(F.col(uid_col), seed), F.col(uid_col)
+    )
+    return df.withColumn("group_rank", F.row_number().over(w)).filter(
+        F.col("group_rank") <= n
+    )

@@ -157,3 +157,31 @@ def url_dedup(
         .groupBy("canonical_url")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
     )
+
+
+def text_normalize(text: Column, lowercase: bool = False) -> Column:
+    """Standard pre-dedup text normalization (the cleanup every corpus
+    pipeline runs before hashing so near-identical bytes dedup as
+    identical): strip zero-width/control characters, fold typographic
+    quotes/dashes/ellipsis to ASCII, collapse runs of whitespace to one
+    space, trim. Pure codegen regex chain — map-only at any scale, and
+    every rule is a plain regexp_replace replayable in the SQL oracle.
+    """
+    t = text
+    # zero-width chars + BOM + soft hyphen
+    t = F.regexp_replace(t, "[\u200b\u200c\u200d\u2060\ufeff\u00ad]", "")
+    # C0/C1 control chars except tab/newline/CR (whitespace-folded next)
+    t = F.regexp_replace(
+        t, "[\u0000-\u0008\u000b\u000c\u000e-\u001f\u007f-\u009f]", ""
+    )
+    # typographic quotes/dashes/ellipsis -> ASCII
+    t = F.regexp_replace(t, "[\u2018\u2019\u201a\u201b]", "'")
+    t = F.regexp_replace(t, "[\u201c\u201d\u201e\u201f]", "\"")
+    t = F.regexp_replace(t, "[\u2010-\u2015\u2212]", "-")
+    t = F.regexp_replace(t, "\u2026", "...")
+    # non-breaking / unicode spaces -> plain space, collapse, trim
+    t = F.regexp_replace(t, "[\u00a0\u1680\u2000-\u200a\u202f\u205f\u3000]", " ")
+    t = F.trim(F.regexp_replace(t, "\\s+", " "))
+    if lowercase:
+        t = F.lower(t)
+    return t

@@ -266,3 +266,24 @@ def test_select_to_token_budget(spark):
     assert none.filter("keep").count() == 0
     allk = select_to_token_budget(df, 10_000, "q", "n", "doc_id")
     assert allk.filter("keep").count() == 10
+
+
+def test_cap_per_group(spark):
+    from hail_spark.llmdata.sampling import cap_per_group
+
+    rows = [(i, i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, grp long")
+    out = cap_per_group(df, "grp", 5, "doc_id", seed=0)
+    rows_out = out.collect()
+    from collections import Counter
+    per = Counter(r["grp"] for r in rows_out)
+    assert all(v == 5 for v in per.values()) and len(per) == 3
+    assert all(1 <= r["group_rank"] <= 5 for r in rows_out)
+    # deterministic across runs
+    again = {(r["doc_id"], r["group_rank"])
+             for r in cap_per_group(df, "grp", 5, "doc_id", seed=0).collect()}
+    assert {(r["doc_id"], r["group_rank"]) for r in rows_out} == again
+    # different seed -> (almost surely) different subset
+    other = {r["doc_id"]
+             for r in cap_per_group(df, "grp", 5, "doc_id", seed=9).collect()}
+    assert other != {r["doc_id"] for r in rows_out}
