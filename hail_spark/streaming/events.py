@@ -198,3 +198,95 @@ def stream_quality_filter(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("quality", quality_score(t))
         .filter(F.col("quality") >= 0.5)
     )
+
+
+def minhash_index_append(
+    batch: "DataFrame",
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> None:
+    """Append a batch's band/hash rows to an existing persisted index
+    (minhash_index_write layout) — the write half of the
+    batch-over-batch incremental dedup loop. Same partitioning (bands
+    partitioned by band), append mode."""
+    import os
+
+    from ..llmdata.dedup import md5_int, minhash_bands, minhash_signatures
+    from pyspark.sql import functions as F
+
+    sigs = minhash_signatures(batch, text_col, id_col, k, shingle_n)
+    minhash_bands(sigs, k=k, bands=bands, id_col=id_col).write.mode(
+        "append"
+    ).partitionBy("band").parquet(os.path.join(path, "bands"))
+    batch.select(
+        F.col(id_col), md5_int(F.col(text_col)).alias("content_hash")
+    ).write.mode("append").parquet(os.path.join(path, "hashes"))
+
+
+def stream_dedup_with_index(
+    docs: "DataFrame",
+    index_path: str,
+    accepted_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    accept_near_dups: bool = False,
+):
+    """Streaming ingest with a PERSISTED dedup index (the production
+    live-feed shape): each micro-batch is screened against the on-disk
+    band/hash index (llmdata.dedup.dedup_against_index — two
+    partition-pruned equi-joins, zero corpus rescan), accepted
+    documents are appended to ``accepted_path`` AND their bands/hashes
+    appended to the index, so later batches — and later runs — dedup
+    against everything ever accepted. Exact dups are always dropped;
+    near-dup candidates (shared LSH band) are dropped unless
+    ``accept_near_dups``.
+
+    Returns the DataStreamWriter (call .start() / .trigger(...) on
+    it). Unlike stream_exact_dedup's watermark-bounded state, the
+    state here is the index itself: unbounded history at
+    disk-not-memory cost, exactly-once via the streaming checkpoint.
+    """
+    import os
+
+    from ..llmdata.dedup import dedup_against_index, md5_int, minhash_bands, minhash_signatures
+    from pyspark.sql import functions as F
+
+    def _process(batch_df, batch_id):
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint()
+        if os.path.exists(os.path.join(index_path, "bands")):
+            ib = spark.read.parquet(os.path.join(index_path, "bands"))
+            ih = spark.read.parquet(os.path.join(index_path, "hashes"))
+            screened = dedup_against_index(
+                batch_df, ib, ih, text_col=text_col, id_col=id_col
+            )
+            keep_pred = ~F.col("is_exact_dup")
+            if not accept_near_dups:
+                keep_pred = keep_pred & (F.col("n_index_candidates") == 0)
+            keep_ids = screened.filter(keep_pred).select(id_col)
+            accepted = batch_df.join(keep_ids, id_col)
+        else:
+            accepted = batch_df
+        # batch-internal exact dedup (first id wins) before accepting
+        w_first = (
+            accepted.select(
+                F.col(id_col), md5_int(F.col(text_col)).alias("__ch")
+            )
+            .groupBy("__ch")
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
+        )
+        accepted = accepted.join(w_first, id_col).localCheckpoint()
+        accepted.write.mode("append").parquet(accepted_path)
+        minhash_index_append(
+            accepted, index_path, text_col=text_col, id_col=id_col
+        )
+
+    return docs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_path
+    )

@@ -168,3 +168,54 @@ def test_stream_quality_filter_matches_batch(spark, docs_dir):
         .collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_stream_dedup_with_index_two_waves(spark, tmp_path):
+    """The production live-feed shape: wave 1 populates the persisted
+    index; a SECOND streaming run over wave 2 (containing exact copies
+    of wave-1 docs plus fresh ones) must accept only the fresh docs —
+    history survives across runs because the state IS the on-disk
+    index, not in-memory streaming state."""
+    import os
+
+    from hail_spark.streaming import read_documents_stream, stream_dedup_with_index
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    acc = str(tmp_path / "accepted")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    cols = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    wave1 = spark.createDataFrame(
+        [(i, f"unique document number {i} with words {i * 7}", "en", "s", 10)
+         for i in range(20)],
+        cols,
+    )
+    wave1.write.mode("append").parquet(src)
+    q = stream_dedup_with_index(
+        read_documents_stream(spark, src), idx, acc, ck
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+    first = spark.read.parquet(acc)
+    assert first.count() == 20
+    # wave 2: 5 exact copies of wave-1 texts (new ids) + 5 fresh
+    wave2 = spark.createDataFrame(
+        [(100 + i, f"unique document number {i} with words {i * 7}", "en", "s", 10)
+         for i in range(5)]
+        + [(200 + i, f"brand new second wave doc {i} zzz {i * 13}", "en", "s", 10)
+           for i in range(5)],
+        cols,
+    )
+    wave2.write.mode("append").parquet(src)
+    q2 = stream_dedup_with_index(
+        read_documents_stream(spark, src), idx, acc, ck
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(180)
+    acc_df = spark.read.parquet(acc)
+    ids = {r["doc_id"] for r in acc_df.collect()}
+    assert {200 + i for i in range(5)} <= ids
+    assert not any(100 <= i < 200 for i in ids)  # exact copies rejected
+    assert acc_df.count() == 25
+    # the index grew to cover the accepted set
+    hashes = spark.read.parquet(os.path.join(idx, "hashes"))
+    assert hashes.select("content_hash").distinct().count() == 25
