@@ -5870,6 +5870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_recall",
         "text_normalize_docs",
         "cap_per_group_docs",
+        "hard_negatives_topk",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6038,6 +6039,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_recall": lsh_recall_q,
         "text_normalize_docs": text_normalize_q,
         "cap_per_group_docs": cap_per_group_q,
+        "hard_negatives_topk": hard_negatives_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6223,6 +6225,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_candidate_recall": _LSH_RECALL_SQL,
         "text_normalize_docs": _TEXT_NORMALIZE_SQL,
         "cap_per_group_docs": _CAP_PER_GROUP_SQL,
+        "hard_negatives_topk": _HARD_NEG_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -7839,6 +7842,46 @@ r AS (SELECT doc_id, grp,
       FROM u)
 SELECT doc_id, grp, CAST(group_rank AS INT) AS group_rank
 FROM r WHERE group_rank <= 10 ORDER BY doc_id
+"""
+
+
+def hard_negatives_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (llmdata/similarity.py mine_hard_negatives)
+    for contrastive retrieval training: top-5 most-similar non-positive
+    corpus vectors per query (positive = the query vector itself here).
+    One corpus scan + broadcast anti-join + per-query window; the
+    oracle replays scoring, exclusion and ranking."""
+    from hail_spark.llmdata.similarity import mine_hard_negatives
+
+    e = _t(spark, sf_dir, "embeddings").df
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    pos = q.select("q_id", F.col("q_id").alias("pos_id"))
+    out = mine_hard_negatives(e, q, pos, k=5)
+    return out.select(
+        "q_id", "neg_rank", "neg_id", F.round("cosine", 6).alias("cosine")
+    ).orderBy("q_id", "neg_rank")
+
+
+_HARD_NEG_SQL = """
+WITH q AS (SELECT vec_id q_id, embedding q_vec FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.q_id, e.vec_id,
+         list_aggregate(list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * q.q_vec[i]::DOUBLE), 'sum')
+         / (sqrt(list_aggregate(list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))
+          * sqrt(list_aggregate(list_transform(range(1, 65),
+             i -> q.q_vec[i]::DOUBLE * q.q_vec[i]::DOUBLE), 'sum'))) AS cos
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.q_id),
+ranked AS (SELECT q_id, vec_id, cos,
+  row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 9) DESC, vec_id) AS rk
+  FROM scored)
+SELECT q_id, CAST(rk AS INT) AS neg_rank, vec_id AS neg_id,
+       round(cos, 6) AS cosine
+FROM ranked WHERE rk <= 5 ORDER BY q_id, neg_rank
 """
 
 

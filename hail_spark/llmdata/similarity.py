@@ -807,3 +807,44 @@ def pool_embeddings(
             F.col("n_chunks"),
         )
     )
+
+
+def mine_hard_negatives(
+    corpus: "DataFrame",
+    queries: "DataFrame",
+    positives: "DataFrame",
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> "DataFrame":
+    """Hard-negative mining for retrieval/embedding training: per
+    query, the top-``k`` most similar corpus items that are NOT its
+    known positives — the standard way contrastive training sets are
+    built (the near-misses are the informative negatives).
+
+    ``positives``: (q_id, pos_id) pairs to exclude. Shape: one corpus
+    scan scored against the broadcast query set (brute_force_topk
+    contract — Q bounded), a broadcast anti-join against the positive
+    pairs, then the per-query top-k window. Swap the scorer for
+    pq_topk/ivf_topk at 100 TB; the exclusion + window are identical.
+    """
+    j = corpus.join(F.broadcast(queries))
+    scored = j.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+    )
+    pos = positives.select(
+        F.col(q_id_col), F.col("pos_id").alias(id_col)
+    )
+    neg = scored.join(F.broadcast(pos), [q_id_col, id_col], "left_anti")
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        neg.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(q_id_col, "neg_rank", F.col(id_col).alias("neg_id"), "cosine")
+    )

@@ -311,3 +311,35 @@ def test_pq_rerank_topk_exact_on_shortlist(spark):
            [r["vec_id"] for r in bf.orderBy("rank").collect()]
     # the query's own vector is its top hit
     assert rr.orderBy("rank").first()["vec_id"] == 7
+
+
+def test_mine_hard_negatives_excludes_positives(spark):
+    import numpy as np
+
+    from hail_spark.llmdata.similarity import mine_hard_negatives
+
+    rng = np.random.RandomState(5)
+    vecs = rng.normal(0, 1, (50, 6))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in vecs[3]])], "q_id long, q_vec array<double>"
+    )
+    # positives: the self-match AND its true nearest neighbor
+    from hail_spark.llmdata.similarity import brute_force_topk
+
+    top2 = [r["vec_id"] for r in
+            brute_force_topk(corpus, q, k=2).orderBy("rank").collect()]
+    pos = spark.createDataFrame(
+        [(0, int(t)) for t in top2], "q_id long, pos_id long"
+    )
+    negs = mine_hard_negatives(corpus, q, pos, k=3).orderBy("neg_rank").collect()
+    neg_ids = [r["neg_id"] for r in negs]
+    assert len(neg_ids) == 3
+    assert not (set(neg_ids) & set(top2))
+    # negatives are the NEXT most similar items after the positives
+    top5 = [r["vec_id"] for r in
+            brute_force_topk(corpus, q, k=5).orderBy("rank").collect()]
+    assert neg_ids == [t for t in top5 if t not in top2]
