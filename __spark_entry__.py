@@ -5871,6 +5871,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize_docs",
         "cap_per_group_docs",
         "hard_negatives_topk",
+        "asof_join_events",
+        "sessionize_events",
+        "rolling_window_events",
+        "frequent_tokens_exact",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6040,6 +6044,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize_docs": text_normalize_q,
         "cap_per_group_docs": cap_per_group_q,
         "hard_negatives_topk": hard_negatives_q,
+        "asof_join_events": asof_join_q,
+        "sessionize_events": sessionize_q,
+        "rolling_window_events": rolling_window_q,
+        "frequent_tokens_exact": frequent_tokens_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6226,6 +6234,10 @@ def oracle_sql() -> dict[str, str]:
         "text_normalize_docs": _TEXT_NORMALIZE_SQL,
         "cap_per_group_docs": _CAP_PER_GROUP_SQL,
         "hard_negatives_topk": _HARD_NEG_SQL,
+        "asof_join_events": _ASOF_SQL,
+        "sessionize_events": _SESSIONIZE_SQL,
+        "rolling_window_events": _ROLLING_SQL,
+        "frequent_tokens_exact": _FREQ_TOKENS_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -6934,12 +6946,20 @@ def bpe_train_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _nested_replace_sql(expr: str, old: str, new: str, k: int = 5) -> str:
     """k passes of leftmost non-overlapping replace — reaches the
-    canonical-BPE fixpoint for chained occurrences up to ~2^k deep
+    canonical-BPE result for chained occurrences up to ~2^k deep
     (each pass at least halves the remaining overlap-blocked
     occurrences of ' l r ' runs). k=5 covers runs of 32 repeated pair
     occurrences, far beyond any word in the gate corpora; the pytest
-    two-SF gate compares against the exact fixpoint encoder, so an
-    insufficient k would fail loudly, not silently."""
+    two-SF gate compares against the exact symbol-pass encoder, so an
+    insufficient k would fail loudly, not silently.
+
+    Known corner (hypothesis-found, documented in tokenizer.py
+    _fixpoint_replace): for a SELF-pair merge (l == r) on an odd run of
+    >= 5 identical symbols, the space-consuming string scan groups
+    pairs differently from the canonical symbol pass ('ccccc' ->
+    cc|c|cc vs cc|cc|c). No gate-corpus word contains such a run AND a
+    self-pair merge; if one ever did, the two-SF gate would flag it
+    loudly rather than silently diverge."""
     for _ in range(k):
         expr = f"replace({expr}, {old}, {new})"
     return expr
@@ -8631,4 +8651,157 @@ r AS (SELECT q_id, vec_id, rrf_score,
       FROM f)
 SELECT q_id, CAST(rank AS INT) AS rank, vec_id, round(rrf_score, 9) AS rrf_score
 FROM r WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+
+def _micros(col_name: str):
+    """TIMESTAMP_NTZ -> epoch microseconds, timezone-free (mirrors
+    DuckDB's epoch_us on the same parquet column)."""
+    return F.timestamp_diff(
+        "MICROSECOND",
+        F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+        F.col(col_name),
+    )
+
+
+def asof_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time as-of join (operators/relational.py asof_join):
+    for every click event, the most recent prior purchase by the same
+    user (value + its timestamp). Union-merge plan: ONE key shuffle,
+    last-non-null over a running window — a sort-merge join, no range
+    explosion, both sides unbounded. Oracle: DuckDB native ASOF JOIN
+    (an independent implementation of the same semantics)."""
+    from hail_spark.operators.relational import asof_join
+
+    ev = _t(spark, sf_dir, "events").df.withColumn("tsu", _micros("ts"))
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("tsu").alias("ts")
+    )
+    # collapse equal-timestamp purchases deterministically so the match
+    # is unique on both engines
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("tsu").alias("pts"))
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="pts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("purchase_value", 6).alias("purchase_value"),
+        F.col("pts").alias("purchase_ts"),
+    ).orderBy("event_id")
+
+
+_ASOF_SQL = """
+WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts
+           FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id, epoch_us(ts) AS pts, MAX(value) AS purchase_value
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+SELECT l.event_id, l.user_id, l.ts,
+       round(r.purchase_value, 6) AS purchase_value, r.pts AS purchase_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.pts
+ORDER BY l.event_id
+"""
+
+
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/relational.py
+    session_stats): 1-hour inactivity gap per user, one row per
+    session with count / bounds / duration / exact value sum. One key
+    shuffle; lag + running-sum windows + groupBy all reuse the same
+    partitioning."""
+    from hail_spark.operators.relational import session_stats
+
+    ev = _t(spark, sf_dir, "events").df.withColumn("tsu", _micros("ts"))
+    ed = ev.select(
+        "event_id", "user_id", F.col("tsu").alias("ts"), "value"
+    )
+    out = session_stats(
+        ed, "user_id", "ts", gap=3_600_000_000, value_col="value",
+        tiebreak="event_id",
+    )
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("bigint").alias("session_idx"),
+        "n_events",
+        "session_start",
+        "session_end",
+        "duration",
+        F.round("value_sum", 6).alias("value_sum"),
+    ).orderBy("user_id", "session_idx")
+
+
+_SESSIONIZE_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts, value FROM events),
+ g AS (SELECT *, CASE WHEN ts - lag(ts) OVER w > 3600000000 THEN 1 ELSE 0 END AS nw
+       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ s AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+       FROM g)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       MAX(ts) - MIN(ts) AS duration,
+       round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS value_sum
+FROM s GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+
+def rolling_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24 h per-user rolling aggregate (operators/
+    relational.py rolling_aggregate): RANGE-frame window Spark
+    evaluates as an O(n)-per-key sliding pass after one key shuffle —
+    no self-join."""
+    from hail_spark.operators.relational import rolling_aggregate
+
+    ev = _t(spark, sf_dir, "events").df.withColumn("tsu", _micros("ts"))
+    ed = ev.select("event_id", "user_id", F.col("tsu").alias("ts"), "value")
+    out = rolling_aggregate(
+        ed, "user_id", "ts", "value", window=86_400_000_000,
+        aggs=("sum", "count", "avg"),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.round("roll_sum", 6).alias("roll_sum"),
+        "roll_n",
+        F.round("roll_avg", 6).alias("roll_avg"),
+    ).orderBy("event_id")
+
+
+_ROLLING_SQL = """
+SELECT event_id, user_id,
+  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE), 6) AS roll_sum,
+  COUNT(*) OVER w AS roll_n,
+  round(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) / COUNT(*) OVER w,
+        6) AS roll_avg
+FROM (SELECT event_id, user_id, epoch_us(ts) AS ts, value FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+def frequent_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters over document tokens (operators/
+    relational.py frequent_items): Misra-Gries candidate sketch per
+    partition (bounded memory, vectorized mapInPandas) + exact
+    verification counts of the candidate set only — the long tail of
+    singleton tokens never shuffles. Output is exact, so the oracle is
+    a plain GROUP BY ... HAVING."""
+    from hail_spark.operators.relational import frequent_items
+
+    d = _t(spark, sf_dir, "documents").df
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    out = frequent_items(toks, "token", min_count=200)
+    return out.select("token", "cnt").orderBy("token")
+
+
+_FREQ_TOKENS_SQL = """
+SELECT t AS token, COUNT(*) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+GROUP BY t HAVING COUNT(*) >= 200
+ORDER BY token
 """

@@ -1,0 +1,333 @@
+"""Time-series relational operators: as-of join, sessionization,
+rolling-window aggregation, and exact heavy hitters.
+
+These are the event-analytics operators a query engine needs that
+Spark's DataFrame API lacks as primitives (the reference covers the
+genomics analogues — ordered-key joins over loci — via its partitioner;
+here the same merge-join shape is re-expressed for timestamped data).
+
+Spark shapes, each sized for a 1000-executor / 100 TB corpus:
+
+* ``asof_join`` — the union-merge trick: tag both sides, union, one
+  hash shuffle on the join key, sort within partition, and carry the
+  latest right payload forward with ``last(..., ignorenulls=True)``
+  over a running window. Cost is exactly one sort-merge-join pass —
+  no range explosion, no per-row probe, no broadcast requirement on
+  either side (both sides can be 100 TB).
+* ``sessionize`` / ``session_stats`` — per-key ordered windows
+  (``lag`` + running ``sum``) partitioned by the entity key: one
+  shuffle, arbitrarily many keys, never a global sort.
+* ``rolling_aggregate`` — ``rangeBetween`` time-window frame per key;
+  Spark evaluates it with a sliding frame over the per-key sort, O(n)
+  per key, map-side after the one key shuffle.
+* ``frequent_items`` — Misra-Gries candidate sketch per partition
+  (bounded memory, mapInPandas) + an exact verification count of the
+  candidate set only. The long tail never shuffles: only candidate
+  tokens (≤ partitions × capacity rows) reach the groupBy. Output is
+  EXACT (the sketch guarantees a candidate superset when
+  ``capacity + 1 ≥ N / min_count``), so it oracle-checks against a
+  plain GROUP BY ... HAVING.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    direction: str = "backward",
+    tolerance: int | float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Point-in-time ("as-of") join: for every left row, attach the
+    single right row with the same key and the closest ``right_ts`` at
+    or before (``backward``) / at or after (``forward``) ``left_ts``.
+
+    Implementation is the union-merge plan (the classic merge-join
+    formulation, e.g. kdb+ ``aj`` / pandas ``merge_asof`` semantics,
+    re-expressed as one Spark window):
+
+    1. tag right rows ``__side=0`` with their payload in a struct,
+       left rows ``__side=1`` with a NULL payload;
+    2. union and shuffle ONCE on the key; within each key partition
+       sort by ``(ts, side)`` (right-before-left on ties so an
+       equal-timestamp right row matches);
+    3. ``last(payload, ignorenulls=True)`` over the running frame
+       carries the most recent right payload onto each left row;
+    4. keep left rows; optionally null out matches beyond
+       ``tolerance`` (same units as the ts columns).
+
+    Non-matching left rows keep NULL payload columns (left-join
+    semantics). Right payload columns are renamed with ``suffix`` on
+    collision.
+
+    Scale: equivalent to one sort-merge join — no inequality-join
+    range explosion, both sides may be arbitrarily large, skew on the
+    key is handled by AQE like any other shuffle.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: direction must be backward|forward, got {direction!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts or left_ts
+
+    payload_cols = [c for c in right.columns if c not in keys and c != rts]
+    out_names = {
+        c: (c + suffix if c in left.columns else c) for c in payload_cols
+    }
+    matched_ts = rts + suffix if rts in left.columns else rts
+    struct_fields = [F.col(c).alias(out_names[c]) for c in payload_cols] + [
+        F.col(rts).alias("__match_ts")
+    ]
+
+    left_cols = [c for c in left.columns]
+    l2 = left.select(
+        *left_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(
+            right.select(F.struct(*struct_fields).alias("__p")).schema["__p"].dataType
+        ).alias("__p"),
+    )
+    r2 = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            if c not in keys
+            else F.col(c)
+            for c in left_cols
+        ],
+        F.col(rts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*struct_fields).alias("__p"),
+    )
+
+    order = [F.col("__ts").asc(), F.col("__side").asc()]
+    if direction == "forward":
+        order = [F.col("__ts").desc(), F.col("__side").asc()]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = l2.unionByName(r2).withColumn(
+        "__m", F.last("__p", ignorenulls=True).over(w)
+    )
+    out = u.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        gap = (
+            F.col("__ts") - F.col("__m.__match_ts")
+            if direction == "backward"
+            else F.col("__m.__match_ts") - F.col("__ts")
+        )
+        out = out.withColumn(
+            "__m", F.when(gap <= F.lit(tolerance), F.col("__m"))
+        )
+    return out.select(
+        *left_cols,
+        *[F.col(f"__m.{out_names[c]}").alias(out_names[c]) for c in payload_cols],
+        F.col("__m.__match_ts").alias(matched_ts),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: int | float,
+    tiebreak: str | None = None,
+    session_col: str = "session_idx",
+) -> DataFrame:
+    """Gap-based sessionization: within each ``key_col``, order events
+    by ``ts_col`` (then ``tiebreak`` for determinism) and start a new
+    session whenever the gap to the previous event exceeds ``gap``
+    (same units as ``ts_col``). Adds a dense 0-based per-key
+    ``session_col``.
+
+    One shuffle on the key; the windows (``lag`` + running ``sum``)
+    evaluate in a single per-key sorted pass. Never a global sort —
+    scales to any number of keys.
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(tiebreak).asc()] if tiebreak else []
+    )
+    w = Window.partitionBy(key_col).orderBy(*order)
+    new_sess = (
+        F.col(ts_col) - F.lag(ts_col).over(w) > F.lit(gap)
+    ).cast("int")
+    run = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("__new", F.coalesce(new_sess, F.lit(0))).withColumn(
+        session_col, F.sum("__new").over(run)
+    ).drop("__new")
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: int | float,
+    value_col: str | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Sessionize then aggregate one row per (key, session): event
+    count, start/end timestamp, duration, and (optionally) an exact
+    decimal sum of ``value_col``. One shuffle for the windows, and the
+    groupBy reuses the same key partitioning (Catalyst elides the
+    second exchange)."""
+    s = sessionize(df, key_col, ts_col, gap, tiebreak=tiebreak)
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (F.max(ts_col) - F.min(ts_col)).alias("duration"),
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("value_sum")
+        )
+    return s.groupBy(key_col, "session_idx").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# rolling (time-range) aggregation
+# ---------------------------------------------------------------------------
+
+def rolling_aggregate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    window: int,
+    aggs: tuple[str, ...] = ("sum", "count", "avg"),
+) -> DataFrame:
+    """Trailing time-window aggregate per key: for each row, aggregate
+    ``value_col`` over rows of the same key with
+    ``ts ∈ [row.ts - window, row.ts]`` (a RANGE frame, so simultaneous
+    events all count). ``ts_col`` must be numeric (e.g. epoch nanos —
+    the engine reads parquet TIMESTAMP(NANOS) as int64).
+
+    Spark evaluates the RANGE frame with a two-pointer sliding pass
+    over each key's sorted run — O(n) per key after the single key
+    shuffle, no self-join, no per-row rescan.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).asc())
+        .rangeBetween(-int(window), 0)
+    )
+    out = df
+    dec = F.col(value_col).cast("decimal(38,6)")
+    if "sum" in aggs:
+        out = out.withColumn(
+            "roll_sum", F.sum(dec).over(w).cast("double")
+        )
+    if "count" in aggs:
+        out = out.withColumn("roll_n", F.count(F.lit(1)).over(w))
+    if "avg" in aggs:
+        out = out.withColumn(
+            "roll_avg", (F.sum(dec).over(w) / F.count(F.lit(1)).over(w)).cast("double")
+        )
+    if "min" in aggs:
+        out = out.withColumn("roll_min", F.min(value_col).over(w))
+    if "max" in aggs:
+        out = out.withColumn("roll_max", F.max(value_col).over(w))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# exact heavy hitters (Misra-Gries candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+def _misra_gries_partition(
+    it: Iterator[pd.DataFrame], col: str, capacity: int
+) -> Iterator[pd.DataFrame]:
+    """Per-partition Misra-Gries summary, batch-merged: each Arrow
+    chunk's exact ``value_counts`` is an error-0 summary, merged into
+    the running counters with the mergeable-summaries rule (Agarwal et
+    al. 2013): when over capacity, subtract the (capacity+1)-th largest
+    count and drop non-positives. Total undercount stays ≤
+    n_p/(capacity+1), so any item with partition count above that bound
+    survives — the union of survivor sets is a superset of every item
+    with global count > N/(capacity+1). Vectorized (pandas ops only,
+    no per-token Python loop)."""
+    counters = pd.Series(dtype="int64")
+    for pdf in it:
+        vc = pdf[col].value_counts()
+        counters = counters.add(vc, fill_value=0)
+        if len(counters) > capacity:
+            kth = counters.nlargest(capacity + 1).iloc[-1]
+            counters = counters[counters > kth] - kth
+    # object dtype so empty partitions don't infer a numeric index
+    # dtype that clashes with a string column schema
+    yield pd.DataFrame({col: pd.Series(counters.index.tolist(), dtype=object)})
+
+
+def frequent_items(
+    df: DataFrame,
+    col: str,
+    min_count: int,
+    total: int | None = None,
+    capacity: int | None = None,
+) -> DataFrame:
+    """EXACT heavy hitters: all distinct values of ``col`` occurring at
+    least ``min_count`` times, with their exact counts.
+
+    Two-phase plan (Misra-Gries 1982; the mergeable-summaries
+    formulation of Agarwal et al. 2013):
+
+    1. **candidates** — one bounded-memory Misra-Gries sketch per
+       partition (``mapInPandas``; ``capacity`` counters). With
+       ``capacity + 1 ≥ N / min_count`` the union of survivors
+       provably contains every global heavy hitter (pigeonhole on the
+       per-partition undercount bound), so phase 2 never misses.
+    2. **verify** — broadcast-semi-join the (tiny: ≤ partitions ×
+       capacity rows) candidate set back onto the column and take
+       exact counts, keeping those ≥ ``min_count``.
+
+    Why not one big groupBy: at 100 TB the token column's long tail is
+    billions of distinct singletons; a full groupBy shuffles ALL of
+    them to count things that can never qualify. Here the tail dies
+    map-side — only candidate rows reach the shuffle.
+
+    ``total`` (= N, the row count of ``df``) sizes the sketch; if
+    omitted it is computed with one cheap count job. ``capacity``
+    overrides the derived size (must honor the guarantee yourself).
+    """
+    if min_count < 1:
+        raise ValueError("frequent_items: min_count must be >= 1")
+    if capacity is None:
+        n = total if total is not None else df.count()
+        capacity = max(64, int(math.ceil(n / min_count)))
+    cands = df.select(col).mapInPandas(
+        lambda it: _misra_gries_partition(it, col, capacity),
+        schema=df.select(col).schema,
+    ).distinct()
+    return (
+        df.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )

@@ -1,0 +1,157 @@
+"""Time-series relational operators (operators/relational.py):
+as-of join, sessionization, rolling windows, exact heavy hitters.
+
+Edge cases the sf-data oracle queries can't reach: no-match left rows,
+tolerance cutoffs, forward direction, equal-timestamp ties, string
+keys in frequent_items, and the Misra-Gries no-false-negative
+guarantee under adversarial skew.
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from hail_spark.operators.relational import (
+    asof_join,
+    frequent_items,
+    rolling_aggregate,
+    session_stats,
+    sessionize,
+)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+class TestAsofJoin:
+    def test_backward_basic_and_no_match(self, spark):
+        left = _df(spark, [("a", 10), ("a", 25), ("b", 5)], "k string, ts long")
+        right = _df(
+            spark,
+            [("a", 8, 1.0), ("a", 20, 2.0), ("b", 7, 9.0)],
+            "k string, rts long, v double",
+        )
+        out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+        got = {(r["k"], r["ts"]): (r["v"], r["rts"]) for r in out.collect()}
+        assert got == {
+            ("a", 10): (1.0, 8),
+            ("a", 25): (2.0, 20),
+            ("b", 5): (None, None),  # right row is AFTER: no backward match
+        }
+
+    def test_equal_ts_matches(self, spark):
+        left = _df(spark, [("a", 10)], "k string, ts long")
+        right = _df(spark, [("a", 10, 5.0)], "k string, rts long, v double")
+        out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+        assert out.collect()[0]["v"] == 5.0
+
+    def test_tolerance(self, spark):
+        left = _df(spark, [("a", 100), ("a", 200)], "k string, ts long")
+        right = _df(spark, [("a", 95, 1.0)], "k string, rts long, v double")
+        out = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", tolerance=10
+        )
+        got = {r["ts"]: r["v"] for r in out.collect()}
+        assert got == {100: 1.0, 200: None}  # 200-95 > 10 nulled out
+
+    def test_forward(self, spark):
+        left = _df(spark, [("a", 10), ("a", 30)], "k string, ts long")
+        right = _df(
+            spark, [("a", 15, 1.0), ("a", 40, 2.0)], "k string, rts long, v double"
+        )
+        out = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", direction="forward"
+        )
+        got = {r["ts"]: (r["v"], r["rts"]) for r in out.collect()}
+        assert got == {10: (1.0, 15), 30: (2.0, 40)}
+
+    def test_name_collision_suffix(self, spark):
+        left = _df(spark, [("a", 10, 7.0)], "k string, ts long, v double")
+        right = _df(spark, [("a", 5, 1.0)], "k string, ts long, v double")
+        out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+        row = out.collect()[0]
+        assert row["v"] == 7.0 and row["v_right"] == 1.0 and row["ts_right"] == 5
+
+    def test_bad_direction(self, spark):
+        left = _df(spark, [("a", 1)], "k string, ts long")
+        with pytest.raises(ValueError):
+            asof_join(left, left, on="k", left_ts="ts", direction="nearest")
+
+
+class TestSessionize:
+    def test_gap_splits(self, spark):
+        df = _df(
+            spark,
+            [(1, 0), (1, 50), (1, 200), (2, 0)],
+            "u long, ts long",
+        )
+        out = sessionize(df, "u", "ts", gap=100)
+        got = {(r["u"], r["ts"]): r["session_idx"] for r in out.collect()}
+        assert got == {(1, 0): 0, (1, 50): 0, (1, 200): 1, (2, 0): 0}
+
+    def test_gap_boundary_is_same_session(self, spark):
+        # gap strictly greater-than starts a new session
+        df = _df(spark, [(1, 0), (1, 100)], "u long, ts long")
+        out = sessionize(df, "u", "ts", gap=100)
+        assert {r["session_idx"] for r in out.collect()} == {0}
+
+    def test_session_stats(self, spark):
+        df = _df(
+            spark,
+            [(1, 0, 1.0), (1, 10, 2.0), (1, 500, 4.0)],
+            "u long, ts long, value double",
+        )
+        out = session_stats(df, "u", "ts", gap=100, value_col="value")
+        got = {
+            r["session_idx"]: (r["n_events"], r["duration"], r["value_sum"])
+            for r in out.collect()
+        }
+        assert got == {0: (2, 10, 3.0), 1: (1, 0, 4.0)}
+
+
+class TestRolling:
+    def test_trailing_range(self, spark):
+        df = _df(
+            spark,
+            [(1, 0, 1.0), (1, 5, 2.0), (1, 11, 4.0)],
+            "u long, ts long, value double",
+        )
+        out = rolling_aggregate(df, "u", "ts", "value", window=10)
+        got = {r["ts"]: (r["roll_sum"], r["roll_n"]) for r in out.collect()}
+        # frame is [ts-10, ts]: at ts=11 the ts=0 row has aged out
+        assert got == {0: (1.0, 1), 5: (3.0, 2), 11: (6.0, 2)}
+
+    def test_simultaneous_events_share_frame(self, spark):
+        df = _df(spark, [(1, 5, 1.0), (1, 5, 2.0)], "u long, ts long, value double")
+        out = rolling_aggregate(df, "u", "ts", "value", window=10, aggs=("sum",))
+        assert [r["roll_sum"] for r in out.collect()] == [3.0, 3.0]
+
+    def test_min_max(self, spark):
+        df = _df(spark, [(1, 0, 3.0), (1, 1, 1.0)], "u long, ts long, value double")
+        out = rolling_aggregate(df, "u", "ts", "value", window=10, aggs=("min", "max"))
+        last = out.orderBy("ts").collect()[-1]
+        assert last["roll_min"] == 1.0 and last["roll_max"] == 3.0
+
+
+class TestFrequentItems:
+    def test_exact_counts(self, spark):
+        rows = [("a",)] * 50 + [("b",)] * 10 + [("c",)] * 2
+        df = spark.createDataFrame(rows, "w string").repartition(4)
+        out = {r["w"]: r["cnt"] for r in frequent_items(df, "w", min_count=10).collect()}
+        assert out == {"a": 50, "b": 10}
+
+    def test_no_false_negatives_under_skew(self, spark):
+        # adversarial: heavy hitter spread thin across partitions among
+        # a sea of singletons — the MG union must still surface it
+        rows = [(f"junk{i}",) for i in range(2000)] + [("hot",)] * 40
+        df = spark.createDataFrame(rows, "w string").repartition(8)
+        out = frequent_items(df, "w", min_count=40).collect()
+        assert {r["w"]: r["cnt"] for r in out} == {"hot": 40}
+
+    def test_capacity_override_and_validation(self, spark):
+        df = spark.createDataFrame([("x",)] * 5, "w string")
+        with pytest.raises(ValueError):
+            frequent_items(df, "w", min_count=0)
+        out = frequent_items(df, "w", min_count=5, capacity=64).collect()
+        assert out[0]["cnt"] == 5
