@@ -75,12 +75,26 @@ def _merge_pass(syms: list, left: str, right: str) -> list:
 
 
 def _fixpoint_replace(s: str, old: str, new: str) -> str:
-    """String-form canonical merge: leftmost non-overlapping replace to
-    fixpoint (each pass consumes shared boundary spaces, so chained
-    occurrences need further passes)."""
+    """String-form merge by leftmost non-overlapping replace to
+    fixpoint — the mirror of the SQL oracle's nested ``replace``
+    (``__spark_entry__._nested_replace_sql``). NOT used by the engine:
+    for a self-pair merge (left == right) on an odd run of >= 5
+    identical symbols the space-consuming string scan groups pairs
+    differently from the canonical symbol pass ('ccccc' -> cc|c|cc
+    instead of cc|cc|c — hypothesis-found), so engine paths use
+    ``_apply_merge_str``/``_merge_pass``. Kept only as the documented
+    oracle-semantics reference."""
     while old in s:
         s = s.replace(old, new)
     return s
+
+
+def _apply_merge_str(s: str, left: str, right: str) -> str:
+    """Canonical merge applied to a sentinel-spaced symbol string
+    (' c a t ' form): split to symbols, one leftmost non-overlapping
+    ``_merge_pass``, rejoin. Matches subword-nmt's zero-width-lookaround
+    regex semantics exactly, including self-pair (l == r) runs."""
+    return " " + " ".join(_merge_pass(s.split(), left, right)) + " "
 
 
 def _word_vocab(df: DataFrame, text_col: str) -> DataFrame:
@@ -247,11 +261,11 @@ def bpe_train(
             pair, freq = top
             left, right = pair.split(" ")
             merges.append((rank, left, right, freq))
-            old, new = f" {left} {right} ", f" {left}{right} "
+            lf, rt = left, right
 
             @F.pandas_udf(StringType())
             def _apply(sym: pd.Series) -> pd.Series:
-                return sym.map(lambda s: _fixpoint_replace(s, old, new))
+                return sym.map(lambda s: _apply_merge_str(s, lf, rt))
 
             vocab = vocab.withColumn("sym", _apply("sym")).localCheckpoint()
     return spark.createDataFrame(
