@@ -5875,6 +5875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events",
         "rolling_window_events",
         "frequent_tokens_exact",
+        "bloom_decontam_flagged",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6048,6 +6049,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_q,
         "rolling_window_events": rolling_window_q,
         "frequent_tokens_exact": frequent_tokens_q,
+        "bloom_decontam_flagged": bloom_decontam_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6238,6 +6240,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_events": _SESSIONIZE_SQL,
         "rolling_window_events": _ROLLING_SQL,
         "frequent_tokens_exact": _FREQ_TOKENS_SQL,
+        "bloom_decontam_flagged": _BLOOM_DECONTAM_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -8804,4 +8807,42 @@ SELECT t AS token, COUNT(*) AS cnt
 FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
 GROUP BY t HAVING COUNT(*) >= 200
 ORDER BY token
+"""
+
+
+def bloom_decontam_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-screened decontamination (llmdata/decontam.py
+    bloom_decontaminate): same contract as decontam_overlap but the
+    benchmark membership test is a ~1 B/gram Bloom broadcast (map-only
+    screen) + an exact verify join over candidates only — the shape
+    for eval unions too big to broadcast as a hash relation. Output is
+    EXACT (screen over-selects only), so the oracle is the exact
+    decontamination SQL restricted to flagged rows."""
+    from hail_spark.llmdata.decontam import bloom_decontaminate
+
+    d = _t(spark, sf_dir, "documents").df
+    bench = d.filter(F.col("doc_id") % 13 == 0)
+    out = bloom_decontaminate(d, bench, n=8, min_hits=1, n_bits=1 << 20, k=4)
+    return out.select("doc_id", "n_grams", "n_hits").orderBy("doc_id")
+
+
+_BLOOM_DECONTAM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g')), '\s+'),
+           w -> w != '') AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+  FROM tok, UNNEST(range(1, len(toks) - 8 + 2)) AS t(i)
+  WHERE len(toks) >= 8),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 13 = 0),
+base AS (SELECT doc_id, len(toks) - 7 AS n_grams FROM tok WHERE len(toks) >= 8)
+SELECT d.doc_id, CAST(b.n_grams AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM grams d JOIN bench USING (g) JOIN base b USING (doc_id)
+GROUP BY d.doc_id, b.n_grams
+HAVING COUNT(*) >= 1
+ORDER BY d.doc_id
 """

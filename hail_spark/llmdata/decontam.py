@@ -115,3 +115,149 @@ def decontaminate(
         F.col("n_hits").cast("bigint").alias("n_hits"),
         (F.col("n_hits") >= min_hits).alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-screened decontamination (very large benchmark suites)
+# ---------------------------------------------------------------------------
+#
+# `decontaminate` broadcasts the DISTINCT benchmark gram hashes as a
+# hash relation (~40 B/entry in the JVM build side). For a very large
+# eval union (hundreds of millions of grams) that broadcast stops
+# fitting; a Bloom filter at ~1 byte/gram (k=4-6, ~2-3 % FP) is 30-40×
+# smaller, and false positives cost nothing because a second EXACT pass
+# runs only over the (tiny) candidate subset. Standard two-phase
+# membership screen:
+#
+#   1. build  — gram hashes -> k bit positions (double hashing,
+#      Kirsch-Mitzenmacher 2006) -> per-partition byte arrays
+#      (vectorized numpy bitwise_or.at) -> OR'd on the driver
+#      (bounded: partitions × n_bits/8 bytes) -> ONE broadcast value.
+#   2. screen — map-only Arrow-batched pass over the corpus: count
+#      grams whose k bits are all set. No shuffle, no join.
+#   3. verify — explode ONLY docs whose screened count reaches
+#      min_hits (true hits ≤ bloom hits, so nothing real is missed)
+#      and take exact counts against the benchmark grams.
+#
+# Output = exactly the contaminated rows of `decontaminate` (the
+# production "what do I drop" contract), so it oracle-checks against
+# the same SQL with a HAVING clause.
+
+
+def _bloom_positions(hashes, n_bits: int, k: int):
+    """(n, k) int array of bit positions for int64 gram hashes —
+    double hashing h1 + i*h2 with an odd stride, vectorized."""
+    import numpy as np
+
+    h = np.asarray(hashes, dtype=np.int64).view(np.uint64)
+    h1 = h & np.uint64(n_bits - 1)
+    h2 = ((h >> np.uint64(33)) | np.uint64(1)) & np.uint64(n_bits - 1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) & np.uint64(n_bits - 1)).astype(
+        np.int64
+    )
+
+
+def bloom_build(grams: DataFrame, n_bits: int = 1 << 23, k: int = 4) -> bytes:
+    """Bloom filter (as bytes, little-endian bit order) over a
+    DataFrame(gram bigint) — e.g. `benchmark_grams` output. ``n_bits``
+    must be a power of two. Distributed build: each partition sets its
+    grams' bits into a local byte array (one numpy pass), the driver
+    ORs the (partitions × n_bits/8 B) partials."""
+    import numpy as np
+
+    if n_bits & (n_bits - 1):
+        raise ValueError("bloom_build: n_bits must be a power of two")
+
+    def _part(it):
+        import pandas as pd
+
+        arr = np.zeros(n_bits // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in it:
+            if len(pdf):
+                any_rows = True
+                pos = _bloom_positions(pdf["gram"].to_numpy(), n_bits, k).ravel()
+                np.bitwise_or.at(arr, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        yield pd.DataFrame({"b": [arr.tobytes()] if any_rows else []})
+
+    parts = grams.select("gram").mapInPandas(_part, schema="b binary").collect()
+    out = np.zeros(n_bits // 8, dtype=np.uint8)
+    for row in parts:
+        out |= np.frombuffer(row["b"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    min_hits: int = 1,
+    n_bits: int = 1 << 23,
+    k: int = 4,
+) -> DataFrame:
+    """Contaminated documents only — (id_col, n_grams, n_hits), the
+    rows `decontaminate` would flag — using the Bloom screen above so
+    the benchmark broadcast is ~1 byte/gram instead of a hash relation.
+    EXACT output: the screen can only over-select (no false
+    negatives); the verify join recomputes true counts for candidates
+    and re-applies ``min_hits``."""
+    import numpy as np
+
+    from .dedup import _spread
+
+    grams = benchmark_grams(bench, bench_text_col, n)
+    bloom = bloom_build(grams, n_bits=n_bits, k=k)
+    sc = docs.sparkSession.sparkContext
+    b_bloom = sc.broadcast(bloom)
+
+    doc_grams = (
+        _spread(docs.select(id_col, text_col))
+        .select(F.col(id_col), _norm_tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            _gram_hashes_of_tokens(F.col("__toks"), n).alias("__grams"),
+        )
+    )
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _screen_fn(grams_col):
+        bits = np.frombuffer(b_bloom.value, dtype=np.uint8)
+
+        def hits(gs):
+            if gs is None or len(gs) == 0:
+                return 0
+            pos = _bloom_positions(list(gs), n_bits, k)
+            ok = bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))
+            return int(((ok != 0).all(axis=1)).sum())
+
+        return grams_col.map(hits)
+
+    # future-annotations module: attach real type objects (pandas_udf
+    # can't resolve stringified hints)
+    _screen_fn.__annotations__ = {"grams_col": pd.Series, "return": pd.Series}
+    _screen = pandas_udf(_screen_fn, "int")
+
+    screened = doc_grams.withColumn("__bloom_hits", _screen("__grams"))
+    cands = screened.filter(F.col("__bloom_hits") >= min_hits)
+    exact = (
+        cands.select(
+            id_col,
+            F.size("__grams").cast("bigint").alias("n_grams"),
+            F.explode("__grams").alias("gram"),
+        )
+        # no broadcast hint: in the regime this op exists for, the
+        # benchmark gram set is too big to broadcast — AQE picks
+        # broadcast when it does fit, shuffle join otherwise (both
+        # sides are small: candidates only vs bench grams)
+        .join(grams, on="gram", how="left_semi")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+    return exact.select(id_col, "n_grams", F.col("n_hits").cast("bigint").alias("n_hits"))

@@ -263,3 +263,48 @@ def test_compression_ratio(spark):
     raw = rows[1][1].encode()
     assert abs(out[2]["ratio"] - len(zlib.compress(raw, 6)) / len(raw)) < 1e-12
     assert out[3]["ratio"] is None and out[4]["ratio"] is None
+
+
+class TestBloomDecontam:
+    def test_bloom_equals_exact_even_with_fp_heavy_filter(self, spark, sf_dir):
+        from hail_spark.llmdata.decontam import bloom_decontaminate, decontaminate
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        bench = d.filter("doc_id % 13 = 0")
+        exact = {
+            r["doc_id"]: (r["n_grams"], r["n_hits"])
+            for r in decontaminate(d, bench, n=8, min_hits=2)
+            .filter("contaminated")
+            .collect()
+        }
+        # deliberately undersized filter (1<<10 bits, k=2): lots of
+        # false positives — the verify join must still be exact
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_hits"])
+            for r in bloom_decontaminate(
+                d, bench, n=8, min_hits=2, n_bits=1 << 10, k=2
+            ).collect()
+        }
+        assert got == exact and len(got) > 0
+
+    def test_bloom_build_membership(self, spark):
+        import numpy as np
+
+        from hail_spark.llmdata.decontam import _bloom_positions, bloom_build
+
+        grams = spark.createDataFrame(
+            [(h,) for h in [-5, 0, 7, 2**62, -(2**62)]], "gram long"
+        )
+        bits = np.frombuffer(bloom_build(grams, n_bits=1 << 12, k=4), dtype=np.uint8)
+        pos = _bloom_positions([-5, 0, 7, 2**62, -(2**62)], 1 << 12, 4)
+        ok = bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))
+        assert (ok != 0).all()  # no false negatives, ever
+
+    def test_bloom_build_pow2_validation(self, spark):
+        import pytest as _pytest
+
+        from hail_spark.llmdata.decontam import bloom_build
+
+        grams = spark.createDataFrame([(1,)], "gram long")
+        with _pytest.raises(ValueError):
+            bloom_build(grams, n_bits=1000)
