@@ -5876,6 +5876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window_events",
         "frequent_tokens_exact",
         "bloom_decontam_flagged",
+        "hll_distinct_rollup",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6050,6 +6051,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_window_events": rolling_window_q,
         "frequent_tokens_exact": frequent_tokens_q,
         "bloom_decontam_flagged": bloom_decontam_q,
+        "hll_distinct_rollup": hll_distinct_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6241,6 +6243,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_window_events": _ROLLING_SQL,
         "frequent_tokens_exact": _FREQ_TOKENS_SQL,
         "bloom_decontam_flagged": _BLOOM_DECONTAM_SQL,
+        "hll_distinct_rollup": _HLL_DISTINCT_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -8845,4 +8848,28 @@ FROM grams d JOIN bench USING (g) JOIN base b USING (doc_id)
 GROUP BY d.doc_id, b.n_grams
 HAVING COUNT(*) >= 1
 ORDER BY d.doc_id
+"""
+
+
+def hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct counts (operators/sketches.py): distinct
+    users per event_type PLUS the global distinct computed by UNIONING
+    the per-type sketches (no second scan — the rollup shape that makes
+    30-day distincts at 100 TB a sketch-table re-agg instead of a raw
+    rescan). DataSketches HLL is exact in its sparse regime, which
+    covers the gate corpora; the SQL oracle is exact COUNT(DISTINCT)."""
+    from hail_spark.operators.sketches import distinct_by_group_with_total
+
+    ev = _t(spark, sf_dir, "events").df
+    out = distinct_by_group_with_total(ev, "event_type", "user_id", lgk=14)
+    return out.select("event_type", "n_distinct").orderBy("event_type")
+
+
+_HLL_DISTINCT_SQL = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__all__' AS event_type, COUNT(DISTINCT user_id) AS n_distinct
+FROM events
+ORDER BY event_type
 """
