@@ -5877,6 +5877,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_tokens_exact",
         "bloom_decontam_flagged",
         "hll_distinct_rollup",
+        "q4_order_priority",
+        "q10_returned_revenue",
+        "q14_promo_share",
+        "q19_disjunctive_revenue",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6052,6 +6056,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_tokens_exact": frequent_tokens_q,
         "bloom_decontam_flagged": bloom_decontam_q,
         "hll_distinct_rollup": hll_distinct_q,
+        "q4_order_priority": q4_priority_q,
+        "q10_returned_revenue": q10_returns_q,
+        "q14_promo_share": q14_promo_q,
+        "q19_disjunctive_revenue": q19_disjunct_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6244,6 +6252,10 @@ def oracle_sql() -> dict[str, str]:
         "frequent_tokens_exact": _FREQ_TOKENS_SQL,
         "bloom_decontam_flagged": _BLOOM_DECONTAM_SQL,
         "hll_distinct_rollup": _HLL_DISTINCT_SQL,
+        "q4_order_priority": _Q4_SQL,
+        "q10_returned_revenue": _Q10_SQL,
+        "q14_promo_share": _Q14_SQL,
+        "q19_disjunctive_revenue": _Q19_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -8872,4 +8884,174 @@ UNION ALL
 SELECT '__all__' AS event_type, COUNT(DISTINCT user_id) AS n_distinct
 FROM events
 ORDER BY event_type
+"""
+
+
+def q4_priority_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS decorrelated to a left-semi join): count
+    orders per priority, within a date window, that have at least one
+    line item shipped after the order date. The semi-join probes only
+    the order keys (no row duplication); the priority groupBy is a tiny
+    hash agg on top."""
+    o = _t(spark, sf_dir, "orders").df
+    li = _t(spark, sf_dir, "lineitem").df
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    window = o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    late = li.join(
+        window.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == window["o_orderkey"],
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate")).select("o_orderkey").distinct()
+    return (
+        window.join(late, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q10_returns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer in
+    a quarter, top 20. Fact-fact join shuffles on the order key once;
+    customer and nation dims ride broadcast joins; top-k is a
+    TakeOrdered (no global sort)."""
+    c = _t(spark, sf_dir, "customer").df
+    o = _t(spark, sf_dir, "orders").df
+    li = _t(spark, sf_dir, "lineitem").df
+    n = _t(spark, sf_dir, "nation").df
+    lo = F.lit("1996-07-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-10-01 00:00:00").cast("timestamp")
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+            .select("o_orderkey", "o_custkey"),
+            li["l_orderkey"] == o["o_orderkey"],
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return (
+        rev.join(F.broadcast(c), rev["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select(
+            "c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"),
+            F.round("revenue", 6).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, n_name AS nation,
+       round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+             AS DOUBLE), 6) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+"""
+
+
+def q14_promo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share over one month — broadcast
+    part join + one conditional aggregate (both sums in a single
+    hash-agg pass)."""
+    li = _t(spark, sf_dir, "lineitem").df
+    p = _t(spark, sf_dir, "part").df
+    lo = F.lit("1996-03-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    j = li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).join(
+        F.broadcast(p.select("p_partkey", "p_type")),
+        li["l_partkey"] == p["p_partkey"],
+    )
+    return j.agg(
+        F.round(
+            (
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(38,6)")))
+                * 100.0
+                / F.sum(rev)
+            ).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+_Q14_SQL = """
+SELECT round(CAST(
+         SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+             ELSE CAST(0 AS DECIMAL(38,6)) END) * 100.0
+         / SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+       AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q19_disjunct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive brand/size/quantity predicates.
+    The part-side conjuncts (brand, size) stay on the broadcast dim;
+    the common quantity bound pushes to the lineitem scan; the OR of
+    brand-specific quantity bands evaluates post-join in one codegen
+    stage."""
+    li = _t(spark, sf_dir, "lineitem").df
+    p = _t(spark, sf_dir, "part").df
+    dims = p.filter(
+        (F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        & (F.col("p_size") <= 15)
+    ).select("p_partkey", "p_brand", "p_size")
+    j = li.filter(F.col("l_quantity") <= 30).join(
+        F.broadcast(dims), li["l_partkey"] == p["p_partkey"]
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") <= 10))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(5, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(10, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+_Q19_SQL = """
+SELECT round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+             AS DOUBLE), 6) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem, part
+WHERE l_partkey = p_partkey AND p_size <= 15
+  AND ((p_brand = 'Brand#1' AND l_quantity <= 10)
+    OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 5 AND 20)
+    OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 10 AND 30))
 """
