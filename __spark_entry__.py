@@ -5881,6 +5881,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue",
         "q14_promo_share",
         "q19_disjunctive_revenue",
+        "weighted_sample_topk",
+        "corpus_diff_status",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6060,6 +6062,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_revenue": q10_returns_q,
         "q14_promo_share": q14_promo_q,
         "q19_disjunctive_revenue": q19_disjunct_q,
+        "weighted_sample_topk": weighted_sample_q,
+        "corpus_diff_status": corpus_diff_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6256,6 +6260,8 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_revenue": _Q10_SQL,
         "q14_promo_share": _Q14_SQL,
         "q19_disjunctive_revenue": _Q19_SQL,
+        "weighted_sample_topk": _WEIGHTED_SAMPLE_SQL,
+        "corpus_diff_status": _CORPUS_DIFF_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -9054,4 +9060,75 @@ WHERE l_partkey = p_partkey AND p_size <= 15
   AND ((p_brand = 'Brand#1' AND l_quantity <= 10)
     OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 5 AND 20)
     OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 10 AND 30))
+"""
+
+
+def weighted_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement (llmdata/sampling.py
+    weighted_sample, Efraimidis-Spirakis A-ES): 50 documents weighted
+    by length. orderBy+limit compiles to TakeOrderedAndProject — no
+    global sort — and the md5-uniform keys make the draw exactly
+    SQL-replayable."""
+    from hail_spark.llmdata.sampling import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").df
+    out = weighted_sample(d, k=50, weight_col="n_chars", uid_col="doc_id", seed=7)
+    return out.select("doc_id", "n_chars").orderBy("doc_id")
+
+
+_WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 15))::BIGINT
+            % 1073741824 / 1073741824.0 + 1e-12) / n_chars AS k
+  FROM documents WHERE n_chars > 0),
+top AS (SELECT doc_id, n_chars FROM keyed ORDER BY k DESC, doc_id LIMIT 50)
+SELECT doc_id, n_chars FROM top ORDER BY doc_id
+"""
+
+
+def corpus_diff_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (llmdata/versioning.py): v2 is built from
+    the documents table by dropping every 7th doc, appending 100 new
+    ids and rewriting every 11th text — the diff must recover exactly
+    those sets. Only (id, 60-bit content hash) pairs shuffle through
+    the full-outer join; text never leaves the scan."""
+    from hail_spark.llmdata.versioning import corpus_diff_summary
+
+    d = _t(spark, sf_dir, "documents").df
+    v2 = (
+        d.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            d.orderBy("doc_id").limit(100).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"),
+                *[c for c in d.columns if c != "doc_id"],
+            )
+        )
+    )
+    out = corpus_diff_summary(d, v2)
+    return out.select("status", "n_docs").orderBy("status")
+
+
+_CORPUS_DIFF_SQL = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 != 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text
+  FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 100)),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text != n.text THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
+SELECT status, COUNT(*) AS n_docs FROM j GROUP BY status ORDER BY status
 """

@@ -340,3 +340,36 @@ def cap_per_group(
     return df.withColumn("group_rank", F.row_number().over(w)).filter(
         F.col("group_rank") <= n
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    uid_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement of exactly ``k`` rows
+    (Efraimidis-Spirakis 2006 A-ES): each row draws a deterministic
+    md5-uniform u and keys on ln(u)/w (a monotone transform of the
+    paper's u^(1/w)); the global top-k by key is a weighted sample
+    without replacement. Fully deterministic given (uid, seed), so the
+    SQL oracle replays it arithmetically.
+
+    Distributed shape: orderBy+limit compiles to TakeOrderedAndProject
+    — per-partition top-k heaps merged on the driver, NO global sort,
+    no shuffle of the corpus. Rows with weight <= 0 are excluded (the
+    A-ES domain)."""
+    if k < 1:
+        raise ValueError("weighted_sample: k must be >= 1")
+    u = uniform(F.col(uid_col), seed)
+    # ln(u)/w preserves the u^(1/w) ordering (ln u < 0, w > 0); the
+    # epsilon guards ln(0) from the (probability-0 under md5) u == 0
+    key = F.log(u + F.lit(1e-12)) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("__wkey", key)
+        .orderBy(F.desc("__wkey"), F.col(uid_col))
+        .limit(k)
+        .drop("__wkey")
+    )

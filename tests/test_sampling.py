@@ -287,3 +287,54 @@ def test_cap_per_group(spark):
     other = {r["doc_id"]
              for r in cap_per_group(df, "grp", 5, "doc_id", seed=9).collect()}
     assert other != {r["doc_id"] for r in rows_out}
+
+
+class TestWeightedSample:
+    def test_k_rows_no_duplicates(self, spark, sf_dir):
+        from hail_spark.llmdata.sampling import weighted_sample
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = weighted_sample(d, k=40, weight_col="n_chars", uid_col="doc_id", seed=1)
+        ids = [r["doc_id"] for r in out.collect()]
+        assert len(ids) == 40 and len(set(ids)) == 40
+
+    def test_weight_bias(self, spark):
+        # a row with 50x the weight should be selected far more often
+        # across seeds than a unit-weight row
+        from pyspark.sql import functions as F
+
+        from hail_spark.llmdata.sampling import weighted_sample
+
+        rows = [(i, 50.0 if i == 0 else 1.0) for i in range(200)]
+        df = spark.createDataFrame(rows, "uid long, w double")
+        hits = sum(
+            1
+            for s in range(30)
+            if 0 in {r["uid"] for r in weighted_sample(df, 10, "w", "uid", seed=s).collect()}
+        )
+        assert hits >= 20  # P(select) ~ 1 - (1-50/249)^10 >> 0.67
+
+    def test_nonpositive_weights_excluded_and_validation(self, spark):
+        import pytest as _pytest
+
+        from hail_spark.llmdata.sampling import weighted_sample
+
+        df = spark.createDataFrame([(1, 0.0), (2, -1.0), (3, 5.0)], "uid long, w double")
+        out = weighted_sample(df, k=3, weight_col="w", uid_col="uid")
+        assert [r["uid"] for r in out.collect()] == [3]
+        with _pytest.raises(ValueError):
+            weighted_sample(df, k=0, weight_col="w", uid_col="uid")
+
+
+class TestCorpusDiff:
+    def test_statuses(self, spark):
+        from hail_spark.llmdata.versioning import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "C!"), (4, "d")], "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+        assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
