@@ -5883,6 +5883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue",
         "weighted_sample_topk",
         "corpus_diff_status",
+        "session_window_native",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6064,6 +6065,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_disjunctive_revenue": q19_disjunct_q,
         "weighted_sample_topk": weighted_sample_q,
         "corpus_diff_status": corpus_diff_q,
+        "session_window_native": session_window_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6262,6 +6264,7 @@ def oracle_sql() -> dict[str, str]:
         "q19_disjunctive_revenue": _Q19_SQL,
         "weighted_sample_topk": _WEIGHTED_SAMPLE_SQL,
         "corpus_diff_status": _CORPUS_DIFF_SQL,
+        "session_window_native": _SESSION_WINDOW_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -9131,4 +9134,48 @@ j AS (
               ELSE 'unchanged' END AS status
   FROM documents o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id)
 SELECT status, COUNT(*) AS n_docs FROM j GROUP BY status ORDER BY status
+"""
+
+
+def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-NATIVE session windows (F.session_window, the engine's
+    built-in merging session operator — same operator Structured
+    Streaming uses with watermarks): per-user sessions that merge
+    events closer than a 1 h gap, aggregated in one groupBy. Boundary
+    semantics differ from operators/relational.sessionize by design
+    (session_window merges on strict <gap from the PREVIOUS EVENT's
+    window start: window = [ts, ts+gap) unions); the oracle replays the
+    strict-< chain rule arithmetically."""
+    ev = _t(spark, sf_dir, "events").df
+    out = (
+        ev.groupBy("user_id", F.session_window(F.col("ts"), "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            _micros("session_window.start").alias("w_start"),
+            _micros("session_window.end").alias("w_end"),
+            "n_events",
+            F.round("value_sum", 6).alias("value_sum"),
+        )
+    )
+    return out.orderBy("user_id", "w_start")
+
+
+_SESSION_WINDOW_SQL = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts, value FROM events),
+ g AS (SELECT *, CASE WHEN ts - lag(ts) OVER w >= 3600000000 THEN 1 ELSE 0 END AS nw
+       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ s AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+       FROM g)
+SELECT user_id, MIN(ts) AS w_start, MAX(ts) + 3600000000 AS w_end,
+       COUNT(*) AS n_events,
+       round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS value_sum
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, w_start
 """

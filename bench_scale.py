@@ -72,6 +72,12 @@ QUERIES = [
     # incremental band-index probe, and the chunk explode
     "span_removal_exactsubstr", "incremental_dedup_batch",
     "chunk_documents_windows",
+    # round-5 additions: the as-of union-merge (one key shuffle + per-key
+    # sort), gap sessionization (windows + partition-reusing groupBy),
+    # Misra-Gries heavy hitters (candidate screen vs the token long
+    # tail), and the bloom decontamination screen+verify
+    "asof_join_events", "sessionize_events", "frequent_tokens_exact",
+    "bloom_decontam_flagged",
 ]
 
 

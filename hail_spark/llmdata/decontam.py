@@ -227,21 +227,39 @@ def bloom_decontaminate(
     from pyspark.sql.functions import pandas_udf
 
     def _screen_fn(grams_col):
+        # ONE numpy pass per Arrow batch: concatenate every doc's gram
+        # hashes, test all bloom bits at once, recover per-doc hit
+        # counts from cumsum differences at the segment boundaries
+        # (a per-doc Python loop here cost 33 s at sf0.1; this is <1 s)
         bits = np.frombuffer(b_bloom.value, dtype=np.uint8)
-
-        def hits(gs):
-            if gs is None or len(gs) == 0:
-                return 0
-            pos = _bloom_positions(list(gs), n_bits, k)
-            ok = bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))
-            return int(((ok != 0).all(axis=1)).sum())
-
-        return grams_col.map(hits)
+        arrs = [
+            np.asarray(g, dtype=np.int64)
+            if g is not None and len(g)
+            else np.empty(0, dtype=np.int64)
+            for g in grams_col
+        ]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(arrs), dtype=np.int32))
+        pos = _bloom_positions(np.concatenate(arrs), n_bits, k)
+        ok = (
+            (bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+        ).all(axis=1)
+        csum = np.concatenate([[0], np.cumsum(ok)])
+        bounds = np.concatenate([[0], np.cumsum(lens)])
+        per = csum[bounds[1:]] - csum[bounds[:-1]]
+        return pd.Series(per.astype(np.int32))
 
     # future-annotations module: attach real type objects (pandas_udf
     # can't resolve stringified hints)
     _screen_fn.__annotations__ = {"grams_col": pd.Series, "return": pd.Series}
-    _screen = pandas_udf(_screen_fn, "int")
+    # asNondeterministic: the screen IS deterministic, but the marker
+    # stops Catalyst pushing the candidate filter (and the downstream
+    # explode's isnotnull guard, with the whole tokenize+hash tree
+    # inlined into it) below the _spread Exchange onto the single-file
+    # scan partition — that pushdown ran the gram chain single-threaded
+    # 3x and cost 33 s at sf0.1 (vs ~2 s parallel)
+    _screen = pandas_udf(_screen_fn, "int").asNondeterministic()
 
     screened = doc_grams.withColumn("__bloom_hits", _screen("__grams"))
     cands = screened.filter(F.col("__bloom_hits") >= min_hits)
