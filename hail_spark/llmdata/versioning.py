@@ -28,8 +28,13 @@ def corpus_diff(
     """Per-document diff status: (id_col, status) with status in
     added | removed | changed | unchanged. Only (id, content-hash)
     pairs are joined — document text never shuffles."""
-    o = old.select(F.col(id_col), md5_int(F.col(text_col)).alias("__old_h"))
-    n = new.select(F.col(id_col), md5_int(F.col(text_col)).alias("__new_h"))
+    # coalesce so a NULL text hashes to a sentinel instead of a NULL
+    # hash (a NULL hash would misread a present-but-empty doc as
+    # added/removed); the sentinel can't collide with real text output
+    # of a parquet string column (lone surrogate)
+    h = lambda c: md5_int(F.coalesce(c, F.lit("\x00__null__")))
+    o = old.select(F.col(id_col), h(F.col(text_col)).alias("__old_h"))
+    n = new.select(F.col(id_col), h(F.col(text_col)).alias("__new_h"))
     j = o.join(n, on=id_col, how="full_outer")
     status = (
         F.when(F.col("__old_h").isNull(), F.lit("added"))

@@ -315,6 +315,10 @@ def frequent_items(
     ``total`` (= N, the row count of ``df``) sizes the sketch; if
     omitted it is computed with one cheap count job. ``capacity``
     overrides the derived size (must honor the guarantee yourself).
+
+    NULL values are never reported (pandas value_counts drops them in
+    the sketch and the semi-join drops NULL keys in the verify — the
+    two phases agree, so the exclusion is consistent, not a miss).
     """
     if min_count < 1:
         raise ValueError("frequent_items: min_count must be >= 1")

@@ -155,3 +155,54 @@ class TestFrequentItems:
             frequent_items(df, "w", min_count=0)
         out = frequent_items(df, "w", min_count=5, capacity=64).collect()
         assert out[0]["cnt"] == 5
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Property test: asof_join ≡ pandas.merge_asof (an independent
+    implementation of the same semantics) across random key/ts layouts,
+    both directions."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+        ),
+        st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+        ),
+        st.sampled_from(["backward", "forward"]),
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(lrows, rrows, direction):
+        # dedupe (key, ts) on the right: with duplicate right timestamps
+        # the matched payload is implementation-defined in both engines
+        rmap = {}
+        for i, (k, t) in enumerate(rrows):
+            rmap[(k, t)] = float(i)
+        lpdf = pd.DataFrame(lrows, columns=["k", "ts"]).sort_values("ts").reset_index(drop=True)
+        rpdf = pd.DataFrame(
+            [(k, t, v) for (k, t), v in rmap.items()], columns=["k", "rts", "v"]
+        ).sort_values("rts").reset_index(drop=True)
+        want = pd.merge_asof(
+            lpdf, rpdf, left_on="ts", right_on="rts", by="k", direction=direction
+        )
+        left = spark.createDataFrame(lpdf, "k long, ts long")
+        right = spark.createDataFrame(rpdf, "k long, rts long, v double")
+        out = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", direction=direction
+        ).toPandas()
+        gotm = {}
+        for r in out.itertuples():
+            gotm.setdefault((r.k, r.ts), []).append(
+                None if pd.isna(r.v) else r.v
+            )
+        wantm = {}
+        for r in want.itertuples():
+            wantm.setdefault((r.k, r.ts), []).append(None if pd.isna(r.v) else r.v)
+        assert {k: sorted(v, key=str) for k, v in gotm.items()} == {
+            k: sorted(v, key=str) for k, v in wantm.items()
+        }
+
+    check()

@@ -338,3 +338,11 @@ class TestCorpusDiff:
         )
         got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
         assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+    def test_null_text_is_not_added_or_removed(self, spark):
+        from hail_spark.llmdata.versioning import corpus_diff
+
+        old = spark.createDataFrame([(1, None), (2, "b")], "doc_id long, text string")
+        new = spark.createDataFrame([(1, None), (2, None)], "doc_id long, text string")
+        got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+        assert got == {1: "unchanged", 2: "changed"}

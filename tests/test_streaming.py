@@ -219,3 +219,39 @@ def test_stream_dedup_with_index_two_waves(spark, tmp_path):
     # the index grew to cover the accepted set
     hashes = spark.read.parquet(os.path.join(idx, "hashes"))
     assert hashes.select("content_hash").distinct().count() == 25
+
+
+def test_stream_session_window_matches_batch(spark, events_dir):
+    """Built-in event-time session windows (F.session_window) with a
+    watermark: every append-mode-finalized session must match the batch
+    session_window aggregation exactly."""
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    sess = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("ws"), "n_events")
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("sess_win")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["ws"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_win").collect()
+    }
+    want = {
+        (r["user_id"], r["w"]["start"]): r["n"]
+        for r in spark.read.parquet(events_dir)
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got, "stream produced no finalized sessions"
+    for k, v in got.items():
+        assert want[k] == v, k
+    assert len(got) >= len(want) * 0.5
