@@ -5884,6 +5884,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_topk",
         "corpus_diff_status",
         "session_window_native",
+        "pivot_event_values",
+        "unpivot_measures",
+        "rollup_order_totals",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6066,6 +6069,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_topk": weighted_sample_q,
         "corpus_diff_status": corpus_diff_q,
         "session_window_native": session_window_q,
+        "pivot_event_values": pivot_q,
+        "unpivot_measures": unpivot_q,
+        "rollup_order_totals": rollup_cube_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6265,6 +6271,9 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_topk": _WEIGHTED_SAMPLE_SQL,
         "corpus_diff_status": _CORPUS_DIFF_SQL,
         "session_window_native": _SESSION_WINDOW_SQL,
+        "pivot_event_values": _PIVOT_SQL,
+        "unpivot_measures": _UNPIVOT_SQL,
+        "rollup_order_totals": _ROLLUP_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -9178,4 +9187,102 @@ SELECT user_id, MIN(ts) AS w_start, MAX(ts) + 3600000000 AS w_end,
        round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS value_sum
 FROM s GROUP BY user_id, sid
 ORDER BY user_id, w_start
+"""
+
+
+def pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot (groupBy().pivot() with an EXPLICIT value list —
+    the open-ended form needs a values-discovery pass; pinning the list
+    keeps it one hash-agg, no extra job): per-user event value sums by
+    type, wide."""
+    ev = _t(spark, sf_dir, "events").df
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .agg(F.sum(F.col("value").cast("decimal(38,6)")).cast("double"))
+    )
+    cols = ["click", "view", "purchase", "signup", "error"]
+    return out.select(
+        "user_id", *[F.round(F.coalesce(F.col(c), F.lit(0.0)), 6).alias(f"v_{c}") for c in cols]
+    ).orderBy("user_id")
+
+
+_PIVOT_SQL = """
+SELECT user_id,
+  round(CAST(COALESCE(SUM(CASE WHEN event_type='click'    THEN CAST(value AS DECIMAL(38,6)) END), 0) AS DOUBLE), 6) AS v_click,
+  round(CAST(COALESCE(SUM(CASE WHEN event_type='view'     THEN CAST(value AS DECIMAL(38,6)) END), 0) AS DOUBLE), 6) AS v_view,
+  round(CAST(COALESCE(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(38,6)) END), 0) AS DOUBLE), 6) AS v_purchase,
+  round(CAST(COALESCE(SUM(CASE WHEN event_type='signup'   THEN CAST(value AS DECIMAL(38,6)) END), 0) AS DOUBLE), 6) AS v_signup,
+  round(CAST(COALESCE(SUM(CASE WHEN event_type='error'    THEN CAST(value AS DECIMAL(38,6)) END), 0) AS DOUBLE), 6) AS v_error
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def unpivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native unpivot/melt (DataFrame.unpivot — map-only, no shuffle):
+    lineitem numeric measures to long form, then a tiny per-measure
+    summary so the oracle is compact."""
+    li = _t(spark, sf_dir, "lineitem").df
+    long = li.unpivot(
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast("decimal(38,6)")).cast("double").alias("total"),
+        )
+        .select("measure", "n", F.round("total", 4).alias("total"))
+        .orderBy("measure")
+    )
+
+
+_UNPIVOT_SQL = """
+WITH long AS (
+  SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
+SELECT measure, COUNT(*) AS n,
+       round(CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE), 4) AS total
+FROM long GROUP BY measure ORDER BY measure
+"""
+
+
+def rollup_cube_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ROLLUP with grouping_id (one pass — Spark expands the
+    grouping sets map-side, no per-level rescan): order counts and
+    totals by (status, priority), (status), and grand total."""
+    o = _t(spark, sf_dir, "orders").df
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("total"),
+            F.grouping_id().alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            F.round("total", 4).alias("total"),
+            "gid",
+        )
+        .orderBy("gid", "status", "priority")
+    )
+
+
+_ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS total,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY gid, status, priority
 """
