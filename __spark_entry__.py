@@ -5887,6 +5887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_values",
         "unpivot_measures",
         "rollup_order_totals",
+        "bucketed_join_agg",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6072,6 +6073,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_values": pivot_q,
         "unpivot_measures": unpivot_q,
         "rollup_order_totals": rollup_cube_q,
+        "bucketed_join_agg": bucketed_join_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6274,6 +6276,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_event_values": _PIVOT_SQL,
         "unpivot_measures": _UNPIVOT_SQL,
         "rollup_order_totals": _ROLLUP_SQL,
+        "bucketed_join_agg": _BUCKETED_JOIN_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -9285,4 +9288,45 @@ SELECT COALESCE(o_orderstatus, 'ALL') AS status,
        CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 ORDER BY gid, status, priority
+"""
+
+
+def bucketed_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join (io/bucketed.py): orders and
+    lineitem written ONCE bucketed+sorted by the order key, then joined
+    and aggregated on it with ZERO Exchange operators in the plan
+    (asserted in tests/test_bucketed.py) — the amortize-one-shuffle-
+    across-every-downstream-query layout. Oracle: the same join over
+    the plain parquet."""
+    from hail_spark.io.bucketed import read_bucketed, write_bucketed
+
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    base = f"/tmp/hail_spark_buckets_{tag}"
+    o = _t(spark, sf_dir, "orders").df
+    li = _t(spark, sf_dir, "lineitem").df
+    write_bucketed(o, f"b_orders_{tag}", f"{base}/orders", "o_orderkey", 8,
+                   sort_cols="o_orderkey")
+    write_bucketed(li, f"b_lineitem_{tag}", f"{base}/lineitem", "l_orderkey", 8,
+                   sort_cols="l_orderkey")
+    ob = read_bucketed(spark, f"b_orders_{tag}")
+    lb = read_bucketed(spark, f"b_lineitem_{tag}")
+    return (
+        lb.join(ob, lb["l_orderkey"] == ob["o_orderkey"])
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("qty"),
+        )
+        .select("o_orderkey", "n_items", F.round("qty", 6).alias("qty"))
+        .orderBy("o_orderkey")
+    )
+
+
+_BUCKETED_JOIN_SQL = """
+SELECT o_orderkey, COUNT(*) AS n_items,
+       round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey ORDER BY o_orderkey
 """
