@@ -5888,6 +5888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_measures",
         "rollup_order_totals",
         "bucketed_join_agg",
+        "salted_join_skewed",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6074,6 +6075,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unpivot_measures": unpivot_q,
         "rollup_order_totals": rollup_cube_q,
         "bucketed_join_agg": bucketed_join_q,
+        "salted_join_skewed": salted_join_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6277,6 +6279,7 @@ def oracle_sql() -> dict[str, str]:
         "unpivot_measures": _UNPIVOT_SQL,
         "rollup_order_totals": _ROLLUP_SQL,
         "bucketed_join_agg": _BUCKETED_JOIN_SQL,
+        "salted_join_skewed": _SALTED_JOIN_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -9329,4 +9332,52 @@ SELECT o_orderkey, COUNT(*) AS n_items,
        round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderkey ORDER BY o_orderkey
+"""
+
+
+def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join (operators/relational.py salted_join): events
+    remapped so ~90 % of rows share one hot key, joined to a per-key
+    dim on (key, salt) with the dim replicated 8x — a hot key's rows
+    spread over 8 reducers instead of melting one. Result is
+    row-identical to the plain join (the oracle IS the plain join)."""
+    from hail_spark.operators.relational import salted_join
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_id",
+        "value",
+        F.when(F.col("user_id") < 45, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+    )
+    dim = (
+        _t(spark, sf_dir, "events").df.select(
+            F.when(F.col("user_id") < 45, F.lit(0))
+            .otherwise(F.col("user_id"))
+            .alias("k")
+        )
+        .distinct()
+        .withColumn("dim_tag", F.concat(F.lit("grp_"), F.col("k").cast("string")))
+    )
+    out = salted_join(ev, dim, "k", n_salts=8)
+    return (
+        out.groupBy("k", "dim_tag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("vsum"),
+        )
+        .select("k", "dim_tag", "n", F.round("vsum", 6).alias("vsum"))
+        .orderBy("k")
+    )
+
+
+_SALTED_JOIN_SQL = """
+WITH ev AS (SELECT event_id, value,
+                   CASE WHEN user_id < 45 THEN 0 ELSE user_id END AS k
+            FROM events),
+dim AS (SELECT DISTINCT k, 'grp_' || CAST(k AS VARCHAR) AS dim_tag FROM ev)
+SELECT ev.k, dim.dim_tag, COUNT(*) AS n,
+       round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS vsum
+FROM ev JOIN dim ON ev.k = dim.k
+GROUP BY ev.k, dim.dim_tag ORDER BY ev.k
 """

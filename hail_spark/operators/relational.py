@@ -335,3 +335,46 @@ def frequent_items(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= min_count)
     )
+
+
+# ---------------------------------------------------------------------------
+# salted skew join
+# ---------------------------------------------------------------------------
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join that survives pathological key skew: the left (big,
+    skewed) side salts its shuffle key with a deterministic per-row
+    component, the right side is replicated ``n_salts`` times, and the
+    join runs on (key, salt) — a hot key's rows now spread over
+    ``n_salts`` reducers instead of melting one.
+
+    Result is row-identical to ``left.join(right, on, how)``.
+
+    When to reach for this instead of the defaults: AQE's skew-join
+    split handles most skew when the join is the last shuffle, and
+    ``F.broadcast`` wins when the right side fits in memory. The salted
+    form covers the remaining case — right side too big to broadcast
+    AND the skewed exchange feeding something AQE won't split (e.g. a
+    required child distribution). Cost: right side scanned once but
+    shuffled ``n_salts``×; size n_salts to (hot-key rows / target
+    partition rows), not higher. ``how`` supports inner and left.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join: how must be inner|left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    # deterministic salt from the whole left row's key-independent
+    # identity would need a uid; a uniform pmod over xxhash64 of ALL
+    # columns is deterministic per row content and spreads ties
+    lsalt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l2 = left.withColumn("__salt", lsalt.cast("int"))
+    r2 = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    out = l2.join(r2, keys + ["__salt"], how)
+    return out.drop("__salt")

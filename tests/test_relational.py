@@ -206,3 +206,48 @@ def test_asof_matches_pandas_merge_asof(spark):
         }
 
     check()
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join_and_spreads_hot_key(self, spark):
+        from hail_spark.operators.relational import salted_join
+
+        # 5000 rows of one hot key + a tail
+        rows = [(0, i) for i in range(5000)] + [(k, k) for k in range(1, 50)]
+        left = spark.createDataFrame(rows, "k long, payload long")
+        right = spark.createDataFrame(
+            [(k, f"d{k}") for k in range(50)], "k long, dim string"
+        )
+        got = salted_join(left, right, "k", n_salts=8)
+        want = left.join(right, "k")
+        assert got.count() == want.count() == 5049
+        assert (
+            got.agg(F.sum("payload")).collect()[0][0]
+            == want.agg(F.sum("payload")).collect()[0][0]
+        )
+        # the hot key's rows must now hash-spread over multiple
+        # (k, salt) shuffle keys
+        n_groups = (
+            salted_join(left, right, "k", n_salts=8)
+            .groupBy("k")
+            .count()
+            .count()
+        )
+        assert n_groups == 50
+
+    def test_left_join_keeps_unmatched(self, spark):
+        from hail_spark.operators.relational import salted_join
+
+        left = spark.createDataFrame([(1, "x"), (99, "y")], "k long, v string")
+        right = spark.createDataFrame([(1, "d")], "k long, dim string")
+        got = {r["k"]: r["dim"] for r in salted_join(left, right, "k", 4, "left").collect()}
+        assert got == {1: "d", 99: None}
+
+    def test_bad_how(self, spark):
+        from hail_spark.operators.relational import salted_join
+
+        df = spark.createDataFrame([(1,)], "k long")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            salted_join(df, df, "k", how="full")
