@@ -5889,6 +5889,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_order_totals",
         "bucketed_join_agg",
         "salted_join_skewed",
+        "latest_by_key_compact",
+        "merge_upsert_snapshot",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6076,6 +6078,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_order_totals": rollup_cube_q,
         "bucketed_join_agg": bucketed_join_q,
         "salted_join_skewed": salted_join_q,
+        "latest_by_key_compact": latest_by_key_q,
+        "merge_upsert_snapshot": merge_upsert_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6280,6 +6284,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_order_totals": _ROLLUP_SQL,
         "bucketed_join_agg": _BUCKETED_JOIN_SQL,
         "salted_join_skewed": _SALTED_JOIN_SQL,
+        "latest_by_key_compact": _LATEST_BY_KEY_SQL,
+        "merge_upsert_snapshot": _MERGE_UPSERT_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -9380,4 +9386,90 @@ SELECT ev.k, dim.dim_tag, COUNT(*) AS n,
        round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS vsum
 FROM ev JOIN dim ON ev.k = dim.k
 GROUP BY ev.k, dim.dim_tag ORDER BY ev.k
+"""
+
+
+def latest_by_key_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction (llmdata/versioning.py latest_by_key): latest
+    event per user by (ts, event_id) — ONE max_by hash-agg with
+    map-side partials, no corpus-wide row_number window. Oracle:
+    DuckDB arg_max over the same ordering struct."""
+    from hail_spark.llmdata.versioning import latest_by_key
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", _micros("ts").alias("tsu"), "event_id", "event_type", "value"
+    )
+    out = latest_by_key(ev, "user_id", "tsu", tiebreak="event_id")
+    return out.select(
+        "user_id", "tsu", "event_id", "event_type",
+        F.round("value", 6).alias("value"),
+    ).orderBy("user_id")
+
+
+_LATEST_BY_KEY_SQL = """
+SELECT user_id, tsu, event_id, event_type, value FROM (
+  SELECT user_id, epoch_us(ts) AS tsu, event_id, event_type,
+         round(value, 6) AS value,
+         row_number() OVER (PARTITION BY user_id
+             ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-1 merge (llmdata/versioning.py merge_upsert): an update
+    batch rewrites every 5th doc, tombstones every 9th, and inserts 50
+    new ids; the merged snapshot is summarized per source. One
+    full-outer hash join — MERGE INTO semantics without a table
+    format."""
+    from hail_spark.llmdata.versioning import merge_upsert
+
+    d = _t(spark, sf_dir, "documents").df
+    upd = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            F.concat(F.lit("UPDATED "), F.col("text")).alias("text"),
+            (F.col("doc_id") % 9 == 0).alias("is_deleted"),
+        )
+        .unionByName(
+            d.orderBy("doc_id")
+            .limit(50)
+            .select(
+                (F.col("doc_id") + 5_000_000).alias("doc_id"),
+                F.lit("fresh insert").alias("text"),
+                F.lit(False).alias("is_deleted"),
+            )
+        )
+    )
+    merged = merge_upsert(d, upd, "doc_id", deleted_col="is_deleted")
+    return (
+        merged.groupBy(F.coalesce("source", F.lit("__new__")).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.length("text")).alias("text_len_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+_MERGE_UPSERT_SQL = """
+WITH upd AS (
+  SELECT doc_id, 'UPDATED ' || text AS text, (doc_id % 9 = 0) AS is_deleted
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 5000000 AS doc_id, 'fresh insert' AS text, FALSE AS is_deleted
+  FROM (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 50)),
+j AS (
+  SELECT COALESCE(b.doc_id, u.doc_id) AS doc_id,
+         CASE WHEN u.doc_id IS NOT NULL THEN u.text ELSE b.text END AS text,
+         b.source,
+         COALESCE(u.is_deleted, FALSE) AS del
+  FROM documents b FULL OUTER JOIN upd u ON b.doc_id = u.doc_id)
+SELECT COALESCE(source, '__new__') AS source, COUNT(*) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       CAST(SUM(length(text)) AS BIGINT) AS text_len_sum
+FROM j WHERE NOT del GROUP BY 1 ORDER BY source
 """

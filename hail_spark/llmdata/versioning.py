@@ -58,3 +58,79 @@ def corpus_diff_summary(
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+def latest_by_key(
+    df: DataFrame,
+    id_col: str,
+    version_col: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """CDC compaction: one row per id — the one with the highest
+    ``version_col`` (ties broken by ``tiebreak`` descending, so the
+    result is deterministic). One hash aggregate (max_by over a
+    version struct), NO window over the corpus — at 100 TB a
+    row_number window would sort every partition; max_by is a
+    map-side-combining agg."""
+    ver = (
+        F.struct(F.col(version_col), F.col(tiebreak))
+        if tiebreak
+        else F.struct(F.col(version_col))
+    )
+    others = [c for c in df.columns if c != id_col]
+    packed = df.groupBy(id_col).agg(
+        F.max_by(F.struct(*[F.col(c) for c in others]), ver).alias("__r")
+    )
+    return packed.select(id_col, *[F.col(f"__r.{c}").alias(c) for c in others])
+
+
+def merge_upsert(
+    base: DataFrame,
+    updates: DataFrame,
+    id_col: str = "doc_id",
+    deleted_col: str | None = None,
+) -> DataFrame:
+    """SCD-1 merge: apply an update batch onto a base snapshot —
+    updates overwrite matching ids, new ids insert, and (optionally)
+    rows where ``updates[deleted_col]`` is true are tombstones that
+    DELETE the id. Column-for-column the MERGE INTO of the lakehouse
+    formats, expressed as one full-outer join (both sides scan once;
+    only the id + payload move through the one shuffle; with the base
+    bucketed by id — io/bucketed.py — even that shuffle disappears on
+    the base side)."""
+    upd_cols = [c for c in updates.columns if c != id_col and c != deleted_col]
+    if set(upd_cols) - set(base.columns):
+        raise ValueError(
+            f"merge_upsert: update columns {sorted(set(upd_cols) - set(base.columns))} "
+            "not in base"
+        )
+    u = updates
+    if deleted_col is None:
+        u = u.withColumn("__del", F.lit(False))
+    else:
+        u = u.withColumnRenamed(deleted_col, "__del").withColumn(
+            "__del", F.coalesce(F.col("__del"), F.lit(False))
+        )
+    u = u.select(
+        F.col(id_col).alias("__uid"),
+        "__del",
+        F.struct(*[F.col(c) for c in upd_cols]).alias("__u"),
+    )
+    j = base.join(u, base[id_col] == u["__uid"], "full_outer")
+    kept = j.filter(~F.coalesce(F.col("__del"), F.lit(False)))
+    out_id = F.coalesce(F.col(id_col), F.col("__uid")).alias(id_col)
+    cols = []
+    for c in base.columns:
+        if c == id_col:
+            continue
+        if c in upd_cols:
+            # updated/inserted rows take the update value; base-only
+            # rows keep theirs
+            cols.append(
+                F.when(F.col("__uid").isNotNull(), F.col(f"__u.{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            cols.append(F.col(c).alias(c))
+    return kept.select(out_id, *cols)

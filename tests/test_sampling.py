@@ -346,3 +346,44 @@ class TestCorpusDiff:
         new = spark.createDataFrame([(1, None), (2, None)], "doc_id long, text string")
         got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
         assert got == {1: "unchanged", 2: "changed"}
+
+
+class TestCdcOps:
+    def test_latest_by_key(self, spark):
+        from hail_spark.llmdata.versioning import latest_by_key
+
+        df = spark.createDataFrame(
+            [(1, 10, "a"), (1, 20, "b"), (2, 5, "c"), (1, 20, "z")],
+            "id long, v long, payload string",
+        )
+        got = {r["id"]: (r["v"], r["payload"])
+               for r in latest_by_key(df, "id", "v", tiebreak="payload").collect()}
+        assert got == {1: (20, "z"), 2: (5, "c")}  # tie at v=20 -> max payload
+
+    def test_merge_upsert_insert_update_delete(self, spark):
+        from hail_spark.llmdata.versioning import merge_upsert
+
+        base = spark.createDataFrame(
+            [(1, "old1", "s1"), (2, "old2", "s2"), (3, "old3", "s3")],
+            "doc_id long, text string, source string",
+        )
+        upd = spark.createDataFrame(
+            [(2, "new2", False), (3, None, True), (4, "ins4", False)],
+            "doc_id long, text string, is_deleted boolean",
+        )
+        got = {
+            r["doc_id"]: (r["text"], r["source"])
+            for r in merge_upsert(base, upd, "doc_id", "is_deleted").collect()
+        }
+        # 1 untouched, 2 updated (source kept), 3 deleted, 4 inserted
+        assert got == {1: ("old1", "s1"), 2: ("new2", "s2"), 4: ("ins4", None)}
+
+    def test_merge_upsert_rejects_unknown_columns(self, spark):
+        import pytest as _pytest
+
+        from hail_spark.llmdata.versioning import merge_upsert
+
+        base = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+        upd = spark.createDataFrame([(1, 2.0)], "doc_id long, bogus double")
+        with _pytest.raises(ValueError):
+            merge_upsert(base, upd, "doc_id")
