@@ -251,3 +251,61 @@ class TestSaltedJoin:
 
         with _pytest.raises(ValueError):
             salted_join(df, df, "k", how="full")
+
+
+def test_sessionize_matches_python_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=30
+        ),
+        st.integers(1, 15),
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(rows, gap):
+        # de-dup (user, ts): equal timestamps have no defined lag order
+        rows = sorted(set(rows))
+        df = spark.createDataFrame(rows, "u long, ts long")
+        got = {
+            (r["u"], r["ts"]): r["session_idx"]
+            for r in sessionize(df, "u", "ts", gap=gap).collect()
+        }
+        want = {}
+        by_user: dict = {}
+        for u, ts in rows:
+            by_user.setdefault(u, []).append(ts)
+        for u, tss in by_user.items():
+            sid, prev = 0, None
+            for ts in sorted(tss):
+                if prev is not None and ts - prev > gap:
+                    sid += 1
+                want[(u, ts)] = sid
+                prev = ts
+        assert got == want
+
+    check()
+
+
+def test_frequent_items_matches_counter(spark):
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=300),
+        st.integers(1, 20),
+        st.integers(2, 6),
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(items, min_count, nparts):
+        df = spark.createDataFrame([(w,) for w in items], "w string").repartition(
+            nparts
+        )
+        got = {r["w"]: r["cnt"] for r in frequent_items(df, "w", min_count).collect()}
+        want = {w: c for w, c in Counter(items).items() if c >= min_count}
+        assert got == want
+
+    check()

@@ -255,3 +255,34 @@ def test_stream_session_window_matches_batch(spark, events_dir):
     for k, v in got.items():
         assert want[k] == v, k
     assert len(got) >= len(want) * 0.5
+
+
+def test_stream_static_broadcast_enrich(spark, events_dir):
+    """Stream-static join: a streaming fact enriched with a broadcast
+    static dim — every output row must carry the right dim value and
+    totals must match batch."""
+    dim = spark.createDataFrame(
+        [(t, f"team_{t}") for t in ("click", "view", "purchase", "signup", "error")],
+        "event_type string, team string",
+    )
+    stream = read_events_stream(spark, events_dir, max_files_per_trigger=3)
+    enriched = stream.join(F.broadcast(dim), "event_type").groupBy("team").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["team"]: r["n"] for r in spark.sql("SELECT * FROM enrich").collect()}
+    want = {
+        f"team_{r['event_type']}": r["n"]
+        for r in spark.read.parquet(events_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
