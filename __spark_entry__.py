@@ -5891,6 +5891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_skewed",
         "latest_by_key_compact",
         "merge_upsert_snapshot",
+        "c4_signals_docs",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6080,6 +6081,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join_skewed": salted_join_q,
         "latest_by_key_compact": latest_by_key_q,
         "merge_upsert_snapshot": merge_upsert_q,
+        "c4_signals_docs": c4_signals_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6286,6 +6288,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_join_skewed": _SALTED_JOIN_SQL,
         "latest_by_key_compact": _LATEST_BY_KEY_SQL,
         "merge_upsert_snapshot": _MERGE_UPSERT_SQL,
+        "c4_signals_docs": _C4_SIGNALS_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -9472,4 +9475,59 @@ SELECT COALESCE(source, '__new__') AS source, COUNT(*) AS n_docs,
        CAST(SUM(doc_id) AS BIGINT) AS id_sum,
        CAST(SUM(length(text)) AS BIGINT) AS text_len_sum
 FROM j WHERE NOT del GROUP BY 1 ORDER BY source
+"""
+
+
+def c4_signals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020; llmdata/textstats.py
+    c4_signals): text is augmented per doc-id residue to exercise every
+    branch (sentence punctuation, a second line, lorem-ipsum and curly
+    drops); all signals are codegen regex/HOFs, no UDF. The oracle
+    replays the split/line arithmetic."""
+    from hail_spark.llmdata.textstats import c4_signals
+
+    d = _t(spark, sf_dir, "documents").df
+    i = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(i % 2 == 0, F.lit(". Second one! Third thing? Done."))
+        .otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit("\nshort line.")).otherwise(F.lit("")),
+        F.when(i % 13 == 0, F.lit(" Lorem Ipsum dolor")).otherwise(F.lit("")),
+        F.when(i % 17 == 0, F.lit(" {code}")).otherwise(F.lit("")),
+    )
+    out = c4_signals(d.select("doc_id", aug.alias("text")))
+    return out.select(
+        "doc_id", "n_sentences", "frac_lines_terminal", "has_lorem",
+        "has_curly", "mean_words_per_line", "c4_keep",
+    ).orderBy("doc_id")
+
+
+_C4_SIGNALS_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 2 = 0 THEN '. Second one! Third thing? Done.' ELSE '' END
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'short line.' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' Lorem Ipsum dolor' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' {code}' ELSE '' END AS text
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+    CAST(len(list_filter(regexp_split_to_array(text, '[.!?]'),
+                         s -> len(trim(s)) > 0)) AS INT) AS n_sentences,
+    list_filter(string_split(text, chr(10)), l -> len(trim(l)) > 0) AS lines,
+    contains(lower(text), 'lorem ipsum') AS has_lorem,
+    contains(text, '{') AS has_curly
+  FROM aug)
+SELECT doc_id, n_sentences,
+  round(len(list_filter(lines, l -> regexp_matches(trim(l), '[.!?"'']$')))
+        / greatest(len(lines), 1), 6) AS frac_lines_terminal,
+  has_lorem, has_curly,
+  round(list_aggregate(list_transform(lines,
+          l -> len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+                               w -> w <> ''))), 'sum')
+        / greatest(len(lines), 1), 6) AS mean_words_per_line,
+  (n_sentences >= 3 AND NOT has_lorem AND NOT has_curly) AS c4_keep
+FROM sig ORDER BY doc_id
 """

@@ -561,3 +561,56 @@ def corpus_report(
         ).alias("exact_dup_fraction"),
         F.round(F.avg("__q"), 9).alias("mean_quality"),
     )
+
+
+def c4_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4 cleaning signals (Raffel et al. 2020 §2.2, the rule set behind
+    the C4 corpus), all codegen-side regex/HOFs — no UDF:
+
+    * ``n_sentences`` — terminal-punctuation splits; C4 drops pages
+      with fewer than 3 sentences.
+    * ``frac_lines_terminal`` — fraction of lines ending in . ! ? or
+      closing quote (C4 keeps only such lines).
+    * ``has_lorem`` / ``has_curly`` — "lorem ipsum" and ``{`` page
+      drops (code/boilerplate tells).
+    * ``mean_words_per_line`` — short-line navigation chrome signal.
+    * ``c4_keep`` — the composed page-level verdict (>=3 sentences, no
+      lorem/curly).
+    """
+    text = F.col(text_col)
+    lines = _nonempty_lines(text)
+    # sentence count = non-empty segments between terminal marks (a
+    # page with no terminal punctuation counts as one segment)
+    n_sent = F.size(
+        F.filter(
+            F.split(text, r"[.!?]"),
+            lambda s: F.length(F.trim(s)) > 0,
+        )
+    )
+    terminal = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"""[.!?"']$"""))
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    words_per_line = F.transform(
+        lines, lambda l: F.size(F.filter(F.split(F.trim(l), r"\s+"), lambda w: w != ""))
+    )
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_curly = text.contains("{")
+    sig = df.select(
+        F.col(id_col),
+        F.coalesce(n_sent, F.lit(0)).cast("int").alias("n_sentences"),
+        F.round(terminal / n_lines, 6).alias("frac_lines_terminal"),
+        has_lorem.alias("has_lorem"),
+        has_curly.alias("has_curly"),
+        F.round(
+            F.aggregate(words_per_line, F.lit(0), lambda a, x: a + x)
+            / n_lines,
+            6,
+        ).alias("mean_words_per_line"),
+    )
+    return sig.withColumn(
+        "c4_keep",
+        (F.col("n_sentences") >= 3) & ~F.col("has_lorem") & ~F.col("has_curly"),
+    )
