@@ -5892,6 +5892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_by_key_compact",
         "merge_upsert_snapshot",
         "c4_signals_docs",
+        "standardize_features",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6082,6 +6083,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_by_key_compact": latest_by_key_q,
         "merge_upsert_snapshot": merge_upsert_q,
         "c4_signals_docs": c4_signals_q,
+        "standardize_features": standardize_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6289,6 +6291,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_by_key_compact": _LATEST_BY_KEY_SQL,
         "merge_upsert_snapshot": _MERGE_UPSERT_SQL,
         "c4_signals_docs": _C4_SIGNALS_SQL,
+        "standardize_features": _STANDARDIZE_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -9530,4 +9533,40 @@ SELECT doc_id, n_sentences,
         / greatest(len(lines), 1), 6) AS mean_words_per_line,
   (n_sentences >= 3 AND NOT has_lorem AND NOT has_curly) AS c4_keep
 FROM sig ORDER BY doc_id
+"""
+
+
+def standardize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise feature scaling (llmdata/features.py): z-score and
+    min-max of event values per type — one moments hash-agg broadcast
+    back onto the rows, NO corpus window sort. Oracle replays the
+    population moments arithmetically."""
+    from hail_spark.llmdata.features import minmax_by_group, standardize_by_group
+
+    ev = _t(spark, sf_dir, "events").df.select("event_id", "event_type", "value")
+    z = standardize_by_group(ev, "event_type", "value")
+    out = minmax_by_group(z, "event_type", "value")
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value_z", 6).alias("value_z"),
+        F.round("value_mm", 6).alias("value_mm"),
+    ).orderBy("event_id")
+
+
+_STANDARDIZE_SQL = """
+WITH m AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(15,6))) AS DOUBLE) / COUNT(*) AS mean,
+         CAST(SUM(CAST(value AS DECIMAL(15,6)) * CAST(value AS DECIMAL(15,6)))
+              AS DOUBLE) / COUNT(*) AS m2,
+         MIN(value) AS mn, MAX(value) AS mx
+  FROM events GROUP BY event_type)
+SELECT event_id, e.event_type,
+  round(CASE WHEN sqrt(greatest(m2 - mean*mean, 0.0)) > 0
+        THEN (value - mean) / sqrt(greatest(m2 - mean*mean, 0.0)) ELSE 0.0 END, 6)
+    AS value_z,
+  round(CASE WHEN mx - mn > 0 THEN (value - mn) / (mx - mn) ELSE 0.0 END, 6)
+    AS value_mm
+FROM events e JOIN m USING (event_type) ORDER BY event_id
 """
