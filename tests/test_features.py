@@ -1,0 +1,38 @@
+"""Group-wise feature scaling (llmdata/features.py)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from hail_spark.llmdata.features import minmax_by_group, standardize_by_group
+
+
+def test_zscore_matches_numpy(spark):
+    import numpy as np
+
+    vals = [1.0, 2.0, 3.0, 10.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, value double")
+    got = sorted(
+        r["value_z"] for r in standardize_by_group(df, "k", "value").collect()
+    )
+    a = np.array(vals)
+    want = sorted((a - a.mean()) / a.std())
+    assert all(math.isclose(g, w, rel_tol=1e-9) for g, w in zip(got, want))
+
+
+def test_degenerate_groups_scale_to_zero(spark):
+    df = spark.createDataFrame(
+        [("single", 7.0), ("const", 5.0), ("const", 5.0)], "k string, value double"
+    )
+    z = standardize_by_group(df, "k", "value")
+    mm = minmax_by_group(df, "k", "value")
+    assert {r["value_z"] for r in z.collect()} == {0.0}
+    assert {r["value_mm"] for r in mm.collect()} == {0.0}
+
+
+def test_minmax_bounds(spark):
+    df = spark.createDataFrame(
+        [("g", v) for v in (2.0, 4.0, 6.0)], "k string, value double"
+    )
+    got = sorted(r["value_mm"] for r in minmax_by_group(df, "k", "value").collect())
+    assert got == [0.0, 0.5, 1.0]
