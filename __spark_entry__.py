@@ -5893,6 +5893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_snapshot",
         "c4_signals_docs",
         "standardize_features",
+        "json_props_extract",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6084,6 +6085,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_upsert_snapshot": merge_upsert_q,
         "c4_signals_docs": c4_signals_q,
         "standardize_features": standardize_q,
+        "json_props_extract": json_props_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6292,6 +6294,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert_snapshot": _MERGE_UPSERT_SQL,
         "c4_signals_docs": _C4_SIGNALS_SQL,
         "standardize_features": _STANDARDIZE_SQL,
+        "json_props_extract": _JSON_PROPS_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -9569,4 +9572,36 @@ SELECT event_id, e.event_type,
   round(CASE WHEN mx - mn > 0 THEN (value - mn) / (mx - mn) ELSE 0.0 END, 6)
     AS value_mm
 FROM events e JOIN m USING (event_type) ORDER BY event_id
+"""
+
+
+def json_props_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: events.props is a JSON string;
+    from_json with an explicit schema parses it ONCE per row JVM-side
+    (Jackson; an explicit schema also lets Catalyst prune unrequested
+    fields), then a per-type aggregate over the extracted key. Oracle:
+    DuckDB's JSON extraction over the same column."""
+    ev = _t(spark, sf_dir, "events").df
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k int").alias("p"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p.k").cast("bigint")).alias("k_sum"),
+            F.min("p.k").alias("k_min"),
+            F.max("p.k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_JSON_PROPS_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum,
+       MIN(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
+       MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max
+FROM events GROUP BY event_type ORDER BY event_type
 """
