@@ -78,6 +78,9 @@ QUERIES = [
     # tail), and the bloom decontamination screen+verify
     "asof_join_events", "sessionize_events", "frequent_tokens_exact",
     "bloom_decontam_flagged",
+    # bucketed write+join (the write IS the cost being amortized), the
+    # CDC full-outer merge, and the salted-skew join
+    "bucketed_join_agg", "merge_upsert_snapshot", "salted_join_skewed",
 ]
 
 
