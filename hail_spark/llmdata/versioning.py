@@ -97,7 +97,12 @@ def merge_upsert(
     formats, expressed as one full-outer join (both sides scan once;
     only the id + payload move through the one shuffle; with the base
     bucketed by id — io/bucketed.py — even that shuffle disappears on
-    the base side)."""
+    the base side).
+
+    ``updates`` must be unique per ``id_col`` (MERGE INTO's own
+    precondition — duplicate update ids would duplicate base rows
+    through the join); compact a CDC stream with ``latest_by_key``
+    first."""
     upd_cols = [c for c in updates.columns if c != id_col and c != deleted_col]
     if set(upd_cols) - set(base.columns):
         raise ValueError(

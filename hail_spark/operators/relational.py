@@ -364,6 +364,11 @@ def salted_join(
     required child distribution). Cost: right side scanned once but
     shuffled ``n_salts``×; size n_salts to (hot-key rows / target
     partition rows), not higher. ``how`` supports inner and left.
+
+    Caveat: the salt is a deterministic hash of the whole left row, so
+    BYTE-IDENTICAL duplicate rows share a salt and do not spread — if
+    the hot key's rows are exact duplicates, aggregate them to
+    (row, count) first (or dedup) before joining.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join: how must be inner|left, got {how!r}")
