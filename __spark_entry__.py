@@ -5894,6 +5894,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_signals_docs",
         "standardize_features",
         "json_props_extract",
+        "funnel_conversion",
+        "cohort_retention_triangle",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6086,6 +6088,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_signals_docs": c4_signals_q,
         "standardize_features": standardize_q,
         "json_props_extract": json_props_q,
+        "funnel_conversion": funnel_q,
+        "cohort_retention_triangle": cohort_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6295,6 +6299,8 @@ def oracle_sql() -> dict[str, str]:
         "c4_signals_docs": _C4_SIGNALS_SQL,
         "standardize_features": _STANDARDIZE_SQL,
         "json_props_extract": _JSON_PROPS_SQL,
+        "funnel_conversion": _FUNNEL_SQL,
+        "cohort_retention_triangle": _COHORT_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -9604,4 +9610,70 @@ SELECT event_type, COUNT(*) AS n,
        MIN(CAST(json_extract(props, '$.k') AS INT)) AS k_min,
        MAX(CAST(json_extract(props, '$.k') AS INT)) AS k_max
 FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/relational.py funnel_counts):
+    click -> view -> purchase per user within 7 days — one conditional
+    min-agg per step, each reusing the user-key partitioning; no
+    per-user sort. The oracle replays the step chain as CTEs."""
+    from hail_spark.operators.relational import funnel_counts
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", _micros("ts").alias("tsu"), "event_type"
+    )
+    week7 = 7 * 86_400_000_000
+    return funnel_counts(
+        ev, "user_id", "tsu", "event_type",
+        ["click", "view", "purchase"], within=week7,
+    ).orderBy("step")
+
+
+_FUNNEL_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_type FROM events),
+s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e WHERE event_type = 'click' GROUP BY 1),
+s2 AS (SELECT e.user_id, MIN(ts) AS t2
+       FROM e JOIN s1 USING (user_id)
+       WHERE event_type = 'view' AND ts > t1 AND ts - t1 <= 604800000000
+       GROUP BY 1),
+s3 AS (SELECT e.user_id, MIN(ts) AS t3
+       FROM e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2 AND ts - t1 <= 604800000000
+       GROUP BY 1)
+SELECT 1 AS step, 'click' AS step_name, (SELECT COUNT(*) FROM s1) AS n_keys
+UNION ALL
+SELECT 2, 'view', (SELECT COUNT(*) FROM s2)
+UNION ALL
+SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+ORDER BY step
+"""
+
+
+def cohort_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (operators/relational.py
+    cohort_retention): cohort = first active epoch-week per user,
+    n distinct users active at each (cohort, weeks_since). One min-agg
+    + one distinct-count agg, no windows."""
+    from hail_spark.operators.relational import cohort_retention
+
+    week = 7 * 86_400_000_000
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", (_micros("ts") / F.lit(week)).cast("bigint").alias("wk")
+    )
+    out = cohort_retention(ev, "user_id", "wk", max_periods=8)
+    return out.select("cohort", "periods_since", "n_active").orderBy(
+        "cohort", "periods_since"
+    )
+
+
+_COHORT_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+c AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY 1)
+SELECT cohort, wk - cohort AS periods_since,
+       COUNT(DISTINCT e.user_id) AS n_active
+FROM e JOIN c USING (user_id)
+WHERE wk - cohort <= 8
+GROUP BY cohort, wk - cohort
+ORDER BY cohort, periods_since
 """

@@ -383,3 +383,105 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("int"))
     out = l2.join(r2, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+# ---------------------------------------------------------------------------
+# funnel & cohort analytics
+# ---------------------------------------------------------------------------
+
+def funnel(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within: int | float | None = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: per key, the earliest time each step
+    was reached STRICTLY AFTER the previous step (first A, then first
+    B after that A, ...). Returns (key, step_1_ts, ..., step_k_ts)
+    with NULL from the first unreached step on. ``within`` bounds the
+    whole funnel: step i counts only while ts - step_1_ts <= within.
+
+    Plan: one conditional min-aggregate per step, each a hash agg on
+    the key joined back on the same key — k tiny reuse-partitioned
+    stages, never a per-user sort or UDF. (A sessionized sort-based
+    funnel is O(events log events) per key; this is O(k · events).)
+    """
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    out = None
+    for i, step in enumerate(steps):
+        col = f"step_{i + 1}_ts"
+        ev = df.filter(F.col(type_col) == step)
+        if i == 0:
+            out = ev.groupBy(key_col).agg(F.min(ts_col).alias(col))
+            continue
+        prev = f"step_{i}_ts"
+        cand = ev.join(out.select(key_col, prev, *([f"step_{1}_ts"] if i > 1 else [])), key_col)
+        cond = F.col(ts_col) > F.col(prev)
+        if within is not None:
+            first = F.col("step_1_ts") if i > 1 else F.col(prev)
+            cond = cond & (F.col(ts_col) - first <= F.lit(within))
+        step_ts = (
+            cand.filter(cond)
+            .groupBy(key_col)
+            .agg(F.min(ts_col).alias(col))
+        )
+        out = out.join(step_ts, key_col, "left")
+    return out
+
+
+def funnel_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+    within: int | float | None = None,
+) -> DataFrame:
+    """(step, step_name, n_keys) — how many keys reached each funnel
+    depth. The standard conversion readout over `funnel`."""
+    f = funnel(df, key_col, ts_col, type_col, steps, within)
+    rows = [
+        F.struct(
+            F.lit(i + 1).alias("step"),
+            F.lit(s).alias("step_name"),
+            F.sum(
+                F.col(f"step_{i + 1}_ts").isNotNull().cast("bigint")
+            ).alias("n_keys"),
+        )
+        for i, s in enumerate(steps)
+    ]
+    packed = f.agg(F.array(*rows).alias("__a"))
+    return packed.select(F.explode("__a").alias("r")).select(
+        "r.step", "r.step_name", "r.n_keys"
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    period_col,
+    max_periods: int | None = None,
+) -> DataFrame:
+    """Cohort retention: cohort = each key's first period; for every
+    (cohort, periods_since) the number of distinct keys active then —
+    the classic retention triangle. ``period_col`` is a Column or name
+    evaluating to an integer period (e.g. epoch-week).
+
+    Plan: one min-agg for cohorts (hash agg on key), broadcast-joined
+    back, then one distinct-count hash agg — no window, no per-key
+    sort."""
+    p = F.col(period_col) if isinstance(period_col, str) else period_col
+    base = df.select(F.col(key_col), p.alias("__period"))
+    cohorts = base.groupBy(key_col).agg(F.min("__period").alias("cohort"))
+    j = base.join(cohorts, key_col).withColumn(
+        "periods_since", F.col("__period") - F.col("cohort")
+    )
+    if max_periods is not None:
+        j = j.filter(F.col("periods_since") <= max_periods)
+    return (
+        j.groupBy("cohort", "periods_since")
+        .agg(F.countDistinct(key_col).alias("n_active"))
+    )

@@ -309,3 +309,34 @@ def test_frequent_items_matches_counter(spark):
         assert got == want
 
     check()
+
+
+class TestFunnelCohort:
+    def test_funnel_strict_order_and_window(self, spark):
+        from hail_spark.operators.relational import funnel, funnel_counts
+
+        rows = [
+            # u1 completes A->B->C
+            (1, 10, "A"), (1, 20, "B"), (1, 30, "C"),
+            # u2 does B before A: B must NOT count
+            (2, 10, "B"), (2, 20, "A"),
+            # u3 completes but C is outside the window
+            (3, 0, "A"), (3, 5, "B"), (3, 1000, "C"),
+        ]
+        df = spark.createDataFrame(rows, "u long, ts long, t string")
+        f = {r["u"]: (r["step_1_ts"], r["step_2_ts"], r["step_3_ts"])
+             for r in funnel(df, "u", "ts", "t", ["A", "B", "C"], within=100).collect()}
+        assert f == {1: (10, 20, 30), 2: (20, None, None), 3: (0, 5, None)}
+        counts = {r["step"]: r["n_keys"]
+                  for r in funnel_counts(df, "u", "ts", "t",
+                                         ["A", "B", "C"], within=100).collect()}
+        assert counts == {1: 3, 2: 2, 3: 1}
+
+    def test_cohort_retention(self, spark):
+        from hail_spark.operators.relational import cohort_retention
+
+        rows = [(1, 0), (1, 1), (1, 3), (2, 1), (2, 3), (3, 0)]
+        df = spark.createDataFrame(rows, "u long, wk long")
+        got = {(r["cohort"], r["periods_since"]): r["n_active"]
+               for r in cohort_retention(df, "u", "wk").collect()}
+        assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 2): 1}
