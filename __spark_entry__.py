@@ -5896,6 +5896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_extract",
         "funnel_conversion",
         "cohort_retention_triangle",
+        "collapse_bursts_debounce",
+        "winsorize_by_type",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6090,6 +6092,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props_extract": json_props_q,
         "funnel_conversion": funnel_q,
         "cohort_retention_triangle": cohort_q,
+        "collapse_bursts_debounce": collapse_bursts_q,
+        "winsorize_by_type": winsorize_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6301,6 +6305,8 @@ def oracle_sql() -> dict[str, str]:
         "json_props_extract": _JSON_PROPS_SQL,
         "funnel_conversion": _FUNNEL_SQL,
         "cohort_retention_triangle": _COHORT_SQL,
+        "collapse_bursts_debounce": _COLLAPSE_BURSTS_SQL,
+        "winsorize_by_type": _WINSORIZE_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -9676,4 +9682,60 @@ FROM e JOIN c USING (user_id)
 WHERE wk - cohort <= 8
 GROUP BY cohort, wk - cohort
 ORDER BY cohort, periods_since
+"""
+
+
+def collapse_bursts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst collapse / debounce (operators/relational.py
+    collapse_bursts): keep the first event of every per-user burst
+    (chained <10 min gaps). Sessionize + first-row-per-burst — one key
+    shuffle, no self-join. Oracle replays the chain rule."""
+    from hail_spark.operators.relational import collapse_bursts
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_id", "user_id", _micros("ts").alias("tsu"), "event_type"
+    )
+    out = collapse_bursts(ev, "user_id", "tsu", window=600_000_000,
+                          tiebreak="event_id")
+    return out.select("event_id", "user_id", "tsu", "event_type").orderBy(
+        "event_id"
+    )
+
+
+_COLLAPSE_BURSTS_SQL = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type FROM events),
+ g AS (SELECT *, CASE WHEN tsu - lag(tsu) OVER w > 600000000 THEN 1 ELSE 0 END AS nw
+       FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+ s AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+ r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+                                    ORDER BY tsu, event_id) AS rn FROM s)
+SELECT event_id, user_id, tsu, event_type FROM r WHERE rn = 1 ORDER BY event_id
+"""
+
+
+def winsorize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise winsorization (llmdata/features.py
+    winsorize_by_group): event values clipped at the exact [5%, 95%]
+    per-type quantiles — exact percentile agg broadcast back, no corpus
+    sort. DuckDB quantile_cont matches Spark percentile's linear
+    interpolation exactly."""
+    from hail_spark.llmdata.features import winsorize_by_group
+
+    ev = _t(spark, sf_dir, "events").df.select("event_id", "event_type", "value")
+    out = winsorize_by_group(ev, "event_type", "value", 0.05, 0.95)
+    return out.select(
+        "event_id", "event_type", F.round("value_w", 6).alias("value_w")
+    ).orderBy("event_id")
+
+
+_WINSORIZE_SQL = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type)
+SELECT event_id, e.event_type,
+       round(least(greatest(value, lo), hi), 6) AS value_w
+FROM events e JOIN q USING (event_type) ORDER BY event_id
 """

@@ -59,3 +59,33 @@ def minmax_by_group(
         out_col,
         F.when(span > 0, (F.col(value_col) - F.col("__min")) / span).otherwise(0.0),
     ).drop("__mean", "__m2", "__min", "__max")
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Winsorize (clip) per group at exact quantiles: values below the
+    p_lo quantile (or above p_hi) clamp to it — the outlier guard
+    applied before z-scoring model features. Spark's ``percentile`` is
+    the exact distributed aggregate (sorted-run merge per group, not a
+    corpus sort); the two thresholds broadcast back like the moments
+    join. DuckDB ``quantile_cont`` matches its interpolation exactly,
+    so the op is oracle-checkable."""
+    out_col = out_col or f"{value_col}_w"
+    q = df.groupBy(key_col).agg(
+        F.percentile(F.col(value_col), F.lit(p_lo)).alias("__lo"),
+        F.percentile(F.col(value_col), F.lit(p_hi)).alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(q), key_col)
+        .withColumn(
+            out_col,
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )

@@ -485,3 +485,26 @@ def cohort_retention(
         j.groupBy("cohort", "periods_since")
         .agg(F.countDistinct(key_col).alias("n_active"))
     )
+
+
+def collapse_bursts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window: int | float,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Burst collapse (telemetry dedup): within each key, keep only the
+    FIRST event of every burst — consecutive events less than
+    ``window`` apart chain into one burst (exactly `sessionize` with
+    gap=window), and the burst's earliest row survives. The standard
+    debounce for duplicate-click / retry storms. One key shuffle; the
+    keep decision is a lag comparison, not a self-join."""
+    s = sessionize(df, key_col, ts_col, gap=window, tiebreak=tiebreak)
+    order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(key_col, "session_idx").orderBy(*order)
+    return (
+        s.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "session_idx")
+    )

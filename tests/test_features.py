@@ -36,3 +36,18 @@ def test_minmax_bounds(spark):
     )
     got = sorted(r["value_mm"] for r in minmax_by_group(df, "k", "value").collect())
     assert got == [0.0, 0.5, 1.0]
+
+
+def test_winsorize_clips_at_quantiles(spark):
+    import numpy as np
+
+    from hail_spark.llmdata.features import winsorize_by_group
+
+    vals = [float(v) for v in range(1, 101)] + [10_000.0]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, value double")
+    out = winsorize_by_group(df, "k", "value", 0.1, 0.9)
+    lo, hi = np.quantile(np.array(vals), [0.1, 0.9])
+    got = sorted(r["value_w"] for r in out.collect())
+    assert math.isclose(got[0], lo, rel_tol=1e-9)
+    assert math.isclose(got[-1], hi, rel_tol=1e-9)
+    assert all(lo - 1e-9 <= v <= hi + 1e-9 for v in got)

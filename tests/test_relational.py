@@ -340,3 +340,17 @@ class TestFunnelCohort:
         got = {(r["cohort"], r["periods_since"]): r["n_active"]
                for r in cohort_retention(df, "u", "wk").collect()}
         assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 2): 1}
+
+
+def test_collapse_bursts(spark):
+    from hail_spark.operators.relational import collapse_bursts
+
+    rows = [
+        (1, 0, "a"), (1, 5, "b"), (1, 9, "c"),   # one burst (chained <10)
+        (1, 30, "d"),                              # new burst
+        (2, 0, "e"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts long, tag string")
+    got = sorted(r["tag"] for r in collapse_bursts(df, "u", "ts", window=10,
+                                                   tiebreak="tag").collect())
+    assert got == ["a", "d", "e"]
