@@ -5898,6 +5898,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_triangle",
         "collapse_bursts_debounce",
         "winsorize_by_type",
+        "quantile_bins_events",
+        "distinctive_terms_tfidf",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6094,6 +6096,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention_triangle": cohort_q,
         "collapse_bursts_debounce": collapse_bursts_q,
         "winsorize_by_type": winsorize_q,
+        "quantile_bins_events": quantile_bins_q,
+        "distinctive_terms_tfidf": distinctive_terms_q,
         "weighted_mix_sources": weighted_mix_q,
         "ivfpq_ann_topk": ivfpq_ann_q,
         "chunk_documents_windows": chunk_documents_q,
@@ -6307,6 +6311,8 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention_triangle": _COHORT_SQL,
         "collapse_bursts_debounce": _COLLAPSE_BURSTS_SQL,
         "winsorize_by_type": _WINSORIZE_SQL,
+        "quantile_bins_events": _QUANTILE_BINS_SQL,
+        "distinctive_terms_tfidf": _DISTINCTIVE_TERMS_SQL,
         "weighted_mix_sources": _WEIGHTED_MIX_SQL,
         "ivfpq_ann_topk": _IVFPQ_SQL,
         "chunk_documents_windows": _CHUNK_DOCS_SQL,
@@ -9738,4 +9744,90 @@ WITH q AS (
 SELECT event_id, e.event_type,
        round(least(greatest(value, lo), hi), 6) AS value_w
 FROM events e JOIN q USING (event_type) ORDER BY event_id
+"""
+
+
+def quantile_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency quartile binning per event type (llmdata/
+    features.py quantile_bins): exact percentile thresholds broadcast
+    back, map-only bin probe — no per-group ntile sort. Oracle counts
+    DuckDB quantile_cont thresholds <= value."""
+    from hail_spark.llmdata.features import quantile_bins
+
+    ev = _t(spark, sf_dir, "events").df.select("event_id", "event_type", "value")
+    out = quantile_bins(ev, "event_type", "value", n_bins=4)
+    return (
+        out.groupBy("event_type", "value_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 4
+            ).alias("vsum"),
+        )
+        .orderBy("event_type", "value_bin")
+    )
+
+
+_QUANTILE_BINS_SQL = """
+WITH q AS (
+  SELECT event_type,
+         [quantile_cont(value, 0.25), quantile_cont(value, 0.5),
+          quantile_cont(value, 0.75)] AS thr
+  FROM events GROUP BY event_type),
+b AS (
+  SELECT event_id, e.event_type, value,
+         len(list_filter(thr, t -> t <= value)) AS value_bin
+  FROM events e JOIN q USING (event_type))
+SELECT event_type, CAST(value_bin AS INT) AS value_bin, COUNT(*) AS n,
+       round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS vsum
+FROM b GROUP BY event_type, value_bin ORDER BY event_type, value_bin
+"""
+
+
+def distinctive_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per source (TF-IDF composition over existing
+    primitives): token counts per (source, token) → smoothed idf over
+    sources → top-3 tf·idf terms per source via one per-source window
+    over the (tiny) aggregated table — the corpus-side work is a single
+    explode + hash agg."""
+    d = _t(spark, sf_dir, "documents").df
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    tf = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_sources = d.select("source").distinct().count()
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_t), "token").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log((F.lit(float(n_sources)) + 1.0) / (F.col("df") + 1.0)),
+            9,
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", "rank", "token", "tfidf")
+        .orderBy("source", "rank")
+    )
+
+
+_DISTINCTIVE_TERMS_SQL = """
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT source, token, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+ns AS (SELECT COUNT(DISTINCT source) AS n FROM documents),
+scored AS (
+  SELECT source, token, tf,
+         round(tf * ln((n + 1.0) / (df + 1.0)), 9) AS tfidf
+  FROM tf JOIN dft USING (token), ns),
+r AS (SELECT *, row_number() OVER (PARTITION BY source
+          ORDER BY tfidf DESC, token ASC) AS rank FROM scored)
+SELECT source, CAST(rank AS INT) AS rank, token, tfidf
+FROM r WHERE rank <= 3 ORDER BY source, rank
 """

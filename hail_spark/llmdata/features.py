@@ -89,3 +89,37 @@ def winsorize_by_group(
         )
         .drop("__lo", "__hi")
     )
+
+
+def quantile_bins(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_bins: int = 4,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Equal-frequency binning per group: bin i (0-based) holds values
+    between the i/n and (i+1)/n exact quantiles; a value's bin is the
+    count of interior thresholds <= it. Unlike ``ntile`` (a per-group
+    window SORT), this is one exact-percentile agg broadcast back and
+    a map-only array probe — the scalable form of quartile/decile
+    features. Duplicate-heavy columns can leave some bins empty (the
+    thresholds coincide); the boundary rule is deterministic on both
+    engines."""
+    if n_bins < 2:
+        raise ValueError("quantile_bins: n_bins must be >= 2")
+    out_col = out_col or f"{value_col}_bin"
+    ps = [i / n_bins for i in range(1, n_bins)]
+    q = df.groupBy(key_col).agg(
+        F.array(
+            *[F.percentile(F.col(value_col), F.lit(p)) for p in ps]
+        ).alias("__thr")
+    )
+    return (
+        df.join(F.broadcast(q), key_col)
+        .withColumn(
+            out_col,
+            F.size(F.filter(F.col("__thr"), lambda t: t <= F.col(value_col))),
+        )
+        .drop("__thr")
+    )

@@ -51,3 +51,26 @@ def test_winsorize_clips_at_quantiles(spark):
     assert math.isclose(got[0], lo, rel_tol=1e-9)
     assert math.isclose(got[-1], hi, rel_tol=1e-9)
     assert all(lo - 1e-9 <= v <= hi + 1e-9 for v in got)
+
+
+def test_quantile_bins_equal_frequency(spark):
+    from hail_spark.llmdata.features import quantile_bins
+
+    vals = [float(v) for v in range(1, 41)]
+    df = spark.createDataFrame([("g", v) for v in vals], "k string, value double")
+    out = quantile_bins(df, "k", "value", n_bins=4)
+    from collections import Counter
+
+    counts = Counter(r["value_bin"] for r in out.collect())
+    assert set(counts) == {0, 1, 2, 3}
+    assert all(8 <= c <= 12 for c in counts.values())  # ~equal frequency
+
+
+def test_quantile_bins_validation(spark):
+    import pytest as _pytest
+
+    from hail_spark.llmdata.features import quantile_bins
+
+    df = spark.createDataFrame([("g", 1.0)], "k string, value double")
+    with _pytest.raises(ValueError):
+        quantile_bins(df, "k", "value", n_bins=1)
