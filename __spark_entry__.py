@@ -5829,68 +5829,34 @@ _DRIVER_GREEN: frozenset = frozenset({
     "span_removal_exactsubstr", "split_assign_census", "summarize_alleles",
     "table_gen", "tidyr_gather", "tidyr_spread", "url_dedup_canonical",
     "weighted_mix_sources",
+    # r05 greens (CORRECTNESS_r05.json: 49 green / 1 harness-red).
+    "ann_recall_eval", "asof_join_events", "bloom_decontam_flagged",
+    "bpe_train_merges", "bucketed_join_agg", "cap_per_group_docs",
+    "corpus_diff_status", "decontam_overlap", "densify_sparse",
+    "duplicated_gram_stats", "export_entries_by_col_rt", "faf_by_nation",
+    "frequent_tokens_exact", "gopher_signals", "hard_negatives_topk",
+    "hll_distinct_rollup", "import_matrix_table_rt", "lambda_gc_events",
+    "latest_by_key_compact", "lsh_candidate_recall", "merge_upsert_snapshot",
+    "pc_project_scores", "pii_scrub", "pivot_event_values", "pq_rerank_topk",
+    "q10_returned_revenue", "q14_promo_share", "q19_disjunctive_revenue",
+    "q4_order_priority", "random_mating_hom", "rolling_window_events",
+    "rollup_order_totals", "salted_join_skewed", "semantic_dedup_kmeans",
+    "session_window_native", "sessionize_events", "sparse_split_battery",
+    "text_normalize_docs", "token_budget_select", "training_pipeline_e2e",
+    "training_shards_manifest", "unpivot_measures", "weighted_sample_topk",
 })
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    # Sampling priority (round 5): the 16 queries no driver round has
+    # Sampling priority (round 6): the 9 r05 queries no driver round has
     # ever sampled first (judge-green at sf0.01 but missing a driver
-    # row), then the queries whose implementation changed this round
-    # (canonical BPE, cluster keep policy, IVF Lloyd, pq guards,
-    # jsonl min_partitions), then older never-green ones, then the
-    # green union — the driver samples ~50 from the head.
+    # row), then pool_embeddings_mean (output reshaped this round to
+    # canon-safe scalar rows — the one r05 driver-red), then queries
+    # whose implementation changed this round, then this round's new
+    # queries, then older never-green ones, then the green union — the
+    # driver samples ~50 from the head.
     new_this_round = (
-        "faf_by_nation",
-        "lambda_gc_events",
-        "random_mating_hom",
-        "gopher_signals",
-        "decontam_overlap",
-        "pii_scrub",
-        "semantic_dedup_kmeans",
-        "duplicated_gram_stats",
-        "training_pipeline_e2e",
-        "bpe_train_merges",
-        "training_shards_manifest",
-        "pc_project_scores",
-        "sparse_split_battery",
-        "densify_sparse",
-        "import_matrix_table_rt",
-        "export_entries_by_col_rt",
-        "bpe_encode_ids_docs",
-        "cluster_keep_best",
-        "ann_ivf_topk",
-        "ivfpq_ann_topk",
-        "pq_ann_topk",
-        "jsonl_round_trip",
-        "ann_recall_eval",
-        "pq_rerank_topk",
-        "token_budget_select",
-        "pool_embeddings_mean",
-        "lsh_candidate_recall",
-        "text_normalize_docs",
-        "cap_per_group_docs",
-        "hard_negatives_topk",
-        "asof_join_events",
-        "sessionize_events",
-        "rolling_window_events",
-        "frequent_tokens_exact",
-        "bloom_decontam_flagged",
-        "hll_distinct_rollup",
-        "q4_order_priority",
-        "q10_returned_revenue",
-        "q14_promo_share",
-        "q19_disjunctive_revenue",
-        "weighted_sample_topk",
-        "corpus_diff_status",
-        "session_window_native",
-        "pivot_event_values",
-        "unpivot_measures",
-        "rollup_order_totals",
-        "bucketed_join_agg",
-        "salted_join_skewed",
-        "latest_by_key_compact",
-        "merge_upsert_snapshot",
         "c4_signals_docs",
         "standardize_features",
         "json_props_extract",
@@ -5900,6 +5866,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winsorize_by_type",
         "quantile_bins_events",
         "distinctive_terms_tfidf",
+        "pool_embeddings_mean",
+        # changed / new this round
+        "stream_replay_conformance",
+        "hll_distinct_rollup",
+        "bloom_decontam_flagged",
+        "funnel_conversion",
+        "frequent_tokens_exact",
+        "bucketed_join_agg",
+        "q10_returned_revenue",
+        "q14_promo_share",
+        "q19_disjunctive_revenue",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6082,6 +6059,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_topk": weighted_sample_q,
         "corpus_diff_status": corpus_diff_q,
         "session_window_native": session_window_q,
+        "stream_replay_conformance": stream_replay_q,
         "pivot_event_values": pivot_q,
         "unpivot_measures": unpivot_q,
         "rollup_order_totals": rollup_cube_q,
@@ -6297,6 +6275,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_topk": _WEIGHTED_SAMPLE_SQL,
         "corpus_diff_status": _CORPUS_DIFF_SQL,
         "session_window_native": _SESSION_WINDOW_SQL,
+        "stream_replay_conformance": _STREAM_REPLAY_SQL,
         "pivot_event_values": _PIVOT_SQL,
         "unpivot_measures": _UNPIVOT_SQL,
         "rollup_order_totals": _ROLLUP_SQL,
@@ -7846,18 +7825,27 @@ def pool_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pool_embeddings): mean-pool synthetic chunk groups (vec_id % 50)
     to one centroid per group — posexplode + (group, coord) hash-agg +
     ordered rebuild, never an array-blob collect buffer. Values
-    rounded to 6 dp (summation-order tolerance)."""
+    rounded to 6 dp (summation-order tolerance). Output is posexploded
+    to one (grp, coord, value) row per coordinate: the driver harness
+    canonicalizer sorts raw output columns with pandas and cannot hash
+    list cells, so array outputs must leave the query as scalars
+    (r05 verdict item 1)."""
     from hail_spark.llmdata.similarity import pool_embeddings
 
     e = _t(spark, sf_dir, "embeddings").df.select(
         (F.col("vec_id") % 50).alias("grp"), "embedding"
     )
     out = pool_embeddings(e, "grp", mode="mean")
-    return out.select(
-        "grp",
-        F.transform("embedding", lambda x: F.round(x, 6)).alias("pooled"),
-        "n_chunks",
-    ).orderBy("grp")
+    return (
+        out.select("grp", "n_chunks", F.posexplode("embedding").alias("i", "x"))
+        .select(
+            "grp",
+            (F.col("i") + 1).cast("long").alias("i"),
+            F.round("x", 6).alias("v"),
+            "n_chunks",
+        )
+        .orderBy("grp", "i")
+    )
 
 
 _POOL_EMB_SQL = """
@@ -7865,10 +7853,9 @@ WITH ex AS (
   SELECT vec_id % 50 AS grp, i, embedding[i]::DOUBLE AS x
   FROM embeddings, LATERAL unnest(range(1, len(embedding)+1)) AS t(i)),
 per AS (SELECT grp, i, AVG(x) AS v, COUNT(*) AS n FROM ex GROUP BY grp, i)
-SELECT grp,
-       list(round(v, 6) ORDER BY i) AS pooled,
-       CAST(MAX(n) AS BIGINT) AS n_chunks
-FROM per GROUP BY grp ORDER BY grp
+SELECT grp, CAST(i AS BIGINT) AS i, round(v, 6) AS v,
+       CAST(n AS BIGINT) AS n_chunks
+FROM per ORDER BY grp, i
 """
 
 
@@ -8926,12 +8913,33 @@ def hll_distinct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-type sketches (no second scan — the rollup shape that makes
     30-day distincts at 100 TB a sketch-table re-agg instead of a raw
     rescan). DataSketches HLL is exact in its sparse regime, which
-    covers the gate corpora; the SQL oracle is exact COUNT(DISTINCT)."""
+    covers the gate corpora; the SQL oracle is exact COUNT(DISTINCT).
+    Guard (ADVICE r05): the exact==estimate equivalence dies once any
+    group leaves sparse mode (~0.75 * 2^lgk distinct), so a group whose
+    estimate crosses that line raises a named error instead of
+    surfacing as a bare hash mismatch at a bigger SF — raise lgk then."""
     from hail_spark.operators.sketches import distinct_by_group_with_total
 
+    lgk = 14
+    sparse_bound = int(0.75 * (1 << lgk))
     ev = _t(spark, sf_dir, "events").df
-    out = distinct_by_group_with_total(ev, "event_type", "user_id", lgk=14)
-    return out.select("event_type", "n_distinct").orderBy("event_type")
+    out = distinct_by_group_with_total(ev, "event_type", "user_id", lgk=lgk)
+    guarded = F.when(
+        F.col("n_distinct") >= F.lit(sparse_bound),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "hll_distinct_rollup: group beyond the HLL sparse regime "
+                    f"(>= {sparse_bound} distinct at lgk={lgk}) — the exact-"
+                    "equality oracle no longer applies; raise lgk: "
+                ),
+                F.col("event_type"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("n_distinct"))
+    return out.select(
+        "event_type", guarded.alias("n_distinct")
+    ).orderBy("event_type")
 
 
 _HLL_DISTINCT_SQL = """
@@ -9007,7 +9015,10 @@ def q10_returns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        rev.join(F.broadcast(c), rev["o_custkey"] == c["c_custkey"])
+        # customer scales with SF (unbounded at 100 TB) — no forced
+        # broadcast; AQE picks broadcast when the filtered side fits.
+        # nation is 25 rows: hint stays.
+        rev.join(c, rev["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .select(
             "c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"),
@@ -9032,16 +9043,18 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 
 
 def q14_promo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14 shape: promo revenue share over one month — broadcast
-    part join + one conditional aggregate (both sums in a single
+    """TPC-H Q14 shape: promo revenue share over one month — part
+    join (AQE-sized) + one conditional aggregate (both sums in a single
     hash-agg pass)."""
     li = _t(spark, sf_dir, "lineitem").df
     p = _t(spark, sf_dir, "part").df
     lo = F.lit("1996-03-01 00:00:00").cast("timestamp")
     hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    # part scales with SF — no forced broadcast (AQE decides); the
+    # 2-column projection keeps the build side minimal either way
     j = li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)).join(
-        F.broadcast(p.select("p_partkey", "p_type")),
+        p.select("p_partkey", "p_type"),
         li["l_partkey"] == p["p_partkey"],
     )
     return j.agg(
@@ -9071,7 +9084,7 @@ WHERE l_partkey = p_partkey
 
 def q19_disjunct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: disjunctive brand/size/quantity predicates.
-    The part-side conjuncts (brand, size) stay on the broadcast dim;
+    The part-side conjuncts (brand, size) stay on the part dim;
     the common quantity bound pushes to the lineitem scan; the OR of
     brand-specific quantity bands evaluates post-join in one codegen
     stage."""
@@ -9081,8 +9094,9 @@ def q19_disjunct_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
         & (F.col("p_size") <= 15)
     ).select("p_partkey", "p_brand", "p_size")
+    # part scales with SF — no forced broadcast (AQE decides)
     j = li.filter(F.col("l_quantity") <= 30).join(
-        F.broadcast(dims), li["l_partkey"] == p["p_partkey"]
+        dims, li["l_partkey"] == p["p_partkey"]
     )
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") <= 10))
@@ -9229,6 +9243,80 @@ ORDER BY user_id, w_start
 """
 
 
+# memory-sink names must be fresh per call (bench runs a query 3×)
+_STREAM_CONF_SEQ = [0]
+
+
+def stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch/stream no-drift conformance (streaming/events.py): the
+    REAL Structured Streaming pipeline — file source in several
+    incremental triggers → watermarked tumbling-window counts → memory
+    sink — run to completion with trigger(availableNow=True); the FINAL
+    sink table must equal the batch tumbling-window SQL over the same
+    rows. This machine-checks the claim that batch and stream share
+    semantics (the stream op is the same Column tree), which pytest
+    previously asserted only against a Spark batch job, never against
+    an independent engine. approx_users (a sketch column) is excluded;
+    ts is re-encoded ns→µs for the stream source (Spark's reader
+    rejects TIMESTAMP(NANOS)) which cannot move an hour bucket."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hail_spark.streaming.events import (
+        read_events_stream,
+        stream_windowed_counts,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    stage = f"/tmp/hail_spark_stream_conf_{tag}_{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_us = t.column("ts").cast(pa.timestamp("us"), safe=False)
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", ts_us)
+    n = max(1, t.num_rows // 5)
+    for i, lo in enumerate(range(0, t.num_rows, n)):
+        pq.write_table(t.slice(lo, n), f"{stage}/part-{i}.parquet")
+
+    _STREAM_CONF_SEQ[0] += 1
+    sink = f"stream_conf_{os.getpid()}_{_STREAM_CONF_SEQ[0]}"
+    stream = read_events_stream(spark, stage, max_files_per_trigger=2)
+    counts = stream_windowed_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # session tz is UTC (hail_spark/session.py), so the stream's LTZ
+    # window_start equals the parquet NTZ instant numerically
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    return (
+        spark.table(sink)
+        .select(
+            F.timestamp_diff("MICROSECOND", epoch, F.col("window_start")).alias(
+                "w_start"
+            ),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+        .orderBy("w_start", "event_type")
+    )
+
+
+_STREAM_REPLAY_SQL = """
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS w_start,
+       event_type, COUNT(*) AS n_events,
+       round(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY w_start, event_type
+"""
+
+
 def pivot_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native pivot (groupBy().pivot() with an EXPLICIT value list —
     the open-ended form needs a values-discovery pass; pinning the list
@@ -9333,10 +9421,13 @@ def bucketed_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     and aggregated on it with ZERO Exchange operators in the plan
     (asserted in tests/test_bucketed.py) — the amortize-one-shuffle-
     across-every-downstream-query layout. Oracle: the same join over
-    the plain parquet."""
+    the plain parquet. Path/table names carry the PID so two concurrent
+    harness runs on the same sf cannot clobber each other's bucket
+    files or catalog entries (ADVICE r05)."""
     from hail_spark.io.bucketed import read_bucketed, write_bucketed
 
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    tag = f"{tag}_{os.getpid()}"
     base = f"/tmp/hail_spark_buckets_{tag}"
     o = _t(spark, sf_dir, "orders").df
     li = _t(spark, sf_dir, "lineitem").df
@@ -9797,7 +9888,10 @@ def distinctive_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
     n_sources = d.select("source").distinct().count()
     df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_t), "token").withColumn(
+    # no broadcast hint: distinct tokens are corpus-unbounded (billions
+    # on web data) — let AQE broadcast only when the build side fits
+    # (r05 verdict item 5)
+    scored = tf.join(df_t, "token").withColumn(
         "tfidf",
         F.round(
             F.col("tf") * F.log((F.lit(float(n_sources)) + 1.0) / (F.col("df") + 1.0)),

@@ -158,12 +158,40 @@ def _bloom_positions(hashes, n_bits: int, k: int):
     )
 
 
+def _or_merge_rounds(rdd, fanin: int = 16):
+    """OR-reduce an RDD of equal-length byte buffers IN THE CLUSTER:
+    repeated (repartition → per-partition OR) rounds until one partition
+    holds the single merged buffer. `repartition` (not narrow coalesce)
+    on purpose — a narrow coalesce would collapse the upstream gram-hash
+    stage onto the reduced task count; shuffling the ≤1-per-partition
+    partials keeps build parallelism intact and moves the buffer traffic
+    executor-to-executor instead of through the driver. Returns the
+    1-partition RDD (callers collect ≤1 row from it)."""
+
+    def _or_parts(it):
+        import numpy as np
+
+        acc = None
+        for b in it:
+            a = np.frombuffer(b, dtype=np.uint8)
+            acc = a.copy() if acc is None else (acc | a)
+        return [acc.tobytes()] if acc is not None else []
+
+    while rdd.getNumPartitions() > 1:
+        n_next = max(1, rdd.getNumPartitions() // fanin)
+        rdd = rdd.repartition(n_next).mapPartitions(_or_parts)
+    return rdd.mapPartitions(_or_parts)
+
+
 def bloom_build(grams: DataFrame, n_bits: int = 1 << 23, k: int = 4) -> bytes:
     """Bloom filter (as bytes, little-endian bit order) over a
     DataFrame(gram bigint) — e.g. `benchmark_grams` output. ``n_bits``
     must be a power of two. Distributed build: each partition sets its
-    grams' bits into a local byte array (one numpy pass), the driver
-    ORs the (partitions × n_bits/8 B) partials."""
+    grams' bits into a local byte array (one numpy pass); the per-
+    partition partials are OR-reduced cluster-side in log-fan-in rounds
+    (`_or_merge_rounds`), so the driver receives exactly ONE n_bits/8-
+    byte buffer regardless of partition count (a 2^30-bit filter over
+    10k partitions ships 128 MiB once, not 1.25 TB of partials)."""
     import numpy as np
 
     if n_bits & (n_bits - 1):
@@ -181,11 +209,12 @@ def bloom_build(grams: DataFrame, n_bits: int = 1 << 23, k: int = 4) -> bytes:
                 np.bitwise_or.at(arr, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
         yield pd.DataFrame({"b": [arr.tobytes()] if any_rows else []})
 
-    parts = grams.select("gram").mapInPandas(_part, schema="b binary").collect()
-    out = np.zeros(n_bits // 8, dtype=np.uint8)
-    for row in parts:
-        out |= np.frombuffer(row["b"], dtype=np.uint8)
-    return out.tobytes()
+    parts = grams.select("gram").mapInPandas(_part, schema="b binary")
+    merged = _or_merge_rounds(parts.rdd.map(lambda r: bytes(r["b"]))).collect()
+    if not merged:
+        return np.zeros(n_bits // 8, dtype=np.uint8).tobytes()
+    assert len(merged) == 1, "cluster OR-reduce must yield one buffer"
+    return merged[0]
 
 
 def bloom_decontaminate(

@@ -6,6 +6,13 @@ partials), broadcast-joined back onto the rows — two scans total, no
 window over the corpus (a Window.partitionBy here would sort every
 group; the agg+join form is pure hash work and the moments table is
 tiny). Moments use decimal accumulation so the oracle replay is exact.
+
+BROADCAST BOUNDEDNESS: every F.broadcast() below ships one row per
+GROUP (a few fixed-width columns), i.e. it is bounded by group-key
+cardinality, not data size. The hints are safe as long as callers key
+by a bounded dimension (source, language, type-bucket...); a
+million-group key still broadcasts ~tens of MB. Keying by a
+row-unique column makes scaling meaningless anyway.
 """
 
 from __future__ import annotations
@@ -14,19 +21,54 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# |values| must stay below this for the decimal(15,6) moment
+# accumulators (9 integer digits); _moments enforces it loudly.
+_MOMENTS_ABS_MAX = 1e9
+
+
 def _moments(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     # decimal(15,6) squares keep the product's full 12-decimal scale
     # inside Spark's 38-digit cap (decimal(38,6)² would silently round
     # the square back to scale 6 — a 1e-6 error the SQL oracle, whose
     # decimal rules differ, does not reproduce); sums stay exact, the
-    # conversion to double happens once on the exact totals
-    dec = F.col(value_col).cast("decimal(15,6)")
+    # conversion to double happens once on the exact totals.
+    #
+    # SUPPORTED RANGE: |value| < 1e9, quantized to 1e-6 by the cast.
+    # Out-of-range inputs would NULL the sum in non-ANSI mode and
+    # silently skew the mean (null-skipping sum), so the same hash agg
+    # carries max(abs(x)) and the moment columns raise_error at
+    # execution time instead — loud, and free of an extra scan.
+    # try_cast (not cast) so ANSI sessions reach the guard's uniform
+    # message instead of dying inside the cast with a decimal error.
+    dec = F.col(value_col).try_cast("decimal(15,6)")
     n = F.count(F.lit(1))
-    return df.groupBy(key_col).agg(
-        (F.sum(dec).cast("double") / n).alias("__mean"),
-        (F.sum(dec * dec).cast("double") / n).alias("__m2"),
+    guard = lambda c: F.when(  # noqa: E731
+        F.col("__absmax") >= F.lit(_MOMENTS_ABS_MAX),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"_moments: |{value_col}| must be < 1e9 for exact "
+                    "decimal(15,6) accumulation; got group "
+                ),
+                F.col(key_col).cast("string"),
+                F.lit(" with max(abs)="),
+                F.col("__absmax").cast("string"),
+            )
+        ).cast("double"),
+    ).otherwise(c)
+    raw = df.groupBy(key_col).agg(
+        (F.sum(dec).cast("double") / n).alias("__mean0"),
+        (F.sum(dec * dec).cast("double") / n).alias("__m20"),
         F.min(value_col).alias("__min"),
         F.max(value_col).alias("__max"),
+        F.max(F.abs(F.col(value_col).cast("double"))).alias("__absmax"),
+    )
+    return raw.select(
+        key_col,
+        guard(F.col("__mean0")).alias("__mean"),
+        guard(F.col("__m20")).alias("__m2"),
+        "__min",
+        "__max",
     )
 
 
@@ -68,19 +110,38 @@ def winsorize_by_group(
     p_lo: float = 0.01,
     p_hi: float = 0.99,
     out_col: str | None = None,
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
-    """Winsorize (clip) per group at exact quantiles: values below the
-    p_lo quantile (or above p_hi) clamp to it — the outlier guard
-    applied before z-scoring model features. Spark's ``percentile`` is
-    the exact distributed aggregate (sorted-run merge per group, not a
-    corpus sort); the two thresholds broadcast back like the moments
-    join. DuckDB ``quantile_cont`` matches its interpolation exactly,
-    so the op is oracle-checkable."""
+    """Winsorize (clip) per group at quantiles: values below the p_lo
+    quantile (or above p_hi) clamp to it — the outlier guard applied
+    before z-scoring model features.
+
+    ``exact=True`` uses Spark's exact ``percentile`` aggregate, whose
+    DuckDB ``quantile_cont`` interpolation matches exactly (oracle-
+    checkable) — but its aggregation buffer holds EVERY DISTINCT value
+    per group, an executor-OOM risk for a high-cardinality continuous
+    column at 100-TB scale. ``exact=False`` switches to
+    ``percentile_approx`` (Greenwald-Khanna, O(accuracy) bounded buffer,
+    rank error ≤ 1/accuracy) — the scale path; its thresholds are
+    rank-quantized so they differ from quantile_cont by up to one
+    1/accuracy rank step (no DuckDB parity). Either way the thresholds
+    broadcast back like the moments join — no corpus sort."""
     out_col = out_col or f"{value_col}_w"
-    q = df.groupBy(key_col).agg(
-        F.percentile(F.col(value_col), F.lit(p_lo)).alias("__lo"),
-        F.percentile(F.col(value_col), F.lit(p_hi)).alias("__hi"),
-    )
+    if exact:
+        q = df.groupBy(key_col).agg(
+            F.percentile(F.col(value_col), F.lit(p_lo)).alias("__lo"),
+            F.percentile(F.col(value_col), F.lit(p_hi)).alias("__hi"),
+        )
+    else:
+        q = df.groupBy(key_col).agg(
+            F.percentile_approx(F.col(value_col), F.lit(p_lo), F.lit(accuracy))
+            .cast("double")
+            .alias("__lo"),
+            F.percentile_approx(F.col(value_col), F.lit(p_hi), F.lit(accuracy))
+            .cast("double")
+            .alias("__hi"),
+        )
     return (
         df.join(F.broadcast(q), key_col)
         .withColumn(
@@ -97,24 +158,41 @@ def quantile_bins(
     value_col: str,
     n_bins: int = 4,
     out_col: str | None = None,
+    exact: bool = True,
+    accuracy: int = 10000,
 ) -> DataFrame:
     """Equal-frequency binning per group: bin i (0-based) holds values
-    between the i/n and (i+1)/n exact quantiles; a value's bin is the
-    count of interior thresholds <= it. Unlike ``ntile`` (a per-group
-    window SORT), this is one exact-percentile agg broadcast back and
-    a map-only array probe — the scalable form of quartile/decile
-    features. Duplicate-heavy columns can leave some bins empty (the
-    thresholds coincide); the boundary rule is deterministic on both
-    engines."""
+    between the i/n and (i+1)/n quantiles; a value's bin is the count
+    of interior thresholds <= it. Unlike ``ntile`` (a per-group window
+    SORT), this is one percentile agg broadcast back and a map-only
+    array probe — the scalable form of quartile/decile features.
+    Duplicate-heavy columns can leave some bins empty (the thresholds
+    coincide); the boundary rule is deterministic on both engines.
+
+    ``exact=True`` (DuckDB-parity interpolation) buffers every distinct
+    value per group — fine for bounded domains, an OOM risk for
+    continuous columns at scale; ``exact=False`` uses
+    ``percentile_approx`` (bounded O(accuracy) buffer, rank error
+    ≤ 1/accuracy) for the 100-TB path."""
     if n_bins < 2:
         raise ValueError("quantile_bins: n_bins must be >= 2")
     out_col = out_col or f"{value_col}_bin"
     ps = [i / n_bins for i in range(1, n_bins)]
-    q = df.groupBy(key_col).agg(
-        F.array(
-            *[F.percentile(F.col(value_col), F.lit(p)) for p in ps]
-        ).alias("__thr")
-    )
+    if exact:
+        q = df.groupBy(key_col).agg(
+            F.array(
+                *[F.percentile(F.col(value_col), F.lit(p)) for p in ps]
+            ).alias("__thr")
+        )
+    else:
+        q = df.groupBy(key_col).agg(
+            F.transform(
+                F.percentile_approx(
+                    F.col(value_col), F.array(*[F.lit(p) for p in ps]), F.lit(accuracy)
+                ),
+                lambda t: t.cast("double"),
+            ).alias("__thr")
+        )
     return (
         df.join(F.broadcast(q), key_col)
         .withColumn(

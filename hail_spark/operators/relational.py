@@ -261,6 +261,11 @@ def rolling_aggregate(
 # exact heavy hitters (Misra-Gries candidates + exact verify)
 # ---------------------------------------------------------------------------
 
+# frequent_items refuses to derive a sketch bigger than this (counters
+# per executor; the candidate broadcast can reach partitions × this).
+_CAPACITY_CAP = 4_000_000
+
+
 def _misra_gries_partition(
     it: Iterator[pd.DataFrame], col: str, capacity: int
 ) -> Iterator[pd.DataFrame]:
@@ -316,6 +321,15 @@ def frequent_items(
     omitted it is computed with one cheap count job. ``capacity``
     overrides the derived size (must honor the guarantee yourself).
 
+    MEMORY SCALES AS N / min_count: each executor holds ``capacity ≈
+    N/min_count`` counters, and the candidate broadcast is up to
+    partitions × capacity values. A small absolute ``min_count`` at
+    large N silently explodes both, so a derived capacity above
+    ``_CAPACITY_CAP`` (4M counters ≈ hundreds of MB with the broadcast)
+    raises — pass a larger ``min_count``, an explicit ``capacity``
+    (accepting a weaker guarantee), or use a plain groupBy, which at
+    that selectivity is no longer wasteful.
+
     NULL values are never reported (pandas value_counts drops them in
     the sketch and the semi-join drops NULL keys in the verify — the
     two phases agree, so the exclusion is consistent, not a miss).
@@ -325,6 +339,14 @@ def frequent_items(
     if capacity is None:
         n = total if total is not None else df.count()
         capacity = max(64, int(math.ceil(n / min_count)))
+        if capacity > _CAPACITY_CAP:
+            raise ValueError(
+                f"frequent_items: derived capacity {capacity} (= N/min_count "
+                f"= {n}/{min_count}) exceeds the {_CAPACITY_CAP} sanity cap — "
+                "executor memory and the candidate broadcast scale with it. "
+                "Raise min_count, pass capacity= explicitly (weaker "
+                "guarantee), or use a plain groupBy at this selectivity."
+            )
     cands = df.select(col).mapInPandas(
         lambda it: _misra_gries_partition(it, col, capacity),
         schema=df.select(col).schema,
@@ -447,8 +469,11 @@ def funnel_counts(
         F.struct(
             F.lit(i + 1).alias("step"),
             F.lit(s).alias("step_name"),
-            F.sum(
-                F.col(f"step_{i + 1}_ts").isNotNull().cast("bigint")
+            # coalesce: F.sum over an EMPTY funnel (no key reached step
+            # 1) is NULL; the count semantics — and the SQL oracle — say 0
+            F.coalesce(
+                F.sum(F.col(f"step_{i + 1}_ts").isNotNull().cast("bigint")),
+                F.lit(0).cast("bigint"),
             ).alias("n_keys"),
         )
         for i, s in enumerate(steps)
@@ -470,9 +495,10 @@ def cohort_retention(
     the classic retention triangle. ``period_col`` is a Column or name
     evaluating to an integer period (e.g. epoch-week).
 
-    Plan: one min-agg for cohorts (hash agg on key), broadcast-joined
-    back, then one distinct-count hash agg — no window, no per-key
-    sort."""
+    Plan: one min-agg for cohorts (hash agg on key), equi-joined back
+    (the cohort table is ONE ROW PER KEY — not broadcastable at scale,
+    so a plain shuffle join on the already-key-partitioned side), then
+    one distinct-count hash agg — no window, no per-key sort."""
     p = F.col(period_col) if isinstance(period_col, str) else period_col
     base = df.select(F.col(key_col), p.alias("__period"))
     cohorts = base.groupBy(key_col).agg(F.min("__period").alias("cohort"))

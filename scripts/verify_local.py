@@ -76,6 +76,24 @@ def run_gate(spark, sf_dir: str, only=None) -> dict[str, str]:
         except Exception as e:  # noqa: BLE001
             results[name] = f"SPARK FAIL: {type(e).__name__}: {str(e)[:200]}"
             continue
+        # The DRIVER harness canonicalizes with pandas sort_values, which
+        # crashes on list/dict cells (r05 pool_embeddings_mean red) — our
+        # canon() handles them, so a raw-container output column is a
+        # local-green/driver-red trap. Reject it here so the class is dead.
+        # (structs collect as Row — a hashable tuple the driver sorts fine,
+        # e.g. approx_cdf_struct green r03 — so only array/map are fatal.)
+        container = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map")
+        ]
+        if name in oracles and container:
+            results[name] = (
+                f"OUTPUT TYPE: column(s) {container} are array/map — "
+                "the driver canonicalizer cannot sort container cells; "
+                "posexplode to scalar rows or md5(to_json(...)) the column"
+            )
+            continue
         if name not in oracles:
             results[name] = f"rows-only ({len(srows)} rows, no oracle)"
             continue

@@ -74,3 +74,57 @@ def test_quantile_bins_validation(spark):
     df = spark.createDataFrame([("g", 1.0)], "k string, value double")
     with _pytest.raises(ValueError):
         quantile_bins(df, "k", "value", n_bins=1)
+
+
+def test_approx_quantile_path_tracks_exact(spark):
+    """r05 verdict item 4: exact=False (percentile_approx, bounded
+    O(accuracy) buffer) must land within one 1/accuracy rank step of
+    the exact thresholds on a high-cardinality continuous column."""
+    from hail_spark.llmdata.features import quantile_bins, winsorize_by_group
+
+    # 20k distinct doubles, deliberately non-uniform (quadratic ramp)
+    vals = [(("a", (i * i) % 19997 + i / 7.0)) for i in range(20_000)]
+    df = spark.createDataFrame(vals, "k string, value double").repartition(8)
+
+    exact_w = winsorize_by_group(df, "k", "value", 0.05, 0.95, exact=True)
+    approx_w = winsorize_by_group(
+        df, "k", "value", 0.05, 0.95, exact=False, accuracy=10000
+    )
+    lo_e, hi_e = (
+        exact_w.agg(F.min("value_w"), F.max("value_w")).collect()[0]
+    )
+    lo_a, hi_a = (
+        approx_w.agg(F.min("value_w"), F.max("value_w")).collect()[0]
+    )
+    # rank error <= 1/accuracy = 2 ranks of 20k => tiny value gap here
+    span = 19997 + 20_000 / 7.0
+    assert abs(lo_a - lo_e) < span * 0.01
+    assert abs(hi_a - hi_e) < span * 0.01
+
+    # bins: approx assignment may differ only near thresholds — check
+    # the per-bin counts stay ~equal frequency
+    from collections import Counter
+
+    counts = Counter(
+        r["value_bin"]
+        for r in quantile_bins(df, "k", "value", 4, exact=False).collect()
+    )
+    assert set(counts) == {0, 1, 2, 3}
+    assert all(abs(c - 5000) < 150 for c in counts.values())
+
+
+def test_moments_range_guard_raises(spark):
+    """ADVICE r05: |value| >= 1e9 must fail LOUDLY (raise_error inside
+    the moments agg), not silently null-skew the mean."""
+    import pytest as _pytest
+
+    from hail_spark.llmdata.features import minmax_by_group, standardize_by_group
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", 2.0e9)], "k string, value double"
+    )
+    with _pytest.raises(Exception, match="must be < 1e9"):
+        standardize_by_group(df, "k", "value").collect()
+    # min-max doesn't use the decimal moments -> must still work
+    got = sorted(r["value_mm"] for r in minmax_by_group(df, "k", "value").collect())
+    assert got == [0.0, 1.0]

@@ -354,3 +354,33 @@ def test_collapse_bursts(spark):
     got = sorted(r["tag"] for r in collapse_bursts(df, "u", "ts", window=10,
                                                    tiebreak="tag").collect())
     assert got == ["a", "d", "e"]
+
+
+def test_funnel_counts_empty_funnel_yields_zero(spark):
+    """ADVICE r05: when no key reaches step 1, n_keys must be 0 per
+    step (the SQL oracle's COUNT semantics), not NULL from an empty
+    SUM."""
+    from hail_spark.operators.relational import funnel_counts
+
+    rows = [(1, 0, "other"), (2, 5, "other")]
+    df = spark.createDataFrame(rows, "u long, ts long, et string")
+    got = {(r["step"], r["step_name"]): r["n_keys"]
+           for r in funnel_counts(df, "u", "ts", "et", ["a", "b"]).collect()}
+    assert got == {(1, "a"): 0, (2, "b"): 0}
+
+
+def test_frequent_items_capacity_cap(spark):
+    """ADVICE r05: a derived capacity beyond the sanity cap (memory and
+    broadcast scale as N/min_count) must raise, not OOM later."""
+    import pytest as _pytest
+
+    from hail_spark.operators.relational import frequent_items
+
+    df = spark.createDataFrame([("x",)], "tok string")
+    with _pytest.raises(ValueError, match="sanity cap"):
+        frequent_items(df, "tok", min_count=1, total=10_000_000_000)
+    # explicit capacity bypasses the cap (caller owns the guarantee)
+    out = frequent_items(
+        df, "tok", min_count=1, total=10_000_000_000, capacity=128
+    )
+    assert out.collect()[0]["cnt"] == 1

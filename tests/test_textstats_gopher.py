@@ -300,6 +300,41 @@ class TestBloomDecontam:
         ok = bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))
         assert (ok != 0).all()  # no false negatives, ever
 
+    def test_bloom_build_or_reduce_stays_in_cluster(self, spark):
+        """The per-partition filter partials must be OR-reduced cluster-
+        side (r05 verdict item 3): the merge helper ends at exactly ONE
+        partition — the driver collects a single buffer no matter how
+        many partitions built partials — and the many-partition build
+        equals the 1-partition build bit-for-bit."""
+        import numpy as np
+
+        from hail_spark.llmdata.decontam import _or_merge_rounds, bloom_build
+
+        grams64 = spark.createDataFrame(
+            [(h * 2654435761,) for h in range(5000)], "gram long"
+        ).repartition(64)
+        one = bloom_build(grams64.coalesce(1), n_bits=1 << 14, k=4)
+        many = bloom_build(grams64, n_bits=1 << 14, k=4)
+        assert one == many
+
+        # structural guarantee: the merged RDD has one partition and one
+        # row, i.e. driver traffic is 1 buffer (not partitions buffers)
+        bufs = spark.sparkContext.parallelize(
+            [bytes([i, 0, 0, 0]) for i in range(1, 65)], 64
+        )
+        merged = _or_merge_rounds(bufs, fanin=4)
+        assert merged.getNumPartitions() == 1
+        rows = merged.collect()
+        assert len(rows) == 1
+        assert rows[0] == bytes([np.bitwise_or.reduce(range(1, 65)), 0, 0, 0])
+
+    def test_bloom_build_empty_input(self, spark):
+        from hail_spark.llmdata.decontam import bloom_build
+
+        grams = spark.createDataFrame([], "gram long")
+        out = bloom_build(grams, n_bits=1 << 10, k=2)
+        assert out == bytes(1 << 7)  # all-zero filter, right length
+
     def test_bloom_build_pow2_validation(self, spark):
         import pytest as _pytest
 
