@@ -5869,6 +5869,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pool_embeddings_mean",
         # changed / new this round
         "stream_replay_conformance",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q13_order_count_dist",
+        "q15_top_supplier",
+        "q16_parts_supplier_cnt",
+        "q17_small_qty_revenue",
+        "q18_large_volume_cust",
+        "q22_dormant_customers",
         "hll_distinct_rollup",
         "bloom_decontam_flagged",
         "funnel_conversion",
@@ -6060,6 +6069,15 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff_status": corpus_diff_q,
         "session_window_native": session_window_q,
         "stream_replay_conformance": stream_replay_q,
+        "q7_volume_shipping": q7_volume_q,
+        "q8_market_share": q8_market_share_q,
+        "q9_product_profit": q9_profit_q,
+        "q13_order_count_dist": q13_custdist_q,
+        "q15_top_supplier": q15_top_supplier_q,
+        "q16_parts_supplier_cnt": q16_supplier_cnt_q,
+        "q17_small_qty_revenue": q17_small_qty_q,
+        "q18_large_volume_cust": q18_large_volume_q,
+        "q22_dormant_customers": q22_dormant_q,
         "pivot_event_values": pivot_q,
         "unpivot_measures": unpivot_q,
         "rollup_order_totals": rollup_cube_q,
@@ -6276,6 +6294,15 @@ def oracle_sql() -> dict[str, str]:
         "corpus_diff_status": _CORPUS_DIFF_SQL,
         "session_window_native": _SESSION_WINDOW_SQL,
         "stream_replay_conformance": _STREAM_REPLAY_SQL,
+        "q7_volume_shipping": _Q7_SQL,
+        "q8_market_share": _Q8_SQL,
+        "q9_product_profit": _Q9_SQL,
+        "q13_order_count_dist": _Q13_SQL,
+        "q15_top_supplier": _Q15_SQL,
+        "q16_parts_supplier_cnt": _Q16_SQL,
+        "q17_small_qty_revenue": _Q17_SQL,
+        "q18_large_volume_cust": _Q18_SQL,
+        "q22_dormant_customers": _Q22_SQL,
         "pivot_event_values": _PIVOT_SQL,
         "unpivot_measures": _UNPIVOT_SQL,
         "rollup_order_totals": _ROLLUP_SQL,
@@ -9125,6 +9152,435 @@ WHERE l_partkey = p_partkey AND p_size <= 15
   AND ((p_brand = 'Brand#1' AND l_quantity <= 10)
     OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 5 AND 20)
     OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 10 AND 30))
+"""
+
+
+def q7_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: cross-nation shipping volume — lineitem joined
+    through BOTH dimension chains (supplier→nation and
+    orders→customer→nation), different-nation filter, grouped by the
+    nation pair and ship year. The two nation lookups broadcast (25
+    rows); supplier/customer scale with SF so no hint — AQE sizes
+    them."""
+    li = _t(spark, sf_dir, "lineitem").df
+    s = _t(spark, sf_dir, "supplier").df
+    o = _t(spark, sf_dir, "orders").df
+    c = _t(spark, sf_dir, "customer").df
+    n = _t(spark, sf_dir, "nation").df.filter(F.col("n_nationkey") < 5)
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    j = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(s.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), "s_nationkey")
+        .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), "c_nationkey")
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double"),
+                6,
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+       round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+             AS DOUBLE), 6) AS revenue
+FROM lineitem, supplier, orders, customer, nation n1, nation n2
+WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+  AND c_custkey = o_custkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND n1.n_nationkey < 5 AND n2.n_nationkey < 5
+  AND n1.n_name <> n2.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q8_market_share_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of ECONOMY-part
+    revenue sold to customers of one region, per order year — the
+    conditional-share-of-aggregate pattern (two sums in ONE hash agg,
+    never two scans)."""
+    li = _t(spark, sf_dir, "lineitem").df
+    p = _t(spark, sf_dir, "part").df.filter(F.col("p_type") == "ECONOMY")
+    s = _t(spark, sf_dir, "supplier").df
+    o = _t(spark, sf_dir, "orders").df
+    c = _t(spark, sf_dir, "customer").df
+    n = _t(spark, sf_dir, "nation").df
+    r = _t(spark, sf_dir, "region").df.filter(F.col("r_name") == "ASIA")
+    n_s = n.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("supp_nation")
+    )
+    n_c = n.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_regionkey").alias("c_regionkey"),
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)")
+    j = (
+        li.join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n_s), "s_nationkey")
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n_c), "c_nationkey")
+        .join(
+            F.broadcast(r.select(F.col("r_regionkey").alias("c_regionkey"))),
+            "c_regionkey",
+        )
+    )
+    zero = F.lit(0).cast("decimal(38,6)")
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                (
+                    F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero)).cast("double")
+                    / F.sum(rev).cast("double")
+                ),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+_Q8_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       round(CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                  ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE),
+             6) AS mkt_share
+FROM lineitem, part, supplier, orders, customer, nation n1, nation n2, region
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+  AND n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  AND p_type = 'ECONOMY'
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q9_profit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product profit by supplier nation and year.
+    The reference schema's partsupp.ps_supplycost is absent from the
+    testdata, so cost is proxied as 0.1 * p_retailprice * l_quantity —
+    the join/agg shape (part name filter, supplier→nation, year split)
+    is the point."""
+    li = _t(spark, sf_dir, "lineitem").df
+    p = _t(spark, sf_dir, "part").df.filter(F.col("p_name").like("%a%"))
+    s = _t(spark, sf_dir, "supplier").df
+    o = _t(spark, sf_dir, "orders").df
+    n = _t(spark, sf_dir, "nation").df.select(
+        F.col("n_nationkey").alias("s_nationkey"), F.col("n_name").alias("nation")
+    )
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    ) - (F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")).cast(
+        "decimal(38,6)"
+    )
+    j = (
+        li.join(p.select("p_partkey", "p_retailprice"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s.select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), "s_nationkey")
+        .join(o.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return (
+        j.groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount).cast("double"), 6).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q9_SQL = """
+SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       round(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+                      - CAST(0.1 * p_retailprice * l_quantity AS DECIMAL(38,6)))
+             AS DOUBLE), 6) AS sum_profit
+FROM lineitem, part, supplier, orders, nation
+WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+  AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+  AND p_name LIKE '%a%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def q13_custdist_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count — a
+    LEFT join (zero-order customers must survive) into two stacked
+    hash aggregations; the priority filter plays the original's
+    comment-pattern exclusion."""
+    c = _t(spark, sf_dir, "customer").df
+    o = _t(spark, sf_dir, "orders").df.filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.select("c_custkey")
+        .join(o.select("o_orderkey", "o_custkey"), F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum 3-month revenue —
+    revenue agg per supplier, scalar max broadcast back, equality on
+    the EXACT decimal totals (ties kept, like the spec's view form)."""
+    li = _t(spark, sf_dir, "lineitem").df
+    s = _t(spark, sf_dir, "supplier").df
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1996-04-01 00:00:00").cast("timestamp")
+    rev = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_rev") == F.col("max_rev"))
+        .join(s.select("s_suppkey", "s_name"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 6).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+_Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       round(CAST(total_rev AS DOUBLE), 6) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q16_supplier_cnt_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, size) for a
+    size list, excluding one brand and a supplier denylist. The
+    part-supplier bridge is distinct (l_partkey, l_suppkey) pairs from
+    lineitem (testdata has no partsupp); the denylist (negative
+    acctbal, playing the original's complaints pattern) is an
+    anti-join BEFORE the distinct-count agg."""
+    li = _t(spark, sf_dir, "lineitem").df
+    p = _t(spark, sf_dir, "part").df
+    s = _t(spark, sf_dir, "supplier").df
+    sizes = [1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49]
+    bridge = li.select("l_partkey", "l_suppkey").distinct()
+    bad = s.filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    parts = p.filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(sizes)
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        bridge.join(bad, "l_suppkey", "left_anti")
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+_Q16_SQL = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29, 33, 37, 41, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_size
+"""
+
+
+def q17_small_qty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-average-quantity orders of
+    one brand — the correlated avg subquery DECORRELATED to a per-part
+    aggregate joined back (one extra hash agg instead of a rescan per
+    row)."""
+    li = _t(spark, sf_dir, "lineitem").df
+    p = _t(spark, sf_dir, "part").df.filter(F.col("p_brand") == "Brand#2")
+    avg_q = li.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    j = (
+        li.join(p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_q, "p_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return j.agg(
+        F.round(
+            F.coalesce(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double"),
+                F.lit(0.0),
+            )
+            / 7.0,
+            6,
+        ).alias("avg_yearly")
+    )
+
+
+_Q17_SQL = """
+SELECT round(COALESCE(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE), 0.0)
+             / 7.0, 6) AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#2'
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def q18_large_volume_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders — HAVING sum(qty) > 200 on
+    the order key, joined back to orders+customer, top 20 by total
+    price. The having-agg runs FIRST so only qualifying keys join."""
+    li = _t(spark, sf_dir, "lineitem").df
+    o = _t(spark, sf_dir, "orders").df
+    c = _t(spark, sf_dir, "customer").df
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > 200.0)
+    )
+    return (
+        big.join(o.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"), "o_orderkey")
+        .join(c.select("c_custkey", "c_name"), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            _micros("o_orderdate").alias("o_date_us"),
+            "o_totalprice",
+            F.round("sum_qty", 6).alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, epoch_us(o_orderdate) AS o_date_us,
+       o_totalprice, round(CAST(sq AS DOUBLE), 6) AS sum_qty
+FROM (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sq
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 200.0) b
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q22_dormant_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with NO recent
+    orders, counted per country code — scalar-aggregate threshold
+    (exact decimal avg, broadcast as one row) + anti-join against the
+    recent-orders keys + final hash agg. cntrycode is nationkey % 10
+    (testdata has no phone column)."""
+    c = _t(spark, sf_dir, "customer").df
+    o = _t(spark, sf_dir, "orders").df
+    cutoff = F.lit("2000-07-01 00:00:00").cast("timestamp")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(38,6)"))
+                / F.count(F.lit(1))
+            )
+            .cast("double")
+            .alias("avg_bal")
+        )
+    )
+    recent = o.filter(F.col("o_orderdate") >= cutoff).select(
+        F.col("o_custkey").alias("c_custkey")
+    ).distinct()
+    # lit-key equi-join (not a bare cross join) so the 1-row scalar
+    # attaches via BroadcastHashJoin — keeps the cartesian audit clean
+    return (
+        c.withColumn("__k", F.lit(1))
+        .join(F.broadcast(thr.withColumn("__k", F.lit(1))), "__k")
+        .drop("__k")
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy((F.col("c_nationkey") % 10).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double"), 6
+            ).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+_Q22_SQL = """
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) / COUNT(*) AS DOUBLE) AS avg_bal
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey % 10 AS cntrycode, COUNT(*) AS numcust,
+       round(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE), 6) AS totacctbal
+FROM customer, thr
+WHERE c_acctbal > avg_bal
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '2000-07-01')
+GROUP BY 1 ORDER BY 1
 """
 
 
