@@ -6078,6 +6078,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": q17_small_qty_q,
         "q18_large_volume_cust": q18_large_volume_q,
         "q22_dormant_customers": q22_dormant_q,
+        "window_functions_battery": window_battery_q,
+        "cube_grouping_battery": cube_battery_q,
+        "embedding_quantize_int8": quantize_emb_q,
+        "tokenizer_oov_rate": oov_rate_q,
+        "stream_dedup_replay": stream_dedup_replay_q,
         "pivot_event_values": pivot_q,
         "unpivot_measures": unpivot_q,
         "rollup_order_totals": rollup_cube_q,
@@ -6303,6 +6308,11 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_qty_revenue": _Q17_SQL,
         "q18_large_volume_cust": _Q18_SQL,
         "q22_dormant_customers": _Q22_SQL,
+        "window_functions_battery": _WINDOW_BATTERY_SQL,
+        "cube_grouping_battery": _CUBE_BATTERY_SQL,
+        "embedding_quantize_int8": _QUANTIZE_EMB_SQL,
+        "tokenizer_oov_rate": _OOV_RATE_SQL,
+        "stream_dedup_replay": _STREAM_DEDUP_SQL,
         "pivot_event_values": _PIVOT_SQL,
         "unpivot_measures": _UNPIVOT_SQL,
         "rollup_order_totals": _ROLLUP_SQL,
@@ -9770,6 +9780,243 @@ SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS w_start,
        event_type, COUNT(*) AS n_events,
        round(SUM(value), 4) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY w_start, event_type
+"""
+
+
+def quantize_emb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (llmdata/similarity.py
+    quantize_embeddings_int8): scale = max|x|/127, half-up codes
+    clamped to [-127,127] — the 4× embedding-lake compression. Output
+    is per-vector scalar stats (code sum/min/max + dequantization
+    RMSE) so the array never leaves the query; the oracle replays the
+    identical floor(x/s + 0.5) arithmetic."""
+    from hail_spark.llmdata.similarity import quantize_embeddings_int8
+
+    e = _t(spark, sf_dir, "embeddings").df
+    qd = quantize_embeddings_int8(e)
+    per = qd.select(
+        "vec_id",
+        "scale",
+        F.explode(F.arrays_zip("embedding", "q")).alias("z"),
+    ).select(
+        "vec_id",
+        "scale",
+        F.col("z.q").alias("qv"),
+        (F.col("z.embedding") - F.col("z.q") * F.col("scale")).alias("err"),
+    )
+    return (
+        per.groupBy("vec_id", "scale")
+        .agg(
+            F.sum(F.col("qv").cast("long")).alias("q_sum"),
+            F.min(F.col("qv").cast("int")).alias("q_min"),
+            F.max(F.col("qv").cast("int")).alias("q_max"),
+            F.round(
+                F.sqrt(F.sum(F.col("err") * F.col("err")) / F.count(F.lit(1))), 6
+            ).alias("rmse"),
+        )
+        .select(
+            "vec_id",
+            F.round("scale", 9).alias("scale"),
+            "q_sum",
+            "q_min",
+            "q_max",
+            "rmse",
+        )
+        .orderBy("vec_id")
+    )
+
+
+_QUANTIZE_EMB_SQL = """
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) / 127.0
+           AS scale,
+         embedding
+  FROM embeddings),
+per AS (
+  SELECT vec_id, scale, x,
+         greatest(-127, least(127, floor(x / scale + 0.5))) AS q
+  FROM s, UNNEST(embedding) AS t(x))
+SELECT vec_id, round(scale, 9) AS scale,
+       CAST(SUM(q) AS BIGINT) AS q_sum,
+       CAST(MIN(q) AS INT) AS q_min, CAST(MAX(q) AS INT) AS q_max,
+       round(sqrt(SUM((x - q * scale) * (x - q * scale)) / COUNT(*)), 6) AS rmse
+FROM per GROUP BY vec_id, scale ORDER BY vec_id
+"""
+
+
+def oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage / OOV-rate report: build a 500-word corpus
+    vocabulary (count-desc, word-asc deterministic tie-break), then one
+    explode + broadcast-vocab left-semi-count per document — the
+    standard 'how much of my corpus does this tokenizer cover' QA
+    table. The vocab is bounded (top-K) so ITS broadcast is safe at any
+    corpus size; the corpus side is one hash agg."""
+    d = _t(spark, sf_dir, "documents").df
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(500)
+        .select("w", F.lit(1).alias("__in_vocab"))
+    )
+    j = toks.join(F.broadcast(vocab), "w", "left")
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 9).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_OOV_RATE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+vocab AS (
+  SELECT w FROM (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+                 ORDER BY cnt DESC, w ASC LIMIT 500)),
+j AS (
+  SELECT doc_id, CASE WHEN v.w IS NULL THEN 1 ELSE 0 END AS oov
+  FROM toks t LEFT JOIN vocab v USING (w))
+SELECT doc_id, COUNT(*) AS n_tokens, CAST(SUM(oov) AS BIGINT) AS n_oov,
+       round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 9) AS oov_rate
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def stream_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-dedup conformance (streaming/events.py
+    stream_exact_dedup): the real dropDuplicatesWithinWatermark
+    pipeline replayed to completion over the static documents table in
+    several incremental file triggers; the surviving CONTENT-HASH SET
+    must equal batch DISTINCT md5(text) — which copy of a duplicate
+    survives is arrival-order-dependent by design, but the kept hash
+    set (and its size: exactly one survivor per distinct text) is
+    deterministic and oracle-checkable."""
+    import shutil
+
+    from hail_spark.streaming.events import (
+        read_documents_stream,
+        stream_exact_dedup,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    stage = f"/tmp/hail_spark_sdedup_{tag}_{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    d = _t(spark, sf_dir, "documents").df
+    d.repartition(5).write.parquet(stage)
+
+    _STREAM_CONF_SEQ[0] += 1
+    sink = f"sdedup_{os.getpid()}_{_STREAM_CONF_SEQ[0]}"
+    stream = read_documents_stream(spark, stage, max_files_per_trigger=2)
+    kept = stream_exact_dedup(stream)
+    q = (
+        kept.select(F.md5("text").alias("text_md5"))
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("text_md5").orderBy("text_md5")
+
+
+_STREAM_DEDUP_SQL = """
+SELECT DISTINCT md5(text) AS text_md5 FROM documents ORDER BY text_md5
+"""
+
+
+def window_battery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window-function battery over per-user event streams:
+    row_number / ntile / percent_rank / cume_dist / lag / lead /
+    first_value / nth_value / running sum / dense_rank — every frame
+    keyed by user (partitionBy, never a global single-partition
+    window) with a unique (ts, event_id) order so both engines agree
+    deterministically. The running sum accumulates in the SAME row
+    order on both engines, so double addition is reproducible."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events").df.withColumn("tsu", _micros("ts"))
+    w = W.partitionBy("user_id").orderBy("tsu", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wval = W.partitionBy("user_id").orderBy("value")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("ntile4"),
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+        F.lag("value").over(w).alias("lag_v"),
+        F.lead("value").over(w).alias("lead_v"),
+        F.first_value("value").over(w).alias("first_v"),
+        F.nth_value("value", 2).over(w).alias("nth2_v"),
+        F.round(F.sum("value").over(wrun), 6).alias("rsum"),
+        F.dense_rank().over(wval).alias("drk"),
+    ).orderBy("user_id", "rn")
+
+
+_WINDOW_BATTERY_SQL = """
+SELECT user_id, event_id,
+       CAST(row_number() OVER w AS INT) AS rn,
+       CAST(ntile(4) OVER w AS INT) AS ntile4,
+       round(percent_rank() OVER w, 9) AS pr,
+       round(cume_dist() OVER w, 9) AS cd,
+       lag(value) OVER w AS lag_v,
+       lead(value) OVER w AS lead_v,
+       first_value(value) OVER w AS first_v,
+       nth_value(value, 2) OVER w AS nth2_v,
+       round(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS rsum,
+       CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value) AS INT) AS drk
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+ORDER BY user_id, rn
+"""
+
+
+def cube_battery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional CUBE aggregation (all 4 grouping sets of
+    priority × status in ONE pass with map-side partials — the OLAP
+    rollup companion to the native rollup query) plus grouping_id to
+    disambiguate NULL-as-aggregated from NULL-as-value."""
+    o = _t(spark, sf_dir, "orders").df
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"),
+                6,
+            ).alias("total_price"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "o_orderpriority", "o_orderstatus")
+    )
+
+
+_CUBE_BATTERY_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6)
+         AS total_price,
+       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+ORDER BY gid, o_orderpriority, o_orderstatus
 """
 
 

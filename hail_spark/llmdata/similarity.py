@@ -809,6 +809,45 @@ def pool_embeddings(
     )
 
 
+def quantize_embeddings_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "q",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4× storage
+    / memory-bandwidth reduction for ANN indexes and embedding lakes:
+    ``scale = max(|x|)/127``, ``q_i = floor(x_i/scale + 0.5)`` clamped
+    to [-127, 127] (half-up via floor, NOT round(): Spark's double
+    round and banker's-rounding variants disagree across engines;
+    floor(x+0.5) is bit-reproducible everywhere). Zero vectors get
+    scale 0 and all-zero codes. Dequantize as ``q_i * scale``.
+
+    Map-only (one projection, no shuffle); the array stays JVM-side as
+    array<tinyint> (1 B/dim + the scale double per row)."""
+    x = F.col(vec_col)
+    # element cast to double BEFORE abs/max: float inputs otherwise
+    # take engine-specific promotion paths (float-max/double-divide vs
+    # double-max) that differ in the last ulp of the scale
+    scale = F.array_max(
+        F.transform(x, lambda v: F.abs(v.cast("double")))
+    ) / F.lit(127.0)
+    qexpr = F.when(
+        F.col(scale_col) > 0,
+        F.transform(
+            x,
+            lambda v: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(v / F.col(scale_col) + F.lit(0.5)).cast("int"),
+                ),
+            ).cast("tinyint"),
+        ),
+    ).otherwise(F.transform(x, lambda v: F.lit(0).cast("tinyint")))
+    return df.withColumn(scale_col, scale).withColumn(out_col, qexpr)
+
+
 def mine_hard_negatives(
     corpus: "DataFrame",
     queries: "DataFrame",

@@ -128,3 +128,24 @@ def test_moments_range_guard_raises(spark):
     # min-max doesn't use the decimal moments -> must still work
     got = sorted(r["value_mm"] for r in minmax_by_group(df, "k", "value").collect())
     assert got == [0.0, 1.0]
+
+
+def test_quantize_embeddings_int8_roundtrip(spark):
+    """Symmetric int8 quantization: codes bounded, zero vector safe,
+    dequantization error <= scale/2 per coordinate."""
+    from hail_spark.llmdata.similarity import quantize_embeddings_int8
+
+    rows = [
+        (1, [1.0, -2.0, 0.5, 127.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),   # zero vector
+        (3, [-0.003, 0.001, 0.002, -0.001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in quantize_embeddings_int8(df).collect()}
+    assert out[2]["scale"] == 0.0 and out[2]["q"] == [0, 0, 0, 0]
+    for vid in (1, 3):
+        s, q, x = out[vid]["scale"], out[vid]["q"], dict(rows)[vid]
+        assert all(-127 <= c <= 127 for c in q)
+        assert all(abs(xi - ci * s) <= s / 2 + 1e-12 for xi, ci in zip(x, q))
+    # max-magnitude coordinate maps to ±127 exactly
+    assert out[1]["q"][3] == 127
