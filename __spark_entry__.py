@@ -774,8 +774,13 @@ def minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hail_spark.llmdata import dedup
 
     d = _t(spark, sf_dir, "documents").df
-    # one shingle+md5 pass shared by banding and estimation
-    sigs = dedup.minhash_signatures(d, k=64).localCheckpoint()
+    # one shingle+md5 pass shared by banding and estimation. persist()
+    # (lazy cache), NOT localCheckpoint(): the checkpoint runs an extra
+    # EAGER job serially before the query proper and cost +70% at sf0.1
+    # (A/B r06: persist 1.7-2.0 s, lazy-shared 2.1-2.4, localCheckpoint
+    # 2.2-3.2, recompute-twice 3.0-3.9). CacheManager dedups by plan so
+    # repeated calls reuse one cache entry per sf.
+    sigs = dedup.minhash_signatures(d, k=64).persist()
     pairs = dedup.minhash_lsh_pairs(d, k=64, bands=16, sigs=sigs)
     est = dedup.minhash_jaccard_estimate(d, pairs, k=64, sigs=sigs)
     return est.orderBy("id_a", "id_b")

@@ -81,6 +81,13 @@ QUERIES = [
     # bucketed write+join (the write IS the cost being amortized), the
     # CDC full-outer merge, and the salted-skew join
     "bucketed_join_agg", "merge_upsert_snapshot", "salted_join_skewed",
+    # r05 verdict item 9: k-stage conditional-min funnel and the
+    # cohort distinct-count — both hash-agg chains on the user key
+    "funnel_conversion", "cohort_retention_triangle",
+    # round-6 additions: the 6-way dual-nation-chain join (q7), the
+    # part+supplier+orders profit join (q9), and the per-user analytic
+    # window battery (one key shuffle, ten frames)
+    "q7_volume_shipping", "q9_product_profit", "window_functions_battery",
 ]
 
 
