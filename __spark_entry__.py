@@ -6088,6 +6088,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": quantize_emb_q,
         "tokenizer_oov_rate": oov_rate_q,
         "stream_dedup_replay": stream_dedup_replay_q,
+        "embedding_binarize_words": binarize_emb_q,
+        "hamming_ann_topk": hamming_ann_q,
+        "temperature_mix_sources": temperature_mix_q,
         "pivot_event_values": pivot_q,
         "unpivot_measures": unpivot_q,
         "rollup_order_totals": rollup_cube_q,
@@ -6318,6 +6321,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize_int8": _QUANTIZE_EMB_SQL,
         "tokenizer_oov_rate": _OOV_RATE_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_SQL,
+        "embedding_binarize_words": _BINARIZE_EMB_SQL,
+        "hamming_ann_topk": _HAMMING_ANN_SQL,
+        "temperature_mix_sources": _TEMPERATURE_MIX_SQL,
         "pivot_event_values": _PIVOT_SQL,
         "unpivot_measures": _UNPIVOT_SQL,
         "rollup_order_totals": _ROLLUP_SQL,
@@ -9847,6 +9853,121 @@ SELECT vec_id, round(scale, 9) AS scale,
        CAST(MIN(q) AS INT) AS q_min, CAST(MAX(q) AS INT) AS q_max,
        round(sqrt(SUM((x - q * scale) * (x - q * scale)) / COUNT(*)), 6) AS rmse
 FROM per GROUP BY vec_id, scale ORDER BY vec_id
+"""
+
+
+def binarize_emb_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary embedding codes (llmdata/similarity.py
+    binarize_embeddings): sign bits packed 60-per-bigint (sign-safe
+    shifts, exactly replayable with `1::BIGINT << j` in the oracle) —
+    the 32× compression tier. Output posexploded to (vec_id, word
+    index, packed word) scalar rows."""
+    from hail_spark.llmdata.similarity import binarize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings").df
+    b = binarize_embeddings(e)
+    return (
+        b.select("vec_id", F.posexplode("bits").alias("w", "word"))
+        .select("vec_id", F.col("w").cast("long").alias("w"), "word")
+        .orderBy("vec_id", "w")
+    )
+
+
+_BINARIZE_EMB_SQL = """
+WITH per AS (
+  SELECT vec_id, (i - 1) // 60 AS w,
+         CASE WHEN embedding[i] >= 0
+              THEN (CAST(1 AS BIGINT) << CAST((i - 1) % 60 AS INT))
+              ELSE CAST(0 AS BIGINT) END AS bit
+  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS t(i))
+SELECT vec_id, w, CAST(SUM(bit) AS BIGINT) AS word
+FROM per GROUP BY vec_id, w ORDER BY vec_id, w
+"""
+
+
+def hamming_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance ANN over binary codes (llmdata/similarity.py
+    hamming_topk): top-10 nearest corpus vectors per query (first 10
+    vectors) by popcount(xor) over the packed words — JVM bit_count,
+    no floats touched after binarization. Deterministic
+    (distance, id) tie-break on both engines."""
+    from hail_spark.llmdata.similarity import (
+        binarize_embeddings,
+        hamming_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").df
+    b = binarize_embeddings(e).select("vec_id", "bits")
+    qs = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "bits"
+    )
+    return hamming_topk(b, qs, k=10).orderBy("q_id", "rank")
+
+
+_HAMMING_ANN_SQL = """
+WITH per AS (
+  SELECT vec_id, (i - 1) // 60 AS w,
+         CASE WHEN embedding[i] >= 0
+              THEN (CAST(1 AS BIGINT) << CAST((i - 1) % 60 AS INT))
+              ELSE CAST(0 AS BIGINT) END AS bit
+  FROM embeddings, LATERAL unnest(range(1, len(embedding) + 1)) AS t(i)),
+words AS (SELECT vec_id, w, CAST(SUM(bit) AS BIGINT) AS word
+          FROM per GROUP BY vec_id, w),
+dist AS (SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+                CAST(SUM(bit_count(xor(q.word, c.word))) AS BIGINT) AS hamming
+         FROM words q JOIN words c ON q.w = c.w
+         WHERE q.vec_id < 10 GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                                   ORDER BY hamming, vec_id) AS rank
+      FROM dist)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id, hamming
+FROM r WHERE rank <= 10 ORDER BY q_id, rank
+"""
+
+
+def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (llmdata/sampling.py
+    temperature_weights ∘ weighted_mix — the mT5/XLM-R unigram-LM
+    sampling rule at alpha=0.5): per-source replication weights
+    q_s∝p_s^α normalized to keep E[output size] = input size, then the
+    deterministic md5-uniform floor/frac replication. The oracle
+    recomputes the weights from counts in SQL and replays the
+    replication arithmetic."""
+    from hail_spark.llmdata.sampling import temperature_weights, weighted_mix
+
+    d = _t(spark, sf_dir, "documents").df
+    w = temperature_weights(d, "source", alpha=0.5)
+    out = weighted_mix(d, w, "source", "doc_id", seed=0)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("copy_idx").cast("bigint").alias("sum_copy_idx"),
+        )
+        .orderBy("source")
+    )
+
+
+_TEMPERATURE_MIX_SQL = """
+WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c),
+qs AS (SELECT source, n, POWER(n / total, 0.5) AS q FROM c, t),
+zz AS (SELECT SUM(q) AS z FROM qs),
+ws AS (SELECT source, q / z * total / n AS wt FROM qs, zz, t),
+w AS (SELECT d.doc_id, d.source, wt,
+  (('0x'||substr(md5(CAST(doc_id AS VARCHAR)||':0'),1,15))::BIGINT
+     % 1073741824) / 1073741824.0 AS u
+  FROM documents d JOIN ws USING (source)),
+n AS (SELECT doc_id, source,
+  CAST(floor(wt) AS INT)
+    + CASE WHEN u < wt - floor(wt) THEN 1 ELSE 0 END AS n
+  FROM w)
+SELECT source,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS sum_copy_idx
+FROM n WHERE n > 0 GROUP BY source ORDER BY source
 """
 
 

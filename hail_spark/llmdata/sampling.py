@@ -199,6 +199,35 @@ def weighted_mix(
     )
 
 
+def temperature_weights(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.3,
+) -> dict:
+    """Unigram-LM temperature-sampling weights (the mT5/XLM-R mixing
+    rule): sampling probability q_s ∝ p_s^alpha where p_s is stratum
+    s's share of rows; returned as the per-row replication weight
+    ``w_s = q_s / p_s`` normalized so the expected output size equals
+    the input size. alpha < 1 up-weights small sources (alpha=0 →
+    uniform over sources, alpha=1 → no change). Feed the dict straight
+    into `weighted_mix` — the two compose into one map-only plan.
+
+    Driver-side ONLY per-stratum counts (bounded by source cardinality,
+    a dimension, never rows) — the same boundedness contract as the
+    weight map weighted_mix broadcasts as a plan literal."""
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    if not total:
+        return {}
+    q = {s: (c / total) ** alpha for s, c in counts.items()}
+    z = sum(q.values())
+    # E[out] = Σ_s w_s · c_s = total  ⇔  w_s = (q_s/z) · total / c_s
+    return {s: (q[s] / z) * total / counts[s] for s in counts}
+
+
 def chunk_documents(
     df: DataFrame,
     window: int = 128,

@@ -848,6 +848,86 @@ def quantize_embeddings_int8(
     return df.withColumn(scale_col, scale).withColumn(out_col, qexpr)
 
 
+def binarize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_col: str = "bits",
+    word_bits: int = 60,
+) -> DataFrame:
+    """Sign-bit binary codes packed into an ``array<bigint>`` — the
+    32× compression tier below int8: bit j of word w is set iff
+    ``x[w*word_bits + j] >= 0``. 60 bits per word (not 64) so the
+    packed value never touches the sign bit and replays exactly in
+    engines without unsigned 64-bit shifts (DuckDB oracle uses the
+    same `1::BIGINT << j` arithmetic).
+
+    Map-only projection (HOF fold per word over a ≤word_bits slice; no
+    shuffle, no UDF). Pairs with `hamming_topk` for popcount search."""
+    x = F.col(vec_col)
+    n_words = F.ceil(F.size(x) / F.lit(word_bits)).cast("int")
+    wb = F.lit(word_bits)
+
+    def _word(w):
+        last = F.least(wb - 1, F.size(x) - w * wb - 1)
+        return F.aggregate(
+            F.sequence(F.lit(0), last),
+            F.lit(0).cast("long"),
+            lambda acc, j: acc
+            # call_function: the F.shiftleft wrapper only takes a
+            # Python-int shift; the SQL function accepts a column
+            + F.when(
+                F.element_at(x, (w * wb + j + 1).cast("int")) >= 0,
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), j.cast("int")
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+
+    return df.withColumn(
+        out_col,
+        F.transform(F.sequence(F.lit(0), n_words - 1), _word),
+    )
+
+
+def hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    bits_col: str = "bits",
+) -> DataFrame:
+    """Brute-force Hamming top-k over packed binary codes: distance =
+    Σ popcount(xor(word_a, word_b)) via JVM-side ``bit_count`` — the
+    memory-bandwidth-bound scan that makes binary codes useful (32×
+    less data read than float32 brute force, no multiplies). Bounded
+    query set joins by a literal key (queries are the small side —
+    broadcast), per-query top-k is a TakeOrdered-style window with a
+    deterministic (distance, id) tie-break."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(q_id_col), F.col(bits_col).alias("__qbits")
+    )
+    pairs = corpus.select(id_col, bits_col).crossJoin(F.broadcast(q))
+    dist = F.aggregate(
+        F.zip_with(
+            F.col(bits_col),
+            F.col("__qbits"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = W.partitionBy(q_id_col).orderBy(F.asc("hamming"), F.asc(id_col))
+    return (
+        pairs.withColumn("hamming", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, "rank", id_col, "hamming")
+    )
+
+
 def mine_hard_negatives(
     corpus: "DataFrame",
     queries: "DataFrame",

@@ -149,3 +149,44 @@ def test_quantize_embeddings_int8_roundtrip(spark):
         assert all(abs(xi - ci * s) <= s / 2 + 1e-12 for xi, ci in zip(x, q))
     # max-magnitude coordinate maps to ±127 exactly
     assert out[1]["q"][3] == 127
+
+
+def test_binarize_and_hamming(spark):
+    """Sign-bit packing: known vector -> known words; hamming distance
+    between a vector and its sign-flip = dimension count."""
+    from hail_spark.llmdata.similarity import binarize_embeddings, hamming_topk
+
+    rows = [
+        (1, [1.0] * 61),                 # 61 dims -> 2 words
+        (2, [-1.0] * 61),
+        (3, [1.0] * 60 + [-1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b = {r["vec_id"]: r["bits"] for r in binarize_embeddings(df).collect()}
+    assert b[1] == [(1 << 60) - 1, 1]     # all 60 bits + 1 bit in word 2
+    assert b[2] == [0, 0]
+    assert b[3] == [(1 << 60) - 1, 0]
+    bits = binarize_embeddings(df).select("vec_id", "bits")
+    qs = bits.filter("vec_id = 1").selectExpr("vec_id AS q_id", "bits")
+    got = {(r["vec_id"]): r["hamming"]
+           for r in hamming_topk(bits, qs, k=3).collect()}
+    assert got == {1: 0, 3: 1, 2: 61}
+
+
+def test_temperature_weights_expected_size(spark):
+    """alpha=1 -> all weights 1 (no change); alpha=0 -> uniform over
+    sources; expected output size equals input size for any alpha."""
+    import math
+
+    from hail_spark.llmdata.sampling import temperature_weights
+
+    rows = [("a",)] * 90 + [("b",)] * 9 + [("c",)] * 1
+    df = spark.createDataFrame(rows, "source string")
+    w1 = temperature_weights(df, "source", alpha=1.0)
+    assert all(math.isclose(v, 1.0) for v in w1.values())
+    w0 = temperature_weights(df, "source", alpha=0.0)
+    # uniform over 3 sources: each source gets total/3 rows in expectation
+    assert math.isclose(w0["c"] * 1, 100 / 3)
+    for w in (w1, w0, temperature_weights(df, "source", alpha=0.3)):
+        assert math.isclose(sum(w[s] * n for s, n in
+                                [("a", 90), ("b", 9), ("c", 1)]), 100.0)
