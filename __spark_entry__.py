@@ -6088,6 +6088,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": quantize_emb_q,
         "tokenizer_oov_rate": oov_rate_q,
         "stream_dedup_replay": stream_dedup_replay_q,
+        "zorder_layout_key": zorder_q,
+        "skew_report_sources": skew_report_q,
+        "cms_token_counts": cms_counts_q,
         "embedding_binarize_words": binarize_emb_q,
         "hamming_ann_topk": hamming_ann_q,
         "temperature_mix_sources": temperature_mix_q,
@@ -6321,6 +6324,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize_int8": _QUANTIZE_EMB_SQL,
         "tokenizer_oov_rate": _OOV_RATE_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_SQL,
+        "zorder_layout_key": _ZORDER_SQL,
+        "skew_report_sources": _SKEW_REPORT_SQL,
+        "cms_token_counts": _CMS_COUNTS_SQL,
         "embedding_binarize_words": _BINARIZE_EMB_SQL,
         "hamming_ann_topk": _HAMMING_ANN_SQL,
         "temperature_mix_sources": _TEMPERATURE_MIX_SQL,
@@ -9853,6 +9859,116 @@ SELECT vec_id, round(scale, 9) AS scale,
        CAST(MIN(q) AS INT) AS q_min, CAST(MAX(q) AS INT) AS q_max,
        round(sqrt(SUM((x - q * scale) * (x - q * scale)) / COUNT(*)), 6) AS rmse
 FROM per GROUP BY vec_id, scale ORDER BY vec_id
+"""
+
+
+def skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic (operators/relational.py skew_report): top-5
+    heaviest document sources with row share + the global profile
+    (rows, distinct keys, max/mean skew ratio) — the broadcast-vs-AQE-
+    vs-salted_join decision table. Counts agg → profile agg OVER the
+    counts → TakeOrderedAndProject top-k; 1-row profile attaches by
+    lit-key broadcast hash join."""
+    from hail_spark.operators.relational import skew_report
+
+    d = _t(spark, sf_dir, "documents").df
+    return skew_report(d, "source", top_k=5).orderBy("rank")
+
+
+_SKEW_REPORT_SQL = """
+WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+s AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS DOUBLE) AS mx,
+             CAST(SUM(cnt) AS DOUBLE) / COUNT(*) AS mean
+      FROM c),
+r AS (SELECT source, cnt,
+             row_number() OVER (ORDER BY cnt DESC, source ASC) AS rank
+      FROM c)
+SELECT CAST(rank AS INT) AS rank, source, cnt,
+       round(CAST(cnt AS DOUBLE) / n_rows, 9) AS share,
+       n_rows, n_keys, round(mx / mean, 6) AS skew_ratio
+FROM r, s WHERE rank <= 5 ORDER BY rank
+"""
+
+
+def zorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key (io/layout.py zorder_by — the Delta OPTIMIZE
+    ZORDER / Iceberg sort-order layout): lineitem gridded on
+    (l_partkey, l_suppkey) to a 2^16 lattice from one min/max agg and
+    Morton-interleaved, all plain Column arithmetic — the oracle
+    replays grid + interleave bit-for-bit. The repartitionByRange
+    write-side step is covered by pytest (range disjointness +
+    locality-beats-single-column-sort)."""
+    from hail_spark.io.layout import zorder_by
+
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    out = zorder_by(li, ["l_partkey", "l_suppkey"], bits=16)
+    return out.select(
+        "l_orderkey", "l_linenumber", F.col("__z").alias("z")
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+_ZORDER_SQL = """
+WITH s AS (
+  SELECT CAST(MIN(l_partkey) AS DOUBLE) lo1, CAST(MAX(l_partkey) AS DOUBLE) hi1,
+         CAST(MIN(l_suppkey) AS DOUBLE) lo2, CAST(MAX(l_suppkey) AS DOUBLE) hi2
+  FROM lineitem),
+g AS (
+  SELECT l_orderkey, l_linenumber,
+    CASE WHEN hi1 - lo1 > 0
+         THEN least(CAST(65535 AS BIGINT),
+                    CAST(floor((CAST(l_partkey AS DOUBLE) - lo1) / (hi1 - lo1)
+                               * 65536.0) AS BIGINT))
+         ELSE 0 END AS g1,
+    CASE WHEN hi2 - lo2 > 0
+         THEN least(CAST(65535 AS BIGINT),
+                    CAST(floor((CAST(l_suppkey AS DOUBLE) - lo2) / (hi2 - lo2)
+                               * 65536.0) AS BIGINT))
+         ELSE 0 END AS g2
+  FROM lineitem, s)
+SELECT l_orderkey, l_linenumber,
+       CAST(list_sum([(((g1 >> j) & 1) << (2 * j))
+                      + (((g2 >> j) & 1) << (2 * j + 1))
+                      FOR j IN range(0, 16)]) AS BIGINT) AS z
+FROM g ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def cms_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (operators/sketches.py cms_build/cms_query,
+    Cormode-Muthukrishnan): token-frequency estimates for the 20
+    alphabetically-first tokens from a width=2048 depth=4 sketch. The
+    oracle replays the md5 bucket hashing and min-over-rows exactly —
+    the estimate (collisions included) is deterministic arithmetic, so
+    this checks the sketch itself, not just a lucky exact regime."""
+    from hail_spark.operators.sketches import cms_build, cms_query
+
+    d = _t(spark, sf_dir, "documents").df
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    sk = cms_build(toks, "tok", width=2048, depth=4)
+    keys = toks.distinct().orderBy("tok").limit(20)
+    return cms_query(sk, keys, "tok", width=2048, depth=4).orderBy("tok")
+
+
+_CMS_COUNTS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+sk AS (
+  SELECT r, ('0x'||substr(md5(r::VARCHAR||':'||tok),1,15))::BIGINT % 2048
+           AS bucket,
+         COUNT(*) AS cnt
+  FROM toks, unnest(range(0, 4)) AS t(r) GROUP BY 1, 2),
+keys AS (SELECT DISTINCT tok FROM toks ORDER BY tok LIMIT 20),
+probes AS (
+  SELECT tok, r,
+         ('0x'||substr(md5(r::VARCHAR||':'||tok),1,15))::BIGINT % 2048 AS bucket
+  FROM keys, unnest(range(0, 4)) AS t(r))
+SELECT tok, CAST(MIN(COALESCE(cnt, 0)) AS BIGINT) AS est
+FROM probes LEFT JOIN sk USING (r, bucket)
+GROUP BY tok ORDER BY tok
 """
 
 

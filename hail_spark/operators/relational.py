@@ -534,3 +534,54 @@ def collapse_bursts(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "session_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# key-skew diagnostics
+# ---------------------------------------------------------------------------
+
+def skew_report(
+    df: DataFrame,
+    key_cols: str | list[str],
+    top_k: int = 10,
+) -> DataFrame:
+    """Pre-join/agg skew diagnostic: the ``top_k`` heaviest keys with
+    their row share, annotated with the global profile (total rows,
+    distinct keys, max/mean skew ratio) — the number that tells you
+    whether to reach for broadcast, AQE skew-split, or `salted_join`.
+
+    One hash agg for per-key counts; the global profile is a second
+    agg OVER THE COUNTS table (not a rescan); top-k compiles to
+    TakeOrderedAndProject. The 1-row profile attaches via a lit-key
+    broadcast hash join (bounded by construction)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("__max"),
+        (F.sum("cnt") / F.count(F.lit(1))).alias("__mean"),
+    ).withColumn("__k", F.lit(1))
+    top = (
+        counts.orderBy(F.desc("cnt"), *[F.asc(k) for k in keys])
+        .limit(top_k)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("cnt"), *[F.asc(k) for k in keys])
+            ),
+        )
+        .withColumn("__k", F.lit(1))
+    )
+    return (
+        top.join(F.broadcast(stats), "__k")
+        .select(
+            "rank",
+            *keys,
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_rows"), 9).alias("share"),
+            "n_rows",
+            "n_keys",
+            F.round(F.col("__max") / F.col("__mean"), 6).alias("skew_ratio"),
+        )
+    )

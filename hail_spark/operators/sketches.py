@@ -85,3 +85,94 @@ def distinct_by_group_with_total(
         F.lit(total_key).alias(key_col), "n_distinct"
     )
     return per.unionByName(tot)
+
+
+# ------------------------------------------------------------------ #
+# Count-min sketch (Cormode & Muthukrishnan 2005) — mergeable
+# frequency sketch as a PLAIN DataFrame: rows (row_idx, bucket, cnt).
+# ------------------------------------------------------------------ #
+#
+# Same 100-TB story as the HLL table above, for FREQUENCIES instead of
+# cardinalities: a daily/per-source sketch is depth × width counters
+# (KBs), persists as ordinary parquet, merges by (row, bucket) SUM —
+# "how often did token/URL/user X appear across 30 days" becomes a
+# re-aggregation of sketch tables, never a corpus rescan. Estimates
+# are biased UP only (est >= true; est <= true + eps*N with
+# eps = e/width at failure prob delta = e^-depth).
+#
+# Hashing is the repo's md5→60-bit idiom (llmdata/dedup.md5_int), so a
+# SQL oracle replays the sketch bit-for-bit — the estimate itself is
+# deterministic arithmetic, collisions included.
+
+
+def _cms_bucket(val: Column, row_idx: Column, width: int) -> Column:
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", row_idx.cast("string"), val)), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return (h % F.lit(width)).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str | Column,
+    width: int = 2048,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch over ``value_col`` as (row_idx int, bucket int,
+    cnt bigint) — depth hash rows in ONE pass (explode by row index,
+    one hash agg with map-side partials; shuffle carries ≤ depth×width
+    rows per partition, never the value stream)."""
+    val = F.col(value_col) if isinstance(value_col, str) else value_col
+    rows = df.select(
+        val.cast("string").alias("__v"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row_idx"),
+    )
+    return (
+        rows.select("row_idx", _cms_bucket(F.col("__v"), F.col("row_idx"), width).alias("bucket"))
+        .groupBy("row_idx", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Union CMS tables built with the SAME (width, depth): counters
+    add — an ordinary two-phase hash aggregate."""
+    if not sketches:
+        raise ValueError("cms_merge: need at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("row_idx", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_query(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    width: int = 2048,
+    depth: int = 4,
+    out_col: str = "est",
+) -> DataFrame:
+    """Point frequency estimates: min over the depth rows of the
+    queried buckets. ``keys`` is the (small, broadcast) query set;
+    missing buckets count 0. est >= true count, always."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row_idx"),
+    ).select(
+        key_col,
+        "row_idx",
+        _cms_bucket(F.col(key_col).cast("string"), F.col("row_idx"), width).alias(
+            "bucket"
+        ),
+    )
+    # probes on the LEFT of a left join: the sketch (bounded at
+    # depth×width rows) is the hashed build side — a broadcast hint on
+    # the preserved side of an outer join is unsupported anyway
+    j = probes.join(sketch, ["row_idx", "bucket"], "left")
+    return (
+        j.groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+    )

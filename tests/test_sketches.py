@@ -68,3 +68,52 @@ def test_dense_mode_error_bound(spark):
     rse = 1.04 / (2**12) ** 0.5
     assert abs(got["g"] - n) <= 5 * rse * n
     assert abs(got["__all__"] - n) <= 5 * rse * n
+
+
+class TestCountMin:
+    def test_estimates_upper_bound_and_exact_when_sparse(self, spark):
+        from collections import Counter
+
+        from hail_spark.operators.sketches import cms_build, cms_query
+
+        words = (["alpha"] * 50 + ["beta"] * 20 + ["gamma"] * 5
+                 + [f"tail{i}" for i in range(30)])
+        truth = Counter(words)
+        df = spark.createDataFrame([(w,) for w in words], "tok string")
+        sk = cms_build(df, "tok", width=2048, depth=4)
+        keys = spark.createDataFrame(
+            [(w,) for w in truth] + [("missing",)], "tok string"
+        )
+        est = {r["tok"]: r["est"]
+               for r in cms_query(sk, keys, "tok", 2048, 4).collect()}
+        assert est["missing"] == 0
+        for w, n in truth.items():
+            assert est[w] >= n            # CMS never underestimates
+        # sparse regime (33 distinct << 2048 buckets): all exact
+        assert all(est[w] == n for w, n in truth.items())
+
+    def test_undersized_sketch_overestimates_only(self, spark):
+        from collections import Counter
+
+        from hail_spark.operators.sketches import cms_build, cms_query
+
+        words = [f"w{i % 37}" for i in range(500)]
+        truth = Counter(words)
+        df = spark.createDataFrame([(w,) for w in words], "tok string")
+        sk = cms_build(df, "tok", width=8, depth=2)  # forced collisions
+        keys = spark.createDataFrame([(w,) for w in truth], "tok string")
+        est = {r["tok"]: r["est"]
+               for r in cms_query(sk, keys, "tok", 8, 2).collect()}
+        assert all(est[w] >= n for w, n in truth.items())
+        assert any(est[w] > n for w, n in truth.items())  # collisions real
+
+    def test_merge_is_additive(self, spark):
+        from hail_spark.operators.sketches import cms_build, cms_merge, cms_query
+
+        a = spark.createDataFrame([("x",)] * 3 + [("y",)], "tok string")
+        b = spark.createDataFrame([("x",)] * 2 + [("z",)], "tok string")
+        m = cms_merge(cms_build(a, "tok", 512, 3), cms_build(b, "tok", 512, 3))
+        keys = spark.createDataFrame([("x",), ("y",), ("z",)], "tok string")
+        est = {r["tok"]: r["est"]
+               for r in cms_query(m, keys, "tok", 512, 3).collect()}
+        assert est == {"x": 5, "y": 1, "z": 1}
