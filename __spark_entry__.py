@@ -6089,6 +6089,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_oov_rate": oov_rate_q,
         "stream_dedup_replay": stream_dedup_replay_q,
         "zorder_layout_key": zorder_q,
+        "resample_events_ffill": resample_events_q,
+        "validate_orders_report": validate_orders_q,
         "skew_report_sources": skew_report_q,
         "cms_token_counts": cms_counts_q,
         "embedding_binarize_words": binarize_emb_q,
@@ -6325,6 +6327,8 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_oov_rate": _OOV_RATE_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_SQL,
         "zorder_layout_key": _ZORDER_SQL,
+        "resample_events_ffill": _RESAMPLE_SQL,
+        "validate_orders_report": _VALIDATE_SQL,
         "skew_report_sources": _SKEW_REPORT_SQL,
         "cms_token_counts": _CMS_COUNTS_SQL,
         "embedding_binarize_words": _BINARIZE_EMB_SQL,
@@ -9859,6 +9863,121 @@ SELECT vec_id, round(scale, 9) AS scale,
        CAST(MIN(q) AS INT) AS q_min, CAST(MAX(q) AS INT) AS q_max,
        round(sqrt(SUM((x - q * scale) * (x - q * scale)) / COUNT(*)), 6) AS rmse
 FROM per GROUP BY vec_id, scale ORDER BY vec_id
+"""
+
+
+def resample_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill (operators/relational.py
+    resample): per-user 6-hour grid over the event stream, EMPTY
+    BUCKETS MATERIALIZED between each user's first and last event and
+    forward-filled — the regularization step before any
+    lag/rolling-feature computation. Integer bucketing is exact
+    (ts - pmod(ts, interval)); the oracle replays grid + ffill with
+    generate_series + last_value IGNORE NULLS."""
+    from hail_spark.operators.relational import resample
+
+    iv = 21_600_000_000  # 6 h in micros
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", _micros("ts").alias("tsu"), "value"
+    )
+    out = resample(
+        ev,
+        "user_id",
+        "tsu",
+        iv,
+        {
+            "n_events": F.count(F.lit(1)),
+            "v_sum": F.round(
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6
+            ),
+        },
+        fill="ffill",
+    )
+    return out.orderBy("user_id", "bucket")
+
+
+_RESAMPLE_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events),
+per AS (
+  SELECT user_id, (tsu // 21600000000) * 21600000000 AS bucket,
+         COUNT(*) AS n_events,
+         round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS v_sum
+  FROM e GROUP BY 1, 2),
+lim AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+        FROM per GROUP BY 1),
+grid AS (SELECT user_id, unnest(range(lo, hi + 1, 21600000000)) AS bucket
+         FROM lim),
+j AS (SELECT g.user_id, g.bucket, p.n_events, p.v_sum
+      FROM grid g LEFT JOIN per p USING (user_id, bucket))
+SELECT user_id, bucket,
+       last_value(n_events IGNORE NULLS) OVER w AS n_events,
+       last_value(v_sum IGNORE NULLS) OVER w AS v_sum
+FROM j
+WINDOW w AS (PARTITION BY user_id ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+ORDER BY user_id, bucket
+"""
+
+
+def validate_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality validation report (operators/validate.py, the
+    Deequ/Great-Expectations pattern): all row-level rules fold into
+    ONE aggregate over one scan, uniqueness is one hash agg,
+    referential integrity one anti-join count. The oracle recomputes
+    every metric independently in SQL."""
+    from hail_spark.operators.validate import validate
+
+    o = _t(spark, sf_dir, "orders").df
+    c = _t(spark, sf_dir, "customer").df
+    out = validate(
+        o,
+        [
+            {"check": "not_null", "col": "o_custkey"},
+            {"check": "range", "col": "o_totalprice", "lo": 0.0},
+            {"check": "in_set", "col": "o_orderstatus", "values": ["O", "F", "P"]},
+            {"check": "matches", "col": "o_orderpriority", "pattern": "^[1-5]-"},
+            {"check": "unique", "cols": ["o_orderkey"]},
+            {"check": "foreign_key", "cols": ["o_custkey"], "ref": c,
+             "ref_cols": ["c_custkey"]},
+        ],
+    )
+    return out.orderBy("check", "target")
+
+
+_VALIDATE_SQL = """
+WITH n AS (SELECT COUNT(*) AS n_rows FROM orders),
+m AS (
+  SELECT 'not_null' AS "check", 'o_custkey' AS target,
+         (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL) AS v
+  UNION ALL
+  SELECT 'range', 'o_totalprice',
+         (SELECT COUNT(*) FROM orders
+          WHERE o_totalprice IS NULL OR o_totalprice < 0.0)
+  UNION ALL
+  SELECT 'in_set', 'o_orderstatus',
+         (SELECT COUNT(*) FROM orders
+          WHERE o_orderstatus IS NULL
+             OR o_orderstatus NOT IN ('O', 'F', 'P'))
+  UNION ALL
+  SELECT 'matches', 'o_orderpriority',
+         (SELECT COUNT(*) FROM orders
+          WHERE o_orderpriority IS NULL
+             OR NOT regexp_matches(o_orderpriority, '^[1-5]-'))
+  UNION ALL
+  SELECT 'unique', 'o_orderkey',
+         (SELECT COALESCE(SUM(c), 0) FROM
+            (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey)
+          WHERE c > 1)
+  UNION ALL
+  SELECT 'foreign_key', 'o_custkey',
+         (SELECT COUNT(*) FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+SELECT "check", target, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(v AS BIGINT) AS n_violations,
+       round(CASE WHEN n_rows > 0 THEN CAST(v AS DOUBLE) / n_rows
+                  ELSE 0.0 END, 9) AS violation_frac,
+       (CASE WHEN n_rows > 0 THEN CAST(v AS DOUBLE) / n_rows
+             ELSE 0.0 END) <= 0.0 AS passed
+FROM m, n ORDER BY "check", target
 """
 
 

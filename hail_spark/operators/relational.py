@@ -585,3 +585,78 @@ def skew_report(
             F.round(F.col("__max") / F.col("__mean"), 6).alias("skew_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# time-series resampling / gap filling
+# ---------------------------------------------------------------------------
+
+def resample(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    interval: int,
+    aggs: dict[str, Column],
+    fill: str = "null",
+) -> DataFrame:
+    """Regularize an event stream onto a fixed time grid per key:
+    bucket = floor(ts/interval)*interval, aggregate ``aggs`` per
+    (key, bucket), then MATERIALIZE EMPTY BUCKETS between each key's
+    first and last event (a per-key ``sequence`` explode — bounded by
+    span/interval, never a global calendar). ``fill``: 'null' keeps
+    gap rows NULL, 'zero' coalesces numerics to 0, 'ffill' carries the
+    previous non-null value forward (last ignorenulls over the per-key
+    bucket order).
+
+    ``ts_col``/``interval`` are numeric (e.g. epoch micros) like the
+    other relational ops. Plan: one hash agg on (key, bucket); the
+    grid join and the ffill window reuse the same key partitioning —
+    no global sort, no driver-side calendar."""
+    if fill not in ("null", "zero", "ffill"):
+        raise ValueError(f"resample: fill must be null|zero|ffill, got {fill!r}")
+    # exact integer bucketing for integral ts (double floor(ts/interval)
+    # can flip at exact-multiple boundaries); pmod keeps floor semantics
+    # for negative timestamps
+    if df.schema[ts_col].dataType.typeName() in ("long", "integer", "short", "byte"):
+        bucket = (F.col(ts_col) - F.pmod(F.col(ts_col), F.lit(interval))).cast(
+            "long"
+        )
+    else:
+        bucket = (
+            F.floor(F.col(ts_col) / F.lit(interval)) * F.lit(interval)
+        ).cast("long")
+    per = (
+        df.withColumn("__bucket", bucket)
+        .groupBy(key_col, "__bucket")
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+    )
+    grid = (
+        per.groupBy(key_col)
+        .agg(F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi"))
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(F.col("__lo"), F.col("__hi"), F.lit(interval))
+            ).alias("__bucket"),
+        )
+    )
+    out = grid.join(per, [key_col, "__bucket"], "left")
+    names = list(aggs)
+    if fill == "zero":
+        out = out.select(
+            key_col,
+            "__bucket",
+            *[F.coalesce(F.col(n), F.lit(0)).alias(n) for n in names],
+        )
+    elif fill == "ffill":
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy("__bucket")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = out.select(
+            key_col,
+            "__bucket",
+            *[F.last(n, ignorenulls=True).over(w).alias(n) for n in names],
+        )
+    return out.withColumnRenamed("__bucket", "bucket")

@@ -384,3 +384,45 @@ def test_frequent_items_capacity_cap(spark):
         df, "tok", min_count=1, total=10_000_000_000, capacity=128
     )
     assert out.collect()[0]["cnt"] == 1
+
+
+class TestResample:
+    def test_fill_modes(self, spark):
+        from hail_spark.operators.relational import resample
+
+        rows = [(1, 0, 10.0), (1, 25, 20.0), (2, 5, 1.0)]
+        df = spark.createDataFrame(rows, "k long, ts long, v double")
+        aggs = {"n": F.count(F.lit(1)), "vs": F.sum("v")}
+        got = {
+            fill: sorted(
+                (r["k"], r["bucket"], r["n"], r["vs"])
+                for r in resample(df, "k", "ts", 10, aggs, fill=fill).collect()
+            )
+            for fill in ("null", "zero", "ffill")
+        }
+        assert got["null"] == [(1, 0, 1, 10.0), (1, 10, None, None),
+                               (1, 20, 1, 20.0), (2, 0, 1, 1.0)]
+        assert got["zero"] == [(1, 0, 1, 10.0), (1, 10, 0, 0.0),
+                               (1, 20, 1, 20.0), (2, 0, 1, 1.0)]
+        assert got["ffill"] == [(1, 0, 1, 10.0), (1, 10, 1, 10.0),
+                                (1, 20, 1, 20.0), (2, 0, 1, 1.0)]
+
+    def test_negative_ts_floor_bucketing(self, spark):
+        from hail_spark.operators.relational import resample
+
+        df = spark.createDataFrame([(1, -15, 1.0), (1, 5, 2.0)],
+                                   "k long, ts long, v double")
+        out = sorted(r["bucket"] for r in
+                     resample(df, "k", "ts", 10,
+                              {"n": F.count(F.lit(1))}).collect())
+        # floor semantics: -15 -> -20 (not -10), grid -20..0
+        assert out == [-20, -10, 0]
+
+    def test_bad_fill(self, spark):
+        import pytest as _pytest
+
+        from hail_spark.operators.relational import resample
+
+        df = spark.createDataFrame([(1, 0, 1.0)], "k long, ts long, v double")
+        with _pytest.raises(ValueError):
+            resample(df, "k", "ts", 10, {"n": F.count(F.lit(1))}, fill="pad")
