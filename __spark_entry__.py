@@ -6089,6 +6089,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_oov_rate": oov_rate_q,
         "stream_dedup_replay": stream_dedup_replay_q,
         "zorder_layout_key": zorder_q,
+        "pagerank_purchase_graph": pagerank_q,
         "resample_events_ffill": resample_events_q,
         "validate_orders_report": validate_orders_q,
         "skew_report_sources": skew_report_q,
@@ -6327,6 +6328,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_oov_rate": _OOV_RATE_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_SQL,
         "zorder_layout_key": _ZORDER_SQL,
+        "pagerank_purchase_graph": _PAGERANK_SQL,
         "resample_events_ffill": _RESAMPLE_SQL,
         "validate_orders_report": _VALIDATE_SQL,
         "skew_report_sources": _SKEW_REPORT_SQL,
@@ -9863,6 +9865,48 @@ SELECT vec_id, round(scale, 9) AS scale,
        CAST(MIN(q) AS INT) AS q_min, CAST(MAX(q) AS INT) AS q_max,
        round(sqrt(SUM((x - q * scale) * (x - q * scale)) / COUNT(*)), 6) AS rmse
 FROM per GROUP BY vec_id, scale ORDER BY vec_id
+"""
+
+
+def pagerank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (operators/graph.py, power iteration) over the
+    customer→supplier purchase graph (distinct (o_custkey,
+    l_suppkey+1e6) edges through orders⋈lineitem; the offset keeps the
+    two key spaces disjoint). 3 iterations so the oracle can replay
+    the update chain as stacked CTEs — same (ranks ⋈ edges) →
+    dst-hash-agg plan per iteration that runs at any scale."""
+    from hail_spark.operators.graph import pagerank
+
+    o = _t(spark, sf_dir, "orders").df
+    li = _t(spark, sf_dir, "lineitem").df
+    e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    )
+    out = pagerank(e, n_iter=3)
+    return out.select("node", F.round("rank", 9).alias("rank")).orderBy("node")
+
+
+_PAGERANK_SQL = """
+WITH e AS (SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / n AS rank FROM nodes, nn),
+c1 AS (SELECT dst, SUM(rank / d) AS s
+       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY dst),
+r1 AS (SELECT node, 0.15 / n + 0.85 * COALESCE(s, 0.0) AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.dst = nodes.node),
+c2 AS (SELECT dst, SUM(rank / d) AS s
+       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY dst),
+r2 AS (SELECT node, 0.15 / n + 0.85 * COALESCE(s, 0.0) AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.dst = nodes.node),
+c3 AS (SELECT dst, SUM(rank / d) AS s
+       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY dst),
+r3 AS (SELECT node, 0.15 / n + 0.85 * COALESCE(s, 0.0) AS rank
+       FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.dst = nodes.node)
+SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node
 """
 
 

@@ -1,0 +1,70 @@
+"""Graph algorithms over edge-list DataFrames.
+
+Connected components (large-star/small-star) already powers
+llmdata.dedup.dedup_clusters; this module adds PageRank — the other
+iterative-DataFrame workhorse (domain authority for crawl
+prioritization, citation weighting for document quality).
+
+Scale shape: the per-iteration plan is (ranks ⋈ edges on src) →
+hash-agg on dst — two shuffles per iteration, both on graph keys, no
+driver-side state. Lineage is cut with ``localCheckpoint`` every
+``checkpoint_every`` iterations (an iterative loop otherwise re-plans
+the whole history each action — the dedup_clusters lesson).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """PageRank by power iteration over a (src, dst) edge list
+    (deduplicated internally). Returns (node, rank).
+
+    Uses the common simplified update
+    ``r'(v) = (1-d)/N + d * Σ_{u→v} r(u)/outdeg(u)`` — dangling-node
+    mass is NOT redistributed (ranks then sum to < 1 when sinks exist;
+    same convention as the classic Spark/GraphX example). The update
+    is deterministic arithmetic, so a fixed-iteration run is
+    SQL-replayable.
+    """
+    if n_iter < 1:
+        raise ValueError("pagerank: n_iter must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ed = e.join(deg, "src")
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    base = (1.0 - damping) / n
+    for i in range(n_iter):
+        contrib = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("__deg")).alias("__c"))
+            .groupBy("dst")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = nodes.join(
+            contrib, nodes["node"] == contrib["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint()
+    return ranks
