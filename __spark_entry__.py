@@ -6089,6 +6089,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_oov_rate": oov_rate_q,
         "stream_dedup_replay": stream_dedup_replay_q,
         "zorder_layout_key": zorder_q,
+        "fuzzy_join_names": fuzzy_join_q,
         "pagerank_purchase_graph": pagerank_q,
         "resample_events_ffill": resample_events_q,
         "validate_orders_report": validate_orders_q,
@@ -6328,6 +6329,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_oov_rate": _OOV_RATE_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_SQL,
         "zorder_layout_key": _ZORDER_SQL,
+        "fuzzy_join_names": _FUZZY_JOIN_SQL,
         "pagerank_purchase_graph": _PAGERANK_SQL,
         "resample_events_ffill": _RESAMPLE_SQL,
         "validate_orders_report": _VALIDATE_SQL,
@@ -9865,6 +9867,43 @@ SELECT vec_id, round(scale, 9) AS scale,
        CAST(MIN(q) AS INT) AS q_min, CAST(MAX(q) AS INT) AS q_max,
        round(sqrt(SUM((x - q * scale) * (x - q * scale)) / COUNT(*)), 6) AS rmse
 FROM per GROUP BY vec_id, scale ORDER BY vec_id
+"""
+
+
+def fuzzy_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact edit-distance self-join (operators/relational.py
+    fuzzy_join, PassJoin pigeonhole candidates + levenshtein verify):
+    customer-name pairs within distance 1, counted per distance. The
+    oracle is an independent brute-force levenshtein cross join
+    (feasible at gate SF; the engine plan is the equi-join-on-segments
+    form that stays subquadratic at scale)."""
+    from hail_spark.operators.relational import fuzzy_join
+
+    c = _t(spark, sf_dir, "customer").df
+    l = c.select(F.col("c_custkey").alias("left_id"), "c_name")
+    r = c.select(F.col("c_custkey").alias("right_id"), "c_name")
+    out = fuzzy_join(l, r, "c_name", max_dist=1).filter(
+        F.col("left_id") < F.col("right_id")
+    )
+    return (
+        out.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("left_id") + F.col("right_id")).alias("id_checksum"),
+        )
+        .orderBy("dist")
+    )
+
+
+_FUZZY_JOIN_SQL = """
+SELECT levenshtein(a.c_name, b.c_name) AS dist,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(a.c_custkey + b.c_custkey) AS BIGINT) AS id_checksum
+FROM customer a, customer b
+WHERE a.c_custkey < b.c_custkey
+  AND abs(len(a.c_name) - len(b.c_name)) <= 1
+  AND levenshtein(a.c_name, b.c_name) <= 1
+GROUP BY dist ORDER BY dist
 """
 
 

@@ -660,3 +660,118 @@ def resample(
             *[F.last(n, ignorenulls=True).over(w).alias(n) for n in names],
         )
     return out.withColumnRenamed("__bucket", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# edit-distance (fuzzy) join
+# ---------------------------------------------------------------------------
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str | None = None,
+    max_dist: int = 1,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+) -> DataFrame:
+    """EXACT edit-distance join: all (left, right) pairs with
+    levenshtein <= ``max_dist`` — entity matching / key reconciliation.
+
+    PassJoin-style candidate generation (Li, Deng & Feng 2011,
+    pigeonhole form): a right string of length L >= d+1 splits into
+    d+1 segments; <= d edits leave at least one segment untouched, and
+    an untouched segment appears verbatim in the left string within
+    +-d of its original position. So the candidate join key is
+    (target length L, segment index, substring) — the right side emits
+    d+1 segment rows, the left side O(d^2) substring probes per
+    candidate length — and the (tiny) candidate set is verified with
+    one exact ``levenshtein``. Strings shorter than d+1 can have empty
+    segments (pigeonhole void), so they take a length-band fallback:
+    right strings with L <= d join every left string within the length
+    band — a bounded set (only near-empty strings) that keeps the
+    result exact.
+
+    Never an all-pairs cross join: the quadratic work collapses to an
+    equi-join on segment content, the same shape at any corpus size.
+    """
+    if max_dist < 1:
+        raise ValueError("fuzzy_join: max_dist must be >= 1")
+    d = max_dist
+    rc = right_col or left_col
+    l2 = left.select(F.col(left_id), F.col(left_col).alias("__lv"))
+    r2 = right.select(F.col(right_id), F.col(rc).alias("__rv"))
+
+    # --- right side: d+1 segments (only for L >= d+1) ------------------
+    L = F.length("__rv")
+    base, rem = (L / (d + 1)).cast("int"), L % (d + 1)
+    seg_rows = []
+    for i in range(d + 1):
+        seg_len = base + F.when(F.lit(i) < rem, 1).otherwise(0)
+        start = F.lit(i) * base + F.least(F.lit(i), rem) + 1  # 1-based
+        seg_rows.append(
+            F.struct(
+                F.lit(i).alias("i"),
+                start.alias("pos"),
+                F.substring("__rv", start, seg_len).alias("seg"),
+            )
+        )
+    r_seg = (
+        r2.filter(L >= d + 1)
+        .select(
+            right_id,
+            "__rv",
+            L.alias("__L"),
+            F.explode(F.array(*seg_rows)).alias("s"),
+        )
+        .select(right_id, "__rv", "__L", "s.i", "s.seg")
+    )
+
+    # --- left side: substring probes per candidate length --------------
+    M = F.length("__lv")
+    probe_rows = []
+    for dl in range(-d, d + 1):  # target right length L = M + dl
+        tl = M + dl
+        tbase, trem = (tl / (d + 1)).cast("int"), tl % (d + 1)
+        for i in range(d + 1):
+            seg_len = tbase + F.when(F.lit(i) < trem, 1).otherwise(0)
+            start = F.lit(i) * tbase + F.least(F.lit(i), trem) + 1
+            for delta in range(-d, d + 1):
+                pos = start + delta
+                probe_rows.append(
+                    F.struct(
+                        tl.alias("__L"),
+                        F.lit(i).alias("i"),
+                        F.when(
+                            (tl >= d + 1)
+                            & (pos >= 1)
+                            & (pos + seg_len - 1 <= M)
+                            & (seg_len >= 1),
+                            F.substring("__lv", pos, seg_len),
+                        ).alias("seg"),
+                    )
+                )
+    l_probe = (
+        l2.select(left_id, "__lv", F.explode(F.array(*probe_rows)).alias("p"))
+        .select(left_id, "__lv", "p.__L", "p.i", "p.seg")
+        .filter(F.col("seg").isNotNull())
+        .distinct()
+    )
+    cand = l_probe.join(r_seg, ["__L", "i", "seg"]).select(
+        left_id, "__lv", right_id, "__rv"
+    )
+
+    # --- short-string fallback (pigeonhole void when L <= d) ------------
+    shorts = r2.filter(F.length("__rv") <= d)
+    band = l2.join(
+        F.broadcast(shorts),
+        F.abs(F.length("__lv") - F.length("__rv")) <= d,
+    ).select(left_id, "__lv", right_id, "__rv")
+
+    return (
+        cand.unionByName(band)
+        .distinct()
+        .withColumn("dist", F.levenshtein("__lv", "__rv"))
+        .filter(F.col("dist") <= d)
+        .select(left_id, right_id, "dist")
+    )

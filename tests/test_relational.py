@@ -426,3 +426,48 @@ class TestResample:
         df = spark.createDataFrame([(1, 0, 1.0)], "k long, ts long, v double")
         with _pytest.raises(ValueError):
             resample(df, "k", "ts", 10, {"n": F.count(F.lit(1))}, fill="pad")
+
+
+class TestFuzzyJoin:
+    def test_matches_brute_force(self, spark):
+        import itertools
+
+        from hail_spark.operators.relational import fuzzy_join
+
+        def lev(a, b):
+            m = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+            for i in range(len(a) + 1):
+                m[i][0] = i
+            for j in range(len(b) + 1):
+                m[0][j] = j
+            for i in range(1, len(a) + 1):
+                for j in range(1, len(b) + 1):
+                    m[i][j] = min(m[i - 1][j] + 1, m[i][j - 1] + 1,
+                                  m[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+            return m[len(a)][len(b)]
+
+        words = ["kitten", "sitten", "sittin", "sitting", "apple", "appel",
+                 "aple", "x", "xy", "", "banana", "bananna"]
+        L = spark.createDataFrame(list(enumerate(words)),
+                                  "left_id long, w string")
+        R = spark.createDataFrame(list(enumerate(words)),
+                                  "right_id long, w string")
+        for d in (1, 2):
+            got = sorted((r["left_id"], r["right_id"], r["dist"])
+                         for r in fuzzy_join(L, R, "w", max_dist=d).collect())
+            want = sorted(
+                (i, j, lev(a, b))
+                for (i, a), (j, b) in itertools.product(enumerate(words),
+                                                        repeat=2)
+                if lev(a, b) <= d
+            )
+            assert got == want
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        from hail_spark.operators.relational import fuzzy_join
+
+        df = spark.createDataFrame([(1, "a")], "left_id long, w string")
+        with _pytest.raises(ValueError):
+            fuzzy_join(df, df, "w", max_dist=0)
