@@ -6089,7 +6089,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_oov_rate": oov_rate_q,
         "stream_dedup_replay": stream_dedup_replay_q,
         "zorder_layout_key": zorder_q,
-        "fuzzy_join_names": fuzzy_join_q,
+        "time_travel_as_of": time_travel_q,
+        "fuzzy_join_tokens": fuzzy_join_q,
         "pagerank_purchase_graph": pagerank_q,
         "resample_events_ffill": resample_events_q,
         "validate_orders_report": validate_orders_q,
@@ -6329,7 +6330,8 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_oov_rate": _OOV_RATE_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_SQL,
         "zorder_layout_key": _ZORDER_SQL,
-        "fuzzy_join_names": _FUZZY_JOIN_SQL,
+        "time_travel_as_of": _TIME_TRAVEL_SQL,
+        "fuzzy_join_tokens": _FUZZY_JOIN_SQL,
         "pagerank_purchase_graph": _PAGERANK_SQL,
         "resample_events_ffill": _RESAMPLE_SQL,
         "validate_orders_report": _VALIDATE_SQL,
@@ -9870,39 +9872,101 @@ FROM per GROUP BY vec_id, scale ORDER BY vec_id
 """
 
 
+def time_travel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over an upsert/delete log (llmdata/versioning.py
+    as_of): orders recast as a CDC log — key = o_orderkey % 1000,
+    version = epoch micros of o_orderdate, op = delete when status 'F'
+    — reconstructed AS OF 1998-01-01. Version-filter pushes to the
+    scan; reconstruction is ONE max_by hash agg (the latest_by_key
+    shape), no window sort. Equal-version rows tie-break on
+    o_orderkey; the oracle replays with a row_number window."""
+    from hail_spark.llmdata.versioning import as_of
+
+    o = _t(spark, sf_dir, "orders").df
+    log = o.select(
+        (F.col("o_orderkey") % 1000).alias("k"),
+        _micros("o_orderdate").alias("v"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("d"))
+        .otherwise(F.lit("u"))
+        .alias("op"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    cutoff = 883_612_800_000_000  # 1998-01-01 in epoch micros
+    out = as_of(log, "k", "v", cutoff, op_col="op", tiebreak_col="o_orderkey")
+    return out.select("k", "v", "o_orderkey", "o_totalprice").orderBy("k")
+
+
+_TIME_TRAVEL_SQL = """
+WITH log AS (
+  SELECT o_orderkey % 1000 AS k, epoch_us(o_orderdate) AS v,
+         CASE WHEN o_orderstatus = 'F' THEN 'd' ELSE 'u' END AS op,
+         o_orderkey, o_totalprice
+  FROM orders),
+r AS (SELECT *, row_number() OVER (PARTITION BY k
+                                   ORDER BY v DESC, o_orderkey DESC) AS rn
+      FROM log WHERE v <= 883612800000000)
+SELECT k, v, o_orderkey, o_totalprice
+FROM r WHERE rn = 1 AND op <> 'd' ORDER BY k
+"""
+
+
 def fuzzy_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact edit-distance self-join (operators/relational.py
-    fuzzy_join, PassJoin pigeonhole candidates + levenshtein verify):
-    customer-name pairs within distance 1, counted per distance. The
-    oracle is an independent brute-force levenshtein cross join
-    (feasible at gate SF; the engine plan is the equi-join-on-segments
-    form that stays subquadratic at scale)."""
+    fuzzy_join, PassJoin pigeonhole candidates + levenshtein verify)
+    over the 2000 most frequent document tokens — a DIVERSE corpus,
+    which is the op's contract (ID-style strings with a long shared
+    prefix put a constant in segment 0 and degrade candidates to
+    all-pairs; see the op docstring). Per-distance pair counts +
+    length checksum; the oracle is an independent brute-force
+    levenshtein cross join (feasible over 2k strings)."""
     from hail_spark.operators.relational import fuzzy_join
 
-    c = _t(spark, sf_dir, "customer").df
-    l = c.select(F.col("c_custkey").alias("left_id"), "c_name")
-    r = c.select(F.col("c_custkey").alias("right_id"), "c_name")
-    out = fuzzy_join(l, r, "c_name", max_dist=1).filter(
-        F.col("left_id") < F.col("right_id")
-    )
+    d = _t(spark, sf_dir, "documents").df
+    # 2-gram phrases = diverse strings; right side = each phrase with
+    # the (doc_id % len)-th char dropped — guaranteed d=1 matches, all
+    # deterministic so the brute-force oracle replays the corruption
+    toks = F.split(F.col("text"), " ")
+    phrase = F.concat_ws(" ", toks[0], toks[1])
+    base = d.select("doc_id", phrase.alias("w")).filter(F.length("w") >= 5)
+    left = base.select(F.col("w").alias("left_id"), F.col("w").alias("wl")).distinct()
+    pos = (F.col("doc_id") % F.length("w")).cast("int") + 1
+    corrupted = base.select(
+        F.concat(
+            F.substring(F.col("w"), F.lit(1), pos - 1),
+            F.substring(F.col("w"), pos + 1, F.length("w")),
+        ).alias("wr")
+    ).distinct()
+    right = corrupted.select(F.col("wr").alias("right_id"), "wr")
+    out = fuzzy_join(left, right, "wl", right_col="wr", max_dist=1)
     return (
         out.groupBy("dist")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.sum(F.col("left_id") + F.col("right_id")).alias("id_checksum"),
+            F.sum(F.length("left_id") + F.length("right_id")).alias(
+                "len_checksum"
+            ),
         )
         .orderBy("dist")
     )
 
 
 _FUZZY_JOIN_SQL = """
-SELECT levenshtein(a.c_name, b.c_name) AS dist,
+WITH base AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ') AS w
+  FROM documents),
+b AS (SELECT doc_id, w FROM base WHERE len(w) >= 5),
+lft AS (SELECT DISTINCT w AS wl FROM b),
+rgt AS (SELECT DISTINCT
+          substr(w, 1, CAST(doc_id % len(w) AS INT))
+          || substr(w, CAST(doc_id % len(w) AS INT) + 2) AS wr
+        FROM b)
+SELECT levenshtein(wl, wr) AS dist,
        COUNT(*) AS n_pairs,
-       CAST(SUM(a.c_custkey + b.c_custkey) AS BIGINT) AS id_checksum
-FROM customer a, customer b
-WHERE a.c_custkey < b.c_custkey
-  AND abs(len(a.c_name) - len(b.c_name)) <= 1
-  AND levenshtein(a.c_name, b.c_name) <= 1
+       CAST(SUM(len(wl) + len(wr)) AS BIGINT) AS len_checksum
+FROM lft, rgt
+WHERE abs(len(wl) - len(wr)) <= 1 AND levenshtein(wl, wr) <= 1
 GROUP BY dist ORDER BY dist
 """
 
@@ -10108,9 +10172,13 @@ def zorder_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
     out = zorder_by(li, ["l_partkey", "l_suppkey"], bits=16)
-    return out.select(
-        "l_orderkey", "l_linenumber", F.col("__z").alias("z")
-    ).orderBy("l_orderkey", "l_linenumber")
+    # 1-in-20 output sample (keyed, deterministic): the gate hashes the
+    # full result, and 600k rows at sf0.1 made collect+canon the cost
+    return (
+        out.filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_linenumber", F.col("__z").alias("z"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 _ZORDER_SQL = """
@@ -10135,7 +10203,7 @@ SELECT l_orderkey, l_linenumber,
        CAST(list_sum([(((g1 >> j) & 1) << (2 * j))
                       + (((g2 >> j) & 1) << (2 * j + 1))
                       FOR j IN range(0, 16)]) AS BIGINT) AS z
-FROM g ORDER BY l_orderkey, l_linenumber
+FROM g WHERE l_orderkey % 20 = 0 ORDER BY l_orderkey, l_linenumber
 """
 
 

@@ -139,3 +139,43 @@ def merge_upsert(
         else:
             cols.append(F.col(c).alias(c))
     return kept.select(out_id, *cols)
+
+
+def as_of(
+    log: DataFrame,
+    key_cols: str | list[str],
+    version_col: str,
+    version,
+    op_col: str | None = None,
+    delete_op: str = "d",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Time travel over an append-only upsert/delete log: reconstruct
+    the table AS OF ``version`` — for each key, the latest log row with
+    ``version_col <= version`` wins; rows whose ``op_col`` equals
+    ``delete_op`` mark the key absent at that version.
+
+    Plan: filter (pushed to the log scan) + ONE max_by hash agg keyed
+    by the log key — the same no-window shape as `latest_by_key`, so
+    reconstructing any historical version costs one pass over the
+    pruned log (with the log parquet partitioned by a version bucket,
+    the filter prunes whole partitions). ``tiebreak_col`` breaks
+    equal-version rows deterministically (required when versions can
+    tie)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    payload = [
+        c for c in log.columns if c not in keys and c != version_col
+    ]
+    pruned = log.filter(F.col(version_col) <= F.lit(version))
+    ord_key = (
+        F.struct(F.col(version_col), F.col(tiebreak_col))
+        if tiebreak_col
+        else F.col(version_col)
+    )
+    picked = pruned.groupBy(*keys).agg(
+        *[F.max_by(F.col(c), ord_key).alias(c) for c in payload],
+        F.max(F.col(version_col)).alias(version_col),
+    )
+    if op_col is not None:
+        picked = picked.filter(F.col(op_col) != delete_op).drop(op_col)
+    return picked

@@ -471,3 +471,27 @@ class TestFuzzyJoin:
         df = spark.createDataFrame([(1, "a")], "left_id long, w string")
         with _pytest.raises(ValueError):
             fuzzy_join(df, df, "w", max_dist=0)
+
+
+def test_as_of_time_travel(spark):
+    from hail_spark.llmdata.versioning import as_of
+
+    log = spark.createDataFrame(
+        [("a", 1, "u", 10.0), ("a", 3, "u", 30.0), ("a", 5, "d", 0.0),
+         ("b", 2, "u", 20.0), ("c", 9, "u", 90.0),
+         ("d", 4, "u", 40.0), ("d", 4, "u", 41.0)],   # version tie
+        "k string, v long, op string, val double",
+    )
+
+    def snap(version):
+        return {
+            r["k"]: (r["v"], r["val"])
+            for r in as_of(log, "k", "v", version, op_col="op",
+                           tiebreak_col="val").collect()
+        }
+
+    assert snap(2) == {"a": (1, 10.0), "b": (2, 20.0)}
+    assert snap(4) == {"a": (3, 30.0), "b": (2, 20.0), "d": (4, 41.0)}
+    # a deleted at v=5; c not yet born
+    assert snap(6) == {"b": (2, 20.0), "d": (4, 41.0)}
+    assert snap(9)["c"] == (9, 90.0)
