@@ -6089,6 +6089,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_oov_rate": oov_rate_q,
         "stream_dedup_replay": stream_dedup_replay_q,
         "zorder_layout_key": zorder_q,
+        "bpe_roundtrip_identity": bpe_roundtrip_q,
         "time_travel_as_of": time_travel_q,
         "fuzzy_join_tokens": fuzzy_join_q,
         "pagerank_purchase_graph": pagerank_q,
@@ -6330,6 +6331,7 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_oov_rate": _OOV_RATE_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_SQL,
         "zorder_layout_key": _ZORDER_SQL,
+        "bpe_roundtrip_identity": _BPE_ROUNDTRIP_SQL,
         "time_travel_as_of": _TIME_TRAVEL_SQL,
         "fuzzy_join_tokens": _FUZZY_JOIN_SQL,
         "pagerank_purchase_graph": _PAGERANK_SQL,
@@ -9869,6 +9871,51 @@ SELECT vec_id, round(scale, 9) AS scale,
        CAST(MIN(q) AS INT) AS q_min, CAST(MAX(q) AS INT) AS q_max,
        round(sqrt(SUM((x - q * scale) * (x - q * scale)) / COUNT(*)), 6) AS rmse
 FROM per GROUP BY vec_id, scale ORDER BY vec_id
+"""
+
+
+def bpe_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless tokenizer round-trip (llmdata/tokenizer bpe_encode_ids
+    with word_sep_id + bpe_decode_ids): encode every document with a
+    word-boundary id, decode with the plan-literal inverse vocab, and
+    emit md5(decoded). decode(encode(x)) must equal the normalized
+    (lower + single-space) text, so the ORACLE never simulates BPE at
+    all — it hashes the normalization directly; any drift anywhere in
+    train/vocab/encode/decode breaks the identity."""
+    from hail_spark.llmdata.dedup import _spread
+    from hail_spark.llmdata.tokenizer import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    d = _spread(_t(spark, sf_dir, "documents").df)
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_train(d, n_merges=6).orderBy("rank").collect()
+    ]
+    vocab = bpe_vocab(d, merges)
+    sep = len(vocab) + 7
+    enc = bpe_encode_ids(d, merges, vocab, word_sep_id=sep)
+    dec = bpe_decode_ids(enc, vocab, word_sep_id=sep)
+    return dec.select(
+        "doc_id",
+        F.md5("decoded").alias("decoded_md5"),
+        F.length("decoded").alias("n_chars_norm"),
+    ).orderBy("doc_id")
+
+
+_BPE_ROUNDTRIP_SQL = r"""
+WITH n AS (
+  SELECT doc_id,
+         array_to_string(
+           list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                       w -> w != ''), ' ') AS norm
+  FROM documents)
+SELECT doc_id, md5(norm) AS decoded_md5,
+       CAST(length(norm) AS INT) AS n_chars_norm
+FROM n ORDER BY doc_id
 """
 
 

@@ -302,7 +302,12 @@ def _encode_word(word: str, merges: list, ranks: dict) -> list:
     return syms
 
 
-def _encode_udf(spark_df: DataFrame, merges: list, vocab: dict | None):
+def _encode_udf(
+    spark_df: DataFrame,
+    merges: list,
+    vocab: dict | None,
+    sep_id: int | None = None,
+):
     """Arrow-batched encoder over a lowercased token ARRAY column
     (tokenization stays Spark-side so Java regex/lower semantics match
     the SQL-oracle replay exactly): words -> array<int> of token ids
@@ -328,7 +333,7 @@ def _encode_udf(spark_df: DataFrame, merges: list, vocab: dict | None):
             if ws is None:
                 return []
             out = []
-            for w in ws:
+            for k, w in enumerate(ws):
                 got = cache.get(w)
                 if got is None:
                     syms = _encode_word(w, ms, ranks)
@@ -338,6 +343,8 @@ def _encode_udf(spark_df: DataFrame, merges: list, vocab: dict | None):
                         else [0] * len(syms)
                     )
                     cache[w] = got
+                if sep_id is not None and k:
+                    out.append(sep_id)
                 out.extend(got)
             return out
 
@@ -387,18 +394,60 @@ def bpe_vocab(df: DataFrame, merges: list, text_col: str = "text") -> dict:
 
 
 def bpe_encode_ids(
-    df: DataFrame, merges: list, vocab: dict, text_col: str = "text"
+    df: DataFrame,
+    merges: list,
+    vocab: dict,
+    text_col: str = "text",
+    word_sep_id: int | None = None,
 ) -> DataFrame:
     """Token-id encoding per document: canonical BPE applied per word
     (merge ranks via broadcast dict), each symbol mapped through the
     vocab (-1 for unseen symbols — cannot happen when the vocab was
     built on the same corpus). Adds ``bpe_ids array<int>``. One
     Arrow-batched projection, no shuffle, plan size independent of
-    n_merges — the final tokenize step before write_training_shards."""
+    n_merges — the final tokenize step before write_training_shards.
+
+    ``word_sep_id`` (pick an id OUTSIDE the vocab, e.g. ``len(vocab)``)
+    interleaves a word-boundary id between words, making the encoding
+    LOSSLESS w.r.t. the normalized (lower + single-space) text:
+    ``bpe_decode_ids`` reconstructs it exactly (round-trip pytest +
+    the bpe_roundtrip_identity oracle query)."""
     from .dedup import tokens
 
-    enc = _encode_udf(df, merges, vocab)
+    enc = _encode_udf(df, merges, vocab, sep_id=word_sep_id)
     return df.withColumn("bpe_ids", enc(tokens(F.lower(F.col(text_col)))))
+
+
+def bpe_decode_ids(
+    df: DataFrame,
+    vocab: dict,
+    ids_col: str = "bpe_ids",
+    out_col: str = "decoded",
+    word_sep_id: int | None = None,
+) -> DataFrame:
+    """Inverse of ``bpe_encode_ids``: ids -> symbol strings via the
+    inverted vocab (well-defined: vocab ids are first-wins unique per
+    symbol string), concatenated in order; ``word_sep_id`` entries
+    decode to single spaces; unknown ids decode to U+FFFD. A
+    plan-literal map + one JVM-side transform/array_join projection —
+    no UDF, no shuffle."""
+    inv: dict = {}
+    for sym, i in vocab.items():
+        inv.setdefault(i, sym)
+    pairs = []
+    for i, sym in sorted(inv.items()):
+        pairs.extend([F.lit(i), F.lit(sym)])
+    if word_sep_id is not None:
+        pairs.extend([F.lit(word_sep_id), F.lit(" ")])
+    m = F.create_map(*pairs)
+    joined = F.array_join(
+        F.transform(
+            F.col(ids_col),
+            lambda i: F.coalesce(F.try_element_at(m, i), F.lit("\ufffd")),
+        ),
+        "",
+    )
+    return df.withColumn(out_col, joined)
 
 
 def bpe_save(path: str, merges: list, vocab: dict | None = None) -> None:

@@ -190,3 +190,29 @@ def test_temperature_weights_expected_size(spark):
     for w in (w1, w0, temperature_weights(df, "source", alpha=0.3)):
         assert math.isclose(sum(w[s] * n for s, n in
                                 [("a", 90), ("b", 9), ("c", 1)]), 100.0)
+
+
+def test_bpe_roundtrip_lossless(spark):
+    """encode(word_sep_id) then decode == lower+single-space text."""
+    from hail_spark.llmdata.tokenizer import (
+        bpe_decode_ids, bpe_encode_ids, bpe_train, bpe_vocab,
+    )
+
+    rows = [(1, "Hello  world hello"), (2, "the  Quick   brown fox"),
+            (3, "singleword"), (4, "a b a b a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mt = bpe_train(df, n_merges=10)
+    merges = [(r["merge_left"], r["merge_right"])
+              for r in mt.orderBy("rank").collect()]
+    vocab = bpe_vocab(df, merges)
+    sep = len(vocab) + 3
+    enc = bpe_encode_ids(df, merges, vocab, word_sep_id=sep)
+    dec = bpe_decode_ids(enc, vocab, word_sep_id=sep)
+    got = {r["doc_id"]: r["decoded"] for r in dec.collect()}
+    want = {i: " ".join(t.lower().split()) for i, t in rows}
+    assert got == want
+    # without the separator the decode is the space-free concatenation
+    enc0 = bpe_encode_ids(df, merges, vocab)
+    dec0 = bpe_decode_ids(enc0, vocab)
+    got0 = {r["doc_id"]: r["decoded"] for r in dec0.collect()}
+    assert got0 == {i: "".join(t.lower().split()) for i, t in rows}
