@@ -6088,6 +6088,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize_int8": quantize_emb_q,
         "tokenizer_oov_rate": oov_rate_q,
         "stream_dedup_replay": stream_dedup_replay_q,
+        "stream_static_join_replay": stream_static_join_q,
         "zorder_layout_key": zorder_q,
         "bpe_roundtrip_identity": bpe_roundtrip_q,
         "time_travel_as_of": time_travel_q,
@@ -6330,6 +6331,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize_int8": _QUANTIZE_EMB_SQL,
         "tokenizer_oov_rate": _OOV_RATE_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_SQL,
+        "stream_static_join_replay": _STREAM_STATIC_JOIN_SQL,
         "zorder_layout_key": _ZORDER_SQL,
         "bpe_roundtrip_identity": _BPE_ROUNDTRIP_SQL,
         "time_travel_as_of": _TIME_TRAVEL_SQL,
@@ -10496,6 +10498,70 @@ def stream_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_DEDUP_SQL = """
 SELECT DISTINCT md5(text) AS text_md5 FROM documents ORDER BY text_md5
+"""
+
+
+def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join conformance: the events STREAM joined to the
+    static customer dimension (user_id mapped into the custkey space)
+    with a per-nation aggregate, run to completion with availableNow —
+    the enrich-then-aggregate shape every streaming ingest pipeline
+    uses. The static side is re-read per micro-batch by Structured
+    Streaming (fresh dimension each trigger); the final sink table must
+    equal the batch join SQL."""
+    import shutil
+
+    from hail_spark.streaming.events import read_events_stream
+
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    stage = f"/tmp/hail_spark_stream_sj_{tag}_{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_us = t.column("ts").cast(pa.timestamp("us"), safe=False)
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", ts_us)
+    n = max(1, t.num_rows // 4)
+    for i, lo in enumerate(range(0, t.num_rows, n)):
+        pq.write_table(t.slice(lo, n), f"{stage}/part-{i}.parquet")
+
+    c = _t(spark, sf_dir, "customer").df.select(
+        "c_custkey", "c_nationkey"
+    )
+    n_cust = c.count()
+    stream = read_events_stream(spark, stage, max_files_per_trigger=2)
+    joined = stream.withColumn(
+        "c_custkey", F.col("user_id") % F.lit(n_cust)
+    ).join(c, "c_custkey")
+    agg = joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 4
+        ).alias("v_sum"),
+    )
+    _STREAM_CONF_SEQ[0] += 1
+    sink = f"stream_sj_{os.getpid()}_{_STREAM_CONF_SEQ[0]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).orderBy("c_nationkey")
+
+
+_STREAM_STATIC_JOIN_SQL = """
+WITH nc AS (SELECT COUNT(*) AS n FROM customer)
+SELECT c_nationkey, COUNT(*) AS n_events,
+       round(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 4) AS v_sum
+FROM events e
+JOIN nc ON TRUE
+JOIN customer c ON c.c_custkey = e.user_id % nc.n
+GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
