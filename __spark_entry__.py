@@ -6089,6 +6089,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_oov_rate": oov_rate_q,
         "stream_dedup_replay": stream_dedup_replay_q,
         "stream_static_join_replay": stream_static_join_q,
+        "datetime_battery": datetime_battery_q,
+        "hof_array_battery": hof_array_battery_q,
         "zorder_layout_key": zorder_q,
         "bpe_roundtrip_identity": bpe_roundtrip_q,
         "time_travel_as_of": time_travel_q,
@@ -6332,6 +6334,8 @@ def oracle_sql() -> dict[str, str]:
         "tokenizer_oov_rate": _OOV_RATE_SQL,
         "stream_dedup_replay": _STREAM_DEDUP_SQL,
         "stream_static_join_replay": _STREAM_STATIC_JOIN_SQL,
+        "datetime_battery": _DATETIME_BATTERY_SQL,
+        "hof_array_battery": _HOF_ARRAY_SQL,
         "zorder_layout_key": _ZORDER_SQL,
         "bpe_roundtrip_identity": _BPE_ROUNDTRIP_SQL,
         "time_travel_as_of": _TIME_TRAVEL_SQL,
@@ -10498,6 +10502,101 @@ def stream_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_DEDUP_SQL = """
 SELECT DISTINCT md5(text) AS text_md5 FROM documents ORDER BY text_md5
+"""
+
+
+def datetime_battery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function battery over o_orderdate: extraction fields
+    (year/quarter/month/day/dayofyear/ISO week/day-of-week), month
+    truncation, end-of-month, add_months, and day arithmetic — each
+    with its exact DuckDB replay (Spark dayofweek is 1=Sunday vs
+    DuckDB 0=Sunday; Spark weekofyear is the ISO week = DuckDB week).
+    Calendar outputs leave as formatted strings so no engine's
+    date/timestamp binary encoding is compared."""
+    o = _t(spark, sf_dir, "orders").df
+    dt = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.quarter("o_orderdate").alias("q"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.weekofyear("o_orderdate").alias("iso_week"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_format(F.trunc(dt, "month"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(dt), "yyyy-MM-dd").alias("last_dom"),
+        F.date_format(F.add_months(dt, 2), "yyyy-MM-dd").alias("plus2m"),
+        F.datediff(dt, F.lit("1995-01-01").cast("date")).alias("dd"),
+    ).orderBy("o_orderkey")
+
+
+_DATETIME_BATTERY_SQL = """
+SELECT o_orderkey,
+  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS d,
+  CAST(EXTRACT(doy FROM o_orderdate) AS INT) AS doy,
+  CAST(week(o_orderdate) AS INT) AS iso_week,
+  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+  strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS last_dom,
+  strftime(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus2m,
+  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+    AS dd
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def hof_array_battery_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order / collection function battery over the embedding
+    arrays: filter/exists/forall predicates, a zip_with+aggregate fold
+    (dot of the vector with its reverse), sort+slice top-3, element
+    position, flatten, repeat — the §2.9 HOF surface with exact DuckDB
+    list-function replays. Elements pre-cast float→double on BOTH
+    engines so promotion paths agree."""
+    e = _t(spark, sf_dir, "embeddings").df
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    dot_rev = F.aggregate(
+        F.zip_with(x, F.reverse(x), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    top3 = F.slice(F.sort_array(x, asc=False), 1, 3)
+    return e.select(
+        "vec_id",
+        F.size(F.filter(x, lambda v: v < 0)).alias("n_neg"),
+        F.exists(x, lambda v: v > 2.0).alias("any_big"),
+        F.forall(x, lambda v: F.abs(v) < 10.0).alias("all_small"),
+        F.round(dot_rev, 6).alias("dot_rev"),
+        F.array_join(
+            F.transform(top3, lambda v: F.round(v, 5).cast("string")), ","
+        ).alias("top3"),
+        F.array_position(x, F.array_min(x)).alias("pos_min"),
+        F.size(F.flatten(F.array(x, x))).alias("flat2"),
+        F.size(F.array_repeat(F.col("label"), 3)).alias("rep3"),
+    ).orderBy("vec_id")
+
+
+_HOF_ARRAY_SQL = """
+WITH b AS (
+  SELECT vec_id, label,
+         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x
+  FROM embeddings)
+SELECT vec_id,
+  CAST(len(list_filter(x, v -> v < 0)) AS INT) AS n_neg,
+  len(list_filter(x, v -> v > 2.0)) > 0 AS any_big,
+  len(list_filter(x, v -> abs(v) >= 10.0)) = 0 AS all_small,
+  round(list_sum([x[i] * x[len(x) - i + 1] FOR i IN range(1, len(x) + 1)]),
+        6) AS dot_rev,
+  array_to_string(
+    list_transform(list_slice(list_reverse_sort(x), 1, 3),
+                   v -> CAST(round(v, 5) AS VARCHAR)), ',') AS top3,
+  CAST(list_position(x, list_min(x)) AS BIGINT) AS pos_min,
+  CAST(len(flatten([x, x])) AS INT) AS flat2,
+  CAST(3 AS INT) AS rep3
+FROM b ORDER BY vec_id
 """
 
 
