@@ -6090,6 +6090,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_replay": stream_dedup_replay_q,
         "stream_static_join_replay": stream_static_join_q,
         "datetime_battery": datetime_battery_q,
+        "variant_extract_paths": variant_q,
         "hof_array_battery": hof_array_battery_q,
         "zorder_layout_key": zorder_q,
         "bpe_roundtrip_identity": bpe_roundtrip_q,
@@ -6335,6 +6336,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_dedup_replay": _STREAM_DEDUP_SQL,
         "stream_static_join_replay": _STREAM_STATIC_JOIN_SQL,
         "datetime_battery": _DATETIME_BATTERY_SQL,
+        "variant_extract_paths": _VARIANT_SQL,
         "hof_array_battery": _HOF_ARRAY_SQL,
         "zorder_layout_key": _ZORDER_SQL,
         "bpe_roundtrip_identity": _BPE_ROUNDTRIP_SQL,
@@ -10502,6 +10504,46 @@ def stream_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_DEDUP_SQL = """
 SELECT DISTINCT md5(text) AS text_md5 FROM documents ORDER BY text_md5
+"""
+
+
+def variant_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT columns (Spark 4 parse_json /
+    variant_get — the open-variant binary encoding): the raw props
+    JSON plus a CONSTRUCTED nested document (to_json of structs) are
+    parsed to variant and fields extracted back by path with typed
+    casts; try_variant_get returns NULL for a missing path. Round-trip
+    identity: extracted values must equal the source columns, so the
+    oracle reads the raw columns (+ DuckDB json_extract for props) —
+    any drift in the variant encode/decode chain breaks the row."""
+    ev = _t(spark, sf_dir, "events").df
+    nested = F.to_json(
+        F.struct(
+            F.col("event_type").alias("t"),
+            F.col("value").alias("v"),
+            F.struct(F.col("user_id").alias("u")).alias("who"),
+        )
+    )
+    v = F.parse_json(nested)
+    pv = F.parse_json(F.col("props"))
+    return ev.select(
+        "event_id",
+        F.variant_get(pv, "$.k", "int").alias("k"),
+        F.variant_get(v, "$.t", "string").alias("t"),
+        F.round(F.variant_get(v, "$.v", "double"), 4).alias("vv"),
+        F.variant_get(v, "$.who.u", "bigint").alias("u"),
+        F.try_variant_get(pv, "$.missing", "int").alias("missing"),
+    ).orderBy("event_id")
+
+
+_VARIANT_SQL = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INT) AS k,
+       event_type AS t,
+       round(value, 4) AS vv,
+       user_id AS u,
+       CAST(NULL AS INT) AS missing
+FROM events ORDER BY event_id
 """
 
 
