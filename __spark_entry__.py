@@ -6095,6 +6095,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout_key": zorder_q,
         "bpe_roundtrip_identity": bpe_roundtrip_q,
         "time_travel_as_of": time_travel_q,
+        "bfs_purchase_levels": bfs_levels_q,
         "fuzzy_join_tokens": fuzzy_join_q,
         "pagerank_purchase_graph": pagerank_q,
         "resample_events_ffill": resample_events_q,
@@ -6341,6 +6342,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_layout_key": _ZORDER_SQL,
         "bpe_roundtrip_identity": _BPE_ROUNDTRIP_SQL,
         "time_travel_as_of": _TIME_TRAVEL_SQL,
+        "bfs_purchase_levels": _BFS_LEVELS_SQL,
         "fuzzy_join_tokens": _FUZZY_JOIN_SQL,
         "pagerank_purchase_graph": _PAGERANK_SQL,
         "resample_events_ffill": _RESAMPLE_SQL,
@@ -9963,6 +9965,47 @@ r AS (SELECT *, row_number() OVER (PARTITION BY k
       FROM log WHERE v <= 883612800000000)
 SELECT k, v, o_orderkey, o_totalprice
 FROM r WHERE rn = 1 AND op <> 'd' ORDER BY k
+"""
+
+
+def bfs_levels_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-hop BFS levels (operators/graph.py bfs_levels) over the
+    UNDIRECTED customer↔supplier purchase graph from three supplier
+    seeds, depth ≤ 3 — frontier-expansion joins with per-round
+    checkpointing; the oracle unrolls three level CTEs (each = join
+    previous frontier to edges, minus visited)."""
+    from hail_spark.operators.graph import bfs_levels
+
+    o = _t(spark, sf_dir, "orders").df
+    li = _t(spark, sf_dir, "lineitem").df
+    e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    )
+    seeds = spark.range(1, 4).select((F.col("id") + 1_000_000).alias("node"))
+    out = bfs_levels(e, seeds, max_depth=3, directed=False)
+    return out.orderBy("node")
+
+
+_BFS_LEVELS_SQL = """
+WITH e0 AS (SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+l0 AS (SELECT unnest([1000001, 1000002, 1000003]) AS node),
+l1 AS (SELECT DISTINCT dst AS node FROM e JOIN l0 ON e.src = l0.node
+       WHERE dst NOT IN (SELECT node FROM l0)),
+l2 AS (SELECT DISTINCT dst AS node FROM e JOIN l1 ON e.src = l1.node
+       WHERE dst NOT IN (SELECT node FROM l0)
+         AND dst NOT IN (SELECT node FROM l1)),
+l3 AS (SELECT DISTINCT dst AS node FROM e JOIN l2 ON e.src = l2.node
+       WHERE dst NOT IN (SELECT node FROM l0)
+         AND dst NOT IN (SELECT node FROM l1)
+         AND dst NOT IN (SELECT node FROM l2))
+SELECT node, 0 AS level FROM l0
+UNION ALL SELECT node, 1 FROM l1
+UNION ALL SELECT node, 2 FROM l2
+UNION ALL SELECT node, 3 FROM l3
+ORDER BY node
 """
 
 

@@ -76,3 +76,54 @@ def pagerank(
         if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_depth: int = 10,
+    directed: bool = True,
+) -> DataFrame:
+    """Breadth-first reachability: (node, level) for every node within
+    ``max_depth`` hops of any source (level = hop count of the
+    SHORTEST path, sources at level 0).
+
+    Frontier expansion: visited and frontier are DataFrames; each round
+    joins the frontier to the edge list, anti-joins already-visited
+    nodes, and checkpoints (iterative-lineage discipline). Work per
+    round is proportional to the frontier's out-edges — the standard
+    scalable BFS on a relational engine; rounds end early when the
+    frontier empties (one cheap isEmpty per round, same job count as
+    the expansion itself)."""
+    if max_depth < 0:
+        raise ValueError("bfs_levels: max_depth must be >= 0")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.distinct().localCheckpoint()
+    frontier = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("level", F.lit(0))
+        .localCheckpoint()
+    )
+    visited = frontier
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("level", F.lit(depth))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

@@ -51,3 +51,21 @@ def test_validation(spark):
     df = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError):
         pagerank(df, n_iter=0)
+
+
+def test_bfs_levels(spark):
+    from hail_spark.operators.graph import bfs_levels
+
+    # 0->1->2->3, 0->2 (shortcut), 4 isolated, 5->0 (unreachable upstream)
+    edges = [(0, 1), (1, 2), (2, 3), (0, 2), (5, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    s = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["level"] for r in bfs_levels(e, s).collect()}
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}
+    # undirected: 5 reachable
+    got_u = {r["node"]: r["level"]
+             for r in bfs_levels(e, s, directed=False).collect()}
+    assert got_u == {0: 0, 1: 1, 2: 1, 5: 1, 3: 2}
+    # depth cap
+    got_d = {r["node"]: r["level"] for r in bfs_levels(e, s, max_depth=1).collect()}
+    assert got_d == {0: 0, 1: 1, 2: 1}
