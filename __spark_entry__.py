@@ -6091,6 +6091,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_static_join_replay": stream_static_join_q,
         "datetime_battery": datetime_battery_q,
         "variant_extract_paths": variant_q,
+        "parquet_stats_fast": parquet_stats_q,
         "hof_array_battery": hof_array_battery_q,
         "zorder_layout_key": zorder_q,
         "bpe_roundtrip_identity": bpe_roundtrip_q,
@@ -6338,6 +6339,7 @@ def oracle_sql() -> dict[str, str]:
         "stream_static_join_replay": _STREAM_STATIC_JOIN_SQL,
         "datetime_battery": _DATETIME_BATTERY_SQL,
         "variant_extract_paths": _VARIANT_SQL,
+        "parquet_stats_fast": _PARQUET_STATS_SQL,
         "hof_array_battery": _HOF_ARRAY_SQL,
         "zorder_layout_key": _ZORDER_SQL,
         "bpe_roundtrip_identity": _BPE_ROUNDTRIP_SQL,
@@ -10547,6 +10549,39 @@ def stream_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_DEDUP_SQL = """
 SELECT DISTINCT md5(text) AS text_md5 FROM documents ORDER BY text_md5
+"""
+
+
+def parquet_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer-metadata statistics scan (io/query_table.parquet_stats):
+    min/max/count answered by the v2 parquet source's
+    PushedAggregation — each file contributes only footer stats, no
+    row scan (pytest asserts the pushed plan). The oracle computes the
+    same stats the honest way."""
+    from hail_spark.io.query_table import parquet_stats
+
+    r = parquet_stats(
+        spark, f"{sf_dir}/lineitem.parquet", ["l_quantity", "l_extendedprice"]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                float(r["l_quantity_min"]),
+                float(r["l_quantity_max"]),
+                float(r["l_extendedprice_min"]),
+                float(r["l_extendedprice_max"]),
+                int(r["n_rows"]),
+            )
+        ],
+        "q_min double, q_max double, p_min double, p_max double, n_rows bigint",
+    )
+
+
+_PARQUET_STATS_SQL = """
+SELECT MIN(l_quantity) AS q_min, MAX(l_quantity) AS q_max,
+       MIN(l_extendedprice) AS p_min, MAX(l_extendedprice) AS p_max,
+       COUNT(*) AS n_rows
+FROM lineitem
 """
 
 

@@ -126,3 +126,44 @@ def table_stats(path: str) -> dict[str, Any]:
         "n_row_groups": n_groups,
         "key_bounds": bounds,
     }
+
+
+def parquet_stats(spark, path: str, cols: list[str]):
+    """min/max per column + row count answered from PARQUET FOOTER
+    METADATA — no row scan. Routes the read through the v2 parquet
+    source with ``spark.sql.parquet.aggregatePushdown`` so the plan's
+    BatchScan carries PushedAggregation (asserted in
+    tests/test_query_table_stats.py) and each file contributes only
+    its footer stats; at 100 TB that is thousands of footer reads
+    instead of a full scan. Returns one Row with ``<c>_min``,
+    ``<c>_max`` per column and ``n_rows``.
+
+    The two session confs are flipped and RESTORED around the one
+    collect (session-global — don't call concurrently with other
+    planning on the same session)."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    old_v1 = conf.get("spark.sql.sources.useV1SourceList", None)
+    old_pd = conf.get("spark.sql.parquet.aggregatePushdown", None)
+    try:
+        conf.set(
+            "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text"
+        )
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        df = spark.read.parquet(path)
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"{c}_min"))
+            aggs.append(F.max(c).alias(f"{c}_max"))
+        aggs.append(F.count(F.lit(1)).alias("n_rows"))
+        return df.agg(*aggs).collect()[0]
+    finally:
+        for k, v in (
+            ("spark.sql.sources.useV1SourceList", old_v1),
+            ("spark.sql.parquet.aggregatePushdown", old_pd),
+        ):
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
