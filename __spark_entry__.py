@@ -6083,6 +6083,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_qty_revenue": q17_small_qty_q,
         "q18_large_volume_cust": q18_large_volume_q,
         "q22_dormant_customers": q22_dormant_q,
+        "q2_min_cost_supplier": q2_min_cost_q,
+        "q11_important_stock": q11_stock_value_q,
+        "q12_shipmode_priority": q12_shipmode_q,
+        "q20_potential_promo": q20_potential_promo_q,
+        "q21_waiting_supplier": q21_waiting_q,
         "window_functions_battery": window_battery_q,
         "cube_grouping_battery": cube_battery_q,
         "embedding_quantize_int8": quantize_emb_q,
@@ -6331,6 +6336,11 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_qty_revenue": _Q17_SQL,
         "q18_large_volume_cust": _Q18_SQL,
         "q22_dormant_customers": _Q22_SQL,
+        "q2_min_cost_supplier": _Q2_SQL,
+        "q11_important_stock": _Q11_SQL,
+        "q12_shipmode_priority": _Q12_SQL,
+        "q20_potential_promo": _Q20_SQL,
+        "q21_waiting_supplier": _Q21_SQL,
         "window_functions_battery": _WINDOW_BATTERY_SQL,
         "cube_grouping_battery": _CUBE_BATTERY_SQL,
         "embedding_quantize_int8": _QUANTIZE_EMB_SQL,
@@ -9632,6 +9642,312 @@ WHERE c_acctbal > avg_bal
   AND c_custkey NOT IN (SELECT o_custkey FROM orders
                         WHERE o_orderdate >= TIMESTAMP '2000-07-01')
 GROUP BY 1 ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# TPC-H completion set (q2, q11, q12, q20, q21). The testdata has no
+# partsupp / shipmode / commit+receipt dates, so those columns are
+# SYNTHESIZED deterministically from existing keys (identical formulas
+# in the SQL oracles) — the JOIN/decorrelation SHAPES, which are the
+# point of these queries, are unchanged:
+#   ps_supplycost = ((l_partkey*31 + l_suppkey*17) % 1000)/10.0 + 1.0
+#   ps_availqty   = (l_partkey*7 + l_suppkey*13) % 9999 + 1
+#   shipmode      = MAIL|SHIP|RAIL by l_suppkey % 3
+#   late          = receipt_off (l_orderkey % 30) > commit_off (l_partkey % 20)
+# --------------------------------------------------------------------------
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").df
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .distinct()
+        .select(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+            (
+                ((F.col("l_partkey") * 31 + F.col("l_suppkey") * 17) % 1000)
+                / 10.0
+                + 1.0
+            ).alias("ps_supplycost"),
+            (
+                (F.col("l_partkey") * 7 + F.col("l_suppkey") * 13) % 9999 + 1
+            ).cast("int").alias("ps_availqty"),
+        )
+    )
+
+
+_PARTSUPP_CTE = """
+partsupp AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         ((l_partkey * 31 + l_suppkey * 17) % 1000) / 10.0 + 1.0
+           AS ps_supplycost,
+         CAST((l_partkey * 7 + l_suppkey * 13) % 9999 + 1 AS INT)
+           AS ps_availqty
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+"""
+
+
+def q2_min_cost_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: minimum-cost supplier per part within one
+    region — the correlated MIN subquery DECORRELATED to a per-part
+    min agg joined back on cost equality (ties kept, like the spec);
+    region/nation broadcast, supplier/partsupp scale with SF."""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier").df
+    n = _t(spark, sf_dir, "nation").df
+    r = _t(spark, sf_dir, "region").df.filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").df.filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") % 5 == 0)
+    )
+    nr = n.join(
+        F.broadcast(r.select(F.col("r_regionkey").alias("n_regionkey"))),
+        "n_regionkey",
+    ).select("n_nationkey", "n_name")
+    sx = s.join(
+        F.broadcast(nr), s["s_nationkey"] == nr["n_nationkey"]
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    j = (
+        ps.join(p.select("p_partkey"), ps["ps_partkey"] == p["p_partkey"])
+        .join(sx, ps["ps_suppkey"] == sx["s_suppkey"])
+    )
+    mn = j.groupBy("p_partkey").agg(F.min("ps_supplycost").alias("__min_cost"))
+    return (
+        j.join(mn, "p_partkey")
+        .filter(F.col("ps_supplycost") == F.col("__min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.round("ps_supplycost", 6).alias("min_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(20)
+    )
+
+
+_Q2_SQL = (
+    "WITH " + _PARTSUPP_CTE + """
+SELECT s_acctbal, s_name, n_name, p_partkey,
+       round(ps_supplycost, 6) AS min_cost
+FROM partsupp, part, supplier, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_type = 'ECONOMY' AND p_size % 5 = 0
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT MIN(ps_supplycost) FROM partsupp ps2, supplier s2, nation n2, region r2
+    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      AND r2.r_name = 'EUROPE')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 20
+"""
+)
+
+
+def q11_stock_value_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: important stock — per-part inventory value
+    within a supplier group, kept when above a FRACTION OF THE GLOBAL
+    TOTAL (scalar aggregate attached by lit-key broadcast hash join,
+    the decorrelated HAVING-subquery form). Decimal value sums keep
+    the threshold comparison exact."""
+    ps = _partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier").df.filter(
+        F.col("s_nationkey") % 5 == 2
+    )
+    val = (F.col("ps_supplycost") * F.col("ps_availqty")).cast("decimal(38,6)")
+    j = ps.join(
+        s.select("s_suppkey"), ps["ps_suppkey"] == s["s_suppkey"]
+    ).select("ps_partkey", val.alias("__v"))
+    per = j.groupBy("ps_partkey").agg(F.sum("__v").alias("__pv"))
+    tot = j.agg((F.sum("__v") * F.lit(0.001)).alias("__thr")).withColumn(
+        "__k", F.lit(1)
+    )
+    return (
+        per.withColumn("__k", F.lit(1))
+        .join(F.broadcast(tot), "__k")
+        .filter(F.col("__pv") > F.col("__thr"))
+        .select(
+            "ps_partkey",
+            F.round(F.col("__pv").cast("double"), 6).alias("stock_value"),
+        )
+        .orderBy(F.desc("stock_value"), "ps_partkey")
+    )
+
+
+_Q11_SQL = (
+    "WITH " + _PARTSUPP_CTE + """
+SELECT ps_partkey,
+       round(CAST(SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6)))
+             AS DOUBLE), 6) AS stock_value
+FROM partsupp, supplier
+WHERE ps_suppkey = s_suppkey AND s_nationkey % 5 = 2
+GROUP BY ps_partkey
+HAVING SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6))) > (
+  SELECT SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(38,6))) * 0.001
+  FROM partsupp, supplier
+  WHERE ps_suppkey = s_suppkey AND s_nationkey % 5 = 2)
+ORDER BY stock_value DESC, ps_partkey
+"""
+)
+
+
+def q12_shipmode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: late-shipment priority counts by ship mode —
+    one fact-fact join plus a two-way conditional aggregate (both
+    counts in ONE hash agg). shipmode and the commit/receipt offsets
+    are deterministic syntheses (header note)."""
+    li = _t(spark, sf_dir, "lineitem").df
+    o = _t(spark, sf_dir, "orders").df
+    mode = (
+        F.when(F.col("l_suppkey") % 3 == 0, "MAIL")
+        .when(F.col("l_suppkey") % 3 == 1, "SHIP")
+        .otherwise("RAIL")
+    )
+    late = (F.col("l_orderkey") % 30) > (F.col("l_partkey") % 20)
+    j = (
+        li.withColumn("shipmode", mode)
+        .filter(F.col("shipmode").isin("MAIL", "SHIP") & late)
+        .join(
+            o.select("o_orderkey", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.groupBy("shipmode")
+        .agg(
+            F.sum(high.cast("bigint")).alias("high_line_count"),
+            F.sum((~high).cast("bigint")).alias("low_line_count"),
+        )
+        .orderBy("shipmode")
+    )
+
+
+_Q12_SQL = """
+SELECT CASE WHEN l_suppkey % 3 = 0 THEN 'MAIL'
+            WHEN l_suppkey % 3 = 1 THEN 'SHIP' ELSE 'RAIL' END AS shipmode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_suppkey % 3 IN (0, 1)
+  AND (l_orderkey % 30) > (l_partkey % 20)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q20_potential_promo_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers with excess stock of promo-candidate
+    parts — the nested IN subqueries decorrelated to (1) a per-
+    (part, supplier) shipped-quantity agg over the window, (2) an
+    inner join to partsupp with the availqty > 0.5*qty filter, (3) a
+    left-semi join onto supplier."""
+    ps = _partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem").df
+    s = _t(spark, sf_dir, "supplier").df
+    p = _t(spark, sf_dir, "part").df.filter(F.col("p_name").like("blue%"))
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    shipped = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("__qty")
+        )
+    )
+    excess = (
+        ps.join(shipped, ["ps_partkey", "ps_suppkey"])
+        .join(p.select("p_partkey"), ps["ps_partkey"] == p["p_partkey"])
+        .filter(F.col("ps_availqty") > 0.5 * F.col("__qty"))
+        .select(F.col("ps_suppkey").alias("s_suppkey"))
+        .distinct()
+    )
+    return (
+        s.join(excess, "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 6).alias("s_acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+_Q20_SQL = (
+    "WITH " + _PARTSUPP_CTE + """
+SELECT s_suppkey, s_name, round(s_acctbal, 6) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT ps_suppkey FROM partsupp
+  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'blue%')
+    AND ps_availqty > 0.5 * (
+      SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+      FROM lineitem
+      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'))
+ORDER BY s_suppkey
+"""
+)
+
+
+def q21_waiting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier order — the EXISTS + NOT EXISTS pair decorrelated
+    into one per-order aggregate (distinct suppliers, distinct late
+    suppliers) joined back to the late lineitems; count per supplier,
+    top 20."""
+    li = _t(spark, sf_dir, "lineitem").df
+    o = _t(spark, sf_dir, "orders").df.filter(F.col("o_orderstatus") == "F")
+    s = _t(spark, sf_dir, "supplier").df
+    late = (F.col("l_orderkey") % 30) > (F.col("l_partkey") % 20)
+    lx = li.withColumn("__late", late.cast("int"))
+    per_order = lx.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(
+            F.when(F.col("__late") == 1, F.col("l_suppkey"))
+        ).alias("__n_late"),
+    )
+    cand = (
+        lx.filter(F.col("__late") == 1)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(per_order, "l_orderkey")
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+    )
+    return (
+        cand.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(s.select("s_suppkey", "s_name"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+_Q21_SQL = """
+WITH lx AS (
+  SELECT l_orderkey, l_suppkey, l_partkey,
+         CASE WHEN (l_orderkey % 30) > (l_partkey % 20) THEN 1 ELSE 0 END
+           AS late
+  FROM lineitem),
+per_order AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late
+  FROM lx GROUP BY l_orderkey),
+cand AS (
+  SELECT DISTINCT lx.l_orderkey, lx.l_suppkey
+  FROM lx
+  JOIN orders ON o_orderkey = lx.l_orderkey AND o_orderstatus = 'F'
+  JOIN per_order USING (l_orderkey)
+  WHERE lx.late = 1 AND n_supp > 1 AND n_late = 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM cand JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
 """
 
 
