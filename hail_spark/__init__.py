@@ -87,6 +87,17 @@ _LAZY = {
     "_set_flags": ("hail_spark.session", "_set_flags"),
     "_get_flags": ("hail_spark.session", "_get_flags"),
     "_with_flags": ("hail_spark.session", "_with_flags"),
+    # engine extensions beyond reference parity — discoverable as
+    # hail_spark.llmdata / .relational / .sketches / ... (each module's
+    # docstring is the user-facing inventory)
+    "llmdata": ("hail_spark.llmdata", None),
+    "relational": ("hail_spark.operators.relational", None),
+    "sketches": ("hail_spark.operators.sketches", None),
+    "graph": ("hail_spark.operators.graph", None),
+    "validate": ("hail_spark.operators.validate", None),
+    "layout": ("hail_spark.io.layout", None),
+    "streaming": ("hail_spark.streaming", None),
+    "multimodal": ("hail_spark.llmdata.multimodal", None),
 }
 
 # the whole hl.methods surface is also reachable at top level, as in the
