@@ -6097,6 +6097,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "datetime_battery": datetime_battery_q,
         "variant_extract_paths": variant_q,
         "parquet_stats_fast": parquet_stats_q,
+        "profile_numeric_columns": profile_columns_q,
         "hof_array_battery": hof_array_battery_q,
         "zorder_layout_key": zorder_q,
         "bpe_roundtrip_identity": bpe_roundtrip_q,
@@ -6350,6 +6351,7 @@ def oracle_sql() -> dict[str, str]:
         "datetime_battery": _DATETIME_BATTERY_SQL,
         "variant_extract_paths": _VARIANT_SQL,
         "parquet_stats_fast": _PARQUET_STATS_SQL,
+        "profile_numeric_columns": _PROFILE_COLUMNS_SQL,
         "hof_array_battery": _HOF_ARRAY_SQL,
         "zorder_layout_key": _ZORDER_SQL,
         "bpe_roundtrip_identity": _BPE_ROUNDTRIP_SQL,
@@ -10865,6 +10867,84 @@ def stream_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_DEDUP_SQL = """
 SELECT DISTINCT md5(text) AS text_md5 FROM documents ORDER BY text_md5
+"""
+
+
+def profile_columns_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric dataset-card profile (operators/validate.py
+    profile_columns): count/nulls/min/max/exact-decimal mean/population
+    std/exact quartiles/HLL distinct for three bounded-cardinality
+    lineitem columns, ALL metrics in ONE aggregate pass. HLL is exact
+    in its sparse regime (distinct counts here are 50/11/9 — far under
+    0.75·2^14); the oracle recomputes every metric independently."""
+    from hail_spark.operators.validate import profile_columns
+
+    li = _t(spark, sf_dir, "lineitem").df
+    return profile_columns(
+        li, ["l_quantity", "l_discount", "l_tax"]
+    ).orderBy("column")
+
+
+_PROFILE_COLUMNS_SQL = """
+WITH m AS (
+  SELECT 'l_quantity' AS "column", COUNT(*) AS n_rows,
+         COUNT(*) - COUNT(l_quantity) AS n_nulls,
+         CAST(MIN(l_quantity) AS DOUBLE) AS min,
+         CAST(MAX(l_quantity) AS DOUBLE) AS max,
+         round(CAST(SUM(CAST(l_quantity AS DECIMAL(15,6))) AS DOUBLE)
+               / COUNT(l_quantity), 9) AS mean,
+         round(sqrt(greatest(
+           CAST(SUM(CAST(l_quantity AS DECIMAL(15,6))
+                    * CAST(l_quantity AS DECIMAL(15,6))) AS DOUBLE)
+             / COUNT(l_quantity)
+           - (CAST(SUM(CAST(l_quantity AS DECIMAL(15,6))) AS DOUBLE)
+              / COUNT(l_quantity))
+             * (CAST(SUM(CAST(l_quantity AS DECIMAL(15,6))) AS DOUBLE)
+                / COUNT(l_quantity)), 0.0)), 9) AS std,
+         round(quantile_cont(l_quantity, 0.25), 9) AS q1,
+         round(quantile_cont(l_quantity, 0.5), 9) AS q2,
+         round(quantile_cont(l_quantity, 0.75), 9) AS q3,
+         COUNT(DISTINCT l_quantity) AS n_distinct
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+         CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+         round(CAST(SUM(CAST(l_discount AS DECIMAL(15,6))) AS DOUBLE)
+               / COUNT(l_discount), 9),
+         round(sqrt(greatest(
+           CAST(SUM(CAST(l_discount AS DECIMAL(15,6))
+                    * CAST(l_discount AS DECIMAL(15,6))) AS DOUBLE)
+             / COUNT(l_discount)
+           - (CAST(SUM(CAST(l_discount AS DECIMAL(15,6))) AS DOUBLE)
+              / COUNT(l_discount))
+             * (CAST(SUM(CAST(l_discount AS DECIMAL(15,6))) AS DOUBLE)
+                / COUNT(l_discount)), 0.0)), 9),
+         round(quantile_cont(l_discount, 0.25), 9),
+         round(quantile_cont(l_discount, 0.5), 9),
+         round(quantile_cont(l_discount, 0.75), 9),
+         COUNT(DISTINCT l_discount)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_tax', COUNT(*), COUNT(*) - COUNT(l_tax),
+         CAST(MIN(l_tax) AS DOUBLE), CAST(MAX(l_tax) AS DOUBLE),
+         round(CAST(SUM(CAST(l_tax AS DECIMAL(15,6))) AS DOUBLE)
+               / COUNT(l_tax), 9),
+         round(sqrt(greatest(
+           CAST(SUM(CAST(l_tax AS DECIMAL(15,6))
+                    * CAST(l_tax AS DECIMAL(15,6))) AS DOUBLE)
+             / COUNT(l_tax)
+           - (CAST(SUM(CAST(l_tax AS DECIMAL(15,6))) AS DOUBLE)
+              / COUNT(l_tax))
+             * (CAST(SUM(CAST(l_tax AS DECIMAL(15,6))) AS DOUBLE)
+                / COUNT(l_tax)), 0.0)), 9),
+         round(quantile_cont(l_tax, 0.25), 9),
+         round(quantile_cont(l_tax, 0.5), 9),
+         round(quantile_cont(l_tax, 0.75), 9),
+         COUNT(DISTINCT l_tax)
+  FROM lineitem)
+SELECT "column", n_rows, n_nulls, min, max, mean, std, q1, q2, q3,
+       CAST(n_distinct AS BIGINT) AS n_distinct
+FROM m ORDER BY "column"
 """
 
 

@@ -142,3 +142,63 @@ def validate(
         F.round(frac, 9).alias("violation_frac"),
         (frac <= F.lit(max_violation_frac)).alias("passed"),
     )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Numeric dataset-card profile: one row per column with count,
+    null count, min/max, exact-decimal mean, population std, exact
+    quartiles, and distinct count — the describe()++ that feeds a
+    data card or drift monitor.
+
+    ALL metrics for ALL columns ride ONE aggregate pass (conditional
+    agg slots, map-side partials) except distinct counts (one
+    approx-free agg per column is wasteful at scale, so distincts use
+    HLL sketches — exact in the sparse regime, ±0.8 % beyond; see
+    operators/sketches.py). Quartiles use Spark's exact ``percentile``
+    (O(distinct) buffer — for unbounded continuous columns at 100 TB
+    swap in percentile_approx, same caveat as llmdata.features)."""
+    if not cols:
+        raise ValueError("profile_columns: cols must be non-empty")
+    aggs = []
+    for c in cols:
+        x = F.col(c)
+        dec = x.try_cast("decimal(15,6)")
+        n = F.count(x)
+        aggs.extend(
+            [
+                F.count(F.lit(1)).alias(f"{c}__rows"),
+                (F.count(F.lit(1)) - n).alias(f"{c}__nulls"),
+                F.min(x).cast("double").alias(f"{c}__min"),
+                F.max(x).cast("double").alias(f"{c}__max"),
+                (F.sum(dec).cast("double") / n).alias(f"{c}__mean"),
+                (F.sum(dec * dec).cast("double") / n).alias(f"{c}__m2"),
+                F.percentile(x, F.lit(0.25)).alias(f"{c}__q1"),
+                F.percentile(x, F.lit(0.5)).alias(f"{c}__q2"),
+                F.percentile(x, F.lit(0.75)).alias(f"{c}__q3"),
+                # hll_sketch_agg takes int/bigint/string/binary only —
+                # doubles count distinct by their canonical string form
+                F.hll_sketch_estimate(
+                    F.hll_sketch_agg(x.cast("string"), F.lit(14))
+                ).alias(f"{c}__nd"),
+            ]
+        )
+    one = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        var = F.col(f"{c}__m2") - F.col(f"{c}__mean") * F.col(f"{c}__mean")
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__min").alias("min"),
+                F.col(f"{c}__max").alias("max"),
+                F.round(F.col(f"{c}__mean"), 9).alias("mean"),
+                F.round(F.sqrt(F.greatest(var, F.lit(0.0))), 9).alias("std"),
+                F.round(F.col(f"{c}__q1"), 9).alias("q1"),
+                F.round(F.col(f"{c}__q2"), 9).alias("q2"),
+                F.round(F.col(f"{c}__q3"), 9).alias("q3"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

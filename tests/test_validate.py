@@ -54,3 +54,28 @@ def test_validation_errors(spark):
         validate(df, [])
     with pytest.raises(ValueError):
         validate(df, [{"check": "nope", "col": "id"}])
+
+
+def test_profile_columns(spark):
+    import math
+
+    from hail_spark.operators.validate import profile_columns
+
+    df = spark.createDataFrame(
+        [(1.0, 10), (2.0, 20), (None, 30), (4.0, 30)], "a double, b long"
+    )
+    got = {r["column"]: r for r in profile_columns(df, ["a", "b"]).collect()}
+    a = got["a"]
+    assert (a["n_rows"], a["n_nulls"], a["min"], a["max"]) == (4, 1, 1.0, 4.0)
+    assert math.isclose(a["mean"], 7 / 3, rel_tol=1e-8)
+    import numpy as np
+
+    assert math.isclose(a["std"], np.std([1.0, 2.0, 4.0]), rel_tol=1e-8)
+    assert (a["q1"], a["q2"], a["q3"]) == (1.5, 2.0, 3.0)
+    assert a["n_distinct"] == 3
+    assert got["b"]["n_distinct"] == 3  # 30 duplicated
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        profile_columns(df, [])
