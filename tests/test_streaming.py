@@ -286,3 +286,60 @@ def test_stream_static_broadcast_enrich(spark, events_dir):
         .collect()
     }
     assert got == want
+
+
+def test_checkpoint_restart_processes_each_file_exactly_once(
+    spark, events_dir, tmp_path
+):
+    """Stop/restart with the SAME checkpointLocation resumes from the
+    source offset log: files ingested before the stop are never
+    reprocessed, later files are picked up — exactly-once ingestion
+    accounting across restarts (the property a 100-TB incremental
+    pipeline leans on)."""
+    import glob
+    import json
+    import shutil
+
+    ckpt = str(tmp_path / "ckpt")
+    out_log = tmp_path / "batches.jsonl"
+
+    src = str(tmp_path / "src")
+    shutil.copytree(events_dir, src)
+    first_files = sorted(glob.glob(f"{src}/*.parquet"))
+    # hold back the last two files for the second run
+    held = first_files[-2:]
+    for i, f in enumerate(held):
+        shutil.move(f, str(tmp_path / f"held-{i}.parquet"))
+
+    def run_once():
+        counts = []
+
+        def sink(batch_df, batch_id):
+            counts.append(batch_df.count())
+
+        q = (
+            read_events_stream(spark, src, max_files_per_trigger=2)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        with open(out_log, "a") as fh:
+            fh.write(json.dumps(counts) + "\n")
+        return sum(counts)
+
+    n_first = run_once()
+    n_src_first = spark.read.parquet(src).count()
+    assert n_first == n_src_first  # everything available, once
+
+    # no new files: restart does nothing
+    assert run_once() == 0
+
+    # add the held-back files: restart processes ONLY them
+    for i, f in enumerate(held):
+        shutil.move(str(tmp_path / f"held-{i}.parquet"), f)
+    n_second = run_once()
+    n_total = spark.read.parquet(src).count()
+    assert n_second == n_total - n_src_first
+    assert n_first + n_second == n_total  # exactly once overall
