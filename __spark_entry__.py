@@ -6098,6 +6098,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variant_extract_paths": variant_q,
         "parquet_stats_fast": parquet_stats_q,
         "profile_numeric_columns": profile_columns_q,
+        "schema_evolution_read": schema_evolution_q,
         "hof_array_battery": hof_array_battery_q,
         "zorder_layout_key": zorder_q,
         "bpe_roundtrip_identity": bpe_roundtrip_q,
@@ -6352,6 +6353,7 @@ def oracle_sql() -> dict[str, str]:
         "variant_extract_paths": _VARIANT_SQL,
         "parquet_stats_fast": _PARQUET_STATS_SQL,
         "profile_numeric_columns": _PROFILE_COLUMNS_SQL,
+        "schema_evolution_read": _SCHEMA_EVO_SQL,
         "hof_array_battery": _HOF_ARRAY_SQL,
         "zorder_layout_key": _ZORDER_SQL,
         "bpe_roundtrip_identity": _BPE_ROUNDTRIP_SQL,
@@ -10867,6 +10869,59 @@ def stream_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STREAM_DEDUP_SQL = """
 SELECT DISTINCT md5(text) AS text_md5 FROM documents ORDER BY text_md5
+"""
+
+
+def schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations of the same table
+    — the older written WITHOUT a column that was added later — read as
+    one DataFrame with mergeSchema; rows from the old generation
+    surface NULL for the added column. The oracle recomputes the
+    per-generation aggregate from the source table with the same
+    deterministic generation split (o_orderkey % 2)."""
+    import shutil
+
+    o = _t(spark, sf_dir, "orders").df
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    base = f"/tmp/hail_spark_schema_evo_{tag}_{os.getpid()}"
+    shutil.rmtree(base, ignore_errors=True)
+    gen0 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    gen0.write.parquet(f"{base}/gen=0")
+    gen1.write.parquet(f"{base}/gen=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/gen=0", f"{base}/gen=1"
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("__absent__")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("total"),
+        )
+        .orderBy("priority")
+    )
+
+
+_SCHEMA_EVO_SQL = """
+SELECT CASE WHEN o_orderkey % 2 = 0 THEN '__absent__'
+            ELSE o_orderpriority END AS priority,
+       COUNT(*) AS n,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4)
+         AS total
+FROM orders GROUP BY 1 ORDER BY 1
 """
 
 
