@@ -6154,6 +6154,12 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densify_sparse": densify_sparse_q,
         "import_matrix_table_rt": import_matrix_table_rt,
         "export_entries_by_col_rt": export_entries_by_col_rt,
+        "dsir_importance_select": dsir_select_q,
+        "robust_outliers_mad": robust_outliers_q,
+        "pmi_collocations_top": pmi_collocations_q,
+        "triangle_count_suppliers": triangle_count_q,
+        "welch_ttest_events": welch_ttest_q,
+        "orc_round_trip": orc_round_trip_q,
     }
 
 
@@ -6409,6 +6415,12 @@ def oracle_sql() -> dict[str, str]:
         "densify_sparse": _DENSIFY_SQL,
         "import_matrix_table_rt": _IMT_SQL,
         "export_entries_by_col_rt": _EEBC_SQL,
+        "dsir_importance_select": _DSIR_SQL,
+        "robust_outliers_mad": _ROBUST_OUTLIERS_SQL,
+        "pmi_collocations_top": _PMI_SQL,
+        "triangle_count_suppliers": _TRIANGLE_SQL,
+        "welch_ttest_events": _WELCH_SQL,
+        "orc_round_trip": _ORC_RT_SQL,
     }
 
 
@@ -11922,4 +11934,320 @@ r AS (SELECT *, row_number() OVER (PARTITION BY source
           ORDER BY tfidf DESC, token ASC) AS rank FROM scored)
 SELECT source, CAST(rank AS INT) AS rank, token, tfidf
 FROM r WHERE rank <= 3 ORDER BY source, rank
+"""
+
+
+# ---------------------------------------------------------------------- #
+# round 6 (late wave): DSIR selection, MAD outliers, PMI collocations,
+# triangle counting, Welch A/B tests, ORC round trip
+# ---------------------------------------------------------------------- #
+def dsir_select_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (llmdata/sampling.py dsir_select,
+    Xie et al. 2023 arXiv:2302.03169): select the 50 non-English docs
+    whose hashed-ngram distribution looks most English under
+    add-1-smoothed bucket models, via Gumbel-top-k over the importance
+    log-weights. One explode + bounded bucket table (1024 rows, AQE
+    broadcasts unhinted) + doc hash-agg + TakeOrderedAndProject — the
+    whole selection is two shuffles regardless of corpus size. The
+    oracle replays buckets (md5), the smoothed log-ratio models, and
+    the Gumbel keys arithmetically."""
+    from hail_spark.llmdata.sampling import dsir_select
+
+    d = _t(spark, sf_dir, "documents").df.withColumn(
+        "is_en", F.col("lang") == "en"
+    )
+    out = dsir_select(
+        d, "text", "doc_id", "is_en", k=50, n_buckets=1024, seed=11
+    )
+    return out.select("doc_id", F.round("logw", 6).alias("logw")).orderBy(
+        "doc_id"
+    )
+
+
+_DSIR_SQL = """
+WITH uni AS (
+  SELECT doc_id, lang = 'en' AS tgt, unnest(ws) AS g
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents)
+),
+bi AS (
+  SELECT doc_id, lang = 'en' AS tgt,
+         ws[i] || ' ' || ws[i+1] AS g
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+        FROM documents),
+       LATERAL (SELECT unnest(range(1, greatest(len(ws), 1))) AS i)
+),
+grams AS (SELECT doc_id, tgt, g FROM uni UNION ALL SELECT doc_id, tgt, g FROM bi),
+b AS (SELECT doc_id, tgt,
+             ('0x'||substr(md5(g),1,15))::BIGINT % 1024 AS bucket FROM grams),
+bc AS (SELECT bucket,
+              SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+              SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+       FROM b GROUP BY bucket),
+tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM bc),
+lr AS (SELECT bucket,
+              ln((ct + 1.0) / (tt + 1024.0)) - ln((cr + 1.0) / (tr + 1024.0)) AS lrv
+       FROM bc CROSS JOIN tot),
+scored AS (
+  SELECT doc_id, SUM(lrv) AS logw
+  FROM b JOIN lr USING (bucket) WHERE NOT tgt GROUP BY doc_id),
+keyed AS (
+  SELECT doc_id, logw,
+         logw - ln(-ln(((('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':11'),1,15))::BIGINT
+                          % 1073741824) + 0.5) / 1073741824.0)) AS k
+  FROM scored)
+SELECT doc_id, round(logw, 6) AS logw
+FROM (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 50)
+ORDER BY doc_id
+"""
+
+
+def robust_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD robust outlier detection (llmdata/features.py
+    robust_outliers, Iglewicz-Hoaglin modified z-score): per
+    event_type, flag |0.6745*(x-med)/MAD| > 3.5 — the outlier guard a
+    feature pipeline runs before scaling. Two grouped percentile aggs
+    broadcast back (group-count bounded), map-only flagging; the
+    exact=False percentile_approx path is the bounded-buffer 100-TB
+    variant (pytest-compared). Oracle: quantile_cont replays Spark's
+    exact percentile interpolation."""
+    from hail_spark.llmdata.features import robust_outliers
+
+    ev = _t(spark, sf_dir, "events").df.select("event_type", "value")
+    out = robust_outliers(ev, "event_type", "value", threshold=3.5)
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value_outlier").cast("int")).alias("n_outliers"),
+            F.round(F.max("value_rz"), 6).alias("max_rz"),
+            F.round(F.min("value_rz"), 6).alias("min_rz"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ROBUST_OUTLIERS_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+wm AS (SELECT e.event_type, e.value, m.med
+       FROM events e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, quantile_cont(abs(value - med), 0.5) AS mad
+        FROM wm GROUP BY event_type),
+rz AS (SELECT wm.event_type,
+              CASE WHEN mad.mad > 0
+                   THEN 0.6745 * (wm.value - wm.med) / mad.mad END AS rzv
+       FROM wm JOIN mad USING (event_type))
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN abs(rzv) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       round(MAX(rzv), 6) AS max_rz,
+       round(MIN(rzv), 6) AS min_rz
+FROM rz GROUP BY event_type ORDER BY event_type
+"""
+
+
+def pmi_collocations_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (llmdata/textstats.py pmi_collocations,
+    Church & Hanks 1990): top-25 adjacent word pairs by pointwise
+    mutual information with pair count >= 5 over the document corpus —
+    the phrase-vocabulary step of tokenizer/corpus analysis. Plan:
+    tokenize projection, explode, three hash-aggs joined on the word
+    (vocabulary-sized sides, no broadcast hint), TakeOrdered top-k.
+    The oracle zips unnest-with-ordinality to rebuild the bigrams."""
+    from hail_spark.llmdata.textstats import pmi_collocations
+
+    d = _t(spark, sf_dir, "documents").df
+    out = pmi_collocations(d, "text", min_count=5, top_k=25)
+    return out.select(
+        "w1", "w2", "n_pair", F.round("pmi", 6).alias("pmi")
+    )
+
+
+_PMI_SQL = """
+WITH ws AS (
+  SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents),
+pairs AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM ws, LATERAL (SELECT unnest(range(1, greatest(len(w), 1))) AS i)),
+pc AS (SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY 1, 2),
+lc AS (SELECT w1, COUNT(*) AS n1 FROM pairs GROUP BY 1),
+rc AS (SELECT w2, COUNT(*) AS n2 FROM pairs GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM pairs)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       round(ln(n_pair * n / (n1 * CAST(n2 AS DOUBLE))), 6) AS pmi
+FROM pc JOIN lc USING (w1) JOIN rc USING (w2) CROSS JOIN tot
+WHERE n_pair >= 5
+ORDER BY ln(n_pair * n / (n1 * CAST(n2 AS DOUBLE))) DESC, w1, w2
+LIMIT 25
+"""
+
+
+def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting (operators/graph.py triangle_count)
+    over the co-supplier graph: suppliers linked when they appear on
+    >= 5 common orders (min-support keeps the graph sparse as SF
+    grows). Canonical lo<hi orientation + two hash equi-joins + one
+    explode/hash-agg — the relational Chiba-Nishizeki enumeration.
+    Output: the 20 suppliers in the most triangles."""
+    from hail_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").df.select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .groupBy(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 5)
+    )
+    out = triangle_count(e, "src", "dst")
+    return out.orderBy(F.desc("n_triangles"), "node").limit(20)
+
+
+_TRIANGLE_SQL = """
+WITH e AS (
+  SELECT a.l_suppkey AS lo, b.l_suppkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+tri AS (
+  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+  FROM e ab
+  JOIN e bc ON bc.lo = ab.hi
+  JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+corners AS (
+  SELECT a AS node FROM tri UNION ALL
+  SELECT b FROM tri UNION ALL
+  SELECT c FROM tri)
+SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY node
+ORDER BY n_triangles DESC, node LIMIT 20
+"""
+
+
+def welch_ttest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch two-sample t-test per experiment group (operators/
+    abtest.py welch_ttest): cohort A = even user_id, metric = value,
+    one test per event_type — the A/B readout query. Conditional
+    decimal-exact sums in ONE hash-agg per group (map-side partials,
+    order-independent moments), derived t and Welch-Satterthwaite dof
+    as deterministic arithmetic; the two-sided p (incomplete-beta,
+    tested in pytest vs scipy-grade numerics) rides an Arrow UDF over
+    the group-count-sized aggregate, not the corpus."""
+    from hail_spark.operators.abtest import welch_ttest
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        "value",
+        (F.col("user_id") % 2 == 0).alias("cohort"),
+    )
+    out = welch_ttest(ev, "event_type", "value", "cohort", p_value=False)
+    return out.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round("t", 6).alias("t"),
+        F.round("dof", 6).alias("dof"),
+    ).orderBy("event_type")
+
+
+_WELCH_SQL = """
+WITH agg AS (
+  SELECT event_type,
+         SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS n_b,
+         CAST(SUM(CASE WHEN user_id % 2 = 0
+                       THEN CAST(value AS DECIMAL(15,6)) END) AS DOUBLE) AS sa,
+         CAST(SUM(CASE WHEN user_id % 2 <> 0
+                       THEN CAST(value AS DECIMAL(15,6)) END) AS DOUBLE) AS sb,
+         CAST(SUM(CASE WHEN user_id % 2 = 0
+                       THEN CAST(value AS DECIMAL(15,6)) * CAST(value AS DECIMAL(15,6)) END)
+              AS DOUBLE) AS qa,
+         CAST(SUM(CASE WHEN user_id % 2 <> 0
+                       THEN CAST(value AS DECIMAL(15,6)) * CAST(value AS DECIMAL(15,6)) END)
+              AS DOUBLE) AS qb
+  FROM events GROUP BY event_type),
+m AS (
+  SELECT event_type, n_a, n_b,
+         sa / n_a AS mean_a, sb / n_b AS mean_b,
+         CASE WHEN n_a >= 2 AND n_b >= 2
+              THEN (qa - sa * sa / n_a) / (n_a - 1) END AS var_a,
+         CASE WHEN n_a >= 2 AND n_b >= 2
+              THEN (qb - sb * sb / n_b) / (n_b - 1) END AS var_b
+  FROM agg),
+s AS (
+  SELECT *, var_a / n_a + var_b / n_b AS se2 FROM m)
+SELECT event_type, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(mean_a, 6) AS mean_a, round(mean_b, 6) AS mean_b,
+       round(CASE WHEN se2 > 0 THEN (mean_a - mean_b) / sqrt(se2) END, 6) AS t,
+       round(CASE WHEN se2 > 0 THEN se2 * se2 /
+                  ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                   + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) END, 6) AS dof
+FROM s ORDER BY event_type
+"""
+
+
+def orc_round_trip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector round trip (Spark-native columnar format beside
+    parquet): high-value lineitem columns -> ORC in /tmp (snappy) ->
+    re-read -> per-flag census. Column pruning and predicate pushdown
+    work on the ORC scan exactly as on parquet (native vectorized
+    reader); the oracle computes the census straight off the parquet,
+    so any type/precision loss in the round trip breaks the row."""
+    import os
+
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", "l_returnflag", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_orc_{tag}"
+    li.write.mode("overwrite").orc(path)
+    back = li.sparkSession.read.orc(path).filter(
+        F.col("l_quantity") > 10
+    )
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(38,6)")
+                    * (1 - F.col("l_discount").cast("decimal(38,6)"))
+                ).cast("double"),
+                4,
+            ).alias("revenue"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORC_RT_SQL = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))
+                      * (1 - CAST(l_discount AS DECIMAL(38,6)))) AS DOUBLE), 4) AS revenue,
+       MAX(l_shipdate) AS max_ship
+FROM lineitem WHERE l_quantity > 10
+GROUP BY l_returnflag ORDER BY l_returnflag
 """

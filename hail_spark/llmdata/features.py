@@ -201,3 +201,66 @@ def quantile_bins(
         )
         .drop("__thr")
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold: float = 3.5,
+    out_col: str | None = None,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """MAD-based robust outlier flagging per group (Iglewicz-Hoaglin
+    1993 modified z-score): ``z = 0.6745 * (x - median) / MAD`` where
+    MAD = median(|x - median|); rows with |z| > ``threshold`` flag as
+    outliers. Unlike mean/std z-scores, a few extreme values cannot
+    mask themselves (the median and MAD are 50%-breakdown estimators).
+
+    Adds ``out_col`` (default ``<value>_outlier``) boolean plus the
+    modified z in ``<value>_rz`` (NULL when MAD = 0 — a degenerate
+    group where >= half the values equal the median; such rows are
+    never flagged).
+
+    Scale shape: two grouped percentile aggs (group medians, then MAD
+    over the residuals) each broadcast back by group key — bounded by
+    group count, no window, no corpus sort. ``exact=True`` matches
+    DuckDB's ``quantile_cont`` (oracle parity) but buffers every
+    distinct value per group; ``exact=False`` switches both medians to
+    ``percentile_approx`` (bounded buffer) for continuous columns at
+    100-TB scale."""
+    out_col = out_col or f"{value_col}_outlier"
+    med = (
+        F.percentile(F.col(value_col), F.lit(0.5))
+        if exact
+        else F.percentile_approx(
+            F.col(value_col), F.lit(0.5), F.lit(accuracy)
+        ).cast("double")
+    )
+    m = df.groupBy(key_col).agg(med.alias("__med"))
+    with_med = df.join(F.broadcast(m), key_col)
+    resid = F.abs(F.col(value_col) - F.col("__med"))
+    mad_med = (
+        F.percentile(resid, F.lit(0.5))
+        if exact
+        else F.percentile_approx(resid, F.lit(0.5), F.lit(accuracy)).cast(
+            "double"
+        )
+    )
+    mads = with_med.groupBy(key_col).agg(mad_med.alias("__mad"))
+    rz = F.when(
+        F.col("__mad") > 0,
+        0.6745 * (F.col(value_col) - F.col("__med")) / F.col("__mad"),
+    )
+    return (
+        with_med.join(F.broadcast(mads), key_col)
+        .withColumn(f"{value_col}_rz", rz)
+        .withColumn(
+            out_col,
+            F.coalesce(
+                F.abs(F.col(f"{value_col}_rz")) > threshold, F.lit(False)
+            ),
+        )
+        .drop("__med", "__mad")
+    )

@@ -402,3 +402,116 @@ def weighted_sample(
         .limit(k)
         .drop("__wkey")
     )
+
+
+def hashed_gram_buckets(
+    text: Column, n_buckets: int = 4096, include_bigrams: bool = True
+) -> Column:
+    """Hashed bag-of-n-grams featurization: lowercase whitespace
+    tokens (unigrams + adjacent bigrams) hashed into ``n_buckets``
+    md5-derived buckets — the feature map of DSIR (Xie et al. 2023,
+    arXiv:2302.03169). Returns ``array<bigint>`` of bucket ids, one
+    per gram occurrence (multiplicity preserved). Portable: any SQL
+    engine with md5 replays the buckets exactly.
+    """
+    toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    if include_bigrams:
+        # sequence(2, size) is empty-guarded: sequence(2, n<2) DESCENDS,
+        # so gate on size >= 2 (the round-4 phantom-row gotcha)
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(2), F.size(toks)),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i - 1), F.element_at(toks, i)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        grams = F.concat(toks, bigrams)
+    else:
+        grams = toks
+    return F.transform(grams, lambda g: F.pmod(md5_int(g), F.lit(n_buckets)))
+
+
+def dsir_select(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    k: int,
+    n_buckets: int = 4096,
+    seed: int = 0,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169): pick ``k`` rows from the raw pool
+    (``target_col`` false) that look most like the target distribution
+    (``target_col`` true) under hashed-n-gram bag-of-words models.
+
+    1. Featurize every doc into hashed gram buckets
+       (:func:`hashed_gram_buckets`).
+    2. Fit add-``smoothing`` bucket models for target and raw:
+       ``p[b] = (count[b] + a) / (total + a*B)``.
+    3. Per raw doc, importance log-weight
+       ``log w = sum_grams (ln p_target[b] - ln p_raw[b])``.
+    4. Gumbel-top-k resampling: key = log w + Gumbel noise derived
+       from md5(uid:seed) — a without-replacement sample proportional
+       to the importance weights (deterministic, SQL-replayable).
+
+    Returns (id, logw, __key) rows of the ``k`` selected docs.
+
+    Scale shape: one explode + hash-agg builds the bucket table
+    (EXACTLY ``n_buckets`` rows — bounded by construction, so the
+    score join's small side always fits a broadcast, which AQE applies
+    unhinted); scoring is one hash-agg by doc id; selection is
+    orderBy+limit = TakeOrderedAndProject (per-partition heaps, no
+    global sort). No driver-side state, no collect.
+    """
+    if k < 1:
+        raise ValueError("dsir_select: k must be >= 1")
+    a = float(smoothing)
+    feats = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(target_col).cast("boolean").alias("__tgt"),
+        hashed_gram_buckets(F.col(text_col), n_buckets).alias("__buckets"),
+    )
+    g = feats.select(
+        "__id", "__tgt", F.explode("__buckets").alias("bucket")
+    )
+    bc = g.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__ct"),
+        F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("__cr"),
+    )
+    tot = bc.agg(
+        F.sum("__ct").alias("__tt"), F.sum("__cr").alias("__tr")
+    )
+    lr = bc.crossJoin(tot).select(
+        "bucket",
+        (
+            F.log((F.col("__ct") + a) / (F.col("__tt") + a * n_buckets))
+            - F.log((F.col("__cr") + a) / (F.col("__tr") + a * n_buckets))
+        ).alias("__lr"),
+    )
+    scored = (
+        g.filter(~F.col("__tgt"))
+        .join(lr, "bucket")
+        .groupBy("__id")
+        .agg(F.sum("__lr").alias("logw"))
+    )
+    # Gumbel noise from the md5 uniform, offset to (0, 1) so both ln
+    # calls stay in-domain under ANSI (u = 0 or 1 would hit ln(0))
+    denom = float(_DENOM)
+    u = (
+        F.pmod(
+            md5_int(F.concat(F.col("__id").cast("string"), F.lit(f":{seed}"))),
+            F.lit(_DENOM),
+        )
+        + 0.5
+    ) / denom
+    key = F.col("logw") - F.log(-F.log(u))
+    return (
+        scored.withColumn("__key", key)
+        .orderBy(F.desc("__key"), F.col("__id"))
+        .limit(k)
+        .select(F.col("__id").alias(id_col), "logw", "__key")
+    )

@@ -614,3 +614,64 @@ def c4_signals(
         "c4_keep",
         (F.col("n_sentences") >= 3) & ~F.col("has_lorem") & ~F.col("has_curly"),
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus-level collocation mining by pointwise mutual information
+    (Church & Hanks 1990): for each adjacent word pair,
+    ``pmi = ln(c(w1,w2) * N / (c(w1) * c(w2)))`` with N = total bigram
+    occurrences and unigram counts taken over bigram slots (w1 over
+    left slots, w2 over right) so the marginals are proper bigram-table
+    marginals. Returns the ``top_k`` pairs with ``count >= min_count``
+    ordered by (pmi desc, w1, w2): (w1, w2, n_pair, pmi).
+
+    Scale shape: one tokenize projection, one explode, three hash-aggs
+    (pair, left-unigram, right-unigram) joined on the word — the
+    unigram tables are vocabulary-sized (no broadcast hint; AQE decides)
+    — and a TakeOrderedAndProject top-k. No window over the corpus, no
+    driver state."""
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = df.select(
+        F.filter(F.split(F.trim(txt), r"\s+"), lambda w: w != "").alias("__toks")
+    )
+    pairs = toks.select(
+        F.explode(
+            F.when(
+                F.size("__toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(2), F.size("__toks")),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__toks"), i - 1).alias("w1"),
+                        F.element_at(F.col("__toks"), i).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    pc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    lc = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("__n1"))
+    rc = pairs.groupBy("w2").agg(F.count(F.lit(1)).alias("__n2"))
+    tot = pairs.agg(F.count(F.lit(1)).alias("__n"))
+    out = (
+        pc.filter(F.col("n_pair") >= min_count)
+        .join(lc, "w1")
+        .join(rc, "w2")
+        .crossJoin(tot)
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.log(
+                F.col("n_pair")
+                * F.col("__n")
+                / (F.col("__n1") * F.col("__n2")).cast("double")
+            ).alias("pmi"),
+        )
+    )
+    return out.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)

@@ -1,0 +1,162 @@
+"""A/B experiment analysis over event tables.
+
+Classic online-experimentation readouts expressed as single hash-agg
+plans: Welch's unequal-variance t-test (the default two-sample mean
+test, Welch 1947) and the pooled two-proportion z-test, computed per
+experiment/metric group in one pass.
+
+Scale shape: everything reduces to conditional SUM/COUNT aggregates
+per group — map-side partial aggregation, one shuffle on the group
+key, no window, no collect. Sums run over ``decimal(15,6)``-quantized
+inputs so the per-group moments are order-independent (bit-identical
+across engines and retries — the established oracle-parity trick);
+derived statistics are then deterministic double arithmetic. The
+p-value columns need the regularized incomplete beta / error function,
+which SQL lacks — they are computed by an Arrow-batched pandas UDF
+over the AGGREGATED table (group-count rows, not data rows), so the
+UDF cost is negligible and the heavy path stays JVM-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..expr.stats import pT, pnorm
+
+
+def _exact_sum(c: Column) -> Column:
+    """Order-independent SUM: quantize to decimal(15,6) (exact decimal
+    addition), return double. Inputs must be < 1e9 in magnitude —
+    the documented range of the decimal trick (see llmdata.features)."""
+    return F.sum(c.cast("decimal(15,6)")).cast("double")
+
+
+def _exact_sumsq(c: Column) -> Column:
+    """Order-independent sum of squares: decimal(15,6)² has scale 12 /
+    precision 30, well inside the 38-digit cap (no silent rounding)."""
+    d = c.cast("decimal(15,6)")
+    return F.sum(d * d).cast("double")
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    cohort_col: str,
+    p_value: bool = True,
+) -> DataFrame:
+    """Welch's two-sample t-test per group: compares the mean of
+    ``value_col`` between cohort A (``cohort_col`` truthy) and cohort B
+    within each ``group_col``. Returns per group: n_a, n_b, mean_a,
+    mean_b, t (Welch statistic) and dof (Welch-Satterthwaite degrees of
+    freedom), plus two-sided ``p`` when ``p_value=True``. Groups where
+    either cohort has < 2 rows or both variances are 0 yield NULL
+    t/dof/p.
+    """
+    a = F.col(cohort_col).cast("boolean")
+    v = F.col(value_col)
+    agg = df.groupBy(group_col).agg(
+        F.sum(F.when(a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(a, 0).otherwise(1)).alias("n_b"),
+        _exact_sum(F.when(a, v)).alias("__sa"),
+        _exact_sum(F.when(~a, v)).alias("__sb"),
+        _exact_sumsq(F.when(a, v)).alias("__qa"),
+        _exact_sumsq(F.when(~a, v)).alias("__qb"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("__sa") / na
+    mb = F.col("__sb") / nb
+    va = (F.col("__qa") - F.col("__sa") * F.col("__sa") / na) / (na - 1)
+    vb = (F.col("__qb") - F.col("__sb") * F.col("__sb") / nb) / (nb - 1)
+    out = agg.select(
+        group_col,
+        "n_a",
+        "n_b",
+        ma.alias("mean_a"),
+        mb.alias("mean_b"),
+        F.when((na >= 2) & (nb >= 2), va).alias("var_a"),
+        F.when((na >= 2) & (nb >= 2), vb).alias("var_b"),
+    )
+    se2 = F.col("var_a") / na + F.col("var_b") / nb
+    t = F.when(se2 > 0, (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2))
+    dof = F.when(
+        se2 > 0,
+        (se2 * se2)
+        / (
+            (F.col("var_a") / na) * (F.col("var_a") / na) / (na - 1)
+            + (F.col("var_b") / nb) * (F.col("var_b") / nb) / (nb - 1)
+        ),
+    )
+    out = out.withColumn("t", t).withColumn("dof", dof)
+    if p_value:
+
+        def _p_fn(t_s: pd.Series, d_s: pd.Series) -> pd.Series:
+            tv = t_s.to_numpy(dtype=float)
+            dv = d_s.to_numpy(dtype=float)
+            ok = np.isfinite(tv) & np.isfinite(dv) & (dv > 0)
+            p = np.full(len(tv), np.nan)
+            if ok.any():
+                # two-sided: 2 * P(T_dof > |t|)
+                p[ok] = 2.0 * pT(np.abs(tv[ok]), dv[ok], lower_tail=False)
+            return pd.Series(p)
+
+        _p_fn.__annotations__ = {
+            "t_s": pd.Series, "d_s": pd.Series, "return": pd.Series
+        }
+        p_udf = pandas_udf(_p_fn, "double")
+        out = out.withColumn("p", p_udf(F.col("t"), F.col("dof")))
+    return out
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    cohort_col: str,
+    p_value: bool = True,
+) -> DataFrame:
+    """Pooled two-proportion z-test per group: compares the rate of
+    ``success_col`` (boolean) between cohorts. Returns n/successes per
+    cohort, the rates, the pooled z statistic, and two-sided ``p`` when
+    requested (NULL z/p when a cohort is empty or the pooled rate is
+    degenerate 0/1)."""
+    a = F.col(cohort_col).cast("boolean")
+    s = F.col(success_col).cast("boolean")
+    agg = df.groupBy(group_col).agg(
+        F.sum(F.when(a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(a & s, 1).otherwise(0)).alias("k_a"),
+        F.sum(F.when(~a & s, 1).otherwise(0)).alias("k_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ra = F.when(na > 0, F.col("k_a") / na)
+    rb = F.when(nb > 0, F.col("k_b") / nb)
+    pool = (F.col("k_a") + F.col("k_b")) / (na + nb)
+    se2 = pool * (1 - pool) * (1 / na + 1 / nb)
+    out = agg.select(
+        group_col, "n_a", "n_b", "k_a", "k_b",
+        ra.alias("rate_a"), rb.alias("rate_b"),
+    ).withColumn(
+        "z",
+        F.when(
+            (na > 0) & (nb > 0) & (se2 > 0),
+            (F.col("rate_a") - F.col("rate_b")) / F.sqrt(se2),
+        ),
+    )
+    if p_value:
+
+        def _pz_fn(z_s: pd.Series) -> pd.Series:
+            zv = z_s.to_numpy(dtype=float)
+            ok = np.isfinite(zv)
+            p = np.full(len(zv), np.nan)
+            if ok.any():
+                p[ok] = 2.0 * pnorm(np.abs(zv[ok]), lower_tail=False)
+            return pd.Series(p)
+
+        _pz_fn.__annotations__ = {"z_s": pd.Series, "return": pd.Series}
+        pz_udf = pandas_udf(_pz_fn, "double")
+        out = out.withColumn("p", pz_udf(F.col("z")))
+    return out
