@@ -475,9 +475,13 @@ def dsir_select(
         F.col(target_col).cast("boolean").alias("__tgt"),
         hashed_gram_buckets(F.col(text_col), n_buckets).alias("__buckets"),
     )
+    # the exploded gram table feeds BOTH the bucket-model agg and the
+    # scoring join — lazy persist() shares the tokenize+md5 pass instead
+    # of recomputing it (the minhash-signature lesson: persist beats
+    # localCheckpoint here, which would run an extra eager job)
     g = feats.select(
         "__id", "__tgt", F.explode("__buckets").alias("bucket")
-    )
+    ).persist()
     bc = g.groupBy("bucket").agg(
         F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__ct"),
         F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("__cr"),
