@@ -6160,6 +6160,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_suppliers": triangle_count_q,
         "welch_ttest_events": welch_ttest_q,
         "orc_round_trip": orc_round_trip_q,
+        "kmv_theta_sketch": kmv_sketch_q,
+        "label_propagation_communities": label_propagation_q,
+        "attribution_first_last": attribution_q,
+        "target_encode_loo": target_encode_q,
     }
 
 
@@ -6421,6 +6425,10 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count_suppliers": _TRIANGLE_SQL,
         "welch_ttest_events": _WELCH_SQL,
         "orc_round_trip": _ORC_RT_SQL,
+        "kmv_theta_sketch": _KMV_SQL,
+        "label_propagation_communities": _LPA_SQL,
+        "attribution_first_last": _ATTRIBUTION_SQL,
+        "target_encode_loo": _TARGET_ENCODE_SQL,
     }
 
 
@@ -12250,4 +12258,253 @@ SELECT l_returnflag,
        MAX(l_shipdate) AS max_ship
 FROM lineitem WHERE l_quantity > 10
 GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def kmv_sketch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV theta sketch (operators/sketches.py kmv_build/estimate/
+    intersect — Bar-Yossef 2002 / Beyer 2007): per-event-type distinct
+    user estimates at k=64 (small types exact, large ones through the
+    (k-1)M/h_k estimator) PLUS a set-intersection estimate for
+    click∩purchase users — the sketch op HLL cannot do. The sketch is
+    'the k smallest md5 hashes', so the oracle replays every step
+    bit-exactly; est and exact ride side by side in the output."""
+    from hail_spark.operators.sketches import (
+        kmv_build, kmv_estimate, kmv_intersect_estimate,
+    )
+
+    K = 64
+    ev = _t(spark, sf_dir, "events").df.select("event_type", "user_id")
+    sk = kmv_build(ev, "event_type", "user_id", k=K)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact")
+    )
+    per = (
+        sk.join(exact, "event_type")
+        .select(
+            F.col("event_type").alias("name"),
+            F.round(kmv_estimate(F.col("kmv"), F.col("kmv_k")), 4).alias("est"),
+            "exact",
+        )
+    )
+    a = sk.filter(F.col("event_type") == "click").select(
+        F.col("kmv").alias("__a")
+    )
+    b = sk.filter(F.col("event_type") == "purchase").select(
+        F.col("kmv").alias("__b")
+    )
+    both = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("p"),
+    ).filter((F.col("c") == 1) & (F.col("p") == 1)).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    inter = (
+        a.crossJoin(b)
+        .crossJoin(both)
+        .select(
+            F.lit("click&purchase").alias("name"),
+            F.round(
+                kmv_intersect_estimate(F.col("__a"), F.col("__b"), K), 4
+            ).alias("est"),
+            "exact",
+        )
+    )
+    return per.unionByName(inter).orderBy("name")
+
+
+_KMV_SQL = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS hv
+  FROM events),
+r AS (SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h),
+stats AS (
+  SELECT event_type, COUNT(*) AS nd,
+         MAX(CASE WHEN rn <= 64 THEN hv END) AS kth
+  FROM r GROUP BY event_type),
+per AS (
+  SELECT event_type AS name,
+         round(CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+                    ELSE 63.0 * 1152921504606846976 / kth END, 4) AS est,
+         CAST(nd AS BIGINT) AS exact
+  FROM stats),
+ca AS (SELECT list(hv ORDER BY hv) AS l FROM r WHERE event_type = 'click' AND rn <= 64),
+cb AS (SELECT list(hv ORDER BY hv) AS l FROM r WHERE event_type = 'purchase' AND rn <= 64),
+un AS (SELECT list_sort(list_distinct(ca.l || cb.l)) AS u, ca.l AS la, cb.l AS lb
+       FROM ca, cb),
+inter AS (
+  SELECT 'click&purchase' AS name,
+         round(CASE WHEN len(u) <= 64
+                    THEN CAST(len(list_intersect(la, lb)) AS DOUBLE)
+                    ELSE (len(list_filter(list_intersect(la, lb), x -> x <= u[64])) / 63.0)
+                         * (63.0 * 1152921504606846976 / u[64]) END, 4) AS est,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM (
+            SELECT user_id FROM events GROUP BY user_id
+            HAVING MAX(CASE WHEN event_type='click' THEN 1 ELSE 0 END) = 1
+               AND MAX(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) = 1)) AS exact
+  FROM un)
+SELECT name, est, exact FROM per
+UNION ALL SELECT name, est, exact FROM inter
+ORDER BY name
+"""
+
+
+def label_propagation_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label propagation (operators/graph.py
+    label_propagation, Raghavan 2007 with min-label tie-break) over
+    the customer—supplier purchase graph, 2 synchronous rounds, then
+    the 15 largest community labels. Per-round plan: labels ⋈ edges →
+    (node, label) count hash-agg → min_by argmax — SQL-replayable as
+    stacked CTEs, no driver state."""
+    from hail_spark.operators.graph import label_propagation
+
+    o = _t(spark, sf_dir, "orders").df
+    li = _t(spark, sf_dir, "lineitem").df
+    e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    )
+    out = label_propagation(e, n_iter=2, directed=False)
+    return (
+        out.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy(F.desc("n_members"), "label")
+        .limit(15)
+    )
+
+
+_LPA_SQL = """
+WITH e0 AS (SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+l0 AS (SELECT node, node AS label FROM nodes),
+v1 AS (SELECT e.dst AS v, l0.label, COUNT(*) AS n
+       FROM e JOIN l0 ON l0.node = e.src GROUP BY 1, 2),
+b1 AS (SELECT v, label FROM (
+         SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY n DESC, label) AS rk
+         FROM v1) WHERE rk = 1),
+l1 AS (SELECT node, COALESCE(b1.label, node) AS label
+       FROM nodes LEFT JOIN b1 ON b1.v = nodes.node),
+v2 AS (SELECT e.dst AS v, l1.label, COUNT(*) AS n
+       FROM e JOIN l1 ON l1.node = e.src GROUP BY 1, 2),
+b2 AS (SELECT v, label FROM (
+         SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY n DESC, label) AS rk
+         FROM v2) WHERE rk = 1),
+l2 AS (SELECT node, COALESCE(b2.label, node) AS label
+       FROM nodes LEFT JOIN b2 ON b2.v = nodes.node)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM l2 GROUP BY label ORDER BY n_members DESC, label LIMIT 15
+"""
+
+
+def attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch conversion attribution (operators/
+    relational.py attribute_conversions): every purchase event is
+    attributed to the first and last view/click/signup by the same
+    user in the preceding 48 h. The engine uses the horizon-banded
+    join (per-conversion fan-out bounded by a 2-horizon window, not
+    per-user history); the oracle replays the window predicate with a
+    plain join at gate scale. Output: per event_type-attribution
+    census so the row count stays bounded."""
+    from hail_spark.operators.relational import attribute_conversions
+
+    H = 172_800_000_000  # 48 h in micros
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_id", "user_id", "event_type", _micros("ts").alias("tsu")
+    )
+    out = attribute_conversions(
+        ev,
+        "user_id",
+        "tsu",
+        conversion_pred=F.col("event_type") == "purchase",
+        touch_pred=F.col("event_type").isin("view", "click", "signup"),
+        horizon=H,
+        touch_cols=["event_type"],
+    )
+    return (
+        out.groupBy(
+            F.coalesce(F.col("first_event_type"), F.lit("(none)")).alias("first_touch"),
+            F.coalesce(F.col("last_event_type"), F.lit("(none)")).alias("last_touch"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum("n_touches").alias("n_touches"),
+        )
+        .orderBy("first_touch", "last_touch")
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events),
+conv AS (SELECT event_id, user_id, tsu FROM ev WHERE event_type = 'purchase'),
+touch AS (SELECT user_id, event_type, tsu FROM ev
+          WHERE event_type IN ('view', 'click', 'signup')),
+j AS (
+  SELECT c.event_id,
+         min_by(t.event_type, t.tsu) AS first_event_type,
+         max_by(t.event_type, t.tsu) AS last_event_type,
+         COUNT(t.tsu) AS n_touches
+  FROM conv c LEFT JOIN touch t
+    ON t.user_id = c.user_id
+   AND t.tsu < c.tsu AND t.tsu >= c.tsu - 172800000000
+  GROUP BY c.event_id)
+SELECT COALESCE(first_event_type, '(none)') AS first_touch,
+       COALESCE(last_event_type, '(none)') AS last_touch,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(SUM(n_touches) AS BIGINT) AS n_touches
+FROM j GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def target_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (llmdata/features.py
+    target_encode, Micci-Barreca 2001): event_type encoded by the mean
+    of value excluding each row's own contribution, smoothing m=10
+    toward the global mean. One category hash-agg + AQE-broadcast join
+    back + map-only arithmetic; decimal-exact sums make the encoding
+    order-independent. Output folds the per-row encodings back to a
+    per-category census (mean/min/max of the LOO encodings)."""
+    from hail_spark.llmdata.features import target_encode
+
+    ev = _t(spark, sf_dir, "events").df.select("event_type", "value")
+    out = target_encode(
+        ev, "event_type", "value", leave_one_out=True, smoothing=10.0
+    )
+    return (
+        out.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.avg(F.col("event_type_te").cast("decimal(15,6)")).cast("double"), 6
+            ).alias("mean_te"),
+            F.round(F.min("event_type_te"), 6).alias("min_te"),
+            F.round(F.max("event_type_te"), 6).alias("max_te"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_TARGET_ENCODE_SQL = """
+WITH per AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(15,6))) AS DOUBLE) AS s,
+         COUNT(value) AS n
+  FROM events GROUP BY event_type),
+g AS (SELECT SUM(s) / SUM(n) AS prior FROM per),
+enc AS (
+  SELECT e.event_type,
+         CASE WHEN per.n + 10.0 > 1
+              THEN (per.s - e.value + 10.0 * g.prior) / (per.n - 1 + 10.0)
+              ELSE g.prior END AS te
+  FROM events e JOIN per USING (event_type) CROSS JOIN g)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(AVG(CAST(te AS DECIMAL(15,6))) AS DOUBLE), 6) AS mean_te,
+       round(MIN(te), 6) AS min_te,
+       round(MAX(te), 6) AS max_te
+FROM enc GROUP BY event_type ORDER BY event_type
 """

@@ -264,3 +264,56 @@ def robust_outliers(
         )
         .drop("__med", "__mad")
     )
+
+
+def target_encode(
+    df: DataFrame,
+    category_col: str,
+    target_col: str,
+    out_col: str | None = None,
+    leave_one_out: bool = True,
+    smoothing: float = 0.0,
+    prior: float | None = None,
+) -> DataFrame:
+    """Target (mean) encoding of a categorical column: replace each
+    category with the mean of ``target_col`` over its rows — the
+    standard high-cardinality categorical feature. With
+    ``leave_one_out=True`` each row's own target is excluded
+    (``(sum - y) / (n - 1)``, Micci-Barreca 2001 §4's leakage guard;
+    singleton categories fall back to the global prior). ``smoothing``
+    m blends toward the global mean: ``(sum + m*prior) / (n + m)``.
+
+    Scale shape: one hash-agg over categories + a broadcast-eligible
+    join back (category-count bounded — that boundedness is the
+    assumption; no hint, AQE decides) + map-only arithmetic. Sums use
+    the decimal(15,6) order-independent trick (inputs must be < 1e9
+    in magnitude, the module's documented range)."""
+    out_col = out_col or f"{category_col}_te"
+    y = F.col(target_col).cast("decimal(15,6)")
+    per = df.groupBy(category_col).agg(
+        F.sum(y).cast("double").alias("__s"),
+        F.count(target_col).alias("__n"),
+    )
+    g = per.agg(
+        (F.sum("__s") / F.sum("__n")).alias("__prior")
+    )
+    joined = df.join(per, category_col).crossJoin(
+        g if prior is None else g.select(F.lit(float(prior)).alias("__prior"))
+    )
+    m = float(smoothing)
+    if leave_one_out:
+        enc = F.when(
+            F.col("__n") + m > 1,
+            (
+                F.col("__s")
+                - F.col(target_col)
+                + m * F.col("__prior")
+            )
+            / (F.col("__n") - 1 + m),
+        ).otherwise(F.col("__prior"))
+    else:
+        enc = F.when(
+            F.col("__n") + m > 0,
+            (F.col("__s") + m * F.col("__prior")) / (F.col("__n") + m),
+        ).otherwise(F.col("__prior"))
+    return joined.withColumn(out_col, enc).drop("__s", "__n", "__prior")

@@ -166,3 +166,61 @@ def triangle_count(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    directed: bool = False,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007): every node starts labeled with its own id; each round
+    it adopts the most frequent label among its neighbors, ties broken
+    by the SMALLEST label — a deterministic variant (classic LPA breaks
+    ties randomly), so a fixed-iteration run is SQL-replayable.
+    Returns (node, label) after ``n_iter`` rounds.
+
+    Scale shape per round: (labels ⋈ edges on src) → (dst, label)
+    hash-agg count → per-dst argmax via ``min_by`` over a
+    (-count, label) struct — two shuffles on graph keys, no window
+    over the corpus, no driver state. Lineage is cut every round
+    (iterative-loop discipline)."""
+    if n_iter < 1:
+        raise ValueError("label_propagation: n_iter must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.withColumn("label", F.col("node"))
+    for i in range(n_iter):
+        votes = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("v_node"), "label")
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        # most frequent label, ties -> smallest label: min_by over a
+        # (-count, label) struct (count is positive, negation is safe)
+        best = votes.groupBy("v_node").agg(
+            F.min_by(
+                "label", F.struct((-F.col("__n")).alias("a"), F.col("label").alias("b"))
+            ).alias("new_label")
+        )
+        labels = (
+            nodes.join(best, nodes["node"] == best["v_node"], "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("node")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels

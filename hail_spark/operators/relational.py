@@ -784,3 +784,74 @@ def fuzzy_join(
         .filter(F.col("dist") <= d)
         .select(left_id, right_id, "dist")
     )
+
+
+def attribute_conversions(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    conversion_pred: Column,
+    touch_pred: Column,
+    horizon: int,
+    touch_cols: list[str] | None = None,
+) -> DataFrame:
+    """Marketing-style conversion attribution: for every conversion
+    event, find the FIRST-touch and LAST-touch qualifying event by the
+    same key within ``horizon`` time units before the conversion
+    (exclusive of the conversion instant itself: ``conv_ts - horizon
+    <= touch_ts < conv_ts``). Returns the conversion rows with
+    ``first_<c>`` / ``last_<c>`` columns for each requested touch
+    column plus ``n_touches``.
+
+    Scale shape: NOT a naive (key) self-join — per-key touch × conv
+    pairing explodes on heavy users. Both sides are banded by
+    ``floor(ts / horizon)`` and joined on (key, band) with each
+    conversion probing exactly two bands (its own and the previous) —
+    the binned big-big interval-join pattern, so the join fan-out per
+    conversion is bounded by the touches inside a 2-horizon window,
+    independent of total per-key history. One shuffle on (key, band),
+    then a (conv) hash-agg takes min_by/max_by over touch timestamps —
+    no window over the corpus."""
+    if horizon <= 0:
+        raise ValueError("attribute_conversions: horizon must be > 0")
+    touch_cols = touch_cols or []
+    k, ts = F.col(key_col), F.col(ts_col)
+    conv = events.filter(conversion_pred).select(
+        k.alias("__k"),
+        ts.alias("__cts"),
+        F.explode(
+            F.array(
+                F.floor(ts / horizon).cast("bigint"),
+                (F.floor(ts / horizon) - 1).cast("bigint"),
+            )
+        ).alias("__band"),
+        "*",
+    )
+    touch = events.filter(touch_pred).select(
+        k.alias("__tk"),
+        ts.alias("__tts"),
+        F.floor(ts / horizon).cast("bigint").alias("__tband"),
+        *[F.col(c).alias(f"__t_{c}") for c in touch_cols],
+    )
+    j = conv.join(
+        touch,
+        (F.col("__k") == F.col("__tk"))
+        & (F.col("__band") == F.col("__tband"))
+        & (F.col("__tts") < F.col("__cts"))
+        & (F.col("__tts") >= F.col("__cts") - horizon),
+        "left",
+    )
+    group_cols = [c for c in conv.columns if c != "__band"]
+    aggs = [F.count(F.col("__tts")).alias("n_touches")]
+    for c in touch_cols:
+        aggs.append(
+            F.min_by(F.col(f"__t_{c}"), F.col("__tts")).alias(f"first_{c}")
+        )
+        aggs.append(
+            F.max_by(F.col(f"__t_{c}"), F.col("__tts")).alias(f"last_{c}")
+        )
+    # a conversion appears in 2 band rows; the (all conv cols) group
+    # collapses them — touch rows matched via band are distinct per
+    # (conv, touch) pair because a touch lives in exactly one band
+    out = j.groupBy(*group_cols).agg(*aggs)
+    return out.drop("__k", "__cts")

@@ -176,3 +176,105 @@ def cms_query(
         j.groupBy(key_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
     )
+
+
+# ---------------------------------------------------------------------- #
+# KMV (k-minimum-values) theta sketch — Bar-Yossef et al. 2002 /
+# Beyer et al. 2007; from-scratch, engine-portable, SET-OPERABLE.
+# Unlike HLL (union-only), KMV supports intersection estimates, and
+# since the sketch is just "the k smallest md5 hashes of the distinct
+# values", every step is deterministic and SQL-replayable — a KMV
+# sketch built by any engine is bit-identical.
+# ---------------------------------------------------------------------- #
+_KMV_M = float(1 << 60)  # hash domain size (md5_int is 60-bit)
+
+
+def _kmv_hash(value: Column) -> Column:
+    """60-bit md5-derived hash (shared with the dedup family):
+    uniform on [0, 2^60)."""
+    return F.conv(
+        F.substring(F.md5(value.cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def kmv_build(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV sketch: the ``k`` smallest distinct hash values of
+    ``value_col``, as a sorted ``array<bigint>`` column ``kmv`` plus
+    ``kmv_k``. Distinct estimate: exact n when the group holds < k
+    distinct values (the array is simply all of them); otherwise
+    ``(k-1) * M / h_(k)`` with h_(k) the k-th smallest hash (relative
+    standard error ~ 1/sqrt(k-2), ~6 % at k=256).
+
+    Scale shape: hash projection, (group, hash) distinct (one shuffle,
+    map-side partial), then ``slice(sort_array(collect_list), 1, k)``
+    per group. The collect buffer holds the group's distinct-hash set,
+    so for billion-distinct groups pre-filter with
+    ``hash < kmv_prefilter_threshold(k, n_lower_bound)`` — that bounds
+    the buffer at ~``safety*k`` rows per group and provably preserves
+    the exact bottom-k whenever the true k-th hash is under the
+    threshold (it is, with overwhelming probability, by construction
+    of the threshold)."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    h = (
+        df.select(*keys, _kmv_hash(F.col(value_col)).alias("__h"))
+        .distinct()
+    )
+    return h.groupBy(*keys).agg(
+        F.slice(F.sort_array(F.collect_list("__h")), 1, k).alias("kmv"),
+        F.lit(k).alias("kmv_k"),
+    )
+
+
+def kmv_prefilter_threshold(k: int, n_lower_bound: int, safety: float = 8.0) -> int:
+    """Hash threshold that keeps the exact bottom-k with overwhelming
+    probability when a group has at least ``n_lower_bound`` distinct
+    values: expected k-th hash is ~ k*M/n; keep hashes under
+    ``safety`` times that. Apply as a pre-filter before
+    :func:`kmv_build` to bound the distinct+collect at
+    ~``safety*k`` rows per group regardless of group size."""
+    return int(min(_KMV_M, safety * k * _KMV_M / max(1, n_lower_bound)))
+
+
+def kmv_estimate(sketch: Column, k_col: Column) -> Column:
+    """Distinct-count estimate from a KMV array column (double):
+    exact size when the group never filled the sketch, else
+    (k-1)*M/h_(k)."""
+    n = F.size(sketch)
+    kth = F.element_at(sketch, n)  # largest retained = k-th smallest
+    return F.when(n < k_col, n.cast("double")).otherwise(
+        (k_col - 1).cast("double") * F.lit(_KMV_M) / kth.cast("double")
+    )
+
+
+def kmv_union(a: Column, b: Column, k: int) -> Column:
+    """Union sketch: bottom-k of the merged hash sets (associative,
+    commutative — the mergeability property)."""
+    return F.slice(
+        F.array_sort(F.array_union(a, b)), 1, k
+    )
+
+
+def kmv_intersect_estimate(a: Column, b: Column, k: int) -> Column:
+    """Intersection estimate (theta-sketch rule): restrict both to the
+    union sketch's threshold theta = h_(k) of the union, count common
+    hashes under theta, scale by M/theta * |common|/(k-1) ...
+    equivalently |A∩B∩U_k| / (k-1) * estimate(U). Returns a double
+    estimate (exact when both groups fit their sketches)."""
+    u = F.array_sort(F.array_union(a, b))
+    nu = F.size(u)
+    filled = nu > F.lit(k)
+    theta = F.when(filled, F.element_at(F.slice(u, 1, k), k))
+    common = F.array_intersect(a, b)
+    # unfilled union -> both sketches are their full hash sets: exact
+    exact = F.size(common).cast("double")
+    est_u = (F.lit(float(k - 1)) * F.lit(_KMV_M)) / theta.cast("double")
+    frac = (
+        F.size(F.filter(common, lambda h: h <= theta)).cast("double")
+        / F.lit(float(k - 1))
+    )
+    return F.when(~filled, exact).otherwise(frac * est_u)
