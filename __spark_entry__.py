@@ -6164,6 +6164,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_communities": label_propagation_q,
         "attribution_first_last": attribution_q,
         "target_encode_loo": target_encode_q,
+        "transition_matrix_events": transition_matrix_q,
+        "bigram_logprob_docs": bigram_logprob_q,
+        "span_corruption_pairs": span_corruption_q,
     }
 
 
@@ -6429,6 +6432,9 @@ def oracle_sql() -> dict[str, str]:
         "label_propagation_communities": _LPA_SQL,
         "attribution_first_last": _ATTRIBUTION_SQL,
         "target_encode_loo": _TARGET_ENCODE_SQL,
+        "transition_matrix_events": _TRANSITION_SQL,
+        "bigram_logprob_docs": _BIGRAM_LP_SQL,
+        "span_corruption_pairs": _SPAN_CORRUPTION_SQL,
     }
 
 
@@ -12507,4 +12513,141 @@ SELECT event_type,
        round(MIN(te), 6) AS min_te,
        round(MAX(te), 6) AS max_te
 FROM enc GROUP BY event_type ORDER BY event_type
+"""
+
+
+def transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix (operators/relational.py
+    transition_matrix) over per-user event streams: P(next event type |
+    current), with (ts, event_id) ordering so equal timestamps stay
+    deterministic. One per-user lead window + two hash-aggs — the
+    next-action model behind recommendation/funnel exploration."""
+    from hail_spark.operators.relational import transition_matrix
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_id", "user_id", "event_type", _micros("ts").alias("tsu")
+    )
+    out = transition_matrix(
+        ev, "user_id", ["tsu", "event_id"], "event_type"
+    )
+    return out.select(
+        "state", "next_state", "n", F.round("p", 6).alias("p")
+    ).orderBy("state", "next_state")
+
+
+_TRANSITION_SQL = """
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events),
+pairs AS (
+  SELECT event_type AS state,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+           AS next_state
+  FROM ev),
+c AS (SELECT state, next_state, COUNT(*) AS n
+      FROM pairs WHERE next_state IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT state, SUM(n) AS tot FROM c GROUP BY 1)
+SELECT c.state, c.next_state, CAST(c.n AS BIGINT) AS n,
+       round(c.n / CAST(t.tot AS DOUBLE), 6) AS p
+FROM c JOIN t USING (state)
+ORDER BY state, next_state
+"""
+
+
+def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram LM scoring (llmdata/textstats.py bigram_logprob):
+    mean ln P(w_i | w_{i-1}) under an add-1-smoothed bigram model fit
+    on the corpus itself — in-domain perplexity filtering, the step up
+    from the unigram scorer. Explode + two count aggs + gram equi-joins
+    + per-doc agg; vocabulary-sized join sides, no broadcast hint."""
+    from hail_spark.llmdata.textstats import bigram_logprob
+
+    d = _t(spark, sf_dir, "documents").df
+    out = bigram_logprob(d, "text", "doc_id", add_k=1.0)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("logprob", 6).alias("logprob")
+    ).orderBy("doc_id")
+
+
+_BIGRAM_LP_SQL = """
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents),
+pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM ws, LATERAL (SELECT unnest(range(1, greatest(len(w), 1))) AS i)),
+bc AS (SELECT w1, w2, COUNT(*) AS nb FROM pairs GROUP BY 1, 2),
+lc AS (SELECT w1, COUNT(*) AS nl FROM pairs GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT t.tok) AS nv
+      FROM (SELECT unnest(w) AS tok FROM ws) t),
+sc AS (
+  SELECT p.doc_id, COUNT(*) AS n_bigrams,
+         AVG(ln((bc.nb + 1.0) / (lc.nl + 1.0 * v.nv))) AS lp
+  FROM pairs p JOIN bc USING (w1, w2) JOIN lc USING (w1) CROSS JOIN v
+  GROUP BY p.doc_id)
+SELECT d.doc_id, CAST(sc.n_bigrams AS BIGINT) AS n_bigrams,
+       round(sc.lp, 6) AS logprob
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def span_corruption_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption pair generation (llmdata/denoise.py
+    span_corruption, Raffel et al. 2020 §3.1.4): masked spans become
+    per-doc sentinels, (input, target) strings come out ready for a
+    denoising objective. Every mask draw is md5(doc:pos:seed) — the
+    oracle replays tokenization, masking, run detection (lag window),
+    sentinel numbering (running sum), and both string rebuilds."""
+    from hail_spark.llmdata.denoise import span_corruption
+
+    d = _t(spark, sf_dir, "documents").df
+    out = span_corruption(d, "text", "doc_id", noise_density=0.15, seed=5)
+    return out.orderBy("doc_id")
+
+
+_SPAN_CORRUPTION_SQL = """
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS w
+  FROM documents),
+tok AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS tok,
+         ((('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR) || ':5'),1,15))::BIGINT
+           % 1073741824) / 1073741824.0) < 0.15 AS m
+  FROM ws, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i)),
+run AS (
+  SELECT *,
+         m AND NOT COALESCE(lag(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE) AS start
+  FROM tok),
+sp AS (
+  SELECT *,
+         SUM(CASE WHEN start THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span
+  FROM run),
+pieces AS (
+  SELECT doc_id, pos, m, start,
+         CASE WHEN NOT m THEN tok
+              WHEN start THEN '<extra_id_' || CAST(span - 1 AS VARCHAR) || '>'
+         END AS in_piece,
+         CASE WHEN m AND start
+                THEN '<extra_id_' || CAST(span - 1 AS VARCHAR) || '>' || ' ' || tok
+              WHEN m THEN tok
+         END AS tgt_piece
+  FROM sp),
+agg AS (
+  SELECT doc_id,
+         COALESCE(string_agg(in_piece, ' ' ORDER BY pos)
+                  FILTER (WHERE in_piece IS NOT NULL), '') AS input,
+         COALESCE(string_agg(tgt_piece, ' ' ORDER BY pos)
+                  FILTER (WHERE tgt_piece IS NOT NULL), '') AS target,
+         SUM(CASE WHEN start THEN 1 ELSE 0 END) AS n_spans,
+         SUM(CASE WHEN m THEN 1 ELSE 0 END) AS n_masked
+  FROM pieces GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.input, '') AS input, COALESCE(a.target, '') AS target,
+       CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(a.n_masked, 0) AS BIGINT) AS n_masked
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+ORDER BY d.doc_id
 """

@@ -675,3 +675,69 @@ def pmi_collocations(
         )
     )
     return out.orderBy(F.desc("pmi"), "w1", "w2").limit(top_k)
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document mean log-probability under an add-k-smoothed
+    BIGRAM language model fit on the corpus itself — the in-domain
+    upgrade of :func:`unigram_logprob` for perplexity-style quality
+    filtering: ``mean over positions i>=2 of
+    ln((c(w_{i-1}, w_i) + k) / (c(w_{i-1}) + k*V))`` with V the corpus
+    unigram vocabulary size and c(w) the LEFT-slot marginal (so the
+    conditional sums to 1 over the vocab). Docs with < 2 tokens score
+    NULL. Returns (id, n_bigrams, logprob).
+
+    Scale shape: tokenize projection shared via one explode, two
+    hash-aggs (bigram and left-unigram counts), equi-joins back on the
+    gram (vocabulary-sized sides, no broadcast hint), one per-doc
+    hash-agg. No window, no driver state."""
+    txt = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.filter(F.split(F.trim(txt), r"\s+"), lambda w: w != "").alias("__toks"),
+    )
+    pairs = toks.select(
+        "__id",
+        F.explode(
+            F.when(
+                F.size("__toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(2), F.size("__toks")),
+                    lambda i: F.struct(
+                        F.element_at(F.col("__toks"), i - 1).alias("w1"),
+                        F.element_at(F.col("__toks"), i).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("p"),
+    ).select("__id", "p.w1", "p.w2")
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__nb"))
+    lc = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("__nl"))
+    vocab = (
+        toks.select(F.explode("__toks").alias("w"))
+        .agg(F.countDistinct("w").alias("__v"))
+    )
+    scored = (
+        pairs.join(bc, ["w1", "w2"])
+        .join(lc, "w1")
+        .crossJoin(vocab)
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(
+                F.log(
+                    (F.col("__nb") + add_k)
+                    / (F.col("__nl") + add_k * F.col("__v"))
+                )
+            ).alias("logprob"),
+        )
+    )
+    return toks.select("__id").join(scored, "__id", "left").select(
+        F.col("__id").alias(id_col), "n_bigrams", "logprob"
+    )

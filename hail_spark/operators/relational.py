@@ -855,3 +855,47 @@ def attribute_conversions(
     # (conv, touch) pair because a touch lives in exactly one band
     out = j.groupBy(*group_cols).agg(*aggs)
     return out.drop("__k", "__cts")
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str | list[str],
+    state_col: str,
+    include_terminal: bool = False,
+) -> DataFrame:
+    """First-order Markov transition estimates over per-key ordered
+    event streams: for every (state, next_state) pair, the observed
+    count and row-normalized probability P(next | current). With
+    ``include_terminal`` each key's last event also emits a
+    ``(state, NULL)`` terminal transition.
+
+    Scale shape: one ``lead`` window per key (partition-bounded — the
+    per-key event list, never the corpus) + one hash-agg on the pair +
+    a second tiny agg for the row totals joined back (states², bounded).
+    The classic funnel-exploration / next-action model as one plan."""
+    from pyspark.sql import Window as W
+
+    order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    # pass a uniquifying tie-break column (e.g. event id) alongside the
+    # timestamp — equal timestamps otherwise make `lead` order-dependent
+    w = W.partitionBy(key_col).orderBy(*order_cols)
+    pairs = df.select(
+        F.col(state_col).alias("state"),
+        F.lead(F.col(state_col)).over(w).alias("next_state"),
+    )
+    if not include_terminal:
+        pairs = pairs.filter(F.col("next_state").isNotNull())
+    counts = pairs.groupBy("state", "next_state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = counts.groupBy("state").agg(F.sum("n").alias("__tot"))
+    return (
+        counts.join(totals, "state")
+        .select(
+            "state",
+            "next_state",
+            "n",
+            (F.col("n") / F.col("__tot")).alias("p"),
+        )
+    )
