@@ -5862,6 +5862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries, then older never-green ones, then the green union — the
     # driver samples ~50 from the head.
     new_this_round = (
+        # (a) the r05 queries the round-5 brief wants driver-green
         "c4_signals_docs",
         "standardize_features",
         "json_props_extract",
@@ -5872,25 +5873,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bins_events",
         "distinctive_terms_tfidf",
         "pool_embeddings_mean",
-        # changed / new this round
+        # (b) new OPERATOR surfaces of round 6 — these carry the most
+        # evidence value per driver slot (each is a new engine op, not
+        # a query-shape variant); TPC-H shapes and SQL batteries sort
+        # after them in the head and roll over to the next round's
+        # sample if the ~50-query cut lands mid-list
+        "dsir_importance_select",
+        "kmv_theta_sketch",
+        "span_corruption_pairs",
+        "attribution_first_last",
+        "label_propagation_communities",
+        "triangle_count_suppliers",
+        "welch_ttest_events",
+        "bigram_logprob_docs",
+        "transition_matrix_events",
+        "robust_outliers_mad",
+        "pmi_collocations_top",
+        "target_encode_loo",
+        "orc_round_trip",
         "stream_replay_conformance",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "q13_order_count_dist",
-        "q15_top_supplier",
-        "q16_parts_supplier_cnt",
-        "q17_small_qty_revenue",
-        "q18_large_volume_cust",
-        "q22_dormant_customers",
+        "stream_dedup_replay",
+        "stream_static_join_replay",
         "hll_distinct_rollup",
         "bloom_decontam_flagged",
-        "funnel_conversion",
         "frequent_tokens_exact",
         "bucketed_join_agg",
-        "q10_returned_revenue",
-        "q14_promo_share",
-        "q19_disjunctive_revenue",
+        "embedding_quantize_int8",
+        "tokenizer_oov_rate",
+        "variant_extract_paths",
+        "parquet_stats_fast",
+        "profile_numeric_columns",
+        "schema_evolution_read",
+        "zorder_layout_key",
+        "bpe_roundtrip_identity",
+        "time_travel_as_of",
+        "bfs_purchase_levels",
+        "fuzzy_join_tokens",
+        "pagerank_purchase_graph",
+        "resample_events_ffill",
+        "validate_orders_report",
+        "skew_report_sources",
+        "cms_token_counts",
+        "embedding_binarize_words",
+        "hamming_ann_topk",
+        "temperature_mix_sources",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
