@@ -5887,6 +5887,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "welch_ttest_events",
         "bigram_logprob_docs",
         "transition_matrix_events",
+        "sequence_trigrams_events",
+        "mutual_information_features",
         "robust_outliers_mad",
         "pmi_collocations_top",
         "target_encode_loo",
@@ -6193,6 +6195,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_matrix_events": transition_matrix_q,
         "bigram_logprob_docs": bigram_logprob_q,
         "span_corruption_pairs": span_corruption_q,
+        "sequence_trigrams_events": sequence_trigrams_q,
+        "mutual_information_features": mutual_information_q,
     }
 
 
@@ -6461,6 +6465,8 @@ def oracle_sql() -> dict[str, str]:
         "transition_matrix_events": _TRANSITION_SQL,
         "bigram_logprob_docs": _BIGRAM_LP_SQL,
         "span_corruption_pairs": _SPAN_CORRUPTION_SQL,
+        "sequence_trigrams_events": _SEQ_TRIGRAMS_SQL,
+        "mutual_information_features": _MUTUAL_INFO_SQL,
     }
 
 
@@ -12676,4 +12682,81 @@ SELECT d.doc_id, COALESCE(a.input, '') AS input, COALESCE(a.target, '') AS targe
        CAST(COALESCE(a.n_masked, 0) AS BIGINT) AS n_masked
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+
+def sequence_trigrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining (operators/relational.py
+    sequence_ngrams): the 20 most frequent consecutive event-type
+    TRIGRAMS across per-user streams, (ts, event_id)-ordered. Two lead
+    columns over ONE per-user window + one hash-agg — funnel discovery
+    without a per-gram reshuffle."""
+    from hail_spark.operators.relational import sequence_ngrams
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_id", "user_id", "event_type", _micros("ts").alias("tsu")
+    )
+    out = sequence_ngrams(ev, "user_id", ["tsu", "event_id"], "event_type", n=3)
+    return out.orderBy(
+        F.desc("n_occurrences"), "g1", "g2", "g3"
+    ).limit(20)
+
+
+_SEQ_TRIGRAMS_SQL = """
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS tsu FROM events),
+g AS (
+  SELECT event_type AS g1,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS g2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY tsu, event_id) AS g3
+  FROM ev)
+SELECT g1, g2, g3, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM g WHERE g3 IS NOT NULL
+GROUP BY g1, g2, g3
+ORDER BY n_occurrences DESC, g1, g2, g3 LIMIT 20
+"""
+
+
+def mutual_information_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-relevance ranking by mutual information (llmdata/
+    features.py mutual_information): MI(feature; event_type) in nats
+    for hour-of-day, weekday, and user-parity features — the
+    filter-method feature-selection table. One stack explode + one
+    joint hash-agg + marginal joins per feature; cardinality-bounded
+    throughout."""
+    from hail_spark.llmdata.features import mutual_information
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        F.hour("ts").cast("string").alias("hour_of_day"),
+        F.dayofweek("ts").cast("string").alias("weekday"),
+        (F.col("user_id") % 2).cast("string").alias("user_parity"),
+        "event_type",
+    )
+    out = mutual_information(
+        ev, ["hour_of_day", "weekday", "user_parity"], "event_type"
+    )
+    return out.select(
+        "feature", F.round("mi", 9).alias("mi"), "n_values"
+    ).orderBy("feature")
+
+
+_MUTUAL_INFO_SQL = """
+WITH s AS (
+  SELECT 'hour_of_day' AS feature, CAST(hour(ts) AS VARCHAR) AS value,
+         event_type AS y FROM events
+  UNION ALL
+  SELECT 'weekday', CAST(dayofweek(ts) + 1 AS VARCHAR), event_type FROM events
+  UNION ALL
+  SELECT 'user_parity', CAST(user_id % 2 AS VARCHAR), event_type FROM events),
+joint AS (SELECT feature, value, y, COUNT(*) AS nxy FROM s GROUP BY 1, 2, 3),
+fx AS (SELECT feature, value, SUM(nxy) AS nx FROM joint GROUP BY 1, 2),
+fy AS (SELECT feature, y, SUM(nxy) AS ny FROM joint GROUP BY 1, 2),
+ft AS (SELECT feature, SUM(nxy) AS n FROM joint GROUP BY 1)
+SELECT j.feature,
+       round(SUM((j.nxy / CAST(ft.n AS DOUBLE))
+                 * ln((j.nxy * ft.n) / CAST(fx.nx * fy.ny AS DOUBLE))), 9) AS mi,
+       CAST(COUNT(DISTINCT j.value) AS BIGINT) AS n_values
+FROM joint j
+JOIN fx USING (feature, value) JOIN fy ON fy.feature = j.feature AND fy.y = j.y
+JOIN ft ON ft.feature = j.feature
+GROUP BY j.feature ORDER BY j.feature
 """

@@ -88,6 +88,14 @@ QUERIES = [
     # part+supplier+orders profit join (q9), and the per-user analytic
     # window battery (one key shuffle, ten frames)
     "q7_volume_shipping", "q9_product_profit", "window_functions_battery",
+    # round-6 late wave: DSIR selection (explode + bucket model + score
+    # join), KMV bottom-k distinct sketch, T5 span corruption (per-doc
+    # windows), horizon-banded attribution join, 2-round LPA (iterative
+    # label shuffles), degree-oriented triangle enumeration, and the
+    # corpus-fit bigram LM scoring joins
+    "dsir_importance_select", "kmv_theta_sketch", "span_corruption_pairs",
+    "attribution_first_last", "label_propagation_communities",
+    "triangle_count_suppliers", "bigram_logprob_docs",
 ]
 
 

@@ -317,3 +317,62 @@ def target_encode(
             (F.col("__s") + m * F.col("__prior")) / (F.col("__n") + m),
         ).otherwise(F.col("__prior"))
     return joined.withColumn(out_col, enc).drop("__s", "__n", "__prior")
+
+
+def mutual_information(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+) -> DataFrame:
+    """Mutual information (nats) between each categorical feature and
+    the label over the empirical joint distribution — the standard
+    filter-method feature-relevance ranking:
+    ``MI = Σ_{x,y} p(x,y) · ln(p(x,y) / (p(x)·p(y)))``. NULL feature/
+    label values count as their own category (they may be predictive).
+    Returns (feature, mi, n_values) — n_values = the feature's
+    cardinality.
+
+    Scale shape: one stack (explode of a column-name/value struct
+    array — rows × n_features, map-only) → one (feature, value, label)
+    hash-agg → marginal aggs joined back on bounded keys. MI of a
+    high-cardinality feature is as cheap as its distinct count; no
+    window, no driver state."""
+    if not feature_cols:
+        raise ValueError("mutual_information: feature_cols is empty")
+    lbl = F.coalesce(F.col(label_col).cast("string"), F.lit("\0null"))
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        F.coalesce(F.col(c).cast("string"), F.lit("\0null")).alias("value"),
+                    )
+                    for c in feature_cols
+                ]
+            )
+        ).alias("fv"),
+        lbl.alias("__y"),
+    ).select("fv.feature", "fv.value", "__y")
+    joint = stacked.groupBy("feature", "value", "__y").agg(
+        F.count(F.lit(1)).alias("__nxy")
+    )
+    fx = joint.groupBy("feature", "value").agg(F.sum("__nxy").alias("__nx"))
+    fy = joint.groupBy("feature", "__y").agg(F.sum("__nxy").alias("__ny"))
+    ft = joint.groupBy("feature").agg(F.sum("__nxy").alias("__n"))
+    return (
+        joint.join(fx, ["feature", "value"])
+        .join(fy, ["feature", "__y"])
+        .join(ft, "feature")
+        .groupBy("feature")
+        .agg(
+            F.sum(
+                (F.col("__nxy") / F.col("__n"))
+                * F.log(
+                    (F.col("__nxy") * F.col("__n"))
+                    / (F.col("__nx") * F.col("__ny")).cast("double")
+                )
+            ).alias("mi"),
+            F.countDistinct("value").alias("n_values"),
+        )
+    )

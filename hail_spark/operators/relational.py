@@ -899,3 +899,35 @@ def transition_matrix(
             (F.col("n") / F.col("__tot")).alias("p"),
         )
     )
+
+
+def sequence_ngrams(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str | list[str],
+    state_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Sequential pattern counts: every length-``n`` run of consecutive
+    states within a key's ordered event stream, with occurrence counts
+    — the raw table behind next-action models and funnel discovery
+    (the k-gram generalization of :func:`transition_matrix`). Returns
+    (g1..gn, n_occurrences).
+
+    Scale shape: n-1 ``lead`` columns over ONE per-key window (windows
+    share the single sort), then one hash-agg on the n-gram — the
+    stream never re-shuffles per gram position."""
+    from pyspark.sql import Window as W
+
+    if n < 2:
+        raise ValueError("sequence_ngrams: n must be >= 2")
+    order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+    w = W.partitionBy(key_col).orderBy(*order_cols)
+    cols = [F.col(state_col).alias("g1")] + [
+        F.lead(F.col(state_col), i).over(w).alias(f"g{i + 1}")
+        for i in range(1, n)
+    ]
+    grams = df.select(*cols).filter(F.col(f"g{n}").isNotNull())
+    return grams.groupBy(*[f"g{i + 1}" for i in range(n)]).agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )

@@ -106,3 +106,60 @@ def test_span_corruption_rate_validation(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         span_corruption(df, noise_density=0.0)
+
+
+def test_sequence_ngrams_hand_counts(spark):
+    from hail_spark.operators.relational import sequence_ngrams
+
+    rows = [(1, t, s) for t, s in enumerate(["a", "b", "c", "a", "b", "c"])]
+    df = spark.createDataFrame(rows, "k long, ts long, s string")
+    out = sequence_ngrams(df, "k", "ts", "s", n=3).collect()
+    got = {(r["g1"], r["g2"], r["g3"]): r["n_occurrences"] for r in out}
+    assert got == {
+        ("a", "b", "c"): 2, ("b", "c", "a"): 1, ("c", "a", "b"): 1,
+    }
+    # bigrams reduce to the transition-matrix counts
+    bi = sequence_ngrams(df, "k", "ts", "s", n=2).collect()
+    assert sum(r["n_occurrences"] for r in bi) == 5
+
+
+def test_sequence_ngrams_respects_key_boundary(spark):
+    from hail_spark.operators.relational import sequence_ngrams
+
+    rows = [(1, 1, "a"), (1, 2, "b"), (2, 3, "c"), (2, 4, "d")]
+    df = spark.createDataFrame(rows, "k long, ts long, s string")
+    out = sequence_ngrams(df, "k", "ts", "s", n=2).collect()
+    got = {(r["g1"], r["g2"]) for r in out}
+    assert got == {("a", "b"), ("c", "d")}  # no cross-user (b,c) gram
+
+
+def test_mutual_information_known_values(spark):
+    import math
+
+    from hail_spark.llmdata.features import mutual_information
+
+    # perfectly predictive feature: MI = H(Y) = ln 2 for a 50/50 label;
+    # constant feature: MI = 0; independent feature: MI = 0
+    rows = []
+    for i in range(100):
+        y = "p" if i < 50 else "q"
+        rows.append((y, y, "const", "i" + str(i % 2), i))
+    df = spark.createDataFrame(rows, "y string, same string, c string, ind string, i long")
+    out = {r["feature"]: r for r in mutual_information(df, ["same", "c", "ind"], "y").collect()}
+    assert out["same"]["mi"] == pytest.approx(math.log(2), rel=1e-12)
+    assert out["c"]["mi"] == pytest.approx(0.0, abs=1e-12)
+    assert out["ind"]["mi"] == pytest.approx(0.0, abs=1e-12)
+    assert out["same"]["n_values"] == 2 and out["c"]["n_values"] == 1
+
+
+def test_mutual_information_null_category(spark):
+    from hail_spark.llmdata.features import mutual_information
+
+    # NULLs form their own (here perfectly predictive) category
+    rows = [(None, "p")] * 10 + [("x", "q")] * 10
+    df = spark.createDataFrame(rows, "f string, y string")
+    out = mutual_information(df, ["f"], "y").head()
+    import math
+
+    assert out["mi"] == pytest.approx(math.log(2), rel=1e-12)
+    assert out["n_values"] == 2
