@@ -5896,6 +5896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_replay_conformance",
         "stream_dedup_replay",
         "stream_static_join_replay",
+        "stream_sessionize_replay",
         "hll_distinct_rollup",
         "bloom_decontam_flagged",
         "frequent_tokens_exact",
@@ -6197,6 +6198,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_corruption_pairs": span_corruption_q,
         "sequence_trigrams_events": sequence_trigrams_q,
         "mutual_information_features": mutual_information_q,
+        "stream_sessionize_replay": stream_sessionize_replay_q,
     }
 
 
@@ -6467,6 +6469,7 @@ def oracle_sql() -> dict[str, str]:
         "span_corruption_pairs": _SPAN_CORRUPTION_SQL,
         "sequence_trigrams_events": _SEQ_TRIGRAMS_SQL,
         "mutual_information_features": _MUTUAL_INFO_SQL,
+        "stream_sessionize_replay": _STREAM_SESSIONIZE_SQL,
     }
 
 
@@ -12759,4 +12762,100 @@ FROM joint j
 JOIN fx USING (feature, value) JOIN fy ON fy.feature = j.feature AND fy.y = j.y
 JOIN ft ON ft.feature = j.feature
 GROUP BY j.feature ORDER BY j.feature
+"""
+
+
+def stream_sessionize_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator conformance (streaming/
+    events.py sessionize_stream — applyInPandasWithState with
+    per-user running session state): replay the event files in
+    incremental triggers with availableNow; since no processing-time
+    timeout can fire inside a single fast replay, each user's LAST
+    update row is the full-history accumulation, which must equal the
+    batch per-user aggregate — checked against an independent engine.
+    This upgrades the stateful-operator claim from pytest-vs-Spark to
+    the oracle gate. Output: per-user n_events / total / span micros."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hail_spark.streaming.events import (
+        read_events_stream,
+        sessionize_stream,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    stage = f"/tmp/hail_spark_sess_conf_{tag}_{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage)
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    ts_us = t.column("ts").cast(pa.timestamp("us"), safe=False)
+    t = t.set_column(t.schema.get_field_index("ts"), "ts", ts_us)
+    n = max(1, t.num_rows // 4)
+    for i, lo in enumerate(range(0, t.num_rows, n)):
+        pq.write_table(t.slice(lo, n), f"{stage}/part-{i}.parquet")
+
+    _STREAM_CONF_SEQ[0] += 1
+    sink = f"sess_conf_{os.getpid()}_{_STREAM_CONF_SEQ[0]}"
+    stream = read_events_stream(spark, stage, max_files_per_trigger=2)
+    sessions = sessionize_stream(stream)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # a stateful query with ProcessingTimeTimeout keeps scheduling
+    # batches to service pending timeouts even under availableNow, so
+    # awaitTermination() would never return — instead poll until every
+    # source row is accounted for in the sink's per-user maxima (the
+    # data batches drain in seconds), then stop. Extra timeout-closure
+    # rows emitted meanwhile only duplicate final state and are
+    # absorbed by the max/max_by aggregation below.
+    import time as _time
+
+    total_rows = t.num_rows
+    deadline = _time.time() + 300
+    while _time.time() < deadline:
+        if q.awaitTermination(2):
+            break
+        drained = (
+            spark.table(sink)
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("__n"))
+            .agg(F.sum("__n"))
+            .head()[0]
+        )
+        if drained == total_rows:
+            break
+    q.stop()
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
+    # update mode appends every per-trigger update; the final state per
+    # user is the row with the largest n_events (state only grows)
+    return (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max_by("total_value", "n_events"), 4).alias("total_value"),
+            F.timestamp_diff(
+                "MICROSECOND", epoch, F.min("session_start")
+            ).alias("start_us"),
+            F.timestamp_diff(
+                "MICROSECOND", epoch, F.max("session_end")
+            ).alias("end_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_STREAM_SESSIONIZE_SQL = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(COALESCE(value, 0.0)), 4) AS total_value,
+       CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us
+FROM events GROUP BY user_id ORDER BY user_id
 """

@@ -98,6 +98,8 @@ _LAZY = {
     "layout": ("hail_spark.io.layout", None),
     "streaming": ("hail_spark.streaming", None),
     "multimodal": ("hail_spark.llmdata.multimodal", None),
+    "abtest": ("hail_spark.operators.abtest", None),
+    "denoise": ("hail_spark.llmdata.denoise", None),
 }
 
 # the whole hl.methods surface is also reachable at top level, as in the
