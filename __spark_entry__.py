@@ -5889,6 +5889,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transition_matrix_events",
         "sequence_trigrams_events",
         "mutual_information_features",
+        "psi_drift_orders",
+        "ks_drift_events",
+        "k_anonymity_events",
+        "dp_noisy_counts_events",
         "robust_outliers_mad",
         "pmi_collocations_top",
         "target_encode_loo",
@@ -6199,6 +6203,10 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_trigrams_events": sequence_trigrams_q,
         "mutual_information_features": mutual_information_q,
         "stream_sessionize_replay": stream_sessionize_replay_q,
+        "psi_drift_orders": psi_drift_q,
+        "ks_drift_events": ks_drift_q,
+        "k_anonymity_events": k_anonymity_q,
+        "dp_noisy_counts_events": dp_counts_q,
     }
 
 
@@ -6470,6 +6478,10 @@ def oracle_sql() -> dict[str, str]:
         "sequence_trigrams_events": _SEQ_TRIGRAMS_SQL,
         "mutual_information_features": _MUTUAL_INFO_SQL,
         "stream_sessionize_replay": _STREAM_SESSIONIZE_SQL,
+        "psi_drift_orders": _PSI_SQL,
+        "ks_drift_events": _KS_SQL,
+        "k_anonymity_events": _K_ANON_SQL,
+        "dp_noisy_counts_events": _DP_COUNTS_SQL,
     }
 
 
@@ -12858,4 +12870,152 @@ SELECT user_id,
        CAST(epoch_us(MIN(ts)) AS BIGINT) AS start_us,
        CAST(epoch_us(MAX(ts)) AS BIGINT) AS end_us
 FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift by Population Stability Index (operators/
+    validate.py psi_report): o_totalprice of pre-1995 orders as the
+    reference snapshot vs the rest as the new snapshot, 10
+    equal-frequency reference bins, Haldane-smoothed. One reference
+    percentile agg + one conditional-count agg per side — the
+    model-monitoring drift gate. Oracle replays quantile_cont edges
+    and the smoothed PSI sum."""
+    from hail_spark.operators.validate import psi_report
+
+    o = _t(spark, sf_dir, "orders").df
+    cut = F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+    ref = o.filter(F.col("o_orderdate") < cut).select("o_totalprice")
+    new = o.filter(F.col("o_orderdate") >= cut).select("o_totalprice")
+    out = psi_report(ref, new, "o_totalprice", n_bins=10)
+    return out.select(
+        F.round("psi", 9).alias("psi"), "n_bins_used", "n_ref", "n_new"
+    )
+
+
+_PSI_SQL = """
+WITH ref AS (SELECT o_totalprice AS v FROM orders
+             WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+nw AS (SELECT o_totalprice AS v FROM orders
+       WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'),
+e AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges FROM ref),
+rb AS (SELECT len(list_filter(e.edges, x -> x <= v)) AS bin FROM ref, e),
+nb AS (SELECT len(list_filter(e.edges, x -> x <= v)) AS bin FROM nw, e),
+rc AS (SELECT bin, COUNT(*) AS r FROM rb GROUP BY bin),
+nc AS (SELECT bin, COUNT(*) AS n FROM nb GROUP BY bin),
+j AS (SELECT COALESCE(rc.r, 0) AS r, COALESCE(nc.n, 0) AS n
+      FROM rc FULL JOIN nc USING (bin)),
+t AS (SELECT SUM(r) AS tr, SUM(n) AS tn FROM j)
+SELECT round(SUM(((n + 0.5) / (tn + 5.0) - (r + 0.5) / (tr + 5.0))
+             * ln(((n + 0.5) / (tn + 5.0)) / ((r + 0.5) / (tr + 5.0)))), 9) AS psi,
+       CAST(COUNT(*) AS BIGINT) AS n_bins_used,
+       CAST(MAX(tr) AS BIGINT) AS n_ref,
+       CAST(MAX(tn) AS BIGINT) AS n_new
+FROM j CROSS JOIN t
+"""
+
+
+def ks_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift (operators/validate.py
+    ks_statistic): sup-distance between the value distributions of
+    click vs purchase events, computed exactly over the pooled
+    distinct-value table (the only global sort in the plan sorts
+    DISTINCT values). The drift detector a feature pipeline pairs with
+    PSI when bin placement must not matter."""
+    from hail_spark.operators.validate import ks_statistic
+
+    ev = _t(spark, sf_dir, "events").df
+    a = ev.filter(F.col("event_type") == "click").select("value")
+    b = ev.filter(F.col("event_type") == "purchase").select("value")
+    out = ks_statistic(a, b, "value")
+    return out.select(F.round("ks", 9).alias("ks"), "n_a", "n_b")
+
+
+_KS_SQL = """
+WITH a AS (SELECT value AS v FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+b AS (SELECT value AS v FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+per AS (
+  SELECT v,
+         SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+  FROM (SELECT v, 0 AS s FROM a UNION ALL SELECT v, 1 FROM b)
+  GROUP BY v),
+run AS (
+  SELECT SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ra,
+         SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rb
+  FROM per),
+t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per)
+SELECT round(MAX(abs(ra / CAST(na AS DOUBLE) - rb / CAST(nb AS DOUBLE))), 9) AS ks,
+       CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b
+FROM run CROSS JOIN t
+"""
+
+
+def k_anonymity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release audit (operators/validate.py
+    k_anonymity_report, Sweeney 2002): treat (event_type, weekday,
+    hour-bucket) as the quasi-identifier tuple over the events table
+    and report the minimum equivalence-class size plus violation mass
+    at k=5 — the privacy gate before sharing behavioral data. One
+    hash-agg + one bounded class-table agg."""
+    from hail_spark.operators.validate import k_anonymity_report
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        F.dayofweek("ts").alias("weekday"),
+        (F.hour("ts") / 6).cast("int").alias("hour_bucket"),
+    )
+    out = k_anonymity_report(
+        ev, ["event_type", "weekday", "hour_bucket"], k=5
+    )
+    return out.select(
+        "k_anonymity",
+        "n_classes",
+        "n_violating_classes",
+        "n_violating_rows",
+        F.round("frac_violating_rows", 9).alias("frac_violating_rows"),
+    )
+
+
+_K_ANON_SQL = """
+WITH q AS (
+  SELECT event_type, dayofweek(ts) + 1 AS weekday,
+         hour(ts) // 6 AS hour_bucket
+  FROM events),
+c AS (SELECT event_type, weekday, hour_bucket, COUNT(*) AS n
+      FROM q GROUP BY 1, 2, 3)
+SELECT CAST(MIN(n) AS BIGINT) AS k_anonymity,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_classes,
+       CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_violating_rows,
+       round(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) / CAST(SUM(n) AS DOUBLE), 9)
+         AS frac_violating_rows
+FROM c
+"""
+
+
+def dp_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (operators/validate.py
+    dp_noisy_counts, Laplace mechanism): per-event-type counts with
+    deterministic md5-seeded Lap(1/eps) noise at epsilon=1 — a
+    reproducible DP release whose noise the oracle replays
+    arithmetically (inverse-CDF on the md5 uniform)."""
+    from hail_spark.operators.validate import dp_noisy_counts
+
+    ev = _t(spark, sf_dir, "events").df
+    out = dp_noisy_counts(ev, "event_type", epsilon=1.0, seed=7)
+    return out.select(
+        "event_type", "n", F.round("noisy_n", 6).alias("noisy_n")
+    ).orderBy("event_type")
+
+
+_DP_COUNTS_SQL = """
+WITH g AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
+u AS (SELECT event_type, n,
+             ((('0x'||substr(md5(event_type || '|7'),1,15))::BIGINT % 1073741824) + 0.5)
+               / 1073741824.0 - 0.5 AS uv
+      FROM g)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       round(n + (-1.0) * sign(uv) * ln(1 - 2 * abs(uv)), 6) AS noisy_n
+FROM u ORDER BY event_type
 """

@@ -413,6 +413,13 @@ def hashed_gram_buckets(
     arXiv:2302.03169). Returns ``array<bigint>`` of bucket ids, one
     per gram occurrence (multiplicity preserved). Portable: any SQL
     engine with md5 replays the buckets exactly.
+
+    NOTE (scale): the md5 here runs inside an F.transform lambda —
+    Spark's INTERPRETED expression path, ~70x slower than codegen at
+    corpus scale. This Column form is fine for small/medium tables;
+    corpus-scale callers should explode the gram STRINGS first and
+    hash in a plain projection, as :func:`dsir_select` does
+    internally (140 s -> 9 s cold at ~sf1).
     """
     toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
     if include_bigrams:
@@ -470,18 +477,52 @@ def dsir_select(
     if k < 1:
         raise ValueError("dsir_select: k must be >= 1")
     a = float(smoothing)
-    feats = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(target_col).cast("boolean").alias("__tgt"),
-        hashed_gram_buckets(F.col(text_col), n_buckets).alias("__buckets"),
+    from .dedup import _spread, tokens
+
+    # spread the RAW columns first (single-file sources arrive as one
+    # partition; the heavy projection must come after the repartition
+    # or it runs single-threaded — the minhash lesson), and hash AFTER
+    # the explode as a plain projection: md5 inside an F.transform
+    # lambda runs on the interpreted expression path, measured ~70x
+    # slower at ~sf1 (140 s first iteration vs 2 s)
+    base = _spread(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.col(target_col).cast("boolean").alias("__tgt"),
+            F.col(text_col).alias("__text"),
+        )
     )
+    toks = base.select(
+        "__id", "__tgt", tokens(F.lower(F.col("__text"))).alias("__toks")
+    )
+    bigrams = F.when(
+        F.size("__toks") >= 2,
+        F.transform(
+            F.sequence(F.lit(2), F.size("__toks")),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("__toks"), i - 1),
+                F.element_at(F.col("__toks"), i),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     # the exploded gram table feeds BOTH the bucket-model agg and the
-    # scoring join — lazy persist() shares the tokenize+md5 pass instead
-    # of recomputing it (the minhash-signature lesson: persist beats
-    # localCheckpoint here, which would run an extra eager job)
-    g = feats.select(
-        "__id", "__tgt", F.explode("__buckets").alias("bucket")
-    ).persist()
+    # scoring join — lazy persist() shares the tokenize+hash pass
+    # instead of recomputing it (persist beats localCheckpoint: no
+    # eager extra job)
+    g = (
+        toks.select(
+            "__id",
+            "__tgt",
+            F.explode(F.concat(F.col("__toks"), bigrams)).alias("__gram"),
+        )
+        .select(
+            "__id",
+            "__tgt",
+            F.pmod(md5_int(F.col("__gram")), F.lit(n_buckets)).alias("bucket"),
+        )
+        .persist()
+    )
     bc = g.groupBy("bucket").agg(
         F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__ct"),
         F.sum(F.when(F.col("__tgt"), 0).otherwise(1)).alias("__cr"),

@@ -202,3 +202,188 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
             )
         )
     return one.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------- #
+# distribution drift (training-data / model monitoring)
+# ---------------------------------------------------------------------- #
+def psi_report(
+    df_ref: DataFrame,
+    df_new: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    exact: bool = True,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Population Stability Index between a reference snapshot and a
+    new one: bin edges = the reference's ``n_bins`` equal-frequency
+    quantiles, then ``PSI = sum (p_new - p_ref) * ln(p_new / p_ref)``
+    over the bins (add-0.5 Haldane smoothing on counts so empty bins
+    can't produce +-inf). Standard monitoring thresholds: < 0.1
+    stable, 0.1-0.25 moderate shift, > 0.25 major shift.
+
+    Returns one row: (psi, n_bins_used, n_ref, n_new).
+
+    Scale shape: one percentile agg on the reference (exact, or
+    GK-approx via ``exact=False`` for continuous 100-TB columns),
+    edges joined on as a 1-row cross join, one conditional-count agg
+    per side; the driver never sees data rows."""
+    if n_bins < 2:
+        raise ValueError("psi_report: n_bins must be >= 2")
+    ps = [i / n_bins for i in range(1, n_bins)]
+    if exact:
+        edges_agg = F.array(
+            *[F.percentile(F.col(col), F.lit(p)) for p in ps]
+        )
+    else:
+        edges_agg = F.transform(
+            F.percentile_approx(
+                F.col(col), F.array(*[F.lit(p) for p in ps]), F.lit(accuracy)
+            ),
+            lambda t: t.cast("double"),
+        )
+    edges = df_ref.agg(edges_agg.alias("__edges"))
+
+    def binned_counts(df: DataFrame, side: str) -> DataFrame:
+        b = df.crossJoin(edges).select(
+            F.size(
+                F.filter(F.col("__edges"), lambda e: e <= F.col(col))
+            ).alias("__bin")
+        )
+        return b.groupBy("__bin").agg(
+            F.count(F.lit(1)).alias(f"__n_{side}")
+        )
+
+    r = binned_counts(df_ref, "ref")
+    n = binned_counts(df_new, "new")
+    j = r.join(n, "__bin", "full").select(
+        F.coalesce("__n_ref", F.lit(0)).alias("r"),
+        F.coalesce("__n_new", F.lit(0)).alias("n"),
+    )
+    return j.crossJoin(
+        j.agg(F.sum("r").alias("tr"), F.sum("n").alias("tn"))
+    ).agg(
+        F.sum(
+            (
+                (F.col("n") + 0.5) / (F.col("tn") + 0.5 * n_bins)
+                - (F.col("r") + 0.5) / (F.col("tr") + 0.5 * n_bins)
+            )
+            * F.log(
+                ((F.col("n") + 0.5) / (F.col("tn") + 0.5 * n_bins))
+                / ((F.col("r") + 0.5) / (F.col("tr") + 0.5 * n_bins))
+            )
+        ).alias("psi"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+        F.max("tr").alias("n_ref"),
+        F.max("tn").alias("n_new"),
+    )
+
+
+def ks_statistic(
+    df_a: DataFrame, df_b: DataFrame, col: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: ``sup_x |F_a(x) -
+    F_b(x)|`` computed exactly over the pooled value set. Returns one
+    row (ks, n_a, n_b).
+
+    Scale shape: tag-and-union both sides, ONE hash-agg per distinct
+    value (per-value counts), one ordered running-sum window over the
+    DISTINCT-value table (this is the only global sort, and it sorts
+    distinct values, not rows), then a max agg. For continuous columns
+    whose distinct count approaches the row count, bin/round upstream
+    first."""
+    a = df_a.select(F.col(col).alias("v")).withColumn("__s", F.lit(0))
+    b = df_b.select(F.col(col).alias("v")).withColumn("__s", F.lit(1))
+    u = a.unionByName(b).filter(F.col("v").isNotNull())
+    per = u.groupBy("v").agg(
+        F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = per.select(
+        F.sum("ca").over(w).alias("ra"), F.sum("cb").over(w).alias("rb")
+    )
+    return run.crossJoin(
+        per.agg(F.sum("ca").alias("na"), F.sum("cb").alias("nb"))
+    ).agg(
+        F.max(
+            F.abs(
+                F.col("ra") / F.col("na") - F.col("rb") / F.col("nb")
+            )
+        ).alias("ks"),
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+    )
+
+
+# ---------------------------------------------------------------------- #
+# privacy / governance
+# ---------------------------------------------------------------------- #
+def k_anonymity_report(
+    df: DataFrame, quasi_identifiers: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity audit over a set of quasi-identifier columns: a
+    dataset is k-anonymous iff every quasi-identifier combination
+    occurs >= k times (Sweeney 2002). Returns one row: (k_anonymity =
+    the actual minimum class size, n_classes, n_violating_classes,
+    n_violating_rows, frac_violating_rows) — the release gate before
+    sharing event/user data.
+
+    One hash-agg on the quasi-identifier tuple + one agg over the
+    class-size table (class-cardinality bounded). No sort, no driver
+    data."""
+    if not quasi_identifiers:
+        raise ValueError("k_anonymity_report: quasi_identifiers is empty")
+    classes = df.groupBy(*quasi_identifiers).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    return classes.agg(
+        F.min("__n").alias("k_anonymity"),
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(F.when(F.col("__n") < k, 1).otherwise(0)).alias(
+            "n_violating_classes"
+        ),
+        F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0)).alias(
+            "n_violating_rows"
+        ),
+        (
+            F.sum(F.when(F.col("__n") < k, F.col("__n")).otherwise(0))
+            / F.sum("__n")
+        ).alias("frac_violating_rows"),
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    epsilon: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Epsilon-differentially-private group counts via the Laplace
+    mechanism (Dwork et al. 2006): ``count + Lap(1/epsilon)`` per
+    group (count queries have sensitivity 1). The noise draw is
+    DETERMINISTIC given (group, seed) — inverse-CDF applied to an
+    md5-derived uniform — so a release is reproducible and
+    SQL-replayable. A fixed seed must serve ONE release only:
+    re-releasing with fresh seeds composes epsilon like any repeated
+    DP query.
+
+    One hash-agg + map-only noise arithmetic; group-cardinality
+    bounded output."""
+    keys = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    if epsilon <= 0:
+        raise ValueError("dp_noisy_counts: epsilon must be > 0")
+    g = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    key_str = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in keys], F.lit(str(seed))
+    )
+    h = F.conv(F.substring(F.md5(key_str), 1, 15), 16, 10).cast("bigint")
+    u = (F.pmod(h, F.lit(1 << 30)) + 0.5) / float(1 << 30) - 0.5  # (-.5, .5)
+    lap = -(1.0 / epsilon) * F.signum(u) * F.log(1 - 2 * F.abs(u))
+    return g.select(
+        *keys,
+        "n",
+        (F.col("n") + lap).alias("noisy_n"),
+    )

@@ -1,0 +1,95 @@
+"""Round-6 late-wave batch 5: drift (PSI/KS), k-anonymity, DP counts."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hail_spark.operators.validate import (
+    dp_noisy_counts,
+    k_anonymity_report,
+    ks_statistic,
+    psi_report,
+)
+
+
+def test_psi_identical_distributions_near_zero(spark):
+    vals = [float(i % 100) for i in range(1000)]
+    a = spark.createDataFrame([(v,) for v in vals], "x double")
+    b = spark.createDataFrame([(v,) for v in vals], "x double")
+    r = psi_report(a, b, "x", n_bins=10).head()
+    assert r["psi"] == pytest.approx(0.0, abs=1e-12)
+    assert r["n_ref"] == 1000 and r["n_new"] == 1000
+
+
+def test_psi_detects_shift(spark):
+    a = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "x double")
+    b = spark.createDataFrame(
+        [(float(i % 100) + 50,) for i in range(1000)], "x double"
+    )
+    r = psi_report(a, b, "x", n_bins=10).head()
+    assert r["psi"] > 0.25  # major shift by the standard threshold
+
+
+def test_psi_approx_close_to_exact(spark):
+    import random
+
+    rng = random.Random(3)
+    vals = [rng.gauss(0, 1) for _ in range(2000)]
+    a = spark.createDataFrame([(v,) for v in vals[:1000]], "x double")
+    b = spark.createDataFrame([(v,) for v in vals[1000:]], "x double")
+    e = psi_report(a, b, "x", exact=True).head()["psi"]
+    ap = psi_report(a, b, "x", exact=False, accuracy=10000).head()["psi"]
+    assert abs(e - ap) < 0.05
+
+
+def test_ks_known_value(spark):
+    # F_a uniform on {1..4}, F_b point mass at 4: sup diff at v=3 is .75
+    a = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4]], "x double")
+    b = spark.createDataFrame([(4.0,)] * 4, "x double")
+    r = ks_statistic(a, b, "x").head()
+    assert r["ks"] == pytest.approx(0.75)
+    assert r["n_a"] == 4 and r["n_b"] == 4
+
+
+def test_ks_identical_zero(spark):
+    a = spark.createDataFrame([(float(i),) for i in range(50)], "x double")
+    r = ks_statistic(a, a, "x").head()
+    assert r["ks"] == pytest.approx(0.0)
+
+
+def test_k_anonymity_report(spark):
+    rows = [("a", 1)] * 5 + [("b", 1)] * 3 + [("c", 2)] * 1
+    df = spark.createDataFrame(rows, "q1 string, q2 long")
+    r = k_anonymity_report(df, ["q1", "q2"], k=5).head()
+    assert r["k_anonymity"] == 1
+    assert r["n_classes"] == 3
+    assert r["n_violating_classes"] == 2
+    assert r["n_violating_rows"] == 4
+    assert r["frac_violating_rows"] == pytest.approx(4 / 9)
+
+
+def test_dp_noisy_counts_properties(spark):
+    rows = [("t%d" % (i % 20), i) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g string, i long")
+    out1 = {r["g"]: r for r in dp_noisy_counts(df, "g", epsilon=1.0, seed=1).collect()}
+    out2 = {r["g"]: r for r in dp_noisy_counts(df, "g", epsilon=1.0, seed=1).collect()}
+    out3 = {r["g"]: r for r in dp_noisy_counts(df, "g", epsilon=1.0, seed=2).collect()}
+    # reproducible for a fixed seed, different across seeds
+    assert all(out1[g]["noisy_n"] == out2[g]["noisy_n"] for g in out1)
+    assert any(out1[g]["noisy_n"] != out3[g]["noisy_n"] for g in out1)
+    # noise is centered: mean |noise| over 20 groups ~ 1/eps, max bounded
+    noises = [abs(out1[g]["noisy_n"] - out1[g]["n"]) for g in out1]
+    assert 0.05 < sum(noises) / len(noises) < 8.0
+    # higher epsilon -> smaller noise for the same uniform draw
+    tight = {r["g"]: r for r in dp_noisy_counts(df, "g", epsilon=10.0, seed=1).collect()}
+    for g in out1:
+        n1 = abs(out1[g]["noisy_n"] - out1[g]["n"])
+        n10 = abs(tight[g]["noisy_n"] - tight[g]["n"])
+        assert n10 == pytest.approx(n1 / 10.0, rel=1e-9)
+
+
+def test_dp_rejects_bad_epsilon(spark):
+    df = spark.createDataFrame([("a", 1)], "g string, i long")
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, "g", epsilon=0.0)
