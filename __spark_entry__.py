@@ -5897,6 +5897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations_top",
         "target_encode_loo",
         "orc_round_trip",
+        "hamming_ann_topk",
+        "temperature_mix_sources",
         "stream_replay_conformance",
         "stream_dedup_replay",
         "stream_static_join_replay",
