@@ -5893,6 +5893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift_events",
         "k_anonymity_events",
         "dp_noisy_counts_events",
+        "auc_by_group_events",
         "robust_outliers_mad",
         "pmi_collocations_top",
         "target_encode_loo",
@@ -6209,6 +6210,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift_events": ks_drift_q,
         "k_anonymity_events": k_anonymity_q,
         "dp_noisy_counts_events": dp_counts_q,
+        "auc_by_group_events": auc_by_group_q,
     }
 
 
@@ -6484,6 +6486,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_drift_events": _KS_SQL,
         "k_anonymity_events": _K_ANON_SQL,
         "dp_noisy_counts_events": _DP_COUNTS_SQL,
+        "auc_by_group_events": _AUC_SQL,
     }
 
 
@@ -13020,4 +13023,43 @@ u AS (SELECT event_type, n,
 SELECT event_type, CAST(n AS BIGINT) AS n,
        round(n + (-1.0) * sign(uv) * ln(1 - 2 * abs(uv)), 6) AS noisy_n
 FROM u ORDER BY event_type
+"""
+
+
+def auc_by_group_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC AUC (operators/abtest.py auc_by_group,
+    Mann-Whitney with midrank ties): per event_type, how well `value`
+    separates even-uid from odd-uid users — the model-eval metric
+    computed over DISTINCT scores (one hash-agg + per-group
+    running-sum window + final agg; rows are never sorted). The
+    oracle replays the cum-below identity."""
+    from hail_spark.operators.abtest import auc_by_group
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type", "value", (F.col("user_id") % 2 == 0).alias("label")
+    )
+    out = auc_by_group(ev, "event_type", "value", "label")
+    return out.select(
+        "event_type", F.round("auc", 9).alias("auc"), "n_pos", "n_neg"
+    ).orderBy("event_type")
+
+
+_AUC_SQL = """
+WITH per AS (
+  SELECT event_type, value AS s,
+         SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS p,
+         SUM(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT *,
+         COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+  FROM per)
+SELECT event_type,
+       round(CASE WHEN SUM(p) > 0 AND SUM(n) > 0
+                  THEN SUM(p * (nb + n / 2.0)) / (SUM(p) * CAST(SUM(n) AS DOUBLE))
+             END, 9) AS auc,
+       CAST(SUM(p) AS BIGINT) AS n_pos,
+       CAST(SUM(n) AS BIGINT) AS n_neg
+FROM r GROUP BY event_type ORDER BY event_type
 """

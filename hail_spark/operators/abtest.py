@@ -160,3 +160,49 @@ def two_proportion_ztest(
         pz_udf = pandas_udf(_pz_fn, "double")
         out = out.withColumn("p", pz_udf(F.col("z")))
     return out
+
+
+def auc_by_group(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """ROC AUC per group via the Mann-Whitney U identity with midrank
+    tie handling: ``AUC = P(score_pos > score_neg) + 0.5 * P(tie)`` =
+    ``sum_s n_pos(s) * (cum_neg_below(s) + n_neg(s)/2) / (P * N)`` over
+    DISTINCT scores s — the standard large-scale AUC that never sorts
+    rows. Returns (group, auc, n_pos, n_neg); groups with an empty
+    class yield NULL auc.
+
+    Scale shape: one (group, score) hash-agg with conditional counts,
+    one per-GROUP ordered running-sum window over the distinct-score
+    table (partition = a group's distinct scores, not its rows), one
+    final agg. Label is interpreted as boolean."""
+    lbl = F.col(label_col).cast("boolean")
+    per = df.groupBy(group_col, F.col(score_col).alias("__s")).agg(
+        F.sum(F.when(lbl, 1).otherwise(0)).alias("__p"),
+        F.sum(F.when(~lbl, 1).otherwise(0)).alias("__n"),
+    )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(group_col)
+        .orderBy("__s")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = per.withColumn(
+        "__cum_n_below", F.coalesce(F.sum("__n").over(w), F.lit(0))
+    )
+    return ranked.groupBy(group_col).agg(
+        F.when(
+            (F.sum("__p") > 0) & (F.sum("__n") > 0),
+            F.sum(
+                F.col("__p")
+                * (F.col("__cum_n_below") + F.col("__n") / 2.0)
+            )
+            / (F.sum("__p") * F.sum("__n")),
+        ).alias("auc"),
+        F.sum("__p").alias("n_pos"),
+        F.sum("__n").alias("n_neg"),
+    )

@@ -93,3 +93,50 @@ def test_dp_rejects_bad_epsilon(spark):
     df = spark.createDataFrame([("a", 1)], "g string, i long")
     with pytest.raises(ValueError):
         dp_noisy_counts(df, "g", epsilon=0.0)
+
+
+def test_auc_known_values(spark):
+    from hail_spark.operators.abtest import auc_by_group
+
+    # perfect separation -> 1.0; reversed -> 0.0; all tied -> 0.5
+    rows = (
+        [("sep", float(i + 10), True) for i in range(5)]
+        + [("sep", float(i), False) for i in range(5)]
+        + [("rev", float(i), True) for i in range(5)]
+        + [("rev", float(i + 10), False) for i in range(5)]
+        + [("tie", 1.0, True)] * 4
+        + [("tie", 1.0, False)] * 6
+    )
+    df = spark.createDataFrame(rows, "g string, s double, y boolean")
+    out = {r["g"]: r for r in auc_by_group(df, "g", "s", "y").collect()}
+    assert out["sep"]["auc"] == pytest.approx(1.0)
+    assert out["rev"]["auc"] == pytest.approx(0.0)
+    assert out["tie"]["auc"] == pytest.approx(0.5)
+    assert out["sep"]["n_pos"] == 5 and out["sep"]["n_neg"] == 5
+
+
+def test_auc_matches_pairwise_definition(spark):
+    import random
+
+    from hail_spark.operators.abtest import auc_by_group
+
+    rng = random.Random(11)
+    rows = [("g", round(rng.gauss(1.0 if rng.random() < 0.5 else 0.0, 1.0), 2),
+             bool(i % 3)) for i in range(200)]
+    rows = [("g", s, y) for (_, s, y) in rows]
+    df = spark.createDataFrame(rows, "g string, s double, y boolean")
+    got = auc_by_group(df, "g", "s", "y").head()["auc"]
+    pos = [s for _, s, y in rows if y]
+    neg = [s for _, s, y in rows if not y]
+    num = sum(
+        1.0 if p > n else (0.5 if p == n else 0.0) for p in pos for n in neg
+    )
+    assert got == pytest.approx(num / (len(pos) * len(neg)), rel=1e-12)
+
+
+def test_auc_degenerate_group(spark):
+    from hail_spark.operators.abtest import auc_by_group
+
+    df = spark.createDataFrame([("g", 1.0, True)] * 3, "g string, s double, y boolean")
+    r = auc_by_group(df, "g", "s", "y").head()
+    assert r["auc"] is None and r["n_neg"] == 0
