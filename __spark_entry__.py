@@ -5894,6 +5894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_events",
         "dp_noisy_counts_events",
         "auc_by_group_events",
+        "jackknife_ratio_events",
         "robust_outliers_mad",
         "pmi_collocations_top",
         "target_encode_loo",
@@ -6211,6 +6212,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_anonymity_events": k_anonymity_q,
         "dp_noisy_counts_events": dp_counts_q,
         "auc_by_group_events": auc_by_group_q,
+        "jackknife_ratio_events": jackknife_ratio_q,
     }
 
 
@@ -6487,6 +6489,7 @@ def oracle_sql() -> dict[str, str]:
         "k_anonymity_events": _K_ANON_SQL,
         "dp_noisy_counts_events": _DP_COUNTS_SQL,
         "auc_by_group_events": _AUC_SQL,
+        "jackknife_ratio_events": _JACKKNIFE_SQL,
     }
 
 
@@ -13062,4 +13065,62 @@ SELECT event_type,
        CAST(SUM(p) AS BIGINT) AS n_pos,
        CAST(SUM(n) AS BIGINT) AS n_neg
 FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+
+def jackknife_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio metric with bucketed-jackknife CI (operators/abtest.py
+    bucketed_jackknife_ratio): revenue-per-event (sum value / count)
+    per event_type with a delete-one-bucket jackknife SE over 20 md5
+    user buckets — how experimentation platforms put error bars on
+    ratio metrics with ONE corpus scan. Decimal-exact bucket sums make
+    every leave-one-out ratio engine-reproducible; the oracle replays
+    the full jackknife."""
+    from hail_spark.operators.abtest import bucketed_jackknife_ratio
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type", "user_id", "value", F.lit(1.0).alias("one")
+    )
+    out = bucketed_jackknife_ratio(
+        ev, "event_type", "value", "one", n_buckets=20, uid_col="user_id"
+    )
+    return out.select(
+        "event_type",
+        F.round("ratio", 9).alias("ratio"),
+        F.round("se", 9).alias("se"),
+        "n_buckets_used",
+        "n_rows",
+    ).orderBy("event_type")
+
+
+_JACKKNIFE_SQL = """
+WITH b AS (
+  SELECT event_type, value,
+         ('0x'||substr(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT % 20 AS bk
+  FROM events),
+per AS (
+  SELECT event_type, bk,
+         CAST(SUM(CAST(value AS DECIMAL(15,6))) AS DOUBLE) AS num,
+         CAST(SUM(CAST(1.0 AS DECIMAL(15,6))) AS DOUBLE) AS den,
+         COUNT(*) AS n
+  FROM b GROUP BY 1, 2),
+tot AS (SELECT event_type, SUM(num) AS tn, SUM(den) AS td, SUM(n) AS nr
+        FROM per GROUP BY 1),
+j AS (
+  SELECT per.event_type,
+         CASE WHEN (td - den) <> 0 THEN (tn - num) / (td - den) END AS rl,
+         tn, td, nr
+  FROM per JOIN tot USING (event_type)),
+a AS (
+  SELECT event_type, MAX(tn) / MAX(td) AS ratio,
+         SUM(rl) AS sr, SUM(rl * rl) AS sr2,
+         COUNT(rl) AS m, MAX(nr) AS n_rows
+  FROM j GROUP BY event_type)
+SELECT event_type, round(ratio, 9) AS ratio,
+       round(CASE WHEN m >= 2 THEN
+         sqrt((m - 1) / CAST(m AS DOUBLE)
+              * greatest(sr2 - sr * sr / m, 0.0)) END, 9) AS se,
+       CAST(m AS BIGINT) AS n_buckets_used,
+       CAST(n_rows AS BIGINT) AS n_rows
+FROM a ORDER BY event_type
 """

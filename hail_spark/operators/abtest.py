@@ -206,3 +206,75 @@ def auc_by_group(
         F.sum("__p").alias("n_pos"),
         F.sum("__n").alias("n_neg"),
     )
+
+
+def bucketed_jackknife_ratio(
+    df: DataFrame,
+    group_col: str,
+    num_col: str,
+    den_col: str,
+    n_buckets: int = 50,
+    uid_col: str | None = None,
+) -> DataFrame:
+    """Ratio-metric estimate with a delete-one-bucket jackknife
+    standard error — the standard way to put a CI on revenue-per-user
+    style metrics at scale (ratios of sums have no per-row variance;
+    the bucketed jackknife gets one without resampling). Rows are
+    assigned to ``n_buckets`` deterministic md5 buckets (by ``uid_col``
+    if given, so all of a unit's rows co-vary); the estimate is
+    ``sum(num)/sum(den)``, and the SE is the jackknife over the B
+    leave-one-bucket-out ratios:
+    ``SE^2 = (B-1)/B * sum_b (r_b - r_mean)^2``.
+
+    Returns (group, ratio, se, n_buckets_used, n_rows). Buckets with
+    zero leave-out denominator are skipped (and counted out of B).
+
+    Scale shape: ONE (group, bucket) hash-agg over decimal-exact sums
+    (B-bounded table), then closed-form jackknife arithmetic over that
+    tiny table — the corpus is scanned once, no resampling pass, no
+    driver state."""
+    if n_buckets < 2:
+        raise ValueError("bucketed_jackknife_ratio: n_buckets must be >= 2")
+    uid = F.col(uid_col) if uid_col else F.monotonically_increasing_id()
+    h = F.conv(
+        F.substring(F.md5(uid.cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    b = df.withColumn("__b", F.pmod(h, F.lit(n_buckets)))
+    per = b.groupBy(group_col, "__b").agg(
+        _exact_sum(F.col(num_col)).alias("__num"),
+        _exact_sum(F.col(den_col)).alias("__den"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    tot = per.groupBy(group_col).agg(
+        F.sum("__num").alias("__tn"),
+        F.sum("__den").alias("__td"),
+        F.sum("__n").alias("n_rows"),
+    )
+    j = per.join(tot, group_col).withColumn(
+        "__r_loo",
+        F.when(
+            (F.col("__td") - F.col("__den")) != 0,
+            (F.col("__tn") - F.col("__num"))
+            / (F.col("__td") - F.col("__den")),
+        ),
+    )
+    agg = j.groupBy(group_col).agg(
+        (F.max("__tn") / F.max("__td")).alias("ratio"),
+        F.sum("__r_loo").alias("__sr"),
+        F.sum(F.col("__r_loo") * F.col("__r_loo")).alias("__sr2"),
+        F.count("__r_loo").alias("n_buckets_used"),
+        F.max("n_rows").alias("n_rows"),
+    )
+    m = F.col("n_buckets_used").cast("double")
+    # sum of squared deviations = sum r^2 - (sum r)^2 / m; guard the
+    # float cancellation at 0 with greatest(, 0)
+    ssd = F.greatest(
+        F.col("__sr2") - F.col("__sr") * F.col("__sr") / m, F.lit(0.0)
+    )
+    return agg.select(
+        group_col,
+        "ratio",
+        F.when(m >= 2, F.sqrt((m - 1) / m * ssd)).alias("se"),
+        "n_buckets_used",
+        "n_rows",
+    )

@@ -140,3 +140,55 @@ def test_auc_degenerate_group(spark):
     df = spark.createDataFrame([("g", 1.0, True)] * 3, "g string, s double, y boolean")
     r = auc_by_group(df, "g", "s", "y").head()
     assert r["auc"] is None and r["n_neg"] == 0
+
+
+def test_jackknife_ratio_matches_manual(spark):
+    import hashlib
+    import math
+
+    from hail_spark.operators.abtest import bucketed_jackknife_ratio
+
+    rows = [("g", i, float(i % 7) + 0.5) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, uid long, v double")
+    df = df.withColumn("one", F.lit(1.0))
+    got = bucketed_jackknife_ratio(
+        df, "g", "v", "one", n_buckets=10, uid_col="uid"
+    ).head()
+    # manual replication
+    def bucket(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 10
+
+    sums = {}
+    for _, uid, v in rows:
+        b = bucket(uid)
+        s = sums.setdefault(b, [0.0, 0.0])
+        s[0] += v
+        s[1] += 1.0
+    tn = sum(s[0] for s in sums.values())
+    td = sum(s[1] for s in sums.values())
+    rl = [(tn - s[0]) / (td - s[1]) for s in sums.values() if td != s[1]]
+    m = len(rl)
+    mean = sum(rl) / m
+    se = math.sqrt((m - 1) / m * sum((r - mean) ** 2 for r in rl))
+    assert got["ratio"] == pytest.approx(tn / td, rel=1e-12)
+    assert got["se"] == pytest.approx(se, rel=1e-6)
+    assert got["n_buckets_used"] == m and got["n_rows"] == 200
+
+
+def test_jackknife_se_shrinks_with_data(spark):
+    from hail_spark.operators.abtest import bucketed_jackknife_ratio
+
+    import random
+
+    rng = random.Random(5)
+    small = [("g", i, rng.gauss(10, 3)) for i in range(100)]
+    big = [("g", i, rng.gauss(10, 3)) for i in range(10000)]
+
+    def se_of(rows):
+        df = spark.createDataFrame(rows, "g string, uid long, v double")
+        df = df.withColumn("one", F.lit(1.0))
+        return bucketed_jackknife_ratio(
+            df, "g", "v", "one", n_buckets=20, uid_col="uid"
+        ).head()["se"]
+
+    assert se_of(big) < se_of(small)
