@@ -12167,18 +12167,31 @@ def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hail_spark.operators.graph import triangle_count
 
     li = _t(spark, sf_dir, "lineitem").df.select("l_orderkey", "l_suppkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    # per-order supplier sets (bounded by lines-per-order) exploded to
+    # canonical pairs: ONE shuffle of lineitem (by order) + the pair
+    # hash-agg — the equivalent self-join on l_orderkey would shuffle
+    # lineitem twice; duplicate suppkeys within an order collapse in
+    # collect_set exactly as the a.supp < b.supp join predicate did
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ss"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ss"), i + 2, F.greatest(F.size("ss") - i - 1, F.lit(0))
+                        ),
+                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
     e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .groupBy(
-            F.col("a.l_suppkey").alias("src"),
-            F.col("b.l_suppkey").alias("dst"),
-        )
+        pairs.groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= 5)
     )
@@ -12187,9 +12200,10 @@ def triangle_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRIANGLE_SQL = """
-WITH e AS (
+WITH d AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+e AS (
   SELECT a.l_suppkey AS lo, b.l_suppkey AS hi
-  FROM lineitem a JOIN lineitem b
+  FROM d a JOIN d b
     ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
   GROUP BY 1, 2 HAVING COUNT(*) >= 5),
 tri AS (
