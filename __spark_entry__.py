@@ -5895,6 +5895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_noisy_counts_events",
         "auc_by_group_events",
         "jackknife_ratio_events",
+        "fixed_width_round_trip",
+        "clustering_coefficient_suppliers",
         "robust_outliers_mad",
         "pmi_collocations_top",
         "target_encode_loo",
@@ -6213,6 +6215,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_noisy_counts_events": dp_counts_q,
         "auc_by_group_events": auc_by_group_q,
         "jackknife_ratio_events": jackknife_ratio_q,
+        "fixed_width_round_trip": fixed_width_round_trip_q,
+        "clustering_coefficient_suppliers": clustering_coefficient_q,
     }
 
 
@@ -6490,6 +6494,8 @@ def oracle_sql() -> dict[str, str]:
         "dp_noisy_counts_events": _DP_COUNTS_SQL,
         "auc_by_group_events": _AUC_SQL,
         "jackknife_ratio_events": _JACKKNIFE_SQL,
+        "fixed_width_round_trip": _FIXED_WIDTH_SQL,
+        "clustering_coefficient_suppliers": _CLUSTERING_COEFF_SQL,
     }
 
 
@@ -13137,4 +13143,143 @@ SELECT event_type, round(ratio, 9) AS ratio,
        CAST(m AS BIGINT) AS n_buckets_used,
        CAST(n_rows AS BIGINT) AS n_rows
 FROM a ORDER BY event_type
+"""
+
+
+def fixed_width_round_trip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width connector round trip (io/impex.py
+    import_fixed_width / export_fixed_width — the mainframe-extract
+    format the CSV reader can't parse): order keys + status + price
+    written as a space-padded layout, re-imported with 1-based
+    (start, length) substring projections (pure codegen, no UDF), then
+    a per-status census the oracle computes straight off the parquet —
+    any column-boundary or padding error breaks the row."""
+    import os
+
+    from hail_spark.io.impex import export_fixed_width, import_fixed_width
+
+    o = _t(spark, sf_dir, "orders").df.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = f"/tmp/spark_graft_fw_{tag}"
+    export_fixed_width(
+        o, path, [("o_orderkey", 12), ("o_orderstatus", 2), ("o_totalprice", 14)],
+        n_files=2,
+    )
+    back = import_fixed_width(
+        spark,
+        path,
+        [
+            ("o_orderkey", 1, 12, "bigint"),
+            ("o_orderstatus", 13, 2, "string"),
+            ("o_totalprice", 15, 14, "double"),
+        ],
+    ).df
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_orderkey").alias("key_sum"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double"), 4
+            ).alias("price_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_FIXED_WIDTH_SQL = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+       round(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 4) AS price_sum
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def clustering_coefficient_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (triangle_count composed with the
+    degree table): ``2*triangles / (deg*(deg-1))`` per node over the
+    support-5 co-supplier graph — how clique-like each supplier's
+    neighborhood is. The composition adds ONE degree hash-agg and a
+    join to the triangle plan; 20 highest-coefficient nodes."""
+    from hail_spark.operators.graph import triangle_count
+
+    li = _t(spark, sf_dir, "lineitem").df.select("l_orderkey", "l_suppkey")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("ss")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ss"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ss"), i + 2, F.greatest(F.size("ss") - i - 1, F.lit(0))
+                        ),
+                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.src", "p.dst")
+    e = (
+        pairs.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= 5)
+        .select("src", "dst")
+        .persist()
+    )
+    tri = triangle_count(e, "src", "dst")
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    out = deg.join(tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                2.0
+                * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("deg") * (F.col("deg") - 1)),
+                9,
+            ),
+        ).alias("coeff"),
+    )
+    return out.orderBy(F.desc("coeff"), "node").limit(20)
+
+
+_CLUSTERING_COEFF_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+e AS (
+  SELECT a.l_suppkey AS lo, b.l_suppkey AS hi
+  FROM d a JOIN d b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+tri AS (
+  SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+  FROM e ab
+  JOIN e bc ON bc.lo = ab.hi
+  JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi),
+tc AS (
+  SELECT node, COUNT(*) AS n_triangles FROM (
+    SELECT a AS node FROM tri UNION ALL
+    SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY node),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT lo AS node FROM e UNION ALL SELECT hi FROM e) GROUP BY node)
+SELECT deg.node, CAST(deg.deg AS BIGINT) AS deg,
+       CAST(COALESCE(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.deg >= 2 THEN
+         round(2.0 * COALESCE(tc.n_triangles, 0)
+               / (deg.deg * (deg.deg - 1.0)), 9) END AS coeff
+FROM deg LEFT JOIN tc USING (node)
+ORDER BY coeff DESC, node LIMIT 20
 """

@@ -775,3 +775,72 @@ def export_jsonl(t: Table | "DataFrame", path: str, n_files: int | None = None) 
     if n_files:
         df = df.coalesce(n_files)
     df.write.mode("overwrite").json(path)
+
+
+def import_fixed_width(
+    spark: SparkSession,
+    path: str,
+    fields: Sequence[tuple[str, int, int, str]],
+    skip_header: int = 0,
+    trim: bool = True,
+) -> Table:
+    """Fixed-width text importer (COBOL/mainframe-extract style — a
+    source format the CSV reader can't express): ``fields`` is a list
+    of ``(name, start, length, type)`` with 1-based ``start`` column
+    positions; ``type`` is any Spark cast target (``string``,
+    ``bigint``, ``double``, ``date`` …). Lines are parsed with
+    ``substring`` projections — pure codegen, no UDF — and values are
+    trimmed before the cast unless ``trim=False``.
+
+    Scale: inherits the text source's splittable parallelism; parsing
+    is map-only, and column pruning drops unused substrings like any
+    projection."""
+    if not fields:
+        raise ValueError("import_fixed_width: fields is empty")
+    df = spark.read.text(path)
+    if skip_header:
+        from pyspark.sql import Window as _W
+
+        w = _W.orderBy(F.monotonically_increasing_id())
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") > skip_header)
+            .drop("__rn")
+        )
+    cols = []
+    for name, start, length, typ in fields:
+        c = F.substring(F.col("value"), start, length)
+        if trim:
+            c = F.trim(c)
+        cols.append(c.cast(typ).alias(name))
+    return Table(df.select(*cols), ())
+
+
+def export_fixed_width(
+    t,
+    path: str,
+    widths: Sequence[tuple[str, int]],
+    n_files: int | None = None,
+) -> None:
+    """Fixed-width writer: each ``(col, width)`` is left-justified
+    space-padded (values longer than the width raise rather than
+    silently truncate — a corrupted record layout is unreadable).
+    Map-only rpad/concat projection into the text sink."""
+    df = t.df if hasattr(t, "df") else t
+    parts = []
+    for col, width in widths:
+        s = F.coalesce(F.col(col).cast("string"), F.lit(""))
+        guarded = F.when(
+            F.length(s) > width,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"export_fixed_width: value wider than {width} in {col}: "),
+                    s,
+                )
+            ),
+        ).otherwise(F.rpad(s, width, " "))
+        parts.append(guarded)
+    out = df.select(F.concat(*parts).alias("value"))
+    if n_files:
+        out = out.coalesce(n_files)
+    out.write.mode("overwrite").text(path)

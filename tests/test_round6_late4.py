@@ -192,3 +192,41 @@ def test_jackknife_se_shrinks_with_data(spark):
         ).head()["se"]
 
     assert se_of(big) < se_of(small)
+
+
+def test_fixed_width_round_trip_values(spark, tmp_path):
+    from hail_spark.io.impex import export_fixed_width, import_fixed_width
+
+    df = spark.createDataFrame(
+        [(1, "ab", 3.5), (22, "c", -1.25), (333, "", 0.0)],
+        "k long, s string, v double",
+    )
+    p = str(tmp_path / "fw")
+    export_fixed_width(df, p, [("k", 5), ("s", 3), ("v", 8)], n_files=1)
+    back = import_fixed_width(
+        spark, p, [("k", 1, 5, "bigint"), ("s", 6, 3, "string"), ("v", 9, 8, "double")]
+    ).df
+    got = sorted(map(tuple, back.collect()))
+    # an all-spaces field trims to the empty string (fixed-width
+    # cannot distinguish '' from NULL for string fields)
+    assert got == [(1, "ab", 3.5), (22, "c", -1.25), (333, "", 0.0)]
+
+
+def test_fixed_width_overflow_raises(spark, tmp_path):
+    from hail_spark.io.impex import export_fixed_width
+
+    df = spark.createDataFrame([("toolong",)], "s string")
+    with pytest.raises(Exception, match="wider than"):
+        export_fixed_width(df, str(tmp_path / "x"), [("s", 3)])
+
+
+def test_clustering_coefficient_triangle_free_vs_clique(spark):
+    from hail_spark.operators.graph import triangle_count
+
+    # K4: every node coeff 1 (deg 3, 3 triangles -> 2*3/(3*2)=1)
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    tri = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    for n in range(4):
+        deg = 3
+        assert 2 * tri[n] / (deg * (deg - 1)) == 1.0
