@@ -5897,6 +5897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jackknife_ratio_events",
         "fixed_width_round_trip",
         "clustering_coefficient_suppliers",
+        "incremental_agg_merge",
+        "stratified_fixed_k_docs",
         "robust_outliers_mad",
         "pmi_collocations_top",
         "target_encode_loo",
@@ -6217,6 +6219,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jackknife_ratio_events": jackknife_ratio_q,
         "fixed_width_round_trip": fixed_width_round_trip_q,
         "clustering_coefficient_suppliers": clustering_coefficient_q,
+        "incremental_agg_merge": incremental_agg_q,
+        "stratified_fixed_k_docs": stratified_fixed_k_q,
     }
 
 
@@ -6496,6 +6500,8 @@ def oracle_sql() -> dict[str, str]:
         "jackknife_ratio_events": _JACKKNIFE_SQL,
         "fixed_width_round_trip": _FIXED_WIDTH_SQL,
         "clustering_coefficient_suppliers": _CLUSTERING_COEFF_SQL,
+        "incremental_agg_merge": _INCREMENTAL_AGG_SQL,
+        "stratified_fixed_k_docs": _STRAT_FIXED_K_SQL,
     }
 
 
@@ -13282,4 +13288,84 @@ SELECT deg.node, CAST(deg.deg AS BIGINT) AS deg,
                / (deg.deg * (deg.deg - 1.0)), 9) END AS coeff
 FROM deg LEFT JOIN tc USING (node)
 ORDER BY coeff DESC, node LIMIT 20
+"""
+
+
+def incremental_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py
+    aggregate_partial + merge_aggregates): per-event-type partials
+    built separately for the pre-cutoff history and the post-cutoff
+    delta, folded with the monoid merge — the materialized-rollup
+    pattern that replaces rescans. The oracle aggregates the whole
+    table in one pass, so any non-associativity in the merge breaks
+    the row. Decimal sums keep the partial order-independent."""
+    from hail_spark.operators.incremental import (
+        aggregate_partial,
+        merge_aggregates,
+    )
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        _micros("ts").alias("tsu"),
+        F.col("value").cast("decimal(15,6)").alias("vdec"),
+    )
+    cut = ev.agg(F.percentile(F.col("tsu"), F.lit(0.5))).head()[0]
+    specs = {
+        "n": ("vdec", "count"),
+        "v_sum": ("vdec", "sum"),
+        "v_min": ("vdec", "min"),
+        "v_max": ("vdec", "max"),
+    }
+    base = aggregate_partial(
+        ev.filter(F.col("tsu") <= cut), ["event_type"], specs
+    )
+    delta = aggregate_partial(
+        ev.filter(F.col("tsu") > cut), ["event_type"], specs
+    )
+    merged = merge_aggregates(base, delta, ["event_type"], {
+        "n": "count", "v_sum": "sum", "v_min": "min", "v_max": "max",
+    })
+    return merged.select(
+        "event_type",
+        "n",
+        F.round(F.col("v_sum").cast("double"), 6).alias("v_sum"),
+        F.round(F.col("v_min").cast("double"), 6).alias("v_min"),
+        F.round(F.col("v_max").cast("double"), 6).alias("v_max"),
+    ).orderBy("event_type")
+
+
+_INCREMENTAL_AGG_SQL = """
+SELECT event_type,
+       CAST(COUNT(value) AS BIGINT) AS n,
+       round(CAST(SUM(CAST(value AS DECIMAL(15,6))) AS DOUBLE), 6) AS v_sum,
+       round(CAST(MIN(CAST(value AS DECIMAL(15,6))) AS DOUBLE), 6) AS v_min,
+       round(CAST(MAX(CAST(value AS DECIMAL(15,6))) AS DOUBLE), 6) AS v_max
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def stratified_fixed_k_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified selection (llmdata/sampling.py
+    stratified_fixed_k): exactly 20 docs per language by md5 order —
+    the balanced-eval-set builder (Bernoulli rates can't hit exact
+    counts). One per-stratum row_number window; selection is a pure
+    function of (doc_id, seed), which the oracle replays by ordering
+    on the md5 integer directly."""
+    from hail_spark.llmdata.sampling import stratified_fixed_k
+
+    d = _t(spark, sf_dir, "documents").df.select("doc_id", "lang")
+    out = stratified_fixed_k(d, "lang", 20, "doc_id", seed=13)
+    return out.orderBy("lang", "doc_id")
+
+
+_STRAT_FIXED_K_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':13'),1,15))::BIGINT
+                      % 1073741824,
+                    doc_id) AS rk
+  FROM documents)
+SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY lang, doc_id
 """

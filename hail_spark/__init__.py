@@ -99,6 +99,7 @@ _LAZY = {
     "streaming": ("hail_spark.streaming", None),
     "multimodal": ("hail_spark.llmdata.multimodal", None),
     "abtest": ("hail_spark.operators.abtest", None),
+    "incremental": ("hail_spark.operators.incremental", None),
     "denoise": ("hail_spark.llmdata.denoise", None),
 }
 

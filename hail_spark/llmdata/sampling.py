@@ -560,3 +560,35 @@ def dsir_select(
         .limit(k)
         .select(F.col("__id").alias(id_col), "logw", "__key")
     )
+
+
+def stratified_fixed_k(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    uid_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """EXACTLY ``k`` rows per stratum (or the whole stratum when it is
+    smaller), chosen by md5 order — the deterministic counterpart of
+    :func:`stratified_sample` when per-stratum counts must be exact
+    (balanced eval sets, per-language quotas). Selection is a pure
+    function of (uid, seed): stable across partitioning and engines.
+
+    Scale shape: one row_number window per stratum ordered by
+    (md5-uniform, uid) — a single shuffle on the stratum key; the
+    within-stratum sort is per-partition. For strata large enough that
+    a full sort hurts, pre-filter with a Bernoulli pass at a few times
+    the target rate first (same md5 stream, so the top-k subset is
+    preserved with overwhelming probability)."""
+    if k < 1:
+        raise ValueError("stratified_fixed_k: k must be >= 1")
+    from pyspark.sql import Window as W
+
+    u = uniform(F.col(uid_col), seed)
+    w = W.partitionBy(strata_col).orderBy(u.asc(), F.col(uid_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

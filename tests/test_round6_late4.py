@@ -230,3 +230,70 @@ def test_clustering_coefficient_triangle_free_vs_clique(spark):
     for n in range(4):
         deg = 3
         assert 2 * tri[n] / (deg * (deg - 1)) == 1.0
+
+
+def test_merge_aggregates_matches_full_and_chains(spark):
+    from hail_spark.operators.incremental import (
+        aggregate_partial,
+        merge_aggregates,
+    )
+
+    rows = [("a", float(i)) for i in range(30)] + [("b", float(-i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    specs = {"n": ("v", "count"), "s": ("v", "sum"),
+             "lo": ("v", "min"), "hi": ("v", "max")}
+    mspec = {"n": "count", "s": "sum", "lo": "min", "hi": "max"}
+    full = {r["k"]: r for r in aggregate_partial(df, ["k"], specs).collect()}
+    # three-way chained merge over row-slices
+    parts = [
+        aggregate_partial(spark.createDataFrame(rows[i::3], "k string, v double"), ["k"], specs)
+        for i in range(3)
+    ]
+    merged = merge_aggregates(merge_aggregates(parts[0], parts[1], ["k"], mspec),
+                              parts[2], ["k"], mspec)
+    got = {r["k"]: r for r in merged.collect()}
+    for k in full:
+        for c in ("n", "s", "lo", "hi"):
+            assert got[k][c] == full[k][c], (k, c)
+
+
+def test_merge_aggregates_hll_union(spark):
+    from hail_spark.operators.incremental import (
+        aggregate_partial,
+        merge_aggregates,
+    )
+
+    rows = [("g", i % 500) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    specs = {"sk": ("v", "hll")}
+    a = aggregate_partial(spark.createDataFrame(rows[:1000], "k string, v long"), ["k"], specs)
+    b = aggregate_partial(spark.createDataFrame(rows[1000:], "k string, v long"), ["k"], specs)
+    m = merge_aggregates(a, b, ["k"], {"sk": "hll"})
+    est = m.select(F.hll_sketch_estimate("sk")).head()[0]
+    assert abs(est - 500) / 500 < 0.05
+
+
+def test_merge_aggregates_disjoint_keys_pass_through(spark):
+    from hail_spark.operators.incremental import merge_aggregates
+
+    a = spark.createDataFrame([("x", 1, 5.0)], "k string, n long, s double")
+    b = spark.createDataFrame([("y", 2, 7.0)], "k string, n long, s double")
+    m = {r["k"]: r for r in
+         merge_aggregates(a, b, ["k"], {"n": "count", "s": "sum"}).collect()}
+    assert m["x"]["n"] == 1 and m["y"]["s"] == 7.0
+
+
+def test_stratified_fixed_k_exact_and_stable(spark):
+    from hail_spark.llmdata.sampling import stratified_fixed_k
+
+    rows = [(i, "s%d" % (i % 3)) for i in range(100)]
+    df = spark.createDataFrame(rows, "uid long, s string")
+    out = stratified_fixed_k(df, "s", 7, "uid", seed=2)
+    counts = {r["s"]: r["n"] for r in
+              out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"s0": 7, "s1": 7, "s2": 7}
+    again = sorted(map(tuple, stratified_fixed_k(df, "s", 7, "uid", seed=2).collect()))
+    assert sorted(map(tuple, out.collect())) == again
+    # stratum smaller than k -> whole stratum
+    small = stratified_fixed_k(df.filter("uid < 2"), "s", 7, "uid")
+    assert small.count() == 2
