@@ -5899,6 +5899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient_suppliers",
         "incremental_agg_merge",
         "stratified_fixed_k_docs",
+        "survival_curve_users",
+        "entity_resolution_parts",
         "robust_outliers_mad",
         "pmi_collocations_top",
         "target_encode_loo",
@@ -6221,6 +6223,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient_suppliers": clustering_coefficient_q,
         "incremental_agg_merge": incremental_agg_q,
         "stratified_fixed_k_docs": stratified_fixed_k_q,
+        "survival_curve_users": survival_curve_q,
+        "entity_resolution_parts": entity_resolution_q,
     }
 
 
@@ -6502,6 +6506,8 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coefficient_suppliers": _CLUSTERING_COEFF_SQL,
         "incremental_agg_merge": _INCREMENTAL_AGG_SQL,
         "stratified_fixed_k_docs": _STRAT_FIXED_K_SQL,
+        "survival_curve_users": _SURVIVAL_SQL,
+        "entity_resolution_parts": _ENTITY_RES_SQL,
     }
 
 
@@ -13368,4 +13374,151 @@ WITH r AS (
                     doc_id) AS rk
   FROM documents)
 SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY lang, doc_id
+"""
+
+
+def survival_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier retention curve (operators/relational.py
+    survival_curve): per-user lifetimes from the event stream, churn =
+    no activity in the final 7 days of the corpus, day-bucketed —
+    the censoring-correct retention curve (a naive retained-fraction
+    curve is biased by still-active users). Two hash-aggs + one
+    ordered window over distinct durations; the oracle replays the
+    product-limit estimator with the same exp/sum-ln form."""
+    from hail_spark.operators.relational import survival_curve
+
+    DAY = 86_400_000_000
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id", _micros("ts").alias("tsu")
+    )
+    out = survival_curve(ev, "user_id", "tsu", unit=DAY, horizon=7 * DAY)
+    return out.select(
+        "t",
+        "n_at_risk",
+        "n_churned",
+        "n_censored",
+        F.round("survival", 9).alias("survival"),
+    ).orderBy("t")
+
+
+_SURVIVAL_SQL = """
+WITH per AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS f, MAX(epoch_us(ts)) AS l
+  FROM events GROUP BY user_id),
+tm AS (SELECT MAX(l) AS tmax FROM per),
+life AS (
+  SELECT CASE WHEN l <= tmax - 604800000000
+              THEN CAST((l - f) // 86400000000 AS BIGINT)
+              ELSE CAST((tmax - f) // 86400000000 AS BIGINT) END AS t,
+         CASE WHEN l <= tmax - 604800000000 THEN 1 ELSE 0 END AS d
+  FROM per CROSS JOIN tm),
+buck AS (
+  SELECT t, SUM(d) AS n_churned, SUM(1 - d) AS n_censored
+  FROM life GROUP BY t),
+tot AS (SELECT SUM(n_churned + n_censored) AS n FROM buck),
+r AS (
+  SELECT t, n_churned, n_censored,
+         n - COALESCE(SUM(n_churned + n_censored) OVER (ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+  FROM buck CROSS JOIN tot),
+s AS (
+  SELECT *,
+         MAX(CASE WHEN n_churned >= n_at_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zero_hit,
+         SUM(CASE WHEN n_churned < n_at_risk
+                  THEN ln(1.0 - n_churned / CAST(n_at_risk AS DOUBLE))
+                  ELSE 0.0 END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lsum
+  FROM r)
+SELECT CAST(t AS BIGINT) AS t, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+       CAST(n_churned AS BIGINT) AS n_churned,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       round(CASE WHEN zero_hit = 1 THEN 0.0 ELSE exp(lsum) END, 9) AS survival
+FROM s ORDER BY t
+"""
+
+
+def entity_resolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution composing three engine operators:
+    deterministically corrupt part names (md5-positioned char drop) to
+    make a dirty table, match dirty vs clean with the PassJoin
+    edit-distance join (relational.fuzzy_join, max_dist=1), cluster
+    matches with large-star/small-star connected components
+    (dedup.connected_components), and report resolved-cluster counts.
+    The oracle replays corruption + a levenshtein join + iterated
+    min-label closure. Bounded to 400 clean names so the oracle's
+    quadratic check stays gate-cheap; the Spark path itself is the
+    candidate-generating PassJoin (never all-pairs)."""
+    from hail_spark.llmdata.dedup import connected_components
+    from hail_spark.operators.relational import fuzzy_join
+
+    p = (
+        _t(spark, sf_dir, "part")
+        .df.filter(F.col("p_partkey") <= 400)
+        .select("p_partkey", F.col("p_name").alias("name"))
+    )
+    # deterministic corruption: drop the character at md5(key) % len
+    pos = F.pmod(
+        F.conv(F.substring(F.md5(F.col("p_partkey").cast("string")), 1, 15), 16, 10)
+        .cast("bigint"),
+        F.length("name"),
+    ) + 1
+    dirty = p.select(
+        (F.col("p_partkey") + 1_000_000).alias("id"),
+        F.concat(
+            F.substring(F.col("name"), F.lit(1), pos - 1),
+            F.substring(F.col("name"), pos + 1, F.length("name")),
+        ).alias("name"),
+    )
+    clean = p.select(F.col("p_partkey").alias("id_a"), "name")
+    matches = fuzzy_join(
+        dirty.withColumnRenamed("id", "id_b"),
+        clean,
+        "name",
+        max_dist=1,
+        left_id="id_b",
+        right_id="id_a",
+    )
+    pairs = matches.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    )
+    comp = connected_components(pairs, "id_a", "id_b")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+_ENTITY_RES_SQL = """
+WITH p AS (SELECT p_partkey, p_name AS name FROM part WHERE p_partkey <= 400),
+px AS (
+  SELECT p_partkey, name,
+         (('0x'||substr(md5(CAST(p_partkey AS VARCHAR)),1,15))::BIGINT
+            % length(name)) + 1 AS pos
+  FROM p),
+dirty AS (
+  SELECT p_partkey + 1000000 AS id,
+         substr(name, 1, pos - 1) || substr(name, pos + 1, length(name)) AS name
+  FROM px),
+clean AS (SELECT p_partkey AS id, name FROM p),
+pairs AS (
+  SELECT c.id AS a, d.id AS b
+  FROM clean c, dirty d
+  WHERE levenshtein(c.name, d.name) <= 1),
+edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach AS (
+  WITH RECURSIVE r(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.b, r.label FROM r JOIN edges e ON e.a = r.node
+  ) SELECT node, MIN(label) AS component FROM r GROUP BY node),
+sizes AS (SELECT component, COUNT(*) AS cluster_size FROM reach GROUP BY component)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY cluster_size ORDER BY cluster_size
 """

@@ -931,3 +931,77 @@ def sequence_ngrams(
     return grams.groupBy(*[f"g{i + 1}" for i in range(n)]).agg(
         F.count(F.lit(1)).alias("n_occurrences")
     )
+
+
+def survival_curve(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    unit: int,
+    horizon: int,
+) -> DataFrame:
+    """Kaplan-Meier retention/survival estimate over an event stream:
+    each key's lifetime starts at its first event; a key is a CHURN
+    (observed death) if its last event is more than ``horizon`` time
+    units before the corpus end, with lifetime = last - first; keys
+    still active near the corpus end are CENSORED at observation end.
+    Durations are bucketed by ``unit`` (e.g. a day in the ts scale).
+    Returns one row per distinct duration bucket t:
+    (t, n_at_risk, n_churned, n_censored, survival) with
+    ``S(t) = prod_{u<=t} (1 - d_u / n_u)`` — the product-limit
+    estimator (Kaplan & Meier 1958) that handles censoring correctly
+    where a naive "fraction retained" curve is biased.
+
+    Scale shape: one per-key hash-agg (first/last), one duration
+    hash-agg, then ONE ordered window over the distinct-duration table
+    (bounded by the duration range, not keys); the product is
+    exp(running-sum(ln)) with an exact-zero guard when every at-risk
+    key churns in a bucket."""
+    if unit <= 0 or horizon < 0:
+        raise ValueError("survival_curve: unit must be > 0, horizon >= 0")
+    per = df.groupBy(key_col).agg(
+        F.min(ts_col).alias("__first"), F.max(ts_col).alias("__last")
+    )
+    tmax = per.agg(F.max("__last").alias("__tmax"))
+    life = per.crossJoin(tmax).select(
+        F.when(
+            F.col("__last") <= F.col("__tmax") - horizon,
+            ((F.col("__last") - F.col("__first")) / unit).cast("bigint"),
+        )
+        .otherwise(((F.col("__tmax") - F.col("__first")) / unit).cast("bigint"))
+        .alias("t"),
+        (F.col("__last") <= F.col("__tmax") - horizon).cast("int").alias("__d"),
+    )
+    buck = life.groupBy("t").agg(
+        F.sum("__d").alias("n_churned"),
+        F.sum(1 - F.col("__d")).alias("n_censored"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = buck.agg(
+        F.sum(F.col("n_churned") + F.col("n_censored")).alias("__n")
+    )
+    r = buck.crossJoin(tot).withColumn(
+        "n_at_risk",
+        F.col("__n")
+        - F.coalesce(
+            F.sum(F.col("n_churned") + F.col("n_censored")).over(w), F.lit(0)
+        ),
+    )
+    # S(t): running product of (1 - d/n); a bucket where d == n drives
+    # S to exact 0 (ln would be -inf) — carry a running "hit zero" flag
+    frac = F.col("n_churned") / F.col("n_at_risk")
+    zero_hit = F.max((frac >= 1.0).cast("int")).over(wall)
+    log_term = F.when(frac < 1.0, F.log(1.0 - frac)).otherwise(F.lit(0.0))
+    s = F.when(zero_hit == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(log_term).over(wall))
+    )
+    return r.select(
+        "t",
+        "n_at_risk",
+        "n_churned",
+        "n_censored",
+        s.alias("survival"),
+    )

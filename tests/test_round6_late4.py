@@ -297,3 +297,46 @@ def test_stratified_fixed_k_exact_and_stable(spark):
     # stratum smaller than k -> whole stratum
     small = stratified_fixed_k(df.filter("uid < 2"), "s", 7, "uid")
     assert small.count() == 2
+
+
+def test_survival_curve_km_hand_values(spark):
+    from hail_spark.operators.relational import survival_curve
+
+    # keys: A churns at t=1, B churns at t=2, C censored at t=2
+    # (corpus end = 100; horizon 10)
+    rows = [
+        ("A", 0), ("A", 1),
+        ("B", 0), ("B", 2),
+        ("C", 98), ("C", 100),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts long")
+    out = {r["t"]: r for r in
+           survival_curve(df, "k", "ts", unit=1, horizon=10).collect()}
+    # t=1: at risk 3, churn A -> S = 2/3
+    assert out[1]["n_at_risk"] == 3 and out[1]["n_churned"] == 1
+    assert out[1]["survival"] == pytest.approx(2 / 3)
+    # t=2: at risk 2, churn B, censor C -> S = 2/3 * 1/2 = 1/3
+    assert out[2]["n_churned"] == 1 and out[2]["n_censored"] == 1
+    assert out[2]["survival"] == pytest.approx(1 / 3)
+
+
+def test_survival_curve_all_churn_hits_zero(spark):
+    from hail_spark.operators.relational import survival_curve
+
+    rows = [("A", 0), ("A", 5), ("B", 0), ("B", 5), ("Z", 0), ("Z", 100)]
+    df = spark.createDataFrame(rows, "k string, ts long")
+    out = {r["t"]: r for r in
+           survival_curve(df, "k", "ts", unit=1, horizon=1).collect()}
+    # at t=100 the last at-risk key churns... Z's last event == tmax, so
+    # Z is censored; A and B churn together at t=5
+    assert out[5]["n_churned"] == 2
+    assert out[5]["survival"] == pytest.approx(1 / 3)
+    assert out[100]["n_censored"] == 1 and out[100]["survival"] == pytest.approx(1 / 3)
+
+
+def test_survival_rejects_bad_params(spark):
+    from hail_spark.operators.relational import survival_curve
+
+    df = spark.createDataFrame([("A", 1)], "k string, ts long")
+    with pytest.raises(ValueError):
+        survival_curve(df, "k", "ts", unit=0, horizon=1)
