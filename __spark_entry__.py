@@ -5901,6 +5901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_fixed_k_docs",
         "survival_curve_users",
         "entity_resolution_parts",
+        "chat_render_docs",
         "robust_outliers_mad",
         "pmi_collocations_top",
         "target_encode_loo",
@@ -6225,6 +6226,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_fixed_k_docs": stratified_fixed_k_q,
         "survival_curve_users": survival_curve_q,
         "entity_resolution_parts": entity_resolution_q,
+        "chat_render_docs": chat_render_q,
     }
 
 
@@ -6508,6 +6510,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_fixed_k_docs": _STRAT_FIXED_K_SQL,
         "survival_curve_users": _SURVIVAL_SQL,
         "entity_resolution_parts": _ENTITY_RES_SQL,
+        "chat_render_docs": _CHAT_RENDER_SQL,
     }
 
 
@@ -13521,4 +13524,89 @@ sizes AS (SELECT component, COUNT(*) AS cluster_size FROM reach GROUP BY compone
 SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
        CAST(COUNT(*) AS BIGINT) AS n_clusters
 FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+"""
+
+
+def chat_render_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering + structural validation (llmdata/
+    chat.py render_chat / chat_stats): synthetic two-turn
+    conversations built deterministically from documents (first half
+    of the tokens = user, second half = assistant, every 5th doc gets
+    a system turn), rendered in ChatML and validated — the
+    instruction-data prep step as pure Column logic (no UDF). Output
+    keeps the rendered string as an md5 so rows stay canon-cheap; the
+    oracle rebuilds turns, template, and signals with list functions."""
+    from hail_spark.llmdata.chat import chat_stats, render_chat
+    from hail_spark.llmdata.dedup import tokens
+
+    d = _t(spark, sf_dir, "documents").df.select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    d2 = d.select("doc_id", toks.alias("tk"))
+    h = (F.size("tk") / 2).cast("int")
+    user = F.array_join(F.slice(F.col("tk"), 1, h), " ")
+    asst = F.array_join(
+        F.slice(F.col("tk"), h + 1, F.greatest(F.size("tk") - h, F.lit(0))), " "
+    )
+    base_turns = F.array(
+        F.struct(F.lit("user").alias("role"), user.alias("content")),
+        F.struct(F.lit("assistant").alias("role"), asst.alias("content")),
+    )
+    sys_turn = F.array(
+        F.struct(
+            F.lit("system").alias("role"),
+            F.lit("You are a helpful assistant.").alias("content"),
+        )
+    )
+    turns = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(sys_turn, base_turns)
+    ).otherwise(base_turns)
+    out = d2.select(
+        "doc_id",
+        F.md5(render_chat(turns, "chatml", add_generation_prompt=False)).alias(
+            "rendered_md5"
+        ),
+        chat_stats(turns).alias("st"),
+    )
+    return out.select(
+        "doc_id",
+        "rendered_md5",
+        F.col("st.n_turns").alias("n_turns"),
+        F.col("st.n_user").alias("n_user"),
+        F.col("st.has_system_first").cast("int").alias("has_system_first"),
+        F.col("st.n_empty_turns").alias("n_empty_turns"),
+        F.col("st.alternates").cast("int").alias("alternates"),
+        F.col("st.total_chars").alias("total_chars"),
+    ).orderBy("doc_id")
+
+
+_CHAT_RENDER_SQL = """
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS tk
+  FROM documents),
+halves AS (
+  SELECT doc_id,
+         COALESCE(array_to_string(list_slice(tk, 1, len(tk) // 2), ' '), '') AS u,
+         COALESCE(array_to_string(list_slice(tk, len(tk) // 2 + 1, len(tk)), ' '), '') AS a,
+         doc_id % 5 = 0 AS has_sys
+  FROM ws),
+r AS (
+  SELECT doc_id, has_sys, u, a,
+         (CASE WHEN has_sys
+               THEN '<|im_start|>system' || chr(10) || 'You are a helpful assistant.'
+                    || '<|im_end|>' || chr(10) ELSE '' END)
+         || '<|im_start|>user' || chr(10) || u || '<|im_end|>' || chr(10)
+         || '<|im_start|>assistant' || chr(10) || a || '<|im_end|>' || chr(10)
+           AS rendered
+  FROM halves)
+SELECT doc_id, md5(rendered) AS rendered_md5,
+       CAST(CASE WHEN has_sys THEN 3 ELSE 2 END AS INT) AS n_turns,
+       CAST(1 AS INT) AS n_user,
+       CAST(CASE WHEN has_sys THEN 1 ELSE 0 END AS INT) AS has_system_first,
+       CAST((CASE WHEN length(trim(u)) = 0 THEN 1 ELSE 0 END)
+            + (CASE WHEN length(trim(a)) = 0 THEN 1 ELSE 0 END) AS INT) AS n_empty_turns,
+       CAST(1 AS INT) AS alternates,
+       CAST(length(u) + length(a)
+            + CASE WHEN has_sys THEN 28 ELSE 0 END AS BIGINT) AS total_chars
+FROM r ORDER BY doc_id
 """

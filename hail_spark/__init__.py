@@ -101,6 +101,7 @@ _LAZY = {
     "abtest": ("hail_spark.operators.abtest", None),
     "incremental": ("hail_spark.operators.incremental", None),
     "denoise": ("hail_spark.llmdata.denoise", None),
+    "chat": ("hail_spark.llmdata.chat", None),
 }
 
 # the whole hl.methods surface is also reachable at top level, as in the

@@ -340,3 +340,54 @@ def test_survival_rejects_bad_params(spark):
     df = spark.createDataFrame([("A", 1)], "k string, ts long")
     with pytest.raises(ValueError):
         survival_curve(df, "k", "ts", unit=0, horizon=1)
+
+
+def test_render_chat_and_stats(spark):
+    from hail_spark.llmdata.chat import chat_stats, render_chat
+
+    turns = [
+        {"role": "system", "content": "be nice"},
+        {"role": "user", "content": "hi"},
+        {"role": "assistant", "content": "hello"},
+    ]
+    df = spark.createDataFrame(
+        [(1, turns)], "id long, turns array<struct<role:string,content:string>>"
+    )
+    r = df.select(
+        render_chat(F.col("turns"), "chatml").alias("c"),
+        render_chat(F.col("turns"), "plain", add_generation_prompt=True).alias("p"),
+        chat_stats(F.col("turns")).alias("st"),
+    ).head()
+    assert r["c"] == (
+        "<|im_start|>system\nbe nice<|im_end|>\n"
+        "<|im_start|>user\nhi<|im_end|>\n"
+        "<|im_start|>assistant\nhello<|im_end|>\n"
+    )
+    assert r["p"] == "system: be nice\nuser: hi\nassistant: hello\nassistant:"
+    st = r["st"]
+    assert st["n_turns"] == 3 and st["n_user"] == 1 and st["n_assistant"] == 1
+    assert st["has_system_first"] and st["alternates"]
+    assert st["n_empty_turns"] == 0 and st["total_chars"] == len("be nice") + 2 + 5
+
+
+def test_chat_stats_flags_bad_structure(spark):
+    from hail_spark.llmdata.chat import chat_stats
+
+    bad = [
+        {"role": "user", "content": "a"},
+        {"role": "user", "content": ""},
+    ]
+    df = spark.createDataFrame(
+        [(1, bad)], "id long, turns array<struct<role:string,content:string>>"
+    )
+    st = df.select(chat_stats(F.col("turns")).alias("st")).head()["st"]
+    assert not st["alternates"]
+    assert st["n_empty_turns"] == 1
+    assert not st["has_system_first"]
+
+
+def test_render_chat_rejects_unknown_template(spark):
+    from hail_spark.llmdata.chat import render_chat
+
+    with pytest.raises(ValueError):
+        render_chat(F.lit(None), "unknown")
