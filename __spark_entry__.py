@@ -5902,6 +5902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_curve_users",
         "entity_resolution_parts",
         "chat_render_docs",
+        "weighted_percentiles_orders",
         "robust_outliers_mad",
         "pmi_collocations_top",
         "target_encode_loo",
@@ -6227,6 +6228,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "survival_curve_users": survival_curve_q,
         "entity_resolution_parts": entity_resolution_q,
         "chat_render_docs": chat_render_q,
+        "weighted_percentiles_orders": weighted_percentile_q,
     }
 
 
@@ -6511,6 +6513,7 @@ def oracle_sql() -> dict[str, str]:
         "survival_curve_users": _SURVIVAL_SQL,
         "entity_resolution_parts": _ENTITY_RES_SQL,
         "chat_render_docs": _CHAT_RENDER_SQL,
+        "weighted_percentiles_orders": _WEIGHTED_PCT_SQL,
     }
 
 
@@ -13609,4 +13612,55 @@ SELECT doc_id, md5(rendered) AS rendered_md5,
        CAST(length(u) + length(a)
             + CASE WHEN has_sys THEN 28 ELSE 0 END AS BIGINT) AS total_chars
 FROM r ORDER BY doc_id
+"""
+
+
+def weighted_percentile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weighted percentiles (llmdata/features.py
+    weighted_percentile_by_group, lower-weighted-quantile convention):
+    o_totalprice percentiles per order priority weighted by line count
+    — the weighted statistic plain percentile/approx can't produce.
+    One (group, value) weight agg + one per-group running-sum window
+    over distinct values + a min-agg per percentile; the oracle
+    replays the cumulative-weight rule."""
+    from hail_spark.llmdata.features import weighted_percentile_by_group
+
+    o = _t(spark, sf_dir, "orders").df
+    li = _t(spark, sf_dir, "lineitem").df.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("w")
+    )
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        "o_orderpriority", "o_totalprice", "w"
+    )
+    out = weighted_percentile_by_group(
+        j, "o_orderpriority", "o_totalprice", "w", [0.25, 0.5, 0.9]
+    )
+    return out.select(
+        "o_orderpriority",
+        F.round("p_0_25", 4).alias("p25"),
+        F.round("p_0_5", 4).alias("p50"),
+        F.round("p_0_9", 4).alias("p90"),
+    ).orderBy("o_orderpriority")
+
+
+_WEIGHTED_PCT_SQL = """
+WITH j AS (
+  SELECT o.o_orderpriority, o.o_totalprice, li.w
+  FROM orders o
+  JOIN (SELECT l_orderkey, COUNT(*) AS w FROM lineitem GROUP BY 1) li
+    ON o.o_orderkey = li.l_orderkey),
+per AS (
+  SELECT o_orderpriority, o_totalprice AS v, CAST(SUM(w) AS DOUBLE) AS w
+  FROM j GROUP BY 1, 2),
+r AS (
+  SELECT *,
+         SUM(w) OVER (PARTITION BY o_orderpriority ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(w) OVER (PARTITION BY o_orderpriority) AS tw
+  FROM per)
+SELECT o_orderpriority,
+       round(MIN(CASE WHEN cw >= 0.25 * tw THEN v END), 4) AS p25,
+       round(MIN(CASE WHEN cw >= 0.5 * tw THEN v END), 4) AS p50,
+       round(MIN(CASE WHEN cw >= 0.9 * tw THEN v END), 4) AS p90
+FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
 """

@@ -376,3 +376,56 @@ def mutual_information(
             F.countDistinct("value").alias("n_values"),
         )
     )
+
+
+def weighted_percentile_by_group(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+    percentiles: list[float],
+) -> DataFrame:
+    """Weight-aware percentiles per group (lower-weighted-quantile
+    convention: the smallest value whose cumulative weight reaches
+    p * total). The statistic importance-weighted corpora need —
+    Spark's percentile/approx take integral frequencies only, and
+    resampling by weight distorts tails.
+
+    Returns one row per group: (key, p_<pct> ... ) columns.
+
+    Scale shape: one (group, value) hash-agg summing weights (ties
+    merge), then ONE ordered running-sum window per group over the
+    DISTINCT-value table (bounded by distinct values, not rows), then
+    a min-aggregate per requested percentile. Zero/negative weights
+    are excluded (the estimator's domain)."""
+    if not percentiles:
+        raise ValueError("weighted_percentile_by_group: percentiles is empty")
+    for p in percentiles:
+        if not 0.0 < p <= 1.0:
+            raise ValueError(
+                f"weighted_percentile_by_group: percentile {p} outside (0, 1]"
+            )
+    from pyspark.sql import Window as W
+
+    per = (
+        df.filter(F.col(weight_col) > 0)
+        .groupBy(key_col, F.col(value_col).alias("__v"))
+        .agg(F.sum(weight_col).cast("double").alias("__w"))
+    )
+    w = (
+        W.partitionBy(key_col)
+        .orderBy("__v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    r = per.withColumn("__cw", F.sum("__w").over(w))
+    tot = per.groupBy(key_col).agg(F.sum("__w").alias("__tw"))
+    j = r.join(tot, key_col)
+    aggs = []
+    for p in percentiles:
+        tag = str(p).replace(".", "_")
+        aggs.append(
+            F.min(
+                F.when(F.col("__cw") >= p * F.col("__tw"), F.col("__v"))
+            ).alias(f"p_{tag}")
+        )
+    return j.groupBy(key_col).agg(*aggs)

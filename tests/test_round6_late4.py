@@ -391,3 +391,29 @@ def test_render_chat_rejects_unknown_template(spark):
 
     with pytest.raises(ValueError):
         render_chat(F.lit(None), "unknown")
+
+
+def test_weighted_percentile_hand_values(spark):
+    from hail_spark.llmdata.features import weighted_percentile_by_group
+
+    # values 1..4 with weights 1,1,2,6 (total 10): cumw 1,2,4,10
+    rows = [("g", 1.0, 1.0), ("g", 2.0, 1.0), ("g", 3.0, 2.0), ("g", 4.0, 6.0)]
+    df = spark.createDataFrame(rows, "k string, v double, w double")
+    r = weighted_percentile_by_group(df, "k", "v", "w", [0.2, 0.4, 0.5, 1.0]).head()
+    assert r["p_0_2"] == 2.0   # cumw 2 >= 2
+    assert r["p_0_4"] == 3.0   # cumw 4 >= 4
+    assert r["p_0_5"] == 4.0   # first cumw >= 5 is 10 at v=4
+    assert r["p_1_0"] == 4.0
+
+
+def test_weighted_percentile_unit_weights_match_exact_rank(spark):
+    from hail_spark.llmdata.features import weighted_percentile_by_group
+
+    vals = [float(i) for i in range(1, 101)]
+    df = spark.createDataFrame([("g", v, 1.0) for v in vals], "k string, v double, w double")
+    r = weighted_percentile_by_group(df, "k", "v", "w", [0.5, 0.9]).head()
+    assert r["p_0_5"] == 50.0 and r["p_0_9"] == 90.0
+    # zero/negative weights are excluded
+    df2 = df.union(spark.createDataFrame([("g", 1000.0, 0.0)], "k string, v double, w double"))
+    r2 = weighted_percentile_by_group(df2, "k", "v", "w", [1.0]).head()
+    assert r2["p_1_0"] == 100.0
