@@ -5849,75 +5849,60 @@ _DRIVER_GREEN: frozenset = frozenset({
     "session_window_native", "sessionize_events", "sparse_split_battery",
     "text_normalize_docs", "token_budget_select", "training_pipeline_e2e",
     "training_shards_manifest", "unpivot_measures", "weighted_sample_topk",
+    # r06 greens (CORRECTNESS_r06.json: 50/50 green).
+    "c4_signals_docs", "standardize_features", "json_props_extract",
+    "funnel_conversion", "cohort_retention_triangle",
+    "collapse_bursts_debounce", "winsorize_by_type", "quantile_bins_events",
+    "distinctive_terms_tfidf", "pool_embeddings_mean",
+    "dsir_importance_select", "kmv_theta_sketch", "span_corruption_pairs",
+    "attribution_first_last", "label_propagation_communities",
+    "triangle_count_suppliers", "welch_ttest_events", "bigram_logprob_docs",
+    "transition_matrix_events", "sequence_trigrams_events",
+    "mutual_information_features", "psi_drift_orders", "ks_drift_events",
+    "k_anonymity_events", "dp_noisy_counts_events", "auc_by_group_events",
+    "jackknife_ratio_events", "fixed_width_round_trip",
+    "clustering_coefficient_suppliers", "incremental_agg_merge",
+    "stratified_fixed_k_docs", "survival_curve_users",
+    "entity_resolution_parts", "chat_render_docs",
+    "weighted_percentiles_orders", "robust_outliers_mad",
+    "pmi_collocations_top", "target_encode_loo", "orc_round_trip",
+    "hamming_ann_topk", "temperature_mix_sources",
+    "stream_replay_conformance", "stream_dedup_replay",
+    "stream_static_join_replay", "stream_sessionize_replay",
+    "embedding_quantize_int8",
 })
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    # Sampling priority (round 6): the 9 r05 queries no driver round has
-    # ever sampled first (judge-green at sf0.01 but missing a driver
-    # row), then pool_embeddings_mean (output reshaped this round to
-    # canon-safe scalar rows — the one r05 driver-red), then queries
-    # whose implementation changed this round, then this round's new
-    # queries, then older never-green ones, then the green union — the
-    # driver samples ~50 from the head.
+    # Sampling priority (round 7): suite growth is frozen this round
+    # (verdict item 1) — the head is exactly the 34 queries no driver
+    # round has ever sampled (TPC-H q2/q7-q22, the 4 SQL batteries, the
+    # round-6 connector/graph/text tail), followed by the queries whose
+    # implementation changed this round (ADVICE fixes + scale
+    # hardenings) so they are re-checked, followed by the few genuinely
+    # new round-7 queries. 34 + ~10 + ~3 < the ~50-query driver sample,
+    # so after this round the driver union should be 280/280.
     new_this_round = (
-        # (a) the r05 queries the round-5 brief wants driver-green
-        "c4_signals_docs",
-        "standardize_features",
-        "json_props_extract",
-        "funnel_conversion",
-        "cohort_retention_triangle",
-        "collapse_bursts_debounce",
-        "winsorize_by_type",
-        "quantile_bins_events",
-        "distinctive_terms_tfidf",
-        "pool_embeddings_mean",
-        # (b) new OPERATOR surfaces of round 6 — these carry the most
-        # evidence value per driver slot (each is a new engine op, not
-        # a query-shape variant); TPC-H shapes and SQL batteries sort
-        # after them in the head and roll over to the next round's
-        # sample if the ~50-query cut lands mid-list
-        "dsir_importance_select",
-        "kmv_theta_sketch",
-        "span_corruption_pairs",
-        "attribution_first_last",
-        "label_propagation_communities",
-        "triangle_count_suppliers",
-        "welch_ttest_events",
-        "bigram_logprob_docs",
-        "transition_matrix_events",
-        "sequence_trigrams_events",
-        "mutual_information_features",
-        "psi_drift_orders",
-        "ks_drift_events",
-        "k_anonymity_events",
-        "dp_noisy_counts_events",
-        "auc_by_group_events",
-        "jackknife_ratio_events",
-        "fixed_width_round_trip",
-        "clustering_coefficient_suppliers",
-        "incremental_agg_merge",
-        "stratified_fixed_k_docs",
-        "survival_curve_users",
-        "entity_resolution_parts",
-        "chat_render_docs",
-        "weighted_percentiles_orders",
-        "robust_outliers_mad",
-        "pmi_collocations_top",
-        "target_encode_loo",
-        "orc_round_trip",
-        "hamming_ann_topk",
-        "temperature_mix_sources",
-        "stream_replay_conformance",
-        "stream_dedup_replay",
-        "stream_static_join_replay",
-        "stream_sessionize_replay",
-        "hll_distinct_rollup",
-        "bloom_decontam_flagged",
-        "frequent_tokens_exact",
-        "bucketed_join_agg",
-        "embedding_quantize_int8",
+        # (a) the 34 never-driver-sampled queries
+        "q2_min_cost_supplier",
+        "q7_volume_shipping",
+        "q8_market_share",
+        "q9_product_profit",
+        "q11_important_stock",
+        "q12_shipmode_priority",
+        "q13_order_count_dist",
+        "q15_top_supplier",
+        "q16_parts_supplier_cnt",
+        "q17_small_qty_revenue",
+        "q18_large_volume_cust",
+        "q20_potential_promo",
+        "q21_waiting_supplier",
+        "q22_dormant_customers",
+        "window_functions_battery",
+        "cube_grouping_battery",
+        "datetime_battery",
+        "hof_array_battery",
         "tokenizer_oov_rate",
         "variant_extract_paths",
         "parquet_stats_fast",
@@ -5934,8 +5919,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report_sources",
         "cms_token_counts",
         "embedding_binarize_words",
-        "hamming_ann_topk",
-        "temperature_mix_sources",
+        # (b) implementations changed in round 7 (ADVICE fixes + scale
+        # hardenings) — re-sample for fresh driver rows
+        "dp_noisy_counts_events",
+        "target_encode_loo",
+        "robust_outliers_mad",
+        "psi_drift_orders",
+        "fixed_width_round_trip",
+        "triangle_count_suppliers",
+        "entity_resolution_parts",
+        "dsir_importance_select",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -12941,9 +12934,11 @@ def psi_drift_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PSI_SQL = """
 WITH ref AS (SELECT o_totalprice AS v FROM orders
-             WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'),
+             WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+               AND o_totalprice IS NOT NULL),
 nw AS (SELECT o_totalprice AS v FROM orders
-       WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'),
+       WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+         AND o_totalprice IS NOT NULL),
 e AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS edges FROM ref),
 rb AS (SELECT len(list_filter(e.edges, x -> x <= v)) AS bin FROM ref, e),
 nb AS (SELECT len(list_filter(e.edges, x -> x <= v)) AS bin FROM nw, e),
@@ -13043,13 +13038,18 @@ FROM c
 def dp_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differentially-private count release (operators/validate.py
     dp_noisy_counts, Laplace mechanism): per-event-type counts with
-    deterministic md5-seeded Lap(1/eps) noise at epsilon=1 — a
+    keyed sha256-derived Lap(1/eps) noise at epsilon=1 — a
     reproducible DP release whose noise the oracle replays
-    arithmetically (inverse-CDF on the md5 uniform)."""
+    arithmetically (inverse-CDF on the keyed-hash uniform). The seed
+    here is a PUBLIC conformance fixture — a real release needs a
+    fresh secret seed (see dp_noisy_counts's privacy contract)."""
     from hail_spark.operators.validate import dp_noisy_counts
 
     ev = _t(spark, sf_dir, "events").df
-    out = dp_noisy_counts(ev, "event_type", epsilon=1.0, seed=7)
+    out = dp_noisy_counts(
+        ev, "event_type", epsilon=1.0,
+        secret_seed="gate-demo-not-secret-7f3a9c51",
+    )
     return out.select(
         "event_type", "n", F.round("noisy_n", 6).alias("noisy_n")
     ).orderBy("event_type")
@@ -13058,7 +13058,7 @@ def dp_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DP_COUNTS_SQL = """
 WITH g AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type),
 u AS (SELECT event_type, n,
-             ((('0x'||substr(md5(event_type || '|7'),1,15))::BIGINT % 1073741824) + 0.5)
+             ((('0x'||substr(sha256('gate-demo-not-secret-7f3a9c51|' || event_type),1,15))::BIGINT % 1073741824) + 0.5)
                / 1073741824.0 - 0.5 AS uv
       FROM g)
 SELECT event_type, CAST(n AS BIGINT) AS n,

@@ -792,20 +792,56 @@ def import_fixed_width(
     ``substring`` projections — pure codegen, no UDF — and values are
     trimmed before the cast unless ``trim=False``.
 
+    ``skip_header`` skips leading lines PER FILE (every file in a
+    multi-file glob carries its own header — the mainframe-extract
+    convention). ``skip_header=1`` stays fully splittable: the text is
+    routed through the CSV source with an unquoted non-occurring
+    delimiter, whose header logic drops the first line of each file at
+    split offset 0 (lines must not contain the \\x01 byte — true of
+    any printable fixed-width layout). ``skip_header>1`` falls back to
+    a wholetext read (one row per file, split+posexplode for exact
+    per-file positions) — correct but NOT split-parallel within a
+    file; parallelism = file count.
+
     Scale: inherits the text source's splittable parallelism; parsing
     is map-only, and column pruning drops unused substrings like any
     projection."""
     if not fields:
         raise ValueError("import_fixed_width: fields is empty")
-    df = spark.read.text(path)
-    if skip_header:
-        from pyspark.sql import Window as _W
-
-        w = _W.orderBy(F.monotonically_increasing_id())
+    if skip_header == 0:
+        df = spark.read.text(path)
+    elif skip_header == 1:
+        # CSV source with header=True + explicit schema: drops the
+        # first line of EVERY file (offset-0 split logic), keeps the
+        # scan splittable. quote='' disables quote/escape handling so
+        # the line arrives verbatim in the single column.
         df = (
-            df.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") > skip_header)
-            .drop("__rn")
+            spark.read.schema("value string")
+            .options(header=True, sep="\x01", quote="", enforceSchema=True)
+            .csv(path)
+        )
+    else:
+        one = spark.read.text(path, wholetext=True).select(
+            F.split(
+                F.regexp_replace(F.col("value"), "\r\n", "\n"), "\n"
+            ).alias("__lines")
+        )
+        df = (
+            one.select(
+                F.size("__lines").alias("__n"),
+                F.posexplode("__lines").alias("__pos", "value"),
+            )
+            .filter(
+                (F.col("__pos") >= skip_header)
+                # wholetext keeps one trailing '' element when the
+                # file ends with a newline — drop it like line
+                # readers do (interior blank lines are kept)
+                & ~(
+                    (F.col("__pos") == F.col("__n") - 1)
+                    & (F.col("value") == "")
+                )
+            )
+            .drop("__pos", "__n")
         )
     cols = []
     for name, start, length, typ in fields:

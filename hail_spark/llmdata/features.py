@@ -26,6 +26,26 @@ from pyspark.sql import functions as F
 _MOMENTS_ABS_MAX = 1e9
 
 
+def _group_join(
+    df: DataFrame,
+    per_group: DataFrame,
+    key_col: str,
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """Join per-group aggregates back onto rows WITHOUT dropping
+    NULL-keyed rows: groupBy treats NULL as its own group, so the
+    join-back uses null-safe equality (<=>, still a hash-join key for
+    Catalyst) where a plain equi-join would silently drop every
+    NULL-keyed input row. Left join so row count is always
+    preserved."""
+    right = per_group.withColumnRenamed(key_col, "__gj_key")
+    if hint_broadcast:
+        right = F.broadcast(right)
+    return df.join(
+        right, F.col(key_col).eqNullSafe(F.col("__gj_key")), "left"
+    ).drop("__gj_key")
+
+
 def _moments(df: DataFrame, key_col: str, value_col: str) -> DataFrame:
     # decimal(15,6) squares keep the product's full 12-decimal scale
     # inside Spark's 38-digit cap (decimal(38,6)² would silently round
@@ -82,7 +102,7 @@ def standardize_by_group(
     m = _moments(df, key_col, value_col)
     var = F.col("__m2") - F.col("__mean") * F.col("__mean")
     std = F.sqrt(F.greatest(var, F.lit(0.0)))
-    joined = df.join(F.broadcast(m), key_col)
+    joined = _group_join(df, m, key_col)
     return joined.withColumn(
         out_col,
         F.when(std > 0, (F.col(value_col) - F.col("__mean")) / std).otherwise(0.0),
@@ -96,7 +116,7 @@ def minmax_by_group(
     out_col = out_col or f"{value_col}_mm"
     m = _moments(df, key_col, value_col)
     span = F.col("__max") - F.col("__min")
-    joined = df.join(F.broadcast(m), key_col)
+    joined = _group_join(df, m, key_col)
     return joined.withColumn(
         out_col,
         F.when(span > 0, (F.col(value_col) - F.col("__min")) / span).otherwise(0.0),
@@ -143,7 +163,7 @@ def winsorize_by_group(
             .alias("__hi"),
         )
     return (
-        df.join(F.broadcast(q), key_col)
+        _group_join(df, q, key_col)
         .withColumn(
             out_col,
             F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
@@ -194,7 +214,7 @@ def quantile_bins(
             ).alias("__thr")
         )
     return (
-        df.join(F.broadcast(q), key_col)
+        _group_join(df, q, key_col)
         .withColumn(
             out_col,
             F.size(F.filter(F.col("__thr"), lambda t: t <= F.col(value_col))),
@@ -221,7 +241,8 @@ def robust_outliers(
     Adds ``out_col`` (default ``<value>_outlier``) boolean plus the
     modified z in ``<value>_rz`` (NULL when MAD = 0 — a degenerate
     group where >= half the values equal the median; such rows are
-    never flagged).
+    never flagged). NULL group keys form their own group (null-safe
+    join-back): the output always has exactly the input's rows.
 
     Scale shape: two grouped percentile aggs (group medians, then MAD
     over the residuals) each broadcast back by group key — bounded by
@@ -239,7 +260,7 @@ def robust_outliers(
         ).cast("double")
     )
     m = df.groupBy(key_col).agg(med.alias("__med"))
-    with_med = df.join(F.broadcast(m), key_col)
+    with_med = _group_join(df, m, key_col)
     resid = F.abs(F.col(value_col) - F.col("__med"))
     mad_med = (
         F.percentile(resid, F.lit(0.5))
@@ -254,7 +275,7 @@ def robust_outliers(
         0.6745 * (F.col(value_col) - F.col("__med")) / F.col("__mad"),
     )
     return (
-        with_med.join(F.broadcast(mads), key_col)
+        _group_join(with_med, mads, key_col)
         .withColumn(f"{value_col}_rz", rz)
         .withColumn(
             out_col,
@@ -282,6 +303,9 @@ def target_encode(
     (``(sum - y) / (n - 1)``, Micci-Barreca 2001 §4's leakage guard;
     singleton categories fall back to the global prior). ``smoothing``
     m blends toward the global mean: ``(sum + m*prior) / (n + m)``.
+    NULL categories form their own group (null-safe join-back, like
+    mutual_information's sentinel): the output always has exactly the
+    input's rows.
 
     Scale shape: one hash-agg over categories + a broadcast-eligible
     join back (category-count bounded — that boundedness is the
@@ -297,7 +321,7 @@ def target_encode(
     g = per.agg(
         (F.sum("__s") / F.sum("__n")).alias("__prior")
     )
-    joined = df.join(per, category_col).crossJoin(
+    joined = _group_join(df, per, category_col, hint_broadcast=False).crossJoin(
         g if prior is None else g.select(F.lit(float(prior)).alias("__prior"))
     )
     m = float(smoothing)
@@ -419,7 +443,7 @@ def weighted_percentile_by_group(
     )
     r = per.withColumn("__cw", F.sum("__w").over(w))
     tot = per.groupBy(key_col).agg(F.sum("__w").alias("__tw"))
-    j = r.join(tot, key_col)
+    j = _group_join(r, tot, key_col, hint_broadcast=False)
     aggs = []
     for p in percentiles:
         tag = str(p).replace(".", "_")

@@ -449,6 +449,7 @@ def dsir_select(
     n_buckets: int = 4096,
     seed: int = 0,
     smoothing: float = 1.0,
+    eager: bool = True,
 ) -> DataFrame:
     """DSIR — Data Selection with Importance Resampling (Xie et al.
     2023, arXiv:2302.03169): pick ``k`` rows from the raw pool
@@ -473,6 +474,16 @@ def dsir_select(
     unhinted); scoring is one hash-agg by doc id; selection is
     orderBy+limit = TakeOrderedAndProject (per-partition heaps, no
     global sort). No driver-side state, no collect.
+
+    Resource contract: the exploded gram table is ``persist()``-shared
+    between the bucket-model agg and the scoring join (one tokenize+
+    hash pass instead of two). ``eager=True`` (default) materializes
+    the k-row selection via ``localCheckpoint`` and unpersists the
+    gram cache before returning, so no executor storage outlives the
+    call. ``eager=False`` returns the lazy plan; the gram cache then
+    stays pinned (Spark's CacheManager does not GC caches) until the
+    caller runs ``result._dsir_gram_cache.unpersist()`` after
+    materializing.
     """
     if k < 1:
         raise ValueError("dsir_select: k must be >= 1")
@@ -554,12 +565,27 @@ def dsir_select(
         + 0.5
     ) / denom
     key = F.col("logw") - F.log(-F.log(u))
-    return (
+    sel = (
         scored.withColumn("__key", key)
         .orderBy(F.desc("__key"), F.col("__id"))
         .limit(k)
         .select(F.col("__id").alias(id_col), "logw", "__key")
     )
+    if eager:
+        # materialize the k-row selection executor-side, then free the
+        # gram cache: persist()ed DataFrames are NOT GC-cleaned (the
+        # CacheManager pins them by plan), so without this unpersist
+        # repeated dsir_select calls would accumulate executor storage
+        # for the life of the session. localCheckpoint blocks ARE
+        # ContextCleaner-managed, so nothing outlives the result.
+        out = sel.localCheckpoint(eager=True)
+        g.unpersist()
+        return out
+    # lazy mode: the caller controls execution, so the caller must
+    # also free the shared gram cache once the selection (and any
+    # derived plans) have been materialized
+    sel._dsir_gram_cache = g
+    return sel
 
 
 def stratified_fixed_k(

@@ -222,7 +222,11 @@ def psi_report(
     can't produce +-inf). Standard monitoring thresholds: < 0.1
     stable, 0.1-0.25 moderate shift, > 0.25 major shift.
 
-    Returns one row: (psi, n_bins_used, n_ref, n_new).
+    Returns one row: (psi, n_bins_used, n_ref, n_new). NULL values of
+    ``col`` are EXCLUDED from both sides (they would otherwise pool
+    into the lowest bin and skew PSI when null rates differ between
+    snapshots); monitor null-rate drift separately via
+    ``profile_columns``'s n_nulls.
 
     Scale shape: one percentile agg on the reference (exact, or
     GK-approx via ``exact=False`` for continuous 100-TB columns),
@@ -245,6 +249,7 @@ def psi_report(
     edges = df_ref.agg(edges_agg.alias("__edges"))
 
     def binned_counts(df: DataFrame, side: str) -> DataFrame:
+        df = df.filter(F.col(col).isNotNull())
         b = df.crossJoin(edges).select(
             F.size(
                 F.filter(F.col("__edges"), lambda e: e <= F.col(col))
@@ -359,16 +364,29 @@ def dp_noisy_counts(
     df: DataFrame,
     group_cols: list[str] | str,
     epsilon: float = 1.0,
-    seed: int = 0,
+    secret_seed: str | None = None,
 ) -> DataFrame:
     """Epsilon-differentially-private group counts via the Laplace
     mechanism (Dwork et al. 2006): ``count + Lap(1/epsilon)`` per
-    group (count queries have sensitivity 1). The noise draw is
-    DETERMINISTIC given (group, seed) — inverse-CDF applied to an
-    md5-derived uniform — so a release is reproducible and
-    SQL-replayable. A fixed seed must serve ONE release only:
-    re-releasing with fresh seeds composes epsilon like any repeated
-    DP query.
+    group (count queries have sensitivity 1).
+
+    PRIVACY CONTRACT — the noise must be unpredictable to every
+    consumer of the release, or the mechanism provides NO privacy
+    (anyone who can recompute the noise subtracts it and recovers
+    exact counts). Two modes:
+
+    * ``secret_seed=None`` (default): real randomness — ``F.rand()``
+      with a fresh Spark-chosen seed. Not reproducible, not
+      SQL-replayable; this is the safe default for an actual release.
+    * ``secret_seed=<high-entropy string>``: reproducible release via
+      a KEYED construction — the uniform draw is derived from
+      ``sha256(secret || group)``, so the noise is unpredictable
+      without the key. The seed must (a) carry real entropy (>= 16
+      chars enforced, use >= 128 random bits in practice), (b) stay
+      secret forever — publishing or reusing it voids the epsilon
+      guarantee, and (c) serve exactly ONE release: re-releasing the
+      same stats with fresh seeds composes epsilon like any repeated
+      DP query. There is deliberately NO default seed.
 
     One hash-agg + map-only noise arithmetic; group-cardinality
     bounded output."""
@@ -376,11 +394,26 @@ def dp_noisy_counts(
     if epsilon <= 0:
         raise ValueError("dp_noisy_counts: epsilon must be > 0")
     g = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
-    key_str = F.concat_ws(
-        "|", *[F.col(c).cast("string") for c in keys], F.lit(str(seed))
-    )
-    h = F.conv(F.substring(F.md5(key_str), 1, 15), 16, 10).cast("bigint")
-    u = (F.pmod(h, F.lit(1 << 30)) + 0.5) / float(1 << 30) - 0.5  # (-.5, .5)
+    if secret_seed is None:
+        # fresh nondeterministic uniform in (-0.5, 0.5); F.rand() is
+        # [0, 1) so guard the exact-0 endpoint away from log(0)
+        u = F.greatest(F.rand(), F.lit(1e-300)) - 0.5
+    else:
+        secret = str(secret_seed)
+        if len(secret) < 16:
+            raise ValueError(
+                "dp_noisy_counts: secret_seed must be a high-entropy "
+                "secret of >= 16 characters (use >= 128 random bits); "
+                "it must stay secret and be used for exactly one "
+                "release, or the release has no privacy"
+            )
+        key_str = F.concat_ws(
+            "|", F.lit(secret), *[F.col(c).cast("string") for c in keys]
+        )
+        h = F.conv(
+            F.substring(F.sha2(key_str, 256), 1, 15), 16, 10
+        ).cast("bigint")
+        u = (F.pmod(h, F.lit(1 << 30)) + 0.5) / float(1 << 30) - 0.5
     lap = -(1.0 / epsilon) * F.signum(u) * F.log(1 - 2 * F.abs(u))
     return g.select(
         *keys,

@@ -70,29 +70,44 @@ def test_k_anonymity_report(spark):
 
 
 def test_dp_noisy_counts_properties(spark):
+    S1 = "unit-secret-aaaaaaaaaaaaaaaa"
+    S2 = "unit-secret-bbbbbbbbbbbbbbbb"
     rows = [("t%d" % (i % 20), i) for i in range(2000)]
     df = spark.createDataFrame(rows, "g string, i long")
-    out1 = {r["g"]: r for r in dp_noisy_counts(df, "g", epsilon=1.0, seed=1).collect()}
-    out2 = {r["g"]: r for r in dp_noisy_counts(df, "g", epsilon=1.0, seed=1).collect()}
-    out3 = {r["g"]: r for r in dp_noisy_counts(df, "g", epsilon=1.0, seed=2).collect()}
-    # reproducible for a fixed seed, different across seeds
+    out1 = {r["g"]: r for r in dp_noisy_counts(df, "g", epsilon=1.0, secret_seed=S1).collect()}
+    out2 = {r["g"]: r for r in dp_noisy_counts(df, "g", epsilon=1.0, secret_seed=S1).collect()}
+    out3 = {r["g"]: r for r in dp_noisy_counts(df, "g", epsilon=1.0, secret_seed=S2).collect()}
+    # reproducible for a fixed secret seed, different across seeds
     assert all(out1[g]["noisy_n"] == out2[g]["noisy_n"] for g in out1)
     assert any(out1[g]["noisy_n"] != out3[g]["noisy_n"] for g in out1)
     # noise is centered: mean |noise| over 20 groups ~ 1/eps, max bounded
     noises = [abs(out1[g]["noisy_n"] - out1[g]["n"]) for g in out1]
     assert 0.05 < sum(noises) / len(noises) < 8.0
     # higher epsilon -> smaller noise for the same uniform draw
-    tight = {r["g"]: r for r in dp_noisy_counts(df, "g", epsilon=10.0, seed=1).collect()}
+    tight = {r["g"]: r for r in dp_noisy_counts(df, "g", epsilon=10.0, secret_seed=S1).collect()}
     for g in out1:
         n1 = abs(out1[g]["noisy_n"] - out1[g]["n"])
         n10 = abs(tight[g]["noisy_n"] - tight[g]["n"])
         assert n10 == pytest.approx(n1 / 10.0, rel=1e-9)
 
 
-def test_dp_rejects_bad_epsilon(spark):
+def test_dp_default_is_nondeterministic(spark):
+    # no seed -> real randomness: two releases differ, and there is
+    # no deterministic function of the public output that recovers n
+    df = spark.createDataFrame(
+        [("t%d" % (i % 10), i) for i in range(1000)], "g string, i long"
+    )
+    a = {r["g"]: r["noisy_n"] for r in dp_noisy_counts(df, "g").collect()}
+    b = {r["g"]: r["noisy_n"] for r in dp_noisy_counts(df, "g").collect()}
+    assert any(a[g] != b[g] for g in a)
+
+
+def test_dp_rejects_bad_epsilon_and_weak_seed(spark):
     df = spark.createDataFrame([("a", 1)], "g string, i long")
     with pytest.raises(ValueError):
         dp_noisy_counts(df, "g", epsilon=0.0)
+    with pytest.raises(ValueError, match="high-entropy"):
+        dp_noisy_counts(df, "g", secret_seed="short")
 
 
 def test_auc_known_values(spark):
