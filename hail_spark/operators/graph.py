@@ -25,16 +25,30 @@ def pagerank(
     n_iter: int = 10,
     damping: float = 0.85,
     checkpoint_every: int = 5,
+    redistribute_dangling: bool = False,
+    tol: float | None = None,
 ) -> DataFrame:
     """PageRank by power iteration over a (src, dst) edge list
     (deduplicated internally). Returns (node, rank).
 
-    Uses the common simplified update
-    ``r'(v) = (1-d)/N + d * Σ_{u→v} r(u)/outdeg(u)`` — dangling-node
-    mass is NOT redistributed (ranks then sum to < 1 when sinks exist;
-    same convention as the classic Spark/GraphX example). The update
-    is deterministic arithmetic, so a fixed-iteration run is
-    SQL-replayable.
+    Default update ``r'(v) = (1-d)/N + d * Σ_{u→v} r(u)/outdeg(u)`` —
+    dangling-node mass is NOT redistributed (ranks then sum to < 1
+    when sinks exist; same convention as the classic Spark/GraphX
+    example), and the fixed-iteration run is deterministic arithmetic,
+    so it is SQL-replayable (the oracle default).
+
+    ``redistribute_dangling=True`` adds the textbook correction: each
+    iteration, the rank mass sitting on out-degree-0 nodes is spread
+    uniformly (``+ d * dangling_mass / N`` to every node), so ranks
+    sum to 1. Cost: ONE extra scalar agg (semi-join of ranks against
+    the precomputed dangling-node table + sum) and therefore one extra
+    driver action per iteration.
+
+    ``tol=x`` adds a convergence early-stop: iterate until the L1
+    delta ``Σ |r' - r| < x`` (or ``n_iter``, whichever first). Cost:
+    one rank-table join + scalar agg per iteration. Both options are
+    off by default to keep the zero-action-per-iteration replayable
+    plan.
     """
     if n_iter < 1:
         raise ValueError("pagerank: n_iter must be >= 1")
@@ -55,26 +69,52 @@ def pagerank(
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     ed = e.join(deg, "src").localCheckpoint()
+    dangling = None
+    if redistribute_dangling:
+        dangling = nodes.join(
+            deg, nodes["node"] == deg["src"], "left_anti"
+        ).localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
     for i in range(n_iter):
+        extra = 0.0
+        if redistribute_dangling:
+            dm = (
+                ranks.join(dangling, "node", "left_semi")
+                .agg(F.sum("rank"))
+                .head()[0]
+            )
+            extra = damping * (dm or 0.0) / n
         contrib = (
             ed.join(ranks, ed["src"] == ranks["node"])
             .select("dst", (F.col("rank") / F.col("__deg")).alias("__c"))
             .groupBy("dst")
             .agg(F.sum("__c").alias("__in"))
         )
-        ranks = nodes.join(
+        new_ranks = nodes.join(
             contrib, nodes["node"] == contrib["dst"], "left"
         ).select(
             "node",
             (
-                F.lit(base)
+                F.lit(base + extra)
                 + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
             ).alias("rank"),
         )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            ranks = ranks.localCheckpoint()
+        if tol is not None:
+            new_ranks = new_ranks.localCheckpoint()
+            delta = (
+                new_ranks.withColumnRenamed("rank", "__new")
+                .join(ranks.withColumnRenamed("rank", "__old"), "node")
+                .agg(F.sum(F.abs(F.col("__new") - F.col("__old"))))
+                .head()[0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+            if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+                ranks = ranks.localCheckpoint()
     return ranks
 
 
@@ -130,24 +170,37 @@ def bfs_levels(
 
 
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    relabel_by_degree: bool = True,
 ) -> DataFrame:
     """Per-node triangle counts over an undirected graph given as an
     edge list (self-loops dropped, direction and duplicates ignored).
     Returns (node, n_triangles).
 
-    Algorithm: canonicalize each edge to (lo, hi) with lo < hi and
-    deduplicate; enumerate wedges a<b<c by joining e(a,b) ⋈ e(b,c) and
-    closing them against e(a,c) — each triangle is found exactly once,
-    then credited to all three corners via one explode + hash-agg.
+    Algorithm: canonicalize each edge to (lo, hi), deduplicate, then
+    enumerate wedges a<b<c by joining e(a,b) ⋈ e(b,c) and closing them
+    against e(a,c) — each triangle found exactly once, then credited
+    to all three corners via one explode + hash-agg.
 
-    Scale shape: two hash equi-joins + one hash-agg, all on edge keys
-    — the standard relational triangle enumeration. The canonical
-    lo < hi orientation bounds each join's fan-out by the SMALLER-id
-    endpoint's out-degree, the classic degree-orientation trick that
-    keeps hub nodes from quadratic wedge blow-up (hubs sort high in
-    id order here; for power-law graphs relabel ids by ascending
-    degree first to get the full Chiba-Nishizeki bound)."""
+    ``relabel_by_degree=True`` (default) orients edges by the
+    lexicographic order of ``(degree, node)`` instead of raw node ids:
+    each wedge join's fan-out is then bounded by the LOWER-degree
+    endpoint — the exact Chiba-Nishizeki degree orientation, which
+    keeps a power-law hub (degree 10^7) from generating quadratic
+    wedge candidates when its raw id happens to sort low. The
+    orientation is internal: no global rank / window / zipWithIndex is
+    needed, because Spark compares structs lexicographically — the
+    degree join (two hash equi-joins on node key, O(E)) replaces an
+    id relabel entirely. ``relabel_by_degree=False`` skips the degree
+    joins (fine when ids are known to be degree-correlated, e.g.
+    already relabeled upstream).
+
+    Scale shape: one dedup, one degree hash-agg + two O(E) degree
+    joins (orientation), two hash equi-joins (wedge + closure), one
+    explode + hash-agg. Per-node triangle counts are orientation-
+    invariant, so both modes return identical results."""
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
@@ -156,14 +209,40 @@ def triangle_count(
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
     )
-    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
-    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
-    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    if relabel_by_degree:
+        deg = (
+            e.select(F.col("lo").alias("node"))
+            .unionByName(e.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+        )
+        keyed = (
+            e.join(deg.withColumnRenamed("node", "lo"), "lo")
+            .withColumnRenamed("__deg", "__dlo")
+            .join(deg.withColumnRenamed("node", "hi"), "hi")
+            .withColumnRenamed("__deg", "__dhi")
+            .select(
+                F.struct(
+                    F.col("__dlo").alias("d"), F.col("lo").alias("n")
+                ).alias("u"),
+                F.struct(
+                    F.col("__dhi").alias("d"), F.col("hi").alias("n")
+                ).alias("v"),
+            )
+        )
+        o = keyed.select(
+            F.least(F.col("u"), F.col("v")).alias("lo"),
+            F.greatest(F.col("u"), F.col("v")).alias("hi"),
+        )
+    else:
+        o = e
+    ab = o.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = o.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = o.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     tri = ab.join(bc, "b").join(ac, ["a", "c"])
-    corners = tri.select(
-        F.explode(F.array("a", "b", "c")).alias("node")
-    )
-    return corners.groupBy("node").agg(
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("__k"))
+    node = F.col("__k.n") if relabel_by_degree else F.col("__k")
+    return corners.select(node.alias("node")).groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
 
