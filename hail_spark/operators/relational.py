@@ -674,6 +674,8 @@ def fuzzy_join(
     max_dist: int = 1,
     left_id: str = "left_id",
     right_id: str = "right_id",
+    strip_pattern: str | None = None,
+    max_candidates_per_segment: int | None = 5_000_000,
 ) -> DataFrame:
     """EXACT edit-distance join: all (left, right) pairs with
     levenshtein <= ``max_dist`` — entity matching / key reconciliation.
@@ -700,16 +702,33 @@ def fuzzy_join(
     degrades to all-pairs: ID-style strings with a long shared prefix
     ("Customer#000000…") put the constant prefix in segment 0 and every
     string pair becomes a candidate (measured: 15k such names at d=1 →
-    225M candidates, 335 s; 3k diverse words → instant). Strip shared
-    scaffolding (prefixes, zero-padding) to the variable part before
-    joining, exactly as you would normalize case/whitespace first.
+    225M candidates, 335 s; 3k diverse words → instant). Two built-in
+    defenses:
+
+    * ``strip_pattern``: a regex removed (``regexp_replace`` with '')
+      from BOTH join keys before matching — normalize scaffolding
+      (constant prefixes, zero-padding) off so segments carry the
+      variable part. Output ids are the originals; ``dist`` is the
+      edit distance of the STRIPPED keys (the normalized-matching
+      contract, same as lowercasing first).
+    * ``max_candidates_per_segment`` (default 5M): a plan-side guard
+      that counts candidate pairs per (length, segment-index, segment)
+      join key and ``raise_error``s — naming the offending segment and
+      the strip_pattern remediation — before the wedge join can run an
+      explosion. The count tables reuse the probe/segment exchanges
+      (same partition keys), so the guard adds no extra shuffle of the
+      corpus; set ``None`` to disable.
     """
     if max_dist < 1:
         raise ValueError("fuzzy_join: max_dist must be >= 1")
     d = max_dist
     rc = right_col or left_col
-    l2 = left.select(F.col(left_id), F.col(left_col).alias("__lv"))
-    r2 = right.select(F.col(right_id), F.col(rc).alias("__rv"))
+    lk, rk = F.col(left_col), F.col(rc)
+    if strip_pattern is not None:
+        lk = F.regexp_replace(lk, strip_pattern, "")
+        rk = F.regexp_replace(rk, strip_pattern, "")
+    l2 = left.select(F.col(left_id), lk.alias("__lv"))
+    r2 = right.select(F.col(right_id), rk.alias("__rv"))
 
     # --- right side: d+1 segments (only for L >= d+1) ------------------
     L = F.length("__rv")
@@ -766,6 +785,51 @@ def fuzzy_join(
         .filter(F.col("seg").isNotNull())
         .distinct()
     )
+    if max_candidates_per_segment is not None:
+        # candidate-explosion guard: pairs per segment key = n_left *
+        # n_right; over-limit segments raise_error AT EXECUTION, before
+        # the wedge join materializes the explosion. The two count aggs
+        # hash-partition by the same (L, i, seg) keys as the join, so
+        # Catalyst reuses the exchanges — no extra corpus shuffle.
+        keys = ["__L", "i", "seg"]
+        cl = l_probe.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nl"))
+        cr = r_seg.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nr"))
+        guard = cl.join(cr, keys).select(
+            *keys,
+            F.when(
+                F.col("__nl") * F.col("__nr")
+                > F.lit(int(max_candidates_per_segment)),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "fuzzy_join: candidate explosion — segment "
+                        ),
+                        F.col("seg"),
+                        F.lit(" (target length "),
+                        F.col("__L").cast("string"),
+                        F.lit(", index "),
+                        F.col("i").cast("string"),
+                        F.lit(") is shared by "),
+                        F.col("__nl").cast("string"),
+                        F.lit(" left probes x "),
+                        F.col("__nr").cast("string"),
+                        F.lit(
+                            " right strings. Low-entropy keys (shared "
+                            "prefixes / zero-padding) degrade PassJoin "
+                            "to all-pairs: pass strip_pattern= to "
+                            "normalize the scaffolding off, or raise "
+                            "max_candidates_per_segment if the volume "
+                            "is intended."
+                        ),
+                    )
+                ).cast("int"),
+            )
+            .otherwise(F.lit(1))
+            .alias("__g"),
+        )
+        # inner join is lossless here: a segment absent from either
+        # side produces no candidates anyway
+        r_seg = r_seg.join(guard, keys).filter(F.col("__g") == 1).drop("__g")
     cand = l_probe.join(r_seg, ["__L", "i", "seg"]).select(
         left_id, "__lv", right_id, "__rv"
     )
