@@ -2994,6 +2994,87 @@ ORDER BY asset_id
 """
 
 
+def image_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup as a first-class operator
+    (llmdata/multimodal.py image_dhash + similarity.py
+    hamming_near_dup_pairs): 120 REAL 8x9 24-bit BMP fixtures built
+    distributed (mapInPandas encode) from deterministic per-doc
+    brightness columns — groups of 3 docs share a base image, the
+    third member's last column is perturbed so exactly one comparison
+    flips in all 8 rows (dHash distance exactly 8). The Spark side
+    runs the full encode → decode → grayscale → dHash → banded
+    pigeonhole join → bit_count(xor) verify pipeline; the oracle
+    replays the dHash CLOSED FORM from the same brightness formula and
+    the pair set arithmetically — an end-to-end conformance check of
+    codec + hash + band join."""
+    from pyspark.sql import Window as W
+
+    from hail_spark.llmdata.multimodal import encode_bmp, image_near_dup
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    fixture = docs.select(
+        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("rn")
+    ).select(
+        "rn",
+        (F.col("rn") / 3).cast("int").alias("g"),
+        (F.col("rn") % 3).alias("m"),
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for rn, g, m in zip(pdf["rn"], pdf["g"], pdf["m"]):
+                base = [30 + ((int(g) * 17 + j * 29) % 150) for j in range(8)]
+                rowv = base + [10 if int(m) == 2 else 200]
+                arr = np.tile(
+                    np.array(rowv, dtype=np.uint8)[None, :, None], (8, 1, 3)
+                )
+                ids.append(int(rn))
+                blobs.append(encode_bmp(arr))
+            yield pd.DataFrame({"asset_id": ids, "content": blobs})
+
+    assets = fixture.mapInPandas(gen, schema="asset_id bigint, content binary")
+    pairs = image_near_dup(assets, max_hamming=8, hash_size=8)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    ).orderBy("id_a", "id_b")
+
+
+# dHash closed form: every fixture row is identical, so each 32-bit
+# word is the 8-comparison byte replicated 4x and the 64-bit distance
+# is 8 * bit_count(byte_a XOR byte_b); px[j] for j<8 is the base
+# formula, the j=8 column is 200 (members 0/1) or 10 (member 2).
+_IMAGE_NEAR_DUP_SQL = """
+WITH docs AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 120),
+mem AS (SELECT (row_number() OVER (ORDER BY doc_id) - 1) AS rn FROM docs),
+gm AS (SELECT rn, rn // 3 AS g, rn % 3 AS m FROM mem),
+bits AS (SELECT rn,
+           CASE WHEN (CASE WHEN j + 1 = 8
+                           THEN (CASE WHEN m = 2 THEN 10 ELSE 200 END)
+                           ELSE 30 + ((g * 17 + (j + 1) * 29) % 150) END)
+                   > (30 + ((g * 17 + j * 29) % 150))
+                THEN 1 ELSE 0 END AS bit, j
+         FROM gm, unnest(range(8)) AS t(j)),
+byte AS (SELECT rn, CAST(SUM(bit * (1 << j)) AS BIGINT) AS bp
+         FROM bits GROUP BY rn)
+SELECT CAST(a.rn AS BIGINT) AS id_a, CAST(b.rn AS BIGINT) AS id_b,
+       CAST(8 * bit_count(xor(a.bp, b.bp)) AS BIGINT) AS hamming
+FROM byte a JOIN byte b ON a.rn < b.rn
+WHERE 8 * bit_count(xor(a.bp, b.bp)) <= 8
+ORDER BY id_a, id_b
+"""
+
+
 def info_score_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMPUTE info-score aggregator (expr/functions.py info_score; ref
     aggregators.py:1568) over deterministic pseudo-genotype-probability
@@ -5929,6 +6010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count_suppliers",
         "entity_resolution_parts",
         "dsir_importance_select",
+        # (c) genuinely new round-7 queries
+        "image_near_dup_assets",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6024,6 +6107,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "info_score_by_bucket": info_score_by_bucket,
         "liftover_loci": liftover_loci,
         "multimodal_pipeline": multimodal_pipeline,
+        "image_near_dup_assets": image_near_dup_q,
         "linreg_rows": linreg_rows_q,
         "logreg_score_rows": logreg_score_rows_q,
         "poisreg_score_rows": poisreg_score_rows_q,
@@ -6309,6 +6393,7 @@ def oracle_sql() -> dict[str, str]:
         "info_score_by_bucket": _INFO_SCORE_SQL,
         "liftover_loci": _LIFTOVER_SQL,
         "multimodal_pipeline": _multimodal_oracle_sql(),
+        "image_near_dup_assets": _IMAGE_NEAR_DUP_SQL,
         "linreg_rows": _LINREG_SQL,
         "logreg_score_rows": _LOGREG_SCORE_SQL,
         "poisreg_score_rows": _POISREG_SCORE_SQL,

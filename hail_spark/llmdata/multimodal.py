@@ -358,3 +358,85 @@ def video_frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     return df.select("asset_id", "content").mapInPandas(
         run, schema="asset_id bigint, frame_index int, frame_hash string"
     )
+
+
+def encode_bmp(arr: "np.ndarray") -> bytes:
+    """Public 24-bit BMP encoder (real, decodable; ``_decode_bmp``
+    round-trips it byte-exactly) — exposed for building real image
+    fixtures and writing resize/transform outputs."""
+    return _encode_bmp(arr)
+
+
+def image_dhash(df: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual difference hash (the public dHash algorithm): decode
+    → grayscale (channel mean) → nearest-neighbor resample to
+    ``hash_size x (hash_size+1)`` → ``bit[r][c] = 1 iff px[r][c+1] >
+    px[r][c]``, packed row-major into sign-safe 32-bit words
+    (``array<bigint>``, so the packing replays with plain shift
+    arithmetic in any SQL engine — same convention as
+    similarity.binarize_embeddings). dHash is robust to uniform
+    brightness/contrast shifts (only ordinal column relations
+    survive), the standard cheap screen before embedding-level image
+    dedup.
+
+    Arrow-batched ``mapInPandas`` over the binary column — the same
+    batch pass as :func:`image_embed`; swap ``_decode_image`` for a
+    real codec (PIL) and nothing else changes. Returns
+    (asset_id, dhash array<bigint>)."""
+    n_bits = hash_size * hash_size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, words_out = [], []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                arr = _decode_image(bytes(content))[0].astype(np.float64)
+                g = arr.mean(axis=2)
+                h, w = g.shape
+                ys = (np.arange(hash_size) * h // hash_size).clip(0, h - 1)
+                xs = (np.arange(hash_size + 1) * w // (hash_size + 1)).clip(
+                    0, w - 1
+                )
+                small = g[ys][:, xs]
+                bits = (small[:, 1:] > small[:, :-1]).ravel()
+                ws = []
+                for wi in range((n_bits + 31) // 32):
+                    v = 0
+                    for j, b in enumerate(bits[wi * 32 : (wi + 1) * 32]):
+                        v |= int(b) << j
+                    ws.append(v)
+                ids.append(aid)
+                words_out.append(ws)
+            yield pd.DataFrame({"asset_id": ids, "dhash": words_out})
+
+    return df.select("asset_id", "content").mapInPandas(
+        run, schema="asset_id bigint, dhash array<bigint>"
+    )
+
+
+def image_near_dup(
+    df: DataFrame, max_hamming: int = 6, hash_size: int = 8
+) -> DataFrame:
+    """First-class perceptual image near-duplicate detection:
+    :func:`image_dhash` composed with the banded Hamming pigeonhole
+    join (``similarity.hamming_near_dup_pairs``). Returns every asset
+    pair whose dHash distance is <= ``max_hamming`` as
+    (id_a, id_b, hamming), id_a < id_b — exact w.r.t. the hash (the
+    band join is a complete candidate generator by pigeonhole, then
+    each candidate is verified with JVM-side ``bit_count(xor)``).
+
+    Scale shape: one Arrow decode pass (map-only), one explode to
+    ``max_hamming+1`` band rows per image, one equi-join on
+    (band, band-bits), one bounded verify — the MinHash-LSH shape with
+    Hamming bands. Never all-pairs. A constant-background corpus can
+    still pile one band bucket (same low-entropy caveat as
+    fuzzy_join); dedup exact duplicates first if that bites."""
+    from .similarity import hamming_near_dup_pairs
+
+    hashed = image_dhash(df, hash_size)
+    return hamming_near_dup_pairs(
+        hashed,
+        id_col="asset_id",
+        bits_col="dhash",
+        n_bits=hash_size * hash_size,
+        max_hamming=max_hamming,
+    )

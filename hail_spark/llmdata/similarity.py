@@ -967,3 +967,72 @@ def mine_hard_negatives(
         .filter(F.col("neg_rank") <= k)
         .select(q_id_col, "neg_rank", F.col(id_col).alias("neg_id"), "cosine")
     )
+
+
+def hamming_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    bits_col: str = "bits",
+    n_bits: int = 64,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """All pairs within Hamming distance ``max_hamming`` over packed
+    binary codes (32-bit sign-safe words in ``bits_col``), via the
+    banded pigeonhole join: split the ``n_bits`` code into
+    ``max_hamming + 1`` contiguous bands — <= ``max_hamming``
+    differing bits leave at least one band IDENTICAL, so the
+    equi-join on (band index, band bits) is a complete candidate
+    generator; candidates are then verified exactly with JVM-side
+    ``bit_count(xor)``. Returns (id_a, id_b, hamming), id_a < id_b.
+
+    Scale shape: one explode to B band rows per code (band extraction
+    is a literal shift/mask projection, whole-stage codegen), one
+    hash equi-join on the band key, one bounded verify projection —
+    the MinHash-LSH plan shape, never all-pairs. Skew caveat: a band
+    value shared by m codes contributes m^2 candidates (constant
+    regions / zeroed codes) — exact-dedup first when codes repeat
+    heavily."""
+    if max_hamming < 0:
+        raise ValueError("hamming_near_dup_pairs: max_hamming must be >= 0")
+    n_bands = max_hamming + 1
+    bands = []
+    for i in range(n_bands):
+        s = i * n_bits // n_bands
+        e = (i + 1) * n_bits // n_bands
+        expr = F.lit(0).cast("long")
+        for p in range(s, e):
+            word = F.element_at(F.col(bits_col), p // 32 + 1)
+            bit = F.shiftright(word, p % 32).bitwiseAND(F.lit(1))
+            expr = expr + F.shiftleft(bit.cast("long"), p - s)
+        bands.append(F.struct(F.lit(i).alias("b"), expr.alias("v")))
+    t = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(bits_col).alias("__bits"),
+        F.explode(F.array(*bands)).alias("bd"),
+    ).select("__id", "__bits", F.col("bd.b").alias("b"), F.col("bd.v").alias("v"))
+    a = t.select(
+        F.col("__id").alias("id_a"), F.col("__bits").alias("__ba"), "b", "v"
+    )
+    bt = t.select(
+        F.col("__id").alias("id_b"), F.col("__bits").alias("__bb"), "b", "v"
+    )
+    cand = (
+        a.join(bt, ["b", "v"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ba", "__bb")
+        .distinct()
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("__ba"),
+            F.col("__bb"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("hamming", dist)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

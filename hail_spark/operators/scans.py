@@ -249,7 +249,20 @@ def _scan_state(t: Table, partial: Column, py_combine, state_schema: str):
 
 def scan_collect(t: Table, expr: Column, name: str) -> Table:
     """hl.scan.collect: array of the non-missing prefix values in key
-    order. Per-row state is O(prefix) by definition (same as Hail)."""
+    order. Per-row state is O(prefix) by definition (same as Hail).
+
+    DRIVER/BROADCAST COST — unlike the O(1)-state scans (scan_sum /
+    scan_count / scan_min / windowed take), collect-type scans carry
+    the per-partition COLLECTED ARRAYS through the driver in the
+    up-pass and broadcast each partition's full prefix back down:
+    driver memory and broadcast size are O(total collected values),
+    i.e. the whole column for the last partition. This is inherent to
+    `hl.scan.collect` semantics (Hail's own two-pass lowering,
+    LowerTableIR.scala, carries the same state); at 100-TB scale use a
+    bounded-state scan (scan_count/scan_sum/scan_take) or a windowed
+    aggregation instead. Same applies to scan_collect_as_set,
+    scan_counter (bounded by distinct values, not rows) and the
+    collect/group_by kinds inside scan_multi."""
     tt = t._ensure_key_sorted()
     elem_t = tt.df.select(expr.alias("x")).schema["x"].dataType.simpleString()
     ks = _key_struct(tt)

@@ -1,0 +1,105 @@
+"""Round-7 image near-dup: dHash codec conformance + banded Hamming
+pair join."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F  # noqa: F401
+
+from hail_spark.llmdata.multimodal import (
+    encode_bmp,
+    image_dhash,
+    image_near_dup,
+    make_asset_table,
+)
+from hail_spark.llmdata.similarity import hamming_near_dup_pairs
+
+
+def _gradient_bmp(cols):
+    """8-row image whose identical rows carry the given column
+    brightnesses."""
+    arr = np.tile(np.array(cols, dtype=np.uint8)[None, :, None], (8, 1, 3))
+    return encode_bmp(arr)
+
+
+def _assets(spark, images):
+    return make_asset_table(
+        spark,
+        [{"asset_id": i, "content": b} for i, b in enumerate(images)],
+        "image",
+    )
+
+
+def test_image_dhash_known_bits(spark):
+    # strictly increasing columns -> every comparison true -> all 64
+    # bits set -> both 32-bit words are 0xFFFFFFFF
+    up = _gradient_bmp([10 * j for j in range(9)])
+    down = _gradient_bmp([10 * (8 - j) for j in range(9)])
+    out = {
+        r["asset_id"]: r["dhash"]
+        for r in image_dhash(_assets(spark, [up, down])).collect()
+    }
+    assert out[0] == [0xFFFFFFFF, 0xFFFFFFFF]
+    assert out[1] == [0, 0]
+
+
+def test_image_dhash_brightness_invariant(spark):
+    base = [30 + (j * 13) % 90 for j in range(9)]
+    brighter = [v + 60 for v in base]
+    out = {
+        r["asset_id"]: r["dhash"]
+        for r in image_dhash(
+            _assets(spark, [_gradient_bmp(base), _gradient_bmp(brighter)])
+        ).collect()
+    }
+    assert out[0] == out[1]
+
+
+def test_image_near_dup_pairs(spark):
+    base = [30, 80, 50, 120, 40, 160, 70, 90, 200]
+    dup = list(base)  # identical -> hamming 0
+    near = list(base)
+    near[8] = 10  # flips only the last comparison in all 8 rows -> 8
+    far = [200 - v for v in base]
+    imgs = [_gradient_bmp(c) for c in (base, dup, near, far)]
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_near_dup(_assets(spark, imgs), max_hamming=8).collect()
+    }
+    assert out[(0, 1)] == 0
+    assert out[(0, 2)] == 8
+    assert out[(1, 2)] == 8
+    assert (0, 3) not in out and (1, 3) not in out
+
+
+def test_hamming_near_dup_pairs_exact_vs_bruteforce(spark):
+    rng = np.random.default_rng(7)
+    codes = rng.integers(0, 1 << 32, size=(40, 2)).tolist()
+    # plant near pairs
+    codes[1] = list(codes[0])
+    codes[2] = [codes[0][0] ^ 0b101, codes[0][1]]  # distance 2
+    df = spark.createDataFrame(
+        [(i, [int(w) for w in c]) for i, c in enumerate(codes)],
+        "vec_id long, bits array<long>",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_dup_pairs(
+            df, n_bits=64, max_hamming=4
+        ).collect()
+    }
+    expect = {}
+    for i in range(40):
+        for j in range(i + 1, 40):
+            d = bin(codes[i][0] ^ codes[j][0]).count("1") + bin(
+                codes[i][1] ^ codes[j][1]
+            ).count("1")
+            if d <= 4:
+                expect[(i, j)] = d
+    assert got == expect
+    assert got[(0, 1)] == 0 and got[(0, 2)] == 2
+
+
+def test_hamming_near_dup_rejects_negative(spark):
+    df = spark.createDataFrame([(1, [0, 0])], "vec_id long, bits array<long>")
+    with pytest.raises(ValueError):
+        hamming_near_dup_pairs(df, max_hamming=-1)
