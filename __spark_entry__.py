@@ -6012,6 +6012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_importance_select",
         # (c) genuinely new round-7 queries
         "image_near_dup_assets",
+        "unigram_encode_docs",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6258,6 +6259,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_canonical": url_dedup_q,
         "cluster_keep_best": cluster_reps_q,
         "bpe_encode_ids_docs": bpe_encode_q,
+        "unigram_encode_docs": unigram_encode_q,
         "jsonl_round_trip": jsonl_round_trip_q,
         "hashed_linear_score_docs": linear_score_q,
         "split_assign_census": split_assign_q,
@@ -6544,6 +6546,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup_canonical": _URL_DEDUP_SQL,
         "cluster_keep_best": _CLUSTER_REPS_SQL,
         "bpe_encode_ids_docs": _BPE_ENCODE_SQL,
+        "unigram_encode_docs": _UNIGRAM_ENCODE_SQL,
         "jsonl_round_trip": _JSONL_RT_SQL,
         "hashed_linear_score_docs": _LINEAR_SCORE_SQL,
         "split_assign_census": _SPLIT_ASSIGN_SQL,
@@ -8608,6 +8611,173 @@ FROM documents d LEFT JOIN encoded e USING (doc_id) ORDER BY d.doc_id
 
 
 _BPE_ENCODE_SQL = _bpe_encode_oracle_sql(6)
+
+
+# Unigram encode conformance vocab: (piece, log_prob). All log probs
+# are exact binary fractions (sixteenths) so the Viterbi DP arithmetic
+# is EXACT in both engines (no float-summation divergence, and score
+# ties resolve identically via the longer-last-piece rule). Ids are
+# list positions. Single chars a-z close the inventory.
+_UNIGRAM_PIECES: list = [
+    ("the", -1.0),
+    ("able", -1.0625),
+    ("ta", -1.125),
+    ("row", -1.1875),
+    ("er", -1.25),
+    ("or", -1.3125),
+    ("an", -1.375),
+    ("at", -1.4375),
+    ("st", -1.5),
+    ("re", -1.5625),
+    ("am", -1.625),
+    ("all", -1.6875),
+    ("col", -1.75),
+    ("umn", -1.8125),
+    ("val", -1.875),
+    ("ue", -1.9375),
+    ("qu", -2.0),
+    ("ry", -2.0625),
+    ("sca", -2.125),
+    ("me", -2.1875),
+    ("rge", -2.25),
+    ("ha", -2.3125),
+    ("sh", -2.375),
+    ("so", -2.4375),
+    ("rt", -2.5),
+    ("wi", -2.5625),
+    ("nd", -2.625),
+    ("ow", -2.6875),
+    ("fi", -2.75),
+    ("lt", -2.8125),
+    ("jo", -2.875),
+    ("in", -2.9375),
+    ("ke", -3.0),
+    ("gg", -3.0625),
+    ("up", -3.125),
+    ("big", -3.1875),
+    ("par", -3.25),
+    ("li", -3.3125),
+    ("ne", -3.375),
+    ("ba", -3.4375),
+    ("tch", -3.5),
+] + [(c, -4.0 - i * 0.0625) for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")]
+
+
+def unigram_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) Viterbi encoding under a fixed
+    piece table (llmdata/tokenizer.py unigram_encode_ids — the encoder
+    half of unigram_train's EM loop): per document the id sequence is
+    md5-hashed in order plus the summed path log prob, so any drift in
+    the Viterbi recurrence, the longer-last-piece tie-break, or the
+    unknown-char fallback breaks the row. The oracle replays the DP
+    exactly with an unrolled per-position CTE chain (exact sixteenths
+    arithmetic — see _UNIGRAM_PIECES)."""
+    from hail_spark.llmdata.dedup import _spread
+    from hail_spark.llmdata.tokenizer import unigram_encode_ids
+
+    pieces = [(p, lp, i) for i, (p, lp) in enumerate(_UNIGRAM_PIECES)]
+    d = _spread(_t(spark, sf_dir, "documents").df)
+    enc = unigram_encode_ids(d, pieces)
+    return enc.select(
+        "doc_id",
+        F.size("uni_ids").alias("n_uni_tokens"),
+        F.md5(
+            F.array_join(F.transform("uni_ids", lambda i: i.cast("string")), ",")
+        ).alias("ids_md5"),
+        F.round("uni_logprob", 6).alias("logprob"),
+    ).orderBy("doc_id")
+
+
+def _unigram_oracle_sql(max_pos: int = 12, max_piece: int = 4) -> str:
+    """Unrolled Viterbi DP over the distinct-word table: dp{i} holds
+    (word, best score, best last-piece length) for prefix length i,
+    chosen by (score DESC, length DESC); bt{k} walks the backpointers
+    from len(word) to 0 building the id string. Mirrors
+    tokenizer._uni_viterbi exactly."""
+    vals = ",\n        ".join(
+        f"('{p}', {lp!r}, {i})" for i, (p, lp) in enumerate(_UNIGRAM_PIECES)
+    )
+    parts = [
+        f"""WITH pieces AS (
+  SELECT p, CAST(lp AS DOUBLE) AS lp, id
+  FROM (VALUES {vals}) AS t(p, lp, id)),
+words AS MATERIALIZED (
+  SELECT DISTINCT unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS w
+  FROM documents),
+dp0 AS MATERIALIZED (SELECT w, CAST(0.0 AS DOUBLE) AS score, 0 AS l FROM words)"""
+    ]
+    for i in range(1, max_pos + 1):
+        unions = []
+        for l in range(1, min(max_piece, i) + 1):
+            unions.append(
+                f"""    SELECT d.w, d.score AS prev, {l} AS l,
+           substr(d.w, {i - l + 1}, {l}) AS piece
+    FROM dp{i - l} d WHERE len(d.w) >= {i}"""
+            )
+        u = "\n    UNION ALL\n".join(unions)
+        parts.append(
+            f"""cand{i} AS MATERIALIZED (
+  SELECT s.w, s.prev + COALESCE(pc.lp, -20.0) AS score, s.l
+  FROM (
+{u}
+  ) s LEFT JOIN pieces pc ON pc.p = s.piece
+  WHERE pc.p IS NOT NULL OR s.l = 1),
+dp{i} AS MATERIALIZED (
+  SELECT w, score, l FROM (
+    SELECT w, score, l,
+           row_number() OVER (PARTITION BY w ORDER BY score DESC, l DESC) AS rk
+    FROM cand{i}) WHERE rk = 1)"""
+        )
+    dpall_u = "\n  UNION ALL\n".join(
+        f"  SELECT w, {i} AS i, score, l FROM dp{i}" for i in range(1, max_pos + 1)
+    )
+    parts.append(f"""dpall AS MATERIALIZED (\n{dpall_u})""")
+    parts.append(
+        """bt0 AS MATERIALIZED (SELECT w, len(w) AS pos, CAST('' AS VARCHAR) AS ids FROM words)"""
+    )
+    for k in range(1, max_pos + 1):
+        parts.append(
+            f"""bt{k} AS MATERIALIZED (
+  SELECT b.w,
+         CASE WHEN b.pos = 0 THEN 0 ELSE b.pos - d.l END AS pos,
+         CASE WHEN b.pos = 0 THEN b.ids
+              ELSE CAST(COALESCE(pc.id, -1) AS VARCHAR)
+                   || (CASE WHEN b.ids = '' THEN '' ELSE ',' END) || b.ids
+         END AS ids
+  FROM bt{k - 1} b
+  LEFT JOIN dpall d ON d.w = b.w AND d.i = b.pos
+  LEFT JOIN pieces pc ON b.pos > 0 AND pc.p = substr(b.w, b.pos - d.l + 1, d.l))"""
+        )
+    parts.append(
+        f"""wordenc AS MATERIALIZED (
+  SELECT b.w, b.ids, (len(b.ids) - len(replace(b.ids, ',', ''))) + 1 AS np,
+         s.score
+  FROM bt{max_pos} b JOIN dpall s ON s.w = b.w AND s.i = len(b.w)),
+docw AS MATERIALIZED (
+  SELECT doc_id, unnest(range(1, len(ws)+1)) AS pos, unnest(ws) AS w
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                           x -> x <> '') AS ws
+        FROM documents)),
+encoded AS (
+  SELECT dw.doc_id, SUM(we.np) AS n,
+         string_agg(we.ids, ',' ORDER BY dw.pos) AS ids_str,
+         SUM(we.score) AS lp
+  FROM docw dw JOIN wordenc we ON we.w = dw.w GROUP BY dw.doc_id)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT d.doc_id, CAST(COALESCE(e.n, 0) AS INT) AS n_uni_tokens,
+       md5(COALESCE(e.ids_str, '')) AS ids_md5,
+       round(CAST(COALESCE(e.lp, 0.0) AS DOUBLE), 6) AS logprob
+FROM documents d LEFT JOIN encoded e USING (doc_id) ORDER BY d.doc_id
+"""
+    )
+
+
+_UNIGRAM_ENCODE_SQL = _unigram_oracle_sql()
 
 
 def jsonl_round_trip_q(spark: SparkSession, sf_dir: str) -> DataFrame:

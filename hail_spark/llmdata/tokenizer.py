@@ -473,3 +473,238 @@ def bpe_load(path: str) -> tuple[list, dict | None]:
         payload = json.load(fh)
     merges = [(l, r) for l, r in payload["merges"]]
     return merges, payload.get("vocab")
+
+
+# ---------------------------------------------------------------------- #
+# Unigram-LM tokenizer (SentencePiece's unigram mode, Kudo 2018)
+# ---------------------------------------------------------------------- #
+_UNK_LOGP = -20.0  # score / id fallback for single chars outside the vocab
+_UNK_ID = -1
+
+
+def _uni_viterbi(word: str, logp: dict, max_len: int):
+    """Best unigram segmentation of one word: maximize total log prob,
+    ties broken toward the LONGER last piece at each position (fully
+    deterministic, replayable in SQL with the same (score, len) order).
+    Single characters outside the vocab score _UNK_LOGP. Returns
+    (pieces list, total_logprob)."""
+    n = len(word)
+    # dp[i] = (score, last_piece_len) for word[:i]
+    dp = [(0.0, 0)] + [None] * n
+    for i in range(1, n + 1):
+        best = None
+        for l in range(1, min(max_len, i) + 1):
+            piece = word[i - l : i]
+            lp = logp.get(piece)
+            if lp is None:
+                if l != 1:
+                    continue
+                lp = _UNK_LOGP
+            cand = (dp[i - l][0] + lp, l)
+            if best is None or cand > best:
+                best = cand
+        dp[i] = best
+    pieces = []
+    i = n
+    while i > 0:
+        l = dp[i][1]
+        pieces.append(word[i - l : i])
+        i -= l
+    pieces.reverse()
+    return pieces, dp[n][0]
+
+
+def unigram_train(
+    df: DataFrame,
+    vocab_size: int = 512,
+    text_col: str = "text",
+    seed_max_len: int = 4,
+    n_em_iters: int = 3,
+    sample_docs: int | None = 200_000,
+) -> DataFrame:
+    """Unigram-LM tokenizer trainer (Kudo 2018 — SentencePiece's
+    unigram mode), Viterbi hard-EM variant: seed the piece inventory
+    with every substring up to ``seed_max_len`` weighted by word
+    frequency, then alternate (E) Viterbi-segment every distinct word
+    under the current piece log probs and (M) re-estimate piece
+    probabilities from the frequency-weighted usage counts; finally
+    prune the lowest-count multi-char pieces down to ``vocab_size``
+    (single chars are never pruned — they guarantee closure). Returns
+    (piece_id int, piece string, log_prob double, count bigint) with
+    ids dense in (count desc, piece) order.
+
+    Scale shape — the bpe_train skeleton exactly: ONE corpus-wide
+    word-frequency hash-agg (the only pass over the data); the EM loop
+    runs driver-side over the DISTINCT-WORD table (O(vocab), not
+    O(corpus)), sampling the md5-smallest ``sample_docs`` documents
+    first when the distinct-word count exceeds SMALL_VOCAB_CUTOFF —
+    the production tokenizer-training shape (tokenizers are always
+    trained on a bounded sample; the encode pass is what must scale,
+    and it stays one Arrow projection)."""
+    import math
+
+    if vocab_size < 1:
+        raise ValueError("unigram_train: vocab_size must be >= 1")
+    vocab_df = _word_vocab(df, text_col)
+    n_words = vocab_df.count()
+    if n_words > SMALL_VOCAB_CUTOFF and sample_docs is not None:
+        sampled = (
+            df.select(text_col)
+            .orderBy(F.md5(F.col(text_col)).asc())
+            .limit(sample_docs)
+        )
+        vocab_df = _word_vocab(sampled, text_col)
+    word_freqs = [(r["w"], int(r["freq"])) for r in vocab_df.collect()]
+
+    # ---- seed inventory: substring counts + all single chars -------- #
+    from collections import Counter
+
+    seed: Counter = Counter()
+    chars: set = set()
+    for w, f in word_freqs:
+        for i in range(len(w)):
+            chars.add(w[i])
+            for l in range(1, seed_max_len + 1):
+                if i + l <= len(w):
+                    seed[w[i : i + l]] += f
+    multi = [p for p in seed if len(p) > 1]
+    multi.sort(key=lambda p: (-seed[p], p))
+    keep = set(chars) | set(multi[: max(vocab_size * 4, vocab_size)])
+    total = sum(seed[p] for p in keep)
+    logp = {p: math.log(seed[p] / total) for p in keep}
+    max_len = max((len(p) for p in keep), default=1)
+
+    # ---- Viterbi hard-EM ------------------------------------------- #
+    counts: Counter = Counter()
+    for _ in range(max(n_em_iters, 1)):
+        counts = Counter()
+        for w, f in word_freqs:
+            pieces, _score = _uni_viterbi(w, logp, max_len)
+            for p in pieces:
+                counts[p] += f
+        # unknown single chars surface as pieces too; keep them scored
+        total = sum(counts.values())
+        logp = {p: math.log(c / total) for p, c in counts.items() if c > 0}
+        # chars must stay encodable even if unused this round
+        for c in chars:
+            logp.setdefault(c, _UNK_LOGP)
+        max_len = max((len(p) for p in logp), default=1)
+
+    # ---- prune to vocab_size (never the single chars) --------------- #
+    final = [(p, counts.get(p, 0)) for p in logp]
+    singles = [(p, c) for p, c in final if len(p) == 1]
+    multis = sorted(
+        [(p, c) for p, c in final if len(p) > 1],
+        key=lambda t: (-t[1], t[0]),
+    )
+    room = max(vocab_size - len(singles), 0)
+    kept = singles + multis[:room]
+    total = sum(c for _, c in kept) or 1
+    rows = []
+    for pid, (p, c) in enumerate(
+        sorted(kept, key=lambda t: (-t[1], t[0]))
+    ):
+        lp = math.log(c / total) if c > 0 else _UNK_LOGP
+        rows.append((pid, p, lp, int(c)))
+    return df.sparkSession.createDataFrame(
+        rows, "piece_id int, piece string, log_prob double, count bigint"
+    )
+
+
+def unigram_encode_ids(
+    df: DataFrame,
+    pieces: list,
+    text_col: str = "text",
+) -> DataFrame:
+    """Viterbi encoding under a unigram piece table: ``pieces`` is a
+    list of (piece, log_prob, piece_id); each lowercased whitespace
+    word is segmented by maximum total log prob (ties to the longer
+    last piece — the deterministic rule _uni_viterbi documents), chars
+    outside the vocab emit id -1 at _UNK_LOGP. Adds ``uni_ids
+    array<int>`` and ``uni_logprob double`` (the summed path score —
+    the document's unigram-LM surprisal, useful as a quality signal).
+
+    One Arrow-batched projection with a broadcast piece dict and a
+    per-batch word cache (the bpe _encode_udf pattern); tokenization
+    stays Spark-side so Java lower/split semantics match the SQL
+    oracle replay exactly. No shuffle."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    from .dedup import tokens
+
+    plogp = {p: float(lp) for p, lp, _ in pieces}
+    pid = {p: int(i) for p, _, i in pieces}
+    max_len = max((len(p) for p in plogp), default=1)
+    sc = df.sparkSession.sparkContext
+    b_logp = sc.broadcast(plogp)
+    b_pid = sc.broadcast(pid)
+
+    schema = StructType(
+        [
+            StructField("ids", ArrayType(IntegerType())),
+            StructField("logprob", DoubleType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _enc(words: pd.Series) -> pd.DataFrame:
+        lp = b_logp.value
+        ids = b_pid.value
+        cache: dict = {}
+
+        out_ids, out_logp = [], []
+        for ws in words:
+            if ws is None:
+                out_ids.append([])
+                out_logp.append(0.0)
+                continue
+            acc_ids: list = []
+            acc_lp = 0.0
+            for w in ws:
+                got = cache.get(w)
+                if got is None:
+                    ps, score = _uni_viterbi(w, lp, max_len)
+                    got = ([ids.get(p, _UNK_ID) for p in ps], score)
+                    cache[w] = got
+                acc_ids.extend(got[0])
+                acc_lp += got[1]
+            out_ids.append(acc_ids)
+            out_logp.append(acc_lp)
+        return pd.DataFrame({"ids": out_ids, "logprob": out_logp})
+
+    res = df.withColumn("__u", _enc(tokens(F.lower(F.col(text_col)))))
+    return res.withColumn("uni_ids", F.col("__u.ids")).withColumn(
+        "uni_logprob", F.col("__u.logprob")
+    ).drop("__u")
+
+
+def unigram_decode_ids(
+    df: DataFrame,
+    pieces: list,
+    ids_col: str = "uni_ids",
+    out_col: str = "decoded",
+) -> DataFrame:
+    """Inverse of unigram_encode_ids on known ids (unknown ids decode
+    to U+FFFD) — plan-literal map + JVM-side transform/array_join, no
+    UDF. Concatenation loses word boundaries by design (pair with a
+    separator id exactly like bpe_encode_ids if losslessness is
+    needed)."""
+    pairs = []
+    for p, _lp, i in sorted(pieces, key=lambda t: t[2]):
+        pairs.extend([F.lit(int(i)), F.lit(p)])
+    m = F.create_map(*pairs)
+    joined = F.array_join(
+        F.transform(
+            F.col(ids_col),
+            lambda i: F.coalesce(F.try_element_at(m, i), F.lit("�")),
+        ),
+        "",
+    )
+    return df.withColumn(out_col, joined)
