@@ -147,10 +147,14 @@ def main() -> None:
     # (the first run absorbs JIT/warmup; the gap stays visible in
     # `spread`), like bench.py.
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    queries = (
+        [q for q in only.split(",") if q] if only else QUERIES
+    )
     times: dict[str, float] = {}
     spread: dict[str, float] = {}
     total = 0.0
-    for name in QUERIES:
+    for name in queries:
         runs: list[float] = []
         for it in range(iters):
             if it > 1 and runs and runs[0] > 5.0:
