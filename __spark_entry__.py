@@ -3075,6 +3075,87 @@ ORDER BY id_a, id_b
 """
 
 
+def audio_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio near-dup (llmdata/multimodal.py
+    audio_fingerprint + similarity.hamming_near_dup_pairs): 120 REAL
+    16-bit PCM WAV fixtures built distributed from deterministic
+    per-doc window amplitudes (multiplicative-hash envelope so groups
+    are mutually distant; groups of 3: two identical + one last-window
+    perturbation flipping exactly one energy comparison).
+    Spark runs the full PCM encode → decode → windowed-RMS →
+    energy-delta bits → banded Hamming join; the oracle replays the
+    bit pattern CLOSED FORM from the amplitude formula (RMS of a
+    constant window is |A|/32768, strictly monotone in |A|) — the
+    audio sibling of image_near_dup_assets."""
+    from pyspark.sql import Window as W
+
+    from hail_spark.llmdata.multimodal import audio_near_dup, encode_wav_pcm16
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    fixture = docs.select(
+        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("rn")
+    ).select(
+        "rn",
+        (F.col("rn") / 3).cast("int").alias("g"),
+        (F.col("rn") % 3).alias("m"),
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for rn, g, m in zip(pdf["rn"], pdf["g"], pdf["m"]):
+                amps = [
+                    100 + ((int(g) + 1) * (w + 7) * 2654435761 % 4096)
+                    for w in range(64)
+                ] + [10 if int(m) == 2 else 30000]
+                wave = np.repeat(np.array(amps, dtype=np.int16), 32)
+                ids.append(int(rn))
+                blobs.append(encode_wav_pcm16(wave))
+            yield pd.DataFrame({"asset_id": ids, "content": blobs})
+
+    assets = fixture.mapInPandas(gen, schema="asset_id bigint, content binary")
+    pairs = audio_near_dup(assets, max_hamming=4, n_windows=65)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    ).orderBy("id_a", "id_b")
+
+
+# energy-delta closed form: window RMS of a constant-amplitude window
+# is |A|/32768 (strictly monotone in A for positive A), so bit[w] =
+# amp(w+1) > amp(w); the w=64 window is 3000 (members 0/1) or 50
+# (member 2).
+_AUDIO_NEAR_DUP_SQL = """
+WITH docs AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 120),
+mem AS (SELECT (row_number() OVER (ORDER BY doc_id) - 1) AS rn FROM docs),
+gm AS (SELECT rn, rn // 3 AS g, rn % 3 AS m FROM mem),
+bits AS MATERIALIZED (
+  SELECT rn, w,
+    CASE WHEN (CASE WHEN w + 1 = 64 THEN (CASE WHEN m = 2 THEN 10 ELSE 30000 END)
+               ELSE 100 + ((g + 1) * (w + 1 + 7) * 2654435761 % 4096) END)
+            > (100 + ((g + 1) * (w + 7) * 2654435761 % 4096))
+         THEN 1 ELSE 0 END AS bit
+  FROM gm, unnest(range(64)) AS t(w)),
+ham AS (
+  SELECT a.rn AS id_a, b.rn AS id_b,
+         SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+  FROM bits a JOIN bits b ON a.w = b.w AND a.rn < b.rn
+  GROUP BY a.rn, b.rn)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(hamming AS BIGINT) AS hamming
+FROM ham WHERE hamming <= 4 ORDER BY id_a, id_b
+"""
+
+
 def info_score_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMPUTE info-score aggregator (expr/functions.py info_score; ref
     aggregators.py:1568) over deterministic pseudo-genotype-probability
@@ -6013,6 +6094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (c) genuinely new round-7 queries
         "image_near_dup_assets",
         "unigram_encode_docs",
+        "audio_near_dup_assets",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     head = {
@@ -6109,6 +6191,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "liftover_loci": liftover_loci,
         "multimodal_pipeline": multimodal_pipeline,
         "image_near_dup_assets": image_near_dup_q,
+        "audio_near_dup_assets": audio_near_dup_q,
         "linreg_rows": linreg_rows_q,
         "logreg_score_rows": logreg_score_rows_q,
         "poisreg_score_rows": poisreg_score_rows_q,
@@ -6396,6 +6479,7 @@ def oracle_sql() -> dict[str, str]:
         "liftover_loci": _LIFTOVER_SQL,
         "multimodal_pipeline": _multimodal_oracle_sql(),
         "image_near_dup_assets": _IMAGE_NEAR_DUP_SQL,
+        "audio_near_dup_assets": _AUDIO_NEAR_DUP_SQL,
         "linreg_rows": _LINREG_SQL,
         "logreg_score_rows": _LOGREG_SCORE_SQL,
         "poisreg_score_rows": _POISREG_SCORE_SQL,

@@ -440,3 +440,80 @@ def image_near_dup(
         n_bits=hash_size * hash_size,
         max_hamming=max_hamming,
     )
+
+
+def encode_wav_pcm16(samples, sample_rate: int = 16000) -> bytes:
+    """Public EXACT 16-bit PCM WAV encoder from integer samples (no
+    float re-quantization — ``_decode_wav`` recovers sample/32768
+    exactly). For fixtures and lossless audio round trips; the float
+    path stays ``_encode_wav``."""
+    pcm = np.asarray(samples, "<i2").tobytes()
+    fmt = _struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(pcm).to_bytes(4, "little") + pcm
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def audio_fingerprint(df: DataFrame, n_windows: int = 65) -> DataFrame:
+    """Energy-envelope audio fingerprint — the dHash analog for audio
+    (the public Chromaprint/AcoustID family idea reduced to its
+    energy-delta core): decode → split the waveform into ``n_windows``
+    equal windows → RMS energy per window → ``bit[i] = 1 iff
+    rms[i+1] > rms[i]``, packed row-major into sign-safe 32-bit words
+    (``array<bigint>``). Gain-invariant (uniform volume change
+    preserves every comparison) and SQL-replayable with plain shift
+    arithmetic — the same packing contract as image_dhash /
+    binarize_embeddings.
+
+    Arrow-batched mapInPandas over the binary column; swap
+    ``_decode_audio`` for librosa and nothing else changes. Returns
+    (asset_id, afp array<bigint>); n_bits = n_windows - 1."""
+    n_bits = n_windows - 1
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, words_out = [], []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                w, _sr, _fmt = _decode_audio(bytes(content))
+                x = w.astype(np.float64)
+                n = len(x)
+                rms = np.empty(n_windows)
+                for i in range(n_windows):
+                    s, e = i * n // n_windows, (i + 1) * n // n_windows
+                    seg = x[s:e]
+                    rms[i] = float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0
+                bits = rms[1:] > rms[:-1]
+                ws = []
+                for wi in range((n_bits + 31) // 32):
+                    v = 0
+                    for j, b in enumerate(bits[wi * 32 : (wi + 1) * 32]):
+                        v |= int(b) << j
+                    ws.append(v)
+                ids.append(aid)
+                words_out.append(ws)
+            yield pd.DataFrame({"asset_id": ids, "afp": words_out})
+
+    return df.select("asset_id", "content").mapInPandas(
+        run, schema="asset_id bigint, afp array<bigint>"
+    )
+
+
+def audio_near_dup(
+    df: DataFrame, max_hamming: int = 6, n_windows: int = 65
+) -> DataFrame:
+    """First-class perceptual audio near-duplicate detection:
+    :func:`audio_fingerprint` composed with the banded Hamming
+    pigeonhole join (``similarity.hamming_near_dup_pairs``) — the
+    audio sibling of :func:`image_near_dup`, same plan shape (one
+    Arrow decode pass, band explode, equi-join, bit_count verify;
+    never all-pairs). Returns (id_a, id_b, hamming), id_a < id_b."""
+    from .similarity import hamming_near_dup_pairs
+
+    fp = audio_fingerprint(df, n_windows)
+    return hamming_near_dup_pairs(
+        fp,
+        id_col="asset_id",
+        bits_col="afp",
+        n_bits=n_windows - 1,
+        max_hamming=max_hamming,
+    )

@@ -103,3 +103,37 @@ def test_hamming_near_dup_rejects_negative(spark):
     df = spark.createDataFrame([(1, [0, 0])], "vec_id long, bits array<long>")
     with pytest.raises(ValueError):
         hamming_near_dup_pairs(df, max_hamming=-1)
+
+
+def test_audio_fingerprint_gain_invariant(spark):
+    from hail_spark.llmdata.multimodal import audio_fingerprint, encode_wav_pcm16
+
+    amps = [(100 + (w * 37) % 900) for w in range(65)]
+    base = np.repeat(np.array(amps, dtype=np.int16), 16)
+    louder = np.repeat(np.array([a * 8 for a in amps], dtype=np.int16), 16)
+    df = _assets(
+        spark, [encode_wav_pcm16(base), encode_wav_pcm16(louder)]
+    )
+    out = {r["asset_id"]: r["afp"] for r in audio_fingerprint(df).collect()}
+    assert out[0] == out[1]
+
+
+def test_audio_near_dup_pairs(spark):
+    from hail_spark.llmdata.multimodal import audio_near_dup, encode_wav_pcm16
+
+    rng = np.random.default_rng(3)
+    def wav(amps):
+        return encode_wav_pcm16(np.repeat(np.array(amps, dtype=np.int16), 16))
+    a = [int(v) for v in rng.integers(100, 5000, size=65)]
+    dup = list(a)
+    near = list(a)
+    near[64] = 30000 if a[64] < a[63] else 10  # flip exactly bit 63
+    far = [int(v) for v in rng.integers(100, 5000, size=65)]
+    df = _assets(spark, [wav(a), wav(dup), wav(near), wav(far)])
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_near_dup(df, max_hamming=2).collect()
+    }
+    assert out[(0, 1)] == 0
+    assert out[(0, 2)] == 1 and out[(1, 2)] == 1
+    assert (0, 3) not in out
