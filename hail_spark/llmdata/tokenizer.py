@@ -708,3 +708,27 @@ def unigram_decode_ids(
         "",
     )
     return df.withColumn(out_col, joined)
+
+
+def unigram_save(path: str, pieces: list) -> None:
+    """Persist a trained unigram piece table [(piece, log_prob,
+    piece_id), ...] as JSON — same ship-to-training-job artifact
+    contract as bpe_save. Kilobytes; no Spark involved."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(
+            {"pieces": [[p, float(lp), int(i)] for p, lp, i in pieces]}, fh
+        )
+
+
+def unigram_load(path: str) -> list:
+    """Load the [(piece, log_prob, piece_id), ...] list saved by
+    unigram_save."""
+    import json
+
+    with open(path) as fh:
+        payload = json.load(fh)
+    return [(p, lp, i) for p, lp, i in payload["pieces"]]

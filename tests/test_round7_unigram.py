@@ -78,3 +78,25 @@ def test_unigram_logprob_is_path_sum(spark):
 def test_unigram_train_rejects_bad_vocab(spark):
     with pytest.raises(ValueError):
         unigram_train(_corpus(spark), vocab_size=0)
+
+
+def test_unigram_save_load_round_trip(spark, tmp_path):
+    from hail_spark.llmdata.tokenizer import (
+        unigram_encode_ids,
+        unigram_load,
+        unigram_save,
+        unigram_train,
+    )
+
+    df = _corpus(spark)
+    trained = unigram_train(df, vocab_size=30)
+    pieces = [
+        (r["piece"], r["log_prob"], r["piece_id"]) for r in trained.collect()
+    ]
+    p = str(tmp_path / "uni.json")
+    unigram_save(p, pieces)
+    back = unigram_load(p)
+    assert back == pieces
+    a = unigram_encode_ids(df, pieces).select("uni_ids").collect()
+    b = unigram_encode_ids(df, back).select("uni_ids").collect()
+    assert [r["uni_ids"] for r in a] == [r["uni_ids"] for r in b]
