@@ -8759,12 +8759,38 @@ def unigram_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hail_spark.llmdata.dedup import _spread
     from hail_spark.llmdata.tokenizer import unigram_encode_ids
 
+    from hail_spark.llmdata.dedup import tokens
+
     pieces = [(p, lp, i) for i, (p, lp) in enumerate(_UNIGRAM_PIECES)]
     d = _spread(_t(spark, sf_dir, "documents").df)
     enc = unigram_encode_ids(d, pieces)
+    # the oracle's DP is unrolled to 12 positions; a longer word would
+    # silently diverge (oracle drops it, Spark encodes it) — guard
+    # plan-side so the failure is LOUD and names the cause. One-row
+    # cross join, evaluated inside the same job.
+    wl = d.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("__w")
+    ).agg(F.max(F.length("__w")).alias("__mwl"))
+    enc = enc.crossJoin(F.broadcast(wl))
+    n_tok = F.when(
+        F.col("__mwl") > 12,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "unigram_encode_docs: corpus contains a word of "
+                    "length "
+                ),
+                F.col("__mwl").cast("string"),
+                F.lit(
+                    " > the oracle's 12-position DP unroll; regenerate "
+                    "_UNIGRAM_ENCODE_SQL with a larger max_pos"
+                ),
+            )
+        ).cast("int"),
+    ).otherwise(F.size("uni_ids"))
     return enc.select(
         "doc_id",
-        F.size("uni_ids").alias("n_uni_tokens"),
+        n_tok.alias("n_uni_tokens"),
         F.md5(
             F.array_join(F.transform("uni_ids", lambda i: i.cast("string")), ",")
         ).alias("ids_md5"),

@@ -149,8 +149,13 @@ def main() -> None:
     iters = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3")))
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
     queries = (
-        [q for q in only.split(",") if q] if only else QUERIES
+        [q.strip() for q in only.split(",") if q.strip()] if only else QUERIES
     )
+    unknown = [q for q in queries if q not in entry.queries()]
+    if unknown:
+        raise SystemExit(
+            f"SPARK_GRAFT_SCALE_ONLY names not in queries(): {unknown}"
+        )
     times: dict[str, float] = {}
     spread: dict[str, float] = {}
     total = 0.0

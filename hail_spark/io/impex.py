@@ -801,7 +801,11 @@ def import_fixed_width(
     any printable fixed-width layout). ``skip_header>1`` falls back to
     a wholetext read (one row per file, split+posexplode for exact
     per-file positions) — correct but NOT split-parallel within a
-    file; parallelism = file count.
+    file; parallelism = file count. Blank-line caveat: the CSV route
+    (skip_header=1) drops completely EMPTY lines (CSV-parser
+    behavior), while skip_header=0 and >1 keep them as all-spaces
+    records — empty lines are malformed in a fixed-width layout, but
+    if they occur, the row counts differ across skip_header modes.
 
     Scale: inherits the text source's splittable parallelism; parsing
     is map-only, and column pruning drops unused substrings like any

@@ -360,6 +360,22 @@ def video_frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     )
 
 
+def _pack_bits32(bits) -> list:
+    """Pack a flat boolean sequence into sign-safe 32-bit words (bit j
+    of word w = element w*32+j) — the packing contract
+    hamming_near_dup_pairs(word_bits=32) unpacks. Shared by
+    image_dhash and audio_fingerprint so the two can never
+    desynchronize."""
+    ws = []
+    n = len(bits)
+    for wi in range((n + 31) // 32):
+        v = 0
+        for j, b in enumerate(bits[wi * 32 : (wi + 1) * 32]):
+            v |= int(b) << j
+        ws.append(v)
+    return ws
+
+
 def encode_bmp(arr: "np.ndarray") -> bytes:
     """Public 24-bit BMP encoder (real, decodable; ``_decode_bmp``
     round-trips it byte-exactly) — exposed for building real image
@@ -371,10 +387,11 @@ def image_dhash(df: DataFrame, hash_size: int = 8) -> DataFrame:
     """Perceptual difference hash (the public dHash algorithm): decode
     → grayscale (channel mean) → nearest-neighbor resample to
     ``hash_size x (hash_size+1)`` → ``bit[r][c] = 1 iff px[r][c+1] >
-    px[r][c]``, packed row-major into sign-safe 32-bit words
+    px[r][c]``, packed row-major into sign-safe 32-BIT words
     (``array<bigint>``, so the packing replays with plain shift
-    arithmetic in any SQL engine — same convention as
-    similarity.binarize_embeddings). dHash is robust to uniform
+    arithmetic in any SQL engine; NOTE binarize_embeddings packs 60
+    bits/word — hamming_near_dup_pairs takes ``word_bits`` to match
+    the producer). dHash is robust to uniform
     brightness/contrast shifts (only ordinal column relations
     survive), the standard cheap screen before embedding-level image
     dedup.
@@ -383,7 +400,6 @@ def image_dhash(df: DataFrame, hash_size: int = 8) -> DataFrame:
     batch pass as :func:`image_embed`; swap ``_decode_image`` for a
     real codec (PIL) and nothing else changes. Returns
     (asset_id, dhash array<bigint>)."""
-    n_bits = hash_size * hash_size
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -398,14 +414,8 @@ def image_dhash(df: DataFrame, hash_size: int = 8) -> DataFrame:
                 )
                 small = g[ys][:, xs]
                 bits = (small[:, 1:] > small[:, :-1]).ravel()
-                ws = []
-                for wi in range((n_bits + 31) // 32):
-                    v = 0
-                    for j, b in enumerate(bits[wi * 32 : (wi + 1) * 32]):
-                        v |= int(b) << j
-                    ws.append(v)
                 ids.append(aid)
-                words_out.append(ws)
+                words_out.append(_pack_bits32(bits))
             yield pd.DataFrame({"asset_id": ids, "dhash": words_out})
 
     return df.select("asset_id", "content").mapInPandas(
@@ -459,16 +469,16 @@ def audio_fingerprint(df: DataFrame, n_windows: int = 65) -> DataFrame:
     (the public Chromaprint/AcoustID family idea reduced to its
     energy-delta core): decode → split the waveform into ``n_windows``
     equal windows → RMS energy per window → ``bit[i] = 1 iff
-    rms[i+1] > rms[i]``, packed row-major into sign-safe 32-bit words
-    (``array<bigint>``). Gain-invariant (uniform volume change
-    preserves every comparison) and SQL-replayable with plain shift
-    arithmetic — the same packing contract as image_dhash /
-    binarize_embeddings.
+    rms[i+1] > rms[i]``, packed row-major into sign-safe 32-BIT words
+    (``array<bigint>``) — the same _pack_bits32 contract as
+    image_dhash (NOT binarize_embeddings' 60-bit words; pass
+    ``word_bits`` to hamming_near_dup_pairs accordingly).
+    Gain-invariant (uniform volume change preserves every comparison)
+    and SQL-replayable with plain shift arithmetic.
 
     Arrow-batched mapInPandas over the binary column; swap
     ``_decode_audio`` for librosa and nothing else changes. Returns
     (asset_id, afp array<bigint>); n_bits = n_windows - 1."""
-    n_bits = n_windows - 1
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -483,14 +493,8 @@ def audio_fingerprint(df: DataFrame, n_windows: int = 65) -> DataFrame:
                     seg = x[s:e]
                     rms[i] = float(np.sqrt(np.mean(seg * seg))) if len(seg) else 0.0
                 bits = rms[1:] > rms[:-1]
-                ws = []
-                for wi in range((n_bits + 31) // 32):
-                    v = 0
-                    for j, b in enumerate(bits[wi * 32 : (wi + 1) * 32]):
-                        v |= int(b) << j
-                    ws.append(v)
                 ids.append(aid)
-                words_out.append(ws)
+                words_out.append(_pack_bits32(bits))
             yield pd.DataFrame({"asset_id": ids, "afp": words_out})
 
     return df.select("asset_id", "content").mapInPandas(

@@ -975,10 +975,14 @@ def hamming_near_dup_pairs(
     bits_col: str = "bits",
     n_bits: int = 64,
     max_hamming: int = 6,
+    word_bits: int = 32,
 ) -> DataFrame:
     """All pairs within Hamming distance ``max_hamming`` over packed
-    binary codes (32-bit sign-safe words in ``bits_col``), via the
-    banded pigeonhole join: split the ``n_bits`` code into
+    binary codes (sign-safe words of ``word_bits`` logical bits each
+    in ``bits_col``; ``word_bits`` MUST match the producer's packing —
+    32 for image_dhash/audio_fingerprint, 60 for binarize_embeddings;
+    a mismatch silently mis-addresses band bits and loses pairs), via
+    the banded pigeonhole join: split the ``n_bits`` code into
     ``max_hamming + 1`` contiguous bands — <= ``max_hamming``
     differing bits leave at least one band IDENTICAL, so the
     equi-join on (band index, band bits) is a complete candidate
@@ -994,6 +998,8 @@ def hamming_near_dup_pairs(
     heavily."""
     if max_hamming < 0:
         raise ValueError("hamming_near_dup_pairs: max_hamming must be >= 0")
+    if word_bits < 1 or word_bits > 62:
+        raise ValueError("hamming_near_dup_pairs: word_bits must be in 1..62")
     n_bands = max_hamming + 1
     bands = []
     for i in range(n_bands):
@@ -1001,8 +1007,8 @@ def hamming_near_dup_pairs(
         e = (i + 1) * n_bits // n_bands
         expr = F.lit(0).cast("long")
         for p in range(s, e):
-            word = F.element_at(F.col(bits_col), p // 32 + 1)
-            bit = F.shiftright(word, p % 32).bitwiseAND(F.lit(1))
+            word = F.element_at(F.col(bits_col), p // word_bits + 1)
+            bit = F.shiftright(word, p % word_bits).bitwiseAND(F.lit(1))
             expr = expr + F.shiftleft(bit.cast("long"), p - s)
         bands.append(F.struct(F.lit(i).alias("b"), expr.alias("v")))
     t = df.select(

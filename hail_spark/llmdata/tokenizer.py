@@ -533,27 +533,39 @@ def unigram_train(
     (piece_id int, piece string, log_prob double, count bigint) with
     ids dense in (count desc, piece) order.
 
-    Scale shape — the bpe_train skeleton exactly: ONE corpus-wide
-    word-frequency hash-agg (the only pass over the data); the EM loop
-    runs driver-side over the DISTINCT-WORD table (O(vocab), not
-    O(corpus)), sampling the md5-smallest ``sample_docs`` documents
-    first when the distinct-word count exceeds SMALL_VOCAB_CUTOFF —
-    the production tokenizer-training shape (tokenizers are always
-    trained on a bounded sample; the encode pass is what must scale,
-    and it stays one Arrow projection)."""
+    Scale shape — the bpe_train SAMPLED skeleton: ONE corpus-wide
+    word-frequency hash-agg (localCheckpoint'ed so count+collect is
+    one pass); the EM loop runs driver-side over the DISTINCT-WORD
+    table (O(vocab), not O(corpus)), sampling the md5-smallest
+    ``sample_docs`` documents first when the distinct-word count
+    exceeds SMALL_VOCAB_CUTOFF — the production tokenizer-training
+    shape (tokenizers are always trained on a bounded sample; the
+    encode pass is what must scale, and it stays one Arrow
+    projection). Unlike bpe_train there is NO distributed EM
+    fallback: ``sample_docs=None`` with an over-cutoff vocabulary
+    raises loudly rather than collecting an unbounded word table to
+    the driver."""
     import math
 
     if vocab_size < 1:
         raise ValueError("unigram_train: vocab_size must be >= 1")
-    vocab_df = _word_vocab(df, text_col)
+    vocab_df = _word_vocab(df, text_col).localCheckpoint()
     n_words = vocab_df.count()
-    if n_words > SMALL_VOCAB_CUTOFF and sample_docs is not None:
+    if n_words > SMALL_VOCAB_CUTOFF:
+        if sample_docs is None:
+            raise ValueError(
+                "unigram_train: distinct-word count "
+                f"{n_words} exceeds the driver-side EM cutoff "
+                f"({SMALL_VOCAB_CUTOFF}) and sample_docs=None would "
+                "collect the whole word table; pass a sample_docs "
+                "budget (tokenizers train on bounded samples)"
+            )
         sampled = (
             df.select(text_col)
             .orderBy(F.md5(F.col(text_col)).asc())
             .limit(sample_docs)
         )
-        vocab_df = _word_vocab(sampled, text_col)
+        vocab_df = _word_vocab(sampled, text_col).localCheckpoint()
     word_freqs = [(r["w"], int(r["freq"])) for r in vocab_df.collect()]
 
     # ---- seed inventory: substring counts + all single chars -------- #
@@ -569,7 +581,7 @@ def unigram_train(
                     seed[w[i : i + l]] += f
     multi = [p for p in seed if len(p) > 1]
     multi.sort(key=lambda p: (-seed[p], p))
-    keep = set(chars) | set(multi[: max(vocab_size * 4, vocab_size)])
+    keep = set(chars) | set(multi[: vocab_size * 4])
     total = sum(seed[p] for p in keep)
     logp = {p: math.log(seed[p] / total) for p in keep}
     max_len = max((len(p) for p in keep), default=1)

@@ -715,9 +715,12 @@ def fuzzy_join(
       that counts candidate pairs per (length, segment-index, segment)
       join key and ``raise_error``s — naming the offending segment and
       the strip_pattern remediation — before the wedge join can run an
-      explosion. The count tables reuse the probe/segment exchanges
-      (same partition keys), so the guard adds no extra shuffle of the
-      corpus; set ``None`` to disable.
+      explosion. Cost: two extra hash-aggs over the probe/segment
+      tables plus a small guard join (partial aggregation makes the
+      shuffled agg buffers segment-cardinality-sized, far below the
+      row tables); measured ~0.7 s on the gate's entity-resolution
+      query — the price of failing in seconds instead of stalling for
+      minutes. Set ``None`` to disable on keys known to be diverse.
     """
     if max_dist < 1:
         raise ValueError("fuzzy_join: max_dist must be >= 1")
@@ -788,9 +791,11 @@ def fuzzy_join(
     if max_candidates_per_segment is not None:
         # candidate-explosion guard: pairs per segment key = n_left *
         # n_right; over-limit segments raise_error AT EXECUTION, before
-        # the wedge join materializes the explosion. The two count aggs
-        # hash-partition by the same (L, i, seg) keys as the join, so
-        # Catalyst reuses the exchanges — no extra corpus shuffle.
+        # the wedge join materializes the explosion. The count aggs
+        # recompute the probe/segment lineage (their exchanges carry
+        # partial-agg buffers, so ReuseExchange cannot share them with
+        # the join's row exchanges), but map-side combine shrinks the
+        # shuffled data to segment cardinality.
         keys = ["__L", "i", "seg"]
         cl = l_probe.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nl"))
         cr = r_seg.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nr"))

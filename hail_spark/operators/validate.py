@@ -396,8 +396,10 @@ def dp_noisy_counts(
     g = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
     if secret_seed is None:
         # fresh nondeterministic uniform in (-0.5, 0.5); F.rand() is
-        # [0, 1) so guard the exact-0 endpoint away from log(0)
-        u = F.greatest(F.rand(), F.lit(1e-300)) - 0.5
+        # [0, 1) so floor the exact-0 endpoint away from log(0). The
+        # floor must survive the -0.5 subtraction (ulp(0.5) ~ 1.1e-16,
+        # so 1e-300 would be absorbed and log(0) would still occur)
+        u = F.greatest(F.rand(), F.lit(1e-15)) - 0.5
     else:
         secret = str(secret_seed)
         if len(secret) < 16:
