@@ -137,3 +137,40 @@ def test_audio_near_dup_pairs(spark):
     assert out[(0, 1)] == 0
     assert out[(0, 2)] == 1 and out[(1, 2)] == 1
     assert (0, 3) not in out
+
+
+def test_hamming_pairs_with_binarize_60bit_words(spark):
+    """Lock the word_bits contract: near-dup pairs over
+    binarize_embeddings' 60-bit words must be found exactly (the
+    32-bit default would silently mis-address band bits)."""
+    from hail_spark.llmdata.similarity import (
+        binarize_embeddings,
+        hamming_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((30, 64)).astype(float)
+    vecs[1] = vecs[0]
+    vecs[2] = vecs[0].copy()
+    vecs[2][40] = -vecs[2][40]  # flip exactly one sign bit (bit 40)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    coded = binarize_embeddings(df, vec_col="embedding", word_bits=60)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in hamming_near_dup_pairs(
+            coded, bits_col="bits", n_bits=64, max_hamming=2, word_bits=60
+        ).collect()
+    }
+    # brute force over the true sign bits
+    signs = (vecs >= 0).astype(int)
+    expect = {}
+    for i in range(30):
+        for j in range(i + 1, 30):
+            d = int((signs[i] != signs[j]).sum())
+            if d <= 2:
+                expect[(i, j)] = d
+    assert got == expect
+    assert got[(0, 1)] == 0 and got[(0, 2)] == 1
