@@ -521,3 +521,63 @@ def audio_near_dup(
         n_bits=n_windows - 1,
         max_hamming=max_hamming,
     )
+
+
+def video_near_dup(
+    df: DataFrame,
+    min_jaccard: float = 0.5,
+    every_n: int = 10,
+) -> DataFrame:
+    """Perceptual video near-duplicate detection — the third leg of the
+    image/audio/video dedup triple: sample frames
+    (:func:`video_frame_sample`), hash each frame, and score asset
+    pairs by JACCARD OVERLAP of their distinct frame-hash sets (the
+    standard shot-level video dedup signal; re-encoded or trimmed
+    copies share most frame hashes). Returns (id_a, id_b, n_shared,
+    jaccard) for pairs with ``jaccard >= min_jaccard``, id_a < id_b.
+
+    Plan shape — a posting-list join, never all-pairs: one Arrow
+    frame-hash pass (map-only), distinct (asset, hash), one per-asset
+    count agg, one equi-join ON THE FRAME HASH (only assets sharing a
+    hash ever meet), one pair hash-agg, map-only Jaccard arithmetic.
+    A hash shared by m assets contributes m² pair rows — the same
+    skew note as every posting-list join (drop top-frequency hashes
+    upstream if black-frame-style content dominates)."""
+    if not 0.0 < min_jaccard <= 1.0:
+        raise ValueError("video_near_dup: min_jaccard must be in (0, 1]")
+    frames = (
+        video_frame_sample(df, every_n=every_n)
+        .select("asset_id", "frame_hash")
+        .distinct()
+    )
+    sizes = frames.groupBy("asset_id").agg(F.count(F.lit(1)).alias("__n"))
+    a = frames.select(
+        F.col("asset_id").alias("id_a"), "frame_hash"
+    )
+    b = frames.select(
+        F.col("asset_id").alias("id_b"), "frame_hash"
+    )
+    shared = (
+        a.join(b, "frame_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared.join(
+            F.broadcast(sizes.withColumnRenamed("asset_id", "id_a")), "id_a"
+        )
+        .withColumnRenamed("__n", "__na")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("asset_id", "id_b")), "id_b"
+        )
+        .withColumnRenamed("__n", "__nb")
+        .withColumn(
+            "jaccard",
+            F.col("n_shared")
+            / (F.col("__na") + F.col("__nb") - F.col("n_shared")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= min_jaccard).select(
+        "id_a", "id_b", "n_shared", "jaccard"
+    )

@@ -174,3 +174,33 @@ def test_hamming_pairs_with_binarize_60bit_words(spark):
                 expect[(i, j)] = d
     assert got == expect
     assert got[(0, 1)] == 0 and got[(0, 2)] == 1
+
+
+def test_video_near_dup_frame_jaccard(spark):
+    from hail_spark.llmdata.multimodal import video_near_dup
+
+    import os
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, 64, dtype=np.uint8).tobytes() for _ in range(40)]
+    full = b"".join(frames)                       # 40 frames
+    trimmed = b"".join(frames[:30])               # 30/40 shared prefix
+    other = b"".join(
+        rng.integers(0, 256, 64, dtype=np.uint8).tobytes() for _ in range(40)
+    )
+    df = _assets(spark, [full, trimmed, other])
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in video_near_dup(df, min_jaccard=0.3, every_n=1).collect()
+    }
+    assert (0, 1) in out
+    assert out[(0, 1)]["n_shared"] == 30
+    assert out[(0, 1)]["jaccard"] == pytest.approx(30 / 40)
+    assert (0, 2) not in out and (1, 2) not in out
+
+
+def test_video_near_dup_rejects_bad_threshold(spark):
+    from hail_spark.llmdata.multimodal import video_near_dup
+
+    df = _assets(spark, [b"x" * 64])
+    with pytest.raises(ValueError):
+        video_near_dup(df, min_jaccard=0.0)
