@@ -3156,6 +3156,93 @@ FROM ham WHERE hamming <= 4 ORDER BY id_a, id_b
 """
 
 
+def video_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual video near-dup (llmdata/multimodal.py
+    video_near_dup): 120 video fixtures built distributed, each a
+    concatenation of ten 64-byte frames whose content is a single
+    repeated byte v = (g*31 + f*7) % 251 — frame EQUALITY therefore
+    reduces to v equality, which is what lets the oracle replay the
+    frame-hash Jaccard CLOSED FORM without blake2b. Groups of 3: two
+    identical members, the third's last two frames perturbed
+    (+101 mod 251, collision-free within an asset), so intra-group
+    Jaccard is 1.0 (members 0-1) or 8/12 (vs member 2); cross-group
+    single-frame collisions score 1/19 and fall below min_jaccard.
+    Spark runs the full frame-sample → blake2b hash → posting-list
+    join → windowed-size Jaccard pipeline (no forced broadcasts —
+    sizes ride through the join); the oracle replays pair counts from
+    the byte-value formula."""
+    from pyspark.sql import Window as W
+
+    from hail_spark.llmdata.multimodal import video_near_dup
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(120)
+    )
+    fixture = docs.select(
+        (F.row_number().over(W.orderBy("doc_id")) - 1).alias("rn")
+    ).select(
+        "rn",
+        (F.col("rn") / 3).cast("int").alias("g"),
+        (F.col("rn") % 3).alias("m"),
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for rn, g, m in zip(pdf["rn"], pdf["g"], pdf["m"]):
+                vals = [
+                    (int(g) * 31 + f * 7 + (101 if int(m) == 2 and f >= 8 else 0))
+                    % 251
+                    for f in range(10)
+                ]
+                ids.append(int(rn))
+                blobs.append(b"".join(bytes([v]) * 64 for v in vals))
+            yield pd.DataFrame({"asset_id": ids, "content": blobs})
+
+    assets = fixture.mapInPandas(gen, schema="asset_id bigint, content binary")
+    pairs = video_near_dup(assets, min_jaccard=0.5, every_n=1)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.round("jaccard", 6).alias("jaccard"),
+    ).orderBy("id_a", "id_b")
+
+
+# frame-hash Jaccard closed form: frames are single-byte-valued, so
+# hash equality == byte-value equality; every asset has 10 distinct
+# frame values (7f distinct mod 251; the +101 perturbation cannot
+# collide intra-asset: 7d = 150 mod 251 has no solution |d| <= 9).
+_VIDEO_NEAR_DUP_SQL = """
+WITH docs AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 120),
+mem AS (SELECT (row_number() OVER (ORDER BY doc_id) - 1) AS rn FROM docs),
+gm AS (SELECT rn, rn // 3 AS g, rn % 3 AS m FROM mem),
+fr AS MATERIALIZED (
+  SELECT DISTINCT rn,
+    (g * 31 + f * 7 + CASE WHEN m = 2 AND f >= 8 THEN 101 ELSE 0 END) % 251 AS v
+  FROM gm, unnest(range(10)) AS t(f)),
+sz AS (SELECT rn, COUNT(*) AS n FROM fr GROUP BY rn),
+shared AS (
+  SELECT a.rn AS id_a, b.rn AS id_b, COUNT(*) AS n_shared
+  FROM fr a JOIN fr b ON a.v = b.v AND a.rn < b.rn
+  GROUP BY a.rn, b.rn)
+SELECT CAST(s.id_a AS BIGINT) AS id_a, CAST(s.id_b AS BIGINT) AS id_b,
+       CAST(s.n_shared AS BIGINT) AS n_shared,
+       ROUND(CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared), 6)
+         AS jaccard
+FROM shared s
+JOIN sz sa ON sa.rn = s.id_a
+JOIN sz sb ON sb.rn = s.id_b
+WHERE CAST(s.n_shared AS DOUBLE) / (sa.n + sb.n - s.n_shared) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
 def info_score_by_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IMPUTE info-score aggregator (expr/functions.py info_score; ref
     aggregators.py:1568) over deterministic pseudo-genotype-probability
@@ -5937,173 +6024,169 @@ SELECT round((SELECT SUM(v * v) FROM a), 6) AS m2,
 """
 
 
-# Queries with a green driver CORRECTNESS row in rounds 1-4.  The driver
-# samples ~50 queries from the head of the queries() dict each round, so
-# never-driver-checked queries are rotated to the front until every
-# registered query has produced at least one green row.  The two r02
-# hash-red rows (stratified_sample, sample_qc_stats — HUGEINT-vs-BIGINT
-# oracle sums, fixed this round) are deliberately excluded so they get
-# re-sampled.
-_DRIVER_GREEN: frozenset = frozenset({
-    "add_index", "ann_brute_topk", "ann_ivf_topk", "anti_join",
-    "approx_cdf_struct", "approx_quantiles_by_type", "array_agg_explode",
-    "assoc_tests_battery", "balding_nichols_stats", "bed_intervals_join",
-    "bgen_round_trip", "bit_ops_battery", "bm_band_matmul", "bm_matmul",
-    "bm_row_major", "bm_sparse_battery", "bm_svd_moments",
-    "charr_contamination", "cmh_test", "collect_per_key",
-    "concordance_counts", "corr_regr_agg", "de_novo_calls",
-    "dedup_clusters", "dedup_exact", "deterministic_shuffle",
-    "distinct_by_key", "downsample_cells", "embedding_near_dup",
-    "embedding_near_dup_lsh", "explode_words", "fold_entropy_hamming",
-    "genotype_fn_battery", "group_counter", "hist_by_type",
-    "import_table_impute", "impute_sex_stats", "inbreeding_by_type",
-    "info_score_by_bucket", "interval_join", "king_kinship",
-    "kll_cdf_exact_regime", "left_join_right_distinct", "liftover_loci",
-    "linreg_rows", "local_to_global_battery", "logistic_skat_q",
-    "logreg_score_rows", "map_globals", "maximal_independent_set",
-    "mendel_code_battery", "mendel_errors_by_variant", "minhash_lsh_dedup",
-    "mt_col_agg", "mt_explode_battery", "mt_filter_entries",
-    "mt_group_cols_by", "mt_group_rows_by", "mt_row_agg",
-    "mt_semi_join_rows", "multiway_zip_join", "ndarray_sum_groups",
-    "ngram_jaccard_dedup", "order_by_topk", "outer_join_coalesce",
-    "pack_sequences", "parse_cast_battery", "pca_moments",
-    "plink_round_trip", "poisreg_score_rows", "prev_nonnull", "product_agg",
-    "q1_pricing_summary", "q3_shipping_priority", "q5_region_revenue",
-    "q6_forecast_revenue", "query_mt_rows_point", "query_table_point",
-    "reservoir_sample", "row_correlation_pairs", "sample_qc_stats",
-    "scalar_battery", "scan_battery", "scan_combinators",
-    "scan_cumulative_sum", "semi_join", "set_ops_per_key",
-    "simhash_fingerprints", "skat_q_stats", "split_multi_rows",
-    "split_multi_sites", "stratified_sample", "string_features",
-    "table_native_round_trip", "take_by_per_key", "tdt_counts",
-    "text_profile", "token_vocab", "unigram_logprob", "union_all",
-    "union_unify", "variant_qc_stats", "vcf_round_trip", "vds_densify",
-    "vds_ref_block_battery", "winnow_fingerprints", "winnow_overlap_pairs",
-    "array_sum_embeddings", "avro_round_trip", "binom_test_by_type",
-    "bm25_topk_docs", "bpe_encode_ids_docs", "call_stats_by_type",
-    "checkpoint_chain", "chunk_documents_windows", "cluster_keep_best",
-    "collection_battery", "corpus_report_card", "fanout_round_trip",
-    "filter_intervals_orders", "gen_round_trip", "grep_lines",
-    "gvcf_combine_densify", "hail_native_ht", "haplotype_em",
-    "hashed_linear_score_docs", "hwe_by_group", "ibd_pairs",
-    "incremental_dedup_batch", "ivfpq_ann_topk", "jsonl_round_trip",
-    "ld_matrix_window", "ld_score_window", "line_dedup_docs",
-    "min_rep_battery", "mt_annotate_rows_interval", "mt_full_outer_join",
-    "mt_native_round_trip", "mt_union_battery", "multimodal_pipeline",
-    "pc_relate_kinship", "perplexity_buckets", "pq_ann_topk",
-    "rename_duplicates_q", "rrf_hybrid_topk", "rrm_matrix", "scan_array_sum",
-    "search_keyed_battery", "segment_intervals_custkey",
-    "span_removal_exactsubstr", "split_assign_census", "summarize_alleles",
-    "table_gen", "tidyr_gather", "tidyr_spread", "url_dedup_canonical",
-    "weighted_mix_sources",
-    # r05 greens (CORRECTNESS_r05.json: 49 green / 1 harness-red).
-    "ann_recall_eval", "asof_join_events", "bloom_decontam_flagged",
-    "bpe_train_merges", "bucketed_join_agg", "cap_per_group_docs",
-    "corpus_diff_status", "decontam_overlap", "densify_sparse",
-    "duplicated_gram_stats", "export_entries_by_col_rt", "faf_by_nation",
-    "frequent_tokens_exact", "gopher_signals", "hard_negatives_topk",
-    "hll_distinct_rollup", "import_matrix_table_rt", "lambda_gc_events",
-    "latest_by_key_compact", "lsh_candidate_recall", "merge_upsert_snapshot",
-    "pc_project_scores", "pii_scrub", "pivot_event_values", "pq_rerank_topk",
-    "q10_returned_revenue", "q14_promo_share", "q19_disjunctive_revenue",
-    "q4_order_priority", "random_mating_hom", "rolling_window_events",
-    "rollup_order_totals", "salted_join_skewed", "semantic_dedup_kmeans",
-    "session_window_native", "sessionize_events", "sparse_split_battery",
-    "text_normalize_docs", "token_budget_select", "training_pipeline_e2e",
-    "training_shards_manifest", "unpivot_measures", "weighted_sample_topk",
-    # r06 greens (CORRECTNESS_r06.json: 50/50 green).
-    "c4_signals_docs", "standardize_features", "json_props_extract",
-    "funnel_conversion", "cohort_retention_triangle",
-    "collapse_bursts_debounce", "winsorize_by_type", "quantile_bins_events",
-    "distinctive_terms_tfidf", "pool_embeddings_mean",
-    "dsir_importance_select", "kmv_theta_sketch", "span_corruption_pairs",
-    "attribution_first_last", "label_propagation_communities",
-    "triangle_count_suppliers", "welch_ttest_events", "bigram_logprob_docs",
-    "transition_matrix_events", "sequence_trigrams_events",
-    "mutual_information_features", "psi_drift_orders", "ks_drift_events",
-    "k_anonymity_events", "dp_noisy_counts_events", "auc_by_group_events",
-    "jackknife_ratio_events", "fixed_width_round_trip",
-    "clustering_coefficient_suppliers", "incremental_agg_merge",
-    "stratified_fixed_k_docs", "survival_curve_users",
-    "entity_resolution_parts", "chat_render_docs",
-    "weighted_percentiles_orders", "robust_outliers_mad",
-    "pmi_collocations_top", "target_encode_loo", "orc_round_trip",
-    "hamming_ann_topk", "temperature_mix_sources",
-    "stream_replay_conformance", "stream_dedup_replay",
-    "stream_static_join_replay", "stream_sessionize_replay",
-    "embedding_quantize_int8",
-})
+# Per-query driver evidence: the latest round whose CORRECTNESS_r{N}.json
+# recorded this query green (rows+schema+hash match, no error).  Computed
+# by folding CORRECTNESS_r01..r07 at round-8 start; every registered query
+# has a green row (union 283/283 as of r07).  The driver samples ~50
+# queries from the head of the queries() dict each round, so ordering is
+# the freshness lever: new/changed queries first, then
+# oldest-evidence-first so stale rows (r01-r03 vintage) get re-greened.
+_DRIVER_GREEN_ROUND: dict = {
+    'add_index': 2, 'ann_brute_topk': 2, 'ann_ivf_topk': 5,
+    'ann_recall_eval': 5, 'anti_join': 2, 'approx_cdf_struct': 3,
+    'approx_quantiles_by_type': 3, 'array_agg_explode': 3,
+    'array_sum_embeddings': 4, 'asof_join_events': 5,
+    'assoc_tests_battery': 3, 'attribution_first_last': 6,
+    'auc_by_group_events': 6, 'audio_near_dup_assets': 7,
+    'avro_round_trip': 4, 'balding_nichols_stats': 3,
+    'bed_intervals_join': 3, 'bfs_purchase_levels': 7, 'bgen_round_trip': 3,
+    'bigram_logprob_docs': 6, 'binom_test_by_type': 4, 'bit_ops_battery': 1,
+    'bloom_decontam_flagged': 6, 'bm25_topk_docs': 4, 'bm_band_matmul': 3,
+    'bm_matmul': 1, 'bm_row_major': 3, 'bm_sparse_battery': 3,
+    'bm_svd_moments': 3, 'bpe_encode_ids_docs': 5,
+    'bpe_roundtrip_identity': 7, 'bpe_train_merges': 5,
+    'bucketed_join_agg': 6, 'c4_signals_docs': 6, 'call_stats_by_type': 4,
+    'cap_per_group_docs': 5, 'charr_contamination': 3, 'chat_render_docs': 6,
+    'checkpoint_chain': 4, 'chunk_documents_windows': 4,
+    'cluster_keep_best': 5, 'clustering_coefficient_suppliers': 6,
+    'cmh_test': 3, 'cms_token_counts': 7, 'cohort_retention_triangle': 6,
+    'collapse_bursts_debounce': 6, 'collect_per_key': 2,
+    'collection_battery': 4, 'concordance_counts': 2,
+    'corpus_diff_status': 5, 'corpus_report_card': 4, 'corr_regr_agg': 1,
+    'cube_grouping_battery': 7, 'datetime_battery': 7, 'de_novo_calls': 3,
+    'decontam_overlap': 5, 'dedup_clusters': 2, 'dedup_exact': 2,
+    'densify_sparse': 5, 'deterministic_shuffle': 2, 'distinct_by_key': 2,
+    'distinctive_terms_tfidf': 6, 'downsample_cells': 3,
+    'dp_noisy_counts_events': 7, 'dsir_importance_select': 7,
+    'duplicated_gram_stats': 5, 'embedding_binarize_words': 7,
+    'embedding_near_dup': 2, 'embedding_near_dup_lsh': 3,
+    'embedding_quantize_int8': 6, 'entity_resolution_parts': 7,
+    'explode_words': 2, 'export_entries_by_col_rt': 5, 'faf_by_nation': 5,
+    'fanout_round_trip': 4, 'filter_intervals_orders': 4,
+    'fixed_width_round_trip': 7, 'fold_entropy_hamming': 3,
+    'frequent_tokens_exact': 6, 'funnel_conversion': 6,
+    'fuzzy_join_tokens': 7, 'gen_round_trip': 4, 'genotype_fn_battery': 3,
+    'gopher_signals': 5, 'grep_lines': 4, 'group_counter': 7,
+    'gvcf_combine_densify': 4, 'hail_native_ht': 4, 'hamming_ann_topk': 6,
+    'haplotype_em': 4, 'hard_negatives_topk': 5,
+    'hashed_linear_score_docs': 4, 'hist_by_type': 3,
+    'hll_distinct_rollup': 6, 'hof_array_battery': 7, 'hwe_by_group': 4,
+    'ibd_pairs': 4, 'image_near_dup_assets': 7, 'import_matrix_table_rt': 5,
+    'import_table_impute': 3, 'impute_sex_stats': 3, 'inbreeding_by_type': 2,
+    'incremental_agg_merge': 6, 'incremental_dedup_batch': 4,
+    'info_score_by_bucket': 1, 'interval_join': 2, 'ivfpq_ann_topk': 5,
+    'jackknife_ratio_events': 6, 'json_props_extract': 6,
+    'jsonl_round_trip': 5, 'k_anonymity_events': 6, 'king_kinship': 2,
+    'kll_cdf_exact_regime': 3, 'kmv_theta_sketch': 6, 'ks_drift_events': 6,
+    'label_propagation_communities': 6, 'lambda_gc_events': 5,
+    'latest_by_key_compact': 5, 'ld_matrix_window': 4, 'ld_score_window': 4,
+    'left_join_right_distinct': 2, 'liftover_loci': 1, 'line_dedup_docs': 4,
+    'linreg_rows': 3, 'local_to_global_battery': 3, 'logistic_skat_q': 3,
+    'logreg_score_rows': 3, 'lsh_candidate_recall': 5, 'map_globals': 3,
+    'maximal_independent_set': 3, 'mendel_code_battery': 3,
+    'mendel_errors_by_variant': 3, 'merge_upsert_snapshot': 5,
+    'min_rep_battery': 4, 'minhash_lsh_dedup': 2,
+    'mt_annotate_rows_interval': 4, 'mt_col_agg': 2, 'mt_explode_battery': 2,
+    'mt_filter_entries': 2, 'mt_full_outer_join': 4, 'mt_group_cols_by': 2,
+    'mt_group_rows_by': 2, 'mt_native_round_trip': 4, 'mt_row_agg': 2,
+    'mt_semi_join_rows': 2, 'mt_union_battery': 4, 'multimodal_pipeline': 4,
+    'multiway_zip_join': 1, 'mutual_information_features': 6,
+    'ndarray_sum_groups': 3, 'ngram_jaccard_dedup': 2, 'orc_round_trip': 6,
+    'order_by_topk': 2, 'outer_join_coalesce': 1, 'pack_sequences': 2,
+    'pagerank_purchase_graph': 7, 'parquet_stats_fast': 7,
+    'parse_cast_battery': 1, 'pc_project_scores': 5, 'pc_relate_kinship': 4,
+    'pca_moments': 3, 'perplexity_buckets': 4, 'pii_scrub': 5,
+    'pivot_event_values': 5, 'plink_round_trip': 3,
+    'pmi_collocations_top': 6, 'poisreg_score_rows': 3,
+    'pool_embeddings_mean': 6, 'pq_ann_topk': 5, 'pq_rerank_topk': 5,
+    'prev_nonnull': 2, 'product_agg': 1, 'profile_numeric_columns': 7,
+    'psi_drift_orders': 7, 'q10_returned_revenue': 5,
+    'q11_important_stock': 7, 'q12_shipmode_priority': 7,
+    'q13_order_count_dist': 7, 'q14_promo_share': 5, 'q15_top_supplier': 7,
+    'q16_parts_supplier_cnt': 7, 'q17_small_qty_revenue': 7,
+    'q18_large_volume_cust': 7, 'q19_disjunctive_revenue': 5,
+    'q1_pricing_summary': 7, 'q20_potential_promo': 7,
+    'q21_waiting_supplier': 7, 'q22_dormant_customers': 7,
+    'q2_min_cost_supplier': 7, 'q3_shipping_priority': 7,
+    'q4_order_priority': 5, 'q5_region_revenue': 7, 'q6_forecast_revenue': 7,
+    'q7_volume_shipping': 7, 'q8_market_share': 7, 'q9_product_profit': 7,
+    'quantile_bins_events': 6, 'query_mt_rows_point': 3,
+    'query_table_point': 1, 'random_mating_hom': 5, 'rename_duplicates_q': 4,
+    'resample_events_ffill': 7, 'reservoir_sample': 3,
+    'robust_outliers_mad': 7, 'rolling_window_events': 5,
+    'rollup_order_totals': 5, 'row_correlation_pairs': 3,
+    'rrf_hybrid_topk': 4, 'rrm_matrix': 4, 'salted_join_skewed': 5,
+    'sample_qc_stats': 3, 'scalar_battery': 1, 'scan_array_sum': 4,
+    'scan_battery': 2, 'scan_combinators': 2, 'scan_cumulative_sum': 2,
+    'schema_evolution_read': 7, 'search_keyed_battery': 4,
+    'segment_intervals_custkey': 4, 'semantic_dedup_kmeans': 5,
+    'semi_join': 2, 'sequence_trigrams_events': 6,
+    'session_window_native': 5, 'sessionize_events': 5, 'set_ops_per_key': 1,
+    'simhash_fingerprints': 2, 'skat_q_stats': 3, 'skew_report_sources': 7,
+    'span_corruption_pairs': 6, 'span_removal_exactsubstr': 4,
+    'sparse_split_battery': 5, 'split_assign_census': 4,
+    'split_multi_rows': 3, 'split_multi_sites': 2, 'standardize_features': 6,
+    'stratified_fixed_k_docs': 6, 'stratified_sample': 3,
+    'stream_dedup_replay': 6, 'stream_replay_conformance': 6,
+    'stream_sessionize_replay': 6, 'stream_static_join_replay': 6,
+    'string_features': 2, 'summarize_alleles': 4, 'survival_curve_users': 6,
+    'table_gen': 4, 'table_native_round_trip': 3, 'take_by_per_key': 2,
+    'target_encode_loo': 7, 'tdt_counts': 3, 'temperature_mix_sources': 6,
+    'text_normalize_docs': 5, 'text_profile': 2, 'tidyr_gather': 4,
+    'tidyr_spread': 4, 'time_travel_as_of': 7, 'token_budget_select': 5,
+    'token_vocab': 2, 'tokenizer_oov_rate': 7, 'training_pipeline_e2e': 5,
+    'training_shards_manifest': 5, 'transition_matrix_events': 6,
+    'triangle_count_suppliers': 7, 'unigram_encode_docs': 7,
+    'unigram_logprob': 2, 'union_all': 2, 'union_unify': 2,
+    'unpivot_measures': 5, 'url_dedup_canonical': 4,
+    'validate_orders_report': 7, 'variant_extract_paths': 7,
+    'variant_qc_stats': 2, 'vcf_round_trip': 3, 'vds_densify': 2,
+    'vds_ref_block_battery': 3, 'weighted_mix_sources': 4,
+    'weighted_percentiles_orders': 6, 'weighted_sample_topk': 5,
+    'welch_ttest_events': 6, 'window_functions_battery': 7,
+    'winnow_fingerprints': 3, 'winnow_overlap_pairs': 3,
+    'winsorize_by_type': 6, 'zorder_layout_key': 7,
+}
+
+# Back-compat alias used by tests/scripts: the set of ever-green queries.
+_DRIVER_GREEN: frozenset = frozenset(_DRIVER_GREEN_ROUND)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = _queries_base()
-    # Sampling priority (round 7): suite growth is frozen this round
-    # (verdict item 1) — the head is exactly the 34 queries no driver
-    # round has ever sampled (TPC-H q2/q7-q22, the 4 SQL batteries, the
-    # round-6 connector/graph/text tail), followed by the queries whose
-    # implementation changed this round (ADVICE fixes + scale
-    # hardenings) so they are re-checked, followed by the few genuinely
-    # new round-7 queries. 34 + ~10 + ~3 < the ~50-query driver sample,
-    # so after this round the driver union should be 280/280.
+    # Sampling priority (round 8, verdict item 3): suite growth resumes.
+    # Head order: (a) genuinely new round-8 queries, (b) queries whose
+    # implementation changed this round (re-check for fresh rows),
+    # (c) never-driver-green queries (none at r08 start), then
+    # (d) everything else oldest-evidence-first (per-round stamps above),
+    # so the ~50-query driver sample re-greens the stalest rows.
     new_this_round = (
-        # (a) the 34 never-driver-sampled queries
-        "q2_min_cost_supplier",
-        "q7_volume_shipping",
-        "q8_market_share",
-        "q9_product_profit",
-        "q11_important_stock",
-        "q12_shipmode_priority",
-        "q13_order_count_dist",
-        "q15_top_supplier",
-        "q16_parts_supplier_cnt",
-        "q17_small_qty_revenue",
-        "q18_large_volume_cust",
-        "q20_potential_promo",
-        "q21_waiting_supplier",
-        "q22_dormant_customers",
-        "window_functions_battery",
-        "cube_grouping_battery",
-        "datetime_battery",
-        "hof_array_battery",
-        "tokenizer_oov_rate",
-        "variant_extract_paths",
-        "parquet_stats_fast",
-        "profile_numeric_columns",
-        "schema_evolution_read",
-        "zorder_layout_key",
-        "bpe_roundtrip_identity",
-        "time_travel_as_of",
-        "bfs_purchase_levels",
-        "fuzzy_join_tokens",
+        # (a) new round-8 queries
+        "video_near_dup_assets",
+        # (b) implementations changed in round 8 (verdict/ADVICE fixes)
         "pagerank_purchase_graph",
-        "resample_events_ffill",
-        "validate_orders_report",
-        "skew_report_sources",
-        "cms_token_counts",
         "embedding_binarize_words",
-        # (b) implementations changed in round 7 (ADVICE fixes + scale
-        # hardenings) — re-sample for fresh driver rows
-        "dp_noisy_counts_events",
-        "target_encode_loo",
-        "robust_outliers_mad",
-        "psi_drift_orders",
-        "fixed_width_round_trip",
-        "triangle_count_suppliers",
-        "entity_resolution_parts",
-        "dsir_importance_select",
-        # (c) genuinely new round-7 queries
-        "image_near_dup_assets",
+        "hamming_ann_topk",
         "unigram_encode_docs",
-        "audio_near_dup_assets",
+        "dsir_importance_select",
+        "fixed_width_round_trip",
+        "query_table_point",
+        "query_mt_rows_point",
     )
     first = {k: base[k] for k in new_this_round if k in base}
-    head = {
+    never = {
         k: v
         for k, v in base.items()
-        if k not in _DRIVER_GREEN and k not in first
+        if k not in _DRIVER_GREEN_ROUND and k not in first
     }
-    tail = {k: v for k, v in base.items() if k in _DRIVER_GREEN}
-    return {**first, **head, **tail}
+    rest = {
+        k: base[k]
+        for k in sorted(
+            (k for k in base if k in _DRIVER_GREEN_ROUND and k not in first),
+            key=lambda k: (_DRIVER_GREEN_ROUND[k], k),
+        )
+    }
+    return {**first, **never, **rest}
 
 
 def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6191,6 +6274,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "liftover_loci": liftover_loci,
         "multimodal_pipeline": multimodal_pipeline,
         "image_near_dup_assets": image_near_dup_q,
+        "video_near_dup_assets": video_near_dup_q,
         "audio_near_dup_assets": audio_near_dup_q,
         "linreg_rows": linreg_rows_q,
         "logreg_score_rows": logreg_score_rows_q,
@@ -6479,6 +6563,7 @@ def oracle_sql() -> dict[str, str]:
         "liftover_loci": _LIFTOVER_SQL,
         "multimodal_pipeline": _multimodal_oracle_sql(),
         "image_near_dup_assets": _IMAGE_NEAR_DUP_SQL,
+        "video_near_dup_assets": _VIDEO_NEAR_DUP_SQL,
         "audio_near_dup_assets": _AUDIO_NEAR_DUP_SQL,
         "linreg_rows": _LINREG_SQL,
         "logreg_score_rows": _LOGREG_SCORE_SQL,

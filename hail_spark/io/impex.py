@@ -797,8 +797,10 @@ def import_fixed_width(
     convention). ``skip_header=1`` stays fully splittable: the text is
     routed through the CSV source with an unquoted non-occurring
     delimiter, whose header logic drops the first line of each file at
-    split offset 0 (lines must not contain the \\x01 byte — true of
-    any printable fixed-width layout). ``skip_header>1`` falls back to
+    split offset 0. A data line containing the \\x01 byte (never true
+    of a printable fixed-width layout) is DETECTED at execution and
+    raises with the offending line prefix, instead of silently
+    shifting field offsets. ``skip_header>1`` falls back to
     a wholetext read (one row per file, split+posexplode for exact
     per-file positions) — correct but NOT split-parallel within a
     file; parallelism = file count. Blank-line caveat: the CSV route
@@ -818,11 +820,38 @@ def import_fixed_width(
         # CSV source with header=True + explicit schema: drops the
         # first line of EVERY file (offset-0 split logic), keeps the
         # scan splittable. quote='' disables quote/escape handling so
-        # the line arrives verbatim in the single column.
+        # the line arrives verbatim in the single column. A line that
+        # CONTAINS the \x01 separator byte would be silently split —
+        # shifting every field offset — so a sentinel second column
+        # catches the overflow and fails loudly at execution instead
+        # of corrupting parses (the sentinel is non-NULL iff a \x01
+        # appeared in the line).
         df = (
-            spark.read.schema("value string")
+            spark.read.schema("value string, __x01_overflow string")
             .options(header=True, sep="\x01", quote="", enforceSchema=True)
             .csv(path)
+        )
+        df = df.select(
+            F.when(F.col("__x01_overflow").isNull(), F.col("value"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "import_fixed_width: a data line contains the "
+                            "\\x01 byte, which the skip_header=1 fast path "
+                            "uses as its CSV separator — field offsets "
+                            "would silently shift. Line prefix: "
+                        ),
+                        F.substring(F.col("value"), 1, 80),
+                        F.lit(
+                            ". Use skip_header=0 (line reader) or "
+                            "skip_header>=2 (wholetext path), which parse "
+                            "arbitrary bytes."
+                        ),
+                    )
+                )
+            )
+            .alias("value")
         )
     else:
         one = spark.read.text(path, wholetext=True).select(

@@ -527,6 +527,7 @@ def video_near_dup(
     df: DataFrame,
     min_jaccard: float = 0.5,
     every_n: int = 10,
+    max_postings_per_hash: int | None = None,
 ) -> DataFrame:
     """Perceptual video near-duplicate detection — the third leg of the
     image/audio/video dedup triple: sample frames
@@ -537,41 +538,63 @@ def video_near_dup(
     jaccard) for pairs with ``jaccard >= min_jaccard``, id_a < id_b.
 
     Plan shape — a posting-list join, never all-pairs: one Arrow
-    frame-hash pass (map-only), distinct (asset, hash), one per-asset
-    count agg, one equi-join ON THE FRAME HASH (only assets sharing a
-    hash ever meet), one pair hash-agg, map-only Jaccard arithmetic.
-    A hash shared by m assets contributes m² pair rows — the same
-    skew note as every posting-list join (drop top-frequency hashes
-    upstream if black-frame-style content dominates)."""
+    frame-hash pass (map-only), distinct (asset, hash), per-asset set
+    sizes attached by a window (bounded partitions — frames per asset)
+    and CARRIED THROUGH the join, so no per-asset size table is ever
+    joined back (and nothing is force-broadcast: a per-asset table is
+    unbounded at 10^8 assets); one equi-join ON THE FRAME HASH (only
+    assets sharing a hash ever meet), one pair hash-agg, map-only
+    Jaccard arithmetic.
+
+    Skew: a hash shared by m assets contributes m^2 pair rows
+    (constant/black-frame content). ``max_postings_per_hash`` bounds
+    this — hashes shared by more than that many assets are DROPPED
+    from pair generation (Jaccard denominators still use the full
+    per-asset set sizes, so surviving pairs score conservatively low,
+    never inflated). Use :func:`video_posting_overflow` to report the
+    dropped mass before/after capping."""
     if not 0.0 < min_jaccard <= 1.0:
         raise ValueError("video_near_dup: min_jaccard must be in (0, 1]")
+    if max_postings_per_hash is not None and max_postings_per_hash < 2:
+        raise ValueError(
+            "video_near_dup: max_postings_per_hash must be >= 2 "
+            "(a hash needs 2 assets to generate a pair)"
+        )
+    from pyspark.sql import Window as W
+
     frames = (
         video_frame_sample(df, every_n=every_n)
         .select("asset_id", "frame_hash")
         .distinct()
     )
-    sizes = frames.groupBy("asset_id").agg(F.count(F.lit(1)).alias("__n"))
+    # full per-asset set size FIRST (the Jaccard denominator must count
+    # every frame, including ones the postings cap later drops)
+    frames = frames.withColumn(
+        "__n", F.count(F.lit(1)).over(W.partitionBy("asset_id"))
+    )
+    if max_postings_per_hash is not None:
+        frames = frames.withColumn(
+            "__p", F.count(F.lit(1)).over(W.partitionBy("frame_hash"))
+        ).filter(F.col("__p") <= max_postings_per_hash).drop("__p")
     a = frames.select(
-        F.col("asset_id").alias("id_a"), "frame_hash"
+        F.col("asset_id").alias("id_a"),
+        F.col("__n").alias("__na"),
+        "frame_hash",
     )
     b = frames.select(
-        F.col("asset_id").alias("id_b"), "frame_hash"
+        F.col("asset_id").alias("id_b"),
+        F.col("__n").alias("__nb"),
+        "frame_hash",
     )
-    shared = (
+    out = (
         a.join(b, "frame_hash")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    out = (
-        shared.join(
-            F.broadcast(sizes.withColumnRenamed("asset_id", "id_a")), "id_a"
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first("__na").alias("__na"),
+            F.first("__nb").alias("__nb"),
         )
-        .withColumnRenamed("__n", "__na")
-        .join(
-            F.broadcast(sizes.withColumnRenamed("asset_id", "id_b")), "id_b"
-        )
-        .withColumnRenamed("__n", "__nb")
         .withColumn(
             "jaccard",
             F.col("n_shared")
@@ -580,4 +603,24 @@ def video_near_dup(
     )
     return out.filter(F.col("jaccard") >= min_jaccard).select(
         "id_a", "id_b", "n_shared", "jaccard"
+    )
+
+
+def video_posting_overflow(
+    df: DataFrame, max_postings_per_hash: int, every_n: int = 10
+) -> DataFrame:
+    """Report the frame hashes :func:`video_near_dup` would DROP under
+    ``max_postings_per_hash`` — one row per over-cap hash with the
+    number of assets sharing it (the dropped posting mass). Run this
+    alongside a capped dedup to quantify what the cap excluded; an
+    empty result means the cap was inert."""
+    frames = (
+        video_frame_sample(df, every_n=every_n)
+        .select("asset_id", "frame_hash")
+        .distinct()
+    )
+    return (
+        frames.groupBy("frame_hash")
+        .agg(F.count(F.lit(1)).alias("n_assets"))
+        .filter(F.col("n_assets") > max_postings_per_hash)
     )

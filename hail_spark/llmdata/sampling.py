@@ -480,10 +480,11 @@ def dsir_select(
     hash pass instead of two). ``eager=True`` (default) materializes
     the k-row selection via ``localCheckpoint`` and unpersists the
     gram cache before returning, so no executor storage outlives the
-    call. ``eager=False`` returns the lazy plan; the gram cache then
-    stays pinned (Spark's CacheManager does not GC caches) until the
-    caller runs ``result._dsir_gram_cache.unpersist()`` after
-    materializing.
+    call. ``eager=False`` returns an explicit ``(selection, cache)``
+    PAIR — the lazy plan plus the pinned gram-cache DataFrame (Spark's
+    CacheManager does not GC caches); the caller must run
+    ``cache.unpersist()`` once the selection (and any plans derived
+    from it) have been materialized.
     """
     if k < 1:
         raise ValueError("dsir_select: k must be >= 1")
@@ -583,9 +584,12 @@ def dsir_select(
         return out
     # lazy mode: the caller controls execution, so the caller must
     # also free the shared gram cache once the selection (and any
-    # derived plans) have been materialized
-    sel._dsir_gram_cache = g
-    return sel
+    # derived plans) have been materialized. The handle is returned
+    # EXPLICITLY as (selection, cache) — an attribute monkey-patched
+    # onto the DataFrame would silently vanish on the first
+    # select/filter (every transformation returns a NEW DataFrame),
+    # leaking the executor cache for the session.
+    return sel, g
 
 
 def stratified_fixed_k(

@@ -976,6 +976,7 @@ def hamming_near_dup_pairs(
     n_bits: int = 64,
     max_hamming: int = 6,
     word_bits: int = 32,
+    max_postings_per_band: int | None = None,
 ) -> DataFrame:
     """All pairs within Hamming distance ``max_hamming`` over packed
     binary codes (sign-safe words of ``word_bits`` logical bits each
@@ -995,11 +996,51 @@ def hamming_near_dup_pairs(
     the MinHash-LSH plan shape, never all-pairs. Skew caveat: a band
     value shared by m codes contributes m^2 candidates (constant
     regions / zeroed codes) — exact-dedup first when codes repeat
-    heavily."""
+    heavily, or set ``max_postings_per_band`` to DROP band keys
+    shared by more codes than that (bounds the blow-up; dropping a
+    band key can only lose pairs whose every OTHER band also
+    overflowed, i.e. near-constant content that exact dedup should
+    have removed first).
+
+    The (word_bits, n_bits) packing contract is VALIDATED per row at
+    execution time: a row whose ``bits_col`` holds fewer than
+    ``ceil(n_bits / word_bits)`` words raises with the offending id,
+    instead of silently losing pairs through NULL band values (the
+    failure mode when word_bits doesn't match the producer's
+    packing)."""
     if max_hamming < 0:
         raise ValueError("hamming_near_dup_pairs: max_hamming must be >= 0")
     if word_bits < 1 or word_bits > 62:
         raise ValueError("hamming_near_dup_pairs: word_bits must be in 1..62")
+    if max_postings_per_band is not None and max_postings_per_band < 2:
+        raise ValueError(
+            "hamming_near_dup_pairs: max_postings_per_band must be >= 2"
+        )
+    need_words = (n_bits + word_bits - 1) // word_bits
+    df = df.withColumn(
+        bits_col,
+        F.when(F.size(F.col(bits_col)) >= need_words, F.col(bits_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "hamming_near_dup_pairs: packing contract violated — "
+                        f"row id "
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(
+                        f" has size({bits_col})="
+                    ),
+                    F.size(F.col(bits_col)).cast("string"),
+                    F.lit(
+                        f" words but n_bits={n_bits} at word_bits={word_bits} "
+                        f"needs >= {need_words}; pass the word_bits the "
+                        "producer packed with (32 for image_dhash/"
+                        "audio_fingerprint, 60 for binarize_embeddings)"
+                    ),
+                )
+            )
+        ),
+    )
     n_bands = max_hamming + 1
     bands = []
     for i in range(n_bands):
@@ -1016,6 +1057,16 @@ def hamming_near_dup_pairs(
         F.col(bits_col).alias("__bits"),
         F.explode(F.array(*bands)).alias("bd"),
     ).select("__id", "__bits", F.col("bd.b").alias("b"), F.col("bd.v").alias("v"))
+    if max_postings_per_band is not None:
+        from pyspark.sql import Window as _W
+
+        t = (
+            t.withColumn(
+                "__p", F.count(F.lit(1)).over(_W.partitionBy("b", "v"))
+            )
+            .filter(F.col("__p") <= max_postings_per_band)
+            .drop("__p")
+        )
     a = t.select(
         F.col("__id").alias("id_a"), F.col("__bits").alias("__ba"), "b", "v"
     )
@@ -1041,4 +1092,40 @@ def hamming_near_dup_pairs(
         cand.withColumn("hamming", dist)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def hamming_band_overflow(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    bits_col: str = "bits",
+    n_bits: int = 64,
+    max_hamming: int = 6,
+    word_bits: int = 32,
+    max_postings_per_band: int = 10_000,
+) -> DataFrame:
+    """Report the band keys :func:`hamming_near_dup_pairs` would DROP
+    under ``max_postings_per_band`` — one row per over-cap (band,
+    value) key with the number of codes sharing it (the dropped
+    posting mass). Same band extraction as the pair join, so the
+    report and the cap can never disagree. Run alongside a capped
+    dedup to quantify what the cap excluded; empty means inert."""
+    n_bands = max_hamming + 1
+    bands = []
+    for i in range(n_bands):
+        s = i * n_bits // n_bands
+        e = (i + 1) * n_bits // n_bands
+        expr = F.lit(0).cast("long")
+        for p in range(s, e):
+            word = F.element_at(F.col(bits_col), p // word_bits + 1)
+            bit = F.shiftright(word, p % word_bits).bitwiseAND(F.lit(1))
+            expr = expr + F.shiftleft(bit.cast("long"), p - s)
+        bands.append(F.struct(F.lit(i).alias("b"), expr.alias("v")))
+    t = df.select(
+        F.col(id_col).alias("__id"), F.explode(F.array(*bands)).alias("bd")
+    ).select("__id", F.col("bd.b").alias("b"), F.col("bd.v").alias("v"))
+    return (
+        t.groupBy("b", "v")
+        .agg(F.count(F.lit(1)).alias("n_codes"))
+        .filter(F.col("n_codes") > max_postings_per_band)
     )

@@ -18,6 +18,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _lc_release(df: DataFrame | None) -> None:
+    """Eagerly free the storage blocks behind a ``localCheckpoint``-ed
+    DataFrame. ContextCleaner frees them only after a DRIVER GC notices
+    the RDD is unreachable — in a long-lived session running iterative
+    ops repeatedly, superseded checkpoint blocks of big rank/edge
+    tables accumulate for minutes (measured 2.0x same-session slowdown
+    on back-to-back sf10 pagerank runs). Best-effort: a non-LogicalRDD
+    plan (nothing to free) or a py4j hiccup is a no-op and
+    ContextCleaner remains the backstop. Only call this on checkpoints
+    this module OWNS and has fully superseded — any plan still deriving
+    from the released blocks would recompute from a hole."""
+    if df is None:
+        return
+    try:
+        node = df._jdf.queryExecution().analyzed()
+        if node.getClass().getSimpleName() == "LogicalRDD":
+            node.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -76,6 +97,12 @@ def pagerank(
         ).localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     base = (1.0 - damping) / n
+    # Per-iteration DRIVER ACTIONS (the dangling-mass sum, the tol
+    # delta) re-execute the ranks lineage — without a checkpoint each
+    # iteration that recompute is quadratic inside the checkpoint
+    # window, so any action-per-iteration mode checkpoints every round.
+    per_iter_ckpt = redistribute_dangling or tol is not None
+    prev_ckpt = None  # the superseded rank checkpoint we own
     for i in range(n_iter):
         extra = 0.0
         if redistribute_dangling:
@@ -100,6 +127,12 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("__in"), F.lit(0.0))
             ).alias("rank"),
         )
+        # the final iteration always checkpoints: the function is
+        # already eager (nodes.count() above), and a materialized
+        # result lets every intermediate AND static block be released
+        # before returning — exactly one rank-table block set survives
+        # per call instead of n_iter/checkpoint_every + 4
+        last = i + 1 == n_iter
         if tol is not None:
             new_ranks = new_ranks.localCheckpoint()
             delta = (
@@ -108,13 +141,21 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("__new") - F.col("__old"))))
                 .head()[0]
             )
+            _lc_release(prev_ckpt)  # after the delta join consumed it
+            prev_ckpt = new_ranks
             ranks = new_ranks
             if delta is not None and delta < tol:
                 break
         else:
+            if per_iter_ckpt or (i + 1) % checkpoint_every == 0 or last:
+                new_ranks = new_ranks.localCheckpoint()
+                _lc_release(prev_ckpt)
+                prev_ckpt = new_ranks
             ranks = new_ranks
-            if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-                ranks = ranks.localCheckpoint()
+    # ranks is now a materialized checkpoint with no lineage into the
+    # static tables — free their blocks eagerly too
+    for static in (e, nodes, ed, dangling):
+        _lc_release(static)
     return ranks
 
 

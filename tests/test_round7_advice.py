@@ -148,9 +148,12 @@ def test_dsir_eager_releases_cache(spark):
     # the gram persist() must not survive the call (localCheckpoint
     # blocks of the k-row result may — those are ContextCleaner-owned)
     assert after <= before + 1
-    # lazy mode exposes the cache handle for manual cleanup
-    lazy = dsir_select(
+    # lazy mode returns an explicit (selection, cache) pair — the
+    # handle survives any derived transformation (an attribute on the
+    # DataFrame would be lost by the first select/filter)
+    lazy, cache = dsir_select(
         df, "text", "doc_id", "tgt", k=3, n_buckets=64, eager=False
     )
-    assert lazy.count() == 3
-    lazy._dsir_gram_cache.unpersist(blocking=True)
+    derived = lazy.select("doc_id")
+    assert derived.count() == 3
+    cache.unpersist(blocking=True)
