@@ -38,12 +38,85 @@ def _row_group_bounds(pf: pq.ParquetFile, col_idx: int):
     return out
 
 
+_MANIFEST_NAME = "_key_manifest.json"
+_JSONABLE = (int, float, str, bool)
+
+
+def build_key_manifest(path: str, key: list[str]) -> bool:
+    """Write a per-file first-key [min, max] manifest
+    (``_key_manifest.json``) next to a native table's metadata — one
+    driver-side footer pass at WRITE time so point/range lookups skip
+    the file listing + footer reads entirely (at 10^5 files that is
+    the dominant lookup cost; the reference persists partition bounds
+    in its table spec for the same reason —
+    AbstractRVDSpec.scala:224). Returns True if written; keys whose
+    parquet stats aren't JSON-primitive (dates, decimals, binary) skip
+    the manifest and lookups fall back to footer pruning."""
+    if not key:
+        return False
+    k0 = key[0]
+    entries = {}
+    for fp in sorted(glob.glob(os.path.join(path, "rows", "*.parquet"))):
+        pf = pq.ParquetFile(fp)
+        names = pf.schema_arrow.names
+        if k0 not in names:
+            return False
+        fmin, fmax = None, None
+        for b in _row_group_bounds(pf, names.index(k0)):
+            if b is None:
+                fmin, fmax = None, None
+                break
+            fmin = b[0] if fmin is None or b[0] < fmin else fmin
+            fmax = b[1] if fmax is None or b[1] > fmax else fmax
+        if fmin is None or not (
+            isinstance(fmin, _JSONABLE) and isinstance(fmax, _JSONABLE)
+        ):
+            return False  # no/unsupported stats — don't write a partial lie
+        entries[os.path.basename(fp)] = [fmin, fmax]
+    with open(os.path.join(path, _MANIFEST_NAME), "w") as f:
+        json.dump({"key_field": k0, "files": entries}, f)
+    return True
+
+
+def _manifest_files(path: str, k0: str, lo, hi) -> list[str] | None:
+    """File list pruned by the persisted manifest, or None when no
+    usable manifest exists (fall back to listing + footer pruning).
+    Files written after the manifest (not listed in it) are never
+    silently skipped — their presence invalidates the manifest."""
+    mp = os.path.join(path, _MANIFEST_NAME)
+    if not os.path.exists(mp):
+        return None
+    try:
+        with open(mp) as f:
+            m = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    if m.get("key_field") != k0:
+        return None
+    listed = m.get("files", {})
+    actual = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(path, "rows", "*.parquet"))
+    }
+    if set(listed) != actual:
+        return None  # stale manifest — correctness beats the shortcut
+    if listed and not isinstance(lo, _JSONABLE):
+        return None  # probe type can't compare against JSON bounds
+    return sorted(
+        os.path.join(path, "rows", name)
+        for name, (fmin, fmax) in listed.items()
+        if fmin <= hi and fmax >= lo
+    )
+
+
 def query_table(path: str, point=None, interval: tuple | None = None) -> list[dict]:
     """Read rows whose first key field equals ``point`` (or falls in
     ``interval=(lo, hi)`` inclusive) from a Table.write output dir.
 
-    Runs entirely on the driver with pyarrow; only row groups whose
-    min/max stats overlap the probe are deserialized."""
+    Runs entirely on the driver with pyarrow; the persisted key
+    manifest (written by Table.write) selects candidate FILES without
+    opening any footer, then row-group min/max stats prune within the
+    survivors — only overlapping row groups are deserialized."""
     if (point is None) == (interval is None):
         raise ValueError("exactly one of point / interval is required")
     key = _key_meta(path)
@@ -52,7 +125,9 @@ def query_table(path: str, point=None, interval: tuple | None = None) -> list[di
     k0 = key[0]
     lo, hi = (point, point) if interval is None else interval
 
-    files = sorted(glob.glob(os.path.join(path, "rows", "*.parquet")))
+    files = _manifest_files(path, k0, lo, hi)
+    if files is None:
+        files = sorted(glob.glob(os.path.join(path, "rows", "*.parquet")))
     rows: list[dict] = []
     for fp in files:
         pf = pq.ParquetFile(fp)

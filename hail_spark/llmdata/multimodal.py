@@ -129,22 +129,53 @@ def _encode_wav(wave: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 def _decode_image(content: bytes) -> tuple[np.ndarray, str]:
     """Dispatcher: real decode for formats we can parse in-container
-    (BMP), deterministic stub otherwise. Returns (HxWx3 uint8, format)."""
+    (BMP always; JPEG/PNG/etc. whenever PIL is importable — the
+    bring-your-own-codec seam takes the real library with NO plumbing
+    change, executors try the import themselves), deterministic stub
+    otherwise. Returns (HxWx3 uint8, format)."""
     if not content:
         raise ValueError("cannot decode empty image content")
     if content[:2] == b"BM":
         return _decode_bmp(content), "bmp"
+    try:
+        from io import BytesIO
+
+        from PIL import Image  # optional dependency — absent falls through
+
+        img = Image.open(BytesIO(content))
+        fmt = (img.format or "pil").lower()
+        return np.asarray(img.convert("RGB"), dtype=np.uint8), fmt
+    except ImportError:
+        pass
+    except Exception:
+        pass  # PIL present but bytes aren't a format it knows — stub
     return _decode_image_stub(content), "stub"
 
 
 def _decode_audio(content: bytes) -> tuple[np.ndarray, int, str]:
-    """Dispatcher: real 16-bit PCM WAV decode, stub otherwise.
-    Returns (mono float32 waveform, sample_rate, format)."""
+    """Dispatcher: real 16-bit PCM WAV decode always; FLAC/OGG/24-bit
+    WAV whenever soundfile is importable (same bring-your-own-codec
+    seam as :func:`_decode_image`); stub otherwise. Returns (mono
+    float32 waveform, sample_rate, format)."""
     if not content:
         raise ValueError("cannot decode empty audio content")
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
-        w, sr = _decode_wav(content)
-        return w, sr, "wav"
+        try:
+            w, sr = _decode_wav(content)
+            return w, sr, "wav"
+        except ValueError:
+            pass  # non-PCM16 WAV — give soundfile a shot below
+    try:
+        from io import BytesIO
+
+        import soundfile as sf  # optional dependency
+
+        data, sr = sf.read(BytesIO(content), dtype="float32", always_2d=True)
+        return data.mean(axis=1).astype(np.float32), int(sr), "soundfile"
+    except ImportError:
+        pass
+    except Exception:
+        pass  # soundfile present but bytes unrecognized — stub
     return _decode_audio_stub(content), 16000, "stub"
 
 

@@ -514,6 +514,70 @@ def _uni_viterbi(word: str, logp: dict, max_len: int):
     return pieces, dp[n][0]
 
 
+def _uni_substring_counts(vocab_df: DataFrame, seed_max_len: int) -> DataFrame:
+    """Distributed seed inventory: emit every substring up to
+    ``seed_max_len`` of every distinct word (Arrow batches; the
+    per-batch Counter is a map-side combine) and hash-agg the
+    frequency-weighted counts. Output is bounded by the number of
+    DISTINCT substrings — a vocabulary-sized table, never corpus-sized."""
+
+    def run(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            c: Counter = Counter()
+            for w, f in zip(pdf["w"], pdf["freq"]):
+                f = int(f)
+                n = len(w)
+                for i in range(n):
+                    for length in range(1, min(seed_max_len, n - i) + 1):
+                        c[w[i : i + length]] += f
+            yield pd.DataFrame(
+                {"piece": list(c.keys()), "cnt": list(c.values())}
+            )
+
+    return (
+        vocab_df.select("w", "freq")
+        .mapInPandas(run, "piece string, cnt bigint")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def _uni_em_counts(vocab_df: DataFrame, logp: dict, max_len: int) -> list:
+    """One distributed hard-EM round: Viterbi-segment every distinct
+    word under the broadcast-by-closure ``logp`` (embarrassingly
+    parallel — one Arrow projection), then hash-agg piece usage counts
+    (the M-step's sufficient statistics). Returns the collected
+    (piece, cnt) rows — bounded by |logp| + charset, never by corpus."""
+
+    def run(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            c: Counter = Counter()
+            for w, f in zip(pdf["w"], pdf["freq"]):
+                pieces, _score = _uni_viterbi(w, logp, max_len)
+                f = int(f)
+                for p in pieces:
+                    c[p] += f
+            yield pd.DataFrame(
+                {"piece": list(c.keys()), "cnt": list(c.values())}
+            )
+
+    return (
+        vocab_df.select("w", "freq")
+        .mapInPandas(run, "piece string, cnt bigint")
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+
+
 def unigram_train(
     df: DataFrame,
     vocab_size: int = 512,
@@ -541,66 +605,98 @@ def unigram_train(
     exceeds SMALL_VOCAB_CUTOFF — the production tokenizer-training
     shape (tokenizers are always trained on a bounded sample; the
     encode pass is what must scale, and it stays one Arrow
-    projection). Unlike bpe_train there is NO distributed EM
-    fallback: ``sample_docs=None`` with an over-cutoff vocabulary
-    raises loudly rather than collecting an unbounded word table to
-    the driver."""
+    projection). ``sample_docs=None`` with an over-cutoff vocabulary
+    switches to the EXACT DISTRIBUTED EM (bpe_train's fully
+    distributed fallback, unigram edition): the seed inventory is one
+    substring-explode hash-agg + a TakeOrdered(4*vocab_size) head, and
+    each EM round is one Arrow Viterbi projection over the
+    distinct-word table + one piece-count hash-agg — only
+    codebook-sized data (|pieces| + charset) ever reaches the driver.
+    Both paths share _uni_viterbi and integer count arithmetic, so
+    they agree bit-for-bit on the same input."""
     import math
 
     if vocab_size < 1:
         raise ValueError("unigram_train: vocab_size must be >= 1")
     vocab_df = _word_vocab(df, text_col).localCheckpoint()
     n_words = vocab_df.count()
+    distributed = False
     if n_words > SMALL_VOCAB_CUTOFF:
         if sample_docs is None:
-            raise ValueError(
-                "unigram_train: distinct-word count "
-                f"{n_words} exceeds the driver-side EM cutoff "
-                f"({SMALL_VOCAB_CUTOFF}) and sample_docs=None would "
-                "collect the whole word table; pass a sample_docs "
-                "budget (tokenizers train on bounded samples)"
+            distributed = True
+        else:
+            sampled = (
+                df.select(text_col)
+                .orderBy(F.md5(F.col(text_col)).asc())
+                .limit(sample_docs)
             )
-        sampled = (
-            df.select(text_col)
-            .orderBy(F.md5(F.col(text_col)).asc())
-            .limit(sample_docs)
-        )
-        vocab_df = _word_vocab(sampled, text_col).localCheckpoint()
-    word_freqs = [(r["w"], int(r["freq"])) for r in vocab_df.collect()]
+            vocab_df = _word_vocab(sampled, text_col).localCheckpoint()
 
-    # ---- seed inventory: substring counts + all single chars -------- #
     from collections import Counter
 
-    seed: Counter = Counter()
-    chars: set = set()
-    for w, f in word_freqs:
-        for i in range(len(w)):
-            chars.add(w[i])
-            for l in range(1, seed_max_len + 1):
-                if i + l <= len(w):
-                    seed[w[i : i + l]] += f
-    multi = [p for p in seed if len(p) > 1]
-    multi.sort(key=lambda p: (-seed[p], p))
-    keep = set(chars) | set(multi[: vocab_size * 4])
-    total = sum(seed[p] for p in keep)
-    logp = {p: math.log(seed[p] / total) for p in keep}
-    max_len = max((len(p) for p in keep), default=1)
+    if distributed:
+        # ---- seed inventory, distributed ---------------------------- #
+        sub = _uni_substring_counts(vocab_df, seed_max_len).persist()
+        chars_rows = sub.filter(F.length("piece") == 1).collect()
+        multi_rows = (
+            sub.filter(F.length("piece") > 1)
+            .orderBy(F.col("cnt").desc(), F.col("piece"))
+            .limit(vocab_size * 4)
+            .collect()
+        )
+        sub.unpersist()
+        chars = {r["piece"] for r in chars_rows}
+        seed_kept = {r["piece"]: int(r["cnt"]) for r in chars_rows}
+        seed_kept.update({r["piece"]: int(r["cnt"]) for r in multi_rows})
+        total = sum(seed_kept.values())
+        logp = {p: math.log(c / total) for p, c in seed_kept.items()}
+        max_len = max((len(p) for p in seed_kept), default=1)
 
-    # ---- Viterbi hard-EM ------------------------------------------- #
-    counts: Counter = Counter()
-    for _ in range(max(n_em_iters, 1)):
-        counts = Counter()
+        # ---- Viterbi hard-EM, one distributed pass per round --------- #
+        counts: Counter = Counter()
+        for _ in range(max(n_em_iters, 1)):
+            counts = Counter(
+                {r["piece"]: int(r["cnt"]) for r in _uni_em_counts(vocab_df, logp, max_len)}
+            )
+            total = sum(counts.values())
+            logp = {p: math.log(c / total) for p, c in counts.items() if c > 0}
+            for ch in chars:
+                logp.setdefault(ch, _UNK_LOGP)
+            max_len = max((len(p) for p in logp), default=1)
+    else:
+        word_freqs = [(r["w"], int(r["freq"])) for r in vocab_df.collect()]
+
+        # ---- seed inventory: substring counts + all single chars ---- #
+        seed: Counter = Counter()
+        chars = set()
         for w, f in word_freqs:
-            pieces, _score = _uni_viterbi(w, logp, max_len)
-            for p in pieces:
-                counts[p] += f
-        # unknown single chars surface as pieces too; keep them scored
-        total = sum(counts.values())
-        logp = {p: math.log(c / total) for p, c in counts.items() if c > 0}
-        # chars must stay encodable even if unused this round
-        for c in chars:
-            logp.setdefault(c, _UNK_LOGP)
-        max_len = max((len(p) for p in logp), default=1)
+            for i in range(len(w)):
+                chars.add(w[i])
+                for l in range(1, seed_max_len + 1):
+                    if i + l <= len(w):
+                        seed[w[i : i + l]] += f
+        multi = [p for p in seed if len(p) > 1]
+        multi.sort(key=lambda p: (-seed[p], p))
+        keep = set(chars) | set(multi[: vocab_size * 4])
+        total = sum(seed[p] for p in keep)
+        logp = {p: math.log(seed[p] / total) for p in keep}
+        max_len = max((len(p) for p in keep), default=1)
+
+        # ---- Viterbi hard-EM ---------------------------------------- #
+        counts = Counter()
+        for _ in range(max(n_em_iters, 1)):
+            counts = Counter()
+            for w, f in word_freqs:
+                pieces, _score = _uni_viterbi(w, logp, max_len)
+                for p in pieces:
+                    counts[p] += f
+            # unknown single chars surface as pieces too; keep scored
+            total = sum(counts.values())
+            logp = {p: math.log(c / total) for p, c in counts.items() if c > 0}
+            # chars must stay encodable even if unused this round
+            for c in chars:
+                logp.setdefault(c, _UNK_LOGP)
+            max_len = max((len(p) for p in logp), default=1)
 
     # ---- prune to vocab_size (never the single chars) --------------- #
     final = [(p, counts.get(p, 0)) for p in logp]
