@@ -96,6 +96,11 @@ QUERIES = [
     "dsir_importance_select", "kmv_theta_sketch", "span_corruption_pairs",
     "attribution_first_last", "label_propagation_communities",
     "triangle_count_suppliers", "bigram_logprob_docs",
+    # round-8 additions: the multimodal dedup triple (Arrow decode +
+    # banded/posting-list joins over per-doc fixtures) and the unigram
+    # Viterbi encode projection
+    "image_near_dup_assets", "audio_near_dup_assets",
+    "video_near_dup_assets", "unigram_encode_docs",
 ]
 
 

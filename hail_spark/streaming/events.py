@@ -68,6 +68,45 @@ def stream_windowed_counts(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time interval condition:
+    right rows match left rows of the same ``key`` with ``right_ts``
+    in ``[left_ts, left_ts + horizon]`` — the canonical two-stream
+    stateful operator (click->purchase attribution, request->response
+    pairing).
+
+    Both sides are watermarked and the join condition bounds BOTH
+    buffers, which is what makes the state finite: Spark evicts a
+    buffered left row once the right watermark passes
+    ``left_ts + horizon``, and a buffered right row once the left
+    watermark passes ``right_ts`` (an equi-join without a time bound
+    would buffer both streams forever). Inner-join matches emit as
+    they arrive, so an append sink receives every pair exactly once.
+
+    Scale shape: state is partitioned by the join key like any
+    stream-stream join; per-key state size is (events within the
+    watermark + horizon window), independent of stream length."""
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (
+            F.col(f"r.{right_ts}")
+            <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {horizon}")
+        )
+    )
+    return l.join(r, cond, "inner")
+
+
 _SESSION_STATE = "n bigint, total double, first_ts timestamp, last_ts timestamp"
 _SESSION_OUT = (
     "user_id bigint, n_events bigint, total_value double, "
