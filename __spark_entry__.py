@@ -6165,6 +6165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_near_dup_assets",
         "stream_stream_join_replay",
         "hopping_window_events",
+        "sssp_purchase_graph",
+        "doc_cosine_topk",
         # (b) implementations changed in round 8 (verdict/ADVICE fixes)
         "pagerank_purchase_graph",
         "embedding_binarize_words",
@@ -6400,6 +6402,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bfs_purchase_levels": bfs_levels_q,
         "fuzzy_join_tokens": fuzzy_join_q,
         "pagerank_purchase_graph": pagerank_q,
+        "sssp_purchase_graph": sssp_q,
+        "doc_cosine_topk": sparse_cosine_q,
         "resample_events_ffill": resample_events_q,
         "validate_orders_report": validate_orders_q,
         "skew_report_sources": skew_report_q,
@@ -6691,6 +6695,8 @@ def oracle_sql() -> dict[str, str]:
         "bfs_purchase_levels": _BFS_LEVELS_SQL,
         "fuzzy_join_tokens": _FUZZY_JOIN_SQL,
         "pagerank_purchase_graph": _PAGERANK_SQL,
+        "sssp_purchase_graph": _SSSP_SQL,
+        "doc_cosine_topk": _SPARSE_COSINE_SQL,
         "resample_events_ffill": _RESAMPLE_SQL,
         "validate_orders_report": _VALIDATE_SQL,
         "skew_report_sources": _SKEW_REPORT_SQL,
@@ -11121,6 +11127,129 @@ r3 AS (SELECT node, 0.15 / n + 0.85 * COALESCE(s, 0.0) AS rank
        FROM nodes CROSS JOIN nn LEFT JOIN c3 ON c3.dst = nodes.node)
 SELECT node, round(rank, 9) AS rank FROM r3 ORDER BY node
 """
+
+
+def sssp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-source shortest paths (operators/graph.py sssp —
+    synchronous Bellman-Ford relaxation) over a CYCLIC 3-layer
+    purchase graph: customer -> supplier (+1e6) -> part (+2e6) ->
+    customer, integer weights derived from the keys so distance sums
+    are exact doubles. Sources = customers with c_custkey % 50 == 0,
+    4 relaxation rounds; the oracle replays the min-merge recurrence
+    as an unrolled MATERIALIZED CTE chain (same shape as the pagerank
+    oracle) — identical arithmetic, so the match is exact."""
+    from hail_spark.operators.graph import sssp
+
+    o = _t(spark, sf_dir, "orders").df
+    li = _t(spark, sf_dir, "lineitem").df
+    cu = _t(spark, sf_dir, "customer").df
+    ol = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    e1 = ol.select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        (F.col("l_orderkey") % 7 + 1).cast("double").alias("weight"),
+    )
+    e2 = li.select(
+        (F.col("l_suppkey") + 1_000_000).alias("src"),
+        (F.col("l_partkey") + 2_000_000).alias("dst"),
+        (F.col("l_partkey") % 5 + 1).cast("double").alias("weight"),
+    )
+    e3 = ol.select(
+        (F.col("l_partkey") + 2_000_000).alias("src"),
+        F.col("o_custkey").alias("dst"),
+        (F.col("o_custkey") % 3 + 1).cast("double").alias("weight"),
+    )
+    edges = e1.unionByName(e2).unionByName(e3)
+    sources = cu.filter(F.col("c_custkey") % 50 == 0).select(
+        F.col("c_custkey").alias("node")
+    )
+    out = sssp(edges, sources, n_iter=4)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.round("dist", 6).alias("dist"),
+    ).orderBy("node")
+
+
+_SSSP_STEP = """
+d{i} AS MATERIALIZED (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{p}
+    UNION ALL
+    SELECT e.dst AS node, d{p}.dist + e.w AS dist
+    FROM d{p} JOIN e ON e.src = d{p}.node) GROUP BY node)"""
+
+_SSSP_SQL = (
+    """
+WITH e AS MATERIALIZED (
+  SELECT src, dst, CAST(MIN(w) AS DOUBLE) AS w FROM (
+    SELECT o_custkey AS src, l_suppkey + 1000000 AS dst,
+           l_orderkey % 7 + 1 AS w
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    UNION ALL
+    SELECT l_suppkey + 1000000, l_partkey + 2000000, l_partkey % 5 + 1
+    FROM lineitem
+    UNION ALL
+    SELECT l_partkey + 2000000, o_custkey, o_custkey % 3 + 1
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  ) GROUP BY src, dst),
+d0 AS (SELECT DISTINCT c_custkey AS node, CAST(0.0 AS DOUBLE) AS dist
+       FROM customer WHERE c_custkey % 50 = 0),"""
+    + ",".join(_SSSP_STEP.format(i=i, p=i - 1) for i in range(1, 5))
+    + """
+SELECT CAST(node AS BIGINT) AS node, round(dist, 6) AS dist
+FROM d4 ORDER BY node
+"""
+)
+
+
+def sparse_cosine_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical near-neighbor search (llmdata/similarity.py
+    sparse_cosine_topk): TF-IDF cosine top-5 per document via the
+    posting-list self-join with the max_df stop-word cap (terms in
+    more than 100 docs are dropped from the join numerator, norms stay
+    full — the conservative cap discipline). The oracle replays
+    tokenize/tf/idf/norm/join/rank; cosine is rounded BEFORE ranking
+    on both sides so rank order is engine-independent."""
+    from hail_spark.llmdata.similarity import sparse_cosine_topk
+
+    d = _t(spark, sf_dir, "documents").df
+    out = sparse_cosine_topk(d, k=5, max_df=100)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("other_id").cast("long").alias("other_id"),
+        "cosine",
+    ).orderBy("doc_id", "rank")
+
+
+_SPARSE_COSINE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> ''))
+         AS term
+  FROM documents),
+tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+dfq AS (SELECT term, COUNT(*) AS dfc FROM tf GROUP BY 1),
+w AS MATERIALIZED (
+  SELECT tf.doc_id, tf.term, dfq.dfc, tf.tf * ln(nd.n / dfq.dfc) AS wt
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+nrm AS (SELECT doc_id, sqrt(SUM(wt * wt)) AS nn FROM w GROUP BY 1),
+p AS (SELECT doc_id, term, wt FROM w WHERE dfc <= 100),
+pr AS (SELECT a.doc_id AS ia, b.doc_id AS ib, SUM(a.wt * b.wt) AS dot
+       FROM p a JOIN p b ON a.term = b.term AND a.doc_id < b.doc_id
+       GROUP BY 1, 2),
+cs AS (SELECT ia, ib, round(dot / (x.nn * y.nn), 6) AS c
+       FROM pr JOIN nrm x ON x.doc_id = pr.ia JOIN nrm y ON y.doc_id = pr.ib),
+m AS (SELECT ia AS d, ib AS o, c FROM cs
+      UNION ALL SELECT ib, ia, c FROM cs),
+r AS (SELECT d, o, c, row_number() OVER (PARTITION BY d ORDER BY c DESC, o) AS rn
+      FROM m)
+SELECT CAST(d AS BIGINT) AS doc_id, CAST(rn AS INT) AS rank,
+       CAST(o AS BIGINT) AS other_id, c AS cosine
+FROM r WHERE rn <= 5 ORDER BY doc_id, rank
+"""
+
 
 
 def resample_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1129,3 +1129,104 @@ def hamming_band_overflow(
         .agg(F.count(F.lit(1)).alias("n_codes"))
         .filter(F.col("n_codes") > max_postings_per_band)
     )
+
+
+def sparse_cosine_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Lexical document-similarity top-k: TF-IDF bag-of-words cosine
+    between every document pair that SHARES a term, via the classic
+    posting-list self-join (the sparse counterpart of the embedding
+    ANN family — catches paraphrase/boilerplate overlap that exact and
+    MinHash dedup miss while needing no embeddings). Returns
+    (doc_id, rank, other_id, cosine) — each document's k most similar
+    neighbors, cosine rounded to 6 places BEFORE ranking so the
+    ordering is reproducible across engines (ties break on other_id).
+
+    Weights: ``tfidf = tf * ln(N / df)``; norms are computed over ALL
+    terms. ``max_df`` drops terms appearing in more than that many
+    documents from the JOIN numerator only (stop words contribute
+    least per pair but dominate the posting-list m^2 cost — the same
+    drop-and-stay-conservative cap discipline as video_near_dup:
+    capped cosines can only shrink, never inflate).
+
+    Scale shape: tokenize explode -> (doc, term) hash-agg -> df
+    hash-agg join -> per-doc norm window (bounded by doc length) ->
+    posting equi-join on term (bounded by max_df per term) -> pair
+    hash-agg -> per-doc top-k window. Never all-pairs; the one
+    unbounded risk (high-df terms) is exactly what max_df bounds."""
+    if k < 1:
+        raise ValueError("sparse_cosine_topk: k must be >= 1")
+    from .dedup import _spread, tokens
+
+    n_docs = df.select(id_col).distinct().count()
+    base = _spread(df.select(id_col, text_col))
+    tf = (
+        base.select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    w = tf.join(dfreq, "term").select(
+        "__id",
+        "term",
+        "__df",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("__df"))).alias("wt"),
+    )
+    w = w.withColumn(
+        "norm",
+        F.sqrt(F.sum(F.col("wt") * F.col("wt")).over(Window.partitionBy("__id"))),
+    )
+    posting = w if max_df is None else w.filter(F.col("__df") <= max_df)
+    a = posting.select(
+        F.col("__id").alias("id_a"), "term",
+        F.col("wt").alias("__wa"), F.col("norm").alias("__na"),
+    )
+    b = posting.select(
+        F.col("__id").alias("id_b"), "term",
+        F.col("wt").alias("__wb"), F.col("norm").alias("__nb"),
+    )
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"),
+            F.first("__na").alias("__na"),
+            F.first("__nb").alias("__nb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__dot") / (F.col("__na") * F.col("__nb")), 6
+            ).alias("cosine"),
+        )
+    )
+    mirrored = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"),
+            F.col("id_a").alias("id_b"),
+            "cosine",
+        )
+    )
+    rw = Window.partitionBy("id_a").orderBy(
+        F.col("cosine").desc(), F.col("id_b").asc()
+    )
+    return (
+        mirrored.withColumn("rank", F.row_number().over(rw))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id_a").alias(id_col),
+            "rank",
+            F.col("id_b").alias("other_id"),
+            "cosine",
+        )
+    )

@@ -344,3 +344,84 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def sssp(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "weight",
+    node_col: str = "node",
+    n_iter: int = 10,
+) -> DataFrame:
+    """Multi-source weighted shortest paths by synchronous
+    Bellman-Ford relaxation over a (src, dst, weight) edge list:
+    each round, ``dist'(v) = min(dist(v), min over edges u->v of
+    dist(u) + w(u, v))``; sources start at distance 0. Runs at most
+    ``n_iter`` rounds (shortest paths using <= n_iter hops — a fixed
+    round count is deterministic arithmetic, so SQL-replayable as an
+    unrolled min-merge chain) with an early stop when a round
+    improves nothing. Returns (node, dist) for REACHED nodes only.
+    Negative weights are rejected (Bellman-Ford tolerates them, but a
+    bounded-round run would silently return hop-limited distances on
+    a negative cycle instead of diverging loudly).
+
+    Scale shape per round: (dists ⋈ edges on src) -> per-dst MIN
+    hash-agg -> full-outer min-merge with the current dists — two key
+    shuffles, no window, no driver state beyond the one improvement
+    count that powers the early stop. Lineage is cut every round and
+    superseded checkpoints are released eagerly (the pagerank
+    discipline), so repeated calls leave one distance-table block set."""
+    if n_iter < 1:
+        raise ValueError("sssp: n_iter must be >= 1")
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).cast("double").alias("w"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))  # parallel edges: keep the lightest
+        .localCheckpoint()
+    )
+    neg = e.filter(F.col("w") < 0).isEmpty()
+    if not neg:
+        raise ValueError("sssp: negative edge weights are not supported")
+    dists = (
+        sources.select(F.col(node_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint()
+    )
+    prev_ckpt = dists
+    for _ in range(n_iter):
+        relaxed = (
+            dists.join(e, dists["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("cand"))
+            .groupBy("node")
+            .agg(F.min("cand").alias("cand"))
+        )
+        merged = (
+            dists.join(relaxed, "node", "full_outer")
+            .select(
+                "node",
+                F.least(
+                    F.coalesce(F.col("dist"), F.lit(float("inf"))),
+                    F.coalesce(F.col("cand"), F.lit(float("inf"))),
+                ).alias("dist"),
+                (
+                    F.col("dist").isNull()
+                    | (F.col("cand") < F.col("dist"))
+                ).alias("__improved"),
+            )
+            .localCheckpoint()
+        )
+        converged = merged.filter(F.col("__improved")).isEmpty()
+        _lc_release(prev_ckpt)
+        prev_ckpt = merged
+        dists = merged.select("node", "dist")
+        if converged:
+            break
+    _lc_release(e)
+    return dists

@@ -1,0 +1,125 @@
+"""Round-8 operators: weighted SSSP (Bellman-Ford) and sparse TF-IDF
+cosine top-k."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_sssp_known_graph(spark):
+    from hail_spark.operators.graph import sssp
+
+    #      1 --2--> 2 --1--> 3
+    #      1 --10-> 3        3 --1--> 4 (cycle back to 1 via 4 --1--> 1)
+    edges = spark.createDataFrame(
+        [(1, 2, 2.0), (2, 3, 1.0), (1, 3, 10.0), (3, 4, 1.0), (4, 1, 1.0)],
+        "src long, dst long, weight double",
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in sssp(edges, srcs, n_iter=10).collect()}
+    assert got == {1: 0.0, 2: 2.0, 3: 3.0, 4: 4.0}
+
+
+def test_sssp_parallel_edges_keep_lightest(spark):
+    from hail_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5.0), (1, 2, 3.0), (1, 2, 9.0)], "src long, dst long, weight double"
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]: r["dist"] for r in sssp(edges, srcs, n_iter=3).collect()}
+    assert got == {1: 0.0, 2: 3.0}
+
+
+def test_sssp_hop_bound_and_early_stop(spark):
+    from hail_spark.operators.graph import sssp
+
+    # chain 1->2->3->4; n_iter=2 reaches only 2 hops
+    edges = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)], "src long, dst long, weight double"
+    )
+    srcs = spark.createDataFrame([(1,)], "node long")
+    two = {r["node"]: r["dist"] for r in sssp(edges, srcs, n_iter=2).collect()}
+    assert two == {1: 0.0, 2: 1.0, 3: 2.0}
+    # n_iter far beyond convergence: early stop, same answer as exact
+    big = {r["node"]: r["dist"] for r in sssp(edges, srcs, n_iter=50).collect()}
+    assert big == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0}
+
+
+def test_sssp_multi_source_and_negative_reject(spark):
+    from hail_spark.operators.graph import sssp
+
+    edges = spark.createDataFrame(
+        [(1, 3, 4.0), (2, 3, 1.0)], "src long, dst long, weight double"
+    )
+    srcs = spark.createDataFrame([(1,), (2,)], "node long")
+    got = {r["node"]: r["dist"] for r in sssp(edges, srcs, n_iter=3).collect()}
+    assert got == {1: 0.0, 2: 0.0, 3: 1.0}  # min over both sources
+
+    neg = spark.createDataFrame([(1, 2, -1.0)], "src long, dst long, weight double")
+    with pytest.raises(ValueError, match="negative"):
+        sssp(neg, srcs, n_iter=3)
+
+
+def test_sparse_cosine_topk_known_corpus(spark):
+    from hail_spark.llmdata.similarity import sparse_cosine_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana fig"),
+            (3, "apple zebra yak"),
+            (4, "quark gluon boson"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sparse_cosine_topk(docs, k=2)
+    got = {
+        (r["doc_id"], r["rank"]): (r["other_id"], r["cosine"])
+        for r in out.collect()
+    }
+    # docs 1/2 share {apple, banana} — each other's top neighbor
+    assert got[(1, 1)][0] == 2 and got[(2, 1)][0] == 1
+    # doc 4 shares no term with anyone: absent entirely
+    assert not any(d == 4 for d, _ in got)
+
+    # replay doc1-doc2 cosine by hand: idf = ln(4/df)
+    idf = {"apple": math.log(4 / 3), "banana": math.log(4 / 2),
+           "cherry": math.log(4 / 1), "fig": math.log(4 / 1),
+           "zebra": math.log(4 / 1), "yak": math.log(4 / 1)}
+    v1 = {"apple": idf["apple"], "banana": idf["banana"], "cherry": idf["cherry"]}
+    v2 = {"apple": idf["apple"], "banana": idf["banana"], "fig": idf["fig"]}
+    dot = sum(v1[t] * v2[t] for t in v1 if t in v2)
+    n1 = math.sqrt(sum(x * x for x in v1.values()))
+    n2 = math.sqrt(sum(x * x for x in v2.values()))
+    assert got[(1, 1)][1] == pytest.approx(dot / (n1 * n2), abs=1e-6)
+
+
+def test_sparse_cosine_max_df_cap_conservative(spark):
+    from hail_spark.llmdata.similarity import sparse_cosine_topk
+
+    # 'the' appears in all 4 docs; cap max_df=2 drops it from the join
+    # but NOT from the norms, so capped cosine <= uncapped cosine
+    docs = spark.createDataFrame(
+        [
+            (1, "the apple pie"),
+            (2, "the apple tart"),
+            (3, "the zebra"),
+            (4, "the yak"),
+        ],
+        "doc_id long, text string",
+    )
+    full = {
+        (r["doc_id"], r["other_id"]): r["cosine"]
+        for r in sparse_cosine_topk(docs, k=3).collect()
+    }
+    capped = {
+        (r["doc_id"], r["other_id"]): r["cosine"]
+        for r in sparse_cosine_topk(docs, k=3, max_df=2).collect()
+    }
+    # idf('the') = ln(4/4) = 0, so the cap changes nothing here beyond
+    # dropping zero-weight postings — pairs must agree
+    assert capped[(1, 2)] == pytest.approx(full[(1, 2)], abs=1e-9)
+    for k, v in capped.items():
+        assert v <= full[k] + 1e-9
