@@ -6167,6 +6167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hopping_window_events",
         "sssp_purchase_graph",
         "doc_cosine_topk",
+        "basket_rules_parts",
+        "cusum_orders_daily",
         # (b) implementations changed in round 8 (verdict/ADVICE fixes)
         "pagerank_purchase_graph",
         "embedding_binarize_words",
@@ -6404,6 +6406,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_purchase_graph": pagerank_q,
         "sssp_purchase_graph": sssp_q,
         "doc_cosine_topk": sparse_cosine_q,
+        "basket_rules_parts": basket_rules_q,
+        "cusum_orders_daily": cusum_orders_q,
         "resample_events_ffill": resample_events_q,
         "validate_orders_report": validate_orders_q,
         "skew_report_sources": skew_report_q,
@@ -6697,6 +6701,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_purchase_graph": _PAGERANK_SQL,
         "sssp_purchase_graph": _SSSP_SQL,
         "doc_cosine_topk": _SPARSE_COSINE_SQL,
+        "basket_rules_parts": _BASKET_RULES_SQL,
+        "cusum_orders_daily": _CUSUM_ORDERS_SQL,
         "resample_events_ffill": _RESAMPLE_SQL,
         "validate_orders_report": _VALIDATE_SQL,
         "skew_report_sources": _SKEW_REPORT_SQL,
@@ -11249,6 +11255,105 @@ SELECT CAST(d AS BIGINT) AS doc_id, CAST(rn AS INT) AS rank,
        CAST(o AS BIGINT) AS other_id, c AS cosine
 FROM r WHERE rn <= 5 ORDER BY doc_id, rank
 """
+
+
+def basket_rules_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators/relational.py
+    association_rules): baskets are orders, items are part groups
+    (l_partkey % 200 — densifies co-occurrence so support counts are
+    meaningful at gate scale); directed pair rules with
+    support/confidence/lift, min pair support 5. The basket self-join
+    fan-out is bounded by basket size (max 13 lines/order in TPC-H);
+    the oracle replays the same counting arithmetic."""
+    from hail_spark.operators.relational import association_rules
+
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        "l_orderkey", (F.col("l_partkey") % 200).alias("pg")
+    )
+    out = association_rules(
+        li, basket_col="l_orderkey", item_col="pg", min_support_count=5
+    )
+    return out.select(
+        F.col("antecedent").cast("long").alias("antecedent"),
+        F.col("consequent").cast("long").alias("consequent"),
+        F.col("n_pair").cast("long").alias("n_pair"),
+        F.round("support", 9).alias("support"),
+        F.round("confidence", 9).alias("confidence"),
+        F.round("lift", 9).alias("lift"),
+    ).orderBy("antecedent", "consequent")
+
+
+_BASKET_RULES_SQL = """
+WITH bi AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS b, l_partkey % 200 AS i FROM lineitem),
+nb AS (SELECT CAST(COUNT(DISTINCT b) AS DOUBLE) AS n FROM bi),
+itemn AS (SELECT i, COUNT(*) AS ni FROM bi GROUP BY 1),
+co AS (SELECT a.i AS ia, b.i AS ib, COUNT(*) AS n_pair
+       FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+       GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+dir AS (SELECT ia, ib, n_pair FROM co
+        UNION ALL SELECT ib, ia, n_pair FROM co)
+SELECT CAST(dir.ia AS BIGINT) AS antecedent,
+       CAST(dir.ib AS BIGINT) AS consequent,
+       CAST(n_pair AS BIGINT) AS n_pair,
+       round(n_pair / nb.n, 9) AS support,
+       round(CAST(n_pair AS DOUBLE) / na.ni, 9) AS confidence,
+       round((CAST(n_pair AS DOUBLE) / na.ni) / (nb2.ni / nb.n), 9) AS lift
+FROM dir
+JOIN itemn na ON na.i = dir.ia
+JOIN itemn nb2 ON nb2.i = dir.ib
+CROSS JOIN nb
+ORDER BY antecedent, consequent
+"""
+
+
+def cusum_orders_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change detection (operators/relational.py
+    cusum_changepoints) over the daily order-count series: the Page
+    recurrences rewritten as cumsum + running-min prefix windows (no
+    recursion), mean = exact SUM/COUNT so the integer-valued series
+    replays bit-exactly; threshold 60 flags sustained shifts. The
+    single-partition window is bounded by the number of DISTINCT DAYS
+    (a calendar, not the corpus)."""
+    from hail_spark.operators.relational import cusum_changepoints
+
+    o = _t(spark, sf_dir, "orders").df
+    day = o.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = cusum_changepoints(day, order_col="d", value_col="n", threshold=60.0)
+    return out.select(
+        F.col("d").cast("string").alias("d"),
+        F.col("n").cast("long").alias("n"),
+        F.round("cusum_pos", 6).alias("cusum_pos"),
+        F.round("cusum_neg", 6).alias("cusum_neg"),
+        "is_change",
+    ).orderBy("d")
+
+
+_CUSUM_ORDERS_SQL = """
+WITH day AS (SELECT o_orderdate AS d, COUNT(*) AS n FROM orders GROUP BY 1),
+st AS (SELECT d, CAST(n AS DOUBLE) AS n,
+              SUM(CAST(n AS DOUBLE)) OVER () / COUNT(*) OVER () AS mean
+       FROM day),
+c AS (SELECT d, n,
+             SUM(n - mean) OVER w AS cp,
+             SUM(-(n - mean)) OVER w AS cn
+      FROM st
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)),
+s AS (SELECT d, n,
+             cp - LEAST(0.0, MIN(cp) OVER w) AS cusum_pos,
+             cn - LEAST(0.0, MIN(cn) OVER w) AS cusum_neg
+      FROM c
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW))
+SELECT CAST(d AS VARCHAR) AS d, CAST(n AS BIGINT) AS n,
+       round(cusum_pos, 6) AS cusum_pos, round(cusum_neg, 6) AS cusum_neg,
+       (cusum_pos > 60.0 OR cusum_neg > 60.0) AS is_change
+FROM s ORDER BY d
+"""
+
 
 
 

@@ -1074,3 +1074,125 @@ def survival_curve(
         "n_censored",
         s.alias("survival"),
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support_count: int = 2,
+    max_basket_size: int | None = None,
+) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant 1994 family,
+    pairwise): for every DIRECTED item pair (a -> b) co-occurring in at
+    least ``min_support_count`` baskets, emit
+    ``support = n_ab / N``, ``confidence = n_ab / n_a`` and
+    ``lift = confidence / (n_b / N)``. Returns (antecedent, consequent,
+    n_pair, support, confidence, lift).
+
+    Scale shape: one distinct (basket, item) hash-agg, one item-support
+    hash-agg, one basket self-join whose fan-out is bounded by the
+    square of the basket size (baskets are small in practice — carts,
+    co-purchase sets), one pair hash-agg, two item-cardinality joins
+    AQE broadcasts unhinted. ``max_basket_size`` applies the cap
+    discipline to the one unbounded input: baskets larger than the cap
+    are DROPPED from pair generation (N and item supports keep counting
+    them, so surviving metrics stay conservative)."""
+    if min_support_count < 1:
+        raise ValueError("association_rules: min_support_count must be >= 1")
+    bi = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = bi.select("__b").distinct().count()
+    item_n = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__ni"))
+    pairs_src = bi
+    if max_basket_size is not None:
+        pairs_src = (
+            bi.withColumn(
+                "__bs", F.count(F.lit(1)).over(Window.partitionBy("__b"))
+            )
+            .filter(F.col("__bs") <= max_basket_size)
+            .drop("__bs")
+        )
+    a = pairs_src.select(F.col("__b"), F.col("__i").alias("__ia"))
+    b = pairs_src.select(F.col("__b"), F.col("__i").alias("__ib"))
+    co = (
+        a.join(b, "__b")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .groupBy("__ia", "__ib")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_support_count)
+    )
+    directed = co.unionByName(
+        co.select(
+            F.col("__ib").alias("__ia"), F.col("__ia").alias("__ib"), "n_pair"
+        )
+    )
+    out = (
+        directed.join(
+            item_n.select(F.col("__i").alias("__ia"), F.col("__ni").alias("__na")),
+            "__ia",
+        )
+        .join(
+            item_n.select(F.col("__i").alias("__ib"), F.col("__ni").alias("__nb")),
+            "__ib",
+        )
+        .select(
+            F.col("__ia").alias("antecedent"),
+            F.col("__ib").alias("consequent"),
+            "n_pair",
+            (F.col("n_pair") / F.lit(float(n_baskets))).alias("support"),
+            (F.col("n_pair") / F.col("__na")).alias("confidence"),
+            (
+                (F.col("n_pair") / F.col("__na"))
+                / (F.col("__nb") / F.lit(float(n_baskets)))
+            ).alias("lift"),
+        )
+    )
+    return out
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    key_cols: tuple = (),
+    slack: float = 0.0,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change detection over an ordered series (Page
+    1954): the textbook recurrences ``s+_i = max(0, s+_{i-1} + d_i)``
+    and ``s-_i = max(0, s-_{i-1} - d_i)`` with ``d_i = x_i - mean -
+    slack`` — rewritten as PLAIN PREFIX WINDOWS via the running-min
+    identity ``s_i = c_i - min(0, min_{j<=i} c_j)`` (c = cumulative sum
+    of d), so the whole detector is cumsum + running-min windows with
+    no recursion, replayable on any SQL engine and shuffled once per
+    key. Adds ``cusum_pos``, ``cusum_neg`` and (when ``threshold`` is
+    given) ``is_change``. The per-key mean is the exact SUM/COUNT of
+    the whole key group (one window), so integer-valued series replay
+    bit-exactly across engines."""
+    keys = [F.col(k) for k in key_cols]
+    wall = Window.partitionBy(*keys) if key_cols else Window.partitionBy()
+    word = (
+        Window.partitionBy(*keys) if key_cols else Window.partitionBy()
+    ).orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    x = F.col(value_col).cast("double")
+    mean = F.sum(x).over(wall) / F.count(F.lit(1)).over(wall)
+    d_pos = x - mean - F.lit(float(slack))
+    d_neg = -(x - mean) - F.lit(float(slack))
+    out = df.withColumn("__cp", F.sum(d_pos).over(word)).withColumn(
+        "__cn", F.sum(d_neg).over(word)
+    )
+    out = out.withColumn(
+        "cusum_pos",
+        F.col("__cp") - F.least(F.lit(0.0), F.min("__cp").over(word)),
+    ).withColumn(
+        "cusum_neg",
+        F.col("__cn") - F.least(F.lit(0.0), F.min("__cn").over(word)),
+    ).drop("__cp", "__cn")
+    if threshold is not None:
+        out = out.withColumn(
+            "is_change",
+            (F.col("cusum_pos") > threshold) | (F.col("cusum_neg") > threshold),
+        )
+    return out

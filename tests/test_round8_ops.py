@@ -123,3 +123,78 @@ def test_sparse_cosine_max_df_cap_conservative(spark):
     assert capped[(1, 2)] == pytest.approx(full[(1, 2)], abs=1e-9)
     for k, v in capped.items():
         assert v <= full[k] + 1e-9
+
+
+def test_association_rules_known_baskets(spark):
+    from hail_spark.operators.relational import association_rules
+
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "a"), (2, "b"), (3, "a")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = association_rules(df, "basket", "item", min_support_count=2)
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["n_pair"], r["support"], r["confidence"], r["lift"]
+        )
+        for r in out.collect()
+    }
+    # only (a,b) co-occurs twice; item counts a=3, b=2, N=3
+    assert set(got) == {("a", "b"), ("b", "a")}
+    n, s, c, l = got[("a", "b")]
+    assert n == 2 and abs(s - 2 / 3) < 1e-12
+    assert abs(c - 2 / 3) < 1e-12 and abs(l - 1.0) < 1e-12
+    n, s, c, l = got[("b", "a")]
+    assert abs(c - 1.0) < 1e-12 and abs(l - 1.0) < 1e-12
+
+
+def test_association_rules_basket_cap_conservative(spark):
+    from hail_spark.operators.relational import association_rules
+
+    # basket 9 is a 5-item megabasket; cap 4 drops it from pair
+    # generation but N and item supports still count it
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b")]
+    rows += [(9, x) for x in ("a", "b", "c", "d", "e")]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    capped = association_rules(
+        df, "basket", "item", min_support_count=2, max_basket_size=4
+    )
+    got = {
+        (r["antecedent"], r["consequent"]): (r["n_pair"], r["support"], r["confidence"])
+        for r in capped.collect()
+    }
+    assert set(got) == {("a", "b"), ("b", "a")}
+    n, s, c = got[("a", "b")]
+    # pair count excludes basket 9; denominators still include it
+    assert n == 2 and abs(s - 2 / 3) < 1e-12 and abs(c - 2 / 3) < 1e-12
+
+
+def test_cusum_matches_reference_recurrence(spark):
+    from hail_spark.operators.relational import cusum_changepoints
+
+    xs = [10, 11, 9, 10, 30, 31, 29, 30, 10, 10]  # level shift at i=4
+    df = spark.createDataFrame(
+        [(i, float(x)) for i, x in enumerate(xs)], "t long, x double"
+    )
+    out = cusum_changepoints(df, "t", "x", threshold=25.0)
+    got = {r["t"]: (r["cusum_pos"], r["cusum_neg"], r["is_change"]) for r in out.collect()}
+
+    mean = sum(xs) / len(xs)
+    sp = sn = 0.0
+    for i, x in enumerate(xs):
+        sp = max(0.0, sp + (x - mean))
+        sn = max(0.0, sn - (x - mean))
+        assert got[i][0] == pytest.approx(sp, abs=1e-9)
+        assert got[i][1] == pytest.approx(sn, abs=1e-9)
+        assert got[i][2] == (sp > 25.0 or sn > 25.0)
+    assert any(v[2] for v in got.values())  # the shift is detected
+
+
+def test_cusum_per_key_series(spark):
+    from hail_spark.operators.relational import cusum_changepoints
+
+    rows = [("a", i, float(i % 3)) for i in range(6)]
+    rows += [("b", i, 100.0 if i == 3 else 1.0) for i in range(6)]
+    df = spark.createDataFrame(rows, "k string, t long, x double")
+    out = cusum_changepoints(df, "t", "x", key_cols=("k",), threshold=40.0)
+    a_flags = [r["is_change"] for r in out.filter(F.col("k") == "a").collect()]
+    b_flags = [r["is_change"] for r in out.filter(F.col("k") == "b").collect()]
+    assert not any(a_flags) and any(b_flags)  # keys are independent
