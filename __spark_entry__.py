@@ -6169,6 +6169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cosine_topk",
         "basket_rules_parts",
         "cusum_orders_daily",
+        "kcore_purchase_graph",
         # (b) implementations changed in round 8 (verdict/ADVICE fixes)
         "pagerank_purchase_graph",
         "embedding_binarize_words",
@@ -6408,6 +6409,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_cosine_topk": sparse_cosine_q,
         "basket_rules_parts": basket_rules_q,
         "cusum_orders_daily": cusum_orders_q,
+        "kcore_purchase_graph": kcore_q,
         "resample_events_ffill": resample_events_q,
         "validate_orders_report": validate_orders_q,
         "skew_report_sources": skew_report_q,
@@ -6703,6 +6705,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_cosine_topk": _SPARSE_COSINE_SQL,
         "basket_rules_parts": _BASKET_RULES_SQL,
         "cusum_orders_daily": _CUSUM_ORDERS_SQL,
+        "kcore_purchase_graph": _KCORE_SQL,
         "resample_events_ffill": _RESAMPLE_SQL,
         "validate_orders_report": _VALIDATE_SQL,
         "skew_report_sources": _SKEW_REPORT_SQL,
@@ -11353,6 +11356,52 @@ SELECT CAST(d AS VARCHAR) AS d, CAST(n AS BIGINT) AS n,
        (cusum_pos > 60.0 OR cusum_neg > 60.0) AS is_change
 FROM s ORDER BY d
 """
+
+_KCORE_STEP = """
+d{i} AS (SELECT node, COUNT(*) AS dg FROM (
+    SELECT lo AS node FROM e{p} UNION ALL SELECT hi FROM e{p}) GROUP BY node),
+k{i} AS (SELECT node FROM d{i} WHERE dg >= 8),
+e{i} AS MATERIALIZED (
+  SELECT lo, hi FROM e{p}
+  WHERE lo IN (SELECT node FROM k{i}) AND hi IN (SELECT node FROM k{i}))"""
+
+
+def kcore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (operators/graph.py kcore — synchronous
+    peeling) of the undirected customer/supplier purchase graph:
+    repeatedly drop nodes with degree < 8, 4 rounds (the oracle
+    unrolls the identical peel chain as MATERIALIZED CTEs; early stop
+    can only fire on convergence, where further rounds are identity).
+    Returns surviving nodes with their within-core degrees."""
+    from hail_spark.operators.graph import kcore
+
+    o = _t(spark, sf_dir, "orders").df
+    li = _t(spark, sf_dir, "lineitem").df
+    e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    )
+    out = kcore(e, k=8, n_iter=4)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("core_degree").cast("long").alias("core_degree"),
+    ).orderBy("node")
+
+
+_KCORE_SQL = (
+    """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(o_custkey, 1000000 + l_suppkey) AS lo,
+                  GREATEST(o_custkey, 1000000 + l_suppkey) AS hi
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),"""
+    + ",".join(_KCORE_STEP.format(i=i, p=i - 1) for i in range(1, 5))
+    + """
+SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT lo AS node FROM e4 UNION ALL SELECT hi FROM e4)
+GROUP BY node HAVING COUNT(*) >= 8 ORDER BY node
+"""
+)
+
 
 
 

@@ -425,3 +425,66 @@ def sssp(
             break
     _lc_release(e)
     return dists
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 10,
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling (Matula & Beck
+    1983): repeatedly delete nodes with degree < k (over the UNDIRECTED
+    deduplicated graph) until no node falls below k or ``n_iter``
+    rounds elapse — a fixed round count is deterministic, so the
+    peeling chain is SQL-replayable round by round. Returns
+    (node, core_degree) for the surviving nodes, core_degree = degree
+    within the surviving subgraph.
+
+    Scale shape per round: one degree hash-agg + two semi-joins that
+    keep only edges whose BOTH endpoints survive — all O(E) key
+    shuffles, no window, no driver state beyond the early-stop count.
+    Lineage is cut per round with eager release of superseded
+    checkpoints (the pagerank discipline)."""
+    if k < 1:
+        raise ValueError("kcore: k must be >= 1")
+    if n_iter < 1:
+        raise ValueError("kcore: n_iter must be >= 1")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_ckpt = e
+    for _ in range(n_iter):
+        deg = (
+            e.select(F.col("lo").alias("node"))
+            .unionByName(e.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+        )
+        keep = deg.filter(F.col("__deg") >= k).select("node")
+        ne = (
+            e.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
+            .select("lo", "hi")
+            .localCheckpoint()
+        )
+        stable = ne.count() == e.count()
+        _lc_release(prev_ckpt)
+        prev_ckpt = ne
+        e = ne
+        if stable:
+            break
+    return (
+        e.select(F.col("lo").alias("node"))
+        .unionByName(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .filter(F.col("core_degree") >= k)
+    )

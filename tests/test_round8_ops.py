@@ -198,3 +198,30 @@ def test_cusum_per_key_series(spark):
     a_flags = [r["is_change"] for r in out.filter(F.col("k") == "a").collect()]
     b_flags = [r["is_change"] for r in out.filter(F.col("k") == "b").collect()]
     assert not any(a_flags) and any(b_flags)  # keys are independent
+
+
+def test_kcore_known_graph(spark):
+    from hail_spark.operators.graph import kcore
+
+    # triangle {1,2,3} (each degree 2) plus pendant 3-4 and isolated 5-6
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6)], "src long, dst long"
+    )
+    core2 = {r["node"]: r["core_degree"] for r in kcore(edges, k=2).collect()}
+    assert core2 == {1: 2, 2: 2, 3: 2}  # pendant and the 5-6 edge peel away
+    core1 = {r["node"] for r in kcore(edges, k=1).collect()}
+    assert core1 == {1, 2, 3, 4, 5, 6}
+    assert kcore(edges, k=3).count() == 0
+
+
+def test_kcore_cascade_peel(spark):
+    from hail_spark.operators.graph import kcore
+
+    # chain 1-2-3-4-5: 2-core empty, but needs multiple peel rounds
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    assert kcore(edges, k=2, n_iter=10).count() == 0
+    # bounded rounds: after 1 round only the endpoints are gone
+    one = {r["node"] for r in kcore(edges, k=2, n_iter=1).collect()}
+    assert one == {3}  # 2 and 4 drop to degree 1 but the round already ran
