@@ -6170,6 +6170,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules_parts",
         "cusum_orders_daily",
         "kcore_purchase_graph",
+        "benford_quality_orders",
+        "quantile_normalize_quantities",
         # (b) implementations changed in round 8 (verdict/ADVICE fixes)
         "pagerank_purchase_graph",
         "embedding_binarize_words",
@@ -6410,6 +6412,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "basket_rules_parts": basket_rules_q,
         "cusum_orders_daily": cusum_orders_q,
         "kcore_purchase_graph": kcore_q,
+        "benford_quality_orders": benford_q,
+        "quantile_normalize_quantities": quantile_norm_q,
         "resample_events_ffill": resample_events_q,
         "validate_orders_report": validate_orders_q,
         "skew_report_sources": skew_report_q,
@@ -6706,6 +6710,8 @@ def oracle_sql() -> dict[str, str]:
         "basket_rules_parts": _BASKET_RULES_SQL,
         "cusum_orders_daily": _CUSUM_ORDERS_SQL,
         "kcore_purchase_graph": _KCORE_SQL,
+        "benford_quality_orders": _BENFORD_SQL,
+        "quantile_normalize_quantities": _QUANTILE_NORM_SQL,
         "resample_events_ffill": _RESAMPLE_SQL,
         "validate_orders_report": _VALIDATE_SQL,
         "skew_report_sources": _SKEW_REPORT_SQL,
@@ -11401,6 +11407,100 @@ FROM (SELECT lo AS node FROM e4 UNION ALL SELECT hi FROM e4)
 GROUP BY node HAVING COUNT(*) >= 8 ORDER BY node
 """
 )
+
+
+def benford_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (operators/validate.py
+    benford_report) of o_totalprice per order priority: observed vs
+    expected digit shares + per-group chi-square, digit extracted
+    arithmetically (floor(x / 10^floor(log10 x))) so the oracle
+    replays it exactly; zero-count digit cells are densified so chi2
+    includes their (0-exp)^2/exp mass."""
+    from hail_spark.operators.validate import benford_report
+
+    o = _t(spark, sf_dir, "orders").df
+    out = benford_report(o, "o_totalprice", group_cols=("o_orderpriority",))
+    return out.select(
+        "o_orderpriority",
+        F.col("digit").cast("int").alias("digit"),
+        F.col("n_digit").cast("long").alias("n_digit"),
+        F.round("obs_share", 9).alias("obs_share"),
+        F.round("exp_share", 9).alias("exp_share"),
+        F.round("chi2", 6).alias("chi2"),
+    ).orderBy("o_orderpriority", "digit")
+
+
+_BENFORD_SQL = """
+WITH v AS (SELECT o_orderpriority AS g,
+                  CAST(FLOOR(o_totalprice / POW(10.0, FLOOR(LOG10(o_totalprice)))) AS INT) AS digit
+           FROM orders WHERE o_totalprice > 0),
+cnt AS (SELECT g, digit, COUNT(*) AS n_digit FROM v GROUP BY 1, 2),
+grid AS (SELECT DISTINCT g, d.digit FROM cnt
+         CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) d),
+dense AS (SELECT grid.g, CAST(grid.digit AS INT) AS digit,
+                 COALESCE(cnt.n_digit, 0) AS n_digit
+          FROM grid LEFT JOIN cnt ON cnt.g = grid.g AND cnt.digit = grid.digit),
+tot AS (SELECT g, SUM(n_digit) AS n_total FROM dense GROUP BY 1),
+sh AS (SELECT dense.g, digit, n_digit,
+              n_digit / CAST(n_total AS DOUBLE) AS obs_share,
+              LOG10(1.0 + 1.0 / digit) AS exp_share,
+              n_total
+       FROM dense JOIN tot ON tot.g = dense.g),
+chi AS (SELECT g, SUM(n_total * (obs_share - exp_share) * (obs_share - exp_share)
+                      / exp_share) AS chi2
+        FROM sh GROUP BY 1)
+SELECT sh.g AS o_orderpriority, digit, CAST(n_digit AS BIGINT) AS n_digit,
+       round(obs_share, 9) AS obs_share, round(exp_share, 9) AS exp_share,
+       round(chi.chi2, 6) AS chi2
+FROM sh JOIN chi ON chi.g = sh.g
+ORDER BY o_orderpriority, digit
+"""
+
+
+def quantile_norm_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization (llmdata/features.py quantile_normalize)
+    across 20 supplier-group 'samples' of integer l_quantity values
+    (integer-valued doubles keep the rank means exact across engines):
+    rank within sample, mean across samples per rank, value replaced
+    by the rank mean. Output = per-sample distribution summary (after
+    normalization all samples share a distribution up to size
+    truncation, which the oracle replays identically)."""
+    from hail_spark.llmdata.features import quantile_normalize
+
+    li = _t(spark, sf_dir, "lineitem").df.select(
+        (F.col("l_suppkey") % 20).alias("sample"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_quantity").cast("double").alias("v"),
+    )
+    out = quantile_normalize(li, "sample", "rid", "v")
+    return (
+        out.groupBy("sample")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("normalized"), 6).alias("sum_qn"),
+            F.round(F.min("normalized"), 6).alias("min_qn"),
+            F.round(F.max("normalized"), 6).alias("max_qn"),
+        )
+        .select(F.col("sample").cast("long").alias("sample"), "n", "sum_qn", "min_qn", "max_qn")
+        .orderBy("sample")
+    )
+
+
+_QUANTILE_NORM_SQL = """
+WITH li AS (SELECT l_suppkey % 20 AS s, l_orderkey * 10 + l_linenumber AS rid,
+                   CAST(l_quantity AS DOUBLE) AS v
+            FROM lineitem),
+rk AS (SELECT s, rid, v,
+              row_number() OVER (PARTITION BY s ORDER BY v, rid) AS r
+       FROM li),
+m AS (SELECT r, AVG(v) AS qn FROM rk GROUP BY 1)
+SELECT CAST(s AS BIGINT) AS sample, COUNT(*) AS n,
+       round(SUM(qn), 6) AS sum_qn, round(MIN(qn), 6) AS min_qn,
+       round(MAX(qn), 6) AS max_qn
+FROM rk JOIN m ON m.r = rk.r
+GROUP BY s ORDER BY sample
+"""
+
 
 
 

@@ -453,3 +453,37 @@ def weighted_percentile_by_group(
             ).alias(f"p_{tag}")
         )
     return j.groupBy(key_col).agg(*aggs)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    sample_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Quantile normalization (Bolstad et al. 2003 — the expression-
+    array / batch-correction classic): rank values WITHIN each sample,
+    average values ACROSS samples at each rank, and replace every
+    value by its rank mean — afterwards every sample has the identical
+    empirical distribution. Deterministic variant: ties rank by
+    ``id_col`` (the reference implementation averages tied quantiles;
+    rank-by-id replays exactly on any engine). Samples with unequal
+    sizes contribute to the rank means they reach (documented
+    deviation; equal-sized samples are the method's contract).
+    Returns (sample, id, value, normalized).
+
+    Scale shape: one per-sample window (partition bounded by rows per
+    sample), one rank-cardinality hash-agg, one equi-join on rank —
+    no corpus-wide window, no driver state."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(sample_col).orderBy(
+        F.col(value_col).asc(), F.col(id_col).asc()
+    )
+    ranked = df.select(sample_col, id_col, value_col).withColumn(
+        "__rk", F.row_number().over(w)
+    )
+    means = ranked.groupBy("__rk").agg(F.avg(value_col).alias("__qn"))
+    return ranked.join(means, "__rk").select(
+        sample_col, id_col, value_col, F.col("__qn").alias("normalized")
+    )

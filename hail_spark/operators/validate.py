@@ -422,3 +422,67 @@ def dp_noisy_counts(
         "n",
         (F.col("n") + lap).alias("noisy_n"),
     )
+
+
+def benford_report(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fraud/synthetic-
+    data screen for naturally-occurring positive magnitudes (amounts,
+    populations, counts spanning several orders of magnitude): the
+    observed share of each leading significant digit d (1..9) is
+    compared against the Benford expectation ``log10(1 + 1/d)``, and a
+    per-group chi-square statistic summarizes the deviation
+    (``n * sum (obs_share - exp_share)^2 / exp_share``). Returns one
+    row per (group, digit): n, observed share, expected share, and the
+    group's chi2 repeated on each row for cheap filtering.
+
+    First digit extracted arithmetically — ``floor(x / 10^floor(
+    log10(x)))`` — not by string formatting, so it is exact for any
+    positive double and replays identically in any SQL engine.
+    Non-positive and null values are excluded (Benford is undefined
+    there). Plan: one projection + one (group, digit) hash-agg + one
+    bounded per-group window (<= 9 rows per group)."""
+    from pyspark.sql import Window
+
+    keys = [F.col(c) for c in group_cols]
+    x = F.col(value_col).cast("double")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("int")
+    base = df.filter(x > 0).select(*keys, digit.alias("digit"))
+    counts = base.groupBy(*([*group_cols, "digit"])).agg(
+        F.count(F.lit(1)).alias("n_digit")
+    )
+    # densify to ALL 9 digit cells per group: a digit with zero
+    # observations still contributes (0 - exp)^2 / exp to chi2, so a
+    # sparse left join would understate the statistic
+    grid = (
+        counts.select(*group_cols).distinct()
+        if group_cols
+        else counts.sparkSession.range(1).select()
+    ).crossJoin(
+        counts.sparkSession.range(1, 10).select(
+            F.col("id").cast("int").alias("digit")
+        )
+    )
+    dense = grid.join(counts, [*group_cols, "digit"], "left").select(
+        *group_cols, "digit", F.coalesce("n_digit", F.lit(0)).alias("n_digit")
+    )
+    w = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    exp_share = F.log10(F.lit(1.0) + 1.0 / F.col("digit"))
+    out = dense.withColumn("n_total", F.sum("n_digit").over(w)).select(
+        *group_cols,
+        "digit",
+        "n_digit",
+        (F.col("n_digit") / F.col("n_total")).alias("obs_share"),
+        exp_share.alias("exp_share"),
+        F.col("n_total"),
+    )
+    chi = (
+        F.col("n_total")
+        * (F.col("obs_share") - F.col("exp_share"))
+        * (F.col("obs_share") - F.col("exp_share"))
+        / F.col("exp_share")
+    )
+    return out.withColumn("chi2", F.sum(chi).over(w)).drop("n_total")

@@ -225,3 +225,49 @@ def test_kcore_cascade_peel(spark):
     # bounded rounds: after 1 round only the endpoints are gone
     one = {r["node"] for r in kcore(edges, k=2, n_iter=1).collect()}
     assert one == {3}  # 2 and 4 drop to degree 1 but the round already ran
+
+
+def test_benford_report_known_distribution(spark):
+    from hail_spark.operators.validate import benford_report
+
+    # 30 values starting with 1, 10 with 2 — and digits 3..9 get ZERO
+    # counts, which must still contribute to chi2 via the dense grid
+    rows = [(float(10 + i % 10),) for i in range(30)]
+    rows += [(float(20 + i),) for i in range(10)]
+    df = spark.createDataFrame(rows, "x double")
+    out = benford_report(df, "x").collect()
+    by_digit = {r["digit"]: r for r in out}
+    assert set(by_digit) == set(range(1, 10))  # densified to all cells
+    assert by_digit[1]["n_digit"] == 30 and abs(by_digit[1]["obs_share"] - 0.75) < 1e-12
+    assert by_digit[7]["n_digit"] == 0
+    import math
+
+    n = 40.0
+    chi = sum(
+        n * (obs - math.log10(1 + 1 / d)) ** 2 / math.log10(1 + 1 / d)
+        for d, obs in [(1, 0.75), (2, 0.25)] + [(d, 0.0) for d in range(3, 10)]
+    )
+    assert by_digit[5]["chi2"] == pytest.approx(chi, rel=1e-9)
+    # non-positive values are excluded
+    df2 = spark.createDataFrame([(0.0,), (-5.0,), (1.0,)], "x double")
+    out2 = benford_report(df2, "x").collect()
+    assert sum(r["n_digit"] for r in out2) == 1
+
+
+def test_quantile_normalize_forces_identical_distributions(spark):
+    from hail_spark.llmdata.features import quantile_normalize
+
+    # two equal-sized samples with different distributions
+    rows = [("a", i, float(v)) for i, v in enumerate([1, 2, 3, 4])]
+    rows += [("b", i, float(v)) for i, v in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(rows, "s string, rid long, v double")
+    out = quantile_normalize(df, "s", "rid", "v").collect()
+    per = {}
+    for r in out:
+        per.setdefault(r["s"], []).append(r["normalized"])
+    # after normalization both samples hold exactly the rank means
+    expect = [(1 + 10) / 2, (2 + 20) / 2, (3 + 30) / 2, (4 + 40) / 2]
+    assert sorted(per["a"]) == expect and sorted(per["b"]) == expect
+    # monotone: the largest raw value maps to the largest rank mean
+    top_b = max(out, key=lambda r: (r["s"] == "b", r["v"]))
+    assert top_b["normalized"] == expect[-1]
