@@ -820,27 +820,33 @@ def import_fixed_width(
         # CSV source with header=True + explicit schema: drops the
         # first line of EVERY file (offset-0 split logic), keeps the
         # scan splittable. quote='' disables quote/escape handling so
-        # the line arrives verbatim in the single column. A line that
-        # CONTAINS the \x01 separator byte would be silently split —
-        # shifting every field offset — so a sentinel second column
-        # catches the overflow and fails loudly at execution instead
-        # of corrupting parses (the sentinel is non-NULL iff a \x01
-        # appeared in the line).
+        # the line arrives verbatim in the single column. The
+        # separator is a THREE-BYTE control sequence (\x01\x02\x03),
+        # so any single control byte in a data line passes through
+        # byte-transparently — identical to the skip_header=0 line
+        # reader; only a line containing the full 3-byte sequence
+        # could mis-split, and the sentinel overflow column turns that
+        # into a loud execution-time error instead of shifted fields.
         df = (
-            spark.read.schema("value string, __x01_overflow string")
-            .options(header=True, sep="\x01", quote="", enforceSchema=True)
+            spark.read.schema("value string, __sep_overflow string")
+            .options(
+                header=True,
+                sep="\x01\x02\x03",
+                quote="",
+                enforceSchema=True,
+            )
             .csv(path)
         )
         df = df.select(
-            F.when(F.col("__x01_overflow").isNull(), F.col("value"))
+            F.when(F.col("__sep_overflow").isNull(), F.col("value"))
             .otherwise(
                 F.raise_error(
                     F.concat(
                         F.lit(
                             "import_fixed_width: a data line contains the "
-                            "\\x01 byte, which the skip_header=1 fast path "
-                            "uses as its CSV separator — field offsets "
-                            "would silently shift. Line prefix: "
+                            "\\x01\\x02\\x03 byte sequence the skip_header=1 "
+                            "fast path uses as its CSV separator — field "
+                            "offsets would silently shift. Line prefix: "
                         ),
                         F.substring(F.col("value"), 1, 80),
                         F.lit(

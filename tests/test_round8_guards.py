@@ -128,13 +128,27 @@ def test_fixed_width_x01_line_raises(spark, tmp_path):
     t = import_fixed_width(spark, str(good), fields, skip_header=1)
     assert sorted(map(tuple, t.df.collect())) == [("abcd", 123), ("efgh", 456)]
 
+    # single control bytes now pass through byte-transparently (the
+    # separator is the 3-byte \x01\x02\x03 sequence): the skip_header=1
+    # fast path must parse \x01-bearing lines IDENTICALLY to the plain
+    # line reader, including a line ENDING in \x01
     bad = tmp_path / "bad.txt"
-    bad.write_bytes(b"HDRXXXX\nabcd123\nef\x01h456\n")
-    with pytest.raises(Exception, match="x01"):
-        import_fixed_width(spark, str(bad), fields, skip_header=1).df.collect()
-    # the byte-transparent paths still parse the same file
+    # header line kept castable so the skip_header=0 comparison frame
+    # can evaluate the int field on every line
+    bad.write_bytes(b"hdrx000\nab\x01d123\nefgh456\x01\n")
+    t1 = import_fixed_width(spark, str(bad), fields, skip_header=1)
     t0 = import_fixed_width(spark, str(bad), fields, skip_header=0)
-    assert t0.df.count() == 3
+    got1 = sorted(map(tuple, t1.df.collect()))
+    got0 = sorted(map(tuple, t0.df.collect()))
+    assert got1 == [t for t in got0 if t != ("hdrx", 0)]
+    assert ("ab\x01d", 123) in got1  # the \x01 byte survived verbatim
+
+    # only a line containing the FULL separator sequence mis-splits,
+    # and that raises loudly instead of shifting field offsets
+    seq = tmp_path / "seq.txt"
+    seq.write_bytes(b"HDRXXXX\nabcd123\nef\x01\x02\x03h456\n")
+    with pytest.raises(Exception, match="x01"):
+        import_fixed_width(spark, str(seq), fields, skip_header=1).df.collect()
 
 
 # --------------------------------------------------------------------- #
