@@ -689,6 +689,7 @@ def connected_components(
     )
     e0 = e
     prev_sig = None
+    prev_ckpt = None  # superseded per-round edge checkpoints we own
     for _ in range(max_iter):
         # large-star: every neighbor larger than u links to min(N(u) ∪ {u})
         und = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -717,6 +718,13 @@ def connected_components(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
         ).first()
+        # eager release of the superseded round checkpoint (the
+        # pagerank lesson: ContextCleaner is driver-GC-paced, and a
+        # 100 TB dup graph leaves an edge-sized block set per round)
+        from ..operators.graph import _lc_release
+
+        _lc_release(prev_ckpt)
+        prev_ckpt = e
         if prev_sig == (sig["n"], sig["h"]):
             break
         prev_sig = (sig["n"], sig["h"])

@@ -194,6 +194,10 @@ def bfs_levels(
         .localCheckpoint()
     )
     visited = frontier
+    # superseded checkpoints we own; the depth-0 sources checkpoint is
+    # both visited and frontier, releasable once depth 1 materializes
+    prev_visited = frontier
+    prev_frontier = None
     for depth in range(1, max_depth + 1):
         nxt = (
             frontier.join(e, frontier["node"] == e["src"])
@@ -204,9 +208,20 @@ def bfs_levels(
             .localCheckpoint()
         )
         if nxt.isEmpty():
+            _lc_release(nxt)
             break
         visited = visited.unionByName(nxt).localCheckpoint()
+        # the new visited checkpoint is materialized — the previous
+        # round's visited and frontier blocks are superseded (eager
+        # release; ContextCleaner would get to them eventually, but a
+        # deep BFS in a long session accumulates one block set per
+        # level otherwise — the pagerank lesson)
+        _lc_release(prev_visited)
+        _lc_release(prev_frontier)
+        prev_visited = visited
+        prev_frontier = nxt
         frontier = nxt
+    _lc_release(e)
     return visited
 
 
@@ -335,7 +350,7 @@ def label_propagation(
                 "label", F.struct((-F.col("__n")).alias("a"), F.col("label").alias("b"))
             ).alias("new_label")
         )
-        labels = (
+        new_labels = (
             nodes.join(best, nodes["node"] == best["v_node"], "left")
             .select(
                 "node",
@@ -343,6 +358,15 @@ def label_propagation(
             )
             .localCheckpoint()
         )
+        # eager release of the superseded label checkpoint (pagerank
+        # discipline) — the first round's `labels` is a lazy projection
+        # over nodes, not a checkpoint, so _lc_release no-ops there
+        _lc_release(labels)
+        labels = new_labels
+    # the returned labels are a materialized checkpoint — the static
+    # edge/node blocks can go too
+    _lc_release(e)
+    _lc_release(nodes)
     return labels
 
 
