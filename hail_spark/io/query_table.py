@@ -51,16 +51,26 @@ def build_key_manifest(path: str, key: list[str]) -> bool:
     in its table spec for the same reason —
     AbstractRVDSpec.scala:224). Returns True if written; keys whose
     parquet stats aren't JSON-primitive (dates, decimals, binary) skip
-    the manifest and lookups fall back to footer pruning."""
-    if not key:
+    the manifest and lookups fall back to footer pruning. A skipped
+    build also REMOVES any manifest left by a previous write of the
+    same path, so an overwrite can never leave a stale one behind."""
+
+    def _skip() -> bool:
+        try:
+            os.remove(os.path.join(path, _MANIFEST_NAME))
+        except OSError:
+            pass
         return False
+
+    if not key:
+        return _skip()
     k0 = key[0]
     entries = {}
     for fp in sorted(glob.glob(os.path.join(path, "rows", "*.parquet"))):
         pf = pq.ParquetFile(fp)
         names = pf.schema_arrow.names
         if k0 not in names:
-            return False
+            return _skip()
         fmin, fmax = None, None
         for b in _row_group_bounds(pf, names.index(k0)):
             if b is None:
@@ -71,7 +81,7 @@ def build_key_manifest(path: str, key: list[str]) -> bool:
         if fmin is None or not (
             isinstance(fmin, _JSONABLE) and isinstance(fmax, _JSONABLE)
         ):
-            return False  # no/unsupported stats — don't write a partial lie
+            return _skip()  # no/unsupported stats — never a partial lie
         entries[os.path.basename(fp)] = [fmin, fmax]
     with open(os.path.join(path, _MANIFEST_NAME), "w") as f:
         json.dump({"key_field": k0, "files": entries}, f)
