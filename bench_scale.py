@@ -101,6 +101,9 @@ QUERIES = [
     # Viterbi encode projection
     "image_near_dup_assets", "audio_near_dup_assets",
     "video_near_dup_assets", "unigram_encode_docs",
+    # round-8 iterative/graph/posting-join additions
+    "sssp_purchase_graph", "kcore_purchase_graph", "doc_cosine_topk",
+    "basket_rules_parts", "stream_stream_join_replay",
 ]
 
 
