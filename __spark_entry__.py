@@ -11399,7 +11399,8 @@ _KCORE_SQL = (
 WITH e0 AS MATERIALIZED (
   SELECT DISTINCT LEAST(o_custkey, 1000000 + l_suppkey) AS lo,
                   GREATEST(o_custkey, 1000000 + l_suppkey) AS hi
-  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),"""
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_custkey <> 1000000 + l_suppkey),"""
     + ",".join(_KCORE_STEP.format(i=i, p=i - 1) for i in range(1, 5))
     + """
 SELECT CAST(node AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS core_degree

@@ -783,6 +783,7 @@ def import_fixed_width(
     fields: Sequence[tuple[str, int, int, str]],
     skip_header: int = 0,
     trim: bool = True,
+    splittable_header_skip: bool = False,
 ) -> Table:
     """Fixed-width text importer (COBOL/mainframe-extract style — a
     source format the CSV reader can't express): ``fields`` is a list
@@ -794,20 +795,23 @@ def import_fixed_width(
 
     ``skip_header`` skips leading lines PER FILE (every file in a
     multi-file glob carries its own header — the mainframe-extract
-    convention). ``skip_header=1`` stays fully splittable: the text is
-    routed through the CSV source with an unquoted non-occurring
-    delimiter, whose header logic drops the first line of each file at
-    split offset 0. A data line containing the \\x01 byte (never true
-    of a printable fixed-width layout) is DETECTED at execution and
-    raises with the offending line prefix, instead of silently
-    shifting field offsets. ``skip_header>1`` falls back to
-    a wholetext read (one row per file, split+posexplode for exact
-    per-file positions) — correct but NOT split-parallel within a
-    file; parallelism = file count. Blank-line caveat: the CSV route
-    (skip_header=1) drops completely EMPTY lines (CSV-parser
-    behavior), while skip_header=0 and >1 keep them as all-spaces
-    records — empty lines are malformed in a fixed-width layout, but
-    if they occur, the row counts differ across skip_header modes.
+    convention). ``skip_header>=1`` defaults to the wholetext path
+    (one row per file, split+posexplode for exact per-file positions):
+    BYTE-EXACT for any content, but not split-parallel within a file —
+    parallelism = file count, the natural shape for mainframe extracts
+    (many medium files). ``splittable_header_skip=True`` opts
+    ``skip_header=1`` into the CSV fast path instead (splittable
+    within files): the text routes through the CSV source with an
+    unquoted 3-byte control-sequence delimiter (\x01\x02\x03), so
+    single control bytes pass through verbatim; a line CONTAINING the
+    full 3-byte sequence raises loudly at execution via a sentinel
+    overflow column — EXCEPT when the sequence is the line's suffix,
+    where the CSV parser drops the trailing empty token before the
+    sentinel can see it and the trailing 3 bytes are silently lost
+    (the one residual of this path, which is why it is opt-in).
+    Blank-line caveat for the fast path: the CSV parser drops
+    completely EMPTY lines, while the default paths keep them as
+    all-spaces records.
 
     Scale: inherits the text source's splittable parallelism; parsing
     is map-only, and column pruning drops unused substrings like any
@@ -816,7 +820,7 @@ def import_fixed_width(
         raise ValueError("import_fixed_width: fields is empty")
     if skip_header == 0:
         df = spark.read.text(path)
-    elif skip_header == 1:
+    elif skip_header == 1 and splittable_header_skip:
         # CSV source with header=True + explicit schema: drops the
         # first line of EVERY file (offset-0 split logic), keeps the
         # scan splittable. quote='' disables quote/escape handling so

@@ -110,13 +110,21 @@ def _manifest_files(path: str, k0: str, lo, hi) -> list[str] | None:
     }
     if set(listed) != actual:
         return None  # stale manifest — correctness beats the shortcut
-    if listed and not isinstance(lo, _JSONABLE):
+    if listed and not (
+        isinstance(lo, _JSONABLE) and isinstance(hi, _JSONABLE)
+    ):
         return None  # probe type can't compare against JSON bounds
-    return sorted(
-        os.path.join(path, "rows", name)
-        for name, (fmin, fmax) in listed.items()
-        if fmin <= hi and fmax >= lo
-    )
+    try:
+        return sorted(
+            os.path.join(path, "rows", name)
+            for name, (fmin, fmax) in listed.items()
+            if fmin <= hi and fmax >= lo
+        )
+    except TypeError:
+        # JSON-primitive but incomparable probe (str probe vs int
+        # bounds, mixed interval endpoints): degrade to footer pruning
+        # instead of surfacing a comparison error
+        return None
 
 
 def query_table(path: str, point=None, interval: tuple | None = None) -> list[dict]:

@@ -135,8 +135,12 @@ def _decode_image(content: bytes) -> tuple[np.ndarray, str]:
     otherwise. Returns (HxWx3 uint8, format)."""
     if not content:
         raise ValueError("cannot decode empty image content")
+    bmp_err = None
     if content[:2] == b"BM":
-        return _decode_bmp(content), "bmp"
+        try:
+            return _decode_bmp(content), "bmp"
+        except ValueError as e:
+            bmp_err = e  # BMP variant our decoder rejects — PIL's turn
     try:
         from io import BytesIO
 
@@ -148,7 +152,12 @@ def _decode_image(content: bytes) -> tuple[np.ndarray, str]:
     except ImportError:
         pass
     except Exception:
-        pass  # PIL present but bytes aren't a format it knows — stub
+        pass  # PIL present but bytes aren't a format it knows
+    if bmp_err is not None:
+        # RECOGNIZED format we cannot decode and no codec rescued it:
+        # stay loud (a stub pseudo-image would silently poison every
+        # downstream hash/embedding) — the impex/hamming discipline
+        raise bmp_err
     return _decode_image_stub(content), "stub"
 
 
@@ -159,12 +168,13 @@ def _decode_audio(content: bytes) -> tuple[np.ndarray, int, str]:
     float32 waveform, sample_rate, format)."""
     if not content:
         raise ValueError("cannot decode empty audio content")
+    wav_err = None
     if content[:4] == b"RIFF" and content[8:12] == b"WAVE":
         try:
             w, sr = _decode_wav(content)
             return w, sr, "wav"
-        except ValueError:
-            pass  # non-PCM16 WAV — give soundfile a shot below
+        except ValueError as e:
+            wav_err = e  # non-PCM16 WAV — give soundfile a shot below
     try:
         from io import BytesIO
 
@@ -175,7 +185,11 @@ def _decode_audio(content: bytes) -> tuple[np.ndarray, int, str]:
     except ImportError:
         pass
     except Exception:
-        pass  # soundfile present but bytes unrecognized — stub
+        pass  # soundfile present but bytes unrecognized
+    if wav_err is not None:
+        # a RIFF/WAVE we cannot decode and no codec rescued: stay loud
+        # instead of fingerprinting a stub pseudo-waveform
+        raise wav_err
     return _decode_audio_stub(content), 16000, "stub"
 
 
@@ -554,6 +568,17 @@ def audio_near_dup(
     )
 
 
+def _video_frame_postings(df: DataFrame, every_n: int) -> DataFrame:
+    """The distinct (asset, frame_hash) posting table shared by
+    video_near_dup and video_posting_overflow — one source of truth,
+    so the cap and its report can never desynchronize."""
+    return (
+        video_frame_sample(df, every_n=every_n)
+        .select("asset_id", "frame_hash")
+        .distinct()
+    )
+
+
 def video_near_dup(
     df: DataFrame,
     min_jaccard: float = 0.5,
@@ -593,11 +618,7 @@ def video_near_dup(
         )
     from pyspark.sql import Window as W
 
-    frames = (
-        video_frame_sample(df, every_n=every_n)
-        .select("asset_id", "frame_hash")
-        .distinct()
-    )
+    frames = _video_frame_postings(df, every_n)
     # full per-asset set size FIRST (the Jaccard denominator must count
     # every frame, including ones the postings cap later drops)
     frames = frames.withColumn(
@@ -644,12 +665,9 @@ def video_posting_overflow(
     ``max_postings_per_hash`` — one row per over-cap hash with the
     number of assets sharing it (the dropped posting mass). Run this
     alongside a capped dedup to quantify what the cap excluded; an
-    empty result means the cap was inert."""
-    frames = (
-        video_frame_sample(df, every_n=every_n)
-        .select("asset_id", "frame_hash")
-        .distinct()
-    )
+    empty result means the cap was inert. Shares _video_frame_postings
+    with video_near_dup so the report sees exactly what the cap sees."""
+    frames = _video_frame_postings(df, every_n)
     return (
         frames.groupBy("frame_hash")
         .agg(F.count(F.lit(1)).alias("n_assets"))

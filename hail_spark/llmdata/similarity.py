@@ -969,6 +969,57 @@ def mine_hard_negatives(
     )
 
 
+def _band_structs(bits_col: str, n_bits: int, max_hamming: int, word_bits: int):
+    """Banded-pigeonhole band extraction shared by
+    hamming_near_dup_pairs and hamming_band_overflow — one source of
+    truth so the cap and its report can never desynchronize. Returns
+    the list of (band index, band value) struct Columns."""
+    n_bands = max_hamming + 1
+    bands = []
+    for i in range(n_bands):
+        lo = i * n_bits // n_bands
+        hi = (i + 1) * n_bits // n_bands
+        expr = F.lit(0).cast("long")
+        for p in range(lo, hi):
+            word = F.element_at(F.col(bits_col), p // word_bits + 1)
+            bit = F.shiftright(word, p % word_bits).bitwiseAND(F.lit(1))
+            expr = expr + F.shiftleft(bit.cast("long"), p - lo)
+        bands.append(F.struct(F.lit(i).alias("b"), expr.alias("v")))
+    return bands
+
+
+def _validate_packing(
+    df: DataFrame, id_col: str, bits_col: str, n_bits: int, word_bits: int
+) -> DataFrame:
+    """Per-row (word_bits, n_bits) packing-contract validation shared
+    by the banded-Hamming family: a row with too few words raises with
+    the offending id at EXECUTION, instead of silently losing pairs
+    (or reporting clean) through NULL band values."""
+    need_words = (n_bits + word_bits - 1) // word_bits
+    return df.withColumn(
+        bits_col,
+        F.when(F.size(F.col(bits_col)) >= need_words, F.col(bits_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "hamming banded join: packing contract violated — "
+                        "row id "
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit(f" has size({bits_col})="),
+                    F.size(F.col(bits_col)).cast("string"),
+                    F.lit(
+                        f" words but n_bits={n_bits} at word_bits={word_bits} "
+                        f"needs >= {need_words}; pass the word_bits the "
+                        "producer packed with (32 for image_dhash/"
+                        "audio_fingerprint, 60 for binarize_embeddings)"
+                    ),
+                )
+            )
+        ),
+    )
+
+
 def hamming_near_dup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1016,42 +1067,8 @@ def hamming_near_dup_pairs(
         raise ValueError(
             "hamming_near_dup_pairs: max_postings_per_band must be >= 2"
         )
-    need_words = (n_bits + word_bits - 1) // word_bits
-    df = df.withColumn(
-        bits_col,
-        F.when(F.size(F.col(bits_col)) >= need_words, F.col(bits_col)).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit(
-                        "hamming_near_dup_pairs: packing contract violated — "
-                        f"row id "
-                    ),
-                    F.col(id_col).cast("string"),
-                    F.lit(
-                        f" has size({bits_col})="
-                    ),
-                    F.size(F.col(bits_col)).cast("string"),
-                    F.lit(
-                        f" words but n_bits={n_bits} at word_bits={word_bits} "
-                        f"needs >= {need_words}; pass the word_bits the "
-                        "producer packed with (32 for image_dhash/"
-                        "audio_fingerprint, 60 for binarize_embeddings)"
-                    ),
-                )
-            )
-        ),
-    )
-    n_bands = max_hamming + 1
-    bands = []
-    for i in range(n_bands):
-        s = i * n_bits // n_bands
-        e = (i + 1) * n_bits // n_bands
-        expr = F.lit(0).cast("long")
-        for p in range(s, e):
-            word = F.element_at(F.col(bits_col), p // word_bits + 1)
-            bit = F.shiftright(word, p % word_bits).bitwiseAND(F.lit(1))
-            expr = expr + F.shiftleft(bit.cast("long"), p - s)
-        bands.append(F.struct(F.lit(i).alias("b"), expr.alias("v")))
+    df = _validate_packing(df, id_col, bits_col, n_bits, word_bits)
+    bands = _band_structs(bits_col, n_bits, max_hamming, word_bits)
     t = df.select(
         F.col(id_col).alias("__id"),
         F.col(bits_col).alias("__bits"),
@@ -1107,20 +1124,14 @@ def hamming_band_overflow(
     """Report the band keys :func:`hamming_near_dup_pairs` would DROP
     under ``max_postings_per_band`` — one row per over-cap (band,
     value) key with the number of codes sharing it (the dropped
-    posting mass). Same band extraction as the pair join, so the
-    report and the cap can never disagree. Run alongside a capped
-    dedup to quantify what the cap excluded; empty means inert."""
-    n_bands = max_hamming + 1
-    bands = []
-    for i in range(n_bands):
-        s = i * n_bits // n_bands
-        e = (i + 1) * n_bits // n_bands
-        expr = F.lit(0).cast("long")
-        for p in range(s, e):
-            word = F.element_at(F.col(bits_col), p // word_bits + 1)
-            bit = F.shiftright(word, p % word_bits).bitwiseAND(F.lit(1))
-            expr = expr + F.shiftleft(bit.cast("long"), p - s)
-        bands.append(F.struct(F.lit(i).alias("b"), expr.alias("v")))
+    posting mass). SHARED band extraction and packing validation with
+    the pair join (_band_structs / _validate_packing), so the report
+    and the cap can never disagree — and a mis-packed input raises
+    here exactly like the pair join instead of reporting clean on
+    NULL bands. Run alongside a capped dedup to quantify what the cap
+    excluded; empty means inert."""
+    df = _validate_packing(df, id_col, bits_col, n_bits, word_bits)
+    bands = _band_structs(bits_col, n_bits, max_hamming, word_bits)
     t = df.select(
         F.col(id_col).alias("__id"), F.explode(F.array(*bands)).alias("bd")
     ).select("__id", F.col("bd.b").alias("b"), F.col("bd.v").alias("v"))

@@ -485,6 +485,7 @@ def kcore(
         .localCheckpoint()
     )
     prev_ckpt = e
+    prev_n = e.count()  # carried across rounds: one count job per round
     for _ in range(n_iter):
         deg = (
             e.select(F.col("lo").alias("node"))
@@ -499,7 +500,9 @@ def kcore(
             .select("lo", "hi")
             .localCheckpoint()
         )
-        stable = ne.count() == e.count()
+        n = ne.count()
+        stable = n == prev_n
+        prev_n = n
         _lc_release(prev_ckpt)
         prev_ckpt = ne
         e = ne

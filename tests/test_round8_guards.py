@@ -128,27 +128,37 @@ def test_fixed_width_x01_line_raises(spark, tmp_path):
     t = import_fixed_width(spark, str(good), fields, skip_header=1)
     assert sorted(map(tuple, t.df.collect())) == [("abcd", 123), ("efgh", 456)]
 
-    # single control bytes now pass through byte-transparently (the
-    # separator is the 3-byte \x01\x02\x03 sequence): the skip_header=1
-    # fast path must parse \x01-bearing lines IDENTICALLY to the plain
-    # line reader, including a line ENDING in \x01
+    # DEFAULT skip_header=1 path is byte-exact (wholetext): any control
+    # bytes — lone, trailing, or the full \x01\x02\x03 sequence — parse
+    # identically to the plain line reader. Header kept castable so the
+    # skip_header=0 comparison frame can evaluate the int field.
     bad = tmp_path / "bad.txt"
-    # header line kept castable so the skip_header=0 comparison frame
-    # can evaluate the int field on every line
-    bad.write_bytes(b"hdrx000\nab\x01d123\nefgh456\x01\n")
-    t1 = import_fixed_width(spark, str(bad), fields, skip_header=1)
-    t0 = import_fixed_width(spark, str(bad), fields, skip_header=0)
+    bad.write_bytes(b"hdrx000\nab\x01d123\nefgh456\x01\nef\x01\x02\x03h456\n")
+    fields_s = [("a", 1, 4, "string"), ("b", 5, 3, "string")]
+    t1 = import_fixed_width(spark, str(bad), fields_s, skip_header=1)
+    t0 = import_fixed_width(spark, str(bad), fields_s, skip_header=0)
     got1 = sorted(map(tuple, t1.df.collect()))
     got0 = sorted(map(tuple, t0.df.collect()))
-    assert got1 == [t for t in got0 if t != ("hdrx", 0)]
-    assert ("ab\x01d", 123) in got1  # the \x01 byte survived verbatim
+    assert got1 == [t for t in got0 if t != ("hdrx", "000")]
+    assert ("ab\x01d", "123") in got1  # the \x01 byte survived verbatim
+    assert ("ef\x01\x02", "\x03h4") in got1  # even the full sequence
 
-    # only a line containing the FULL separator sequence mis-splits,
-    # and that raises loudly instead of shifting field offsets
+    # the opt-in splittable fast path: lone control bytes pass through
+    # verbatim; an INTERIOR full separator sequence raises loudly
+    fast = tmp_path / "fast.txt"
+    fast.write_bytes(b"hdrx000\nab\x01d123\nefgh456\n")
+    tf = import_fixed_width(
+        spark, str(fast), fields, skip_header=1, splittable_header_skip=True
+    )
+    assert sorted(map(tuple, tf.df.collect())) == [
+        ("ab\x01d", 123), ("efgh", 456)
+    ]
     seq = tmp_path / "seq.txt"
     seq.write_bytes(b"HDRXXXX\nabcd123\nef\x01\x02\x03h456\n")
     with pytest.raises(Exception, match="x01"):
-        import_fixed_width(spark, str(seq), fields, skip_header=1).df.collect()
+        import_fixed_width(
+            spark, str(seq), fields, skip_header=1, splittable_header_skip=True
+        ).df.collect()
 
 
 # --------------------------------------------------------------------- #
@@ -343,3 +353,40 @@ def test_query_table_manifest_prunes_file_opens(spark, tmp_path):
         rows2 = qt.query_table(p, point=1234)
         assert [r["v"] for r in rows2] == [3702]
         assert spy2.call_count > 1  # fallback listed+opened everything
+
+
+def test_hamming_overflow_report_validates_packing(spark):
+    """The overflow report shares the packing validation with the pair
+    join: a mis-packed input raises in BOTH, never 'clean report +
+    crashing dedup'."""
+    from hail_spark.llmdata.similarity import hamming_band_overflow
+
+    bad = spark.createDataFrame([(7, [0])], "vec_id long, bits array<long>")
+    with pytest.raises(Exception, match="packing contract"):
+        hamming_band_overflow(bad, n_bits=64, max_hamming=2).collect()
+
+
+def test_audio_decode_stays_loud_on_unsupported_wav(spark):
+    """A recognized RIFF/WAVE our PCM16 decoder rejects must raise (not
+    silently fingerprint a stub) when no optional codec rescues it."""
+    import struct
+
+    from hail_spark.llmdata.multimodal import audio_fingerprint
+
+    # 24-bit PCM WAV header (bits=24) with a tiny data chunk
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 48000, 3, 24)
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + (6).to_bytes(4, "little") + b"\x00" * 6
+    wav24 = b"RIFF" + len(body).to_bytes(4, "little") + body
+    df = spark.createDataFrame([(1, wav24)], "asset_id long, content binary")
+    try:
+        import soundfile  # noqa: F401
+
+        has_sf = True
+    except ImportError:
+        has_sf = False
+    if has_sf:
+        assert audio_fingerprint(df).count() == 1  # codec rescued it
+    else:
+        with pytest.raises(Exception, match="16-bit PCM"):
+            audio_fingerprint(df).collect()
