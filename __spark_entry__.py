@@ -6172,6 +6172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_purchase_graph",
         "benford_quality_orders",
         "quantile_normalize_quantities",
+        "knn_label_eval_embeddings",
         # (b) implementations changed in round 8 (verdict/ADVICE fixes)
         "pagerank_purchase_graph",
         "embedding_binarize_words",
@@ -6414,6 +6415,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_purchase_graph": kcore_q,
         "benford_quality_orders": benford_q,
         "quantile_normalize_quantities": quantile_norm_q,
+        "knn_label_eval_embeddings": knn_label_eval_q,
         "resample_events_ffill": resample_events_q,
         "validate_orders_report": validate_orders_q,
         "skew_report_sources": skew_report_q,
@@ -6712,6 +6714,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_purchase_graph": _KCORE_SQL,
         "benford_quality_orders": _BENFORD_SQL,
         "quantile_normalize_quantities": _QUANTILE_NORM_SQL,
+        "knn_label_eval_embeddings": _KNN_LABEL_EVAL_SQL,
         "resample_events_ffill": _RESAMPLE_SQL,
         "validate_orders_report": _VALIDATE_SQL,
         "skew_report_sources": _SKEW_REPORT_SQL,
@@ -11362,6 +11365,65 @@ SELECT CAST(d AS VARCHAR) AS d, CAST(n AS BIGINT) AS n,
        (cusum_pos > 60.0 OR cusum_neg > 60.0) AS is_change
 FROM s ORDER BY d
 """
+
+
+def knn_label_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-agreement embedding-quality gate (llmdata/similarity.py
+    knn_label_eval): every 40th vector queries the full corpus, its 5
+    nearest cosine neighbors (self excluded) majority-vote a label
+    (ties -> smallest), scored against the query's own label, rolled up
+    per true label. The oracle replays the cosine ranking, the vote,
+    and the rollup in SQL."""
+    from hail_spark.llmdata.similarity import knn_label_eval
+
+    e = _t(spark, sf_dir, "embeddings").df
+    q = e.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("label").alias("q_label"),
+    )
+    out = knn_label_eval(e, q, k=5)
+    return out.select(
+        F.col("label").cast("string").alias("label"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+        F.col("n_correct").cast("long").alias("n_correct"),
+        "accuracy",
+    ).orderBy("label")
+
+
+_KNN_LABEL_EVAL_SQL = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec, label AS q_label
+           FROM embeddings WHERE vec_id % 40 = 0),
+scored AS (
+  SELECT q.q_id, e.vec_id, e.label AS nl,
+         list_aggregate(list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * q.q_vec[i]::DOUBLE), 'sum')
+         / (sqrt(list_aggregate(list_transform(range(1, 65),
+             i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE), 'sum'))
+          * sqrt(list_aggregate(list_transform(range(1, 65),
+             i -> q.q_vec[i]::DOUBLE * q.q_vec[i]::DOUBLE), 'sum'))) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.q_id),
+ranked AS (SELECT q_id, nl,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY cos DESC, vec_id) AS rk
+           FROM scored),
+votes AS (SELECT q_id, nl, COUNT(*) AS n FROM ranked WHERE rk <= 5
+          GROUP BY 1, 2),
+pred AS (SELECT q_id, nl AS pred FROM (
+           SELECT q_id, nl,
+                  row_number() OVER (PARTITION BY q_id
+                                     ORDER BY n DESC, nl) AS vr
+           FROM votes) WHERE vr = 1)
+SELECT CAST(q.q_label AS VARCHAR) AS label,
+       COUNT(*) AS n_queries,
+       CAST(SUM(CASE WHEN pred.pred = q.q_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(SUM(CASE WHEN pred.pred = q.q_label THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS accuracy
+FROM pred JOIN q ON q.q_id = pred.q_id
+GROUP BY q.q_label ORDER BY label
+"""
+
 
 _KCORE_STEP = """
 d{i} AS (SELECT node, COUNT(*) AS dg FROM (

@@ -1241,3 +1241,74 @@ def sparse_cosine_topk(
             "cosine",
         )
     )
+
+
+def knn_label_eval(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    q_label_col: str = "q_label",
+) -> DataFrame:
+    """kNN label-agreement evaluation — the standard embedding-quality
+    gate for training-data curation (an embedding space is useful for
+    semantic dedup / clustering exactly to the degree that nearest
+    neighbors share labels): for each query vector, take its ``k``
+    nearest corpus neighbors by cosine (SELF excluded by id), majority-
+    vote their labels (ties -> smallest label), and score agreement
+    with the query's own label. Returns per-true-label
+    (label, n_queries, n_correct, accuracy).
+
+    Shape: :func:`brute_force_topk` over the broadcast query sample
+    (k+1 then drop self — the eval is always run on a bounded query
+    sample, the corpus side scans once), one (query, label) hash-agg
+    vote, one min_by argmax, one label hash-agg. Swap the scorer for
+    ivf_topk/pq_topk at 100 TB; vote and scoring are unchanged."""
+    if k < 1:
+        raise ValueError("knn_label_eval: k must be >= 1")
+    nb = brute_force_topk(
+        corpus, queries.select(q_id_col, q_vec_col), k + 1,
+        vec_col=vec_col, id_col=id_col,
+        q_id_col=q_id_col, q_vec_col=q_vec_col,
+    )
+    nb = (
+        nb.filter(F.col(id_col) != F.col(q_id_col))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.partitionBy(q_id_col).orderBy(
+                    F.col("cosine").desc(), F.col(id_col).asc()
+                )
+            ),
+        )
+        .filter(F.col("__rk") <= k)
+    )
+    lab = corpus.select(F.col(id_col), F.col(label_col).alias("__nl"))
+    votes = (
+        nb.join(lab, id_col)
+        .groupBy(q_id_col, "__nl")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    pred = votes.groupBy(q_id_col).agg(
+        F.min_by(
+            "__nl", F.struct((-F.col("__n")).alias("a"), F.col("__nl").alias("b"))
+        ).alias("__pred")
+    )
+    truth = queries.select(q_id_col, F.col(q_label_col).alias("__true"))
+    scored = pred.join(truth, q_id_col)
+    return (
+        scored.groupBy(F.col("__true").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                F.when(F.col("__pred") == F.col("__true"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy", F.round(F.col("n_correct") / F.col("n_queries"), 6)
+        )
+    )

@@ -271,3 +271,27 @@ def test_quantile_normalize_forces_identical_distributions(spark):
     # monotone: the largest raw value maps to the largest rank mean
     top_b = max(out, key=lambda r: (r["s"] == "b", r["v"]))
     assert top_b["normalized"] == expect[-1]
+
+
+def test_knn_label_eval_known_space(spark):
+    from hail_spark.llmdata.similarity import knn_label_eval
+
+    # two well-separated clusters: "a" around +x axis, "b" around +y
+    rows = []
+    for i in range(6):
+        rows.append((i, [10.0, float(i % 3)], "a"))
+        rows.append((100 + i, [float(i % 3), 10.0], "b"))
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    q = corpus.selectExpr("vec_id as q_id", "embedding as q_vec", "label as q_label")
+    out = {r["label"]: (r["n_queries"], r["n_correct"], r["accuracy"])
+           for r in knn_label_eval(corpus, q, k=3).collect()}
+    assert out == {"a": (6, 6, 1.0), "b": (6, 6, 1.0)}
+
+    # flip one query's true label: its neighbors still vote the
+    # cluster's label, so that label's accuracy drops
+    q2 = q.withColumn(
+        "q_label", F.when(F.col("q_id") == 0, "b").otherwise(F.col("q_label"))
+    )
+    out2 = {r["label"]: (r["n_queries"], r["n_correct"])
+            for r in knn_label_eval(corpus, q2, k=3).collect()}
+    assert out2["b"] == (7, 6) and out2["a"] == (5, 5)
