@@ -6173,6 +6173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_quality_orders",
         "quantile_normalize_quantities",
         "knn_label_eval_embeddings",
+        "neighborhood_fn_graph",
         # (b) implementations changed in round 8 (verdict/ADVICE fixes)
         "pagerank_purchase_graph",
         "embedding_binarize_words",
@@ -6416,6 +6417,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_quality_orders": benford_q,
         "quantile_normalize_quantities": quantile_norm_q,
         "knn_label_eval_embeddings": knn_label_eval_q,
+        "neighborhood_fn_graph": neighborhood_fn_q,
         "resample_events_ffill": resample_events_q,
         "validate_orders_report": validate_orders_q,
         "skew_report_sources": skew_report_q,
@@ -6715,6 +6717,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_quality_orders": _BENFORD_SQL,
         "quantile_normalize_quantities": _QUANTILE_NORM_SQL,
         "knn_label_eval_embeddings": _KNN_LABEL_EVAL_SQL,
+        "neighborhood_fn_graph": _NEIGHBORHOOD_FN_SQL,
         "resample_events_ffill": _RESAMPLE_SQL,
         "validate_orders_report": _VALIDATE_SQL,
         "skew_report_sources": _SKEW_REPORT_SQL,
@@ -11423,6 +11426,100 @@ SELECT CAST(q.q_label AS VARCHAR) AS label,
 FROM pred JOIN q ON q.q_id = pred.q_id
 GROUP BY q.q_label ORDER BY label
 """
+
+
+def neighborhood_fn_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function (operators/graph.py
+    neighborhood_function — per-node HLL ball sketches, Boldi & Vigna
+    2011) over a thinned cyclic 3-layer purchase graph (every 20th
+    order): N(r) = total nodes reachable within r hops, r = 0..2.
+    DataSketches HLL is EXACT in its sparse regime, so the oracle
+    replays exact reachability counts from unrolled MATERIALIZED
+    reach-pair CTEs; a ball crossing the sparse bound raises loudly
+    (the hll_distinct_rollup guard discipline) instead of surfacing
+    as an estimate-vs-exact hash mismatch at a bigger SF."""
+    from hail_spark.operators.graph import neighborhood_function
+
+    lgk = 14
+    sparse_bound = int(0.75 * (1 << lgk))
+    o = _t(spark, sf_dir, "orders").df.filter(F.col("o_orderkey") % 20 == 0)
+    li = _t(spark, sf_dir, "lineitem").df
+    ol = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    e = (
+        ol.select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + 1_000_000).alias("dst"),
+        )
+        .unionByName(
+            ol.select(
+                (F.col("l_suppkey") + 1_000_000).alias("src"),
+                (F.col("l_partkey") + 2_000_000).alias("dst"),
+            )
+        )
+        .unionByName(
+            ol.select(
+                (F.col("l_partkey") + 2_000_000).alias("src"),
+                F.col("o_custkey").alias("dst"),
+            )
+        )
+    )
+    nf = neighborhood_function(e, radius=2, lgk=lgk)
+    guarded = F.when(
+        F.col("n_reachable") >= F.lit(sparse_bound),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "neighborhood_fn: a ball left the HLL sparse regime "
+                    f"(>= {sparse_bound} at lgk={lgk}) — the exact-replay "
+                    "oracle no longer applies; raise lgk. Node: "
+                ),
+                F.col("node").cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.col("n_reachable"))
+    return (
+        nf.select("radius", guarded.alias("nr"))
+        .groupBy("radius")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("nr").alias("nf"),
+        )
+        .select(F.col("radius").cast("int").alias("radius"), "n_nodes", "nf")
+        .orderBy("radius")
+    )
+
+
+_NEIGHBORHOOD_FN_SQL = """
+WITH ol AS MATERIALIZED (
+  SELECT o_custkey AS c, 1000000 + l_suppkey AS s, 2000000 + l_partkey AS p
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderkey % 20 = 0),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT c AS src, s AS dst FROM ol
+    UNION ALL SELECT s, p FROM ol
+    UNION ALL SELECT p, c FROM ol)),
+nodes AS (SELECT DISTINCT src AS v FROM e UNION SELECT dst FROM e),
+r0 AS (SELECT v, v AS u FROM nodes),
+r1 AS MATERIALIZED (
+  SELECT DISTINCT v, u FROM (
+    SELECT v, u FROM r0
+    UNION ALL
+    SELECT e.src AS v, r0.u FROM e JOIN r0 ON r0.v = e.dst)),
+r2 AS MATERIALIZED (
+  SELECT DISTINCT v, u FROM (
+    SELECT v, u FROM r1
+    UNION ALL
+    SELECT e.src AS v, r1.u FROM e JOIN r1 ON r1.v = e.dst))
+SELECT 0 AS radius, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_nodes,
+       CAST(COUNT(*) AS BIGINT) AS nf FROM r0
+UNION ALL
+SELECT 1, CAST(COUNT(DISTINCT v) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM r1
+UNION ALL
+SELECT 2, CAST(COUNT(DISTINCT v) AS BIGINT), CAST(COUNT(*) AS BIGINT) FROM r2
+ORDER BY radius
+"""
+
 
 
 _KCORE_STEP = """

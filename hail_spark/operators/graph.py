@@ -515,3 +515,78 @@ def kcore(
         .agg(F.count(F.lit(1)).alias("core_degree"))
         .filter(F.col("core_degree") >= k)
     )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    radius: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    lgk: int = 14,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna 2011): per node, the number of nodes
+    reachable within r hops, for every r in 0..radius, via MERGEABLE
+    HLL sketches instead of materialized reachability sets —
+    ``ball_0(v) = {v}``, ``ball_{r+1}(v) = ball_r(v) ∪ ⋃_{v→u}
+    ball_r(u)``, each round one (edges ⋈ sketches) join + one
+    hll_union_agg hash-agg. Returns (node, radius, n_reachable).
+
+    This is THE scalable way to compute neighborhood functions /
+    effective-diameter estimates: reachability SETS are quadratic, the
+    sketch table is O(nodes * 2^lgk) bits regardless of ball size.
+    DataSketches HLL is EXACT in its sparse regime (< ~0.75 * 2^lgk
+    distinct per sketch), which covers gate-scale graphs — the oracle
+    replays exact reachability counts; beyond sparse the numbers
+    become ±~1% estimates (raise lgk if exactness is required).
+    Lineage is cut per round with eager release (pagerank discipline)."""
+    if radius < 0:
+        raise ValueError("neighborhood_function: radius must be >= 0")
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    sk = (
+        nodes.groupBy("node")
+        .agg(F.hll_sketch_agg(F.col("node"), F.lit(lgk)).alias("__sk"))
+        .localCheckpoint()
+    )
+
+    def _est(s: DataFrame, r: int) -> DataFrame:
+        # materialize the (node, radius, estimate) rows BEFORE the
+        # backing sketch table is superseded and released — the
+        # estimates are one small row per node, the sketches are 2^lgk
+        # bits per node
+        return s.select(
+            "node",
+            F.lit(r).alias("radius"),
+            F.hll_sketch_estimate("__sk").alias("n_reachable"),
+        ).localCheckpoint()
+
+    parts = [_est(sk, 0)]
+    prev_ckpt = sk
+    for r in range(1, radius + 1):
+        contrib = e.join(sk, e["dst"] == sk["node"]).select(
+            F.col("src").alias("node"), "__sk"
+        )
+        merged = (
+            contrib.unionByName(sk.select("node", "__sk"))
+            .groupBy("node")
+            .agg(F.hll_union_agg("__sk").alias("__sk"))
+            .localCheckpoint()
+        )
+        parts.append(_est(merged, r))
+        _lc_release(prev_ckpt)
+        prev_ckpt = merged
+        sk = merged
+    _lc_release(prev_ckpt)  # the final sketches — estimates are taken
+    _lc_release(e)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -295,3 +295,23 @@ def test_knn_label_eval_known_space(spark):
     out2 = {r["label"]: (r["n_queries"], r["n_correct"])
             for r in knn_label_eval(corpus, q2, k=3).collect()}
     assert out2["b"] == (7, 6) and out2["a"] == (5, 5)
+
+
+def test_neighborhood_function_exact_small_graph(spark):
+    from hail_spark.operators.graph import neighborhood_function
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 3)], "src long, dst long"
+    )
+    got = {
+        (r["node"], r["radius"]): r["n_reachable"]
+        for r in neighborhood_function(edges, radius=3).collect()
+    }
+    # sparse-regime HLL is exact: ball_1(1)={1,2,3}, ball_2(1)=+{4}
+    assert got[(1, 0)] == 1 and got[(1, 1)] == 3
+    assert got[(1, 2)] == 4 and got[(1, 3)] == 4
+    assert got[(2, 2)] == 3 and got[(4, 3)] == 1  # sink stays itself
+    # monotone in r for every node
+    for n in (1, 2, 3, 4):
+        for r in range(3):
+            assert got[(n, r)] <= got[(n, r + 1)]
