@@ -805,13 +805,17 @@ def import_fixed_width(
     unquoted 3-byte control-sequence delimiter (\x01\x02\x03), so
     single control bytes pass through verbatim; a line CONTAINING the
     full 3-byte sequence raises loudly at execution via a sentinel
-    overflow column — EXCEPT when the sequence is the line's suffix,
-    where the CSV parser drops the trailing empty token before the
-    sentinel can see it and the trailing 3 bytes are silently lost
-    (the one residual of this path, which is why it is opt-in).
-    Blank-line caveat for the fast path: the CSV parser drops
-    completely EMPTY lines, while the default paths keep them as
-    all-spaces records.
+    overflow column. The one case the sentinel cannot see — the
+    sequence as the line's SUFFIX, where the CSV parser drops the
+    trailing empty token — is caught by a full-extent length guard
+    instead: the fast path requires every line to span the declared
+    field extent (``max(start + length - 1)``), so a suffix-sentinel
+    line arrives 3 bytes short and raises rather than silently losing
+    its tail. Consequence: RAGGED short lines (producers that strip
+    trailing spaces) also raise on this path — use the byte-exact
+    default paths for those files. Blank-line caveat for the fast
+    path: the CSV parser drops completely EMPTY lines, while the
+    default paths keep them as all-spaces records.
 
     Scale: inherits the text source's splittable parallelism; parsing
     is map-only, and column pruning drops unused substrings like any
@@ -841,9 +845,10 @@ def import_fixed_width(
             )
             .csv(path)
         )
+        extent = max(start + length - 1 for _, start, length, _ in fields)
         df = df.select(
-            F.when(F.col("__sep_overflow").isNull(), F.col("value"))
-            .otherwise(
+            F.when(
+                F.col("__sep_overflow").isNotNull(),
                 F.raise_error(
                     F.concat(
                         F.lit(
@@ -859,8 +864,40 @@ def import_fixed_width(
                             "arbitrary bytes."
                         ),
                     )
-                )
+                ),
             )
+            .when(
+                # full-extent guard: the CSV parser drops a TRAILING
+                # separator's empty token before the sentinel column can
+                # see it, so a line ending in \x01\x02\x03 arrives 3
+                # bytes short — requiring the declared extent turns that
+                # silent tail loss (and any ragged short line) into a
+                # loud error; bytes lost BEYOND the extent never affect
+                # the declared fields.
+                F.length("value") < extent,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "import_fixed_width: the skip_header=1 fast "
+                            "path requires every line to span the declared "
+                            f"field extent ({extent} chars) — got a "
+                        ),
+                        F.length("value").cast("string"),
+                        F.lit(
+                            "-char line (a ragged short line, or a line "
+                            "whose \\x01\\x02\\x03 suffix the CSV parser "
+                            "swallowed). Line prefix: "
+                        ),
+                        F.substring(F.col("value"), 1, 80),
+                        F.lit(
+                            ". Use skip_header=0 (line reader) or "
+                            "skip_header>=2 (wholetext path), which parse "
+                            "arbitrary bytes."
+                        ),
+                    )
+                ),
+            )
+            .otherwise(F.col("value"))
             .alias("value")
         )
     else:

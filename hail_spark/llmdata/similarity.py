@@ -1048,10 +1048,11 @@ def hamming_near_dup_pairs(
     value shared by m codes contributes m^2 candidates (constant
     regions / zeroed codes) — exact-dedup first when codes repeat
     heavily, or set ``max_postings_per_band`` to DROP band keys
-    shared by more codes than that (bounds the blow-up; dropping a
-    band key can only lose pairs whose every OTHER band also
-    overflowed, i.e. near-constant content that exact dedup should
-    have removed first).
+    shared by more codes than that (bounds the blow-up; the pigeonhole
+    guarantee only finds a pair through bands where the two codes
+    AGREE, so a pair is lost only when EVERY band in which the two
+    codes agree is over the cap — in practice near-constant content
+    that exact dedup should have removed first).
 
     The (word_bits, n_bits) packing contract is VALIDATED per row at
     execution time: a row whose ``bits_col`` holds fewer than
@@ -1147,7 +1148,7 @@ def sparse_cosine_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 10,
-    max_df: int | None = None,
+    max_df: int | None = 10_000,
 ) -> DataFrame:
     """Lexical document-similarity top-k: TF-IDF bag-of-words cosine
     between every document pair that SHARES a term, via the classic
@@ -1158,15 +1159,24 @@ def sparse_cosine_topk(
     neighbors, cosine rounded to 6 places BEFORE ranking so the
     ordering is reproducible across engines (ties break on other_id).
 
-    Weights: ``tfidf = tf * ln(N / df)``; norms are computed over ALL
-    terms. ``max_df`` drops terms appearing in more than that many
-    documents from the JOIN numerator only (stop words contribute
-    least per pair but dominate the posting-list m^2 cost — the same
-    drop-and-stay-conservative cap discipline as video_near_dup:
-    capped cosines can only shrink, never inflate).
+    Weights: ``tfidf = tf * ln(N / df)`` where ``N`` counts the
+    documents with at least one token (a token-less document has no
+    TF-IDF vector and can never be a neighbor, so it does not dilute
+    IDF); norms are computed over ALL terms. ``max_df`` drops terms
+    appearing in more than that many documents from the JOIN numerator
+    only (stop words contribute least per pair but dominate the
+    posting-list m^2 cost — the same drop-and-stay-conservative cap
+    discipline as video_near_dup: capped cosines can only shrink,
+    never inflate). The cap is ON by default (10_000 — far above any
+    discriminative term's df, small enough to bound a stop word's m^2
+    at 1e8 comparisons spread over the cluster; pass ``None`` to
+    uncap). Quantify what a cap excluded with
+    :func:`sparse_cosine_overflow`.
 
-    Scale shape: tokenize explode -> (doc, term) hash-agg -> df
-    hash-agg join -> per-doc norm window (bounded by doc length) ->
+    Scale shape: ONE corpus scan — tokenize explode -> (doc, term)
+    hash-agg, ``localCheckpoint``-ed so the N-docs count action and
+    the main plan share it (the r05 persist-shared-plans lesson) ->
+    df hash-agg join -> per-doc norm window (bounded by doc length) ->
     posting equi-join on term (bounded by max_df per term) -> pair
     hash-agg -> per-doc top-k window. Never all-pairs; the one
     unbounded risk (high-df terms) is exactly what max_df bounds."""
@@ -1174,7 +1184,6 @@ def sparse_cosine_topk(
         raise ValueError("sparse_cosine_topk: k must be >= 1")
     from .dedup import _spread, tokens
 
-    n_docs = df.select(id_col).distinct().count()
     base = _spread(df.select(id_col, text_col))
     tf = (
         base.select(
@@ -1183,7 +1192,9 @@ def sparse_cosine_topk(
         )
         .groupBy("__id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
     )
+    n_docs = tf.select("__id").distinct().count()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     w = tf.join(dfreq, "term").select(
         "__id",
@@ -1240,6 +1251,34 @@ def sparse_cosine_topk(
             F.col("id_b").alias("other_id"),
             "cosine",
         )
+    )
+
+
+def sparse_cosine_overflow(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 10_000,
+) -> DataFrame:
+    """Report the terms :func:`sparse_cosine_topk` would DROP from the
+    posting join under ``max_df`` — one row per over-cap term with its
+    document frequency (each contributes ``df^2`` candidate
+    comparisons if uncapped). Same tokenize/tf projection as the
+    operator, so report and cap can never disagree. Empty result means
+    the cap is inert at this corpus."""
+    from .dedup import _spread, tokens
+
+    base = _spread(df.select(id_col, text_col))
+    return (
+        base.select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        )
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_df)
     )
 
 

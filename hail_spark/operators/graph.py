@@ -39,6 +39,35 @@ def _lc_release(df: DataFrame | None) -> None:
         pass
 
 
+def _lc_supersede(old: DataFrame | None, new: DataFrame) -> DataFrame:
+    """Release a superseded checkpoint ONLY against its already-
+    materialized successor. localCheckpoint truncates lineage, so a
+    released checkpoint is permanently unrecomputable — any future
+    refactor that passes a LAZY plan over the old blocks here would
+    fail far away with "checkpoint block not found". This helper makes
+    that misuse loud at the call site instead: it verifies ``new`` is
+    itself a materialized checkpoint (LogicalRDD plan — the shape
+    ``df.localCheckpoint()`` returns, eager by default) BEFORE freeing
+    ``old``, and returns ``new`` so loop-carried supersession reads as
+    one atomic step: ``prev = _lc_supersede(prev, nxt)``."""
+    try:
+        is_rdd = (
+            new._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            == "LogicalRDD"
+        )
+    except Exception:
+        is_rdd = False
+    if not is_rdd:
+        raise AssertionError(
+            "_lc_supersede: successor is not a materialized checkpoint "
+            "(LogicalRDD); releasing its predecessor would leave a plan "
+            "over unrecomputable blocks — localCheckpoint() the successor "
+            "first"
+        )
+    _lc_release(old)
+    return new
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -141,16 +170,15 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("__new") - F.col("__old"))))
                 .head()[0]
             )
-            _lc_release(prev_ckpt)  # after the delta join consumed it
-            prev_ckpt = new_ranks
+            # after the delta join consumed the predecessor
+            prev_ckpt = _lc_supersede(prev_ckpt, new_ranks)
             ranks = new_ranks
             if delta is not None and delta < tol:
                 break
         else:
             if per_iter_ckpt or (i + 1) % checkpoint_every == 0 or last:
                 new_ranks = new_ranks.localCheckpoint()
-                _lc_release(prev_ckpt)
-                prev_ckpt = new_ranks
+                prev_ckpt = _lc_supersede(prev_ckpt, new_ranks)
             ranks = new_ranks
     # ranks is now a materialized checkpoint with no lineage into the
     # static tables — free their blocks eagerly too
@@ -216,10 +244,8 @@ def bfs_levels(
         # release; ContextCleaner would get to them eventually, but a
         # deep BFS in a long session accumulates one block set per
         # level otherwise — the pagerank lesson)
-        _lc_release(prev_visited)
-        _lc_release(prev_frontier)
-        prev_visited = visited
-        prev_frontier = nxt
+        prev_visited = _lc_supersede(prev_visited, visited)
+        prev_frontier = _lc_supersede(prev_frontier, nxt)
         frontier = nxt
     _lc_release(e)
     return visited
@@ -442,8 +468,7 @@ def sssp(
             .localCheckpoint()
         )
         converged = merged.filter(F.col("__improved")).isEmpty()
-        _lc_release(prev_ckpt)
-        prev_ckpt = merged
+        prev_ckpt = _lc_supersede(prev_ckpt, merged)
         dists = merged.select("node", "dist")
         if converged:
             break
@@ -464,7 +489,10 @@ def kcore(
     rounds elapse — a fixed round count is deterministic, so the
     peeling chain is SQL-replayable round by round. Returns
     (node, core_degree) for the surviving nodes, core_degree = degree
-    within the surviving subgraph.
+    within the RETURNED node set (on a run that exhausts ``n_iter``
+    before converging, degrees are recomputed after the final sub-k
+    filter, so they may be < k — the peel simply hadn't finished;
+    converged runs never pay that extra pass).
 
     Scale shape per round: one degree hash-agg + two semi-joins that
     keep only edges whose BOTH endpoints survive — all O(E) key
@@ -503,17 +531,43 @@ def kcore(
         n = ne.count()
         stable = n == prev_n
         prev_n = n
-        _lc_release(prev_ckpt)
-        prev_ckpt = ne
+        prev_ckpt = _lc_supersede(prev_ckpt, ne)
         e = ne
         if stable:
+            converged = True
             break
-    return (
+    else:
+        converged = False
+    deg = (
         e.select(F.col("lo").alias("node"))
         .unionByName(e.select(F.col("hi").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_degree"))
-        .filter(F.col("core_degree") >= k)
+    )
+    if converged:
+        # stability ⟹ every remaining node already has degree >= k, so
+        # the filter is inert and core_degree IS the within-set degree
+        return deg.filter(F.col("core_degree") >= k)
+    # n_iter exhausted before the peel converged: the >= k filter drops
+    # sub-k nodes, so the PRE-filter degrees would still count edges to
+    # them. Recompute degrees within the returned node set (one extra
+    # degree agg + two semi-joins — only paid on non-converged runs) so
+    # the output is internally consistent; note a returned core_degree
+    # may then be < k (the peel simply hadn't finished), including 0
+    # for a node whose surviving neighbors were all dropped.
+    keep = deg.filter(F.col("core_degree") >= k).select("node")
+    ef = (
+        e.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
+        .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
+    )
+    deg2 = (
+        ef.select(F.col("lo").alias("node"))
+        .unionByName(ef.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("__d2"))
+    )
+    return keep.join(deg2, "node", "left").select(
+        "node", F.coalesce(F.col("__d2"), F.lit(0)).alias("core_degree")
     )
 
 
@@ -581,8 +635,7 @@ def neighborhood_function(
             .localCheckpoint()
         )
         parts.append(_est(merged, r))
-        _lc_release(prev_ckpt)
-        prev_ckpt = merged
+        prev_ckpt = _lc_supersede(prev_ckpt, merged)
         sk = merged
     _lc_release(prev_ckpt)  # the final sketches — estimates are taken
     _lc_release(e)
@@ -590,3 +643,75 @@ def neighborhood_function(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    radius: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    lgk: int = 14,
+    reverse: bool = True,
+) -> DataFrame:
+    """Harmonic centrality on the HyperBall base — Boldi & Vigna 2011's
+    headline application: ``harmonic(v) = Σ_{u≠v} 1 / d(u, v)``,
+    truncated at ``radius`` (exact when radius >= diameter; nodes
+    farther than the radius contribute 0, the standard truncated
+    form). With ``reverse=True`` (the textbook definition) distances
+    are INCOMING — who can reach YOU — computed by running HyperBall
+    over the transposed edge list; ``reverse=False`` scores outgoing
+    reach instead. Returns (node, harmonic, n_reachable, closeness)
+    where ``n_reachable = |ball_radius(v)|`` (self included) and
+    ``closeness = (n_reachable - 1) / Σ_u d(u, v)`` (0 for nodes
+    nothing reaches) — the Lin/closeness companion from the same
+    sketch pass.
+
+    NO new distributed machinery: one :func:`neighborhood_function`
+    run (per-round sketch join + hash-agg, O(nodes * 2^lgk) state),
+    then one arithmetic pass over its (node, radius, n_reachable)
+    rows — ball deltas ``Δ_r = |ball_r| - |ball_{r-1}|`` give
+    ``harmonic = Σ Δ_r / r`` and ``total_dist = Σ r * Δ_r``. The
+    accumulation runs in a per-node window ORDERED BY radius (bounded:
+    radius+1 rows per node), so the float addition order is
+    deterministic and SQL-replayable bit-for-bit; in the HLL sparse
+    regime the deltas are exact counts, beyond it they inherit the
+    sketch's ±~1% (raise lgk if exactness is required)."""
+    from pyspark.sql import Window
+
+    if radius < 1:
+        raise ValueError("harmonic_centrality: radius must be >= 1")
+    nf = neighborhood_function(
+        edges,
+        radius=radius,
+        src=(dst if reverse else src),
+        dst=(src if reverse else dst),
+        lgk=lgk,
+    )
+    worder = Window.partitionBy("node").orderBy("radius")
+    wcum = worder.rowsBetween(Window.unboundedPreceding, 0)
+    d = nf.withColumn(
+        "__delta", F.col("n_reachable") - F.lag("n_reachable", 1).over(worder)
+    )
+    step = F.when(F.col("radius") >= 1, F.col("__delta"))
+    harmonic = F.sum(
+        F.coalesce(step / F.col("radius"), F.lit(0.0))
+    ).over(wcum)
+    total_dist = F.sum(
+        F.coalesce(step * F.col("radius"), F.lit(0.0))
+    ).over(wcum)
+    return (
+        d.withColumn("harmonic", harmonic)
+        .withColumn("__td", total_dist)
+        .filter(F.col("radius") == radius)
+        .select(
+            "node",
+            "harmonic",
+            "n_reachable",
+            F.when(
+                F.col("__td") > 0,
+                (F.col("n_reachable") - 1) / F.col("__td"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("closeness"),
+        )
+    )

@@ -1081,7 +1081,7 @@ def association_rules(
     basket_col: str,
     item_col: str,
     min_support_count: int = 2,
-    max_basket_size: int | None = None,
+    max_basket_size: int | None = 256,
 ) -> DataFrame:
     """Market-basket association rules (Agrawal & Srikant 1994 family,
     pairwise): for every DIRECTED item pair (a -> b) co-occurring in at
@@ -1090,19 +1090,27 @@ def association_rules(
     ``lift = confidence / (n_b / N)``. Returns (antecedent, consequent,
     n_pair, support, confidence, lift).
 
-    Scale shape: one distinct (basket, item) hash-agg, one item-support
-    hash-agg, one basket self-join whose fan-out is bounded by the
-    square of the basket size (baskets are small in practice — carts,
-    co-purchase sets), one pair hash-agg, two item-cardinality joins
-    AQE broadcasts unhinted. ``max_basket_size`` applies the cap
-    discipline to the one unbounded input: baskets larger than the cap
-    are DROPPED from pair generation (N and item supports keep counting
-    them, so surviving metrics stay conservative)."""
+    Scale shape: ONE distinct (basket, item) hash-agg — the distinct
+    result is ``localCheckpoint``-ed so the N-baskets count action and
+    the main plan share it instead of re-running the tokenize/shuffle
+    per consumer (the r05 persist-shared-plans lesson) — one
+    item-support hash-agg, one basket self-join whose fan-out is
+    bounded by the square of the basket size, one pair hash-agg, two
+    item-cardinality joins AQE broadcasts unhinted.
+    ``max_basket_size`` applies the cap discipline to the one unbounded
+    input and is ON by default (256 — far above real carts/co-purchase
+    sets, small enough to bound a degenerate all-items basket at ~32k
+    pairs): baskets larger than the cap are DROPPED from pair
+    generation (N and item supports keep counting them, so surviving
+    metrics stay conservative; pass ``None`` to uncap). Quantify what a
+    cap excluded with :func:`association_rules_overflow`."""
     if min_support_count < 1:
         raise ValueError("association_rules: min_support_count must be >= 1")
-    bi = df.select(
-        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
-    ).distinct()
+    bi = (
+        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .distinct()
+        .localCheckpoint()
+    )
     n_baskets = bi.select("__b").distinct().count()
     item_n = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__ni"))
     pairs_src = bi
@@ -1152,6 +1160,29 @@ def association_rules(
     return out
 
 
+def association_rules_overflow(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    max_basket_size: int = 256,
+) -> DataFrame:
+    """Report the baskets :func:`association_rules` would DROP from pair
+    generation under ``max_basket_size`` — one row per over-cap basket
+    with its distinct-item count (the excluded pair mass is
+    ``n_items * (n_items - 1) / 2`` per basket). Same distinct
+    (basket, item) projection as the operator, so report and cap can
+    never disagree. Empty result means the cap is inert at this
+    corpus."""
+    bi = df.select(
+        F.col(basket_col).alias(basket_col), F.col(item_col).alias("__i")
+    ).distinct()
+    return (
+        bi.groupBy(basket_col)
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("n_items") > max_basket_size)
+    )
+
+
 def cusum_changepoints(
     df: DataFrame,
     order_col: str,
@@ -1167,9 +1198,13 @@ def cusum_changepoints(
     identity ``s_i = c_i - min(0, min_{j<=i} c_j)`` (c = cumulative sum
     of d), so the whole detector is cumsum + running-min windows with
     no recursion, replayable on any SQL engine and shuffled once per
-    key. Adds ``cusum_pos``, ``cusum_neg`` and (when ``threshold`` is
-    given) ``is_change``. The per-key mean is the exact SUM/COUNT of
-    the whole key group (one window), so integer-valued series replay
+    key — WHEN ``key_cols`` is given. With no keys the prefix windows
+    have no partition and move the ENTIRE input through one task: key
+    the series or only call unkeyed on a provably bounded input (e.g.
+    a per-day calendar aggregate, as the entry query does). Adds
+    ``cusum_pos``, ``cusum_neg`` and (when ``threshold`` is given)
+    ``is_change``. The per-key mean is the exact SUM/COUNT of the
+    whole key group (one window), so integer-valued series replay
     bit-exactly across engines."""
     keys = [F.col(k) for k in key_cols]
     wall = Window.partitionBy(*keys) if key_cols else Window.partitionBy()

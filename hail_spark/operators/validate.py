@@ -444,7 +444,11 @@ def benford_report(
     positive double and replays identically in any SQL engine.
     Non-positive and null values are excluded (Benford is undefined
     there). Plan: one projection + one (group, digit) hash-agg + one
-    bounded per-group window (<= 9 rows per group)."""
+    bounded per-group window (<= 9 rows per group). With NO
+    ``group_cols`` that window has no partition — harmless here only
+    because the windowed input is the post-agg digit grid (<= 9 rows
+    total), never the raw values; the raw-input scan stays a
+    distributed hash-agg either way."""
     from pyspark.sql import Window
 
     keys = [F.col(c) for c in group_cols]

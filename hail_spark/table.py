@@ -503,16 +503,18 @@ class Table:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, "_hail_spark_metadata.json"), "w") as f:
             json.dump(meta, f, default=str)
-        if self._key:
-            # persist the per-file key-range manifest so query_table
-            # point/range lookups skip file listing + footer reads —
-            # one driver-side footer pass here (write time) instead of
-            # one per lookup; at 10^5 files that pass dominates lookup
-            # latency (same reason the reference stores partition
-            # bounds in its table spec, AbstractRVDSpec.scala:224)
-            from .io.query_table import build_key_manifest
+        # persist the per-file key-range manifest so query_table
+        # point/range lookups skip file listing + footer reads — one
+        # driver-side footer pass here (write time) instead of one per
+        # lookup; at 10^5 files that pass dominates lookup latency
+        # (same reason the reference stores partition bounds in its
+        # table spec, AbstractRVDSpec.scala:224). Called even when the
+        # table is UNKEYED: the empty-key skip path then removes any
+        # manifest a previous keyed write of this path left behind, so
+        # an overwrite can never leave a stale one.
+        from .io.query_table import build_key_manifest
 
-            build_key_manifest(path, list(self._key))
+        build_key_manifest(path, list(self._key or []))
 
     @classmethod
     def read(cls, spark: SparkSession, path: str) -> "Table":
