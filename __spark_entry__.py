@@ -4586,6 +4586,19 @@ def _cleanup_staging() -> None:
                 pass
 
 
+def _reg_staging(p: str) -> str:
+    """Register an already-built (pid-suffixed) staging path for the
+    atexit sweep — the streaming/bucket sites build their own paths
+    (they embed a per-query sequence tag) but must not leave per-pid
+    litter behind either."""
+    import atexit
+
+    if not _STAGED_PATHS:
+        atexit.register(_cleanup_staging)
+    _STAGED_PATHS.add(p)
+    return p
+
+
 def _tmp_base(prefix: str, sf_dir: str) -> str:
     """Per-process staging path (round 9, verdict item 1): queries that
     write intermediate files and lazily read them back must NEVER share a
@@ -4595,15 +4608,11 @@ def _tmp_base(prefix: str, sf_dir: str) -> str:
     the gate reentrant; within one process the path is stable, so
     bench-iteration caches still hit.  Paths are registered for atexit
     removal."""
-    import atexit
     import hashlib
     import os
 
-    if not _STAGED_PATHS:
-        atexit.register(_cleanup_staging)
     p = f"/tmp/{prefix}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}_{os.getpid()}"
-    _STAGED_PATHS.add(p)
-    return p
+    return _reg_staging(p)
 
 
 def plink_round_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10703,7 +10712,7 @@ def stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
-    stage = f"/tmp/hail_spark_stream_conf_{tag}_{os.getpid()}"
+    stage = _reg_staging(f"/tmp/hail_spark_stream_conf_{tag}_{os.getpid()}")
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage)
     t = pq.read_table(f"{sf_dir}/events.parquet")
@@ -10773,7 +10782,7 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
-    stage = f"/tmp/hail_spark_ssj_{tag}_{os.getpid()}"
+    stage = _reg_staging(f"/tmp/hail_spark_ssj_{tag}_{os.getpid()}")
     shutil.rmtree(stage, ignore_errors=True)
     t = pq.read_table(f"{sf_dir}/events.parquet")
     ts_us = t.column("ts").cast(pa.timestamp("us"), safe=False)
@@ -12213,7 +12222,7 @@ def stream_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
-    stage = f"/tmp/hail_spark_sdedup_{tag}_{os.getpid()}"
+    stage = _reg_staging(f"/tmp/hail_spark_sdedup_{tag}_{os.getpid()}")
     shutil.rmtree(stage, ignore_errors=True)
     d = _t(spark, sf_dir, "documents").df
     d.repartition(5).write.parquet(stage)
@@ -12250,7 +12259,7 @@ def schema_evolution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = _t(spark, sf_dir, "orders").df
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
-    base = f"/tmp/hail_spark_schema_evo_{tag}_{os.getpid()}"
+    base = _reg_staging(f"/tmp/hail_spark_schema_evo_{tag}_{os.getpid()}")
     shutil.rmtree(base, ignore_errors=True)
     gen0 = o.filter(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey", "o_custkey", "o_totalprice"
@@ -12551,7 +12560,7 @@ def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hail_spark.streaming.events import read_events_stream
 
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
-    stage = f"/tmp/hail_spark_stream_sj_{tag}_{os.getpid()}"
+    stage = _reg_staging(f"/tmp/hail_spark_stream_sj_{tag}_{os.getpid()}")
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage)
     import pyarrow as pa
@@ -12793,7 +12802,7 @@ def bucketed_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
     tag = f"{tag}_{os.getpid()}"
-    base = f"/tmp/hail_spark_buckets_{tag}"
+    base = _reg_staging(f"/tmp/hail_spark_buckets_{tag}")
     o = _t(spark, sf_dir, "orders").df
     li = _t(spark, sf_dir, "lineitem").df
     write_bucketed(o, f"b_orders_{tag}", f"{base}/orders", "o_orderkey", 8,
@@ -14105,7 +14114,7 @@ def stream_sessionize_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
-    stage = f"/tmp/hail_spark_sess_conf_{tag}_{os.getpid()}"
+    stage = _reg_staging(f"/tmp/hail_spark_sess_conf_{tag}_{os.getpid()}")
     shutil.rmtree(stage, ignore_errors=True)
     os.makedirs(stage)
     t = pq.read_table(f"{sf_dir}/events.parquet")

@@ -809,9 +809,11 @@ def import_fixed_width(
     sequence as the line's SUFFIX, where the CSV parser drops the
     trailing empty token — is caught by a full-extent length guard
     instead: the fast path requires every line to span the declared
-    field extent (``max(start + length - 1)``), so a suffix-sentinel
-    line arrives 3 bytes short and raises rather than silently losing
-    its tail. Consequence: RAGGED short lines (producers that strip
+    field extent (``max(start + length - 1)``), so a sentinel suffix
+    that overlaps the extent leaves the line short and raises rather
+    than silently truncating a field (a sentinel entirely BEYOND the
+    extent only loses bytes no declared field reads — harmless).
+    Consequence: RAGGED short lines (producers that strip
     trailing spaces) also raise on this path — use the byte-exact
     default paths for those files. Blank-line caveat for the fast
     path: the CSV parser drops completely EMPTY lines, while the
