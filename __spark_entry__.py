@@ -6510,6 +6510,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orc_round_trip": orc_round_trip_q,
         "kmv_theta_sketch": kmv_sketch_q,
         "label_propagation_communities": label_propagation_q,
+        "modularity_communities": modularity_q,
         "attribution_first_last": attribution_q,
         "target_encode_loo": target_encode_q,
         "transition_matrix_events": transition_matrix_q,
@@ -6528,6 +6529,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient_suppliers": clustering_coefficient_q,
         "incremental_agg_merge": incremental_agg_q,
         "stratified_fixed_k_docs": stratified_fixed_k_q,
+        "stratified_split_guarantee": stratified_split_q,
         "survival_curve_users": survival_curve_q,
         "entity_resolution_parts": entity_resolution_q,
         "chat_render_docs": chat_render_q,
@@ -6811,6 +6813,7 @@ def oracle_sql() -> dict[str, str]:
         "orc_round_trip": _ORC_RT_SQL,
         "kmv_theta_sketch": _KMV_SQL,
         "label_propagation_communities": _LPA_SQL,
+        "modularity_communities": _MODULARITY_SQL,
         "attribution_first_last": _ATTRIBUTION_SQL,
         "target_encode_loo": _TARGET_ENCODE_SQL,
         "transition_matrix_events": _TRANSITION_SQL,
@@ -6829,6 +6832,7 @@ def oracle_sql() -> dict[str, str]:
         "clustering_coefficient_suppliers": _CLUSTERING_COEFF_SQL,
         "incremental_agg_merge": _INCREMENTAL_AGG_SQL,
         "stratified_fixed_k_docs": _STRAT_FIXED_K_SQL,
+        "stratified_split_guarantee": _STRATIFIED_SPLIT_SQL,
         "survival_curve_users": _SURVIVAL_SQL,
         "entity_resolution_parts": _ENTITY_RES_SQL,
         "chat_render_docs": _CHAT_RENDER_SQL,
@@ -13770,6 +13774,79 @@ FROM l2 GROUP BY label ORDER BY n_members DESC, label LIMIT 15
 """
 
 
+def modularity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community-quality scoring (operators/graph.py modularity —
+    Newman & Girvan 2004): run the 2-round deterministic label
+    propagation over the customer—supplier purchase graph, then score
+    the assignment per community: ``q_c = m_c/m - (d_c/2m)^2`` (sum =
+    the graph's Q). Top 15 communities by total degree. The whole
+    chain is equi-joins + hash-aggs (m rides in as a broadcast 1-row
+    agg), so the oracle replays LPA's unrolled CTEs plus the same
+    modularity arithmetic bit-for-bit."""
+    from hail_spark.operators.graph import label_propagation, modularity
+
+    o = _t(spark, sf_dir, "orders").df
+    li = _t(spark, sf_dir, "lineitem").df
+    e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    )
+    labels = label_propagation(e, n_iter=2, directed=False)
+    out = modularity(e, labels)
+    return (
+        out.select(
+            F.col("label").cast("long").alias("label"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("m_intra").cast("long").alias("m_intra"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            F.round("q_c", 9).alias("q_c"),
+        )
+        .orderBy(F.desc("degree_sum"), "label")
+        .limit(15)
+    )
+
+
+_MODULARITY_SQL = """
+WITH e0 AS (SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+nodes AS (SELECT DISTINCT src AS node FROM e),
+l0 AS (SELECT node, node AS label FROM nodes),
+v1 AS (SELECT e.dst AS v, l0.label, COUNT(*) AS n
+       FROM e JOIN l0 ON l0.node = e.src GROUP BY 1, 2),
+b1 AS (SELECT v, label FROM (
+         SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY n DESC, label) AS rk
+         FROM v1) WHERE rk = 1),
+l1 AS (SELECT node, COALESCE(b1.label, node) AS label
+       FROM nodes LEFT JOIN b1 ON b1.v = nodes.node),
+v2 AS (SELECT e.dst AS v, l1.label, COUNT(*) AS n
+       FROM e JOIN l1 ON l1.node = e.src GROUP BY 1, 2),
+b2 AS (SELECT v, label FROM (
+         SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY n DESC, label) AS rk
+         FROM v2) WHERE rk = 1),
+l2 AS MATERIALIZED (SELECT node, COALESCE(b2.label, node) AS label
+      FROM nodes LEFT JOIN b2 ON b2.v = nodes.node),
+ec AS MATERIALIZED (SELECT src AS lo, dst AS hi FROM e0),
+mm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM ec),
+deg AS (SELECT node, COUNT(*) AS d FROM (
+          SELECT lo AS node FROM ec UNION ALL SELECT hi FROM ec) GROUP BY 1),
+degc AS (SELECT l2.label, CAST(SUM(deg.d) AS BIGINT) AS degree_sum,
+                CAST(COUNT(*) AS BIGINT) AS n_nodes
+         FROM deg JOIN l2 ON l2.node = deg.node GROUP BY 1),
+intra AS (SELECT la.label, CAST(COUNT(*) AS BIGINT) AS m_intra
+          FROM ec JOIN l2 la ON la.node = ec.lo
+                  JOIN l2 lb ON lb.node = ec.hi
+          WHERE la.label = lb.label GROUP BY 1)
+SELECT CAST(degc.label AS BIGINT) AS label, n_nodes,
+       COALESCE(m_intra, 0) AS m_intra, degree_sum,
+       round(COALESCE(m_intra, 0) / mm.m
+             - (degree_sum / (2.0 * mm.m)) * (degree_sum / (2.0 * mm.m)),
+             9) AS q_c
+FROM degc LEFT JOIN intra ON intra.label = degc.label CROSS JOIN mm
+ORDER BY degree_sum DESC, label LIMIT 15
+"""
+
+
 def attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First/last-touch conversion attribution (operators/
     relational.py attribute_conversions): every purchase event is
@@ -14656,6 +14733,49 @@ WITH r AS (
                     doc_id) AS rk
   FROM documents)
 SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY lang, doc_id
+"""
+
+
+def stratified_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum exact-count train/val split (llmdata/sampling.py
+    stratified_split): every language contributes exactly
+    floor(n_lang * 0.15) docs to val, chosen in md5-uniform order (a
+    pure function of (doc_id, seed) — engine-replayable, and nested
+    under larger fractions). The census per (lang, split) — counts
+    AND id sums, so membership, not just cardinality, is checked —
+    is what the oracle replays; a Bernoulli split would fail the
+    exact-quota rows with probability ~1."""
+    from hail_spark.llmdata.sampling import stratified_split
+
+    d = _t(spark, sf_dir, "documents").df.select("doc_id", "lang")
+    out = stratified_split(d, "lang", "doc_id", val_frac=0.15, seed=7)
+    return (
+        out.groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").alias("sum_ids"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+_STRATIFIED_SPLIT_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x'||substr(md5(CAST(doc_id AS VARCHAR) || ':7'),1,15))::BIGINT
+                      % 1073741824,
+                    doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY lang) AS ns
+  FROM documents),
+s AS (SELECT lang,
+             CASE WHEN rk <= FLOOR(ns * 0.15) THEN 'val' ELSE 'train' END AS split,
+             doc_id
+      FROM r)
+SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM s GROUP BY lang, split ORDER BY lang, split
 """
 
 

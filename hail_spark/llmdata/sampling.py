@@ -284,6 +284,54 @@ def chunk_documents(
     )
 
 
+def stratified_split(
+    df: DataFrame,
+    strata_col: str,
+    uid_col: str,
+    val_frac: float = 0.1,
+    seed: int = 0,
+    val_name: str = "val",
+    train_name: str = "train",
+) -> DataFrame:
+    """Stratified train/val split with a PER-STRATUM exact-count
+    guarantee: every stratum contributes exactly
+    ``floor(n_stratum * val_frac)`` rows to the val split — the
+    contract row-wise Bernoulli splits (:func:`split_assign`) cannot
+    make, where a small stratum can land entirely in train (or val)
+    by chance and skew per-domain eval. Selection within a stratum is
+    by md5-uniform order, a pure function of (uid, seed): stable
+    across retries, partitioning, and engines, and the val set is
+    NESTED under larger ``val_frac`` values (the md5 order prefix
+    property), so growing the eval set never discards prior rows.
+    Adds a ``split`` column; returns all input rows.
+
+    Scale shape: one per-stratum count hash-agg joined back (one row
+    per stratum — AQE broadcasts it) + one row_number window per
+    stratum ordered by (md5 u, uid): a single shuffle on the stratum
+    key. Strata must each fit a task's sort (the stratified_fixed_k
+    caveat); pre-split giant strata or use split_assign when exact
+    counts don't matter."""
+    if not (0.0 <= val_frac <= 1.0):
+        raise ValueError("stratified_split: val_frac must be in [0, 1]")
+    from pyspark.sql import Window as W
+
+    u = uniform(F.col(uid_col), seed)
+    w = W.partitionBy(strata_col).orderBy(u.asc(), F.col(uid_col).asc())
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__ns"))
+    quota = F.floor(F.col("__ns") * F.lit(float(val_frac)))
+    return (
+        df.join(counts, strata_col)
+        .withColumn("__rk", F.row_number().over(w))
+        .withColumn(
+            "split",
+            F.when(F.col("__rk") <= quota, F.lit(val_name)).otherwise(
+                F.lit(train_name)
+            ),
+        )
+        .drop("__rk", "__ns")
+    )
+
+
 def split_assign(
     df: DataFrame,
     fractions: dict,
