@@ -6530,6 +6530,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_agg_merge": incremental_agg_q,
         "stratified_fixed_k_docs": stratified_fixed_k_q,
         "stratified_split_guarantee": stratified_split_q,
+        "tdigest_kll_quantile_xcheck": tdigest_kll_xcheck_q,
         "survival_curve_users": survival_curve_q,
         "entity_resolution_parts": entity_resolution_q,
         "chat_render_docs": chat_render_q,
@@ -6833,6 +6834,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_agg_merge": _INCREMENTAL_AGG_SQL,
         "stratified_fixed_k_docs": _STRAT_FIXED_K_SQL,
         "stratified_split_guarantee": _STRATIFIED_SPLIT_SQL,
+        "tdigest_kll_quantile_xcheck": _TDIGEST_KLL_SQL,
         "survival_curve_users": _SURVIVAL_SQL,
         "entity_resolution_parts": _ENTITY_RES_SQL,
         "chat_render_docs": _CHAT_RENDER_SQL,
@@ -14776,6 +14778,70 @@ s AS (SELECT lang,
 SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(doc_id) AS BIGINT) AS sum_ids
 FROM s GROUP BY lang, split ORDER BY lang, split
+"""
+
+
+def tdigest_kll_xcheck_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch cross-check (operators/tdigest.py TDigest vs
+    operators/kll.py KLLSketch): both mergeable sketches run over the
+    same 128 exact decimal bucket sums (o_orderkey % 128 — fixed
+    cardinality at every SF), in their EXACT regimes (t-digest
+    singleton centroids at compression 256 > 128; KLL k=512 never
+    compacts 128 values), guarded loudly. The t-digest quantile is
+    the linear order-statistic rule (its documented centroid-midpoint
+    interpolation), KLL's is the discrete first-cum->=qn rule — the
+    oracle replays BOTH from window order statistics, pinning the two
+    sketches' differing quantile conventions engine-exactly."""
+    from hail_spark.operators.kll import kll_sketch
+    from hail_spark.operators.tdigest import tdigest_sketch
+
+    o = _t(spark, sf_dir, "orders").df
+    b = o.groupBy((F.col("o_orderkey") % 128).alias("g")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+        .cast("double")
+        .alias("v")
+    )
+    td = tdigest_sketch(b, "v", compression=256)
+    kl = kll_sketch(b, "v", k=512)
+    if not td.is_exact():
+        raise AssertionError(
+            "tdigest_kll_xcheck: t-digest left the singleton exact regime "
+            f"(n={td.n}, compression={td.compression}) — the order-statistic "
+            "oracle no longer applies; raise compression"
+        )
+    if len(kl.levels) != 1:
+        raise AssertionError(
+            "tdigest_kll_xcheck: KLL compacted (exact regime left) — "
+            "raise k"
+        )
+    rows = []
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9, 0.99):
+        tq = td.quantile(q)
+        kq = kl.quantile(q)
+        rows.append(
+            (q, round(tq, 6), round(kq, 6), round(abs(tq - kq), 6))
+        )
+    return spark.createDataFrame(
+        rows, "q double, td_q double, kll_q double, abs_diff double"
+    )
+
+
+_TDIGEST_KLL_SQL = """
+WITH b AS (
+  SELECT o_orderkey % 128 AS g,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS v
+  FROM orders GROUP BY 1),
+s AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM b),
+qs(q0) AS (VALUES (0.1), (0.25), (0.5), (0.75), (0.9), (0.99)),
+t AS (SELECT CAST(q0 AS DOUBLE) AS q, CAST(q0 AS DOUBLE) * 127 AS t FROM qs),
+td AS (SELECT q, lo.v + (t - FLOOR(t)) * (hi.v - lo.v) AS td_q
+       FROM t JOIN s lo ON lo.rn = CAST(FLOOR(t) AS INT) + 1
+              JOIN s hi ON hi.rn = CAST(FLOOR(t) AS INT) + 2),
+kll AS (SELECT q, s.v AS kll_q
+        FROM t JOIN s ON s.rn = CAST(CEIL(q * 128) AS INT))
+SELECT td.q, round(td_q, 6) AS td_q, round(kll_q, 6) AS kll_q,
+       round(ABS(td_q - kll_q), 6) AS abs_diff
+FROM td JOIN kll USING (q) ORDER BY q
 """
 
 
