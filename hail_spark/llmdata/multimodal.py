@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import struct as _struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -45,11 +46,12 @@ AUDIO_SCHEMA = "asset_id bigint, sample_rate int, n_samples bigint, format strin
 
 
 # ---------------------------------------------------------------------- #
-# real codecs for uncompressed formats (pure stdlib + numpy): 24-bit BMP
-# and 16-bit PCM WAV decode/encode. Compressed formats (JPEG/PNG/MP3/...)
-# still fall back to the deterministic stubs below — swap the stub body
-# for PIL/librosa in production; the dispatchers and Arrow plumbing
-# don't change.
+# real codecs decodable with pure stdlib + numpy: 24-bit BMP, 16-bit PCM
+# WAV, and non-interlaced 8-bit PNG (zlib inflate is in the standard
+# library — the dominant real image format needs NO extra dependency).
+# Remaining formats (JPEG/MP3/...) fall back to the deterministic stubs
+# below — swap the stub body for PIL/librosa in production; the
+# dispatchers and Arrow plumbing don't change.
 # ---------------------------------------------------------------------- #
 def _decode_bmp(content: bytes) -> np.ndarray:
     """Decode a 24-bit uncompressed BMP to an HxWx3 uint8 RGB array
@@ -88,6 +90,127 @@ def _encode_bmp(arr: np.ndarray) -> bytes:
     fh = b"BM" + (off + len(px)).to_bytes(4, "little") + b"\0\0\0\0" + off.to_bytes(4, "little")
     ih = _struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(px), 2835, 2835, 0, 0)
     return fh + ih + px
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(content: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit-depth PNG (gray / gray+alpha /
+    RGB / RGBA / palette — the overwhelming majority of real PNGs) to
+    an HxWx3 uint8 RGB array with pure stdlib zlib + numpy: chunk
+    walk, inflate the IDAT stream, per-row unfilter (None/Sub/Up/
+    Average/Paeth per the PNG spec §9), then channel normalization
+    (palette lookup, gray replication, alpha dropped — PIL's
+    convert("RGB") convention). Interlaced, 16-bit, and 1/2/4-bit
+    images raise (bring PIL for those)."""
+    if content[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(content):
+        ln = int.from_bytes(content[pos : pos + 4], "big")
+        typ = content[pos + 4 : pos + 8]
+        data = content[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = _struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            "only non-interlaced 8-bit-depth PNG supported without PIL"
+        )
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    if ctype == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG missing/invalid PLTE")
+    if w <= 0 or h <= 0:
+        raise ValueError("empty PNG")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT stream: {e}") from e
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    rp = 0
+    for y in range(h):
+        f = raw[rp]
+        cur = np.frombuffer(raw, np.uint8, stride, rp + 1).astype(np.int32)
+        rp += stride + 1
+        if f == 0:
+            pass
+        elif f == 2:  # Up — vectorized
+            cur = (cur + prev) & 0xFF
+        elif f == 1:  # Sub — sequential in x
+            for x in range(nch, stride):
+                cur[x] = (cur[x] + cur[x - nch]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = cur[x - nch] if x >= nch else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (cur[x] + pr) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = cur
+        prev = cur
+    img = out.reshape(h, w, nch)
+    if ctype == 3:
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        idx = img[..., 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        img = pal[idx]
+    elif nch == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif nch == 2:  # gray + alpha: replicate gray, drop alpha
+        img = np.repeat(img[..., :1], 3, axis=2)
+    elif nch == 4:  # RGBA: drop alpha (PIL convert("RGB") convention)
+        img = img[..., :3]
+    return np.ascontiguousarray(img)
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(typ + data) & 0xFFFFFFFF
+    return len(data).to_bytes(4, "big") + typ + data + crc.to_bytes(4, "big")
+
+
+def _encode_png(arr: np.ndarray) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as a non-interlaced 8-bit RGB
+    PNG (filter type 0 rows) — real, any viewer opens it, and
+    ``_decode_png`` round-trips it bit-exactly."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[0], arr.shape[1]
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    rows = np.concatenate(
+        [np.zeros((h, 1), np.uint8), arr.reshape(h, w * 3)], axis=1
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(rows.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
 
 
 def _decode_wav(content: bytes) -> tuple[np.ndarray, int]:
@@ -129,10 +252,11 @@ def _encode_wav(wave: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 def _decode_image(content: bytes) -> tuple[np.ndarray, str]:
     """Dispatcher: real decode for formats we can parse in-container
-    (BMP always; JPEG/PNG/etc. whenever PIL is importable — the
-    bring-your-own-codec seam takes the real library with NO plumbing
-    change, executors try the import themselves), deterministic stub
-    otherwise. Returns (HxWx3 uint8, format)."""
+    (BMP and non-interlaced 8-bit PNG always — stdlib zlib; JPEG/etc.
+    whenever PIL is importable — the bring-your-own-codec seam takes
+    the real library with NO plumbing change, executors try the
+    import themselves), deterministic stub otherwise. Returns
+    (HxWx3 uint8, format)."""
     if not content:
         raise ValueError("cannot decode empty image content")
     bmp_err = None
@@ -141,6 +265,11 @@ def _decode_image(content: bytes) -> tuple[np.ndarray, str]:
             return _decode_bmp(content), "bmp"
         except ValueError as e:
             bmp_err = e  # BMP variant our decoder rejects — PIL's turn
+    elif content[:8] == _PNG_SIG:
+        try:
+            return _decode_png(content), "png"
+        except ValueError as e:
+            bmp_err = e  # PNG variant (interlaced/16-bit) — PIL's turn
     try:
         from io import BytesIO
 
