@@ -6210,6 +6210,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_communities",
         "stratified_split_guarantee",
         "tdigest_kll_quantile_xcheck",
+        "rfm_segments_customers",
+        "gini_spend_nation",
+        "hhi_supplier_concentration",
+        "twap_user_buckets",
+        "ohlc_daily_events",
+        "dau_mau_stickiness",
+        "pct_change_monthly_revenue",
+        "containment_near_supersets",
         # (b) implementations changed in round 9 (verdict/ADVICE fixes)
         "import_table_impute",
         "vcf_round_trip",
@@ -6531,6 +6539,14 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_fixed_k_docs": stratified_fixed_k_q,
         "stratified_split_guarantee": stratified_split_q,
         "tdigest_kll_quantile_xcheck": tdigest_kll_xcheck_q,
+        "rfm_segments_customers": rfm_segments_q,
+        "gini_spend_nation": gini_spend_q,
+        "hhi_supplier_concentration": hhi_concentration_q,
+        "twap_user_buckets": twap_events_q,
+        "ohlc_daily_events": ohlc_daily_q,
+        "dau_mau_stickiness": dau_mau_q,
+        "pct_change_monthly_revenue": pct_change_monthly_q,
+        "containment_near_supersets": containment_q,
         "survival_curve_users": survival_curve_q,
         "entity_resolution_parts": entity_resolution_q,
         "chat_render_docs": chat_render_q,
@@ -6835,6 +6851,14 @@ def oracle_sql() -> dict[str, str]:
         "stratified_fixed_k_docs": _STRAT_FIXED_K_SQL,
         "stratified_split_guarantee": _STRATIFIED_SPLIT_SQL,
         "tdigest_kll_quantile_xcheck": _TDIGEST_KLL_SQL,
+        "rfm_segments_customers": _RFM_SQL,
+        "gini_spend_nation": _GINI_SQL,
+        "hhi_supplier_concentration": _HHI_SQL,
+        "twap_user_buckets": _TWAP_SQL,
+        "ohlc_daily_events": _OHLC_SQL,
+        "dau_mau_stickiness": _DAU_MAU_SQL,
+        "pct_change_monthly_revenue": _PCT_CHANGE_SQL,
+        "containment_near_supersets": _CONTAINMENT_SQL,
         "survival_curve_users": _SURVIVAL_SQL,
         "entity_resolution_parts": _ENTITY_RES_SQL,
         "chat_render_docs": _CHAT_RENDER_SQL,
@@ -14843,6 +14867,397 @@ SELECT td.q, round(td_q, 6) AS td_q, round(kll_q, 6) AS kll_q,
        round(ABS(td_q - kll_q), 6) AS abs_diff
 FROM td JOIN kll USING (q) ORDER BY q
 """
+
+
+def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators/relational.py
+    rfm_segments): recency/frequency/monetary quartiles over orders,
+    ties broken by custkey so ntile assignment is engine-exact;
+    monetary summed in decimal (exact) before the double cast. One
+    hash-agg + three ntile windows over the per-customer aggregate
+    (one row per customer — bounded reduction); every 10th customer
+    returned."""
+    from hail_spark.operators.relational import rfm_segments
+
+    o = _t(spark, sf_dir, "orders").df.select(
+        "o_custkey",
+        _micros("o_orderdate").alias("tsu"),
+        F.col("o_totalprice").cast("decimal(15,2)").alias("amt"),
+    )
+    out = rfm_segments(o, "o_custkey", "tsu", "amt", n_bins=4)
+    return (
+        out.filter(F.col("o_custkey") % 10 == 0)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("recency").cast("long").alias("recency"),
+            F.col("frequency").cast("long").alias("frequency"),
+            F.col("monetary").cast("double").alias("monetary"),
+            F.col("r").cast("int").alias("r"),
+            F.col("f").cast("int").alias("f"),
+            F.col("m").cast("int").alias("m"),
+            F.col("segment").cast("int").alias("segment"),
+        )
+        .orderBy("custkey")
+    )
+
+
+_RFM_SQL = """
+WITH agg AS (
+  SELECT o_custkey AS custkey,
+         MAX(epoch_us(o_orderdate)) AS maxts,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS monetary
+  FROM orders GROUP BY 1),
+r AS (SELECT custkey,
+             (SELECT MAX(maxts) FROM agg) - maxts AS recency,
+             frequency, CAST(monetary AS DOUBLE) AS monetary
+      FROM agg),
+b AS (SELECT custkey, recency, frequency, monetary,
+             ntile(4) OVER (ORDER BY recency DESC, custkey) AS r,
+             ntile(4) OVER (ORDER BY frequency ASC, custkey) AS f,
+             ntile(4) OVER (ORDER BY monetary ASC, custkey) AS m
+      FROM r)
+SELECT CAST(custkey AS BIGINT) AS custkey, CAST(recency AS BIGINT) AS recency,
+       CAST(frequency AS BIGINT) AS frequency, monetary,
+       CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+       CAST(r * 100 + f * 10 + m AS INT) AS segment
+FROM b WHERE custkey % 10 = 0 ORDER BY custkey
+"""
+
+
+def gini_spend_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer spend
+    (operators/relational.py gini_coefficient — the sorted-rank
+    identity G = 2Σi·x_i/(nΣx) − (n+1)/n): per-customer order totals
+    are exact decimal sums; the rank window is per nation (bounded by
+    customers-per-nation). Equal spends permute rank freely but the
+    formula is invariant under permuting equal values, so the result
+    is engine-exact at round-9 precision."""
+    from hail_spark.operators.relational import gini_coefficient
+
+    o = _t(spark, sf_dir, "orders").df
+    c = _t(spark, sf_dir, "customer").df
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+            .cast("double")
+            .alias("spend")
+        )
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_nationkey", "spend")
+    )
+    out = gini_coefficient(spend, "spend", group_cols=("c_nationkey",))
+    return out.select(
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("total"), 2).alias("total"),
+        F.round("gini", 9).alias("gini"),
+    ).orderBy("nationkey")
+
+
+_GINI_SQL = """
+WITH spend AS (
+  SELECT c_nationkey AS nationkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_nationkey, o_custkey),
+rk AS (SELECT nationkey, x,
+              row_number() OVER (PARTITION BY nationkey ORDER BY x) AS i
+       FROM spend),
+agg AS (SELECT nationkey, COUNT(*) AS n, SUM(x) AS total,
+               SUM(i * x) AS ix
+        FROM rk GROUP BY 1)
+SELECT CAST(nationkey AS INT) AS nationkey, CAST(n AS BIGINT) AS n,
+       round(total, 2) AS total,
+       round(CASE WHEN total > 0
+                  THEN 2.0 * ix / (n * total) - (n + 1.0) / n
+                  ELSE 0.0 END, 9) AS gini
+FROM agg ORDER BY nationkey
+"""
+
+
+def hhi_concentration_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-concentration index per nation
+    (operators/relational.py hhi_concentration): supplier revenue =
+    exact decimal Σ extendedprice·(1−discount), HHI = Σ share² within
+    the supplier's nation. Two hash-aggs, no window — the fully
+    scalable concentration report."""
+    from hail_spark.operators.relational import hhi_concentration
+
+    li = _t(spark, sf_dir, "lineitem").df
+    s = _t(spark, sf_dir, "supplier").df
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_extendedprice").cast("decimal(15,2)")
+                    * (F.lit(1).cast("decimal(15,2)") - F.col("l_discount").cast("decimal(15,2)"))
+                ).cast("decimal(20,4)")
+            )
+            .cast("double")
+            .alias("rev")
+        )
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .select("s_nationkey", "s_suppkey", "rev")
+    )
+    out = hhi_concentration(
+        rev, "s_suppkey", "rev", group_cols=("s_nationkey",)
+    )
+    return out.select(
+        F.col("s_nationkey").cast("int").alias("nationkey"),
+        F.col("n_entities").cast("long").alias("n_entities"),
+        F.round("total", 2).alias("total"),
+        F.round("hhi", 9).alias("hhi"),
+    ).orderBy("nationkey")
+
+
+_HHI_SQL = """
+WITH rev AS (
+  SELECT s_nationkey AS nationkey, l_suppkey,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(15,2))
+                  * (CAST(1 AS DECIMAL(15,2)) - CAST(l_discount AS DECIMAL(15,2)))
+                  AS DECIMAL(20,4))) AS DOUBLE) AS x
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2),
+agg AS (SELECT nationkey, COUNT(*) AS n_entities, SUM(x) AS total,
+               SUM(x * x) AS x2
+        FROM rev GROUP BY 1)
+SELECT CAST(nationkey AS INT) AS nationkey,
+       CAST(n_entities AS BIGINT) AS n_entities,
+       round(total, 2) AS total,
+       round(CASE WHEN total <> 0 THEN x2 / (total * total)
+                  ELSE 0.0 END, 9) AS hhi
+FROM agg ORDER BY nationkey
+"""
+
+
+def twap_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user bucket
+    (operators/relational.py twap — the piecewise-constant integral /
+    span, the TWAP fill benchmark and sensor-average semantics): one
+    lead window per key (user_id % 50 — 50 balanced keys) + one
+    hash-agg; the (ts, value) window order makes duplicate-instant
+    observations value-deterministic."""
+    from hail_spark.operators.relational import twap
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        (F.col("user_id") % 50).alias("ug"),
+        _micros("ts").alias("tsu"),
+        F.col("value"),
+    )
+    out = twap(ev, ("ug",), "tsu", "value")
+    return out.select(
+        F.col("ug").cast("long").alias("ug"),
+        F.col("n_obs").cast("long").alias("n_obs"),
+        F.col("t_first").cast("long").alias("t_first"),
+        F.col("t_last").cast("long").alias("t_last"),
+        F.round("twap", 6).alias("twap"),
+    ).orderBy("ug")
+
+
+_TWAP_SQL = """
+WITH ev AS (
+  SELECT user_id % 50 AS ug, epoch_us(ts) AS tsu, value FROM events),
+stepped AS (
+  SELECT ug, tsu, value,
+         (CAST(COALESCE(lead(tsu) OVER w, tsu) AS DOUBLE) - tsu) * value
+           AS area
+  FROM ev WINDOW w AS (PARTITION BY ug ORDER BY tsu, value)),
+agg AS (
+  SELECT ug, COUNT(*) AS n_obs, MIN(tsu) AS t_first, MAX(tsu) AS t_last,
+         SUM(area) AS area
+  FROM stepped GROUP BY 1),
+p0 AS (SELECT ug, value AS first_v FROM (
+         SELECT ug, value,
+                row_number() OVER (PARTITION BY ug ORDER BY tsu, value) rn
+         FROM ev) WHERE rn = 1)
+SELECT CAST(agg.ug AS BIGINT) AS ug, CAST(n_obs AS BIGINT) AS n_obs,
+       CAST(t_first AS BIGINT) AS t_first, CAST(t_last AS BIGINT) AS t_last,
+       round(CASE WHEN t_last > t_first
+                  THEN area / (CAST(t_last AS DOUBLE) - t_first)
+                  ELSE first_v END, 6) AS twap
+FROM agg JOIN p0 ON p0.ug = agg.ug ORDER BY ug
+"""
+
+
+def ohlc_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlesticks per (event_type, day)
+    (operators/relational.py ohlc): open/close by struct-ordered
+    min_by/max_by on (ts, value) — tie-deterministic on any engine —
+    high/low/volume in the same single hash-agg; the oracle replays
+    open/close with row_number windows (DuckDB lacks struct
+    arg_min)."""
+    from hail_spark.operators.relational import ohlc
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        (F.floor(_micros("ts") / F.lit(86_400_000_000))).alias("day"),
+        _micros("ts").alias("tsu"),
+        F.col("value"),
+    )
+    out = ohlc(ev, ("event_type",), "day", "tsu", "value")
+    return out.select(
+        "event_type",
+        F.col("day").cast("long").alias("day"),
+        F.round("open", 6).alias("open"),
+        F.round("high", 6).alias("high"),
+        F.round("low", 6).alias("low"),
+        F.round("close", 6).alias("close"),
+        F.col("volume").cast("long").alias("volume"),
+    ).orderBy("event_type", "day")
+
+
+_OHLC_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         epoch_us(ts) AS tsu, value
+  FROM events),
+rk AS (SELECT event_type, day, value,
+              row_number() OVER (PARTITION BY event_type, day
+                                 ORDER BY tsu ASC, value ASC) AS ra,
+              row_number() OVER (PARTITION BY event_type, day
+                                 ORDER BY tsu DESC, value DESC) AS rd
+       FROM ev),
+agg AS (SELECT event_type, day, MAX(value) AS high, MIN(value) AS low,
+               COUNT(*) AS volume
+        FROM ev GROUP BY 1, 2)
+SELECT agg.event_type, CAST(agg.day AS BIGINT) AS day,
+       round(o.value, 6) AS open, round(high, 6) AS high,
+       round(low, 6) AS low, round(c.value, 6) AS close,
+       CAST(volume AS BIGINT) AS volume
+FROM agg
+JOIN rk o ON o.event_type = agg.event_type AND o.day = agg.day AND o.ra = 1
+JOIN rk c ON c.event_type = agg.event_type AND c.day = agg.day AND c.rd = 1
+ORDER BY agg.event_type, agg.day
+"""
+
+
+def dau_mau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness (operators/relational.py dau_mau, 7-day
+    trailing window): exact trailing distinct via the bounded-fan-out
+    day join (each (day, user) row lands in <= 7 trailing days) — the
+    engagement ratio without a corpus-wide window or sketch; swap in
+    the HLL rollup for very long windows."""
+    from hail_spark.operators.relational import dau_mau
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        (F.floor(_micros("ts") / F.lit(86_400_000_000))).alias("day"),
+        "user_id",
+    )
+    out = dau_mau(ev, "day", "user_id", window_days=7)
+    return out.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("mau").cast("long").alias("mau"),
+        F.round("stickiness", 9).alias("stickiness"),
+    ).orderBy("day")
+
+
+_DAU_MAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+days AS (SELECT DISTINCT day AS d FROM du),
+dau AS (SELECT day AS d, COUNT(*) AS dau FROM du GROUP BY 1),
+mau AS (SELECT d, COUNT(*) AS mau FROM (
+          SELECT DISTINCT days.d, du.user_id
+          FROM du JOIN days ON days.d >= du.day AND days.d < du.day + 7)
+        GROUP BY 1)
+SELECT CAST(dau.d AS BIGINT) AS day, CAST(dau AS BIGINT) AS dau,
+       CAST(mau AS BIGINT) AS mau,
+       round(CAST(dau AS DOUBLE) / mau, 9) AS stickiness
+FROM dau JOIN mau ON dau.d = mau.d ORDER BY day
+"""
+
+
+def pct_change_monthly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per nation
+    (operators/relational.py pct_change): monthly revenue from exact
+    decimal sums, then one lag window per nation — NULL (not an ANSI
+    divide error) for the first month and zero bases."""
+    from hail_spark.operators.relational import pct_change
+
+    o = _t(spark, sf_dir, "orders").df
+    c = _t(spark, sf_dir, "customer").df
+    monthly = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            "c_nationkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(15,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    out = pct_change(monthly, ("c_nationkey",), "month", "revenue")
+    return out.select(
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        "month",
+        F.round("revenue", 2).alias("revenue"),
+        F.round("pct_change", 9).alias("pct_change"),
+    ).orderBy("nationkey", "month")
+
+
+_PCT_CHANGE_SQL = """
+WITH monthly AS (
+  SELECT c_nationkey AS nationkey, strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(15,2))) AS DOUBLE) AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2)
+SELECT CAST(nationkey AS INT) AS nationkey, month,
+       round(revenue, 2) AS revenue,
+       round(CASE WHEN lag(revenue) OVER w IS NOT NULL
+                   AND lag(revenue) OVER w <> 0
+                  THEN (revenue - lag(revenue) OVER w) / lag(revenue) OVER w
+                  END, 9) AS pct_change
+FROM monthly WINDOW w AS (PARTITION BY nationkey ORDER BY month)
+ORDER BY nationkey, month
+"""
+
+
+def containment_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment near-superset pairs
+    (llmdata/dedup.py containment_pairs — Broder 1997's asymmetric
+    measure): C(a,b) = |S_a ∩ S_b| / |S_a| >= 0.6 — catches the
+    quotation/boilerplate-envelope dups that Jaccard resemblance
+    misses (the union is dominated by the longer doc). Posting-list
+    self-join, never all-pairs; the 10k shingle-df cap is replicated
+    in the oracle so both sides drop the same postings at any SF."""
+    from hail_spark.llmdata.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents").df
+    out = containment_pairs(d, threshold=0.6, max_shingle_df=10_000)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.round("containment", 9).alias("containment"),
+    ).orderBy("id_a", "id_b")
+
+
+_CONTAINMENT_SQL = (
+    "WITH " + _SHINGLE_CTE + """,
+shh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, ('0x'||substr(md5(s),1,15))::BIGINT AS sh FROM sh),
+sz AS (SELECT doc_id, COUNT(*) AS sz FROM shh GROUP BY 1),
+dfreq AS (SELECT sh, COUNT(*) AS dfc FROM shh GROUP BY 1),
+posting AS (SELECT doc_id, shh.sh FROM shh
+            JOIN dfreq ON dfreq.sh = shh.sh AND dfc <= 10000),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+          FROM posting a JOIN posting b
+            ON a.sh = b.sh AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       round(CAST(n_common AS DOUBLE) / sz.sz, 9) AS containment
+FROM inter JOIN sz ON sz.doc_id = inter.id_a
+WHERE CAST(n_common AS DOUBLE) / sz.sz >= 0.6
+ORDER BY id_a, id_b
+"""
+)
 
 
 def survival_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:

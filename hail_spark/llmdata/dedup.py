@@ -379,6 +379,72 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = 10_000,
+) -> DataFrame:
+    """DIRECTED near-superset detection: shingle containment
+    ``C(a, b) = |S_a ∩ S_b| / |S_a|`` for every ordered pair with
+    C >= threshold — the asymmetric companion to Jaccard resemblance
+    (Broder 1997's two measures): a short document quoted wholesale
+    inside a long one has high containment but LOW Jaccard (the union
+    is dominated by the long doc), so resemblance dedup misses exactly
+    the quotation/boilerplate-envelope cases containment catches.
+    Returns (id_a, id_b, n_common, containment) — id_a's shingles
+    covered by id_b, both directions emitted when both clear the
+    threshold.
+
+    Scale shape: the ngram_jaccard posting plan — distinct
+    (doc, shingle-hash) table (one corpus scan, localCheckpoint-ed so
+    the posting join and the per-doc sizes share it), posting
+    self-join on the shingle, pair hash-agg, size join — never
+    all-pairs. ``max_shingle_df`` (default on, 10k) DROPS shingles
+    shared by more docs than the cap from the join, the
+    drop-and-stay-conservative discipline: intersections can only
+    shrink, so capped containment never inflates; pass ``None`` to
+    uncap."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("containment_pairs: threshold must be in (0, 1]")
+    sh = (
+        _spread(df.select(F.col(id_col), F.col(text_col)))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(shingles(F.col(text_col), shingle_n)).alias("s"),
+        )
+        .select("__id", md5_int(F.col("s")).alias("sh"))
+        .distinct()
+        .localCheckpoint()
+    )
+    sizes = sh.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    posting = sh
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        posting = (
+            sh.join(dfreq.filter(F.col("__df") <= max_shingle_df), "sh")
+            .select("__id", "sh")
+        )
+    a = posting.select(F.col("__id").alias("id_a"), "sh")
+    b = posting.select(F.col("__id").alias("id_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("__id").alias("id_a"), F.col("__sz")), "id_a"
+        )
+        .withColumn("containment", F.col("n_common") / F.col("__sz"))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", "containment")
+    )
+
+
 # ------------------------------------------------------------------ #
 # SimHash
 # ------------------------------------------------------------------ #

@@ -1231,3 +1231,287 @@ def cusum_changepoints(
             (F.col("cusum_pos") > threshold) | (F.col("cusum_neg") > threshold),
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# customer/market analytics battery (round 9): RFM, Gini, HHI, TWAP,
+# OHLC, DAU/MAU stickiness, day-of-week seasonality, percent change
+# ---------------------------------------------------------------------------
+def rfm_segments(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_bins: int = 4,
+    ref_ts=None,
+) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles —
+    the classic customer-value grid): per entity, recency = ``ref_ts -
+    max(ts)`` (default ref = the corpus max, so recency 0 is the most
+    recent entity), frequency = row count, monetary = amount sum; each
+    metric is then binned with ``ntile(n_bins)`` so that bin
+    ``n_bins`` is the BEST (most recent / most frequent / highest
+    spend), with ties broken by the entity id for engine-exact
+    determinism. Returns (entity, recency, frequency, monetary,
+    r, f, m, segment) with ``segment = r*100 + f*10 + m``.
+
+    Scale shape: one per-entity hash-agg (map-side partials), then
+    three ntile windows over the AGGREGATE table — one row per entity,
+    a bounded reduction of the input; at 1e9+ entities swap the exact
+    ntile for approx-quantile cuts (quantile_bins) — the aggregation
+    pass is unchanged."""
+    if n_bins < 2:
+        raise ValueError("rfm_segments: n_bins must be >= 2")
+    ent = F.col(entity_col)
+    ref = ref_ts if ref_ts is not None else F.max(ts_col)
+    agg = df.groupBy(entity_col).agg(
+        F.max(ts_col).alias("__maxts"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(amount_col).alias("monetary"),
+    )
+    if ref_ts is None:
+        refv = agg.agg(F.max("__maxts").alias("__ref"))
+        agg = agg.crossJoin(refv)
+    else:
+        agg = agg.withColumn("__ref", F.lit(ref_ts))
+    agg = agg.withColumn(
+        "recency", F.col("__ref") - F.col("__maxts")
+    ).drop("__maxts", "__ref")
+    wr = Window.orderBy(F.col("recency").desc(), ent.asc())
+    wf = Window.orderBy(F.col("frequency").asc(), ent.asc())
+    wm = Window.orderBy(F.col("monetary").asc(), ent.asc())
+    return (
+        agg.withColumn("r", F.ntile(n_bins).over(wr))
+        .withColumn("f", F.ntile(n_bins).over(wf))
+        .withColumn("m", F.ntile(n_bins).over(wm))
+        .withColumn(
+            "segment",
+            F.col("r") * 100 + F.col("f") * 10 + F.col("m"),
+        )
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Per-group Gini coefficient of a non-negative value column (the
+    standard inequality index for spend/token/degree concentration):
+    with the group's values sorted ascending,
+    ``G = 2 * Σ i·x_i / (n · Σ x) − (n + 1) / n``. Returns one row per
+    group: (group..., n, total, gini). Negative values raise (Gini is
+    undefined); all-zero groups return gini = 0.
+
+    Scale shape: one row_number window per group (ties broken by value
+    then input order are irrelevant — the formula depends only on the
+    sorted multiset) + one hash-agg; the window shuffles once on the
+    group key. With NO group_cols the sort is global — call it on
+    grouped data or bounded inputs (the benford/cusum caveat)."""
+    keys = [F.col(c) for c in group_cols]
+    x = F.col(value_col).cast("double")
+    guarded = F.when(
+        x < 0,
+        F.raise_error(
+            F.concat(
+                F.lit("gini_coefficient: negative value "),
+                x.cast("string"),
+            )
+        ),
+    ).otherwise(x)
+    w = (
+        Window.partitionBy(*keys) if group_cols else Window.partitionBy()
+    ).orderBy(F.col("__x").asc())
+    ranked = df.select(*keys, guarded.alias("__x")).withColumn(
+        "__i", F.row_number().over(w)
+    )
+    agg = ranked.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__x").alias("total"),
+        F.sum(F.col("__i") * F.col("__x")).alias("__ix"),
+    )
+    gini = F.when(
+        F.col("total") > 0,
+        2.0 * F.col("__ix") / (F.col("n") * F.col("total"))
+        - (F.col("n") + 1) / F.col("n"),
+    ).otherwise(F.lit(0.0))
+    return agg.select(*group_cols, "n", "total", gini.alias("gini"))
+
+
+def hhi_concentration(
+    df: DataFrame,
+    entity_col: str,
+    value_col: str,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """Herfindahl–Hirschman market-concentration index per group:
+    entity shares ``s_i = x_i / Σx`` within the group,
+    ``hhi = Σ s_i²`` (1/n_entities = perfectly even, 1 = monopoly).
+    Returns (group..., n_entities, total, hhi). Two hash-aggs, no
+    window, no sort — fully scalable at any group/entity cardinality."""
+    keys = [F.col(c) for c in group_cols]
+    per_ent = df.groupBy(*keys, F.col(entity_col)).agg(
+        F.sum(F.col(value_col).cast("double")).alias("__x")
+    )
+    agg = per_ent.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_entities"),
+        F.sum("__x").alias("total"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__x2"),
+    )
+    hhi = F.when(
+        F.col("total") != 0,
+        F.col("__x2") / (F.col("total") * F.col("total")),
+    ).otherwise(F.lit(0.0))
+    return agg.select(*group_cols, "n_entities", "total", hhi.alias("hhi"))
+
+
+def twap(
+    df: DataFrame,
+    key_cols: tuple,
+    order_col: str,
+    price_col: str,
+) -> DataFrame:
+    """Time-weighted average price per key (the TWAP fill benchmark /
+    sensor-average semantics): each observation holds until the next
+    one, so ``twap = Σ price_i · (t_{i+1} − t_i) / (t_last − t_first)``
+    — the piecewise-constant integral divided by the span. The final
+    observation has zero holding time (it contributes only as the
+    closing endpoint); single-observation keys return that price.
+    Returns (key..., n_obs, t_first, t_last, twap).
+
+    Scale shape: one lead window per key (single shuffle on the key,
+    per-key sort) + one hash-agg. Duplicate timestamps within a key
+    get zero weight except the last at that instant — deterministic
+    because the window orders by (t, price)."""
+    keys = [F.col(c) for c in key_cols]
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(order_col).asc(), F.col(price_col).asc()
+    )
+    t = F.col(order_col).cast("double")
+    nxt = F.lead(order_col).over(w).cast("double")
+    stepped = df.select(
+        *keys,
+        F.col(order_col),
+        F.col(price_col),
+        ((F.coalesce(nxt, t) - t) * F.col(price_col).cast("double")).alias(
+            "__area"
+        ),
+    )
+    agg = stepped.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.min(order_col).alias("t_first"),
+        F.max(order_col).alias("t_last"),
+        F.sum("__area").alias("__area"),
+        F.min_by(price_col, F.struct(order_col, price_col)).alias("__p0"),
+    )
+    span = F.col("t_last").cast("double") - F.col("t_first").cast("double")
+    return agg.select(
+        *key_cols,
+        "n_obs",
+        "t_first",
+        "t_last",
+        F.when(span > 0, F.col("__area") / span)
+        .otherwise(F.col("__p0").cast("double"))
+        .alias("twap"),
+    )
+
+
+def ohlc(
+    df: DataFrame,
+    key_cols: tuple,
+    bucket_col: str,
+    ts_col: str,
+    price_col: str,
+) -> DataFrame:
+    """OHLC candlestick aggregation per (key, bucket): open/close are
+    the first/last prices by (ts, price) order — the price tiebreak
+    makes simultaneous observations deterministic on every engine —
+    high/low are max/min, volume is the row count. One hash-agg with
+    struct-ordered min_by/max_by (no window, no sort): the candlestick
+    table is a pure reduction, scalable at any key cardinality."""
+    keys = [F.col(c) for c in key_cols]
+    ordkey = F.struct(F.col(ts_col), F.col(price_col))
+    return df.groupBy(*keys, F.col(bucket_col)).agg(
+        F.min_by(price_col, ordkey).alias("open"),
+        F.max(price_col).alias("high"),
+        F.min(price_col).alias("low"),
+        F.max_by(price_col, ordkey).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+    )
+
+
+def dau_mau(
+    events: DataFrame,
+    day_col: str,
+    user_col: str,
+    window_days: int = 30,
+) -> DataFrame:
+    """DAU/MAU stickiness per day: DAU = distinct users active that
+    day, MAU = distinct users active in the trailing ``window_days``
+    (day inclusive), stickiness = dau/mau — the standard engagement
+    ratio. ``day_col`` must be an integer day index (e.g. epoch days).
+    Returns (day, dau, mau, stickiness) for every day present.
+
+    Scale shape: one (day, user) distinct hash-agg, then the trailing
+    distinct is an equi-join of that table against the day list with a
+    BOUNDED fan-out of ``window_days`` rows per (day, user) — never a
+    corpus-wide window — followed by two hash-aggs. Exact (no sketch);
+    for very long windows swap in the HLL rollup
+    (hll_distinct_rollup) — same join shape."""
+    if window_days < 1:
+        raise ValueError("dau_mau: window_days must be >= 1")
+    du = events.select(
+        F.col(day_col).alias("__day"), F.col(user_col).alias("__u")
+    ).distinct()
+    days = du.select(F.col("__day").alias("__d")).distinct()
+    dau = du.groupBy(F.col("__day").alias("__d")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    mau = (
+        du.join(
+            days,
+            (F.col("__d") >= F.col("__day"))
+            & (F.col("__d") < F.col("__day") + window_days),
+        )
+        .select("__d", "__u")
+        .distinct()
+        .groupBy("__d")
+        .agg(F.count(F.lit(1)).alias("mau"))
+    )
+    return (
+        dau.join(mau, "__d")
+        .select(
+            F.col("__d").alias("day"),
+            "dau",
+            "mau",
+            (F.col("dau") / F.col("mau")).alias("stickiness"),
+        )
+    )
+
+
+def pct_change(
+    df: DataFrame,
+    key_cols: tuple,
+    order_col: str,
+    value_col: str,
+    periods: int = 1,
+) -> DataFrame:
+    """Period-over-period percent change per key:
+    ``(x − lag(x, periods)) / lag(x, periods)`` over the key's
+    ``order_col`` order (NULL for the first ``periods`` rows and
+    where the base is 0 — explicit, instead of an ANSI divide-by-zero
+    error). One lag window per key: single shuffle, per-key sort."""
+    if periods < 1:
+        raise ValueError("pct_change: periods must be >= 1")
+    keys = [F.col(c) for c in key_cols]
+    w = (
+        Window.partitionBy(*keys) if key_cols else Window.partitionBy()
+    ).orderBy(F.col(order_col).asc())
+    base = F.lag(F.col(value_col).cast("double"), periods).over(w)
+    return df.withColumn(
+        "pct_change",
+        F.when(
+            base.isNotNull() & (base != 0),
+            (F.col(value_col).cast("double") - base) / base,
+        ),
+    )
