@@ -6218,6 +6218,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dau_mau_stickiness",
         "pct_change_monthly_revenue",
         "containment_near_supersets",
+        "stopword_overflow_report",
+        "dow_seasonality_events",
+        "burstiness_daily_events",
         # (b) implementations changed in round 9 (verdict/ADVICE fixes)
         "import_table_impute",
         "vcf_round_trip",
@@ -6547,6 +6550,9 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dau_mau_stickiness": dau_mau_q,
         "pct_change_monthly_revenue": pct_change_monthly_q,
         "containment_near_supersets": containment_q,
+        "stopword_overflow_report": stopword_overflow_q,
+        "dow_seasonality_events": dow_seasonality_q,
+        "burstiness_daily_events": burstiness_q,
         "survival_curve_users": survival_curve_q,
         "entity_resolution_parts": entity_resolution_q,
         "chat_render_docs": chat_render_q,
@@ -6859,6 +6865,9 @@ def oracle_sql() -> dict[str, str]:
         "dau_mau_stickiness": _DAU_MAU_SQL,
         "pct_change_monthly_revenue": _PCT_CHANGE_SQL,
         "containment_near_supersets": _CONTAINMENT_SQL,
+        "stopword_overflow_report": _STOPWORD_OVERFLOW_SQL,
+        "dow_seasonality_events": _DOW_SEASONALITY_SQL,
+        "burstiness_daily_events": _BURSTINESS_SQL,
         "survival_curve_users": _SURVIVAL_SQL,
         "entity_resolution_parts": _ENTITY_RES_SQL,
         "chat_render_docs": _CHAT_RENDER_SQL,
@@ -15258,6 +15267,137 @@ WHERE CAST(n_common AS DOUBLE) / sz.sz >= 0.6
 ORDER BY id_a, id_b
 """
 )
+
+
+def stopword_overflow_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The posting-cap overflow REPORT as a first-class query
+    (llmdata/similarity.py sparse_cosine_overflow): which terms would
+    a max_df=100 cap drop from the sparse-cosine posting join, and
+    how many docs share each — the drop-and-stay-conservative caps
+    (r08/r09 discipline) are only trustworthy if the user can see
+    what they exclude, so the report itself is oracle-checked. At
+    this corpus the cap is ACTIVE (stop words exceed 100 docs), so
+    the row set is non-trivial at every SF."""
+    from hail_spark.llmdata.similarity import sparse_cosine_overflow
+
+    d = _t(spark, sf_dir, "documents").df
+    out = sparse_cosine_overflow(d, max_df=100)
+    return out.select(
+        "term", F.col("n_docs").cast("long").alias("n_docs")
+    ).orderBy("term")
+
+
+_STOPWORD_OVERFLOW_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> ''))
+         AS term
+  FROM documents),
+tf AS (SELECT DISTINCT doc_id, term FROM tok)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM tf GROUP BY term HAVING COUNT(*) > 100 ORDER BY term
+"""
+
+
+def dow_seasonality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: mean value per
+    (type, weekday) plus each weekday's deviation from the type's
+    overall mean — the basic seasonal-decompose read on an event
+    stream. Two hash-aggs + one <=7-row per-type window; Spark
+    ``dayofweek`` is Sunday=1 (DuckDB's is Sunday=0 — the oracle
+    adds 1)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.col("value"),
+    )
+    per = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("__sv"),
+    )
+    w = Window.partitionBy("event_type")
+    overall = F.sum("__sv").over(w) / F.sum("n").over(w)
+    return (
+        per.withColumn("mean_value", F.col("__sv") / F.col("n"))
+        .withColumn("deviation", F.col("mean_value") - overall)
+        .select(
+            "event_type",
+            F.col("dow").cast("int").alias("dow"),
+            F.col("n").cast("long").alias("n"),
+            F.round("mean_value", 6).alias("mean_value"),
+            F.round("deviation", 6).alias("deviation"),
+        )
+        .orderBy("event_type", "dow")
+    )
+
+
+_DOW_SEASONALITY_SQL = """
+WITH per AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS n,
+         SUM(value) AS sv
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT event_type, SUM(sv) / SUM(n) AS overall
+        FROM per GROUP BY 1)
+SELECT per.event_type, CAST(dow AS INT) AS dow, CAST(n AS BIGINT) AS n,
+       round(sv / n, 6) AS mean_value,
+       round(sv / n - overall, 6) AS deviation
+FROM per JOIN tot ON tot.event_type = per.event_type
+ORDER BY per.event_type, dow
+"""
+
+
+def burstiness_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness (Fano factor) of daily event counts per type:
+    variance-to-mean ratio of the per-day counts over the days the
+    type occurs — VMR 1 = Poisson-like arrivals, >> 1 = bursty
+    (campaign spikes), << 1 = regular. All moments come from INTEGER
+    count aggregates (Σn, Σn² exact), so the statistic is
+    engine-exact; two hash-aggs, no window."""
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        (F.floor(_micros("ts") / F.lit(86_400_000_000))).alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("__s"),
+        F.sum(F.col("n") * F.col("n")).alias("__s2"),
+    )
+    d = F.col("n_days").cast("double")
+    mean = F.col("__s") / d
+    var = (F.col("__s2") - F.col("__s") * F.col("__s") / d) / (d - 1)
+    return (
+        agg.filter(F.col("n_days") > 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("__s").cast("long").alias("n_events"),
+            F.round(mean, 6).alias("mean_daily"),
+            F.round(var / mean, 9).alias("fano"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_BURSTINESS_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+agg AS (SELECT event_type, COUNT(*) AS n_days, SUM(n) AS s,
+               SUM(n * n) AS s2
+        FROM daily GROUP BY 1)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       CAST(s AS BIGINT) AS n_events,
+       round(s / CAST(n_days AS DOUBLE), 6) AS mean_daily,
+       round(((s2 - s * CAST(s AS DOUBLE) / n_days)
+              / (CAST(n_days AS DOUBLE) - 1))
+             / (s / CAST(n_days AS DOUBLE)), 9) AS fano
+FROM agg WHERE n_days > 1 ORDER BY event_type
+"""
 
 
 def survival_curve_q(spark: SparkSession, sf_dir: str) -> DataFrame:
