@@ -6221,6 +6221,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_overflow_report",
         "dow_seasonality_events",
         "burstiness_daily_events",
+        "adamic_adar_links",
+        "degree_assortativity_graph",
+        "mann_whitney_events",
+        "chi2_independence_events",
+        "calibration_bins_events",
+        "scd2_user_history",
+        "ewma_daily_revenue",
+        "edit_distance_near_dup",
+        "zipf_slope_tokens",
         # (b) implementations changed in round 9 (verdict/ADVICE fixes)
         "import_table_impute",
         "vcf_round_trip",
@@ -6553,6 +6562,15 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_overflow_report": stopword_overflow_q,
         "dow_seasonality_events": dow_seasonality_q,
         "burstiness_daily_events": burstiness_q,
+        "adamic_adar_links": adamic_adar_q,
+        "degree_assortativity_graph": degree_assortativity_q,
+        "mann_whitney_events": mann_whitney_q,
+        "chi2_independence_events": chi2_independence_q,
+        "calibration_bins_events": calibration_bins_q,
+        "scd2_user_history": scd2_history_q,
+        "ewma_daily_revenue": ewma_daily_q,
+        "edit_distance_near_dup": edit_distance_q,
+        "zipf_slope_tokens": zipf_fit_q,
         "survival_curve_users": survival_curve_q,
         "entity_resolution_parts": entity_resolution_q,
         "chat_render_docs": chat_render_q,
@@ -6868,6 +6886,15 @@ def oracle_sql() -> dict[str, str]:
         "stopword_overflow_report": _STOPWORD_OVERFLOW_SQL,
         "dow_seasonality_events": _DOW_SEASONALITY_SQL,
         "burstiness_daily_events": _BURSTINESS_SQL,
+        "adamic_adar_links": _ADAMIC_ADAR_SQL,
+        "degree_assortativity_graph": _DEGREE_ASSORT_SQL,
+        "mann_whitney_events": _MANN_WHITNEY_SQL,
+        "chi2_independence_events": _CHI2_INDEP_SQL,
+        "calibration_bins_events": _CALIBRATION_SQL,
+        "scd2_user_history": _SCD2_SQL,
+        "ewma_daily_revenue": _EWMA_SQL,
+        "edit_distance_near_dup": _EDIT_DISTANCE_SQL,
+        "zipf_slope_tokens": _ZIPF_SQL,
         "survival_curve_users": _SURVIVAL_SQL,
         "entity_resolution_parts": _ENTITY_RES_SQL,
         "chat_render_docs": _CHAT_RENDER_SQL,
@@ -15680,4 +15707,421 @@ SELECT o_orderpriority,
        round(MIN(CASE WHEN cw >= 0.5 * tw THEN v END), 4) AS p50,
        round(MIN(CASE WHEN cw >= 0.9 * tw THEN v END), 4) AS p90
 FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def adamic_adar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (operators/graph.py adamic_adar,
+    Adamic & Adar 2003) over the thinned customer-supplier purchase
+    bipartite graph: for every non-adjacent node pair sharing
+    neighbors, sum 1/ln(deg) over the common neighbors — the
+    "customers who buy from your suppliers" recommendation scores.
+    One wedge equi-join on the middle node (hub middles over
+    max_degree=64 excluded — deterministic, replayed by the oracle),
+    one anti-join, one pair hash-agg; never all-pairs."""
+    from hail_spark.operators.graph import adamic_adar
+
+    o = _t(spark, sf_dir, "orders").df.filter(F.col("o_orderkey") % 20 == 0)
+    li = _t(spark, sf_dir, "lineitem").df
+    e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    )
+    out = adamic_adar(e, max_degree=64)
+    return out.select(
+        "node_a",
+        "node_b",
+        F.col("common_neighbors").cast("long").alias("common_neighbors"),
+        F.round("score", 6).alias("score"),
+    ).orderBy("node_a", "node_b")
+
+
+_ADAMIC_ADAR_SQL = """
+WITH raw AS (
+  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderkey % 20 = 0),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM raw WHERE src <> dst),
+adj AS (SELECT lo AS v, hi AS w FROM e UNION ALL SELECT hi, lo FROM e),
+deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY w),
+mid AS (SELECT w, d FROM deg WHERE d <= 64),
+wedge AS (
+  SELECT a.v AS node_a, b.v AS node_b, m.d
+  FROM adj a JOIN adj b ON a.w = b.w AND a.v < b.v
+  JOIN mid m ON m.w = a.w),
+cand AS (
+  SELECT node_a, node_b, COUNT(*) AS common_neighbors,
+         SUM(1.0 / ln(d)) AS score
+  FROM wedge GROUP BY 1, 2)
+SELECT c.node_a, c.node_b,
+       CAST(c.common_neighbors AS BIGINT) AS common_neighbors,
+       round(c.score, 6) AS score
+FROM cand c LEFT JOIN e ON e.lo = c.node_a AND e.hi = c.node_b
+WHERE e.lo IS NULL
+ORDER BY c.node_a, c.node_b
+"""
+
+
+def degree_assortativity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (operators/graph.py degree_assortativity,
+    Newman 2002) of the thinned purchase bipartite graph — strongly
+    negative by construction (customers attach to supplier hubs).
+    All moments are exact integer sums over integer degrees, so the
+    coefficient replays bit-for-bit; one degree hash-agg + two
+    decoration joins + a scalar agg."""
+    from hail_spark.operators.graph import degree_assortativity
+
+    o = _t(spark, sf_dir, "orders").df.filter(F.col("o_orderkey") % 20 == 0)
+    li = _t(spark, sf_dir, "lineitem").df
+    e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1_000_000).alias("dst"),
+    )
+    out = degree_assortativity(e)
+    return out.select(
+        "n_edges",
+        F.round("mean_degree", 6).alias("mean_degree"),
+        F.round("assortativity", 9).alias("assortativity"),
+    )
+
+
+_DEGREE_ASSORT_SQL = """
+WITH raw AS (
+  SELECT o_custkey AS src, 1000000 + l_suppkey AS dst
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderkey % 20 = 0),
+e AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM raw WHERE src <> dst),
+adj AS (SELECT lo AS v, hi AS w FROM e UNION ALL SELECT hi, lo FROM e),
+deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v),
+sym0 AS (
+  SELECT dx.d AS x, dy.d AS y
+  FROM e JOIN deg dx ON dx.v = e.lo JOIN deg dy ON dy.v = e.hi),
+sym AS (SELECT x, y FROM sym0 UNION ALL SELECT y, x FROM sym0),
+m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM sym)
+SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+       round(sx / CAST(n AS DOUBLE), 6) AS mean_degree,
+       round((sxy - sx * CAST(sy AS DOUBLE) / n)
+             / sqrt((sxx - sx * CAST(sx AS DOUBLE) / n)
+                    * (syy - sy * CAST(sy AS DOUBLE) / n)), 9)
+         AS assortativity
+FROM m
+"""
+
+
+def mann_whitney_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (operators/abtest.py
+    mann_whitney_u, Mann & Whitney 1947): click vs purchase event
+    values, the nonparametric companion to welch_ttest_events. The
+    pair count 2·U accumulates as an exact INTEGER per distinct pooled
+    value (ks_statistic's distinct-value window discipline), so U and
+    the tie-corrected z replay bit-for-bit from the same integer
+    sums."""
+    from hail_spark.operators.abtest import mann_whitney_u
+
+    ev = _t(spark, sf_dir, "events").df
+    a = ev.filter(F.col("event_type") == "click").select("value")
+    b = ev.filter(F.col("event_type") == "purchase").select("value")
+    out = mann_whitney_u(a, b, "value")
+    return out.select(
+        "n_a", "n_b", "u_a", "u_b", F.round("z", 9).alias("z")
+    )
+
+
+_MANN_WHITNEY_SQL = """
+WITH a AS (SELECT value AS v FROM events WHERE event_type = 'click' AND value IS NOT NULL),
+b AS (SELECT value AS v FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
+per AS (
+  SELECT v,
+         SUM(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cb
+  FROM (SELECT v, 0 AS s FROM a UNION ALL SELECT v, 1 FROM b)
+  GROUP BY v),
+run AS (
+  SELECT ca, cb,
+         SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) - cb AS cb_below,
+         (ca + cb) * (ca + cb) * (ca + cb) - (ca + cb) AS tie
+  FROM per),
+agg AS (SELECT SUM(ca) AS na, SUM(cb) AS nb,
+               SUM(ca * (2 * cb_below + cb)) AS u2,
+               SUM(tie) AS ties
+        FROM run)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       u2 / 2.0 AS u_a,
+       na * CAST(nb AS DOUBLE) - u2 / 2.0 AS u_b,
+       round((u2 / 2.0 - na * CAST(nb AS DOUBLE) / 2.0)
+             / sqrt(na * CAST(nb AS DOUBLE) / 12.0
+                    * ((na + nb + 1)
+                       - ties / (CAST(na + nb AS DOUBLE)
+                                 * (na + nb - 1)))), 9) AS z
+FROM agg
+"""
+
+
+def chi2_independence_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test + Cramér's V (operators/abtest.py
+    chi2_independence): is event type independent of day-of-week? The
+    statistic sums over the FULL dense contingency grid (empty cells
+    contribute their expectation); everything is hash-aggs over
+    category-bounded tables. Spark dayofweek is Sunday=1 (the oracle
+    adds 1 to DuckDB's Sunday=0)."""
+    from hail_spark.operators.abtest import chi2_independence
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type", F.dayofweek("ts").alias("dow")
+    )
+    out = chi2_independence(ev, "event_type", "dow")
+    return out.select(
+        "n",
+        "n_rows_a",
+        "n_cols_b",
+        "dof",
+        F.round("chi2", 6).alias("chi2"),
+        F.round("cramers_v", 9).alias("cramers_v"),
+    )
+
+
+_CHI2_INDEP_SQL = """
+WITH q AS (SELECT event_type AS a, dayofweek(ts) + 1 AS b FROM events),
+obs AS (SELECT a, b, COUNT(*) AS o FROM q GROUP BY 1, 2),
+ra AS (SELECT a, SUM(o) AS ma FROM obs GROUP BY a),
+cb AS (SELECT b, SUM(o) AS mb FROM obs GROUP BY b),
+tot AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM obs),
+grid AS (
+  SELECT ra.a, cb.b, ra.ma, cb.mb, COALESCE(obs.o, 0) AS o, tot.n
+  FROM ra CROSS JOIN cb CROSS JOIN tot
+  LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b),
+agg AS (
+  SELECT MAX(n) AS n, COUNT(DISTINCT a) AS r, COUNT(DISTINCT b) AS c,
+         SUM((o - ma * mb / n) * (o - ma * mb / n) / (ma * mb / n))
+           AS chi2
+  FROM grid)
+SELECT CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_rows_a,
+       CAST(c AS BIGINT) AS n_cols_b,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       round(chi2, 6) AS chi2,
+       round(sqrt(chi2 / (n * least(r - 1, c - 1))), 9) AS cramers_v
+FROM agg
+"""
+
+
+def calibration_bins_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram (operators/abtest.py calibration_report):
+    treat each event's value scaled by the corpus max as a [0, 1]
+    "score" and conversion events (purchase/signup) as the positive
+    label — 10 equal-width bins with per-bin confidence, accuracy,
+    and the ECE contribution. The scale factor rides in as a 1-row
+    aggregate cross join (no driver action); one hash-agg on the bin
+    key + a ≤ 10-row window."""
+    from hail_spark.operators.abtest import calibration_report
+
+    ev = _t(spark, sf_dir, "events").df
+    mx = ev.agg(F.max("value").alias("__mx"))
+    scored = ev.crossJoin(mx).select(
+        (F.col("value") / F.col("__mx")).alias("score"),
+        F.col("event_type").isin("purchase", "signup").cast("int").alias(
+            "label"
+        ),
+    )
+    out = calibration_report(scored, "score", "label", n_bins=10)
+    return out.select(
+        "bin",
+        "n",
+        F.round("mean_score", 6).alias("mean_score"),
+        F.round("frac_positive", 6).alias("frac_positive"),
+        F.round("ece_term", 9).alias("ece_term"),
+    ).orderBy("bin")
+
+
+_CALIBRATION_SQL = """
+WITH mx AS (SELECT MAX(value) AS m FROM events),
+s AS (
+  SELECT least(CAST(floor(value / m * 10) AS INT), 9) AS bin,
+         value / m AS score,
+         CASE WHEN event_type IN ('purchase', 'signup') THEN 1.0
+              ELSE 0.0 END AS y
+  FROM events CROSS JOIN mx),
+agg AS (
+  SELECT bin, COUNT(*) AS n, SUM(score) AS ss, SUM(y) AS sy
+  FROM s GROUP BY bin),
+tot AS (SELECT SUM(n) AS t FROM agg)
+SELECT CAST(bin AS INT) AS bin, CAST(n AS BIGINT) AS n,
+       round(ss / n, 6) AS mean_score,
+       round(sy / n, 6) AS frac_positive,
+       round(n / CAST(t AS DOUBLE) * abs(sy / n - ss / n), 9) AS ece_term
+FROM agg CROSS JOIN tot ORDER BY bin
+"""
+
+
+def scd2_history_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build (operators/relational.py scd2_history,
+    Kimball): collapse each user's event-type change stream into
+    validity intervals — valid_from/valid_to half-open, NULL while
+    current — with (ts, event_id) as the deterministic within-user
+    order. Three per-user ordered windows, one shuffle on the user
+    key."""
+    from hail_spark.operators.relational import scd2_history
+
+    ev = _t(spark, sf_dir, "events").df
+    out = scd2_history(ev, "user_id", ["ts", "event_id"], "event_type")
+    return out.select(
+        "user_id",
+        F.col("version").cast("long").alias("version"),
+        "event_type",
+        "valid_from",
+        "valid_to",
+        "n_rows",
+        "is_current",
+    ).orderBy("user_id", "version")
+
+
+_SCD2_SQL = """
+WITH chg AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type IS DISTINCT FROM
+              lag(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id)
+              THEN 1 ELSE 0 END AS c
+  FROM events),
+runs AS (
+  SELECT user_id, ts, event_type,
+         SUM(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS run
+  FROM chg),
+per AS (
+  SELECT user_id, run, MIN(event_type) AS event_type,
+         MIN(ts) AS valid_from, COUNT(*) AS n_rows
+  FROM runs GROUP BY user_id, run)
+SELECT user_id, CAST(run AS BIGINT) AS version, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run)
+         AS valid_to,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run) IS NULL
+         AS is_current
+FROM per ORDER BY user_id, version
+"""
+
+
+def ewma_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA-smoothed daily revenue (operators/relational.py ewma):
+    per-day order revenue smoothed with alpha=0.5 truncated at
+    span=14 buckets back — the adjust-normalized, gap-aware (weights
+    decay through missing calendar days) form. The truncated sum is
+    a banded self-join (each day posts to 2 coarse bands), never a
+    recursion and never an unbounded window. Engine-exact by
+    construction: the series is INTEGER CENTS and alpha=0.5 makes
+    every weight a dyadic 2^-k, so each term and every partial sum is
+    exactly representable (max ≈ 2^45 « 2^53) — the weighted mean is
+    order-independent bit-for-bit across engines (a non-dyadic alpha
+    summed in different orders flips 6-dp rounding boundaries)."""
+    from hail_spark.operators.relational import ewma
+
+    o = _t(spark, sf_dir, "orders").df
+    daily = o.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    out = ewma(daily, "day", "cents", alpha=0.5, span=14)
+    return out.select(
+        F.col("day").cast("long").alias("day"),
+        F.round(F.col("cents") / 100.0, 4).alias("rev"),
+        F.round(F.col("ewma") / 100.0, 6).alias("ewma"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+    ).orderBy("day")
+
+
+_EWMA_SQL = """
+WITH daily AS (
+  SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1)
+SELECT CAST(q.day AS BIGINT) AS day, round(q.cents / 100.0, 4) AS rev,
+       round(SUM(pow(0.5, q.day - s.day) * s.cents)
+             / SUM(pow(0.5, q.day - s.day)) / 100.0, 6) AS ewma,
+       CAST(COUNT(*) AS BIGINT) AS n_terms
+FROM daily q JOIN daily s
+  ON s.day <= q.day AND s.day > q.day - 15
+GROUP BY q.day, q.cents ORDER BY q.day
+"""
+
+
+def edit_distance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance similarity join (llmdata/dedup.py
+    edit_distance_pairs — PassJoin, Li et al. VLDB 2012): near-dup
+    pairs among 60-char document prefixes at Levenshtein <= 5,
+    EXACTLY the all-pairs answer via the segment-pigeonhole equi-join
+    (k edits can't corrupt all k+1 segments of the shorter string) —
+    the blocking that stays selective when every string has the same
+    length. No posting cap here so the naive oracle replays verbatim
+    (boilerplate floods would cap; see edit_distance_overflow)."""
+    from hail_spark.llmdata.dedup import edit_distance_pairs
+
+    d = _t(spark, sf_dir, "documents").df.select(
+        "doc_id", F.substring("text", 1, 60).alias("text")
+    )
+    out = edit_distance_pairs(
+        d, "text", "doc_id", max_dist=5, max_postings_per_segment=None
+    )
+    return out.select(
+        "id_a", "id_b", F.col("dist").cast("int").alias("dist")
+    ).orderBy("id_a", "id_b")
+
+
+_EDIT_DISTANCE_SQL = """
+WITH d AS (SELECT doc_id, substr(text, 1, 60) AS t FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.t, b.t) AS INT) AS dist
+FROM d a JOIN d b
+  ON a.doc_id < b.doc_id
+ AND abs(length(a.t) - length(b.t)) <= 5
+WHERE levenshtein(a.t, b.t) <= 5
+ORDER BY id_a, id_b
+"""
+
+
+def zipf_fit_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit (llmdata/textstats.py zipf_fit): OLS of ln(freq)
+    on ln(rank) over the top-500 corpus tokens — the corpus-health
+    read whose slope ≈ -1 for natural language (the synthetic corpus'
+    small word pool slopes shallower; the NUMBER is the conformance
+    contract). One token hash-agg, a bounded TakeOrdered head, JVM
+    regr_* aggregates."""
+    from hail_spark.llmdata.textstats import zipf_fit
+
+    d = _t(spark, sf_dir, "documents").df
+    out = zipf_fit(d, "text", top_n=500)
+    return out.select(
+        "n_terms",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
+_ZIPF_SQL = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(
+           regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))
+         AS term
+  FROM documents),
+tf AS (SELECT term, COUNT(*) AS freq FROM tok GROUP BY term),
+head AS (
+  SELECT ln(row_number() OVER (ORDER BY freq DESC, term ASC)) AS x,
+         ln(freq) AS y
+  FROM tf ORDER BY freq DESC, term ASC LIMIT 500)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       round(regr_slope(y, x), 6) AS slope,
+       round(regr_intercept(y, x), 6) AS intercept,
+       round(regr_r2(y, x), 6) AS r2
+FROM head
 """

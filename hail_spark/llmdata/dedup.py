@@ -1387,3 +1387,217 @@ def remove_duplicated_spans(
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
     )
+
+
+def _passjoin_seg(lt: Column, i: Column, k: int) -> tuple[Column, Column]:
+    """Even-partition segment geometry for PassJoin: target length
+    ``lt`` split into k+1 segments — the first ``(k+1) - lt%(k+1)``
+    of length ``lt//(k+1)``, the rest one longer. Returns (start0,
+    seg_len) as 0-based start + length for segment ``i``."""
+    m = k + 1
+    base = F.floor(lt / m)
+    rem = lt % m
+    firsts = m - rem
+    seg_len = F.when(i < firsts, base).otherwise(base + 1)
+    start0 = F.when(i < firsts, i * base).otherwise(
+        firsts * base + (i - firsts) * (base + 1)
+    )
+    return start0, seg_len
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    max_postings_per_segment: int | None = 1024,
+) -> DataFrame:
+    """Edit-distance similarity join via PassJoin (Li, Deng, Wang &
+    Feng, VLDB 2012): all pairs (id_a, id_b, dist) with
+    ``levenshtein <= max_dist``, id_a < id_b — EXACTLY the naive
+    all-pairs answer, never computed all-pairs. Pigeonhole: split the
+    shorter string of a pair into ``max_dist + 1`` segments — k edits
+    can corrupt at most k of them, so at least ONE segment survives
+    VERBATIM as a substring of the longer string within ±k of its
+    original position. Candidates therefore come from an EQUI-join of
+    indexed segments against probe substrings; this stays selective
+    even when every string has the SAME length (where naive
+    length-blocking collapses into one all-pairs block).
+
+    Scale shape: index side explodes each string into k+1 segments
+    keyed (segment_index, length, segment_text); probe side explodes
+    each string into the ≤ (k+1)²·(2k+1) substrings that could equal
+    an in-window segment of a ≤ k-shorter string (k=2: ≤ 45/doc);
+    ONE equi-join on the key, pair distinct, then the JVM
+    banded-threshold ``levenshtein(a, b, k)`` verify (O(len·k)
+    early-exit DP) on candidates only. Boilerplate floods make hot
+    segment keys: ``max_postings_per_segment`` drops over-cap index
+    keys (conservative — a pair is lost only if EVERY surviving
+    segment of it overflowed; deterministic, so an oracle replaying
+    the cap matches) — audit with :func:`edit_distance_overflow`.
+    Strings shorter than ``max_dist + 1`` can have empty segments
+    (pigeonhole breaks), so pairs whose shorter side is that tiny run
+    through a bounded short-bucket path instead."""
+    if max_dist < 1:
+        raise ValueError("edit_distance_pairs: max_dist must be >= 1")
+    k = max_dist
+    m = k + 1
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).alias("__l"),
+    ).filter(F.col("__t").isNotNull())
+    long_side = base.filter(F.col("__l") >= m)
+
+    # ---- index: k+1 segments per string (its own length partition)
+    idx = long_side.select(
+        F.col("__id").alias("id_t"),
+        F.col("__t").alias("__tt"),
+        F.col("__l").alias("lt"),
+        F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i"),
+    )
+    st, sl = _passjoin_seg(F.col("lt"), F.col("i"), k)
+    idx = idx.select(
+        "id_t",
+        "__tt",
+        "lt",
+        "i",
+        F.substring(F.col("__tt"), (st + 1).cast("int"), sl.cast("int")).alias(
+            "seg"
+        ),
+    )
+    if max_postings_per_segment is not None:
+        over = (
+            idx.groupBy("i", "lt", "seg")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_postings_per_segment)
+            .select("i", "lt", "seg")
+        )
+        idx = idx.join(over, ["i", "lt", "seg"], "left_anti")
+
+    # ---- probe: substrings that could equal an indexed segment of a
+    # string up to k shorter (lt in [ls-k, ls], lt >= m); position
+    # window ±k around the segment's home start, clamped to bounds
+    probe = long_side.select(
+        F.col("__id").alias("id_s"),
+        F.col("__t").alias("__ts"),
+        F.col("__l").alias("ls"),
+        F.explode(
+            F.sequence(
+                F.greatest(F.lit(m), F.col("__l") - k), F.col("__l")
+            )
+        ).alias("lt"),
+    ).select(
+        "id_s",
+        "__ts",
+        "ls",
+        "lt",
+        F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i"),
+    )
+    pst, psl = _passjoin_seg(F.col("lt"), F.col("i"), k)
+    lo = F.greatest(F.lit(0), pst - k)
+    hi = F.least(F.col("ls") - psl, pst + k)
+    probe = probe.select(
+        "id_s",
+        "__ts",
+        "ls",
+        "lt",
+        "i",
+        psl.alias("__sl"),
+        F.explode(
+            F.when(lo <= hi, F.sequence(lo, hi)).otherwise(
+                F.array().cast("array<bigint>")
+            )
+        ).alias("p"),
+    ).select(
+        "id_s",
+        "__ts",
+        "ls",
+        "lt",
+        "i",
+        F.substring(
+            F.col("__ts"), (F.col("p") + 1).cast("int"), F.col("__sl").cast("int")
+        ).alias("seg"),
+    )
+    cand_long = (
+        probe.join(idx, ["i", "lt", "seg"])
+        .filter(
+            (F.col("lt") < F.col("ls"))
+            | (F.col("id_t") < F.col("id_s"))
+        )
+        .select(
+            F.least(F.col("id_s"), F.col("id_t")).alias("id_a"),
+            F.greatest(F.col("id_s"), F.col("id_t")).alias("id_b"),
+            F.col("__ts").alias("__a"),
+            F.col("__tt").alias("__b"),
+        )
+        .distinct()
+    )
+
+    # ---- short bucket: shorter side < m chars — pigeonhole needs
+    # nonempty segments; pair them against everything within the
+    # length window (bounded: both sides shorter than m + k chars)
+    tiny = base.filter(F.col("__l") < m)
+    near_tiny = base.filter(F.col("__l") < m + k)
+    x_first = F.col("x.__id") < F.col("y.__id")
+    cand_short = (
+        tiny.alias("x")
+        .join(
+            near_tiny.alias("y"),
+            (F.col("x.__id") != F.col("y.__id"))
+            & (
+                F.abs(F.col("x.__l") - F.col("y.__l")) <= k
+            ),
+        )
+        .select(
+            F.least(F.col("x.__id"), F.col("y.__id")).alias("id_a"),
+            F.greatest(F.col("x.__id"), F.col("y.__id")).alias("id_b"),
+            F.when(x_first, F.col("x.__t")).otherwise(F.col("y.__t")).alias(
+                "__a"
+            ),
+            F.when(x_first, F.col("y.__t")).otherwise(F.col("x.__t")).alias(
+                "__b"
+            ),
+        )
+        .distinct()
+    )
+    cand = cand_long.unionByName(cand_short)
+    d = F.levenshtein(F.col("__a"), F.col("__b"), k)
+    return cand.select("id_a", "id_b", d.alias("dist")).filter(
+        F.col("dist") >= 0
+    )
+
+
+def edit_distance_overflow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    max_postings_per_segment: int = 1024,
+) -> DataFrame:
+    """Report the (segment_index, length, segment_text) index keys
+    :func:`edit_distance_pairs` drops at ``max_postings_per_segment``
+    — the boundedness-audit companion in the posting-cap
+    discipline. Non-empty output means boilerplate floods share
+    verbatim segments; dedup exact clones first or raise the cap."""
+    k = max_dist
+    m = k + 1
+    long_side = df.select(
+        F.col(text_col).alias("__t"), F.length(text_col).alias("lt")
+    ).filter(F.col("__t").isNotNull() & (F.col("lt") >= m))
+    idx = long_side.select(
+        "__t", "lt", F.explode(F.sequence(F.lit(0), F.lit(k))).alias("i")
+    )
+    st, sl = _passjoin_seg(F.col("lt"), F.col("i"), k)
+    return (
+        idx.select(
+            "i",
+            "lt",
+            F.substring(
+                F.col("__t"), (st + 1).cast("int"), sl.cast("int")
+            ).alias("seg"),
+        )
+        .groupBy("i", "lt", "seg")
+        .agg(F.count(F.lit(1)).alias("n_postings"))
+        .filter(F.col("n_postings") > max_postings_per_segment)
+    )

@@ -741,3 +741,46 @@ def bigram_logprob(
     return toks.select("__id").join(scored, "__id", "left").select(
         F.col("__id").alias(id_col), "n_bigrams", "logprob"
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus token frequencies: OLS of
+    ``ln(freq)`` on ``ln(rank)`` across the ``top_n`` most frequent
+    tokens (rank 1 = most frequent, frequency-then-token tie-break for
+    engine-exact determinism). A healthy natural-language corpus slopes
+    ≈ −1; a flat slope flags boilerplate/template floods, a cliff
+    flags a truncated vocabulary — one of the cheapest corpus-level
+    quality reads. Returns one row (n_terms, slope, intercept, r2).
+
+    Scale shape: one token hash-agg over the corpus (map-side
+    partials), a TakeOrdered head of ``top_n`` rows to the rank
+    window — the ONLY sort, over the bounded head table — then the
+    JVM ``regr_*`` aggregates. No collect, no UDF."""
+    if top_n < 2:
+        raise ValueError("zipf_fit: top_n must be >= 2")
+    tf = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    head = tf.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(top_n)
+    from pyspark.sql import Window as W
+
+    rank = F.row_number().over(
+        W.orderBy(F.col("freq").desc(), F.col("term").asc())
+    )
+    xy = head.select(
+        F.log(rank.cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    return xy.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.expr("regr_slope(y, x)").alias("slope"),
+        F.expr("regr_intercept(y, x)").alias("intercept"),
+        F.expr("regr_r2(y, x)").alias("r2"),
+    )

@@ -278,3 +278,200 @@ def bucketed_jackknife_ratio(
         "n_buckets_used",
         "n_rows",
     )
+
+
+def mann_whitney_u(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    p_value: bool = False,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947): the
+    nonparametric two-sample location test — ``U_a = #{(a, b) :
+    a > b} + ½ #{a = b}`` — with the normal approximation z-score
+    under the tie-corrected variance. Returns one row
+    (n_a, n_b, u_a, u_b, z [, p]). The pair count is computed WITHOUT
+    pairing: per distinct pooled value, ``2·U_a`` accumulates
+    ``ca · (2·cb_below + cb_eq)`` — an exact INTEGER, so u_a/u_b/z
+    replay bit-for-bit on any engine from the same integer sums.
+
+    Scale shape (the ks_statistic discipline): tag-and-union, ONE
+    hash-agg per distinct value, one ordered running-sum window over
+    the DISTINCT-value table (the only global sort, over distinct
+    values, not rows), then a scalar agg. For continuous columns whose
+    distinct count approaches the row count, bin/round upstream first.
+    The optional two-sided normal ``p`` is an Arrow pandas-UDF over
+    the single aggregate row (SQL lacks erf)."""
+    from pyspark.sql import Window as W
+
+    a = df_a.select(F.col(col).alias("v")).withColumn("__s", F.lit(0))
+    b = df_b.select(F.col(col).alias("v")).withColumn("__s", F.lit(1))
+    u = a.unionByName(b).filter(F.col("v").isNotNull())
+    per = u.groupBy("v").agg(
+        F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    t = F.col("ca") + F.col("cb")
+    run = per.select(
+        "ca",
+        "cb",
+        (F.sum("cb").over(w) - F.col("cb")).alias("__cb_below"),
+        (t * t * t - t).alias("__tie"),
+    )
+    agg = run.agg(
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
+        F.sum(
+            F.col("ca") * (2 * F.col("__cb_below") + F.col("cb"))
+        ).alias("__u2"),
+        F.sum("__tie").alias("__ties"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    ua = F.col("__u2") / 2.0
+    mu = na * nb / 2.0
+    var = (
+        na * nb / 12.0 * ((n + 1) - F.col("__ties") / (n * (n - 1)))
+    )
+    out = agg.select(
+        "n_a",
+        "n_b",
+        ua.alias("u_a"),
+        (na * nb - ua).alias("u_b"),
+        F.when(var > 0, (ua - mu) / F.sqrt(var)).alias("z"),
+    )
+    if p_value:
+
+        def _p_fn(z_s: pd.Series) -> pd.Series:
+            zv = z_s.to_numpy(dtype=float)
+            p = np.full(len(zv), np.nan)
+            ok = np.isfinite(zv)
+            if ok.any():
+                p[ok] = 2.0 * pnorm(np.abs(zv[ok]), lower_tail=False)
+            return pd.Series(p)
+
+        p_udf = pandas_udf(_p_fn, "double")
+        out = out.withColumn("p", p_udf(F.col("z")))
+    return out
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two
+    categorical columns, with Cramér's V effect size. The statistic
+    sums ``(o - e)² / e`` over the FULL contingency grid — including
+    structurally-empty cells (o = 0 still contributes e), via a
+    distinct(a) × distinct(b) grid left-joined with the observed
+    counts. Returns one row (n, n_rows_a, n_cols_b, dof, chi2,
+    cramers_v).
+
+    Scale shape: one (a, b) hash-agg over the data, two margin
+    hash-aggs over the CELL table (cell-cardinality bounded = product
+    of category cardinalities), the dense grid from a cross join of
+    the two margin tables (Catalyst broadcasts both — category-sized),
+    and a scalar agg. No window, no sort, no driver data. Only
+    meaningful for genuinely categorical columns — a continuous
+    column's grid explodes; bin it upstream."""
+    ab = F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    obs = df.select(*ab).groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).alias("__o")
+    )
+    ra = obs.groupBy("__a").agg(F.sum("__o").alias("__ma"))
+    cb = obs.groupBy("__b").agg(F.sum("__o").alias("__mb"))
+    tot = obs.agg(F.sum("__o").cast("double").alias("__n"))
+    grid = (
+        ra.crossJoin(cb)
+        .join(obs, ["__a", "__b"], "left")
+        .crossJoin(tot)
+    )
+    e = F.col("__ma") * F.col("__mb") / F.col("__n")
+    o = F.coalesce(F.col("__o"), F.lit(0)).cast("double")
+    cell = (o - e) * (o - e) / e
+    out = grid.agg(
+        F.max("__n").cast("long").alias("n"),
+        F.countDistinct("__a").alias("n_rows_a"),
+        F.countDistinct("__b").alias("n_cols_b"),
+        F.sum(cell).alias("chi2"),
+    )
+    r = F.col("n_rows_a").cast("double")
+    c = F.col("n_cols_b").cast("double")
+    dof = (r - 1) * (c - 1)
+    return out.select(
+        "n",
+        "n_rows_a",
+        "n_cols_b",
+        dof.cast("long").alias("dof"),
+        "chi2",
+        F.when(
+            (dof > 0) & (F.col("n") > 0),
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(r - 1, c - 1))
+            ),
+        ).otherwise(F.lit(0.0)).alias("cramers_v"),
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram / calibration bins for a probabilistic
+    score in [0, 1] against a binary label: equal-WIDTH bins
+    ``bin = min(floor(score·n_bins), n_bins − 1)``, per bin the count,
+    mean score (confidence) and positive fraction (accuracy), plus
+    each bin's contribution to Expected Calibration Error
+    (``ece_term = (n_bin / n) · |frac_pos − mean_score|`` — sum the
+    column for ECE). The first chart to read on any model score
+    before thresholding it.
+
+    Scale shape: one hash-agg on the bin key (map-side partials), then
+    a window over the ≤ n_bins aggregate rows for the total — bounded
+    by construction. Scores outside [0, 1] raise loudly rather than
+    silently clamping into the edge bins."""
+    if n_bins < 2:
+        raise ValueError("calibration_report: n_bins must be >= 2")
+    from pyspark.sql import Window as W
+
+    s = F.col(score_col).cast("double")
+    checked = F.when(
+        (s < 0) | (s > 1),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "calibration_report: score outside [0, 1]: "
+                ),
+                s.cast("string"),
+            )
+        ),
+    ).otherwise(s)
+    binned = df.select(
+        F.least(
+            F.floor(checked * n_bins), F.lit(n_bins - 1)
+        ).cast("int").alias("bin"),
+        s.alias("__score"),
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__score").alias("__ss"),
+        F.sum("__y").alias("__sy"),
+    )
+    tot = F.sum("n").over(W.partitionBy())
+    conf = F.col("__ss") / F.col("n")
+    acc = F.col("__sy") / F.col("n")
+    return agg.select(
+        "bin",
+        "n",
+        conf.alias("mean_score"),
+        acc.alias("frac_positive"),
+        (
+            F.col("n").cast("double") / tot * F.abs(acc - conf)
+        ).alias("ece_term"),
+    )

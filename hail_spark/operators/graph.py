@@ -800,3 +800,162 @@ def modularity(
             ).alias("q_c"),
         )
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int = 4096,
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003) over the
+    UNDIRECTED deduplicated graph: for every NON-adjacent pair (u, v)
+    with at least one common neighbor, ``score = Σ_{w ∈ N(u)∩N(v)}
+    1 / ln(deg(w))`` plus the raw common-neighbor count — the
+    classic "people you may know" / co-purchase recommendation
+    primitive. Returns (node_a, node_b, common_neighbors, score)
+    with node_a < node_b.
+
+    Scale shape: canonicalize + distinct the edge list once
+    (localCheckpoint shared by the adjacency, degree, and anti-join
+    consumers), one degree hash-agg, then ONE wedge equi-join on the
+    middle node (adjacency ⋈ adjacency on w, u < v), an anti-join
+    against the edge list to drop already-adjacent pairs, and a final
+    per-pair hash-agg. Never all-pairs: the wedge fan-out is
+    Σ_w deg(w)², so ``max_degree`` excludes hub middles past the cap
+    (their wedge cost is quadratic while their AA weight 1/ln(deg)
+    is the SMALLEST possible) — dropped-hub semantics are
+    conservative (scores only shrink, pairs connected only through
+    capped hubs disappear) and deterministic, so an oracle replaying
+    the same cap matches exactly. Use :func:`adamic_adar_overflow`
+    to see what the cap dropped."""
+    if max_degree is not None and max_degree < 2:
+        raise ValueError("adamic_adar: max_degree must be >= 2")
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = e.select(F.col("lo").alias("v"), F.col("hi").alias("w")).unionByName(
+        e.select(F.col("hi").alias("v"), F.col("lo").alias("w"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("__deg"))
+    mid = deg if max_degree is None else deg.filter(
+        F.col("__deg") <= max_degree
+    )
+    a = adj.select(F.col("v").alias("node_a"), "w")
+    b = adj.select(F.col("v").alias("node_b"), "w")
+    wedges = (
+        a.join(b, "w")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .join(mid, "w")
+    )
+    cand = wedges.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).alias("common_neighbors"),
+        F.sum(F.lit(1.0) / F.log(F.col("__deg").cast("double"))).alias(
+            "score"
+        ),
+    )
+    return cand.join(
+        e,
+        (cand["node_a"] == e["lo"]) & (cand["node_b"] == e["hi"]),
+        "left_anti",
+    )
+
+
+def adamic_adar_overflow(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int = 4096,
+) -> DataFrame:
+    """Report the hub nodes :func:`adamic_adar` excludes as wedge
+    middles at ``max_degree`` — (node, degree) for every node over
+    the cap, the boundedness-audit companion in the
+    video_posting_overflow / sparse_cosine_overflow discipline."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    adj = e.select(F.col("lo").alias("node")).unionByName(
+        e.select(F.col("hi").alias("node"))
+    )
+    return (
+        adj.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .filter(F.col("degree") > max_degree)
+    )
+
+
+def degree_assortativity(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) of the
+    UNDIRECTED deduplicated graph: the Pearson correlation of the
+    degrees at either end of an edge, computed over the symmetrized
+    edge list (each undirected edge contributes both orientations, the
+    standard convention — the statistic must be symmetric in its two
+    arguments). r > 0: hubs attach to hubs (social networks);
+    r < 0: hubs attach to leaves (star-ish / bipartite-ish graphs,
+    most purchase graphs). Returns one row
+    (n_edges, mean_degree, assortativity).
+
+    Scale shape: canonicalize + distinct once (localCheckpoint shared
+    by the degree and join consumers), one degree hash-agg, two
+    equi-joins to decorate the edge endpoints, and one scalar moment
+    agg — all moments are exact INTEGER sums (Σx, Σxy, Σx²) over
+    integer degrees, so the coefficient replays bit-for-bit on any
+    engine. Pearson is shift-invariant, so this equals Newman's
+    remaining-degree (deg-1) formulation exactly."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint()
+    )
+    adj = e.select(F.col("lo").alias("v"), F.col("hi").alias("w")).unionByName(
+        e.select(F.col("hi").alias("v"), F.col("lo").alias("w"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("__deg"))
+    dx = deg.select(F.col("v").alias("lo"), F.col("__deg").alias("__dx"))
+    dy = deg.select(F.col("v").alias("hi"), F.col("__deg").alias("__dy"))
+    sym = (
+        e.join(dx, "lo")
+        .join(dy, "hi")
+        .select(F.col("__dx").alias("x"), F.col("__dy").alias("y"))
+    )
+    sym = sym.select("x", "y").unionByName(
+        sym.select(F.col("y").alias("x"), F.col("x").alias("y"))
+    )
+    m = sym.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("x").alias("__sx"),
+        F.sum("y").alias("__sy"),
+        F.sum(F.col("x") * F.col("y")).alias("__sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("__sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("__syy"),
+    )
+    n = F.col("__n").cast("double")
+    cov = F.col("__sxy") - F.col("__sx") * F.col("__sy") / n
+    vx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / n
+    vy = F.col("__syy") - F.col("__sy") * F.col("__sy") / n
+    return m.select(
+        (F.col("__n") / 2).cast("long").alias("n_edges"),
+        (F.col("__sx") / n).alias("mean_degree"),
+        F.when(
+            (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
+        ).otherwise(F.lit(0.0)).alias("assortativity"),
+    )

@@ -1515,3 +1515,140 @@ def pct_change(
             (F.col(value_col).cast("double") - base) / base,
         ),
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    attr_col: str,
+) -> DataFrame:
+    """Build a slowly-changing-dimension TYPE-2 history from a change
+    stream (Kimball SCD2): per key, collapse consecutive runs of equal
+    ``attr_col`` (ordered by ``order_cols``) into validity intervals —
+    one row per (key, run) with ``valid_from`` = the run's first order
+    key, ``valid_to`` = the NEXT run's first order key (NULL while
+    current, half-open [from, to)), the run's row count, and
+    ``is_current``. NULL attr values are a real state (null-safe
+    change comparison), and repeated identical observations extend the
+    current interval instead of opening a new one — the property that
+    distinguishes SCD2 from a raw snapshot log.
+
+    Scale shape: three per-key ordered windows (lag → run-id prefix
+    sum → lead), all partitioned by the key — ONE shuffle on the key,
+    never a global sort; per-key history length bounds every frame.
+    ``order_cols`` must be a deterministic total order within each key
+    (include a tiebreaker id when timestamps can collide) — otherwise
+    run boundaries are engine-dependent."""
+    if not order_cols:
+        raise ValueError("scd2_history: order_cols must be non-empty")
+    worder = Window.partitionBy(key_col).orderBy(*order_cols)
+    wrun = worder.rowsBetween(Window.unboundedPreceding, 0)
+    attr = F.col(attr_col)
+    # the first row of a key ALWAYS opens run 1 — without the
+    # row_number branch a key whose first attr is NULL would start at
+    # run 0 (NULL <=> NULL is true), shifting its version numbers
+    changed = F.when(F.row_number().over(worder) == 1, 1).otherwise(
+        (~attr.eqNullSafe(F.lag(attr_col, 1).over(worder))).cast("int")
+    )
+    runs = df.withColumn("__chg", changed).withColumn(
+        "__run", F.sum("__chg").over(wrun)
+    )
+    first_order = order_cols[0]
+    per_run = runs.groupBy(key_col, "__run").agg(
+        F.first(attr_col).alias(attr_col),
+        F.min(first_order).alias("valid_from"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    wnext = Window.partitionBy(key_col).orderBy("__run")
+    return (
+        per_run.withColumn(
+            "valid_to", F.lead("valid_from", 1).over(wnext)
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            key_col,
+            F.col("__run").alias("version"),
+            attr_col,
+            "valid_from",
+            "valid_to",
+            "n_rows",
+            "is_current",
+        )
+    )
+
+
+def ewma(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    span: int = 20,
+    key_cols: tuple = (),
+) -> DataFrame:
+    """Exponentially-weighted moving average over an integer-bucketed
+    series (e.g. day numbers): ``ewma_t = Σ_{k=0..span} (1−α)^k ·
+    x_{t−k} / Σ (1−α)^k`` — the adjust-normalized pandas/ES form,
+    TRUNCATED at ``span`` buckets back so the plan is bounded (at
+    α = 0.3, span = 20 the dropped tail weighs < 0.08 % — pick span ≈
+    ln(tol)/ln(1−α)). Weights decay by BUCKET distance, so calendar
+    gaps decay through missing buckets rather than being ignored —
+    the time-aware convention. Returns (keys…, bucket, value, ewma,
+    n_terms).
+
+    Scale shape: NO recursion and NO unbounded window — the truncated
+    sum is a banded self-join: each QUERY row posts to 2 coarse bands
+    of width ``span`` (its own and the previous — its ≤ span-back
+    sources can live nowhere else, and each source matches via exactly
+    ONE band, its own, so no pair double-counts), the join is an
+    EQUI-join on (keys…, band) with the ≤ span bucket-distance filter
+    on top, then one per-(keys…, bucket) hash-agg. Fan-out per row is
+    bounded by 2 · span regardless of series length or key count."""
+    if not 0 < alpha < 1:
+        raise ValueError("ewma: alpha must be in (0, 1)")
+    if span < 1:
+        raise ValueError("ewma: span must be >= 1")
+    keys = list(key_cols)
+    base = df.select(
+        *keys,
+        F.col(bucket_col).cast("long").alias("__t"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+    left = base.select(
+        *keys,
+        "__t",
+        "__x",
+        F.explode(
+            F.array(
+                F.floor(F.col("__t") / span),
+                F.floor(F.col("__t") / span) - 1,
+            )
+        ).alias("__band"),
+    ).select(*keys, "__band", F.col("__t").alias("__tq"),
+             F.col("__x").alias("__xq"))
+    right = base.select(
+        *[F.col(k).alias(k) for k in keys],
+        F.floor(F.col("__t") / span).alias("__band"),
+        F.col("__t").alias("__ts"),
+        F.col("__x").alias("__xs"),
+    )
+    joined = left.join(right, [*keys, "__band"]).filter(
+        (F.col("__ts") <= F.col("__tq"))
+        & (F.col("__ts") > F.col("__tq") - F.lit(span + 1))
+    )
+    wgt = F.pow(F.lit(1.0 - alpha), (F.col("__tq") - F.col("__ts")))
+    out = joined.groupBy(*keys, "__tq").agg(
+        F.sum(wgt * F.col("__xs")).alias("__num"),
+        F.sum(wgt).alias("__den"),
+        F.count(F.lit(1)).alias("n_terms"),
+        F.max(F.when(F.col("__ts") == F.col("__tq"), F.col("__xs"))).alias(
+            "__self"
+        ),
+    )
+    return out.select(
+        *keys,
+        F.col("__tq").alias(bucket_col),
+        F.col("__self").alias(value_col),
+        (F.col("__num") / F.col("__den")).alias("ewma"),
+        "n_terms",
+    )

@@ -1,0 +1,365 @@
+"""Round-9 operator batch: PassJoin edit-distance similarity join,
+Adamic-Adar link prediction, degree assortativity, Mann-Whitney U,
+chi-squared independence, calibration bins, SCD2 history, banded EWMA,
+and the Zipf fit — semantics checked against small exact references."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --------------------------------------------------------------------- #
+# edit_distance_pairs (PassJoin): exactness vs naive, caps, tiny strings
+# --------------------------------------------------------------------- #
+def _naive_pairs(rows, k):
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    out = []
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            d = lev(rows[i][1], rows[j][1])
+            if d <= k:
+                a, b = rows[i][0], rows[j][0]
+                out.append((min(a, b), max(a, b), d))
+    return sorted(out)
+
+
+EDIT_FIXTURE = [
+    (1, "abcdefghij"),
+    (2, "abcdefghij"),
+    (3, "abcdefghxj"),
+    (4, "Xbcdefghij"),
+    (5, "abcdefghi"),
+    (6, "abcdefghijkl"),
+    (7, "zzzzzzzzzz"),
+    (8, "a"),
+    (9, "ab"),
+    (10, "b"),
+    (11, ""),
+    (12, "xy"),
+    (13, "qrstuvwxyz"),
+    (14, "the quick brown fox"),
+    (15, "the quick brown fix"),
+    (16, "the quickbrown fox"),
+    (17, "abc defghij"),
+    (18, "abcdef ghij"),
+]
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_edit_distance_pairs_matches_naive(spark, k):
+    from hail_spark.llmdata.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(EDIT_FIXTURE, "doc_id long, text string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(
+            df, max_dist=k, max_postings_per_segment=None
+        ).collect()
+    )
+    assert got == _naive_pairs(EDIT_FIXTURE, k)
+
+
+def test_edit_distance_uniform_length_not_allpairs(spark):
+    # every string the same length — naive length-blocking degenerates
+    # to one all-pairs block; PassJoin's segment join must still find
+    # exactly the close pairs
+    from hail_spark.llmdata.dedup import edit_distance_pairs
+
+    rows = [(i, f"prefix{i:04d}suffix") for i in range(200)]
+    rows.append((9000, "prefix0007suffiy"))  # 1 sub from id 7
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in edit_distance_pairs(
+            df, max_dist=1, max_postings_per_segment=None
+        ).collect()
+    )
+    assert got == _naive_pairs(rows, 1)
+    assert (7, 9000, 1) in got
+
+
+def test_edit_distance_posting_cap_is_conservative(spark):
+    from hail_spark.llmdata.dedup import (
+        edit_distance_overflow,
+        edit_distance_pairs,
+    )
+
+    # 50 exact clones flood every segment key; a cap of 10 drops those
+    # keys (conservative: pairs lost, none invented) and the overflow
+    # report names them
+    rows = [(i, "aaaaaaaaaabbbbbbbbbb") for i in range(50)]
+    rows += [(100, "xyzw1234"), (101, "xyzw1235")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = sorted(
+        (r["id_a"], r["id_b"])
+        for r in edit_distance_pairs(
+            df, max_dist=1, max_postings_per_segment=10
+        ).collect()
+    )
+    assert capped == [(100, 101)]
+    ov = edit_distance_overflow(
+        df, max_dist=1, max_postings_per_segment=10
+    ).collect()
+    assert ov and all(r["n_postings"] == 50 for r in ov)
+    full = edit_distance_pairs(
+        df, max_dist=1, max_postings_per_segment=None
+    )
+    assert full.count() == 50 * 49 // 2 + 1
+
+
+def test_edit_distance_rejects_bad_k(spark):
+    from hail_spark.llmdata.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        edit_distance_pairs(df, max_dist=0)
+
+
+# --------------------------------------------------------------------- #
+# adamic_adar + degree_assortativity
+# --------------------------------------------------------------------- #
+def test_adamic_adar_square_graph(spark):
+    from hail_spark.operators.graph import adamic_adar
+
+    # square 1-2-3-4-1: each diagonal pair shares 2 neighbors of
+    # degree 2; adjacent pairs are excluded
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    out = {
+        (r["node_a"], r["node_b"]): r
+        for r in adamic_adar(e, max_degree=None).collect()
+    }
+    assert set(out) == {(1, 3), (2, 4)}
+    for r in out.values():
+        assert r["common_neighbors"] == 2
+        assert abs(r["score"] - 2 / math.log(2)) < 1e-12
+
+
+def test_adamic_adar_hub_cap_drops_middle(spark):
+    from hail_spark.operators.graph import adamic_adar, adamic_adar_overflow
+
+    # star: hub 0 connects 1..9 — every leaf pair shares only the hub
+    e = spark.createDataFrame(
+        [(0, i) for i in range(1, 10)], "src long, dst long"
+    )
+    assert adamic_adar(e, max_degree=None).count() == 9 * 8 // 2
+    assert adamic_adar(e, max_degree=5).count() == 0
+    ov = adamic_adar_overflow(e, max_degree=5).collect()
+    assert [(r["node"], r["degree"]) for r in ov] == [(0, 9)]
+
+
+def test_degree_assortativity_star_is_negative_one(spark):
+    from hail_spark.operators.graph import degree_assortativity
+
+    e = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r = degree_assortativity(e).collect()[0]
+    assert r["n_edges"] == 5
+    # star graph: perfectly disassortative
+    assert abs(r["assortativity"] - (-1.0)) < 1e-12
+
+
+def test_degree_assortativity_regular_graph_degenerate(spark):
+    from hail_spark.operators.graph import degree_assortativity
+
+    # cycle: every degree 2 — zero variance, defined as 0
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    r = degree_assortativity(e).collect()[0]
+    assert r["assortativity"] == 0.0
+
+
+# --------------------------------------------------------------------- #
+# mann_whitney_u / chi2_independence / calibration_report
+# --------------------------------------------------------------------- #
+def test_mann_whitney_small_exact(spark):
+    from hail_spark.operators.abtest import mann_whitney_u
+
+    # A = [1, 2, 3], B = [2, 4]: U_a = #(a>b) + 0.5·#(a=b)
+    #   pairs: (1,2)0 (1,4)0 (2,2).5 (2,4)0 (3,2)1 (3,4)0 = 1.5
+    a = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "value double")
+    b = spark.createDataFrame([(2.0,), (4.0,)], "value double")
+    r = mann_whitney_u(a, b, "value").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["u_a"] == 1.5 and r["u_b"] == 4.5
+    # z sign: A stochastically smaller -> negative
+    assert r["z"] < 0
+
+
+def test_mann_whitney_p_value_symmetric(spark):
+    from hail_spark.operators.abtest import mann_whitney_u
+
+    a = spark.createDataFrame([(float(i),) for i in range(20)], "value double")
+    b = spark.createDataFrame(
+        [(float(i) + 0.5,) for i in range(20)], "value double"
+    )
+    r1 = mann_whitney_u(a, b, "value", p_value=True).collect()[0]
+    r2 = mann_whitney_u(b, a, "value", p_value=True).collect()[0]
+    assert abs(r1["p"] - r2["p"]) < 1e-12
+    assert abs(r1["z"] + r2["z"]) < 1e-12
+    assert 0 <= r1["p"] <= 1
+
+
+def test_chi2_independence_independent_and_perfect(spark):
+    from hail_spark.operators.abtest import chi2_independence
+
+    # perfectly independent 2x2 grid -> chi2 = 0
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(10)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-9)
+    assert r["dof"] == 1 and r["cramers_v"] == pytest.approx(0.0, abs=1e-9)
+    # perfectly dependent -> cramers_v = 1
+    rows = [("x", "u")] * 10 + [("y", "v")] * 10
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    assert r["chi2"] == pytest.approx(20.0, abs=1e-9)
+    assert r["cramers_v"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_chi2_zero_cells_contribute_expectation(spark):
+    from hail_spark.operators.abtest import chi2_independence
+
+    # (y, v) never observed -> dense grid must still charge its e
+    rows = [("x", "u")] * 5 + [("x", "v")] * 5 + [("y", "u")] * 5
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi2_independence(df, "a", "b").collect()[0]
+    # manual: margins x=10,y=5 | u=10,v=5, n=15
+    e = {("x", "u"): 20 / 3, ("x", "v"): 10 / 3,
+         ("y", "u"): 10 / 3, ("y", "v"): 5 / 3}
+    o = {("x", "u"): 5, ("x", "v"): 5, ("y", "u"): 5, ("y", "v"): 0}
+    chi2 = sum((o[k] - e[k]) ** 2 / e[k] for k in e)
+    assert r["chi2"] == pytest.approx(chi2, rel=1e-12)
+
+
+def test_calibration_report_bins_and_guard(spark):
+    from hail_spark.operators.abtest import calibration_report
+
+    df = spark.createDataFrame(
+        [(0.05, 0), (0.15, 1), (0.95, 1), (1.0, 1)],
+        "score double, label int",
+    )
+    rows = {r["bin"]: r for r in
+            calibration_report(df, "score", "label", n_bins=10).collect()}
+    assert set(rows) == {0, 1, 9}
+    assert rows[9]["n"] == 2  # score 1.0 clamps into the top bin
+    assert rows[0]["frac_positive"] == 0.0
+    assert rows[1]["frac_positive"] == 1.0
+    # ece_term: n_b/n * |acc - conf|
+    assert rows[0]["ece_term"] == pytest.approx(0.25 * 0.05, rel=1e-12)
+    bad = spark.createDataFrame([(1.5, 1)], "score double, label int")
+    with pytest.raises(Exception, match="outside"):
+        calibration_report(bad, "score", "label").collect()
+
+
+# --------------------------------------------------------------------- #
+# scd2_history / ewma
+# --------------------------------------------------------------------- #
+def test_scd2_history_runs_and_intervals(spark):
+    from hail_spark.operators.relational import scd2_history
+
+    rows = [
+        (1, 10, "a"), (1, 20, "a"), (1, 30, "b"), (1, 40, "a"),
+        (2, 10, None), (2, 20, None), (2, 30, "x"),
+    ]
+    df = spark.createDataFrame(rows, "k long, t long, attr string")
+    out = sorted(
+        (r["k"], r["version"], r["attr"], r["valid_from"], r["valid_to"],
+         r["n_rows"], r["is_current"])
+        for r in scd2_history(df, "k", ["t"], "attr").collect()
+    )
+    assert out == [
+        (1, 1, "a", 10, 30, 2, False),
+        (1, 2, "b", 30, 40, 1, False),
+        (1, 3, "a", 40, None, 1, True),
+        (2, 1, None, 10, 30, 2, False),
+        (2, 2, "x", 30, None, 1, True),
+    ]
+
+
+def test_ewma_truncation_and_gaps(spark):
+    from hail_spark.operators.relational import ewma
+
+    # days 0,1,3 (gap at 2): weights decay by BUCKET distance
+    df = spark.createDataFrame(
+        [(0, 10.0), (1, 20.0), (3, 40.0)], "day long, x double"
+    )
+    out = {r["day"]: r for r in
+           ewma(df, "day", "x", alpha=0.5, span=2).collect()}
+    assert out[0]["ewma"] == pytest.approx(10.0)
+    assert out[0]["n_terms"] == 1
+    assert out[1]["ewma"] == pytest.approx((20 + 0.5 * 10) / 1.5)
+    # day 3 window [1, 3]: terms day1 (w=.25), day3 (w=1); day0 outside
+    assert out[3]["n_terms"] == 2
+    assert out[3]["ewma"] == pytest.approx((40 + 0.25 * 20) / 1.25)
+
+
+def test_ewma_keyed_series_stay_separate(spark):
+    from hail_spark.operators.relational import ewma
+
+    df = spark.createDataFrame(
+        [("a", 0, 10.0), ("a", 1, 20.0), ("b", 1, 100.0)],
+        "k string, day long, x double",
+    )
+    out = {(r["k"], r["day"]): r["ewma"] for r in
+           ewma(df, "day", "x", alpha=0.5, span=5, key_cols=("k",)).collect()}
+    assert out[("b", 1)] == pytest.approx(100.0)
+    assert out[("a", 1)] == pytest.approx((20 + 0.5 * 10) / 1.5)
+
+
+def test_ewma_rejects_bad_params(spark):
+    from hail_spark.operators.relational import ewma
+
+    df = spark.createDataFrame([(0, 1.0)], "day long, x double")
+    with pytest.raises(ValueError):
+        ewma(df, "day", "x", alpha=1.0)
+    with pytest.raises(ValueError):
+        ewma(df, "day", "x", span=0)
+
+
+# --------------------------------------------------------------------- #
+# zipf_fit
+# --------------------------------------------------------------------- #
+def test_zipf_fit_exact_power_law(spark):
+    from hail_spark.llmdata.textstats import zipf_fit
+
+    # construct freq(rank) = 2^(10-rank)-ish exact power law:
+    # token t_r repeated round(1000 / r) times -> slope ~ -1
+    docs = []
+    for r in range(1, 9):
+        docs += [f"t{r}"] * (1000 // r)
+    df = spark.createDataFrame(
+        [(" ".join(docs),)], "text string"
+    )
+    row = zipf_fit(df, "text", top_n=100).collect()[0]
+    assert row["n_terms"] == 8
+    assert row["slope"] == pytest.approx(-1.0, abs=0.01)
+    assert row["r2"] > 0.999
+
+
+def test_zipf_fit_rejects_tiny_topn(spark):
+    from hail_spark.llmdata.textstats import zipf_fit
+
+    df = spark.createDataFrame([("a b",)], "text string")
+    with pytest.raises(ValueError):
+        zipf_fit(df, "text", top_n=1)
