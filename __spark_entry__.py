@@ -6230,6 +6230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily_revenue",
         "edit_distance_near_dup",
         "zipf_slope_tokens",
+        "readability_sources",
+        "theil_sen_daily_revenue",
+        "kendall_tau_daily",
+        "spearman_daily",
+        "bipartite_copurchase",
         # (b) implementations changed in round 9 (verdict/ADVICE fixes)
         "import_table_impute",
         "vcf_round_trip",
@@ -6571,6 +6576,11 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily_revenue": ewma_daily_q,
         "edit_distance_near_dup": edit_distance_q,
         "zipf_slope_tokens": zipf_fit_q,
+        "readability_sources": readability_q,
+        "theil_sen_daily_revenue": theil_sen_q,
+        "kendall_tau_daily": kendall_tau_q,
+        "spearman_daily": spearman_q,
+        "bipartite_copurchase": bipartite_project_q,
         "survival_curve_users": survival_curve_q,
         "entity_resolution_parts": entity_resolution_q,
         "chat_render_docs": chat_render_q,
@@ -6895,6 +6905,11 @@ def oracle_sql() -> dict[str, str]:
         "ewma_daily_revenue": _EWMA_SQL,
         "edit_distance_near_dup": _EDIT_DISTANCE_SQL,
         "zipf_slope_tokens": _ZIPF_SQL,
+        "readability_sources": _READABILITY_SQL,
+        "theil_sen_daily_revenue": _THEIL_SEN_SQL,
+        "kendall_tau_daily": _KENDALL_SQL,
+        "spearman_daily": _SPEARMAN_SQL,
+        "bipartite_copurchase": _BIPARTITE_SQL,
         "survival_curve_users": _SURVIVAL_SQL,
         "entity_resolution_parts": _ENTITY_RES_SQL,
         "chat_render_docs": _CHAT_RENDER_SQL,
@@ -13844,10 +13859,13 @@ def modularity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     the graph's Q). Top 15 communities by total degree. The whole
     chain is equi-joins + hash-aggs (m rides in as a broadcast 1-row
     agg), so the oracle replays LPA's unrolled CTEs plus the same
-    modularity arithmetic bit-for-bit."""
+    modularity arithmetic bit-for-bit. Thinned graph (every 20th
+    order — the graph-battery convention) so the suite pays LPA once
+    at gate scale; label_propagation_communities covers the full
+    graph."""
     from hail_spark.operators.graph import label_propagation, modularity
 
-    o = _t(spark, sf_dir, "orders").df
+    o = _t(spark, sf_dir, "orders").df.filter(F.col("o_orderkey") % 20 == 0)
     li = _t(spark, sf_dir, "lineitem").df
     e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
         F.col("o_custkey").alias("src"),
@@ -13870,7 +13888,8 @@ def modularity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MODULARITY_SQL = """
 WITH e0 AS (SELECT DISTINCT o_custkey AS src, 1000000 + l_suppkey AS dst
-            FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey % 20 = 0),
 e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
 nodes AS (SELECT DISTINCT src AS node FROM e),
 l0 AS (SELECT node, node AS label FROM nodes),
@@ -15715,10 +15734,13 @@ def adamic_adar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adamic & Adar 2003) over the thinned customer-supplier purchase
     bipartite graph: for every non-adjacent node pair sharing
     neighbors, sum 1/ln(deg) over the common neighbors — the
-    "customers who buy from your suppliers" recommendation scores.
-    One wedge equi-join on the middle node (hub middles over
-    max_degree=64 excluded — deterministic, replayed by the oracle),
-    one anti-join, one pair hash-agg; never all-pairs."""
+    "customers who buy from your suppliers" recommendation scores,
+    reported for pairs sharing >= 3 neighbors (the actionable
+    predictions — also keeps the gate compare off the corpus-sized
+    1-common-neighbor tail). One wedge equi-join on the middle node
+    (hub middles over max_degree=64 excluded — deterministic,
+    replayed by the oracle), one anti-join, one pair hash-agg; never
+    all-pairs."""
     from hail_spark.operators.graph import adamic_adar
 
     o = _t(spark, sf_dir, "orders").df.filter(F.col("o_orderkey") % 20 == 0)
@@ -15728,12 +15750,18 @@ def adamic_adar_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") + 1_000_000).alias("dst"),
     )
     out = adamic_adar(e, max_degree=64)
-    return out.select(
-        "node_a",
-        "node_b",
-        F.col("common_neighbors").cast("long").alias("common_neighbors"),
-        F.round("score", 6).alias("score"),
-    ).orderBy("node_a", "node_b")
+    return (
+        out.filter(F.col("common_neighbors") >= 3)
+        .select(
+            "node_a",
+            "node_b",
+            F.col("common_neighbors").cast("long").alias(
+                "common_neighbors"
+            ),
+            F.round("score", 6).alias("score"),
+        )
+        .orderBy("node_a", "node_b")
+    )
 
 
 _ADAMIC_ADAR_SQL = """
@@ -15754,7 +15782,7 @@ wedge AS (
 cand AS (
   SELECT node_a, node_b, COUNT(*) AS common_neighbors,
          SUM(1.0 / ln(d)) AS score
-  FROM wedge GROUP BY 1, 2)
+  FROM wedge GROUP BY 1, 2 HAVING COUNT(*) >= 3)
 SELECT c.node_a, c.node_b,
        CAST(c.common_neighbors AS BIGINT) AS common_neighbors,
        round(c.score, 6) AS score
@@ -16124,4 +16152,234 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
        round(regr_intercept(y, x), 6) AS intercept,
        round(regr_r2(y, x), 6) AS r2
 FROM head
+"""
+
+
+def readability_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch readability rollup (llmdata/textstats.py
+    readability_report): per-source word/sentence/syllable totals
+    (vowel-group heuristic — exact integers), corpus Flesch-Kincaid
+    grade from the group totals, and the doc-mean reading ease
+    (decimal-quantized sum, order-independent). One regexp projection
+    + one hash-agg."""
+    from hail_spark.llmdata.textstats import readability_report
+
+    d = _t(spark, sf_dir, "documents").df
+    out = readability_report(d, "text", "source")
+    return out.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round("mean_flesch", 6).alias("mean_flesch"),
+        F.round("fk_grade", 6).alias("fk_grade"),
+    ).orderBy("source")
+
+
+_READABILITY_SQL = r"""
+WITH per AS (
+  SELECT source,
+         greatest(len(list_filter(
+           regexp_split_to_array(trim(text), '\s+'), x -> x <> '')), 1)
+           AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+  FROM documents),
+agg AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(w) AS n_words,
+         SUM(s) AS n_sentences, SUM(y) AS n_syllables,
+         SUM(CAST(206.835 - 1.015 * (w / CAST(s AS DOUBLE))
+                  - 84.6 * (y / CAST(w AS DOUBLE))
+                  AS DECIMAL(15,6))) AS sf
+  FROM per GROUP BY source)
+SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       round(CAST(sf AS DOUBLE) / n_docs, 6) AS mean_flesch,
+       round(0.39 * (n_words / CAST(n_sentences AS DOUBLE))
+             + 11.8 * (n_syllables / CAST(n_words AS DOUBLE))
+             - 15.59, 6) AS fk_grade
+FROM agg ORDER BY source
+"""
+
+
+def theil_sen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily-revenue trend (operators/abtest.py
+    theil_sen): median pairwise slope over the integer-cents daily
+    series — the outlier-proof answer to "is revenue actually
+    growing". The pairwise join is O(days²) by the estimator's
+    definition (bounded calendar series, the documented contract);
+    medians are Spark's exact percentile = DuckDB quantile_cont."""
+    from hail_spark.operators.abtest import theil_sen
+
+    o = _t(spark, sf_dir, "orders").df
+    daily = o.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        )
+    )
+    out = theil_sen(daily, "day", "cents")
+    return out.select(
+        "n_points",
+        "n_pairs",
+        F.round(F.col("slope") / 100.0, 6).alias("slope_dollars"),
+        F.round(F.col("intercept") / 100.0, 4).alias("intercept_dollars"),
+    )
+
+
+_THEIL_SEN_SQL = """
+WITH daily AS (
+  SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1),
+slopes AS (
+  SELECT (b.cents - a.cents) / CAST(b.day - a.day AS DOUBLE) AS sl
+  FROM daily a JOIN daily b ON a.day < b.day),
+m AS (SELECT COUNT(*) AS n_pairs, quantile_cont(sl, 0.5) AS slope
+      FROM slopes),
+r AS (SELECT m.n_pairs, m.slope,
+             d.cents - m.slope * d.day AS resid
+      FROM daily d CROSS JOIN m)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+       round(MAX(slope) / 100.0, 6) AS slope_dollars,
+       round(quantile_cont(resid, 0.5) / 100.0, 4) AS intercept_dollars
+FROM r
+"""
+
+
+def kendall_tau_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b (operators/abtest.py kendall_tau) between daily
+    order count and daily revenue — are busier days richer days,
+    measured rank-wise with exact integer concordant/discordant/tie
+    counts (engine-exact replay). Pairwise join over the bounded
+    calendar series (the documented O(days²) contract)."""
+    from hail_spark.operators.abtest import kendall_tau
+
+    o = _t(spark, sf_dir, "orders").df
+    daily = o.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    out = kendall_tau(daily, "n_orders", "cents")
+    return out.select(
+        "n_points",
+        "concordant",
+        "discordant",
+        F.round("tau_b", 9).alias("tau_b"),
+    )
+
+
+_KENDALL_SQL = """
+WITH daily AS (
+  SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+         COUNT(*) AS x,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1),
+pairs AS (
+  SELECT CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END AS c,
+         CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END AS d,
+         CASE WHEN b.x = a.x AND b.y <> a.y THEN 1 ELSE 0 END AS tx,
+         CASE WHEN b.y = a.y AND b.x <> a.x THEN 1 ELSE 0 END AS ty,
+         CASE WHEN b.x = a.x AND b.y = a.y THEN 1 ELSE 0 END AS txy
+  FROM daily a JOIN daily b
+    ON a.x < b.x OR (a.x = b.x AND a.y < b.y)),
+n AS (SELECT COUNT(*) AS np FROM daily),
+agg AS (SELECT SUM(c) AS c, SUM(d) AS d, SUM(tx) AS n1x,
+               SUM(ty) AS n1y, SUM(txy) AS nxy
+        FROM pairs)
+SELECT CAST(np AS BIGINT) AS n_points, CAST(c AS BIGINT) AS concordant,
+       CAST(d AS BIGINT) AS discordant,
+       round((c - d) / sqrt(
+         (np * (np - 1) / 2.0 - (n1x + nxy))
+         * (np * (np - 1) / 2.0 - (n1y + nxy))), 9) AS tau_b
+FROM agg CROSS JOIN n
+"""
+
+
+def spearman_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (operators/abtest.py spearman_rho)
+    between daily order count and daily revenue: Pearson over average
+    fractional ranks (tie blocks get their mean rank). Doubled ranks
+    keep every moment an exact integer, so rho replays bit-for-bit;
+    rank windows sort the bounded calendar series only."""
+    from hail_spark.operators.abtest import spearman_rho
+
+    o = _t(spark, sf_dir, "orders").df
+    daily = o.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+    out = spearman_rho(daily, "n_orders", "cents")
+    return out.select("n_points", F.round("rho", 9).alias("rho"))
+
+
+_SPEARMAN_SQL = """
+WITH daily AS (
+  SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+         COUNT(*) AS x,
+         SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders GROUP BY 1),
+ranked AS (
+  SELECT 2 * rank() OVER (ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY x) - 1 AS rx,
+         2 * rank() OVER (ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY y) - 1 AS ry
+  FROM daily),
+m AS (SELECT COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+             SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx,
+             SUM(ry * ry) AS syy
+      FROM ranked)
+SELECT CAST(n AS BIGINT) AS n_points,
+       round((sxy - sx * CAST(sy AS DOUBLE) / n)
+             / sqrt((sxx - sx * CAST(sx AS DOUBLE) / n)
+                    * (syy - sy * CAST(sy AS DOUBLE) / n)), 9) AS rho
+FROM m
+"""
+
+
+def bipartite_project_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier co-purchase projection (operators/graph.py
+    bipartite_project): from the thinned customer→supplier purchase
+    edges, the weighted supplier-supplier graph where weight = shared
+    customers — the one-mode projection feeding "suppliers like
+    yours" analytics. One wedge equi-join on the customer + one pair
+    hash-agg; customer hubs over max_degree=64 dropped (cap
+    discipline, replayed by the oracle)."""
+    from hail_spark.operators.graph import bipartite_project
+
+    o = _t(spark, sf_dir, "orders").df.filter(F.col("o_orderkey") % 20 == 0)
+    li = _t(spark, sf_dir, "lineitem").df
+    e = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+    )
+    out = bipartite_project(e, onto="dst", max_degree=64)
+    return out.select(
+        "node_a", "node_b", F.col("weight").cast("long").alias("weight")
+    ).orderBy("node_a", "node_b")
+
+
+_BIPARTITE_SQL = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey AS w, l_suppkey AS v
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE o_orderkey % 20 = 0),
+deg AS (SELECT w FROM e GROUP BY w HAVING COUNT(*) <= 64)
+SELECT a.v AS node_a, b.v AS node_b,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM e a JOIN e b ON a.w = b.w AND a.v < b.v
+JOIN deg ON deg.w = a.w
+GROUP BY 1, 2 ORDER BY 1, 2
 """

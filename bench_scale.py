@@ -104,6 +104,16 @@ QUERIES = [
     # round-8 iterative/graph/posting-join additions
     "sssp_purchase_graph", "kcore_purchase_graph", "doc_cosine_topk",
     "basket_rules_parts", "stream_stream_join_replay",
+    # round-9 additions: the community-quality joins, the wedge +
+    # anti-join link predictor, the PassJoin segment-pigeonhole
+    # similarity join, the shingle containment posting join, and the
+    # 3-window SCD2 build. (harmonic_centrality_graph /
+    # neighborhood_fn_graph are excluded: their exact-replay oracles
+    # GUARD on the HLL sparse regime and correctly raise at sf1+ ball
+    # sizes — the operator's scale rows live in SCALE.md instead.)
+    "modularity_communities", "adamic_adar_links",
+    "edit_distance_near_dup", "containment_near_supersets",
+    "scd2_user_history",
 ]
 
 

@@ -1477,7 +1477,11 @@ def edit_distance_pairs(
 
     # ---- probe: substrings that could equal an indexed segment of a
     # string up to k shorter (lt in [ls-k, ls], lt >= m); position
-    # window ±k around the segment's home start, clamped to bounds
+    # window ±k around the segment's home start, clamped to bounds.
+    # Probe only target lengths that EXIST on the index side (broadcast
+    # semi-join on the tiny distinct-length table) — on uniform-length
+    # corpora this collapses the lt fan-out from k+1 to 1
+    lengths = long_side.select(F.col("__l").alias("lt")).distinct()
     probe = long_side.select(
         F.col("__id").alias("id_s"),
         F.col("__t").alias("__ts"),
@@ -1487,7 +1491,7 @@ def edit_distance_pairs(
                 F.greatest(F.lit(m), F.col("__l") - k), F.col("__l")
             )
         ).alias("lt"),
-    ).select(
+    ).join(F.broadcast(lengths), "lt", "left_semi").select(
         "id_s",
         "__ts",
         "ls",

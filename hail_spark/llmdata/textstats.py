@@ -784,3 +784,80 @@ def zipf_fit(
         F.expr("regr_intercept(y, x)").alias("intercept"),
         F.expr("regr_r2(y, x)").alias("r2"),
     )
+
+
+def readability(text: Column) -> tuple[Column, Column, Column, Column]:
+    """Flesch readability signals as pure-builtin columns: (n_words,
+    n_sentences, n_syllables, flesch_reading_ease). Syllables use the
+    standard vowel-group heuristic — runs of ``[aeiouy]+`` per
+    lowercased word; since whitespace never lands inside a vowel run,
+    counting the runs over the WHOLE text equals the per-word sum in
+    one regexp pass. Sentences = runs of ``[.!?]+`` (min 1, so
+    unpunctuated text counts as a single sentence). All three counts
+    are engine-exact integers; the Flesch score (Flesch 1948:
+    ``206.835 − 1.015·w/s − 84.6·syl/w``) is deterministic double
+    arithmetic over them."""
+    words = F.greatest(token_count(text), F.lit(1))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(r"[aeiouy]+"), 0)
+    )
+    w = words.cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / w)
+    )
+    return words, sentences, syllables, flesch
+
+
+def readability_report(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Per-group readability rollup: mean Flesch reading ease plus the
+    Flesch-Kincaid grade level (``0.39·w/s + 11.8·syl/w − 15.59``)
+    computed from the GROUP-TOTAL word/sentence/syllable counts (the
+    corpus-level convention — integer sums, engine-exact), with doc
+    and token counts. One regexp projection + one hash-agg; the
+    corpus-quality read for "is this source too hard/too boilerplate
+    for the training mix". The per-doc Flesch scores are quantized to
+    ``decimal(15,6)`` before summing so the group mean is
+    order-independent (bit-identical across engines and retries — the
+    established oracle-parity trick)."""
+    words, sentences, syllables, flesch = readability(F.col(text_col))
+    proj = df.select(
+        *([group_col] if group_col else []),
+        words.alias("__w"),
+        sentences.alias("__s"),
+        syllables.alias("__y"),
+        flesch.alias("__f"),
+    )
+    keys = [group_col] if group_col else []
+    agg = proj.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__w").alias("n_words"),
+        F.sum("__s").alias("n_sentences"),
+        F.sum("__y").alias("n_syllables"),
+        F.sum(F.col("__f").cast("decimal(15,6)")).alias("__sf"),
+    )
+    w = F.col("n_words").cast("double")
+    fk = (
+        F.lit(0.39) * (w / F.col("n_sentences").cast("double"))
+        + F.lit(11.8) * (F.col("n_syllables").cast("double") / w)
+        - F.lit(15.59)
+    )
+    return agg.select(
+        *keys,
+        "n_docs",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        (F.col("__sf").cast("double") / F.col("n_docs")).alias(
+            "mean_flesch"
+        ),
+        fk.alias("fk_grade"),
+    )

@@ -475,3 +475,163 @@ def calibration_report(
             F.col("n").cast("double") / tot * F.abs(acc - conf)
         ).alias("ece_term"),
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Theil-Sen robust trend estimator (Theil 1950 / Sen 1968): the
+    median of all pairwise slopes ``(y_j − y_i)/(x_j − x_i)`` over
+    x_i < x_j, with the median-residual intercept — the trend line a
+    single outlier day can't drag (OLS breaks down at one bad point;
+    Theil-Sen tolerates ~29 %). Returns one row (n_points, n_pairs,
+    slope, intercept).
+
+    Scale shape: ONE self-equi-free pairwise join — this is O(n²) in
+    the SERIES length by definition, so call it on bounded series only
+    (per-day/week aggregates: 3 years ≈ 1100 points ≈ 600 k pairs,
+    trivially distributed; never raw events). Medians are Spark's
+    exact interpolating ``percentile`` (= DuckDB ``quantile_cont``),
+    so the result replays across engines."""
+    pts = df.select(
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    a, b = pts.alias("a"), pts.alias("b")
+    slopes = a.join(
+        b, F.col("a.__x") < F.col("b.__x")
+    ).select(
+        (
+            (F.col("b.__y") - F.col("a.__y"))
+            / (F.col("b.__x") - F.col("a.__x"))
+        ).alias("__slope")
+    )
+    sl = slopes.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("percentile(__slope, 0.5)").alias("slope"),
+    )
+    resid = pts.crossJoin(sl).select(
+        "n_pairs",
+        "slope",
+        (F.col("__y") - F.col("slope") * F.col("__x")).alias("__r"),
+    )
+    return resid.groupBy("n_pairs", "slope").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.expr("percentile(__r, 0.5)").alias("intercept"),
+    ).select("n_points", "n_pairs", "slope", "intercept")
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation (Kendall 1938, tie-corrected):
+    over all point pairs, ``tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2))``
+    with C/D the concordant/discordant counts and n1/n2 the per-axis
+    tie-pair counts — the rank-association measure robust to any
+    monotone transform. Every count is an exact INTEGER (engine-exact
+    replay); returns one row (n_points, concordant, discordant, tau_b).
+
+    Scale shape: one pairwise self-join — O(n²) in the series length
+    BY DEFINITION (same contract as theil_sen: bounded per-key series
+    only, never raw events; the O(n log n) merge-sort formulation
+    doesn't distribute, the pair join does)."""
+    pts = df.select(
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    a, b = pts.alias("a"), pts.alias("b")
+    dx = F.col("b.__x") - F.col("a.__x")
+    dy = F.col("b.__y") - F.col("a.__y")
+    # pair each unordered point pair once: x order first, y breaks x ties
+    cond = (F.col("a.__x") < F.col("b.__x")) | (
+        (F.col("a.__x") == F.col("b.__x"))
+        & (F.col("a.__y") < F.col("b.__y"))
+    )
+    pairs = a.join(b, cond).select(
+        F.when(dx * dy > 0, 1).otherwise(0).alias("__c"),
+        F.when(dx * dy < 0, 1).otherwise(0).alias("__d"),
+        F.when((dx == 0) & (dy != 0), 1).otherwise(0).alias("__tx"),
+        F.when((dy == 0) & (dx != 0), 1).otherwise(0).alias("__ty"),
+        F.when((dx == 0) & (dy == 0), 1).otherwise(0).alias("__txy"),
+    )
+    n = pts.agg(F.count(F.lit(1)).alias("n_points"))
+    agg = pairs.agg(
+        F.sum("__c").alias("concordant"),
+        F.sum("__d").alias("discordant"),
+        F.sum("__tx").alias("__n1x"),
+        F.sum("__ty").alias("__n1y"),
+        F.sum("__txy").alias("__nxy"),
+    ).crossJoin(n)
+    c, d = F.col("concordant"), F.col("discordant")
+    # ties on x only + ties on both = all x-tied pairs (n1); same for y
+    n1 = (F.col("__n1x") + F.col("__nxy")).cast("double")
+    n2 = (F.col("__n1y") + F.col("__nxy")).cast("double")
+    npts = F.col("n_points").cast("double")
+    n0 = npts * (npts - 1) / 2.0
+    denom = F.sqrt((n0 - n1) * (n0 - n2))
+    return agg.select(
+        "n_points",
+        "concordant",
+        "discordant",
+        F.when(denom > 0, (c - d) / denom).otherwise(F.lit(0.0)).alias(
+            "tau_b"
+        ),
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Spearman rank correlation (Spearman 1904): Pearson correlation
+    of the average (fractional) ranks — ties get the mean of their
+    rank block, the textbook convention. Average ranks are half-
+    integers, so the moment sums run over EXACT doubled-rank integers
+    and the coefficient replays bit-for-bit across engines. Returns
+    one row (n_points, rho).
+
+    Scale shape: two rank windows ordered by value over the input —
+    global sorts over the SERIES (same bounded-series contract as
+    theil_sen/kendall_tau: per-day aggregates, not raw events) — then
+    one scalar moment agg."""
+    from pyspark.sql import Window as W
+
+    pts = df.select(
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    # average rank = rank() + (ties - 1)/2; doubled to stay integral
+    rx = (
+        2 * F.rank().over(W.orderBy("__x"))
+        + F.count(F.lit(1)).over(W.partitionBy("__x"))
+        - 1
+    )
+    ry = (
+        2 * F.rank().over(W.orderBy("__y"))
+        + F.count(F.lit(1)).over(W.partitionBy("__y"))
+        - 1
+    )
+    ranked = pts.select(rx.alias("x"), ry.alias("y"))
+    mo = ranked.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("x").alias("__sx"),
+        F.sum("y").alias("__sy"),
+        F.sum(F.col("x") * F.col("y")).alias("__sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("__sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("__syy"),
+    )
+    nn = F.col("n_points").cast("double")
+    cov = F.col("__sxy") - F.col("__sx") * F.col("__sy") / nn
+    vx = F.col("__sxx") - F.col("__sx") * F.col("__sx") / nn
+    vy = F.col("__syy") - F.col("__sy") * F.col("__sy") / nn
+    return mo.select(
+        "n_points",
+        F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+        .otherwise(F.lit(0.0))
+        .alias("rho"),
+    )

@@ -754,9 +754,12 @@ def modularity(
         .distinct()
         .localCheckpoint()
     )
+    # the label table feeds THREE joins (degree + both intra endpoints);
+    # a lazy assignment (e.g. a label_propagation plan) would re-run its
+    # whole iteration per consumer — materialize it once
     comm = communities.select(
         F.col(node_col).alias("__node"), F.col(label_col).alias("__label")
-    )
+    ).localCheckpoint()
     m = e.agg(F.count(F.lit(1)).cast("double").alias("__m"))
     deg = (
         e.select(F.col("lo").alias("__node"))
@@ -958,4 +961,49 @@ def degree_assortativity(
         F.when(
             (vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)
         ).otherwise(F.lit(0.0)).alias("assortativity"),
+    )
+
+
+def bipartite_project(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    onto: str = "dst",
+    max_degree: int = 4096,
+) -> DataFrame:
+    """Bipartite one-mode projection: from a two-layer edge list
+    (e.g. customer → supplier), build the weighted co-membership graph
+    on the ``onto`` layer — (node_a, node_b, weight) where weight =
+    number of shared neighbors in the OTHER layer (suppliers sharing
+    customers, items sharing baskets, authors sharing papers). The
+    adjacent-pair companion to :func:`adamic_adar` (which scores
+    NON-adjacent pairs with log-damped weights).
+
+    Scale shape: dedup the edge list, ONE wedge equi-join on the
+    other-layer node, one pair hash-agg. The wedge fan-out is
+    Σ_w deg(w)² over other-layer nodes, so ``max_degree`` drops
+    over-cap middles (a customer connected to everything creates m²
+    pairs while carrying no co-purchase signal) — deterministic,
+    conservative, same cap discipline as adamic_adar."""
+    if onto not in (src, dst):
+        raise ValueError("bipartite_project: onto must name src or dst")
+    on_col, other = (dst, src) if onto == dst else (src, dst)
+    e = edges.select(
+        F.col(other).alias("w"), F.col(on_col).alias("v")
+    ).distinct()
+    if max_degree is not None:
+        over = (
+            e.groupBy("w")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") > max_degree)
+            .select("w")
+        )
+        e = e.join(over, "w", "left_anti")
+    a = e.select("w", F.col("v").alias("node_a"))
+    b = e.select("w", F.col("v").alias("node_b"))
+    return (
+        a.join(b, "w")
+        .filter(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("weight"))
     )

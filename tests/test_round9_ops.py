@@ -363,3 +363,107 @@ def test_zipf_fit_rejects_tiny_topn(spark):
     df = spark.createDataFrame([("a b",)], "text string")
     with pytest.raises(ValueError):
         zipf_fit(df, "text", top_n=1)
+
+
+# --------------------------------------------------------------------- #
+# readability / theil_sen / kendall_tau / spearman_rho / bipartite
+# --------------------------------------------------------------------- #
+def test_readability_counts_and_flesch(spark):
+    from hail_spark.llmdata.textstats import readability_report
+
+    # "the cat sat. the dog ran!" -> 6 words, 2 sentences,
+    # syllable groups: e,a,a,e,o,a = 6
+    df = spark.createDataFrame(
+        [("a", "the cat sat. the dog ran!"), ("a", "hello world")],
+        "src string, text string",
+    )
+    r = readability_report(df, "text", "src").collect()[0]
+    assert r["n_docs"] == 2
+    # doc2: 2 words, 1 sentence (no punctuation -> min 1), e-o-o = 3
+    assert r["n_words"] == 8 and r["n_sentences"] == 3
+    assert r["n_syllables"] == 9
+    f1 = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    f2 = 206.835 - 1.015 * (2 / 1) - 84.6 * (3 / 2)
+    assert r["mean_flesch"] == pytest.approx((f1 + f2) / 2, abs=1e-5)
+    fk = 0.39 * (8 / 3) + 11.8 * (9 / 8) - 15.59
+    assert r["fk_grade"] == pytest.approx(fk, rel=1e-9)
+
+
+def test_theil_sen_outlier_proof(spark):
+    from hail_spark.operators.abtest import theil_sen
+
+    # perfect line y = 2x + 1 with one wild outlier: slope stays 2
+    rows = [(float(x), 2.0 * x + 1.0) for x in range(10)]
+    rows[5] = (5.0, 1000.0)
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = theil_sen(df, "x", "y").collect()[0]
+    assert r["n_points"] == 10 and r["n_pairs"] == 45
+    assert r["slope"] == pytest.approx(2.0, abs=1e-9)
+    assert r["intercept"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_kendall_tau_exact_small(spark):
+    from hail_spark.operators.abtest import kendall_tau
+
+    # x = 1..4, y = [1, 3, 2, 4]: C = 5, D = 1, no ties -> tau = 4/6
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 3.0), (3.0, 2.0), (4.0, 4.0)],
+        "x double, y double",
+    )
+    r = kendall_tau(df, "x", "y").collect()[0]
+    assert (r["concordant"], r["discordant"]) == (5, 1)
+    assert r["tau_b"] == pytest.approx(4 / 6, rel=1e-12)
+
+
+def test_kendall_tau_ties_corrected(spark):
+    from hail_spark.operators.abtest import kendall_tau
+
+    # y constant -> denominator has a zero factor -> tau 0 (guard)
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)], "x double, y double"
+    )
+    r = kendall_tau(df, "x", "y").collect()[0]
+    assert r["tau_b"] == 0.0
+
+
+def test_spearman_monotone_and_ties(spark):
+    from hail_spark.operators.abtest import spearman_rho
+
+    # any strictly monotone map -> rho = 1
+    df = spark.createDataFrame(
+        [(float(x), float(x**3)) for x in range(1, 8)],
+        "x double, y double",
+    )
+    assert spearman_rho(df, "x", "y").collect()[0]["rho"] == pytest.approx(
+        1.0, abs=1e-12
+    )
+    # tie case: x=[1,2,2,3], y=[1,1,2,2]
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (3.0, 2.0)],
+        "x double, y double",
+    )
+    r = spearman_rho(df, "x", "y").collect()[0]
+    # avg ranks x: 1, 2.5, 2.5, 4; y: 1.5, 1.5, 3.5, 3.5
+    # pearson of those = 1/sqrt(2) (numpy-checked)
+    assert r["rho"] == pytest.approx(2 ** -0.5, rel=1e-12)
+
+
+def test_bipartite_project_weights_and_cap(spark):
+    from hail_spark.operators.graph import bipartite_project
+
+    # customers c1,c2 both buy from s1,s2; c3 buys s2,s3
+    e = spark.createDataFrame(
+        [(1, 101), (1, 102), (2, 101), (2, 102), (3, 102), (3, 103)],
+        "src long, dst long",
+    )
+    out = {(r["node_a"], r["node_b"]): r["weight"]
+           for r in bipartite_project(e, onto="dst").collect()}
+    assert out == {(101, 102): 2, (102, 103): 1}
+    # cap drops the shared customers: weight pairs vanish
+    assert bipartite_project(e, onto="dst", max_degree=1).count() == 0
+    # project onto the customer layer instead
+    out2 = {(r["node_a"], r["node_b"]): r["weight"]
+            for r in bipartite_project(e, onto="src").collect()}
+    assert out2 == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+    with pytest.raises(ValueError):
+        bipartite_project(e, onto="nope")
