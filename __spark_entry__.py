@@ -6235,6 +6235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau_daily",
         "spearman_daily",
         "bipartite_copurchase",
+        "seasonal_naive_backtest",
         # (b) implementations changed in round 9 (verdict/ADVICE fixes)
         "import_table_impute",
         "vcf_round_trip",
@@ -6581,6 +6582,7 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau_daily": kendall_tau_q,
         "spearman_daily": spearman_q,
         "bipartite_copurchase": bipartite_project_q,
+        "seasonal_naive_backtest": seasonal_naive_q,
         "survival_curve_users": survival_curve_q,
         "entity_resolution_parts": entity_resolution_q,
         "chat_render_docs": chat_render_q,
@@ -6910,6 +6912,7 @@ def oracle_sql() -> dict[str, str]:
         "kendall_tau_daily": _KENDALL_SQL,
         "spearman_daily": _SPEARMAN_SQL,
         "bipartite_copurchase": _BIPARTITE_SQL,
+        "seasonal_naive_backtest": _SEASONAL_NAIVE_SQL,
         "survival_curve_users": _SURVIVAL_SQL,
         "entity_resolution_parts": _ENTITY_RES_SQL,
         "chat_render_docs": _CHAT_RENDER_SQL,
@@ -16382,4 +16385,51 @@ SELECT a.v AS node_a, b.v AS node_b,
 FROM e a JOIN e b ON a.w = b.w AND a.v < b.v
 JOIN deg ON deg.w = a.w
 GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def seasonal_naive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest (operators/relational.py
+    seasonal_naive_backtest): score yhat(day) = value(day − 7) on the
+    per-type daily event counts — the baseline every forecast must
+    beat, as MAE/RMSE/SMAPE per event type. Counts are INTEGERS, so
+    the error sums replay engine-exactly (|e| and e² of integers);
+    one 1:1 self-equi-join + one hash-agg."""
+    from hail_spark.operators.relational import seasonal_naive_backtest
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "event_type",
+        F.floor(_micros("ts") / F.lit(86_400_000_000)).alias("day"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    out = seasonal_naive_backtest(
+        daily, "day", "n", season=7, key_cols=("event_type",)
+    )
+    return out.select(
+        "event_type",
+        "n_scored",
+        F.round("mae", 6).alias("mae"),
+        F.round("rmse", 6).alias("rmse"),
+        F.round("smape", 6).alias("smape"),
+    ).orderBy("event_type")
+
+
+_SEASONAL_NAIVE_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT a.event_type, a.n AS y, b.n AS yhat
+  FROM daily a JOIN daily b
+    ON b.event_type = a.event_type AND b.day = a.day - 7)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scored,
+       round(SUM(abs(y - yhat)) / CAST(COUNT(*) AS DOUBLE), 6) AS mae,
+       round(sqrt(SUM((y - yhat) * CAST(y - yhat AS DOUBLE))
+                  / COUNT(*)), 6) AS rmse,
+       round(SUM(CASE WHEN abs(y) + abs(yhat) > 0
+                      THEN 200.0 * abs(y - yhat) / (abs(y) + abs(yhat))
+                      ELSE 0.0 END) / COUNT(*), 6) AS smape
+FROM scored GROUP BY event_type ORDER BY event_type
 """

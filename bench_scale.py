@@ -105,14 +105,19 @@ QUERIES = [
     "sssp_purchase_graph", "kcore_purchase_graph", "doc_cosine_topk",
     "basket_rules_parts", "stream_stream_join_replay",
     # round-9 additions: the community-quality joins, the wedge +
-    # anti-join link predictor, the PassJoin segment-pigeonhole
-    # similarity join, the shingle containment posting join, and the
-    # 3-window SCD2 build. (harmonic_centrality_graph /
+    # anti-join link predictor, the shingle containment posting join,
+    # and the 3-window SCD2 build. (harmonic_centrality_graph /
     # neighborhood_fn_graph are excluded: their exact-replay oracles
     # GUARD on the HLL sparse regime and correctly raise at sf1+ ball
-    # sizes — the operator's scale rows live in SCALE.md instead.)
+    # sizes — the operator's scale rows live in SCALE.md instead.
+    # edit_distance_near_dup and containment_near_supersets are
+    # excluded for the dedup-family SEMANTICS reason: the scaled
+    # corpus is 10 shifted COPIES of every text, so each doc gains 9
+    # exact clones and the true near-dup pair set grows ~100x — the
+    # gate queries then measure output volume, not the plan (measured
+    # 156 s / 111 s at sf1 vs 4.7 s / 1.9 s at sf0.1; same class as
+    # the dedup_clusters/minhash notes in SCALE.md).)
     "modularity_communities", "adamic_adar_links",
-    "edit_distance_near_dup", "containment_near_supersets",
     "scd2_user_history",
 ]
 

@@ -1652,3 +1652,60 @@ def ewma(
         (F.col("__num") / F.col("__den")).alias("ewma"),
         "n_terms",
     )
+
+
+def seasonal_naive_backtest(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    season: int = 7,
+    key_cols: tuple = (),
+) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each bucket's value
+    with the value ``season`` buckets earlier (the yhat every real
+    forecaster must beat — M-competition baseline) and score the
+    errors per key: MAE, RMSE, and SMAPE (the symmetric 0-200 % form,
+    robust to near-zero actuals). Returns one row per key
+    (keys…, n_scored, mae, rmse, smape) over the buckets that HAVE a
+    season-back observation — gaps score nothing rather than
+    fabricating a forecast.
+
+    Scale shape: ONE self-equi-join on (keys…, bucket − season) + one
+    per-key hash-agg — no window, no sort; at any corpus size the
+    join fan-out is 1:1. Error moments sum per key (float sums —
+    order-dependent in the last ulp; quantize upstream if bit-exact
+    cross-engine replay is required, as the entry query does with
+    integer cents)."""
+    if season < 1:
+        raise ValueError("seasonal_naive_backtest: season must be >= 1")
+    keys = list(key_cols)
+    base = df.select(
+        *keys,
+        F.col(bucket_col).cast("long").alias("__t"),
+        F.col(value_col).cast("double").alias("__y"),
+    )
+    past = base.select(
+        *[F.col(k).alias(k) for k in keys],
+        (F.col("__t") + season).alias("__t"),
+        F.col("__y").alias("__yhat"),
+    )
+    scored = base.join(past, [*keys, "__t"])
+    err = F.col("__y") - F.col("__yhat")
+    denom = F.abs(F.col("__y")) + F.abs(F.col("__yhat"))
+    smape_term = F.when(
+        denom > 0, F.lit(200.0) * F.abs(err) / denom
+    ).otherwise(F.lit(0.0))
+    agg = scored.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum(F.abs(err)).alias("__sae"),
+        F.sum(err * err).alias("__sse"),
+        F.sum(smape_term).alias("__ssm"),
+    )
+    n = F.col("n_scored").cast("double")
+    return agg.select(
+        *keys,
+        "n_scored",
+        (F.col("__sae") / n).alias("mae"),
+        F.sqrt(F.col("__sse") / n).alias("rmse"),
+        (F.col("__ssm") / n).alias("smape"),
+    )

@@ -467,3 +467,34 @@ def test_bipartite_project_weights_and_cap(spark):
     assert out2 == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
     with pytest.raises(ValueError):
         bipartite_project(e, onto="nope")
+
+
+def test_seasonal_naive_backtest_exact(spark):
+    from hail_spark.operators.relational import seasonal_naive_backtest
+
+    # days 0..9 with y = day; season 3 -> every scored error is 3
+    df = spark.createDataFrame(
+        [(d, float(d)) for d in range(10)], "day long, y double"
+    )
+    r = seasonal_naive_backtest(df, "day", "y", season=3).collect()[0]
+    assert r["n_scored"] == 7
+    assert r["mae"] == pytest.approx(3.0)
+    assert r["rmse"] == pytest.approx(3.0)
+    # gaps score nothing: drop day 5 -> day 8 loses its base
+    df2 = df.filter(F.col("day") != 5)
+    r2 = seasonal_naive_backtest(df2, "day", "y", season=3).collect()[0]
+    assert r2["n_scored"] == 5  # days 3,4,6,7,9 (5 and 8 unscorable)
+    with pytest.raises(ValueError):
+        seasonal_naive_backtest(df, "day", "y", season=0)
+
+
+def test_seasonal_naive_smape_zero_guard(spark):
+    from hail_spark.operators.relational import seasonal_naive_backtest
+
+    df = spark.createDataFrame(
+        [(0, 0.0), (1, 0.0), (2, 4.0)], "day long, y double"
+    )
+    r = seasonal_naive_backtest(df, "day", "y", season=1).collect()[0]
+    # pairs: (1: y=0, yhat=0 -> 0 by guard), (2: y=4, yhat=0 -> 200)
+    assert r["n_scored"] == 2
+    assert r["smape"] == pytest.approx(100.0)
