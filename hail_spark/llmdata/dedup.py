@@ -1437,7 +1437,13 @@ def edit_distance_pairs(
     the cap matches) — audit with :func:`edit_distance_overflow`.
     Strings shorter than ``max_dist + 1`` can have empty segments
     (pigeonhole breaks), so pairs whose shorter side is that tiny run
-    through a bounded short-bucket path instead."""
+    through a bounded short-bucket path instead. The input projection
+    is consumed by up to four subtrees (index, probe, the distinct-
+    length table, and the optional cap count) — each re-evaluates the
+    source plan, which for a plain column scan is the right trade
+    (persisting a 100-TB text column is worse than rescanning a
+    pruned parquet column); persist upstream yourself if the input is
+    an expensive derived plan."""
     if max_dist < 1:
         raise ValueError("edit_distance_pairs: max_dist must be >= 1")
     k = max_dist

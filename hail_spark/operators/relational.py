@@ -1709,3 +1709,116 @@ def seasonal_naive_backtest(
         F.sqrt(F.col("__sse") / n).alias("rmse"),
         (F.col("__ssm") / n).alias("smape"),
     )
+
+
+def vwap(
+    df: DataFrame,
+    bucket_col: str,
+    price_col: str,
+    volume_col: str,
+    key_cols: tuple = (),
+) -> DataFrame:
+    """Volume-weighted average price per bucket: ``Σ p·v / Σ v`` —
+    the execution-quality benchmark (TWAP's volume-aware sibling;
+    :func:`twap` weights by time-in-state instead). One hash-agg with
+    map-side partials; zero-volume buckets return NULL vwap rather
+    than dividing by zero. Integer-quantized prices/volumes make the
+    sums engine-exact (the entry query feeds cents)."""
+    keys = list(key_cols)
+    p = F.col(price_col).cast("double")
+    v = F.col(volume_col).cast("double")
+    agg = df.groupBy(*keys, bucket_col).agg(
+        F.sum(p * v).alias("__pv"),
+        F.sum(v).alias("__v"),
+        F.count(F.lit(1)).alias("n_trades"),
+    )
+    return agg.select(
+        *keys,
+        bucket_col,
+        F.when(F.col("__v") > 0, F.col("__pv") / F.col("__v")).alias(
+            "vwap"
+        ),
+        F.col("__v").alias("volume"),
+        "n_trades",
+    )
+
+
+def skyline2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """2-D skyline / Pareto front, BOTH dimensions minimized (negate
+    a column upstream to maximize it): keep the rows no other row
+    dominates (≤ in both dims, < in at least one). Duplicated (x, y)
+    points survive together (equality never dominates — the standard
+    skyline convention). Returns the input rows that are on the
+    front.
+
+    Scale shape: the 2-D case needs NO pairwise join — a point is
+    dominated iff some strictly-smaller-x row has y ≤ its y, or an
+    equal-x row has strictly smaller y. Both tests are running-MIN
+    windows (one RANGE frame ordered by x, one equal-x partition),
+    so the plan is one global sort of the CANDIDATE table + two
+    window passes. Call it on bounded aggregate tables (the
+    entity-level price/size table, not raw events) — the sort is by
+    x over whatever you pass in. Higher dimensions need the
+    partition-local + merge skyline algorithm; this operator is
+    deliberately the exact 2-D fast path."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    wless = (
+        Window.orderBy(x)
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    weq = Window.partitionBy(x)
+    staged = df.withColumn(
+        "__minless", F.min(y).over(wless)
+    ).withColumn("__mineq", F.min(y).over(weq))
+    dominated = (
+        F.col("__minless").isNotNull() & (F.col("__minless") <= y)
+    ) | (F.col("__mineq") < y)
+    return staged.filter(~dominated).drop("__minless", "__mineq")
+
+
+def abc_analysis(
+    df: DataFrame,
+    entity_col: str,
+    value_col: str,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+) -> DataFrame:
+    """ABC / Pareto classification (the inventory-management 80-15-5
+    split): entities ranked by value descending, class A while the
+    running value share ≤ ``a_cut``, B while ≤ ``b_cut``, else C —
+    the "which 20 % of parts carry 80 % of revenue" read. Ties break
+    by entity id for engine-exact determinism; the running share uses
+    the row's OWN cumulative value (inclusive frame), so the first
+    entity past a cut still belongs to the higher class iff its
+    cumulative share is within the cut. Returns (entity, value,
+    cum_share, abc_class).
+
+    Scale shape: one per-entity hash-agg upstream of the call (the
+    caller aggregates), then ONE global sort + running-sum window
+    over the ENTITY table — a bounded reduction of the input — plus a
+    1-row total via window. Feed integer-quantized values for
+    bit-exact cross-engine replay."""
+    if not 0 < a_cut < b_cut <= 1:
+        raise ValueError("abc_analysis: need 0 < a_cut < b_cut <= 1")
+    ent = F.col(entity_col)
+    v = F.col(value_col).cast("double")
+    wcum = Window.orderBy(F.col(value_col).desc(), ent.asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    staged = df.select(
+        entity_col,
+        value_col,
+        (F.sum(v).over(wcum) / F.sum(v).over(wall)).alias("cum_share"),
+    )
+    return staged.withColumn(
+        "abc_class",
+        F.when(F.col("cum_share") <= a_cut, F.lit("A"))
+        .when(F.col("cum_share") <= b_cut, F.lit("B"))
+        .otherwise(F.lit("C")),
+    )

@@ -498,3 +498,44 @@ def test_seasonal_naive_smape_zero_guard(spark):
     # pairs: (1: y=0, yhat=0 -> 0 by guard), (2: y=4, yhat=0 -> 200)
     assert r["n_scored"] == 2
     assert r["smape"] == pytest.approx(100.0)
+
+
+def test_vwap_exact_and_zero_volume(spark):
+    from hail_spark.operators.relational import vwap
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 2.0), (1, 20.0, 1.0), (2, 5.0, 0.0)],
+        "day long, p double, v double",
+    )
+    out = {r["day"]: r for r in vwap(df, "day", "p", "v").collect()}
+    assert out[1]["vwap"] == pytest.approx((10 * 2 + 20 * 1) / 3.0)
+    assert out[1]["volume"] == 3.0 and out[1]["n_trades"] == 2
+    assert out[2]["vwap"] is None  # zero volume -> NULL, no div0
+
+
+def test_skyline2d_front_and_duplicates(spark):
+    from hail_spark.operators.relational import skyline2d
+
+    # minimize both: (1,5) (2,3) (3,3) (4,1) (4,1) (5,2) (2,6)
+    rows = [(1, 1.0, 5.0), (2, 2.0, 3.0), (3, 3.0, 3.0),
+            (4, 4.0, 1.0), (5, 4.0, 1.0), (6, 5.0, 2.0), (7, 2.0, 6.0)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = sorted(r["id"] for r in skyline2d(df, "x", "y").collect())
+    # (3,3) dominated by (2,3); (5,2) by (4,1); (2,6) by (1,5)? no —
+    # (1,5): x=1<2, y=5<6 -> dominates. duplicates (4,1) both survive
+    assert got == [1, 2, 4, 5]
+
+
+def test_abc_analysis_classes(spark):
+    from hail_spark.operators.relational import abc_analysis
+
+    # values 50, 30, 15, 5 -> shares .5, .8, .95, 1.0
+    df = spark.createDataFrame(
+        [("a", 50.0), ("b", 30.0), ("c", 15.0), ("d", 5.0)],
+        "e string, v double",
+    )
+    out = {r["e"]: r["abc_class"] for r in
+           abc_analysis(df, "e", "v").collect()}
+    assert out == {"a": "A", "b": "A", "c": "B", "d": "C"}
+    with pytest.raises(ValueError):
+        abc_analysis(df, "e", "v", a_cut=0.9, b_cut=0.5)
