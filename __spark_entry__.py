@@ -16218,23 +16218,27 @@ FROM agg ORDER BY source
 
 
 def theil_sen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil-Sen robust daily-revenue trend (operators/abtest.py
-    theil_sen): median pairwise slope over the integer-cents daily
+    """Theil-Sen robust weekly-revenue trend (operators/abtest.py
+    theil_sen): median pairwise slope over the integer-cents weekly
     series — the outlier-proof answer to "is revenue actually
-    growing". The pairwise join is O(days²) by the estimator's
-    definition (bounded calendar series, the documented contract);
+    growing". The pairwise join is O(points²) by the estimator's
+    definition (bounded calendar series, the documented contract —
+    weekly buckets keep the pair table at ~63 k rows where the daily
+    series' 3.1 M pairs put 12 s into the exact-percentile buffer);
     medians are Spark's exact percentile = DuckDB quantile_cont."""
     from hail_spark.operators.abtest import theil_sen
 
     o = _t(spark, sf_dir, "orders").df
-    daily = o.groupBy(
-        F.floor(F.unix_timestamp("o_orderdate") / 86400).alias("day")
+    weekly = o.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / (86400 * 7)).alias(
+            "week"
+        )
     ).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "cents"
         )
     )
-    out = theil_sen(daily, "day", "cents")
+    out = theil_sen(weekly, "week", "cents")
     return out.select(
         "n_points",
         "n_pairs",
@@ -16245,7 +16249,7 @@ def theil_sen_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _THEIL_SEN_SQL = """
 WITH daily AS (
-  SELECT CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS day,
+  SELECT CAST(epoch(o_orderdate) AS BIGINT) // 604800 AS day,
          SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
   FROM orders GROUP BY 1),
 slopes AS (
