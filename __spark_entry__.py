@@ -6239,6 +6239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vwap_daily_lineitem",
         "skyline_suppliers",
         "abc_classes_parts",
+        "stl_decompose_daily",
+        "growth_accounting_weekly",
         # (b) implementations changed in round 9 (verdict/ADVICE fixes)
         "import_table_impute",
         "vcf_round_trip",
@@ -6589,6 +6591,8 @@ def _queries_base() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vwap_daily_lineitem": vwap_q,
         "skyline_suppliers": skyline_q,
         "abc_classes_parts": abc_q,
+        "stl_decompose_daily": stl_lite_q,
+        "growth_accounting_weekly": growth_accounting_q,
         "survival_curve_users": survival_curve_q,
         "entity_resolution_parts": entity_resolution_q,
         "chat_render_docs": chat_render_q,
@@ -6922,6 +6926,8 @@ def oracle_sql() -> dict[str, str]:
         "vwap_daily_lineitem": _VWAP_SQL,
         "skyline_suppliers": _SKYLINE_SQL,
         "abc_classes_parts": _ABC_SQL,
+        "stl_decompose_daily": _STL_SQL,
+        "growth_accounting_weekly": _GROWTH_SQL,
         "survival_curve_users": _SURVIVAL_SQL,
         "entity_resolution_parts": _ENTITY_RES_SQL,
         "chat_render_docs": _CHAT_RENDER_SQL,
@@ -16601,4 +16607,121 @@ SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
        round(SUM(rev_c) / 100.0, 4) AS revenue,
        round(MAX(cum_share), 9) AS max_cum_share
 FROM cl GROUP BY abc_class ORDER BY abc_class
+"""
+
+
+def stl_lite_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite decomposition (operators/relational.py stl_lite) of
+    daily event counts: centered 7-day trend, weekday seasonal
+    (re-centered phase means of the detrended series), residual, and
+    a 3-sigma anomaly flag. Counts are integers and the phase /
+    sigma sums are decimal-quantized, so every component replays
+    engine-exactly; all windows run over the bounded calendar
+    series. Phase = (epoch_day mod 7) — pure integer arithmetic,
+    no engine weekday convention involved."""
+    from hail_spark.operators.relational import stl_lite
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        F.floor(_micros("ts") / F.lit(86_400_000_000)).alias("day")
+    )
+    daily = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    out = stl_lite(daily, "day", "n", period=7)
+    return out.select(
+        F.col("day").cast("long").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("resid", 6).alias("resid"),
+        "is_anomaly",
+    ).orderBy("day")
+
+
+_STL_SQL = """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS n
+  FROM events GROUP BY 1),
+tr AS (
+  SELECT day, n, day % 7 AS phase,
+         AVG(CAST(n AS DOUBLE)) OVER (ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend
+  FROM daily),
+det AS (SELECT day, n, phase, trend, n - trend AS d FROM tr),
+ph AS (
+  SELECT phase,
+         CAST(SUM(CAST(d AS DECIMAL(15,6))) AS DOUBLE) / COUNT(*) AS praw
+  FROM det GROUP BY phase),
+ctr AS (SELECT CAST(SUM(CAST(praw AS DECIMAL(15,6))) AS DOUBLE)
+               / COUNT(*) AS c FROM ph),
+se AS (SELECT phase, praw - c AS seasonal FROM ph CROSS JOIN ctr),
+res AS (
+  SELECT det.day, det.n, det.trend, se.seasonal,
+         det.d - se.seasonal AS resid
+  FROM det JOIN se ON se.phase = det.phase),
+sig AS (
+  SELECT COUNT(*) AS nn,
+         CAST(SUM(CAST(resid AS DECIMAL(15,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(resid * resid AS DECIMAL(25,12))) AS DOUBLE) AS s2
+  FROM res)
+SELECT CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+       round(trend, 6) AS trend, round(seasonal, 6) AS seasonal,
+       round(resid, 6) AS resid,
+       abs(resid) > 3.0 * sqrt((s2 - s1 * s1 / nn) / (nn - 1))
+         AS is_anomaly
+FROM res CROSS JOIN sig ORDER BY day
+"""
+
+
+def growth_accounting_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting (operators/relational.py
+    growth_accounting): per week, the user-state ledger — new /
+    retained / resurrected actives plus churned = last week's actives
+    who went missing. All integer counts from distinct-presence
+    hash-aggs and one (user, week−1) self-equi-join; the identity
+    n_active = n_new + n_retained + n_resurrected holds per row."""
+    from hail_spark.operators.relational import growth_accounting
+
+    ev = _t(spark, sf_dir, "events").df.select(
+        "user_id",
+        F.floor(_micros("ts") / F.lit(7 * 86_400_000_000)).alias("week"),
+    )
+    out = growth_accounting(ev, "user_id", "week")
+    return out.select(
+        F.col("week").cast("long").alias("week"),
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.col("n_churned").cast("long").alias("n_churned"),
+    ).orderBy("week")
+
+
+_GROWTH_SQL = """
+WITH pres AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+  FROM events),
+fw AS (SELECT user_id, MIN(w) AS fw FROM pres GROUP BY user_id),
+st AS (
+  SELECT p.w,
+         CASE WHEN p.w = fw.fw THEN 'new'
+              WHEN prev.user_id IS NOT NULL THEN 'retained'
+              ELSE 'resurrected' END AS s
+  FROM pres p
+  JOIN fw ON fw.user_id = p.user_id
+  LEFT JOIN pres prev
+    ON prev.user_id = p.user_id AND prev.w = p.w - 1),
+act AS (
+  SELECT w, COUNT(*) AS n_active,
+         SUM(CASE WHEN s = 'new' THEN 1 ELSE 0 END) AS n_new,
+         SUM(CASE WHEN s = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+         SUM(CASE WHEN s = 'resurrected' THEN 1 ELSE 0 END)
+           AS n_resurrected
+  FROM st GROUP BY w)
+SELECT CAST(a.w AS BIGINT) AS week, CAST(a.n_active AS BIGINT) AS n_active,
+       CAST(a.n_new AS BIGINT) AS n_new,
+       CAST(a.n_retained AS BIGINT) AS n_retained,
+       CAST(a.n_resurrected AS BIGINT) AS n_resurrected,
+       CAST(COALESCE(b.n_active, 0) - a.n_retained AS BIGINT)
+         AS n_churned
+FROM act a LEFT JOIN act b ON b.w = a.w - 1
+ORDER BY week
 """

@@ -1822,3 +1822,153 @@ def abc_analysis(
         .when(F.col("cum_share") <= b_cut, F.lit("B"))
         .otherwise(F.lit("C")),
     )
+
+
+def stl_lite(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    period: int = 7,
+    anomaly_sigma: float = 3.0,
+) -> DataFrame:
+    """Additive seasonal decomposition, STL-lite (the classical
+    decompose: Cleveland's STL without the loess robustness loop):
+    ``trend`` = centered ``period``-bucket moving average, ``seasonal``
+    = per-phase mean of the detrended series re-centered to sum to
+    zero, ``resid`` = y − trend − seasonal, plus ``is_anomaly`` when
+    |resid| exceeds ``anomaly_sigma`` residual standard deviations —
+    the first-pass "is Tuesday always low, and was THIS Tuesday
+    weird" read on any calendar series. Returns (bucket, value,
+    trend, seasonal, resid, is_anomaly).
+
+    Scale shape: one centered ROWS window (±period/2) + phase
+    hash-aggs joined back + two 1-row aggregates via window — all
+    over the SERIES table (bounded calendar aggregate, the
+    theil_sen/kendall contract; key the series upstream for per-key
+    decomposition by calling per key group). Engine-exact: phase and
+    bucket arithmetic is integer; the detrended/residual sums are
+    quantized to decimal(15,6) so phase means and the sigma replay
+    order-independently."""
+    if period < 2:
+        raise ValueError("stl_lite: period must be >= 2")
+    half = period // 2
+    t = F.col(bucket_col).cast("long")
+    y = F.col(value_col).cast("double")
+    worder = Window.orderBy("__t").rowsBetween(-half, half)
+    base = df.select(
+        t.alias("__t"),
+        y.alias("__y"),
+        (F.pmod(t, F.lit(period))).alias("__phase"),
+    ).withColumn("__trend", F.avg("__y").over(worder))
+    det = base.withColumn("__d", F.col("__y") - F.col("__trend"))
+    phase = det.groupBy("__phase").agg(
+        (
+            F.sum(F.col("__d").cast("decimal(15,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__praw")
+    )
+    wall = Window.partitionBy()
+    phase = phase.withColumn(
+        "__seasonal",
+        F.col("__praw")
+        - F.sum(F.col("__praw").cast("decimal(15,6)")).over(wall).cast(
+            "double"
+        )
+        / F.count(F.lit(1)).over(wall),
+    ).drop("__praw")
+    out = det.join(phase, "__phase").withColumn(
+        "__resid", F.col("__d") - F.col("__seasonal")
+    )
+    n = F.count(F.lit(1)).over(wall)
+    s1 = F.sum(F.col("__resid").cast("decimal(15,6)")).over(wall).cast(
+        "double"
+    )
+    s2 = F.sum(
+        (F.col("__resid") * F.col("__resid")).cast("decimal(25,12)")
+    ).over(wall).cast("double")
+    sigma = F.sqrt((s2 - s1 * s1 / n) / (n - 1))
+    return out.select(
+        F.col("__t").alias(bucket_col),
+        F.col("__y").alias(value_col),
+        F.col("__trend").alias("trend"),
+        F.col("__seasonal").alias("seasonal"),
+        F.col("__resid").alias("resid"),
+        (F.abs(F.col("__resid")) > F.lit(float(anomaly_sigma)) * sigma)
+        .alias("is_anomaly"),
+    )
+
+
+def growth_accounting(
+    df: DataFrame,
+    entity_col: str,
+    bucket_col: str,
+) -> DataFrame:
+    """Growth accounting (the product-analytics user-state ledger):
+    per bucket, count entities that are NEW (first-ever bucket),
+    RETAINED (active this bucket and the previous), RESURRECTED
+    (active this bucket, not the previous, seen before), and CHURNED
+    (active the previous bucket, not this one — attributed to the
+    bucket they went missing). Identity per bucket b:
+    ``active(b) = new + retained + resurrected`` and
+    ``churned(b) = active(b−1) − retained(b)``. The final bucket
+    emits no churn row beyond the corpus (churn needs the next
+    bucket's evidence), and a bucket with ZERO active entities emits
+    no row at all — if your series can go fully dark for a bucket,
+    resample the bucket spine upstream or the dark bucket's churn
+    mass is unreported. Returns (bucket, n_active, n_new,
+    n_retained, n_resurrected, n_churned).
+
+    Scale shape: one distinct (entity, bucket) hash-agg, a per-entity
+    MIN for first buckets, one self-equi-join on (entity, bucket−1)
+    for the previous-bucket test, and a final per-bucket hash-agg —
+    all equi-joins on the entity key, no window over raw events."""
+    pres = df.select(
+        F.col(entity_col).alias("__e"),
+        F.col(bucket_col).cast("long").alias("__b"),
+    ).distinct()
+    first = pres.groupBy("__e").agg(F.min("__b").alias("__first"))
+    prev = pres.select(
+        "__e", (F.col("__b") + 1).alias("__b"), F.lit(1).alias("__had")
+    )
+    status = (
+        pres.join(first, "__e")
+        .join(prev, ["__e", "__b"], "left")
+        .select(
+            "__b",
+            F.when(F.col("__b") == F.col("__first"), "new")
+            .when(F.col("__had").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("__s"),
+        )
+    )
+    act = status.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(F.when(F.col("__s") == "new", 1).otherwise(0)).alias(
+            "n_new"
+        ),
+        F.sum(F.when(F.col("__s") == "retained", 1).otherwise(0)).alias(
+            "n_retained"
+        ),
+        F.sum(
+            F.when(F.col("__s") == "resurrected", 1).otherwise(0)
+        ).alias("n_resurrected"),
+    )
+    last_b = pres.agg(F.max("__b").alias("__max"))
+    prev_act = act.select(
+        (F.col("__b") + 1).alias("__b"),
+        F.col("n_active").alias("__prev_active"),
+    )
+    out = (
+        act.join(prev_act, "__b", "left")
+        .crossJoin(last_b)
+        .withColumn(
+            "n_churned",
+            F.when(
+                F.col("__b") <= F.col("__max"),
+                F.coalesce(F.col("__prev_active"), F.lit(0))
+                - F.col("n_retained"),
+            ),
+        )
+        .drop("__prev_active", "__max")
+    )
+    return out.withColumnRenamed("__b", bucket_col)

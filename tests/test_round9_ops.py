@@ -539,3 +539,60 @@ def test_abc_analysis_classes(spark):
     assert out == {"a": "A", "b": "A", "c": "B", "d": "C"}
     with pytest.raises(ValueError):
         abc_analysis(df, "e", "v", a_cut=0.9, b_cut=0.5)
+
+
+def test_stl_lite_recovers_planted_seasonality(spark):
+    from hail_spark.operators.relational import stl_lite
+
+    # y = 100 + phase-pattern [0,0,0,0,0,0,21]; flat trend
+    rows = [(d, 100.0 + (21.0 if d % 7 == 6 else 0.0))
+            for d in range(70)]
+    df = spark.createDataFrame(rows, "day long, y double")
+    out = {r["day"]: r for r in stl_lite(df, "day", "y").collect()}
+    # interior day: trend = mean of any 7 consecutive = 103
+    assert out[30]["trend"] == pytest.approx(103.0)
+    # phase-6 seasonal ~ 21 - mean(3) = 18; others ~ -3
+    assert out[34]["seasonal"] == pytest.approx(18.0, abs=0.5)
+    assert out[30]["seasonal"] == pytest.approx(-3.0, abs=0.5)
+    # interior residuals ~ 0, nothing anomalous
+    assert abs(out[30]["resid"]) < 0.5
+    with pytest.raises(ValueError):
+        stl_lite(df, "day", "y", period=1)
+
+
+def test_stl_lite_flags_planted_anomaly(spark):
+    from hail_spark.operators.relational import stl_lite
+
+    rows = [(d, 100.0) for d in range(70)]
+    rows[35] = (35, 400.0)  # spike
+    df = spark.createDataFrame(rows, "day long, y double")
+    out = {r["day"]: r for r in stl_lite(df, "day", "y").collect()}
+    assert out[35]["is_anomaly"]
+    assert not out[10]["is_anomaly"]
+
+
+def test_growth_accounting_ledger(spark):
+    from hail_spark.operators.relational import growth_accounting
+
+    # u1: w1,w2,w4 ; u2: w1 ; u3: w2,w3,w4
+    rows = [(1, 1), (1, 2), (1, 4), (2, 1), (3, 2), (3, 3), (3, 4),
+            (1, 2)]  # duplicate activity rows collapse
+    df = spark.createDataFrame(rows, "u long, w long")
+    out = {r["w"]: r for r in growth_accounting(df, "u", "w").collect()}
+    assert (out[1]["n_new"], out[1]["n_retained"],
+            out[1]["n_resurrected"]) == (2, 0, 0)
+    assert (out[2]["n_new"], out[2]["n_retained"],
+            out[2]["n_resurrected"]) == (1, 1, 0)
+    # w2 churn: u2 active w1, gone w2
+    assert out[2]["n_churned"] == 1
+    # w3: only u3 retained; u1 gone (churn 1)
+    assert (out[3]["n_active"], out[3]["n_retained"],
+            out[3]["n_churned"]) == (1, 1, 1)
+    # w4: u3 retained, u1 resurrected, churn 0
+    assert (out[4]["n_retained"], out[4]["n_resurrected"],
+            out[4]["n_churned"]) == (1, 1, 0)
+    # identity holds everywhere
+    for r in out.values():
+        assert r["n_active"] == (
+            r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        )
