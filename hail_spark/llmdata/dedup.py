@@ -726,11 +726,59 @@ def _hyperplane_sig(vec: Column, bits: int, dim: int, seed: int = 0x5EED) -> Col
 # ------------------------------------------------------------------ #
 # Connected components (dedup cluster assignment)
 # ------------------------------------------------------------------ #
+def _cc_driver(e: DataFrame) -> DataFrame:
+    """Driver union-find over a bounded, deduplicated (u, v) edge
+    checkpoint — the sub-cutoff path of :func:`connected_components`.
+    Output is bit-identical to the distributed star rounds: every
+    endpoint appears once, labeled with the smallest id in its
+    component (min-label union-find is order-independent)."""
+    from pyspark.sql import types as T
+
+    from ..operators.graph import _lc_release
+
+    rows = e.collect()
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    # min id per component (root choice above is arbitrary)
+    comp_min: dict = {}
+    finals = [(n, find(n)) for n in parent]
+    for n, r in finals:
+        m = comp_min.get(r)
+        if m is None or n < m:
+            comp_min[r] = n
+    id_type = e.schema["u"].dataType
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("component", id_type)]
+    )
+    out = e.sparkSession.createDataFrame(
+        [(n, comp_min[r]) for n, r in finals], schema
+    )
+    _lc_release(e)
+    return out
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_cutoff: int | None = None,
 ) -> DataFrame:
     """Connected components of an undirected edge list, returned as
     (node, component) with component = smallest node id in the
@@ -744,7 +792,23 @@ def connected_components(
     no transitive-closure row blow-up, so the same plan holds on a
     100 TB dup graph. Each round ends in localCheckpoint() to truncate
     lineage (iterative plans otherwise grow exponentially in Catalyst).
+
+    ``driver_cutoff``: when the DEDUPLICATED edge list has at most this
+    many rows, skip the iterative rounds and run a driver-side
+    union-find instead (exact same (node, min-id component) output —
+    min-label union-find is order-independent integer arithmetic, so
+    the two paths are bit-identical). The distributed rounds cost ~6
+    shuffles + one action EACH regardless of data size; below the
+    cutoff that fixed cost dwarfs a single bounded collect — the same
+    size-gated driver/distributed split as bpe_train's
+    SMALL_VOCAB_CUTOFF and Spark's own broadcast-join threshold.
+    Default from ``$SPARK_GRAFT_CC_DRIVER_CUTOFF`` (500_000 edges ≈
+    a broadcast-sized collect); set 0 to force the distributed path.
     """
+    if driver_cutoff is None:
+        import os
+
+        driver_cutoff = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_CUTOFF", "500000"))
     # checkpoint the input once: every round (and the final node list)
     # would otherwise re-execute the upstream pair-generation lineage
     e = (
@@ -753,6 +817,8 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if driver_cutoff > 0 and e.count() <= driver_cutoff:
+        return _cc_driver(e)
     e0 = e
     prev_sig = None
     prev_ckpt = None  # superseded per-round edge checkpoints we own

@@ -54,6 +54,41 @@ def test_connected_components_matches_union_find(spark, edges):
     assert got == want
 
 
+def test_connected_components_driver_vs_distributed_parity(spark):
+    # r09 opt: sub-cutoff inputs take a driver union-find instead of the
+    # large/small-star rounds. Both paths must agree bit-for-bit, on
+    # bigint AND string node ids (string min: Spark's binary-UTF8 order
+    # equals Python's code-point order for valid UTF-8).
+    edges = (
+        [(1, 2), (2, 3), (7, 8), (9, 9)]
+        + [(100, i) for i in range(90, 100)]
+        + [(i, i + 1) for i in range(200, 230)]
+    )
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    drv = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(df, driver_cutoff=10**6).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(df, driver_cutoff=0).collect()
+    }
+    assert drv == dist
+    sdf = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("\u00e9a", "zz")],
+        "id_a string, id_b string",
+    )
+    drv_s = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(sdf, driver_cutoff=10**6).collect()
+    }
+    dist_s = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(sdf, driver_cutoff=0).collect()
+    }
+    assert drv_s == dist_s
+
+
 def test_dedup_clusters_end_to_end(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     out = dedup.dedup_clusters(d).collect()
