@@ -8871,22 +8871,36 @@ def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab assignment (base chars sorted + merge products, first
     occurrence wins), and the full document encode chain in SQL."""
     from hail_spark.llmdata.dedup import _spread
-    from hail_spark.llmdata.tokenizer import bpe_encode_ids, bpe_train, bpe_vocab
+    from hail_spark.llmdata.tokenizer import (
+        _word_vocab,
+        bpe_encode_ids,
+        bpe_train,
+        bpe_vocab,
+    )
 
     d = _spread(_t(spark, sf_dir, "documents").df)
+    # One corpus word-count pass shared by train and vocab (r09: was two
+    # identical full-corpus tokenize passes).
+    wv = _word_vocab(d, "text").localCheckpoint()
     merges = [
         (r["merge_left"], r["merge_right"])
-        for r in bpe_train(d, n_merges=6).orderBy("rank").collect()
+        for r in bpe_train(d, n_merges=6, word_vocab=wv)
+        .orderBy("rank")
+        .collect()
     ]
-    vocab = bpe_vocab(d, merges)
-    enc = bpe_encode_ids(d, merges, vocab)
+    vocab = bpe_vocab(d, merges, word_vocab=wv)
+    # Sort on the cheap key BEFORE the expensive encode projection: the
+    # range-partitioner sample pass then evaluates only the scan, not
+    # the Arrow encode UDF + md5 (r09: the orderBy-last shape computed
+    # the full projection twice). Narrow projections preserve the sort.
+    enc = bpe_encode_ids(d.orderBy("doc_id"), merges, vocab)
     return enc.select(
         "doc_id",
         F.size("bpe_ids").alias("n_bpe_tokens"),
         F.md5(
             F.array_join(F.transform("bpe_ids", lambda i: i.cast("string")), ",")
         ).alias("ids_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 def _bpe_encode_oracle_sql(n_merges: int = 6) -> str:
@@ -11066,6 +11080,7 @@ def bpe_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/vocab/encode/decode breaks the identity."""
     from hail_spark.llmdata.dedup import _spread
     from hail_spark.llmdata.tokenizer import (
+        _word_vocab,
         bpe_decode_ids,
         bpe_encode_ids,
         bpe_train,
@@ -11073,19 +11088,23 @@ def bpe_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _spread(_t(spark, sf_dir, "documents").df)
+    # Shared word-vocab pass + sort-before-encode (see bpe_encode_q).
+    wv = _word_vocab(d, "text").localCheckpoint()
     merges = [
         (r["merge_left"], r["merge_right"])
-        for r in bpe_train(d, n_merges=6).orderBy("rank").collect()
+        for r in bpe_train(d, n_merges=6, word_vocab=wv)
+        .orderBy("rank")
+        .collect()
     ]
-    vocab = bpe_vocab(d, merges)
+    vocab = bpe_vocab(d, merges, word_vocab=wv)
     sep = len(vocab) + 7
-    enc = bpe_encode_ids(d, merges, vocab, word_sep_id=sep)
+    enc = bpe_encode_ids(d.orderBy("doc_id"), merges, vocab, word_sep_id=sep)
     dec = bpe_decode_ids(enc, vocab, word_sep_id=sep)
     return dec.select(
         "doc_id",
         F.md5("decoded").alias("decoded_md5"),
         F.length("decoded").alias("n_chars_norm"),
-    ).orderBy("doc_id")
+    )
 
 
 _BPE_ROUNDTRIP_SQL = r"""

@@ -215,6 +215,7 @@ def bpe_train(
     n_merges: int = 8,
     text_col: str = "text",
     sample_docs: int | None = 200_000,
+    word_vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges over the corpus. Returns a
     DataFrame (rank int, merge_left string, merge_right string,
@@ -231,9 +232,17 @@ def bpe_train(
     not O(corpus)) plus an Arrow-batched fixpoint merge of the vocab
     symbol strings; localCheckpoint per round truncates the iterative
     lineage (the connected-components lesson).
+
+    ``word_vocab``: a precomputed, already-materialized ``_word_vocab``
+    DataFrame over the same (df, text_col) — lets a caller that also
+    needs ``bpe_vocab`` pay the corpus word-count pass once instead of
+    twice (guide: fewer passes over the data).
     """
     spark = df.sparkSession
-    vocab = _word_vocab(df, text_col).localCheckpoint()
+    if word_vocab is not None:
+        vocab = word_vocab
+    else:
+        vocab = _word_vocab(df, text_col).localCheckpoint()
     n_words = vocab.count()
     if n_words > SMALL_VOCAB_CUTOFF and sample_docs is not None:
         sampled = (
@@ -368,20 +377,36 @@ def bpe_encode_len(
     )
 
 
-def bpe_vocab(df: DataFrame, merges: list, text_col: str = "text") -> dict:
+def bpe_vocab(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    word_vocab: DataFrame | None = None,
+) -> dict:
     """symbol -> id map: raw vocab list = sorted distinct base
     characters (of the lowercased whitespace-tokenized corpus) followed
     by merge products in merge order; a symbol's id is the FIRST index
     where it appears (so a merge product that collides with an earlier
     entry keeps the earlier id — replayable as min(raw_id) in SQL).
     One distinct-chars aggregation over the corpus; the map itself is
-    vocabulary-sized (driver literal)."""
+    vocabulary-sized (driver literal).
+
+    ``word_vocab``: a precomputed, already-materialized ``_word_vocab``
+    DataFrame over the same (df, text_col) — the distinct characters
+    are then derived from its (tiny) distinct-word column instead of a
+    second full-corpus tokenize pass. Identical result: the char set of
+    the distinct words IS the char set of the tokenized corpus (same
+    Java ``split`` per character on both paths)."""
     from .dedup import _spread, tokens
 
+    if word_vocab is not None:
+        words = word_vocab.select(F.col("w").alias("__w"))
+    else:
+        words = _spread(df.select(text_col)).select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("__w")
+        )
     rows = (
-        _spread(df.select(text_col))
-        .select(F.explode(tokens(F.lower(F.col(text_col)))).alias("__w"))
-        .select(F.explode(F.split(F.col("__w"), "")).alias("__c"))
+        words.select(F.explode(F.split(F.col("__w"), "")).alias("__c"))
         .filter(F.col("__c") != "")
         .distinct()
         .collect()
