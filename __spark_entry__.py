@@ -7316,15 +7316,18 @@ def lambda_gc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     identity qchisqtail(med,1)/qchisqtail(0.5,1) — a corpus-independent
     pin that still exercises the full distributed-median + quantile
     path (a wrong median or quantile breaks it)."""
+    from hail_spark.llmdata.dedup import _spread
     from hail_spark.methods.misc import lambda_gc
 
     ev = _t(spark, sf_dir, "events").df
     p = ((F.col("event_id") % 9999) + 1) / 10000.0
-    df = (
-        ev.select(p.alias("p"))
-        .unionAll(ev.select((1.0 - p).alias("p")))
-        .unionAll(ev.sparkSession.range(1).select(F.lit(0.5).alias("p")))
-    )
+    # r09: one spread scan + explode instead of two single-partition
+    # scans of the same file — the qnorm Arrow UDF inside lambda_gc ran
+    # on 2 tasks (events.parquet arrives as ONE partition); same p
+    # multiset, so count/median/λ are unchanged.
+    df = _spread(ev.select("event_id")).select(
+        F.explode(F.array(p, 1.0 - p)).alias("p")
+    ).unionAll(ev.sparkSession.range(1).select(F.lit(0.5).alias("p")))
     lam = lambda_gc(df, "p", approximate=False)
     return df.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tested"),
