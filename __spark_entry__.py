@@ -35,6 +35,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str, key: tuple[str, ...] = ()) -
     return Table(df, key=key)
 
 
+def _input_bytes(path: str) -> int:
+    """On-disk byte size of a parquet file or directory (driver-side
+    metadata only — no data is read, no Spark action). Used to gate
+    scale-shape rewrites (e.g. a spread repartition) on input size so a
+    toy input does not pay a shuffle that only wins on big scans."""
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def _dsum(col, alias):
     """Order-independent float sum → double."""
     return F.sum(col.cast("decimal(38,6)")).cast("double").alias(alias)
@@ -7325,7 +7342,16 @@ def lambda_gc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans of the same file — the qnorm Arrow UDF inside lambda_gc ran
     # on 2 tasks (events.parquet arrives as ONE partition); same p
     # multiset, so count/median/λ are unchanged.
-    df = _spread(ev.select("event_id")).select(
+    # r10: gate the spread on input size (verdict item 4) — the
+    # repartition shuffle regressed the warm gate-scale median
+    # 1.06 → 2.49 s while only paying off once a single-file scan
+    # carries real data. 64 MB ≈ half a default parquet split: below
+    # it a 1-partition scan is the cheapest plan, above it the scan
+    # either splits on its own or the spread fixes the 1-task UDF.
+    base = ev.select("event_id")
+    if _input_bytes(os.path.join(sf_dir, "events.parquet")) >= (64 << 20):
+        base = _spread(base)
+    df = base.select(
         F.explode(F.array(p, 1.0 - p)).alias("p")
     ).unionAll(ev.sparkSession.range(1).select(F.lit(0.5).alias("p")))
     lam = lambda_gc(df, "p", approximate=False)
@@ -8880,6 +8906,7 @@ def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_train,
         bpe_vocab,
     )
+    from hail_spark.operators.graph import _lc_release
 
     d = _spread(_t(spark, sf_dir, "documents").df)
     # One corpus word-count pass shared by train and vocab (r09: was two
@@ -8892,10 +8919,16 @@ def bpe_encode_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     vocab = bpe_vocab(d, merges, word_vocab=wv)
+    # bpe_train and bpe_vocab both collected — wv has no remaining lazy
+    # consumer, so free its checkpoint blocks now (r10, ADVICE: the
+    # connected_components release discipline applies here too)
+    _lc_release(wv)
     # Sort on the cheap key BEFORE the expensive encode projection: the
     # range-partitioner sample pass then evaluates only the scan, not
     # the Arrow encode UDF + md5 (r09: the orderBy-last shape computed
     # the full projection twice). Narrow projections preserve the sort.
+    # INVARIANT (ADVICE r09): nothing below may introduce an exchange
+    # after this Sort — the output order is carried implicitly.
     enc = bpe_encode_ids(d.orderBy("doc_id"), merges, vocab)
     return enc.select(
         "doc_id",
@@ -11089,6 +11122,7 @@ def bpe_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_train,
         bpe_vocab,
     )
+    from hail_spark.operators.graph import _lc_release
 
     d = _spread(_t(spark, sf_dir, "documents").df)
     # Shared word-vocab pass + sort-before-encode (see bpe_encode_q).
@@ -11100,6 +11134,7 @@ def bpe_roundtrip_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     vocab = bpe_vocab(d, merges, word_vocab=wv)
+    _lc_release(wv)  # both consumers collected (see bpe_encode_q)
     sep = len(vocab) + 7
     enc = bpe_encode_ids(d.orderBy("doc_id"), merges, vocab, word_sep_id=sep)
     dec = bpe_decode_ids(enc, vocab, word_sep_id=sep)
@@ -14979,7 +15014,14 @@ def rfm_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         _micros("o_orderdate").alias("tsu"),
         F.col("o_totalprice").cast("decimal(15,2)").alias("amt"),
     )
-    out = rfm_segments(o, "o_custkey", "tsu", "amt", n_bins=4)
+    # r10 (verdict item 3): above gate scale the three global ntile
+    # windows switch to the 2-phase partitioned exact rank — identical
+    # output (parity pytest), no single-partition sort of the
+    # per-customer aggregate
+    big = _input_bytes(os.path.join(sf_dir, "orders.parquet")) >= (64 << 20)
+    out = rfm_segments(
+        o, "o_custkey", "tsu", "amt", n_bins=4, partitioned_rank=big
+    )
     return (
         out.filter(F.col("o_custkey") % 10 == 0)
         .select(

@@ -817,7 +817,15 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    if driver_cutoff > 0 and e.count() <= driver_cutoff:
+    # the driver path builds its output schema from u's type alone —
+    # only take it when both endpoint columns agree (a u/v type mismatch
+    # would truncate where the distributed rounds' unions type-coerce);
+    # mismatched inputs fall through to the star rounds (ADVICE r09)
+    if (
+        driver_cutoff > 0
+        and e.schema["u"].dataType == e.schema["v"].dataType
+        and e.count() <= driver_cutoff
+    ):
         return _cc_driver(e)
     e0 = e
     prev_sig = None

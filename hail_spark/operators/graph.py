@@ -39,6 +39,42 @@ def _lc_release(df: DataFrame | None) -> None:
         pass
 
 
+def _pin_n(spark) -> int:
+    """Partition count used by :func:`_lc_pinned` checkpoints: the
+    session's shuffle-partition setting (scale-adaptive via conf), so a
+    pinned table's HashPartitioning matches what any AQE-off exchange in
+    the same query produces and joins between pinned tables line up."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
+def _lc_pinned(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` that PRESERVES the plan's output partitioning
+    in the checkpoint's LogicalRDD, so downstream joins/aggs keyed the
+    same way (or on a superset of the keys) reuse the layout instead of
+    re-exchanging (guide §2.4: operations keyed the same way share one
+    exchange).
+
+    Measured on Spark 4.1: with AQE enabled the checkpoint records
+    ``UnknownPartitioning`` (AdaptiveSparkPlan reports no partitioning
+    before its final plan exists), silently forfeiting the reuse — so
+    AQE is disabled FOR THE MATERIALIZING QUERY ONLY and restored before
+    returning; consumers of the checkpoint still plan adaptively. The
+    iterative ops below end their round plans in an exchange/agg on the
+    round key, so the capture costs nothing extra; use
+    ``.repartition(_pin_n(spark), key)`` upstream when the plan would
+    not otherwise end in the wanted partitioning."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
 def _lc_supersede(old: DataFrame | None, new: DataFrame) -> DataFrame:
     """Release a superseded checkpoint ONLY against its already-
     materialized successor. localCheckpoint truncates lineage, so a
@@ -105,20 +141,23 @@ def pagerank(
     # localCheckpoint the static tables: every iteration's plan would
     # otherwise re-run the edge dedup shuffle (and the node union) —
     # measured ~n_iter× the edge-pipeline cost at 3 iterations
-    e = (
+    # static tables PINNED on their join keys (guide §2.4): e on src so
+    # the degree agg and the ed join reuse one exchange; nodes on node so
+    # each round's rank-merge left join is exchange-free; ed captures the
+    # join's (src, n) partitioning for the per-round contribution join
+    e = _lc_pinned(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(_pin_n(edges.sparkSession), "src")
         .distinct()
-        .localCheckpoint()
     )
-    nodes = (
+    nodes = _lc_pinned(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    ed = e.join(deg, "src").localCheckpoint()
+    ed = _lc_pinned(e.join(deg, "src"))
     dangling = None
     if redistribute_dangling:
         dangling = nodes.join(
@@ -163,7 +202,7 @@ def pagerank(
         # per call instead of n_iter/checkpoint_every + 4
         last = i + 1 == n_iter
         if tol is not None:
-            new_ranks = new_ranks.localCheckpoint()
+            new_ranks = _lc_pinned(new_ranks)
             delta = (
                 new_ranks.withColumnRenamed("rank", "__new")
                 .join(ranks.withColumnRenamed("rank", "__old"), "node")
@@ -177,7 +216,9 @@ def pagerank(
                 break
         else:
             if per_iter_ckpt or (i + 1) % checkpoint_every == 0 or last:
-                new_ranks = new_ranks.localCheckpoint()
+                # pinned: the rank-merge left join ends partitioned on
+                # node, which the next round's joins reuse
+                new_ranks = _lc_pinned(new_ranks)
                 prev_ckpt = _lc_supersede(prev_ckpt, new_ranks)
             ranks = new_ranks
     # ranks is now a materialized checkpoint with no lineage into the
@@ -355,12 +396,20 @@ def label_propagation(
         e = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
-    e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
-    nodes = (
+    # static edge table PINNED on the per-round join key (src): the
+    # repartition rides under the distinct's (src, dst) clustering so no
+    # exchange is added, and every round's e ⋈ labels join then needs
+    # neither side shuffled; nodes pinned on node the same way (its
+    # distinct's own exchange) for the round-closing left join
+    e = _lc_pinned(
+        e.filter(F.col("src") != F.col("dst"))
+        .repartition(_pin_n(e.sparkSession), "src")
+        .distinct()
+    )
+    nodes = _lc_pinned(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     labels = nodes.withColumn("label", F.col("node"))
     for i in range(n_iter):
@@ -376,13 +425,15 @@ def label_propagation(
                 "label", F.struct((-F.col("__n")).alias("a"), F.col("label").alias("b"))
             ).alias("new_label")
         )
-        new_labels = (
+        # best is partitioned on v_node by its agg and nodes is pinned on
+        # node, so this left join is exchange-free; the pinned checkpoint
+        # re-captures (node, n) for the next round
+        new_labels = _lc_pinned(
             nodes.join(best, nodes["node"] == best["v_node"], "left")
             .select(
                 "node",
                 F.coalesce(F.col("new_label"), F.col("node")).alias("label"),
             )
-            .localCheckpoint()
         )
         # eager release of the superseded label checkpoint (pagerank
         # discipline) — the first round's `labels` is a lazy projection
@@ -425,24 +476,27 @@ def sssp(
     discipline), so repeated calls leave one distance-table block set."""
     if n_iter < 1:
         raise ValueError("sssp: n_iter must be >= 1")
-    e = (
+    # static edge table PINNED on the per-round join key (src): the
+    # repartition rides under the min-agg's (src, dst) clustering so no
+    # exchange is added, and each round's dists ⋈ e join reuses it; the
+    # distance table is pinned on node by its own aggs (guide §2.4)
+    e = _lc_pinned(
         edges.select(
             F.col(src).alias("src"),
             F.col(dst).alias("dst"),
             F.col(weight).cast("double").alias("w"),
         )
+        .repartition(_pin_n(edges.sparkSession), "src")
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))  # parallel edges: keep the lightest
-        .localCheckpoint()
     )
     neg = e.filter(F.col("w") < 0).isEmpty()
     if not neg:
         raise ValueError("sssp: negative edge weights are not supported")
-    dists = (
+    dists = _lc_pinned(
         sources.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0.0))
-        .localCheckpoint()
     )
     prev_ckpt = dists
     for _ in range(n_iter):
@@ -465,8 +519,11 @@ def sssp(
                     | (F.col("cand") < F.col("dist"))
                 ).alias("__improved"),
             )
-            .localCheckpoint()
         )
+        # a full-outer join's output partitioning is Unknown on Spark —
+        # pinning here would capture nothing; the next round re-exchanges
+        # the dists side once (the relaxed agg side stays aligned)
+        merged = _lc_pinned(merged)
         converged = merged.filter(F.col("__improved")).isEmpty()
         prev_ckpt = _lc_supersede(prev_ckpt, merged)
         dists = merged.select("node", "dist")
@@ -503,14 +560,20 @@ def kcore(
         raise ValueError("kcore: k must be >= 1")
     if n_iter < 1:
         raise ValueError("kcore: n_iter must be >= 1")
-    e = (
+    # edge table PINNED on lo (guide §2.4): the repartition rides under
+    # the distinct's (lo, hi) clustering, the keep side of each semi-join
+    # arrives partitioned on node from its own agg, and the hi-semi runs
+    # FIRST so each round's survivor table ends partitioned on lo again —
+    # the invariant the next round's lo-semi and the keep-side joins
+    # reuse (the semi-join pair commutes, so the reorder changes nothing)
+    e = _lc_pinned(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
             F.greatest(F.col(src), F.col(dst)).alias("hi"),
         )
         .filter(F.col("lo") != F.col("hi"))
+        .repartition(_pin_n(edges.sparkSession), "lo")
         .distinct()
-        .localCheckpoint()
     )
     prev_ckpt = e
     prev_n = e.count()  # carried across rounds: one count job per round
@@ -522,11 +585,10 @@ def kcore(
             .agg(F.count(F.lit(1)).alias("__deg"))
         )
         keep = deg.filter(F.col("__deg") >= k).select("node")
-        ne = (
-            e.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
-            .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
+        ne = _lc_pinned(
+            e.join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
+            .join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
             .select("lo", "hi")
-            .localCheckpoint()
         )
         n = ne.count()
         stable = n == prev_n
@@ -595,20 +657,26 @@ def neighborhood_function(
     Lineage is cut per round with eager release (pagerank discipline)."""
     if radius < 0:
         raise ValueError("neighborhood_function: radius must be >= 0")
-    e = (
+    # static edge table PINNED on the per-round join key (dst): the
+    # repartition replaces the distinct's own exchange (hash on dst is a
+    # subset of the distinct's (src, dst) clustering, so the dedup agg
+    # adds none), and every round's e ⋈ sk join reuses it — 2 exchanges
+    # per round drop to 0 (guide §2.4)
+    e = _lc_pinned(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(_pin_n(edges.sparkSession), "dst")
         .distinct()
-        .localCheckpoint()
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    sk = (
+    # sketch table pinned on node (the agg's own exchange partitioning,
+    # captured through the checkpoint) — the other side of the round join
+    sk = _lc_pinned(
         nodes.groupBy("node")
         .agg(F.hll_sketch_agg(F.col("node"), F.lit(lgk)).alias("__sk"))
-        .localCheckpoint()
     )
 
     def _est(s: DataFrame, r: int) -> DataFrame:
@@ -628,11 +696,10 @@ def neighborhood_function(
         contrib = e.join(sk, e["dst"] == sk["node"]).select(
             F.col("src").alias("node"), "__sk"
         )
-        merged = (
+        merged = _lc_pinned(
             contrib.unionByName(sk.select("node", "__sk"))
             .groupBy("node")
             .agg(F.hll_union_agg("__sk").alias("__sk"))
-            .localCheckpoint()
         )
         parts.append(_est(merged, r))
         prev_ckpt = _lc_supersede(prev_ckpt, merged)
@@ -745,21 +812,30 @@ def modularity(
     ``communities`` are excluded from degree/intra sums (their edges
     still count in m) — pass a complete assignment for the textbook
     score."""
-    e = (
+    # edge table pinned on lo (the intra chain's first join key; the
+    # repartition rides under the distinct's (lo, hi) clustering so no
+    # exchange is added vs the plain distinct)
+    e = _lc_pinned(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
             F.greatest(F.col(src), F.col(dst)).alias("hi"),
         )
         .filter(F.col("lo") != F.col("hi"))
+        .repartition(_pin_n(edges.sparkSession), "lo")
         .distinct()
-        .localCheckpoint()
     )
     # the label table feeds THREE joins (degree + both intra endpoints);
     # a lazy assignment (e.g. a label_propagation plan) would re-run its
-    # whole iteration per consumer — materialize it once
-    comm = communities.select(
-        F.col(node_col).alias("__node"), F.col(label_col).alias("__label")
-    ).localCheckpoint()
+    # whole iteration per consumer — materialize it once. The pinned
+    # checkpoint preserves the assignment's partitioning (node, n) when
+    # the caller hands over a label_propagation result, so the renamed
+    # lo/hi projections join the pinned edge table without re-exchanging
+    # the label side.
+    comm = _lc_pinned(
+        communities.select(
+            F.col(node_col).alias("__node"), F.col(label_col).alias("__label")
+        )
+    )
     m = e.agg(F.count(F.lit(1)).cast("double").alias("__m"))
     deg = (
         e.select(F.col("lo").alias("__node"))
