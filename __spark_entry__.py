@@ -10838,6 +10838,32 @@ ORDER BY user_id, w_start
 _STREAM_CONF_SEQ = [0]
 
 
+class _stream_state_parts:
+    """Run a streaming replay with a SMALL state-partition count
+    (default 4, ``$SPARK_GRAFT_STREAM_STATE_PARTS``): every stateful
+    operator keeps one state store per shuffle partition and commits
+    EVERY store each micro-batch, so at gate scale the per-partition
+    commit overhead dominates (the r08 stream_stream_join lesson:
+    23 → 4.3 s). The conf is picked up at ``.start()`` and restored on
+    exit; a cluster run sizes it to key cardinality via the env var
+    instead (r10: applied to every replay, not just the ss-join)."""
+
+    def __init__(self, spark):
+        self._spark = spark
+
+    def __enter__(self):
+        self._old = self._spark.conf.get("spark.sql.shuffle.partitions")
+        self._spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS", "4"),
+        )
+        return self
+
+    def __exit__(self, *exc):
+        self._spark.conf.set("spark.sql.shuffle.partitions", self._old)
+        return False
+
+
 def stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch/stream no-drift conformance (streaming/events.py): the
     REAL Structured Streaming pipeline — file source in several
@@ -10875,14 +10901,15 @@ def stream_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"stream_conf_{os.getpid()}_{_STREAM_CONF_SEQ[0]}"
     stream = read_events_stream(spark, stage, max_files_per_trigger=2)
     counts = stream_windowed_counts(stream, window="1 hour", watermark="2 hours")
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_parts(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     # session tz is UTC (hail_spark/session.py), so the stream's LTZ
     # window_start equals the parquet NTZ instant numerically
     epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
@@ -10963,9 +10990,7 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-partition commit overhead dominates, so the state partition
     # count is dropped for the duration of this query (a cluster run
     # sizes it to the key cardinality instead); picked up at .start()
-    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    with _stream_state_parts(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName(sink)
@@ -10974,8 +10999,6 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
     return (
         spark.table(sink)
@@ -12387,15 +12410,16 @@ def stream_dedup_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"sdedup_{os.getpid()}_{_STREAM_CONF_SEQ[0]}"
     stream = read_documents_stream(spark, stage, max_files_per_trigger=2)
     kept = stream_exact_dedup(stream)
-    q = (
-        kept.select(F.md5("text").alias("text_md5"))
-        .writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_parts(spark):
+        q = (
+            kept.select(F.md5("text").alias("text_md5"))
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).select("text_md5").orderBy("text_md5")
 
 
@@ -12745,14 +12769,15 @@ def stream_static_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_CONF_SEQ[0] += 1
     sink = f"stream_sj_{os.getpid()}_{_STREAM_CONF_SEQ[0]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _stream_state_parts(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(sink).orderBy("c_nationkey")
 
 
@@ -14361,13 +14386,6 @@ def stream_sessionize_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = f"sess_conf_{os.getpid()}_{_STREAM_CONF_SEQ[0]}"
     stream = read_events_stream(spark, stage, max_files_per_trigger=2)
     sessions = sessionize_stream(stream)
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
     # a stateful query with ProcessingTimeTimeout keeps scheduling
     # batches to service pending timeouts even under availableNow, so
     # awaitTermination() would never return — instead poll until every
@@ -14377,21 +14395,29 @@ def stream_sessionize_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # absorbed by the max/max_by aggregation below.
     import time as _time
 
-    total_rows = t.num_rows
-    deadline = _time.time() + 300
-    while _time.time() < deadline:
-        if q.awaitTermination(2):
-            break
-        drained = (
-            spark.table(sink)
-            .groupBy("user_id")
-            .agg(F.max("n_events").alias("__n"))
-            .agg(F.sum("__n"))
-            .head()[0]
+    with _stream_state_parts(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
         )
-        if drained == total_rows:
-            break
-    q.stop()
+        total_rows = t.num_rows
+        deadline = _time.time() + 300
+        while _time.time() < deadline:
+            if q.awaitTermination(2):
+                break
+            drained = (
+                spark.table(sink)
+                .groupBy("user_id")
+                .agg(F.max("n_events").alias("__n"))
+                .agg(F.sum("__n"))
+                .head()[0]
+            )
+            if drained == total_rows:
+                break
+        q.stop()
     epoch = F.lit("1970-01-01 00:00:00").cast("timestamp")
     # update mode appends every per-trigger update; the final state per
     # user is the row with the largest n_events (state only grows)

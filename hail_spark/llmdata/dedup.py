@@ -591,7 +591,18 @@ def embedding_dup_pairs(
     if lsh_bits:
         dim = base.select(F.size(vec_col).alias("d")).first()["d"]
         sig = _hyperplane_sig(F.col(vec_col), lsh_bits, dim)
-        base = base.withColumn("__bucket", sig)
+        # norm computed once per ROW before the self-join instead of
+        # twice per candidate PAIR (r10, guide §1.2) — dot/(na·nb) is
+        # the identical expression tree `cosine` evaluates, and the
+        # projection below the join blocks re-inlining
+        norm = F.sqrt(
+            F.aggregate(
+                F.col(vec_col),
+                F.lit(0.0),
+                lambda acc, v: acc + v.cast("double") * v.cast("double"),
+            )
+        )
+        base = base.withColumn("__bucket", sig).withColumn("__n", norm)
         a, b = base.alias("a"), base.alias("b")
         joined = a.join(
             b,
@@ -600,7 +611,16 @@ def embedding_dup_pairs(
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )
-        cos = cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        dot = F.aggregate(
+            F.zip_with(
+                F.col(f"a.{vec_col}"),
+                F.col(f"b.{vec_col}"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        cos = dot / (F.col("a.__n") * F.col("b.__n"))
         return joined.select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),

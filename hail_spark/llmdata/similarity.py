@@ -16,6 +16,25 @@ from pyspark.sql import functions as F
 from .dedup import cosine
 
 
+def _norm(v: Column) -> Column:
+    """sqrt(Σ x²) with the same left fold :func:`dedup.cosine` uses, so
+    a precomputed norm is bit-identical to the per-pair one."""
+    return F.sqrt(
+        F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ, the cosine numerator with dedup.cosine's fold order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -30,12 +49,29 @@ def brute_force_topk(
     queries is broadcast (small); the corpus is scanned once. The
     per-query top-k uses a window over (query, cosine) — with Q queries
     the shuffle is Q·corpus rows, so keep Q bounded (classic re-ranker /
-    eval shape). Ties broken by corpus id for determinism."""
-    j = corpus.join(F.broadcast(queries))
+    eval shape). Ties broken by corpus id for determinism.
+
+    Norms are precomputed ONCE per corpus row / per query row below the
+    join (r10, guide §1.2 per-task work): the inline ``cosine`` fold
+    recomputed both Σx² folds per (corpus × query) pair — 2 of the 3
+    interpreted HOF folds per pair for values that only depend on one
+    side. ``dot / (na * nb)`` is the same expression tree as ``cosine``
+    evaluates, so scores are bit-identical (the projection sits below
+    the join, which blocks CollapseProject from re-inlining it)."""
+    c2 = corpus.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__na")
+    )
+    q2 = queries.select(
+        F.col(q_id_col), F.col(q_vec_col), _norm(F.col(q_vec_col)).alias("__nb")
+    )
+    j = c2.join(F.broadcast(q2))
     scored = j.select(
         F.col(q_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+        (
+            _dot(F.col(vec_col), F.col(q_vec_col))
+            / (F.col("__na") * F.col("__nb"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy(q_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -184,16 +220,27 @@ def ivf_topk(
     w = Window.partitionBy(q_id_col).orderBy(
         cosine(F.col(q_vec_col), F.col("c_vec")).desc(), F.col("cell")
     )
+    # query-side norm computed once per probe row (Q·nprobe rows) instead
+    # of once per (corpus × probe) pair; corpus norm once per scanned row
+    # — bit-identical to the inline cosine fold (see brute_force_topk)
     probes = (
         qc.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= nprobe)
-        .select(q_id_col, q_vec_col, "cell")
+        .select(
+            q_id_col, q_vec_col, "cell", _norm(F.col(q_vec_col)).alias("__nb")
+        )
     )
-    j = assigned.join(F.broadcast(probes), on="cell")
+    a2 = assigned.select(
+        "cell", F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__na")
+    )
+    j = a2.join(F.broadcast(probes), on="cell")
     scored = j.select(
         F.col(q_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+        (
+            _dot(F.col(vec_col), F.col(q_vec_col))
+            / (F.col("__na") * F.col("__nb"))
+        ).alias("cosine"),
     )
     w2 = Window.partitionBy(q_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -441,15 +488,23 @@ def pq_rerank_topk(
         encoded, codebooks, queries, k=shortlist,
         id_col=id_col, q_id_col=q_id_col, q_vec_col=q_vec_col,
     ).select(q_id_col, id_col)
-    cand = corpus.select(F.col(id_col), F.col(vec_col)).join(
-        F.broadcast(short), id_col
-    )
+    cand = corpus.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("__na")
+    ).join(F.broadcast(short), id_col)
     scored = cand.join(
-        F.broadcast(queries.select(q_id_col, q_vec_col)), q_id_col
+        F.broadcast(
+            queries.select(
+                q_id_col, q_vec_col, _norm(F.col(q_vec_col)).alias("__nb")
+            )
+        ),
+        q_id_col,
     ).select(
         F.col(q_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+        (
+            _dot(F.col(vec_col), F.col(q_vec_col))
+            / (F.col("__na") * F.col("__nb"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy(q_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -949,11 +1004,16 @@ def mine_hard_negatives(
     pairs, then the per-query top-k window. Swap the scorer for
     pq_topk/ivf_topk at 100 TB; the exclusion + window are identical.
     """
-    j = corpus.join(F.broadcast(queries))
+    j = corpus.withColumn("__na", _norm(F.col(vec_col))).join(
+        F.broadcast(queries.withColumn("__nb", _norm(F.col(q_vec_col))))
+    )
     scored = j.select(
         F.col(q_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(q_vec_col)).alias("cosine"),
+        (
+            _dot(F.col(vec_col), F.col(q_vec_col))
+            / (F.col("__na") * F.col("__nb"))
+        ).alias("cosine"),
     )
     pos = positives.select(
         F.col(q_id_col), F.col("pos_id").alias(id_col)
