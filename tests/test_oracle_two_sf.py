@@ -37,6 +37,6 @@ def test_full_gate_sf0001(spark):
     gate at a second scale factor (sf0.001; the driver runs sf0.01), so
     no oracle can be corpus-pinned or DuckDB-type-divergent (HUGEINT/
     DECIMAL — the r03 driver-red class) again. ~6 min on local[32]."""
-    results = run_gate(spark, "/root/testdata/sf0.001", only=None)
+    results = run_gate(spark, "/root/testdata/sf0.001", only=None, workers=4)
     bad = {k: v for k, v in results.items() if not v.startswith(("OK", "rows-only"))}
     assert not bad, f"full-suite oracle regression at sf0.001: {bad}"

@@ -74,7 +74,28 @@ def test_sessionize_stream_runs(spark, events_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # a stateful query with ProcessingTimeTimeout never self-terminates
+    # under availableNow (it keeps scheduling timeout batches), so a
+    # plain awaitTermination(120) just burns its full timeout — poll
+    # until every source row is accounted for, then stop (the
+    # stream_sessionize_replay drain pattern; was 120 s of sleep)
+    import time as _time
+
+    total_rows = spark.read.parquet(events_dir).count()
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        if q.awaitTermination(2):
+            break
+        drained = (
+            spark.table("sessions")
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("__n"))
+            .agg(F.sum("__n"))
+            .head()[0]
+        )
+        if drained == total_rows:
+            break
+    q.stop()
     rows = spark.sql("SELECT * FROM sessions").collect()
     assert rows, "no session updates emitted"
     by_user = {r["user_id"]: r for r in rows}
