@@ -358,6 +358,11 @@ def test_entry_unpack_fast_path(spark):
 
     from hail_spark.methods.statgen import _entry_matrix
 
+    def _timed(fn):
+        t0 = time.time()
+        fn()
+        return time.time() - t0
+
     rng = np.random.default_rng(7)
     n_s, n_v = 5000, 200
     X = rng.integers(0, 3, size=(n_v, n_s)).astype(float)
@@ -373,12 +378,18 @@ def test_entry_unpack_fast_path(spark):
     # primitive path input: float64 ndarrays (what _x_doubles delivers)
     prims = pd.Series([row.copy() for row in X])
 
-    t0 = time.time()
+    # best-of-3 per path: a single-shot wall-clock compare flaked under
+    # ambient load (r10: 0.546 vs 0.497 on a quiet box — the two paths
+    # are close enough at this width that one scheduler hiccup flips
+    # the sign); min-of-N isolates the code cost from the noise
+    t_struct = min(
+        _timed(lambda: _entry_matrix(structs, "GT", n_s)) for _ in range(3)
+    )
+    t_prim = min(
+        _timed(lambda: _entry_matrix(prims, "GT", n_s)) for _ in range(3)
+    )
     A = _entry_matrix(structs, "GT", n_s)
-    t_struct = time.time() - t0
-    t0 = time.time()
     B = _entry_matrix(prims, "GT", n_s)
-    t_prim = time.time() - t0
     np.testing.assert_array_equal(np.isnan(A), np.isnan(B))
     np.testing.assert_allclose(np.nan_to_num(A), np.nan_to_num(B))
     assert t_prim < t_struct, (t_prim, t_struct)
