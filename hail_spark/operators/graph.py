@@ -476,27 +476,31 @@ def sssp(
     discipline), so repeated calls leave one distance-table block set."""
     if n_iter < 1:
         raise ValueError("sssp: n_iter must be >= 1")
-    # static edge table PINNED on the per-round join key (src): the
-    # repartition rides under the min-agg's (src, dst) clustering so no
-    # exchange is added, and each round's dists ⋈ e join reuses it; the
-    # distance table is pinned on node by its own aggs (guide §2.4)
-    e = _lc_pinned(
+    # NOT pinned (r10): sssp was A/B'd with the _lc_pinned treatment the
+    # other iterative ops got and REGRESSED at ~sf1 (24 s stable →
+    # 28-36 s with 50-80 s worst runs, twice, interleaved) — its merged
+    # table is a full-outer join whose output partitioning is Unknown on
+    # Spark, so the rounds re-exchange the dists side regardless and the
+    # pin only traded away AQE inside round materializations. Reverted
+    # to the r09 shape on measurement.
+    e = (
         edges.select(
             F.col(src).alias("src"),
             F.col(dst).alias("dst"),
             F.col(weight).cast("double").alias("w"),
         )
-        .repartition(_pin_n(edges.sparkSession), "src")
         .groupBy("src", "dst")
         .agg(F.min("w").alias("w"))  # parallel edges: keep the lightest
+        .localCheckpoint()
     )
     neg = e.filter(F.col("w") < 0).isEmpty()
     if not neg:
         raise ValueError("sssp: negative edge weights are not supported")
-    dists = _lc_pinned(
+    dists = (
         sources.select(F.col(node_col).alias("node"))
         .distinct()
         .withColumn("dist", F.lit(0.0))
+        .localCheckpoint()
     )
     prev_ckpt = dists
     for _ in range(n_iter):
@@ -519,11 +523,8 @@ def sssp(
                     | (F.col("cand") < F.col("dist"))
                 ).alias("__improved"),
             )
+            .localCheckpoint()
         )
-        # a full-outer join's output partitioning is Unknown on Spark —
-        # pinning here would capture nothing; the next round re-exchanges
-        # the dists side once (the relaxed agg side stays aligned)
-        merged = _lc_pinned(merged)
         converged = merged.filter(F.col("__improved")).isEmpty()
         prev_ckpt = _lc_supersede(prev_ckpt, merged)
         dists = merged.select("node", "dist")
@@ -812,30 +813,29 @@ def modularity(
     ``communities`` are excluded from degree/intra sums (their edges
     still count in m) — pass a complete assignment for the textbook
     score."""
-    # edge table pinned on lo (the intra chain's first join key; the
-    # repartition rides under the distinct's (lo, hi) clustering so no
-    # exchange is added vs the plain distinct)
-    e = _lc_pinned(
+    # NOT pinned (r10): modularity was A/B'd with the _lc_pinned
+    # treatment and REGRESSED at ~sf1 (6-6.5 s stable → 21-43 s medians
+    # with 120-190 s worst runs, twice, interleaved) — its consumers mix
+    # the fixed-count pinned layout with AQE-planned exchanges in three
+    # different join keys (lo, hi, label), where the pin forfeits
+    # runtime coalescing without freeing the hi/label exchanges.
+    # Reverted to the r09 shape on measurement; the LPA assignment it
+    # consumes keeps its (pinned) speedup.
+    e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
             F.greatest(F.col(src), F.col(dst)).alias("hi"),
         )
         .filter(F.col("lo") != F.col("hi"))
-        .repartition(_pin_n(edges.sparkSession), "lo")
         .distinct()
+        .localCheckpoint()
     )
     # the label table feeds THREE joins (degree + both intra endpoints);
     # a lazy assignment (e.g. a label_propagation plan) would re-run its
-    # whole iteration per consumer — materialize it once. The pinned
-    # checkpoint preserves the assignment's partitioning (node, n) when
-    # the caller hands over a label_propagation result, so the renamed
-    # lo/hi projections join the pinned edge table without re-exchanging
-    # the label side.
-    comm = _lc_pinned(
-        communities.select(
-            F.col(node_col).alias("__node"), F.col(label_col).alias("__label")
-        )
-    )
+    # whole iteration per consumer — materialize it once
+    comm = communities.select(
+        F.col(node_col).alias("__node"), F.col(label_col).alias("__label")
+    ).localCheckpoint()
     m = e.agg(F.count(F.lit(1)).cast("double").alias("__m"))
     deg = (
         e.select(F.col("lo").alias("__node"))
