@@ -24,6 +24,7 @@ key likewise skips its Exchange.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -41,8 +42,17 @@ def write_bucketed(
     cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # r10 (guide §6, output file sizing): without this repartition every
+    # input task writes its own file PER BUCKET it holds — tasks×buckets
+    # small files at scale, and a single-partition source writes all
+    # buckets serially in one task at gate scale. Repartitioning on the
+    # bucket columns (Spark's bucket hash IS the HashPartitioning hash)
+    # gives each task exactly one bucket: file count == n_buckets at any
+    # input layout, and the write parallelizes across buckets. Bucket
+    # count (and hence target file size) stays the caller's contract.
     w = (
-        df.write.mode("overwrite")
+        df.repartition(n_buckets, *[F.col(c) for c in cols])
+        .write.mode("overwrite")
         .option("path", path)
         .bucketBy(n_buckets, *cols)
     )

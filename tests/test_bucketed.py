@@ -83,3 +83,22 @@ def test_reregister_after_catalog_loss(spark, sf_dir, bucketed):
     agg = o.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
     agg.collect()
     assert "Exchange" not in _plan(agg)
+
+
+def test_bucketed_write_one_file_per_bucket(spark, sf_dir, tmp_path):
+    # r10 (guide §6): the pre-write repartition on the bucket columns
+    # bounds output to one file per bucket REGARDLESS of the source
+    # layout. Without it a 16-partition source writes up to 16x8 files
+    # (measured 128 at sf0.1) and a 1-partition source writes all 8
+    # buckets serially in one task.
+    import glob
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(16)
+    p = str(tmp_path / "multi")
+    write_bucketed(li, "t_multi_b", p, "l_orderkey", 8, sort_cols="l_orderkey")
+    try:
+        assert len(glob.glob(f"{p}/*.parquet")) == 8
+        got = read_bucketed(spark, "t_multi_b").count()
+        assert got == spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_multi_b")
