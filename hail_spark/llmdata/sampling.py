@@ -140,18 +140,30 @@ def write_training_shards(
 
     Scale shape: shard assignment is the one sort + two-pass scan of
     assign_shards; the partitioned write is parallel per shard file;
-    the manifest is one hash-aggregate. No driver-side row handling.
+    the manifest is one hash-aggregate over the files just written — a
+    column-pruned read of (shard[, count_col]) only, so the sort+index
+    lineage runs ONCE and no text bytes move a second time. ``shard``
+    comes back as the partition-directory value and is cast to bigint
+    so the manifest schema matches the assignment's. No driver-side
+    row handling.
     """
     import os
 
     assigned = assign_shards(df, docs_per_shard, uid_col, seed)
-    assigned.write.mode("overwrite").partitionBy("shard").parquet(
-        os.path.join(path, "data")
-    )
+    data_path = os.path.join(path, "data")
+    assigned.write.mode("overwrite").partitionBy("shard").parquet(data_path)
     aggs = [F.count(F.lit(1)).alias("n_docs")]
     if count_col is not None:
         aggs.append(F.sum(count_col).cast("bigint").alias("n_tokens"))
-    manifest = assigned.groupBy("shard").agg(*aggs).orderBy("shard")
+    try:
+        src = (
+            df.sparkSession.read.parquet(data_path)
+            .select(F.col("shard").cast("bigint").alias("shard"),
+                    *([count_col] if count_col is not None else []))
+        )
+    except Exception:  # empty input writes no files → schema inference fails
+        src = assigned
+    manifest = src.groupBy("shard").agg(*aggs).orderBy("shard")
     manifest.write.mode("overwrite").parquet(os.path.join(path, "manifest.parquet"))
     return manifest
 
