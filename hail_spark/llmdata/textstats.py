@@ -88,7 +88,12 @@ def unigram_logprob(
         _spread(df.select(F.col(id_col), F.col(text_col)))
         .select(F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("__w"))
     )
-    counts = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__c"))
+    # The unigram table feeds BOTH the totals collect and the per-token
+    # join; without a checkpoint each consumer re-tokenizes the corpus
+    # (3 full explode passes total). The table is vocab-sized (bounded),
+    # so materializing it once is safe at any corpus scale; the blocks
+    # are ContextCleaner-reclaimed when the returned plan is dropped.
+    counts = toks.groupBy("__w").agg(F.count(F.lit(1)).alias("__c")).localCheckpoint()
     totals = counts.agg(
         F.sum("__c").alias("__n"), F.count(F.lit(1)).alias("__v")
     ).collect()[0]
