@@ -7731,8 +7731,15 @@ def training_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniq = gated.join(keep, "doc_id", "left_semi")
     rates = {"en": 1.0, "de": 0.7, "es": 0.5, "fr": 0.3, "zh": 0.2}
     mixed = sampling.stratified_sample(uniq, "lang", rates, "doc_id", seed=11)
-    packed = sampling.pack_sequences(mixed, "n_tokens", 256, "doc_id", seed=5)
-    joined = packed.join(mixed.select("doc_id", "n_tokens"), "doc_id")
+    # The sampled table feeds pack_sequences' two-pass scan AND the
+    # final join; uncheckpointed, the whole gate->dedup->sample lineage
+    # (two token_count passes per recompute via the semi-join) ran ~3x.
+    # Checkpoint only the two integer columns the consumers need —
+    # pack_start is a prefix sum over a total order, so the values are
+    # partition-layout invariant.
+    m2 = mixed.select("doc_id", "n_tokens").localCheckpoint()
+    packed = sampling.pack_sequences(m2, "n_tokens", 256, "doc_id", seed=5)
+    joined = packed.join(m2, "doc_id")
     return (
         joined.groupBy("bin")
         .agg(
