@@ -154,8 +154,15 @@ def row_correlation_bm(mt: MatrixTable, x_field: str = "GT", block_size: int = 1
 
     n = len(mt._cols)
     t = add_index(Table(mt._df.select(*mt._row_key, ENTRIES), key=mt._row_key), "__i")
+    # The indexed entries feed the row count AND the standardize chain,
+    # and the gram joins the standardized blocks against themselves —
+    # uncheckpointed, the pivot+sort+index lineage runs once per
+    # consumer (4 full passes). Materialize it once; blocks are
+    # ContextCleaner-reclaimed (and the entries copy is released early
+    # below, once the block table supersedes it).
+    tdf = t.df.localCheckpoint()
     g = F.transform(F.col(ENTRIES), lambda e: e[x_field].cast("double"))
-    df = t.df.select(F.col("__i"), g.alias("__g"))
+    df = tdf.select(F.col("__i"), g.alias("__g"))
     nn = F.filter(F.col("__g"), lambda v: v.isNotNull())
     # mean/sd land in their own columns, referenced multiple times, so
     # Catalyst keeps them evaluated once per row instead of inlining the
@@ -186,8 +193,13 @@ def row_correlation_bm(mt: MatrixTable, x_field: str = "GT", block_size: int = 1
     long = df.select("__i", F.posexplode(z).alias("__j", "__v")).where(
         F.col("__v").isNotNull()
     )
-    m = t.df.count()
+    m = tdf.count()
     A = BlockMatrix.from_long(long, m, n, block_size, i="__i", j="__j", v="__v")
+    from ..operators.graph import _lc_release
+
+    blocks = A.df.localCheckpoint()
+    _lc_release(tdf)
+    A = BlockMatrix(blocks, A.n_rows, A.n_cols, A.block_size)
     return A.matmul(A.transpose())
 
 
