@@ -869,7 +869,13 @@ def lsh_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").df
     sigs = dedup.minhash_signatures(d, k=64).localCheckpoint()
     cand = dedup.minhash_lsh_pairs(d, k=64, bands=16, sigs=sigs)
-    est = dedup.minhash_jaccard_estimate(d, cand, k=64, sigs=sigs)
+    # est feeds the candidate count AND the recall join; checkpointed it
+    # computes once (the count was already materializing it, then threw
+    # the result away). sigs is fully superseded once est is solid.
+    est = dedup.minhash_jaccard_estimate(d, cand, k=64, sigs=sigs).localCheckpoint()
+    from hail_spark.operators.graph import _lc_release
+
+    _lc_release(sigs)
     true = dedup.ngram_jaccard_pairs(d, threshold=0.3)
     j = true.join(est, ["id_a", "id_b"], "left")
     n_cand = est.count()
