@@ -741,8 +741,17 @@ def bm25_topk(
     tok = _spread(corpus.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
     )
-    postings = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tok.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # The postings table is the inverted index every other table derives
+    # from; uncheckpointed, the corpus re-tokenizes once per consumer
+    # (the avgdl collect, the score join, dfreq, and the separate
+    # doc-length pass — 4 tokenize passes). Materialize it once and
+    # derive dl = sum(tf) (identical to the token count by definition).
+    postings = (
+        tok.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    dl = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
     ).collect()[0]
