@@ -1421,8 +1421,14 @@ def remove_duplicated_spans(
     """
     if scope not in ("cross_doc", "any"):
         raise ValueError(f"unknown scope {scope!r}")
-    base = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    # The tokenized table feeds the window-hash explode, the positioned
+    # token explode AND the totals projection — uncheckpointed, the text
+    # parse + tokenize runs once per consumer in the same plan (3-4
+    # corpus passes). One materialization, read by all three.
+    base = (
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .localCheckpoint()
     )
     pos = base.select(
         F.col(id_col),
