@@ -575,10 +575,16 @@ def _hwe_normalized_bm(mt: MatrixTable, x_field: str = "GT", block_size: int = 1
     from ..table import Table
 
     n = len(mt._cols)
-    n_variants = mt._df.count()
     t = add_index(Table(mt._df.select(*mt._row_key, ENTRIES), key=mt._row_key), "__i")
+    # One materialization serves the variant count AND the standardize
+    # chain (add_index keeps every row, so the count is mt._df.count());
+    # uncheckpointed, the pivot+sort+index lineage ran once per consumer
+    # (the same multi-pass shape fixed in row_correlation_bm).
+    tdf = t.df.localCheckpoint()
+    t = Table(tdf, t.key, t.globals, _sorted=True)
+    n_variants = tdf.count()
     g = F.transform(F.col(ENTRIES), lambda e: e[x_field].cast("double"))
-    df = t.df.select("__i", g.alias("__g"))
+    df = tdf.select("__i", g.alias("__g"))
     nn = F.filter(F.col("__g"), lambda v: v.isNotNull())
     df = df.withColumn(
         "__mean",
