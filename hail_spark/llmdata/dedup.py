@@ -1097,8 +1097,12 @@ def duplicated_gram_stats(
     fixed-n gram form is the shuffle-friendly approximation (any
     repeat >= n tokens is caught).
     """
-    base = _spread(df.select(id_col, text_col)).select(
-        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    # tokenized once for both the gram chain and the totals projection
+    # (uncheckpointed each consumer re-parsed the corpus)
+    base = (
+        _spread(df.select(id_col, text_col))
+        .select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+        .localCheckpoint()
     )
     # explode gram POSITIONS first, hash per exploded row: Generate
     # re-evaluates an expensive generator expression, so exploding a
@@ -1198,7 +1202,9 @@ def dedup_lines(
     base = _spread(
         df.select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias("__t"))
     )
-    # own projection so the token array isn't re-derived per lambda slot
+    # own projection so the token array isn't re-derived per lambda slot;
+    # checkpointed because the line table feeds BOTH the duplicate-hash
+    # census and the reassembly join (each otherwise re-splits the corpus)
     lines = (
         base.select(F.col(id_col), arr.alias("__arr"))
         .select(F.col(id_col), F.posexplode("__arr").alias("pos", "line"))
@@ -1209,6 +1215,7 @@ def dedup_lines(
             md5_int(F.col("line")).alias("h"),
             (F.length("line") < min_line_chars).alias("exempt"),
         )
+        .localCheckpoint()
     )
     dup_h = (
         lines.filter(~F.col("exempt"))
