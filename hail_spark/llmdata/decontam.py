@@ -100,19 +100,26 @@ def decontaminate(
     exploded = doc_grams.select(
         id_col, F.size("__grams").alias("__n"), F.explode_outer("__grams").alias("gram")
     )
-    hits = (
-        exploded.join(F.broadcast(grams), on="gram", how="left_semi")
+    # one pass: the exploded rows already carry the per-doc gram count,
+    # so a broadcast left join with a hit flag + one aggregate replaces
+    # the old two-consumer shape (hit count + separate size projection),
+    # which recomputed the CPU-heavy gram hashing twice. benchmark_grams
+    # is DISTINCT, so sum(hit) counts occurrences exactly like the old
+    # left-semi + count; explode_outer keeps 0-gram docs as one
+    # null-gram row (max(__n) = 0, no hit).
+    hit = F.lit(1).alias("__hit")
+    out = (
+        exploded.join(F.broadcast(grams.select("gram", hit)), on="gram", how="left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .agg(
+            F.max("__n").cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        )
     )
-    base = doc_grams.select(
-        id_col, F.size("__grams").cast("bigint").alias("n_grams")
-    )
-    out = base.join(hits, on=id_col, how="left").na.fill({"n_hits": 0})
     return out.select(
         id_col,
         "n_grams",
-        F.col("n_hits").cast("bigint").alias("n_hits"),
+        "n_hits",
         (F.col("n_hits") >= min_hits).alias("contaminated"),
     )
 
