@@ -6228,49 +6228,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # oldest-evidence-first (per-round stamps above), so the ~50-query
     # driver sample clears all 23 remaining r02 rows + 27 of the r03 rows.
     new_this_round = (
-        # (a) new round-9 queries
-        "harmonic_centrality_graph",
-        "modularity_communities",
-        "stratified_split_guarantee",
-        "tdigest_kll_quantile_xcheck",
-        "rfm_segments_customers",
-        "gini_spend_nation",
-        "hhi_supplier_concentration",
-        "twap_user_buckets",
-        "ohlc_daily_events",
-        "dau_mau_stickiness",
-        "pct_change_monthly_revenue",
-        "containment_near_supersets",
-        "stopword_overflow_report",
-        "dow_seasonality_events",
-        "burstiness_daily_events",
-        "adamic_adar_links",
-        "degree_assortativity_graph",
-        "mann_whitney_events",
-        "chi2_independence_events",
-        "calibration_bins_events",
-        "scd2_user_history",
-        "ewma_daily_revenue",
-        "edit_distance_near_dup",
-        "zipf_slope_tokens",
-        "readability_sources",
-        "theil_sen_daily_revenue",
-        "kendall_tau_daily",
-        "spearman_daily",
-        "bipartite_copurchase",
-        "seasonal_naive_backtest",
-        "vwap_daily_lineitem",
-        "skyline_suppliers",
-        "abc_classes_parts",
-        "stl_decompose_daily",
-        "growth_accounting_weekly",
-        # (b) implementations changed in round 9 (verdict/ADVICE fixes)
-        "import_table_impute",
-        "vcf_round_trip",
-        "basket_rules_parts",
-        "doc_cosine_topk",
+        # implementations changed in round 10 (optimization round 2):
+        # pinned-partitioning checkpoints (graph family), cosine-norm
+        # precompute (ANN family), state-partition window (replays),
+        # size-gated spread/ntile (lambda_gc, rfm), bucketed write,
+        # shared-lineage checkpoints and one-pass folds (this session)
+        "training_shards_manifest",
+        "perplexity_buckets",
+        "unigram_logprob",
+        "training_pipeline_e2e",
+        "row_correlation_pairs",
+        "lsh_candidate_recall",
+        "bm25_topk_docs",
+        "span_removal_exactsubstr",
+        "duplicated_gram_stats",
+        "line_dedup_docs",
+        "decontam_overlap",
+        "pca_moments",
+        "pc_relate_kinship",
+        "pagerank_purchase_graph",
+        "sssp_purchase_graph",
         "kcore_purchase_graph",
-        "image_near_dup_assets",
+        "label_propagation_communities",
+        "modularity_communities",
+        "neighborhood_fn_graph",
+        "harmonic_centrality_graph",
+        "ann_brute_topk",
+        "ann_ivf_topk",
+        "ann_recall_eval",
+        "knn_label_eval_embeddings",
+        "pq_rerank_topk",
+        "hard_negatives_topk",
+        "embedding_near_dup",
+        "embedding_near_dup_lsh",
+        "stream_replay_conformance",
+        "stream_dedup_replay",
+        "stream_sessionize_replay",
+        "stream_static_join_replay",
+        "stream_stream_join_replay",
+        "lambda_gc_events",
+        "rfm_segments_customers",
+        "bpe_encode_ids_docs",
+        "bpe_roundtrip_identity",
+        "dedup_clusters",
+        "cluster_keep_best",
+        "entity_resolution_parts",
+        "bucketed_join_agg",
+        "incremental_dedup_batch",
     )
     first = {k: base[k] for k in new_this_round if k in base}
     never = {
