@@ -14430,7 +14430,11 @@ def stream_sessionize_replay_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         total_rows = t.num_rows
         deadline = _time.time() + 300
         while _time.time() < deadline:
-            if q.awaitTermination(2):
+            # 0.5 s poll: the data batches drain in a few seconds and the
+            # 2 s granularity added up to ~2 s of dead wait after the last
+            # row landed (the drained check itself is a ~0.1 s memory-table
+            # agg, so tighter polling costs little)
+            if q.awaitTermination(0.5):
                 break
             drained = (
                 spark.table(sink)
