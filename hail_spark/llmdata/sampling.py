@@ -164,8 +164,19 @@ def write_training_shards(
     except Exception:  # empty input writes no files → schema inference fails
         src = assigned
     manifest = src.groupBy("shard").agg(*aggs).orderBy("shard")
-    manifest.write.mode("overwrite").parquet(os.path.join(path, "manifest.parquet"))
-    return manifest
+    manifest_path = os.path.join(path, "manifest.parquet")
+    manifest.write.mode("overwrite").parquet(manifest_path)
+    # return the WRITTEN manifest, not the aggregate's lineage: a caller
+    # that materializes the result again (noop sink, collect, a second
+    # join) would otherwise re-read every shard file and re-run the agg
+    # — the same recompute class as the r10 manifest fix itself (guide
+    # §6: never re-derive what the query just wrote). One tiny-file scan
+    # instead, column order preserved by select.
+    return (
+        df.sparkSession.read.parquet(manifest_path)
+        .select(*[c.name for c in manifest.schema])
+        .orderBy("shard")
+    )
 
 
 def weighted_mix(
