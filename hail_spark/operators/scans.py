@@ -469,11 +469,26 @@ def scan_multi(t: Table, specs: dict) -> Table:
     spark = df.sparkSession
     ks = _key_struct(tt)
 
-    def dtype_of(expr):
-        return df.select(expr.alias("x")).schema["x"].dataType.simpleString()
+    # ONE schema analysis for every spec's expression type instead of a
+    # df.select(expr).schema round-trip per spec: each of those is a
+    # full Catalyst analysis of the input plan (guide §7.3 — driver
+    # planning is single-threaded work), so an 11-spec battery paid 11
+    # analyses where one suffices. group_by types its (k, v) pair
+    # struct; other kinds type the raw expr; unused slots are harmless.
+    _probe = []
+    for _n, _spec in specs.items():
+        if _spec[0] == "group_by":
+            _e = F.struct(_spec[1].alias("k"), _spec[2].alias("v"))
+        else:
+            _e = _spec[1]
+        _probe.append(_e.alias(f"__t_{len(_probe)}"))
+    _sch = df.select(*_probe).schema
+    _dtypes = {
+        name: _sch[f"__t_{i}"].dataType.simpleString()
+        for i, name in enumerate(specs)
+    }
 
-    def num_out(expr):
-        d = dtype_of(expr)
+    def num_out_t(d):
         if d in ("int", "bigint", "smallint", "tinyint"):
             return "bigint"
         if d.startswith("decimal"):
@@ -503,17 +518,17 @@ def scan_multi(t: Table, specs: dict) -> Table:
             return F.when(e.isNotNull(), F.lit(1)).cast("bigint")
 
         if kind == "sum":
-            ot = num_out(expr)
+            ot = num_out_t(_dtypes[name])
             x = expr.cast(ot)
             fields.append((f + "_s", F.sum(x), "add", ot, x))
         elif kind == "count":
             o1 = ones(expr)
             fields.append((f + "_n", F.sum(o1), "add", "bigint", o1))
         if kind == "min":
-            ot = dtype_of(expr)
+            ot = _dtypes[name]
             fields.append((f + "_m", F.min(expr), "min", ot, expr))
         elif kind == "max":
-            ot = dtype_of(expr)
+            ot = _dtypes[name]
             fields.append((f + "_m", F.max(expr), "max", ot, expr))
         elif kind == "mean":
             x = expr.cast("double")
@@ -533,11 +548,11 @@ def scan_multi(t: Table, specs: dict) -> Table:
             x = expr.cast("double")
             fields.append((f + "_p", F.product(x), "mul", "double", x))
         elif kind in ("collect", "collect_as_set", "counter"):
-            et = dtype_of(expr)
+            et = _dtypes[name]
             fields.append((f + "_a", sorted_vals(expr), "concat", f"array<{et}>", expr))
         elif kind == "take":
             n = spec[2]
-            et = dtype_of(expr)
+            et = _dtypes[name]
             fields.append(
                 (f + "_a", F.slice(sorted_vals(expr), 1, n), ("concat_n", n), f"array<{et}>", expr)
             )
@@ -552,7 +567,7 @@ def scan_multi(t: Table, specs: dict) -> Table:
             fields.append((f + "_mn", F.min(x), "min", "double", x))
             fields.append((f + "_mx", F.max(x), "max", "double", x))
         elif kind == "collect_explode":
-            at = dtype_of(expr)  # array<T>
+            at = _dtypes[name]  # array<T>
             empty_arr = F.expr(f"cast(array() as {at})")
             clean = F.filter(F.coalesce(expr, empty_arr), lambda v: v.isNotNull())
             partial = F.flatten(
@@ -568,7 +583,7 @@ def scan_multi(t: Table, specs: dict) -> Table:
         elif kind == "group_by":
             val = spec[2]
             pair = F.struct(expr.alias("k"), val.alias("v"))
-            pt = dtype_of(pair)
+            pt = _dtypes[name]
             fields.append((f + "_a", sorted_vals(pair), "concat", f"array<{pt}>", pair))
 
     # ---- up-pass: ONE job for every partial -------------------------- #
